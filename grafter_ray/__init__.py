@@ -1,0 +1,31 @@
+"""grafter_ray — a Ray-Data-native data-processing / CDC-ingest engine.
+
+A from-scratch reimplementation of the capabilities of Swirrl/grafter
+(reference at /root/reference, studied not copied) re-expressed as
+ray.data.Dataset pipelines: zero-copy Arrow map_batches stages, actor
+pools for stateful merge state, hash-partitioned exchange on (repo, path),
+a Delta-style transactional commit log for exactly-once binlog replay,
+and Grafter's column-derivation semantics as mid-stream schema evolution.
+"""
+
+from .fixtures import BinlogConfig, binlog_batch, binlog_dataset, binlog_table, write_binlog_parquet
+from .oracle import oracle_lake_table, oracle_view_table, replay_oracle
+from .pipelines.replay import DEFAULT_BATCH_SIZE, CDCLake
+from .schemas import BINLOG, CDC_SOURCE, LAKE, QUAD
+
+__all__ = [
+    "BinlogConfig",
+    "binlog_batch",
+    "binlog_dataset",
+    "binlog_table",
+    "write_binlog_parquet",
+    "oracle_lake_table",
+    "oracle_view_table",
+    "replay_oracle",
+    "CDCLake",
+    "DEFAULT_BATCH_SIZE",
+    "BINLOG",
+    "CDC_SOURCE",
+    "LAKE",
+    "QUAD",
+]

@@ -1,0 +1,135 @@
+"""Deterministic synthetic CDC corpus (FIXTURES.md F1/F2).
+
+A binlog row is a pure function of its LSN — no RNG state, no wall clock —
+so any LSN range can be generated independently on any worker and replay
+is byte-identical across runs and cluster sizes. Schema-change events sit
+at fixed positions (``lsn % schema_every == schema_every - 1``) so the
+schema version of any event is O(1): ``version = lsn // schema_every``.
+
+Op mix (non-schema rows): ~90% upsert / ~10% delete, hash-derived.
+Key distribution is quadratically skewed so a few keys are hot
+(last-writer-wins and skew handling are actually exercised,
+SURVEY.md §7.4 item 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schemas import BINLOG, OP_DELETE, OP_SCHEMA, OP_UPSERT
+from .util import hex_str_array, hash_stream, uniform01
+
+_EXT_LANG = [("py", "python"), ("clj", "clojure"), ("java", "java"), ("rs", "rust"), ("md", "md")]
+
+
+@dataclass(frozen=True)
+class BinlogConfig:
+    n_events: int = 100_000
+    n_keys: int = 5_000
+    n_repos: int = 50
+    schema_every: int = 10_000          # one schema_change every N lsns
+    delete_pct: float = 0.10
+    body_reps_max: int = 120            # content body size knob (power-law)
+
+    @property
+    def n_schema_events(self) -> int:
+        return self.n_events // self.schema_every
+
+
+def binlog_batch(lsns: np.ndarray, cfg: BinlogConfig) -> pa.Table:
+    """Generate binlog rows for an arbitrary array of LSNs. Vectorized."""
+    lsns = lsns.astype(np.int64)
+    n = len(lsns)
+    is_schema = (lsns % cfg.schema_every) == (cfg.schema_every - 1)
+    u_op = uniform01(lsns, 1)
+    is_delete = (~is_schema) & (u_op < cfg.delete_pct)
+    op = np.where(is_schema, OP_SCHEMA, np.where(is_delete, OP_DELETE, OP_UPSERT))
+
+    # Skewed key choice: key_id = floor(n_keys * u^2) concentrates mass on
+    # low ids (hot keys).
+    u_key = uniform01(lsns, 2)
+    key_id = np.minimum((cfg.n_keys * u_key * u_key).astype(np.int64), cfg.n_keys - 1)
+    repo_id = key_id % cfg.n_repos
+    path_id = key_id // cfg.n_repos
+
+    org = repo_id % 7
+    repo = np.char.add(
+        np.char.add("org", org.astype("U4")), np.char.add("/repo", repo_id.astype("U8"))
+    )
+    ext_idx = (path_id % len(_EXT_LANG)).astype(np.int64)
+    exts = np.array([e for e, _ in _EXT_LANG])
+    langs = np.array([l for _, l in _EXT_LANG])
+    path = np.char.add(
+        np.char.add(
+            np.char.add("src/d", (path_id % 13).astype("U4")),
+            np.char.add("/f", path_id.astype("U8")),
+        ),
+        np.char.add(".", exts[ext_idx]),
+    )
+    lang = langs[ext_idx]
+    commit = hex_str_array(hash_stream(lsns, 3))
+
+    valid = ~is_schema  # schema rows carry no key/content
+    alive = ~(is_schema | is_delete)  # upserts carry content
+
+    repo_arr = pa.array(repo, mask=is_schema)
+    path_arr = pa.array(path, mask=is_schema)
+    commit_arr = pc.if_else(pa.array(alive), commit, pa.scalar(None, pa.string()))
+    lang_arr = pa.array(lang, mask=~alive)
+
+    # content = "// {repo}/{path}@{commit}\n" + body-token repeated k times,
+    # k power-law distributed (mostly small, occasionally large).
+    u_body = uniform01(lsns, 4)
+    reps = (1 + (cfg.body_reps_max * u_body**4)).astype(np.int64)
+    header = pc.binary_join_element_wise(
+        "// ", pa.array(repo), "/", pa.array(path), "@", commit, "\n", ""
+    )
+    token = pc.binary_join_element_wise(pc.utf8_slice_codeunits(commit, 0, 8), " code line\n", "")
+    body = pc.binary_repeat(token, pa.array(reps))
+    content = pc.if_else(pa.array(alive), pc.binary_join_element_wise(header, body, ""), pa.scalar(None, pa.string()))
+
+    schema_version = (lsns // cfg.schema_every).astype(np.int32)
+    _ = valid
+    return pa.table(
+        {
+            "lsn": pa.array(lsns),
+            "op": pa.array(op),
+            "repo": repo_arr,
+            "path": path_arr,
+            "commit": commit_arr,
+            "lang": lang_arr,
+            "content": content,
+            "schema_version": pa.array(schema_version),
+        },
+        schema=BINLOG,
+    )
+
+
+def binlog_table(cfg: BinlogConfig, start: int = 0, stop: int | None = None) -> pa.Table:
+    """Whole (or sliced) binlog as one in-memory table — small scales only."""
+    stop = cfg.n_events if stop is None else stop
+    return binlog_batch(np.arange(start, stop, dtype=np.int64), cfg)
+
+
+def binlog_dataset(cfg: BinlogConfig, override_num_blocks: int | None = None):
+    """Distributed binlog generation: ray.data.range → map_batches(gen)."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return binlog_batch(batch.column("id").to_numpy(), cfg)
+
+    ds = ray.data.range(cfg.n_events, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_binlog_parquet(path: str, cfg: BinlogConfig, num_files: int = 32) -> str:
+    """Materialize the binlog corpus to partitioned parquet (bench input)."""
+    import ray.data
+
+    ds = binlog_dataset(cfg, override_num_blocks=num_files)
+    ds.write_parquet(path)
+    return path

@@ -1,0 +1,64 @@
+"""Single-process reference replay — the "reference Clojure pipeline" stand-in.
+
+A plain dict replay in LSN order (the semantics of Grafter's
+RepositoryConnection add/delete applied per key: add ≡ upsert,
+delete ≡ delete — reference repository.clj:56-81,596-628), producing the
+converged lake state with per-row sha256. Every distributed run is
+compared against this (SURVEY.md §5 test plan layer b/c).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from .schemas import LAKE, OP_DELETE, OP_SCHEMA, OP_UPSERT
+from .state.schema_registry import apply_view
+
+
+def replay_oracle(binlog: pa.Table, upto_lsn: int | None = None) -> tuple[dict, int]:
+    """Replay a binlog table (any row order) → ({(repo,path): row}, version)."""
+    rows = binlog.sort_by("lsn").to_pylist()
+    state: dict[tuple[str, str], dict] = {}
+    version = 0
+    for r in rows:
+        if upto_lsn is not None and r["lsn"] > upto_lsn:
+            break
+        if r["op"] == OP_SCHEMA:
+            version += 1
+        elif r["op"] == OP_DELETE:
+            state.pop((r["repo"], r["path"]), None)
+        elif r["op"] == OP_UPSERT:
+            state[(r["repo"], r["path"])] = r
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op {r['op']!r}")
+    return state, version
+
+
+def oracle_lake_table(binlog: pa.Table, upto_lsn: int | None = None) -> tuple[pa.Table, int]:
+    """Converged base-schema lake table (sorted by key) + final version."""
+    state, version = replay_oracle(binlog, upto_lsn)
+    rows = []
+    for (repo, path), r in sorted(state.items()):
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": r["commit"],
+                "lang": r["lang"],
+                "content": r["content"],
+                "content_sha": hashlib.sha256(r["content"].encode()).hexdigest(),
+                "last_lsn": r["lsn"],
+                "event_schema_version": r["schema_version"],
+            }
+        )
+    if not rows:
+        return LAKE.empty_table(), version
+    return pa.Table.from_pylist(rows, schema=LAKE), version
+
+
+def oracle_view_table(binlog: pa.Table, upto_lsn: int | None = None) -> pa.Table:
+    """Converged lake under the final evolved schema view."""
+    tb, version = oracle_lake_table(binlog, upto_lsn)
+    return apply_view(tb, version)

@@ -1,0 +1,328 @@
+"""CDC binlog replay → Parquet lake upsert engine (the BASELINE.json north
+rule; SURVEY.md §7.1 steps 5-6).
+
+Shape of one apply window (the only recurring shuffle is the hash exchange
+on (repo, path) → partition_id, SURVEY.md §7.3):
+
+  read binlog (lsn-range + watermark pushdown, pruned columns)
+    → map_batches(partial_lww)        # map-side combine, ≤1 row/key/block
+    → groupby(partition_id)           # hash exchange, P ≫ workers
+    → map_groups(merge partition)     # LWW vs existing lake rows, sha256,
+                                      #   write v{version}-p{pid}.parquet
+    → tiny per-partition stats table  # ≤ P rows to the driver
+  driver: atomically commit manifest {watermark, schema_version,
+          partition files, lineage counters}
+
+Exactly-once: events with lsn ≤ committed watermark are filtered at the
+read; merge is LWW on globally-unique LSNs so re-applied batches are
+no-ops; data files are invisible until the manifest rename (commitlog.py).
+Resume = read latest manifest, continue from its watermark.
+
+Grafter parity: upsert/delete per key ≡ RepositoryConnection add/delete
+(reference repository.clj:56-81,596-628); batched apply with
+batch_size=20_000 default ≡ add-batched (protocols.cljc:514-545);
+set-semantics dedup falls out of LWW on identical keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..stages.lww import lww_reduce, partial_lww
+from ..stages.sha import sha256_array
+from ..schemas import LAKE, OP_SCHEMA
+from ..state.commitlog import CommitLog
+from ..state.schema_registry import apply_view
+
+DEFAULT_BATCH_SIZE = 20_000  # grafter add-batched default, protocols.cljc:514-515
+
+
+class _MergePartition:
+    """Per-partition merge task (runs inside groupby().map_groups).
+
+    Stateless across calls — all durable state lives in the lake files +
+    manifest, which is what makes retries and resume safe. The previous
+    file map is broadcast once via ray.put and fetched per actor.
+    """
+
+    def __init__(self, data_dir: str, version: int, prev_files_box: dict, commit_log_root: str):
+        self.data_dir = data_dir
+        self.version = version
+        # broadcast: ObjectRef boxed in a dict so Ray doesn't inline-resolve
+        # it; fetched once per actor from the local object store.
+        ref = prev_files_box.get("ref")
+        self.prev_files = ray.get(ref) if ref is not None else {}
+        log = CommitLog(commit_log_root)
+        self.file_for = log.data_file
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _stats_table([])
+        pid = int(group.column("partition_id")[0].as_py())
+        delta = lww_reduce(group)  # combine partial winners across blocks
+        existing = None
+        prev = self.prev_files.get(str(pid))
+        if prev is not None:
+            existing = pq.read_table(os.path.join(self.data_dir, prev))
+
+        n_del = int(pc.sum(pc.equal(delta.column("op"), "delete")).as_py() or 0)
+        merged = _merge(existing, delta)
+        fname = self.file_for(self.version, pid)
+        if merged.num_rows:
+            # key-sorted within partition (the reference native store keeps
+            # key-ordered covering indexes, repository.clj:131-136)
+            merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
+            pq.write_table(merged, os.path.join(self.data_dir, fname))
+        max_lsn = int(pc.max(delta.column("lsn")).as_py())
+        return _stats_table(
+            [
+                {
+                    "partition_id": pid,
+                    "file": fname if merged.num_rows else "",
+                    "rows": merged.num_rows,
+                    "max_lsn": max_lsn,
+                    "events": delta.num_rows,
+                    "deletes": n_del,
+                }
+            ]
+        )
+
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("max_lsn", pa.int64()),
+        ("events", pa.int64()),
+        ("deletes", pa.int64()),
+    ]
+)
+
+
+def _stats_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return _STATS_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
+
+
+def _merge(existing: pa.Table | None, delta: pa.Table) -> pa.Table:
+    """LWW-merge delta events into existing lake rows → new lake table."""
+    ev = pa.table(
+        {
+            "repo": delta.column("repo"),
+            "path": delta.column("path"),
+            "commit": delta.column("commit"),
+            "lang": delta.column("lang"),
+            "content": delta.column("content"),
+            "content_sha": pa.nulls(delta.num_rows, pa.string()),
+            "last_lsn": delta.column("lsn"),
+            "event_schema_version": delta.column("schema_version"),
+            "_op": delta.column("op"),
+        }
+    )
+    if existing is not None and existing.num_rows:
+        ex = existing.append_column("_op", pa.array(["upsert"] * existing.num_rows))
+        merged = pa.concat_tables([ex, ev])
+    else:
+        merged = ev
+    won = lww_reduce(merged, lsn_col="last_lsn")
+    won = won.filter(pc.not_equal(won.column("_op"), "delete")).drop_columns(["_op"])
+    # hash only rows that don't already carry a digest (new winners)
+    sha = won.column("content_sha")
+    need = pc.is_null(sha)
+    if pc.any(need).as_py():
+        new_sha = sha256_array(won.column("content"))
+        sha = pc.if_else(need, new_sha, sha)
+        won = won.set_column(won.schema.get_field_index("content_sha"), "content_sha", sha)
+    return won.cast(LAKE)
+
+
+class CDCLake:
+    """A transactional, hash-partitioned Parquet lake with exactly-once
+    binlog apply, schema evolution and checkpoint/resume."""
+
+    def __init__(self, root: str, num_partitions: int = 64):
+        self.root = root
+        self.log = CommitLog(root)
+        latest = self.log.latest()
+        self.num_partitions = latest["num_partitions"] if latest else num_partitions
+
+    # -- state -------------------------------------------------------------
+    @property
+    def manifest(self) -> dict | None:
+        return self.log.latest()
+
+    @property
+    def watermark(self) -> int:
+        m = self.manifest
+        return m["watermark_lsn"] if m else -1
+
+    @property
+    def schema_version(self) -> int:
+        m = self.manifest
+        return m["schema_version"] if m else 0
+
+    # -- apply -------------------------------------------------------------
+    def apply(
+        self,
+        binlog,
+        *,
+        upto_lsn: int | None = None,
+        window_size: int | None = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        concurrency: int | None = None,
+    ) -> dict:
+        """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
+        lake. With `window_size`, commits one manifest per LSN window
+        (micro-batch checkpoints); otherwise one commit for the whole
+        range. Returns the final manifest."""
+        if upto_lsn is None:
+            upto_lsn = int(self._dataset(binlog).max("lsn"))
+        manifest = self.manifest
+        while self.watermark < upto_lsn:
+            lo = self.watermark + 1
+            hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
+            manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency)
+        return manifest
+
+    def _dataset(self, binlog, lo: int | None = None, hi: int | None = None):
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        if isinstance(binlog, str):
+            expr = None
+            if lo is not None:
+                expr = (pads.field("lsn") >= lo) & (pads.field("lsn") <= hi)
+            return rd.read_parquet(binlog, filter=expr)
+        ds = binlog
+        if lo is not None:
+            l, h = lo, hi
+
+            def in_window(tb: pa.Table) -> pa.Table:
+                return tb.filter(
+                    pc.and_(pc.greater_equal(tb.column("lsn"), l), pc.less_equal(tb.column("lsn"), h))
+                )
+
+            ds = ds.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
+        return ds
+
+    def _apply_window(self, binlog, lo: int, hi: int, batch_size: int, concurrency) -> dict:
+        prev = self.manifest
+        version = (prev["version"] + 1) if prev else 0
+        prev_parts: dict = dict(prev["partitions"]) if prev else {}
+        prev_counters = prev["counters"] if prev else {"events": 0, "deletes": 0, "schema_changes": 0}
+        ds = self._dataset(binlog, lo, hi)
+
+        # schema-change markers: tiny driver-side count (count is all the
+        # registry needs — ops are derived deterministically per version).
+        # For a parquet source this is a pruned 2-column scan.
+        if isinstance(binlog, str):
+            import pyarrow.dataset as pads
+            import ray.data as rd
+
+            sc_ds = rd.read_parquet(
+                binlog,
+                columns=["lsn", "op"],
+                filter=(pads.field("lsn") >= lo) & (pads.field("lsn") <= hi),
+            )
+        else:
+            sc_ds = ds
+        # distinct lsns: tolerant of at-least-once duplicated segments
+        n_schema = len(
+            sc_ds.map_batches(
+                lambda tb: tb.filter(pc.equal(tb.column("op"), OP_SCHEMA)).select(["lsn"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).unique("lsn")
+        )
+        new_schema_version = self.schema_version + n_schema
+
+        P = self.num_partitions
+        prev_files = {pid: e["file"] for pid, e in prev_parts.items()}
+        prev_files_box = {"ref": ray.put(prev_files)}
+
+        def combine(tb: pa.Table) -> pa.Table:
+            tb = tb.filter(pc.not_equal(tb.column("op"), OP_SCHEMA))
+            return partial_lww(tb, P)
+
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, min(ncpu, P))
+        stats_ds = (
+            ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+            .groupby("partition_id")
+            .map_groups(
+                _MergePartition,
+                fn_constructor_args=(self.log.data_dir, version, prev_files_box, self.root),
+                batch_format="pyarrow",
+                concurrency=(1, concurrency),
+            )
+        )
+        stats = stats_ds.take_all()  # ≤ P tiny rows
+
+        parts = dict(prev_parts)
+        n_events = n_deletes = 0
+        for s in stats:
+            pid = str(s["partition_id"])
+            n_events += s["events"]
+            n_deletes += s["deletes"]
+            if s["rows"] > 0:
+                parts[pid] = {"file": s["file"], "rows": int(s["rows"]), "max_lsn": int(s["max_lsn"])}
+            else:
+                parts.pop(pid, None)
+
+        manifest = {
+            "version": version,
+            "watermark_lsn": hi,
+            "schema_version": new_schema_version,
+            "num_partitions": P,
+            "partitions": parts,
+            "counters": {
+                "events": prev_counters["events"] + n_events + n_schema,
+                "deletes": prev_counters["deletes"] + n_deletes,
+                "schema_changes": prev_counters["schema_changes"] + n_schema,
+            },
+            "parent": version - 1 if version else None,
+        }
+        self.log.commit(manifest)
+        return manifest
+
+    # -- read --------------------------------------------------------------
+    def files(self) -> list[str]:
+        m = self.manifest
+        if not m:
+            return []
+        return [os.path.join(self.log.data_dir, e["file"]) for e in m["partitions"].values()]
+
+    def read(self, view: bool = True, columns: list[str] | None = None):
+        """Lake state as a streaming ray.data.Dataset (evolved-schema view
+        applied per batch unless view=False)."""
+        import ray.data as rd
+
+        files = self.files()
+        if not files:
+            ds = rd.from_arrow(LAKE.empty_table())
+        else:
+            ds = rd.read_parquet(files, columns=columns)
+        if view and self.schema_version > 0:
+            v = self.schema_version
+            ds = ds.map_batches(
+                lambda tb: apply_view(tb, v), batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
+
+    def read_table(self, view: bool = True) -> pa.Table:
+        """Driver-side full read — small/test scales only."""
+        files = self.files()
+        if not files:
+            tb = LAKE.empty_table()
+        else:
+            tb = pa.concat_tables([pq.read_table(f) for f in files])
+        tb = tb.sort_by([("repo", "ascending"), ("path", "ascending")])
+        return apply_view(tb, self.schema_version) if view else tb

@@ -1,0 +1,71 @@
+"""Arrow schemas for the engine's logical tables (SURVEY.md §1.3).
+
+- CDC source / binlog: BASELINE.json input_hint shape
+  ``(repo, path, commit, lang, content)`` plus engine columns.
+- Quad table: the reference's universal datum, a 4-field statement
+  (grafter protocols.cljc:372-394) stored in lexical form with a kind tag
+  (RDFLiteral representation, protocols.cljc:253-264).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+OP_SCHEMA = "schema_change"
+
+CDC_SOURCE = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+BINLOG = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("schema_version", pa.int32()),
+    ]
+)
+
+# Physical lake row: canonical base columns + engine provenance columns.
+# The evolved (post schema-evolution) view is derived at read time by
+# grafter_ray.state.schema_registry.
+LAKE = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("content_sha", pa.string()),
+        ("last_lsn", pa.int64()),
+        ("event_schema_version", pa.int32()),
+    ]
+)
+
+# Quad stream (SURVEY.md §1.3 / FIXTURES.md F3).
+QUAD = pa.schema(
+    [
+        ("s", pa.string()),
+        ("p", pa.string()),
+        ("o_kind", pa.string()),  # iri | bnode | literal
+        ("o_value", pa.string()),
+        ("o_datatype", pa.string()),
+        ("o_lang", pa.string()),
+        ("c", pa.string()),
+    ]
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"

@@ -1,0 +1,57 @@
+"""Last-writer-wins kernels — the CDC apply core (SURVEY.md §2.5/§2.7).
+
+Per-key apply order is LSN order only (never arrival order — Ray Data
+gives no cross-block ordering, SURVEY.md §7.4 item 3). LSNs are globally
+unique, so "rows whose lsn equals the per-key max lsn" selects exactly the
+per-key winner; ``pc.is_in`` on the (small) winner-lsn set avoids a join.
+
+``partial_lww`` is the map-side combiner: run inside every ``map_batches``
+block *before* the hash shuffle so the exchange carries at most one row
+per key per block instead of the full event stream (the pre-aggregation
+pattern; at 10^10 events with hot keys this is the difference between
+shuffling TBs and GBs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import partition_ids
+
+KEY = ["repo", "path"]
+
+
+def lww_reduce(tb: pa.Table, lsn_col: str = "lsn") -> pa.Table:
+    """Keep, per (repo, path), only the row with the maximum lsn.
+
+    Tolerates exact duplicates of the same (key, lsn) — the at-least-once
+    delivery case (a binlog segment replayed twice): after the max-lsn
+    filter, a second tiny group_by keeps one copy per key."""
+    if tb.num_rows == 0:
+        return tb
+    winners = tb.group_by(KEY).aggregate([(lsn_col, "max")])
+    cand = tb.filter(pc.is_in(tb.column(lsn_col), value_set=winners.column(f"{lsn_col}_max")))
+    if cand.num_rows == winners.num_rows:
+        return cand
+    # same-lsn duplicates present: keep first occurrence per key
+    idx = pa.array(np.arange(cand.num_rows, dtype=np.int64))
+    cand = cand.append_column("__i", idx)
+    keep = cand.group_by(KEY).aggregate([("__i", "min")])
+    cand = cand.filter(pc.is_in(cand.column("__i"), value_set=keep.column("__i_min")))
+    return cand.drop_columns(["__i"])
+
+
+def partial_lww(tb: pa.Table, num_partitions: int) -> pa.Table:
+    """Map-side combine + partition-id stamp (shuffle-volume reducer)."""
+    tb = lww_reduce(tb)
+    if tb.num_rows == 0:
+        if "partition_id" not in tb.column_names:
+            tb = tb.append_column("partition_id", pa.array([], pa.int32()))
+        return tb
+    pid = partition_ids(tb.column("repo"), tb.column("path"), num_partitions)
+    return tb.append_column("partition_id", pid)
+
+
+_ = np  # numpy retained for future kernels

@@ -1,0 +1,41 @@
+"""sha256 content digest stage (BASELINE.json input_hint per-row invariant)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def sha256_array(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Hex sha256 per string/binary element (null → null).
+
+    sha256 itself is C; the per-row loop slices memoryviews straight off
+    the Arrow value buffer (no intermediate Python strings, no per-row
+    pyarrow scalar objects).
+    """
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[str | None] = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        odt = np.int64 if pa.types.is_large_string(ch.type) or pa.types.is_large_binary(ch.type) else np.int32
+        bufs = ch.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=odt, count=n + 1, offset=ch.offset * np.dtype(odt).itemsize
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        valid = ch.is_valid().to_numpy(zero_copy_only=False)
+        sha = hashlib.sha256
+        for i in range(n):
+            if valid[i]:
+                out.append(sha(data[offsets[i] : offsets[i + 1]]).hexdigest())
+            else:
+                out.append(None)
+    return pa.array(out, pa.string())
+
+
+def add_sha_column(tb: pa.Table, src: str = "content", dst: str = "content_sha") -> pa.Table:
+    return tb.append_column(dst, sha256_array(tb.column(src)))

@@ -1,0 +1,68 @@
+"""Delta-style transactional commit log (SURVEY.md §4 checkpoint/resume row;
+pattern from the Delta Lake paper, PAPERS.md).
+
+The manifest append is the ONLY commit point — Grafter's
+``with-transaction`` begin/commit semantics (reference
+repository.clj:421-453) mapped onto an object store: merge tasks write
+data files first (invisible), then the driver atomically renames a
+manifest ``_log/{version}.json`` into place. A crash before the rename
+leaves only ignorable staging files; a retried window re-derives the same
+version and overwrites them with identical logical content, so replay is
+exactly-once.
+
+Manifest layout (one JSON per version):
+  version, watermark_lsn, schema_version, num_partitions,
+  partitions: {pid: {file, rows, max_lsn}}, counters, parent
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class CommitLog:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and not f.endswith(".tmp"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def latest(self) -> dict | None:
+        vs = self.versions()
+        if not vs:
+            return None
+        return self.read(vs[-1])
+
+    def read(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
+            return json.load(f)
+
+    # -- write side --------------------------------------------------------
+    def data_file(self, version: int, pid: int) -> str:
+        """Deterministic per-(version, partition) name: retries overwrite."""
+        return f"v{version:06d}-p{pid:06d}.parquet"
+
+    def commit(self, manifest: dict) -> None:
+        version = manifest["version"]
+        final = os.path.join(self.log_dir, f"{version:020d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(f"commit conflict: version {version} already committed")
+        tmp = final + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic commit point

@@ -1,0 +1,110 @@
+"""Versioned schema registry — Grafter tabular column-derivation semantics
+re-expressed as mid-stream schema evolution (SURVEY.md §2.10; reference
+RELEASENOTES.md:95-103: ``derive-column`` adds a computed column,
+``rename-columns`` applies an arbitrary rename, plus retype/cast).
+
+The lake physically stores the canonical base schema (schemas.LAKE).
+Schema versions are a *view*: a fold of ops ``add | rename | cast``
+applied at read time, so old data files remain readable and the evolved
+schema is a pure function of (base row, version). Derived columns are
+deterministic functions of base columns (derive-column semantics), so no
+backfill is needed when a version bump appears mid-stream.
+
+Ops for version k are derived deterministically (the binlog's
+schema_change markers don't carry payloads; generator and engine share
+this table — FIXTURES.md F2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- derived-column kernels (vectorized; `derive-column` analogue) -------
+
+def _derive_content_len(tb: pa.Table) -> pa.Array:
+    return pc.coalesce(pc.utf8_length(tb.column("content")), pa.scalar(0, pa.int32()))
+
+
+def _derive_n_lines(tb: pa.Table) -> pa.Array:
+    c = tb.column("content")
+    return pc.coalesce(
+        pc.add(pc.count_substring(c, "\n"), 1), pa.scalar(0, pa.int32())
+    )
+
+
+def _derive_org(tb: pa.Table) -> pa.Array:
+    # repo is "org/name"; derive the org part.
+    return pc.list_element(pc.split_pattern(tb.column("repo"), "/", max_splits=1), 0)
+
+
+DERIVATIONS = {
+    "content_len": _derive_content_len,
+    "n_lines": _derive_n_lines,
+    "org": _derive_org,
+}
+
+_ADD_CYCLE = ["content_len", "n_lines", "org"]
+_RENAME_CYCLE = [("lang", "language"), ("language", "lang")]
+_CAST_CYCLE = [("content_len", "int64"), ("n_lines", "int64")]
+
+
+def op_for_version(k: int) -> dict:
+    """Deterministic schema op introduced by schema-change event #k (k>=1)."""
+    i = k - 1
+    kind = i % 3
+    if kind == 0:
+        name = _ADD_CYCLE[(i // 3) % len(_ADD_CYCLE)]
+        return {"op": "add", "name": name, "fn": name}
+    if kind == 1:
+        frm, to = _RENAME_CYCLE[(i // 3) % len(_RENAME_CYCLE)]
+        return {"op": "rename", "from": frm, "to": to}
+    name, typ = _CAST_CYCLE[(i // 3) % len(_CAST_CYCLE)]
+    return {"op": "cast", "name": name, "type": typ}
+
+
+def resolve_plan(version: int) -> dict:
+    """Fold ops 1..version symbolically into one projection plan:
+    {adds: [name], renames: {base_name: final_name}, casts: {name: type}}.
+    O(version) symbolic work once, then a single vectorized application."""
+    adds: list[str] = []
+    renames: dict[str, str] = {}
+    casts: dict[str, str] = {}
+    for k in range(1, version + 1):
+        op = op_for_version(k)
+        if op["op"] == "add":
+            if op["name"] not in adds:
+                adds.append(op["name"])
+        elif op["op"] == "rename":
+            # find which current name matches op["from"], follow chains
+            src = None
+            for base, cur in renames.items():
+                if cur == op["from"]:
+                    src = base
+                    break
+            if src is None:
+                src = op["from"]
+            renames[src] = op["to"]
+            if renames.get(src) == src:
+                del renames[src]
+        else:
+            casts[op["name"]] = op["type"]
+    return {"adds": adds, "renames": renames, "casts": casts}
+
+
+def apply_view(tb: pa.Table, version: int) -> pa.Table:
+    """Present a base-schema table under the evolved schema `version`."""
+    if version <= 0:
+        return tb
+    plan = resolve_plan(version)
+    cols = {name: tb.column(name) for name in tb.column_names}
+    for name in plan["adds"]:
+        if name not in cols:
+            cols[name] = DERIVATIONS[name](tb)
+    for name, typ in plan["casts"].items():
+        if name in cols:
+            cols[name] = pc.cast(cols[name], pa.type_for_alias(typ))
+    out = {}
+    for name, col in cols.items():
+        out[plan["renames"].get(name, name)] = col
+    return pa.table(out)

@@ -1,0 +1,65 @@
+"""Deterministic, vectorized hashing / key-routing helpers.
+
+Everything here must be wall-clock- and process-independent so that replay
+is byte-identical across runs and cluster sizes (SURVEY.md §7.4 item 2 —
+the reference's ``gensym`` bnode ids, grafter protocols.cljc:438-444, are
+deliberately NOT reproduced; all ids derive from data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_U64 = np.uint64
+
+# splitmix64 constants (public domain PRNG, Steele et al.)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    z = (x.astype(_U64) + _SM_GAMMA) & ~_U64(0)
+    z = (z ^ (z >> _U64(30))) * _SM_M1
+    z = (z ^ (z >> _U64(27))) * _SM_M2
+    return z ^ (z >> _U64(31))
+
+
+def hash_stream(x: np.ndarray, salt: int) -> np.ndarray:
+    """Independent deterministic hash stream per salt value."""
+    return splitmix64(x.astype(_U64) ^ splitmix64(np.full(1, salt, dtype=_U64)))
+
+
+def uniform01(x: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform [0,1) doubles derived from integer ids."""
+    return hash_stream(x, salt).astype(np.float64) / float(2**64)
+
+
+def key_hash_array(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of the row-wise concatenation of string
+    columns (NUL-separated). Used for hash partitioning on (repo, path) —
+    same value for the same key in every process, any cluster size."""
+    import pandas as pd
+
+    joined = pc.binary_join_element_wise(*cols, "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    # pandas hash_array: fixed-key siphash, process-independent. categorize
+    # MUST be False — the categorize fast path returns different (wrong)
+    # hashes once the array is large enough to trigger factorization
+    # (observed on pandas 2.2.2), which would break hash partitioning.
+    return pd.util.hash_array(np.asarray(joined.to_pandas(), dtype=object), categorize=False)
+
+
+def partition_ids(repo: pa.Array, path: pa.Array, num_partitions: int) -> pa.Array:
+    return pa.array(
+        (key_hash_array(repo, path) % np.uint64(num_partitions)).astype(np.int32)
+    )
+
+
+def hex_str_array(h: np.ndarray, width: int = 16) -> pa.Array:
+    """uint64 array -> lowercase hex string array (vectorized-ish)."""
+    return pa.array(np.char.zfill(np.char.mod("%x", h), width))

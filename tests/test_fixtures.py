@@ -1,0 +1,62 @@
+"""Generator determinism + oracle sanity (no Ray needed beyond session)."""
+
+import numpy as np
+import pyarrow.compute as pc
+
+from grafter_ray import BinlogConfig, binlog_batch, binlog_table, replay_oracle
+from grafter_ray.util import key_hash_array, splitmix64
+
+
+def test_generator_pure_function_of_lsn():
+    cfg = BinlogConfig(n_events=1_000, schema_every=100)
+    a = binlog_batch(np.arange(100, 200), cfg)
+    b = binlog_table(cfg, 100, 200)
+    assert a.equals(b)
+    # arbitrary order gives same rows
+    c = binlog_batch(np.array([150, 120]), cfg)
+    assert c.slice(0, 1).equals(binlog_batch(np.array([150]), cfg))
+
+
+def test_generator_op_mix_and_schema_positions():
+    cfg = BinlogConfig(n_events=10_000, schema_every=1_000, delete_pct=0.1)
+    tb = binlog_table(cfg)
+    ops = tb.column("op").to_pylist()
+    lsns = tb.column("lsn").to_pylist()
+    schema_lsns = [l for l, o in zip(lsns, ops) if o == "schema_change"]
+    assert schema_lsns == [999, 1999, 2999, 3999, 4999, 5999, 6999, 7999, 8999, 9999]
+    n_del = ops.count("delete")
+    assert 0.05 < n_del / len(ops) < 0.15
+    # version stamps follow the schema positions
+    assert tb.column("schema_version").to_pylist()[:1000] == [0] * 1000
+    assert tb.column("schema_version")[1500].as_py() == 1
+
+
+def test_oracle_replay_lww_and_delete():
+    cfg = BinlogConfig(n_events=2_000, n_keys=50, schema_every=500)
+    tb = binlog_table(cfg)
+    state, version = replay_oracle(tb)
+    assert version == 4
+    # every key's stored lsn is the max upsert/delete lsn for that key
+    ups = tb.filter(pc.not_equal(tb.column("op"), "schema_change"))
+    per_key = {}
+    for r in ups.sort_by("lsn").to_pylist():
+        per_key[(r["repo"], r["path"])] = r
+    for k, r in per_key.items():
+        if r["op"] == "upsert":
+            assert state[k]["lsn"] == r["lsn"]
+        else:
+            assert k not in state
+
+
+def test_hashing_deterministic():
+    x = np.arange(10, dtype=np.uint64)
+    assert splitmix64(x).tolist() == splitmix64(x.copy()).tolist()
+    import pyarrow as pa
+
+    h1 = key_hash_array(pa.array(["a", "b"]), pa.array(["x", "y"]))
+    h2 = key_hash_array(pa.array(["a", "b"]), pa.array(["x", "y"]))
+    assert h1.tolist() == h2.tolist()
+    # separator prevents ("ab","c") colliding with ("a","bc")
+    h3 = key_hash_array(pa.array(["ab"]), pa.array(["c"]))
+    h4 = key_hash_array(pa.array(["a"]), pa.array(["bc"]))
+    assert h3.tolist() != h4.tolist()

@@ -1,0 +1,126 @@
+"""Replay-engine conformance vs the single-process oracle (SURVEY.md §5):
+round-trip/golden sha256 equality, idempotent re-apply, crash/resume,
+prefix replay, schema evolution mid-stream."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table, oracle_view_table
+
+CFG = BinlogConfig(n_events=5_000, n_keys=300, n_repos=10, schema_every=1_000, delete_pct=0.12)
+
+
+def _assert_same_state(lake: CDCLake, binlog: pa.Table, upto=None):
+    got = lake.read_table(view=False)
+    want, want_version = oracle_lake_table(binlog, upto_lsn=upto)
+    assert lake.schema_version == want_version
+    assert got.num_rows == want.num_rows
+    for col in ["repo", "path", "commit", "lang", "content_sha", "last_lsn"]:
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return binlog_table(CFG)
+
+
+def test_full_replay_converges(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    m = lake.apply(rd.from_arrow(binlog))
+    assert m["watermark_lsn"] == CFG.n_events - 1
+    _assert_same_state(lake, binlog)
+    # lineage counters cover every event exactly once
+    assert m["counters"]["schema_changes"] == CFG.n_schema_events
+
+
+def test_windowed_replay_and_prefix_state(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    src = rd.from_arrow(binlog)
+    # first window only → state equals oracle replay of that prefix
+    lake.apply(src, upto_lsn=1_999, window_size=1_000)
+    assert lake.watermark == 1_999
+    _assert_same_state(lake, binlog, upto=1_999)
+    # continue to the end (resume from manifest watermark)
+    lake.apply(src)
+    _assert_same_state(lake, binlog)
+
+
+def test_idempotent_reapply(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog))
+    v1 = lake.manifest["version"]
+    state1 = lake.read_table(view=False)
+    # re-applying the same LSN range is a no-op (watermark filter)
+    lake.apply(rd.from_arrow(binlog))
+    assert lake.manifest["version"] == v1
+    state2 = lake.read_table(view=False)
+    assert state1.equals(state2)
+
+
+def test_crash_before_commit_then_resume(tmp_path, binlog):
+    """Staged data files without a manifest entry are invisible; a rerun
+    converges to the identical state (exactly-once)."""
+    root = str(tmp_path / "lake")
+    lake = CDCLake(root, num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_499)
+    # simulate: a second window wrote data files but crashed pre-commit
+    crashed = CDCLake(root)
+    committed = crashed.manifest
+    # write garbage staging files for the next (uncommitted) version
+    nxt = committed["version"] + 1
+    for pid in range(3):
+        with open(os.path.join(crashed.log.data_dir, crashed.log.data_file(nxt, pid)), "wb") as f:
+            f.write(b"partial garbage")
+    # state still reads from committed manifest only
+    _assert_same_state(crashed, binlog, upto=2_499)
+    # resume overwrites staging files deterministically and converges
+    crashed.apply(rd.from_arrow(binlog))
+    _assert_same_state(crashed, binlog)
+
+
+def test_resume_across_process_reopen(tmp_path, binlog):
+    root = str(tmp_path / "lake")
+    lake = CDCLake(root, num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    reopened = CDCLake(root)  # fresh handle, state from disk only
+    assert reopened.watermark == 999
+    reopened.apply(rd.from_arrow(binlog))
+    _assert_same_state(reopened, binlog)
+
+
+def test_schema_evolution_view(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog))
+    want = oracle_view_table(binlog)
+    got = lake.read_table(view=True)
+    assert got.schema.names == want.schema.names
+    assert got.num_rows == want.num_rows
+    for col in got.schema.names:
+        if col == "content":
+            continue
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+    # the evolved view exposes derived + renamed columns per the registry
+    assert lake.schema_version == CFG.n_schema_events
+
+
+def test_deletes_remove_keys(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog))
+    got = lake.read_table(view=False)
+    deleted_last = binlog.filter(pc.equal(binlog.column("op"), "delete"))
+    assert deleted_last.num_rows > 0  # generator actually produced deletes
+    keys = set(zip(got.column("repo").to_pylist(), got.column("path").to_pylist()))
+    assert len(keys) == got.num_rows  # one surviving row per key
+
+
+def test_at_least_once_duplicate_delivery(tmp_path, binlog):
+    """Replaying a binlog whose segments were delivered twice (same events,
+    duplicate rows) must converge to the identical state."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    doubled = pa.concat_tables([binlog, binlog])
+    lake.apply(rd.from_arrow(doubled))
+    _assert_same_state(lake, binlog)

@@ -1,0 +1,577 @@
+"""Named query pipelines + DuckDB oracle SQL — the driver contract surface
+(`__ray_entry__.queries()` / `oracle_sql()`), one entry per operator family
+from SURVEY.md §2.
+
+Every Ray pipeline prunes columns at the read, stays in zero-copy Arrow
+batches, pre-aggregates before any shuffle, and names every computed
+column exactly as its SQL oracle does. Float aggregates are exported as
+integer fixed-point (cents / e4) so value hashes are robust to
+summation order and engine ulp differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.lww import lww_reduce
+from ..stages.text import LangIdStage, fingerprint_table, text_stats
+from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_table
+from ..stages.similarity import brute_topk, lsh_topk
+from .relational import broadcast_join, distinct, grouped_agg, semi_join_filter, top_k
+from .templater import DOCUMENTS_QUAD_TEMPLATE, expand_table
+
+# NOTE: pc.RoundOptions is a Cython object that cloudpickle cannot
+# serialize — never capture one in a map_batches closure; build it from
+# plain ints inside the UDF instead.
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _fixed_point(ds, cols: list[str], scale: int = 100):
+    """Float aggregate → integer fixed-point (e.g. cents): the only way a
+    value-hash comparison against a SQL oracle is robust — rounded DOUBLEs
+    still differ in the last ulp between engines."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        for c in cols:
+            i = tb.schema.get_field_index(c)
+            v = pc.round(pc.multiply(tb.column(c), pa.scalar(float(scale))))
+            tb = tb.set_column(i, c, pc.cast(v, pa.int64()))
+        return tb
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-ish coverage (filters, projections, aggregates, joins,
+# sorts, limits — reference §2.4-2.6 surface)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → 6 grouped aggregates."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+
+    def prep(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.less_equal(tb.column("l_shipdate"), cutoff))
+        disc = pc.multiply(tb.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), tb.column("l_discount")))
+        return pa.table(
+            {
+                "l_returnflag": tb.column("l_returnflag"),
+                "l_linestatus": tb.column("l_linestatus"),
+                "l_quantity": tb.column("l_quantity"),
+                "l_extendedprice": tb.column("l_extendedprice"),
+                "disc_price": disc,
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty_cents", "l_quantity", "sum"),
+            ("sum_base_price_cents", "l_extendedprice", "sum"),
+            ("sum_disc_price_cents", "disc_price", "sum"),
+            ("avg_qty_cents", "l_quantity", "mean"),
+            ("avg_price_cents", "l_extendedprice", "mean"),
+            ("count_order", None, "count"),
+        ],
+    )
+    return _fixed_point(
+        agg, ["sum_qty_cents", "sum_base_price_cents", "sum_disc_price_cents", "avg_qty_cents", "avg_price_cents"]
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents,
+       CAST(round(avg(l_quantity) * 100) AS BIGINT) AS avg_qty_cents,
+       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return top_k(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_order_stats(sf_dir: str):
+    """Broadcast join (small dim shipped once via ray.put) + grouped agg."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_join(orders, cust, ["o_custkey"])
+    agg = grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        [("order_count", None, "count"), ("total_revenue_cents", "o_totalprice", "sum")],
+    )
+    return _fixed_point(agg, ["total_revenue_cents"])
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c_mktsegment, count(*) AS order_count, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """Two chained broadcast joins (customer→nation→region)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).rename_columns(
+        ["c_nationkey", "n_regionkey"]
+    )
+    region = _read_table(sf_dir, "region", ["r_regionkey", "r_name"]).rename_columns(
+        ["n_regionkey", "r_name"]
+    )
+    dim = nation.join(region, keys=["n_regionkey"], join_type="inner")
+    joined = broadcast_join(cust, dim.select(["c_nationkey", "r_name"]), ["c_nationkey"])
+    return grouped_agg(joined, ["r_name"], [("customer_count", None, "count")])
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name, count(*) AS customer_count
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_brass_parts(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(tb.column("p_size"), 30), pc.equal(tb.column("p_type"), "PROMO"))
+        return tb.filter(mask).select(["p_partkey", "p_name", "p_size"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BRASS_PARTS = """
+SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 30 AND p_type = 'PROMO'
+"""
+
+
+def q_supplier_region(sf_dir: str):
+    """3-table join path (supplier→nation→region), filtered."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _read_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).rename_columns(
+        ["s_nationkey", "n_name", "n_regionkey"]
+    )
+    region = _read_table(sf_dir, "region", ["r_regionkey", "r_name"]).rename_columns(
+        ["n_regionkey", "r_name"]
+    )
+    dim = nation.join(region, keys=["n_regionkey"], join_type="inner")
+    dim = dim.filter(pc.equal(dim.column("r_name"), "ASIA")).select(["s_nationkey", "n_name", "r_name"])
+    return broadcast_join(supp, dim, ["s_nationkey"]).select_columns(
+        ["s_suppkey", "s_name", "n_name", "r_name"]
+    )
+
+
+SQL_SUPPLIER_REGION = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def q_order_revenue_by_priority(sf_dir: str):
+    """Big×big hash join (lineitem ⋈ orders) via Dataset.join, then
+    pre-aggregated revenue per priority."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def prep(tb: pa.Table) -> pa.Table:
+        rev = pc.multiply(tb.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), tb.column("l_discount")))
+        return pa.table({"o_orderpriority": tb.column("o_orderpriority"), "rev": rev})
+
+    agg = grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"],
+        [("revenue_cents", "rev", "sum"), ("line_count", None, "count")],
+    )
+    return _fixed_point(agg, ["revenue_cents"])
+
+
+SQL_ORDER_REVENUE_BY_PRIORITY = """
+SELECT o_orderpriority, CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+       count(*) AS line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_values_filter(sf_dir: str):
+    """VALUES-clause broadcast semi-join semantics (sparql.clj:66-92)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    filt = semi_join_filter(ds, "l_returnflag", ["A", "R"])
+    return grouped_agg(filt, ["l_returnflag"], [("n", None, "count")])
+
+
+SQL_VALUES_FILTER = """
+SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+"""
+
+
+def q_orders_per_day(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"order_day": pc.strftime(tb.column("o_orderdate"), format="%Y-%m-%d"), "o_totalprice": tb.column("o_totalprice")}
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["order_day"],
+        [("n_orders", None, "count"), ("day_revenue_cents", "o_totalprice", "sum")],
+    )
+    return _fixed_point(agg, ["day_revenue_cents"])
+
+
+SQL_ORDERS_PER_DAY = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS day_revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_limit_offset(sf_dir: str):
+    """LIMIT/OFFSET rewriting semantics (reference sparql.clj:18-26,94-113)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    head = ds.sort("event_id").limit(8)
+    tb = head.take_batch(8, batch_format="pyarrow")
+    return pa.Table.from_batches([tb]) if isinstance(tb, pa.RecordBatch) else tb.slice(3)
+
+
+SQL_LIMIT_OFFSET = """
+SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 5 OFFSET 3
+"""
+
+
+def q_ask_exists(sf_dir: str):
+    """ASK evaluation (repository.clj:503-506): boolean existence."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    n = ds.filter(expr="o_totalprice > 400000").limit(1).count()
+    return pa.table({"exists_flag": pa.array([1 if n > 0 else 0], pa.int64())})
+
+
+SQL_ASK_EXISTS = """
+SELECT CAST(count(*) > 0 AS BIGINT) AS exists_flag FROM (
+  SELECT 1 FROM orders WHERE o_totalprice > 400000 LIMIT 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC / event-stream coverage (LWW apply, distinct, set semantics)
+# ---------------------------------------------------------------------------
+
+
+def _events_lww(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def partial(tb: pa.Table) -> pa.Table:
+        return lww_reduce(tb, lsn_col="event_id", keys=["user_id"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return lww_reduce(group, lsn_col="event_id", keys=["user_id"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def q_events_lww(sf_dir: str):
+    ds = _events_lww(sf_dir)
+
+    def rename(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tb.column("user_id"),
+                "last_event_id": tb.column("event_id"),
+                "last_event_type": tb.column("event_type"),
+                "last_value": tb.column("value"),
+            }
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_events_lww_tombstone(sf_dir: str):
+    """LWW where a final 'error' event acts as a delete tombstone — the
+    CDC upsert/delete apply shape over the driver's events table."""
+    ds = _events_lww(sf_dir)
+
+    def f(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.not_equal(tb.column("event_type"), "error"))
+        return pa.table(
+            {
+                "user_id": tb.column("user_id"),
+                "last_event_id": tb.column("event_id"),
+                "last_value": tb.column("value"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_LWW_TOMBSTONE = """
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = grouped_agg(
+        ds,
+        ["event_type"],
+        [("n", None, "count"), ("total_value_cents", "value", "sum"), ("avg_value_cents", "value", "mean")],
+    )
+    return _fixed_point(agg, ["total_value_cents", "avg_value_cents"])
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents,
+       CAST(round(avg(value) * 100) AS BIGINT) AS avg_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def q_active_users(sf_dir: str):
+    """count(DISTINCT) via per-block dedup then exact distinct shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = distinct(ds, ["event_type", "user_id"])
+    return grouped_agg(pairs, ["event_type"], [("users", None, "count")])
+
+
+SQL_ACTIVE_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quad expansion (templater semantics — the flagship reference pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_quad_expand(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda tb: expand_table(tb, DOCUMENTS_QUAD_TEMPLATE),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_QUAD_EXPAND = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, 'prop:text' AS p, 'literal' AS o_kind,
+       text AS o_value, 'http://www.w3.org/2001/XMLSchema#string' AS o_datatype,
+       CAST(NULL AS VARCHAR) AS o_lang, 'graph:' || source AS c
+FROM documents
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:lang', 'literal', lang,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR), 'graph:' || source
+FROM documents
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:n_chars', 'literal', CAST(n_chars AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR), 'graph:' || source
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, length(text) AS n_chars2,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return out.select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.4)
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(simhash_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    emb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float32)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k against the embedding of vec_id row 0.
+    Scores exported as e4 fixed-point ints (DuckDB's list_cosine_similarity
+    runs in float32; doubles would differ in the tail digits)."""
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk(ds, q, k=10)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"vec_id": tb.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, CAST(round(list_cosine_similarity(embedding, (SELECT qe FROM q)) * 10000) AS BIGINT) AS cosine_e4
+FROM embeddings ORDER BY cosine_e4 DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, q, k=10, nbits=8, probe_hamming=2)
+
+
+def q_cdc_replay(sf_dir: str):
+    """Full engine smoke over a deterministic synthetic binlog sized to the
+    sf tier; returns the converged lake keyed rows (rows-only check)."""
+    import tempfile
+
+    from .. import BinlogConfig, CDCLake, binlog_dataset
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    cfg = BinlogConfig(n_events=n_docs * 20, n_keys=max(n_docs, 10), n_repos=max(n_docs // 20, 5), schema_every=max(n_docs * 4, 100))
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog_dataset(cfg), upto_lsn=cfg.n_events - 1)
+        return lake.read_table(view=False).select(["repo", "path", "commit", "lang", "content_sha", "last_lsn"])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "segment_order_stats": q_segment_order_stats,
+    "region_customers": q_region_customers,
+    "brass_parts": q_brass_parts,
+    "supplier_region": q_supplier_region,
+    "order_revenue_by_priority": q_order_revenue_by_priority,
+    "values_filter": q_values_filter,
+    "orders_per_day": q_orders_per_day,
+    "limit_offset": q_limit_offset,
+    "ask_exists": q_ask_exists,
+    "events_lww": q_events_lww,
+    "events_lww_tombstone": q_events_lww_tombstone,
+    "event_type_stats": q_event_type_stats,
+    "active_users": q_active_users,
+    "quad_expand": q_quad_expand,
+    "token_stats": q_token_stats,
+    "dedup_exact": q_dedup_exact,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "cdc_replay": q_cdc_replay,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+    "region_customers": SQL_REGION_CUSTOMERS,
+    "brass_parts": SQL_BRASS_PARTS,
+    "supplier_region": SQL_SUPPLIER_REGION,
+    "order_revenue_by_priority": SQL_ORDER_REVENUE_BY_PRIORITY,
+    "values_filter": SQL_VALUES_FILTER,
+    "orders_per_day": SQL_ORDERS_PER_DAY,
+    "limit_offset": SQL_LIMIT_OFFSET,
+    "ask_exists": SQL_ASK_EXISTS,
+    "events_lww": SQL_EVENTS_LWW,
+    "events_lww_tombstone": SQL_EVENTS_LWW_TOMBSTONE,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "active_users": SQL_ACTIVE_USERS,
+    "quad_expand": SQL_QUAD_EXPAND,
+    "token_stats": SQL_TOKEN_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ann_topk": SQL_ANN_TOPK,
+    # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
+    # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
+}

@@ -1,0 +1,158 @@
+"""Relational building blocks, Ray-Data-first (SURVEY.md §2.4-§2.6).
+
+Design rules applied throughout:
+- aggregation is two-phase: a vectorized partial aggregate inside every
+  map_batches block (pa.Table.group_by — hash aggregation in C++), then a
+  shuffle of ONLY the partial rows (n_blocks × n_groups, tiny) and a
+  final combine. The raw stream is never shuffled.
+- small-side joins broadcast via ray.put (the reference's VALUES-clause
+  splice is a broadcast semi-join, sparql.clj:66-92); only big×big joins
+  use Ray's hash Dataset.join.
+- top-k never global-sorts the stream: per-block top-k first, then a
+  tiny final sort over n_blocks × k rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+# how → (partial arrow agg fns, final combine)
+# mean is decomposed into sum+count partials.
+_SIMPLE = {"sum": "sum", "min": "min", "max": "max"}
+
+
+def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
+    """Distributed group-by aggregate.
+
+    specs: list of (out_name, input_col, how); how ∈ sum|min|max|count|mean.
+    Returns a Dataset with columns keys + out_names (floats NOT rounded).
+    """
+
+    def partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return _empty_partial(tb, keys, specs)
+        aggs = []
+        renames: list[tuple[str, str]] = []  # (pa output col, partial col)
+        for out, col, how in specs:
+            if how == "count":
+                aggs.append((keys[0], "count"))
+                renames.append((f"{keys[0]}_count", f"{out}__cnt"))
+            elif how == "mean":
+                aggs.append((col, "sum"))
+                renames.append((f"{col}_sum", f"{out}__sum"))
+                aggs.append((col, "count"))
+                renames.append((f"{col}_count", f"{out}__cnt"))
+            else:
+                aggs.append((col, _SIMPLE[how]))
+                renames.append((f"{col}_{_SIMPLE[how]}", f"{out}__{how}"))
+        # pa group_by dedupes identical (col, fn) pairs; build output cols
+        part = tb.group_by(keys).aggregate(list(dict.fromkeys(aggs)))
+        out_cols = {k: part.column(k) for k in keys}
+        for agg_name, out_name in renames:
+            out_cols[out_name] = part.column(agg_name)
+        return pa.table(out_cols)
+
+    def final(group: pa.Table) -> pa.Table:
+        out_cols = {k: group.column(k).slice(0, 1) for k in keys}
+        for out, col, how in specs:
+            if how == "count":
+                v = pc.sum(group.column(f"{out}__cnt"))
+                out_cols[out] = pa.array([v.as_py() or 0], pa.int64())
+            elif how == "mean":
+                s = pc.sum(group.column(f"{out}__sum")).as_py()
+                c = pc.sum(group.column(f"{out}__cnt")).as_py() or 0
+                out_cols[out] = pa.array([None if not c else s / c], pa.float64())
+            elif how == "sum":
+                out_cols[out] = pa.array([pc.sum(group.column(f"{out}__sum")).as_py()])
+            elif how == "min":
+                out_cols[out] = pa.array([pc.min(group.column(f"{out}__min")).as_py()])
+            elif how == "max":
+                out_cols[out] = pa.array([pc.max(group.column(f"{out}__max")).as_py()])
+        return pa.table(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _empty_partial(tb: pa.Table, keys, specs) -> pa.Table:
+    cols = {k: tb.column(k) for k in keys}
+    for out, col, how in specs:
+        if how == "count":
+            cols[f"{out}__cnt"] = pa.array([], pa.int64())
+        elif how == "mean":
+            cols[f"{out}__sum"] = pa.array([], pa.float64())
+            cols[f"{out}__cnt"] = pa.array([], pa.int64())
+        else:
+            typ = tb.schema.field(col).type if col else pa.int64()
+            cols[f"{out}__{how}"] = pa.array([], typ)
+    return pa.table(cols)
+
+
+def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner"):
+    """Hash-join a Dataset against a small broadcast table — the small side
+    is shipped once via ray.put and joined per batch with Arrow's C++ join
+    (no shuffle of the big side)."""
+    box = {"ref": ray.put(small)}
+
+    class JoinBatch:
+        def __init__(self, box):
+            self.small = ray.get(box["ref"])  # once per actor
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            return tb.join(self.small, keys=keys, join_type=join_type)
+
+    return ds.map_batches(
+        JoinBatch,
+        fn_constructor_args=(box,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def semi_join_filter(ds, col: str, values: list):
+    """VALUES-clause semantics (reference sparql.clj:66-92): broadcast
+    in-list filter."""
+    vset = pa.array(values)
+
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.is_in(tb.column(col), value_set=vset))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k(ds, sort_keys: list[tuple[str, str]], k: int):
+    """Distributed top-k without a global sort: block-local top-k, then a
+    final sort+limit over the (n_blocks × k)-row residue."""
+
+    def block_topk(tb: pa.Table) -> pa.Table:
+        if tb.num_rows <= k:
+            return tb
+        return tb.sort_by(sort_keys).slice(0, k)
+
+    reduced = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    cols = [(c, "descending" if d.startswith("desc") else "ascending") for c, d in sort_keys]
+    return reduced.sort(key=[c for c, _ in cols], descending=[d == "descending" for _, d in cols]).limit(k)
+
+
+def distinct(ds, cols: list[str]):
+    """Exact distinct on a column set: per-block dedup (map-side), then a
+    final per-group first — set-semantics ingest of the reference
+    (store = quad set, repository_test.clj:62-76)."""
+
+    def block_dedup(tb: pa.Table) -> pa.Table:
+        return tb.select(cols).group_by(cols).aggregate([])
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .map_groups(first_row, batch_format="pyarrow")
+    )

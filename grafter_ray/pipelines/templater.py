@@ -1,0 +1,183 @@
+"""Row → N-statements template expansion — the reference's templater
+(`graph` / `triplify`, grafter.io templater.clj:40-97) rebuilt two ways:
+
+1. `triplify` / `graph_quads`: the literal nested-template API (turtle-ish
+   ``[subj [p1 o1] [p2 [[p3 o3]]]]``; a nested vector creates a blank
+   node, templater.clj:40-51). Bnode ids are DETERMINISTIC — derived from
+   (subject, predicate, position) — never gensym'd (protocols.cljc:438-444
+   is process-local and would break replay, SURVEY.md §7.4 item 2).
+2. `expand_table`: the vectorized data-plane version — one Arrow batch in,
+   k×n quad rows out, built column-at-a-time (constant predicate columns,
+   casted object columns); runs shuffle-free inside map_batches
+   (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import QUAD, XSD
+
+# ---------------------------------------------------------------------------
+# 1. Row-level template API (semantic parity with templater.clj)
+# ---------------------------------------------------------------------------
+
+
+def _bnode_id(subject: str, predicate: str, pos: int) -> str:
+    h = hashlib.sha256(f"{subject}\x00{predicate}\x00{pos}".encode()).hexdigest()[:16]
+    return f"_:b{h}"
+
+
+def _make_triples(subject, pairs, out: list, graph=None):
+    """templater.clj:40-51 `make-triples` — recursion over [p o] pairs;
+    a nested vector-of-pairs object becomes a fresh (deterministic) bnode."""
+    for pos, (p, o) in enumerate(pairs):
+        if isinstance(o, list):
+            bnode = _bnode_id(str(subject), str(p), pos)
+            out.append((subject, p, bnode, graph))
+            _make_triples(bnode, o, out, graph)
+        else:
+            out.append((subject, p, o, graph))
+
+
+def triplify(*templates) -> list[tuple]:
+    """templater.clj:61-66 — each template is [subject, (p, o), ...]."""
+    out: list[tuple] = []
+    for t in templates:
+        subject, *pairs = t
+        _make_triples(subject, pairs, out)
+    return out
+
+
+def graph_quads(graph_uri: str, *templates) -> list[tuple]:
+    """templater.clj:76-97 `graph` — stamp every produced triple with the
+    graph context."""
+    out: list[tuple] = []
+    for t in templates:
+        subject, *pairs = t
+        _make_triples(subject, pairs, out, graph=graph_uri)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 2. Vectorized table → quad expansion (the data plane)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PredicateSpec:
+    predicate: str          # predicate IRI
+    column: str             # source column
+    o_kind: str = "literal"  # iri | literal
+    datatype: str | None = None  # XSD datatype IRI for literals
+    lang: str | None = None
+
+
+@dataclass
+class QuadTemplate:
+    """Columnar template: subject/graph are format pieces over columns.
+
+    subject_parts / graph_parts: sequence of str (constant) or ("col", name)
+    pieces joined element-wise.
+    """
+
+    subject_parts: list
+    predicates: list[PredicateSpec]
+    graph_parts: list | None = None
+    extra: list[PredicateSpec] = field(default_factory=list)  # add-properties
+
+    def with_properties(self, *specs: PredicateSpec) -> "QuadTemplate":
+        """templater.clj:99-105 `add-properties` — merge extra (p,o) pairs."""
+        return QuadTemplate(self.subject_parts, self.predicates + list(specs), self.graph_parts)
+
+
+def _build_parts(tb: pa.Table, parts: list) -> pa.Array:
+    arrays = []
+    for p in parts:
+        if isinstance(p, tuple) and p[0] == "col":
+            col = tb.column(p[1])
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            arrays.append(col)
+        else:
+            arrays.append(p)
+    if len(arrays) == 1 and not isinstance(arrays[0], str):
+        return arrays[0]
+    return pc.binary_join_element_wise(*arrays, "")
+
+
+def expand_table(tb: pa.Table, tmpl: QuadTemplate) -> pa.Table:
+    """1 row → len(predicates) quad rows, fully vectorized, no shuffle."""
+    n = tb.num_rows
+    s = _build_parts(tb, tmpl.subject_parts)
+    c = _build_parts(tb, tmpl.graph_parts) if tmpl.graph_parts else pa.nulls(n, pa.string())
+    pieces = []
+    for spec in tmpl.predicates:
+        col = tb.column(spec.column)
+        o_value = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+        pieces.append(
+            pa.table(
+                {
+                    "s": s,
+                    "p": pa.array([spec.predicate] * n, pa.string()),
+                    "o_kind": pa.array([spec.o_kind] * n, pa.string()),
+                    "o_value": o_value,
+                    "o_datatype": pa.array([spec.datatype] * n, pa.string()),
+                    "o_lang": pa.array([spec.lang] * n, pa.string()),
+                    "c": c,
+                },
+                schema=QUAD,
+            )
+        )
+    return pa.concat_tables(pieces) if pieces else QUAD.empty_table()
+
+
+def quads_to_table(quads: list[tuple]) -> pa.Table:
+    """Row-level template output → QUAD arrow table (literal kinds inferred
+    minimally: iri if starts with a scheme-ish prefix or bnode marker)."""
+    rows = []
+    for s, p, o, c in quads:
+        o_str = str(o)
+        if isinstance(o, str) and (o.startswith("_:")):
+            kind, dt = "bnode", None
+        elif isinstance(o, str) and "://" in o:
+            kind, dt = "iri", None
+        elif isinstance(o, bool):
+            kind, dt, o_str = "literal", XSD + "boolean", ("true" if o else "false")
+        elif isinstance(o, int):
+            kind, dt = "literal", XSD + "integer"
+        elif isinstance(o, float):
+            kind, dt = "literal", XSD + "double"
+        else:
+            kind, dt = "literal", XSD + "string"
+        rows.append(
+            {"s": str(s), "p": str(p), "o_kind": kind, "o_value": o_str, "o_datatype": dt, "o_lang": None, "c": c}
+        )
+    return pa.Table.from_pylist(rows, schema=QUAD)
+
+
+# Canonical templates -------------------------------------------------------
+
+CDC_QUAD_TEMPLATE = QuadTemplate(
+    subject_parts=["repo:", ("col", "repo"), "/path:", ("col", "path")],
+    graph_parts=["graph:", ("col", "repo")],
+    predicates=[
+        PredicateSpec("prop:commit", "commit", "literal", XSD + "string"),
+        PredicateSpec("prop:lang", "lang", "literal", XSD + "string"),
+        PredicateSpec("prop:content", "content", "literal", XSD + "string"),
+    ],
+)
+
+DOCUMENTS_QUAD_TEMPLATE = QuadTemplate(
+    subject_parts=["doc:", ("col", "doc_id")],
+    graph_parts=["graph:", ("col", "source")],
+    predicates=[
+        PredicateSpec("prop:text", "text", "literal", XSD + "string"),
+        PredicateSpec("prop:lang", "lang", "literal", XSD + "string"),
+        PredicateSpec("prop:n_chars", "n_chars", "literal", XSD + "integer"),
+    ],
+)

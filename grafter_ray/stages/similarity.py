@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (ray.put once, fetched once per actor), block-local
+top-k, tiny final reduce. Scale path: random-hyperplane LSH bucketing so
+only matching buckets are scanned (probed at query time)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..util import splitmix64
+
+
+def _matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
+    """fixed-size list<float> column → (n, d) matrix, zero-copy-ish.
+
+    float32 is the storage/scale default; scoring paths that must match a
+    float64 oracle bit-for-bit pass dtype=np.float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cosine top-k: map-side partial top-k per block, final top-k over the
+    n_blocks×k residue. Returns Dataset[(id, cosine)] (cosine float64,
+    rounded to 6 to be order/summation independent)."""
+    # score in float64: matches DuckDB's double-precision cosine oracle
+    q = _normalize(query.reshape(1, -1).astype(np.float32).astype(np.float64))
+    q_box = {"ref": ray.put(q)}
+
+    class ScoreBlock:
+        def __init__(self, box):
+            self.q = ray.get(box["ref"])
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+            sims = (m @ self.q.T).ravel()
+            order = np.argsort(-sims, kind="stable")[:k]
+            return pa.table(
+                {
+                    id_col: tb.column(id_col).take(pa.array(order)),
+                    "cosine": pa.array(np.round(sims[order], 6)),
+                }
+            )
+
+    reduced = ds.map_batches(
+        ScoreBlock, fn_constructor_args=(q_box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    return reduced.sort(key=["cosine", id_col], descending=[True, False]).limit(k)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures (deterministic seed) for cosine LSH.
+
+    Index build: bucket = sign-bit signature of nbits hyperplanes; stored
+    as an int64 column. Query: probe the query's bucket plus all buckets
+    at hamming distance ≤ probe_hamming (multi-probe), so only a fraction
+    of the corpus is scanned."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 7):
+        rnd = splitmix64(np.arange(nbits * dim, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+        # uniform(-1,1) from hash bits — process-independent determinism
+        self.planes = (rnd.astype(np.float64) / 2**63 - 1.0).reshape(nbits, dim).astype(np.float32)
+        self.nbits = nbits
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        proj = m @ self.planes.T  # (n, nbits)
+        bits = (proj > 0).astype(np.int64)
+        out = np.zeros(len(m), dtype=np.int64)
+        for b in range(self.nbits):
+            out |= bits[:, b] << b
+        return out
+
+    def probe_buckets(self, q: np.ndarray, probe_hamming: int = 1) -> list[int]:
+        sig = int(self.signature(q.reshape(1, -1))[0])
+        buckets = [sig]
+        if probe_hamming >= 1:
+            buckets += [sig ^ (1 << b) for b in range(self.nbits)]
+        if probe_hamming >= 2:
+            buckets += [
+                sig ^ (1 << a) ^ (1 << b)
+                for a in range(self.nbits)
+                for b in range(a + 1, self.nbits)
+            ]
+        return buckets
+
+
+def lsh_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding", nbits: int = 10, probe_hamming: int = 2):
+    """ANN top-k: filter to the query's (multi-probe) LSH buckets, then
+    brute-force cosine inside the surviving fraction only."""
+    dim = len(query)
+    lsh = HyperplaneLSH(dim, nbits=nbits)
+    probes = set(lsh.probe_buckets(np.asarray(query, dtype=np.float32), probe_hamming))
+    probes_arr = pa.array(sorted(probes), pa.int64())
+
+    def bucket_filter(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _normalize(_matrix(tb.column(vec_col)))
+        sigs = lsh.signature(m)
+        mask = pc.is_in(pa.array(sigs), value_set=probes_arr)
+        return tb.filter(mask)
+
+    survivors = ds.map_batches(bucket_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_topk(survivors, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding near-duplicate pairs: every block × broadcast full matrix
+    (the small-side is the whole embedding table here — suitable while it
+    fits in the object store; the LSH bucket variant is the scale path)."""
+    all_tb = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    mats, ids = [], []
+    for ref in all_tb:
+        t = ray.get(ref)
+        mats.append(_normalize(_matrix(t.column(vec_col))))
+        ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
+    full = np.vstack(mats)
+    full_ids = np.concatenate(ids)
+    box = {"m": ray.put(full), "ids": ray.put(full_ids)}
+
+    class PairBlock:
+        def __init__(self, box):
+            self.m = ray.get(box["m"])
+            self.ids = ray.get(box["ids"])
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(tb.column(vec_col)))
+            ids_b = tb.column(id_col).to_numpy(zero_copy_only=False)
+            sims = m @ self.m.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a = ids_b[ai]
+            b = self.ids[bj]
+            keep = a < b  # canonical order, drop self/duplicate direction
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep].astype(np.int64)),
+                    "id_b": pa.array(b[keep].astype(np.int64)),
+                    "cosine": pa.array(np.round(sims[ai, bj][keep].astype(np.float64), 6)),
+                }
+            )
+
+    return ds.map_batches(
+        PairBlock, fn_constructor_args=(box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )

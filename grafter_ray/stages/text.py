@@ -1,0 +1,113 @@
+"""Text-analysis stages for large-scale corpus pipelines: token counting,
+quality stats, language-ID, document fingerprinting. All stateless
+map_batches kernels over Arrow batches (vectorized pyarrow.compute /
+numpy; no per-row Python in the counting paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import splitmix64
+
+_WS = r"\s+"
+
+
+def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count; semantics == DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` (empty → 1)."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    return pc.list_value_length(pc.split_pattern_regex(trimmed, _WS))
+
+
+def text_stats(tb: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality stats per row (ints only → hash-stable oracles)."""
+    t = tb.column(text_col)
+    n_chars2 = pc.utf8_length(t)
+    n_spaces = pc.count_substring(t, " ")
+    n_words = token_count_array(t)
+    out = tb.drop_columns([text_col])
+    return (
+        out.append_column("n_chars2", pc.cast(n_chars2, pa.int64()))
+        .append_column("n_spaces", pc.cast(n_spaces, pa.int64()))
+        .append_column("n_words", pc.cast(n_words, pa.int64()))
+    )
+
+
+# --- language ID (stopword-profile heuristic) ------------------------------
+
+# tiny per-language stopword profiles; scored by vectorized substring counts
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " y ", " los ", " es "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+class LangIdStage:
+    """Actor-pool stage: profiles are prepared once per actor (__init__),
+    scoring is vectorized per batch (SURVEY.md §2.3 pattern)."""
+
+    def __init__(self, profiles: dict[str, list[str]] | None = None):
+        self.profiles = profiles or LANG_PROFILES
+        self.langs = list(self.profiles)
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(" ", tb.column("text"), " ", "")
+        scores = np.zeros((len(self.langs), tb.num_rows), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            for marker in self.profiles[lang]:
+                scores[i] += pc.count_substring(t, marker).to_numpy(zero_copy_only=False)
+        best = np.argmax(scores, axis=0)
+        none_hit = scores.sum(axis=0) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[none_hit] = "und"
+        return tb.append_column("pred_lang", pa.array(pred, pa.string()))
+
+
+# --- fingerprinting --------------------------------------------------------
+
+def _token_hash_rows(text: pa.ChunkedArray | pa.Array):
+    """tokens per row → flat uint64 hash array + row offsets (vectorized:
+    one pandas hash pass over the flattened token list)."""
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets)
+    hashes = pd.util.hash_array(
+        np.asarray(flat.to_pandas(), dtype=object), categorize=False
+    ).astype(np.uint64)
+    return hashes, offsets
+
+
+def fingerprint_table(tb: pa.Table, text_col: str = "text", k: int = 8) -> pa.Table:
+    """Rolling-hash document fingerprint: per row, the XOR of the k minimal
+    3-gram rolling hashes over the token-hash sequence — shift/edit
+    tolerant, deterministic."""
+    hashes, offsets = _token_hash_rows(tb.column(text_col))
+    # 3-gram rolling hash over the flat token-hash stream
+    h1 = hashes
+    h2 = np.roll(hashes, -1)
+    h3 = np.roll(hashes, -2)
+    tri = splitmix64(h1 * np.uint64(31) ^ h2 * np.uint64(131) ^ h3)
+    out = np.zeros(tb.num_rows, dtype=np.uint64)
+    for i in range(tb.num_rows):
+        lo, hi = offsets[i], offsets[i + 1]
+        m = max(hi - 2 - lo, 1) if hi > lo else 0
+        if m <= 0:
+            out[i] = 0
+            continue
+        window = tri[lo : lo + m]
+        sel = np.sort(window)[: min(k, m)]
+        x = np.uint64(0)
+        for v in sel:
+            x ^= v
+        out[i] = x
+    res = tb.select([c for c in tb.column_names if c != text_col])
+    return res.append_column("fingerprint", pa.array(np.char.mod("%016x", out)))

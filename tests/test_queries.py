@@ -1,0 +1,51 @@
+"""Query-layer conformance vs DuckDB oracles at sf0.001 (the driver runs
+the same comparison at sf0.01 — SURVEY.md §7.1 step 8)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grafter_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(con, name):
+    res = QUERIES[name](SF)
+    got = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    if isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = con.execute(ORACLE_SQL[name]).df()
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL) - {"cdc_replay"}))
+def test_rows_only_queries_run(name):
+    res = QUERIES[name](SF)
+    tb = res if isinstance(res, pa.Table) else res.to_pandas()
+    assert len(tb) >= 0  # runs, stable schema

@@ -1,0 +1,37 @@
+"""Batched apply — grafter `add-batched`/`delete-batched` semantics
+(protocols.cljc:514-583): partition the input into fixed-size runs
+(`partition-all`), apply per batch; DEFAULT_BATCH_SIZE = 20000 with the
+reference's explicit OOM rationale (protocols.cljc:524-528).
+
+Conformance (protocols_test.clj:90-105,127-143): 10 items at batch 3 →
+splits [3 3 3 1]; 10 at 5 → [5 5]; 6 at 4 → [4 2].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+
+DEFAULT_BATCH_SIZE = 20_000  # protocols.cljc:514-515
+
+
+def partition_all(items: Iterable, batch_size: int = DEFAULT_BATCH_SIZE) -> Iterator[list]:
+    batch: list = []
+    for it in items:
+        batch.append(it)
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def apply_batched(apply_fn: Callable[[list], None], items: Iterable, batch_size: int = DEFAULT_BATCH_SIZE) -> int:
+    """apply-batched (protocols.cljc:517-521): call apply_fn once per
+    partition; returns number of batches applied."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    n = 0
+    for batch in partition_all(items, batch_size):
+        apply_fn(batch)
+        n += 1
+    return n

@@ -1,0 +1,269 @@
+"""Typed RDF literal kernels — XSD datatype ↔ native value mapping with the
+reference's exact edge semantics.
+
+Mirrors (behavior, not code) `backend-literal->grafter-type`
+(grafter.io io.clj:48-181) and `->backend-type` (io.clj:211-368):
+
+- float/double lexicals ``INF`` / ``+INF`` / ``-INF`` / ``NaN``
+  (io.clj:74-88, io_test.clj:167-176)
+- times: hour 24 ≡ 00:00; fractional seconds truncated (not rounded) to
+  nanoseconds — a 93-digit fraction keeps its first 9 digits
+  (io.clj:108-149, io_test.clj:116-122)
+- dates with an optional zone offset → OffsetDate (io.clj:151-160;
+  OffsetDate exists because java.time cannot represent a zoned date,
+  protocols.cljc:153-161)
+- xsd:integer is unbounded (Python int covers BigInteger/BigInt)
+- unknown datatypes pass through unparsed as RDFLiteral
+  (io.clj:176-181 :default)
+
+The registry is the user-extension surface (SURVEY.md §2.10): register a
+new datatype URI with ``register_datatype``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from decimal import Decimal
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+# --- value types (protocols.cljc:205-264,161,413-444) ----------------------
+
+
+@dataclass(frozen=True)
+class LangString:
+    string: str
+    lang: str  # compares by (string, lang), protocols.cljc:199-203
+
+
+@dataclass(frozen=True)
+class RDFLiteral:
+    raw_value: str
+    datatype_uri: str
+
+
+@dataclass(frozen=True)
+class BNode:
+    id: str  # identity = id equality, protocols.cljc:413-444
+
+
+@dataclass(frozen=True)
+class XTime:
+    """Time with nanosecond precision + optional zone offset (seconds)."""
+
+    hour: int
+    minute: int
+    second: int
+    nano: int = 0
+    offset_seconds: int | None = None
+
+
+@dataclass(frozen=True)
+class XDate:
+    year: int
+    month: int
+    day: int
+
+
+@dataclass(frozen=True)
+class OffsetDate:
+    date: XDate
+    offset_seconds: int
+
+
+@dataclass(frozen=True)
+class XDateTime:
+    date: XDate
+    time: XTime  # offset lives on the time component
+
+
+# --- parsing ---------------------------------------------------------------
+
+_TIME_RE = re.compile(r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?(Z|[+-]\d{2}:\d{2})?$")
+_DATE_RE = re.compile(r"^(-?\d{4,})-(\d{2})-(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_DT_RE = re.compile(
+    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _parse_offset(tz: str | None) -> int | None:
+    if tz is None:
+        return None
+    if tz == "Z":
+        return 0
+    sign = 1 if tz[0] == "+" else -1
+    h, m = int(tz[1:3]), int(tz[4:6])
+    return sign * (h * 3600 + m * 60)
+
+
+def _truncate_nanos(frac: str | None) -> int:
+    """Arbitrary-precision second fraction → nanoseconds by TRUNCATION
+    (io.clj:120-149: 'justify to 9 digits then take first 9')."""
+    if not frac:
+        return 0
+    return int(frac[:9].ljust(9, "0"))
+
+
+def _parse_float(s: str) -> float:
+    # io.clj:74-88 — xsd special lexicals; plain float() accepts 'inf'/'nan'
+    # but NOT the XSD spellings with that exact case handling.
+    if s == "INF" or s == "+INF":
+        return float("inf")
+    if s == "-INF":
+        return float("-inf")
+    if s == "NaN":
+        return float("nan")
+    return float(s)
+
+
+def _parse_time(s: str):
+    m = _TIME_RE.match(s)
+    if not m:
+        raise ValueError(f"bad xsd:time lexical {s!r}")
+    h, mi, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if h == 24:  # hour-24 ≡ midnight (io.clj:108-118)
+        h = 0
+    return XTime(h, mi, se, _truncate_nanos(m.group(4)), _parse_offset(m.group(5)))
+
+
+def _parse_date(s: str):
+    m = _DATE_RE.match(s)
+    if not m:
+        raise ValueError(f"bad xsd:date lexical {s!r}")
+    d = XDate(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    off = _parse_offset(m.group(4))
+    return d if off is None else OffsetDate(d, off)
+
+
+def _parse_datetime(s: str):
+    m = _DT_RE.match(s)
+    if not m:
+        raise ValueError(f"bad xsd:dateTime lexical {s!r}")
+    d = XDate(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    h = int(m.group(4))
+    if h == 24:
+        h = 0
+    t = XTime(h, int(m.group(5)), int(m.group(6)), _truncate_nanos(m.group(7)), _parse_offset(m.group(8)))
+    return XDateTime(d, t)
+
+
+def _parse_bool(s: str) -> bool:
+    if s in ("true", "1"):
+        return True
+    if s in ("false", "0"):
+        return False
+    raise ValueError(f"bad xsd:boolean lexical {s!r}")
+
+
+DATATYPE_PARSERS = {
+    XSD + "boolean": _parse_bool,
+    XSD + "byte": int,
+    XSD + "short": int,
+    XSD + "int": int,
+    XSD + "long": int,
+    XSD + "integer": int,          # unbounded (BigInteger semantics)
+    XSD + "nonNegativeInteger": int,
+    XSD + "positiveInteger": int,
+    XSD + "negativeInteger": int,
+    XSD + "nonPositiveInteger": int,
+    XSD + "unsignedByte": int,
+    XSD + "unsignedShort": int,
+    XSD + "unsignedInt": int,
+    XSD + "unsignedLong": int,
+    XSD + "decimal": Decimal,
+    XSD + "float": _parse_float,
+    XSD + "double": _parse_float,
+    XSD + "string": str,
+    XSD + "time": _parse_time,
+    XSD + "date": _parse_date,
+    XSD + "dateTime": _parse_datetime,
+}
+
+
+def register_datatype(uri: str, parser, formatter=None) -> None:
+    """Extension point (≡ defmethod backend-literal->grafter-type, io.clj:48-56)."""
+    DATATYPE_PARSERS[uri] = parser
+    if formatter is not None:
+        _FORMATTERS[uri] = formatter
+
+
+def parse_literal(lexical: str, datatype_uri: str | None, lang: str | None = None):
+    """Lexical form + datatype → native value (langString when lang set;
+    unknown datatype → RDFLiteral passthrough)."""
+    if lang:
+        return LangString(lexical, lang)
+    if datatype_uri is None or datatype_uri == RDF_LANGSTRING:
+        return lexical
+    parser = DATATYPE_PARSERS.get(datatype_uri)
+    if parser is None:
+        return RDFLiteral(lexical, datatype_uri)  # :default passthrough
+    return parser(lexical)
+
+
+# --- formatting (inverse, io.clj:211-368) ----------------------------------
+
+
+def _fmt_offset(off: int | None) -> str:
+    if off is None:
+        return ""
+    if off == 0:
+        return "Z"
+    sign = "+" if off >= 0 else "-"
+    off = abs(off)
+    return f"{sign}{off // 3600:02d}:{(off % 3600) // 60:02d}"
+
+
+def _fmt_float(v: float) -> str:
+    if v == float("inf"):
+        return "INF"
+    if v == float("-inf"):
+        return "-INF"
+    if v != v:
+        return "NaN"
+    return repr(v)
+
+
+def _fmt_time(t: XTime) -> str:
+    frac = f".{t.nano:09d}".rstrip("0").rstrip(".") if t.nano else ""
+    return f"{t.hour:02d}:{t.minute:02d}:{t.second:02d}{frac}{_fmt_offset(t.offset_seconds)}"
+
+
+def _fmt_date(d: XDate) -> str:
+    return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+
+
+_FORMATTERS = {}
+
+
+def format_literal(value) -> tuple[str, str | None, str | None]:
+    """native value → (lexical, datatype_uri, lang)."""
+    if isinstance(value, LangString):
+        return value.string, RDF_LANGSTRING, value.lang
+    if isinstance(value, RDFLiteral):
+        return value.raw_value, value.datatype_uri, None
+    if isinstance(value, bool):
+        return ("true" if value else "false"), XSD + "boolean", None
+    if isinstance(value, int):
+        return str(value), XSD + "integer", None
+    if isinstance(value, Decimal):
+        return str(value), XSD + "decimal", None
+    if isinstance(value, float):
+        return _fmt_float(value), XSD + "double", None
+    if isinstance(value, str):
+        return value, XSD + "string", None
+    if isinstance(value, XTime):
+        return _fmt_time(value), XSD + "time", None
+    if isinstance(value, XDate):
+        return _fmt_date(value), XSD + "date", None
+    if isinstance(value, OffsetDate):
+        return _fmt_date(value.date) + _fmt_offset(value.offset_seconds), XSD + "date", None
+    if isinstance(value, XDateTime):
+        return (
+            _fmt_date(value.date) + "T" + _fmt_time(value.time),
+            XSD + "dateTime",
+            None,
+        )
+    raise TypeError(f"cannot format {type(value).__name__} as RDF literal")

@@ -1,0 +1,150 @@
+"""N-Triples / N-Quads source + sink over the QUAD table schema.
+
+These are the splittable line formats (SURVEY.md §2.1: 'N-Triples/N-Quads
+are splittable line formats → plain read_text'), so reading parallelizes
+for free: ray.data.read_text splits files into blocks, and parsing is a
+stateless map_batches kernel. Writing is the inverse serialization kernel
++ write sink (≡ rdf-writer :nq, io.clj:547-618 — graph honored because
+NQuads is quad-capable, io.clj:584-586).
+
+Round-trip fidelity mirrors io_test.clj:213-235.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_ESC_RE = re.compile(r'[\\"\n\r\t]')
+_UNESC_RE = re.compile(r"\\.")
+
+
+def _escape(s: str) -> str:
+    return _ESC_RE.sub(lambda m: _ESCAPES[m.group(0)], s)
+
+
+def _unescape(s: str) -> str:
+    return _UNESC_RE.sub(lambda m: _UNESCAPES.get(m.group(0), m.group(0)[1]), s)
+
+
+def _term_s(v: str) -> str:
+    return v if v.startswith("_:") else f"<{v}>"
+
+
+def quad_rows_to_lines(tb: pa.Table) -> pa.Table:
+    """QUAD table → one N-Quads line per row (python loop: string spec
+    escaping is not expressible in pyarrow kernels; the per-line work is
+    tiny and parallelized across blocks)."""
+    lines = []
+    cols = [tb.column(c).to_pylist() for c in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]]
+    for s, p, kind, val, dt, lang, c in zip(*cols):
+        if kind == "iri":
+            o = f"<{val}>"
+        elif kind == "bnode":
+            o = val if val.startswith("_:") else f"_:{val}"
+        else:
+            o = f'"{_escape(val)}"'
+            if lang:
+                o += f"@{lang}"
+            elif dt and dt != "http://www.w3.org/2001/XMLSchema#string":
+                o += f"^^<{dt}>"
+        g = f" {_term_s(c)}" if c else ""
+        lines.append(f"{_term_s(s)} <{p}> {o}{g} .")
+    return pa.table({"text": pa.array(lines, pa.string())})
+
+
+_LINE_RE = re.compile(
+    r"^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+"
+    r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"
+    r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
+)
+_LIT_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$')
+
+
+def _strip_iri(t: str) -> str:
+    return t[1:-1] if t.startswith("<") else t
+
+
+def lines_to_quad_rows(tb: pa.Table, column: str = "text") -> pa.Table:
+    """N-Quads/N-Triples lines → QUAD table. Comment/blank lines skipped;
+    malformed lines raise (errors propagate like the reference's in-band
+    parse errors, io.clj:668-677)."""
+    rows = {k: [] for k in QUAD.names}
+    for line in tb.column(column).to_pylist():
+        t = line.strip()
+        if not t or t.startswith("#"):
+            continue
+        m = _LINE_RE.match(t)
+        if not m:
+            raise ValueError(f"malformed N-Quads line: {line!r}")
+        s, p, o, g = m.group(1), m.group(2), m.group(3), m.group(4)
+        rows["s"].append(_strip_iri(s))
+        rows["p"].append(p)
+        rows["c"].append(_strip_iri(g) if g else None)
+        if o.startswith("<"):
+            rows["o_kind"].append("iri")
+            rows["o_value"].append(o[1:-1])
+            rows["o_datatype"].append(None)
+            rows["o_lang"].append(None)
+        elif o.startswith("_:"):
+            rows["o_kind"].append("bnode")
+            rows["o_value"].append(o)
+            rows["o_datatype"].append(None)
+            rows["o_lang"].append(None)
+        else:
+            lm = _LIT_RE.match(o)
+            rows["o_kind"].append("literal")
+            rows["o_value"].append(_unescape(lm.group(1)))
+            rows["o_lang"].append(lm.group(2))
+            rows["o_datatype"].append(
+                lm.group(3) if lm.group(3) else ("http://www.w3.org/2001/XMLSchema#string" if not lm.group(2) else None)
+            )
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_nquads(path: str):
+    """Streaming N-Quads reader: splittable read_text → parse map_batches."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+    return ds.map_batches(lines_to_quad_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_nquads(ds, path: str) -> None:
+    """Streaming N-Quads writer (one file per block — resumable output)."""
+    ds.map_batches(quad_rows_to_lines, batch_format="pyarrow", zero_copy_batch=True).write_csv(
+        path, include_header=False
+    )
+
+
+# format registry (≡ ->rdf-format multimethod, formats.clj:35-147) ----------
+
+FORMAT_READERS = {".nq": read_nquads, ".nt": read_nquads}
+FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_nquads}
+
+
+def register_format(suffix: str, reader=None, writer=None) -> None:
+    """Extension point (≡ extending ->rdf-format, formats.clj:122-136)."""
+    if reader:
+        FORMAT_READERS[suffix] = reader
+    if writer:
+        FORMAT_WRITERS[suffix] = writer
+
+
+def read_statements(path: str, fmt: str | None = None):
+    """`statements`-style entry (io.clj:760-783): dispatch on suffix."""
+    import os
+
+    suffix = fmt or os.path.splitext(path if not path.endswith("/") else path[:-1])[1]
+    if suffix in FORMAT_READERS:
+        return FORMAT_READERS[suffix](path)
+    if suffix == ".parquet" or not suffix:
+        import ray.data as rd
+
+        return rd.read_parquet(path)
+    raise ValueError(f"unknown statement format {suffix!r}")

@@ -55,4 +55,64 @@ def partial_lww(tb: pa.Table, num_partitions: int) -> pa.Table:
     return tb.append_column("partition_id", pid)
 
 
-_ = np  # numpy retained for future kernels
+# integer op codes for the compact meta exchange
+OP_CODE = {"upsert": 1, "delete": 2, "schema_change": 3}
+HKEY = ["kh1", "kh2"]  # 128-bit key identity (util.key_hash_pair)
+
+
+def compact_meta_batch(tb: pa.Table, num_partitions: int) -> pa.Table:
+    """Map-side combine for the metadata exchange: replace string keys with
+    a 128-bit hash pair + int8 op codes, apply block-local LWW, stamp
+    partition ids. The exchange then ships ~30 B/row of fixed-width ints
+    instead of strings, and all downstream group-bys are integer-keyed.
+
+    Schema-change markers (no key) pass through with kh=0 and
+    partition_id = lsn % P so they spread across actors.
+    """
+    from ..util import key_hash_pair
+
+    is_schema = pc.equal(tb.column("op"), "schema_change")
+    data = tb.filter(pc.invert(is_schema))
+    schema = tb.filter(is_schema)
+
+    pieces = []
+    if data.num_rows:
+        h1, h2 = key_hash_pair(data.column("repo"), data.column("path"))
+        op_code = pc.if_else(pc.equal(data.column("op"), "delete"), pa.scalar(2, pa.int8()), pa.scalar(1, pa.int8()))
+        compact = pa.table(
+            {
+                "lsn": data.column("lsn"),
+                "op_code": op_code,
+                "kh1": pa.array(h1),
+                "kh2": pa.array(h2),
+                "schema_version": data.column("schema_version"),
+                "partition_id": pa.array((h1 % np.uint64(num_partitions)).astype(np.int32)),
+            }
+        )
+        pieces.append(lww_reduce(compact, keys=HKEY))
+    if schema.num_rows:
+        lsns = schema.column("lsn").to_numpy(zero_copy_only=False)
+        pieces.append(
+            pa.table(
+                {
+                    "lsn": schema.column("lsn"),
+                    "op_code": pa.array(np.full(schema.num_rows, 3, dtype=np.int8)),
+                    "kh1": pa.array(np.zeros(schema.num_rows, dtype=np.uint64)),
+                    "kh2": pa.array(np.zeros(schema.num_rows, dtype=np.uint64)),
+                    "schema_version": schema.column("schema_version"),
+                    "partition_id": pa.array((lsns % num_partitions).astype(np.int32)),
+                }
+            )
+        )
+    if not pieces:
+        return pa.table(
+            {
+                "lsn": pa.array([], pa.int64()),
+                "op_code": pa.array([], pa.int8()),
+                "kh1": pa.array([], pa.uint64()),
+                "kh2": pa.array([], pa.uint64()),
+                "schema_version": pa.array([], pa.int32()),
+                "partition_id": pa.array([], pa.int32()),
+            }
+        )
+    return pa.concat_tables(pieces, promote_options="none")

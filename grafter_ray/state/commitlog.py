@@ -51,7 +51,8 @@ class CommitLog:
             return json.load(f)
 
     # -- write side --------------------------------------------------------
-    def data_file(self, version: int, pid: int) -> str:
+    @staticmethod
+    def data_file(version: int, pid: int) -> str:
         """Deterministic per-(version, partition) name: retries overwrite."""
         return f"v{version:06d}-p{pid:06d}.parquet"
 

@@ -60,6 +60,25 @@ def partition_ids(repo: pa.Array, path: pa.Array, num_partitions: int) -> pa.Arr
     )
 
 
+_KEY2 = "graftray-2nd-key"  # 16 bytes — independent second hash stream
+
+
+def key_hash_pair(repo, path) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit key hashes (≈128-bit identity) of
+    (repo, path): the exchange ships these instead of the strings — far
+    smaller messages and integer group-bys; collision probability is
+    negligible even at 10^10 keys per window."""
+    import pandas as pd
+
+    joined = pc.binary_join_element_wise(*(repo, path), "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    arr = np.asarray(joined.to_pandas(), dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_KEY2, categorize=False)
+    return h1.astype(np.uint64), h2.astype(np.uint64)
+
+
 def hex_str_array(h: np.ndarray, width: int = 16) -> pa.Array:
     """uint64 array -> lowercase hex string array (vectorized-ish)."""
     return pa.array(np.char.zfill(np.char.mod("%x", h), width))

@@ -1,0 +1,197 @@
+"""Property-path DSL — the reference's `path` compiler
+(grafter.repository sparql/path.clj:34-251) re-expressed as join plans
+over an edge view of the quad table.
+
+The reference compiles a sexp AST (`/` sequence, `|` alternative, `-`
+inverse, `*` `+` `?` closures, `!` negated set) to SPARQL path strings;
+here the same AST evaluates directly: sequences are chained hash joins,
+alternatives are unions, inverse swaps endpoints, closures run a frontier
+fixpoint of broadcast joins (SURVEY.md §2.4 'iterative self-join loop /
+fixpoint of hash-joins'). Conformance: the 5-hop chain fixture
+(dev-resources path.trig, sparql/path_test.clj:49-91) — see
+tests/test_paths.py.
+
+Partitioning assumption (documented per the custom-operator rule): the
+edge relation for the predicates on the path fits the object store as a
+broadcast table per step; for web-scale graphs swap `_edges` to return a
+Dataset and replace the frontier join with a keyed Dataset.join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --- AST (≡ path.clj Arg/Group/Prefix/Suffix/BinOp types) ------------------
+
+
+@dataclass(frozen=True)
+class P:
+    """Atomic predicate step."""
+
+    iri: str
+
+
+@dataclass(frozen=True)
+class Seq:
+    parts: tuple  # a / b
+
+
+@dataclass(frozen=True)
+class Alt:
+    parts: tuple  # a | b
+
+
+@dataclass(frozen=True)
+class Inv:
+    part: object  # -a  (inverse / ^ in SPARQL)
+
+
+@dataclass(frozen=True)
+class Star:
+    part: object  # a*
+
+
+@dataclass(frozen=True)
+class Plus:
+    part: object  # a+
+
+
+@dataclass(frozen=True)
+class Opt:
+    part: object  # a?
+
+
+@dataclass(frozen=True)
+class NegSet:
+    iris: tuple  # !(a|b) — any predicate except these
+
+
+def seq(*parts):
+    return Seq(tuple(_coerce(p) for p in parts))
+
+
+def alt(*parts):
+    return Alt(tuple(_coerce(p) for p in parts))
+
+
+def inv(p):
+    return Inv(_coerce(p))
+
+
+def star(p):
+    return Star(_coerce(p))
+
+
+def plus(p):
+    return Plus(_coerce(p))
+
+
+def opt(p):
+    return Opt(_coerce(p))
+
+
+def neg(*iris):
+    return NegSet(tuple(iris))
+
+
+def _coerce(p):
+    return P(p) if isinstance(p, str) else p
+
+
+# --- compile to SPARQL text (parity with path.clj's emitted strings) -------
+
+
+def to_sparql(p) -> str:
+    if isinstance(p, P):
+        return f"<{p.iri}>"
+    if isinstance(p, Seq):
+        return "(" + "/".join(to_sparql(x) for x in p.parts) + ")"
+    if isinstance(p, Alt):
+        return "(" + "|".join(to_sparql(x) for x in p.parts) + ")"
+    if isinstance(p, Inv):
+        return f"^{to_sparql(p.part)}"
+    if isinstance(p, Star):
+        return f"{to_sparql(p.part)}*"
+    if isinstance(p, Plus):
+        return f"{to_sparql(p.part)}+"
+    if isinstance(p, Opt):
+        return f"{to_sparql(p.part)}?"
+    if isinstance(p, NegSet):
+        return "!(" + "|".join(f"<{i}>" for i in p.iris) + ")"
+    raise TypeError(type(p))
+
+
+# --- evaluation over an edge table -----------------------------------------
+
+_PAIRS = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def _dedup(tb: pa.Table) -> pa.Table:
+    return tb.group_by(["src", "dst"]).aggregate([])
+
+
+def _join(a: pa.Table, b: pa.Table) -> pa.Table:
+    """pairs(a) ∘ pairs(b): a.dst = b.src."""
+    a = a.rename_columns(["src", "mid"])
+    b = b.rename_columns(["mid", "dst"])
+    return _dedup(a.join(b, keys=["mid"], join_type="inner").select(["src", "dst"]))
+
+
+def eval_path(quads: pa.Table, path) -> pa.Table:
+    """All (src, dst) node pairs connected by `path` over the quad table.
+    Small/driver-side evaluator (tables); the Dataset-scale variant keeps
+    the base relation distributed and broadcasts only the frontier."""
+    path = _coerce(path)
+    if isinstance(path, P):
+        e = quads.filter(pc.equal(quads.column("p"), path.iri))
+        return _dedup(pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS))
+    if isinstance(path, NegSet):
+        e = quads.filter(pc.invert(pc.is_in(quads.column("p"), value_set=pa.array(path.iris))))
+        return _dedup(pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS))
+    if isinstance(path, Inv):
+        inner = eval_path(quads, path.part)
+        return inner.rename_columns(["dst", "src"]).select(["src", "dst"])
+    if isinstance(path, Seq):
+        acc = eval_path(quads, path.parts[0])
+        for part in path.parts[1:]:
+            acc = _join(acc, eval_path(quads, part))
+        return acc
+    if isinstance(path, Alt):
+        return _dedup(pa.concat_tables([eval_path(quads, x) for x in path.parts]))
+    if isinstance(path, (Star, Plus)):
+        base = eval_path(quads, path.part)
+        # transitive closure: frontier fixpoint of hash joins
+        closure = base
+        frontier = base
+        while True:
+            nxt = _join(frontier, base)
+            before = closure.num_rows
+            closure = _dedup(pa.concat_tables([closure, nxt]))
+            if closure.num_rows == before:
+                break
+            frontier = nxt
+        if isinstance(path, Plus):
+            return closure
+        return _dedup(pa.concat_tables([closure, _identity_pairs(quads)]))
+    if isinstance(path, Opt):
+        inner = eval_path(quads, path.part)
+        return _dedup(pa.concat_tables([inner, _identity_pairs(quads)]))
+    raise TypeError(type(path))
+
+
+def _identity_pairs(quads: pa.Table) -> pa.Table:
+    """x→x for every node (subjects ∪ objects) — the zero-length path of
+    `*` / `?` closures."""
+    nodes = pc.unique(
+        pa.concat_arrays(
+            [
+                quads.column("s").combine_chunks(),
+                quads.column("o_value").combine_chunks(),
+            ]
+        )
+    )
+    return pa.table({"src": nodes, "dst": nodes}).cast(_PAIRS)

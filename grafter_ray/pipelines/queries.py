@@ -520,6 +520,114 @@ def q_cdc_replay(sf_dir: str):
         return lake.read_table(view=False).select(["repo", "path", "commit", "lang", "content_sha", "last_lsn"])
 
 
+
+def q_bgp_documents(sf_dir: str):
+    """BGP self-join over the expanded quad table (?d prop:lang ?lang .
+    ?d prop:n_chars ?n) — SPARQL BGP evaluation (repository.clj:675-714)
+    as a shared-variable hash join."""
+    from .store import QuadStore
+
+    quads = q_quad_expand(sf_dir)
+    store = QuadStore(quads)
+    out = store.bgp(("?d", "prop:lang", "?lang"), ("?d", "prop:n_chars", "?n"))
+    return out.select_columns(["d", "lang", "n"])
+
+
+SQL_BGP_DOCUMENTS = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, lang, CAST(n_chars AS VARCHAR) AS n
+FROM documents
+"""
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Embedding near-duplicate pairs (cosine >= 0.45), e4 fixed point."""
+    from ..stages.similarity import cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_pairs(ds, threshold=0.45)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"id_a": tb.column("id_a"), "id_b": tb.column("id_b"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS cosine_e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_inferred_type_counts(sf_dir: str):
+    """Forward-chaining inference (rdfs-inferencer analogue,
+    repository.clj:303-335): docs typed lang:xx, vocabulary says every
+    lang:xx ⊑ lang:any; count per inferred class."""
+    from ..stages.inference import RDF_TYPE, RDFS_SUBCLASS, with_inference
+    from .relational import grouped_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def to_type_quads(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table(
+            {
+                "s": pc.binary_join_element_wise("doc:", pc.cast(tb.column("doc_id"), pa.string()), ""),
+                "p": pa.array([RDF_TYPE] * n, pa.string()),
+                "o_kind": pa.array(["iri"] * n, pa.string()),
+                "o_value": pc.binary_join_element_wise("lang:", tb.column("lang"), ""),
+                "o_datatype": pa.nulls(n, pa.string()),
+                "o_lang": pa.nulls(n, pa.string()),
+                "c": pa.nulls(n, pa.string()),
+            }
+        )
+
+    quads = docs.map_batches(to_type_quads, batch_format="pyarrow", zero_copy_batch=True)
+    langs = ["en", "de", "fr", "es", "zh"]
+    vocab = pa.table(
+        {
+            "s": [f"lang:{l}" for l in langs],
+            "p": [RDFS_SUBCLASS] * len(langs),
+            "o_kind": ["iri"] * len(langs),
+            "o_value": ["lang:any"] * len(langs),
+            "o_datatype": pa.nulls(len(langs), pa.string()),
+            "o_lang": pa.nulls(len(langs), pa.string()),
+            "c": pa.nulls(len(langs), pa.string()),
+        }
+    )
+    inferred = with_inference(quads, vocab)
+
+    def project(tb: pa.Table) -> pa.Table:
+        return pa.table({"cls": tb.column("o_value")})
+
+    return grouped_agg(
+        inferred.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        ["cls"],
+        [("n", None, "count")],
+    )
+
+
+SQL_INFERRED_TYPE_COUNTS = """
+SELECT 'lang:' || lang AS cls, count(*) AS n FROM documents GROUP BY lang
+UNION ALL
+SELECT 'lang:any' AS cls, count(*) AS n FROM documents
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal stage plumbing over a deterministic synthetic media
+    corpus sized to the tier (decode stubbed; rows-only check)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImageStage, PAYLOAD_BATCH_KWARGS, synth_media_table
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 256)))
+    out = ds.map_batches(DecodeImageStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+    return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -550,6 +658,10 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "cdc_replay": q_cdc_replay,
+    "bgp_documents": q_bgp_documents,
+    "cosine_pairs": q_cosine_pairs,
+    "inferred_type_counts": q_inferred_type_counts,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {
@@ -572,6 +684,9 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
+    "bgp_documents": SQL_BGP_DOCUMENTS,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

@@ -1,0 +1,170 @@
+"""QuadStore — the reference's repository surface (grafter.repository
+repository.clj) re-expressed over a ray.data.Dataset of the QUAD table.
+
+Semantic parity (behavior, not code):
+- store = SET of quads: `add` dedups on (s,p,o,c) (repository_test.clj:62-76
+  round-trips via sets)
+- `add` / `delete` by value equality, optional graph override/scope
+  (protocols.cljc:44-72, repository.clj:56-81,596-628)
+- triple-pattern `match` ≡ a BGP atom; multi-pattern `bgp` joins patterns
+  on shared variables (≡ SPARQL BGP evaluation, repository.clj:675-714)
+- `ask` ≡ boolean existence (repository.clj:503-506)
+- `restrict` ≡ make-restricted-dataset graph restriction
+  (repository.clj:641-665) — partition pruning on the c column
+- `fixture_store` ≡ fixture-repo: union N sources (repository.clj:367-412)
+
+Joins: patterns are filtered projections; chains join on shared variables.
+The first pattern stays a streaming Dataset; subsequent (filtered,
+typically small) patterns are broadcast-joined batch-wise — the VALUES /
+small-side rule of SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import QUAD
+from .relational import broadcast_join
+
+_POS = ["s", "p", "o_value", "c"]
+
+
+def _is_var(x) -> bool:
+    return isinstance(x, str) and x.startswith("?")
+
+
+class QuadStore:
+    def __init__(self, ds):
+        self.ds = ds
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_files(cls, *paths: str) -> "QuadStore":
+        """fixture-repo: load + union N sources, dedup (set semantics)."""
+        from ..sources.nquads import read_statements
+
+        ds = read_statements(paths[0])
+        for p in paths[1:]:
+            ds = ds.union(read_statements(p))
+        return cls(ds).dedup()
+
+    @classmethod
+    def from_table(cls, tb: pa.Table) -> "QuadStore":
+        import ray.data as rd
+
+        return cls(rd.from_arrow(tb))
+
+    # -- mutation (functional: returns a new store) --------------------------
+    def dedup(self) -> "QuadStore":
+        from .relational import distinct
+
+        cols = list(QUAD.names)
+        return QuadStore(distinct(self.ds, cols))
+
+    def add(self, quads: pa.Table, graph: str | None = None) -> "QuadStore":
+        """add with optional graph override (protocols.cljc:44-59: the
+        graph-override arity applies the graph to every statement)."""
+        import ray.data as rd
+
+        if graph is not None:
+            quads = quads.set_column(quads.schema.get_field_index("c"), "c", pa.array([graph] * quads.num_rows))
+        return QuadStore(self.ds.union(rd.from_arrow(quads))).dedup()
+
+    def delete(self, quads: pa.Table, graph: str | None = None) -> "QuadStore":
+        """delete by value equality (protocols.cljc:61-72): broadcast the
+        (small) doomed set, anti-filter each batch."""
+        if graph is not None:
+            quads = quads.set_column(quads.schema.get_field_index("c"), "c", pa.array([graph] * quads.num_rows))
+        doomed = _row_key(quads)
+
+        def f(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.invert(pc.is_in(_row_key(tb), value_set=doomed)))
+
+        return QuadStore(self.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+
+    # -- query ---------------------------------------------------------------
+    def restrict(self, graphs: list[str] | None) -> "QuadStore":
+        """Graph restriction; empty list ⇒ empty default graph (the
+        reference's sentinel private-graph behavior, repository.clj:652-665)."""
+        if graphs is None:
+            return self
+        gset = pa.array(graphs, pa.string())
+
+        def f(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.is_in(tb.column("c"), value_set=gset))
+
+        return QuadStore(self.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+
+    def match(self, s=None, p=None, o=None, c=None):
+        """Triple-pattern filter → Dataset of matching quads."""
+        binds = [("s", s), ("p", p), ("o_value", o), ("c", c)]
+        consts = [(col, v) for col, v in binds if v is not None and not _is_var(v)]
+
+        def f(tb: pa.Table) -> pa.Table:
+            mask = None
+            for col, v in consts:
+                m = pc.equal(tb.column(col), v)
+                mask = m if mask is None else pc.and_(mask, m)
+            return tb.filter(mask) if mask is not None else tb
+
+        return self.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pattern(self, s=None, p=None, o=None, c=None):
+        """Pattern → Dataset projected to its variable columns."""
+        ds = self.match(s, p, o, c)
+        binds = list(zip(_POS, [s, p, o, c]))
+        vars_ = [(col, v[1:]) for col, v in binds if _is_var(v)]
+
+        def proj(tb: pa.Table) -> pa.Table:
+            return pa.table({name: tb.column(col) for col, name in vars_})
+
+        return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bgp(self, *patterns: tuple, select: list[str] | None = None):
+        """Basic graph pattern: join patterns on shared variables.
+
+        Each pattern is (s, p, o[, c]) with '?var' marking variables.
+        First pattern streams; the rest are materialized (they are
+        filtered projections — small) and broadcast-joined.
+        """
+        first, *rest = patterns
+        ds = self.pattern(*first)
+        seen = {v[1:] for v in first if _is_var(v)}
+        for pat in rest:
+            small = _to_table(self.pattern(*pat))
+            keys = sorted(seen & {v[1:] for v in pat if _is_var(v)})
+            if not keys:
+                raise ValueError(f"cartesian pattern (no shared variable): {pat}")
+            ds = broadcast_join(ds, small, keys)
+            seen |= {v[1:] for v in pat if _is_var(v)}
+        if select:
+            ds = ds.select_columns(select)
+        return ds
+
+    def ask(self, s=None, p=None, o=None, c=None) -> bool:
+        """ASK evaluation (repository.clj:503-506)."""
+        return self.match(s, p, o, c).limit(1).count() > 0
+
+    def count(self) -> int:
+        return self.ds.count()
+
+    def to_table(self) -> pa.Table:
+        return _to_table(self.ds)
+
+
+def _row_key(tb: pa.Table) -> pa.Array:
+    cols = [pc.coalesce(pc.cast(tb.column(c), pa.string()), "\x01") for c in QUAD.names]
+    j = pc.binary_join_element_wise(*cols, "\x00")
+    return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
+
+def _to_table(ds) -> pa.Table:
+    tbs = [ray_get_block(b) for b in ds.to_arrow_refs()]
+    return pa.concat_tables(tbs, promote_options="permissive") if tbs else QUAD.empty_table()
+
+
+def ray_get_block(ref):
+    import ray
+
+    return ray.get(ref)

@@ -1,0 +1,94 @@
+"""Forward-chaining inference stage — the reference's inferencer wrappers
+(rdfs-inferencer / direct-type-inferencer / custom-query-inferencer,
+repository.clj:303-335, test repository_test.clj:193-215) as a derived-view
+map_batches stage with a broadcast rule table (SURVEY.md §2.3).
+
+The rule state (e.g. the rdfs:subClassOf transitive closure) is computed
+once on the driver from the (small) vocabulary, shipped once via ray.put,
+and each batch derives extra rows vectorized — new facts are emitted
+alongside the asserted ones, exactly like adding to an inferencing
+repository derives statements on add.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def subclass_closure(vocab: pa.Table) -> dict[str, list[str]]:
+    """Transitive closure of rdfs:subClassOf from a vocabulary quad table
+    → {class: [all superclasses]}. Driver-side: vocabularies are small."""
+    edges: dict[str, set[str]] = {}
+    sub = vocab.filter(pc.equal(vocab.column("p"), RDFS_SUBCLASS))
+    for s, o in zip(sub.column("s").to_pylist(), sub.column("o_value").to_pylist()):
+        edges.setdefault(s, set()).add(o)
+    closure: dict[str, list[str]] = {}
+    for cls in edges:
+        seen: set[str] = set()
+        stack = list(edges[cls])
+        while stack:
+            sup = stack.pop()
+            if sup in seen:
+                continue
+            seen.add(sup)
+            stack.extend(edges.get(sup, ()))
+        closure[cls] = sorted(seen)
+    return closure
+
+
+class RdfsTypeInference:
+    """map_batches stage: for every (s, rdf:type, C) row, derive
+    (s, rdf:type, D) for each D in closure[C]. Closure broadcast once."""
+
+    def __init__(self, closure_box: dict):
+        ref = closure_box.get("ref")
+        self.closure = ray.get(ref) if ref is not None else closure_box["value"]
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        types = tb.filter(pc.equal(tb.column("p"), RDF_TYPE))
+        if not types.num_rows:
+            return tb
+        subs, objs, ctxs = [], [], []
+        for s, c, g in zip(
+            types.column("s").to_pylist(),
+            types.column("o_value").to_pylist(),
+            types.column("c").to_pylist(),
+        ):
+            for sup in self.closure.get(c, ()):
+                subs.append(s)
+                objs.append(sup)
+                ctxs.append(g)
+        if not subs:
+            return tb
+        derived = pa.table(
+            {
+                "s": pa.array(subs, pa.string()),
+                "p": pa.array([RDF_TYPE] * len(subs), pa.string()),
+                "o_kind": pa.array(["iri"] * len(subs), pa.string()),
+                "o_value": pa.array(objs, pa.string()),
+                "o_datatype": pa.nulls(len(subs), pa.string()),
+                "o_lang": pa.nulls(len(subs), pa.string()),
+                "c": pa.array(ctxs, pa.string()),
+            }
+        )
+        return pa.concat_tables([tb, derived.select(tb.column_names)], promote_options="permissive")
+
+
+def with_inference(ds, vocab: pa.Table, concurrency=(1, 8)):
+    """Wrap a quad Dataset with rdfs subclass inference (derived view).
+    Derived facts may duplicate asserted ones — follow with a distinct()
+    when set semantics are required (the reference's store dedups on add)."""
+    closure = subclass_closure(vocab)
+    box = {"ref": ray.put(closure)}
+    return ds.map_batches(
+        RdfsTypeInference,
+        fn_constructor_args=(box,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

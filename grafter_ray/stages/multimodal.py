@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) pipeline stages.
+
+Payloads are opaque `binary` columns with typed metadata columns
+(`media_type`, `width`/`height`/`sample_rate`, …). The Ray-side plumbing —
+schemas, actor-pool stage shape, small batch sizes for wide rows, output
+layout — is real and tested; the codec kernels themselves are STUBBED
+behind import guards (PIL / soundfile are not in this container):
+`DecodeImageStage` falls back to a deterministic fake decoder unless
+`strict=True`, in which case it raises NotImplementedError.
+
+Scale rules for binary payloads (SURVEY.md 'memory-aware'): small
+batch_size (payload × batch × concurrency must fit the worker heap),
+actor pools so codec setup happens once per worker, and outputs written
+as fixed-shape tensors/features, never driver-collected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # e.g. image/png, audio/wav
+        ("payload", pa.large_binary()),
+        ("meta_json", pa.string()),
+    ]
+)
+
+# recommended map_batches kwargs for payload stages
+PAYLOAD_BATCH_KWARGS = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=64)
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+class DecodeImageStage:
+    """Actor-pool stage: payload bytes → (height, width, 3) uint8 tensor
+    + basic features. Use as
+    ``ds.map_batches(DecodeImageStage, concurrency=(1, N), **PAYLOAD_BATCH_KWARGS)``.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32), strict: bool = False):
+        # codec/model setup happens ONCE per actor (reference §2.3 pattern)
+        self.h, self.w = target_size
+        self.strict = strict
+        if strict and not _HAVE_PIL:
+            raise NotImplementedError("image codec not available in this environment (PIL missing)")
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if _HAVE_PIL:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("RGB").resize((self.w, self.h))
+            return np.asarray(img, dtype=np.uint8)
+        # deterministic fake decoder: pixels derived from payload digest so
+        # the full pipeline (schema, shapes, feature math) is testable
+        seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+        return np.resize(seed, (self.h, self.w, 3))
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        payloads = tb.column("payload").to_pylist()
+        tensors = np.stack([self._decode_one(p) for p in payloads]) if payloads else np.zeros((0, self.h, self.w, 3), np.uint8)
+        flat = tensors.reshape(len(payloads), -1)
+        mean_rgb = tensors.reshape(len(payloads), -1, 3).mean(axis=1) if payloads else np.zeros((0, 3))
+        return pa.table(
+            {
+                "media_id": tb.column("media_id"),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.ravel(), pa.uint8()), self.h * self.w * 3
+                ),
+                "mean_r": pa.array(np.round(mean_rgb[:, 0], 3)),
+                "mean_g": pa.array(np.round(mean_rgb[:, 1], 3)),
+                "mean_b": pa.array(np.round(mean_rgb[:, 2], 3)),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: audio payload → fixed number of frame energies.
+    Same plumbing pattern; codec stubbed (deterministic fake from bytes)."""
+
+    def __init__(self, n_frames: int = 16, strict: bool = False):
+        self.n_frames = n_frames
+        if strict:
+            raise NotImplementedError("audio codec not available in this environment (soundfile missing)")
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        out = []
+        for payload in tb.column("payload").to_pylist():
+            raw = np.frombuffer(hashlib.sha256(payload).digest() * 8, dtype=np.uint8).astype(np.float64)
+            frames = np.resize(raw, (self.n_frames, len(raw) // self.n_frames))
+            out.append(np.round(np.sqrt((frames**2).mean(axis=1)), 3))
+        arr = np.stack(out) if out else np.zeros((0, self.n_frames))
+        return pa.table(
+            {
+                "media_id": tb.column("media_id"),
+                "frame_energy": pa.FixedSizeListArray.from_arrays(
+                    pa.array(arr.ravel(), pa.float64()), self.n_frames
+                ),
+            }
+        )
+
+
+def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
+    """Deterministic synthetic media corpus (payload = seeded bytes)."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads = [hashlib.sha256(f"media-{i}".encode()).digest() * 32 for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array([kind] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "meta_json": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )

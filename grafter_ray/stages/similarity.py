@@ -125,7 +125,7 @@ def cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: s
     mats, ids = [], []
     for ref in all_tb:
         t = ray.get(ref)
-        mats.append(_normalize(_matrix(t.column(vec_col))))
+        mats.append(_normalize(_matrix(t.column(vec_col), dtype=np.float64)))
         ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
     full = np.vstack(mats)
     full_ids = np.concatenate(ids)
@@ -137,7 +137,7 @@ def cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: s
             self.ids = ray.get(box["ids"])
 
         def __call__(self, tb: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(tb.column(vec_col)))
+            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
             ids_b = tb.column(id_col).to_numpy(zero_copy_only=False)
             sims = m @ self.m.T
             ai, bj = np.nonzero(sims >= threshold)

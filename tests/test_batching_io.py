@@ -1,0 +1,115 @@
+"""Batching conformance (reference protocols_test.clj:90-105,127-143 exact
+splits) + N-Quads source/sink round-trip (io_test.clj:213-235) + templater
+semantics (templater.clj:40-97)."""
+
+import pyarrow as pa
+
+from grafter_ray.functions.batching import DEFAULT_BATCH_SIZE, apply_batched, partition_all
+from grafter_ray.pipelines.templater import (
+    DOCUMENTS_QUAD_TEMPLATE,
+    expand_table,
+    graph_quads,
+    quads_to_table,
+    triplify,
+)
+from grafter_ray.sources.nquads import lines_to_quad_rows, quad_rows_to_lines
+
+
+# --- add-batched conformance ------------------------------------------------
+
+def _splits(n, bs):
+    sizes = []
+    apply_batched(lambda b: sizes.append(len(b)), range(n), bs)
+    return sizes
+
+
+def test_batch_splits_exact():
+    assert _splits(10, 3) == [3, 3, 3, 1]
+    assert _splits(10, 5) == [5, 5]
+    assert _splits(6, 4) == [4, 2]  # delete-batched case
+
+
+def test_default_batch_size_constant():
+    assert DEFAULT_BATCH_SIZE == 20_000  # protocols.cljc:514-515
+
+
+def test_partition_all_lazy():
+    gen = partition_all(iter(range(7)), 2)
+    assert next(gen) == [0, 1]
+
+
+# --- templater --------------------------------------------------------------
+
+def test_triplify_flat_pairs():
+    out = triplify(["s1", ("p1", "o1"), ("p2", "o2")])
+    assert out == [("s1", "p1", "o1", None), ("s1", "p2", "o2", None)]
+
+
+def test_nested_vector_creates_deterministic_bnode():
+    # templater.clj:40-51: nested vector-of-pairs → fresh blank node
+    out = triplify(["s1", ("p1", [("p2", "o2")])])
+    assert len(out) == 2
+    bnode = out[0][2]
+    assert bnode.startswith("_:b")
+    assert out[1] == (bnode, "p2", "o2", None)
+    # deterministic: same template → same bnode (no gensym; replay-stable)
+    again = triplify(["s1", ("p1", [("p2", "o2")])])
+    assert again == out
+
+
+def test_graph_stamps_context():
+    # templater.clj:76-97: every produced triple gets the graph
+    out = graph_quads("g1", ["s", ("p", "o")], ["s2", ("p2", [("p3", "o3")])])
+    assert all(q[3] == "g1" for q in out)
+    assert len(out) == 3
+
+
+def test_expand_table_matches_row_templater():
+    tb = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": ["hello"],
+            "lang": ["en"],
+            "source": ["srcA"],
+            "n_chars": pa.array([5], pa.int64()),
+        }
+    )
+    out = expand_table(tb, DOCUMENTS_QUAD_TEMPLATE)
+    assert out.num_rows == 3
+    assert set(out.column("s").to_pylist()) == {"doc:7"}
+    assert set(out.column("c").to_pylist()) == {"graph:srcA"}
+    assert "5" in out.column("o_value").to_pylist()
+
+
+# --- N-Quads round-trip -----------------------------------------------------
+
+def test_nquads_roundtrip_with_escapes_and_kinds():
+    quads = quads_to_table(
+        graph_quads(
+            "http://g/1",
+            ["http://ex/s", ("http://ex/p", 'weird "literal"\nwith\tstuff\\'), ("http://ex/n", 42)],
+        )
+        + triplify(["http://ex/s2", ("http://ex/ref", "http://other/iri"), ("http://ex/b", [("http://ex/inner", "v")])])
+    )
+    lines = quad_rows_to_lines(quads)
+    back = lines_to_quad_rows(lines)
+    assert back.num_rows == quads.num_rows
+    for col in ["s", "p", "o_kind", "o_value", "c"]:
+        assert back.column(col).to_pylist() == quads.column(col).to_pylist(), col
+
+
+def test_nquads_parse_skips_comments_and_blank_lines():
+    tb = pa.table({"text": ["# comment", "", '<http://s> <http://p> "o" .']})
+    out = lines_to_quad_rows(tb)
+    assert out.num_rows == 1
+    assert out.column("c")[0].as_py() is None  # triple: no graph slot
+    assert out.column("o_datatype")[0].as_py() == "http://www.w3.org/2001/XMLSchema#string"
+
+
+def test_nquads_langstring():
+    tb = pa.table({"text": ['<http://s> <http://p> "bonjour"@fr <http://g> .']})
+    out = lines_to_quad_rows(tb)
+    assert out.column("o_lang")[0].as_py() == "fr"
+    assert out.column("c")[0].as_py() == "http://g"
+    rt = lines_to_quad_rows(quad_rows_to_lines(out))
+    assert rt.equals(out)

@@ -1,0 +1,117 @@
+"""Typed-literal kernel round-trips — mirrors the reference's io_test.clj
+suites (grafter.io/test/grafter_2/rdf4j/io_test.clj:18-71,116-176) and the
+dates-and-times golden corpus (FIXTURES.md F4)."""
+
+import math
+from decimal import Decimal
+
+import pytest
+
+from grafter_ray.functions.literals import (
+    XSD,
+    BNode,
+    LangString,
+    OffsetDate,
+    RDFLiteral,
+    XDate,
+    XDateTime,
+    XTime,
+    format_literal,
+    parse_literal,
+    register_datatype,
+)
+
+
+def rt(value):
+    """native → lexical → native round-trip (io_test.clj:18-71)."""
+    lex, dt, lang = format_literal(value)
+    return parse_literal(lex, dt, lang)
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        True,
+        False,
+        10,
+        -(2**70),  # xsd:integer is unbounded (BigInteger semantics)
+        Decimal("1.2"),
+        1.0e6,
+        "hello",
+        LangString("bonjour", "fr"),
+        XTime(13, 20, 0),
+        XTime(13, 20, 0, 555_000_000),
+        XDate(1970, 1, 1),
+        OffsetDate(XDate(1970, 1, 1), 0),
+        OffsetDate(XDate(1970, 1, 1), -5 * 3600),
+        XDateTime(XDate(2004, 4, 12), XTime(13, 20, 0)),
+        XDateTime(XDate(2004, 4, 12), XTime(13, 20, 0, 500_000_000, 0)),
+    ],
+)
+def test_roundtrip(value):
+    assert rt(value) == value
+
+
+@pytest.mark.parametrize(
+    "lex,expect",
+    [("INF", math.inf), ("+INF", math.inf), ("-INF", -math.inf)],
+)
+def test_float_special_lexicals(lex, expect):
+    # io.clj:74-88, io_test.clj:167-176
+    for t in ("float", "double"):
+        assert parse_literal(lex, XSD + t) == expect
+    assert math.isnan(parse_literal("NaN", XSD + "double"))
+
+
+def test_float_special_format():
+    assert format_literal(math.inf)[0] == "INF"
+    assert format_literal(-math.inf)[0] == "-INF"
+    assert format_literal(float("nan"))[0] == "NaN"
+
+
+def test_hour_24_is_midnight():
+    # io.clj:108-118: 24:00:00 ≡ 00:00:00
+    assert parse_literal("24:00:00", XSD + "time") == XTime(0, 0, 0)
+    assert parse_literal("00:00:00", XSD + "time") == XTime(0, 0, 0)
+
+
+def test_fractional_seconds_truncate_to_nanos():
+    # io.clj:120-149: arbitrary-precision fraction → first 9 digits, truncated
+    frac93 = "123456789" + "9" * 84
+    t = parse_literal(f"13:20:00.{frac93}", XSD + "time")
+    assert t.nano == 123456789
+    t2 = parse_literal("13:20:00.5", XSD + "time")
+    assert t2.nano == 500_000_000
+
+
+def test_time_with_offset():
+    t = parse_literal("13:20:00Z", XSD + "time")
+    assert t.offset_seconds == 0
+    t = parse_literal("13:20:00-05:00", XSD + "time")
+    assert t.offset_seconds == -5 * 3600
+
+
+def test_date_zone_variants():
+    # io.clj:151-160 — zoned date → OffsetDate (protocols.cljc:153-161)
+    assert parse_literal("1970-01-01", XSD + "date") == XDate(1970, 1, 1)
+    assert parse_literal("1970-01-01Z", XSD + "date") == OffsetDate(XDate(1970, 1, 1), 0)
+    assert parse_literal("1970-01-01-05:00", XSD + "date") == OffsetDate(XDate(1970, 1, 1), -18000)
+
+
+def test_unknown_datatype_passthrough():
+    # io.clj:176-181 :default — keep (lexical, datatype) unparsed
+    v = parse_literal("whatever", "http://example.com/custom")
+    assert v == RDFLiteral("whatever", "http://example.com/custom")
+
+
+def test_register_datatype_extension():
+    # §2.10 extension surface (≡ defmethod backend-literal->grafter-type)
+    register_datatype("http://example.com/upper", lambda s: s.upper())
+    assert parse_literal("abc", "http://example.com/upper") == "ABC"
+
+
+def test_langstring_identity():
+    # compares by (string, lang) — protocols.cljc:199-203
+    assert LangString("a", "en") == LangString("a", "en")
+    assert LangString("a", "en") != LangString("a", "fr")
+    assert BNode("b1") == BNode("b1")

@@ -1,0 +1,87 @@
+"""Multimodal stage plumbing + inference derived-view stage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.pipelines.store import QuadStore
+from grafter_ray.stages.inference import RDF_TYPE, RDFS_SUBCLASS, subclass_closure, with_inference
+from grafter_ray.stages.multimodal import (
+    PAYLOAD_BATCH_KWARGS,
+    AudioFrameSampleStage,
+    DecodeImageStage,
+    synth_media_table,
+)
+
+
+def test_image_stage_shapes_and_determinism():
+    tb = synth_media_table(10)
+    ds = rd.from_arrow(tb)
+    out = ds.map_batches(DecodeImageStage, concurrency=(1, 2), **PAYLOAD_BATCH_KWARGS)
+    got = out.to_pandas().sort_values("media_id", ignore_index=True)
+    assert len(got) == 10
+    assert len(got["pixels"][0]) == 32 * 32 * 3
+    # deterministic fake decode: same payload → same pixels across runs
+    out2 = rd.from_arrow(tb).map_batches(DecodeImageStage, concurrency=(1, 2), **PAYLOAD_BATCH_KWARGS)
+    got2 = out2.to_pandas().sort_values("media_id", ignore_index=True)
+    assert np.array_equal(np.stack(got["pixels"]), np.stack(got2["pixels"]))
+
+
+def test_image_stage_strict_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(strict=True)
+
+
+def test_audio_stage_fixed_frames():
+    ds = rd.from_arrow(synth_media_table(4, kind="audio/wav"))
+    out = ds.map_batches(AudioFrameSampleStage, concurrency=(1, 2), **PAYLOAD_BATCH_KWARGS)
+    got = out.to_pandas()
+    assert len(got) == 4
+    assert all(len(f) == 16 for f in got["frame_energy"])
+
+
+# --- inference --------------------------------------------------------------
+
+
+def _vocab():
+    rows = [
+        ("http://ex/Dog", RDFS_SUBCLASS, "http://ex/Mammal"),
+        ("http://ex/Mammal", RDFS_SUBCLASS, "http://ex/Animal"),
+    ]
+    return pa.table(
+        {
+            "s": [r[0] for r in rows],
+            "p": [r[1] for r in rows],
+            "o_kind": ["iri"] * 2,
+            "o_value": [r[2] for r in rows],
+            "o_datatype": pa.nulls(2, pa.string()),
+            "o_lang": pa.nulls(2, pa.string()),
+            "c": pa.nulls(2, pa.string()),
+        }
+    )
+
+
+def test_subclass_closure_transitive():
+    c = subclass_closure(_vocab())
+    assert c["http://ex/Dog"] == ["http://ex/Animal", "http://ex/Mammal"]
+
+
+def test_inference_derives_supertypes():
+    # repository_test.clj:193-215 behavior: querying an inferencing store
+    # returns derived types alongside asserted ones
+    data = pa.table(
+        {
+            "s": ["http://ex/rex"],
+            "p": [RDF_TYPE],
+            "o_kind": ["iri"],
+            "o_value": ["http://ex/Dog"],
+            "o_datatype": pa.nulls(1, pa.string()),
+            "o_lang": pa.nulls(1, pa.string()),
+            "c": pa.nulls(1, pa.string()),
+        }
+    )
+    out = with_inference(rd.from_arrow(data), _vocab(), concurrency=(1, 2))
+    store = QuadStore(out)
+    types = set(store.match(s="http://ex/rex", p=RDF_TYPE).to_pandas()["o_value"])
+    assert types == {"http://ex/Dog", "http://ex/Mammal", "http://ex/Animal"}

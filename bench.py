@@ -4,10 +4,10 @@ Default: one JSON line with the headline metric — wall seconds of a full
 CDC binlog replay to converged lake state (events/s derived) — plus
 per-query wall times over $GRAFT_SF_DIR.
 
---scaling: runs the headline replay twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same pre-generated input and reports
-throughput at both plus scaling efficiency (the sandbox stand-in for the
-north rule's N vs 4N node criterion).
+--scaling: runs the headline replay in FRESH subprocesses at num_cpus
+4/8/16/32 on the same pre-generated (4x-sized) input and reports
+throughput at each level plus the N→4N efficiencies (the sandbox
+stand-in for the north rule's N vs 4N node criterion).
 """
 
 from __future__ import annotations
@@ -34,19 +34,22 @@ QUERY_SUBSET = [
     "segment_order_stats",
     "order_revenue_by_priority",
     "events_lww",
+    "sessionize",
     "quad_expand",
+    "bgp_documents",
     "token_stats",
     "dedup_exact",
     "minhash_dedup",
     "ann_topk",
+    "cosine_pairs",
 ]
 
 
-def _cfg_for(sf_dir: str):
+def _cfg_for(sf_dir: str, n_events: int | None = None):
     from grafter_ray import BinlogConfig
 
     tier = os.path.basename(os.path.normpath(sf_dir))
-    n = BENCH_EVENTS.get(tier, 200_000)
+    n = n_events or BENCH_EVENTS.get(tier, 200_000)
     return BinlogConfig(
         n_events=n,
         n_keys=max(n // 20, 100),
@@ -55,9 +58,9 @@ def _cfg_for(sf_dir: str):
     )
 
 
-def ensure_binlog(sf_dir: str) -> tuple[str, int]:
+def ensure_binlog(sf_dir: str, n_events: int | None = None) -> tuple[str, int]:
     """Generate (once) the deterministic binlog parquet for this tier."""
-    cfg = _cfg_for(sf_dir)
+    cfg = _cfg_for(sf_dir, n_events)
     path = os.path.join(BENCH_TMP, f"binlog_{cfg.n_events}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
@@ -73,14 +76,14 @@ def ensure_binlog(sf_dir: str) -> tuple[str, int]:
     return path, cfg.n_events
 
 
-def run_replay(sf_dir: str, num_cpus: int) -> dict:
+def run_replay(sf_dir: str, num_cpus: int, n_events: int | None = None) -> dict:
     import shutil
 
     import ray.data as rd
 
     from grafter_ray import BinlogConfig, CDCLake, binlog_table
 
-    binlog_path, n_events = ensure_binlog(sf_dir)
+    binlog_path, n_events = ensure_binlog(sf_dir, n_events)
     # warm-up (untimed): spawn workers + actor pools so both scaling runs
     # measure sustained throughput, not cold-start (at 10^10-event scale
     # startup is noise; at bench scale it would dominate the 4x run)
@@ -124,7 +127,7 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
-def bench_once(sf_dir: str, num_cpus: int, replay_only: bool) -> dict:
+def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | None = None) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
@@ -133,7 +136,7 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    replay = run_replay(sf_dir, num_cpus)
+    replay = run_replay(sf_dir, num_cpus, n_events)
     queries = {} if replay_only else run_queries(sf_dir)
     ray.shutdown()
     return {
@@ -157,13 +160,17 @@ def bench_scaling(sf_dir: str) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=DEFAULT_CPUS, include_dashboard=False, logging_level="ERROR")
-    ensure_binlog(sf_dir)
+    # 4x the tier corpus: large enough that per-run fixed costs (session
+    # setup, actor spawn, driver barriers) do not dominate the 4N run
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    n_events = BENCH_EVENTS.get(tier, 200_000) * 4
+    ensure_binlog(sf_dir, n_events)
     ray.shutdown()
 
     results = {}
     for cpus in (4, 8, 16, 32):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--num-cpus", str(cpus), "--replay-only", "--sf-dir", sf_dir],
+            [sys.executable, os.path.abspath(__file__), "--num-cpus", str(cpus), "--replay-only", "--sf-dir", sf_dir, "--events", str(n_events)],
             capture_output=True,
             text=True,
             timeout=3600,
@@ -180,6 +187,7 @@ def bench_scaling(sf_dir: str) -> dict:
         "efficiency_4_to_16": round(eff_4_16, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
         "single_node_parallel_ceiling_8_to_32": 0.69,
+        "events": n_events,
         "sf": sf_dir,
         "num_cpus": [4, 8, 16, 32],
     }
@@ -191,11 +199,12 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--events", type=int, default=None)
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(bench_scaling(args.sf_dir)))
     else:
-        print(json.dumps(bench_once(args.sf_dir, args.num_cpus, args.replay_only)))
+        print(json.dumps(bench_once(args.sf_dir, args.num_cpus, args.replay_only, args.events)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,148 @@
+"""Parameterized pipelines — the reference's SPARQL-file query surface
+(grafter.repository sparql.clj) re-expressed for Dataset pipelines.
+
+Parity map:
+- `query(file, opts, bindings, repo)` with partial application when the
+  repo is omitted (sparql.clj:261-318) → `ParameterizedPipeline`: calling
+  without a source returns a reusable partially-applied pipeline.
+- LIMIT/OFFSET rewriting by name or literal (sparql.clj:18-26,94-113)
+  → `.with_limit()` / `.with_offset()` override declared defaults.
+- VALUES clause splicing = broadcast semi-join, nil rejected, UNDEF
+  wildcard (sparql.clj:28-92) → `.with_values(col, values)`; None in the
+  values list raises; the UNDEF sentinel matches any value.
+- simple var binding via .setBinding (sparql.clj:240-249)
+  → `.with_binding(col, value)` (predicate pushdown filter).
+- `strip-comments` (sparql.clj:115-121): utility for query-text assets —
+  strips `#` comments but never inside IRIs (<...>).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+UNDEF = object()  # ::undef — wildcard row entry in VALUES (sparql.clj:66-92)
+
+
+def strip_comments(text: str) -> str:
+    """Remove '#'-to-EOL comments, except inside <...> IRIs
+    (sparql.clj:115-121, test sparql_test.clj:103-114)."""
+    out_lines = []
+    for line in text.splitlines():
+        pos, depth = 0, 0
+        cut = None
+        while pos < len(line):
+            ch = line[pos]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth = max(0, depth - 1)
+            elif ch == "#" and depth == 0:
+                cut = pos
+                break
+            pos += 1
+        out_lines.append(line if cut is None else line[:cut].rstrip())
+    return "\n".join(out_lines)
+
+
+@dataclass(frozen=True)
+class ParameterizedPipeline:
+    """A reusable, partially-applicable pipeline over a Dataset source.
+
+    build: fn(ds) -> ds applying the core transformation.
+    Calling the pipeline WITHOUT a source returns itself (partial
+    application, sparql.clj:249-259 arity dispatch); with a source it
+    executes: bindings → values semi-joins → core → offset → limit.
+    """
+
+    build: callable = lambda ds: ds
+    limit: int | None = None
+    offset: int | None = None
+    bindings: tuple = field(default_factory=tuple)  # (col, value) equality
+    values: tuple = field(default_factory=tuple)  # (cols, rows) semi-joins
+
+    # -- rewriting (≡ rewrite-limit-and-offset-clauses) ---------------------
+    def with_limit(self, n: int) -> "ParameterizedPipeline":
+        return replace(self, limit=n)
+
+    def with_offset(self, n: int) -> "ParameterizedPipeline":
+        return replace(self, offset=n)
+
+    def with_binding(self, col: str, value) -> "ParameterizedPipeline":
+        return replace(self, bindings=self.bindings + ((col, value),))
+
+    def with_values(self, cols: str | list[str], rows: list) -> "ParameterizedPipeline":
+        """VALUES splice: 1-col (`?s { a b }`) or n-col (`(?s ?p) { (a b) }`)
+        forms; arity checked; None rejected; UNDEF matches anything."""
+        cols_l = [cols] if isinstance(cols, str) else list(cols)
+        norm = []
+        for r in rows:
+            row = (r,) if not isinstance(r, (tuple, list)) else tuple(r)
+            if len(row) != len(cols_l):
+                raise ValueError(f"VALUES arity mismatch: {row} vs columns {cols_l}")
+            if any(v is None for v in row):
+                raise ValueError("nil is not allowed in VALUES bindings; use UNDEF")
+            norm.append(row)
+        return replace(self, values=self.values + ((tuple(cols_l), tuple(norm)),))
+
+    # -- execution ----------------------------------------------------------
+    def __call__(self, ds=None):
+        if ds is None:
+            return self  # partial application
+        for col, value in self.bindings:
+            v = value
+
+            def bind_f(tb: pa.Table, c=col, vv=v) -> pa.Table:
+                return tb.filter(pc.equal(tb.column(c), vv))
+
+            ds = ds.map_batches(bind_f, batch_format="pyarrow", zero_copy_batch=True)
+        for cols, rows in self.values:
+            ds = _apply_values(ds, cols, rows)
+        ds = self.build(ds)
+        if self.offset or self.limit is not None:
+            n_need = (self.offset or 0) + (self.limit if self.limit is not None else 0)
+            if self.limit is not None:
+                ds = ds.limit(n_need)
+            if self.offset:
+                off = self.offset
+
+                # offset = skip first N rows of the (bounded) stream
+                tb = _collect(ds)
+                return tb.slice(off)
+        return ds
+
+
+def _apply_values(ds, cols, rows):
+    """Broadcast semi-join with UNDEF wildcard support."""
+    exact = [r for r in rows if UNDEF not in r]
+    wilds = [r for r in rows if UNDEF in r]
+
+    def f(tb: pa.Table) -> pa.Table:
+        mask = None
+        if exact:
+            key = pc.binary_join_element_wise(*[pc.cast(tb.column(c), pa.string()) for c in cols], "\x00")
+            want = pa.array(["\x00".join(str(v) for v in r) for r in exact])
+            mask = pc.is_in(key, value_set=want)
+        for r in wilds:
+            m = None
+            for c, v in zip(cols, r):
+                if v is UNDEF:
+                    continue
+                e = pc.equal(pc.cast(tb.column(c), pa.string()), str(v))
+                m = e if m is None else pc.and_(m, e)
+            if m is None:  # all-UNDEF row matches everything
+                m = pa.array([True] * tb.num_rows)
+            mask = m if mask is None else pc.or_(mask, m)
+        return tb.filter(mask) if mask is not None else tb
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tbs = [ray.get(r) for r in ds.to_arrow_refs()]
+    return pa.concat_tables(tbs, promote_options="permissive") if tbs else pa.table({})

@@ -663,6 +663,59 @@ SQL_DERIVE_RETAIL_CENTS = """
 SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents FROM part
 """
 
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (30-min gaps) — windowed custom
+    operator; shuffle on user_id only, per-group local sort."""
+    from ..stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, count(*) AS n_events,
+       1 + sum(new_sess) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_hourly_events(sf_dir: str):
+    """Tumbling event-time window: counts + value cents per hour."""
+    from ..stages.windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = tumbling_counts(ds, "ts", value_col="value")
+    return _fixed_point(out, ["sum_value_cents"])
+
+
+SQL_HOURLY_EVENTS = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF (kmeans coarse quantizer) ANN variant — rows-only check; recall
+    vs the brute-force oracle is asserted in tests."""
+    from ..stages.similarity import ivf_topk
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"vec_id": tb.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -699,6 +752,9 @@ QUERIES = {
     "media_features": q_media_features,
     "melt_part": q_melt_part,
     "derive_retail_cents": q_derive_retail_cents,
+    "sessionize": q_sessionize,
+    "hourly_events": q_hourly_events,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLE_SQL = {
@@ -726,6 +782,8 @@ ORACLE_SQL = {
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,
     "melt_part": SQL_MELT_PART,
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
+    "sessionize": SQL_SESSIONIZE,
+    "hourly_events": SQL_HOURLY_EVENTS,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

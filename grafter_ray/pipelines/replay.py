@@ -359,8 +359,18 @@ class CDCLake:
                     _route_to_actors(compact, handles, W, "add_meta")
                 return pa.table({"n": pa.array([compact.num_rows], pa.int64())})
 
+            # cap concurrent scan/route tasks: on one node, beyond ~14-16
+            # concurrent producers the shared object store becomes the
+            # bottleneck and extra tasks only add contention (measured at
+            # 32 CPUs: uncapped ~500k events/s, capped at 14 → 930k).
+            # On a multi-node cluster raise via GRAFT_ROUTER_CAP (the
+            # store is per-node there; ~14/node is the analogous rule).
+            cap = os.environ.get("GRAFT_ROUTER_CAP")
+            route_cap = int(cap) if cap else max(1, min(ncpu - W, 14))
+            route_kwargs = {"concurrency": route_cap}
+
             self._dataset(binlog, lo, hi, columns=META_COLS).map_batches(
-                combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+                combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
             ).count()
 
             plans = ray.get([h.plan.remote() for h in handles])
@@ -382,7 +392,7 @@ class CDCLake:
                     return pa.table({"n": pa.array([tb.num_rows], pa.int64())})
 
                 self._dataset(binlog, lo, hi).map_batches(
-                    fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+                    fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                 ).count()
 
             stats_tables = ray.get([h.finalize.remote() for h in handles])

@@ -122,10 +122,34 @@ def write_nquads(ds, path: str) -> None:
     )
 
 
+def write_ntriples(ds, path: str) -> None:
+    """N-Triples writer: a TRIPLE format — the graph slot is dropped
+    (reference: graph override honored only for quad-capable formats
+    NQUADS/TRIX/TRIG, io.clj:584-586,615-618)."""
+
+    def drop_graph(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index("c")
+        return tb.set_column(i, "c", pa.nulls(tb.num_rows, pa.string()))
+
+    write_nquads(ds.map_batches(drop_graph, batch_format="pyarrow", zero_copy_batch=True), path)
+
+
+def read_csv_source(path: str):
+    import ray.data as rd
+
+    return rd.read_csv(path)
+
+
+def read_json_source(path: str):
+    import ray.data as rd
+
+    return rd.read_json(path)
+
+
 # format registry (≡ ->rdf-format multimethod, formats.clj:35-147) ----------
 
-FORMAT_READERS = {".nq": read_nquads, ".nt": read_nquads}
-FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_nquads}
+FORMAT_READERS = {".nq": read_nquads, ".nt": read_nquads, ".csv": read_csv_source, ".json": read_json_source}
+FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_ntriples}
 
 
 def register_format(suffix: str, reader=None, writer=None) -> None:

@@ -155,3 +155,59 @@ def cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: s
     return ds.map_batches(
         PairBlock, fn_constructor_args=(box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
+
+
+class IVFIndex:
+    """Deterministic IVF coarse quantizer (kmeans-lite, cosine metric).
+
+    Centroids are trained on a driver-side sample with deterministic
+    init (evenly-spaced sample rows), broadcast once; each batch assigns
+    rows to its nearest centroid and only the probed clusters are
+    scanned at query time — the classic ANN scale path next to the
+    hyperplane-LSH variant."""
+
+    def __init__(self, n_clusters: int = 16, iters: int = 8):
+        self.n_clusters = n_clusters
+        self.iters = iters
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        m = _normalize(sample.astype(np.float64))
+        idx = np.linspace(0, len(m) - 1, self.n_clusters).astype(np.int64)
+        cent = m[idx].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(m @ cent.T, axis=1)
+            for c in range(self.n_clusters):
+                members = m[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
+        self.centroids = cent
+        return self
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(m.astype(np.float64)) @ self.centroids.T, axis=1)
+
+    def probes(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = (_normalize(q.reshape(1, -1).astype(np.float64)) @ self.centroids.T).ravel()
+        return np.argsort(-sims)[:nprobe]
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding", train_rows: int = 4096):
+    """IVF ANN top-k: train the quantizer on a bounded sample, probe the
+    query's nprobe nearest clusters, brute-force only inside them."""
+    sample_tb = ds.limit(train_rows).select_columns([vec_col]).take_batch(train_rows, batch_format="pyarrow")
+    index = IVFIndex(n_clusters=n_clusters).fit(_matrix(sample_tb.column(vec_col), dtype=np.float64))
+    probe_set = set(int(p) for p in index.probes(np.asarray(query, np.float64), nprobe))
+    box = {"ref": ray.put(index)}
+
+    def cluster_filter(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = ray.get(box["ref"])
+        assign = idx.assign(_matrix(tb.column(vec_col), dtype=np.float64))
+        mask = np.isin(assign, list(probe_set))
+        return tb.filter(pa.array(mask))
+
+    survivors = ds.map_batches(cluster_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_topk(survivors, query, k=k, id_col=id_col, vec_col=vec_col)

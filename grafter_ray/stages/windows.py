@@ -1,0 +1,55 @@
+"""Event-time window operators — beyond the reference's pull-streaming
+model (it has no windows, SURVEY.md §2.9); these are the windowed
+aggregates a training-data/event pipeline needs.
+
+- tumbling_counts: fixed-width event-time buckets — stateless, purely a
+  bucket-key grouped aggregate (no ordering assumption).
+- sessionize: gap-based sessions per key. Ordering exists only WITHIN a
+  key's group (sort inside map_groups) — never a global sort, matching
+  the engine's ordering doctrine (commit order within key only,
+  SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_counts(ds, ts_col: str, fmt: str = "%Y-%m-%d %H", value_col: str | None = None):
+    """Events per fixed event-time bucket (string-keyed: hash-stable)."""
+    from ..pipelines.relational import grouped_agg
+
+    def bucket(tb: pa.Table) -> pa.Table:
+        cols = {"bucket": pc.strftime(tb.column(ts_col), format=fmt)}
+        if value_col:
+            cols[value_col] = tb.column(value_col)
+        return pa.table(cols)
+
+    specs = [("n_events", None, "count")]
+    if value_col:
+        specs.append((f"sum_{value_col}_cents", value_col, "sum"))
+    out = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(out, ["bucket"], specs)
+
+
+def sessionize(ds, key_col: str, ts_col: str, seq_col: str, gap_seconds: int = 1800):
+    """Per-key gap-based sessions → (key, n_events, n_sessions).
+
+    Shuffle on key only; each group is sorted locally by (ts, seq) and
+    scanned vectorized (np.diff on the timestamp array)."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (seq_col, "ascending")])
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        gaps = int((np.diff(ts) > gap_seconds * 1_000_000).sum()) if len(ts) > 1 else 0
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "n_sessions": pa.array([gaps + 1], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -1,0 +1,68 @@
+"""Parameterized-pipeline surface (reference sparql.clj semantics):
+limit/offset rewriting, VALUES splicing with UNDEF, binding pushdown,
+partial application, strip-comments."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.pipelines.params import UNDEF, ParameterizedPipeline, strip_comments
+
+
+def _ds():
+    return rd.from_arrow(
+        pa.table({"s": ["a", "b", "c", "d"], "p": ["x", "y", "x", "z"], "n": [1, 2, 3, 4]})
+    )
+
+
+def test_partial_application():
+    # sparql.clj:249-259: omitting the repo returns a reusable partial
+    p = ParameterizedPipeline().with_limit(2)
+    again = p()  # no source → itself
+    assert isinstance(again, ParameterizedPipeline)
+    out = again(_ds().sort("n"))
+    assert out.count() == 2
+
+
+def test_limit_offset_rewrite():
+    # sparql_test.clj:85-95: limit 2 → 2 rows; offset 1 keeps the rest
+    p = ParameterizedPipeline(build=lambda ds: ds.sort("n"))
+    assert p.with_limit(2)(_ds()).count() == 2
+    got = p.with_limit(2).with_offset(1)(_ds())
+    assert got.column("n").to_pylist() == [2, 3]
+    got2 = p.with_offset(3)(_ds())
+    assert got2.column("n").to_pylist() == [4]
+
+
+def test_values_one_col():
+    p = ParameterizedPipeline().with_values("p", ["x"])
+    out = p(_ds()).to_pandas()
+    assert sorted(out["s"]) == ["a", "c"]
+
+
+def test_values_n_col_with_undef():
+    # (?s ?p) { ('a' 'x') (UNDEF 'y') } — UNDEF matches any subject
+    p = ParameterizedPipeline().with_values(["s", "p"], [("a", "x"), (UNDEF, "y")])
+    out = p(_ds()).to_pandas()
+    assert sorted(out["s"]) == ["a", "b"]
+
+
+def test_values_arity_and_nil_errors():
+    with pytest.raises(ValueError, match="arity"):
+        ParameterizedPipeline().with_values(["s", "p"], [("a",)])
+    with pytest.raises(ValueError, match="nil"):
+        ParameterizedPipeline().with_values("s", [None])
+
+
+def test_binding_pushdown():
+    p = ParameterizedPipeline().with_binding("p", "x")
+    assert p(_ds()).count() == 2
+
+
+def test_strip_comments_not_inside_iris():
+    # sparql_test.clj:103-114: '#' inside <...> is part of the IRI
+    text = "SELECT * { ?s <http://ex/frag#part> ?o } # trailing comment\n# full line"
+    out = strip_comments(text)
+    assert "frag#part" in out
+    assert "trailing" not in out
+    assert "full line" not in out

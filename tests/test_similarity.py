@@ -1,0 +1,49 @@
+"""ANN variants: brute-force baseline + LSH and IVF recall."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.similarity import brute_topk, ivf_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def query():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float32)
+
+
+def _ids(ds):
+    return [r["vec_id"] for r in ds.take_all()]
+
+
+def test_brute_topk_deterministic(emb_ds, query):
+    a = _ids(brute_topk(emb_ds, query, k=10))
+    b = _ids(brute_topk(emb_ds, query, k=10))
+    assert a == b
+    assert a[0] == 0  # the query vector itself (cosine 1.0)
+
+
+def test_lsh_recall_vs_brute(emb_ds, query):
+    truth = set(_ids(brute_topk(emb_ds, query, k=10)))
+    got = set(_ids(lsh_topk(emb_ds, query, k=10, nbits=6, probe_hamming=2)))
+    # multi-probe LSH is approximate: require decent overlap incl. the
+    # exact self-match
+    assert 0 in got
+    assert len(truth & got) >= 5
+
+
+def test_ivf_recall_vs_brute(emb_ds, query):
+    truth = set(_ids(brute_topk(emb_ds, query, k=10)))
+    got = set(_ids(ivf_topk(emb_ds, query, k=10, n_clusters=8, nprobe=4)))
+    assert 0 in got
+    assert len(truth & got) >= 5

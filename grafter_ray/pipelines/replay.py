@@ -433,8 +433,26 @@ class CDCLake:
         return manifest
 
     # -- read --------------------------------------------------------------
-    def files(self) -> list[str]:
-        m = self.manifest
+    def manifest_at(self, version: int | None = None) -> dict | None:
+        """Time-travel: the manifest of an older committed version (the
+        as-of read path of SURVEY.md §2.4 — every manifest is retained,
+        so 'state as of watermark w' is the manifest whose window covered
+        w). None → latest."""
+        if version is None:
+            return self.manifest
+        return self.log.read(version)
+
+    def as_of_lsn(self, lsn: int) -> dict | None:
+        """Latest committed version whose watermark ≤ lsn."""
+        best = None
+        for v in self.log.versions():
+            m = self.log.read(v)
+            if m["watermark_lsn"] <= lsn:
+                best = m
+        return best
+
+    def files(self, version: int | None = None) -> list[str]:
+        m = self.manifest_at(version)
         if not m:
             return []
         return [os.path.join(self.log.data_dir, e["file"]) for e in m["partitions"].values()]
@@ -456,12 +474,15 @@ class CDCLake:
             )
         return ds
 
-    def read_table(self, view: bool = True) -> pa.Table:
-        """Driver-side full read — small/test scales only."""
-        files = self.files()
+    def read_table(self, view: bool = True, version: int | None = None) -> pa.Table:
+        """Driver-side full read — small/test scales only. `version` pins
+        an older committed manifest (time travel)."""
+        files = self.files(version)
         if not files:
             tb = LAKE.empty_table()
         else:
             tb = pa.concat_tables([pq.read_table(f) for f in files])
         tb = tb.sort_by([("repo", "ascending"), ("path", "ascending")])
-        return apply_view(tb, self.schema_version) if view else tb
+        m = self.manifest_at(version)
+        sv = m["schema_version"] if m else 0
+        return apply_view(tb, sv) if view else tb

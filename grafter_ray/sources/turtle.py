@@ -1,0 +1,87 @@
+"""Turtle-lite writer with prefix compaction — the reference's
+`rdf-writer` prefix support (`write-prefixes` header rows written before
+statements, io.clj:500-582; exact-output semantics tested at
+io_test.clj:284-315).
+
+Writer only (the engine's parse formats are the splittable line formats);
+per-block serialization keeps it streaming. Prefixes are compacted
+longest-match-first; subjects grouped within a block."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .nquads import _escape
+
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def _compact(iri: str, prefixes: list[tuple[str, str]]) -> str:
+    for name, base in prefixes:
+        if iri.startswith(base):
+            local = iri[len(base):]
+            if local and all(c.isalnum() or c in "_-" for c in local):
+                return f"{name}:{local}"
+    return f"<{iri}>"
+
+
+def prefix_header(prefixes: dict[str, str]) -> str:
+    """write-prefixes: the @prefix block (io.clj:500-511)."""
+    return "".join(f"@prefix {k}: <{v}> .\n" for k, v in sorted(prefixes.items()))
+
+
+def quads_to_turtle(tb: pa.Table, prefixes: dict[str, str] | None = None, include_header: bool = True) -> str:
+    """QUAD table → Turtle text (graph slot ignored: Turtle is a triple
+    format, io.clj:584-586). Subject-grouped with `;` continuation."""
+    prefixes = prefixes if prefixes is not None else DEFAULT_PREFIXES
+    plist = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
+    out = [prefix_header(prefixes), "\n"] if include_header and prefixes else []
+    rows = list(
+        zip(
+            tb.column("s").to_pylist(),
+            tb.column("p").to_pylist(),
+            tb.column("o_kind").to_pylist(),
+            tb.column("o_value").to_pylist(),
+            tb.column("o_datatype").to_pylist(),
+            tb.column("o_lang").to_pylist(),
+        )
+    )
+    last_s = None
+    for s, p, kind, val, dt, lang in rows:
+        if kind == "iri":
+            o = _compact(val, plist)
+        elif kind == "bnode":
+            o = val if val.startswith("_:") else f"_:{val}"
+        else:
+            o = f'"{_escape(val)}"'
+            if lang:
+                o += f"@{lang}"
+            elif dt and dt != "http://www.w3.org/2001/XMLSchema#string":
+                o += f"^^{_compact(dt, plist)}"
+        s_t = s if s.startswith("_:") else _compact(s, plist)
+        p_t = _compact(p, plist)
+        if s == last_s:
+            out[-1] = out[-1][:-3] + " ;\n"  # replace terminator
+            out.append(f"    {p_t} {o} .\n")
+        else:
+            out.append(f"{s_t} {p_t} {o} .\n")
+        last_s = s
+    return "".join(out)
+
+
+def write_turtle(ds, path: str, prefixes: dict[str, str] | None = None) -> None:
+    """Streaming Turtle sink: header + per-block serialized text."""
+
+    def ser(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": [quads_to_turtle(tb, prefixes, include_header=False)]})
+
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "prefixes.ttl"), "w") as f:
+        f.write(prefix_header(prefixes if prefixes is not None else DEFAULT_PREFIXES))
+    ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True).write_csv(path, include_header=False)

@@ -218,3 +218,49 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# --- clustering -------------------------------------------------------------
+
+def pair_clusters(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = min member id. Driver-side union-find:
+    the PAIR set is small even when the corpus is huge (it's the output
+    of LSH banding), so this is not a distributed step — document's the
+    canonical dedup shape: distributed candidate generation, tiny global
+    clustering."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column(id_a).to_pylist(), pairs.column(id_b).to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
+def dedup_survivors(ds, pairs: pa.Table, id_col: str = "doc_id"):
+    """Drop every clustered doc except its cluster representative (min id)
+    — broadcast the (small) doomed-id set, anti-filter the stream."""
+    clusters = pair_clusters(pairs)
+    doomed = clusters.filter(
+        pc.not_equal(clusters.column("doc_id"), clusters.column("cluster_id"))
+    ).column("doc_id")
+
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.invert(pc.is_in(tb.column(id_col), value_set=doomed.combine_chunks())))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

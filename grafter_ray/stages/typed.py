@@ -1,0 +1,65 @@
+"""Vectorized typed-literal column conversion — the batch-level face of
+functions/literals.py (SURVEY.md §2.2: `backend-literal->grafter-type` as
+"vectorized pc.cast / format-specific parse kernels in map_batches").
+
+`typed_values(tb)` splits a quad batch's (o_value, o_datatype) pairs into
+typed columns using Arrow casts for the common XSD types; edge lexicals
+the cast rejects (INF/NaN, hour-24 times, zoned dates) fall back to the
+row kernels in functions/literals.py. Unknown datatypes stay lexical
+(the :default passthrough, io.clj:176-181)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.literals import XSD, parse_literal
+
+_INT_TYPES = {XSD + n for n in ["byte", "short", "int", "long", "integer"]}
+_FLOAT_TYPES = {XSD + "float", XSD + "double"}
+
+
+def _masked_cast(values: pa.Array, mask: pa.Array, target: pa.DataType, fallback_dt: str):
+    """Cast values[mask] to target; Arrow-rejected lexicals (INF, etc.)
+    retried through the python kernel row-wise."""
+    sel = pc.if_else(mask, values, pa.scalar(None, pa.string()))
+    try:
+        return pc.cast(sel, target)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        out = []
+        for v, m in zip(sel.to_pylist(), mask.to_pylist()):
+            if not m or v is None:
+                out.append(None)
+            else:
+                try:
+                    out.append(pc.cast(pa.array([v]), target)[0].as_py())
+                except pa.ArrowInvalid:
+                    parsed = parse_literal(v, fallback_dt)
+                    out.append(parsed if isinstance(parsed, (int, float)) else None)
+        return pa.array(out, target)
+
+
+def typed_values(tb: pa.Table, value_col: str = "o_value", dt_col: str = "o_datatype") -> pa.Table:
+    """Append typed columns: v_int (int64), v_float (float64), v_bool,
+    v_str — each non-null only where the datatype matches."""
+    values = tb.column(value_col)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    dts = tb.column(dt_col)
+    dt_np = np.asarray(dts.to_pylist(), dtype=object)
+
+    int_mask = pa.array(np.isin(dt_np, list(_INT_TYPES)))
+    float_mask = pa.array(np.isin(dt_np, list(_FLOAT_TYPES)))
+    bool_mask = pa.array(dt_np == XSD + "boolean")
+    str_mask = pa.array(dt_np == XSD + "string")
+
+    out = tb
+    out = out.append_column("v_int", _masked_cast(values, int_mask, pa.int64(), XSD + "integer"))
+    out = out.append_column("v_float", _masked_cast(values, float_mask, pa.float64(), XSD + "double"))
+    # boolean lexicals: true/false/1/0
+    bvals = pc.if_else(bool_mask, values, pa.scalar(None, pa.string()))
+    bools = pc.or_(pc.equal(bvals, "true"), pc.equal(bvals, "1"))
+    out = out.append_column("v_bool", pc.if_else(pc.is_null(bvals), pa.scalar(None, pa.bool_()), bools))
+    out = out.append_column("v_str", pc.if_else(str_mask, values, pa.scalar(None, pa.string())))
+    return out

@@ -124,3 +124,20 @@ def test_at_least_once_duplicate_delivery(tmp_path, binlog):
     doubled = pa.concat_tables([binlog, binlog])
     lake.apply(rd.from_arrow(doubled))
     _assert_same_state(lake, binlog)
+
+
+def test_time_travel_read(tmp_path, binlog):
+    """as-of / time-travel reads (SURVEY.md §2.4): every committed manifest
+    stays readable; state at version v equals the oracle replay of its
+    LSN prefix."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), window_size=2_000)
+    assert lake.manifest["version"] >= 1
+    got_v0 = lake.read_table(view=False, version=0)
+    want_v0, _ = oracle_lake_table(binlog, upto_lsn=1_999)
+    assert got_v0.column("content_sha").to_pylist() == want_v0.column("content_sha").to_pylist()
+    # as_of_lsn picks the right manifest
+    m = lake.as_of_lsn(1_999)
+    assert m["version"] == 0
+    # latest still equals the full oracle
+    _assert_same_state(lake, binlog)

@@ -85,3 +85,51 @@ def test_inference_derives_supertypes():
     store = QuadStore(out)
     types = set(store.match(s="http://ex/rex", p=RDF_TYPE).to_pandas()["o_value"])
     assert types == {"http://ex/Dog", "http://ex/Mammal", "http://ex/Animal"}
+
+
+# --- typed literal batch stage / turtle writer / dedup clustering -----------
+
+
+def test_typed_values_vectorized():
+    from grafter_ray.stages.typed import typed_values
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    tb = pa.table(
+        {
+            "o_value": ["42", "INF", "true", "hi", "zzz"],
+            "o_datatype": [XSD + "integer", XSD + "double", XSD + "boolean", XSD + "string", "http://custom"],
+        }
+    )
+    out = typed_values(tb)
+    assert out.column("v_int").to_pylist() == [42, None, None, None, None]
+    v = out.column("v_float").to_pylist()
+    assert v[1] == float("inf") and v[0] is None
+    assert out.column("v_bool").to_pylist() == [None, None, True, None, None]
+    assert out.column("v_str").to_pylist() == [None, None, None, "hi", None]
+
+
+def test_turtle_writer_prefixes_golden():
+    # write-prefixes header + compaction (io_test.clj:284-315 shape)
+    from grafter_ray.pipelines.templater import quads_to_table, triplify
+    from grafter_ray.sources.turtle import quads_to_turtle
+
+    quads = quads_to_table(
+        triplify(
+            ["http://www.w3.org/2000/01/rdf-schema#x", ("http://ex/p", 5)],
+        )
+    )
+    text = quads_to_turtle(quads, {"rdfs": "http://www.w3.org/2000/01/rdf-schema#", "xsd": "http://www.w3.org/2001/XMLSchema#"})
+    assert text.startswith("@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n")
+    assert 'rdfs:x <http://ex/p> "5"^^xsd:integer .' in text
+
+
+def test_pair_clusters_and_survivors():
+    from grafter_ray.stages.dedup import dedup_survivors, pair_clusters
+
+    pairs = pa.table({"id_a": pa.array([1, 2, 7], pa.int64()), "id_b": pa.array([2, 3, 9], pa.int64())})
+    clusters = pair_clusters(pairs)
+    got = dict(zip(clusters.column("doc_id").to_pylist(), clusters.column("cluster_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 7, 9, 100], pa.int64())}))
+    kept = sorted(r["doc_id"] for r in dedup_survivors(ds, pairs).take_all())
+    assert kept == [1, 7, 100]

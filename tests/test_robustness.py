@@ -1,0 +1,64 @@
+"""Engine robustness: very wide rows (multi-MB content) and pathological
+key skew (SURVEY.md §7.4 items 4-5)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+from grafter_ray.fixtures import binlog_batch
+
+
+def test_wide_rows_multi_mb_content(tmp_path):
+    """A few multi-MB content rows must replay sha-exact (large payloads
+    ride pass 2 only, straight to their partition writer)."""
+    cfg = BinlogConfig(n_events=300, n_keys=40, n_repos=5, schema_every=1_000, body_reps_max=0)
+    tb = binlog_table(cfg)
+    # inflate 3 upsert rows to ~3 MB each
+    content = tb.column("content").to_pylist()
+    inflated = 0
+    for i in reversed(range(len(content))):  # last upserts = LWW winners
+        if content[i] is not None and inflated < 3:
+            content[i] = content[i] + ("x" * 3_000_000)
+            inflated += 1
+    tb = tb.set_column(tb.schema.get_field_index("content"), "content", pa.array(content))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(tb))
+    got = lake.read_table(view=False)
+    want, _ = oracle_lake_table(tb)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert max(len(c) for c in got.column("content").to_pylist()) > 3_000_000
+
+
+def test_single_hot_key_skew(tmp_path):
+    """90% of events hitting ONE key: map-side LWW combine must collapse
+    the hot key per block, and the final state is still oracle-exact."""
+    cfg = BinlogConfig(n_events=4_000, n_keys=100, n_repos=5, schema_every=10_000)
+    tb = binlog_table(cfg)
+    # redirect 90% of rows to a single hot key
+    n = tb.num_rows
+    hot = np.arange(n) % 10 != 0
+    repo = np.where(hot, "org0/hotrepo", np.asarray(tb.column("repo").to_pylist(), dtype=object))
+    path = np.where(hot, "src/hot/file.py", np.asarray(tb.column("path").to_pylist(), dtype=object))
+    tb = tb.set_column(tb.schema.get_field_index("repo"), "repo", pa.array(repo.tolist(), pa.string()))
+    tb = tb.set_column(tb.schema.get_field_index("path"), "path", pa.array(path.tolist(), pa.string()))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(tb))
+    got = lake.read_table(view=False)
+    want, _ = oracle_lake_table(tb)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+
+def test_binlog_batch_arbitrary_order():
+    """Events generated/applied in arbitrary LSN order converge identically
+    (ordering comes only from per-key LSN comparison)."""
+    cfg = BinlogConfig(n_events=2_000, n_keys=100, n_repos=5, schema_every=500)
+    fwd = binlog_table(cfg)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(cfg.n_events)
+    shuffled = binlog_batch(perm.astype(np.int64), cfg)
+    w_f, v_f = oracle_lake_table(fwd)
+    w_s, v_s = oracle_lake_table(shuffled)
+    assert v_f == v_s
+    assert w_f.column("content_sha").to_pylist() == w_s.column("content_sha").to_pylist()

@@ -432,6 +432,55 @@ class CDCLake:
         self.log.commit(manifest)
         return manifest
 
+    def tail(
+        self,
+        binlog_path: str,
+        *,
+        poll_interval_s: float = 2.0,
+        max_polls: int | None = None,
+        window_size: int | None = None,
+        concurrency: int | None = None,
+    ):
+        """Continuous ingest — tail a growing binlog directory (the north
+        rule's 'binlog/WAL tail'): each poll applies any events beyond the
+        committed watermark as one (or windowed) exactly-once commit(s),
+        then sleeps. Yields the manifest after each poll that advanced the
+        watermark; `max_polls` bounds the loop for tests/batch use."""
+        import time as _time
+
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            polls += 1
+            try:
+                hi = int(self._dataset(binlog_path).max("lsn"))
+            except Exception:
+                hi = None  # no files yet
+            if hi is not None and hi > self.watermark:
+                yield self.apply(binlog_path, upto_lsn=hi, window_size=window_size, concurrency=concurrency)
+            if max_polls is None or polls < max_polls:
+                _time.sleep(poll_interval_s)
+
+    def vacuum(self, keep_versions: int = 2) -> int:
+        """Delete data files referenced only by manifests older than the
+        last `keep_versions` committed versions (bounded time travel —
+        Delta-style VACUUM). Returns the number of files removed."""
+        versions = self.log.versions()
+        keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
+        live: set[str] = set()
+        for v in keep:
+            m = self.log.read(v)
+            live |= {e["file"] for e in m["partitions"].values()}
+        removed = 0
+        for f in os.listdir(self.log.data_dir):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(self.log.data_dir, f))
+                removed += 1
+        # drop manifests older than the horizon so reads can't dangle
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
+        return removed
+
     # -- read --------------------------------------------------------------
     def manifest_at(self, version: int | None = None) -> dict | None:
         """Time-travel: the manifest of an older committed version (the

@@ -141,3 +141,31 @@ def test_time_travel_read(tmp_path, binlog):
     assert m["version"] == 0
     # latest still equals the full oracle
     _assert_same_state(lake, binlog)
+
+
+def test_tail_and_vacuum(tmp_path, binlog):
+    """Binlog tail: events appended between polls are applied exactly-once;
+    vacuum drops files beyond the time-travel horizon."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "binlog")
+    os.makedirs(src)
+    pq.write_table(binlog.slice(0, 2_000), f"{src}/seg0.parquet")
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    tailer = lake.tail(src, poll_interval_s=0.01, max_polls=3)
+    m1 = next(tailer)
+    assert m1["watermark_lsn"] == 1_999
+    _assert_same_state(lake, binlog, upto=1_999)
+    # append a segment; next poll picks it up
+    pq.write_table(binlog.slice(2_000), f"{src}/seg1.parquet")
+    m2 = next(tailer)
+    assert m2["watermark_lsn"] == CFG.n_events - 1
+    _assert_same_state(lake, binlog)
+    # vacuum to the latest version only; state unchanged, old files gone
+    n_files_before = len(os.listdir(lake.log.data_dir))
+    removed = lake.vacuum(keep_versions=1)
+    assert removed > 0
+    assert len(os.listdir(lake.log.data_dir)) == n_files_before - removed
+    _assert_same_state(lake, binlog)

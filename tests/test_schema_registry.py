@@ -1,0 +1,67 @@
+"""Schema-registry fold/view semantics (grafter column-derivation rules
+as mid-stream evolution — state/schema_registry.py)."""
+
+import pyarrow as pa
+
+from grafter_ray.state.schema_registry import apply_view, op_for_version, resolve_plan
+
+
+def _base():
+    return pa.table(
+        {
+            "repo": ["org1/r", "org2/s"],
+            "path": ["a.py", "b.rs"],
+            "commit": ["c1", "c2"],
+            "lang": ["python", "rust"],
+            "content": ["x\ny\n", "z"],
+        }
+    )
+
+
+def test_op_sequence_deterministic():
+    ops = [op_for_version(k) for k in range(1, 7)]
+    kinds = [o["op"] for o in ops]
+    assert kinds == ["add", "rename", "cast", "add", "rename", "cast"]
+    # generator and engine share this table — same call, same op
+    assert op_for_version(3) == op_for_version(3)
+
+
+def test_rename_chain_folds():
+    # v2 renames lang→language; v5 renames language→lang (toggle back):
+    # the fold must collapse the chain to identity
+    p2 = resolve_plan(2)
+    assert p2["renames"] == {"lang": "language"}
+    p5 = resolve_plan(5)
+    assert p5["renames"] == {}
+
+
+def test_view_v1_adds_content_len():
+    out = apply_view(_base(), 1)
+    assert "content_len" in out.column_names
+    assert out.column("content_len").to_pylist() == [4, 1]
+
+
+def test_view_v3_casts_added_column():
+    out = apply_view(_base(), 3)
+    assert out.schema.field("content_len").type == pa.int64()
+
+
+def test_view_v4_and_v6_more_derivations():
+    out4 = apply_view(_base(), 4)
+    assert out4.column("n_lines").to_pylist() == [3, 1]
+    assert "language" in out4.column_names and "lang" not in out4.column_names
+    out6 = apply_view(_base(), 6)
+    assert out6.schema.field("n_lines").type == pa.int64()
+    assert "lang" in out6.column_names  # rename toggled back at v5
+
+
+def test_view_idempotent_columns():
+    # applying the view never duplicates already-present derived columns
+    tb = apply_view(_base(), 1)
+    again = apply_view(tb, 1)
+    assert again.column_names.count("content_len") == 1
+
+
+def test_org_derivation():
+    out = apply_view(_base(), 7)  # v7 = add org
+    assert out.column("org").to_pylist() == ["org1", "org2"]

@@ -716,6 +716,118 @@ def q_ann_ivf(sf_dir: str):
 
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
+
+def q_cdc_replay_docs(sf_dir: str):
+    """THE ENGINE, oracle-checked: a binlog derived deterministically from
+    the documents table (upsert per doc; delete for doc_id%7==0; a later
+    update wave rewriting doc_id%5==0 with ' v2' content) is replayed
+    through CDCLake; the converged lake state has a closed-form SQL
+    oracle (DuckDB sha256). Exercises LWW, deletes, delete-then-recreate
+    and per-row sha256 convergence end-to-end under the driver's gate."""
+    import hashlib
+    import tempfile
+
+    from .. import CDCLake
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+
+    def to_events(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        repo = pc.binary_join_element_wise("repo/", tb.column("source"), "")
+        path = pc.binary_join_element_wise("doc/", pc.cast(tb.column("doc_id"), pa.string()), ".txt", "")
+
+        def commit_of(texts):
+            return pa.array([hashlib.sha256(t.encode()).hexdigest()[:16] for t in texts])
+
+        pieces = []
+        # base upserts at lsn = 2*doc_id
+        pieces.append(
+            pa.table(
+                {
+                    "lsn": pa.array(ids * 2, pa.int64()),
+                    "op": pa.array(["upsert"] * n),
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit_of(tb.column("text").to_pylist()),
+                    "lang": tb.column("lang"),
+                    "content": tb.column("text"),
+                    "schema_version": pa.array(np.zeros(n, np.int32)),
+                }
+            )
+        )
+        # deletes at lsn = 2*doc_id + 1 for doc_id % 7 == 0
+        dmask = ids % 7 == 0
+        dsel = pa.array(dmask)
+        dtb = tb.filter(dsel)
+        nd = dtb.num_rows
+        if nd:
+            pieces.append(
+                pa.table(
+                    {
+                        "lsn": pa.array(ids[dmask] * 2 + 1, pa.int64()),
+                        "op": pa.array(["delete"] * nd),
+                        "repo": pc.binary_join_element_wise("repo/", dtb.column("source"), ""),
+                        "path": pc.binary_join_element_wise("doc/", pc.cast(dtb.column("doc_id"), pa.string()), ".txt", ""),
+                        "commit": pa.nulls(nd, pa.string()),
+                        "lang": pa.nulls(nd, pa.string()),
+                        "content": pa.nulls(nd, pa.string()),
+                        "schema_version": pa.array(np.zeros(nd, np.int32)),
+                    }
+                )
+            )
+        # update wave at lsn = 2*n_docs + doc_id for doc_id % 5 == 0
+        umask = ids % 5 == 0
+        utb = tb.filter(pa.array(umask))
+        nu = utb.num_rows
+        if nu:
+            v2 = pc.binary_join_element_wise(utb.column("text"), " v2", "")
+            pieces.append(
+                pa.table(
+                    {
+                        "lsn": pa.array(ids[umask] + 2 * n_docs, pa.int64()),
+                        "op": pa.array(["upsert"] * nu),
+                        "repo": pc.binary_join_element_wise("repo/", utb.column("source"), ""),
+                        "path": pc.binary_join_element_wise("doc/", pc.cast(utb.column("doc_id"), pa.string()), ".txt", ""),
+                        "commit": commit_of(v2.to_pylist()),
+                        "lang": utb.column("lang"),
+                        "content": v2,
+                        "schema_version": pa.array(np.zeros(nu, np.int32)),
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    binlog = docs.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_CDC_REPLAY_DOCS = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), 1, 16) AS commit_id,
+       lang,
+       sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content_sha,
+       CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END AS last_lsn
+FROM documents
+WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -755,6 +867,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "hourly_events": q_hourly_events,
     "ann_ivf": q_ann_ivf,
+    "cdc_replay_docs": q_cdc_replay_docs,
 }
 
 ORACLE_SQL = {
@@ -784,6 +897,7 @@ ORACLE_SQL = {
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     "sessionize": SQL_SESSIONIZE,
     "hourly_events": SQL_HOURLY_EVENTS,
+    "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

@@ -324,6 +324,16 @@ class CDCLake:
         return ds
 
     def _apply_window(self, binlog, lo: int, hi: int, batch_size: int, concurrency) -> dict:
+        import sys
+        import time as _t
+
+        timing = os.environ.get("GRAFT_TIMING") == "1"
+        marks: list[tuple[str, float]] = [("start", _t.perf_counter())]
+
+        def _mark(name: str) -> None:
+            if timing:
+                marks.append((name, _t.perf_counter()))
+
         prev = self.manifest
         version = (prev["version"] + 1) if prev else 0
         prev_parts: dict = dict(prev["partitions"]) if prev else {}
@@ -372,11 +382,13 @@ class CDCLake:
             self._dataset(binlog, lo, hi, columns=META_COLS).map_batches(
                 combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
             ).count()
+            _mark("pass1_meta")
 
             plans = ray.get([h.plan.remote() for h in handles])
             fetch_lsns = pa.concat_tables([p[0] for p in plans]).column("lsn").combine_chunks()
             n_schema = sum(p[1] for p in plans)
             new_schema_version = self.schema_version + n_schema
+            _mark("plan")
 
             # ---- pass 2: fetch winner payloads, route to writers ----------
             if len(fetch_lsns):
@@ -394,8 +406,10 @@ class CDCLake:
                 self._dataset(binlog, lo, hi).map_batches(
                     fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                 ).count()
+            _mark("pass2_fetch")
 
             stats_tables = ray.get([h.finalize.remote() for h in handles])
+            _mark("finalize")
         finally:
             for h in handles:
                 ray.kill(h)
@@ -430,6 +444,12 @@ class CDCLake:
             "parent": version - 1 if version else None,
         }
         self.log.commit(manifest)
+        if timing:
+            _mark("commit")
+            spans = ", ".join(
+                f"{n}={t1 - t0:.2f}s" for (_, t0), (n, t1) in zip(marks[:-1], marks[1:])
+            )
+            print(f"[graft-timing] window [{lo},{hi}] W={W}: {spans}", file=sys.stderr)
         return manifest
 
     def tail(

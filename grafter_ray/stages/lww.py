@@ -5,11 +5,12 @@ gives no cross-block ordering, SURVEY.md §7.4 item 3). LSNs are globally
 unique, so "rows whose lsn equals the per-key max lsn" selects exactly the
 per-key winner; ``pc.is_in`` on the (small) winner-lsn set avoids a join.
 
-``partial_lww`` is the map-side combiner: run inside every ``map_batches``
-block *before* the hash shuffle so the exchange carries at most one row
-per key per block instead of the full event stream (the pre-aggregation
-pattern; at 10^10 events with hot keys this is the difference between
-shuffling TBs and GBs).
+``compact_meta_batch`` is the engine's map-side combiner (block-local LWW
++ string keys replaced by a 128-bit hash pair before the exchange);
+``partial_lww`` is the general-purpose variant that keeps full rows —
+useful when the downstream consumer needs every column (the
+pre-aggregation pattern; at 10^10 events with hot keys this is the
+difference between shuffling TBs and GBs).
 """
 
 from __future__ import annotations

@@ -60,3 +60,24 @@ def test_hashing_deterministic():
     h3 = key_hash_array(pa.array(["ab"]), pa.array(["c"]))
     h4 = key_hash_array(pa.array(["a"]), pa.array(["bc"]))
     assert h3.tolist() != h4.tolist()
+
+
+def test_partial_lww_block_combiner():
+    import pyarrow as pa
+
+    from grafter_ray.stages.lww import lww_reduce, partial_lww
+
+    tb = pa.table(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["a", "a", "b"],
+            "lsn": pa.array([1, 5, 3], pa.int64()),
+        }
+    )
+    out = partial_lww(tb, 8)
+    assert out.num_rows == 2
+    assert set(out.column("lsn").to_pylist()) == {5, 3}
+    assert "partition_id" in out.column_names
+    # duplicate (key, lsn) rows collapse to one
+    dup = pa.concat_tables([tb, tb])
+    assert lww_reduce(dup).num_rows == 2

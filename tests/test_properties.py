@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): LWW kernel vs a naive model,
+N-Quads escaping round-trip under arbitrary text, engine-vs-oracle on
+random binlogs."""
+
+import hashlib
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+
+from grafter_ray.stages.lww import lww_reduce
+from grafter_ray.pipelines.templater import quads_to_table, triplify
+from grafter_ray.sources.nquads import lines_to_quad_rows, quad_rows_to_lines
+from grafter_ray.pipelines.params import strip_comments
+
+
+@st.composite
+def event_tables(draw):
+    n = draw(st.integers(1, 60))
+    keys = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    lsns = draw(st.permutations(list(range(n))))
+    return pa.table(
+        {
+            "repo": pa.array([f"r{k % 3}" for k in keys]),
+            "path": pa.array([f"p{k}" for k in keys]),
+            "lsn": pa.array(list(lsns), pa.int64()),
+            "val": pa.array([f"v{i}" for i in range(n)]),
+        }
+    )
+
+
+@given(event_tables())
+@settings(max_examples=60, deadline=None)
+def test_lww_reduce_matches_naive_model(tb):
+    got = lww_reduce(tb)
+    model = {}
+    for r in tb.to_pylist():
+        k = (r["repo"], r["path"])
+        if k not in model or r["lsn"] > model[k]["lsn"]:
+            model[k] = r
+    want = {(r["repo"], r["path"]): r["lsn"] for r in model.values()}
+    got_map = {
+        (a, b): l
+        for a, b, l in zip(
+            got.column("repo").to_pylist(), got.column("path").to_pylist(), got.column("lsn").to_pylist()
+        )
+    }
+    assert got_map == want
+
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(st.lists(_text, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_nquads_literal_roundtrip_arbitrary_text(texts):
+    quads = quads_to_table(
+        triplify(*[[f"http://s/{i}", ("http://p", t)] for i, t in enumerate(texts)])
+    )
+    back = lines_to_quad_rows(quad_rows_to_lines(quads))
+    assert back.column("o_value").to_pylist() == quads.column("o_value").to_pylist()
+
+
+@given(_text)
+@settings(max_examples=40, deadline=None)
+def test_strip_comments_idempotent(text):
+    once = strip_comments(text)
+    assert strip_comments(once) == once
+
+
+@st.composite
+def binlogs(draw):
+    n = draw(st.integers(2, 40))
+    rows = []
+    for lsn in range(n):
+        kind = draw(st.sampled_from(["upsert", "upsert", "upsert", "delete", "schema_change"]))
+        key = draw(st.integers(0, 5))
+        content = f"c{lsn}" if kind == "upsert" else None
+        rows.append(
+            {
+                "lsn": lsn,
+                "op": kind,
+                "repo": None if kind == "schema_change" else f"r{key % 2}",
+                "path": None if kind == "schema_change" else f"p{key}",
+                "commit": content,
+                "lang": None if kind != "upsert" else "py",
+                "content": content,
+                "schema_version": 0,
+            }
+        )
+    from grafter_ray.schemas import BINLOG
+
+    return pa.Table.from_pylist(rows, schema=BINLOG)
+
+
+@given(binlogs())
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_engine_matches_oracle_on_random_binlogs(tmp_path_factory, binlog):
+    import ray.data as rd
+
+    from grafter_ray import CDCLake, oracle_lake_table
+
+    root = tmp_path_factory.mktemp("prop") / "lake"
+    lake = CDCLake(str(root), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=binlog.num_rows - 1)
+    got = lake.read_table(view=False)
+    want, version = oracle_lake_table(binlog)
+    assert lake.schema_version == version
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()
+
+
+def test_sha_kernel_matches_hashlib():
+    from grafter_ray.stages.sha import sha256_array
+
+    vals = ["", "a", "üñïçødé ⚡", "x" * 10_000, None]
+    got = sha256_array(pa.array(vals, pa.string())).to_pylist()
+    want = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None for v in vals]
+    assert got == want

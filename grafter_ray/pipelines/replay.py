@@ -23,6 +23,12 @@ last_lsn, so the merge vs existing state is an anti-join on key (delta
 always wins); per-key ordering inside the window is pure LWW on
 globally-unique LSNs — correct under any arrival order (SURVEY.md §7.4).
 
+Skew: a pathological hot key is collapsed to ≤1 meta row per source
+block by the map-side combiner before it ever reaches the exchange, so
+per-actor hot-key volume is bounded by the block count, not the event
+count — no explicit salting needed (tests/test_robustness.py drives 90%
+of events into one key).
+
 Exactly-once: watermark filter at the read; LWW idempotent under
 duplicated/retried delivery (exact (key,lsn) dupes deduped); data files
 invisible until the manifest rename (commitlog.py); actor loss fails the

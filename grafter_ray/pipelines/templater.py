@@ -181,3 +181,9 @@ DOCUMENTS_QUAD_TEMPLATE = QuadTemplate(
         PredicateSpec("prop:n_chars", "n_chars", "literal", XSD + "integer"),
     ],
 )
+
+
+def triple_eq(q1: tuple, q2: tuple) -> bool:
+    """Graph-insensitive statement equality — `triple=`
+    (protocols.cljc:457-469): compares (s, p, o), ignoring the context."""
+    return tuple(q1[:3]) == tuple(q2[:3])

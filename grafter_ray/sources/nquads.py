@@ -172,3 +172,20 @@ def read_statements(path: str, fmt: str | None = None):
 
         return rd.read_parquet(path)
     raise ValueError(f"unknown statement format {suffix!r}")
+
+
+MIME_FORMATS = {
+    "application/n-quads": ".nq",
+    "application/n-triples": ".nt",
+    "text/csv": ".csv",
+    "application/json": ".json",
+    "application/x-parquet": ".parquet",
+}
+
+
+def read_statements_mime(path: str, mime_type: str):
+    """mime-type dispatch (≡ mimetype->rdf-format, formats.clj:122-136)."""
+    suffix = MIME_FORMATS.get(mime_type)
+    if suffix is None:
+        raise ValueError(f"unknown statement mime type {mime_type!r}")
+    return read_statements(path, fmt=suffix)

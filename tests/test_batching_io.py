@@ -113,3 +113,19 @@ def test_nquads_langstring():
     assert out.column("c")[0].as_py() == "http://g"
     rt = lines_to_quad_rows(quad_rows_to_lines(out))
     assert rt.equals(out)
+
+
+def test_mime_dispatch():
+    import pytest
+
+    from grafter_ray.sources.nquads import read_statements_mime
+
+    with pytest.raises(ValueError, match="unknown statement mime"):
+        read_statements_mime("/tmp/x", "application/unknown")
+
+
+def test_triple_eq_ignores_graph():
+    from grafter_ray.pipelines.templater import triple_eq
+
+    assert triple_eq(("s", "p", "o", "g1"), ("s", "p", "o", "g2"))
+    assert not triple_eq(("s", "p", "o", "g"), ("s", "p", "x", "g"))

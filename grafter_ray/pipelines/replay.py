@@ -298,7 +298,10 @@ class CDCLake:
         protocols.cljc:514-515) to bound apply batches instead. Returns
         the final manifest."""
         if upto_lsn is None:
-            upto_lsn = int(self._dataset(binlog).max("lsn"))
+            hi = self._dataset(binlog).max("lsn")
+            if hi is None:  # empty binlog → nothing to apply
+                return self.manifest
+            upto_lsn = int(hi)
         manifest = self.manifest
         while self.watermark < upto_lsn:
             lo = self.watermark + 1

@@ -13,6 +13,13 @@ exactly-once.
 Manifest layout (one JSON per version):
   version, watermark_lsn, schema_version, num_partitions,
   partitions: {pid: {file, rows, max_lsn}}, counters, parent
+
+Single-writer assumption: one live applier per lake (standard for
+rename-based commit logs without compare-and-swap). A racing second
+applier loses the rename and raises 'commit conflict'; because staging
+content is a deterministic function of (binlog, window), a loser that
+replayed the SAME source is harmless — but two appliers feeding
+DIFFERENT sources concurrently are not supported.
 """
 
 from __future__ import annotations

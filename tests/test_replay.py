@@ -169,3 +169,11 @@ def test_tail_and_vacuum(tmp_path, binlog):
     assert removed > 0
     assert len(os.listdir(lake.log.data_dir)) == n_files_before - removed
     _assert_same_state(lake, binlog)
+
+
+def test_apply_empty_binlog_is_noop(tmp_path):
+    from grafter_ray.schemas import BINLOG
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    m = lake.apply(rd.from_arrow(BINLOG.empty_table()))
+    assert m is None and lake.watermark == -1

@@ -828,6 +828,48 @@ FROM documents
 WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (Dataset.join left_anti): customers that never ordered."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    ).select_columns(["o_custkey"])
+    missing = cust.join(orders, "left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+    return grouped_agg(missing, ["c_mktsegment"], [("n_customers", None, "count")])
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_order_value_median(sf_dir: str):
+    """Exact per-group median (continuous interpolation) via per-group
+    local sort — groups are value vectors, not the stream."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def med(group: pa.Table) -> pa.Table:
+        vals = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
+        m = float(np.quantile(vals, 0.5, method="linear"))
+        # half-up (not banker's) to match SQL round()
+        return pa.table(
+            {
+                "o_orderpriority": group.column("o_orderpriority").slice(0, 1),
+                "median_cents": pa.array([int(np.floor(m * 100 + 0.5))], pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(med, batch_format="pyarrow")
+
+
+SQL_ORDER_VALUE_MEDIAN = """
+SELECT o_orderpriority, CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -868,6 +910,8 @@ QUERIES = {
     "hourly_events": q_hourly_events,
     "ann_ivf": q_ann_ivf,
     "cdc_replay_docs": q_cdc_replay_docs,
+    "customers_without_orders": q_customers_without_orders,
+    "order_value_median": q_order_value_median,
 }
 
 ORACLE_SQL = {
@@ -898,6 +942,8 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "hourly_events": SQL_HOURLY_EVENTS,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "order_value_median": SQL_ORDER_VALUE_MEDIAN,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

@@ -51,7 +51,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.lww import HKEY, compact_meta_batch, lww_reduce
+from ..stages.lww import HKEY, compact_meta_batch, lww_reduce, partial_lww
 from ..stages.sha import sha256_array
 from ..schemas import LAKE
 from ..state.commitlog import CommitLog
@@ -113,6 +113,8 @@ class MergeActor:
         self.meta_rows = 0
         self.delta: pa.Table | None = None
         self.rows: list[pa.Table] = []
+        self.row_count = 0
+        self.schema_lsns: list[pa.Table] = []
 
     # -- pass 1: metadata ---------------------------------------------------
     # meta is the COMPACT form (stages.lww.compact_meta_batch): int8 op
@@ -159,7 +161,48 @@ class MergeActor:
     # -- pass 2: payload fetch ----------------------------------------------
     def add_rows(self, tb: pa.Table) -> int:
         self.rows.append(tb)
+        self.row_count += tb.num_rows
+        if self.row_count > self.compact_threshold:
+            t = lww_reduce(pa.concat_tables(self.rows, promote_options="none"))
+            self.rows, self.row_count = [t], t.num_rows
         return tb.num_rows
+
+    # -- single-pass mode (bulk loads: most events survive) -----------------
+    def add_schema_lsns(self, tb: pa.Table) -> int:
+        self.schema_lsns.append(tb)
+        return tb.num_rows
+
+    def finalize_single(self) -> tuple[pa.Table, int]:
+        """Close a single-pass window: the buffered FULL rows are both the
+        winner plan and the payload — build the compact delta from them
+        and reuse the two-pass finalize."""
+        n_schema = 0
+        if self.schema_lsns:
+            all_s = pa.concat_tables(self.schema_lsns, promote_options="none")
+            n_schema = len(pc.unique(all_s.column("lsn")))
+            self.schema_lsns = []
+        if not self.rows:
+            self.delta = None
+            return self.finalize(), n_schema
+        full = lww_reduce(pa.concat_tables(self.rows, promote_options="none"))
+        h1, h2 = key_hash_pair(full.column("repo"), full.column("path"))
+        op_code = pc.cast(
+            pc.if_else(pc.equal(full.column("op"), "delete"), pa.scalar(2, pa.int8()), pa.scalar(1, pa.int8())),
+            pa.int8(),
+        )
+        self.delta = pa.table(
+            {
+                "lsn": full.column("lsn"),
+                "op_code": op_code,
+                "kh1": pa.array(h1),
+                "kh2": pa.array(h2),
+                "schema_version": full.column("schema_version"),
+                "partition_id": full.column("partition_id"),
+            }
+        ).sort_by("partition_id")
+        self.rows = [full.filter(pc.equal(full.column("op"), "upsert"))]
+        self.row_count = 0
+        return self.finalize(), n_schema
 
     # -- finalize ------------------------------------------------------------
     def finalize(self) -> pa.Table:
@@ -289,14 +332,22 @@ class CDCLake:
         window_size: int | None = None,
         batch_size: int | None = None,
         concurrency: int | None = None,
+        payload_mode: str = "two_pass",
     ) -> dict:
         """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
         lake. With `window_size`, commits one manifest per LSN window
         (micro-batch checkpoints); otherwise one commit for the whole
         range. batch_size=None processes whole blocks (best throughput);
         pass DEFAULT_BATCH_SIZE (20_000 — grafter's add-batched constant,
-        protocols.cljc:514-515) to bound apply batches instead. Returns
-        the final manifest."""
+        protocols.cljc:514-515) to bound apply batches instead.
+
+        payload_mode: "two_pass" (default — payloads never cross the
+        exchange; best when most events lose LWW, i.e. update-heavy
+        replays) or "single_pass" (ship payloads with the first scan —
+        best for bulk/initial loads where most events survive and a
+        second read would be wasted). Returns the final manifest."""
+        if payload_mode not in ("two_pass", "single_pass"):
+            raise ValueError(f"unknown payload_mode {payload_mode!r}")
         if upto_lsn is None:
             hi = self._dataset(binlog).max("lsn")
             if hi is None:  # empty binlog → nothing to apply
@@ -306,7 +357,7 @@ class CDCLake:
         while self.watermark < upto_lsn:
             lo = self.watermark + 1
             hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
-            manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency)
+            manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
         return manifest
 
     def _dataset(self, binlog, lo: int | None = None, hi: int | None = None, columns: list[str] | None = None):
@@ -332,7 +383,7 @@ class CDCLake:
             ds = ds.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
-    def _apply_window(self, binlog, lo: int, hi: int, batch_size: int, concurrency) -> dict:
+    def _apply_window(self, binlog, lo: int, hi: int, batch_size: int, concurrency, payload_mode: str = "two_pass") -> dict:
         import sys
         import time as _t
 
@@ -368,16 +419,6 @@ class CDCLake:
             for _ in range(W)
         ]
         try:
-            # ---- pass 1: metadata-only LWW exchange -----------------------
-            # (schema-change markers travel along, spread by lsn % P, and
-            # are counted distinctly by the actors — no extra scan; string
-            # keys are replaced by a 128-bit hash pair before the exchange)
-            def combine_route_meta(tb: pa.Table) -> pa.Table:
-                compact = compact_meta_batch(tb, P)
-                if compact.num_rows:
-                    _route_to_actors(compact, handles, W, "add_meta")
-                return pa.table({"n": pa.array([compact.num_rows], pa.int64())})
-
             # cap concurrent scan/route tasks: on one node, beyond ~14-16
             # concurrent producers the shared object store becomes the
             # bottleneck and extra tasks only add contention (measured at
@@ -388,37 +429,76 @@ class CDCLake:
             route_cap = int(cap) if cap else max(1, min(ncpu - W, 14))
             route_kwargs = {"concurrency": route_cap}
 
-            self._dataset(binlog, lo, hi, columns=META_COLS).map_batches(
-                combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
-            ).count()
-            _mark("pass1_meta")
-
-            plans = ray.get([h.plan.remote() for h in handles])
-            fetch_lsns = pa.concat_tables([p[0] for p in plans]).column("lsn").combine_chunks()
-            n_schema = sum(p[1] for p in plans)
-            new_schema_version = self.schema_version + n_schema
-            _mark("plan")
-
-            # ---- pass 2: fetch winner payloads, route to writers ----------
-            if len(fetch_lsns):
-                fetch_box = {"ref": ray.put(fetch_lsns)}
-
-                def fetch_route(tb: pa.Table) -> pa.Table:
-                    wanted = ray.get(fetch_box["ref"])  # zero-copy from plasma
-                    tb = tb.filter(pc.is_in(tb.column("lsn"), value_set=wanted))
-                    if tb.num_rows:
-                        pid = partition_ids(tb.column("repo"), tb.column("path"), P)
-                        tb = tb.append_column("partition_id", pid)
-                        _route_to_actors(tb, handles, W, "add_rows")
-                    return pa.table({"n": pa.array([tb.num_rows], pa.int64())})
+            if payload_mode == "single_pass":
+                # bulk-load path: one full-width scan, payloads routed with
+                # their metadata (best when most events survive LWW)
+                def combine_route_full(tb: pa.Table) -> pa.Table:
+                    is_schema = pc.equal(tb.column("op"), "schema_change")
+                    schema = tb.filter(is_schema)
+                    data = partial_lww(tb.filter(pc.invert(is_schema)), P)
+                    if schema.num_rows:
+                        lsns = schema.select(["lsn"])
+                        spid = (schema.column("lsn").to_numpy(zero_copy_only=False) % W).astype(np.int64)
+                        refs = []
+                        for a in np.unique(spid):
+                            sub = lsns.filter(pa.array(spid == a))
+                            refs.append(handles[int(a)].add_schema_lsns.remote(sub))
+                        ray.get(refs)
+                    if data.num_rows:
+                        _route_to_actors(data, handles, W, "add_rows")
+                    return pa.table({"n": pa.array([data.num_rows], pa.int64())})
 
                 self._dataset(binlog, lo, hi).map_batches(
-                    fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
+                    combine_route_full, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                 ).count()
-            _mark("pass2_fetch")
+                _mark("single_pass")
+                finals = ray.get([h.finalize_single.remote() for h in handles])
+                stats_tables = [f[0] for f in finals]
+                n_schema = sum(f[1] for f in finals)
+                new_schema_version = self.schema_version + n_schema
+                _mark("finalize")
+            else:
+                # ---- pass 1: metadata-only LWW exchange -------------------
+                # (schema-change markers travel along, spread by lsn % P,
+                # and are counted distinctly by the actors — no extra scan;
+                # string keys become a 128-bit hash pair before exchange)
+                def combine_route_meta(tb: pa.Table) -> pa.Table:
+                    compact = compact_meta_batch(tb, P)
+                    if compact.num_rows:
+                        _route_to_actors(compact, handles, W, "add_meta")
+                    return pa.table({"n": pa.array([compact.num_rows], pa.int64())})
 
-            stats_tables = ray.get([h.finalize.remote() for h in handles])
-            _mark("finalize")
+                self._dataset(binlog, lo, hi, columns=META_COLS).map_batches(
+                    combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
+                ).count()
+                _mark("pass1_meta")
+
+                plans = ray.get([h.plan.remote() for h in handles])
+                fetch_lsns = pa.concat_tables([p[0] for p in plans]).column("lsn").combine_chunks()
+                n_schema = sum(p[1] for p in plans)
+                new_schema_version = self.schema_version + n_schema
+                _mark("plan")
+
+                # ---- pass 2: fetch winner payloads, route to writers ------
+                if len(fetch_lsns):
+                    fetch_box = {"ref": ray.put(fetch_lsns)}
+
+                    def fetch_route(tb: pa.Table) -> pa.Table:
+                        wanted = ray.get(fetch_box["ref"])  # zero-copy from plasma
+                        tb = tb.filter(pc.is_in(tb.column("lsn"), value_set=wanted))
+                        if tb.num_rows:
+                            pid = partition_ids(tb.column("repo"), tb.column("path"), P)
+                            tb = tb.append_column("partition_id", pid)
+                            _route_to_actors(tb, handles, W, "add_rows")
+                        return pa.table({"n": pa.array([tb.num_rows], pa.int64())})
+
+                    self._dataset(binlog, lo, hi).map_batches(
+                        fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
+                    ).count()
+                _mark("pass2_fetch")
+
+                stats_tables = ray.get([h.finalize.remote() for h in handles])
+                _mark("finalize")
         finally:
             for h in handles:
                 ray.kill(h)

@@ -177,3 +177,19 @@ def test_apply_empty_binlog_is_noop(tmp_path):
     lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
     m = lake.apply(rd.from_arrow(BINLOG.empty_table()))
     assert m is None and lake.watermark == -1
+
+
+def test_single_pass_mode_converges(tmp_path, binlog):
+    """Bulk-load payload mode: identical converged state and manifest
+    semantics through the single-pass exchange."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), payload_mode="single_pass")
+    _assert_same_state(lake, binlog)
+    # windowed single-pass continues from checkpoints too
+    lake2 = CDCLake(str(tmp_path / "lake2"), num_partitions=8)
+    lake2.apply(rd.from_arrow(binlog), window_size=2_000, payload_mode="single_pass")
+    _assert_same_state(lake2, binlog)
+    # duplicated delivery still converges
+    lake3 = CDCLake(str(tmp_path / "lake3"), num_partitions=8)
+    lake3.apply(rd.from_arrow(pa.concat_tables([binlog, binlog])), payload_mode="single_pass")
+    _assert_same_state(lake3, binlog)

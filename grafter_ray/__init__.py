@@ -56,4 +56,8 @@ __all__ = [
     "CDC_SOURCE",
     "LAKE",
     "QUAD",
+    # query-layer surface (lazy submodules): pipelines.store.QuadStore,
+    # pipelines.relational.{grouped_agg,broadcast_join,top_k,distinct},
+    # pipelines.templater, pipelines.paths, pipelines.tabular,
+    # pipelines.params, stages.*, sources.*
 ]

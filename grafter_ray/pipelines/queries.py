@@ -870,6 +870,47 @@ SELECT o_orderpriority, CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BI
 FROM orders GROUP BY o_orderpriority
 """
 
+
+def q_segment_top3_customers(sf_dir: str):
+    """Per-group top-k + ordered string aggregation: the 3 smallest
+    custkeys per segment, comma-joined in order."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def top3(group: pa.Table) -> pa.Table:
+        g = group.sort_by("c_custkey").slice(0, 3)
+        keys = ",".join(str(k) for k in g.column("c_custkey").to_pylist())
+        return pa.table(
+            {"c_mktsegment": group.column("c_mktsegment").slice(0, 1), "top3": pa.array([keys], pa.string())}
+        )
+
+    return ds.groupby("c_mktsegment").map_groups(top3, batch_format="pyarrow")
+
+
+SQL_SEGMENT_TOP3_CUSTOMERS = """
+SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top3
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn FROM customer
+) WHERE rn <= 3
+GROUP BY c_mktsegment
+"""
+
+
+def q_first_word(sf_dir: str):
+    """Vectorized regex extraction (pc.extract_regex ≡ regexp_extract)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(tb.column("text"), pattern="^(?P<w>[a-z]+)")
+        w = pc.coalesce(pc.struct_field(ext, "w"), "")  # duckdb: '' on no match
+        return pa.table({"doc_id": tb.column("doc_id"), "first_word": w})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FIRST_WORD = """
+SELECT doc_id, regexp_extract(text, '^[a-z]+') AS first_word FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -912,6 +953,8 @@ QUERIES = {
     "cdc_replay_docs": q_cdc_replay_docs,
     "customers_without_orders": q_customers_without_orders,
     "order_value_median": q_order_value_median,
+    "segment_top3_customers": q_segment_top3_customers,
+    "first_word": q_first_word,
 }
 
 ORACLE_SQL = {
@@ -944,6 +987,8 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
+    "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,
+    "first_word": SQL_FIRST_WORD,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

@@ -1,0 +1,94 @@
+"""Planted-truth quality checks for the heuristic/sketch operators that
+have no SQL oracle: MinHash-LSH recall on planted near-duplicates,
+SimHash proximity, language-ID on real stopword text, fingerprint
+shift-tolerance."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from grafter_ray.stages.dedup import minhash_lsh_dedup, ngram_jaccard, simhash_table
+from grafter_ray.stages.text import LangIdStage, fingerprint_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _planted_corpus(n_base: int = 120, n_dups: int = 30):
+    base = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).slice(0, n_base)
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    dup_ids, dup_texts, truth = [], [], []
+    for i in range(n_dups):
+        words = texts[i].split()
+        # drop ~4% of words → a strong near-duplicate
+        kept = [w for j, w in enumerate(words) if j % 25 != 7]
+        dup_ids.append(10_000 + ids[i])
+        dup_texts.append(" ".join(kept))
+        truth.append((ids[i], 10_000 + ids[i]))
+    tb = pa.table(
+        {
+            "doc_id": pa.array(ids + dup_ids, pa.int64()),
+            "text": pa.array(texts + dup_texts, pa.string()),
+        }
+    )
+    return tb, set(truth)
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    tb, truth = _planted_corpus()
+    pairs = minhash_lsh_dedup(rd.from_arrow(tb), threshold=0.5).take_all()
+    found = {(min(p["id_a"], p["id_b"]), max(p["id_a"], p["id_b"])) for p in pairs}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"recall {recall}: {len(truth & found)}/{len(truth)}"
+
+
+def test_ngram_jaccard_verifier_orders_pairs():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    near = a.replace("lazy ", "")
+    far = "completely different words here entirely unrelated content stream"
+    assert ngram_jaccard(a, near) > ngram_jaccard(a, far)
+    assert ngram_jaccard(a, a) == 1.0
+
+
+def test_simhash_near_dup_small_hamming():
+    tb, truth = _planted_corpus(n_base=40, n_dups=10)
+    out = simhash_table(tb)
+    sims = dict(zip(out.column("doc_id").to_pylist(), out.column("simhash").to_pylist()))
+    hammings = []
+    for a, b in truth:
+        ha, hb = int(sims[a], 16), int(sims[b], 16)
+        hammings.append(bin(ha ^ hb).count("1"))
+    rng = np.random.default_rng(3)
+    ids = [i for i, _ in truth]
+    rand = [bin(int(sims[ids[0]], 16) ^ int(sims[i], 16)).count("1") for i in ids[1:6]]
+    assert np.mean(hammings) < np.mean(rand), (hammings, rand)
+    assert np.mean(hammings) <= 8
+
+
+def test_langid_on_real_stopword_text():
+    samples = {
+        "en": "the cat and the dog went to the house of friends and it is good",
+        "de": "der hund und die katze sind in das haus gegangen und das ist gut",
+        "fr": "le chien et la maison sont dans les arbres et il est bon",
+        "es": "el perro y la casa son los mejores amigos y es bueno",
+        "zh": "我的朋友是好人他在的地方是我们的家了",
+    }
+    tb = pa.table({"doc_id": pa.array(range(len(samples)), pa.int64()), "text": list(samples.values())})
+    out = LangIdStage()(tb)
+    preds = dict(zip(samples.keys(), out.column("pred_lang").to_pylist()))
+    assert all(preds[k] == k for k in samples), preds
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    repeated = base + base  # same shingle SET → same min-sketch
+    different = "totally other content with no overlap at all whatsoever " * 5
+    tb = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": [base, base, repeated, different]}
+    )
+    out = fingerprint_table(tb)
+    fp = out.column("fingerprint").to_pylist()
+    assert fp[0] == fp[1]  # deterministic
+    assert fp[0] == fp[2]  # duplication doesn't change the min set
+    assert fp[0] != fp[3]

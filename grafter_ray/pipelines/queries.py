@@ -911,6 +911,72 @@ SQL_FIRST_WORD = """
 SELECT doc_id, regexp_extract(text, '^[a-z]+') AS first_word FROM documents
 """
 
+
+def q_all_ids_union(sf_dir: str):
+    """Dataset.union of two projections (≡ fixture-repo source union)."""
+    ev = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda tb: pa.table({"id": tb.column("event_id"), "src": pa.array(["event"] * tb.num_rows)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda tb: pa.table({"id": tb.column("o_orderkey"), "src": pa.array(["order"] * tb.num_rows)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_agg(ev.union(orders), ["src"], [("n", None, "count"), ("max_id", "id", "max")])
+
+
+SQL_ALL_IDS_UNION = """
+SELECT src, count(*) AS n, max(id) AS max_id FROM (
+  SELECT event_id AS id, 'event' AS src FROM events
+  UNION ALL
+  SELECT o_orderkey AS id, 'order' AS src FROM orders
+) GROUP BY src
+"""
+
+
+def q_props_extract(sf_dir: str):
+    """JSON-ish field extraction from the props column (scalar-function
+    family §2.8) — vectorized regex capture, summed per event type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(tb.column("props"), pattern='"k": (?P<k>\\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_type": tb.column("event_type"), "k_val": k})
+
+    return grouped_agg(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("sum_k", "k_val", "sum"), ("max_k", "k_val", "max")],
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_buckets(sf_dir: str):
+    """Math scalar family: floor-bucketed histogram of event values."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(tb.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"bucket": b})
+
+    return grouped_agg(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True), ["bucket"], [("n", None, "count")]
+    )
+
+
+SQL_VALUE_BUCKETS = """
+SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n FROM events GROUP BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -955,6 +1021,9 @@ QUERIES = {
     "order_value_median": q_order_value_median,
     "segment_top3_customers": q_segment_top3_customers,
     "first_word": q_first_word,
+    "all_ids_union": q_all_ids_union,
+    "props_extract": q_props_extract,
+    "value_buckets": q_value_buckets,
 }
 
 ORACLE_SQL = {
@@ -989,6 +1058,9 @@ ORACLE_SQL = {
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,
     "first_word": SQL_FIRST_WORD,
+    "all_ids_union": SQL_ALL_IDS_UNION,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "value_buckets": SQL_VALUE_BUCKETS,
     # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
     # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
 }

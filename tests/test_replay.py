@@ -193,3 +193,12 @@ def test_single_pass_mode_converges(tmp_path, binlog):
     lake3 = CDCLake(str(tmp_path / "lake3"), num_partitions=8)
     lake3.apply(rd.from_arrow(pa.concat_tables([binlog, binlog])), payload_mode="single_pass")
     _assert_same_state(lake3, binlog)
+
+
+def test_mixed_payload_modes_across_windows(tmp_path, binlog):
+    """A lake loaded with single-pass windows can continue with two-pass
+    (and vice versa) — mode is a per-apply execution choice, not state."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_499, payload_mode="single_pass")
+    lake.apply(rd.from_arrow(binlog), payload_mode="two_pass")
+    _assert_same_state(lake, binlog)

@@ -202,3 +202,29 @@ def test_mixed_payload_modes_across_windows(tmp_path, binlog):
     lake.apply(rd.from_arrow(binlog), upto_lsn=2_499, payload_mode="single_pass")
     lake.apply(rd.from_arrow(binlog), payload_mode="two_pass")
     _assert_same_state(lake, binlog)
+
+
+def test_streaming_read_and_rdf_export(tmp_path, binlog):
+    """lake.read() streams the evolved view; the lake exports to N-Quads
+    via the CDC quad template and round-trips (the reference's ETL
+    direction: store → statements → serialize)."""
+    from grafter_ray.pipelines.templater import CDC_QUAD_TEMPLATE, expand_table
+    from grafter_ray.sources.nquads import lines_to_quad_rows, quad_rows_to_lines
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog))
+    # streaming read with schema view applied per batch
+    view_ds = lake.read(view=True)
+    n = view_ds.count()
+    assert n == lake.read_table(view=False).num_rows
+    assert "content_len" in view_ds.schema().names  # evolved column present
+    # export base state as quads → N-Quads lines → parse back
+    quads = lake.read(view=False).map_batches(
+        lambda tb: expand_table(tb, CDC_QUAD_TEMPLATE), batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = quads.count()
+    assert total == n * 3  # commit/lang/content predicates per row
+    one = quads.take_batch(16, batch_format="pyarrow")
+    back = lines_to_quad_rows(quad_rows_to_lines(one))
+    assert back.num_rows == one.num_rows
+    assert back.column("s").to_pylist() == one.column("s").to_pylist()

@@ -8,6 +8,9 @@ a Delta-style transactional commit log for exactly-once binlog replay,
 and Grafter's column-derivation semantics as mid-stream schema evolution.
 """
 
+__version__ = "0.1.0"
+
+
 def _configure_data_context() -> None:
     """Engine-wide Ray Data defaults.
 

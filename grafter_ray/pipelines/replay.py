@@ -214,7 +214,7 @@ class MergeActor:
             if self.rows
             else None
         )
-        self.rows = []
+        self.rows, self.row_count = [], 0
         n_up = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(1, pa.int8()))).as_py() or 0)
         n_fetched = fetched.num_rows if fetched is not None else 0
         if n_fetched != n_up:

@@ -232,7 +232,10 @@ def _fmt_time(t: XTime) -> str:
 
 
 def _fmt_date(d: XDate) -> str:
-    return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+    # XSD requires >=4 digits of year magnitude; the sign must not consume
+    # width (year -45 -> "-0045", not "-045").
+    sign = "-" if d.year < 0 else ""
+    return f"{sign}{abs(d.year):04d}-{d.month:02d}-{d.day:02d}"
 
 
 _FORMATTERS = {}

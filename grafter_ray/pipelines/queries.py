@@ -675,7 +675,7 @@ def q_sessionize(sf_dir: str):
 
 SQL_SESSIONIZE = """
 SELECT user_id, count(*) AS n_events,
-       1 + sum(new_sess) AS n_sessions
+       CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -954,7 +954,7 @@ def q_props_extract(sf_dir: str):
 
 
 SQL_PROPS_EXTRACT = """
-SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+SELECT event_type, CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """

@@ -21,15 +21,26 @@ from ..schemas import QUAD
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
 _UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 _ESC_RE = re.compile(r'[\\"\n\r\t]')
-_UNESC_RE = re.compile(r"\\.")
+# N-Quads string grammar: ECHAR plus UCHAR (\uXXXX / \UXXXXXXXX) — the
+# reference's RDF4J parser emits/accepts both (io.clj:668-677).
+_UNESC_RE = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\.")
 
 
 def _escape(s: str) -> str:
     return _ESC_RE.sub(lambda m: _ESCAPES[m.group(0)], s)
 
 
+def _unescape_one(m: re.Match) -> str:
+    t = m.group(0)
+    if t in _UNESCAPES:
+        return _UNESCAPES[t]
+    if t[1] in ("u", "U"):
+        return chr(int(t[2:], 16))
+    raise ValueError(f"invalid N-Quads escape sequence {t!r}")
+
+
 def _unescape(s: str) -> str:
-    return _UNESC_RE.sub(lambda m: _UNESCAPES.get(m.group(0), m.group(0)[1]), s)
+    return _UNESC_RE.sub(_unescape_one, s)
 
 
 def _term_s(v: str) -> str:
@@ -115,10 +126,40 @@ def read_nquads(path: str):
     return ds.map_batches(lines_to_quad_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def write_nquads(ds, path: str) -> None:
+class TextLinesDatasink:
+    """Raw-text file sink: joins a string column with newlines and writes
+    plain UTF-8 files, one per block (resumable output). A CSV sink is
+    wrong here — CSV quoting mangles RDF lines containing quotes/newlines.
+    Lazily subclasses BlockBasedFileDatasink so module import stays light."""
+
+    def __new__(cls, path: str, column: str = "text", file_format: str = "txt", **kw):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class _Sink(BlockBasedFileDatasink):
+            def __init__(self):
+                super().__init__(path, file_format=file_format, **kw)
+
+            def write_block_to_file(self, block, file):
+                col = block.to_arrow().column(column)
+                data = "\n".join(v if v is not None else "" for v in col.to_pylist())
+                if data:
+                    data += "\n"
+                file.write(data.encode("utf-8"))
+
+        return _Sink()
+
+
+def write_text_lines(ds, path: str, column: str = "text", file_format: str = "txt") -> None:
+    """Write a dataset's string column as raw text files under `path`."""
+    ds.write_datasink(TextLinesDatasink(path, column=column, file_format=file_format))
+
+
+def write_nquads(ds, path: str, file_format: str = "nq") -> None:
     """Streaming N-Quads writer (one file per block — resumable output)."""
-    ds.map_batches(quad_rows_to_lines, batch_format="pyarrow", zero_copy_batch=True).write_csv(
-        path, include_header=False
+    write_text_lines(
+        ds.map_batches(quad_rows_to_lines, batch_format="pyarrow", zero_copy_batch=True),
+        path,
+        file_format=file_format,
     )
 
 
@@ -131,7 +172,7 @@ def write_ntriples(ds, path: str) -> None:
         i = tb.schema.get_field_index("c")
         return tb.set_column(i, "c", pa.nulls(tb.num_rows, pa.string()))
 
-    write_nquads(ds.map_batches(drop_graph, batch_format="pyarrow", zero_copy_batch=True), path)
+    write_nquads(ds.map_batches(drop_graph, batch_format="pyarrow", zero_copy_batch=True), path, file_format="nt")
 
 
 def read_csv_source(path: str):

@@ -81,7 +81,11 @@ def write_turtle(ds, path: str, prefixes: dict[str, str] | None = None) -> None:
 
     import os
 
+    from .nquads import write_text_lines
+
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "prefixes.ttl"), "w") as f:
         f.write(prefix_header(prefixes if prefixes is not None else DEFAULT_PREFIXES))
-    ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True).write_csv(path, include_header=False)
+    write_text_lines(
+        ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True), path, file_format="ttl"
+    )

@@ -18,9 +18,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import logging
+
 from ..util import splitmix64
 from .sha import sha256_array
-from .text import _token_hash_rows
+from .text import _U64_MAX, _rowlocal_kgram_hashes, _token_hash_rows
+
+logger = logging.getLogger(__name__)
 
 
 # --- exact -----------------------------------------------------------------
@@ -61,31 +65,33 @@ class MinHasher:
     compiled/derived once per actor (__init__), vectorized per batch."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3):
+        if shingle_k < 2:
+            raise ValueError("shingle_k must be >= 2 (row-local padding needs k-1 >= 1)")
         self.num_perm = num_perm
         self.k = shingle_k
         self.salts = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
 
     def signatures(self, text: pa.ChunkedArray) -> np.ndarray:
-        """→ (n_rows, num_perm) uint64 minhash signature matrix."""
+        """→ (n_rows, num_perm) uint64 minhash signature matrix.
+
+        Fully vectorized: row-local sentinel-padded shingles (windows never
+        cross row boundaries → block-composition independent), then one
+        minimum.reduceat pass per permutation (P passes of O(total),
+        bounded memory — no (total × P) matrix)."""
         hashes, offsets = _token_hash_rows(text)
-        # k-gram shingle hashes over the flat stream
-        acc = hashes.copy()
-        for j in range(1, self.k):
-            acc = acc * np.uint64(1099511628211) ^ np.roll(hashes, -j)
-        sh = splitmix64(acc)
         n = len(offsets) - 1
-        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        for i in range(n):
-            lo, hi = offsets[i], offsets[i + 1]
-            m = hi - lo - (self.k - 1)
-            if m <= 0:
-                if hi > lo:
-                    m = 1  # short doc: single truncated shingle
-                else:
-                    continue
-            row = sh[lo : lo + m]
-            # (m, P): XOR with salts then min — a cheap permutation family
-            out[i] = splitmix64(row[:, None] ^ self.salts[None, :]).min(axis=0)
+        out = np.full((n, self.num_perm), _U64_MAX, dtype=np.uint64)
+        sh, starts, counts = _rowlocal_kgram_hashes(hashes, offsets, self.k)
+        if not len(sh):
+            return out
+        # reduceat over padded segments: every segment has >= k-1 >= 1
+        # positions; invalid (padding-start) positions carry U64_MAX and
+        # never win the min unless the row is empty (then the row keeps
+        # U64_MAX, matching the empty-doc sentinel signature).
+        for p in range(self.num_perm):
+            salted = splitmix64(sh ^ self.salts[p])
+            salted[sh == _U64_MAX] = _U64_MAX
+            out[:, p] = np.minimum.reduceat(salted, starts)
         return out
 
 
@@ -100,6 +106,7 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    bucket_cap: int = 512,
 ):
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -138,26 +145,37 @@ def minhash_lsh_dedup(
             )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_est": pa.array([], pa.float64())}
+        )
         n = group.num_rows
         if n < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_est": pa.array([], pa.float64())}
+            return empty
+        if n > bucket_cap:
+            # A boilerplate-heavy bucket at corpus scale would be an O(n²)
+            # straggler; cap it deterministically (min ids survive) and
+            # account for the drop — no silent truncation.
+            logger.warning(
+                "minhash LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                n, bucket_cap, bucket_cap,
             )
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sigs = [np.frombuffer(b.as_py(), dtype=np.uint64) for b in group.column("sig")]
-        out_a, out_b, out_j = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                a, b = int(ids[i]), int(ids[j])
-                if a == b:
-                    continue
-                est = _jaccard_from_sig(sigs[i], sigs[j])
-                if est >= threshold:
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-                    out_j.append(est)
+            group = group.sort_by(id_col).slice(0, bucket_cap)
+            n = bucket_cap
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.frombuffer(b"".join(v.as_py() for v in group.column("sig")), dtype=np.uint64).reshape(n, -1)
+        # vectorized pairwise signature agreement: (n, n) fraction-equal
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = (est[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+        ii, jj = iu[keep], ju[keep]
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
         return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()), "jaccard_est": pa.array(out_j, pa.float64())}
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "jaccard_est": pa.array(est[ii, jj], pa.float64()),
+            }
         )
 
     pairs = (
@@ -181,31 +199,118 @@ def minhash_lsh_dedup(
 
 # --- simhash ---------------------------------------------------------------
 
+_BIT_POWERS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 (numpy>=2 fast path, else bytes LUT)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    return lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
 def simhash_signatures(text: pa.ChunkedArray) -> np.ndarray:
-    """64-bit simhash per row from token hashes (vectorized bit-count)."""
+    """64-bit simhash per row from token hashes — fully vectorized:
+    one (tokens × 64) ±1 bit expansion, one add.reduceat per block, one
+    packbits-style weighted sum. No per-row or per-bit Python loops."""
     hashes, offsets = _token_hash_rows(text)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    bits = bits * 2 - 1  # ±1
+    offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
-    out = np.zeros(n, dtype=np.uint64)
-    sums = np.add.reduceat(
-        bits, offsets[:-1].clip(0, max(len(hashes) - 1, 0)), axis=0
-    ) if len(hashes) else np.zeros((n, 64), dtype=np.int64)
-    for i in range(n):
-        if offsets[i + 1] == offsets[i]:
-            continue
-        v = np.uint64(0)
-        row = sums[i] if i < len(sums) else np.zeros(64, dtype=np.int64)
-        for b in range(64):
-            if row[b] > 0:
-                v |= np.uint64(1) << np.uint64(b)
-        out[i] = v
-    return out
+    if not len(hashes) or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    bits = bits * 2 - 1  # ±1
+    counts = np.diff(offsets)
+    starts = np.minimum(offsets[:-1], len(hashes) - 1)
+    sums = np.add.reduceat(bits, starts, axis=0)
+    sums[counts == 0] = 0  # reduceat returns a neighbor row for empty segments
+    return ((sums > 0).astype(np.uint64) * _BIT_POWERS[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def simhash_table(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     sims = simhash_signatures(tb.column(text_col))
     return pa.table({id_col: tb.column(id_col), "simhash": pa.array(np.char.mod("%016x", sims))})
+
+
+def simhash_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+    bucket_cap: int = 512,
+):
+    """SimHash near-duplicate pairs: band the 64-bit signature into
+    `bands` keys (any identical band → candidate bucket; guarantees no
+    miss up to bands-1 differing bits by pigeonhole), groupby(band, key),
+    vectorized per-bucket pairwise XOR-popcount, keep hamming <=
+    max_hamming. Shuffle volume is (band, key, id, sig) only — never text.
+    Returns Dataset[(id_a, id_b, hamming)] with id_a < id_b, distinct."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_stage(tb: pa.Table) -> pa.Table:
+        sims = simhash_signatures(tb.column(text_col))
+        n = tb.num_rows
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        keys = np.concatenate(
+            [((sims >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(bands)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "key": pa.array(keys),
+                id_col: pa.array(np.tile(ids, bands)),
+                "sim": pa.array(np.tile(sims.view(np.int64), bands)),
+            }
+        )
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        if n > bucket_cap:
+            logger.warning(
+                "simhash band bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                n, bucket_cap, bucket_cap,
+            )
+            group = group.sort_by(id_col).slice(0, bucket_cap)
+            n = bucket_cap
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = group.column("sim").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        iu, ju = np.triu_indices(n, k=1)
+        ham = _popcount64(sims[iu] ^ sims[ju]).astype(np.int64)
+        keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
+        ii, jj = iu[keep], ju[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
+                "id_b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    def block_dedup(tb: pa.Table) -> pa.Table:
+        return (
+            tb.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")]).rename_columns(["id_a", "id_b", "hamming"])
+        )
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "key"])
+        .map_groups(bucket_verify, batch_format="pyarrow")
+        .map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .map_groups(first, batch_format="pyarrow")
+    )
 
 
 # --- n-gram jaccard verify -------------------------------------------------

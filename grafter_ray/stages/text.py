@@ -86,28 +86,76 @@ def _token_hash_rows(text: pa.ChunkedArray | pa.Array):
     return hashes, offsets
 
 
+_SHINGLE_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+_FNV = np.uint64(1099511628211)
+_U64_MAX = np.iinfo(np.uint64).max
+
+
+def _rowlocal_kgram_hashes(hashes: np.ndarray, offsets: np.ndarray, k: int):
+    """k-gram rolling hashes over the flat token-hash stream, with each
+    row's tail padded by (k-1) sentinel hashes so no window ever crosses a
+    row boundary. Signatures are therefore byte-identical regardless of
+    which rows share a block (determinism doctrine, util.py).
+
+    Returns (sh, starts, counts): sh is the padded-stream k-gram hash
+    array with invalid (padding-start) positions masked to UINT64_MAX;
+    row i's valid shingles are sh[starts[i] : starts[i] + counts[i]]
+    (counts == original token count per row; tail windows are padded)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    n = len(counts)
+    pad = k - 1
+    new_counts = counts + pad
+    starts = np.concatenate([[0], np.cumsum(new_counts)])[:-1].astype(np.int64)
+    total = int(new_counts.sum())
+    padded = np.full(total, _SHINGLE_SENTINEL, dtype=np.uint64)
+    if len(hashes):
+        idx = np.arange(len(hashes), dtype=np.int64) + np.repeat(starts - offsets[:-1], counts)
+        padded[idx] = hashes
+    acc = padded.copy()
+    for j in range(1, k):
+        acc = acc * _FNV ^ np.roll(padded, -j)
+    sh = splitmix64(acc)
+    # valid shingle starts per row: the row's own token positions
+    row_of = np.repeat(np.arange(n, dtype=np.int64), new_counts)
+    local = np.arange(total, dtype=np.int64) - starts[row_of]
+    sh[local >= counts[row_of]] = _U64_MAX
+    return sh, starts, counts
+
+
 def fingerprint_table(tb: pa.Table, text_col: str = "text", k: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint: per row, the XOR of the k minimal
     3-gram rolling hashes over the token-hash sequence — shift/edit
-    tolerant, deterministic."""
+    tolerant, deterministic, fully vectorized (sort by (row, value), rank
+    within row, XOR-reduce the top-k)."""
     hashes, offsets = _token_hash_rows(tb.column(text_col))
-    # 3-gram rolling hash over the flat token-hash stream
-    h1 = hashes
-    h2 = np.roll(hashes, -1)
-    h3 = np.roll(hashes, -2)
-    tri = splitmix64(h1 * np.uint64(31) ^ h2 * np.uint64(131) ^ h3)
-    out = np.zeros(tb.num_rows, dtype=np.uint64)
-    for i in range(tb.num_rows):
-        lo, hi = offsets[i], offsets[i + 1]
-        m = max(hi - 2 - lo, 1) if hi > lo else 0
-        if m <= 0:
-            out[i] = 0
-            continue
-        window = tri[lo : lo + m]
-        sel = np.sort(window)[: min(k, m)]
-        x = np.uint64(0)
-        for v in sel:
-            x ^= v
-        out[i] = x
+    n = tb.num_rows
+    tri, starts, counts = _rowlocal_kgram_hashes(hashes, offsets, 3)
+    total = len(tri)
+    out = np.zeros(n, dtype=np.uint64)
+    if total:
+        new_counts = np.diff(np.concatenate([starts, [total]]))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), new_counts)
+        valid = tri != _U64_MAX
+        # sort valid shingles by (row, value) then take rank < k per row
+        r, v = row_of[valid], tri[valid]
+        order = np.lexsort((v, r))
+        r_s, v_s = r[order], v[order]
+        # min-k over the DISTINCT shingle set: drop consecutive duplicates
+        # (sorted by (row, value) → duplicates are adjacent)
+        uniq = np.ones(len(r_s), dtype=bool)
+        uniq[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+        r_s, v_s = r_s[uniq], v_s[uniq]
+        kept_counts = np.bincount(r_s, minlength=n)
+        seg_starts = np.concatenate([[0], np.cumsum(kept_counts)])[:-1]
+        rank = np.arange(len(r_s)) - seg_starts[r_s]
+        topk = rank < k
+        r_k, v_k = r_s[topk], v_s[topk]
+        # XOR-reduce per row over the contiguous (row-sorted) kept stream
+        k_counts = np.bincount(r_k, minlength=n)
+        nz = k_counts > 0
+        if r_k.size:
+            red_starts = np.concatenate([[0], np.cumsum(k_counts)])[:-1][nz]
+            out[nz] = np.bitwise_xor.reduceat(v_k, red_starts)
     res = tb.select([c for c in tb.column_names if c != text_col])
     return res.append_column("fingerprint", pa.array(np.char.mod("%016x", out)))

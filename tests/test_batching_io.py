@@ -129,3 +129,80 @@ def test_triple_eq_ignores_graph():
 
     assert triple_eq(("s", "p", "o", "g1"), ("s", "p", "o", "g2"))
     assert not triple_eq(("s", "p", "o", "g"), ("s", "p", "x", "g"))
+
+
+# --- file-level sink round-trip (ADVICE r1: CSV sink mangled quotes) --------
+
+def _tricky_quads():
+    return pa.table(
+        {
+            "s": pa.array(["http://ex/s1", "http://ex/s2", "http://ex/s3"], pa.string()),
+            "p": pa.array(["http://ex/p"] * 3, pa.string()),
+            "o_kind": pa.array(["literal"] * 3, pa.string()),
+            "o_value": pa.array(['say "hi"', "line1\nline2\ttabbed", "plain é ☃"], pa.string()),
+            "o_datatype": pa.array(["http://www.w3.org/2001/XMLSchema#string"] * 3, pa.string()),
+            "o_lang": pa.array([None, None, None], pa.string()),
+            "c": pa.array(["http://ex/g", None, "http://ex/g"], pa.string()),
+        }
+    )
+
+
+def test_write_nquads_file_roundtrip(tmp_path):
+    """File-level round-trip: quotes, newlines, tabs, non-ASCII must
+    survive write_nquads → read_nquads (the sink is raw text, not CSV)."""
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import read_nquads, write_nquads
+
+    tb = _tricky_quads()
+    out = str(tmp_path / "nq_out")
+    write_nquads(rd.from_arrow(tb), out)
+    back = read_nquads(out).take_all()
+    got = sorted((r["s"], r["o_value"], r["c"]) for r in back)
+    want = sorted(zip(tb.column("s").to_pylist(), tb.column("o_value").to_pylist(), tb.column("c").to_pylist()))
+    assert got == want
+
+
+def test_write_ntriples_drops_graph_file(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import read_nquads, write_ntriples
+
+    out = str(tmp_path / "nt_out")
+    write_ntriples(rd.from_arrow(_tricky_quads()), out)
+    back = read_nquads(out).take_all()
+    assert len(back) == 3
+    assert all(r["c"] is None for r in back)
+
+
+def test_write_turtle_file_output(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.turtle import write_turtle
+
+    out = str(tmp_path / "ttl_out")
+    write_turtle(rd.from_arrow(_tricky_quads()), out)
+    import glob
+
+    files = [f for f in glob.glob(f"{out}/*") if not f.endswith("prefixes.ttl")]
+    text = "".join(open(f).read() for f in files)
+    assert '\\"hi\\"' in text and "\\n" in text  # escaped, unquoted raw text
+
+
+def test_uchar_escapes_decoded():
+    from grafter_ray.sources.nquads import _unescape
+
+    assert _unescape("caf\\u00e9") == "café"
+    assert _unescape("\\U0001F600") == "😀"
+    tb = pa.table({"text": ['<http://ex/s> <http://ex/p> "caf\\u00e9" .']})
+    out = lines_to_quad_rows(tb)
+    assert out.column("o_value").to_pylist() == ["café"]
+
+
+def test_unknown_escape_raises():
+    import pytest as _pytest
+
+    from grafter_ray.sources.nquads import _unescape
+
+    with _pytest.raises(ValueError):
+        _unescape("bad \\x escape")

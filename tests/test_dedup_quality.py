@@ -92,3 +92,56 @@ def test_fingerprint_deterministic_and_discriminative():
     assert fp[0] == fp[1]  # deterministic
     assert fp[0] == fp[2]  # duplication doesn't change the min set
     assert fp[0] != fp[3]
+
+
+def test_signatures_block_composition_independent():
+    """ADVICE r1: short-doc shingles must not roll into the next row —
+    signatures must be identical whether a doc shares a block or not."""
+    from grafter_ray.stages.dedup import MinHasher, simhash_signatures
+
+    docs = ["one two", "alpha beta gamma delta", "x", "", "tail words here now"]
+    h = MinHasher()
+    together = h.signatures(pa.chunked_array([pa.array(docs)]))
+    for i, d in enumerate(docs):
+        alone = h.signatures(pa.chunked_array([pa.array([d])]))
+        assert (together[i] == alone[0]).all(), f"minhash row {i} depends on block"
+    sims_together = simhash_signatures(pa.chunked_array([pa.array(docs)]))
+    for i, d in enumerate(docs):
+        alone = simhash_signatures(pa.chunked_array([pa.array([d])]))
+        assert sims_together[i] == alone[0], f"simhash row {i} depends on block"
+
+
+def test_fingerprint_block_composition_independent():
+    docs = ["one two", "alpha beta gamma delta epsilon", "x", "", "tail words here"]
+    tb = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": docs})
+    together = fingerprint_table(tb).column("fingerprint").to_pylist()
+    for i, d in enumerate(docs):
+        one = pa.table({"doc_id": pa.array([i], pa.int64()), "text": [d]})
+        alone = fingerprint_table(one).column("fingerprint").to_pylist()[0]
+        assert together[i] == alone, f"fingerprint row {i} depends on block"
+
+
+def test_simhash_pairs_finds_planted_near_dups():
+    """The advertised simhash near-dup stage (bands + hamming verify):
+    planted near-identical docs must surface as pairs; unrelated docs not."""
+    from grafter_ray.stages.dedup import simhash_pairs
+
+    tb, truth = _planted_corpus(n_base=80, n_dups=20)
+    pairs = simhash_pairs(rd.from_arrow(tb), bands=8, max_hamming=7).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    recall = len(found & truth) / len(truth)
+    # bands=8 guarantees (pigeonhole) any pair with hamming <= 7 collides
+    assert recall >= 0.9, (recall, sorted(truth - found)[:5])
+    assert all(r["id_a"] < r["id_b"] and 0 <= r["hamming"] <= 7 for r in pairs)
+
+
+def test_simhash_pairs_bucket_cap_deterministic():
+    """Cap path: identical texts all land in one bucket; with a small cap
+    the survivors are the smallest ids (deterministic, logged drop)."""
+    from grafter_ray.stages.dedup import simhash_pairs
+
+    n = 12
+    tb = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": ["same words repeated here often"] * n})
+    pairs = simhash_pairs(rd.from_arrow(tb), bands=4, max_hamming=0, bucket_cap=5).take_all()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(5))

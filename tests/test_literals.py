@@ -115,3 +115,12 @@ def test_langstring_identity():
     assert LangString("a", "en") == LangString("a", "en")
     assert LangString("a", "en") != LangString("a", "fr")
     assert BNode("b1") == BNode("b1")
+
+
+def test_negative_year_roundtrip():
+    # XSD lexical: sign must not consume year width (-45 -> "-0045-01-02")
+    from grafter_ray.functions.literals import format_literal, parse_literal
+
+    lex, dt, lang = format_literal(XDate(-45, 1, 2))
+    assert lex == "-0045-01-02"
+    assert parse_literal(lex, dt) == XDate(-45, 1, 2)

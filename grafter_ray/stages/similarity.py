@@ -117,43 +117,121 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col
     return brute_topk(survivors, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Embedding near-duplicate pairs: every block × broadcast full matrix
-    (the small-side is the whole embedding table here — suitable while it
-    fits in the object store; the LSH bucket variant is the scale path)."""
-    all_tb = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    mats, ids = [], []
-    for ref in all_tb:
-        t = ray.get(ref)
-        mats.append(_normalize(_matrix(t.column(vec_col), dtype=np.float64)))
-        ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
-    full = np.vstack(mats)
-    full_ids = np.concatenate(ids)
-    box = {"m": ray.put(full), "ids": ray.put(full_ids)}
+def lsh_band_plan(threshold: float, nbits: int = 4, target_miss: float = 1e-6, max_bands: int = 128) -> int:
+    """Number of independent hyperplane bands so a pair AT the threshold is
+    missed with probability <= target_miss: p_bit = 1 - acos(t)/pi,
+    bands = ceil(ln(miss) / ln(1 - p_bit^nbits)). Low thresholds → weak
+    per-bit agreement → many bands; that is inherent to cosine LSH, so
+    corpus-scale near-dup should run at high thresholds (fewer bands,
+    more bits)."""
+    import math
 
-    class PairBlock:
-        def __init__(self, box):
-            self.m = ray.get(box["m"])
-            self.ids = ray.get(box["ids"])
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p_bit**nbits
+    if p_band >= 1.0:
+        return 1
+    return min(max_bands, max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band))))
+
+
+def cosine_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 4,
+    bands: int | None = None,
+    target_miss: float = 1e-6,
+    bucket_cap: int = 65_536,
+):
+    """Embedding near-duplicate pairs via banded hyperplane LSH.
+
+    Candidate generation: `bands` independent nbits-bit hyperplane
+    signatures (deterministic seeds); any matching band puts a pair in
+    the same bucket. Exact float64 cosine is verified WITHIN buckets
+    only, then pairs are deduped across bands. The full corpus matrix is
+    never materialized anywhere — shuffle volume is bands × (band, key,
+    id, vec) rows and per-bucket memory is bucket rows only, so the
+    stage streams at corpus scale (no full-matrix broadcast, no driver
+    ray.get). Returns Dataset[(id_a, id_b, cosine)] with id_a < id_b."""
+    bands = bands if bands is not None else lsh_band_plan(threshold, nbits, target_miss)
+
+    class BandStage:
+        """Hyperplanes are built lazily from the first batch's dim with
+        deterministic seeds, so every actor derives identical planes."""
+
+        def __init__(self):
+            self.lshs: list[HyperplaneLSH] | None = None
 
         def __call__(self, tb: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
-            ids_b = tb.column(id_col).to_numpy(zero_copy_only=False)
-            sims = m @ self.m.T
-            ai, bj = np.nonzero(sims >= threshold)
-            a = ids_b[ai]
-            b = self.ids[bj]
-            keep = a < b  # canonical order, drop self/duplicate direction
+            m64 = _matrix(tb.column(vec_col), dtype=np.float64)
+            if self.lshs is None:
+                dim = m64.shape[1]
+                self.lshs = [HyperplaneLSH(dim, nbits=nbits, seed=101 + r) for r in range(bands)]
+            m32 = _normalize(m64.astype(np.float32))
+            n = tb.num_rows
+            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = np.concatenate([lsh.signature(m32) for lsh in self.lshs])
+            vec_bytes = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(8 * m64.shape[1]), n, [None, pa.py_buffer(np.ascontiguousarray(m64).tobytes())]
+            )
             return pa.table(
                 {
-                    "id_a": pa.array(a[keep].astype(np.int64)),
-                    "id_b": pa.array(b[keep].astype(np.int64)),
-                    "cosine": pa.array(np.round(sims[ai, bj][keep].astype(np.float64), 6)),
+                    "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                    "key": pa.array(keys),
+                    id_col: pa.array(np.tile(ids, bands)),
+                    "vec": pa.chunked_array([vec_bytes] * bands),
                 }
             )
 
-    return ds.map_batches(
-        PairBlock, fn_constructor_args=(box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        if n > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                n, bucket_cap, bucket_cap,
+            )
+            group = group.sort_by(id_col).slice(0, bucket_cap)
+            n = bucket_cap
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = group.column("vec")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.frombuffer(b"".join(v.as_py() for v in col), dtype=np.float64).reshape(n, -1)
+        m = _normalize(m)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+        ii, jj = iu[keep], ju[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
+                "id_b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+            }
+        )
+
+    def block_dedup(tb: pa.Table) -> pa.Table:
+        return tb.group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]).rename_columns(
+            ["id_a", "id_b", "cosine"]
+        )
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+        .groupby(["band", "key"])
+        .map_groups(bucket_verify, batch_format="pyarrow")
+        .map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .map_groups(first, batch_format="pyarrow")
     )
 
 

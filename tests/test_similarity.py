@@ -47,3 +47,34 @@ def test_ivf_recall_vs_brute(emb_ds, query):
     got = set(_ids(ivf_topk(emb_ds, query, k=10, n_clusters=8, nprobe=4)))
     assert 0 in got
     assert len(truth & got) >= 5
+
+
+def test_cosine_pairs_planted_recall():
+    """LSH-bucketed pair path (no full-matrix broadcast): planted
+    near-duplicate vectors must all surface with exact cosines."""
+    import numpy as np
+    import ray.data as rd
+
+    from grafter_ray.stages.similarity import cosine_pairs, lsh_band_plan
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 32)).astype(np.float32)
+    # plant 10 near-dups: small perturbations of the first 10 rows
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 32)).astype(np.float32)
+    m = np.vstack([base, dups])
+    tb_ids = list(range(60)) + [1000 + i for i in range(10)]
+    import pyarrow as pa
+
+    tb = pa.table({"vec_id": pa.array(tb_ids, pa.int64()), "embedding": pa.array(m.tolist())})
+    got = cosine_pairs(rd.from_arrow(tb), threshold=0.95).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    truth = {(i, 1000 + i) for i in range(10)}
+    assert truth <= found, truth - found
+    # high threshold → compact plan (the corpus-scale configuration)
+    assert lsh_band_plan(0.95, 4) < lsh_band_plan(0.45, 4)
+    # exact verification: cosines match a direct computation
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    id_to_row = {v: i for i, v in enumerate(tb_ids)}
+    for r in got:
+        want = float(norm[id_to_row[r["id_a"]]] @ norm[id_to_row[r["id_b"]]])
+        assert abs(r["cosine"] - want) < 1e-5

@@ -539,6 +539,51 @@ FROM documents
 """
 
 
+def q_turtle_roundtrip(sf_dir: str):
+    """File-format surface end-to-end: documents → quad expand →
+    write_turtle (self-contained per-block .ttl files) → read_turtle →
+    per-predicate aggregate. Oracle-gates the Turtle write+read path
+    (reference rdf-writer/parser round-trip, io_test.clj:213-315,
+    formats.clj:149-189)."""
+    import shutil
+    import tempfile
+
+    from ..sources.turtle import write_turtle
+    from ..sources.turtle_reader import read_turtle
+
+    quads = q_quad_expand(sf_dir)
+    path = tempfile.mkdtemp(prefix="graftray_ttl_")
+    try:
+        write_turtle(quads, path)
+        ds = read_turtle(path)
+        out = grouped_agg(
+            ds.map_batches(
+                lambda tb: pa.table({"p": tb.column("p"), "s": tb.column("s")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["p"],
+            [("n", None, "count")],
+        )
+        # the sink dir is temp scratch — materialize before cleanup
+        result = out.to_arrow_refs()
+        import ray as _ray
+
+        tables = [t for t in (_ray.get(r) for r in result) if t.num_rows]
+        return pa.concat_tables(tables)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+SQL_TURTLE_ROUNDTRIP = """
+SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT 'prop:text' AS p FROM documents
+  UNION ALL SELECT 'prop:lang' FROM documents
+  UNION ALL SELECT 'prop:n_chars' FROM documents
+) GROUP BY p
+"""
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding near-duplicate pairs (cosine >= 0.45), e4 fixed point."""
     from ..stages.similarity import cosine_pairs
@@ -1008,6 +1053,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "cdc_replay": q_cdc_replay,
     "bgp_documents": q_bgp_documents,
+    "turtle_roundtrip": q_turtle_roundtrip,
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
@@ -1047,6 +1093,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "bgp_documents": SQL_BGP_DOCUMENTS,
+    "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,
     "melt_part": SQL_MELT_PART,

@@ -189,7 +189,20 @@ def read_json_source(path: str):
 
 # format registry (≡ ->rdf-format multimethod, formats.clj:35-147) ----------
 
-FORMAT_READERS = {".nq": read_nquads, ".nt": read_nquads, ".csv": read_csv_source, ".json": read_json_source}
+def _read_turtle(path: str):
+    from .turtle_reader import read_turtle
+
+    return read_turtle(path)
+
+
+FORMAT_READERS = {
+    ".nq": read_nquads,
+    ".nt": read_nquads,
+    ".ttl": _read_turtle,
+    ".trig": _read_turtle,
+    ".csv": read_csv_source,
+    ".json": read_json_source,
+}
 FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_ntriples}
 
 
@@ -218,6 +231,8 @@ def read_statements(path: str, fmt: str | None = None):
 MIME_FORMATS = {
     "application/n-quads": ".nq",
     "application/n-triples": ".nt",
+    "text/turtle": ".ttl",
+    "application/trig": ".trig",
     "text/csv": ".csv",
     "application/json": ".json",
     "application/x-parquet": ".parquet",

@@ -74,10 +74,14 @@ def quads_to_turtle(tb: pa.Table, prefixes: dict[str, str] | None = None, includ
 
 
 def write_turtle(ds, path: str, prefixes: dict[str, str] | None = None) -> None:
-    """Streaming Turtle sink: header + per-block serialized text."""
+    """Streaming Turtle sink. Every output file carries the @prefix header
+    so each block-file is a self-contained, independently parseable
+    Turtle document (resumable output; read_turtle parses per file).
+    A standalone prefixes.ttl mirrors the reference's write-prefixes
+    surface (io.clj:500-511)."""
 
     def ser(tb: pa.Table) -> pa.Table:
-        return pa.table({"text": [quads_to_turtle(tb, prefixes, include_header=False)]})
+        return pa.table({"text": [quads_to_turtle(tb, prefixes, include_header=True)]})
 
     import os
 

@@ -1,0 +1,282 @@
+"""Turtle / TriG reader covering the reference fixture grammar subset
+(reference parser factory formats.clj:149-189; fixture corpus
+grafter.io/dev/resources/grafter/rdf/rdf-types.ttl, rdf-types.trig,
+grafter.repository/dev-resources/grafter/rdf4j/sparql/path.trig,
+dates-and-times.ttl, foaf.ttl):
+
+- @prefix / PREFIX / @base / BASE directives
+- IRIs, prefixed names (incl. the empty prefix ':'), the 'a' keyword
+- literals: quoted + triple-quoted strings with @lang / ^^datatype,
+  numeric shorthand (integer/decimal/double), booleans
+- ';' predicate lists, ',' object lists, blank nodes (_:label)
+- TriG graph blocks  <g> { ... } / pre:g { ... } / GRAPH <g> { ... }
+- '#' comments outside strings
+
+Turtle is NOT a line-splittable format (statements span lines), so the
+Ray-native shape is per-FILE parallelism: read_binary_files → one parse
+kernel call per file. Large corpora should land as N-Quads/Parquet
+(splittable); Turtle is the human-authored vocabulary/fixture format —
+many small files parallelize naturally.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+from .nquads import _unescape
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_PN_LOCAL = r"(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?"
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      |(?P<comment>\#[^\n]*)
+      |(?P<iri><[^<>"{}|^`\\\s]*>)
+      |(?P<str_long>\"\"\"(?:(?:"|"")?(?:[^"\\]|\\.))*\"\"\")
+      |(?P<str>"(?:[^"\\\n]|\\.)*")
+      |(?P<dtype>\^\^)
+      |(?P<lang_or_dir>@[A-Za-z][A-Za-z0-9\-]*)
+      |(?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+))
+      |(?P<decimal>[+-]?\d*\.\d+)
+      |(?P<integer>[+-]?\d+)
+      |(?P<bnode>_:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])
+      |(?P<pname>(?:[A-Za-z_][A-Za-z0-9_\-.]*)?:"""
+    + _PN_LOCAL
+    + r""")
+      |(?P<kw>\b(?:true|false|a|PREFIX|BASE|GRAPH|prefix|base|graph)\b)
+      |(?P<punct>[;,.{}\[\]()])
+    """,
+    re.X,
+)
+
+
+class TurtleParseError(ValueError):
+    pass
+
+
+def _tokenize(text: str):
+    pos, n = 0, len(text)
+    out = []
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise TurtleParseError(f"unexpected character at offset {pos}: {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        out.append((kind, m.group(0)))
+    return out
+
+
+class _Parser:
+    """Recursive-descent statement parser → QUAD rows. Errors raise in-band
+    (reference: parse errors propagate through the lazy seq, io.clj:668-677)."""
+
+    def __init__(self, tokens, default_graph: str | None = None):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.graph: str | None = default_graph
+        self.default_graph = default_graph
+        self.rows: list[tuple] = []
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind=None, value=None):
+        k, v = self.next()
+        if (kind is not None and k != kind) or (value is not None and v != value):
+            raise TurtleParseError(f"expected {value or kind}, got {k}:{v!r} (token {self.i - 1})")
+        return v
+
+    # --- terms -------------------------------------------------------------
+
+    def _resolve_iri(self, raw: str) -> str:
+        iri = raw[1:-1]
+        if self.base and "://" not in iri and not iri.startswith(("urn:", "mailto:")):
+            return self.base + iri
+        return iri
+
+    def _resolve_pname(self, raw: str) -> str:
+        pre, _, local = raw.partition(":")
+        if pre not in self.prefixes:
+            raise TurtleParseError(f"undefined prefix {pre + ':'!r}")
+        return self.prefixes[pre] + local
+
+    def parse_subject(self):
+        k, v = self.next()
+        if k == "iri":
+            return self._resolve_iri(v)
+        if k == "pname":
+            return self._resolve_pname(v)
+        if k == "bnode":
+            return v
+        raise TurtleParseError(f"bad subject token {k}:{v!r}")
+
+    def parse_predicate(self):
+        k, v = self.peek()
+        if k == "kw" and v == "a":
+            self.next()
+            return RDF_TYPE
+        return self.parse_subject()
+
+    def parse_object(self):
+        """→ (kind, value, datatype, lang)."""
+        k, v = self.next()
+        if k == "iri":
+            return ("iri", self._resolve_iri(v), None, None)
+        if k == "pname":
+            return ("iri", self._resolve_pname(v), None, None)
+        if k == "bnode":
+            return ("bnode", v, None, None)
+        if k in ("str", "str_long"):
+            body = v[3:-3] if k == "str_long" else v[1:-1]
+            value = _unescape(body)
+            nk, nv = self.peek()
+            if nk == "lang_or_dir":
+                self.next()
+                return ("literal", value, None, nv[1:])
+            if nk == "dtype":
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    dt = self._resolve_iri(dv)
+                elif dk == "pname":
+                    dt = self._resolve_pname(dv)
+                else:
+                    raise TurtleParseError(f"bad datatype token {dk}:{dv!r}")
+                return ("literal", value, dt, None)
+            return ("literal", value, XSD + "string", None)
+        if k == "integer":
+            return ("literal", v, XSD + "integer", None)
+        if k == "decimal":
+            return ("literal", v, XSD + "decimal", None)
+        if k == "double":
+            return ("literal", v, XSD + "double", None)
+        if k == "kw" and v in ("true", "false"):
+            return ("literal", v, XSD + "boolean", None)
+        raise TurtleParseError(f"bad object token {k}:{v!r} (collections/anon bnodes unsupported)")
+
+    # --- statements --------------------------------------------------------
+
+    def parse_directive(self, v: str):
+        word = v.lstrip("@").lower()
+        if word == "prefix":
+            pname = self.expect("pname")
+            iri = self.expect("iri")
+            self.prefixes[pname[:-1] if pname.endswith(":") else pname.partition(":")[0]] = iri[1:-1]
+            if self.peek() == ("punct", "."):
+                self.next()
+        elif word == "base":
+            iri = self.expect("iri")
+            self.base = iri[1:-1]
+            if self.peek() == ("punct", "."):
+                self.next()
+        else:
+            raise TurtleParseError(f"unknown directive {v!r}")
+
+    def parse_triples(self):
+        s = self.parse_subject()
+        while True:
+            p = self.parse_predicate()
+            while True:
+                kind, value, dt, lang = self.parse_object()
+                self.rows.append((s, p, kind, value, dt, lang, self.graph))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            k, v = self.peek()
+            if (k, v) == ("punct", ";"):
+                self.next()
+                # allow trailing ';' before '.' or '}'
+                if self.peek()[1] in (".", "}"):
+                    continue_tok = False
+                else:
+                    continue_tok = True
+                if continue_tok:
+                    continue
+            break
+        k, v = self.peek()
+        if (k, v) == ("punct", "."):
+            self.next()
+        elif (k, v) == ("punct", "}"):
+            pass  # TriG allows the final statement's '.' to be omitted
+        elif k is None:
+            pass
+        else:
+            raise TurtleParseError(f"expected '.' after statement, got {k}:{v!r}")
+
+    def parse(self):
+        while True:
+            k, v = self.peek()
+            if k is None:
+                break
+            if k == "lang_or_dir" and v.lower() in ("@prefix", "@base"):
+                self.next()
+                self.parse_directive(v)
+                continue
+            if k == "kw" and v.lower() in ("prefix", "base"):
+                self.next()
+                self.parse_directive(v)
+                continue
+            if k == "kw" and v.lower() == "graph":
+                self.next()
+                k, v = self.peek()
+            # TriG graph block: <g> { ... }  /  pre:g { ... }
+            if k in ("iri", "pname") and self.i + 1 < len(self.toks) and self.toks[self.i + 1] == ("punct", "{"):
+                g = self.parse_subject()
+                self.expect("punct", "{")
+                prev = self.graph
+                self.graph = g
+                while self.peek() != ("punct", "}"):
+                    if self.peek()[0] is None:
+                        raise TurtleParseError("unterminated graph block")
+                    self.parse_triples()
+                self.expect("punct", "}")
+                self.graph = prev
+                continue
+            self.parse_triples()
+        return self.rows
+
+
+def parse_turtle(text: str, default_graph: str | None = None) -> pa.Table:
+    """Turtle/TriG text → QUAD table."""
+    rows = _Parser(_tokenize(text), default_graph).parse()
+    cols = {k: [] for k in QUAD.names}
+    for s, p, kind, value, dt, lang, g in rows:
+        cols["s"].append(s)
+        cols["p"].append(p)
+        cols["o_kind"].append(kind)
+        cols["o_value"].append(value)
+        cols["o_datatype"].append(dt)
+        cols["o_lang"].append(lang)
+        cols["c"].append(g)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}, schema=QUAD)
+
+
+def read_turtle(path: str, default_graph: str | None = None):
+    """Streaming Turtle/TriG reader: per-file parallelism (the format is
+    not line-splittable), parse kernel runs on workers."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [
+            parse_turtle(data.as_py().decode("utf-8"), default_graph) for data in tb.column("bytes")
+        ]
+        return pa.concat_tables(tables) if tables else parse_turtle("")
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)

@@ -6,6 +6,8 @@ tests sparql/path_test.clj:49-91): chain a→b→c→d→e→f via `link`, plus
 c→g (lin2), c→h (lin3), g→h (other), node labels.
 """
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -13,23 +15,25 @@ from grafter_ray.pipelines.paths import alt, eval_path, inv, neg, opt, plus, seq
 from grafter_ray.pipelines.store import QuadStore
 from grafter_ray.pipelines.templater import quads_to_table, triplify
 
-LINK = "http://ex/link"
-LIN2 = "http://ex/lin2"
-LIN3 = "http://ex/lin3"
-OTHER = "http://ex/other"
-LABEL = "http://ex/label"
+EX = "http://www.grafter.org/example#"
+LINK = EX + "link"
+LIN2 = EX + "lin2"
+LIN3 = EX + "lin3"
+OTHER = EX + "other"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+PATH_TRIG = "/root/reference/grafter.repository/dev-resources/grafter/rdf4j/sparql/path.trig"
 
 
 @pytest.fixture(scope="module")
 def path_quads() -> pa.Table:
-    chain = [("http://n/" + a, LINK, "http://n/" + b) for a, b in zip("abcde", "bcdef")]
-    extra = [
-        ("http://n/c", LIN2, "http://n/g"),
-        ("http://n/c", LIN3, "http://n/h"),
-        ("http://n/g", OTHER, "http://n/h"),
-    ]
-    labels = [("http://n/" + n, LABEL, f"Test {n.upper()}") for n in "abcdef"]
-    return quads_to_table(triplify(*[[s, (p, o)] for s, p, o in chain + extra + labels]))
+    """Loaded from the reference's own conformance fixture (path.trig) via
+    the Turtle/TriG reader, not inline quads."""
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    if not os.path.exists(PATH_TRIG):  # pragma: no cover
+        pytest.skip("reference fixture corpus not available")
+    return parse_turtle(open(PATH_TRIG).read())
 
 
 def _pairs(tb):
@@ -39,48 +43,48 @@ def _pairs(tb):
 def test_five_hop_sequence(path_quads):
     # path_test.clj: 5-hop sequence join returns (a, f)
     five = seq(LINK, LINK, LINK, LINK, LINK)
-    assert _pairs(eval_path(path_quads, five)) == {("http://n/a", "http://n/f")}
+    assert _pairs(eval_path(path_quads, five)) == {("http://www.grafter.org/example#a", "http://www.grafter.org/example#f")}
 
 
 def test_inverse(path_quads):
-    assert ("http://n/b", "http://n/a") in _pairs(eval_path(path_quads, inv(LINK)))
+    assert ("http://www.grafter.org/example#b", "http://www.grafter.org/example#a") in _pairs(eval_path(path_quads, inv(LINK)))
 
 
 def test_alternative(path_quads):
     got = _pairs(eval_path(path_quads, alt(LIN2, LIN3)))
-    assert got == {("http://n/c", "http://n/g"), ("http://n/c", "http://n/h")}
+    assert got == {("http://www.grafter.org/example#c", "http://www.grafter.org/example#g"), ("http://www.grafter.org/example#c", "http://www.grafter.org/example#h")}
 
 
 def test_plus_transitive_closure(path_quads):
     got = _pairs(eval_path(path_quads, plus(LINK)))
-    assert ("http://n/a", "http://n/f") in got
-    assert ("http://n/a", "http://n/b") in got
-    assert ("http://n/b", "http://n/f") in got
-    assert ("http://n/a", "http://n/a") not in got  # + excludes zero-length
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#f") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#b") in got
+    assert ("http://www.grafter.org/example#b", "http://www.grafter.org/example#f") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#a") not in got  # + excludes zero-length
 
 
 def test_star_includes_identity(path_quads):
     got = _pairs(eval_path(path_quads, star(LINK)))
-    assert ("http://n/a", "http://n/a") in got
-    assert ("http://n/a", "http://n/f") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#a") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#f") in got
 
 
 def test_optional(path_quads):
     got = _pairs(eval_path(path_quads, opt(LINK)))
-    assert ("http://n/a", "http://n/b") in got
-    assert ("http://n/a", "http://n/a") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#b") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#a") in got
 
 
 def test_negated_set(path_quads):
     got = _pairs(eval_path(path_quads, neg(LINK, LABEL)))
-    assert got == {("http://n/c", "http://n/g"), ("http://n/c", "http://n/h"), ("http://n/g", "http://n/h")}
+    assert got == {("http://www.grafter.org/example#c", "http://www.grafter.org/example#g"), ("http://www.grafter.org/example#c", "http://www.grafter.org/example#h"), ("http://www.grafter.org/example#g", "http://www.grafter.org/example#h")}
 
 
 def test_seq_of_closures(path_quads):
     # link+ then lin2: everything reaching c then hopping to g
     got = _pairs(eval_path(path_quads, seq(plus(LINK), LIN2)))
-    assert ("http://n/a", "http://n/g") in got
-    assert ("http://n/b", "http://n/g") in got
+    assert ("http://www.grafter.org/example#a", "http://www.grafter.org/example#g") in got
+    assert ("http://www.grafter.org/example#b", "http://www.grafter.org/example#g") in got
 
 
 def test_to_sparql_strings():
@@ -104,8 +108,8 @@ def test_store_set_semantics(path_quads):
 def test_store_match_and_ask(path_quads):
     store = QuadStore.from_table(path_quads)
     assert store.match(p=LABEL).count() == 6
-    assert store.ask(s="http://n/a", p=LINK)
-    assert not store.ask(s="http://n/f", p=LINK)
+    assert store.ask(s="http://www.grafter.org/example#a", p=LINK)
+    assert not store.ask(s="http://www.grafter.org/example#f", p=LINK)
 
 
 def test_store_bgp_join(path_quads):
@@ -119,12 +123,12 @@ def test_store_bgp_join(path_quads):
 
 def test_store_add_delete_graph_scope(path_quads):
     store = QuadStore.from_table(path_quads)
-    extra = quads_to_table(triplify(["http://n/z", (LINK, "http://n/a")]))
+    extra = quads_to_table(triplify(["http://www.grafter.org/example#z", (LINK, "http://www.grafter.org/example#a")]))
     s2 = store.add(extra, graph="http://g/new")
     assert s2.count() == path_quads.num_rows + 1
     assert s2.restrict(["http://g/new"]).count() == 1
     s3 = s2.delete(extra, graph="http://g/new")
     assert s3.count() == path_quads.num_rows
     # deleting a non-existent quad is a no-op
-    s4 = s3.delete(quads_to_table(triplify(["http://n/q", (LINK, "http://n/q")])))
+    s4 = s3.delete(quads_to_table(triplify(["http://www.grafter.org/example#q", (LINK, "http://www.grafter.org/example#q")])))
     assert s4.count() == path_quads.num_rows

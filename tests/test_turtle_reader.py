@@ -1,0 +1,131 @@
+"""Turtle/TriG reader conformance: the reference's own fixture corpus
+(formats.clj:149-189 parser factory; io_test.clj round-trips) must load
+through read_statements, and writer output must re-parse."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.sources.turtle_reader import TurtleParseError, parse_turtle
+
+REF = "/root/reference"
+FIXTURES = {
+    f"{REF}/grafter.io/dev/resources/grafter/rdf/rdf-types.ttl": 7,
+    f"{REF}/grafter.io/dev/resources/grafter/rdf/rdf-types.trig": 7,
+    f"{REF}/grafter.repository/dev-resources/grafter/rdf4j/sparql/path.trig": 14,
+    f"{REF}/grafter.io/dev/resources/grafter/rdf4j/dates-and-times.ttl": 13,
+    f"{REF}/grafter.repository/dev-resources/grafter/rdf/sparql/sparql-data.trig": 7,
+    f"{REF}/grafter.repository/dev-resources/grafter/rdf4j/repository/rdfs/rdfs-inferencing.trig": 8,
+    f"{REF}/grafter.repository/dev-resources/grafter/rdf4j/repository/quads.trig": 1,
+    f"{REF}/grafter.io/dev/resources/grafter/rdf/date.ttl": 1,
+    f"{REF}/grafter.repository/dev-resources/grafter/rdf4j/repository/rdfs/foaf.ttl": 635,
+}
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="reference corpus absent")
+
+
+@needs_ref
+def test_reference_fixture_corpus_loads():
+    for path, want_rows in FIXTURES.items():
+        tb = parse_turtle(open(path).read())
+        assert tb.num_rows == want_rows, path
+
+
+@needs_ref
+def test_trig_graph_contexts():
+    tb = parse_turtle(
+        open(f"{REF}/grafter.io/dev/resources/grafter/rdf/rdf-types.trig").read()
+    )
+    graphs = set(tb.column("c").to_pylist())
+    assert "http://boolean" in graphs and "http://string" in graphs
+    # the .ttl twin has the same triples with no graph
+    ttl = parse_turtle(open(f"{REF}/grafter.io/dev/resources/grafter/rdf/rdf-types.ttl").read())
+    assert set(ttl.column("c").to_pylist()) == {None}
+    a = sorted(zip(tb.column("s").to_pylist(), tb.column("o_value").to_pylist()))
+    b = sorted(zip(ttl.column("s").to_pylist(), ttl.column("o_value").to_pylist()))
+    assert a == b
+
+
+def test_numeric_boolean_shorthand():
+    tb = parse_turtle(
+        "@prefix : <http://e/> .\n"
+        ":s :i 10 .\n:s :d 1.5 .\n:s :e 1.0e6 .\n:s :n -3 .\n:s :b true .\n:s :f false .\n"
+    )
+    got = dict(zip(tb.column("o_value").to_pylist(), tb.column("o_datatype").to_pylist()))
+    X = "http://www.w3.org/2001/XMLSchema#"
+    assert got == {
+        "10": X + "integer", "1.5": X + "decimal", "1.0e6": X + "double",
+        "-3": X + "integer", "true": X + "boolean", "false": X + "boolean",
+    }
+
+
+def test_semicolon_comma_lists_and_a():
+    tb = parse_turtle(
+        "@prefix : <http://e/> .\n@prefix foaf: <http://xmlns.com/foaf/0.1/> .\n"
+        ':x a foaf:Person ;\n   foaf:name "X", "Y"@en ;\n   :knows :y .\n'
+    )
+    assert tb.num_rows == 4
+    rows = tb.to_pylist()
+    assert rows[0]["p"].endswith("rdf-syntax-ns#type")
+    langs = {r["o_value"]: r["o_lang"] for r in rows if r["o_kind"] == "literal"}
+    assert langs == {"X": None, "Y": "en"}
+
+
+def test_long_string_and_escapes():
+    tb = parse_turtle(
+        '@prefix : <http://e/> .\n:s :p """line1\nline2 "quoted" tail""" .\n:s :q "caf\\u00e9" .'
+    )
+    vals = tb.column("o_value").to_pylist()
+    assert 'line1\nline2 "quoted" tail' in vals and "café" in vals
+
+
+def test_parse_errors_raise():
+    with pytest.raises(TurtleParseError):
+        parse_turtle(":s :p :o .")  # undefined prefix
+    with pytest.raises(TurtleParseError):
+        parse_turtle("@prefix : <http://e/> .\n:s :p .")  # missing object
+    with pytest.raises(TurtleParseError):
+        parse_turtle("@prefix : <http://e/> .\n<g> { :s :p :o .")  # unterminated graph
+
+
+def test_read_statements_dispatch(tmp_path):
+    """read_statements('.ttl'/'.trig') → Ray dataset of QUAD rows."""
+    from grafter_ray.sources.nquads import read_statements
+
+    p = tmp_path / "small.ttl"
+    p.write_text('@prefix : <http://e/> .\n:s :p "v" .\n:s :q 5 .\n')
+    rows = read_statements(str(p)).take_all()
+    assert len(rows) == 2
+    assert {r["s"] for r in rows} == {"http://e/s"}
+
+
+def test_turtle_writer_output_reparses(tmp_path):
+    """Round-trip: QUAD → write_turtle → parse_turtle → same triples."""
+    import glob
+
+    import ray.data as rd
+
+    from grafter_ray.sources.turtle import write_turtle
+
+    tb = pa.table(
+        {
+            "s": pa.array(["http://ex/s1", "http://ex/s1", "http://ex/s2"], pa.string()),
+            "p": pa.array(["http://ex/p1", "http://ex/p2", "http://ex/p1"], pa.string()),
+            "o_kind": pa.array(["literal", "iri", "literal"], pa.string()),
+            "o_value": pa.array(['with "quotes"', "http://ex/o", "плэйн"], pa.string()),
+            "o_datatype": pa.array(["http://www.w3.org/2001/XMLSchema#string", None, None], pa.string()),
+            "o_lang": pa.array([None, None, "ru"], pa.string()),
+            "c": pa.array([None, None, None], pa.string()),
+        }
+    )
+    out = str(tmp_path / "ttl")
+    write_turtle(rd.from_arrow(tb), out)
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(f"{out}/*")) if f.endswith(("txt", "ttl"))
+    )
+    header = open(f"{out}/prefixes.ttl").read()
+    back = parse_turtle(header + text)
+    got = sorted(zip(back.column("s").to_pylist(), back.column("o_value").to_pylist(), back.column("o_lang").to_pylist()))
+    want = sorted(zip(tb.column("s").to_pylist(), tb.column("o_value").to_pylist(), tb.column("o_lang").to_pylist()))
+    assert got == want

@@ -539,6 +539,55 @@ FROM documents
 """
 
 
+def q_inferred_domain_types(sf_dir: str):
+    """Full RDFS inferencer (domain + subPropertyOf + subClassOf,
+    repository.clj:303-316): expanded document quads + a tiny vocabulary
+    (prop:lang domain class:Document ⊑ class:Resource; prop:lang ⊑
+    prop:attr) → per-predicate counts of the saturated view. Each doc's
+    prop:lang triple derives two rdf:type facts and one prop:attr edge."""
+    from ..stages.inference import RDFS_DOMAIN, RDFS_SUBCLASS, RDFS_SUBPROP, with_rdfs_inference
+
+    quads = q_quad_expand(sf_dir)
+    vocab_rows = [
+        ("prop:lang", RDFS_DOMAIN, "class:Document"),
+        ("class:Document", RDFS_SUBCLASS, "class:Resource"),
+        ("prop:lang", RDFS_SUBPROP, "prop:attr"),
+    ]
+    vocab = pa.table(
+        {
+            "s": pa.array([r[0] for r in vocab_rows], pa.string()),
+            "p": pa.array([r[1] for r in vocab_rows], pa.string()),
+            "o_kind": pa.array(["iri"] * 3, pa.string()),
+            "o_value": pa.array([r[2] for r in vocab_rows], pa.string()),
+            "o_datatype": pa.nulls(3, pa.string()),
+            "o_lang": pa.nulls(3, pa.string()),
+            "c": pa.nulls(3, pa.string()),
+        }
+    )
+    inferred = with_rdfs_inference(quads, vocab)
+
+    def project(tb: pa.Table) -> pa.Table:
+        return pa.table({"p": tb.column("p")})
+
+    return grouped_agg(
+        inferred.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        ["p"],
+        [("n", None, "count")],
+    )
+
+
+SQL_INFERRED_DOMAIN_TYPES = """
+SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT 'prop:text' AS p FROM documents
+  UNION ALL SELECT 'prop:lang' FROM documents
+  UNION ALL SELECT 'prop:n_chars' FROM documents
+  UNION ALL SELECT 'prop:attr' FROM documents
+  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM documents
+  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM documents
+) GROUP BY p
+"""
+
+
 def q_turtle_roundtrip(sf_dir: str):
     """File-format surface end-to-end: documents → quad expand →
     write_turtle (self-contained per-block .ttl files) → read_turtle →
@@ -1053,6 +1102,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "cdc_replay": q_cdc_replay,
     "bgp_documents": q_bgp_documents,
+    "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
@@ -1093,6 +1143,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "bgp_documents": SQL_BGP_DOCUMENTS,
+    "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,

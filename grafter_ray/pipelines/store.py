@@ -121,22 +121,41 @@ class QuadStore:
 
         return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bgp(self, *patterns: tuple, select: list[str] | None = None):
+    # Broadcast-vs-shuffle threshold for non-first BGP patterns. Below it
+    # the pattern table ships once via the object store (the VALUES /
+    # small-side rule, SURVEY.md §7.3); above it the pattern would be a
+    # corpus-sized "small side" (e.g. (?d prop:n_chars ?n) binds every
+    # doc), so a distributed hash join is the only scale-safe plan.
+    BROADCAST_ROW_LIMIT = 200_000
+
+    def bgp(
+        self,
+        *patterns: tuple,
+        select: list[str] | None = None,
+        broadcast_limit: int | None = None,
+        join_partitions: int = 16,
+    ):
         """Basic graph pattern: join patterns on shared variables.
 
         Each pattern is (s, p, o[, c]) with '?var' marking variables.
-        First pattern streams; the rest are materialized (they are
-        filtered projections — small) and broadcast-joined.
-        """
+        The first pattern streams. Each later pattern is size-probed
+        (one count() over its filtered projection): selective patterns
+        are materialized and broadcast-joined; patterns above
+        `broadcast_limit` rows go through a distributed Dataset.join
+        (hash shuffle) instead of ever landing on the driver."""
+        limit = self.BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
         first, *rest = patterns
         ds = self.pattern(*first)
         seen = {v[1:] for v in first if _is_var(v)}
         for pat in rest:
-            small = _to_table(self.pattern(*pat))
+            side = self.pattern(*pat)
             keys = sorted(seen & {v[1:] for v in pat if _is_var(v)})
             if not keys:
                 raise ValueError(f"cartesian pattern (no shared variable): {pat}")
-            ds = broadcast_join(ds, small, keys)
+            if side.count() <= limit:
+                ds = broadcast_join(ds, _to_table(side), keys)
+            else:
+                ds = ds.join(side, "inner", num_partitions=join_partitions, on=tuple(keys))
             seen |= {v[1:] for v in pat if _is_var(v)}
         if select:
             ds = ds.select_columns(select)

@@ -1,82 +1,203 @@
-"""Forward-chaining inference stage — the reference's inferencer wrappers
+"""Forward-chaining inference stages — the reference's inferencer wrappers
 (rdfs-inferencer / direct-type-inferencer / custom-query-inferencer,
-repository.clj:303-335, test repository_test.clj:193-215) as a derived-view
-map_batches stage with a broadcast rule table (SURVEY.md §2.3).
+repository.clj:303-335, test repository_test.clj:193-215) re-expressed
+Ray-Data-first:
 
-The rule state (e.g. the rdfs:subClassOf transitive closure) is computed
-once on the driver from the (small) vocabulary, shipped once via ray.put,
-and each batch derives extra rows vectorized — new facts are emitted
-alongside the asserted ones, exactly like adding to an inferencing
-repository derives statements on add.
+- rdfs: rule state (subClassOf/subPropertyOf closures, domain/range maps,
+  pre-composed so one pass per batch reaches the fixpoint for these
+  rules) is computed once on the driver from the SMALL vocabulary,
+  shipped once via ray.put, and each batch derives rows vectorized
+  (index_in + repeat — no per-row Python).
+- direct-type: minimal types per subject (sesame:directType and the
+  cover relations sesame:directSubClassOf / directSubPropertyOf) — one
+  key shuffle on the subject.
+- custom rule: a BGP body + CONSTRUCT-style head evaluated to fixpoint
+  over the store (CustomGraphQueryInferencer analogue).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+SESAME = "http://www.openrdf.org/schema/sesame#"
 
 
-def subclass_closure(vocab: pa.Table) -> dict[str, list[str]]:
-    """Transitive closure of rdfs:subClassOf from a vocabulary quad table
-    → {class: [all superclasses]}. Driver-side: vocabularies are small."""
-    edges: dict[str, set[str]] = {}
-    sub = vocab.filter(pc.equal(vocab.column("p"), RDFS_SUBCLASS))
+# --- driver-side rule construction (vocabularies are small) -----------------
+
+def _edges(vocab: pa.Table, pred: str) -> dict[str, set[str]]:
+    sub = vocab.filter(pc.equal(vocab.column("p"), pred))
+    out: dict[str, set[str]] = {}
     for s, o in zip(sub.column("s").to_pylist(), sub.column("o_value").to_pylist()):
-        edges.setdefault(s, set()).add(o)
+        out.setdefault(s, set()).add(o)
+    return out
+
+
+def _closure(edges: dict[str, set[str]]) -> dict[str, list[str]]:
     closure: dict[str, list[str]] = {}
-    for cls in edges:
+    for node in edges:
         seen: set[str] = set()
-        stack = list(edges[cls])
+        stack = list(edges[node])
         while stack:
             sup = stack.pop()
             if sup in seen:
                 continue
             seen.add(sup)
             stack.extend(edges.get(sup, ()))
-        closure[cls] = sorted(seen)
+        closure[node] = sorted(seen)
     return closure
 
 
-class RdfsTypeInference:
-    """map_batches stage: for every (s, rdf:type, C) row, derive
-    (s, rdf:type, D) for each D in closure[C]. Closure broadcast once."""
+def subclass_closure(vocab: pa.Table) -> dict[str, list[str]]:
+    """Transitive closure of rdfs:subClassOf → {class: [superclasses]}."""
+    return _closure(_edges(vocab, RDFS_SUBCLASS))
+
+
+def build_rdfs_rules(vocab: pa.Table) -> dict[str, dict[str, list[str]]]:
+    """Pre-composed RDFS rule maps so ONE derivation pass per batch reaches
+    the fixpoint of rules rdfs2/3/5/7/9/11:
+
+    - type_closure[C]   = all superclasses of C
+    - eff_domain[p]     = domains of p and of every superproperty of p,
+                          each expanded through the subclass closure
+    - eff_range[p]      = likewise for ranges
+    - superprops[p]     = strict superproperties of p (edge derivation)
+    """
+    sub_cl = subclass_closure(vocab)
+    prop_cl = _closure(_edges(vocab, RDFS_SUBPROP))
+    domains = _edges(vocab, RDFS_DOMAIN)
+    ranges = _edges(vocab, RDFS_RANGE)
+
+    def _expand(p: str, direct: dict[str, set[str]]) -> list[str]:
+        out: set[str] = set()
+        for p2 in [p, *prop_cl.get(p, ())]:
+            for cls in direct.get(p2, ()):
+                out.add(cls)
+                out.update(sub_cl.get(cls, ()))
+        return sorted(out)
+
+    all_props = set(domains) | set(ranges) | set(prop_cl)
+    return {
+        "type_closure": sub_cl,
+        "eff_domain": {p: v for p in all_props if (v := _expand(p, domains))},
+        "eff_range": {p: v for p in all_props if (v := _expand(p, ranges))},
+        "superprops": {p: v for p, v in prop_cl.items() if v},
+    }
+
+
+class _MultiMap:
+    """Vectorized string → list[string] expansion: one index_in per batch,
+    numpy repeat/gather for the fan-out. Built once per actor."""
+
+    def __init__(self, mapping: dict[str, list[str]]):
+        keys = sorted(mapping)
+        self.keys = pa.array(keys, pa.string())
+        self.counts = np.array([len(mapping[k]) for k in keys], dtype=np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)])[:-1] if keys else np.array([], np.int64)
+        flat: list[str] = []
+        for k in keys:
+            flat.extend(mapping[k])
+        self.flat = np.asarray(flat, dtype=object)
+
+    def expand(self, col) -> tuple[np.ndarray, np.ndarray]:
+        """col (string array) → (src_row_indices, expanded_values)."""
+        if not len(self.flat) or not len(col):
+            return np.array([], np.int64), np.array([], dtype=object)
+        idx = pc.fill_null(pc.index_in(col, value_set=self.keys), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.nonzero(idx >= 0)[0]
+        codes = idx[rows]
+        reps = self.counts[codes]
+        src = np.repeat(rows, reps)
+        starts = np.cumsum(reps) - reps
+        local = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        vals = self.flat[np.repeat(self.offsets[codes], reps) + local]
+        return src, vals
+
+
+def _type_rows(subjects: pa.Array, classes: np.ndarray, ctxs: pa.Array) -> pa.Table:
+    n = len(classes)
+    return pa.table(
+        {
+            "s": subjects,
+            "p": pa.array([RDF_TYPE] * n, pa.string()),
+            "o_kind": pa.array(["iri"] * n, pa.string()),
+            "o_value": pa.array(classes, pa.string()),
+            "o_datatype": pa.nulls(n, pa.string()),
+            "o_lang": pa.nulls(n, pa.string()),
+            "c": ctxs,
+        }
+    )
+
+
+class RdfsInference:
+    """map_batches stage: full single-pass RDFS derivation (rules
+    pre-composed at build time). Rules fetched once per actor."""
+
+    def __init__(self, rules_box: dict):
+        ref = rules_box.get("ref")
+        rules = ray.get(ref) if ref is not None else rules_box["value"]
+        self.type_closure = _MultiMap(rules.get("type_closure", {}))
+        self.eff_domain = _MultiMap(rules.get("eff_domain", {}))
+        self.eff_range = _MultiMap(rules.get("eff_range", {}))
+        self.superprops = _MultiMap(rules.get("superprops", {}))
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        cols = tb.column_names
+        out = [tb]
+        is_type = pc.equal(tb.column("p"), RDF_TYPE)
+        types = tb.filter(is_type)
+        nont = tb.filter(pc.invert(is_type))
+
+        if types.num_rows:  # rdfs9/11: subclass closure over asserted types
+            src, sups = self.type_closure.expand(types.column("o_value").combine_chunks())
+            if len(src):
+                idx = pa.array(src)
+                out.append(_type_rows(types.column("s").take(idx), sups, types.column("c").take(idx)))
+
+        if nont.num_rows:
+            p_col = nont.column("p").combine_chunks()
+            # rdfs2 (+5/9 composed): domain types
+            src, doms = self.eff_domain.expand(p_col)
+            if len(src):
+                idx = pa.array(src)
+                out.append(_type_rows(nont.column("s").take(idx), doms, nont.column("c").take(idx)))
+            # rdfs3 (+5/9 composed): range types for IRI objects
+            iri_mask = pc.equal(nont.column("o_kind"), "iri")
+            objs = nont.filter(iri_mask)
+            if objs.num_rows:
+                src, rngs = self.eff_range.expand(objs.column("p").combine_chunks())
+                if len(src):
+                    idx = pa.array(src)
+                    out.append(
+                        _type_rows(objs.column("o_value").take(idx), rngs, objs.column("c").take(idx))
+                    )
+            # rdfs7: superproperty edges
+            src, sprops = self.superprops.expand(p_col)
+            if len(src):
+                idx = pa.array(src)
+                t = nont.take(idx)
+                t = t.set_column(t.schema.get_field_index("p"), "p", pa.array(sprops, pa.string()))
+                out.append(t.select(cols))
+        if len(out) == 1:
+            return tb
+        return pa.concat_tables([t.select(cols) for t in out], promote_options="permissive")
+
+
+class RdfsTypeInference(RdfsInference):
+    """Back-compat stage: subclass-closure-only derivation (the closure
+    dict is the rule set)."""
 
     def __init__(self, closure_box: dict):
         ref = closure_box.get("ref")
-        self.closure = ray.get(ref) if ref is not None else closure_box["value"]
-
-    def __call__(self, tb: pa.Table) -> pa.Table:
-        types = tb.filter(pc.equal(tb.column("p"), RDF_TYPE))
-        if not types.num_rows:
-            return tb
-        subs, objs, ctxs = [], [], []
-        for s, c, g in zip(
-            types.column("s").to_pylist(),
-            types.column("o_value").to_pylist(),
-            types.column("c").to_pylist(),
-        ):
-            for sup in self.closure.get(c, ()):
-                subs.append(s)
-                objs.append(sup)
-                ctxs.append(g)
-        if not subs:
-            return tb
-        derived = pa.table(
-            {
-                "s": pa.array(subs, pa.string()),
-                "p": pa.array([RDF_TYPE] * len(subs), pa.string()),
-                "o_kind": pa.array(["iri"] * len(subs), pa.string()),
-                "o_value": pa.array(objs, pa.string()),
-                "o_datatype": pa.nulls(len(subs), pa.string()),
-                "o_lang": pa.nulls(len(subs), pa.string()),
-                "c": pa.array(ctxs, pa.string()),
-            }
-        )
-        return pa.concat_tables([tb, derived.select(tb.column_names)], promote_options="permissive")
+        closure = ray.get(ref) if ref is not None else closure_box["value"]
+        super().__init__({"value": {"type_closure": closure}})
 
 
 def with_inference(ds, vocab: pa.Table, concurrency=(1, 8)):
@@ -92,3 +213,135 @@ def with_inference(ds, vocab: pa.Table, concurrency=(1, 8)):
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def with_rdfs_inference(ds, vocab: pa.Table, concurrency=(1, 8)):
+    """Full RDFS inferencer (subclass + subproperty + domain + range) —
+    rdfs-inferencer analogue (repository.clj:303-316)."""
+    box = {"ref": ray.put(build_rdfs_rules(vocab))}
+    return ds.map_batches(
+        RdfsInference,
+        fn_constructor_args=(box,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+# --- direct-type inferencer -------------------------------------------------
+
+def _cover(closure: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Transitive reduction: keep only edges not implied by a 2-step path."""
+    out: dict[str, list[str]] = {}
+    for node, sups in closure.items():
+        sup_set = set(sups)
+        direct = [
+            s for s in sups
+            if not any(s in set(closure.get(mid, ())) for mid in sup_set if mid != s)
+        ]
+        if direct:
+            out[node] = sorted(direct)
+    return out
+
+
+def direct_type_inference(ds, vocab: pa.Table):
+    """direct-type-inferencer analogue (repository.clj:318-325): derives
+    sesame:directType (the MINIMAL types per subject w.r.t. the subclass
+    order), plus the vocabulary cover relations sesame:directSubClassOf /
+    sesame:directSubPropertyOf. One key shuffle (groupby subject)."""
+    import ray.data as rd
+
+    sub_cl = subclass_closure(vocab)
+    cl_box = {"ref": ray.put(sub_cl)}
+
+    def minimal_types(group: pa.Table) -> pa.Table:
+        closure = ray.get(cl_box["ref"])
+        subj = group.column("s")[0].as_py()
+        tset = set(group.column("o_value").to_pylist())
+        implied: set[str] = set()
+        for t in tset:
+            implied.update(closure.get(t, ()))
+        minimal = sorted(tset - implied)
+        n = len(minimal)
+        return pa.table(
+            {
+                "s": pa.array([subj] * n, pa.string()),
+                "p": pa.array([SESAME + "directType"] * n, pa.string()),
+                "o_kind": pa.array(["iri"] * n, pa.string()),
+                "o_value": pa.array(minimal, pa.string()),
+                "o_datatype": pa.nulls(n, pa.string()),
+                "o_lang": pa.nulls(n, pa.string()),
+                "c": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def type_only(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.equal(tb.column("p"), RDF_TYPE)).select(["s", "o_value"])
+
+    direct_types = (
+        ds.map_batches(type_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s")
+        .map_groups(minimal_types, batch_format="pyarrow")
+    )
+
+    # cover relations come from the (small) vocabulary — driver-side
+    rows = {k: [] for k in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]}
+    for pred, rel in [(RDFS_SUBCLASS, "directSubClassOf"), (RDFS_SUBPROP, "directSubPropertyOf")]:
+        for node, sups in _cover(_closure(_edges(vocab, pred))).items():
+            for s_ in sups:
+                rows["s"].append(node)
+                rows["p"].append(SESAME + rel)
+                rows["o_kind"].append("iri")
+                rows["o_value"].append(s_)
+                rows["o_datatype"].append(None)
+                rows["o_lang"].append(None)
+                rows["c"].append(None)
+    cover_tb = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    return direct_types.union(rd.from_arrow(cover_tb)) if cover_tb.num_rows else direct_types
+
+
+# --- custom rule inferencer -------------------------------------------------
+
+def custom_rule_inference(ds, body: list[tuple], head: tuple, max_iters: int = 10):
+    """custom-query-inferencer analogue (repository.clj:327-335): evaluate
+    a BGP body (CONSTRUCT-style) and emit head quads, iterating to the
+    fixpoint (new facts can re-fire the rule, e.g. transitivity).
+
+    body: BGP patterns over '?vars'; head: (s, p, o) where each slot is a
+    '?var' bound by the body or a constant IRI. Returns the saturated
+    Dataset (asserted + derived, set semantics)."""
+    from ..pipelines.relational import distinct
+    from ..pipelines.store import QuadStore
+
+    cols = ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]
+    current = ds
+    total = distinct(current, cols).count()
+    for _ in range(max_iters):
+        store = QuadStore(current)
+        bound = store.bgp(*body)
+
+        def to_head(tb: pa.Table, head=head) -> pa.Table:
+            n = tb.num_rows
+
+            def slot(v):
+                return tb.column(v[1:]) if isinstance(v, str) and v.startswith("?") else pa.array([v] * n, pa.string())
+
+            return pa.table(
+                {
+                    "s": slot(head[0]),
+                    "p": slot(head[1]),
+                    "o_kind": pa.array(["iri"] * n, pa.string()),
+                    "o_value": slot(head[2]),
+                    "o_datatype": pa.nulls(n, pa.string()),
+                    "o_lang": pa.nulls(n, pa.string()),
+                    "c": pa.nulls(n, pa.string()),
+                }
+            )
+
+        derived = bound.map_batches(to_head, batch_format="pyarrow", zero_copy_batch=True)
+        current = distinct(current.union(derived), cols)
+        new_total = current.count()
+        if new_total == total:
+            return current
+        total = new_total
+    return current

@@ -1,0 +1,153 @@
+"""Inferencer conformance — replicates the reference's
+rdfs-inferencer-test (repository_test.clj:193-215) using the reference's
+OWN fixtures (foaf.ttl vocabulary + rdfs-inferencing.trig data), loaded
+through the Turtle/TriG reader; plus direct-type and custom-rule
+inferencer analogues (repository.clj:303-335)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.inference import (
+    RDF_TYPE,
+    SESAME,
+    build_rdfs_rules,
+    custom_rule_inference,
+    direct_type_inference,
+    with_inference,
+    with_rdfs_inference,
+)
+
+REF = "/root/reference/grafter.repository/dev-resources/grafter/rdf4j/repository/rdfs"
+EX = "http://www.grafter.org/example#"
+FOAF = "http://xmlns.com/foaf/0.1/"
+GEO = "http://www.w3.org/2003/01/geo/wgs84_pos#"
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="reference corpus absent")
+
+
+def _parse(path):
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    return parse_turtle(open(path).read())
+
+
+@needs_ref
+def test_rdfs_inferencer_reference_conformance():
+    """The four ASK facts from the reference's own inference test."""
+    vocab = _parse(f"{REF}/foaf.ttl")
+    data = _parse(f"{REF}/rdfs-inferencing.trig")
+    out = with_rdfs_inference(rd.from_arrow(data), vocab)
+    types = {
+        (r["s"], r["o_value"])
+        for r in out.take_all()
+        if r["p"] == RDF_TYPE
+    }
+    assert (EX + "rick", FOAF + "Person") in types  # knows domain
+    assert (EX + "manchester", GEO + "SpatialThing") in types  # based_near range
+    assert (EX + "swirrl", FOAF + "Agent") in types  # Organization ⊑ Agent
+    assert ("http://swirrl.com/", FOAF + "Document") in types  # homepage range
+
+
+def _quads(rows):
+    n = len(rows)
+    return pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.string()),
+            "o_kind": pa.array(["iri"] * n, pa.string()),
+            "o_value": pa.array([r[2] for r in rows], pa.string()),
+            "o_datatype": pa.nulls(n, pa.string()),
+            "o_lang": pa.nulls(n, pa.string()),
+            "c": pa.nulls(n, pa.string()),
+        }
+    )
+
+
+SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+
+
+def test_rdfs_rules_precomposition():
+    vocab = _quads(
+        [
+            ("http://c/Cat", SUBCLASS, "http://c/Mammal"),
+            ("http://c/Mammal", SUBCLASS, "http://c/Animal"),
+            ("http://p/hasPet", SUBPROP, "http://p/likes"),
+            ("http://p/likes", "http://www.w3.org/2000/01/rdf-schema#domain", "http://c/Person"),
+            ("http://p/hasPet", "http://www.w3.org/2000/01/rdf-schema#range", "http://c/Cat"),
+        ]
+    )
+    rules = build_rdfs_rules(vocab)
+    # hasPet inherits likes' domain; range expands through subclass closure
+    assert rules["eff_domain"]["http://p/hasPet"] == ["http://c/Person"]
+    assert rules["eff_range"]["http://p/hasPet"] == [
+        "http://c/Animal", "http://c/Cat", "http://c/Mammal"
+    ]
+    assert rules["superprops"]["http://p/hasPet"] == ["http://p/likes"]
+
+
+def test_rdfs_inference_derives_edges_and_types():
+    vocab = _quads(
+        [
+            ("http://c/Cat", SUBCLASS, "http://c/Animal"),
+            ("http://p/hasPet", SUBPROP, "http://p/likes"),
+            ("http://p/hasPet", "http://www.w3.org/2000/01/rdf-schema#range", "http://c/Cat"),
+        ]
+    )
+    data = _quads([("http://i/al", "http://p/hasPet", "http://i/tom")])
+    out = with_rdfs_inference(rd.from_arrow(data), vocab).take_all()
+    facts = {(r["s"], r["p"], r["o_value"]) for r in out}
+    assert ("http://i/al", "http://p/likes", "http://i/tom") in facts  # rdfs7
+    assert ("http://i/tom", RDF_TYPE, "http://c/Cat") in facts  # rdfs3
+    assert ("http://i/tom", RDF_TYPE, "http://c/Animal") in facts  # composed rdfs9
+
+
+def test_subclass_only_back_compat():
+    vocab = _quads([("http://c/Cat", SUBCLASS, "http://c/Animal")])
+    data = _quads([("http://i/tom", RDF_TYPE, "http://c/Cat")])
+    out = with_inference(rd.from_arrow(data), vocab).take_all()
+    assert ("http://i/tom", RDF_TYPE, "http://c/Animal") in {
+        (r["s"], r["p"], r["o_value"]) for r in out
+    }
+
+
+def test_direct_type_minimal_classes():
+    vocab = _quads(
+        [
+            ("http://c/Cat", SUBCLASS, "http://c/Mammal"),
+            ("http://c/Mammal", SUBCLASS, "http://c/Animal"),
+        ]
+    )
+    # tom asserted as Cat AND Animal → directType is Cat only
+    data = _quads(
+        [
+            ("http://i/tom", RDF_TYPE, "http://c/Cat"),
+            ("http://i/tom", RDF_TYPE, "http://c/Animal"),
+            ("http://i/rex", RDF_TYPE, "http://c/Mammal"),
+        ]
+    )
+    out = direct_type_inference(rd.from_arrow(data), vocab).take_all()
+    direct = {(r["s"], r["o_value"]) for r in out if r["p"] == SESAME + "directType"}
+    assert direct == {("http://i/tom", "http://c/Cat"), ("http://i/rex", "http://c/Mammal")}
+    covers = {(r["s"], r["o_value"]) for r in out if r["p"] == SESAME + "directSubClassOf"}
+    # transitive Cat⊑Animal edge reduced away
+    assert covers == {
+        ("http://c/Cat", "http://c/Mammal"),
+        ("http://c/Mammal", "http://c/Animal"),
+    }
+
+
+def test_custom_rule_transitive_fixpoint():
+    link = "http://e/link"
+    chain = [(f"http://n/{a}", link, f"http://n/{b}") for a, b in zip("abcd", "bcde")]
+    out = custom_rule_inference(
+        rd.from_arrow(_quads(chain)),
+        body=[("?x", link, "?y"), ("?y", link, "?z")],
+        head=("?x", link, "?z"),
+    )
+    facts = {(r["s"], r["o_value"]) for r in out.take_all()}
+    assert ("http://n/a", "http://n/e") in facts  # 4-hop via fixpoint
+    assert len(facts) == 4 + 3 + 2 + 1  # full transitive closure of a 5-chain

@@ -132,3 +132,18 @@ def test_store_add_delete_graph_scope(path_quads):
     # deleting a non-existent quad is a no-op
     s4 = s3.delete(quads_to_table(triplify(["http://www.grafter.org/example#q", (LINK, "http://www.grafter.org/example#q")])))
     assert s4.count() == path_quads.num_rows
+
+
+def test_store_bgp_shuffle_join_path(path_quads):
+    """Size-guard: with a tiny broadcast_limit the second pattern must go
+    through the distributed Dataset.join path and produce identical rows."""
+    store = QuadStore.from_table(path_quads)
+    want = store.bgp(("?x", LINK, "?y"), ("?y", LABEL, "?name")).to_pandas()
+    got = store.bgp(
+        ("?x", LINK, "?y"), ("?y", LABEL, "?name"), broadcast_limit=0, join_partitions=4
+    ).to_pandas()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    a = want[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

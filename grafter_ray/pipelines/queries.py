@@ -539,6 +539,26 @@ FROM documents
 """
 
 
+def q_sparql_select(sf_dir: str):
+    """SPARQL-text frontend end-to-end (sparql.clj:261-318): execute a
+    .sparql resource FILE with a spliced VALUES binding over the expanded
+    document quad store — parse → BGP plan → joins → projection."""
+    import os
+
+    from .sparql import sparql_query_file
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "documents.sparql")
+    return sparql_query_file(path, store, bindings={"lang": ["en", "de"]})
+
+
+SQL_SPARQL_SELECT = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, lang, CAST(n_chars AS VARCHAR) AS n
+FROM documents WHERE lang IN ('en', 'de')
+"""
+
+
 def q_inferred_domain_types(sf_dir: str):
     """Full RDFS inferencer (domain + subPropertyOf + subClassOf,
     repository.clj:303-316): expanded document quads + a tiny vocabulary
@@ -1102,6 +1122,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "cdc_replay": q_cdc_replay,
     "bgp_documents": q_bgp_documents,
+    "sparql_select": q_sparql_select,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "cosine_pairs": q_cosine_pairs,
@@ -1143,6 +1164,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "bgp_documents": SQL_BGP_DOCUMENTS,
+    "sparql_select": SQL_SPARQL_SELECT,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,

@@ -1,0 +1,409 @@
+"""SPARQL-text query surface — the reference's main user API
+(sparql.clj:18-121,240-318: query from a .sparql resource + bindings
+map, with comment stripping, VALUES-clause splicing and LIMIT/OFFSET
+rewriting; conformance sparql_test.clj:11-120) executed over QuadStore.
+
+Text layer (string → string, mirrors the reference's pre-processing):
+- strip_comments (pipelines/params.py — '#' to EOL, never inside IRIs)
+- rewrite_values_clauses: fill `VALUES ?v { }` / `VALUES (?a ?b) { }`
+  blocks from a bindings map (single- and multi-column forms)
+- rewrite_limit_and_offset_clauses: replace `LIMIT <n|?var>` /
+  `OFFSET <n|?var>` occurrences keyed by their current value
+
+Execution layer: the SELECT / WHERE-BGP subset (GRAPH groups, VALUES
+constraints, LIMIT/OFFSET, ';'/',' predicate-object lists) is compiled
+onto QuadStore.bgp — joins, broadcast-vs-shuffle planning and graph
+restriction all come from the store layer. Unsupported constructs
+(UNION, OPTIONAL, FILTER, subselects) raise a clear error."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.literals import LangString
+from .params import strip_comments
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class IRI(str):
+    """Marks a bindings value as an IRI (the reference distinguishes
+    java.net.URI from plain strings, sparql_test.clj:40-56)."""
+
+
+class SparqlParseError(ValueError):
+    pass
+
+
+# --- term serialization (bindings → query text) -----------------------------
+
+def serialize_term(v) -> str:
+    if isinstance(v, IRI):
+        return f"<{v}>"
+    if isinstance(v, LangString):
+        return f'"{v.string}"@{v.lang}'
+    if isinstance(v, bool):
+        return f'"{str(v).lower()}"^^<{XSD}boolean>'
+    if isinstance(v, int):
+        return f'"{v}"^^<{XSD}long>'
+    if isinstance(v, float):
+        return f'"{v}"^^<{XSD}double>'
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    raise TypeError(f"cannot serialize VALUES binding {v!r}")
+
+
+_VALUES_RE = re.compile(
+    r"VALUES\s+(?:\?(?P<var>\w+)|\((?P<vars>[^)]*)\))\s*\{(?P<body>[^}]*)\}",
+    re.IGNORECASE,
+)
+
+
+def rewrite_values_clauses(text: str, bindings: dict | None) -> str:
+    """Fill VALUES blocks from bindings (sparql.clj:28-92). Keys: 'v' for
+    `VALUES ?v`, ('a','b') for `VALUES (?a ?b)`. Unbound blocks are left
+    untouched; existing block contents are replaced."""
+    if not bindings:
+        return text
+
+    def repl(m: re.Match) -> str:
+        if m.group("var") is not None:
+            key = m.group("var")
+            if key not in bindings:
+                return m.group(0)
+            vals = bindings[key]
+            body = " ".join(serialize_term(v) for v in vals)
+            return f"VALUES ?{key} {{ {body} }}"
+        vars_ = tuple(v.lstrip("?") for v in m.group("vars").split())
+        if vars_ not in bindings:
+            return m.group(0)
+        rows = bindings[vars_]
+        body = " ".join("(" + " ".join(serialize_term(v) for v in row) + ")" for row in rows)
+        head = " ".join("?" + v for v in vars_)
+        return f"VALUES ({head}) {{ {body} }}"
+
+    return _VALUES_RE.sub(repl, text)
+
+
+def rewrite_limit_and_offset_clauses(
+    text: str, limits: dict | None = None, offsets: dict | None = None
+) -> str:
+    """Replace LIMIT/OFFSET clauses keyed by their CURRENT value
+    (sparql.clj:18-26,94-113): {55: 10} rewrites `LIMIT 55` → `LIMIT 10`;
+    {'myLimitVar': 55} rewrites `LIMIT ?myLimitVar` → `LIMIT 55`."""
+
+    def rewrite(kind: str, mapping: dict, s: str) -> str:
+        def repl(m: re.Match) -> str:
+            tok = m.group(1)
+            key = tok[1:] if tok.startswith("?") else int(tok)
+            if key in mapping:
+                return f"{kind} {mapping[key]}"  # normalized-case, like the reference
+            return m.group(0)
+
+        return re.sub(rf"{kind}\s+(\?\w+|\d+)", repl, s, flags=re.IGNORECASE)
+
+    if limits:
+        text = rewrite("LIMIT", limits, text)
+    if offsets:
+        text = rewrite("OFFSET", offsets, text)
+    return text
+
+
+# --- parsing ----------------------------------------------------------------
+
+_SPARQL_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      |(?P<iri><[^<>"{}|^`\\\s]*>)
+      |(?P<str>"(?:[^"\\\n]|\\.)*")
+      |(?P<dtype>\^\^)
+      |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
+      |(?P<var>\?\w+)
+      |(?P<num>[+-]?\d+(?:\.\d+)?)
+      |(?P<kw>\b(?:SELECT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|a|true|false)\b)
+      |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
+      |(?P<star>\*)
+      |(?P<punct>[{}().;,])
+    """,
+    re.X | re.IGNORECASE,
+)
+
+
+@dataclass
+class SelectQuery:
+    prefixes: dict = field(default_factory=dict)
+    select: list | None = None  # None ⇒ SELECT * (all pattern vars)
+    patterns: list = field(default_factory=list)  # (s, p, o) or (s, p, o, g)
+    values: list = field(default_factory=list)  # (vars_tuple, rows)
+    limit: int | None = None
+    offset: int | None = None
+
+
+def _tokens(text: str):
+    pos, out = 0, []
+    while pos < len(text):
+        m = _SPARQL_TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlParseError(f"unexpected character at {pos}: {text[pos:pos+30]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group(0)))
+    return out
+
+
+class _QParser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+        self.q = SelectQuery()
+
+    def peek(self, ahead=0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, value):
+        k, v = self.next()
+        if v is None or v.lower() != value.lower():
+            raise SparqlParseError(f"expected {value!r}, got {v!r}")
+        return v
+
+    def _resolve(self, raw: str) -> str:
+        if raw.startswith("<"):
+            return raw[1:-1]
+        pre, _, local = raw.partition(":")
+        if pre not in self.q.prefixes:
+            raise SparqlParseError(f"undefined prefix {pre + ':'!r}")
+        return self.q.prefixes[pre] + local
+
+    def parse(self) -> SelectQuery:
+        while self.peek()[1] and self.peek()[1].upper() == "PREFIX":
+            self.next()
+            k, pname = self.next()
+            if k != "pname":
+                raise SparqlParseError(f"bad PREFIX name {pname!r}")
+            _, iri = self.next()
+            self.q.prefixes[pname.rstrip(":").partition(":")[0]] = iri[1:-1]
+        self.expect("SELECT")
+        if self.peek()[0] == "star":
+            self.next()
+            self.q.select = None
+        else:
+            sel = []
+            while self.peek()[0] == "var":
+                sel.append(self.next()[1][1:])
+            self.q.select = sel
+        self.expect("WHERE")
+        self.expect("{")
+        self._group(graph=None)
+        # trailing modifiers
+        while self.peek()[0] is not None:
+            k, v = self.next()
+            if v.upper() == "LIMIT":
+                self.q.limit = int(self.next()[1])
+            elif v.upper() == "OFFSET":
+                self.q.offset = int(self.next()[1])
+            else:
+                raise SparqlParseError(f"unsupported trailing clause {v!r}")
+        return self.q
+
+    def _group(self, graph):
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return
+            if k is None:
+                raise SparqlParseError("unterminated group")
+            if k == "kw" and v.upper() in ("UNION", "OPTIONAL", "FILTER"):
+                raise SparqlParseError(f"{v.upper()} is not in the supported SPARQL subset")
+            if k == "kw" and v.upper() == "GRAPH":
+                self.next()
+                gk, gv = self.next()
+                g = gv[1:] if gk == "var" else self._resolve(gv)
+                if gk == "var":
+                    g = "?" + g
+                self.expect("{")
+                self._group(graph=g)
+                continue
+            if v == "{":  # transparent group
+                self.next()
+                self._group(graph=graph)
+                continue
+            if k == "kw" and v.upper() == "VALUES":
+                self.next()
+                self._values()
+                continue
+            self._triples(graph)
+
+    def _values(self):
+        k, v = self.next()
+        if k == "var":
+            vars_ = (v[1:],)
+            multi = False
+        elif v == "(":
+            vars_ = []
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect(")")
+            vars_ = tuple(vars_)
+            multi = True
+        else:
+            raise SparqlParseError(f"bad VALUES spec {v!r}")
+        self.expect("{")
+        rows = []
+        while self.peek()[1] != "}":
+            if multi:
+                self.expect("(")
+                row = []
+                while self.peek()[1] != ")":
+                    row.append(self._term())
+                self.expect(")")
+                rows.append(tuple(row))
+            else:
+                rows.append((self._term(),))
+        self.expect("}")
+        self.q.values.append((vars_, rows))
+
+    def _term(self):
+        """→ raw string value for column matching ('?x' kept for vars)."""
+        k, v = self.next()
+        if k == "iri" or k == "pname":
+            return self._resolve(v)
+        if k == "var":
+            return v
+        if k == "str":
+            value = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            nk, nv = self.peek()
+            if nk == "lang":
+                self.next()
+                return value
+            if nk == "dtype":
+                self.next()
+                self.next()  # datatype IRI — lexical value is what's stored
+                return value
+            return value
+        if k == "num":
+            return v
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        if k == "kw" and v in ("true", "false"):
+            return v
+        raise SparqlParseError(f"bad term {k}:{v!r}")
+
+    def _triples(self, graph):
+        s = self._term()
+        while True:
+            p = self._term()
+            while True:
+                o = self._term()
+                pat = (s, p, o) if graph is None else (s, p, o, graph)
+                self.q.patterns.append(pat)
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                if self.peek()[1] in (".", "}", None):
+                    break
+                continue
+            break
+        if self.peek()[1] == ".":
+            self.next()
+
+
+def parse_query(text: str) -> SelectQuery:
+    return _QParser(_tokens(strip_comments(text))).parse()
+
+
+# --- execution --------------------------------------------------------------
+
+def prepare_query(
+    text: str,
+    bindings: dict | None = None,
+    limits: dict | None = None,
+    offsets: dict | None = None,
+) -> SelectQuery:
+    """The reference's combined pre-processing (sparql.clj:240-259):
+    strip comments → splice VALUES → rewrite LIMIT/OFFSET → parse, with
+    scalar bindings substituted as pattern constants."""
+    text = strip_comments(text)
+    list_bindings = {k: v for k, v in (bindings or {}).items() if isinstance(v, (list, tuple)) or isinstance(k, tuple)}
+    text = rewrite_values_clauses(text, list_bindings)
+    text = rewrite_limit_and_offset_clauses(text, limits, offsets)
+    q = parse_query(text)
+    scalar = {k: v for k, v in (bindings or {}).items() if not (isinstance(v, (list, tuple)) or isinstance(k, tuple))}
+    if scalar:
+        def sub(term):
+            if isinstance(term, str) and term.startswith("?") and term[1:] in scalar:
+                return str(scalar[term[1:]])
+            return term
+
+        q.patterns = [tuple(sub(t) for t in pat) for pat in q.patterns]
+        q._bound = scalar  # kept so bound vars can be re-projected
+    return q
+
+
+def sparql_query(
+    query_text: str,
+    store,
+    bindings: dict | None = None,
+    limits: dict | None = None,
+    offsets: dict | None = None,
+):
+    """Execute a SPARQL SELECT (text or loaded file) over a QuadStore →
+    pa.Table (bounded: SELECT queries project + LIMIT; the heavy joins
+    run distributed inside store.bgp)."""
+    q = prepare_query(query_text, bindings, limits, offsets)
+    if not q.patterns:
+        raise SparqlParseError("query has no triple patterns")
+    ds = store.bgp(*q.patterns)
+    for vars_, rows in q.values:
+        const_rows = [tuple(v for v in row) for row in rows]
+        if any(v.startswith("?") for row in const_rows for v in row if isinstance(v, str)):
+            raise SparqlParseError("unbound VALUES row (variable in VALUES block)")
+
+        def values_filter(tb: pa.Table, cols=vars_, want=const_rows) -> pa.Table:
+            key = pc.binary_join_element_wise(*[pc.cast(tb.column(c), pa.string()) for c in cols], "\x00")
+            wanted = pa.array(["\x00".join(r) for r in want], pa.string())
+            return tb.filter(pc.is_in(key, value_set=wanted))
+
+        ds = ds.map_batches(values_filter, batch_format="pyarrow", zero_copy_batch=True)
+    bound = getattr(q, "_bound", {})
+    n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
+    if q.limit is not None:
+        ds = ds.limit(n_need)
+    tb = _collect(ds)
+    if q.offset:
+        tb = tb.slice(q.offset)
+    for var, val in bound.items():  # re-project bound vars as constant cols
+        if var not in tb.column_names:
+            tb = tb.append_column(var, pa.array([str(val)] * tb.num_rows, pa.string()))
+    if q.select:
+        missing = [v for v in q.select if v not in tb.column_names]
+        if missing:
+            raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
+        tb = tb.select(q.select)
+    return tb
+
+
+def sparql_query_file(path: str, store, **kw):
+    """query from a .sparql file (sparql.clj:261-318 resource arity)."""
+    with open(path) as f:
+        return sparql_query(f.read(), store, **kw)
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tbs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbs, promote_options="permissive") if tbs else pa.table({})

@@ -452,9 +452,43 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 
 
 def q_lang_id(sf_dir: str):
+    """Language-ID heuristic — fully SQL-expressible (stopword substring
+    counts + first-max argmax), so oracle-gated despite being a
+    'heuristic' stage."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = ds.map_batches(LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
     return out.select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def _sql_lang_score(lang: str, markers: list[str]) -> str:
+    terms = " + ".join(
+        f"CAST((length(pt) - length(replace(pt, '{m}', ''))) / {len(m)} AS BIGINT)" for m in markers
+    )
+    return f"({terms}) AS s_{lang}"
+
+
+def _build_sql_lang_id() -> str:
+    from ..stages.text import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    scores = ",\n         ".join(_sql_lang_score(l, LANG_PROFILES[l]) for l in langs)
+    total = " + ".join(f"s_{l}" for l in langs)
+    # argmax with first-in-list tie-breaking == np.argmax semantics
+    cases = []
+    for i, l in enumerate(langs):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1 :]) or "TRUE"
+        cases.append(f"WHEN {conds} THEN '{l}'")
+    case = "CASE WHEN " + f"{total} = 0 THEN 'und' " + " ".join(cases) + " END"
+    return f"""
+SELECT doc_id, lang, {case} AS pred_lang FROM (
+  SELECT doc_id, lang,
+         {scores}
+  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents)
+)
+"""
+
+
+SQL_LANG_ID = _build_sql_lang_id()
 
 
 def q_fingerprint(sf_dir: str):
@@ -470,6 +504,15 @@ def q_minhash_dedup(sf_dir: str):
 def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(simhash_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (band buckets + hamming verify) — rows-only;
+    planted-recall covered in tests/test_dedup_quality.py."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, bands=8, max_hamming=7)
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -500,9 +543,19 @@ FROM embeddings ORDER BY cosine_e4 DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN, oracle-gated in its recall=1 conformance config
+    (probe radius = nbits ⇒ every bucket probed: the bucket/probe
+    machinery must not lose rows, and scoring must equal brute force).
+    Scale configs use a small probe radius and scan a fraction only."""
     q = _query_vec(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_topk(ds, q, k=10, nbits=8, probe_hamming=2)
+    out = lsh_topk(ds, q, k=10, nbits=6, probe_hamming=6)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"vec_id": tb.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_cdc_replay(sf_dir: str):
@@ -816,13 +869,16 @@ FROM events GROUP BY 1
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF (kmeans coarse quantizer) ANN variant — rows-only check; recall
-    vs the brute-force oracle is asserted in tests."""
+    """IVF (kmeans coarse quantizer) ANN variant, oracle-gated in its
+    recall=1 conformance config (nprobe = n_clusters: every cluster
+    probed, so assignment/probe machinery must not lose rows and scoring
+    must equal brute force). Scale configs probe a few clusters only —
+    recall asserted in tests/test_similarity.py."""
     from ..stages.similarity import ivf_topk
 
     q = _query_vec(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4)
+    out = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=8)
 
     def fp(tb: pa.Table) -> pa.Table:
         e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
@@ -1120,7 +1176,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
-    "cdc_replay": q_cdc_replay,
+    "simhash_pairs": q_simhash_pairs,
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
     "inferred_domain_types": q_inferred_domain_types,
@@ -1163,6 +1219,9 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_TOPK,
+    "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "sparql_select": SQL_SPARQL_SELECT,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
@@ -1181,6 +1240,7 @@ ORACLE_SQL = {
     "all_ids_union": SQL_ALL_IDS_UNION,
     "props_extract": SQL_PROPS_EXTRACT,
     "value_buckets": SQL_VALUE_BUCKETS,
-    # lang_id / fingerprint / minhash_dedup / simhash / ann_lsh / cdc_replay:
-    # non-SQL-expressible (heuristic / hash / engine ops) → rows-only checks
+    # fingerprint / minhash_dedup / simhash / simhash_pairs / media_features:
+    # non-SQL-expressible (pandas hash_array kernels / stubbed codecs) →
+    # rows-only checks backed by planted-truth pytest
 }

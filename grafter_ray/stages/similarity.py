@@ -84,16 +84,20 @@ class HyperplaneLSH:
         return out
 
     def probe_buckets(self, q: np.ndarray, probe_hamming: int = 1) -> list[int]:
+        """Multi-probe: the query's bucket plus every bucket within
+        hamming radius probe_hamming. probe_hamming == nbits probes the
+        whole space — the recall=1 conformance configuration (scan cost
+        reverts to brute force; scale configs use a small radius)."""
+        from itertools import combinations
+
         sig = int(self.signature(q.reshape(1, -1))[0])
         buckets = [sig]
-        if probe_hamming >= 1:
-            buckets += [sig ^ (1 << b) for b in range(self.nbits)]
-        if probe_hamming >= 2:
-            buckets += [
-                sig ^ (1 << a) ^ (1 << b)
-                for a in range(self.nbits)
-                for b in range(a + 1, self.nbits)
-            ]
+        for r in range(1, min(probe_hamming, self.nbits) + 1):
+            for bits in combinations(range(self.nbits), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                buckets.append(sig ^ flip)
         return buckets
 
 

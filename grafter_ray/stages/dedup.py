@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import logging
 
 from ..util import splitmix64
+from .grouped import first_row_per_key, grouped_block_map, key_segments
 from .sha import sha256_array
 from .text import _U64_MAX, _rowlocal_kgram_hashes, _token_hash_rows
 
@@ -144,56 +145,68 @@ def minhash_lsh_dedup(
                 }
             )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_block(tb: pa.Table) -> pa.Table:
+        """ONE call per key-sorted block (grouped_block_map): buckets are
+        equal-key runs; only multi-row buckets do pair work."""
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_est": pa.array([], pa.float64())}
         )
-        n = group.num_rows
-        if n < 2:
+        starts, ends = key_segments(tb, ["band", "band_hash"])
+        sizes = ends - starts
+        multi = np.nonzero(sizes >= 2)[0]
+        if not len(multi):
             return empty
-        if n > bucket_cap:
-            # A boilerplate-heavy bucket at corpus scale would be an O(n²)
-            # straggler; cap it deterministically (min ids survive) and
-            # account for the drop — no silent truncation.
-            logger.warning(
-                "minhash LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
-                n, bucket_cap, bucket_cap,
-            )
-            group = group.sort_by(id_col).slice(0, bucket_cap)
-            n = bucket_cap
-        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = np.frombuffer(b"".join(v.as_py() for v in group.column("sig")), dtype=np.uint64).reshape(n, -1)
-        # vectorized pairwise signature agreement: (n, n) fraction-equal
-        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = (est[iu, ju] >= threshold) & (ids[iu] != ids[ju])
-        ii, jj = iu[keep], ju[keep]
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
+        ids_all = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sig_col = tb.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        out_a, out_b, out_j = [], [], []
+        for g in multi:
+            lo, hi = int(starts[g]), int(ends[g])
+            n = hi - lo
+            if n > bucket_cap:
+                # A boilerplate-heavy bucket at corpus scale would be an
+                # O(n²) straggler; cap deterministically (min ids survive)
+                # and account for the drop — no silent truncation.
+                logger.warning(
+                    "minhash LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                    n, bucket_cap, bucket_cap,
+                )
+                order = np.argsort(ids_all[lo:hi], kind="stable")[:bucket_cap] + lo
+                n = bucket_cap
+            else:
+                order = np.arange(lo, hi)
+            ids = ids_all[order]
+            sigs = np.frombuffer(
+                b"".join(sig_col[int(i)].as_py() for i in order), dtype=np.uint64
+            ).reshape(n, -1)
+            est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(n, k=1)
+            keep = (est[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+            ii, jj = iu[keep], ju[keep]
+            out_a.append(np.minimum(ids[ii], ids[jj]))
+            out_b.append(np.maximum(ids[ii], ids[jj]))
+            out_j.append(est[ii, jj])
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "jaccard_est": pa.array(est[ii, jj], pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "jaccard_est": pa.array(np.concatenate(out_j), pa.float64()),
             }
         )
 
-    pairs = (
-        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = grouped_block_map(
+        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ["band", "band_hash"],
+        bucket_block,
     )
-    # same pair can surface from several bands → distinct
+    # same pair can surface from several bands → distinct (max estimate)
     def block_dedup(tb: pa.Table) -> pa.Table:
         return tb.group_by(["id_a", "id_b"]).aggregate([("jaccard_est", "max")]).rename_columns(["id_a", "id_b", "jaccard_est"])
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return (
-        pairs.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .map_groups(first, batch_format="pyarrow")
+    return first_row_per_key(
+        pairs.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        ["id_a", "id_b"],
     )
 
 
@@ -267,31 +280,45 @@ def simhash_pairs(
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
+    def bucket_block(tb: pa.Table) -> pa.Table:
+        """ONE call per key-sorted block; buckets = equal-key runs."""
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
         )
-        n = group.num_rows
-        if n < 2:
+        starts, ends = key_segments(tb, ["band", "key"])
+        sizes = ends - starts
+        multi = np.nonzero(sizes >= 2)[0]
+        if not len(multi):
             return empty
-        if n > bucket_cap:
-            logger.warning(
-                "simhash band bucket over cap: %d rows > %d; verifying the %d smallest ids only",
-                n, bucket_cap, bucket_cap,
-            )
-            group = group.sort_by(id_col).slice(0, bucket_cap)
-            n = bucket_cap
-        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = group.column("sim").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        iu, ju = np.triu_indices(n, k=1)
-        ham = _popcount64(sims[iu] ^ sims[ju]).astype(np.int64)
-        keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
-        ii, jj = iu[keep], ju[keep]
+        ids_all = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims_all = tb.column("sim").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for g in multi:
+            lo, hi = int(starts[g]), int(ends[g])
+            n = hi - lo
+            if n > bucket_cap:
+                logger.warning(
+                    "simhash band bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                    n, bucket_cap, bucket_cap,
+                )
+                order = np.argsort(ids_all[lo:hi], kind="stable")[:bucket_cap] + lo
+                n = bucket_cap
+            else:
+                order = np.arange(lo, hi)
+            ids = ids_all[order]
+            sims = sims_all[order]
+            iu, ju = np.triu_indices(n, k=1)
+            ham = _popcount64(sims[iu] ^ sims[ju]).astype(np.int64)
+            keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
+            ii, jj = iu[keep], ju[keep]
+            out_a.append(np.minimum(ids[ii], ids[jj]))
+            out_b.append(np.maximum(ids[ii], ids[jj]))
+            out_h.append(ham[keep])
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
-                "id_b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             }
         )
 
@@ -300,16 +327,14 @@ def simhash_pairs(
             tb.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")]).rename_columns(["id_a", "id_b", "hamming"])
         )
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return (
-        ds.map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(bucket_verify, batch_format="pyarrow")
-        .map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .map_groups(first, batch_format="pyarrow")
+    pairs = grouped_block_map(
+        ds.map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "key"],
+        bucket_block,
+    )
+    return first_row_per_key(
+        pairs.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        ["id_a", "id_b"],
     )
 
 

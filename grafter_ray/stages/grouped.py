@@ -1,0 +1,57 @@
+"""Vectorized grouped-block mapping — a fast path replacing
+groupby().map_groups() when groups are numerous and small.
+
+Ray's map_groups performs a key shuffle (sort / keyed repartition) and
+then dispatches the UDF once PER GROUP in Python; with hundreds of
+thousands of tiny groups (e.g. LSH buckets, pair keys) that dispatch
+dominates wall time (measured: a NO-OP map_groups over 80k buckets
+costs ~3 s at sf0.1). grouped_block_map performs the same exchange —
+ds.sort(keys), the exact shuffle map_groups uses under the default
+sort-shuffle strategy, which co-locates equal keys within one output
+block — then calls the kernel ONCE per block with vectorized
+equal-key-run offsets, so per-group work is numpy slicing, not Python
+dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def key_segments(tb: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Row offsets (starts, ends) of equal-key runs in a key-sorted block.
+    Vectorized: one neighbor-compare per key column."""
+    n = tb.num_rows
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        col = tb.column(k).to_numpy(zero_copy_only=False)
+        neq = col[1:] != col[:-1]
+        # object/string columns with None compare elementwise fine
+        change[1:] |= neq
+    starts = np.nonzero(change)[0].astype(np.int64)
+    ends = np.append(starts[1:], n).astype(np.int64)
+    return starts, ends
+
+
+def grouped_block_map(ds, keys: list[str], block_fn, **map_kwargs):
+    """Sort by keys (co-locates each key's rows in one block, as Ray's own
+    map_groups relies on), then apply block_fn once per whole block.
+    block_fn: pa.Table (key-sorted) -> pa.Table; use key_segments() inside
+    for per-group slicing."""
+    return ds.sort(keys).map_batches(
+        block_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, **map_kwargs
+    )
+
+
+def first_row_per_key(ds, keys: list[str]):
+    """DISTINCT-on-keys keeping the first sorted row — vectorized
+    replacement for groupby(keys).map_groups(take-first)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        starts, _ = key_segments(tb, keys)
+        return tb.take(pa.array(starts))
+
+    return grouped_block_map(ds, keys, f)

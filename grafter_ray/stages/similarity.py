@@ -187,37 +187,55 @@ def cosine_pairs(
                 }
             )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
+    def bucket_block(tb: pa.Table) -> pa.Table:
+        """ONE call per key-sorted block (grouped_block_map): buckets are
+        equal-key runs; exact verify runs only inside multi-row runs."""
+        from .grouped import key_segments
+
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
         )
-        n = group.num_rows
-        if n < 2:
+        starts, ends = key_segments(tb, ["band", "key"])
+        sizes = ends - starts
+        multi = np.nonzero(sizes >= 2)[0]
+        if not len(multi):
             return empty
-        if n > bucket_cap:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "cosine LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
-                n, bucket_cap, bucket_cap,
-            )
-            group = group.sort_by(id_col).slice(0, bucket_cap)
-            n = bucket_cap
-        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        col = group.column("vec")
+        ids_all = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = tb.column("vec")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        m = np.frombuffer(b"".join(v.as_py() for v in col), dtype=np.float64).reshape(n, -1)
-        m = _normalize(m)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
-        ii, jj = iu[keep], ju[keep]
+        out_a, out_b, out_c = [], [], []
+        for g in multi:
+            lo, hi = int(starts[g]), int(ends[g])
+            n = hi - lo
+            if n > bucket_cap:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cosine LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
+                    n, bucket_cap, bucket_cap,
+                )
+                order = np.argsort(ids_all[lo:hi], kind="stable")[:bucket_cap] + lo
+                n = bucket_cap
+            else:
+                order = np.arange(lo, hi)
+            ids = ids_all[order]
+            m = np.frombuffer(
+                b"".join(col[int(i)].as_py() for i in order), dtype=np.float64
+            ).reshape(n, -1)
+            m = _normalize(m)
+            sims = m @ m.T
+            iu, ju = np.triu_indices(n, k=1)
+            keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+            ii, jj = iu[keep], ju[keep]
+            out_a.append(np.minimum(ids[ii], ids[jj]))
+            out_b.append(np.maximum(ids[ii], ids[jj]))
+            out_c.append(np.round(sims[ii, jj], 6))
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
-                "id_b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
-                "cosine": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
             }
         )
 
@@ -226,16 +244,16 @@ def cosine_pairs(
             ["id_a", "id_b", "cosine"]
         )
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from .grouped import first_row_per_key, grouped_block_map
 
-    return (
-        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
-        .groupby(["band", "key"])
-        .map_groups(bucket_verify, batch_format="pyarrow")
-        .map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .map_groups(first, batch_format="pyarrow")
+    pairs = grouped_block_map(
+        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ["band", "key"],
+        bucket_block,
+    )
+    return first_row_per_key(
+        pairs.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        ["id_a", "id_b"],
     )
 
 

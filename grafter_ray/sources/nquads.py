@@ -47,26 +47,54 @@ def _term_s(v: str) -> str:
     return v if v.startswith("_:") else f"<{v}>"
 
 
+def _escape_vec(col):
+    """Vectorized N-Quads string escaping: chained replace_substring
+    (backslash first), exact for every input — no per-row Python."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring(col, "\\", "\\\\")
+    for raw, esc in (('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        out = pc.replace_substring(out, raw, esc)
+    return out
+
+
 def quad_rows_to_lines(tb: pa.Table) -> pa.Table:
-    """QUAD table → one N-Quads line per row (python loop: string spec
-    escaping is not expressible in pyarrow kernels; the per-line work is
-    tiny and parallelized across blocks)."""
-    lines = []
-    cols = [tb.column(c).to_pylist() for c in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]]
-    for s, p, kind, val, dt, lang, c in zip(*cols):
-        if kind == "iri":
-            o = f"<{val}>"
-        elif kind == "bnode":
-            o = val if val.startswith("_:") else f"_:{val}"
-        else:
-            o = f'"{_escape(val)}"'
-            if lang:
-                o += f"@{lang}"
-            elif dt and dt != "http://www.w3.org/2001/XMLSchema#string":
-                o += f"^^<{dt}>"
-        g = f" {_term_s(c)}" if c else ""
-        lines.append(f"{_term_s(s)} <{p}> {o}{g} .")
-    return pa.table({"text": pa.array(lines, pa.string())})
+    """QUAD table → one N-Quads line per row, fully vectorized
+    (pyarrow.compute kernels only; serialization is a hot path when
+    exporting corpus-scale lakes)."""
+    import pyarrow.compute as pc
+
+    def j(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    s, p = tb.column("s"), tb.column("p")
+    kind, val = tb.column("o_kind"), tb.column("o_value")
+    dt, lang, c = tb.column("o_datatype"), tb.column("o_lang"), tb.column("c")
+
+    s_term = pc.if_else(pc.starts_with(s, "_:"), s, j("<", s, ">"))
+    lit_suffix = pc.if_else(
+        pc.is_valid(lang),
+        j("@", pc.coalesce(lang, "")),
+        pc.if_else(
+            pc.and_(pc.is_valid(dt), pc.not_equal(pc.coalesce(dt, ""), "http://www.w3.org/2001/XMLSchema#string")),
+            j("^^<", pc.coalesce(dt, ""), ">"),
+            pa.scalar(""),
+        ),
+    )
+    o_literal = j('"', _escape_vec(val), '"', lit_suffix)
+    o_bnode = pc.if_else(pc.starts_with(val, "_:"), val, j("_:", val))
+    o_term = pc.if_else(
+        pc.equal(kind, "iri"), j("<", val, ">"), pc.if_else(pc.equal(kind, "bnode"), o_bnode, o_literal)
+    )
+    c_term = pc.if_else(
+        pc.is_valid(c),
+        j(" ", pc.if_else(pc.starts_with(pc.coalesce(c, ""), "_:"), pc.coalesce(c, ""), j("<", pc.coalesce(c, ""), ">"))),
+        pa.scalar(""),
+    )
+    lines = j(s_term, " <", p, "> ", o_term, c_term, " .")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    return pa.table({"text": lines})
 
 
 _LINE_RE = re.compile(
@@ -195,15 +223,29 @@ def _read_turtle(path: str):
     return read_turtle(path)
 
 
+def _read_trix(path: str):
+    from .trix import read_trix
+
+    return read_trix(path)
+
+
+def _write_trix(ds, path: str):
+    from .trix import write_trix
+
+    write_trix(ds, path)
+
+
 FORMAT_READERS = {
     ".nq": read_nquads,
     ".nt": read_nquads,
     ".ttl": _read_turtle,
     ".trig": _read_turtle,
+    ".xml": _read_trix,
+    ".trix": _read_trix,
     ".csv": read_csv_source,
     ".json": read_json_source,
 }
-FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_ntriples}
+FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_ntriples, ".trix": _write_trix, ".xml": _write_trix}
 
 
 def register_format(suffix: str, reader=None, writer=None) -> None:
@@ -233,6 +275,8 @@ MIME_FORMATS = {
     "application/n-triples": ".nt",
     "text/turtle": ".ttl",
     "application/trig": ".trig",
+    "application/trix+xml": ".trix",
+    "application/trix": ".trix",
     "text/csv": ".csv",
     "application/json": ".json",
     "application/x-parquet": ".parquet",
@@ -245,3 +289,55 @@ def read_statements_mime(path: str, mime_type: str):
     if suffix is None:
         raise ValueError(f"unknown statement mime type {mime_type!r}")
     return read_statements(path, fmt=suffix)
+
+
+def statements(source, fmt: str | None = None):
+    """Source-coercion entry point (≡ `statements` over File/URI/String/
+    InputStream/Reader, io.clj:680-731): accepts
+
+    - a path string or pathlib.Path (suffix dispatch; `file://` URLs ok)
+    - a file-like object (has .read(); `fmt` required — a stream has no name)
+    - raw statement TEXT via `fmt=` when the string is not a path
+      (mirrors the reference's "a String is a resource locator, not
+      content" rule: strings WITHOUT a known suffix need explicit fmt)
+
+    Returns a Ray Dataset of QUAD rows (or the format's natural schema)."""
+    import io as _io
+    import os
+    import pathlib
+
+    if isinstance(source, pathlib.Path):
+        return read_statements(str(source), fmt=fmt)
+    if hasattr(source, "read"):
+        if fmt is None:
+            raise ValueError("fmt is required for stream sources (a stream has no suffix)")
+        data = source.read()
+        if isinstance(data, bytes):
+            data = data.decode("utf-8")
+        return statements_from_string(data, fmt)
+    if isinstance(source, str):
+        if source.startswith("file://"):
+            return read_statements(source[len("file://"):], fmt=fmt)
+        suffix = fmt or os.path.splitext(source)[1]
+        if os.path.exists(source) or suffix in FORMAT_READERS or suffix == ".parquet":
+            return read_statements(source, fmt=fmt)
+        raise ValueError(
+            f"cannot coerce {source!r}: not an existing path and no known suffix; "
+            "pass raw content via statements_from_string(text, fmt)"
+        )
+    raise TypeError(f"cannot coerce statement source of type {type(source).__name__}")
+
+
+def statements_from_string(text: str, fmt: str):
+    """Raw statement text → Dataset of QUAD rows (Reader/StringReader
+    coercion, io.clj:713-722)."""
+    import ray.data as rd
+
+    if fmt in (".nq", ".nt", "nq", "nt"):
+        tb = lines_to_quad_rows(pa.table({"text": pa.array(text.splitlines(), pa.string())}))
+        return rd.from_arrow(tb)
+    if fmt in (".ttl", ".trig", "ttl", "trig"):
+        from .turtle_reader import parse_turtle
+
+        return rd.from_arrow(parse_turtle(text))
+    raise ValueError(f"unsupported in-memory statement format {fmt!r}")

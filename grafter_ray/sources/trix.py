@@ -1,0 +1,124 @@
+"""TriX source + sink — one of the reference's quad-capable formats
+(parser factory formats.clj:149-189; graph-override honored for
+NQUADS/TRIX/TRIG, io.clj:584-586,615-618). Implemented on the stdlib
+XML parser — no external deps.
+
+TriX is XML, so (like Turtle) it is not line-splittable: the reader
+parallelizes per FILE via read_binary_files; the writer emits one
+self-contained XML document per block (resumable output)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def quads_to_trix(tb: pa.Table) -> str:
+    """QUAD table → TriX document (rows grouped by graph)."""
+    out = [f'<?xml version="1.0" encoding="utf-8"?>\n<TriX xmlns="{TRIX_NS}">\n']
+    cols = [tb.column(c).to_pylist() for c in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]]
+    by_graph: dict[str | None, list[tuple]] = {}
+    for s, p, kind, val, dt, lang, g in zip(*cols):
+        by_graph.setdefault(g, []).append((s, p, kind, val, dt, lang))
+    for g in sorted(by_graph, key=lambda x: (x is not None, x)):
+        out.append("  <graph>\n")
+        if g is not None:
+            out.append(f"    <uri>{escape(g)}</uri>\n")
+        for s, p, kind, val, dt, lang in by_graph[g]:
+            out.append("    <triple>\n")
+            for term, tkind in [(s, "subj"), (p, "uri")]:
+                if tkind == "subj" and term.startswith("_:"):
+                    out.append(f"      <id>{escape(term[2:])}</id>\n")
+                else:
+                    out.append(f"      <uri>{escape(term)}</uri>\n")
+            if kind == "iri":
+                out.append(f"      <uri>{escape(val)}</uri>\n")
+            elif kind == "bnode":
+                out.append(f"      <id>{escape(val[2:] if val.startswith('_:') else val)}</id>\n")
+            elif lang:
+                out.append(f"      <plainLiteral xml:lang={quoteattr(lang)}>{escape(val)}</plainLiteral>\n")
+            elif dt and dt != XSD_STRING:
+                out.append(f"      <typedLiteral datatype={quoteattr(dt)}>{escape(val)}</typedLiteral>\n")
+            else:
+                out.append(f"      <plainLiteral>{escape(val)}</plainLiteral>\n")
+            out.append("    </triple>\n")
+        out.append("  </graph>\n")
+    out.append("</TriX>\n")
+    return "".join(out)
+
+
+def parse_trix(text: str) -> pa.Table:
+    """TriX document → QUAD table (in-band parse errors raise)."""
+    root = ET.fromstring(text)
+    ns = f"{{{TRIX_NS}}}"
+    rows = {k: [] for k in QUAD.names}
+
+    def term_of(el) -> tuple[str, str, str | None, str | None]:
+        tag = el.tag.removeprefix(ns)
+        text_ = el.text or ""
+        if tag == "uri":
+            return ("iri", text_, None, None)
+        if tag == "id":
+            return ("bnode", f"_:{text_}", None, None)
+        if tag == "plainLiteral":
+            lang = el.get(XML_LANG)
+            return ("literal", text_, None if lang else XSD_STRING, lang)
+        if tag == "typedLiteral":
+            return ("literal", text_, el.get("datatype"), None)
+        raise ValueError(f"unknown TriX term element <{tag}>")
+
+    for graph in root.findall(f"{ns}graph"):
+        children = list(graph)
+        g = None
+        triples = children
+        if children and children[0].tag == f"{ns}uri":
+            g = children[0].text
+            triples = children[1:]
+        for triple in triples:
+            if triple.tag != f"{ns}triple":
+                raise ValueError(f"unexpected element {triple.tag} in graph")
+            terms = [term_of(t) for t in triple]
+            if len(terms) != 3:
+                raise ValueError(f"TriX triple has {len(terms)} terms")
+            (sk, sv, _, _), (pk, pv, _, _), (ok, ov, odt, olang) = terms
+            rows["s"].append(sv)
+            rows["p"].append(pv)
+            rows["o_kind"].append(ok)
+            rows["o_value"].append(ov)
+            rows["o_datatype"].append(odt)
+            rows["o_lang"].append(olang)
+            rows["c"].append(g)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_trix(path: str):
+    """Streaming TriX reader: per-file parallelism."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [parse_trix(data.as_py().decode("utf-8")) for data in tb.column("bytes")]
+        return pa.concat_tables(tables) if tables else QUAD.empty_table()
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_trix(ds, path: str) -> None:
+    """Streaming TriX sink: one self-contained XML document per block."""
+    from .nquads import write_text_lines
+
+    def ser(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": [quads_to_trix(tb)]})
+
+    write_text_lines(
+        ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True), path, file_format="xml"
+    )

@@ -206,3 +206,90 @@ def test_unknown_escape_raises():
 
     with _pytest.raises(ValueError):
         _unescape("bad \\x escape")
+
+
+# --- source coercion (statements over File/Path/stream/string, io.clj:680-731)
+
+def test_statements_accepts_pathlib_and_file_url(tmp_path):
+    import pathlib
+
+    from grafter_ray.sources.nquads import statements
+
+    p = tmp_path / "x.nq"
+    p.write_text('<http://e/s> <http://e/p> "v" .\n')
+    assert len(statements(pathlib.Path(p)).take_all()) == 1
+    assert len(statements(f"file://{p}").take_all()) == 1
+
+
+def test_statements_accepts_stream_with_fmt(tmp_path):
+    import io
+
+    from grafter_ray.sources.nquads import statements
+
+    buf = io.StringIO('<http://e/s> <http://e/p> "v" .\n<http://e/s> <http://e/q> <http://e/o> .\n')
+    assert len(statements(buf, fmt=".nq").take_all()) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        statements(io.StringIO("x"))  # stream without fmt
+
+
+def test_statements_from_string_turtle():
+    from grafter_ray.sources.nquads import statements_from_string
+
+    rows = statements_from_string('@prefix : <http://e/> .\n:s :p "v" .', ".ttl").take_all()
+    assert rows[0]["s"] == "http://e/s"
+
+
+def test_statements_rejects_non_path_string():
+    import pytest as _pytest
+
+    from grafter_ray.sources.nquads import statements
+
+    with _pytest.raises(ValueError):
+        statements("not a path and not a suffix")
+
+
+# --- TriX (quad-capable XML format, formats.clj:149-189) --------------------
+
+def test_trix_roundtrip_in_memory():
+    from grafter_ray.sources.trix import parse_trix, quads_to_trix
+
+    tb = _tricky_quads()
+    back = parse_trix(quads_to_trix(tb))
+    key = lambda t: sorted(zip(*(t.column(c).to_pylist() for c in t.column_names)))
+    assert key(back) == key(tb)
+
+
+def test_trix_file_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import read_statements
+    from grafter_ray.sources.trix import write_trix
+
+    out = str(tmp_path / "trix_out")
+    write_trix(rd.from_arrow(_tricky_quads()), out)
+    back = read_statements(out + "/", fmt=".trix").take_all()
+    assert len(back) == 3
+    assert {r["c"] for r in back} == {"http://ex/g", None}
+
+
+def test_trix_typed_and_lang_literals():
+    from grafter_ray.sources.trix import parse_trix, quads_to_trix
+
+    tb = pa.table(
+        {
+            "s": pa.array(["http://e/s"] * 3, pa.string()),
+            "p": pa.array(["http://e/p"] * 3, pa.string()),
+            "o_kind": pa.array(["literal", "literal", "bnode"], pa.string()),
+            "o_value": pa.array(["42", "bonjour", "_:b0"], pa.string()),
+            "o_datatype": pa.array(["http://www.w3.org/2001/XMLSchema#integer", None, None], pa.string()),
+            "o_lang": pa.array([None, "fr", None], pa.string()),
+            "c": pa.array([None, None, None], pa.string()),
+        }
+    )
+    back = parse_trix(quads_to_trix(tb))
+    rows = {r["o_value"]: r for r in back.to_pylist()}
+    assert rows["42"]["o_datatype"].endswith("integer")
+    assert rows["bonjour"]["o_lang"] == "fr"
+    assert rows["_:b0"]["o_kind"] == "bnode"

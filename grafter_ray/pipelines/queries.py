@@ -887,17 +887,12 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_cdc_replay_docs(sf_dir: str):
-    """THE ENGINE, oracle-checked: a binlog derived deterministically from
-    the documents table (upsert per doc; delete for doc_id%7==0; a later
-    update wave rewriting doc_id%5==0 with ' v2' content) is replayed
-    through CDCLake; the converged lake state has a closed-form SQL
-    oracle (DuckDB sha256). Exercises LWW, deletes, delete-then-recreate
-    and per-row sha256 convergence end-to-end under the driver's gate."""
+def _docs_binlog(sf_dir: str):
+    """Deterministic binlog derived from the documents table (upsert per
+    doc; delete for doc_id%7==0; later update wave rewriting doc_id%5==0
+    with ' v2' content) → (binlog Dataset, n_docs). Shared by the
+    oracle-gated engine queries."""
     import hashlib
-    import tempfile
-
-    from .. import CDCLake
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
@@ -969,7 +964,20 @@ def q_cdc_replay_docs(sf_dir: str):
             )
         return pa.concat_tables(pieces)
 
-    binlog = docs.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True), n_docs
+
+
+def q_cdc_replay_docs(sf_dir: str):
+    """THE ENGINE, oracle-checked: the deterministic documents binlog
+    (see _docs_binlog) replayed through CDCLake; the converged lake
+    state has a closed-form SQL oracle (DuckDB sha256). Exercises LWW,
+    deletes, delete-then-recreate and per-row sha256 convergence
+    end-to-end under the driver's gate."""
+    import tempfile
+
+    from .. import CDCLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
         lake.apply(binlog, upto_lsn=3 * n_docs)
@@ -984,6 +992,75 @@ def q_cdc_replay_docs(sf_dir: str):
                 "last_lsn": tb.column("last_lsn"),
             }
         )
+
+
+def q_cdc_lake_join(sf_dir: str):
+    """Lake-backed analytical query: the converged CDC lake (same
+    deterministic documents binlog as cdc_replay_docs) STREAMED back out
+    of partitioned parquet via lake.read(), broadcast-joined with the
+    documents dim on doc_id (parsed from the lake path), then aggregated
+    per (repo, lang) — the 'query the lake you just built' pattern a
+    grafter user runs daily, end-to-end under the oracle gate."""
+    import re as _re
+    import shutil
+    import tempfile
+
+    docs_dim = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="graftray_lakejoin_")
+    try:
+        _build_docs_lake(sf_dir, f"{tmp}/lake")
+        from .. import CDCLake
+
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        ds = lake.read(view=False, columns=["repo", "path", "lang"])
+
+        def with_doc_id(tb: pa.Table) -> pa.Table:
+            ids = pc.cast(
+                pc.struct_field(pc.extract_regex(tb.column("path"), r"doc/(?P<id>\d+)\.txt"), "id"),
+                pa.int64(),
+            )
+            return pa.table({"repo": tb.column("repo"), "lang": tb.column("lang"), "doc_id": ids})
+
+        joined = broadcast_join(
+            ds.map_batches(with_doc_id, batch_format="pyarrow", zero_copy_batch=True),
+            docs_dim,
+            ["doc_id"],
+        )
+        out = grouped_agg(
+            joined, ["repo", "lang"], [("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")]
+        )
+        tables = [t for t in (_collect_refs(out)) if t.num_rows]
+        return pa.concat_tables(tables)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _collect_refs(ds):
+    import ray as _ray
+
+    return [_ray.get(r) for r in ds.to_arrow_refs()]
+
+
+def _build_docs_lake(sf_dir: str, lake_root: str) -> None:
+    """Replay the deterministic documents binlog (same construction as
+    q_cdc_replay_docs) into a lake at lake_root."""
+    from .. import CDCLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    lake = CDCLake(lake_root, num_partitions=32)
+    lake.apply(binlog, upto_lsn=3 * n_docs)
+
+
+SQL_CDC_LAKE_JOIN = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+survivors AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+)
+SELECT 'repo/' || source AS repo, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM survivors GROUP BY 1, 2
+"""
 
 
 SQL_CDC_REPLAY_DOCS = """
@@ -1189,6 +1266,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "hourly_events": q_hourly_events,
     "ann_ivf": q_ann_ivf,
+    "cdc_lake_join": q_cdc_lake_join,
     "cdc_replay_docs": q_cdc_replay_docs,
     "customers_without_orders": q_customers_without_orders,
     "order_value_median": q_order_value_median,
@@ -1232,6 +1310,7 @@ ORACLE_SQL = {
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     "sessionize": SQL_SESSIONIZE,
     "hourly_events": SQL_HOURLY_EVENTS,
+    "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

@@ -235,17 +235,39 @@ def _write_trix(ds, path: str):
     write_trix(ds, path)
 
 
+def _read_rdfjson(path: str):
+    from .rdfjson import read_rdfjson
+
+    return read_rdfjson(path)
+
+
+def _write_rdfjson(ds, path: str):
+    from .rdfjson import write_rdfjson
+
+    write_rdfjson(ds, path)
+
+
 FORMAT_READERS = {
     ".nq": read_nquads,
     ".nt": read_nquads,
     ".ttl": _read_turtle,
     ".trig": _read_turtle,
+    # N3's everyday subset (prefixes, lists, literals) is Turtle — the
+    # reference maps .n3 to its Turtle-family parser too (formats.clj)
+    ".n3": _read_turtle,
     ".xml": _read_trix,
     ".trix": _read_trix,
+    ".rj": _read_rdfjson,
     ".csv": read_csv_source,
     ".json": read_json_source,
 }
-FORMAT_WRITERS = {".nq": write_nquads, ".nt": write_ntriples, ".trix": _write_trix, ".xml": _write_trix}
+FORMAT_WRITERS = {
+    ".nq": write_nquads,
+    ".nt": write_ntriples,
+    ".trix": _write_trix,
+    ".xml": _write_trix,
+    ".rj": _write_rdfjson,
+}
 
 
 def register_format(suffix: str, reader=None, writer=None) -> None:

@@ -1,0 +1,91 @@
+"""RDF/JSON (Talis) source + sink — another entry of the reference's
+parser factory table (formats.clj:149-189). Triple format (graph slot
+dropped on write, like N-Triples — io.clj:584-586).
+
+Document shape: {subject: {predicate: [{"type": "uri"|"literal"|"bnode",
+"value": ..., "lang"?: ..., "datatype"?: ...}]}}. JSON objects are not
+line-splittable → per-file read parallelism; the writer emits one
+self-contained document per block."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def quads_to_rdfjson(tb: pa.Table) -> str:
+    doc: dict[str, dict[str, list[dict]]] = {}
+    cols = [tb.column(c).to_pylist() for c in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang"]]
+    for s, p, kind, val, dt, lang in zip(*cols):
+        obj: dict = {}
+        if kind == "iri":
+            obj = {"type": "uri", "value": val}
+        elif kind == "bnode":
+            obj = {"type": "bnode", "value": val if val.startswith("_:") else f"_:{val}"}
+        else:
+            obj = {"type": "literal", "value": val}
+            if lang:
+                obj["lang"] = lang
+            elif dt and dt != XSD_STRING:
+                obj["datatype"] = dt
+        doc.setdefault(s, {}).setdefault(p, []).append(obj)
+    return json.dumps(doc, ensure_ascii=False, sort_keys=True)
+
+
+def parse_rdfjson(text: str) -> pa.Table:
+    doc = json.loads(text)
+    rows = {k: [] for k in QUAD.names}
+    for s, preds in doc.items():
+        for p, objs in preds.items():
+            for o in objs:
+                t = o.get("type")
+                rows["s"].append(s)
+                rows["p"].append(p)
+                rows["c"].append(None)
+                if t == "uri":
+                    rows["o_kind"].append("iri")
+                    rows["o_value"].append(o["value"])
+                    rows["o_datatype"].append(None)
+                    rows["o_lang"].append(None)
+                elif t == "bnode":
+                    rows["o_kind"].append("bnode")
+                    rows["o_value"].append(o["value"])
+                    rows["o_datatype"].append(None)
+                    rows["o_lang"].append(None)
+                elif t == "literal":
+                    rows["o_kind"].append("literal")
+                    rows["o_value"].append(o["value"])
+                    lang = o.get("lang")
+                    rows["o_lang"].append(lang)
+                    rows["o_datatype"].append(o.get("datatype") if o.get("datatype") else (None if lang else XSD_STRING))
+                else:
+                    raise ValueError(f"unknown RDF/JSON object type {t!r}")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_rdfjson(path: str):
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [parse_rdfjson(data.as_py().decode("utf-8")) for data in tb.column("bytes")]
+        return pa.concat_tables(tables) if tables else QUAD.empty_table()
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_rdfjson(ds, path: str) -> None:
+    from .nquads import write_text_lines
+
+    def drop_graph_ser(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": [quads_to_rdfjson(tb)]})
+
+    write_text_lines(
+        ds.map_batches(drop_graph_ser, batch_format="pyarrow", zero_copy_batch=True), path, file_format="rj"
+    )

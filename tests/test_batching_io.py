@@ -293,3 +293,37 @@ def test_trix_typed_and_lang_literals():
     assert rows["42"]["o_datatype"].endswith("integer")
     assert rows["bonjour"]["o_lang"] == "fr"
     assert rows["_:b0"]["o_kind"] == "bnode"
+
+
+# --- RDF/JSON (Talis) -------------------------------------------------------
+
+def test_rdfjson_roundtrip_in_memory():
+    from grafter_ray.sources.rdfjson import parse_rdfjson, quads_to_rdfjson
+
+    tb = _tricky_quads()
+    back = parse_rdfjson(quads_to_rdfjson(tb))
+    got = sorted(zip(back.column("s").to_pylist(), back.column("o_value").to_pylist()))
+    want = sorted(zip(tb.column("s").to_pylist(), tb.column("o_value").to_pylist()))
+    assert got == want
+    assert set(back.column("c").to_pylist()) == {None}  # triple format
+
+
+def test_rdfjson_file_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import read_statements
+    from grafter_ray.sources.rdfjson import write_rdfjson
+
+    out = str(tmp_path / "rj_out")
+    write_rdfjson(rd.from_arrow(_tricky_quads()), out)
+    back = read_statements(out + "/", fmt=".rj").take_all()
+    assert len(back) == 3
+
+
+def test_n3_alias_reads_turtle(tmp_path):
+    from grafter_ray.sources.nquads import read_statements
+
+    p = tmp_path / "v.n3"
+    p.write_text('@prefix : <http://e/> .\n:s :p :o .\n')
+    rows = read_statements(str(p)).take_all()
+    assert rows[0]["o_value"] == "http://e/o"

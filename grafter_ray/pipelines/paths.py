@@ -195,3 +195,180 @@ def _identity_pairs(quads: pa.Table) -> pa.Table:
         )
     )
     return pa.table({"src": nodes, "dst": nodes}).cast(_PAIRS)
+
+
+# --- Dataset-scale evaluation ----------------------------------------------
+
+
+def _pairs_ds(ds, pred=None, neg_iris=None):
+    def f(tb: pa.Table) -> pa.Table:
+        if pred is not None:
+            tb = tb.filter(pc.equal(tb.column("p"), pred))
+        if neg_iris is not None:
+            tb = tb.filter(pc.invert(pc.is_in(tb.column("p"), value_set=pa.array(list(neg_iris)))))
+        return pa.table({"src": tb.column("s"), "dst": tb.column("o_value")}).cast(_PAIRS)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+
+
+def _sane(tb: pa.Table) -> pa.Table:
+    """Empty shuffle partitions surface as 0-column blocks — restore the
+    pair schema so joins/renames downstream never see a blank schema."""
+    return _empty_pairs() if tb.num_columns == 0 or tb.num_rows == 0 else tb
+
+
+def _distinct_ds(pairs):
+    from ..stages.grouped import first_row_per_key
+
+    def partial(tb: pa.Table) -> pa.Table:
+        tb = _sane(tb)
+        return tb.group_by(["src", "dst"]).aggregate([])
+
+    return first_row_per_key(
+        pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), ["src", "dst"]
+    )
+
+
+def _anti_ds(left, right):
+    """left pairs NOT present in right — tag-union + one key exchange
+    (grouped_block_map), vectorized per block. Avoids Dataset.join's
+    left_anti, which breaks on empty hash partitions at small scale."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    def tag(flag):
+        def f(tb: pa.Table) -> pa.Table:
+            tb = _sane(tb)
+            return tb.append_column("side", pa.array(np.full(tb.num_rows, flag, np.int8)))
+
+        return f
+
+    both = left.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def keep_left_only(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return _empty_pairs()
+        starts, ends = key_segments(tb, ["src", "dst"])
+        flags = tb.column("side").to_numpy(zero_copy_only=False)
+        seg_min = np.minimum.reduceat(flags, starts)
+        keep_start = starts[seg_min == 1]  # no right row in the run → keep ONE
+        return tb.take(pa.array(keep_start, pa.int64())).select(["src", "dst"])
+
+    return grouped_block_map(both, ["src", "dst"], keep_left_only)
+
+
+def _join_ds(a, b, num_partitions: int = 8):
+    """pairs(a) ∘ pairs(b): co-group on the mid node via ONE key exchange
+    (tag-union + grouped_block_map) and a per-key cross product. The
+    exchange shape is identical to a hash join; avoiding Dataset.join
+    keeps tiny-relation fixpoints robust (Ray's hash-join aggregator
+    mishandles empty partitions) while staying fully distributed."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    def as_l(tb: pa.Table) -> pa.Table:
+        tb = _sane(tb)
+        return pa.table(
+            {"mid": tb.column("dst"), "side": pa.array(np.ones(tb.num_rows, np.int8)), "val": tb.column("src")}
+        )
+
+    def as_r(tb: pa.Table) -> pa.Table:
+        tb = _sane(tb)
+        return pa.table(
+            {"mid": tb.column("src"), "side": pa.array(np.zeros(tb.num_rows, np.int8)), "val": tb.column("dst")}
+        )
+
+    both = a.map_batches(as_l, batch_format="pyarrow", zero_copy_batch=True).union(
+        b.map_batches(as_r, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def compose(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return _empty_pairs()
+        starts, ends = key_segments(tb, ["mid"])
+        flags = tb.column("side").to_numpy(zero_copy_only=False)
+        vals = tb.column("val").to_numpy(zero_copy_only=False)
+        out_src, out_dst = [], []
+        for lo, hi in zip(starts, ends):
+            f = flags[lo:hi]
+            l = vals[lo:hi][f == 1]
+            r = vals[lo:hi][f == 0]
+            if len(l) and len(r):
+                out_src.append(np.repeat(l, len(r)))
+                out_dst.append(np.tile(r, len(l)))
+        if not out_src:
+            return _empty_pairs()
+        return pa.table(
+            {"src": pa.array(np.concatenate(out_src)), "dst": pa.array(np.concatenate(out_dst))}
+        ).cast(_PAIRS)
+
+    return _distinct_ds(grouped_block_map(both, ["mid"], compose))
+
+
+def _identity_pairs_ds(ds):
+    def f(tb: pa.Table) -> pa.Table:
+        nodes = pc.unique(
+            pa.concat_arrays([tb.column("s").combine_chunks(), tb.column("o_value").combine_chunks()])
+        )
+        return pa.table({"src": nodes, "dst": nodes}).cast(_PAIRS)
+
+    return _distinct_ds(ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def eval_path_dataset(ds, path, num_partitions: int = 8, max_iters: int = 64):
+    """Dataset-scale path evaluation: the edge relation stays distributed
+    end-to-end — sequences are Dataset hash joins, closures run an
+    anti-join frontier fixpoint (closure and frontier are Datasets too,
+    never driver tables). Iteration count = path diameter; each round is
+    one join + one left_anti join. Use eval_path (driver tables) for
+    vocabulary-sized graphs — it is cheaper below ~1M edges."""
+    path = _coerce(path)
+    if isinstance(path, P):
+        return _distinct_ds(_pairs_ds(ds, pred=path.iri))
+    if isinstance(path, NegSet):
+        return _distinct_ds(_pairs_ds(ds, neg_iris=path.iris))
+    if isinstance(path, Inv):
+        inner = eval_path_dataset(ds, path.part, num_partitions)
+
+        def swap(tb: pa.Table) -> pa.Table:
+            tb = _sane(tb)
+            return pa.table({"src": tb.column("dst"), "dst": tb.column("src")}).cast(_PAIRS)
+
+        return inner.map_batches(swap, batch_format="pyarrow", zero_copy_batch=True)
+    if isinstance(path, Seq):
+        acc = eval_path_dataset(ds, path.parts[0], num_partitions)
+        for part in path.parts[1:]:
+            acc = _join_ds(acc, eval_path_dataset(ds, part, num_partitions), num_partitions)
+        return acc
+    if isinstance(path, Alt):
+        parts = [eval_path_dataset(ds, x, num_partitions) for x in path.parts]
+        acc = parts[0]
+        for p_ in parts[1:]:
+            acc = acc.union(p_)
+        return _distinct_ds(acc)
+    if isinstance(path, (Star, Plus)):
+        base = eval_path_dataset(ds, path.part, num_partitions).materialize()
+        closure = base
+        frontier = base
+        for _ in range(max_iters):
+            nxt = _join_ds(frontier, base, num_partitions)
+            new = _anti_ds(nxt, closure).materialize()
+            if new.count() == 0:
+                break
+            closure = _distinct_ds(closure.union(new)).materialize()
+            frontier = new
+        if isinstance(path, Plus):
+            return closure
+        return _distinct_ds(closure.union(_identity_pairs_ds(ds)))
+    if isinstance(path, Opt):
+        inner = eval_path_dataset(ds, path.part, num_partitions)
+        return _distinct_ds(inner.union(_identity_pairs_ds(ds)))
+    raise TypeError(type(path))

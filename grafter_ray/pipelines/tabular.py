@@ -75,9 +75,19 @@ def columns(ds, names: list[str]):
     return ds.select_columns(names)
 
 
-def melt(ds, id_vars: list[str], value_vars: list[str], var_name: str = "variable", value_name: str = "value"):
+def melt(
+    ds,
+    id_vars: list[str],
+    value_vars: list[str] | None = None,
+    var_name: str = "variable",
+    value_name: str = "value",
+):
     """Unpivot wide → long: one output row per (row, value_var), fully
-    vectorized (column replication + concat — no Python row loop)."""
+    vectorized (column replication + concat — no Python row loop).
+    value_vars=None ⇒ every non-id column (the reference's id-vars-only
+    arity: `(melt dataset id-vars)`)."""
+    if value_vars is None:
+        value_vars = [c for c in ds.schema().names if c not in id_vars]
 
     def f(tb: pa.Table) -> pa.Table:
         n = tb.num_rows
@@ -91,3 +101,41 @@ def melt(ds, id_vars: list[str], value_vars: list[str], var_name: str = "variabl
         return pa.concat_tables(pieces)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cast_column(ds, col: str, dtype: pa.DataType):
+    """Cast-back helper for melted string values (retype a column)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index(col)
+        return tb.set_column(i, col, pc.cast(tb.column(col), dtype))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unmelt(ds, id_vars: list[str], var_name: str = "variable", value_name: str = "value"):
+    """Long → wide pivot (inverse of melt): groups by id_vars and emits
+    one column per distinct variable. Distinct variables are discovered
+    with a vectorized aggregate (small), then the pivot itself is a
+    grouped-block map — one vectorized call per key-sorted block."""
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    var_names = sorted(ds.select_columns([var_name]).unique(var_name))
+
+    def pivot_block(tb: pa.Table) -> pa.Table:
+        tb = tb.sort_by([(c, "ascending") for c in id_vars + [var_name]])
+        starts, ends = key_segments(tb, id_vars)
+        out = {c: tb.column(c).take(pa.array(starts)) for c in id_vars}
+        vcol = tb.column(var_name).to_numpy(zero_copy_only=False)
+        val = tb.column(value_name)
+        import numpy as np
+
+        for name in var_names:
+            idx = []
+            for lo, hi in zip(starts, ends):
+                hits = np.nonzero(vcol[lo:hi] == name)[0]
+                idx.append(int(lo + hits[0]) if len(hits) else None)
+            out[name] = val.take(pa.array(idx, pa.int64()))
+        return pa.table(out)
+
+    return grouped_block_map(ds, id_vars, pivot_block)

@@ -299,6 +299,8 @@ MIME_FORMATS = {
     "application/trig": ".trig",
     "application/trix+xml": ".trix",
     "application/trix": ".trix",
+    "application/rdf+json": ".rj",
+    "text/n3": ".n3",
     "text/csv": ".csv",
     "application/json": ".json",
     "application/x-parquet": ".parquet",

@@ -147,3 +147,27 @@ def test_store_bgp_shuffle_join_path(path_quads):
     a = want[cols].sort_values(cols).reset_index(drop=True)
     b = got[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_eval_path_dataset_matches_table_evaluator(path_quads):
+    """Dataset-scale evaluator ≡ driver-table evaluator on the reference
+    path fixture, across every operator family."""
+    import ray.data as rd
+
+    from grafter_ray.pipelines.paths import eval_path, eval_path_dataset
+
+    ds = rd.from_arrow(path_quads)
+    cases = [
+        seq(LINK, LINK),
+        alt(LIN2, LIN3),
+        inv(LINK),
+        plus(LINK),
+        star(LIN2),
+        neg(LINK, LABEL),
+        seq(plus(LINK), LIN2),
+    ]
+    for case in cases:
+        want = _pairs(eval_path(path_quads, case))
+        rows = eval_path_dataset(ds, case, num_partitions=2).take_all()
+        got = {(r["src"], r["dst"]) for r in rows}
+        assert got == want, to_sparql(case)

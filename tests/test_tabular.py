@@ -46,3 +46,37 @@ def test_melt_string_columns():
     assert len(out) == 4
     assert out.loc[0].tolist() == ["a", "x", "1"]
     assert out.loc[1].tolist() == ["a", "y", "10"]
+
+
+def test_melt_id_vars_only_arity():
+    import ray.data as rd
+
+    from grafter_ray.pipelines.tabular import melt
+
+    tb = pa.table({"k": [1, 2], "a": [10, 20], "b": [30, 40]})
+    out = melt(rd.from_arrow(tb), ["k"]).take_all()  # value_vars inferred
+    assert len(out) == 4
+    assert {r["variable"] for r in out} == {"a", "b"}
+
+
+def test_cast_column_round_trips_melt():
+    import ray.data as rd
+
+    from grafter_ray.pipelines.tabular import cast_column, melt
+
+    tb = pa.table({"k": [1, 2], "a": [10, 20]})
+    melted = melt(rd.from_arrow(tb), ["k"], ["a"])
+    back = cast_column(melted, "value", pa.int64()).take_all()
+    assert sorted(r["value"] for r in back) == [10, 20]
+
+
+def test_unmelt_inverts_melt():
+    import ray.data as rd
+
+    from grafter_ray.pipelines.tabular import melt, unmelt
+
+    tb = pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"], "b": ["p", "q", "r"]})
+    melted = melt(rd.from_arrow(tb), ["k"])
+    wide = unmelt(melted, ["k"]).take_all()
+    got = sorted((r["k"], r["a"], r["b"]) for r in wide)
+    assert got == [(1, "x", "p"), (2, "y", "q"), (3, "z", "r")]

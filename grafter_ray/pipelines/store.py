@@ -145,10 +145,18 @@ class QuadStore:
         (hash shuffle) instead of ever landing on the driver."""
         limit = self.BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
         first, *rest = patterns
-        ds = self.pattern(*first)
+        store = self
+        if rest:
+            # A k-pattern BGP scans the base k times (plus one count probe
+            # per later pattern). Materialize the base ONCE into the object
+            # store (spills to disk if large) instead of re-executing the
+            # upstream pipeline per pattern — the classic cache-vs-rescan
+            # tradeoff resolved in favor of one pass over the input.
+            store = QuadStore(self.ds.materialize())
+        ds = store.pattern(*first)
         seen = {v[1:] for v in first if _is_var(v)}
         for pat in rest:
-            side = self.pattern(*pat)
+            side = store.pattern(*pat)
             keys = sorted(seen & {v[1:] for v in pat if _is_var(v)})
             if not keys:
                 raise ValueError(f"cartesian pattern (no shared variable): {pat}")

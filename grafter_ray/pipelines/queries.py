@@ -1051,6 +1051,48 @@ def _build_docs_lake(sf_dir: str, lake_root: str) -> None:
     lake.apply(binlog, upto_lsn=3 * n_docs)
 
 
+def q_cdc_time_travel(sf_dir: str):
+    """Time travel under the oracle gate: the documents binlog applied in
+    TWO windows (base upserts+deletes, then the %5 update wave); reading
+    the FIRST committed version afterwards must return the pre-update
+    state exactly (manifest pinning, SURVEY.md §2.4 as-of reads)."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_tt_")
+    try:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False, version=m1["version"])
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_CDC_TIME_TRAVEL = """
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(text), 1, 16) AS commit_id,
+       lang,
+       sha256(text) AS content_sha,
+       CAST(2 * doc_id AS BIGINT) AS last_lsn
+FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
 SQL_CDC_LAKE_JOIN = """
 WITH n AS (SELECT count(*) AS c FROM documents),
 survivors AS (
@@ -1267,6 +1309,7 @@ QUERIES = {
     "hourly_events": q_hourly_events,
     "ann_ivf": q_ann_ivf,
     "cdc_lake_join": q_cdc_lake_join,
+    "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "customers_without_orders": q_customers_without_orders,
     "order_value_median": q_order_value_median,
@@ -1311,6 +1354,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "hourly_events": SQL_HOURLY_EVENTS,
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
+    "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

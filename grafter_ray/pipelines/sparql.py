@@ -124,7 +124,8 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|a|true|false)\b)
+      |(?P<kw>\b(?:SELECT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|ASC|DESC|a|true|false)\b)
+      |(?P<op><=|>=|!=|<|>|=)
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
       |(?P<punct>[{}().;,])
@@ -139,6 +140,9 @@ class SelectQuery:
     select: list | None = None  # None ⇒ SELECT * (all pattern vars)
     patterns: list = field(default_factory=list)  # (s, p, o) or (s, p, o, g)
     values: list = field(default_factory=list)  # (vars_tuple, rows)
+    filters: list = field(default_factory=list)  # (var, op, value_token)
+    optionals: list = field(default_factory=list)  # pattern tuples
+    order_by: list = field(default_factory=list)  # (var, 'asc'|'desc')
     limit: int | None = None
     offset: int | None = None
 
@@ -211,6 +215,21 @@ class _QParser:
                 self.q.limit = int(self.next()[1])
             elif v.upper() == "OFFSET":
                 self.q.offset = int(self.next()[1])
+            elif v.upper() == "ORDER":
+                self.expect("BY")
+                while True:
+                    k2, v2 = self.peek()
+                    if k2 == "var":
+                        self.next()
+                        self.q.order_by.append((v2[1:], "asc"))
+                    elif k2 == "kw" and v2.upper() in ("ASC", "DESC"):
+                        self.next()
+                        self.expect("(")
+                        _, vv = self.next()
+                        self.expect(")")
+                        self.q.order_by.append((vv[1:], v2.lower()))
+                    else:
+                        break
             else:
                 raise SparqlParseError(f"unsupported trailing clause {v!r}")
         return self.q
@@ -223,8 +242,20 @@ class _QParser:
                 return
             if k is None:
                 raise SparqlParseError("unterminated group")
-            if k == "kw" and v.upper() in ("UNION", "OPTIONAL", "FILTER"):
-                raise SparqlParseError(f"{v.upper()} is not in the supported SPARQL subset")
+            if k == "kw" and v.upper() == "UNION":
+                raise SparqlParseError("UNION is not in the supported SPARQL subset")
+            if k == "kw" and v.upper() == "OPTIONAL":
+                self.next()
+                self.expect("{")
+                mark = len(self.q.patterns)
+                self._group(graph=graph)
+                self.q.optionals.extend(self.q.patterns[mark:])
+                del self.q.patterns[mark:]
+                continue
+            if k == "kw" and v.upper() == "FILTER":
+                self.next()
+                self._filter()
+                continue
             if k == "kw" and v.upper() == "GRAPH":
                 self.next()
                 gk, gv = self.next()
@@ -243,6 +274,19 @@ class _QParser:
                 self._values()
                 continue
             self._triples(graph)
+
+    def _filter(self):
+        self.expect("(")
+        k, v = self.next()
+        if k != "var":
+            raise SparqlParseError(f"FILTER subset supports ?var <op> constant, got {v!r}")
+        var = v[1:]
+        ok, op = self.next()
+        if ok != "op":
+            raise SparqlParseError(f"bad FILTER operator {op!r}")
+        val = self._term()
+        self.expect(")")
+        self.q.filters.append((var, op, val))
 
     def _values(self):
         k, v = self.next()
@@ -378,11 +422,33 @@ def sparql_query(
             return tb.filter(pc.is_in(key, value_set=wanted))
 
         ds = ds.map_batches(values_filter, batch_format="pyarrow", zero_copy_batch=True)
+    for var, op, val in q.filters:
+
+        def filter_fn(tb: pa.Table, var=var, op=op, val=val) -> pa.Table:
+            col = tb.column(var)
+            try:
+                rhs: object = float(val)
+                col = pc.cast(col, pa.float64())
+            except (TypeError, ValueError):
+                rhs = val
+            kernel = {
+                "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+            }[op]
+            return tb.filter(kernel(col, rhs))
+
+        ds = ds.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
     bound = getattr(q, "_bound", {})
     n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
-    if q.limit is not None:
+    if q.limit is not None and not q.order_by:
         ds = ds.limit(n_need)
     tb = _collect(ds)
+    if q.optionals:
+        tb = _apply_optionals(tb, q.optionals, store)
+    if q.order_by:
+        tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
+        if q.limit is not None:
+            tb = tb.slice(0, n_need)
     if q.offset:
         tb = tb.slice(q.offset)
     for var, val in bound.items():  # re-project bound vars as constant cols
@@ -393,6 +459,20 @@ def sparql_query(
         if missing:
             raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
         tb = tb.select(q.select)
+    return tb
+
+
+def _apply_optionals(tb: pa.Table, optionals: list, store) -> pa.Table:
+    """OPTIONAL groups = left outer joins on the shared variables.
+    Applied to the (bounded) collected result; each optional pattern is
+    a filtered projection of the store (size-guarded by the same
+    selectivity expectations as BGP sides)."""
+    for pat in optionals:
+        side = _collect(store.pattern(*pat))
+        keys = [v[1:] for v in pat if isinstance(v, str) and v.startswith("?") and v[1:] in tb.column_names]
+        if not keys:
+            raise SparqlParseError(f"OPTIONAL pattern shares no variable: {pat}")
+        tb = tb.join(side, keys=keys, join_type="left outer")
     return tb
 
 

@@ -189,4 +189,58 @@ def test_unsupported_constructs_raise():
     with pytest.raises(SparqlParseError):
         sparql_query("SELECT * WHERE { { ?s ?p ?o } UNION { ?s ?p ?o } }", store)
     with pytest.raises(SparqlParseError):
-        sparql_query("SELECT * WHERE { ?s ?p ?o FILTER(?o > 5) }", store)
+        # FILTER subset is ?var <op> constant — function calls rejected
+        sparql_query('SELECT * WHERE { ?s ?p ?o FILTER(regex(?o, "x")) }', store)
+
+
+# --- extended subset: FILTER / ORDER BY / OPTIONAL --------------------------
+
+def _mini_store():
+    import pyarrow as pa
+
+    tb = pa.table(
+        {
+            "s": pa.array([f"http://x/{n}" for n in "abcd"] + ["http://x/a", "http://x/b"], pa.string()),
+            "p": pa.array(["http://p/size"] * 4 + ["http://p/label"] * 2, pa.string()),
+            "o_kind": pa.array(["literal"] * 6, pa.string()),
+            "o_value": pa.array(["5", "12", "7", "30", "Aye", "Bee"], pa.string()),
+            "o_datatype": pa.nulls(6, pa.string()),
+            "o_lang": pa.nulls(6, pa.string()),
+            "c": pa.nulls(6, pa.string()),
+        }
+    )
+    return QuadStore.from_table(tb)
+
+
+def test_filter_numeric_comparison():
+    out = sparql_query(
+        "SELECT ?s ?n WHERE { ?s <http://p/size> ?n . FILTER(?n > 6) }", _mini_store()
+    )
+    assert sorted(out.column("n").to_pylist()) == ["12", "30", "7"]
+
+
+def test_order_by_desc_with_limit():
+    out = sparql_query(
+        "SELECT ?s ?n WHERE { ?s <http://p/size> ?n . } ORDER BY DESC(?n) LIMIT 2",
+        _mini_store(),
+    )
+    # lexical ordering over the stored strings (o_value is lexical)
+    assert out.column("n").to_pylist() == ["7", "5"]
+
+
+def test_order_by_asc_var():
+    out = sparql_query(
+        "SELECT ?n WHERE { ?s <http://p/size> ?n . } ORDER BY ?n", _mini_store()
+    )
+    assert out.column("n").to_pylist() == sorted(["5", "12", "7", "30"])
+
+
+def test_optional_left_join():
+    out = sparql_query(
+        "SELECT ?s ?n ?lab WHERE { ?s <http://p/size> ?n . "
+        "OPTIONAL { ?s <http://p/label> ?lab } } ORDER BY ?s",
+        _mini_store(),
+    )
+    rows = {r["s"]: r["lab"] for r in out.to_pylist()}
+    assert rows["http://x/a"] == "Aye" and rows["http://x/b"] == "Bee"
+    assert rows["http://x/c"] is None and rows["http://x/d"] is None

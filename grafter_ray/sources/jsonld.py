@@ -1,0 +1,142 @@
+"""JSON-LD source (subset) — the reference parser table's JSONLD entry
+(formats.clj:149-189). Subset covered (compacted documents with a simple
+prefix @context — the profile data publishers actually emit):
+
+- top-level node object, array of node objects, or {"@context", "@graph"}
+- @context: {prefix: iri} string mappings (term → IRI); remote contexts
+  and complex term definitions raise
+- @id / @type (string or list), property values: string/number/bool
+  literals, {"@id": ...} IRI objects, {"@value", "@language"/"@type"},
+  arrays of any of these
+- @graph nesting one level (named graphs via {"@id": g, "@graph": [...]})"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+class JsonLdParseError(ValueError):
+    pass
+
+
+def _expand(term: str, ctx: dict[str, str]) -> str:
+    if term in ctx:
+        return ctx[term]
+    pre, sep, local = term.partition(":")
+    if sep and pre in ctx:
+        return ctx[pre] + local
+    return term  # already an IRI (or a relative name kept as-is)
+
+
+def parse_jsonld(text: str) -> pa.Table:
+    doc = json.loads(text)
+    rows = {k: [] for k in QUAD.names}
+    bnode_n = [0]
+
+    def emit(s, p, kind, val, dt, lang, g):
+        rows["s"].append(s)
+        rows["p"].append(p)
+        rows["o_kind"].append(kind)
+        rows["o_value"].append(val)
+        rows["o_datatype"].append(dt)
+        rows["o_lang"].append(lang)
+        rows["c"].append(g)
+
+    def ctx_of(obj, parent_ctx):
+        raw = obj.get("@context")
+        if raw is None:
+            return parent_ctx
+        if not isinstance(raw, dict):
+            raise JsonLdParseError("remote / non-object @context is outside the supported subset")
+        ctx = dict(parent_ctx)
+        for k, v in raw.items():
+            if not isinstance(v, str):
+                raise JsonLdParseError(f"complex term definition for {k!r} is outside the supported subset")
+            ctx[k] = v
+        return ctx
+
+    def node_id(obj, ctx) -> str:
+        if "@id" in obj:
+            i = obj["@id"]
+            return i if i.startswith("_:") else _expand(i, ctx)
+        bnode_n[0] += 1
+        return f"_:b{bnode_n[0]}"
+
+    def value(v, ctx, s, p, g):
+        if isinstance(v, list):
+            for item in v:
+                value(item, ctx, s, p, g)
+            return
+        if isinstance(v, dict):
+            if "@value" in v:
+                lang = v.get("@language")
+                dt = _expand(v["@type"], ctx) if "@type" in v else (None if lang else XSD + "string")
+                emit(s, p, "literal", str(v["@value"]), dt, lang, g)
+            elif "@id" in v:
+                o = v["@id"]
+                if o.startswith("_:"):
+                    emit(s, p, "bnode", o, None, None, g)
+                else:
+                    emit(s, p, "iri", _expand(o, ctx), None, None, g)
+            else:  # nested (blank) node object
+                o = node(v, ctx, g)
+                emit(s, p, "bnode" if o.startswith("_:") else "iri", o, None, None, g)
+            return
+        if isinstance(v, bool):
+            emit(s, p, "literal", str(v).lower(), XSD + "boolean", None, g)
+        elif isinstance(v, int):
+            emit(s, p, "literal", str(v), XSD + "integer", None, g)
+        elif isinstance(v, float):
+            emit(s, p, "literal", repr(v), XSD + "double", None, g)
+        else:
+            emit(s, p, "literal", str(v), XSD + "string", None, g)
+
+    def node(obj, parent_ctx, g=None) -> str:
+        ctx = ctx_of(obj, parent_ctx)
+        s = node_id(obj, ctx)
+        for k, v in obj.items():
+            if k in ("@context", "@id"):
+                continue
+            if k == "@type":
+                for t in v if isinstance(v, list) else [v]:
+                    emit(s, RDF_TYPE, "iri", _expand(t, ctx), None, None, g)
+                continue
+            if k == "@graph":
+                for child in v:
+                    node(child, ctx, g=s)
+                continue
+            if k.startswith("@"):
+                raise JsonLdParseError(f"{k} is outside the supported subset")
+            value(v, ctx, s, _expand(k, ctx), g)
+        return s
+
+    top = doc if isinstance(doc, list) else [doc]
+    for obj in top:
+        if not isinstance(obj, dict):
+            raise JsonLdParseError("top-level JSON-LD items must be node objects")
+        if "@graph" in obj and "@id" not in obj:
+            ctx = ctx_of(obj, {})
+            for child in obj["@graph"]:
+                node(child, ctx)
+        else:
+            node(obj, {})
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_jsonld(path: str):
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [parse_jsonld(data.as_py().decode("utf-8")) for data in tb.column("bytes")]
+        return pa.concat_tables(tables) if tables else QUAD.empty_table()
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)

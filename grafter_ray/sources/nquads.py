@@ -235,6 +235,18 @@ def _write_trix(ds, path: str):
     write_trix(ds, path)
 
 
+def _read_rdfxml(path: str):
+    from .rdfxml import read_rdfxml
+
+    return read_rdfxml(path)
+
+
+def _read_jsonld(path: str):
+    from .jsonld import read_jsonld
+
+    return read_jsonld(path)
+
+
 def _read_rdfjson(path: str):
     from .rdfjson import read_rdfjson
 
@@ -258,6 +270,9 @@ FORMAT_READERS = {
     ".xml": _read_trix,
     ".trix": _read_trix,
     ".rj": _read_rdfjson,
+    ".rdf": _read_rdfxml,
+    ".rdfxml": _read_rdfxml,
+    ".jsonld": _read_jsonld,
     ".csv": read_csv_source,
     ".json": read_json_source,
 }
@@ -300,6 +315,8 @@ MIME_FORMATS = {
     "application/trix+xml": ".trix",
     "application/trix": ".trix",
     "application/rdf+json": ".rj",
+    "application/rdf+xml": ".rdf",
+    "application/ld+json": ".jsonld",
     "text/n3": ".n3",
     "text/csv": ".csv",
     "application/json": ".json",

@@ -1,0 +1,117 @@
+"""RDF/XML source (subset) — the reference parser table's RDFXML entry
+(formats.clj:149-189). Triple format; per-file read parallelism (XML is
+not splittable). Subset covered (the overwhelmingly common profile):
+
+- rdf:RDF root with xmlns declarations
+- rdf:Description nodes with rdf:about / rdf:nodeID
+- typed node elements (<foaf:Person rdf:about=...> ⇒ an rdf:type triple)
+- property elements: rdf:resource attr (IRI object), rdf:nodeID attr,
+  text content with rdf:datatype / xml:lang, nested node elements
+- rdf:ID, reification, containers and parseType are NOT supported and
+  raise a clear error (use Turtle/N-Quads for those corpora)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_A_ABOUT = f"{{{RDF_NS}}}about"
+_A_NODEID = f"{{{RDF_NS}}}nodeID"
+_A_RESOURCE = f"{{{RDF_NS}}}resource"
+_A_DATATYPE = f"{{{RDF_NS}}}datatype"
+_A_ID = f"{{{RDF_NS}}}ID"
+_A_PARSETYPE = f"{{{RDF_NS}}}parseType"
+
+
+class RdfXmlParseError(ValueError):
+    pass
+
+
+def _expand(tag: str) -> str:
+    if not tag.startswith("{"):
+        raise RdfXmlParseError(f"unqualified element <{tag}> (no namespace)")
+    ns, local = tag[1:].split("}", 1)
+    return ns + local
+
+
+def parse_rdfxml(text: str) -> pa.Table:
+    root = ET.fromstring(text)
+    if _expand(root.tag) != RDF_NS + "RDF":
+        # single top-level node element is also legal RDF/XML
+        nodes = [root]
+    else:
+        nodes = list(root)
+    rows = {k: [] for k in QUAD.names}
+    bnode_n = [0]
+
+    def emit(s, p, kind, val, dt, lang):
+        rows["s"].append(s)
+        rows["p"].append(p)
+        rows["o_kind"].append(kind)
+        rows["o_value"].append(val)
+        rows["o_datatype"].append(dt)
+        rows["o_lang"].append(lang)
+        rows["c"].append(None)
+
+    def subject_of(el) -> str:
+        if _A_ID in el.attrib or _A_PARSETYPE in el.attrib:
+            raise RdfXmlParseError("rdf:ID / rdf:parseType are outside the supported subset")
+        if _A_ABOUT in el.attrib:
+            return el.attrib[_A_ABOUT]
+        if _A_NODEID in el.attrib:
+            return "_:" + el.attrib[_A_NODEID]
+        bnode_n[0] += 1
+        return f"_:genid{bnode_n[0]}"
+
+    def node(el) -> str:
+        s = subject_of(el)
+        tag_iri = _expand(el.tag)
+        if tag_iri != RDF_NS + "Description":  # typed node element
+            emit(s, RDF_TYPE, "iri", tag_iri, None, None)
+        for prop in el:
+            p = _expand(prop.tag)
+            if _A_PARSETYPE in prop.attrib:
+                raise RdfXmlParseError("rdf:parseType is outside the supported subset")
+            if _A_RESOURCE in prop.attrib:
+                emit(s, p, "iri", prop.attrib[_A_RESOURCE], None, None)
+            elif _A_NODEID in prop.attrib:
+                emit(s, p, "bnode", "_:" + prop.attrib[_A_NODEID], None, None)
+            elif len(prop):  # nested node element
+                child = list(prop)
+                if len(child) != 1:
+                    raise RdfXmlParseError("property element with multiple child nodes")
+                o = node(child[0])
+                kind = "bnode" if o.startswith("_:") else "iri"
+                emit(s, p, kind, o, None, None)
+            else:
+                lang = prop.get(XML_LANG)
+                dt = prop.get(_A_DATATYPE)
+                emit(
+                    s, p, "literal", prop.text or "",
+                    dt if dt else (None if lang else XSD_STRING), lang,
+                )
+        return s
+
+    for el in nodes:
+        node(el)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_rdfxml(path: str):
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [parse_rdfxml(data.as_py().decode("utf-8")) for data in tb.column("bytes")]
+        return pa.concat_tables(tables) if tables else QUAD.empty_table()
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,103 @@
+"""RDF/XML and JSON-LD subset parsers (the last two entries of the
+reference's 10-format parser factory table, formats.clj:149-189)."""
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.sources.jsonld import JsonLdParseError, parse_jsonld
+from grafter_ray.sources.rdfxml import RdfXmlParseError, parse_rdfxml
+
+FOAF = "http://xmlns.com/foaf/0.1/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+RDFXML_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/">
+  <foaf:Person rdf:about="http://ex/alice">
+    <foaf:name xml:lang="en">Alice</foaf:name>
+    <foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</foaf:age>
+    <foaf:knows rdf:resource="http://ex/bob"/>
+    <foaf:based_near>
+      <rdf:Description rdf:about="http://ex/city">
+        <foaf:name>Town</foaf:name>
+      </rdf:Description>
+    </foaf:based_near>
+  </foaf:Person>
+  <rdf:Description rdf:nodeID="b1">
+    <foaf:name>Anon</foaf:name>
+  </rdf:Description>
+</rdf:RDF>"""
+
+
+def test_rdfxml_typed_node_and_properties():
+    t = parse_rdfxml(RDFXML_DOC)
+    facts = {(r["s"], r["p"], r["o_value"]) for r in t.to_pylist()}
+    assert ("http://ex/alice", RDF_TYPE, FOAF + "Person") in facts
+    assert ("http://ex/alice", FOAF + "knows", "http://ex/bob") in facts
+    assert ("http://ex/alice", FOAF + "based_near", "http://ex/city") in facts
+    assert ("http://ex/city", FOAF + "name", "Town") in facts
+    assert ("_:b1", FOAF + "name", "Anon") in facts
+    by_val = {r["o_value"]: r for r in t.to_pylist()}
+    assert by_val["Alice"]["o_lang"] == "en"
+    assert by_val["30"]["o_datatype"].endswith("integer")
+
+
+def test_rdfxml_unsupported_raises():
+    with pytest.raises(RdfXmlParseError):
+        parse_rdfxml(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            '<rdf:Description rdf:ID="x"/></rdf:RDF>'
+        )
+    with pytest.raises(RdfXmlParseError):
+        parse_rdfxml("<NoNamespace/>")
+
+
+JSONLD_DOC = """{
+  "@context": {"foaf": "http://xmlns.com/foaf/0.1/",
+               "name": "http://xmlns.com/foaf/0.1/name"},
+  "@graph": [
+    {"@id": "http://ex/alice", "@type": "foaf:Person",
+     "name": {"@value": "Alice", "@language": "en"},
+     "foaf:age": 30,
+     "foaf:knows": [{"@id": "http://ex/bob"}, {"@id": "_:anon"}]},
+    {"@id": "_:anon", "name": "Anon"}
+  ]
+}"""
+
+
+def test_jsonld_context_graph_and_values():
+    t = parse_jsonld(JSONLD_DOC)
+    facts = {(r["s"], r["p"], r["o_kind"], r["o_value"]) for r in t.to_pylist()}
+    assert ("http://ex/alice", RDF_TYPE, "iri", FOAF + "Person") in facts
+    assert ("http://ex/alice", FOAF + "knows", "iri", "http://ex/bob") in facts
+    assert ("http://ex/alice", FOAF + "knows", "bnode", "_:anon") in facts
+    assert ("_:anon", FOAF + "name", "literal", "Anon") in facts
+    by_val = {r["o_value"]: r for r in t.to_pylist()}
+    assert by_val["Alice"]["o_lang"] == "en"
+    assert by_val["30"]["o_datatype"].endswith("integer")
+
+
+def test_jsonld_named_graph():
+    doc = """{"@id": "http://g/1", "@graph": [
+        {"@id": "http://ex/s", "http://p/x": {"@id": "http://ex/o"}}]}"""
+    t = parse_jsonld(doc)
+    assert t.column("c").to_pylist() == ["http://g/1"]
+
+
+def test_jsonld_unsupported_raises():
+    with pytest.raises(JsonLdParseError):
+        parse_jsonld('{"@context": "http://remote/ctx", "@id": "http://x"}')
+    with pytest.raises(JsonLdParseError):
+        parse_jsonld('{"@context": {"v": {"@id": "http://x", "@type": "@id"}}, "@id": "http://x"}')
+
+
+def test_read_statements_dispatch_rdfxml_jsonld(tmp_path):
+    from grafter_ray.sources.nquads import read_statements
+
+    p1 = tmp_path / "doc.rdf"
+    p1.write_text(RDFXML_DOC)
+    assert len(read_statements(str(p1)).take_all()) == 7
+    p2 = tmp_path / "doc.jsonld"
+    p2.write_text(JSONLD_DOC)
+    assert len(read_statements(str(p2)).take_all()) == 6

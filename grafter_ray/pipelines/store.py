@@ -156,7 +156,10 @@ class QuadStore:
         ds = store.pattern(*first)
         seen = {v[1:] for v in first if _is_var(v)}
         for pat in rest:
-            side = store.pattern(*pat)
+            # materialize the (filtered, projected) side once: the size
+            # probe and the subsequent broadcast/join then reuse the same
+            # blocks instead of re-executing the pattern pipeline
+            side = store.pattern(*pat).materialize()
             keys = sorted(seen & {v[1:] for v in pat if _is_var(v)})
             if not keys:
                 raise ValueError(f"cartesian pattern (no shared variable): {pat}")

@@ -861,6 +861,27 @@ def q_hourly_events(sf_dir: str):
     return _fixed_point(out, ["sum_value_cents"])
 
 
+def q_hopping_events(sf_dir: str):
+    """Hopping (overlapping) event-time windows: 2h windows every 1h —
+    map-side window fan-out, then ONE grouped-agg shuffle."""
+    from ..stages.windows import hopping_counts
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = hopping_counts(ds, "ts", size_hours=2, hop_hours=1, value_col="value")
+    return _fixed_point(out, ["sum_value_cents"])
+
+
+SQL_HOPPING_EVENTS = """
+SELECT window_start, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start, value FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H') AS window_start, value FROM events
+) GROUP BY window_start
+"""
+
+
 SQL_HOURLY_EVENTS = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, count(*) AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
@@ -1307,6 +1328,7 @@ QUERIES = {
     "derive_retail_cents": q_derive_retail_cents,
     "sessionize": q_sessionize,
     "hourly_events": q_hourly_events,
+    "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
@@ -1353,6 +1375,7 @@ ORACLE_SQL = {
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     "sessionize": SQL_SESSIONIZE,
     "hourly_events": SQL_HOURLY_EVENTS,
+    "hopping_events": SQL_HOPPING_EVENTS,
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,

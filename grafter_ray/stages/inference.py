@@ -251,24 +251,35 @@ def direct_type_inference(ds, vocab: pa.Table):
     sesame:directSubPropertyOf. One key shuffle (groupby subject)."""
     import ray.data as rd
 
+    from .grouped import grouped_block_map, key_segments
+
     sub_cl = subclass_closure(vocab)
     cl_box = {"ref": ray.put(sub_cl)}
 
-    def minimal_types(group: pa.Table) -> pa.Table:
+    def minimal_types_block(tb: pa.Table) -> pa.Table:
+        """ONE call per subject-sorted block: subjects are equal-key runs;
+        per-run minimal-type reduction against the broadcast closure."""
         closure = ray.get(cl_box["ref"])
-        subj = group.column("s")[0].as_py()
-        tset = set(group.column("o_value").to_pylist())
-        implied: set[str] = set()
-        for t in tset:
-            implied.update(closure.get(t, ()))
-        minimal = sorted(tset - implied)
-        n = len(minimal)
+        subs_out, types_out = [], []
+        if tb.num_rows and tb.num_columns:
+            starts, ends = key_segments(tb, ["s"])
+            s_col = tb.column("s").to_numpy(zero_copy_only=False)
+            o_col = tb.column("o_value").to_numpy(zero_copy_only=False)
+            for lo, hi in zip(starts, ends):
+                tset = set(o_col[lo:hi])
+                implied: set[str] = set()
+                for t in tset:
+                    implied.update(closure.get(t, ()))
+                for m in sorted(tset - implied):
+                    subs_out.append(s_col[lo])
+                    types_out.append(m)
+        n = len(subs_out)
         return pa.table(
             {
-                "s": pa.array([subj] * n, pa.string()),
+                "s": pa.array(subs_out, pa.string()),
                 "p": pa.array([SESAME + "directType"] * n, pa.string()),
                 "o_kind": pa.array(["iri"] * n, pa.string()),
-                "o_value": pa.array(minimal, pa.string()),
+                "o_value": pa.array(types_out, pa.string()),
                 "o_datatype": pa.nulls(n, pa.string()),
                 "o_lang": pa.nulls(n, pa.string()),
                 "c": pa.nulls(n, pa.string()),
@@ -278,10 +289,10 @@ def direct_type_inference(ds, vocab: pa.Table):
     def type_only(tb: pa.Table) -> pa.Table:
         return tb.filter(pc.equal(tb.column("p"), RDF_TYPE)).select(["s", "o_value"])
 
-    direct_types = (
-        ds.map_batches(type_only, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("s")
-        .map_groups(minimal_types, batch_format="pyarrow")
+    direct_types = grouped_block_map(
+        ds.map_batches(type_only, batch_format="pyarrow", zero_copy_batch=True),
+        ["s"],
+        minimal_types_block,
     )
 
     # cover relations come from the (small) vocabulary — driver-side

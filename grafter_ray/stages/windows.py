@@ -53,3 +53,34 @@ def sessionize(ds, key_col: str, ts_col: str, seq_col: str, gap_seconds: int = 1
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def hopping_counts(ds, ts_col: str, size_hours: int = 2, hop_hours: int = 1, value_col: str | None = None):
+    """Overlapping (hopping) event-time windows: each event lands in
+    size/hop windows (vectorized fan-out inside map_batches — the window
+    replication happens map-side, BEFORE the one grouped-agg shuffle).
+    Window key = the window's START hour, string-formatted (hash-stable)."""
+    from ..pipelines.relational import grouped_agg
+
+    if size_hours % hop_hours:
+        raise ValueError("size must be a multiple of hop")
+    k = size_hours // hop_hours
+
+    def fan_out(tb: pa.Table) -> pa.Table:
+        pieces = []
+        for i in range(k):
+            shift = pa.scalar(i * hop_hours * 3_600_000_000, pa.duration("us"))
+            start = pc.floor_temporal(
+                pc.subtract(tb.column(ts_col), shift), unit="hour", multiple=hop_hours
+            )
+            cols = {"window_start": pc.strftime(start, format="%Y-%m-%d %H")}
+            if value_col:
+                cols[value_col] = tb.column(value_col)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    specs = [("n_events", None, "count")]
+    if value_col:
+        specs.append((f"sum_{value_col}_cents", value_col, "sum"))
+    out = ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(out, ["window_start"], specs)

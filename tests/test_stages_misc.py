@@ -133,3 +133,19 @@ def test_pair_clusters_and_survivors():
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 7, 9, 100], pa.int64())}))
     kept = sorted(r["doc_id"] for r in dedup_survivors(ds, pairs).take_all())
     assert kept == [1, 7, 100]
+
+
+def test_hopping_windows_overlap():
+    """2h windows hopping 1h: every event counted in exactly 2 windows."""
+    import ray.data as rd
+
+    from grafter_ray.stages.windows import hopping_counts
+
+    ts = pa.array(np.array(["2024-01-01T00:30", "2024-01-01T01:30"], dtype="datetime64[us]"))
+    tb = pa.table({"ts": ts})
+    out = {r["window_start"]: r["n_events"] for r in hopping_counts(rd.from_arrow(tb), "ts").take_all()}
+    assert out == {
+        "2023-12-31 23": 1,  # window [23:00, 01:00) catches event 1
+        "2024-01-01 00": 2,  # [00:00, 02:00) catches both
+        "2024-01-01 01": 1,  # [01:00, 03:00) catches event 2
+    }

@@ -542,6 +542,38 @@ FROM embeddings ORDER BY cosine_e4 DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_batch(sf_dir: str):
+    """Batched multi-query ANN (the batched-inference shape): 3 query
+    vectors scored in one broadcast matmul per block; per-query top-5."""
+    from ..stages.similarity import brute_topk_batch
+
+    tb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    queries = np.array([tb.column("embedding")[i].as_py() for i in qids], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk_batch(ds, queries, qids, k=5)
+
+    def fp(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(t.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"qid": t.column("qid"), "vec_id": t.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ANN_BATCH = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT qid, vec_id, cosine_e4 FROM (
+  SELECT q.qid, e.vec_id,
+         CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS cosine_e4,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+) WHERE rn <= 5
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed ANN, oracle-gated in its recall=1 conformance config
     (probe radius = nbits ⇒ every bucket probed: the bucket/probe
@@ -1315,6 +1347,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
+    "ann_batch": q_ann_batch,
     "ann_lsh": q_ann_lsh,
     "simhash_pairs": q_simhash_pairs,
     "bgp_documents": q_bgp_documents,
@@ -1362,6 +1395,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_batch": SQL_ANN_BATCH,
     "ann_lsh": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_TOPK,
     "lang_id": SQL_LANG_ID,

@@ -311,3 +311,59 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_clusters: int = 16, nprobe: i
 
     survivors = ds.map_batches(cluster_filter, batch_format="pyarrow", zero_copy_batch=True)
     return brute_topk(survivors, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def brute_topk_batch(ds, queries: np.ndarray, qids, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Batched cosine top-k: MANY query vectors scored per batch with one
+    matmul (the batched-inference shape: broadcast the query matrix via
+    ray.put once, read per actor). Block-local top-k per query, then a
+    tiny per-query reduce (grouped-block, vectorized). Returns
+    Dataset[(qid, vec_id, cosine)] with k rows per query."""
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_block_map, key_segments
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    box = {"q": ray.put(q), "qids": ray.put(qid_arr)}
+
+    class ScoreBlock:
+        def __init__(self, box):
+            self.q = ray.get(box["q"])
+            self.qids = ray.get(box["qids"])
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = self.q @ m.T  # (Q, n)
+            nq, n = sims.shape
+            take = min(k, n)
+            # block-local top-k per query row (argpartition then sort)
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_qid = np.repeat(self.qids, take)
+            cols_idx = part.ravel()
+            out_ids = ids[cols_idx]
+            out_sims = sims[np.repeat(np.arange(nq), take), cols_idx]
+            return pa.table(
+                {
+                    "qid": pa.array(out_qid),
+                    id_col: pa.array(out_ids),
+                    "cosine": pa.array(np.round(out_sims, 6)),
+                }
+            )
+
+    partials = ds.map_batches(
+        ScoreBlock, fn_constructor_args=(box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+    def final_topk(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        tb = tb.sort_by([("qid", "ascending"), ("cosine", "descending"), (id_col, "ascending")])
+        starts, ends = key_segments(tb, ["qid"])
+        idx = np.concatenate([np.arange(lo, min(lo + k, hi)) for lo, hi in zip(starts, ends)])
+        return tb.take(pa.array(idx, pa.int64()))
+
+    return grouped_block_map(partials, ["qid"], final_topk)

@@ -501,6 +501,34 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(ds, threshold=0.4)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT token-set similarity join (inverted index — docs pair only
+    via shared tokens, never all-pairs), over a bounded doc subset so
+    the SQL oracle's pair space stays small."""
+    from ..stages.dedup import set_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(expr="doc_id < 40")
+    return set_jaccard_pairs(ds, threshold=0.2)
+
+
+SQL_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE doc_id < 40
+),
+pair_i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
+SELECT id_a, id_b,
+       CAST(floor(inter * 10000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_e4
+FROM pair_i JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+"""
+
+
 def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(simhash_table, batch_format="pyarrow", zero_copy_batch=True)
@@ -1350,6 +1378,7 @@ QUERIES = {
     "ann_batch": q_ann_batch,
     "ann_lsh": q_ann_lsh,
     "simhash_pairs": q_simhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
     "inferred_domain_types": q_inferred_domain_types,
@@ -1396,6 +1425,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_TOPK,
     "lang_id": SQL_LANG_ID,

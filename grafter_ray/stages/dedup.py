@@ -394,3 +394,106 @@ def dedup_survivors(ds, pairs: pa.Table, id_col: str = "doc_id"):
         return tb.filter(pc.invert(pc.is_in(tb.column(id_col), value_set=doomed.combine_chunks())))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- exact set-similarity join (inverted index) -----------------------------
+
+def set_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    token_df_cap: int | None = None,
+):
+    """EXACT token-set Jaccard similarity join via the classic inverted
+    index: explode (token, id) distinct pairs → one key exchange on
+    token → per-token id pairs (co-occurrence) → grouped count =
+    intersection size → |A∪B| from broadcast per-doc set sizes.
+
+    All-pairs-free: only docs SHARING a token ever pair. The known cost
+    is high-document-frequency tokens (stopwords) fanning out O(df²)
+    pairs; `token_df_cap` drops tokens above the cap WITH a logged
+    count (prefix-filtering analogue — exactness holds only for pairs
+    whose similarity survives on the remaining tokens, so leave it None
+    when an exact result is required).
+
+    Returns Dataset[(id_a, id_b, jaccard_e4)] with floor-e4 fixed-point
+    (floor is engine-unambiguous; round() differs on exact .5)."""
+    from ..pipelines.relational import grouped_agg
+    from .grouped import grouped_block_map, key_segments
+
+    def explode(tb: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), reps)
+        t = pa.table({"token": flat, id_col: pa.array(ids)})
+        # rows of one doc live in one block → block-local distinct is global
+        return t.group_by(["token", id_col]).aggregate([])
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-doc distinct set sizes (small: one row per doc) — broadcast
+    sizes_ds = grouped_agg(exploded, [id_col], [("set_size", None, "count")])
+    import ray as _ray
+
+    sizes_tb = pa.concat_tables(
+        [t for t in (_ray.get(r) for r in sizes_ds.to_arrow_refs()) if t.num_rows]
+    )
+    size_ids = sizes_tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    size_vals = sizes_tb.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    size_map = np.zeros(int(size_ids.max()) + 1 if len(size_ids) else 1, dtype=np.int64)
+    size_map[size_ids] = size_vals
+    sizes_ref = _ray.put(size_map)
+
+    def token_pairs(tb: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return empty
+        starts, ends = key_segments(tb, ["token"])
+        ids_all = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_b = [], []
+        for lo, hi in zip(starts, ends):
+            n = hi - lo
+            if n < 2:
+                continue
+            if token_df_cap is not None and n > token_df_cap:
+                logger.warning("set_jaccard: token df %d > cap %d — token dropped", n, token_df_cap)
+                continue
+            ids = np.sort(ids_all[lo:hi])
+            iu, ju = np.triu_indices(n, k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return empty
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(out_a)), "id_b": pa.array(np.concatenate(out_b))}
+        )
+
+    pairs = grouped_block_map(exploded, ["token"], token_pairs)
+    inter = grouped_agg(pairs, ["id_a", "id_b"], [("inter", None, "count")])
+
+    def jaccard(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_e4": pa.array([], pa.int64())}
+            )
+        sm = _ray.get(sizes_ref)
+        a = tb.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tb.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        inter_n = tb.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = sm[a] + sm[b] - inter_n
+        jac = inter_n / union
+        keep = jac >= threshold
+        e4 = np.floor(inter_n[keep] * 10_000.0 / union[keep]).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "jaccard_e4": pa.array(e4),
+            }
+        )
+
+    return inter.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)

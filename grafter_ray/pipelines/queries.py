@@ -856,6 +856,28 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
 
 
+def q_audio_frames(sf_dir: str):
+    """Second multimodal modality: audio payloads → fixed frame-energy
+    vectors through the actor-pool stage (codec stubbed deterministically;
+    rows-only check — planted-shape pytest covers the kernel)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioFrameSampleStage, PAYLOAD_BATCH_KWARGS, synth_media_table
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 256), kind="audio/wav"))
+    out = ds.map_batches(AudioFrameSampleStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+
+    def flat(tb: pa.Table) -> pa.Table:
+        fe = tb.column("frame_energy")
+        if isinstance(fe, pa.ChunkedArray):
+            fe = fe.combine_chunks()
+        first = pc.list_element(fe, 0)
+        return pa.table({"media_id": tb.column("media_id"), "energy_0": first})
+
+    return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_melt_part(sf_dir: str):
     """melt (wide→long unpivot; grafter tabular semantics,
     RELEASENOTES.md:95-103) over the part table."""
@@ -1386,6 +1408,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
+    "audio_frames": q_audio_frames,
     "melt_part": q_melt_part,
     "derive_retail_cents": q_derive_retail_cents,
     "sessionize": q_sessionize,

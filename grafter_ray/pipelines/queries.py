@@ -455,8 +455,10 @@ def q_lang_id(sf_dir: str):
     """Language-ID heuristic — fully SQL-expressible (stopword substring
     counts + first-max argmax), so oracle-gated despite being a
     'heuristic' stage."""
+    from ..stages.text import lang_id_batch
+
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = ds.map_batches(LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    out = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(["doc_id", "lang", "pred_lang"])
 
 

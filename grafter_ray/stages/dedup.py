@@ -100,6 +100,16 @@ def _jaccard_from_sig(a: np.ndarray, b: np.ndarray) -> float:
     return float((a == b).mean())
 
 
+_HASHER_CACHE: dict[int, MinHasher] = {}
+
+
+def _hasher_cache(num_perm: int) -> MinHasher:
+    h = _HASHER_CACHE.get(num_perm)
+    if h is None:
+        h = _HASHER_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return h
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str = "doc_id",
@@ -118,32 +128,32 @@ def minhash_lsh_dedup(
     """
     rows_per_band = num_perm // bands
 
-    class BandStage:
-        def __init__(self):
-            self.hasher = MinHasher(num_perm=num_perm)
-
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            sigs = self.hasher.signatures(tb.column(text_col))
-            n = tb.num_rows
-            ids = tb.column(id_col).to_numpy(zero_copy_only=False)
-            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-            doc_ids = np.tile(ids, bands)
-            bh = np.empty(bands * n, dtype=np.uint64)
-            for b in range(bands):
-                chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-                acc = np.uint64(b + 1) * np.ones(n, dtype=np.uint64)
-                for j in range(rows_per_band):
-                    acc = splitmix64(acc ^ chunk[:, j])
-                bh[b * n : (b + 1) * n] = acc
-            sig_bytes = [s.tobytes() for s in sigs] * bands
-            return pa.table(
-                {
-                    "band": pa.array(band_ids),
-                    "band_hash": pa.array(bh.astype(np.int64).view(np.int64)),
-                    id_col: pa.array(doc_ids),
-                    "sig": pa.array(sig_bytes, pa.binary()),
-                }
-            )
+    def band_stage(tb: pa.Table) -> pa.Table:
+        # hasher cached once per WORKER PROCESS (module-level): setup is
+        # microseconds, so plain tasks beat an actor pool here — pool
+        # spin-up (~2 s) dominated the cold wall at bench scale
+        hasher = _hasher_cache(num_perm)
+        sigs = hasher.signatures(tb.column(text_col))
+        n = tb.num_rows
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.tile(ids, bands)
+        bh = np.empty(bands * n, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.uint64(b + 1) * np.ones(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = splitmix64(acc ^ chunk[:, j])
+            bh[b * n : (b + 1) * n] = acc
+        sig_bytes = [s.tobytes() for s in sigs] * bands
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh.astype(np.int64).view(np.int64)),
+                id_col: pa.array(doc_ids),
+                "sig": pa.array(sig_bytes, pa.binary()),
+            }
+        )
 
     def bucket_block(tb: pa.Table) -> pa.Table:
         """ONE call per key-sorted block (grouped_block_map): buckets are
@@ -196,7 +206,7 @@ def minhash_lsh_dedup(
         )
 
     pairs = grouped_block_map(
-        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ds.map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"],
         bucket_block,
     )

@@ -40,24 +40,21 @@ def brute_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
     q = _normalize(query.reshape(1, -1).astype(np.float32).astype(np.float64))
     q_box = {"ref": ray.put(q)}
 
-    class ScoreBlock:
-        def __init__(self, box):
-            self.q = ray.get(box["ref"])
+    def score_block(tb: pa.Table) -> pa.Table:
+        # ray.get of a local small object is ~µs after the first fetch per
+        # worker — plain tasks avoid actor-pool spin-up for trivial state
+        qm = ray.get(q_box["ref"])
+        m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+        sims = (m @ qm.T).ravel()
+        order = np.argsort(-sims, kind="stable")[:k]
+        return pa.table(
+            {
+                id_col: tb.column(id_col).take(pa.array(order)),
+                "cosine": pa.array(np.round(sims[order], 6)),
+            }
+        )
 
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
-            sims = (m @ self.q.T).ravel()
-            order = np.argsort(-sims, kind="stable")[:k]
-            return pa.table(
-                {
-                    id_col: tb.column(id_col).take(pa.array(order)),
-                    "cosine": pa.array(np.round(sims[order], 6)),
-                }
-            )
-
-    reduced = ds.map_batches(
-        ScoreBlock, fn_constructor_args=(q_box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    reduced = ds.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
     return reduced.sort(key=["cosine", id_col], descending=[True, False]).limit(k)
 
 
@@ -137,6 +134,17 @@ def lsh_band_plan(threshold: float, nbits: int = 4, target_miss: float = 1e-6, m
     return min(max_bands, max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band))))
 
 
+_LSH_CACHE: dict[tuple, list] = {}
+
+
+def _lsh_cache(dim: int, nbits: int, bands: int) -> list:
+    key = (dim, nbits, bands)
+    v = _LSH_CACHE.get(key)
+    if v is None:
+        v = _LSH_CACHE[key] = [HyperplaneLSH(dim, nbits=nbits, seed=101 + r) for r in range(bands)]
+    return v
+
+
 def cosine_pairs(
     ds,
     threshold: float = 0.95,
@@ -159,33 +167,27 @@ def cosine_pairs(
     ray.get). Returns Dataset[(id_a, id_b, cosine)] with id_a < id_b."""
     bands = bands if bands is not None else lsh_band_plan(threshold, nbits, target_miss)
 
-    class BandStage:
-        """Hyperplanes are built lazily from the first batch's dim with
-        deterministic seeds, so every actor derives identical planes."""
-
-        def __init__(self):
-            self.lshs: list[HyperplaneLSH] | None = None
-
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            m64 = _matrix(tb.column(vec_col), dtype=np.float64)
-            if self.lshs is None:
-                dim = m64.shape[1]
-                self.lshs = [HyperplaneLSH(dim, nbits=nbits, seed=101 + r) for r in range(bands)]
-            m32 = _normalize(m64.astype(np.float32))
-            n = tb.num_rows
-            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            keys = np.concatenate([lsh.signature(m32) for lsh in self.lshs])
-            vec_bytes = pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(8 * m64.shape[1]), n, [None, pa.py_buffer(np.ascontiguousarray(m64).tobytes())]
-            )
-            return pa.table(
-                {
-                    "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
-                    "key": pa.array(keys),
-                    id_col: pa.array(np.tile(ids, bands)),
-                    "vec": pa.chunked_array([vec_bytes] * bands),
-                }
-            )
+    def band_stage(tb: pa.Table) -> pa.Table:
+        """Hyperplanes derive deterministically from (dim, nbits, band) —
+        cached once per worker process (plain tasks: setup is ms-scale,
+        an actor pool's spin-up would dominate)."""
+        m64 = _matrix(tb.column(vec_col), dtype=np.float64)
+        lshs = _lsh_cache(m64.shape[1], nbits, bands)
+        m32 = _normalize(m64.astype(np.float32))
+        n = tb.num_rows
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.concatenate([lsh.signature(m32) for lsh in lshs])
+        vec_bytes = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8 * m64.shape[1]), n, [None, pa.py_buffer(np.ascontiguousarray(m64).tobytes())]
+        )
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "key": pa.array(keys),
+                id_col: pa.array(np.tile(ids, bands)),
+                "vec": pa.chunked_array([vec_bytes] * bands),
+            }
+        )
 
     def bucket_block(tb: pa.Table) -> pa.Table:
         """ONE call per key-sorted block (grouped_block_map): buckets are
@@ -247,7 +249,7 @@ def cosine_pairs(
     from .grouped import first_row_per_key, grouped_block_map
 
     pairs = grouped_block_map(
-        ds.map_batches(BandStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ds.map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "key"],
         bucket_block,
     )
@@ -327,34 +329,29 @@ def brute_topk_batch(ds, queries: np.ndarray, qids, k: int = 10, id_col: str = "
     qid_arr = np.asarray(qids, dtype=np.int64)
     box = {"q": ray.put(q), "qids": ray.put(qid_arr)}
 
-    class ScoreBlock:
-        def __init__(self, box):
-            self.q = ray.get(box["q"])
-            self.qids = ray.get(box["qids"])
+    def score_block(tb: pa.Table) -> pa.Table:
+        qm = ray.get(box["q"])
+        qids_l = ray.get(box["qids"])
+        m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qm @ m.T  # (Q, n)
+        nq, n = sims.shape
+        take = min(k, n)
+        # block-local top-k per query row (argpartition then sort)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        out_qid = np.repeat(qids_l, take)
+        cols_idx = part.ravel()
+        out_ids = ids[cols_idx]
+        out_sims = sims[np.repeat(np.arange(nq), take), cols_idx]
+        return pa.table(
+            {
+                "qid": pa.array(out_qid),
+                id_col: pa.array(out_ids),
+                "cosine": pa.array(np.round(out_sims, 6)),
+            }
+        )
 
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
-            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = self.q @ m.T  # (Q, n)
-            nq, n = sims.shape
-            take = min(k, n)
-            # block-local top-k per query row (argpartition then sort)
-            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            out_qid = np.repeat(self.qids, take)
-            cols_idx = part.ravel()
-            out_ids = ids[cols_idx]
-            out_sims = sims[np.repeat(np.arange(nq), take), cols_idx]
-            return pa.table(
-                {
-                    "qid": pa.array(out_qid),
-                    id_col: pa.array(out_ids),
-                    "cosine": pa.array(np.round(out_sims, 6)),
-                }
-            )
-
-    partials = ds.map_batches(
-        ScoreBlock, fn_constructor_args=(box,), batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    partials = ds.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
 
     def final_topk(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0 or tb.num_columns == 0:

@@ -48,8 +48,9 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 class LangIdStage:
-    """Actor-pool stage: profiles are prepared once per actor (__init__),
-    scoring is vectorized per batch (SURVEY.md §2.3 pattern)."""
+    """Language-ID stage: profiles prepared once (per actor, or per
+    worker process via lang_id_batch), scoring vectorized per batch
+    (SURVEY.md §2.3 pattern)."""
 
     def __init__(self, profiles: dict[str, list[str]] | None = None):
         self.profiles = profiles or LANG_PROFILES
@@ -159,3 +160,16 @@ def fingerprint_table(tb: pa.Table, text_col: str = "text", k: int = 8) -> pa.Ta
             out[nz] = np.bitwise_xor.reduceat(v_k, red_starts)
     res = tb.select([c for c in tb.column_names if c != text_col])
     return res.append_column("fingerprint", pa.array(np.char.mod("%016x", out)))
+
+
+_LANGID_CACHE: dict[int, LangIdStage] = {}
+
+
+def lang_id_batch(tb: pa.Table) -> pa.Table:
+    """Plain-task variant of LangIdStage: the stage object is cached once
+    per worker process — profile prep is trivial, so tasks avoid the
+    actor pool's spin-up."""
+    stage = _LANGID_CACHE.get(0)
+    if stage is None:
+        stage = _LANGID_CACHE[0] = LangIdStage()
+    return stage(tb)

@@ -54,29 +54,51 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
             out_cols[out_name] = part.column(agg_name)
         return pa.table(out_cols)
 
-    def final(group: pa.Table) -> pa.Table:
-        out_cols = {k: group.column(k).slice(0, 1) for k in keys}
+    def final_block(tb: pa.Table) -> pa.Table:
+        """ONE C++ hash aggregation over the whole key-co-located block —
+        all groups combine in a single vectorized pass (no per-group
+        Python dispatch)."""
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return _empty_final(keys, specs)
+        aggs = []
         for out, col, how in specs:
             if how == "count":
-                v = pc.sum(group.column(f"{out}__cnt"))
-                out_cols[out] = pa.array([v.as_py() or 0], pa.int64())
+                aggs.append((f"{out}__cnt", "sum"))
             elif how == "mean":
-                s = pc.sum(group.column(f"{out}__sum")).as_py()
-                c = pc.sum(group.column(f"{out}__cnt")).as_py() or 0
-                out_cols[out] = pa.array([None if not c else s / c], pa.float64())
+                aggs.append((f"{out}__sum", "sum"))
+                aggs.append((f"{out}__cnt", "sum"))
+            else:
+                aggs.append((f"{out}__{how}", _SIMPLE[how]))
+        g = tb.group_by(keys).aggregate(list(dict.fromkeys(aggs)))
+        out_cols = {k: g.column(k) for k in keys}
+        for out, col, how in specs:
+            if how == "count":
+                out_cols[out] = pc.cast(pc.coalesce(g.column(f"{out}__cnt_sum"), pa.scalar(0)), pa.int64())
+            elif how == "mean":
+                out_cols[out] = pc.divide(
+                    pc.cast(g.column(f"{out}__sum_sum"), pa.float64()),
+                    pc.cast(g.column(f"{out}__cnt_sum"), pa.float64()),
+                )
             elif how == "sum":
-                out_cols[out] = pa.array([pc.sum(group.column(f"{out}__sum")).as_py()])
+                out_cols[out] = g.column(f"{out}__sum_sum")
             elif how == "min":
-                out_cols[out] = pa.array([pc.min(group.column(f"{out}__min")).as_py()])
+                out_cols[out] = g.column(f"{out}__min_min")
             elif how == "max":
-                out_cols[out] = pa.array([pc.max(group.column(f"{out}__max")).as_py()])
+                out_cols[out] = g.column(f"{out}__max_max")
         return pa.table(out_cols)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(keys)
-        .map_groups(final, batch_format="pyarrow")
+    from ..stages.grouped import grouped_block_map
+
+    return grouped_block_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), keys, final_block
     )
+
+
+def _empty_final(keys, specs) -> pa.Table:
+    cols = {k: pa.array([], pa.string()) for k in keys}
+    for out, col, how in specs:
+        cols[out] = pa.array([], pa.int64() if how == "count" else pa.float64())
+    return pa.table(cols)
 
 
 def _empty_partial(tb: pa.Table, keys, specs) -> pa.Table:
@@ -99,20 +121,14 @@ def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner
     (no shuffle of the big side)."""
     box = {"ref": ray.put(small)}
 
-    class JoinBatch:
-        def __init__(self, box):
-            self.small = ray.get(box["ref"])  # once per actor
+    def join_batch(tb: pa.Table) -> pa.Table:
+        # the broadcast table ships to each node's object store ONCE;
+        # per-batch ray.get is a local zero-copy hit — plain tasks avoid
+        # actor-pool spin-up for this stateless-per-batch work
+        small_tb = ray.get(box["ref"])
+        return tb.join(small_tb, keys=keys, join_type=join_type)
 
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            return tb.join(self.small, keys=keys, join_type=join_type)
-
-    return ds.map_batches(
-        JoinBatch,
-        fn_constructor_args=(box,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def semi_join_filter(ds, col: str, values: list):
@@ -148,11 +164,8 @@ def distinct(ds, cols: list[str]):
     def block_dedup(tb: pa.Table) -> pa.Table:
         return tb.select(cols).group_by(cols).aggregate([])
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from ..stages.grouped import first_row_per_key
 
-    return (
-        ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(cols)
-        .map_groups(first_row, batch_format="pyarrow")
+    return first_row_per_key(
+        ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True), cols
     )

@@ -43,19 +43,24 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
             {"sha": g.column("sha"), "mid": g.column(f"{id_col}_min"), "cnt": g.column(f"{id_col}_count")}
         )
 
-    def final(group: pa.Table) -> pa.Table:
+    def final_block(tb: pa.Table) -> pa.Table:
+        """One C++ hash aggregation over the whole sha-co-located block."""
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "n_copies": pa.array([], pa.int64())})
+        g = tb.group_by(["sha"]).aggregate([("mid", "min"), ("cnt", "sum")])
         return pa.table(
             {
-                id_col: pa.array([pc.min(group.column("mid")).as_py()], pa.int64()),
-                "n_copies": pa.array([pc.sum(group.column("cnt")).as_py()], pa.int64()),
+                id_col: pc.cast(g.column("mid_min"), pa.int64()),
+                "n_copies": pc.cast(g.column("cnt_sum"), pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("sha")
-        .map_groups(final, batch_format="pyarrow")
+    return grouped_block_map(
+        ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["sha"],
+        final_block,
     )
 
 

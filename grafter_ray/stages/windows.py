@@ -37,22 +37,33 @@ def tumbling_counts(ds, ts_col: str, fmt: str = "%Y-%m-%d %H", value_col: str | 
 def sessionize(ds, key_col: str, ts_col: str, seq_col: str, gap_seconds: int = 1800):
     """Per-key gap-based sessions → (key, n_events, n_sessions).
 
-    Shuffle on key only; each group is sorted locally by (ts, seq) and
-    scanned vectorized (np.diff on the timestamp array)."""
+    Shuffle on key only; the whole key-co-located block is processed in
+    ONE vectorized pass (sort, np.diff with key-boundary masking,
+    add.reduceat) — ordering exists only within a key's run, never
+    globally (commit-order doctrine, SURVEY.md §2.6)."""
+    from .grouped import grouped_block_map, key_segments
 
-    def per_key(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(ts_col, "ascending"), (seq_col, "ascending")])
-        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        gaps = int((np.diff(ts) > gap_seconds * 1_000_000).sum()) if len(ts) > 1 else 0
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "n_events": pa.array([], pa.int64()), "n_sessions": pa.array([], pa.int64())}
+            )
+        tb = tb.sort_by([(key_col, "ascending"), (ts_col, "ascending"), (seq_col, "ascending")])
+        starts, ends = key_segments(tb, [key_col])
+        ts = tb.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new_sess = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap_seconds * 1_000_000).astype(np.int64)
+        new_sess[starts] = 0  # a key boundary is never a session gap
         return pa.table(
             {
-                key_col: g.column(key_col).slice(0, 1),
-                "n_events": pa.array([g.num_rows], pa.int64()),
-                "n_sessions": pa.array([gaps + 1], pa.int64()),
+                key_col: tb.column(key_col).take(pa.array(starts)),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_sessions": pa.array(np.add.reduceat(new_sess, starts) + 1, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return grouped_block_map(ds, [key_col], block)
 
 
 def hopping_counts(ds, ts_col: str, size_hours: int = 2, hop_hours: int = 1, value_col: str | None = None):

@@ -306,13 +306,19 @@ def _events_lww(sf_dir: str):
     def partial(tb: pa.Table) -> pa.Table:
         return lww_reduce(tb, lsn_col="event_id", keys=["user_id"])
 
-    def final(group: pa.Table) -> pa.Table:
-        return lww_reduce(group, lsn_col="event_id", keys=["user_id"])
+    def final_block(tb: pa.Table) -> pa.Table:
+        # lww_reduce is already multi-key vectorized — one call per
+        # key-co-located block replaces the per-user map_groups dispatch
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return tb
+        return lww_reduce(tb, lsn_col="event_id", keys=["user_id"])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(final, batch_format="pyarrow")
+    from ..stages.grouped import grouped_block_map
+
+    return grouped_block_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        final_block,
     )
 
 

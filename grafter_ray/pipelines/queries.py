@@ -1246,6 +1246,26 @@ GROUP BY c_mktsegment
 """
 
 
+def q_docs_per_source_cap(sf_dir: str):
+    """Corpus balancing: cap at 5 docs per source (ordered by doc_id),
+    then count the kept docs and chars per source — the 'N docs per
+    domain' primitive of training-data pipelines."""
+    from .relational import take_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    capped = take_per_group(ds, ["source"], [("doc_id", "asc")], 5)
+    return grouped_agg(capped, ["source"], [("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")])
+
+
+SQL_DOCS_PER_SOURCE_CAP = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 GROUP BY source
+"""
+
+
 def q_order_value_median(sf_dir: str):
     """Exact per-group median (continuous interpolation) via per-group
     local sort — groups are value vectors, not the stream."""
@@ -1427,6 +1447,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "customers_without_orders": q_customers_without_orders,
+    "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
     "segment_top3_customers": q_segment_top3_customers,
     "first_word": q_first_word,
@@ -1475,6 +1496,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,
     "first_word": SQL_FIRST_WORD,

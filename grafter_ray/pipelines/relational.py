@@ -169,3 +169,26 @@ def distinct(ds, cols: list[str]):
     return first_row_per_key(
         ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True), cols
     )
+
+
+def take_per_group(ds, keys: list[str], order_keys: list[tuple[str, str]], n: int):
+    """First n rows per group under order_keys — the corpus-balancing
+    primitive ('cap N docs per source/domain'). One key exchange; each
+    key-co-located block is sorted and sliced vectorized (equal-key run
+    offsets + bounded arange), no per-group dispatch."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return tb
+        sort_spec = [(k, "ascending") for k in keys] + [
+            (c, "ascending" if d.startswith("asc") else "descending") for c, d in order_keys
+        ]
+        tb = tb.sort_by(sort_spec)
+        starts, ends = key_segments(tb, keys)
+        idx = np.concatenate([np.arange(lo, min(lo + n, hi)) for lo, hi in zip(starts, ends)])
+        return tb.take(pa.array(idx, pa.int64()))
+
+    return grouped_block_map(ds, keys, block)

@@ -30,8 +30,11 @@ UNDEF = object()  # ::undef — wildcard row entry in VALUES (sparql.clj:66-92)
 def strip_comments(text: str) -> str:
     """Remove '#'-to-EOL comments, except inside <...> IRIs
     (sparql.clj:115-121, test sparql_test.clj:103-114)."""
+    # split on '\n' only — str.splitlines() also splits on exotic
+    # separators (\x1e,  , …) which would not survive the '\n'
+    # re-join (idempotence property test)
     out_lines = []
-    for line in text.splitlines():
+    for line in text.split("\n"):
         pos, depth = 0, 0
         cut = None
         while pos < len(line):

@@ -447,6 +447,42 @@ FROM documents
 """
 
 
+def q_quality_filter(sf_dir: str):
+    """Quality gate: keep docs with >= 30 words and mean word length in
+    [3, 12] (the length/punctuation-ratio family), count kept per lang —
+    the pre-training corpus filter shape (vectorized stats + filter +
+    grouped agg; one shuffle of tiny partials)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        stats = text_stats(tb)
+        nc = pc.cast(stats.column("n_chars2"), pa.float64())
+        ns = pc.cast(stats.column("n_spaces"), pa.float64())
+        nw = pc.cast(stats.column("n_words"), pa.float64())
+        awl = pc.divide(pc.subtract(nc, ns), nw)
+        keep = pc.and_(
+            pc.greater_equal(stats.column("n_words"), 30),
+            pc.and_(pc.greater_equal(awl, 3.0), pc.less_equal(awl, 12.0)),
+        )
+        return pa.table({"lang": stats.column("lang")}).filter(keep)
+
+    return grouped_agg(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True), ["lang"], [("n_kept", None, "count")]
+    )
+
+
+SQL_QUALITY_FILTER = """
+SELECT lang, count(*) AS n_kept FROM (
+  SELECT lang,
+         length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) AS ns,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+  FROM documents
+) WHERE nw >= 30 AND (nc - ns) * 1.0 / nw BETWEEN 3 AND 12
+GROUP BY lang
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return exact_dedup(ds)
@@ -1420,6 +1456,7 @@ QUERIES = {
     "quad_expand": q_quad_expand,
     "token_stats": q_token_stats,
     "dedup_exact": q_dedup_exact,
+    "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_dedup": q_minhash_dedup,
@@ -1475,6 +1512,7 @@ ORACLE_SQL = {
     "quad_expand": SQL_QUAD_EXPAND,
     "token_stats": SQL_TOKEN_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

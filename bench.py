@@ -41,9 +41,14 @@ QUERY_SUBSET = [
     "dedup_exact",
     "minhash_dedup",
     "simhash_pairs",
+    "jaccard_pairs",
     "lang_id",
+    "quality_filter",
+    "docs_per_source_cap",
+    "hopping_events",
     "sparql_select",
     "ann_topk",
+    "ann_batch",
     "cosine_pairs",
     "turtle_roundtrip",
 ]

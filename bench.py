@@ -103,10 +103,10 @@ def run_replay(sf_dir: str, num_cpus: int, n_events: int | None = None) -> dict:
     warm.apply(rd.from_arrow(binlog_table(warm_cfg)), upto_lsn=warm_cfg.n_events - 1)
     shutil.rmtree(warm_root, ignore_errors=True)
 
-    # min of 2 timed runs: the sandbox VM shows large run-to-run noise
+    # min of 3 timed runs: the sandbox VM shows ±30-40% run-to-run noise
     # (shared disk/page-cache); min approximates uncontended throughput
     best, rows = None, 0
-    for i in range(2):
+    for i in range(3):
         lake_root = os.path.join(BENCH_TMP, f"lake_{os.getpid()}_{i}")
         shutil.rmtree(lake_root, ignore_errors=True)
         t0 = time.perf_counter()

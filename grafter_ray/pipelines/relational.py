@@ -59,7 +59,7 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
         all groups combine in a single vectorized pass (no per-group
         Python dispatch)."""
         if tb.num_rows == 0 or tb.num_columns == 0:
-            return _empty_final(keys, specs)
+            return _empty_final(keys, specs, tb)
         aggs = []
         for out, col, how in specs:
             if how == "count":
@@ -94,10 +94,26 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     )
 
 
-def _empty_final(keys, specs) -> pa.Table:
-    cols = {k: pa.array([], pa.string()) for k in keys}
+def _empty_final(keys, specs, tb: pa.Table | None = None) -> pa.Table:
+    """Zero-row final result. Key/value types derive from the partial
+    block's schema when it carries columns (an all-string fallback would
+    diverge from non-empty blocks on numeric keys and break concat or
+    silently promote types downstream)."""
+    names = set(tb.schema.names) if tb is not None else set()
+
+    def key_type(k):
+        return tb.schema.field(k).type if k in names else pa.string()
+
+    cols = {k: pa.array([], key_type(k)) for k in keys}
     for out, col, how in specs:
-        cols[out] = pa.array([], pa.int64() if how == "count" else pa.float64())
+        if how == "count":
+            t = pa.int64()
+        elif how == "mean":
+            t = pa.float64()
+        else:
+            part = f"{out}__{how}"
+            t = tb.schema.field(part).type if part in names else pa.float64()
+        cols[out] = pa.array([], t)
     return pa.table(cols)
 
 

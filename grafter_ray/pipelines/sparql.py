@@ -440,15 +440,19 @@ def sparql_query(
         ds = ds.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
     bound = getattr(q, "_bound", {})
     n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
-    if q.limit is not None and not q.order_by:
+    # SPARQL applies solution modifiers AFTER the whole WHERE clause:
+    # pushing LIMIT below an OPTIONAL left join would truncate before the
+    # join multiplies rows, so the pushdown is only safe with no
+    # optionals and no ORDER BY.
+    if q.limit is not None and not q.order_by and not q.optionals:
         ds = ds.limit(n_need)
     tb = _collect(ds)
     if q.optionals:
         tb = _apply_optionals(tb, q.optionals, store)
     if q.order_by:
         tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
-        if q.limit is not None:
-            tb = tb.slice(0, n_need)
+    if q.limit is not None and (q.order_by or q.optionals):
+        tb = tb.slice(0, n_need)
     if q.offset:
         tb = tb.slice(q.offset)
     for var, val in bound.items():  # re-project bound vars as constant cols
@@ -486,4 +490,11 @@ def _collect(ds) -> pa.Table:
     import ray
 
     tbs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
-    return pa.concat_tables(tbs, promote_options="permissive") if tbs else pa.table({})
+    if tbs:
+        return pa.concat_tables(tbs, promote_options="permissive")
+    # zero-match result: preserve the pipeline's bound columns so
+    # projection / ORDER BY see the schema and return 0 rows (not raise)
+    try:
+        return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+    except Exception:
+        return pa.table({})

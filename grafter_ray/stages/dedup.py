@@ -115,6 +115,25 @@ def _hasher_cache(num_perm: int) -> MinHasher:
     return h
 
 
+def _sig_matrix(sig_col: pa.Array, order: np.ndarray, n_words: int) -> np.ndarray:
+    """(len(order), n_words) uint64 view of a FixedSizeBinary signature
+    column — buffer-level take+frombuffer, no per-row .as_py()."""
+    arr = sig_col.take(pa.array(order, pa.int64()))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf = arr.buffers()[1]
+    return np.frombuffer(buf, dtype=np.uint64, count=len(order) * n_words, offset=arr.offset * n_words * 8).reshape(len(order), n_words)
+
+
+def _tile_pairs(n: int, tile: int):
+    """Yield (slice_a, slice_b, diagonal?) covering all i<j pairs of
+    range(n) in tile×tile blocks — O(tile²) peak memory, exact coverage."""
+    for t0 in range(0, n, tile):
+        a = slice(t0, min(t0 + tile, n))
+        for t1 in range(t0, n, tile):
+            yield a, slice(t1, min(t1 + tile, n)), t0 == t1
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str = "doc_id",
@@ -122,7 +141,8 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    bucket_cap: int = 512,
+    bucket_cap: int | None = None,
+    verify_tile: int = 512,
 ):
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -130,6 +150,12 @@ def minhash_lsh_dedup(
     groupby(band, band_hash) → per-bucket candidate pairs verified by
     signature-estimated Jaccard ≥ threshold → distinct pairs.
     Returns Dataset[(id_a, id_b, jaccard_est)] with id_a < id_b.
+
+    Oversized buckets (boilerplate corpora) are verified EXACTLY in
+    verify_tile×verify_tile pairwise tiles — O(n²) compute but bounded
+    memory, no dropped true-duplicate pairs. `bucket_cap` is an OPT-IN
+    straggler guard (None default = exact): when set, only the
+    bucket_cap smallest ids are verified and the drop is logged.
     """
     rows_per_band = num_perm // bands
 
@@ -156,7 +182,7 @@ def minhash_lsh_dedup(
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(bh.astype(np.int64).view(np.int64)),
                 id_col: pa.array(doc_ids),
-                "sig": pa.array(sig_bytes, pa.binary()),
+                "sig": pa.array(sig_bytes, pa.binary(num_perm * 8)),
             }
         )
 
@@ -179,10 +205,9 @@ def minhash_lsh_dedup(
         for g in multi:
             lo, hi = int(starts[g]), int(ends[g])
             n = hi - lo
-            if n > bucket_cap:
-                # A boilerplate-heavy bucket at corpus scale would be an
-                # O(n²) straggler; cap deterministically (min ids survive)
-                # and account for the drop — no silent truncation.
+            if bucket_cap is not None and n > bucket_cap:
+                # opt-in straggler guard: cap deterministically (min ids
+                # survive) and account for the drop — never silent.
                 logger.warning(
                     "minhash LSH bucket over cap: %d rows > %d; verifying the %d smallest ids only",
                     n, bucket_cap, bucket_cap,
@@ -192,16 +217,23 @@ def minhash_lsh_dedup(
             else:
                 order = np.arange(lo, hi)
             ids = ids_all[order]
-            sigs = np.frombuffer(
-                b"".join(sig_col[int(i)].as_py() for i in order), dtype=np.uint64
-            ).reshape(n, -1)
-            est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(n, k=1)
-            keep = (est[iu, ju] >= threshold) & (ids[iu] != ids[ju])
-            ii, jj = iu[keep], ju[keep]
-            out_a.append(np.minimum(ids[ii], ids[jj]))
-            out_b.append(np.maximum(ids[ii], ids[jj]))
-            out_j.append(est[ii, jj])
+            sigs = _sig_matrix(sig_col, order, num_perm)
+            # exact tiled verify: every i<j pair covered, peak memory
+            # bounded at verify_tile² estimates regardless of bucket size
+            for sa, sb, diag in _tile_pairs(n, verify_tile):
+                est = (sigs[sa, None, :] == sigs[None, sb, :]).mean(axis=2)
+                if diag:
+                    iu, ju = np.triu_indices(sa.stop - sa.start, k=1)
+                else:
+                    iu, ju = np.meshgrid(
+                        np.arange(sa.stop - sa.start), np.arange(sb.stop - sb.start), indexing="ij"
+                    )
+                    iu, ju = iu.ravel(), ju.ravel()
+                ia, jb = ids[sa][iu], ids[sb][ju]
+                keep = (est[iu, ju] >= threshold) & (ia != jb)
+                out_a.append(np.minimum(ia[keep], jb[keep]))
+                out_b.append(np.maximum(ia[keep], jb[keep]))
+                out_j.append(est[iu, ju][keep])
         return pa.table(
             {
                 "id_a": pa.array(np.concatenate(out_a), pa.int64()),
@@ -267,14 +299,18 @@ def simhash_pairs(
     text_col: str = "text",
     bands: int = 4,
     max_hamming: int = 3,
-    bucket_cap: int = 512,
+    bucket_cap: int | None = None,
+    verify_tile: int = 2048,
 ):
     """SimHash near-duplicate pairs: band the 64-bit signature into
     `bands` keys (any identical band → candidate bucket; guarantees no
     miss up to bands-1 differing bits by pigeonhole), groupby(band, key),
     vectorized per-bucket pairwise XOR-popcount, keep hamming <=
     max_hamming. Shuffle volume is (band, key, id, sig) only — never text.
-    Returns Dataset[(id_a, id_b, hamming)] with id_a < id_b, distinct."""
+    Oversized buckets verify exactly in verify_tile² pairwise tiles
+    (bounded memory); `bucket_cap` is an opt-in straggler guard (logged
+    drop). Returns Dataset[(id_a, id_b, hamming)] with id_a < id_b,
+    distinct."""
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
@@ -311,7 +347,7 @@ def simhash_pairs(
         for g in multi:
             lo, hi = int(starts[g]), int(ends[g])
             n = hi - lo
-            if n > bucket_cap:
+            if bucket_cap is not None and n > bucket_cap:
                 logger.warning(
                     "simhash band bucket over cap: %d rows > %d; verifying the %d smallest ids only",
                     n, bucket_cap, bucket_cap,
@@ -322,13 +358,20 @@ def simhash_pairs(
                 order = np.arange(lo, hi)
             ids = ids_all[order]
             sims = sims_all[order]
-            iu, ju = np.triu_indices(n, k=1)
-            ham = _popcount64(sims[iu] ^ sims[ju]).astype(np.int64)
-            keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
-            ii, jj = iu[keep], ju[keep]
-            out_a.append(np.minimum(ids[ii], ids[jj]))
-            out_b.append(np.maximum(ids[ii], ids[jj]))
-            out_h.append(ham[keep])
+            for sa, sb, diag in _tile_pairs(n, verify_tile):
+                if diag:
+                    iu, ju = np.triu_indices(sa.stop - sa.start, k=1)
+                else:
+                    iu, ju = np.meshgrid(
+                        np.arange(sa.stop - sa.start), np.arange(sb.stop - sb.start), indexing="ij"
+                    )
+                    iu, ju = iu.ravel(), ju.ravel()
+                ham = _popcount64(sims[sa][iu] ^ sims[sb][ju]).astype(np.int64)
+                ia, jb = ids[sa][iu], ids[sb][ju]
+                keep = (ham <= max_hamming) & (ia != jb)
+                out_a.append(np.minimum(ia[keep], jb[keep]))
+                out_b.append(np.maximum(ia[keep], jb[keep]))
+                out_h.append(ham[keep])
         return pa.table(
             {
                 "id_a": pa.array(np.concatenate(out_a), pa.int64()),
@@ -432,6 +475,13 @@ def set_jaccard_pairs(
     whose similarity survives on the remaining tokens, so leave it None
     when an exact result is required).
 
+    The per-doc set-size side is DISTRIBUTED: each doc's rows are
+    block-local in explode, so its distinct-token count is computed
+    map-side and attached to every (token, id) row; the sizes ride the
+    one token exchange and the pair-count exchange — no driver-side
+    materialization, no id-space-sized broadcast (sparse ids like 10^12
+    cost nothing).
+
     Returns Dataset[(id_a, id_b, jaccard_e4)] with floor-e4 fixed-point
     (floor is engine-unambiguous; round() differs on exact .5)."""
     from ..pipelines.relational import grouped_agg
@@ -446,30 +496,29 @@ def set_jaccard_pairs(
         ids = np.repeat(tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), reps)
         t = pa.table({"token": flat, id_col: pa.array(ids)})
         # rows of one doc live in one block → block-local distinct is global
-        return t.group_by(["token", id_col]).aggregate([])
+        t = t.group_by(["token", id_col]).aggregate([])
+        # ...and so is the per-doc distinct set size; attach it map-side
+        did = t.column(id_col).to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(did, return_inverse=True, return_counts=True)
+        return t.append_column("set_size", pa.array(cnt[inv], pa.int64()))
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-doc distinct set sizes (small: one row per doc) — broadcast
-    sizes_ds = grouped_agg(exploded, [id_col], [("set_size", None, "count")])
-    import ray as _ray
-
-    sizes_tb = pa.concat_tables(
-        [t for t in (_ray.get(r) for r in sizes_ds.to_arrow_refs()) if t.num_rows]
-    )
-    size_ids = sizes_tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    size_vals = sizes_tb.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
-    size_map = np.zeros(int(size_ids.max()) + 1 if len(size_ids) else 1, dtype=np.int64)
-    size_map[size_ids] = size_vals
-    sizes_ref = _ray.put(size_map)
-
     def token_pairs(tb: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "size_a": pa.array([], pa.int64()),
+                "size_b": pa.array([], pa.int64()),
+            }
+        )
         if tb.num_rows == 0 or tb.num_columns == 0:
             return empty
         starts, ends = key_segments(tb, ["token"])
         ids_all = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        out_a, out_b = [], []
+        sizes_all = tb.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_b, out_sa, out_sb = [], [], [], []
         for lo, hi in zip(starts, ends):
             n = hi - lo
             if n < 2:
@@ -477,29 +526,44 @@ def set_jaccard_pairs(
             if token_df_cap is not None and n > token_df_cap:
                 logger.warning("set_jaccard: token df %d > cap %d — token dropped", n, token_df_cap)
                 continue
-            ids = np.sort(ids_all[lo:hi])
+            order = np.argsort(ids_all[lo:hi], kind="stable") + lo
+            ids = ids_all[order]
+            szs = sizes_all[order]
             iu, ju = np.triu_indices(n, k=1)
             out_a.append(ids[iu])
             out_b.append(ids[ju])
+            out_sa.append(szs[iu])
+            out_sb.append(szs[ju])
         if not out_a:
             return empty
         return pa.table(
-            {"id_a": pa.array(np.concatenate(out_a)), "id_b": pa.array(np.concatenate(out_b))}
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "size_a": pa.array(np.concatenate(out_sa)),
+                "size_b": pa.array(np.concatenate(out_sb)),
+            }
         )
 
     pairs = grouped_block_map(exploded, ["token"], token_pairs)
-    inter = grouped_agg(pairs, ["id_a", "id_b"], [("inter", None, "count")])
+    # sizes are constant per id → min is the value; rides the same exchange
+    inter = grouped_agg(
+        pairs,
+        ["id_a", "id_b"],
+        [("inter", None, "count"), ("size_a", "size_a", "min"), ("size_b", "size_b", "min")],
+    )
 
     def jaccard(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0 or tb.num_columns == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard_e4": pa.array([], pa.int64())}
             )
-        sm = _ray.get(sizes_ref)
         a = tb.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = tb.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
         inter_n = tb.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
-        union = sm[a] + sm[b] - inter_n
+        sa = tb.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = tb.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = sa + sb - inter_n
         jac = inter_n / union
         keep = jac >= threshold
         e4 = np.floor(inter_n[keep] * 10_000.0 / union[keep]).astype(np.int64)

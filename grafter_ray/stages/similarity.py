@@ -222,9 +222,11 @@ def cosine_pairs(
             else:
                 order = np.arange(lo, hi)
             ids = ids_all[order]
-            m = np.frombuffer(
-                b"".join(col[int(i)].as_py() for i in order), dtype=np.float64
-            ).reshape(n, -1)
+            # buffer-level take+frombuffer on the FixedSizeBinary column —
+            # no per-row .as_py() in the bucket hot loop
+            from .dedup import _sig_matrix
+
+            m = _sig_matrix(col, order, col.type.byte_width // 8).view(np.float64)
             m = _normalize(m)
             sims = m @ m.T
             iu, ju = np.triu_indices(n, k=1)

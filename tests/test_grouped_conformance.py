@@ -1,0 +1,110 @@
+"""Hot-key run-splitting conformance for grouped_block_map consumers
+(VERDICT r2 'What's wrong #2'): every family relies on ds.sort(keys)
+co-locating each equal-key run inside ONE output block — the same
+contract Ray's own map_groups uses. These tests force a single key
+whose run far exceeds a tiny target_max_block_size across many input
+blocks; if Ray ever splits an equal-key run, the assertions below break
+loudly (duplicate 'first' rows, split sessions/buckets, wrong counts).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+@pytest.fixture()
+def tiny_blocks():
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024  # 64 KiB
+    yield
+    ctx.target_max_block_size = old
+
+
+def _hot_key_table(n_hot=60_000, hot_key=500, n_cold=1_000):
+    keys = np.concatenate(
+        [np.full(n_hot, hot_key, np.int64), np.arange(n_cold, dtype=np.int64)]
+    )
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(keys))
+    return pa.table(
+        {"k": keys[perm], "v": np.arange(len(keys), dtype=np.int64)[perm]}
+    )
+
+
+def test_first_row_per_key_hot_run(tiny_blocks):
+    from grafter_ray.stages.grouped import first_row_per_key
+
+    tb = _hot_key_table()
+    ds = rd.from_arrow(tb).repartition(50)
+    out = first_row_per_key(ds, ["k"]).take_all()
+    ks = [r["k"] for r in out]
+    assert len(ks) == len(set(ks)), "duplicate 'first' rows — equal-key run split"
+    assert len(ks) == 1_000  # hot key 500 ∈ [0,1000)
+
+
+def test_grouped_agg_hot_run(tiny_blocks):
+    from grafter_ray.pipelines.relational import grouped_agg
+
+    tb = _hot_key_table()
+    ds = rd.from_arrow(tb).repartition(50)
+    out = grouped_agg(ds, ["k"], [("n", None, "count"), ("s", "v", "sum")]).take_all()
+    got = {r["k"]: (r["n"], r["s"]) for r in out}
+    assert len(got) == 1_000
+    k = tb.column("k").to_numpy()
+    v = tb.column("v").to_numpy()
+    assert got[500] == ((k == 500).sum(), int(v[k == 500].sum()))
+    assert got[3] == ((k == 3).sum(), int(v[k == 3].sum()))
+
+
+def test_minhash_bucket_hot_run(tiny_blocks):
+    """One LSH bucket (identical docs) with a run ≫ block size: the
+    bucket must not be split — pair count stays exactly n*(n-1)/2."""
+    from grafter_ray.stages.dedup import minhash_lsh_dedup
+
+    n = 400
+    text = "identical boilerplate document body with enough words to shingle " * 4
+    tb = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": [text] * n})
+    ds = rd.from_arrow(tb).repartition(20)
+    pairs = minhash_lsh_dedup(ds, threshold=0.9, verify_tile=128).take_all()
+    assert len(pairs) == n * (n - 1) // 2
+
+
+def test_sessionize_hot_run(tiny_blocks):
+    from grafter_ray.stages.windows import sessionize
+
+    n_hot = 24_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # hot user: events every 10 min in bursts of 5 then a 2 h gap
+    step = np.arange(n_hot, dtype=np.int64)
+    offset = (step % 5) * 600 + (step // 5) * 7_200
+    ts = base + offset.astype("timedelta64[s]")
+    keys = np.concatenate([np.full(n_hot, 42, np.int64), np.array([1, 2], np.int64)])
+    all_ts = np.concatenate([ts, np.array([base, base], "datetime64[us]")])
+    seq = np.arange(len(keys), dtype=np.int64)
+    rng = np.random.default_rng(11)
+    perm = rng.permutation(len(keys))
+    tb = pa.table({"user_id": keys[perm], "ts": all_ts[perm], "seq": seq[perm]})
+    ds = rd.from_arrow(tb).repartition(30)
+    out = sessionize(ds, "user_id", "ts", "seq", gap_seconds=1800).take_all()
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in out}
+    assert got[42] == (n_hot, n_hot // 5), got[42]
+    assert got[1] == (1, 1) and got[2] == (1, 1)
+
+
+def test_take_per_group_hot_run(tiny_blocks):
+    from grafter_ray.pipelines.relational import take_per_group
+
+    tb = _hot_key_table()
+    ds = rd.from_arrow(tb).repartition(50)
+    out = take_per_group(ds, ["k"], [("v", "asc")], n=3).take_all()
+    per_key: dict[int, list[int]] = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r["v"])
+    assert all(len(vs) <= 3 for vs in per_key.values())
+    v = tb.column("v").to_numpy()
+    k = tb.column("k").to_numpy()
+    want_hot = sorted(v[k == 500])[:3]
+    assert sorted(per_key[500]) == want_hot

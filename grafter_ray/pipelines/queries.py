@@ -716,6 +716,36 @@ FROM documents WHERE lang IN ('en', 'de')
 """
 
 
+def q_sparql_union_sub(sf_dir: str):
+    """SPARQL UNION + nested sub-select execution (sparql.clj:94-113
+    rewrites nested sub-select limits; here they also execute): union of
+    two property branches joined to a LIMITed deterministic doc cap."""
+    import os
+
+    from .sparql import sparql_query_file
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "documents_union.sparql",
+    )
+    return sparql_query_file(path, store)
+
+
+SQL_SPARQL_UNION_SUB = """
+WITH top_docs AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d
+  FROM documents ORDER BY d LIMIT 100
+)
+SELECT q.d, q.v FROM (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, lang AS v FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, CAST(n_chars AS VARCHAR) AS v FROM documents
+) q JOIN top_docs t ON q.d = t.d
+"""
+
+
 def q_inferred_domain_types(sf_dir: str):
     """Full RDFS inferencer (domain + subPropertyOf + subClassOf,
     repository.clj:303-316): expanded document quads + a tiny vocabulary
@@ -1468,6 +1498,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
+    "sparql_union_sub": q_sparql_union_sub,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "cosine_pairs": q_cosine_pairs,
@@ -1521,6 +1552,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "sparql_select": SQL_SPARQL_SELECT,
+    "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,

@@ -11,10 +11,14 @@ Text layer (string → string, mirrors the reference's pre-processing):
   `OFFSET <n|?var>` occurrences keyed by their current value
 
 Execution layer: the SELECT / WHERE-BGP subset (GRAPH groups, VALUES
-constraints, LIMIT/OFFSET, ';'/',' predicate-object lists) is compiled
-onto QuadStore.bgp — joins, broadcast-vs-shuffle planning and graph
+constraints, FILTER ?var <op> const, OPTIONAL left joins, ORDER BY,
+LIMIT/OFFSET, `{A} UNION {B}` chains (bag semantics, one chain per
+group), nested `{ SELECT ... LIMIT n }` subselects (natural-joined on
+shared vars), ';'/',' predicate-object lists) is compiled onto
+QuadStore.bgp — joins, broadcast-vs-shuffle planning and graph
 restriction all come from the store layer. Unsupported constructs
-(UNION, OPTIONAL, FILTER, subselects) raise a clear error."""
+(CONSTRUCT/ASK text forms, aggregates, expressions) raise a clear
+error."""
 
 from __future__ import annotations
 
@@ -145,6 +149,8 @@ class SelectQuery:
     order_by: list = field(default_factory=list)  # (var, 'asc'|'desc')
     limit: int | None = None
     offset: int | None = None
+    union_branches: list = field(default_factory=list)  # list[list[pattern]]
+    subselects: list = field(default_factory=list)  # list[SelectQuery]
 
 
 def _tokens(text: str):
@@ -196,6 +202,14 @@ class _QParser:
                 raise SparqlParseError(f"bad PREFIX name {pname!r}")
             _, iri = self.next()
             self.q.prefixes[pname.rstrip(":").partition(":")[0]] = iri[1:-1]
+        self._select_head()
+        self.expect("WHERE")
+        self.expect("{")
+        self._group(graph=None)
+        self._modifiers(stop_at_brace=False)
+        return self.q
+
+    def _select_head(self):
         self.expect("SELECT")
         if self.peek()[0] == "star":
             self.next()
@@ -205,12 +219,15 @@ class _QParser:
             while self.peek()[0] == "var":
                 sel.append(self.next()[1][1:])
             self.q.select = sel
-        self.expect("WHERE")
-        self.expect("{")
-        self._group(graph=None)
-        # trailing modifiers
-        while self.peek()[0] is not None:
-            k, v = self.next()
+
+    def _modifiers(self, stop_at_brace: bool):
+        """Trailing solution modifiers; for a subselect they end at the
+        group's closing '}' (consumed by the caller)."""
+        while True:
+            k, v = self.peek()
+            if k is None or (stop_at_brace and v == "}"):
+                return
+            self.next()
             if v.upper() == "LIMIT":
                 self.q.limit = int(self.next()[1])
             elif v.upper() == "OFFSET":
@@ -232,7 +249,23 @@ class _QParser:
                         break
             else:
                 raise SparqlParseError(f"unsupported trailing clause {v!r}")
-        return self.q
+
+    def _subselect(self) -> SelectQuery:
+        """Nested `{ SELECT ... WHERE { ... } <modifiers> }` — a full
+        recursive SelectQuery with its own LIMIT/OFFSET/ORDER BY
+        (the reference rewrites nested sub-select limits individually,
+        sparql.clj:94-113; here they also EXECUTE)."""
+        sub = _QParser(self.toks)
+        sub.i = self.i
+        sub.q.prefixes = dict(self.q.prefixes)
+        sub._select_head()
+        sub.expect("WHERE")
+        sub.expect("{")
+        sub._group(graph=None)
+        sub._modifiers(stop_at_brace=True)
+        sub.expect("}")
+        self.i = sub.i
+        return sub.q
 
     def _group(self, graph):
         while True:
@@ -243,7 +276,7 @@ class _QParser:
             if k is None:
                 raise SparqlParseError("unterminated group")
             if k == "kw" and v.upper() == "UNION":
-                raise SparqlParseError("UNION is not in the supported SPARQL subset")
+                raise SparqlParseError("UNION must follow a braced group: { ... } UNION { ... }")
             if k == "kw" and v.upper() == "OPTIONAL":
                 self.next()
                 self.expect("{")
@@ -265,9 +298,27 @@ class _QParser:
                 self.expect("{")
                 self._group(graph=g)
                 continue
-            if v == "{":  # transparent group
+            if v == "{":  # subselect, UNION chain, or transparent group
                 self.next()
+                nk, nv = self.peek()
+                if nk == "kw" and nv.upper() == "SELECT":
+                    self.q.subselects.append(self._subselect())
+                    continue
+                mark = len(self.q.patterns)
                 self._group(graph=graph)
+                if self.peek()[1] and self.peek()[1].upper() == "UNION":
+                    branches = [list(self.q.patterns[mark:])]
+                    del self.q.patterns[mark:]
+                    while self.peek()[1] and self.peek()[1].upper() == "UNION":
+                        self.next()
+                        self.expect("{")
+                        m2 = len(self.q.patterns)
+                        self._group(graph=graph)
+                        branches.append(list(self.q.patterns[m2:]))
+                        del self.q.patterns[m2:]
+                    if self.q.union_branches:
+                        raise SparqlParseError("only one UNION group per query in the supported subset")
+                    self.q.union_branches = branches
                 continue
             if k == "kw" and v.upper() == "VALUES":
                 self.next()
@@ -392,7 +443,15 @@ def prepare_query(
                 return str(scalar[term[1:]])
             return term
 
-        q.patterns = [tuple(sub(t) for t in pat) for pat in q.patterns]
+        def sub_all(query):
+            query.patterns = [tuple(sub(t) for t in pat) for pat in query.patterns]
+            query.union_branches = [
+                [tuple(sub(t) for t in pat) for pat in br] for br in query.union_branches
+            ]
+            for s in query.subselects:
+                sub_all(s)
+
+        sub_all(q)
         q._bound = scalar  # kept so bound vars can be re-projected
     return q
 
@@ -408,9 +467,27 @@ def sparql_query(
     pa.Table (bounded: SELECT queries project + LIMIT; the heavy joins
     run distributed inside store.bgp)."""
     q = prepare_query(query_text, bindings, limits, offsets)
-    if not q.patterns:
+    return _run_select(q, store)
+
+
+def _run_select(q: SelectQuery, store) -> pa.Table:
+    """Evaluate one (possibly nested) SELECT: BGP / UNION-of-BGPs →
+    VALUES + FILTER constraints → subselect natural joins → OPTIONAL
+    left joins → solution modifiers → projection. Subselects recurse."""
+    if not q.patterns and not q.union_branches and not q.subselects:
         raise SparqlParseError("query has no triple patterns")
-    ds = store.bgp(*q.patterns)
+    if q.patterns or q.union_branches:
+        if q.union_branches:
+            # join distributes over union: P . {A} UNION {B} ≡
+            # bgp(P+A) ⊎ bgp(P+B) — bag semantics (no dedup), matching
+            # SQL UNION ALL
+            sides = [store.bgp(*(q.patterns + list(b))) for b in q.union_branches]
+            ds = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
+        else:
+            ds = store.bgp(*q.patterns)
+    else:
+        ds = None
+    constraints = []  # Table → Table, applied streaming OR post-join
     for vars_, rows in q.values:
         const_rows = [tuple(v for v in row) for row in rows]
         if any(v.startswith("?") for row in const_rows for v in row if isinstance(v, str)):
@@ -421,7 +498,7 @@ def sparql_query(
             wanted = pa.array(["\x00".join(r) for r in want], pa.string())
             return tb.filter(pc.is_in(key, value_set=wanted))
 
-        ds = ds.map_batches(values_filter, batch_format="pyarrow", zero_copy_batch=True)
+        constraints.append(values_filter)
     for var, op, val in q.filters:
 
         def filter_fn(tb: pa.Table, var=var, op=op, val=val) -> pa.Table:
@@ -437,21 +514,40 @@ def sparql_query(
             }[op]
             return tb.filter(kernel(col, rhs))
 
-        ds = ds.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
+        constraints.append(filter_fn)
+    if ds is not None:
+        for fn in constraints:
+            ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
     bound = getattr(q, "_bound", {})
     n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
     # SPARQL applies solution modifiers AFTER the whole WHERE clause:
-    # pushing LIMIT below an OPTIONAL left join would truncate before the
-    # join multiplies rows, so the pushdown is only safe with no
-    # optionals and no ORDER BY.
-    if q.limit is not None and not q.order_by and not q.optionals:
-        ds = ds.limit(n_need)
-    tb = _collect(ds)
+    # pushing LIMIT below an OPTIONAL left join / subselect join would
+    # truncate before the join changes cardinality, so the pushdown is
+    # only safe when neither is present (and no ORDER BY).
+    late_slice = bool(q.order_by or q.optionals or q.subselects)
+    if ds is not None:
+        if q.limit is not None and not late_slice:
+            ds = ds.limit(n_need)
+        tb = _collect(ds)
+    else:
+        tb = None
+    for sub in q.subselects:
+        stb = _run_select(sub, store)
+        if tb is None:
+            tb = stb
+        else:
+            keys = [c for c in stb.column_names if c in tb.column_names]
+            if not keys:
+                raise SparqlParseError("subselect shares no variable with the outer group")
+            tb = tb.join(stb, keys=keys, join_type="inner")
+    if ds is None:
+        for fn in constraints:  # constraints over a subselect-only group
+            tb = fn(tb)
     if q.optionals:
         tb = _apply_optionals(tb, q.optionals, store)
     if q.order_by:
         tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
-    if q.limit is not None and (q.order_by or q.optionals):
+    if q.limit is not None and (late_slice or ds is None):
         tb = tb.slice(0, n_need)
     if q.offset:
         tb = tb.slice(q.offset)

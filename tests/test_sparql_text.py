@@ -187,10 +187,18 @@ def test_unsupported_constructs_raise():
         pa.table({k: pa.array([], pa.string()) for k in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]})
     )
     with pytest.raises(SparqlParseError):
-        sparql_query("SELECT * WHERE { { ?s ?p ?o } UNION { ?s ?p ?o } }", store)
-    with pytest.raises(SparqlParseError):
         # FILTER subset is ?var <op> constant — function calls rejected
         sparql_query('SELECT * WHERE { ?s ?p ?o FILTER(regex(?o, "x")) }', store)
+    with pytest.raises(SparqlParseError):
+        # one UNION chain per group in the subset
+        sparql_query(
+            "SELECT * WHERE { { ?s ?p ?o } UNION { ?s ?p ?o } "
+            "{ ?s ?p ?x } UNION { ?s ?p ?y } }",
+            store,
+        )
+    with pytest.raises(SparqlParseError):
+        # bare UNION without a leading braced group
+        sparql_query("SELECT * WHERE { ?s ?p ?o UNION { ?s ?p ?o } }", store)
 
 
 # --- extended subset: FILTER / ORDER BY / OPTIONAL --------------------------
@@ -244,3 +252,58 @@ def test_optional_left_join():
     rows = {r["s"]: r["lab"] for r in out.to_pylist()}
     assert rows["http://x/a"] == "Aye" and rows["http://x/b"] == "Bee"
     assert rows["http://x/c"] is None and rows["http://x/d"] is None
+
+
+# --- UNION + subselects ------------------------------------------------------
+
+def test_union_bag_semantics():
+    out = sparql_query(
+        "SELECT ?s ?v WHERE { { ?s <http://p/size> ?v } UNION { ?s <http://p/label> ?v } }",
+        _mini_store(),
+    )
+    vals = sorted(out.column("v").to_pylist())
+    assert vals == sorted(["5", "12", "7", "30", "Aye", "Bee"])
+
+
+def test_union_three_branches_with_shared_pattern():
+    # shared pattern joins into every branch: only ?s with a label
+    out = sparql_query(
+        "SELECT ?s ?v WHERE { ?s <http://p/label> ?lab . "
+        "{ ?s <http://p/size> ?v } UNION { ?s <http://p/label> ?v } UNION { ?s <http://p/size> ?v } }",
+        _mini_store(),
+    )
+    rows = [(r["s"], r["v"]) for r in out.to_pylist()]
+    # a and b have labels; size branch twice (bag — duplicates kept)
+    assert rows.count(("http://x/a", "5")) == 2
+    assert rows.count(("http://x/b", "12")) == 2
+    assert ("http://x/a", "Aye") in rows and ("http://x/b", "Bee") in rows
+    assert len(rows) == 6
+
+
+def test_subselect_with_limit_joins_outer():
+    # inner: top-2 sizes lexically desc; outer joins labels on shared ?s
+    out = sparql_query(
+        "SELECT ?s ?n ?lab WHERE { ?s <http://p/label> ?lab . "
+        "{ SELECT ?s ?n WHERE { ?s <http://p/size> ?n . } ORDER BY DESC(?n) LIMIT 2 } }",
+        _mini_store(),
+    )
+    rows = {r["s"]: (r["n"], r["lab"]) for r in out.to_pylist()}
+    # lexical desc over sizes: 7 (c), 5 (a) — only a has a label
+    assert rows == {"http://x/a": ("5", "Aye")}
+
+
+def test_subselect_only_group():
+    out = sparql_query(
+        "SELECT ?n WHERE { { SELECT ?n WHERE { ?s <http://p/size> ?n . } ORDER BY ?n LIMIT 3 } }",
+        _mini_store(),
+    )
+    assert out.column("n").to_pylist() == ["12", "30", "5"]
+
+
+def test_outer_limit_applied_after_subselect_join():
+    out = sparql_query(
+        "SELECT ?s ?n WHERE { ?s <http://p/size> ?n . "
+        "{ SELECT ?s WHERE { ?s <http://p/size> ?m . } } } LIMIT 2",
+        _mini_store(),
+    )
+    assert out.num_rows == 2

@@ -840,6 +840,42 @@ SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
 """
 
 
+def q_jsonld_roundtrip(sf_dir: str):
+    """JSON-LD write+read path end-to-end (mirrors turtle_roundtrip):
+    documents → quad expand → write_jsonld (self-contained per-block
+    .jsonld docs) → read_jsonld → per-predicate aggregate (reference
+    JSONLD parser-table entry, formats.clj:149-189)."""
+    import shutil
+    import tempfile
+
+    from ..sources.jsonld import read_jsonld, write_jsonld
+
+    quads = q_quad_expand(sf_dir)
+    path = tempfile.mkdtemp(prefix="graftray_jsonld_")
+    try:
+        write_jsonld(quads, path)
+        ds = read_jsonld(path)
+        out = grouped_agg(
+            ds.map_batches(
+                lambda tb: pa.table({"p": tb.column("p"), "s": tb.column("s")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["p"],
+            [("n", None, "count")],
+        )
+        result = out.to_arrow_refs()
+        import ray as _ray
+
+        tables = [t for t in (_ray.get(r) for r in result) if t.num_rows]
+        return pa.concat_tables(tables)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+SQL_JSONLD_ROUNDTRIP = SQL_TURTLE_ROUNDTRIP
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding near-duplicate pairs (cosine >= 0.45), e4 fixed point."""
     from ..stages.similarity import cosine_pairs
@@ -1501,6 +1537,7 @@ QUERIES = {
     "sparql_union_sub": q_sparql_union_sub,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
+    "jsonld_roundtrip": q_jsonld_roundtrip,
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
@@ -1555,6 +1592,7 @@ ORACLE_SQL = {
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
+    "jsonld_roundtrip": SQL_JSONLD_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,
     "melt_part": SQL_MELT_PART,

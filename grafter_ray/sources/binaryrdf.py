@@ -1,0 +1,286 @@
+"""Binary RDF source + sink (`.brf`) — the last entry of the reference's
+parser factory table (formats.clj:149-189; round-tripped by the
+reference at io_test.clj:213-235). Implements the PUBLIC RDF4J binary
+RDF format, version 1: magic "BRDF", int32 format version, then a
+record stream (org.eclipse.rdf4j.rio.binary.BinaryRDFConstants):
+
+  record types: NAMESPACE_DECL=0, STATEMENT=1, COMMENT=2, VALUE_DECL=3,
+                END_OF_DATA=127
+  value types:  NULL=0, URI=1, BNODE=2, PLAIN_LITERAL=3,
+                LANG_LITERAL=4, DATATYPE_LITERAL=5, VALUE_REF=6
+
+Integers are big-endian (Java DataOutputStream); strings use Java
+writeUTF semantics — u16 byte length + *modified* UTF-8 (NUL as C0 80,
+supplementary chars as encoded surrogate pairs).
+
+The writer emits inline values only (VALUE_DECL/REF is a writer-side
+compression option; readers must accept both — ours does). Binary is
+the one format read as bytes, not text (the reference's binary-vs-text
+coercion split, formats.clj:149-189)."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pyarrow as pa
+
+from ..schemas import QUAD
+
+MAGIC = b"BRDF"
+FORMAT_VERSION = 1
+
+NAMESPACE_DECL = 0
+STATEMENT = 1
+COMMENT = 2
+VALUE_DECL = 3
+END_OF_DATA = 127
+
+NULL_VALUE = 0
+URI_VALUE = 1
+BNODE_VALUE = 2
+PLAIN_LITERAL_VALUE = 3
+LANG_LITERAL_VALUE = 4
+DATATYPE_LITERAL_VALUE = 5
+VALUE_REF = 6
+
+
+class BinaryRdfParseError(ValueError):
+    pass
+
+
+# --- Java modified UTF-8 -----------------------------------------------------
+
+def _mutf8_encode(s: str) -> bytes:
+    out = bytearray()
+    # iterate 16-bit big-endian code units (Java chars) directly
+    raw = s.encode("utf-16-be", "surrogatepass")
+    for i in range(0, len(raw), 2):
+        c = (raw[i] << 8) | raw[i + 1]
+        if 0x0001 <= c <= 0x007F:
+            out.append(c)
+        elif c == 0 or c <= 0x07FF:
+            out.append(0xC0 | (c >> 6))
+            out.append(0x80 | (c & 0x3F))
+        else:
+            out.append(0xE0 | (c >> 12))
+            out.append(0x80 | ((c >> 6) & 0x3F))
+            out.append(0x80 | (c & 0x3F))
+    return bytes(out)
+
+
+def _mutf8_decode(data: bytes) -> str:
+    units = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if b0 < 0x80:
+            units.append(b0)
+            i += 1
+        elif b0 >> 5 == 0b110:
+            units.append(((b0 & 0x1F) << 6) | (data[i + 1] & 0x3F))
+            i += 2
+        elif b0 >> 4 == 0b1110:
+            units.append(((b0 & 0x0F) << 12) | ((data[i + 1] & 0x3F) << 6) | (data[i + 2] & 0x3F))
+            i += 3
+        else:
+            raise BinaryRdfParseError(f"bad modified-UTF8 byte {b0:#x}")
+    return _units_to_str(units)
+
+
+def _units_to_str(units: list[int]) -> str:
+    buf = bytearray()
+    for u in units:
+        buf.append(u >> 8)
+        buf.append(u & 0xFF)
+    return bytes(buf).decode("utf-16-be", "surrogatepass")
+
+
+# --- stream primitives -------------------------------------------------------
+
+def _w_int(out: io.BytesIO, v: int) -> None:
+    out.write(struct.pack(">i", v))
+
+
+def _w_byte(out: io.BytesIO, v: int) -> None:
+    out.write(struct.pack(">b", v))
+
+
+def _w_utf(out: io.BytesIO, s: str) -> None:
+    data = _mutf8_encode(s)
+    if len(data) > 0xFFFF:
+        raise BinaryRdfParseError("string too long for writeUTF (>64 KiB encoded)")
+    out.write(struct.pack(">H", len(data)))
+    out.write(data)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise BinaryRdfParseError("truncated binary RDF stream")
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def r_int(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def r_byte(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def r_utf(self) -> str:
+        n = struct.unpack(">H", self._take(2))[0]
+        return _mutf8_decode(self._take(n))
+
+
+# --- value (de)serialization -------------------------------------------------
+
+def _write_value(out: io.BytesIO, kind: str | None, val: str | None, dt, lang) -> None:
+    if kind is None:
+        _w_byte(out, NULL_VALUE)
+    elif kind == "iri":
+        _w_byte(out, URI_VALUE)
+        _w_utf(out, val)
+    elif kind == "bnode":
+        _w_byte(out, BNODE_VALUE)
+        _w_utf(out, val[2:] if val.startswith("_:") else val)
+    elif lang:
+        _w_byte(out, LANG_LITERAL_VALUE)
+        _w_utf(out, val)
+        _w_utf(out, lang)
+    elif dt and dt != "http://www.w3.org/2001/XMLSchema#string":
+        _w_byte(out, DATATYPE_LITERAL_VALUE)
+        _w_utf(out, val)
+        _w_utf(out, dt)
+    else:
+        _w_byte(out, PLAIN_LITERAL_VALUE)
+        _w_utf(out, val)
+
+
+def _read_value(r: _Reader, decls: dict[int, tuple]) -> tuple | None:
+    """→ (kind, value, datatype, lang) or None for NULL."""
+    t = r.r_byte()
+    if t == NULL_VALUE:
+        return None
+    if t == URI_VALUE:
+        return ("iri", r.r_utf(), None, None)
+    if t == BNODE_VALUE:
+        return ("bnode", "_:" + r.r_utf(), None, None)
+    if t == PLAIN_LITERAL_VALUE:
+        return ("literal", r.r_utf(), "http://www.w3.org/2001/XMLSchema#string", None)
+    if t == LANG_LITERAL_VALUE:
+        v = r.r_utf()
+        return ("literal", v, None, r.r_utf())
+    if t == DATATYPE_LITERAL_VALUE:
+        v = r.r_utf()
+        return ("literal", v, r.r_utf(), None)
+    if t == VALUE_REF:
+        ref = r.r_int()
+        if ref not in decls:
+            raise BinaryRdfParseError(f"undeclared value ref {ref}")
+        return decls[ref]
+    raise BinaryRdfParseError(f"unknown value type {t}")
+
+
+# --- document-level API ------------------------------------------------------
+
+def quads_to_binary(tb: pa.Table) -> bytes:
+    out = io.BytesIO()
+    out.write(MAGIC)
+    _w_int(out, FORMAT_VERSION)
+    for s, p, kind, val, dt, lang, c in zip(
+        tb.column("s").to_pylist(),
+        tb.column("p").to_pylist(),
+        tb.column("o_kind").to_pylist(),
+        tb.column("o_value").to_pylist(),
+        tb.column("o_datatype").to_pylist(),
+        tb.column("o_lang").to_pylist(),
+        tb.column("c").to_pylist(),
+    ):
+        _w_byte(out, STATEMENT)
+        _write_value(out, "bnode" if s.startswith("_:") else "iri", s, None, None)
+        _write_value(out, "iri", p, None, None)
+        _write_value(out, kind, val, dt, lang)
+        if c is None:
+            _write_value(out, None, None, None, None)
+        else:
+            _write_value(out, "bnode" if c.startswith("_:") else "iri", c, None, None)
+    _w_byte(out, END_OF_DATA)
+    return out.getvalue()
+
+
+def parse_binary(data: bytes) -> pa.Table:
+    r = _Reader(data)
+    if r._take(4) != MAGIC:
+        raise BinaryRdfParseError("not a binary RDF stream (bad magic)")
+    ver = r.r_int()
+    if ver != FORMAT_VERSION:
+        raise BinaryRdfParseError(f"unsupported binary RDF version {ver}")
+    rows = {k: [] for k in QUAD.names}
+    decls: dict[int, tuple] = {}
+    while True:
+        rec = r.r_byte()
+        if rec == END_OF_DATA:
+            break
+        if rec == NAMESPACE_DECL:  # carried for fidelity; quads don't need it
+            r.r_utf(), r.r_utf()
+            continue
+        if rec == COMMENT:
+            r.r_utf()
+            continue
+        if rec == VALUE_DECL:
+            vid = r.r_int()
+            decls[vid] = _read_value(r, decls)
+            continue
+        if rec != STATEMENT:
+            raise BinaryRdfParseError(f"unknown record type {rec}")
+        subj = _read_value(r, decls)
+        pred = _read_value(r, decls)
+        obj = _read_value(r, decls)
+        ctx = _read_value(r, decls)
+        if subj is None or pred is None or obj is None:
+            raise BinaryRdfParseError("NULL in a statement s/p/o slot")
+        rows["s"].append(subj[1])
+        rows["p"].append(pred[1])
+        rows["o_kind"].append(obj[0])
+        rows["o_value"].append(obj[1])
+        rows["o_datatype"].append(obj[2])
+        rows["o_lang"].append(obj[3])
+        rows["c"].append(None if ctx is None else ctx[1])
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}, schema=QUAD)
+
+
+def read_binary_rdf(path: str):
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse_files(tb: pa.Table) -> pa.Table:
+        tables = [parse_binary(data.as_py()) for data in tb.column("bytes")]
+        return pa.concat_tables(tables) if tables else QUAD.empty_table()
+
+    return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _BinaryDatasink:
+    """One self-contained .brf document per block (resumable output)."""
+
+    def __new__(cls, path: str, **kw):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class _Sink(BlockBasedFileDatasink):
+            def __init__(self):
+                super().__init__(path, file_format="brf", **kw)
+
+            def write_block_to_file(self, block, file):
+                file.write(quads_to_binary(block.to_arrow()))
+
+        return _Sink()
+
+
+def write_binary_rdf(ds, path: str) -> None:
+    ds.write_datasink(_BinaryDatasink(path))

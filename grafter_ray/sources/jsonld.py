@@ -140,3 +140,80 @@ def read_jsonld(path: str):
         return pa.concat_tables(tables) if tables else QUAD.empty_table()
 
     return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- writer ------------------------------------------------------------------
+
+def quads_to_jsonld(tb: pa.Table, prefixes: dict[str, str] | None = None) -> str:
+    """QUAD table → one compacted JSON-LD document in exactly the
+    prefix-@context subset the reader consumes: optional {prefix: iri}
+    @context, top-level @graph of subject-grouped node objects, named
+    graphs as {"@id": g, "@graph": [...]} wrappers."""
+    plist = sorted((prefixes or {}).items(), key=lambda kv: -len(kv[1]))
+
+    def compact(iri: str) -> str:
+        for name, base in plist:
+            if iri.startswith(base) and len(iri) > len(base):
+                return f"{name}:{iri[len(base):]}"
+        return iri
+
+    def value_of(kind, val, dt, lang):
+        if kind == "iri":
+            return {"@id": compact(val)}
+        if kind == "bnode":
+            return {"@id": val if val.startswith("_:") else f"_:{val}"}
+        if lang:
+            return {"@value": val, "@language": lang}
+        if dt and dt != XSD + "string":
+            return {"@value": val, "@type": compact(dt)}
+        return val
+
+    # (graph, subject) → node object; insertion order preserved
+    graphs: dict[object, dict[str, dict]] = {}
+    for s, p, kind, val, dt, lang, g in zip(
+        tb.column("s").to_pylist(),
+        tb.column("p").to_pylist(),
+        tb.column("o_kind").to_pylist(),
+        tb.column("o_value").to_pylist(),
+        tb.column("o_datatype").to_pylist(),
+        tb.column("o_lang").to_pylist(),
+        tb.column("c").to_pylist(),
+    ):
+        nodes = graphs.setdefault(g, {})
+        node = nodes.setdefault(s, {"@id": s if s.startswith("_:") else compact(s)})
+        if p == RDF_TYPE and kind == "iri":
+            node.setdefault("@type", []).append(compact(val))
+            continue
+        key = compact(p)
+        v = value_of(kind, val, dt, lang)
+        if key in node:
+            if not isinstance(node[key], list):
+                node[key] = [node[key]]
+            node[key].append(v)
+        else:
+            node[key] = v
+
+    top = []
+    for g, nodes in graphs.items():
+        if g is None:
+            top.extend(nodes.values())
+        else:
+            top.append({"@id": compact(g), "@graph": list(nodes.values())})
+    doc: dict = {}
+    if prefixes:
+        doc["@context"] = dict(prefixes)
+    doc["@graph"] = top
+    return json.dumps(doc, ensure_ascii=False, indent=1)
+
+
+def write_jsonld(ds, path: str, prefixes: dict[str, str] | None = None) -> None:
+    """Streaming JSON-LD sink: one self-contained document per block file
+    (resumable; read_jsonld parses per file)."""
+    from .nquads import write_text_lines
+
+    def ser(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": [quads_to_jsonld(tb, prefixes)]})
+
+    write_text_lines(
+        ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True), path, file_format="jsonld"
+    )

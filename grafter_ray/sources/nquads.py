@@ -259,6 +259,30 @@ def _write_rdfjson(ds, path: str):
     write_rdfjson(ds, path)
 
 
+def _read_binary_rdf(path: str):
+    from .binaryrdf import read_binary_rdf
+
+    return read_binary_rdf(path)
+
+
+def _write_binary_rdf(ds, path: str):
+    from .binaryrdf import write_binary_rdf
+
+    write_binary_rdf(ds, path)
+
+
+def _write_rdfxml(ds, path: str):
+    from .rdfxml import write_rdfxml
+
+    write_rdfxml(ds, path)
+
+
+def _write_jsonld(ds, path: str):
+    from .jsonld import write_jsonld
+
+    write_jsonld(ds, path)
+
+
 FORMAT_READERS = {
     ".nq": read_nquads,
     ".nt": read_nquads,
@@ -273,6 +297,7 @@ FORMAT_READERS = {
     ".rdf": _read_rdfxml,
     ".rdfxml": _read_rdfxml,
     ".jsonld": _read_jsonld,
+    ".brf": _read_binary_rdf,
     ".csv": read_csv_source,
     ".json": read_json_source,
 }
@@ -282,6 +307,10 @@ FORMAT_WRITERS = {
     ".trix": _write_trix,
     ".xml": _write_trix,
     ".rj": _write_rdfjson,
+    ".rdf": _write_rdfxml,
+    ".rdfxml": _write_rdfxml,
+    ".jsonld": _write_jsonld,
+    ".brf": _write_binary_rdf,
 }
 
 
@@ -317,6 +346,7 @@ MIME_FORMATS = {
     "application/rdf+json": ".rj",
     "application/rdf+xml": ".rdf",
     "application/ld+json": ".jsonld",
+    "application/x-binary-rdf": ".brf",
     "text/n3": ".n3",
     "text/csv": ".csv",
     "application/json": ".json",
@@ -353,6 +383,14 @@ def statements(source, fmt: str | None = None):
         if fmt is None:
             raise ValueError("fmt is required for stream sources (a stream has no suffix)")
         data = source.read()
+        if fmt in (".brf", "brf"):  # binary-vs-text coercion: .brf stays bytes
+            import ray.data as rd
+
+            from .binaryrdf import parse_binary
+
+            if not isinstance(data, bytes):
+                raise ValueError("binary RDF streams must be opened in binary mode")
+            return rd.from_arrow(parse_binary(data))
         if isinstance(data, bytes):
             data = data.decode("utf-8")
         return statements_from_string(data, fmt)

@@ -1,18 +1,27 @@
-"""RDF/XML source (subset) — the reference parser table's RDFXML entry
-(formats.clj:149-189). Triple format; per-file read parallelism (XML is
-not splittable). Subset covered (the overwhelmingly common profile):
+"""RDF/XML source + sink — the reference parser table's RDFXML entry
+(formats.clj:149-189; round-trip coverage io_test.clj:142-165 includes
+.rdf). Triple format; per-file read parallelism (XML is not splittable).
 
-- rdf:RDF root with xmlns declarations
-- rdf:Description nodes with rdf:about / rdf:nodeID
-- typed node elements (<foaf:Person rdf:about=...> ⇒ an rdf:type triple)
-- property elements: rdf:resource attr (IRI object), rdf:nodeID attr,
-  text content with rdf:datatype / xml:lang, nested node elements
-- rdf:ID, reification, containers and parseType are NOT supported and
-  raise a clear error (use Turtle/N-Quads for those corpora)."""
+Reader grammar covered (the full everyday profile):
+- rdf:RDF root with xmlns declarations (or a single top-level node)
+- rdf:Description / typed node elements, rdf:about / rdf:nodeID / rdf:ID
+  (rdf:ID resolves against the optional `base` as base#ID)
+- property elements: rdf:resource, rdf:nodeID, nested node elements,
+  text content with rdf:datatype / xml:lang
+- rdf:parseType="Resource" (anonymous node), ="Literal" (XML literal,
+  rdf:XMLLiteral datatype), ="Collection" (rdf:first/rest list)
+- property ATTRIBUTES on node elements (string literal shorthand)
+- rdf:ID on PROPERTY elements (reification) stays outside the subset
+  and raises.
+
+Writer: subject-grouped rdf:Description blocks with auto-derived
+namespace prefixes; one self-contained XML document per block file
+(resumable output)."""
 
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
 
 import pyarrow as pa
 
@@ -20,8 +29,13 @@ from ..schemas import QUAD
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
-XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+XML_LANG = f"{{{XML_NS}}}lang"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XML_LITERAL = RDF_NS + "XMLLiteral"
 
 _A_ABOUT = f"{{{RDF_NS}}}about"
 _A_NODEID = f"{{{RDF_NS}}}nodeID"
@@ -42,7 +56,7 @@ def _expand(tag: str) -> str:
     return ns + local
 
 
-def parse_rdfxml(text: str) -> pa.Table:
+def parse_rdfxml(text: str, base: str = "") -> pa.Table:
     root = ET.fromstring(text)
     if _expand(root.tag) != RDF_NS + "RDF":
         # single top-level node element is also legal RDF/XML
@@ -61,26 +75,48 @@ def parse_rdfxml(text: str) -> pa.Table:
         rows["o_lang"].append(lang)
         rows["c"].append(None)
 
-    def subject_of(el) -> str:
-        if _A_ID in el.attrib or _A_PARSETYPE in el.attrib:
-            raise RdfXmlParseError("rdf:ID / rdf:parseType are outside the supported subset")
-        if _A_ABOUT in el.attrib:
-            return el.attrib[_A_ABOUT]
-        if _A_NODEID in el.attrib:
-            return "_:" + el.attrib[_A_NODEID]
+    def fresh_bnode() -> str:
         bnode_n[0] += 1
         return f"_:genid{bnode_n[0]}"
 
-    def node(el) -> str:
-        s = subject_of(el)
-        tag_iri = _expand(el.tag)
-        if tag_iri != RDF_NS + "Description":  # typed node element
-            emit(s, RDF_TYPE, "iri", tag_iri, None, None)
-        for prop in el:
+    def subject_of(el) -> str:
+        if _A_ABOUT in el.attrib:
+            return el.attrib[_A_ABOUT]
+        if _A_ID in el.attrib:
+            return f"{base}#{el.attrib[_A_ID]}"
+        if _A_NODEID in el.attrib:
+            return "_:" + el.attrib[_A_NODEID]
+        return fresh_bnode()
+
+    def properties(s, props, inherited_lang=None):
+        """Process a sequence of property ELEMENTS of subject s."""
+        for prop in props:
             p = _expand(prop.tag)
-            if _A_PARSETYPE in prop.attrib:
-                raise RdfXmlParseError("rdf:parseType is outside the supported subset")
-            if _A_RESOURCE in prop.attrib:
+            lang = prop.get(XML_LANG, inherited_lang)
+            ptype = prop.attrib.get(_A_PARSETYPE)
+            if _A_ID in prop.attrib:
+                raise RdfXmlParseError("rdf:ID reification on property elements is outside the supported subset")
+            if ptype == "Resource":
+                b = fresh_bnode()
+                emit(s, p, "bnode", b, None, None)
+                properties(b, list(prop), inherited_lang=lang)
+            elif ptype == "Literal":
+                inner = (prop.text or "") + "".join(
+                    ET.tostring(ch, encoding="unicode") for ch in prop
+                )
+                emit(s, p, "literal", inner, XML_LITERAL, None)
+            elif ptype == "Collection":
+                cells = [fresh_bnode() for _ in prop]
+                emit(s, p, "bnode" if cells else "iri", cells[0] if cells else RDF_NIL, None, None)
+                for i, (cell, child) in enumerate(zip(cells, prop)):
+                    o = node(child)
+                    kind = "bnode" if o.startswith("_:") else "iri"
+                    emit(cell, RDF_FIRST, kind, o, None, None)
+                    nxt = cells[i + 1] if i + 1 < len(cells) else RDF_NIL
+                    emit(cell, RDF_REST, "bnode" if i + 1 < len(cells) else "iri", nxt, None, None)
+            elif ptype is not None:
+                raise RdfXmlParseError(f"rdf:parseType={ptype!r} is outside the supported subset")
+            elif _A_RESOURCE in prop.attrib:
                 emit(s, p, "iri", prop.attrib[_A_RESOURCE], None, None)
             elif _A_NODEID in prop.attrib:
                 emit(s, p, "bnode", "_:" + prop.attrib[_A_NODEID], None, None)
@@ -92,12 +128,25 @@ def parse_rdfxml(text: str) -> pa.Table:
                 kind = "bnode" if o.startswith("_:") else "iri"
                 emit(s, p, kind, o, None, None)
             else:
-                lang = prop.get(XML_LANG)
                 dt = prop.get(_A_DATATYPE)
                 emit(
                     s, p, "literal", prop.text or "",
                     dt if dt else (None if lang else XSD_STRING), lang,
                 )
+
+    def node(el) -> str:
+        s = subject_of(el)
+        tag_iri = _expand(el.tag)
+        if tag_iri != RDF_NS + "Description":  # typed node element
+            emit(s, RDF_TYPE, "iri", tag_iri, None, None)
+        lang = el.get(XML_LANG)
+        for attr, val in el.attrib.items():  # property-attribute shorthand
+            if attr in (_A_ABOUT, _A_NODEID, _A_ID, XML_LANG):
+                continue
+            if attr.startswith(f"{{{RDF_NS}}}"):
+                raise RdfXmlParseError(f"unsupported rdf: attribute {attr!r} on a node element")
+            emit(s, _expand(attr), "literal", val, None if lang else XSD_STRING, lang)
+        properties(s, list(el), inherited_lang=lang)
         return s
 
     for el in nodes:
@@ -115,3 +164,84 @@ def read_rdfxml(path: str):
         return pa.concat_tables(tables) if tables else QUAD.empty_table()
 
     return ds.map_batches(parse_files, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- writer ------------------------------------------------------------------
+
+def _split_iri(iri: str) -> tuple[str, str]:
+    """Namespace/local split for QName emission (last # or / or :)."""
+    for sep in ("#", "/"):
+        i = iri.rfind(sep)
+        if i >= 0 and i + 1 < len(iri):
+            local = iri[i + 1:]
+            if local and (local[0].isalpha() or local[0] == "_") and all(
+                c.isalnum() or c in "_-." for c in local
+            ):
+                return iri[: i + 1], local
+    raise RdfXmlParseError(f"predicate IRI {iri!r} has no QName-splittable local part")
+
+
+def quads_to_rdfxml(tb: pa.Table) -> str:
+    """QUAD table → one self-contained RDF/XML document (graph slot
+    dropped: RDF/XML is a triple format, io.clj:584-586)."""
+    ns_prefix: dict[str, str] = {RDF_NS: "rdf"}
+
+    def qname(iri: str) -> tuple[str, str]:
+        ns, local = _split_iri(iri)
+        if ns not in ns_prefix:
+            ns_prefix[ns] = f"ns{len(ns_prefix) - 1}"
+        return ns_prefix[ns], local
+
+    by_subject: dict[str, list] = {}
+    for s, p, kind, val, dt, lang in zip(
+        tb.column("s").to_pylist(),
+        tb.column("p").to_pylist(),
+        tb.column("o_kind").to_pylist(),
+        tb.column("o_value").to_pylist(),
+        tb.column("o_datatype").to_pylist(),
+        tb.column("o_lang").to_pylist(),
+    ):
+        by_subject.setdefault(s, []).append((p, kind, val, dt, lang))
+
+    body = []
+    for s, props in by_subject.items():
+        if s.startswith("_:"):
+            subj_attr = f"rdf:nodeID={quoteattr(s[2:])}"
+        else:
+            subj_attr = f"rdf:about={quoteattr(s)}"
+        body.append(f"  <rdf:Description {subj_attr}>\n")
+        for p, kind, val, dt, lang in props:
+            pre, local = qname(p)
+            tag = f"{pre}:{local}"
+            if kind == "iri":
+                body.append(f"    <{tag} rdf:resource={quoteattr(val)}/>\n")
+            elif kind == "bnode":
+                nid = val[2:] if val.startswith("_:") else val
+                body.append(f"    <{tag} rdf:nodeID={quoteattr(nid)}/>\n")
+            else:
+                attrs = ""
+                if lang:
+                    attrs = f" xml:lang={quoteattr(lang)}"
+                elif dt and dt != XSD_STRING:
+                    attrs = f" rdf:datatype={quoteattr(dt)}"
+                body.append(f"    <{tag}{attrs}>{escape(val)}</{tag}>\n")
+        body.append("  </rdf:Description>\n")
+
+    head = ['<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF']
+    for ns, pre in ns_prefix.items():
+        head.append(f"\n    xmlns:{pre}={quoteattr(ns)}")
+    head.append(">\n")
+    return "".join(head) + "".join(body) + "</rdf:RDF>\n"
+
+
+def write_rdfxml(ds, path: str) -> None:
+    """Streaming RDF/XML sink: one self-contained document per block file
+    (resumable; read_rdfxml parses per file)."""
+    from .nquads import write_text_lines
+
+    def ser(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": [quads_to_rdfxml(tb)]})
+
+    write_text_lines(
+        ds.map_batches(ser, batch_format="pyarrow", zero_copy_batch=True), path, file_format="rdf"
+    )

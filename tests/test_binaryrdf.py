@@ -1,0 +1,112 @@
+"""Binary RDF (.brf) round-trip — the last parser-factory row of the
+reference's format table (formats.clj:149-189; the reference round-trips
+the binary format at io_test.clj:213-235). Public RDF4J v1 layout:
+magic/version header, record stream, Java writeUTF modified UTF-8."""
+
+import io
+import struct
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.schemas import QUAD
+from grafter_ray.sources.binaryrdf import (
+    BinaryRdfParseError,
+    _mutf8_decode,
+    _mutf8_encode,
+    parse_binary,
+    quads_to_binary,
+)
+
+
+def _quads():
+    return pa.table(
+        {
+            "s": pa.array(["http://ex/a", "_:b1", "http://ex/a"], pa.string()),
+            "p": pa.array(["http://p/name", "http://p/name", "http://p/knows"], pa.string()),
+            "o_kind": pa.array(["literal", "literal", "bnode"], pa.string()),
+            "o_value": pa.array(["Aye é中\U0001f600", "plain", "_:b1"], pa.string()),
+            "o_datatype": pa.array(["http://www.w3.org/2001/XMLSchema#string", None, None], pa.string()),
+            "o_lang": pa.array([None, "en", None], pa.string()),
+            "c": pa.array(["http://g/1", None, None], pa.string()),
+        },
+        schema=QUAD,
+    )
+
+
+def test_binary_roundtrip_exact():
+    t1 = _quads()
+    t2 = parse_binary(quads_to_binary(t1))
+    # plain/xsd:string normalize to xsd:string on read (RDF 1.1)
+    assert t2.column("s").to_pylist() == t1.column("s").to_pylist()
+    assert t2.column("p").to_pylist() == t1.column("p").to_pylist()
+    assert t2.column("o_value").to_pylist() == t1.column("o_value").to_pylist()
+    assert t2.column("o_lang").to_pylist() == t1.column("o_lang").to_pylist()
+    assert t2.column("c").to_pylist() == t1.column("c").to_pylist()
+    assert t2.column("o_datatype").to_pylist()[0].endswith("string")
+
+
+def test_modified_utf8_java_semantics():
+    # NUL encodes as C0 80 (never a raw 0 byte); astral chars as
+    # 3-byte-encoded surrogate pairs (6 bytes total)
+    assert _mutf8_encode("\x00") == b"\xc0\x80"
+    assert len(_mutf8_encode("\U0001f600")) == 6
+    for s in ["", "ascii", "café", "中文", "a\x00b", "\U0001f600\U0001f601"]:
+        assert _mutf8_decode(_mutf8_encode(s)) == s
+
+
+def test_value_decl_and_ref_records():
+    """Readers must accept the writer-side VALUE_DECL/VALUE_REF
+    compression (rdf4j writers emit it; ours reads it)."""
+    out = io.BytesIO()
+    out.write(b"BRDF")
+    out.write(struct.pack(">i", 1))
+
+    def utf(s):
+        b = _mutf8_encode(s)
+        out.write(struct.pack(">H", len(b)))
+        out.write(b)
+
+    out.write(struct.pack(">b", 3))  # VALUE_DECL id=7 → URI
+    out.write(struct.pack(">i", 7))
+    out.write(struct.pack(">b", 1))
+    utf("http://ex/s")
+    out.write(struct.pack(">b", 1))  # STATEMENT
+    out.write(struct.pack(">b", 6))  # VALUE_REF 7
+    out.write(struct.pack(">i", 7))
+    out.write(struct.pack(">b", 1))  # URI pred
+    utf("http://p/x")
+    out.write(struct.pack(">b", 3))  # PLAIN_LITERAL obj
+    utf("v")
+    out.write(struct.pack(">b", 0))  # NULL context
+    out.write(struct.pack(">b", 127))  # END_OF_DATA
+    t = parse_binary(out.getvalue())
+    assert t.to_pylist()[0]["s"] == "http://ex/s"
+    assert t.to_pylist()[0]["o_value"] == "v"
+
+
+def test_bad_magic_and_truncation_raise():
+    with pytest.raises(BinaryRdfParseError):
+        parse_binary(b"NOPE" + b"\x00" * 8)
+    good = quads_to_binary(_quads())
+    with pytest.raises(BinaryRdfParseError):
+        parse_binary(good[:-3])
+
+
+def test_brf_file_roundtrip_registry(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import FORMAT_WRITERS, read_statements, statements
+
+    d = str(tmp_path / "brf")
+    FORMAT_WRITERS[".brf"](rd.from_arrow(_quads()), d)
+    back = read_statements(d, fmt=".brf").take_all()
+    assert len(back) == 3
+    assert {r["s"] for r in back} == {"http://ex/a", "_:b1"}
+    # stream coercion stays binary (binary-vs-text split)
+    import os
+
+    fn = next(f for f in os.listdir(d) if f.endswith(".brf"))
+    with open(os.path.join(d, fn), "rb") as f:
+        ds = statements(f, fmt=".brf")
+    assert len(ds.take_all()) == 3

@@ -45,12 +45,124 @@ def test_rdfxml_typed_node_and_properties():
 
 def test_rdfxml_unsupported_raises():
     with pytest.raises(RdfXmlParseError):
+        # rdf:ID on a PROPERTY element (reification) stays out of subset
         parse_rdfxml(
-            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
-            '<rdf:Description rdf:ID="x"/></rdf:RDF>'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:d="http://d/">'
+            '<rdf:Description rdf:about="http://x"><d:p rdf:ID="r1">v</d:p>'
+            "</rdf:Description></rdf:RDF>"
         )
     with pytest.raises(RdfXmlParseError):
         parse_rdfxml("<NoNamespace/>")
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdfxml_rdf_id_and_property_attributes():
+    t = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:d="http://d/">'
+        '<rdf:Description rdf:ID="thing" d:title="Hello"/></rdf:RDF>',
+        base="http://ex/doc",
+    )
+    facts = {(r["s"], r["p"], r["o_value"]) for r in t.to_pylist()}
+    assert ("http://ex/doc#thing", "http://d/title", "Hello") in facts
+
+
+def test_rdfxml_parsetype_resource():
+    t = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:d="http://d/">'
+        '<rdf:Description rdf:about="http://x">'
+        '<d:addr rdf:parseType="Resource"><d:city>Oz</d:city></d:addr>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    rows = t.to_pylist()
+    addr = [r for r in rows if r["p"] == "http://d/addr"][0]
+    assert addr["o_kind"] == "bnode"
+    city = [r for r in rows if r["p"] == "http://d/city"][0]
+    assert city["s"] == addr["o_value"] and city["o_value"] == "Oz"
+
+
+def test_rdfxml_parsetype_literal_and_collection():
+    t = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:d="http://d/">'
+        '<rdf:Description rdf:about="http://x">'
+        '<d:xml rdf:parseType="Literal">a <d:b>c</d:b> d</d:xml>'
+        '<d:list rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://m1"/>'
+        '<rdf:Description rdf:about="http://m2"/>'
+        "</d:list></rdf:Description></rdf:RDF>"
+    )
+    rows = t.to_pylist()
+    lit = [r for r in rows if r["p"] == "http://d/xml"][0]
+    assert lit["o_datatype"] == RDF_NS + "XMLLiteral"
+    assert "a " in lit["o_value"] and "c" in lit["o_value"]
+    firsts = [r["o_value"] for r in rows if r["p"] == RDF_NS + "first"]
+    rests = [r["o_value"] for r in rows if r["p"] == RDF_NS + "rest"]
+    assert firsts == ["http://m1", "http://m2"]
+    assert rests[-1] == RDF_NS + "nil"
+    # list head hangs off d:list as the first cell
+    head = [r for r in rows if r["p"] == "http://d/list"][0]
+    assert head["o_kind"] == "bnode"
+
+
+def test_rdfxml_writer_roundtrip():
+    from grafter_ray.sources.rdfxml import quads_to_rdfxml
+
+    t1 = parse_rdfxml(RDFXML_DOC)
+    t2 = parse_rdfxml(quads_to_rdfxml(t1))
+    # bnode labels may differ; compare everything else as multisets
+    def facts(t):
+        return sorted(
+            (r["s"] if not r["s"].startswith("_:") else "_:", r["p"], r["o_kind"],
+             r["o_value"] if r["o_kind"] != "bnode" else "_:", r["o_datatype"], r["o_lang"])
+            for r in t.to_pylist()
+        )
+
+    assert facts(t1) == facts(t2)
+
+
+def test_jsonld_writer_roundtrip():
+    from grafter_ray.sources.jsonld import quads_to_jsonld
+
+    t1 = parse_jsonld(JSONLD_DOC)
+    out = quads_to_jsonld(t1, prefixes={"foaf": FOAF})
+    t2 = parse_jsonld(out)
+    key = lambda t: sorted(map(tuple, (r.values() for r in t.to_pylist())))
+    assert key(t1) == key(t2)
+
+
+def test_jsonld_writer_named_graph_roundtrip():
+    from grafter_ray.sources.jsonld import quads_to_jsonld
+
+    doc = """{"@id": "http://g/1", "@graph": [
+        {"@id": "http://ex/s", "http://p/x": {"@id": "http://ex/o"}}]}"""
+    t1 = parse_jsonld(doc)
+    t2 = parse_jsonld(quads_to_jsonld(t1))
+    assert t2.column("c").to_pylist() == ["http://g/1"]
+    assert t1.to_pylist() == t2.to_pylist()
+
+
+def test_rdfxml_jsonld_file_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from grafter_ray.sources.nquads import FORMAT_WRITERS, read_statements
+
+    t1 = parse_jsonld(JSONLD_DOC)
+    for suffix in (".rdf", ".jsonld"):
+        d = str(tmp_path / suffix.lstrip("."))
+        FORMAT_WRITERS[suffix](rd.from_arrow(t1), d)
+        back = pa.concat_tables([pa.Table.from_pylist(read_statements(d, fmt=suffix).take_all(), schema=t1.schema)])
+        def facts(t):
+            return sorted(
+                (r["s"] if not r["s"].startswith("_:") else "_:", r["p"], r["o_kind"],
+                 r["o_value"] if r["o_kind"] != "bnode" else "_:", r["o_lang"])
+                for r in t.to_pylist()
+            )
+        assert facts(back) == facts(t1), suffix
 
 
 JSONLD_DOC = """{

@@ -167,6 +167,18 @@ class MergeActor:
             self.rows, self.row_count = [t], t.num_rows
         return tb.num_rows
 
+    def peak_rss_mb(self) -> float:
+        """Actor-process peak RSS (VmHWM) — soak-run evidence that the
+        window, not the corpus, bounds merge-actor memory."""
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return -1.0
+
     # -- single-pass mode (bulk loads: most events survive) -----------------
     def add_schema_lsns(self, tb: pa.Table) -> int:
         self.schema_lsns.append(tb)
@@ -538,7 +550,11 @@ class CDCLake:
             spans = ", ".join(
                 f"{n}={t1 - t0:.2f}s" for (_, t0), (n, t1) in zip(marks[:-1], marks[1:])
             )
-            print(f"[graft-timing] window [{lo},{hi}] W={W}: {spans}", file=sys.stderr)
+            rss = [round(r, 1) for r in ray.get([h.peak_rss_mb.remote() for h in handles])]
+            print(
+                f"[graft-timing] window [{lo},{hi}] W={W}: {spans}; actor_peak_rss_mb={rss}",
+                file=sys.stderr,
+            )
         return manifest
 
     def tail(

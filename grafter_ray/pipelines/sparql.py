@@ -16,9 +16,9 @@ LIMIT/OFFSET, `{A} UNION {B}` chains (bag semantics, one chain per
 group), nested `{ SELECT ... LIMIT n }` subselects (natural-joined on
 shared vars), ';'/',' predicate-object lists) is compiled onto
 QuadStore.bgp — joins, broadcast-vs-shuffle planning and graph
-restriction all come from the store layer. Unsupported constructs
-(CONSTRUCT/ASK text forms, aggregates, expressions) raise a clear
-error."""
+restriction all come from the store layer. ASK text form → bool;
+CONSTRUCT text form → QUAD-schema table (set semantics). Unsupported
+constructs (aggregates, expressions, DESCRIBE) raise a clear error."""
 
 from __future__ import annotations
 
@@ -128,7 +128,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|ASC|DESC|a|true|false)\b)
+      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|ASC|DESC|a|true|false)\b)
       |(?P<op><=|>=|!=|<|>|=)
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -151,6 +151,10 @@ class SelectQuery:
     offset: int | None = None
     union_branches: list = field(default_factory=list)  # list[list[pattern]]
     subselects: list = field(default_factory=list)  # list[SelectQuery]
+    form: str = "select"  # select | ask | construct
+    template: list = field(default_factory=list)  # CONSTRUCT triples:
+    # (s_term, p_term, o_term), each term = ('var', name) | ('iri', v) |
+    # ('bnode', v) | ('literal', v, dt, lang)
 
 
 def _tokens(text: str):
@@ -202,12 +206,60 @@ class _QParser:
                 raise SparqlParseError(f"bad PREFIX name {pname!r}")
             _, iri = self.next()
             self.q.prefixes[pname.rstrip(":").partition(":")[0]] = iri[1:-1]
-        self._select_head()
-        self.expect("WHERE")
+        head = self.peek()[1]
+        if head and head.upper() == "ASK":
+            self.next()
+            self.q.form = "ask"
+            if self.peek()[1] and self.peek()[1].upper() == "WHERE":
+                self.next()  # WHERE is optional in ASK
+        elif head and head.upper() == "CONSTRUCT":
+            self.next()
+            self.q.form = "construct"
+            self._template()
+            self.expect("WHERE")
+        else:
+            self._select_head()
+            self.expect("WHERE")
         self.expect("{")
         self._group(graph=None)
         self._modifiers(stop_at_brace=False)
         return self.q
+
+    def _template(self):
+        """CONSTRUCT { ...template triples... } — terms keep their kind
+        (var / iri / bnode / typed literal) for quad instantiation."""
+        self.expect("{")
+        while self.peek()[1] != "}":
+            s = self._template_term()
+            p = self._template_term()
+            o = self._template_term()
+            self.q.template.append((s, p, o))
+            if self.peek()[1] == ".":
+                self.next()
+        self.expect("}")
+
+    def _template_term(self):
+        k, v = self.next()
+        if k == "var":
+            return ("var", v[1:])
+        if k == "iri" or k == "pname":
+            return ("iri", self._resolve(v))
+        if k == "kw" and v == "a":
+            return ("iri", RDF_TYPE)
+        if k == "str":
+            value = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            nk, _ = self.peek()
+            if nk == "lang":
+                return ("literal", value, None, self.next()[1][1:])
+            if nk == "dtype":
+                self.next()
+                dk, dv = self.next()
+                return ("literal", value, self._resolve(dv) if dk in ("iri", "pname") else dv, None)
+            return ("literal", value, XSD + "string", None)
+        if k == "num":
+            dt = XSD + ("double" if "." in v else "integer")
+            return ("literal", v, dt, None)
+        raise SparqlParseError(f"bad CONSTRUCT template term {k}:{v!r}")
 
     def _select_head(self):
         self.expect("SELECT")
@@ -463,11 +515,79 @@ def sparql_query(
     limits: dict | None = None,
     offsets: dict | None = None,
 ):
-    """Execute a SPARQL SELECT (text or loaded file) over a QuadStore →
-    pa.Table (bounded: SELECT queries project + LIMIT; the heavy joins
-    run distributed inside store.bgp)."""
+    """Execute a SPARQL query (text or loaded file) over a QuadStore.
+    SELECT → pa.Table (bounded: projection + LIMIT; heavy joins run
+    distributed inside store.bgp). ASK → bool. CONSTRUCT → QUAD-schema
+    pa.Table (set semantics)."""
     q = prepare_query(query_text, bindings, limits, offsets)
+    if q.form == "ask":
+        if q.limit is None:
+            q.limit = 1  # existence only — never collect more than one row
+        return _run_select(q, store).num_rows > 0
+    if q.form == "construct":
+        return _instantiate_template(q, _run_select(q, store))
     return _run_select(q, store)
+
+
+def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
+    """CONSTRUCT template × solutions → QUAD table, set semantics.
+    Object-slot kind rule (solutions carry lexical values only): values
+    starting '_:' are bnodes; vars also bound in an s/p/g slot of the
+    WHERE clause are IRIs; all other object vars instantiate as
+    literals."""
+    from ..schemas import QUAD
+
+    iri_vars: set[str] = set()
+    all_pats = list(q.patterns) + [p for br in q.union_branches for p in br] + list(q.optionals)
+    for pat in all_pats:
+        slots = (pat[0], pat[1]) + ((pat[3],) if len(pat) > 3 else ())
+        for t in slots:
+            if isinstance(t, str) and t.startswith("?"):
+                iri_vars.add(t[1:])
+
+    n = sols.num_rows
+    pieces = []
+    for s_t, p_t, o_t in q.template:
+
+        def resource_col(term, what):
+            if term[0] == "var":
+                if term[1] not in sols.column_names:
+                    raise SparqlParseError(f"CONSTRUCT template var ?{term[1]} is not bound")
+                return pc.cast(sols.column(term[1]), pa.string())
+            if term[0] in ("iri", "bnode"):
+                return pa.nulls(n, pa.string()).fill_null(term[1])
+            raise SparqlParseError(f"CONSTRUCT {what} slot cannot hold a literal")
+
+        s_col = resource_col(s_t, "subject")
+        p_col = resource_col(p_t, "predicate")
+        if o_t[0] == "literal":
+            o_kind = pa.nulls(n, pa.string()).fill_null("literal")
+            o_value = pa.nulls(n, pa.string()).fill_null(o_t[1])
+            o_dt = pa.nulls(n, pa.string()) if o_t[2] is None else pa.nulls(n, pa.string()).fill_null(o_t[2])
+            o_lang = pa.nulls(n, pa.string()) if o_t[3] is None else pa.nulls(n, pa.string()).fill_null(o_t[3])
+        else:
+            o_value = resource_col(o_t, "object")
+            is_b = pc.starts_with(o_value, "_:")
+            if o_t[0] == "var" and o_t[1] not in iri_vars:
+                o_kind = pc.if_else(is_b, pa.scalar("bnode"), pa.scalar("literal"))
+            else:
+                o_kind = pc.if_else(is_b, pa.scalar("bnode"), pa.scalar("iri"))
+            o_dt = pa.nulls(n, pa.string())
+            o_lang = pa.nulls(n, pa.string())
+        pieces.append(
+            pa.table(
+                {
+                    "s": s_col, "p": p_col, "o_kind": pc.cast(o_kind, pa.string()),
+                    "o_value": o_value, "o_datatype": o_dt, "o_lang": o_lang,
+                    "c": pa.nulls(n, pa.string()),
+                },
+                schema=QUAD,
+            )
+        )
+    if not pieces:
+        return QUAD.empty_table()
+    out = pa.concat_tables(pieces)
+    return out.group_by(out.column_names).aggregate([])  # graph = triple SET
 
 
 def _run_select(q: SelectQuery, store) -> pa.Table:

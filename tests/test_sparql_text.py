@@ -307,3 +307,38 @@ def test_outer_limit_applied_after_subselect_join():
         _mini_store(),
     )
     assert out.num_rows == 2
+
+
+# --- ASK / CONSTRUCT text forms ---------------------------------------------
+
+def test_ask_text_form():
+    st = _mini_store()
+    assert sparql_query("ASK { ?s <http://p/size> ?n }", st) is True
+    assert sparql_query("ASK WHERE { ?s <http://p/nope> ?n }", st) is False
+
+
+def test_construct_text_form():
+    out = sparql_query(
+        "PREFIX ex: <http://out/>\n"
+        "CONSTRUCT { ?s ex:hasSize ?n . ?s a ex:Sized . } "
+        "WHERE { ?s <http://p/size> ?n . FILTER(?n > 6) }",
+        _mini_store(),
+    )
+    rows = out.to_pylist()
+    sized = {(r["s"], r["o_value"]) for r in rows if r["p"] == "http://out/hasSize"}
+    assert sized == {("http://x/b", "12"), ("http://x/c", "7"), ("http://x/d", "30")}
+    # ?n bound only in object slots → literal; type triples are IRIs
+    assert all(r["o_kind"] == "literal" for r in rows if r["p"] == "http://out/hasSize")
+    types = [r for r in rows if r["p"].endswith("22-rdf-syntax-ns#type")]
+    assert len(types) == 3 and all(r["o_kind"] == "iri" and r["o_value"] == "http://out/Sized" for r in types)
+
+
+def test_construct_set_semantics_and_constants():
+    # duplicate template instantiations collapse (graph = triple set)
+    out = sparql_query(
+        'CONSTRUCT { <http://one> <http://p/tag> "x" } WHERE { ?s <http://p/size> ?n }',
+        _mini_store(),
+    )
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert (r["s"], r["o_value"], r["o_kind"]) == ("http://one", "x", "literal")

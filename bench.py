@@ -51,6 +51,8 @@ QUERY_SUBSET = [
     "ann_batch",
     "cosine_pairs",
     "turtle_roundtrip",
+    "sparql_union_sub",
+    "jsonld_roundtrip",
 ]
 
 
@@ -127,12 +129,19 @@ def run_queries(sf_dir: str) -> dict:
     out = {}
     for name in QUERY_SUBSET:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        # consume the stream (aggregate results are small; row streams counted)
-        if hasattr(res, "count"):
-            _ = res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2 per query: the shared VM's ±30-40% noise swamps
+        # single-shot walls (the headline replay already takes min-of-N);
+        # min approximates uncontended steady-state
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            # consume the stream (aggregates are small; row streams counted)
+            if hasattr(res, "count"):
+                _ = res.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

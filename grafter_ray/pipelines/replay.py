@@ -361,7 +361,7 @@ class CDCLake:
         if payload_mode not in ("two_pass", "single_pass"):
             raise ValueError(f"unknown payload_mode {payload_mode!r}")
         if upto_lsn is None:
-            hi = self._dataset(binlog).max("lsn")
+            hi = self._max_lsn(binlog)
             if hi is None:  # empty binlog → nothing to apply
                 return self.manifest
             upto_lsn = int(hi)
@@ -371,6 +371,30 @@ class CDCLake:
             hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
             manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
         return manifest
+
+    def _max_lsn(self, binlog):
+        """Watermark probe. For parquet paths this must NOT scan the
+        corpus (a full-width read of a 100 TB binlog just to find the max
+        LSN): parquet row-group statistics carry column max per fragment,
+        so the answer comes from footer metadata only. Dataset inputs
+        scan the single lsn column."""
+        if isinstance(binlog, str):
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(binlog, format="parquet", exclude_invalid_files=True)
+            best = None
+            for frag in dset.get_fragments():
+                md = frag.metadata
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(idx).statistics
+                    if stats is not None and stats.has_min_max:
+                        v = stats.max
+                        best = v if best is None else max(best, v)
+            if best is not None:
+                return best
+            # stats absent → pruned single-column scan fallback
+        return self._dataset(binlog, columns=["lsn"]).max("lsn")
 
     def _dataset(self, binlog, lo: int | None = None, hi: int | None = None, columns: list[str] | None = None):
         import pyarrow.dataset as pads
@@ -512,6 +536,12 @@ class CDCLake:
                 stats_tables = ray.get([h.finalize.remote() for h in handles])
                 _mark("finalize")
         finally:
+            actor_rss = []
+            if timing:
+                try:
+                    actor_rss = [round(r, 1) for r in ray.get([h.peak_rss_mb.remote() for h in handles])]
+                except Exception:
+                    pass  # never mask the window's own error
             for h in handles:
                 ray.kill(h)
         stats = pa.concat_tables(stats_tables).to_pylist()
@@ -550,9 +580,8 @@ class CDCLake:
             spans = ", ".join(
                 f"{n}={t1 - t0:.2f}s" for (_, t0), (n, t1) in zip(marks[:-1], marks[1:])
             )
-            rss = [round(r, 1) for r in ray.get([h.peak_rss_mb.remote() for h in handles])]
             print(
-                f"[graft-timing] window [{lo},{hi}] W={W}: {spans}; actor_peak_rss_mb={rss}",
+                f"[graft-timing] window [{lo},{hi}] W={W}: {spans}; actor_peak_rss_mb={actor_rss}",
                 file=sys.stderr,
             )
         return manifest
@@ -577,7 +606,7 @@ class CDCLake:
         while max_polls is None or polls < max_polls:
             polls += 1
             try:
-                hi = int(self._dataset(binlog_path).max("lsn"))
+                hi = int(self._max_lsn(binlog_path))
             except Exception:
                 hi = None  # no files yet
             if hi is not None and hi > self.watermark:
@@ -656,6 +685,11 @@ class CDCLake:
             tb = LAKE.empty_table()
         else:
             tb = pa.concat_tables([pq.read_table(f) for f in files])
+        if tb.num_rows:
+            # content can exceed the 2 GiB 32-bit string-offset limit when
+            # many partitions concatenate — widen before the global sort
+            i = tb.schema.get_field_index("content")
+            tb = tb.set_column(i, "content", pc.cast(tb.column("content"), pa.large_string()))
         tb = tb.sort_by([("repo", "ascending"), ("path", "ascending")])
         m = self.manifest_at(version)
         sv = m["schema_version"] if m else 0

@@ -138,36 +138,76 @@ class QuadStore:
         """Basic graph pattern: join patterns on shared variables.
 
         Each pattern is (s, p, o[, c]) with '?var' marking variables.
-        The first pattern streams. Each later pattern is size-probed
-        (one count() over its filtered projection): selective patterns
-        are materialized and broadcast-joined; patterns above
-        `broadcast_limit` rows go through a distributed Dataset.join
-        (hash shuffle) instead of ever landing on the driver."""
+
+        Plan shape: a k-pattern BGP makes ONE tagged scan over the base —
+        every pattern's constant filter + variable projection evaluated
+        per block in the same pass, emitting (tag, vars...) rows — and
+        materializes only that (the sum of the pattern PROJECTIONS, never
+        the full-width base; the round-2 plan cached the whole corpus,
+        which is not a 100 TB move). Each later pattern side is then
+        size-probed over the cached tagged blocks: selective sides
+        broadcast-join (VALUES / small-side rule, SURVEY.md §7.3); sides
+        above `broadcast_limit` rows go through a distributed
+        Dataset.join (hash shuffle) instead of ever landing on the
+        driver."""
         limit = self.BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
-        first, *rest = patterns
-        store = self
-        if rest:
-            # A k-pattern BGP scans the base k times (plus one count probe
-            # per later pattern). Materialize the base ONCE into the object
-            # store (spills to disk if large) instead of re-executing the
-            # upstream pipeline per pattern — the classic cache-vs-rescan
-            # tradeoff resolved in favor of one pass over the input.
-            store = QuadStore(self.ds.materialize())
-        ds = store.pattern(*first)
-        seen = {v[1:] for v in first if _is_var(v)}
-        for pat in rest:
-            # materialize the (filtered, projected) side once: the size
-            # probe and the subsequent broadcast/join then reuse the same
-            # blocks instead of re-executing the pattern pipeline
-            side = store.pattern(*pat).materialize()
-            keys = sorted(seen & {v[1:] for v in pat if _is_var(v)})
+        if len(patterns) == 1:
+            ds = self.pattern(*patterns[0])
+            return ds.select_columns(select) if select else ds
+        pats = [tuple(pat) + (None,) * (4 - len(pat)) for pat in patterns]
+        specs = []  # (consts, vars_) per pattern
+        for pat in pats:
+            binds = list(zip(_POS, pat))
+            specs.append(
+                (
+                    [(col, v) for col, v in binds if v is not None and not _is_var(v)],
+                    [(col, v[1:]) for col, v in binds if _is_var(v)],
+                )
+            )
+        names = [f"{i}|{var}" for i, (_, vars_) in enumerate(specs) for _c, var in vars_]
+
+        def tagged(tb: pa.Table) -> pa.Table:
+            pieces = []
+            for i, (consts, vars_) in enumerate(specs):
+                mask = None
+                for col, v in consts:
+                    m = pc.equal(tb.column(col), v)
+                    mask = m if mask is None else pc.and_(mask, m)
+                t = tb.filter(mask) if mask is not None else tb
+                n = t.num_rows
+                mine = {f"{i}|{var}": t.column(col) for col, var in vars_}
+                cols = {"__tag": pa.nulls(n, pa.int32()).fill_null(i)}
+                for nm in names:
+                    cols[nm] = mine.get(nm, pa.nulls(n, pa.string()))
+                pieces.append(pa.table(cols))
+            return pa.concat_tables(pieces)
+
+        tagged_ds = self.ds.map_batches(
+            tagged, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        def side(i: int):
+            vars_ = specs[i][1]
+
+            def f(tb: pa.Table, i=i, vars_=vars_) -> pa.Table:
+                t = tb.filter(pc.equal(tb.column("__tag"), i))
+                return pa.table({var: t.column(f"{i}|{var}") for _c, var in vars_})
+
+            return tagged_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+        ds = side(0)
+        seen = {var for _c, var in specs[0][1]}
+        for i in range(1, len(pats)):
+            pat_vars = {var for _c, var in specs[i][1]}
+            keys = sorted(seen & pat_vars)
             if not keys:
-                raise ValueError(f"cartesian pattern (no shared variable): {pat}")
-            if side.count() <= limit:
-                ds = broadcast_join(ds, _to_table(side), keys)
+                raise ValueError(f"cartesian pattern (no shared variable): {patterns[i]}")
+            s_ds = side(i).materialize()
+            if s_ds.count() <= limit:
+                ds = broadcast_join(ds, _to_table(s_ds), keys)
             else:
-                ds = ds.join(side, "inner", num_partitions=join_partitions, on=tuple(keys))
-            seen |= {v[1:] for v in pat if _is_var(v)}
+                ds = ds.join(s_ds, "inner", num_partitions=join_partitions, on=tuple(keys))
+            seen |= pat_vars
         if select:
             ds = ds.select_columns(select)
         return ds

@@ -366,10 +366,14 @@ class CDCLake:
                 return self.manifest
             upto_lsn = int(hi)
         manifest = self.manifest
-        while self.watermark < upto_lsn:
-            lo = self.watermark + 1
-            hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
-            manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
+        # single-writer guard: vacuum deletes staging files of an
+        # uncommitted in-flight window, so apply and vacuum hold the same
+        # advisory lake lock (crash-safe: dead owners are stolen)
+        with self.log.writer_lock("apply"):
+            while self.watermark < upto_lsn:
+                lo = self.watermark + 1
+                hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
+                manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
         return manifest
 
     def _max_lsn(self, binlog):
@@ -617,23 +621,26 @@ class CDCLake:
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files referenced only by manifests older than the
         last `keep_versions` committed versions (bounded time travel —
-        Delta-style VACUUM). Returns the number of files removed."""
-        versions = self.log.versions()
-        keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
-        live: set[str] = set()
-        for v in keep:
-            m = self.log.read(v)
-            live |= {e["file"] for e in m["partitions"].values()}
-        removed = 0
-        for f in os.listdir(self.log.data_dir):
-            if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(self.log.data_dir, f))
-                removed += 1
-        # drop manifests older than the horizon so reads can't dangle
-        for v in versions:
-            if v not in keep:
-                os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
-        return removed
+        Delta-style VACUUM). Returns the number of files removed.
+        Takes the lake writer lock: running concurrently with apply would
+        delete the in-flight window's staging files."""
+        with self.log.writer_lock("vacuum"):
+            versions = self.log.versions()
+            keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
+            live: set[str] = set()
+            for v in keep:
+                m = self.log.read(v)
+                live |= {e["file"] for e in m["partitions"].values()}
+            removed = 0
+            for f in os.listdir(self.log.data_dir):
+                if f.endswith(".parquet") and f not in live:
+                    os.remove(os.path.join(self.log.data_dir, f))
+                    removed += 1
+            # drop manifests older than the horizon so reads can't dangle
+            for v in versions:
+                if v not in keep:
+                    os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
+            return removed
 
     # -- read --------------------------------------------------------------
     def manifest_at(self, version: int | None = None) -> dict | None:

@@ -24,8 +24,14 @@ DIFFERENT sources concurrently are not supported.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
+
+
+class LakeLockError(RuntimeError):
+    """A second writer (apply or vacuum) is active on this lake."""
 
 
 class CommitLog:
@@ -62,6 +68,61 @@ class CommitLog:
     def data_file(version: int, pid: int) -> str:
         """Deterministic per-(version, partition) name: retries overwrite."""
         return f"v{version:06d}-p{pid:06d}.parquet"
+
+    # -- writer lock ---------------------------------------------------------
+    # Advisory single-writer lock shared by apply() and vacuum(): vacuum
+    # deletes any data file not referenced by a KEPT manifest, which
+    # includes the staging files of an in-flight uncommitted window — so
+    # the two must never overlap. O_EXCL create is the atomic claim; a
+    # crashed owner's lock is stolen when its pid is dead (single-node)
+    # or the lock is older than stale_after_s (multi-node fallback).
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, "_LOCK")
+
+    @contextlib.contextmanager
+    def writer_lock(self, owner: str, stale_after_s: float = 3600.0):
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                info: dict = {}
+                try:
+                    with open(self._lock_path) as f:
+                        info = json.load(f)
+                except (OSError, ValueError):
+                    pass
+                pid, ts = info.get("pid"), info.get("ts", 0)
+                pid_dead = False
+                if isinstance(pid, int):
+                    try:
+                        os.kill(pid, 0)
+                    except ProcessLookupError:
+                        pid_dead = True
+                    except PermissionError:
+                        pass
+                if pid_dead or (time.time() - ts) > stale_after_s:
+                    # crashed writer — steal (remove may race another
+                    # stealer; the O_EXCL retry arbitrates)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(self._lock_path)
+                    continue
+                raise LakeLockError(
+                    f"lake is locked by {info.get('owner', '?')} "
+                    f"(pid {pid}, since {time.ctime(ts)}): concurrent "
+                    "apply/vacuum is not supported"
+                )
+        try:
+            os.write(fd, json.dumps({"owner": owner, "pid": os.getpid(), "ts": time.time()}).encode())
+        finally:
+            os.close(fd)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self._lock_path)
 
     def commit(self, manifest: dict) -> None:
         version = manifest["version"]

@@ -62,3 +62,48 @@ def test_binlog_batch_arbitrary_order():
     w_s, v_s = oracle_lake_table(shuffled)
     assert v_f == v_s
     assert w_f.column("content_sha").to_pylist() == w_s.column("content_sha").to_pylist()
+
+
+# --- lake writer lock (vacuum-vs-apply guard) --------------------------------
+
+def test_writer_lock_excludes_second_writer(tmp_path):
+    from grafter_ray.state.commitlog import CommitLog, LakeLockError
+
+    log = CommitLog(str(tmp_path / "lake"))
+    with log.writer_lock("apply"):
+        import pytest as _pytest
+
+        with _pytest.raises(LakeLockError, match="locked by apply"):
+            with log.writer_lock("vacuum"):
+                pass
+    # released → reacquire fine
+    with log.writer_lock("vacuum"):
+        pass
+
+
+def test_writer_lock_steals_dead_owner(tmp_path):
+    import json as _json
+    import os as _os
+
+    from grafter_ray.state.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "lake"))
+    # forge a lock held by a dead pid
+    with open(log._lock_path, "w") as f:
+        _json.dump({"owner": "apply", "pid": 2**22 + 12345, "ts": 1.0}, f)
+    with log.writer_lock("vacuum"):  # steals silently
+        assert _os.path.exists(log._lock_path)
+    assert not _os.path.exists(log._lock_path)
+
+
+def test_writer_lock_released_on_error(tmp_path):
+    from grafter_ray.state.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "lake"))
+    try:
+        with log.writer_lock("apply"):
+            raise ValueError("window blew up")
+    except ValueError:
+        pass
+    with log.writer_lock("apply"):  # not deadlocked
+        pass

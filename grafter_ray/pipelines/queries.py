@@ -733,6 +733,34 @@ def q_sparql_union_sub(sf_dir: str):
     return sparql_query_file(path, store)
 
 
+def q_sparql_construct(sf_dir: str):
+    """CONSTRUCT text form end-to-end: build new `prop:short` triples for
+    small documents from the expanded quad store (template instantiation
+    + triple-set semantics + FILTER pushdown)."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "CONSTRUCT { ?d <prop:short> ?lang } WHERE { "
+        "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . FILTER(?n < 200) }",
+        store,
+    )
+
+
+SQL_SPARQL_CONSTRUCT = """
+SELECT DISTINCT
+  'doc:' || CAST(doc_id AS VARCHAR) AS s,
+  'prop:short' AS p,
+  'literal' AS o_kind,
+  lang AS o_value,
+  CAST(NULL AS VARCHAR) AS o_datatype,
+  CAST(NULL AS VARCHAR) AS o_lang,
+  CAST(NULL AS VARCHAR) AS c
+FROM documents WHERE n_chars < 200
+"""
+
+
 SQL_SPARQL_UNION_SUB = """
 WITH top_docs AS (
   SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d
@@ -951,6 +979,21 @@ SELECT 'lang:' || lang AS cls, count(*) AS n FROM documents GROUP BY lang
 UNION ALL
 SELECT 'lang:any' AS cls, count(*) AS n FROM documents
 """
+
+
+def q_video_frames(sf_dir: str):
+    """Third multimodal modality: video payloads → every-Nth-frame
+    sample rows (media_id, frame_idx, thumbnail tensor, mean luma)
+    through the actor-pool stage (codec stubbed deterministically;
+    rows-only check — planted-shape pytest covers the kernel)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import PAYLOAD_BATCH_KWARGS, VideoFrameSampleStage, synth_media_table
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 128), kind="video/mp4"))
+    out = ds.map_batches(VideoFrameSampleStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+    return out.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
 def q_media_features(sf_dir: str):
@@ -1535,6 +1578,7 @@ QUERIES = {
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
     "sparql_union_sub": q_sparql_union_sub,
+    "sparql_construct": q_sparql_construct,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
@@ -1542,6 +1586,7 @@ QUERIES = {
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
     "audio_frames": q_audio_frames,
+    "video_frames": q_video_frames,
     "melt_part": q_melt_part,
     "derive_retail_cents": q_derive_retail_cents,
     "sessionize": q_sessionize,
@@ -1590,6 +1635,7 @@ ORACLE_SQL = {
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "sparql_select": SQL_SPARQL_SELECT,
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
+    "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "jsonld_roundtrip": SQL_JSONLD_ROUNDTRIP,

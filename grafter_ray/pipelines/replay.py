@@ -131,7 +131,23 @@ class MergeActor:
         schema = schema.group_by(schema.column_names).aggregate([])  # distinct
         return pa.concat_tables([data, schema.select(data.column_names)], promote_options="none")
 
+    def _die_once_fault(self) -> bool:
+        """Fault injection for the actor-loss crash test: if the lake's
+        data dir contains `_FAULT_DIE_ONCE`, exactly ONE actor (the one
+        that wins the unlink) dies abruptly. A single stat per add call;
+        absent in any real deployment."""
+        p = os.path.join(self.data_dir, "_FAULT_DIE_ONCE")
+        if os.path.exists(p):
+            try:
+                os.remove(p)
+                return True
+            except FileNotFoundError:
+                return False
+        return False
+
     def add_meta(self, tb: pa.Table) -> int:
+        if self._die_once_fault():
+            os._exit(1)  # simulated hard actor loss (no cleanup, no ack)
         self.meta.append(tb)
         self.meta_rows += tb.num_rows
         if self.meta_rows > self.compact_threshold:

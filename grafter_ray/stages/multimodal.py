@@ -111,6 +111,77 @@ class AudioFrameSampleStage:
         )
 
 
+class VideoFrameSampleStage:
+    """Actor-pool stage: video payload → every-Nth-frame sample, each
+    frame decoded to a (h, w, 3) thumbnail + per-frame mean luma. Same
+    honest-stub pattern as the image/audio stages: the container has no
+    video codec (no av/ffmpeg), so `strict=True` raises and the default
+    derives deterministic fake frames from the payload digest — the Ray
+    plumbing (actor pool, small batches for wide rows, fixed-shape
+    tensor output, frame fan-out row layout) is real and tested.
+
+    Output: one ROW PER SAMPLED FRAME (media_id, frame_idx, pixels,
+    mean_luma) — the layout a training-data pipeline shuffles/filters on.
+    """
+
+    def __init__(
+        self,
+        every_n: int = 10,
+        max_frames: int = 8,
+        target_size: tuple[int, int] = (16, 16),
+        strict: bool = False,
+    ):
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.h, self.w = target_size
+        if strict:
+            raise NotImplementedError("video codec not available in this environment (av/ffmpeg missing)")
+
+    def _fake_frames(self, payload: bytes) -> np.ndarray:
+        # frame count derived from payload length (deterministic); each
+        # sampled frame's pixels from a per-frame digest
+        n_raw = 1 + (len(payload) % 120)
+        idxs = list(range(0, n_raw, self.every_n))[: self.max_frames]
+        frames = np.zeros((len(idxs), self.h, self.w, 3), np.uint8)
+        base = hashlib.sha256(payload).digest()
+        for j, fi in enumerate(idxs):
+            seed = np.frombuffer(hashlib.sha256(base + fi.to_bytes(4, "big")).digest(), dtype=np.uint8)
+            frames[j] = np.resize(seed, (self.h, self.w, 3))
+        return frames, np.asarray(idxs, dtype=np.int64)
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        ids, fidx, tensors = [], [], []
+        for mid, payload in zip(tb.column("media_id").to_pylist(), tb.column("payload").to_pylist()):
+            frames, idxs = self._fake_frames(payload)
+            ids.append(np.full(len(idxs), mid, np.int64))
+            fidx.append(idxs)
+            tensors.append(frames)
+        if ids:
+            ids_a = np.concatenate(ids)
+            fidx_a = np.concatenate(fidx)
+            t = np.concatenate(tensors)
+        else:
+            ids_a = np.array([], np.int64)
+            fidx_a = np.array([], np.int64)
+            t = np.zeros((0, self.h, self.w, 3), np.uint8)
+        flat = t.reshape(len(ids_a), -1)
+        luma = (
+            np.round(t.reshape(len(ids_a), -1, 3).mean(axis=(1, 2)), 3)
+            if len(ids_a)
+            else np.zeros(0)
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids_a),
+                "frame_idx": pa.array(fidx_a),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.ravel(), pa.uint8()), self.h * self.w * 3
+                ),
+                "mean_luma": pa.array(luma, pa.float64()),
+            }
+        )
+
+
 def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
     """Deterministic synthetic media corpus (payload = seeded bytes)."""
     ids = np.arange(n, dtype=np.int64)

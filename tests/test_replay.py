@@ -228,3 +228,25 @@ def test_streaming_read_and_rdf_export(tmp_path, binlog):
     back = lines_to_quad_rows(quad_rows_to_lines(one))
     assert back.num_rows == one.num_rows
     assert back.column("s").to_pylist() == one.column("s").to_pylist()
+
+
+def test_actor_loss_mid_window_then_rerun_exactly_once(tmp_path, binlog):
+    """Hard merge-actor loss (os._exit, no ack) mid-pass-1: the window
+    must FAIL (no partial manifest), and a rerun over the same binlog
+    must converge exactly-once — the engine's documented recovery story
+    (replay.py MergeActor docstring), now exercised for real."""
+    root = str(tmp_path / "lake")
+    lake = CDCLake(root, num_partitions=32)
+    # arm: exactly one actor dies on its first add_meta call
+    open(os.path.join(lake.log.data_dir, "_FAULT_DIE_ONCE"), "w").write("die")
+    with pytest.raises(Exception):  # RayActorError surfaces via ray.get in routing
+        lake.apply(rd.from_arrow(binlog))
+    assert lake.manifest is None  # nothing committed
+    # rerun (fresh actors, fault disarmed) → exact convergence
+    lake2 = CDCLake(root, num_partitions=32)
+    lake2.apply(rd.from_arrow(binlog))
+    _assert_same_state(lake2, binlog)
+    # and a third apply is a version-stable no-op
+    v = lake2.manifest["version"]
+    lake2.apply(rd.from_arrow(binlog))
+    assert lake2.manifest["version"] == v

@@ -149,3 +149,38 @@ def test_hopping_windows_overlap():
         "2024-01-01 00": 2,  # [00:00, 02:00) catches both
         "2024-01-01 01": 1,  # [01:00, 03:00) catches event 2
     }
+
+
+def test_video_frame_sample_stage_shapes():
+    """Video stage: one row per sampled frame, deterministic fake
+    decode, strict mode raises (honest stub)."""
+    import numpy as np
+    import pytest as _pytest
+    import ray.data as rd
+
+    from grafter_ray.stages.multimodal import (
+        PAYLOAD_BATCH_KWARGS,
+        VideoFrameSampleStage,
+        synth_media_table,
+    )
+
+    tb = synth_media_table(12, kind="video/mp4")
+    out = rd.from_arrow(tb).map_batches(
+        VideoFrameSampleStage, concurrency=(1, 2), **PAYLOAD_BATCH_KWARGS
+    ).take_all()
+    assert len(out) >= 12  # ≥1 frame per video
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert len(r["pixels"]) == 16 * 16 * 3
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    assert set(per) == set(range(12))
+    for idxs in per.values():
+        assert idxs == sorted(idxs) and len(idxs) <= 8
+        assert all(i % 10 == 0 for i in idxs)  # every_n sampling
+    # determinism: same payloads → same frames
+    out2 = VideoFrameSampleStage()(tb)
+    out1 = VideoFrameSampleStage()(tb)
+    assert out1.equals(out2)
+    with _pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)

@@ -1,0 +1,167 @@
+"""Remote SPARQL connector conformance — sparql-repo / SPARQLSession
+behaviors (reference repository.clj:264-286, SPARQLSession.java:66-197)
+against an injected stub transport and a real localhost HTTP server."""
+
+import json
+import threading
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.sources.sparql_http import (
+    MalformedQueryError,
+    QueryInterruptedError,
+    RepositoryError,
+    SparqlRepo,
+    UnauthorizedError,
+    build_query_params,
+    paged_select,
+    parse_sparql_json,
+    sparql_repo,
+)
+
+SELECT_DOC = {
+    "head": {"vars": ["s", "n"]},
+    "results": {
+        "bindings": [
+            {"s": {"type": "uri", "value": "http://x/a"}, "n": {"type": "literal", "value": "5"}},
+            {"s": {"type": "uri", "value": "http://x/b"}},
+        ]
+    },
+}
+
+
+def test_query_param_construction_vendor_inference_and_timeout_rewrite():
+    # SPARQLSession.java:103-129: both infer + reasoning; timeout s→ms;
+    # pre-existing seconds timeout param removed
+    pairs = build_query_params(
+        "SELECT * WHERE { ?s ?p ?o }",
+        include_inferred=True,
+        max_query_time_s=55,
+        extra=[("timeout", "55"), ("other", "x")],
+    )
+    d = {}
+    for k, v in pairs:
+        d.setdefault(k, []).append(v)
+    assert d["infer"] == ["true"] and d["reasoning"] == ["true"]
+    assert d["timeout"] == ["55000"]  # ms, the seconds param removed
+    assert d["other"] == ["x"]
+    pairs2 = build_query_params("ASK {}", include_inferred=False)
+    assert "infer" not in dict(pairs2) and "reasoning" not in dict(pairs2)
+
+
+def test_parse_select_and_ask_results():
+    t = parse_sparql_json(json.dumps(SELECT_DOC).encode())
+    assert t.column("s").to_pylist() == ["http://x/a", "http://x/b"]
+    assert t.column("n").to_pylist() == ["5", None]  # unbound → null
+    assert parse_sparql_json(b'{"head": {}, "boolean": true}') is True
+
+
+def _stub(status=200, headers=None, body=b""):
+    def transport(url, params, req_headers):
+        return status, headers or {}, body
+
+    return transport
+
+
+def test_status_taxonomy():
+    ok = SparqlRepo("http://ep/q", transport=_stub(body=json.dumps(SELECT_DOC).encode()))
+    assert ok.query("SELECT ...").num_rows == 2
+    with pytest.raises(UnauthorizedError):
+        SparqlRepo("http://ep/q", transport=_stub(status=401)).query("x")
+    with pytest.raises(QueryInterruptedError):  # 503 → interrupted
+        SparqlRepo("http://ep/q", transport=_stub(status=503)).query("x")
+    with pytest.raises(MalformedQueryError, match="bad token"):
+        SparqlRepo(
+            "http://ep/q", transport=_stub(status=400, body=b"MALFORMED QUERY: bad token")
+        ).query("x")
+    with pytest.raises(RepositoryError):
+        SparqlRepo("http://ep/q", transport=_stub(status=500, body=b"boom")).query("x")
+
+
+def test_stardog_timeout_detection():
+    # SPARQLSession.java:66-87: 500 + SD-Error-Code: QueryEval + body
+    t = _stub(
+        status=500,
+        headers={"SD-Error-Code": "QueryEval"},
+        body=b"query execution exceeded query timeout of 55000ms",
+    )
+    with pytest.raises(QueryInterruptedError, match="timed out"):
+        SparqlRepo("http://ep/q", transport=t).query("x")
+    # same header but different body → generic repository error
+    t2 = _stub(status=500, headers={"SD-Error-Code": "QueryEval"}, body=b"other failure")
+    with pytest.raises(RepositoryError):
+        SparqlRepo("http://ep/q", transport=t2).query("x")
+
+
+def test_construct_returns_quads():
+    nt = b'<http://x/a> <http://p/name> "Aye" .\n'
+    repo = SparqlRepo("http://ep/q", transport=_stub(body=nt))
+    t = repo.construct("CONSTRUCT ...")
+    assert t.column("s").to_pylist() == ["http://x/a"]
+    assert t.column("o_value").to_pylist() == ["Aye"]
+
+
+def test_update_requires_endpoint():
+    with pytest.raises(RepositoryError, match="no update endpoint"):
+        SparqlRepo("http://ep/q", transport=_stub()).update("INSERT DATA {}")
+    # with an endpoint the update posts fine
+    sparql_repo("http://ep/q", "http://ep/u", transport=_stub()).update("INSERT DATA {}")
+
+
+def test_paged_select_fans_out_and_stops():
+    # transport defined INSIDE the test: cloudpickle ships it by value
+    # to the fan-out workers (a tests-module global would not import)
+    def paged_transport(url, params, headers):
+        import re
+
+        q = dict(params)["query"]
+        m = re.search(r"LIMIT (\d+) OFFSET (\d+)", q)
+        limit, offset = int(m.group(1)), int(m.group(2))
+        total = 23
+        rows = [
+            {"s": {"type": "uri", "value": f"http://x/{i}"}}
+            for i in range(offset, min(offset + limit, total))
+        ]
+        doc = {"head": {"vars": ["s"]}, "results": {"bindings": rows}}
+        return 200, {}, json.dumps(doc).encode()
+
+    repo = SparqlRepo("http://ep/q", transport=paged_transport)
+    ds = paged_select(repo, "SELECT ?s WHERE { ?s ?p ?o }", page_size=5, max_pages=10)
+    rows = [r["s"] for r in ds.take_all()]
+    assert sorted(rows) == sorted(f"http://x/{i}" for i in range(23))
+    with pytest.raises(ValueError, match="LIMIT"):
+        paged_select(repo, "SELECT ?s WHERE { ?s ?p ?o } LIMIT 5")
+
+
+def test_real_localhost_endpoint():
+    """The DEFAULT urllib transport against an in-process HTTP server —
+    proves the wire path, not just the stubs."""
+    import http.server
+    import urllib.parse as up
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+            params = dict(up.parse_qsl(body))
+            assert "query" in params and params.get("infer") == "true"
+            out = json.dumps(SELECT_DOC).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        repo = sparql_repo(f"http://127.0.0.1:{port}/sparql")
+        t = repo.query("SELECT ?s ?n WHERE { ?s ?p ?n }")
+        assert isinstance(t, pa.Table) and t.num_rows == 2
+    finally:
+        srv.shutdown()

@@ -733,6 +733,65 @@ def q_sparql_union_sub(sf_dir: str):
     return sparql_query_file(path, store)
 
 
+def q_path_geo_closure(sf_dir: str):
+    """Property-path evaluation oracle-gated end-to-end (path DSL →
+    dataset-scale fixpoint evaluator, reference sparql/path.clj): the
+    transitive closure `(in_nation | in_region)+` over the
+    customer→nation→region hierarchy — exercises Alt + Plus and the
+    distributed anti-join frontier, checked against a SQL union of the
+    three derivable edge sets."""
+    from .paths import P, alt, eval_path_dataset, plus
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def cust_edges(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table(
+            {
+                "s": pc.binary_join_element_wise(pa.nulls(n, pa.string()).fill_null("cust:"), pc.cast(tb.column("c_custkey"), pa.string()), ""),
+                "p": pa.nulls(n, pa.string()).fill_null("in_nation"),
+                "o_kind": pa.nulls(n, pa.string()).fill_null("iri"),
+                "o_value": pc.binary_join_element_wise(pa.nulls(n, pa.string()).fill_null("nation:"), pc.cast(tb.column("c_nationkey"), pa.string()), ""),
+                "o_datatype": pa.nulls(n, pa.string()),
+                "o_lang": pa.nulls(n, pa.string()),
+                "c": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def nat_edges(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table(
+            {
+                "s": pc.binary_join_element_wise(pa.nulls(n, pa.string()).fill_null("nation:"), pc.cast(tb.column("n_nationkey"), pa.string()), ""),
+                "p": pa.nulls(n, pa.string()).fill_null("in_region"),
+                "o_kind": pa.nulls(n, pa.string()).fill_null("iri"),
+                "o_value": pc.binary_join_element_wise(pa.nulls(n, pa.string()).fill_null("region:"), pc.cast(tb.column("n_regionkey"), pa.string()), ""),
+                "o_datatype": pa.nulls(n, pa.string()),
+                "o_lang": pa.nulls(n, pa.string()),
+                "c": pa.nulls(n, pa.string()),
+            }
+        )
+
+    quads = cust.map_batches(cust_edges, batch_format="pyarrow", zero_copy_batch=True).union(
+        nat.map_batches(nat_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return eval_path_dataset(quads, plus(alt(P("in_nation"), P("in_region"))))
+
+
+SQL_PATH_GEO_CLOSURE = """
+SELECT DISTINCT 'cust:' || CAST(c_custkey AS VARCHAR) AS src,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+UNION
+SELECT DISTINCT 'nation:' || CAST(n_nationkey AS VARCHAR),
+       'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+UNION
+SELECT DISTINCT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'region:' || CAST(n_regionkey AS VARCHAR)
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_sparql_construct(sf_dir: str):
     """CONSTRUCT text form end-to-end: build new `prop:short` triples for
     small documents from the expanded quad store (template instantiation
@@ -1579,6 +1638,7 @@ QUERIES = {
     "sparql_select": q_sparql_select,
     "sparql_union_sub": q_sparql_union_sub,
     "sparql_construct": q_sparql_construct,
+    "path_geo_closure": q_path_geo_closure,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
@@ -1636,6 +1696,7 @@ ORACLE_SQL = {
     "sparql_select": SQL_SPARQL_SELECT,
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
+    "path_geo_closure": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "jsonld_roundtrip": SQL_JSONLD_ROUNDTRIP,

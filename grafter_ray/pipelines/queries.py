@@ -555,6 +555,16 @@ def q_jaccard_pairs(sf_dir: str):
     return set_jaccard_pairs(ds, threshold=0.2)
 
 
+def q_jaccard_pairs_prefix(sf_dir: str):
+    """Same exact result through the PREFIX-FILTERED scale path
+    (AllPairs/PPJoin candidate rule — no O(df²) stopword fan-out):
+    identical oracle to jaccard_pairs proves exactness."""
+    from ..stages.dedup import set_jaccard_pairs_prefix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(expr="doc_id < 40")
+    return set_jaccard_pairs_prefix(ds, threshold=0.2)
+
+
 SQL_JACCARD_PAIRS = """
 WITH w AS (
   SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
@@ -1634,6 +1644,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_pairs_prefix": q_jaccard_pairs_prefix,
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
     "sparql_union_sub": q_sparql_union_sub,
@@ -1689,6 +1700,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "jaccard_pairs_prefix": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_TOPK,
     "lang_id": SQL_LANG_ID,

@@ -202,3 +202,39 @@ def test_simhash_oversized_bucket_exact_tiled():
     tb = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": ["same words repeated here often"] * n})
     pairs = simhash_pairs(rd.from_arrow(tb), bands=4, max_hamming=0, verify_tile=16).take_all()
     assert len(pairs) == n * (n - 1) // 2
+
+
+def test_prefix_jaccard_equals_naive_inverted_index():
+    """AllPairs prefix filtering must be EXACT: same pairs + same e4
+    values as the naive full inverted index on a real corpus slice."""
+    from grafter_ray.stages.dedup import set_jaccard_pairs, set_jaccard_pairs_prefix
+
+    tb = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).slice(0, 150)
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard_e4"]
+        for r in set_jaccard_pairs(rd.from_arrow(tb), threshold=0.2).take_all()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard_e4"]
+        for r in set_jaccard_pairs_prefix(rd.from_arrow(tb), threshold=0.2).take_all()
+    }
+    assert pref == naive and len(naive) > 0
+
+
+def test_prefix_jaccard_survives_universal_stopword():
+    """A token present in EVERY doc (df = corpus size) must not fan out:
+    it sorts last in the global df order and never enters a prefix —
+    results stay exact."""
+    from grafter_ray.stages.dedup import set_jaccard_pairs_prefix
+
+    n = 400
+    texts = [f"the w{i}a w{i}b w{i}c" for i in range(n)]  # 'the' everywhere
+    texts[7] = "the w3a w3b w3c"  # exact near-dup of doc 3 (J=1.0)
+    tb = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_e4"]
+        for r in set_jaccard_pairs_prefix(rd.from_arrow(tb), threshold=0.5).take_all()
+    }
+    # only (3, 7) reaches J >= 0.5; every other pair shares just 'the'
+    # (J = 1/7 ≈ 0.14)
+    assert out == {(3, 7): 10_000}

@@ -578,6 +578,112 @@ def set_jaccard_pairs(
     return inter.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- distributed connected components (dedup clustering at scale) -----------
+
+def pair_clusters_dataset(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50):
+    """Connected components over a near-duplicate PAIR Dataset →
+    Dataset[(doc_id, cluster_id)], cluster_id = min member id — the
+    distributed alternative to the driver-side union-find in
+    pair_clusters (right when the pair set itself is too big to land on
+    the driver, e.g. boilerplate-heavy corpora).
+
+    Min-label propagation (the classic MapReduce connected-components
+    shape): labels start as each node's own id; every round each node
+    takes the min of its label and its neighbors' labels — one
+    grouped-block co-group per round (edges + labels share a key
+    exchange), converging in O(cluster diameter) rounds. Labels only
+    ever decrease, so an unchanged global label SUM certifies the
+    fixpoint (one tiny aggregate per round, no dataset diff)."""
+    import ray
+
+    from ..pipelines.relational import grouped_agg
+    from .grouped import grouped_block_map, key_segments
+
+    def sym(tb: pa.Table) -> pa.Table:
+        a = tb.column(id_a)
+        b = tb.column(id_b)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([pc.cast(a, pa.int64()).combine_chunks(), pc.cast(b, pa.int64()).combine_chunks()]),
+                "dst": pa.concat_arrays([pc.cast(b, pa.int64()).combine_chunks(), pc.cast(a, pa.int64()).combine_chunks()]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def init_labels(tb: pa.Table) -> pa.Table:
+        return pa.table({"node": tb.column("src"), "label": tb.column("src")})
+
+    labels = grouped_agg(
+        edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        [("label", "label", "min")],
+    ).materialize()
+
+    def label_sum(lds) -> int:
+        s = 0
+        for ref in lds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows and "label" in t.column_names:
+                s += int(pc.sum(t.column("label")).as_py() or 0)
+        return s
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # one key exchange: edge rows (tag 0, key=src) + label rows
+        # (tag 1, key=node); each run propagates the key's label to all
+        # of the key's neighbors
+        def tag_edges(tb: pa.Table) -> pa.Table:
+            n = tb.num_rows
+            return pa.table(
+                {"k": tb.column("src"), "tag": pa.nulls(n, pa.int8()).fill_null(0),
+                 "other": tb.column("dst"), "label": pa.nulls(n, pa.int64())}
+            )
+
+        def tag_labels(tb: pa.Table) -> pa.Table:
+            n = tb.num_rows
+            return pa.table(
+                {"k": tb.column("node"), "tag": pa.nulls(n, pa.int8()).fill_null(1),
+                 "other": pa.nulls(n, pa.int64()), "label": pc.cast(tb.column("label"), pa.int64())}
+            )
+
+        both = edges.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True).union(
+            labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+        def propagate(tb: pa.Table) -> pa.Table:
+            empty = pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+            if tb.num_rows == 0 or tb.num_columns == 0:
+                return empty
+            tb = tb.sort_by([("k", "ascending"), ("tag", "descending")])  # label row first
+            starts, ends = key_segments(tb, ["k"])
+            tag = tb.column("tag").to_numpy(zero_copy_only=False)
+            lbl = tb.column("label").to_numpy(zero_copy_only=False)
+            other = tb.column("other").to_numpy(zero_copy_only=False)
+            run_id = np.repeat(np.arange(len(starts)), ends - starts)
+            run_label = lbl[starts]  # the label row sorts first in its run
+            is_edge = tag == 0
+            # neighbor receives this key's label; the key keeps its own
+            nodes = np.concatenate([other[is_edge].astype(np.int64), tb.column("k").to_numpy(zero_copy_only=False)[~is_edge].astype(np.int64)])
+            labs = np.concatenate([run_label[run_id[is_edge]].astype(np.int64), lbl[~is_edge].astype(np.int64)])
+            return pa.table({"node": pa.array(nodes), "label": pa.array(labs)})
+
+        labels = grouped_agg(
+            grouped_block_map(both, ["k"], propagate), ["node"], [("label", "label", "min")]
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev_sum:  # labels only decrease → fixpoint certified
+            break
+        prev_sum = cur
+
+    def finish(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(tb.column("node"), pa.int64()), "cluster_id": pc.cast(tb.column("label"), pa.int64())}
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- prefix-filtered exact set-similarity join (AllPairs/PPJoin family) ------
 
 def set_jaccard_pairs_prefix(

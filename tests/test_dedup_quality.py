@@ -238,3 +238,34 @@ def test_prefix_jaccard_survives_universal_stopword():
     # only (3, 7) reaches J >= 0.5; every other pair shares just 'the'
     # (J = 1/7 ≈ 0.14)
     assert out == {(3, 7): 10_000}
+
+
+def test_pair_clusters_dataset_matches_union_find():
+    """Distributed min-label connected components ≡ the driver union-find
+    on random pair sets + a 30-node chain (diameter bound exercises the
+    iteration loop, not just one round)."""
+    from grafter_ray.stages.dedup import pair_clusters, pair_clusters_dataset
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 60, 80)
+    b = rng.integers(0, 60, 80)
+    keep = a != b
+    pairs = pa.table(
+        {"id_a": pa.array(np.minimum(a, b)[keep], pa.int64()),
+         "id_b": pa.array(np.maximum(a, b)[keep], pa.int64())}
+    )
+    chain = pa.table(
+        {"id_a": pa.array(np.arange(100, 129), pa.int64()),
+         "id_b": pa.array(np.arange(101, 130), pa.int64())}
+    )
+    pairs = pa.concat_tables([pairs, chain])
+    want = {
+        (r["doc_id"], r["cluster_id"]) for r in pair_clusters(pairs).to_pylist()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in pair_clusters_dataset(rd.from_arrow(pairs)).take_all()
+    }
+    assert got == want
+    # the whole chain collapsed to one cluster rooted at 100
+    assert {(i, 100) for i in range(100, 130)} <= got

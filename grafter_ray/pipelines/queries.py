@@ -447,6 +447,33 @@ FROM documents
 """
 
 
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish tokenizer counting (the GPT-2 pre-tokenizer family,
+    simplified to the RE2-safe subset so Arrow and DuckDB agree):
+    letter runs / digit runs / punctuation runs with optional leading
+    space — one vectorized count_substring_regex per block."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "n_bpe": pc.cast(pc.count_substring_regex(tb.column("text"), _BPE_PAT), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
 def q_quality_filter(sf_dir: str):
     """Quality gate: keep docs with >= 30 words and mean word length in
     [3, 12] (the length/punctuation-ratio family), count kept per lang —
@@ -1633,6 +1660,7 @@ QUERIES = {
     "active_users": q_active_users,
     "quad_expand": q_quad_expand,
     "token_stats": q_token_stats,
+    "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1695,6 +1723,7 @@ ORACLE_SQL = {
     "active_users": SQL_ACTIVE_USERS,
     "quad_expand": SQL_QUAD_EXPAND,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk": SQL_ANN_TOPK,

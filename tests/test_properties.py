@@ -121,3 +121,53 @@ def test_sha_kernel_matches_hashlib():
     got = sha256_array(pa.array(vals, pa.string())).to_pylist()
     want = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None for v in vals]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=40), max_size=8
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_mutf8_roundtrip_arbitrary_unicode(strings):
+    """Java modified-UTF8 (binary RDF writeUTF) must round-trip any
+    Python string — NULs, astral plane, combining marks."""
+    from grafter_ray.sources.binaryrdf import _mutf8_decode, _mutf8_encode
+
+    for s in strings:
+        assert _mutf8_decode(_mutf8_encode(s)) == s
+        # Java invariant: encoded form never contains a raw NUL byte
+        assert b"\x00" not in _mutf8_encode(s)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["apple", "pear", "plum", "kiwi", "the", "of"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.2, 0.34, 0.5, 0.75]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_prefix_jaccard_equals_naive_random(docs, threshold):
+    """AllPairs prefix filtering is exact for ANY corpus/threshold:
+    same pairs + e4 values as the full inverted index."""
+    import ray.data as rd
+
+    from grafter_ray.stages.dedup import set_jaccard_pairs, set_jaccard_pairs_prefix
+
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], pa.string()),
+        }
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard_e4"]
+        for r in set_jaccard_pairs(rd.from_arrow(tb), threshold=threshold).take_all()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard_e4"]
+        for r in set_jaccard_pairs_prefix(rd.from_arrow(tb), threshold=threshold).take_all()
+    }
+    assert pref == naive

@@ -632,7 +632,10 @@ def pair_clusters_dataset(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", max_
     for _ in range(max_iters):
         # one key exchange: edge rows (tag 0, key=src) + label rows
         # (tag 1, key=node); each run propagates the key's label to all
-        # of the key's neighbors
+        # of the key's neighbors. The label table ALSO contributes
+        # pointer-doubling edges (src=label(n), dst=n): n then receives
+        # label(label(n)) in the same pass, collapsing chain graphs in
+        # O(log diameter) rounds instead of O(diameter).
         def tag_edges(tb: pa.Table) -> pa.Table:
             n = tb.num_rows
             return pa.table(
@@ -642,10 +645,17 @@ def pair_clusters_dataset(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", max_
 
         def tag_labels(tb: pa.Table) -> pa.Table:
             n = tb.num_rows
-            return pa.table(
-                {"k": tb.column("node"), "tag": pa.nulls(n, pa.int8()).fill_null(1),
-                 "other": pa.nulls(n, pa.int64()), "label": pc.cast(tb.column("label"), pa.int64())}
+            lbl = pc.cast(tb.column("label"), pa.int64())
+            node = pc.cast(tb.column("node"), pa.int64())
+            own = pa.table(
+                {"k": node, "tag": pa.nulls(n, pa.int8()).fill_null(1),
+                 "other": pa.nulls(n, pa.int64()), "label": lbl}
             )
+            doubling = pa.table(
+                {"k": lbl, "tag": pa.nulls(n, pa.int8()).fill_null(0),
+                 "other": node, "label": pa.nulls(n, pa.int64())}
+            )
+            return pa.concat_tables([own, doubling])
 
         both = edges.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True).union(
             labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)

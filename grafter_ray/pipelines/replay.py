@@ -43,6 +43,7 @@ set-semantics dedup falls out of LWW on identical keys.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -104,11 +105,28 @@ class MergeActor:
     exactly-once.
     """
 
-    def __init__(self, data_dir: str, version: int, prev_files: dict, compact_threshold: int = 2_000_000):
+    def __init__(
+        self,
+        data_dir: str,
+        version: int,
+        prev_files: dict,
+        compact_threshold: int = 2_000_000,
+        spill_bytes: int | None = None,
+    ):
         self.data_dir = data_dir
         self.version = version
         self.prev_files = prev_files
         self.compact_threshold = compact_threshold
+        # payload-buffer spill threshold: when the COMPACTED winner buffer
+        # exceeds this many bytes it goes to a local spill parquet, so a
+        # window's winner set is bounded by disk, not actor RAM
+        self.spill_bytes = (
+            spill_bytes
+            if spill_bytes is not None
+            else int(os.environ.get("GRAFT_ACTOR_SPILL_MB", "512")) * 2**20
+        )
+        self.spill_files: list[str] = []
+        self._spill_seq = 0
         self.meta: list[pa.Table] = []
         self.meta_rows = 0
         self.delta: pa.Table | None = None
@@ -181,7 +199,35 @@ class MergeActor:
         if self.row_count > self.compact_threshold:
             t = lww_reduce(pa.concat_tables(self.rows, promote_options="none"))
             self.rows, self.row_count = [t], t.num_rows
+            if t.nbytes > self.spill_bytes:
+                self._spill(t)
         return tb.num_rows
+
+    def _spill(self, t: pa.Table) -> None:
+        """Flush the compacted winner buffer to a local spill parquet
+        (partition_id-sorted → per-pid row-group pruning at finalize).
+        Spill files live in data_dir but are never manifest-referenced:
+        finalize deletes them; orphans from failed windows are swept at
+        the next window start (driver holds the writer lock)."""
+        t = t.sort_by("partition_id")
+        fname = f"spill-v{self.version:06d}-{os.getpid()}-{self._spill_seq}.parquet"
+        self._spill_seq += 1
+        pq.write_table(t, os.path.join(self.data_dir, fname), row_group_size=65536)
+        self.spill_files.append(fname)
+        self.rows, self.row_count = [], 0
+
+    def _drain_spills_to_memory(self) -> None:
+        """single-pass finalize needs the full row set in one place —
+        fold any spills back (two_pass is the spill-friendly mode)."""
+        if not self.spill_files:
+            return
+        self.rows = [
+            pq.read_table(os.path.join(self.data_dir, f)) for f in self.spill_files
+        ] + self.rows
+        for f in self.spill_files:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.data_dir, f))
+        self.spill_files = []
 
     def peak_rss_mb(self) -> float:
         """Actor-process peak RSS (VmHWM) — soak-run evidence that the
@@ -209,6 +255,7 @@ class MergeActor:
             all_s = pa.concat_tables(self.schema_lsns, promote_options="none")
             n_schema = len(pc.unique(all_s.column("lsn")))
             self.schema_lsns = []
+        self._drain_spills_to_memory()
         if not self.rows:
             self.delta = None
             return self.finalize(), n_schema
@@ -236,6 +283,8 @@ class MergeActor:
     def finalize(self) -> pa.Table:
         if self.delta is None:
             return _stats_table([])
+        if self.spill_files:
+            return self._finalize_spilled()
         delta = self.delta
         fetched = (
             lww_reduce(pa.concat_tables(self.rows, promote_options="none"))
@@ -261,6 +310,59 @@ class MergeActor:
             d = delta.slice(lo, hi - lo)
             f = fetched.filter(pa.array(f_pids == pid)) if fetched is not None else None
             stats.append(self._finalize_one(pid, d, f))
+        self.delta = None
+        return _stats_table(stats)
+
+    def _finalize_spilled(self) -> pa.Table:
+        """Spill-aware finalize: the window's winner payloads exceed the
+        actor's memory budget, so each partition's rows are gathered
+        FROM DISK one pid at a time (partition_id-sorted spill files →
+        row-group pruning). Peak memory = one partition, not the window.
+        The fetch-integrity check (Σ per-pid deduped rows == upsert
+        winners) runs after the loop; a mismatch still fails the window
+        before the manifest commit, so exactly-once holds."""
+        delta = self.delta
+        mem = (
+            lww_reduce(pa.concat_tables(self.rows, promote_options="none"))
+            if self.rows
+            else None
+        )
+        self.rows, self.row_count = [], 0
+        n_up = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(1, pa.int8()))).as_py() or 0)
+        mem_pids = (
+            mem.column("partition_id").to_numpy(zero_copy_only=False)
+            if mem is not None
+            else np.array([], dtype=np.int64)
+        )
+        pids = delta.column("partition_id").to_numpy(zero_copy_only=False)
+        bounds = [0] + list((np.nonzero(np.diff(pids))[0] + 1)) + [len(pids)]
+        stats = []
+        total_fetched = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            pid = int(pids[lo])
+            d = delta.slice(lo, hi - lo)
+            pieces = []
+            if mem is not None:
+                m = mem.filter(pa.array(mem_pids == pid))
+                if m.num_rows:
+                    pieces.append(m)
+            for sf in self.spill_files:
+                t = pq.read_table(
+                    os.path.join(self.data_dir, sf), filters=[("partition_id", "=", pid)]
+                )
+                if t.num_rows:
+                    pieces.append(t)
+            f = lww_reduce(pa.concat_tables(pieces, promote_options="none")) if pieces else None
+            total_fetched += f.num_rows if f is not None else 0
+            stats.append(self._finalize_one(pid, d, f))
+        if total_fetched != n_up:
+            raise RuntimeError(
+                f"fetch pass lost rows: {total_fetched} fetched != {n_up} upsert winners"
+            )
+        for sf in self.spill_files:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.data_dir, sf))
+        self.spill_files = []
         self.delta = None
         return _stats_table(stats)
 
@@ -330,11 +432,19 @@ class CDCLake:
     """A transactional, hash-partitioned Parquet lake with exactly-once
     binlog apply, schema evolution and checkpoint/resume."""
 
-    def __init__(self, root: str, num_partitions: int = 64):
+    def __init__(
+        self,
+        root: str,
+        num_partitions: int = 64,
+        actor_compact_threshold: int = 2_000_000,
+        actor_spill_bytes: int | None = None,
+    ):
         self.root = root
         self.log = CommitLog(root)
         latest = self.log.latest()
         self.num_partitions = latest["num_partitions"] if latest else num_partitions
+        self.actor_compact_threshold = actor_compact_threshold
+        self.actor_spill_bytes = actor_spill_bytes  # None → GRAFT_ACTOR_SPILL_MB (512 MB)
 
     # -- state -------------------------------------------------------------
     @property
@@ -470,8 +580,18 @@ class CDCLake:
         # fractional CPU: merge actors are idle while the scan passes run
         # and busy only during acks/finalize — reserving whole CPUs would
         # starve the read/combine/route tasks (worst on small nodes).
+        # sweep spill orphans from any previously failed window — we hold
+        # the writer lock, so no other window can own a live spill file
+        for f in os.listdir(self.log.data_dir):
+            if f.startswith("spill-") and f.endswith(".parquet"):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.log.data_dir, f))
         handles = [
-            MergeActor.options(num_cpus=0.5, max_restarts=0).remote(self.log.data_dir, version, prev_files)
+            MergeActor.options(num_cpus=0.5, max_restarts=0).remote(
+                self.log.data_dir, version, prev_files,
+                compact_threshold=self.actor_compact_threshold,
+                spill_bytes=self.actor_spill_bytes,
+            )
             for _ in range(W)
         ]
         try:

@@ -250,3 +250,29 @@ def test_actor_loss_mid_window_then_rerun_exactly_once(tmp_path, binlog):
     v = lake2.manifest["version"]
     lake2.apply(rd.from_arrow(binlog))
     assert lake2.manifest["version"] == v
+
+
+def test_spilled_window_converges_exactly(tmp_path, binlog):
+    """Winner-payload spill path: with a tiny compact threshold and a
+    1-byte spill budget every compaction flushes to disk — the window's
+    winner set lives on disk, not actor RAM — and the converged state
+    must still be byte-identical, across multiple windows and a
+    re-apply no-op."""
+    root = str(tmp_path / "lake")
+    lake = CDCLake(root, num_partitions=16, actor_compact_threshold=200, actor_spill_bytes=1)
+    lake.apply(rd.from_arrow(binlog), window_size=2_000)
+    _assert_same_state(lake, binlog)
+    # no spill orphans after success
+    import glob
+
+    assert not glob.glob(os.path.join(lake.log.data_dir, "spill-*.parquet"))
+    v = lake.manifest["version"]
+    lake.apply(rd.from_arrow(binlog))
+    assert lake.manifest["version"] == v
+
+
+def test_spilled_single_pass_converges(tmp_path, binlog):
+    root = str(tmp_path / "lake")
+    lake = CDCLake(root, num_partitions=16, actor_compact_threshold=200, actor_spill_bytes=1)
+    lake.apply(rd.from_arrow(binlog), payload_mode="single_pass")
+    _assert_same_state(lake, binlog)

@@ -770,6 +770,27 @@ def q_sparql_union_sub(sf_dir: str):
     return sparql_query_file(path, store)
 
 
+def q_sparql_agg(sf_dir: str):
+    """SPARQL aggregate text form with DISTRIBUTED pushdown: the GROUP
+    BY runs as the engine's two-phase grouped_agg before anything is
+    collected — only the aggregated rows reach the driver."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?lang (COUNT(?d) AS ?n_docs) (AVG(?n) AS ?avg_chars) WHERE { "
+        "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . } GROUP BY ?lang",
+        store,
+    )
+
+
+SQL_SPARQL_AGG = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, AVG(CAST(n_chars AS DOUBLE)) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_path_geo_closure(sf_dir: str):
     """Property-path evaluation oracle-gated end-to-end (path DSL →
     dataset-scale fixpoint evaluator, reference sparql/path.clj): the
@@ -1677,6 +1698,7 @@ QUERIES = {
     "sparql_select": q_sparql_select,
     "sparql_union_sub": q_sparql_union_sub,
     "sparql_construct": q_sparql_construct,
+    "sparql_agg": q_sparql_agg,
     "path_geo_closure": q_path_geo_closure,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
@@ -1737,6 +1759,7 @@ ORACLE_SQL = {
     "sparql_select": SQL_SPARQL_SELECT,
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
+    "sparql_agg": SQL_SPARQL_AGG,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,

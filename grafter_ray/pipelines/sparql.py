@@ -128,7 +128,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|BY|ASC|DESC|a|true|false)\b)
+      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|GROUP|BY|ASC|DESC|COUNT|SUM|MIN|MAX|AVG|AS|a|true|false)\b)
       |(?P<op><=|>=|!=|<|>|=)
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -155,6 +155,8 @@ class SelectQuery:
     template: list = field(default_factory=list)  # CONSTRUCT triples:
     # (s_term, p_term, o_term), each term = ('var', name) | ('iri', v) |
     # ('bnode', v) | ('literal', v, dt, lang)
+    aggregates: list = field(default_factory=list)  # (fn, var, alias)
+    group_by: list = field(default_factory=list)  # grouping var names
 
 
 def _tokens(text: str):
@@ -261,16 +263,44 @@ class _QParser:
             return ("literal", v, dt, None)
         raise SparqlParseError(f"bad CONSTRUCT template term {k}:{v!r}")
 
+    _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
     def _select_head(self):
         self.expect("SELECT")
         if self.peek()[0] == "star":
             self.next()
             self.q.select = None
-        else:
-            sel = []
-            while self.peek()[0] == "var":
-                sel.append(self.next()[1][1:])
-            self.q.select = sel
+            return
+        sel = []
+        while True:
+            k, v = self.peek()
+            if k == "var":
+                self.next()
+                sel.append(v[1:])
+            elif v == "(":  # (AGG(?v) AS ?alias)
+                self.next()
+                fk, fv = self.next()
+                if fk != "kw" or fv.upper() not in self._AGG_FNS:
+                    raise SparqlParseError(f"unsupported select expression {fv!r}")
+                self.expect("(")
+                vk, vv = self.next()
+                if vk == "star":
+                    var = None  # COUNT(*)
+                elif vk == "var":
+                    var = vv[1:]
+                else:
+                    raise SparqlParseError(f"bad aggregate argument {vv!r}")
+                self.expect(")")
+                self.expect("AS")
+                ak, av = self.next()
+                if ak != "var":
+                    raise SparqlParseError(f"bad aggregate alias {av!r}")
+                self.expect(")")
+                self.q.aggregates.append((fv.lower(), var, av[1:]))
+                sel.append(av[1:])
+            else:
+                break
+        self.q.select = sel
 
     def _modifiers(self, stop_at_brace: bool):
         """Trailing solution modifiers; for a subselect they end at the
@@ -284,6 +314,12 @@ class _QParser:
                 self.q.limit = int(self.next()[1])
             elif v.upper() == "OFFSET":
                 self.q.offset = int(self.next()[1])
+            elif v.upper() == "GROUP":
+                self.expect("BY")
+                while self.peek()[0] == "var":
+                    self.q.group_by.append(self.next()[1][1:])
+                if not self.q.group_by:
+                    raise SparqlParseError("GROUP BY needs at least one variable")
             elif v.upper() == "ORDER":
                 self.expect("BY")
                 while True:
@@ -641,12 +677,18 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     bound = getattr(q, "_bound", {})
     n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
     # SPARQL applies solution modifiers AFTER the whole WHERE clause:
-    # pushing LIMIT below an OPTIONAL left join / subselect join would
-    # truncate before the join changes cardinality, so the pushdown is
-    # only safe when neither is present (and no ORDER BY).
-    late_slice = bool(q.order_by or q.optionals or q.subselects)
+    # pushing LIMIT below an OPTIONAL left join / subselect join / GROUP
+    # BY would truncate before the cardinality changes, so the pushdown
+    # is only safe when none are present (and no ORDER BY).
+    late_slice = bool(q.order_by or q.optionals or q.subselects or q.aggregates)
+    # aggregate pushdown: with a pure streaming WHERE the GROUP BY runs
+    # DISTRIBUTED (two-phase grouped_agg) and only the aggregated rows
+    # are ever collected
+    push_agg = bool(q.aggregates) and ds is not None and not q.optionals and not q.subselects
     if ds is not None:
-        if q.limit is not None and not late_slice:
+        if push_agg:
+            ds = _aggregate_ds(ds, q)
+        elif q.limit is not None and not late_slice:
             ds = ds.limit(n_need)
         tb = _collect(ds)
     else:
@@ -665,6 +707,10 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             tb = fn(tb)
     if q.optionals:
         tb = _apply_optionals(tb, q.optionals, store)
+    if q.aggregates and not push_agg:  # post-join fallback (small table)
+        import ray.data as _rd
+
+        tb = _collect(_aggregate_ds(_rd.from_arrow(tb), q))
     if q.order_by:
         tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
     if q.limit is not None and (late_slice or ds is None):
@@ -680,6 +726,59 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
         tb = tb.select(q.select)
     return tb
+
+
+def _aggregate_ds(ds, q: SelectQuery):
+    """GROUP BY + aggregates → distributed two-phase grouped_agg.
+    Lexical values cast to float64 for SUM/AVG/MIN/MAX (the engine's
+    storage form is the lexical string); COUNT counts solutions. A
+    query with aggregates but no GROUP BY aggregates globally."""
+    from .relational import grouped_agg
+
+    num_vars = {v for fn, v, _a in q.aggregates if fn in ("sum", "avg", "min", "max") and v}
+    keys = list(q.group_by)
+    synth = not keys
+
+    counts = [(v, alias) for fn, v, alias in q.aggregates if fn == "count"]
+
+    def prep(tb: pa.Table) -> pa.Table:
+        for v in num_vars:
+            i = tb.schema.get_field_index(v)
+            tb = tb.set_column(i, v, pc.cast(pc.cast(tb.column(v), pa.string()), pa.float64()))
+        for v, alias in counts:
+            # SPARQL COUNT(?v) counts NON-NULL bindings; COUNT(*) rows —
+            # an explicit 0/1 indicator summed, never a key-column count
+            if v is None:
+                ind = pa.nulls(tb.num_rows, pa.int64()).fill_null(1)
+            else:
+                ind = pc.cast(pc.is_valid(tb.column(v)), pa.int64())
+            tb = tb.append_column(f"__c_{alias}", ind)
+        if synth:
+            tb = tb.append_column("__g", pa.nulls(tb.num_rows, pa.int8()).fill_null(0))
+        return tb
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    if synth:
+        keys = ["__g"]
+    specs = []
+    for fn, v, alias in q.aggregates:
+        if fn == "count":
+            specs.append((alias, f"__c_{alias}", "sum"))
+        elif fn == "avg":
+            specs.append((alias, v, "mean"))
+        else:
+            specs.append((alias, v, fn))
+    out = grouped_agg(ds, keys, specs)
+    if synth:
+        out = out.drop_columns(["__g"])
+
+    def cast_counts(tb: pa.Table) -> pa.Table:
+        for _v, alias in counts:
+            i = tb.schema.get_field_index(alias)
+            tb = tb.set_column(i, alias, pc.cast(tb.column(alias), pa.int64()))
+        return tb
+
+    return out.map_batches(cast_counts, batch_format="pyarrow", zero_copy_batch=True) if counts else out
 
 
 def _apply_optionals(tb: pa.Table, optionals: list, store) -> pa.Table:

@@ -342,3 +342,50 @@ def test_construct_set_semantics_and_constants():
     assert out.num_rows == 1
     r = out.to_pylist()[0]
     assert (r["s"], r["o_value"], r["o_kind"]) == ("http://one", "x", "literal")
+
+
+# --- aggregates / GROUP BY ---------------------------------------------------
+
+def test_group_by_count_and_sum():
+    out = sparql_query(
+        "SELECT ?s (COUNT(?n) AS ?cnt) (SUM(?n) AS ?total) "
+        "WHERE { ?s <http://p/size> ?n . } GROUP BY ?s ORDER BY ?s",
+        _mini_store(),
+    )
+    rows = {r["s"]: (r["cnt"], r["total"]) for r in out.to_pylist()}
+    assert rows == {
+        "http://x/a": (1, 5.0), "http://x/b": (1, 12.0),
+        "http://x/c": (1, 7.0), "http://x/d": (1, 30.0),
+    }
+    assert out.column_names == ["s", "cnt", "total"]
+
+
+def test_global_aggregate_no_group_by():
+    out = sparql_query(
+        "SELECT (COUNT(?n) AS ?cnt) (AVG(?n) AS ?mean) (MAX(?n) AS ?top) "
+        "WHERE { ?s <http://p/size> ?n . }",
+        _mini_store(),
+    )
+    r = out.to_pylist()[0]
+    assert r["cnt"] == 4 and r["mean"] == 13.5 and r["top"] == 30.0
+
+
+def test_aggregate_after_optional_fallback():
+    # OPTIONAL forces the post-join (table) aggregation path
+    out = sparql_query(
+        "SELECT ?lab (COUNT(?n) AS ?cnt) WHERE { ?s <http://p/size> ?n . "
+        "OPTIONAL { ?s <http://p/label> ?lab } } GROUP BY ?lab",
+        _mini_store(),
+    )
+    rows = {r["lab"]: r["cnt"] for r in out.to_pylist()}
+    assert rows == {"Aye": 1, "Bee": 1, None: 2}
+
+
+def test_group_by_limit_applies_after_grouping():
+    out = sparql_query(
+        "SELECT ?s (COUNT(?n) AS ?cnt) WHERE { ?s <http://p/size> ?n . } "
+        "GROUP BY ?s ORDER BY ?s LIMIT 2",
+        _mini_store(),
+    )
+    assert out.num_rows == 2
+    assert out.column("s").to_pylist() == ["http://x/a", "http://x/b"]

@@ -69,10 +69,14 @@ def _cfg_for(sf_dir: str, n_events: int | None = None):
     )
 
 
-def ensure_binlog(sf_dir: str, n_events: int | None = None) -> tuple[str, int]:
+def ensure_binlog(sf_dir: str, n_events: int | None = None, with_key_hash: bool = False) -> tuple[str, int]:
     """Generate (once) the deterministic binlog parquet for this tier."""
+    import dataclasses
+
     cfg = _cfg_for(sf_dir, n_events)
-    path = os.path.join(BENCH_TMP, f"binlog_{cfg.n_events}")
+    if with_key_hash:
+        cfg = dataclasses.replace(cfg, with_key_hash=True)
+    path = os.path.join(BENCH_TMP, f"binlog_{cfg.n_events}" + ("_kh" if with_key_hash else ""))
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         import shutil
@@ -87,14 +91,14 @@ def ensure_binlog(sf_dir: str, n_events: int | None = None) -> tuple[str, int]:
     return path, cfg.n_events
 
 
-def run_replay(sf_dir: str, num_cpus: int, n_events: int | None = None) -> dict:
+def run_replay(sf_dir: str, num_cpus: int, n_events: int | None = None, with_key_hash: bool = False) -> dict:
     import shutil
 
     import ray.data as rd
 
     from grafter_ray import BinlogConfig, CDCLake, binlog_table
 
-    binlog_path, n_events = ensure_binlog(sf_dir, n_events)
+    binlog_path, n_events = ensure_binlog(sf_dir, n_events, with_key_hash=with_key_hash)
     # warm-up (untimed): spawn workers + actor pools so both scaling runs
     # measure sustained throughput, not cold-start (at 10^10-event scale
     # startup is noise; at bench scale it would dominate the 4x run)
@@ -155,9 +159,13 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | No
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
     replay = run_replay(sf_dir, num_cpus, n_events)
+    # secondary: same corpus stamped with writer-side kh1/kh2 columns
+    # (schemas.BINLOG_KH) — the metadata pass then reads only fixed-width
+    # columns. Reported alongside so the headline stays comparable.
+    kh_replay = None if replay_only else run_replay(sf_dir, num_cpus, n_events, with_key_hash=True)
     queries = {} if replay_only else run_queries(sf_dir)
     ray.shutdown()
-    return {
+    out = {
         "metric": "cdc_replay_wall_sec",
         "value": replay["replay_sec"],
         "unit": "sec",
@@ -168,6 +176,10 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | No
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    if kh_replay is not None:
+        out["keyhash_replay_sec"] = kh_replay["replay_sec"]
+        out["keyhash_events_per_sec"] = kh_replay["events_per_sec"]
+    return out
 
 
 def bench_scaling(sf_dir: str) -> dict:

@@ -34,6 +34,7 @@ class BinlogConfig:
     schema_every: int = 10_000          # one schema_change every N lsns
     delete_pct: float = 0.10
     body_reps_max: int = 120            # content body size knob (power-law)
+    with_key_hash: bool = False         # stamp writer-side kh1/kh2 columns
 
     @property
     def n_schema_events(self) -> int:
@@ -94,19 +95,33 @@ def binlog_batch(lsns: np.ndarray, cfg: BinlogConfig) -> pa.Table:
 
     schema_version = (lsns // cfg.schema_every).astype(np.int32)
     _ = valid
-    return pa.table(
-        {
-            "lsn": pa.array(lsns),
-            "op": pa.array(op),
-            "repo": repo_arr,
-            "path": path_arr,
-            "commit": commit_arr,
-            "lang": lang_arr,
-            "content": content,
-            "schema_version": pa.array(schema_version),
-        },
-        schema=BINLOG,
-    )
+    cols = {
+        "lsn": pa.array(lsns),
+        "op": pa.array(op),
+        "repo": repo_arr,
+        "path": path_arr,
+        "commit": commit_arr,
+        "lang": lang_arr,
+        "content": content,
+        "schema_version": pa.array(schema_version),
+    }
+    if cfg.with_key_hash:
+        # writer-side key identity (schemas.BINLOG_KH contract): the binlog
+        # writer already holds the key strings, so stamping the 128-bit
+        # hash here lets the replay metadata pass skip string decode.
+        from .schemas import BINLOG_KH
+        from .util import key_hash_pair
+
+        kh1 = np.zeros(n, dtype=np.uint64)
+        kh2 = np.zeros(n, dtype=np.uint64)
+        if (~is_schema).any():
+            h1, h2 = key_hash_pair(pa.array(repo[~is_schema]), pa.array(path[~is_schema]))
+            kh1[~is_schema] = h1
+            kh2[~is_schema] = h2
+        cols["kh1"] = pa.array(kh1)
+        cols["kh2"] = pa.array(kh2)
+        return pa.table(cols, schema=BINLOG_KH)
+    return pa.table(cols, schema=BINLOG)
 
 
 def binlog_table(cfg: BinlogConfig, start: int = 0, stop: int | None = None) -> pa.Table:

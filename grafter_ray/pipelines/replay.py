@@ -61,6 +61,23 @@ from ..util import key_hash_pair, partition_ids
 
 DEFAULT_BATCH_SIZE = 20_000  # grafter add-batched default, protocols.cljc:514-515
 META_COLS = ["lsn", "op", "repo", "path", "schema_version"]
+# Binlogs with writer-side key hashes (schemas.BINLOG_KH): the metadata
+# pass reads NO string key columns — pure fixed-width parquet decode.
+META_COLS_KH = ["lsn", "op", "kh1", "kh2", "schema_version"]
+
+
+def _binlog_column_names(binlog) -> list[str]:
+    """Column names of a binlog input (parquet dir or ray Dataset) without
+    scanning data — parquet metadata only / lazy Dataset schema."""
+    if isinstance(binlog, str):
+        import pyarrow.dataset as pads
+
+        return list(pads.dataset(binlog).schema.names)
+    try:
+        sch = binlog.schema(fetch_if_missing=False)
+        return list(sch.names) if sch is not None else []
+    except Exception:
+        return []
 
 _STATS_SCHEMA = pa.schema(
     [
@@ -688,7 +705,8 @@ class CDCLake:
                         _route_to_actors(compact, handles, W, "add_meta")
                     return pa.table({"n": pa.array([compact.num_rows], pa.int64())})
 
-                self._dataset(binlog, lo, hi, columns=META_COLS).map_batches(
+                meta_cols = META_COLS_KH if "kh1" in _binlog_column_names(binlog) else META_COLS
+                self._dataset(binlog, lo, hi, columns=meta_cols).map_batches(
                     combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                 ).count()
                 _mark("pass1_meta")
@@ -712,7 +730,11 @@ class CDCLake:
                             _route_to_actors(tb, handles, W, "add_rows")
                         return pa.table({"n": pa.array([tb.num_rows], pa.int64())})
 
-                    self._dataset(binlog, lo, hi).map_batches(
+                    # never decode writer-side kh columns on the payload
+                    # pass — winners are few, lake rows don't carry them
+                    names = _binlog_column_names(binlog)
+                    payload_cols = [c for c in names if c not in ("kh1", "kh2")] or None
+                    self._dataset(binlog, lo, hi, columns=payload_cols).map_batches(
                         fetch_route, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                     ).count()
                 _mark("pass2_fetch")

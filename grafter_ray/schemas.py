@@ -38,6 +38,14 @@ BINLOG = pa.schema(
     ]
 )
 
+# Binlog with writer-side precomputed key identity (util.key_hash_pair of
+# (repo, path); 0 for schema_change rows). When a binlog carries these two
+# fixed-width columns, the replay metadata pass scans NO string columns at
+# all — at 100 TB the pass-1 read is then pure fixed-width parquet decode.
+# Contract: kh1/kh2 MUST equal key_hash_pair(repo, path) — the lake's
+# finalize hashes existing lake rows with the same function and joins on it.
+BINLOG_KH = pa.schema(list(BINLOG) + [("kh1", pa.uint64()), ("kh2", pa.uint64())])
+
 # Physical lake row: canonical base columns + engine provenance columns.
 # The evolved (post schema-evolution) view is derived at read time by
 # grafter_ray.state.schema_registry.

@@ -46,8 +46,21 @@ def lww_reduce(tb: pa.Table, lsn_col: str = "lsn", keys: list[str] | None = None
 
 
 def partial_lww(tb: pa.Table, num_partitions: int) -> pa.Table:
-    """Map-side combine + partition-id stamp (shuffle-volume reducer)."""
+    """Map-side combine + partition-id stamp (shuffle-volume reducer).
+
+    If the binlog carries writer-side key hashes (schemas.BINLOG_KH), the
+    partition id comes from kh1 (same hash stream as partition_ids) and the
+    kh columns are dropped before the payload rows move on."""
+    has_kh = "kh1" in tb.column_names
     tb = lww_reduce(tb)
+    if has_kh:
+        kh1 = tb.column("kh1")
+        tb = tb.drop_columns(["kh1", "kh2"])
+        if tb.num_rows:
+            pid = pa.array(
+                (kh1.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+            )
+            return tb.append_column("partition_id", pid)
     if tb.num_rows == 0:
         if "partition_id" not in tb.column_names:
             tb = tb.append_column("partition_id", pa.array([], pa.int32()))
@@ -69,6 +82,10 @@ def compact_meta_batch(tb: pa.Table, num_partitions: int) -> pa.Table:
 
     Schema-change markers (no key) pass through with kh=0 and
     partition_id = lsn % P so they spread across actors.
+
+    When the batch already carries writer-side kh1/kh2 columns
+    (schemas.BINLOG_KH — the metadata scan then never touched a string
+    column), those are used verbatim instead of hashing here.
     """
     from ..util import key_hash_pair
 
@@ -78,7 +95,11 @@ def compact_meta_batch(tb: pa.Table, num_partitions: int) -> pa.Table:
 
     pieces = []
     if data.num_rows:
-        h1, h2 = key_hash_pair(data.column("repo"), data.column("path"))
+        if "kh1" in data.column_names:
+            h1 = data.column("kh1").to_numpy(zero_copy_only=False).astype(np.uint64)
+            h2 = data.column("kh2").to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            h1, h2 = key_hash_pair(data.column("repo"), data.column("path"))
         op_code = pc.if_else(pc.equal(data.column("op"), "delete"), pa.scalar(2, pa.int8()), pa.scalar(1, pa.int8()))
         compact = pa.table(
             {

@@ -276,3 +276,28 @@ def test_spilled_single_pass_converges(tmp_path, binlog):
     lake = CDCLake(root, num_partitions=16, actor_compact_threshold=200, actor_spill_bytes=1)
     lake.apply(rd.from_arrow(binlog), payload_mode="single_pass")
     _assert_same_state(lake, binlog)
+
+
+def test_writer_key_hash_binlog_converges(tmp_path, binlog):
+    """BINLOG_KH fast path: a binlog stamped with writer-side kh1/kh2
+    (schemas.BINLOG_KH) replays to the identical state as the plain
+    binlog — via a parquet source (so the metadata pass exercises the
+    fixed-width-only column pruning) and via single-pass mode."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    kh_tb = binlog_table(dataclasses.replace(CFG, with_key_hash=True))
+    # same logical events — kh columns are pure derived metadata
+    assert kh_tb.drop_columns(["kh1", "kh2"]).equals(binlog)
+    src = str(tmp_path / "binlog_kh")
+    os.makedirs(src)
+    pq.write_table(kh_tb, os.path.join(src, "part-0.parquet"))
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(src)
+    _assert_same_state(lake, binlog)
+
+    lake2 = CDCLake(str(tmp_path / "lake2"), num_partitions=8)
+    lake2.apply(rd.from_arrow(kh_tb), payload_mode="single_pass")
+    _assert_same_state(lake2, binlog)

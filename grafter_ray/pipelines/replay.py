@@ -44,6 +44,7 @@ set-semantics dedup falls out of LWW on identical keys.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 
 import numpy as np
@@ -87,6 +88,9 @@ _STATS_SCHEMA = pa.schema(
         ("max_lsn", pa.int64()),
         ("events", pa.int64()),
         ("deletes", pa.int64()),
+        # JSON list of the partition's delta-chain file names after this
+        # window ([] when the partition was rewritten/compacted)
+        ("deltas", pa.string()),
     ]
 )
 
@@ -95,6 +99,62 @@ def _stats_table(rows: list[dict]) -> pa.Table:
     if not rows:
         return _STATS_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
+
+
+# ---- LSM delta chains ------------------------------------------------------
+# Windowed replay at scale must not rewrite a whole partition per window
+# (finalize cost would grow with LAKE size, not window size — measured in
+# the 100M soak). When a window's per-partition delta is small relative to
+# the stored base, finalize appends a DELTA file instead: the window's
+# upsert winners (full payload + 128-bit key hash) plus tombstone rows for
+# delete winners (key hash only). Readers merge base + chain in version
+# order (newest chain position wins per key); every `max_delta_chain`-th
+# window the chain is folded into a new base (amortized O(base/chain) per
+# window). Classic LSM levelling, expressed over immutable parquet +
+# manifest entries {file, rows, max_lsn, deltas: [...]}.
+#
+# `rows` for a chained partition is an UPPER BOUND (base + delta rows;
+# overwrites/tombstones resolve at compaction) — exact again whenever
+# `deltas` is empty.
+
+_DELTA_EXTRA = [("kh1", pa.uint64()), ("kh2", pa.uint64()), ("tomb", pa.bool_())]
+DELTA_SCHEMA = pa.schema(list(LAKE) + [pa.field(n, t) for n, t in _DELTA_EXTRA])
+
+
+def delta_file(version: int, pid: int) -> str:
+    """Deterministic per-(version, partition) delta name: retries overwrite."""
+    return f"d{version:06d}-p{pid:06d}.parquet"
+
+
+def _merge_chain(base: pa.Table | None, deltas: list[pa.Table]) -> pa.Table:
+    """Merge a partition's base + delta chain (chain order = version order)
+    into the live LAKE rows: per 128-bit key, the highest chain position
+    wins; tombstone winners are dropped. Vectorized (one lexsort)."""
+    tagged = []
+    if base is not None and base.num_rows:
+        h1, h2 = key_hash_pair(base.column("repo"), base.column("path"))
+        cols = {name: base.column(name) for name in LAKE.names}
+        cols["kh1"] = pa.array(h1)
+        cols["kh2"] = pa.array(h2)
+        cols["tomb"] = pa.array(np.zeros(base.num_rows, dtype=bool))
+        tagged.append(pa.table(cols, schema=DELTA_SCHEMA))
+    tagged.extend(d.cast(DELTA_SCHEMA) for d in deltas if d.num_rows)
+    if not tagged:
+        return LAKE.empty_table()
+    parts = []
+    for i, t in enumerate(tagged):
+        parts.append(t.append_column("__chain", pa.array(np.full(t.num_rows, i, dtype=np.int32))))
+    allt = pa.concat_tables(parts, promote_options="none")
+    k1 = allt.column("kh1").to_numpy(zero_copy_only=False)
+    k2 = allt.column("kh2").to_numpy(zero_copy_only=False)
+    ch = allt.column("__chain").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-ch.astype(np.int64), k2, k1))  # per key: newest first
+    s1, s2 = k1[order], k2[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    win = allt.take(pa.array(order[first]))
+    win = win.filter(pc.invert(win.column("tomb")))
+    return win.select(LAKE.names).cast(LAKE)
 
 
 class _SpillCursor:
@@ -165,10 +225,19 @@ class MergeActor:
         prev_files: dict,
         compact_threshold: int = 2_000_000,
         spill_bytes: int | None = None,
+        delta_ratio: float = 0.2,
+        max_delta_chain: int = 4,
     ):
         self.data_dir = data_dir
         self.version = version
+        # {pid: manifest partition entry {file, rows, max_lsn[, deltas]}}
         self.prev_files = prev_files
+        # LSM knobs: a window's partition delta is appended as a delta
+        # file when it has <= delta_ratio * stored rows; chains fold into
+        # a new base when they would reach max_delta_chain files.
+        # delta_ratio=0 disables chains (always rewrite).
+        self.delta_ratio = delta_ratio
+        self.max_delta_chain = max_delta_chain
         self.compact_threshold = compact_threshold
         # payload-buffer spill threshold: when the COMPACTED winner buffer
         # exceeds this many bytes it goes to a local spill parquet, so a
@@ -427,6 +496,32 @@ class MergeActor:
         self.delta = None
         return _stats_table(stats)
 
+    def _window_delta_table(self, delta: pa.Table, new_rows: pa.Table | None) -> pa.Table:
+        """The window's per-partition change set in DELTA_SCHEMA form:
+        upsert winners with full payload + key hash (looked up from the
+        meta delta by lsn — no string hashing), plus tombstone rows (key
+        hash only) for delete winners."""
+        pieces = []
+        if new_rows is not None and new_rows.num_rows:
+            pos = pc.index_in(new_rows.column("last_lsn"), value_set=delta.column("lsn"))
+            cols = {n: new_rows.column(n) for n in LAKE.names}
+            cols["kh1"] = pc.take(delta.column("kh1"), pos)
+            cols["kh2"] = pc.take(delta.column("kh2"), pos)
+            cols["tomb"] = pa.array(np.zeros(new_rows.num_rows, dtype=bool))
+            pieces.append(pa.table(cols, schema=DELTA_SCHEMA))
+        tombs = delta.filter(pc.equal(delta.column("op_code"), pa.scalar(2, pa.int8())))
+        if tombs.num_rows:
+            n = tombs.num_rows
+            cols = {name: pa.nulls(n, LAKE.field(name).type) for name in LAKE.names}
+            cols["last_lsn"] = tombs.column("lsn")
+            cols["kh1"] = tombs.column("kh1")
+            cols["kh2"] = tombs.column("kh2")
+            cols["tomb"] = pa.array(np.ones(n, dtype=bool))
+            pieces.append(pa.table(cols, schema=DELTA_SCHEMA))
+        if not pieces:
+            return DELTA_SCHEMA.empty_table()
+        return pa.concat_tables(pieces, promote_options="none")
+
     def _finalize_one(self, pid: int, delta: pa.Table, fetched: pa.Table | None) -> dict:
         new_rows = None
         if fetched is not None and fetched.num_rows:
@@ -444,36 +539,55 @@ class MergeActor:
             ).cast(LAKE)
 
         prev = self.prev_files.get(str(pid))
-        parts = []
-        if prev is not None:
-            existing = pq.read_table(os.path.join(self.data_dir, prev))
-            # window lsns all exceed stored last_lsns → delta wins per key;
-            # survivors = existing rows whose key is untouched (anti-join
-            # on the 128-bit key hash pair, packed to fixed-width binary)
-            dk = _kh_binary(delta.column("kh1"), delta.column("kh2"))
-            eh1, eh2 = key_hash_pair(existing.column("repo"), existing.column("path"))
-            ek = _kh_binary(pa.array(eh1), pa.array(eh2))
-            survivors = existing.filter(pc.invert(pc.is_in(ek, value_set=dk)))
-            if survivors.num_rows:
-                parts.append(survivors)
-        if new_rows is not None:
-            parts.append(new_rows)
+        prev_base = prev.get("file", "") if prev else ""
+        chain = list(prev.get("deltas", [])) if prev else []
+        prev_rows = int(prev["rows"]) if prev else 0
+        n_del = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(2, pa.int8()))).as_py() or 0)
+        max_lsn = int(pc.max(delta.column("lsn")).as_py())
+        cur = self._window_delta_table(delta, new_rows)
 
-        merged = pa.concat_tables(parts) if parts else LAKE.empty_table()
+        # LSM path: small delta against an existing base → append a delta
+        # file; finalize cost is then O(window), not O(lake). Chains fold
+        # into a new base before reaching max_delta_chain files.
+        if (
+            prev is not None
+            and prev_base
+            and self.delta_ratio > 0
+            and len(chain) + 1 < self.max_delta_chain
+            and cur.num_rows <= self.delta_ratio * max(prev_rows, 1)
+        ):
+            dname = delta_file(self.version, pid)
+            pq.write_table(cur, os.path.join(self.data_dir, dname))
+            return {
+                "partition_id": pid,
+                "file": prev_base,
+                "rows": prev_rows + cur.num_rows,  # upper bound until compaction
+                "max_lsn": max_lsn,
+                "events": delta.num_rows,
+                "deletes": n_del,
+                "deltas": json.dumps(chain + [dname]),
+            }
+
+        # rewrite / compaction path: fold base + existing chain + this
+        # window (the window is just the newest chain position — its lsns
+        # all exceed stored last_lsns, so newest-wins ≡ LWW)
+        base = pq.read_table(os.path.join(self.data_dir, prev_base)) if prev_base else None
+        chain_tabs = [pq.read_table(os.path.join(self.data_dir, f)) for f in chain]
+        merged = _merge_chain(base, chain_tabs + [cur])
         fname = CommitLog.data_file(self.version, pid)
         if merged.num_rows:
             # key-sorted within partition (the reference native store keeps
             # key-ordered covering indexes, repository.clj:131-136)
             merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
             pq.write_table(merged, os.path.join(self.data_dir, fname))
-        n_del = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(2, pa.int8()))).as_py() or 0)
         return {
             "partition_id": pid,
             "file": fname if merged.num_rows else "",
             "rows": merged.num_rows,
-            "max_lsn": int(pc.max(delta.column("lsn")).as_py()),
+            "max_lsn": max_lsn,
             "events": delta.num_rows,
             "deletes": n_del,
+            "deltas": "[]",
         }
 
 
@@ -499,6 +613,8 @@ class CDCLake:
         num_partitions: int = 64,
         actor_compact_threshold: int = 2_000_000,
         actor_spill_bytes: int | None = None,
+        delta_ratio: float | None = None,
+        max_delta_chain: int | None = None,
     ):
         self.root = root
         self.log = CommitLog(root)
@@ -506,6 +622,17 @@ class CDCLake:
         self.num_partitions = latest["num_partitions"] if latest else num_partitions
         self.actor_compact_threshold = actor_compact_threshold
         self.actor_spill_bytes = actor_spill_bytes  # None → GRAFT_ACTOR_SPILL_MB (512 MB)
+        # LSM delta-chain knobs (see the _merge_chain block comment):
+        # windows whose per-partition delta is <= delta_ratio * stored rows
+        # append a delta file instead of rewriting the partition; chains
+        # fold into a new base before reaching max_delta_chain files.
+        # delta_ratio=0 → always rewrite (pre-chain behavior).
+        self.delta_ratio = (
+            delta_ratio if delta_ratio is not None else float(os.environ.get("GRAFT_DELTA_RATIO", "0.2"))
+        )
+        self.max_delta_chain = (
+            max_delta_chain if max_delta_chain is not None else int(os.environ.get("GRAFT_MAX_DELTA_CHAIN", "4"))
+        )
 
     # -- state -------------------------------------------------------------
     @property
@@ -627,7 +754,7 @@ class CDCLake:
         prev_counters = prev["counters"] if prev else {"events": 0, "deletes": 0, "schema_changes": 0}
 
         P = self.num_partitions
-        prev_files = {pid: e["file"] for pid, e in prev_parts.items()}
+        prev_files = dict(prev_parts)  # full entries: {file, rows, max_lsn[, deltas]}
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         if concurrency is None:
             # W merge actors ≪ routing tasks: every routed block waits for
@@ -652,6 +779,8 @@ class CDCLake:
                 self.log.data_dir, version, prev_files,
                 compact_threshold=self.actor_compact_threshold,
                 spill_bytes=self.actor_spill_bytes,
+                delta_ratio=self.delta_ratio,
+                max_delta_chain=self.max_delta_chain,
             )
             for _ in range(W)
         ]
@@ -762,8 +891,12 @@ class CDCLake:
             seen_pids.add(pid)
             n_events += s["events"]
             n_deletes += s["deletes"]
+            deltas = json.loads(s["deltas"]) if s["deltas"] else []
             if s["rows"] > 0:
-                parts[pid] = {"file": s["file"], "rows": int(s["rows"]), "max_lsn": int(s["max_lsn"])}
+                entry = {"file": s["file"], "rows": int(s["rows"]), "max_lsn": int(s["max_lsn"])}
+                if deltas:
+                    entry["deltas"] = deltas
+                parts[pid] = entry
             else:
                 parts.pop(pid, None)
 
@@ -820,6 +953,53 @@ class CDCLake:
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)
 
+    def compact(self, concurrency: int | None = None) -> dict:
+        """Fold every partition's delta chain into a fresh base file
+        (Delta-style OPTIMIZE) — one distributed merge task per chained
+        partition. Commits a new manifest version (same watermark, exact
+        row counts, no chains); no-op when nothing is chained. Old files
+        stay until vacuum() passes their retention horizon."""
+        with self.log.writer_lock("compact"):
+            prev = self.manifest
+            if not prev:
+                return {}
+            chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+            if not chained:
+                return prev
+            version = prev["version"] + 1
+            data_dir = self.log.data_dir
+
+            @ray.remote(num_cpus=1)
+            def _compact_one(pid: str, e: dict) -> tuple[str, dict | None]:
+                base = pq.read_table(os.path.join(data_dir, e["file"])) if e["file"] else None
+                chain = [pq.read_table(os.path.join(data_dir, f)) for f in e["deltas"]]
+                merged = _merge_chain(base, chain)
+                if not merged.num_rows:
+                    return pid, None
+                merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
+                fname = CommitLog.data_file(version, int(pid))
+                pq.write_table(merged, os.path.join(data_dir, fname))
+                return pid, {"file": fname, "rows": merged.num_rows, "max_lsn": e["max_lsn"]}
+
+            results = ray.get([_compact_one.remote(pid, e) for pid, e in chained.items()])
+            parts = dict(prev["partitions"])
+            for pid, entry in results:
+                if entry is None:
+                    parts.pop(pid, None)
+                else:
+                    parts[pid] = entry
+            manifest = {
+                "version": version,
+                "watermark_lsn": prev["watermark_lsn"],
+                "schema_version": prev["schema_version"],
+                "num_partitions": prev["num_partitions"],
+                "partitions": parts,
+                "counters": prev["counters"],
+                "parent": prev["version"],
+            }
+            self.log.commit(manifest)
+            return manifest
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files referenced only by manifests older than the
         last `keep_versions` committed versions (bounded time travel —
@@ -832,7 +1012,10 @@ class CDCLake:
             live: set[str] = set()
             for v in keep:
                 m = self.log.read(v)
-                live |= {e["file"] for e in m["partitions"].values()}
+                for e in m["partitions"].values():
+                    if e["file"]:
+                        live.add(e["file"])
+                    live |= set(e.get("deltas", []))
             removed = 0
             for f in os.listdir(self.log.data_dir):
                 if f.endswith(".parquet") and f not in live:
@@ -863,22 +1046,59 @@ class CDCLake:
                 best = m
         return best
 
-    def files(self, version: int | None = None) -> list[str]:
+    def partition_entries(self, version: int | None = None) -> list[dict]:
         m = self.manifest_at(version)
-        if not m:
-            return []
-        return [os.path.join(self.log.data_dir, e["file"]) for e in m["partitions"].values()]
+        return list(m["partitions"].values()) if m else []
+
+    def files(self, version: int | None = None) -> list[str]:
+        """All live data files (bases + delta chains) of a version."""
+        out = []
+        for e in self.partition_entries(version):
+            if e["file"]:
+                out.append(os.path.join(self.log.data_dir, e["file"]))
+            out.extend(os.path.join(self.log.data_dir, f) for f in e.get("deltas", []))
+        return out
+
+    def _entry_table(self, e: dict) -> pa.Table:
+        """One partition's live rows: base ⊕ delta chain (LWW merge)."""
+        base = pq.read_table(os.path.join(self.log.data_dir, e["file"])) if e["file"] else None
+        chain = [pq.read_table(os.path.join(self.log.data_dir, f)) for f in e.get("deltas", [])]
+        if chain:
+            return _merge_chain(base, chain)
+        return base if base is not None else LAKE.empty_table()
 
     def read(self, view: bool = True, columns: list[str] | None = None):
         """Lake state as a streaming ray.data.Dataset (evolved-schema view
         applied per batch unless view=False)."""
         import ray.data as rd
 
-        files = self.files()
-        if not files:
+        entries = self.partition_entries()
+        if not entries:
             ds = rd.from_arrow(LAKE.empty_table())
+        elif any(e.get("deltas") for e in entries):
+            # chain-aware distributed read: one merge task per partition
+            # (read amplification is the LSM trade; compaction bounds the
+            # chain at max_delta_chain files)
+            data_dir = self.log.data_dir
+            cols = columns
+
+            def merge_entry(batch: pa.Table) -> pa.Table:
+                out = []
+                for row in batch.to_pylist():
+                    base = pq.read_table(os.path.join(data_dir, row["file"])) if row["file"] else None
+                    chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["deltas"])]
+                    t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+                    out.append(t.select(cols) if cols else t)
+                return pa.concat_tables(out, promote_options="none")
+
+            items = [
+                {"file": e["file"], "deltas": json.dumps(e.get("deltas", []))} for e in entries
+            ]
+            ds = rd.from_items(items).map_batches(
+                merge_entry, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+            )
         else:
-            ds = rd.read_parquet(files, columns=columns)
+            ds = rd.read_parquet(self.files(), columns=columns)
         if view and self.schema_version > 0:
             v = self.schema_version
             ds = ds.map_batches(
@@ -889,11 +1109,11 @@ class CDCLake:
     def read_table(self, view: bool = True, version: int | None = None) -> pa.Table:
         """Driver-side full read — small/test scales only. `version` pins
         an older committed manifest (time travel)."""
-        files = self.files(version)
-        if not files:
+        entries = self.partition_entries(version)
+        if not entries:
             tb = LAKE.empty_table()
         else:
-            tb = pa.concat_tables([pq.read_table(f) for f in files])
+            tb = pa.concat_tables([self._entry_table(e) for e in entries])
         if tb.num_rows:
             # content can exceed the 2 GiB 32-bit string-offset limit when
             # many partitions concatenate — widen before the global sort

@@ -301,3 +301,56 @@ def test_writer_key_hash_binlog_converges(tmp_path, binlog):
     lake2 = CDCLake(str(tmp_path / "lake2"), num_partitions=8)
     lake2.apply(rd.from_arrow(kh_tb), payload_mode="single_pass")
     _assert_same_state(lake2, binlog)
+
+
+def test_delta_chain_windowed_replay(tmp_path, binlog):
+    """LSM delta chains: with a permissive delta_ratio, windowed replay
+    appends per-window delta files instead of rewriting partitions;
+    read_table / streaming read / time travel merge base+chain correctly;
+    chains fold into a new base before max_delta_chain; vacuum keeps
+    chain-referenced files live."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8, delta_ratio=10.0, max_delta_chain=4)
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    versions = lake.log.versions()
+    chains = [
+        e.get("deltas", [])
+        for v in versions
+        for e in lake.log.read(v)["partitions"].values()
+    ]
+    assert any(chains), "no delta chain was ever created"
+    assert all(len(c) < 4 for c in chains), "chain exceeded max_delta_chain"
+    _assert_same_state(lake, binlog)
+    # streaming read merges chains to the same live rows
+    assert lake.read(view=False).count() == lake.read_table(view=False).num_rows
+    # time travel: a mid version (with live chains) equals the oracle prefix
+    mid_v = versions[len(versions) // 2]
+    wm = lake.log.read(mid_v)["watermark_lsn"]
+    got = lake.read_table(view=False, version=mid_v)
+    want, _ = oracle_lake_table(binlog, upto_lsn=wm)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    # vacuum keeps everything the kept manifests reference
+    lake.vacuum(keep_versions=2)
+    _assert_same_state(lake, binlog)
+    # compact() folds all chains into fresh bases: exact rows, no deltas,
+    # same watermark and live state
+    wm_before = lake.watermark
+    m = lake.compact()
+    assert lake.watermark == wm_before
+    assert all(not e.get("deltas") for e in m["partitions"].values())
+    assert sum(e["rows"] for e in m["partitions"].values()) == lake.read_table(view=False).num_rows
+    _assert_same_state(lake, binlog)
+    # compacting again is a no-op (no new version)
+    v = lake.manifest["version"]
+    lake.compact()
+    assert lake.manifest["version"] == v
+
+
+def test_delta_chain_disabled_matches(tmp_path, binlog):
+    """delta_ratio=0 (always-rewrite) converges identically — the chain
+    path is an execution strategy, not a semantic change."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8, delta_ratio=0.0)
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    for v in lake.log.versions():
+        for e in lake.log.read(v)["partitions"].values():
+            assert not e.get("deltas")
+    _assert_same_state(lake, binlog)

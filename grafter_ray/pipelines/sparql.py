@@ -11,14 +11,19 @@ Text layer (string → string, mirrors the reference's pre-processing):
   `OFFSET <n|?var>` occurrences keyed by their current value
 
 Execution layer: the SELECT / WHERE-BGP subset (GRAPH groups, VALUES
-constraints, FILTER ?var <op> const, OPTIONAL left joins, ORDER BY,
-LIMIT/OFFSET, `{A} UNION {B}` chains (bag semantics, one chain per
-group), nested `{ SELECT ... LIMIT n }` subselects (natural-joined on
-shared vars), ';'/',' predicate-object lists) is compiled onto
-QuadStore.bgp — joins, broadcast-vs-shuffle planning and graph
-restriction all come from the store layer. ASK text form → bool;
-CONSTRUCT text form → QUAD-schema table (set semantics). Unsupported
-constructs (aggregates, expressions, DESCRIBE) raise a clear error."""
+constraints, FILTER with a full boolean/arithmetic/string-function
+expression grammar (REGEX/STRSTARTS/STRENDS/CONTAINS/STRLEN/STR/
+UCASE/LCASE/CONCAT/SUBSTR/BOUND, && || ! and + - * /), BIND(expr AS
+?alias), OPTIONAL left joins, ORDER BY, LIMIT/OFFSET, SELECT
+DISTINCT/REDUCED, aggregates (COUNT/SUM/MIN/MAX/AVG, incl. DISTINCT
+arguments) with GROUP BY, `{A} UNION {B}` chains (bag semantics, one
+chain per group), nested `{ SELECT ... LIMIT n }` subselects
+(natural-joined on shared vars), ';'/',' predicate-object lists) is
+compiled onto QuadStore.bgp — joins, broadcast-vs-shuffle planning
+and graph restriction all come from the store layer. ASK text form →
+bool; CONSTRUCT text form → QUAD-schema table (set semantics);
+DESCRIBE → subject-matched QUAD-schema table (simple subject
+description, an allowed DESCRIBE answer)."""
 
 from __future__ import annotations
 
@@ -128,8 +133,8 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|ORDER|GROUP|BY|ASC|DESC|COUNT|SUM|MIN|MAX|AVG|AS|a|true|false)\b)
-      |(?P<op><=|>=|!=|<|>|=)
+      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|AS|REGEX|STRSTARTS|STRENDS|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|a|true|false)\b)
+      |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
       |(?P<punct>[{}().;,])
@@ -155,8 +160,12 @@ class SelectQuery:
     template: list = field(default_factory=list)  # CONSTRUCT triples:
     # (s_term, p_term, o_term), each term = ('var', name) | ('iri', v) |
     # ('bnode', v) | ('literal', v, dt, lang)
-    aggregates: list = field(default_factory=list)  # (fn, var, alias)
+    aggregates: list = field(default_factory=list)  # (fn, var, alias, distinct)
     group_by: list = field(default_factory=list)  # grouping var names
+    distinct: bool = False  # SELECT DISTINCT (REDUCED treated as DISTINCT)
+    binds: list = field(default_factory=list)  # (alias, expr_ast)
+    filter_exprs: list = field(default_factory=list)  # expr asts beyond ?v op const
+    describe_terms: list = field(default_factory=list)  # ('iri', v) | ('var', name)
 
 
 def _tokens(text: str):
@@ -219,6 +228,29 @@ class _QParser:
             self.q.form = "construct"
             self._template()
             self.expect("WHERE")
+        elif head and head.upper() == "DESCRIBE":
+            self.next()
+            self.q.form = "describe"
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    self.next()
+                    self.q.describe_terms.append(("var", v[1:]))
+                elif k in ("iri", "pname"):
+                    self.next()
+                    self.q.describe_terms.append(("iri", self._resolve(v)))
+                else:
+                    break
+            if not self.q.describe_terms:
+                raise SparqlParseError("DESCRIBE needs at least one resource or variable")
+            if self.peek()[1] and self.peek()[1].upper() == "WHERE":
+                self.next()
+                self.expect("{")
+                self._group(graph=None)
+                self._modifiers(stop_at_brace=False)
+            # DESCRIBE <iri>... without WHERE: no pattern group at all
+            self.q.select = [n for t, n in self.q.describe_terms if t == "var"] or None
+            return self.q
         else:
             self._select_head()
             self.expect("WHERE")
@@ -267,6 +299,11 @@ class _QParser:
 
     def _select_head(self):
         self.expect("SELECT")
+        if self.peek()[0] == "kw" and self.peek()[1].upper() in ("DISTINCT", "REDUCED"):
+            # REDUCED permits (but does not require) dedup — implemented
+            # as full DISTINCT, a valid REDUCED answer
+            self.next()
+            self.q.distinct = True
         if self.peek()[0] == "star":
             self.next()
             self.q.select = None
@@ -277,12 +314,16 @@ class _QParser:
             if k == "var":
                 self.next()
                 sel.append(v[1:])
-            elif v == "(":  # (AGG(?v) AS ?alias)
+            elif v == "(":  # (AGG([DISTINCT] ?v) AS ?alias)
                 self.next()
                 fk, fv = self.next()
                 if fk != "kw" or fv.upper() not in self._AGG_FNS:
                     raise SparqlParseError(f"unsupported select expression {fv!r}")
                 self.expect("(")
+                agg_distinct = False
+                if self.peek()[0] == "kw" and self.peek()[1].upper() == "DISTINCT":
+                    self.next()
+                    agg_distinct = True
                 vk, vv = self.next()
                 if vk == "star":
                     var = None  # COUNT(*)
@@ -296,7 +337,7 @@ class _QParser:
                 if ak != "var":
                     raise SparqlParseError(f"bad aggregate alias {av!r}")
                 self.expect(")")
-                self.q.aggregates.append((fv.lower(), var, av[1:]))
+                self.q.aggregates.append((fv.lower(), var, av[1:], agg_distinct))
                 sel.append(av[1:])
             else:
                 break
@@ -377,6 +418,17 @@ class _QParser:
                 self.next()
                 self._filter()
                 continue
+            if k == "kw" and v.upper() == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self._expr()
+                self.expect("AS")
+                ak, av = self.next()
+                if ak != "var":
+                    raise SparqlParseError(f"bad BIND alias {av!r}")
+                self.expect(")")
+                self.q.binds.append((av[1:], expr))
+                continue
             if k == "kw" and v.upper() == "GRAPH":
                 self.next()
                 gk, gv = self.next()
@@ -416,16 +468,113 @@ class _QParser:
 
     def _filter(self):
         self.expect("(")
-        k, v = self.next()
-        if k != "var":
-            raise SparqlParseError(f"FILTER subset supports ?var <op> constant, got {v!r}")
-        var = v[1:]
-        ok, op = self.next()
-        if ok != "op":
-            raise SparqlParseError(f"bad FILTER operator {op!r}")
-        val = self._term()
+        expr = self._expr()
         self.expect(")")
-        self.q.filters.append((var, op, val))
+        # simple `?var <op> constant` shape keeps the original fast path
+        if (
+            expr[0] == "cmp"
+            and expr[2][0] == "var"
+            and expr[3][0] in ("num", "lit", "iri")
+        ):
+            self.q.filters.append((expr[2][1], expr[1], expr[3][1]))
+        else:
+            self.q.filter_exprs.append(expr)
+
+    # --- expression grammar (BIND / FILTER subset) --------------------------
+    # expr     := and_e ('||' and_e)*
+    # and_e    := not_e ('&&' not_e)*
+    # not_e    := '!' not_e | cmp
+    # cmp      := add (op add)?          op ∈ = != < <= > >=
+    # add      := mul (('+'|'-') mul)*
+    # mul      := unary (('*'|'/') unary)*
+    # unary    := '-' unary | primary
+    # primary  := var | num | string | iri/pname | true/false
+    #           | FN '(' expr (',' expr)* ')' | '(' expr ')'
+    _EXPR_FNS = {
+        "STR", "STRLEN", "UCASE", "LCASE", "CONCAT", "SUBSTR",
+        "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "BOUND",
+    }
+
+    def _expr(self):
+        node = self._expr_and()
+        while self.peek()[1] == "||":
+            self.next()
+            node = ("or", node, self._expr_and())
+        return node
+
+    def _expr_and(self):
+        node = self._expr_not()
+        while self.peek()[1] == "&&":
+            self.next()
+            node = ("and", node, self._expr_not())
+        return node
+
+    def _expr_not(self):
+        if self.peek()[1] == "!":
+            self.next()
+            return ("not", self._expr_not())
+        return self._expr_cmp()
+
+    def _expr_cmp(self):
+        node = self._expr_add()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", v, node, self._expr_add())
+        return node
+
+    def _expr_add(self):
+        node = self._expr_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = ("arith", op, node, self._expr_mul())
+        return node
+
+    def _expr_mul(self):
+        node = self._expr_unary()
+        while self.peek()[0] == "star" or self.peek()[1] == "/":
+            op = "*" if self.next()[0] == "star" else "/"
+            node = ("arith", op, node, self._expr_unary())
+        return node
+
+    def _expr_unary(self):
+        if self.peek()[1] == "-":
+            self.next()
+            return ("arith", "-", ("num", "0"), self._expr_unary())
+        return self._expr_primary()
+
+    def _expr_primary(self):
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            return ("var", v[1:])
+        if k == "num":
+            self.next()
+            return ("num", v)
+        if k == "str":
+            return ("lit", self._term())
+        if k in ("iri", "pname"):
+            self.next()
+            return ("iri", self._resolve(v))
+        if k == "kw" and v in ("true", "false"):
+            self.next()
+            return ("bool", v == "true")
+        if k == "kw" and v.upper() in self._EXPR_FNS:
+            self.next()
+            fn = v.upper()
+            self.expect("(")
+            args = [self._expr()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._expr())
+            self.expect(")")
+            return ("call", fn, args)
+        if v == "(":
+            self.next()
+            node = self._expr()
+            self.expect(")")
+            return node
+        raise SparqlParseError(f"bad expression term {k}:{v!r}")
 
     def _values(self):
         k, v = self.next()
@@ -562,7 +711,33 @@ def sparql_query(
         return _run_select(q, store).num_rows > 0
     if q.form == "construct":
         return _instantiate_template(q, _run_select(q, store))
+    if q.form == "describe":
+        return _run_describe(q, store)
     return _run_select(q, store)
+
+
+def _run_describe(q: SelectQuery, store) -> pa.Table:
+    """DESCRIBE → all quads whose SUBJECT is a described resource (the
+    simple subject-description form — DESCRIBE's result shape is
+    implementation-defined, this is a conforming answer). Constant IRIs
+    are used directly; variables come from the WHERE solutions."""
+    resources = {v for t, v in q.describe_terms if t == "iri"}
+    var_terms = [v for t, v in q.describe_terms if t == "var"]
+    if var_terms:
+        sols = _run_select(q, store)
+        for name in var_terms:
+            col = pc.cast(sols.column(name), pa.string())
+            resources.update(x for x in col.to_pylist() if x is not None)
+    from ..schemas import QUAD
+
+    if not resources:
+        return QUAD.empty_table()
+    rset = pa.array(sorted(resources), pa.string())
+
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.is_in(tb.column("s"), value_set=rset))
+
+    return _collect(store.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
 
 
 def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
@@ -671,16 +846,39 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             return tb.filter(kernel(col, rhs))
 
         constraints.append(filter_fn)
-    if ds is not None:
+    # FILTER (and BIND) scope is the WHOLE group pattern including
+    # OPTIONAL parts (BOUND(?optVar) is the canonical use), so with
+    # OPTIONALs present everything defers until after the left joins;
+    # otherwise binds + filters run STREAMING inside the Dataset.
+    stream_constraints = ds is not None and not q.optionals
+    if stream_constraints:
+        if q.binds:
+            binds = q.binds
+
+            def apply_binds(tb: pa.Table, binds=binds) -> pa.Table:
+                return _apply_binds(tb, binds)
+
+            ds = ds.map_batches(apply_binds, batch_format="pyarrow", zero_copy_batch=True)
         for fn in constraints:
             ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        if q.filter_exprs:
+            exprs = q.filter_exprs
+
+            def apply_exprs(tb: pa.Table, exprs=exprs) -> pa.Table:
+                for e in exprs:
+                    tb = _filter_expr(tb, e)
+                return tb
+
+            ds = ds.map_batches(apply_exprs, batch_format="pyarrow", zero_copy_batch=True)
     bound = getattr(q, "_bound", {})
     n_need = (q.offset or 0) + (q.limit if q.limit is not None else 0)
     # SPARQL applies solution modifiers AFTER the whole WHERE clause:
     # pushing LIMIT below an OPTIONAL left join / subselect join / GROUP
-    # BY would truncate before the cardinality changes, so the pushdown
-    # is only safe when none are present (and no ORDER BY).
-    late_slice = bool(q.order_by or q.optionals or q.subselects or q.aggregates)
+    # BY / DISTINCT would truncate before the cardinality changes, so
+    # the pushdown is only safe when none are present (and no ORDER BY).
+    late_slice = bool(
+        q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct
+    )
     # aggregate pushdown: with a pure streaming WHERE the GROUP BY runs
     # DISTRIBUTED (two-phase grouped_agg) and only the aggregated rows
     # are ever collected
@@ -702,25 +900,37 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             if not keys:
                 raise SparqlParseError("subselect shares no variable with the outer group")
             tb = tb.join(stb, keys=keys, join_type="inner")
-    if ds is None:
-        for fn in constraints:  # constraints over a subselect-only group
-            tb = fn(tb)
     if q.optionals:
         tb = _apply_optionals(tb, q.optionals, store)
+    if not stream_constraints:
+        tb = _apply_binds(tb, q.binds)
+        for fn in constraints:
+            tb = fn(tb)
+        for e in q.filter_exprs:
+            tb = _filter_expr(tb, e)
     if q.aggregates and not push_agg:  # post-join fallback (small table)
         import ray.data as _rd
 
         tb = _collect(_aggregate_ds(_rd.from_arrow(tb), q))
+    for var, val in bound.items():  # re-project bound vars as constant cols
+        if var not in tb.column_names:
+            tb = tb.append_column(var, pa.array([str(val)] * tb.num_rows, pa.string()))
+    if q.distinct:
+        # SPARQL modifier order: project → DISTINCT → ORDER → slice
+        # (ORDER BY vars must appear in the projection, per the spec)
+        if q.select:
+            missing = [v for v in q.select if v not in tb.column_names]
+            if missing:
+                raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
+            tb = tb.select(q.select)
+        tb = tb.group_by(tb.column_names).aggregate([])
     if q.order_by:
         tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
     if q.limit is not None and (late_slice or ds is None):
         tb = tb.slice(0, n_need)
     if q.offset:
         tb = tb.slice(q.offset)
-    for var, val in bound.items():  # re-project bound vars as constant cols
-        if var not in tb.column_names:
-            tb = tb.append_column(var, pa.array([str(val)] * tb.num_rows, pa.string()))
-    if q.select:
+    if q.select and not q.distinct:
         missing = [v for v in q.select if v not in tb.column_names]
         if missing:
             raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
@@ -728,18 +938,184 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     return tb
 
 
+# --- expression evaluation (BIND / FILTER) -----------------------------------
+
+_CMP_KERNELS = {
+    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+_ARITH_KERNELS = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}
+
+
+def _is_num(x) -> bool:
+    return pa.types.is_floating(x.type) or pa.types.is_integer(x.type)
+
+
+def _to_f64(x):
+    """Lexical storage form → number (columns hold strings)."""
+    if _is_num(x):
+        return pc.cast(x, pa.float64())
+    return pc.cast(pc.cast(x, pa.string()), pa.float64())
+
+
+def _to_str(x):
+    return pc.cast(x, pa.string())
+
+
+def _scalar_int(x, what: str) -> int:
+    if not isinstance(x, pa.Scalar):
+        raise SparqlParseError(f"{what} requires a constant argument")
+    return int(x.as_py())
+
+
+def _eval_expr(expr, tb: pa.Table):
+    """AST → pa.Array / pa.ChunkedArray / pa.Scalar over the solution
+    table. Unbound variables evaluate to all-null (so BOUND and
+    null-propagating kernels behave per SPARQL's error-as-unbound
+    semantics)."""
+    kind = expr[0]
+    if kind == "var":
+        name = expr[1]
+        if name not in tb.column_names:
+            return pa.nulls(tb.num_rows, pa.string())
+        return tb.column(name)
+    if kind == "num":
+        v = expr[1]
+        return pa.scalar(float(v)) if "." in v else pa.scalar(int(v), pa.int64())
+    if kind in ("lit", "iri"):
+        return pa.scalar(expr[1], pa.string())
+    if kind == "bool":
+        return pa.scalar(expr[1], pa.bool_())
+    if kind == "cmp":
+        _, op, le, re_ = expr
+        lv, rv = _eval_expr(le, tb), _eval_expr(re_, tb)
+        if _is_num(lv) or _is_num(rv):
+            lv, rv = _to_f64(lv), _to_f64(rv)
+        elif not pa.types.is_boolean(lv.type):
+            lv, rv = _to_str(lv), _to_str(rv)
+        return _CMP_KERNELS[op](lv, rv)
+    if kind == "arith":
+        _, op, le, re_ = expr
+        return _ARITH_KERNELS[op](_to_f64(_eval_expr(le, tb)), _to_f64(_eval_expr(re_, tb)))
+    if kind == "and":
+        return pc.and_kleene(_eval_expr(expr[1], tb), _eval_expr(expr[2], tb))
+    if kind == "or":
+        return pc.or_kleene(_eval_expr(expr[1], tb), _eval_expr(expr[2], tb))
+    if kind == "not":
+        return pc.invert(_eval_expr(expr[1], tb))
+    if kind == "call":
+        return _eval_call(expr[1], expr[2], tb)
+    raise SparqlParseError(f"unsupported expression node {kind!r}")
+
+
+def _eval_call(fn: str, args: list, tb: pa.Table):
+    if fn == "BOUND":
+        v = _eval_expr(args[0], tb)
+        if isinstance(v, pa.Scalar):
+            return pa.scalar(v.is_valid, pa.bool_())
+        return pc.is_valid(v)
+    vals = [_eval_expr(a, tb) for a in args]
+    if fn == "STR":
+        return _to_str(vals[0])
+    if fn == "STRLEN":
+        return pc.utf8_length(_to_str(vals[0]))
+    if fn == "UCASE":
+        return pc.utf8_upper(_to_str(vals[0]))
+    if fn == "LCASE":
+        return pc.utf8_lower(_to_str(vals[0]))
+    if fn == "CONCAT":
+        return pc.binary_join_element_wise(*[_to_str(v) for v in vals], "")
+    if fn == "SUBSTR":  # SPARQL is 1-based, length optional
+        start = _scalar_int(vals[1], "SUBSTR start")
+        stop = (start - 1 + _scalar_int(vals[2], "SUBSTR length")) if len(vals) > 2 else None
+        return pc.utf8_slice_codeunits(_to_str(vals[0]), start - 1, stop)
+    if fn == "CONTAINS":
+        return pc.match_substring(_to_str(vals[0]), str(vals[1].as_py()))
+    if fn == "STRSTARTS":
+        return pc.starts_with(_to_str(vals[0]), str(vals[1].as_py()))
+    if fn == "STRENDS":
+        return pc.ends_with(_to_str(vals[0]), str(vals[1].as_py()))
+    if fn == "REGEX":  # REGEX(str, pattern[, flags]) — 'i' flag supported
+        flags = str(vals[2].as_py()) if len(vals) > 2 else ""
+        return pc.match_substring_regex(
+            _to_str(vals[0]), str(vals[1].as_py()), ignore_case="i" in flags
+        )
+    raise SparqlParseError(f"unsupported function {fn}")
+
+
+def _apply_binds(tb: pa.Table, binds: list) -> pa.Table:
+    for alias, expr in binds:
+        v = _eval_expr(expr, tb)
+        if isinstance(v, pa.Scalar):
+            v = pa.repeat(v, tb.num_rows)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        tb = tb.append_column(alias, v)
+    return tb
+
+
+def _filter_expr(tb: pa.Table, expr) -> pa.Table:
+    mask = _eval_expr(expr, tb)
+    if isinstance(mask, pa.Scalar):
+        return tb if (mask.is_valid and mask.as_py()) else tb.slice(0, 0)
+    if not pa.types.is_boolean(mask.type):
+        raise SparqlParseError("FILTER expression is not boolean")
+    return tb.filter(pc.fill_null(mask, False))
+
+
 def _aggregate_ds(ds, q: SelectQuery):
     """GROUP BY + aggregates → distributed two-phase grouped_agg.
     Lexical values cast to float64 for SUM/AVG/MIN/MAX (the engine's
     storage form is the lexical string); COUNT counts solutions. A
-    query with aggregates but no GROUP BY aggregates globally."""
+    query with aggregates but no GROUP BY aggregates globally.
+
+    DISTINCT aggregates (COUNT(DISTINCT ?v) etc.) run as a separate
+    distributed pass per distinct var: an exact `distinct` over
+    keys ∪ {v} (one key exchange), then the same grouped_agg — the raw
+    stream is never collected. Mixed plain+distinct results join on the
+    grouping keys driver-side (aggregated outputs are group-sized)."""
+    import ray.data as _rd
+
+    plain = [(fn, v, a) for fn, v, a, d in q.aggregates if not d]
+    dist = [(fn, v, a) for fn, v, a, d in q.aggregates if d]
+    for fn, v, a in dist:
+        if v is None:
+            raise SparqlParseError("COUNT(DISTINCT *) is not valid SPARQL")
+    if not dist:
+        return _agg_pass(ds, q.group_by, plain)
+    keys = list(q.group_by)
+    if len(dist) + (1 if plain else 0) > 1:
+        ds = ds.materialize()  # narrow solution projection, multiple passes
+    parts = []
+    if plain:
+        parts.append(_collect(_agg_pass(ds, keys, plain)))
+    byvar: dict[str, list] = {}
+    for fn, v, a in dist:
+        byvar.setdefault(v, []).append((fn, a))
+    from .relational import distinct as rel_distinct
+
+    for v, fns in byvar.items():
+        dd = rel_distinct(ds, keys + [v])
+        parts.append(_collect(_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns])))
+    out = parts[0]
+    for p in parts[1:]:
+        if keys:
+            out = out.join(p, keys=keys, join_type="inner")
+        else:  # global aggregates: single-row parts, stack columns
+            for name in p.column_names:
+                out = out.append_column(name, p.column(name))
+    return _rd.from_arrow(out)
+
+
+def _agg_pass(ds, group_by: list[str], aggs3: list[tuple]):
+    """One grouped_agg pass: aggs3 = [(fn, var, alias)]."""
     from .relational import grouped_agg
 
-    num_vars = {v for fn, v, _a in q.aggregates if fn in ("sum", "avg", "min", "max") and v}
-    keys = list(q.group_by)
+    num_vars = {v for fn, v, _a in aggs3 if fn in ("sum", "avg", "min", "max") and v}
+    keys = list(group_by)
     synth = not keys
 
-    counts = [(v, alias) for fn, v, alias in q.aggregates if fn == "count"]
+    counts = [(v, alias) for fn, v, alias in aggs3 if fn == "count"]
 
     def prep(tb: pa.Table) -> pa.Table:
         for v in num_vars:
@@ -761,7 +1137,7 @@ def _aggregate_ds(ds, q: SelectQuery):
     if synth:
         keys = ["__g"]
     specs = []
-    for fn, v, alias in q.aggregates:
+    for fn, v, alias in aggs3:
         if fn == "count":
             specs.append((alias, f"__c_{alias}", "sum"))
         elif fn == "avg":

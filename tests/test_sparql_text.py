@@ -186,9 +186,11 @@ def test_unsupported_constructs_raise():
     store = QuadStore.from_table(
         pa.table({k: pa.array([], pa.string()) for k in ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"]})
     )
+    # REGEX in FILTER is now part of the supported expression subset
+    assert sparql_query('SELECT * WHERE { ?s ?p ?o FILTER(regex(?o, "x")) }', store).num_rows == 0
     with pytest.raises(SparqlParseError):
-        # FILTER subset is ?var <op> constant — function calls rejected
-        sparql_query('SELECT * WHERE { ?s ?p ?o FILTER(regex(?o, "x")) }', store)
+        # functions outside the expression subset are rejected
+        sparql_query("SELECT * WHERE { ?s ?p ?o FILTER(MD5(?o) = ?o) }", store)
     with pytest.raises(SparqlParseError):
         # one UNION chain per group in the subset
         sparql_query(
@@ -389,3 +391,145 @@ def test_group_by_limit_applies_after_grouping():
     )
     assert out.num_rows == 2
     assert out.column("s").to_pylist() == ["http://x/a", "http://x/b"]
+
+
+# --- expressions: BIND / FILTER grammar / DISTINCT / DESCRIBE ----------------
+
+def _tag_store():
+    import pyarrow as pa
+
+    subs = ["http://u/1", "http://u/2", "http://u/3", "http://u/1"]
+    objs = ["red", "red", "blue", "blue"]
+    tb = pa.table(
+        {
+            "s": pa.array(subs, pa.string()),
+            "p": pa.array(["http://p/tag"] * 4, pa.string()),
+            "o_kind": pa.array(["literal"] * 4, pa.string()),
+            "o_value": pa.array(objs, pa.string()),
+            "o_datatype": pa.nulls(4, pa.string()),
+            "o_lang": pa.nulls(4, pa.string()),
+            "c": pa.nulls(4, pa.string()),
+        }
+    )
+    return QuadStore.from_table(tb)
+
+
+def test_bind_arithmetic():
+    out = sparql_query(
+        "SELECT ?s ?twice WHERE { ?s <http://p/size> ?n . BIND(?n * 2 AS ?twice) } ORDER BY ?s",
+        _mini_store(),
+    )
+    assert out.column("twice").to_pylist() == [10.0, 24.0, 14.0, 60.0]
+
+
+def test_bind_concat_and_str_functions():
+    out = sparql_query(
+        'SELECT ?s ?tag WHERE { ?s <http://p/label> ?lab . '
+        'BIND(CONCAT(UCASE(?lab), "!") AS ?tag) } ORDER BY ?s',
+        _mini_store(),
+    )
+    assert out.column("tag").to_pylist() == ["AYE!", "BEE!"]
+
+
+def test_filter_boolean_connectives():
+    out = sparql_query(
+        "SELECT ?n WHERE { ?s <http://p/size> ?n . FILTER(?n > 6 && ?n < 20) } ORDER BY ?n",
+        _mini_store(),
+    )
+    assert out.column("n").to_pylist() == ["12", "7"]
+    out = sparql_query(
+        "SELECT ?n WHERE { ?s <http://p/size> ?n . FILTER(?n < 6 || ?n >= 30) } ORDER BY ?n",
+        _mini_store(),
+    )
+    assert sorted(out.column("n").to_pylist()) == ["30", "5"]
+
+
+def test_filter_regex_case_insensitive():
+    out = sparql_query(
+        'SELECT ?lab WHERE { ?s <http://p/label> ?lab . FILTER(REGEX(?lab, "^a", "i")) }',
+        _mini_store(),
+    )
+    assert out.column("lab").to_pylist() == ["Aye"]
+
+
+def test_filter_strlen_and_strstarts():
+    out = sparql_query(
+        'SELECT ?lab WHERE { ?s <http://p/label> ?lab . FILTER(STRLEN(?lab) = 3 && STRSTARTS(?lab, "B")) }',
+        _mini_store(),
+    )
+    assert out.column("lab").to_pylist() == ["Bee"]
+
+
+def test_filter_not_bound_after_optional():
+    # !BOUND(?lab) must evaluate AFTER the OPTIONAL left join
+    out = sparql_query(
+        "SELECT ?s WHERE { ?s <http://p/size> ?n . "
+        "OPTIONAL { ?s <http://p/label> ?lab } FILTER(!BOUND(?lab)) } ORDER BY ?s",
+        _mini_store(),
+    )
+    assert out.column("s").to_pylist() == ["http://x/c", "http://x/d"]
+
+
+def test_bind_substr():
+    out = sparql_query(
+        "SELECT ?s ?pre WHERE { ?s <http://p/label> ?lab . BIND(SUBSTR(?lab, 1, 2) AS ?pre) } ORDER BY ?s",
+        _mini_store(),
+    )
+    assert out.column("pre").to_pylist() == ["Ay", "Be"]
+
+
+def test_select_distinct():
+    out = sparql_query(
+        "SELECT DISTINCT ?tag WHERE { ?s <http://p/tag> ?tag } ORDER BY ?tag",
+        _tag_store(),
+    )
+    assert out.column("tag").to_pylist() == ["blue", "red"]
+    assert out.column_names == ["tag"]
+
+
+def test_select_distinct_with_limit():
+    out = sparql_query(
+        "SELECT DISTINCT ?tag WHERE { ?s <http://p/tag> ?tag } ORDER BY ?tag LIMIT 1",
+        _tag_store(),
+    )
+    assert out.column("tag").to_pylist() == ["blue"]
+
+
+def test_count_distinct_global():
+    out = sparql_query(
+        "SELECT (COUNT(?tag) AS ?cnt) (COUNT(DISTINCT ?tag) AS ?dcnt) "
+        "WHERE { ?s <http://p/tag> ?tag }",
+        _tag_store(),
+    )
+    r = out.to_pylist()[0]
+    assert r["cnt"] == 4 and r["dcnt"] == 2
+
+
+def test_count_distinct_grouped():
+    out = sparql_query(
+        "SELECT ?tag (COUNT(DISTINCT ?s) AS ?users) "
+        "WHERE { ?s <http://p/tag> ?tag } GROUP BY ?tag ORDER BY ?tag",
+        _tag_store(),
+    )
+    rows = {r["tag"]: r["users"] for r in out.to_pylist()}
+    assert rows == {"blue": 2, "red": 2}
+
+
+def test_describe_constant_iri():
+    out = sparql_query("DESCRIBE <http://x/a>", _mini_store())
+    assert out.num_rows == 2  # size + label quads for x/a
+    assert set(out.column("s").to_pylist()) == {"http://x/a"}
+    assert set(out.column_names) == {"s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "c"}
+
+
+def test_describe_var_with_where():
+    out = sparql_query(
+        "DESCRIBE ?s WHERE { ?s <http://p/size> ?n . FILTER(?n > 20) }", _mini_store()
+    )
+    # only x/d has size > 20; it carries a single size quad
+    assert out.column("s").to_pylist() == ["http://x/d"]
+
+
+def test_describe_unknown_iri_empty():
+    out = sparql_query("DESCRIBE <http://nope>", _mini_store())
+    assert out.num_rows == 0

@@ -791,6 +791,102 @@ FROM documents GROUP BY lang
 """
 
 
+def q_sparql_expr_bind(sf_dir: str):
+    """SPARQL expression grammar end-to-end: BIND arithmetic + a FILTER
+    mixing numeric comparison, boolean && and STRSTARTS — all streamed
+    as map_batches stages inside the Dataset (no OPTIONAL ⇒ no driver
+    collection before the constraints)."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?d ?lang ?kchars WHERE { "
+        "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . "
+        "BIND(?n / 1000 AS ?kchars) "
+        'FILTER(?n > 500 && STRSTARTS(?lang, "e")) }',
+        store,
+    )
+
+
+SQL_SPARQL_EXPR_BIND = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, lang,
+       CAST(n_chars AS DOUBLE) / 1000 AS kchars
+FROM documents WHERE n_chars > 500 AND lang LIKE 'e%'
+"""
+
+
+def q_sparql_distinct(sf_dir: str):
+    """SELECT DISTINCT over a GRAPH-var pattern: project → dedup →
+    order (the SPARQL modifier order) — dedup is the store layer's
+    set-semantics distinct."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT DISTINCT ?lang ?src WHERE { GRAPH ?src { ?d <prop:lang> ?lang } } "
+        "ORDER BY ?lang ?src",
+        store,
+    )
+
+
+SQL_SPARQL_DISTINCT = """
+SELECT DISTINCT lang, 'graph:' || source AS src FROM documents
+"""
+
+
+def q_sparql_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT ?src) per language — the distributed distinct
+    pass (keys ∪ {src} exchange) + grouped_agg, never collecting the
+    raw solution stream."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?lang (COUNT(DISTINCT ?src) AS ?n_sources) (COUNT(?d) AS ?n_docs) "
+        "WHERE { GRAPH ?src { ?d <prop:lang> ?lang } } GROUP BY ?lang",
+        store,
+    )
+
+
+SQL_SPARQL_COUNT_DISTINCT = """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_sparql_describe(sf_dir: str):
+    """DESCRIBE with a WHERE clause: subjects bound by a FILTERed
+    pattern, result = their full QUAD rows (subject description)."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "DESCRIBE ?d WHERE { ?d <prop:n_chars> ?n . FILTER(?n > 530) }", store
+    )
+
+
+SQL_SPARQL_DESCRIBE = """
+WITH big AS (SELECT * FROM documents WHERE n_chars > 530)
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, 'prop:text' AS p, 'literal' AS o_kind,
+       text AS o_value, 'http://www.w3.org/2001/XMLSchema#string' AS o_datatype,
+       CAST(NULL AS VARCHAR) AS o_lang, 'graph:' || source AS c
+FROM big
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:lang', 'literal', lang,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR), 'graph:' || source
+FROM big
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:n_chars', 'literal', CAST(n_chars AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR), 'graph:' || source
+FROM big
+"""
+
+
 def q_path_geo_closure(sf_dir: str):
     """Property-path evaluation oracle-gated end-to-end (path DSL →
     dataset-scale fixpoint evaluator, reference sparql/path.clj): the
@@ -1699,6 +1795,10 @@ QUERIES = {
     "sparql_union_sub": q_sparql_union_sub,
     "sparql_construct": q_sparql_construct,
     "sparql_agg": q_sparql_agg,
+    "sparql_expr_bind": q_sparql_expr_bind,
+    "sparql_distinct": q_sparql_distinct,
+    "sparql_count_distinct": q_sparql_count_distinct,
+    "sparql_describe": q_sparql_describe,
     "path_geo_closure": q_path_geo_closure,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
@@ -1760,6 +1860,10 @@ ORACLE_SQL = {
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "sparql_agg": SQL_SPARQL_AGG,
+    "sparql_expr_bind": SQL_SPARQL_EXPR_BIND,
+    "sparql_distinct": SQL_SPARQL_DISTINCT,
+    "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
+    "sparql_describe": SQL_SPARQL_DESCRIBE,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,

@@ -52,6 +52,8 @@ QUERY_SUBSET = [
     "cosine_pairs",
     "turtle_roundtrip",
     "sparql_union_sub",
+    "sparql_expr_bind",
+    "sparql_count_distinct",
     "jsonld_roundtrip",
 ]
 

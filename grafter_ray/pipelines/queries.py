@@ -447,6 +447,66 @@ FROM documents
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified corpus sampling (stages/sampling.py):
+    keep 30% of English docs and 10% of every other language, decided
+    by a pure LCG hash of doc_id — seed-stable, shuffle-free, and
+    exactly reproducible in SQL (the oracle uses the same arithmetic)."""
+    from ..stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return stratified_hash_sample(
+        ds, id_col="doc_id", stratum_col="lang", rates={"en": 30}, default_rate=10
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100
+      < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Global vocabulary top-k (classic word count at corpus scale):
+    tokenize inside each block (Arrow split_pattern_regex), PRE-COUNT
+    per block so only (token, partial_count) rows — not the raw token
+    stream — enter the exchange, combine with the two-phase
+    grouped_agg, then block-local top-k + tiny final sort. The token
+    stream itself is never shuffled or collected."""
+    import pyarrow.compute as _pc
+
+    from .relational import grouped_agg, top_k
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def block_counts(tb: pa.Table) -> pa.Table:
+        toks = _pc.split_pattern_regex(_pc.utf8_trim_whitespace(tb.column("text")), r"\s+")
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat}).filter(_pc.not_equal(flat, ""))
+        part = t.group_by(["token"]).aggregate([("token", "count")])
+        return pa.table({"token": part.column("token"), "cnt": part.column("token_count")})
+
+    partials = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counted = grouped_agg(partials, ["token"], [("freq", "cnt", "sum")])
+
+    def to_int(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index("freq")
+        return tb.set_column(i, "freq", _pc.cast(tb.column("freq"), pa.int64()))
+
+    counted = counted.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(counted, [("freq", "descending"), ("token", "ascending")], 100)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks WHERE token <> ''
+GROUP BY token ORDER BY freq DESC, token LIMIT 100
+"""
+
+
 _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
@@ -1777,6 +1837,8 @@ QUERIES = {
     "active_users": q_active_users,
     "quad_expand": q_quad_expand,
     "token_stats": q_token_stats,
+    "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
     "quality_filter": q_quality_filter,
@@ -1845,6 +1907,8 @@ ORACLE_SQL = {
     "active_users": SQL_ACTIVE_USERS,
     "quad_expand": SQL_QUAD_EXPAND,
     "token_stats": SQL_TOKEN_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "quality_filter": SQL_QUALITY_FILTER,

@@ -1,0 +1,71 @@
+"""Deterministic hash-based corpus sampling (LLM-data pipeline ops).
+
+Sampling at 100 TB must be seed-stable, shuffle-free and resumable: the
+keep/drop decision is a pure integer hash of the row id — never RNG
+state — so re-running any shard (fault recovery, incremental re-ingest,
+a second pass over the same corpus) selects exactly the same rows, and
+the sample of a union is the union of the samples. Mirrors the
+reference's deterministic-pipeline philosophy (grafter pipelines are
+pure functions of their inputs; pipeline.clj contract).
+
+The hash is a 31-bit LCG step (glibc constants) — chosen because it is
+exactly expressible in ANSI SQL (`(id*1103515245+12345) % 2^31`), which
+keeps every sampler here oracle-checkable in DuckDB.
+
+All kernels are vectorized numpy over Arrow batches; no shuffle, no
+driver materialization — an embarrassingly parallel map_batches stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2**31
+
+
+def lcg_bucket(ids: np.ndarray, modulus: int = 100) -> np.ndarray:
+    """id → stable bucket in [0, modulus). int64 throughout: ids up to
+    ~8e9 × LCG_A stays < 2^63, so the arithmetic is exact (and matches
+    the SQL spelling bit-for-bit)."""
+    h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+    return h % modulus
+
+
+def hash_sample(ds, id_col: str, rate_pct: float, modulus: int = 100):
+    """Uniform deterministic sample: keep rows whose hash bucket falls
+    below rate_pct (out of `modulus`)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        return tb.filter(pa.array(lcg_bucket(ids, modulus) < rate_pct))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_hash_sample(
+    ds,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    modulus: int = 100,
+):
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    ('keep 30% of English, 10% of everything else'). rates maps stratum
+    value → keep threshold out of `modulus`; unlisted strata use
+    default_rate. One vectorized pass, no shuffle."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        if n == 0:
+            return tb
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        b = lcg_bucket(ids, modulus)
+        strata = np.asarray(tb.column(stratum_col).to_numpy(zero_copy_only=False), dtype=object)
+        thr = np.full(n, float(default_rate))
+        for value, rate in rates.items():
+            thr[strata == value] = float(rate)
+        return tb.filter(pa.array(b < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -184,3 +184,70 @@ def test_video_frame_sample_stage_shapes():
     assert out1.equals(out2)
     with _pytest.raises(NotImplementedError):
         VideoFrameSampleStage(strict=True)
+
+
+# --- deterministic hash sampling (stages/sampling.py) ------------------------
+
+def test_lcg_bucket_matches_sql_arithmetic():
+    from grafter_ray.stages.sampling import LCG_A, LCG_C, LCG_M, lcg_bucket
+
+    ids = np.array([0, 1, 7, 123456, 10**9], dtype=np.int64)
+    got = lcg_bucket(ids, 100)
+    want = [((int(i) * LCG_A + LCG_C) % LCG_M) % 100 for i in ids]
+    assert got.tolist() == want
+
+
+def test_hash_sample_deterministic_and_exact():
+    from grafter_ray.stages.sampling import hash_sample, lcg_bucket
+
+    tb = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    out1 = hash_sample(rd.from_arrow(tb), "doc_id", 25).take_all()
+    out2 = hash_sample(rd.from_arrow(tb), "doc_id", 25).take_all()
+    assert out1 == out2  # pure function of ids, no RNG state
+    ids = np.arange(1000)
+    want = set(ids[lcg_bucket(ids, 100) < 25].tolist())
+    assert {r["doc_id"] for r in out1} == want
+
+
+def test_stratified_hash_sample_rates_and_union_property():
+    from grafter_ray.stages.sampling import lcg_bucket, stratified_hash_sample
+
+    n = 2000
+    langs = ["en" if i % 2 == 0 else "de" for i in range(n)]
+    tb = pa.table({"doc_id": pa.array(range(n), pa.int64()), "lang": pa.array(langs)})
+    out = stratified_hash_sample(
+        rd.from_arrow(tb), "doc_id", "lang", rates={"en": 30}, default_rate=10
+    ).take_all()
+    ids = np.arange(n)
+    b = lcg_bucket(ids, 100)
+    want = {int(i) for i in ids if b[i] < (30 if langs[i] == "en" else 10)}
+    assert {r["doc_id"] for r in out} == want
+    # sample(A ∪ B) == sample(A) ∪ sample(B): per-row decisions compose
+    half = n // 2
+    s_a = stratified_hash_sample(
+        rd.from_arrow(tb.slice(0, half)), "doc_id", "lang", rates={"en": 30}, default_rate=10
+    ).take_all()
+    s_b = stratified_hash_sample(
+        rd.from_arrow(tb.slice(half)), "doc_id", "lang", rates={"en": 30}, default_rate=10
+    ).take_all()
+    assert {r["doc_id"] for r in s_a} | {r["doc_id"] for r in s_b} == want
+
+
+def test_vocab_topk_tiebreak_and_counts(tmp_path):
+    from grafter_ray.pipelines.queries import q_vocab_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["b a  b c", " a c ", "c b a"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([8, 5, 5], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_vocab_topk(str(tmp_path)).take_all()
+    # a=3 b=3 c=3 — full tie, broken by token ascending
+    assert [(r["token"], r["freq"]) for r in out] == [("a", 3), ("b", 3), ("c", 3)]

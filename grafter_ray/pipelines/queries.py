@@ -947,15 +947,10 @@ FROM big
 """
 
 
-def q_path_geo_closure(sf_dir: str):
-    """Property-path evaluation oracle-gated end-to-end (path DSL →
-    dataset-scale fixpoint evaluator, reference sparql/path.clj): the
-    transitive closure `(in_nation | in_region)+` over the
-    customer→nation→region hierarchy — exercises Alt + Plus and the
-    distributed anti-join frontier, checked against a SQL union of the
-    three derivable edge sets."""
-    from .paths import P, alt, eval_path_dataset, plus
-
+def _geo_edge_quads(sf_dir: str):
+    """customer→nation→region hierarchy as a quad Dataset: `in_nation`
+    edges from customer rows, `in_region` edges from nation rows (shared
+    by the DSL- and text-form path queries)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
 
@@ -987,10 +982,38 @@ def q_path_geo_closure(sf_dir: str):
             }
         )
 
-    quads = cust.map_batches(cust_edges, batch_format="pyarrow", zero_copy_batch=True).union(
+    return cust.map_batches(cust_edges, batch_format="pyarrow", zero_copy_batch=True).union(
         nat.map_batches(nat_edges, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return eval_path_dataset(quads, plus(alt(P("in_nation"), P("in_region"))))
+
+
+def q_path_geo_closure(sf_dir: str):
+    """Property-path evaluation oracle-gated end-to-end (path DSL →
+    dataset-scale fixpoint evaluator, reference sparql/path.clj): the
+    transitive closure `(in_nation | in_region)+` over the
+    customer→nation→region hierarchy — exercises Alt + Plus and the
+    distributed anti-join frontier, checked against a SQL union of the
+    three derivable edge sets."""
+    from .paths import P, alt, eval_path_dataset, plus
+
+    return eval_path_dataset(
+        _geo_edge_quads(sf_dir), plus(alt(P("in_nation"), P("in_region")))
+    )
+
+
+def q_sparql_path_text(sf_dir: str):
+    """Same closure, but from SPARQL TEXT: the reference compiles its
+    path DSL to a path string and splices it into query text
+    (sparql.clj:123-132, path.clj:34-251) — this gates the inverse
+    direction, parsing `(<in_nation>|<in_region>)+` back out of text
+    and executing it through the distributed path evaluator."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    return sparql_query(
+        "SELECT ?src ?dst WHERE { ?src (<in_nation>|<in_region>)+ ?dst }",
+        QuadStore(_geo_edge_quads(sf_dir)),
+    )
 
 
 SQL_PATH_GEO_CLOSURE = """
@@ -1862,6 +1885,7 @@ QUERIES = {
     "sparql_count_distinct": q_sparql_count_distinct,
     "sparql_describe": q_sparql_describe,
     "path_geo_closure": q_path_geo_closure,
+    "sparql_path_text": q_sparql_path_text,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
@@ -1929,6 +1953,7 @@ ORACLE_SQL = {
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
     "sparql_describe": SQL_SPARQL_DESCRIBE,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,
+    "sparql_path_text": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
     "jsonld_roundtrip": SQL_JSONLD_ROUNDTRIP,

@@ -134,7 +134,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
       |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|AS|REGEX|STRSTARTS|STRENDS|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|a|true|false)\b)
-      |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!])
+      |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
       |(?P<punct>[{}().;,])
@@ -166,6 +166,7 @@ class SelectQuery:
     binds: list = field(default_factory=list)  # (alias, expr_ast)
     filter_exprs: list = field(default_factory=list)  # expr asts beyond ?v op const
     describe_terms: list = field(default_factory=list)  # ('iri', v) | ('var', name)
+    path_patterns: list = field(default_factory=list)  # (s, path_ast, o, graph|None)
 
 
 def _tokens(text: str):
@@ -631,14 +632,115 @@ class _QParser:
             return v
         raise SparqlParseError(f"bad term {k}:{v!r}")
 
+    # --- property paths in text form (SPARQL 1.1 path grammar subset) -------
+    # The reference SPLICES compiled path strings into query text
+    # (rewrite-property-path-bindings, sparql.clj:123-132; the path DSL
+    # emits `<a>/<b>+`, `^<p>`, `!(<p>|<q>)`, path.clj:34-251), so the
+    # text frontend must parse them back. Grammar:
+    #   path  := pseq ('|' pseq)*
+    #   pseq  := pelt ('/' pelt)*
+    #   pelt  := pprim ('*'|'+'|'?')?
+    #   pprim := iri | pname | 'a' | '^' pelt | '!' iri | '!(' iri ('|' iri)* ')'
+    #          | '(' path ')'
+
+    _PATH_LEAD = ("^", "!", "(")
+
+    def _path(self):
+        from .paths import alt as p_alt
+
+        parts = [self._path_seq()]
+        while self.peek()[1] == "|":
+            self.next()
+            parts.append(self._path_seq())
+        return p_alt(*parts) if len(parts) > 1 else parts[0]
+
+    def _path_seq(self):
+        from .paths import seq as p_seq
+
+        parts = [self._path_elt()]
+        while self.peek()[1] == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return p_seq(*parts) if len(parts) > 1 else parts[0]
+
+    def _path_elt(self):
+        from .paths import opt as p_opt, plus as p_plus, star as p_star
+
+        node = self._path_prim()
+        k, v = self.peek()
+        if k == "star":
+            self.next()
+            return p_star(node)
+        if v == "+":
+            self.next()
+            return p_plus(node)
+        if v == "?":
+            self.next()
+            return p_opt(node)
+        return node
+
+    def _path_prim(self):
+        from .paths import P, inv as p_inv, neg as p_neg
+
+        k, v = self.peek()
+        if v == "^":
+            self.next()
+            return p_inv(self._path_elt())
+        if v == "!":
+            self.next()
+            nk, nv = self.peek()
+            if nv == "(":
+                self.next()
+                iris = [self._path_iri()]
+                while self.peek()[1] == "|":
+                    self.next()
+                    iris.append(self._path_iri())
+                self.expect(")")
+                return p_neg(*iris)
+            return p_neg(self._path_iri())
+        if v == "(":
+            self.next()
+            node = self._path()
+            self.expect(")")
+            return node
+        return P(self._path_iri())
+
+    def _path_iri(self) -> str:
+        k, v = self.next()
+        if k in ("iri", "pname"):
+            return self._resolve(v)
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        raise SparqlParseError(f"bad path atom {k}:{v!r}")
+
+    _PATH_OPS = ("/", "|", "+", "?")
+
     def _triples(self, graph):
+        from .paths import P
+
         s = self._term()
         while True:
-            p = self._term()
+            # predicate position: a var stays a plain pattern; an IRI may
+            # open a property-path expression (detected by a leading path
+            # operator or a trailing /|*+? operator)
+            pk, pv = self.peek()
+            path_ast = None
+            if pk != "var" and (pv in self._PATH_LEAD or pk in ("iri", "pname") or (pk == "kw" and pv == "a")):
+                ast = self._path()
+                if isinstance(ast, P):
+                    p = ast.iri  # plain predicate — ordinary BGP pattern
+                else:
+                    path_ast = ast
+                    p = None
+            else:
+                p = self._term()
             while True:
                 o = self._term()
-                pat = (s, p, o) if graph is None else (s, p, o, graph)
-                self.q.patterns.append(pat)
+                if path_ast is not None:
+                    self.q.path_patterns.append((s, path_ast, o, graph))
+                else:
+                    pat = (s, p, o) if graph is None else (s, p, o, graph)
+                    self.q.patterns.append(pat)
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -805,8 +907,9 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     """Evaluate one (possibly nested) SELECT: BGP / UNION-of-BGPs →
     VALUES + FILTER constraints → subselect natural joins → OPTIONAL
     left joins → solution modifiers → projection. Subselects recurse."""
-    if not q.patterns and not q.union_branches and not q.subselects:
+    if not q.patterns and not q.union_branches and not q.subselects and not q.path_patterns:
         raise SparqlParseError("query has no triple patterns")
+    path_sides = [(pat, _path_side(store, pat)) for pat in q.path_patterns]
     if q.patterns or q.union_branches:
         if q.union_branches:
             # join distributes over union: P . {A} UNION {B} ≡
@@ -816,6 +919,11 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             ds = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
         else:
             ds = store.bgp(*q.patterns)
+    elif path_sides:
+        # a path-only group: the FIRST path relation is the streaming
+        # Dataset (constraints / LIMIT pushdown apply to it); the rest
+        # natural-join below like subselects
+        ds = path_sides.pop(0)[1]
     else:
         ds = None
     constraints = []  # Table → Table, applied streaming OR post-join
@@ -877,12 +985,15 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     # BY / DISTINCT would truncate before the cardinality changes, so
     # the pushdown is only safe when none are present (and no ORDER BY).
     late_slice = bool(
-        q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct
+        q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct or path_sides
     )
     # aggregate pushdown: with a pure streaming WHERE the GROUP BY runs
     # DISTRIBUTED (two-phase grouped_agg) and only the aggregated rows
     # are ever collected
-    push_agg = bool(q.aggregates) and ds is not None and not q.optionals and not q.subselects
+    push_agg = (
+        bool(q.aggregates) and ds is not None
+        and not q.optionals and not q.subselects and not path_sides
+    )
     if ds is not None:
         if push_agg:
             ds = _aggregate_ds(ds, q)
@@ -900,6 +1011,19 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             if not keys:
                 raise SparqlParseError("subselect shares no variable with the outer group")
             tb = tb.join(stb, keys=keys, join_type="inner")
+    for pat, side in path_sides:  # remaining path relations natural-join
+        ptb = _collect(side)
+        if "__exists" in ptb.column_names:  # both endpoints constant
+            if ptb.num_rows == 0 and tb is not None:
+                tb = tb.slice(0, 0)
+            continue
+        if tb is None:
+            tb = ptb
+            continue
+        keys = [c for c in ptb.column_names if c in tb.column_names]
+        if not keys:
+            raise SparqlParseError(f"cartesian property path (no shared variable): {pat[0]} … {pat[2]}")
+        tb = tb.join(ptb, keys=keys, join_type="inner")
     if q.optionals:
         tb = _apply_optionals(tb, q.optionals, store)
     if not stream_constraints:
@@ -936,6 +1060,43 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
         tb = tb.select(q.select)
     return tb
+
+
+def _path_side(store, pat):
+    """One property-path pattern → Dataset of its variable bindings.
+    The path relation stays DISTRIBUTED (eval_path_dataset: hash-join
+    sequences, anti-join frontier closures); constants filter the pair
+    stream, variables project to named columns. A pattern with two
+    constant endpoints projects a `__exists` marker column (existence
+    gates the whole group)."""
+    s, ast, o, g = pat
+    if isinstance(g, str) and g.startswith("?"):
+        raise SparqlParseError("variable GRAPH over a property path is not supported")
+    from .paths import eval_path_dataset
+
+    base = store if g is None else store.restrict([g])
+    pairs = eval_path_dataset(base.ds, ast)
+    s_var = isinstance(s, str) and s.startswith("?")
+    o_var = isinstance(o, str) and o.startswith("?")
+
+    def f(tb: pa.Table) -> pa.Table:
+        if not s_var:
+            tb = tb.filter(pc.equal(tb.column("src"), s))
+        if not o_var:
+            tb = tb.filter(pc.equal(tb.column("dst"), o))
+        if s_var and o_var and s == o:  # ?x path ?x — cycle endpoints
+            tb = tb.filter(pc.equal(tb.column("src"), tb.column("dst")))
+            return pa.table({s[1:]: tb.column("src")})
+        cols = {}
+        if s_var:
+            cols[s[1:]] = tb.column("src")
+        if o_var:
+            cols[o[1:]] = tb.column("dst")
+        if not cols:
+            cols["__exists"] = tb.column("src")
+        return pa.table(cols)
+
+    return pairs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- expression evaluation (BIND / FILTER) -----------------------------------

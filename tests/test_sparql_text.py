@@ -533,3 +533,150 @@ def test_describe_var_with_where():
 def test_describe_unknown_iri_empty():
     out = sparql_query("DESCRIBE <http://nope>", _mini_store())
     assert out.num_rows == 0
+
+
+# --- property paths in text form (SPARQL 1.1 path grammar subset) -----------
+# The reference compiles its path DSL to text and splices it into the
+# query string (grafter.repository/src/grafter_2/rdf4j/sparql.clj:123-132,
+# sparql/path.clj:34-251) — these exercise parsing that text back and
+# executing it through the distributed path evaluator.
+
+def _chain_store():
+    import pyarrow as pa
+
+    # a→b→c→d via link; c→g via lin2, c→h via lin3; labels on a, d
+    s = ["http://x/a", "http://x/b", "http://x/c", "http://x/c", "http://x/c",
+         "http://x/a", "http://x/d"]
+    p = ["http://p/link"] * 3 + ["http://p/lin2", "http://p/lin3",
+         "http://p/label", "http://p/label"]
+    o = ["http://x/b", "http://x/c", "http://x/d", "http://x/g", "http://x/h",
+         "Aye", "Dee"]
+    kind = ["iri"] * 5 + ["literal"] * 2
+    tb = pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o_kind": pa.array(kind, pa.string()),
+            "o_value": pa.array(o, pa.string()),
+            "o_datatype": pa.nulls(7, pa.string()),
+            "o_lang": pa.nulls(7, pa.string()),
+            "c": pa.nulls(7, pa.string()),
+        }
+    )
+    return QuadStore.from_table(tb)
+
+
+def _rows(tb, *cols):
+    return sorted(zip(*[tb.column(c).to_pylist() for c in cols]))
+
+
+def test_path_text_plus_transitive():
+    out = sparql_query(
+        "SELECT ?x ?y WHERE { ?x <http://p/link>+ ?y }", _chain_store()
+    )
+    assert _rows(out, "x", "y") == sorted(
+        [("http://x/a", "http://x/b"), ("http://x/a", "http://x/c"),
+         ("http://x/a", "http://x/d"), ("http://x/b", "http://x/c"),
+         ("http://x/b", "http://x/d"), ("http://x/c", "http://x/d")]
+    )
+
+
+def test_path_text_seq_two_hop():
+    out = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?x ?y WHERE { ?x p:link/p:link ?y }",
+        _chain_store(),
+    )
+    assert _rows(out, "x", "y") == [("http://x/a", "http://x/c"), ("http://x/b", "http://x/d")]
+
+
+def test_path_text_alt():
+    out = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?y WHERE { <http://x/c> (p:lin2|p:lin3) ?y }",
+        _chain_store(),
+    )
+    assert sorted(out.column("y").to_pylist()) == ["http://x/g", "http://x/h"]
+
+
+def test_path_text_inverse():
+    out = sparql_query(
+        "SELECT ?x WHERE { ?x ^<http://p/link> <http://x/a> }", _chain_store()
+    )
+    assert out.column("x").to_pylist() == ["http://x/b"]
+
+
+def test_path_text_negated_property_set():
+    # everything reachable from c by a predicate other than link/label
+    out = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?y WHERE { <http://x/c> !(p:link|p:label) ?y }",
+        _chain_store(),
+    )
+    assert sorted(out.column("y").to_pylist()) == ["http://x/g", "http://x/h"]
+
+
+def test_path_text_opt_modifier():
+    # zero-or-one: b itself plus its link successor
+    out = sparql_query(
+        "SELECT ?y WHERE { <http://x/b> <http://p/link>? ?y }", _chain_store()
+    )
+    assert sorted(out.column("y").to_pylist()) == ["http://x/b", "http://x/c"]
+
+
+def test_path_text_joins_ordinary_pattern():
+    # path relation natural-joins a plain BGP on the shared var
+    out = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?x ?l WHERE { "
+        "?x p:link+ ?y . ?y p:label ?l }",
+        _chain_store(),
+    )
+    assert _rows(out, "x", "l") == [
+        ("http://x/a", "Dee"), ("http://x/b", "Dee"), ("http://x/c", "Dee")
+    ]
+
+
+def test_path_text_constant_endpoints_exists_gate():
+    # both endpoints constant: the path gates the rest of the group
+    yes = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?l WHERE { "
+        "<http://x/a> p:link+ <http://x/d> . <http://x/a> p:label ?l }",
+        _chain_store(),
+    )
+    assert yes.column("l").to_pylist() == ["Aye"]
+    no = sparql_query(
+        "PREFIX p: <http://p/> SELECT ?l WHERE { "
+        "<http://x/d> p:link+ <http://x/a> . <http://x/a> p:label ?l }",
+        _chain_store(),
+    )
+    assert no.num_rows == 0
+
+
+def test_path_text_plain_predicate_still_bgp():
+    # a bare IRI predicate with no path operator parses as an ordinary
+    # pattern, not a path relation
+    q = parse_query("SELECT ?s ?o WHERE { ?s <http://p/link> ?o }")
+    assert q.patterns and not q.path_patterns
+    q2 = parse_query("SELECT ?s ?o WHERE { ?s <http://p/link>+ ?o }")
+    assert q2.path_patterns and not q2.patterns
+
+
+def test_path_text_a_keyword_in_path():
+    import pyarrow as pa
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    tb = pa.table(
+        {
+            "s": pa.array(["http://x/i", "http://c/A", "http://c/B"], pa.string()),
+            "p": pa.array([rdf_type, sub, sub], pa.string()),
+            "o_kind": pa.array(["iri"] * 3, pa.string()),
+            "o_value": pa.array(["http://c/A", "http://c/B", "http://c/C"], pa.string()),
+            "o_datatype": pa.nulls(3, pa.string()),
+            "o_lang": pa.nulls(3, pa.string()),
+            "c": pa.nulls(3, pa.string()),
+        }
+    )
+    out = sparql_query(
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "SELECT ?c WHERE { <http://x/i> a/rdfs:subClassOf* ?c }",
+        QuadStore.from_table(tb),
+    )
+    assert sorted(out.column("c").to_pylist()) == ["http://c/A", "http://c/B", "http://c/C"]

@@ -876,6 +876,79 @@ FROM documents WHERE n_chars > 500 AND lang LIKE 'e%'
 """
 
 
+def q_sparql_having_concat(sf_dir: str):
+    """HAVING over an aggregate call + GROUP_CONCAT with separator: the
+    concat runs as a distributed grouped pass (value-sorted runs joined
+    with one vectorized binary_join per block); HAVING filters the
+    aggregated rows with the same expression engine as FILTER."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?lang (COUNT(?d) AS ?n) "
+        '(GROUP_CONCAT(?d; SEPARATOR=",") AS ?docs) WHERE { '
+        "?d <prop:lang> ?lang } GROUP BY ?lang "
+        "HAVING (COUNT(?d) > 70) ORDER BY ?lang",
+        store,
+    )
+
+
+SQL_SPARQL_HAVING_CONCAT = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       string_agg('doc:' || CAST(doc_id AS VARCHAR), ','
+                  ORDER BY 'doc:' || CAST(doc_id AS VARCHAR)) AS docs
+FROM documents GROUP BY lang HAVING count(*) > 70 ORDER BY lang
+"""
+
+
+def q_sparql_minus_exists(sf_dir: str):
+    """MINUS + FILTER NOT EXISTS: both run as broadcast anti-semi-joins
+    of the solution stream against a BGP side relation (composite-key
+    is_in, the same shape as the VALUES splice)."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?d ?n WHERE { ?d <prop:n_chars> ?n . FILTER(?n > 500) "
+        'MINUS { ?d <prop:lang> "en" } '
+        'FILTER NOT EXISTS { ?d <prop:lang> "de" } }',
+        store,
+    )
+
+
+SQL_SPARQL_MINUS_EXISTS = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, CAST(n_chars AS VARCHAR) AS n
+FROM documents WHERE n_chars > 500 AND lang NOT IN ('en', 'de')
+"""
+
+
+def q_sparql_in_if(sf_dir: str):
+    """IN-list filter + IF conditional + STRAFTER — the round-3
+    expression-function additions, all evaluated streaming inside the
+    Dataset (no OPTIONAL ⇒ no early collection)."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?d ?id ?cat WHERE { ?d <prop:lang> ?lang . "
+        'FILTER(?lang IN ("en", "de")) '
+        'BIND(IF(?lang = "en", "english", "german") AS ?cat) '
+        'BIND(STRAFTER(?d, "doc:") AS ?id) }',
+        store,
+    )
+
+
+SQL_SPARQL_IN_IF = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, CAST(doc_id AS VARCHAR) AS id,
+       CASE WHEN lang = 'en' THEN 'english' ELSE 'german' END AS cat
+FROM documents WHERE lang IN ('en', 'de')
+"""
+
+
 def q_sparql_distinct(sf_dir: str):
     """SELECT DISTINCT over a GRAPH-var pattern: project → dedup →
     order (the SPARQL modifier order) — dedup is the store layer's
@@ -1884,6 +1957,9 @@ QUERIES = {
     "sparql_distinct": q_sparql_distinct,
     "sparql_count_distinct": q_sparql_count_distinct,
     "sparql_describe": q_sparql_describe,
+    "sparql_having_concat": q_sparql_having_concat,
+    "sparql_minus_exists": q_sparql_minus_exists,
+    "sparql_in_if": q_sparql_in_if,
     "path_geo_closure": q_path_geo_closure,
     "sparql_path_text": q_sparql_path_text,
     "inferred_domain_types": q_inferred_domain_types,
@@ -1952,6 +2028,9 @@ ORACLE_SQL = {
     "sparql_distinct": SQL_SPARQL_DISTINCT,
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
     "sparql_describe": SQL_SPARQL_DESCRIBE,
+    "sparql_having_concat": SQL_SPARQL_HAVING_CONCAT,
+    "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
+    "sparql_in_if": SQL_SPARQL_IN_IF,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,
     "sparql_path_text": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,

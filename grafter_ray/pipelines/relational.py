@@ -131,6 +131,47 @@ def _empty_partial(tb: pa.Table, keys, specs) -> pa.Table:
     return pa.table(cols)
 
 
+def grouped_concat(
+    ds,
+    keys: list[str],
+    col: str,
+    alias: str,
+    sep: str = " ",
+    distinct: bool = False,
+):
+    """Distributed GROUP_CONCAT: one key exchange of (keys, col) — the
+    moved bytes equal the concatenated output, which any implementation
+    must pay. Per block: sort by (keys, value) so output is DETERMINISTIC
+    (SPARQL leaves the order open; sorted is a valid and testable
+    choice), build one ListArray over the equal-key runs and join each
+    run with a single vectorized pc.binary_join."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    def f(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+            {**{k: tb.column(k) for k in keys}, alias: pa.array([], pa.string())}
+            )
+        order = [(k, "ascending") for k in keys] + [(col, "ascending")]
+        tb = tb.sort_by(order)
+        vals = pc.cast(tb.column(col), pa.large_string()).combine_chunks()
+        if distinct:
+            starts0, _ = key_segments(tb, keys + [col])
+            tb = tb.take(pa.array(starts0))
+            vals = vals.take(pa.array(starts0))
+        starts, _ = key_segments(tb, keys)
+        offsets = np.append(starts, tb.num_rows).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(offsets, vals)
+        joined = pc.cast(pc.binary_join(lists, pa.scalar(sep, pa.large_string())), pa.string())
+        out = {k: tb.column(k).take(pa.array(starts)) for k in keys}
+        out[alias] = joined
+        return pa.table(out)
+
+    return grouped_block_map(ds.select_columns(keys + [col]), keys, f)
+
+
 def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner"):
     """Hash-join a Dataset against a small broadcast table — the small side
     is shipped once via ray.put and joined per batch with Arrow's C++ join

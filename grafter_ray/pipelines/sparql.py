@@ -133,7 +133,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|AS|REGEX|STRSTARTS|STRENDS|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|a|true|false)\b)
+      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|a|true|false)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -167,6 +167,10 @@ class SelectQuery:
     filter_exprs: list = field(default_factory=list)  # expr asts beyond ?v op const
     describe_terms: list = field(default_factory=list)  # ('iri', v) | ('var', name)
     path_patterns: list = field(default_factory=list)  # (s, path_ast, o, graph|None)
+    having: list = field(default_factory=list)  # expr asts (may hold aggrefs)
+    minus_groups: list = field(default_factory=list)  # list[list[pattern]]
+    exists_filters: list = field(default_factory=list)  # (positive, [patterns])
+    agg_params: dict = field(default_factory=dict)  # alias → {"sep": str}
 
 
 def _tokens(text: str):
@@ -296,7 +300,7 @@ class _QParser:
             return ("literal", v, dt, None)
         raise SparqlParseError(f"bad CONSTRUCT template term {k}:{v!r}")
 
-    _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+    _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
 
     def _select_head(self):
         self.expect("SELECT")
@@ -332,6 +336,15 @@ class _QParser:
                     var = vv[1:]
                 else:
                     raise SparqlParseError(f"bad aggregate argument {vv!r}")
+                sep = " "  # GROUP_CONCAT default separator (SPARQL 1.1 §18.5.1.7)
+                if self.peek()[1] == ";":
+                    self.next()
+                    self.expect("SEPARATOR")
+                    self.expect("=")
+                    sk, sv = self.next()
+                    if sk != "str":
+                        raise SparqlParseError(f"bad SEPARATOR value {sv!r}")
+                    sep = sv[1:-1].replace('\\"', '"').replace("\\\\", "\\")
                 self.expect(")")
                 self.expect("AS")
                 ak, av = self.next()
@@ -339,6 +352,8 @@ class _QParser:
                     raise SparqlParseError(f"bad aggregate alias {av!r}")
                 self.expect(")")
                 self.q.aggregates.append((fv.lower(), var, av[1:], agg_distinct))
+                if fv.upper() == "GROUP_CONCAT":
+                    self.q.agg_params[av[1:]] = {"sep": sep}
                 sel.append(av[1:])
             else:
                 break
@@ -377,6 +392,13 @@ class _QParser:
                         self.q.order_by.append((vv[1:], v2.lower()))
                     else:
                         break
+            elif v.upper() == "HAVING":
+                # HAVING(expr) — expr may reference aggregate aliases or
+                # contain aggregate calls (COUNT(?x) > 1); aggrefs resolve
+                # against q.aggregates at evaluation time
+                self.expect("(")
+                self.q.having.append(self._expr())
+                self.expect(")")
             else:
                 raise SparqlParseError(f"unsupported trailing clause {v!r}")
 
@@ -415,9 +437,17 @@ class _QParser:
                 self.q.optionals.extend(self.q.patterns[mark:])
                 del self.q.patterns[mark:]
                 continue
+            if k == "kw" and v.upper() == "MINUS":
+                self.next()
+                self.expect("{")
+                mark = len(self.q.patterns)
+                self._group(graph=graph)
+                self.q.minus_groups.append(list(self.q.patterns[mark:]))
+                del self.q.patterns[mark:]
+                continue
             if k == "kw" and v.upper() == "FILTER":
                 self.next()
-                self._filter()
+                self._filter(graph)
                 continue
             if k == "kw" and v.upper() == "BIND":
                 self.next()
@@ -467,7 +497,20 @@ class _QParser:
                 continue
             self._triples(graph)
 
-    def _filter(self):
+    def _filter(self, graph=None):
+        # FILTER [NOT] EXISTS { ... } — pattern-group form, no parens
+        k, v = self.peek()
+        if k == "kw" and v.upper() in ("EXISTS", "NOT"):
+            positive = v.upper() == "EXISTS"
+            self.next()
+            if not positive:
+                self.expect("EXISTS")
+            self.expect("{")
+            mark = len(self.q.patterns)
+            self._group(graph=graph)
+            self.q.exists_filters.append((positive, list(self.q.patterns[mark:])))
+            del self.q.patterns[mark:]
+            return
         self.expect("(")
         expr = self._expr()
         self.expect(")")
@@ -494,6 +537,8 @@ class _QParser:
     _EXPR_FNS = {
         "STR", "STRLEN", "UCASE", "LCASE", "CONCAT", "SUBSTR",
         "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "BOUND",
+        "IF", "COALESCE", "REPLACE", "STRBEFORE", "STRAFTER",
+        "ABS", "CEIL", "FLOOR", "ROUND",
     }
 
     def _expr(self):
@@ -522,6 +567,18 @@ class _QParser:
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return ("cmp", v, node, self._expr_add())
+        if k == "kw" and v.upper() in ("IN", "NOT"):
+            positive = v.upper() == "IN"
+            self.next()
+            if not positive:
+                self.expect("IN")
+            self.expect("(")
+            items = [self._expr_add()]
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self._expr_add())
+            self.expect(")")
+            return ("in", node, items, positive)
         return node
 
     def _expr_add(self):
@@ -560,6 +617,24 @@ class _QParser:
         if k == "kw" and v in ("true", "false"):
             self.next()
             return ("bool", v == "true")
+        if k == "kw" and v.upper() in self._AGG_FNS and self.peek(1)[1] == "(":
+            # aggregate call inside an expression (HAVING (COUNT(?x) > 1))
+            self.next()
+            fn = v.lower()
+            self.expect("(")
+            agg_distinct = False
+            if self.peek()[0] == "kw" and self.peek()[1].upper() == "DISTINCT":
+                self.next()
+                agg_distinct = True
+            ak, av = self.next()
+            if ak == "star":
+                var = None
+            elif ak == "var":
+                var = av[1:]
+            else:
+                raise SparqlParseError(f"bad aggregate argument {av!r}")
+            self.expect(")")
+            return ("aggref", fn, var, agg_distinct)
         if k == "kw" and v.upper() in self._EXPR_FNS:
             self.next()
             fn = v.upper()
@@ -985,14 +1060,22 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     # BY / DISTINCT would truncate before the cardinality changes, so
     # the pushdown is only safe when none are present (and no ORDER BY).
     late_slice = bool(
-        q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct or path_sides
+        q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct
+        or path_sides or q.minus_groups or q.exists_filters or q.having
     )
+    # HAVING may reference aggregates that aren't projected (COUNT(?x) > 1):
+    # resolve aggrefs to aliases, adding synthetic aggregates, BEFORE the
+    # aggregation pass runs
+    if q.having:
+        _resolve_having(q)
     # aggregate pushdown: with a pure streaming WHERE the GROUP BY runs
     # DISTRIBUTED (two-phase grouped_agg) and only the aggregated rows
-    # are ever collected
+    # are ever collected (MINUS / EXISTS apply to pre-aggregation
+    # solutions, so they force the post-collect fallback)
     push_agg = (
         bool(q.aggregates) and ds is not None
         and not q.optionals and not q.subselects and not path_sides
+        and not q.minus_groups and not q.exists_filters
     )
     if ds is not None:
         if push_agg:
@@ -1032,10 +1115,16 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             tb = fn(tb)
         for e in q.filter_exprs:
             tb = _filter_expr(tb, e)
+    for pats in q.minus_groups:
+        tb = _apply_set_pattern(tb, pats, store, mode="minus")
+    for positive, pats in q.exists_filters:
+        tb = _apply_set_pattern(tb, pats, store, mode="exists" if positive else "not_exists")
     if q.aggregates and not push_agg:  # post-join fallback (small table)
         import ray.data as _rd
 
         tb = _collect(_aggregate_ds(_rd.from_arrow(tb), q))
+    if q.having:
+        tb = _apply_having(tb, q)
     for var, val in bound.items():  # re-project bound vars as constant cols
         if var not in tb.column_names:
             tb = tb.append_column(var, pa.array([str(val)] * tb.num_rows, pa.string()))
@@ -1166,6 +1255,25 @@ def _eval_expr(expr, tb: pa.Table):
         return pc.invert(_eval_expr(expr[1], tb))
     if kind == "call":
         return _eval_call(expr[1], expr[2], tb)
+    if kind == "in":
+        _, le, items, positive = expr
+        lv = _eval_expr(le, tb)
+        ivs = [_eval_expr(i, tb) for i in items]
+        for i in ivs:
+            if not isinstance(i, pa.Scalar):
+                raise SparqlParseError("IN list items must be constants")
+        if _is_num(lv) or any(_is_num(i) for i in ivs):
+            lv = _to_f64(lv)
+            vals = pa.array([float(i.as_py()) for i in ivs], pa.float64())
+        else:
+            lv = _to_str(lv)
+            vals = pa.array([str(i.as_py()) for i in ivs], pa.string())
+        mask = pc.is_in(lv, value_set=vals)
+        return mask if positive else pc.invert(mask)
+    if kind == "aggref":
+        raise SparqlParseError(
+            "aggregate calls are only allowed in HAVING / SELECT expressions"
+        )
     raise SparqlParseError(f"unsupported expression node {kind!r}")
 
 
@@ -1201,7 +1309,49 @@ def _eval_call(fn: str, args: list, tb: pa.Table):
         return pc.match_substring_regex(
             _to_str(vals[0]), str(vals[1].as_py()), ignore_case="i" in flags
         )
+    if fn == "IF":
+        then_v, else_v = _align_pair(vals[1], vals[2])
+        return pc.if_else(vals[0], then_v, else_v)
+    if fn == "COALESCE":
+        aligned = vals
+        if any(_is_num(v) for v in vals) and not all(_is_num(v) for v in vals):
+            aligned = [_to_str(v) for v in vals]
+        return pc.coalesce(*aligned)
+    if fn == "REPLACE":  # REPLACE(str, pattern, replacement[, flags])
+        flags = str(vals[3].as_py()) if len(vals) > 3 else ""
+        pat = str(vals[1].as_py())
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return pc.replace_substring_regex(
+            _to_str(vals[0]), pattern=pat, replacement=str(vals[2].as_py())
+        )
+    if fn in ("STRBEFORE", "STRAFTER"):
+        s = _to_str(vals[0])
+        sub = str(vals[1].as_py())
+        if sub == "":  # SPARQL: STRBEFORE(x,"")="" ; STRAFTER(x,"")=x
+            return pc.utf8_slice_codeunits(s, 0, 0) if fn == "STRBEFORE" else s
+        # split on the FIRST occurrence: found ⇔ 2 parts; binary_join of
+        # an empty list is "" — covers the not-found case for STRAFTER
+        parts = pc.split_pattern(s, pattern=sub, max_splits=1)
+        found = pc.greater(pc.list_value_length(parts), 1)
+        if fn == "STRBEFORE":
+            return pc.if_else(found, pc.list_element(parts, 0), pa.scalar("", pa.string()))
+        return pc.binary_join(pc.list_slice(parts, 1, 2), "")
+    if fn in ("ABS", "CEIL", "FLOOR"):
+        return getattr(pc, fn.lower())(_to_f64(vals[0]))
+    if fn == "ROUND":
+        # SPARQL ROUND: nearest integer, ties toward +∞ (Arrow half_up)
+        return pc.round(_to_f64(vals[0]), ndigits=0, round_mode="half_up")
     raise SparqlParseError(f"unsupported function {fn}")
+
+
+def _align_pair(a, b):
+    """Two branch values → a common type (numeric if both, else string)."""
+    if _is_num(a) and _is_num(b):
+        return _to_f64(a), _to_f64(b)
+    if pa.types.is_boolean(a.type) and pa.types.is_boolean(b.type):
+        return a, b
+    return _to_str(a), _to_str(b)
 
 
 def _apply_binds(tb: pa.Table, binds: list) -> pa.Table:
@@ -1237,15 +1387,19 @@ def _aggregate_ds(ds, q: SelectQuery):
     grouping keys driver-side (aggregated outputs are group-sized)."""
     import ray.data as _rd
 
-    plain = [(fn, v, a) for fn, v, a, d in q.aggregates if not d]
-    dist = [(fn, v, a) for fn, v, a, d in q.aggregates if d]
+    plain = [(fn, v, a) for fn, v, a, d in q.aggregates if not d and fn != "group_concat"]
+    dist = [(fn, v, a) for fn, v, a, d in q.aggregates if d and fn != "group_concat"]
+    gcs = [(v, a, d) for fn, v, a, d in q.aggregates if fn == "group_concat"]
     for fn, v, a in dist:
         if v is None:
             raise SparqlParseError("COUNT(DISTINCT *) is not valid SPARQL")
-    if not dist:
+    for v, a, d in gcs:
+        if v is None:
+            raise SparqlParseError("GROUP_CONCAT needs a variable argument")
+    if not dist and not gcs:
         return _agg_pass(ds, q.group_by, plain)
     keys = list(q.group_by)
-    if len(dist) + (1 if plain else 0) > 1:
+    if len(dist) + len(gcs) + (1 if plain else 0) > 1:
         ds = ds.materialize()  # narrow solution projection, multiple passes
     parts = []
     if plain:
@@ -1254,10 +1408,26 @@ def _aggregate_ds(ds, q: SelectQuery):
     for fn, v, a in dist:
         byvar.setdefault(v, []).append((fn, a))
     from .relational import distinct as rel_distinct
+    from .relational import grouped_concat
 
     for v, fns in byvar.items():
         dd = rel_distinct(ds, keys + [v])
         parts.append(_collect(_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns])))
+    for v, a, d in gcs:
+        sep = q.agg_params.get(a, {}).get("sep", " ")
+        gds = ds
+        gkeys = keys
+        if not keys:  # global GROUP_CONCAT: synthetic single group
+
+            def add_g(tb: pa.Table) -> pa.Table:
+                return tb.append_column("__g", pa.nulls(tb.num_rows, pa.int8()).fill_null(0))
+
+            gds = ds.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True)
+            gkeys = ["__g"]
+        gtb = _collect(grouped_concat(gds, gkeys, v, a, sep=sep, distinct=d))
+        if not keys:
+            gtb = gtb.drop_columns(["__g"])
+        parts.append(gtb)
     out = parts[0]
     for p in parts[1:]:
         if keys:
@@ -1303,6 +1473,10 @@ def _agg_pass(ds, group_by: list[str], aggs3: list[tuple]):
             specs.append((alias, f"__c_{alias}", "sum"))
         elif fn == "avg":
             specs.append((alias, v, "mean"))
+        elif fn == "sample":
+            # SAMPLE = any value from the group; lexical min is a valid,
+            # DETERMINISTIC choice (no float cast — strings stay strings)
+            specs.append((alias, v, "min"))
         else:
             specs.append((alias, v, fn))
     out = grouped_agg(ds, keys, specs)
@@ -1330,6 +1504,72 @@ def _apply_optionals(tb: pa.Table, optionals: list, store) -> pa.Table:
             raise SparqlParseError(f"OPTIONAL pattern shares no variable: {pat}")
         tb = tb.join(side, keys=keys, join_type="left outer")
     return tb
+
+
+def _apply_set_pattern(tb: pa.Table, pats: list, store, mode: str) -> pa.Table:
+    """MINUS / FILTER [NOT] EXISTS — semi/anti join of the solution table
+    against a pattern-group relation on the shared variables (composite
+    string key + is_in, mirroring the VALUES broadcast semi-join; the
+    side relation is a BGP evaluation so multi-pattern groups join
+    before the set test)."""
+    side = _collect(store.bgp(*pats))
+    shared = [c for c in side.column_names if c in tb.column_names]
+    if not shared:
+        if mode == "minus":
+            # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3.3)
+            return tb
+        nonempty = side.num_rows > 0
+        keep = nonempty if mode == "exists" else not nonempty
+        return tb if keep else tb.slice(0, 0)
+    key = pc.binary_join_element_wise(
+        *[pc.cast(tb.column(c), pa.string()) for c in shared], "\x00"
+    )
+    wanted = pc.unique(
+        pc.binary_join_element_wise(
+            *[pc.cast(side.column(c), pa.string()) for c in shared], "\x00"
+        ).combine_chunks()
+    )
+    mask = pc.is_in(key, value_set=wanted)
+    if mode == "exists":
+        return tb.filter(pc.fill_null(mask, False))
+    return tb.filter(pc.fill_null(pc.invert(mask), True))
+
+
+def _resolve_having(q: SelectQuery) -> None:
+    """Rewrite ("aggref", fn, var, distinct) nodes inside HAVING exprs to
+    ("var", alias) — reusing a projected aggregate when one matches,
+    else adding a synthetic aggregate (dropped again after the HAVING
+    filter)."""
+    synth = getattr(q, "_having_synth", None)
+    if synth is not None:  # already resolved (idempotent)
+        return
+    synth = []
+
+    def walk(e):
+        if isinstance(e, tuple):
+            if e[0] == "aggref":
+                _, fn, var, dist = e
+                for afn, avar, alias, adist in q.aggregates:
+                    if (afn, avar, adist) == (fn, var, dist):
+                        return ("var", alias)
+                alias = f"__h{len(q.aggregates)}"
+                q.aggregates.append((fn, var, alias, dist))
+                synth.append(alias)
+                return ("var", alias)
+            return tuple(walk(x) for x in e)
+        if isinstance(e, list):
+            return [walk(x) for x in e]
+        return e
+
+    q.having = [walk(e) for e in q.having]
+    q._having_synth = synth
+
+
+def _apply_having(tb: pa.Table, q: SelectQuery) -> pa.Table:
+    for e in q.having:
+        tb = _filter_expr(tb, e)
+    synth = [c for c in getattr(q, "_having_synth", []) if c in tb.column_names]
+    return tb.drop_columns(synth) if synth else tb
 
 
 def sparql_query_file(path: str, store, **kw):

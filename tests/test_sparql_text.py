@@ -680,3 +680,177 @@ def test_path_text_a_keyword_in_path():
         QuadStore.from_table(tb),
     )
     assert sorted(out.column("c").to_pylist()) == ["http://c/A", "http://c/B", "http://c/C"]
+
+
+# --- round-3 subset widening: HAVING / MINUS / EXISTS / agg + expr fns ------
+
+def _tag_flag_store():
+    import pyarrow as pa
+
+    # a:{red,blue} b:{red,green} c:{red}; flags on a and c
+    s = ["http://x/a", "http://x/a", "http://x/b", "http://x/b", "http://x/c",
+         "http://x/a", "http://x/c"]
+    p = ["http://p/tag"] * 5 + ["http://p/flag"] * 2
+    o = ["red", "blue", "red", "green", "red", "y", "y"]
+    tb = pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o_kind": pa.array(["literal"] * 7, pa.string()),
+            "o_value": pa.array(o, pa.string()),
+            "o_datatype": pa.nulls(7, pa.string()),
+            "o_lang": pa.nulls(7, pa.string()),
+            "c": pa.nulls(7, pa.string()),
+        }
+    )
+    return QuadStore.from_table(tb)
+
+
+def test_having_with_aggregate_call():
+    out = sparql_query(
+        "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <http://p/tag> ?t } "
+        "GROUP BY ?s HAVING (COUNT(?t) > 1) ORDER BY ?s",
+        _tag_flag_store(),
+    )
+    assert out.to_pydict() == {"s": ["http://x/a", "http://x/b"], "n": [2, 2]}
+
+
+def test_having_via_alias_and_synthetic_drop():
+    # HAVING over an UNPROJECTED aggregate: the synthetic column must not
+    # leak into the result
+    out = sparql_query(
+        "SELECT ?s WHERE { ?s <http://p/tag> ?t } "
+        "GROUP BY ?s HAVING (COUNT(?t) = 1)",
+        _tag_flag_store(),
+    )
+    assert out.column_names == ["s"]
+    assert out.column("s").to_pylist() == ["http://x/c"]
+
+
+def test_group_concat_separator_sorted():
+    out = sparql_query(
+        'SELECT ?s (GROUP_CONCAT(?t; SEPARATOR=",") AS ?ts) '
+        "WHERE { ?s <http://p/tag> ?t } GROUP BY ?s ORDER BY ?s",
+        _tag_flag_store(),
+    )
+    assert out.column("ts").to_pylist() == ["blue,red", "green,red", "red"]
+
+
+def test_group_concat_global_distinct():
+    out = sparql_query(
+        'SELECT (GROUP_CONCAT(DISTINCT ?t; SEPARATOR="|") AS ?ts) '
+        "WHERE { ?s <http://p/tag> ?t }",
+        _tag_flag_store(),
+    )
+    assert out.column("ts").to_pylist() == ["blue|green|red"]
+
+
+def test_sample_aggregate_deterministic():
+    out = sparql_query(
+        "SELECT ?s (SAMPLE(?t) AS ?one) WHERE { ?s <http://p/tag> ?t } "
+        "GROUP BY ?s ORDER BY ?s",
+        _tag_flag_store(),
+    )
+    assert out.column("one").to_pylist() == ["blue", "green", "red"]
+
+
+def test_minus_removes_shared_var_matches():
+    out = sparql_query(
+        "SELECT ?s ?t WHERE { ?s <http://p/tag> ?t "
+        "MINUS { ?s <http://p/flag> ?f } } ORDER BY ?s ?t",
+        _tag_flag_store(),
+    )
+    assert set(out.column("s").to_pylist()) == {"http://x/b"}
+
+
+def test_minus_disjoint_domain_removes_nothing():
+    # SPARQL 1.1 §8.3.3: MINUS with no shared variable removes nothing
+    out = sparql_query(
+        "SELECT ?s WHERE { ?s <http://p/tag> ?t "
+        "MINUS { ?z <http://p/flag> ?f } }",
+        _tag_flag_store(),
+    )
+    assert out.num_rows == 5
+
+
+def test_filter_not_exists_and_exists():
+    ne = sparql_query(
+        "SELECT ?s ?t WHERE { ?s <http://p/tag> ?t "
+        "FILTER NOT EXISTS { ?s <http://p/flag> ?f } } ORDER BY ?t",
+        _tag_flag_store(),
+    )
+    assert set(ne.column("s").to_pylist()) == {"http://x/b"}
+    ex = sparql_query(
+        "SELECT ?s ?t WHERE { ?s <http://p/tag> ?t "
+        "FILTER EXISTS { ?s <http://p/flag> ?f } } ORDER BY ?s ?t",
+        _tag_flag_store(),
+    )
+    assert set(ex.column("s").to_pylist()) == {"http://x/a", "http://x/c"}
+
+
+def test_filter_in_and_not_in():
+    got = sparql_query(
+        'SELECT ?t WHERE { ?s <http://p/tag> ?t FILTER(?t IN ("red", "green")) }',
+        _tag_flag_store(),
+    )
+    assert sorted(got.column("t").to_pylist()) == ["green", "red", "red", "red"]
+    got = sparql_query(
+        'SELECT ?t WHERE { ?s <http://p/tag> ?t FILTER(?t NOT IN ("red")) }',
+        _tag_flag_store(),
+    )
+    assert sorted(got.column("t").to_pylist()) == ["blue", "green"]
+
+
+def test_bind_if_coalesce():
+    out = sparql_query(
+        'SELECT ?s ?x WHERE { ?s <http://p/tag> ?t '
+        'BIND(IF(?t = "red", "R", "other") AS ?x) } ORDER BY ?s ?x',
+        _tag_flag_store(),
+    )
+    assert out.column("x").to_pylist() == ["R", "other", "R", "other", "R"]
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t '
+        'OPTIONAL { ?s <http://p/flag> ?f } BIND(COALESCE(?f, "none") AS ?x) } '
+        "ORDER BY ?x",
+        _tag_flag_store(),
+    )
+    assert sorted(out.column("x").to_pylist()) == ["none", "none", "y", "y", "y"]
+
+
+def test_bind_replace_strbefore_strafter():
+    st = _tag_flag_store()
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t BIND(REPLACE(?t, "e", "3") AS ?x) }', st
+    )
+    assert sorted(set(out.column("x").to_pylist())) == ["blu3", "gr33n", "r3d"]
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t BIND(STRBEFORE(?t, "e") AS ?x) }', st
+    )
+    assert sorted(set(out.column("x").to_pylist())) == ["blu", "gr", "r"]
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t BIND(STRAFTER(?t, "e") AS ?x) }', st
+    )
+    assert sorted(set(out.column("x").to_pylist())) == ["", "d", "en"]
+    # SPARQL edge: empty search string
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t BIND(STRAFTER(?t, "") AS ?x) }', st
+    )
+    assert sorted(set(out.column("x").to_pylist())) == ["blue", "green", "red"]
+    out = sparql_query(
+        'SELECT ?x WHERE { ?s <http://p/tag> ?t BIND(STRBEFORE(?t, "") AS ?x) }', st
+    )
+    assert set(out.column("x").to_pylist()) == {""}
+
+
+def test_numeric_fns_abs_ceil_floor_round():
+    out = sparql_query(
+        "SELECT ?x ?c ?f ?r WHERE { ?s <http://p/tag> ?t "
+        "BIND(STRLEN(?t) / 2 AS ?h) BIND(ABS(0 - ?h) AS ?x) "
+        "BIND(CEIL(?h) AS ?c) BIND(FLOOR(?h) AS ?f) BIND(ROUND(?h) AS ?r) }",
+        _tag_flag_store(),
+    )
+    rows = set(zip(*[out.column(c).to_pylist() for c in ("x", "c", "f", "r")]))
+    # lens: red=3 → 1.5 → (1.5, 2, 1, 2); blue=4 → 2.0; green=5 → 2.5 → round 3 (ties toward +inf)
+    assert (1.5, 2.0, 1.0, 2.0) in rows
+    assert (2.0, 2.0, 2.0, 2.0) in rows
+    assert (2.5, 3.0, 2.0, 3.0) in rows

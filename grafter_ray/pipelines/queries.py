@@ -1915,6 +1915,150 @@ SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n FROM events G
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: doc_id-ordered token stream split into
+    256-token training chunks; each doc gets its (first_chunk,
+    last_chunk) span via a distributed prefix sum (per-block sums → one
+    row per BLOCK to the driver → broadcast offsets; stages/packing.py)."""
+    from ..stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, capacity=256)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens, prev // 256 AS first_chunk,
+       (prev + n_tokens - 1) // 256 AS last_chunk
+FROM c
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; its distinct word 3-grams are broadcast and every
+    corpus doc is scored for distinct-gram overlap in one shuffle-free
+    map_batches pass (stages/decontam.py)."""
+    from ..stages.decontam import benchmark_gram_table, decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    def is_bench(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        return tb.filter(pa.array(ids % 97 == 0))
+
+    bench = benchmark_gram_table(
+        ds.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True), n=3
+    )
+    out = decontaminate(ds, bench, n=3, min_hit_frac_pct=20)
+
+    def to_int(tb: pa.Table) -> pa.Table:
+        return tb.set_column(
+            tb.column_names.index("contaminated"),
+            "contaminated",
+            pc.cast(tb.column("contaminated"), pa.int64()),
+        )
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT CASE WHEN gram IN (SELECT gram FROM bench)
+                             THEN gram END) AS BIGINT) AS n_hits
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_hits, 0) AS n_hits,
+       CAST(COALESCE(s.n_hits, 0) * 100 >= COALESCE(s.n_grams, 0) * 20
+            AND COALESCE(s.n_grams, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (dup/top bigram fractions as raw
+    integer counts): one streaming pass, exact string bigrams."""
+    from ..stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+), cnts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+         CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup_bigram_cnt
+  FROM cnts GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.top_bigram_cnt, 0) AS top_bigram_cnt,
+       COALESCE(a.dup_bigram_cnt, 0) AS dup_bigram_cnt
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_REDACT_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_REDACT_KW = r"\b(key|secret|token)\b"
+
+
+def q_redact_secrets(sf_dir: str):
+    """Secret/PII scrub over the corpus text column with audit counts
+    (stages/redact.py): both sides run the SAME RE2 regexes (Arrow and
+    DuckDB share the RE2 engine), counts computed on the progressively
+    redacted text exactly as the SQL nests its regexp_replace calls."""
+    from ..stages.redact import redact_counts
+
+    pats = [
+        ("email", _REDACT_EMAIL, "[EMAIL-REDACTED]"),
+        ("kw", _REDACT_KW, "[KW-REDACTED]"),
+    ]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda tb: redact_counts(tb, patterns=pats),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_REDACT_SECRETS = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_REDACT_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(
+       regexp_replace(text, '{_REDACT_EMAIL}', '[EMAIL-REDACTED]', 'g'),
+       '{_REDACT_KW}')) AS BIGINT) AS n_kw,
+  regexp_replace(
+       regexp_replace(text, '{_REDACT_EMAIL}', '[EMAIL-REDACTED]', 'g'),
+       '{_REDACT_KW}', '[KW-REDACTED]', 'g') AS text
+FROM documents
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1960,6 +2104,10 @@ QUERIES = {
     "sparql_having_concat": q_sparql_having_concat,
     "sparql_minus_exists": q_sparql_minus_exists,
     "sparql_in_if": q_sparql_in_if,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "redact_secrets": q_redact_secrets,
     "path_geo_closure": q_path_geo_closure,
     "sparql_path_text": q_sparql_path_text,
     "inferred_domain_types": q_inferred_domain_types,
@@ -2031,6 +2179,10 @@ ORACLE_SQL = {
     "sparql_having_concat": SQL_SPARQL_HAVING_CONCAT,
     "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
     "sparql_in_if": SQL_SPARQL_IN_IF,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "redact_secrets": SQL_REDACT_SECRETS,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,
     "sparql_path_text": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,

@@ -1,0 +1,118 @@
+"""Benchmark decontamination: flag corpus documents whose word n-grams
+overlap a (small) evaluation/benchmark set — the standard train/test
+contamination check in large-scale training-data pipelines.
+
+Shape: the benchmark side is tiny relative to the corpus, so its
+distinct n-gram table is built once and broadcast (`ray.put`), and the
+corpus side streams through one `map_batches` pass — no shuffle at all.
+Gram construction is exact STRING n-grams (not hashes) so the result is
+bit-comparable to a SQL oracle; everything is Arrow/numpy vectorized
+(token split → flat token array → `take` at shifted indices →
+`binary_join_element_wise`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _WS
+
+
+def ngram_strings(text: pa.ChunkedArray | pa.Array, n: int):
+    """Word n-grams per row, exact strings joined by single spaces.
+
+    Returns (grams: pa.Array[string], row_of: np.ndarray[int64]) — gram
+    j belongs to input row row_of[j]. Rows with fewer than n tokens
+    produce no grams. Tokenization matches DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    gram_counts = np.maximum(counts - (n - 1), 0)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), gram_counts)
+    # start index (into flat) of each gram: row start + local position
+    local = np.arange(len(row_of), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(gram_counts)])[:-1], gram_counts
+    )
+    starts = offsets[:-1][row_of] + local
+    if len(starts) == 0:
+        return pa.array([], pa.string()), row_of
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, " ")
+    return joined, row_of
+
+
+def benchmark_gram_table(ds, n: int, text_col: str = "text") -> pa.Array:
+    """Distinct n-grams of the (small) benchmark dataset, collected to a
+    single string array for broadcast. Distinct-per-block first so only
+    unique grams leave each task."""
+    def local_grams(tb: pa.Table) -> pa.Table:
+        g, _ = ngram_strings(tb.column(text_col), n)
+        return pa.table({"gram": pc.unique(g)})
+
+    parts = ds.map_batches(
+        local_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # benchmark side is small BY DEFINITION (eval sets)
+    if not parts:
+        return pa.array([], pa.string())
+    return pc.unique(pa.array([r["gram"] for r in parts], pa.string()))
+
+
+def decontaminate(
+    ds,
+    benchmark_grams: pa.Array,
+    n: int = 3,
+    min_hit_frac_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Dataset[(id_col, text_col)] → Dataset[(id_col, n_grams, n_hits,
+    contaminated)] where n_hits counts DISTINCT grams of the doc present
+    in the benchmark set and contaminated ⇔ n_grams > 0 and n_hits*100
+    >= n_grams * min_hit_frac_pct (integer arithmetic → hash-stable
+    oracle)."""
+    import ray
+
+    gram_ref = ray.put(benchmark_grams)
+
+    def score(tb: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        bench = ray.get(gram_ref)
+        grams, row_of = ngram_strings(tb.column(text_col), n)
+        nrows = tb.num_rows
+        n_grams = np.zeros(nrows, dtype=np.int64)
+        if len(row_of):
+            np.add.at(n_grams, row_of, 1)
+        n_hits = np.zeros(nrows, dtype=np.int64)
+        if len(grams) and len(bench):
+            hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+            if hit.any():
+                hrows = row_of[hit]
+                # distinct (row, gram) among hits: factorize gram strings
+                # (exact string identity, no hash-collision risk)
+                codes, _ = pd.factorize(
+                    np.asarray(grams.take(pa.array(np.nonzero(hit)[0])).to_pandas(), dtype=object)
+                )
+                pair = hrows * np.int64(len(grams) + 1) + codes.astype(np.int64)
+                keep = np.zeros(len(pair), dtype=bool)
+                keep[np.unique(pair, return_index=True)[1]] = True
+                np.add.at(n_hits, hrows[keep], 1)
+        contaminated = (n_hits * 100 >= n_grams * min_hit_frac_pct) & (n_grams > 0)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(contaminated),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

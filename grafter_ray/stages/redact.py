@@ -1,0 +1,70 @@
+"""Secret / PII redaction for source-code corpora: scrub emails, cloud
+access keys, private-key blocks and long hex secrets from a text column
+before training-data export. One streaming `map_batches` pass; every
+pattern is a single vectorized RE2 `pc.replace_substring_regex` kernel
+over the whole column (Arrow and DuckDB both use RE2, so the semantics
+are oracle-comparable bit-for-bit).
+
+Patterns are (name, regex, replacement) triples; `redact_batch` applies
+them in order, and `redact_counts` additionally reports per-pattern hit
+counts (occurrences, via count_substring_regex) for audit lineage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Default scrub list for code corpora. Order matters: PEM blocks first
+# (the block body would otherwise be shredded by the hex rule).
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "pem_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----",
+        "[PEM-REDACTED]",
+    ),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "[AWS-KEY-REDACTED]"),
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL-REDACTED]"),
+    ("hex_secret", r"\b[0-9a-fA-F]{32,}\b", "[HEX-REDACTED]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP-REDACTED]"),
+]
+
+
+def redact_array(
+    text: pa.ChunkedArray | pa.Array,
+    patterns: list[tuple[str, str, str]] = SECRET_PATTERNS,
+):
+    for _, pat, repl in patterns:
+        text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+    return text
+
+
+def redact_batch(
+    tb: pa.Table,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] = SECRET_PATTERNS,
+    out_col: str | None = None,
+) -> pa.Table:
+    out = redact_array(tb.column(text_col), patterns)
+    name = out_col or text_col
+    if name in tb.column_names:
+        tb = tb.set_column(tb.column_names.index(name), name, out)
+    else:
+        tb = tb.append_column(name, out)
+    return tb
+
+
+def redact_counts(
+    tb: pa.Table,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] = SECRET_PATTERNS,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """(id, redacted text, one n_<pattern> occurrence count per rule)."""
+    cols = {id_col: tb.column(id_col)}
+    text = tb.column(text_col)
+    for name, pat, repl in patterns:
+        cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+    cols["text"] = text
+    return pa.table(cols)

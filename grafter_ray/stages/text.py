@@ -173,3 +173,37 @@ def lang_id_batch(tb: pa.Table) -> pa.Table:
     if stage is None:
         stage = _LANGID_CACHE[0] = LangIdStage()
     return stage(tb)
+
+
+def repetition_stats(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters): total bigram occurrences, the count
+    of the most frequent bigram, and the number of occurrences belonging
+    to bigrams that repeat (count >= 2). Integer outputs → hash-stable
+    SQL oracle. Fully vectorized: exact string bigrams (factorize) →
+    per-(row,bigram) counts via one np.unique over packed int64 pairs."""
+    import pandas as pd
+
+    from .decontam import ngram_strings
+
+    grams, row_of = ngram_strings(tb.column(text_col), 2)
+    nrows = tb.num_rows
+    n_bigrams = np.zeros(nrows, dtype=np.int64)
+    top = np.zeros(nrows, dtype=np.int64)
+    dup = np.zeros(nrows, dtype=np.int64)
+    if len(grams):
+        codes, _ = pd.factorize(np.asarray(grams.to_pandas(), dtype=object))
+        pair = row_of * np.int64(len(grams) + 1) + codes.astype(np.int64)
+        upair, cnt = np.unique(pair, return_counts=True)
+        urow = upair // np.int64(len(grams) + 1)
+        np.add.at(n_bigrams, row_of, 1)
+        np.maximum.at(top, urow, cnt)
+        np.add.at(dup, urow[cnt >= 2], cnt[cnt >= 2])
+    return pa.table(
+        {
+            id_col: tb.column(id_col),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "top_bigram_cnt": pa.array(top, pa.int64()),
+            "dup_bigram_cnt": pa.array(dup, pa.int64()),
+        }
+    )

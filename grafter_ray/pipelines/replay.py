@@ -1123,3 +1123,110 @@ class CDCLake:
         m = self.manifest_at(version)
         sv = m["schema_version"] if m else 0
         return apply_view(tb, sv) if view else tb
+
+    def _changed_entries(self, since_version: int) -> tuple[int, list[dict]]:
+        """(old watermark, current entries whose max_lsn exceeds it) —
+        the manifest's per-partition max_lsn stats prune unchanged
+        partitions without opening a single data file."""
+        old = self.manifest_at(since_version)
+        if old is None:
+            raise ValueError(f"no committed manifest for version {since_version}")
+        wm = int(old["watermark_lsn"])
+        cur = self.manifest or {"partitions": {}}
+        entries = [
+            dict(e, partition_id=pid)
+            for pid, e in cur["partitions"].items()
+            if int(e.get("max_lsn", -1)) > wm
+        ]
+        return wm, entries
+
+    def read_changes(self, since_version: int, view: bool = True):
+        """Incremental downstream feed (CDC read side): live rows
+        upserted after `since_version`, i.e. last_lsn > that version's
+        watermark, as a streaming Dataset. Only partitions whose
+        manifest max_lsn moved are read (one merge task each); within
+        them the last_lsn filter is vectorized per batch. Deletions are
+        surfaced separately by `deleted_keys`."""
+        import ray.data as rd
+
+        wm, entries = self._changed_entries(since_version)
+        if not entries:
+            ds = rd.from_arrow(LAKE.empty_table())
+        else:
+            data_dir = self.log.data_dir
+
+            def changed_rows(batch: pa.Table) -> pa.Table:
+                out = []
+                for row in batch.to_pylist():
+                    base = pq.read_table(os.path.join(data_dir, row["file"])) if row["file"] else None
+                    chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["deltas"])]
+                    t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+                    out.append(t.filter(pc.greater(t.column("last_lsn"), wm)))
+                return pa.concat_tables(out, promote_options="none")
+
+            items = [
+                {"file": e["file"], "deltas": json.dumps(e.get("deltas", []))}
+                for e in entries
+            ]
+            ds = rd.from_items(items).map_batches(
+                changed_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+            )
+        if view and self.schema_version > 0:
+            v = self.schema_version
+            ds = ds.map_batches(
+                lambda tb: apply_view(tb, v), batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
+
+    def deleted_keys(self, since_version: int):
+        """Keys live at `since_version` but absent now (tombstone feed
+        for downstream consumers), as a Dataset of (repo, path). Keys
+        hash to a fixed partition, so the diff is partition-local: one
+        task per CHANGED partition anti-joins old keys against current
+        keys — unchanged partitions are pruned via manifest max_lsn and
+        never read. Requires the old version's files to still be on disk
+        (vacuum's keep_versions horizon)."""
+        import ray.data as rd
+
+        wm, entries = self._changed_entries(since_version)
+        old_m = self.manifest_at(since_version) or {"partitions": {}}
+        old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
+        items = []
+        for e in entries:
+            oe = old_parts.get(str(e["partition_id"]))
+            if oe is None:  # partition born after since_version: no deletes
+                continue
+            items.append(
+                {
+                    "old_file": oe["file"],
+                    "old_deltas": json.dumps(oe.get("deltas", [])),
+                    "new_file": e["file"],
+                    "new_deltas": json.dumps(e.get("deltas", [])),
+                }
+            )
+        if not items:
+            return rd.from_arrow(
+                pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+            )
+        data_dir = self.log.data_dir
+
+        def keys_of(file: str, deltas_json: str) -> pa.Table:
+            base = pq.read_table(os.path.join(data_dir, file), columns=None) if file else None
+            chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(deltas_json)]
+            t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+            return t.select(["repo", "path"])
+
+        def diff(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                old = keys_of(row["old_file"], row["old_deltas"])
+                new = keys_of(row["new_file"], row["new_deltas"])
+                ok = pc.binary_join_element_wise(old.column("repo"), old.column("path"), "\x00")
+                nk = pc.binary_join_element_wise(new.column("repo"), new.column("path"), "\x00")
+                gone = pc.invert(pc.is_in(ok, value_set=nk.combine_chunks()))
+                out.append(old.filter(gone))
+            return pa.concat_tables(out, promote_options="none")
+
+        return rd.from_items(items).map_batches(
+            diff, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+        )

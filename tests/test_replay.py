@@ -354,3 +354,39 @@ def test_delta_chain_disabled_matches(tmp_path, binlog):
         for e in lake.log.read(v)["partitions"].values():
             assert not e.get("deltas")
     _assert_same_state(lake, binlog)
+
+
+def test_read_changes_and_deleted_keys(tmp_path, binlog):
+    """Incremental read side: rows upserted after version v (last_lsn >
+    that version's watermark) and keys deleted since v, both computed
+    from CHANGED partitions only (manifest max_lsn pruning)."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), window_size=2_000)
+    v0 = 0
+    wm0 = lake.manifest_at(v0)["watermark_lsn"]
+    changed = lake.read_changes(v0, view=False).to_pandas()
+    full = lake.read_table(view=False).to_pandas()
+    want = full[full["last_lsn"] > wm0]
+    assert sorted(zip(changed["repo"], changed["path"])) == sorted(
+        zip(want["repo"], want["path"])
+    )
+    assert (changed["last_lsn"] > wm0).all()
+    # deleted keys: live at v0, absent now
+    old = lake.read_table(view=False, version=v0).to_pandas()
+    old_keys = set(zip(old["repo"], old["path"]))
+    now_keys = set(zip(full["repo"], full["path"]))
+    want_deleted = old_keys - now_keys
+    got_deleted = lake.deleted_keys(v0).to_pandas()
+    assert set(zip(got_deleted["repo"], got_deleted["path"])) == want_deleted
+    assert len(want_deleted) > 0  # CFG.delete_pct makes this non-trivial
+    # view=True path runs the evolved-schema projection
+    viewed = lake.read_changes(v0, view=True)
+    assert "content_len" in viewed.schema().names
+
+
+def test_read_changes_latest_version_is_empty(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog))
+    latest = lake.manifest["version"]
+    assert lake.read_changes(latest, view=False).count() == 0
+    assert lake.deleted_keys(latest).count() == 0

@@ -55,6 +55,12 @@ QUERY_SUBSET = [
     "sparql_expr_bind",
     "sparql_count_distinct",
     "jsonld_roundtrip",
+    "sparql_having_concat",
+    "sparql_minus_exists",
+    "pack_sequences",
+    "decontaminate",
+    "repetition_stats",
+    "redact_secrets",
 ]
 
 

@@ -1915,6 +1915,32 @@ SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n FROM events G
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_sparql_term_fns(sf_dir: str):
+    """RDF term introspection (LANG/DATATYPE/isIRI/isLiteral/isBlank):
+    the BGP scan projects kind/lang/datatype companion columns beside
+    each inspected var (store.bgp term_meta), so the filters and BIND
+    stream — term identity never round-trips through the driver."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?d ?p ?dt WHERE { ?d ?p ?o . "
+        "BIND(DATATYPE(?o) AS ?dt) "
+        "FILTER(ISLITERAL(?o) && ISIRI(?d) && !ISBLANK(?d)) }",
+        store,
+    )
+
+
+SQL_SPARQL_TERM_FNS = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, pp.p AS p,
+       CASE WHEN pp.p = 'prop:n_chars'
+            THEN 'http://www.w3.org/2001/XMLSchema#integer'
+            ELSE 'http://www.w3.org/2001/XMLSchema#string' END AS dt
+FROM documents, (VALUES ('prop:text'), ('prop:lang'), ('prop:n_chars')) pp(p)
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: doc_id-ordered token stream split into
     256-token training chunks; each doc gets its (first_chunk,
@@ -2104,6 +2130,7 @@ QUERIES = {
     "sparql_having_concat": q_sparql_having_concat,
     "sparql_minus_exists": q_sparql_minus_exists,
     "sparql_in_if": q_sparql_in_if,
+    "sparql_term_fns": q_sparql_term_fns,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2179,6 +2206,7 @@ ORACLE_SQL = {
     "sparql_having_concat": SQL_SPARQL_HAVING_CONCAT,
     "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
     "sparql_in_if": SQL_SPARQL_IN_IF,
+    "sparql_term_fns": SQL_SPARQL_TERM_FNS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

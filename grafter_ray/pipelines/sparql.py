@@ -133,7 +133,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|a|true|false)\b)
+      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|a|true|false)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -539,6 +539,8 @@ class _QParser:
         "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "BOUND",
         "IF", "COALESCE", "REPLACE", "STRBEFORE", "STRAFTER",
         "ABS", "CEIL", "FLOOR", "ROUND",
+        "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI",
+        "ISLITERAL", "ISBLANK",
     }
 
     def _expr(self):
@@ -985,15 +987,32 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     if not q.patterns and not q.union_branches and not q.subselects and not q.path_patterns:
         raise SparqlParseError("query has no triple patterns")
     path_sides = [(pat, _path_side(store, pat)) for pat in q.path_patterns]
+    meta_vars = _term_meta_vars(q)
+    if meta_vars:
+        pats = list(q.patterns) + [p for b in q.union_branches for p in b]
+        bound_vars = {
+            v[1:]
+            for pat in pats
+            for v in pat
+            if isinstance(v, str) and v.startswith("?")
+        }
+        missing = meta_vars - bound_vars
+        if missing:
+            raise SparqlParseError(
+                f"term function on non-pattern-bound variable(s): {sorted(missing)}"
+            )
     if q.patterns or q.union_branches:
         if q.union_branches:
             # join distributes over union: P . {A} UNION {B} ≡
             # bgp(P+A) ⊎ bgp(P+B) — bag semantics (no dedup), matching
             # SQL UNION ALL
-            sides = [store.bgp(*(q.patterns + list(b))) for b in q.union_branches]
+            sides = [
+                store.bgp(*(q.patterns + list(b)), term_meta=meta_vars)
+                for b in q.union_branches
+            ]
             ds = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
         else:
-            ds = store.bgp(*q.patterns)
+            ds = store.bgp(*q.patterns, term_meta=meta_vars)
     elif path_sides:
         # a path-only group: the FIRST path relation is the streaming
         # Dataset (constraints / LIMIT pushdown apply to it); the rest
@@ -1254,6 +1273,8 @@ def _eval_expr(expr, tb: pa.Table):
     if kind == "not":
         return pc.invert(_eval_expr(expr[1], tb))
     if kind == "call":
+        if expr[1] in _TERM_FNS:
+            return _eval_term_call(expr[1], expr[2], tb)
         return _eval_call(expr[1], expr[2], tb)
     if kind == "in":
         _, le, items, positive = expr
@@ -1343,6 +1364,89 @@ def _eval_call(fn: str, args: list, tb: pa.Table):
         # SPARQL ROUND: nearest integer, ties toward +∞ (Arrow half_up)
         return pc.round(_to_f64(vals[0]), ndigits=0, round_mode="half_up")
     raise SparqlParseError(f"unsupported function {fn}")
+
+
+_TERM_FNS = {"LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK"}
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _term_companion(args, tb: pa.Table, fn: str):
+    """The (kind, lang, datatype) companion columns of a term function's
+    variable argument — present when the BGP was planned with term_meta
+    (the parser collects which vars need identity; store.bgp projects
+    the store's o_kind/o_lang/o_datatype beside the value)."""
+    if not (len(args) == 1 and isinstance(args[0], tuple) and args[0][0] == "var"):
+        raise SparqlParseError(f"{fn} requires a variable argument")
+    v = args[0][1]
+    kc = f"{v}__kind"
+    if kc not in tb.column_names:
+        raise SparqlParseError(
+            f"{fn}(?{v}): variable is not pattern-bound (no term identity)"
+        )
+    return tb.column(kc), tb.column(f"{v}__lang"), tb.column(f"{v}__datatype")
+
+
+def _eval_term_call(fn: str, args: list, tb: pa.Table):
+    """RDF term introspection (SPARQL 1.1 §17.4.1-2): needs term
+    IDENTITY, not just the lexical value, so these read the companion
+    columns instead of evaluating their argument."""
+    if fn == "LANGMATCHES":  # (lang-expr, range)
+        lang = _eval_expr(args[0], tb)
+        rng = _eval_expr(args[1], tb)
+        if not isinstance(rng, pa.Scalar):
+            raise SparqlParseError("LANGMATCHES range must be a constant")
+        r = str(rng.as_py()).lower()
+        lang = pc.utf8_lower(pc.fill_null(lang, ""))
+        if r == "*":
+            return pc.invert(pc.equal(lang, ""))
+        return pc.or_(pc.equal(lang, r), pc.starts_with(lang, r + "-"))
+    kind, lang, dt = _term_companion(args, tb, fn)
+    if fn == "LANG":  # "" for IRIs/plain literals per the error→"" house rule
+        return pc.fill_null(lang, "")
+    if fn == "DATATYPE":
+        is_lit = pc.equal(pc.fill_null(kind, ""), "literal")
+        out = pc.if_else(
+            pc.is_valid(lang),
+            pa.scalar(_RDF_LANGSTRING, pa.string()),
+            pc.if_else(
+                pc.is_valid(dt), dt, pa.scalar(_XSD_STRING, pa.string())
+            ),
+        )
+        return pc.if_else(is_lit, out, pa.scalar(None, pa.string()))
+    k = pc.fill_null(kind, "")
+    if fn in ("ISIRI", "ISURI"):
+        return pc.equal(k, "iri")
+    if fn == "ISLITERAL":
+        return pc.equal(k, "literal")
+    return pc.equal(k, "bnode")  # ISBLANK
+
+
+def _term_meta_vars(q: SelectQuery) -> set[str]:
+    """Vars whose RDF-term identity any expression inspects — these get
+    companion columns from the store scan."""
+    out: set[str] = set()
+
+    def walk(e):
+        if isinstance(e, tuple):
+            if e[0] == "call" and e[1] in _TERM_FNS and e[1] != "LANGMATCHES":
+                for a in e[2]:
+                    if isinstance(a, tuple) and a[0] == "var":
+                        out.add(a[1])
+            for x in e:
+                walk(x)
+        elif isinstance(e, list):
+            for x in e:
+                walk(x)
+
+    for e in q.filter_exprs:
+        walk(e)
+    for _alias, e in q.binds:
+        walk(e)
+    for e in q.having:
+        walk(e)
+    return out
 
 
 def _align_pair(a, b):

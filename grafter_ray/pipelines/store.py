@@ -34,6 +34,30 @@ def _is_var(x) -> bool:
     return isinstance(x, str) and x.startswith("?")
 
 
+def _term_meta_cols(tb: pa.Table, col: str, name: str) -> dict:
+    """Companion term-identity columns for a var bound at quad column
+    `col`: object position carries the store's own kind/lang/datatype;
+    s/p/c positions are iri-or-bnode by construction (RDF positional
+    typing), so kind derives from the '_:' prefix."""
+    if col == "o_value":
+        return {
+            f"{name}__kind": tb.column("o_kind"),
+            f"{name}__lang": tb.column("o_lang"),
+            f"{name}__datatype": tb.column("o_datatype"),
+        }
+    kind = pc.if_else(
+        pc.starts_with(pc.fill_null(tb.column(col), ""), "_:"),
+        pa.scalar("bnode", pa.string()),
+        pa.scalar("iri", pa.string()),
+    )
+    n = tb.num_rows
+    return {
+        f"{name}__kind": kind,
+        f"{name}__lang": pa.nulls(n, pa.string()),
+        f"{name}__datatype": pa.nulls(n, pa.string()),
+    }
+
+
 class QuadStore:
     def __init__(self, ds):
         self.ds = ds
@@ -110,16 +134,43 @@ class QuadStore:
 
         return self.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pattern(self, s=None, p=None, o=None, c=None):
-        """Pattern → Dataset projected to its variable columns."""
+    def pattern(self, s=None, p=None, o=None, c=None, term_meta: set[str] | None = None):
+        """Pattern → Dataset projected to its variable columns.
+
+        `term_meta`: var names whose RDF-term identity the caller needs
+        (LANG / DATATYPE / isIRI …). Those vars get companion columns
+        `{var}__kind` / `{var}__lang` / `{var}__datatype`: object-position
+        vars project the store's own o_* columns; s/p/c-position vars
+        synthesize kind from the term text ('_:'-prefix ⇒ bnode, else
+        iri) with null lang/datatype — positional typing per RDF."""
         ds = self.match(s, p, o, c)
         binds = list(zip(_POS, [s, p, o, c]))
         vars_ = [(col, v[1:]) for col, v in binds if _is_var(v)]
+        meta = term_meta or set()
 
         def proj(tb: pa.Table) -> pa.Table:
-            return pa.table({name: tb.column(col) for col, name in vars_})
+            cols = {}
+            for col, name in vars_:
+                cols[name] = tb.column(col)
+                if name in meta:
+                    cols.update(_term_meta_cols(tb, col, name))
+            return pa.table(cols)
 
         return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    @staticmethod
+    def _meta_plan(specs, term_meta: set[str]):
+        """(pattern index, var) pairs that carry companion columns: the
+        FIRST pattern binding each requested var (joins would otherwise
+        collide on duplicate companion names)."""
+        plan = set()
+        seen = set()
+        for i, (_c, vars_) in enumerate(specs):
+            for _col, var in vars_:
+                if var in term_meta and var not in seen:
+                    plan.add((i, var))
+                    seen.add(var)
+        return plan
 
     # Broadcast-vs-shuffle threshold for non-first BGP patterns. Below it
     # the pattern table ships once via the object store (the VALUES /
@@ -134,6 +185,7 @@ class QuadStore:
         select: list[str] | None = None,
         broadcast_limit: int | None = None,
         join_partitions: int = 16,
+        term_meta: set[str] | None = None,
     ):
         """Basic graph pattern: join patterns on shared variables.
 
@@ -152,7 +204,7 @@ class QuadStore:
         driver."""
         limit = self.BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
         if len(patterns) == 1:
-            ds = self.pattern(*patterns[0])
+            ds = self.pattern(*patterns[0], term_meta=term_meta)
             return ds.select_columns(select) if select else ds
         pats = [tuple(pat) + (None,) * (4 - len(pat)) for pat in patterns]
         specs = []  # (consts, vars_) per pattern
@@ -164,7 +216,13 @@ class QuadStore:
                     [(col, v[1:]) for col, v in binds if _is_var(v)],
                 )
             )
+        meta_plan = self._meta_plan(specs, term_meta or set())
         names = [f"{i}|{var}" for i, (_, vars_) in enumerate(specs) for _c, var in vars_]
+        names += [
+            f"{i}|{var}__{suf}"
+            for i, var in sorted(meta_plan)
+            for suf in ("kind", "lang", "datatype")
+        ]
 
         def tagged(tb: pa.Table) -> pa.Table:
             pieces = []
@@ -176,6 +234,9 @@ class QuadStore:
                 t = tb.filter(mask) if mask is not None else tb
                 n = t.num_rows
                 mine = {f"{i}|{var}": t.column(col) for col, var in vars_}
+                for col, var in vars_:
+                    if (i, var) in meta_plan:
+                        mine.update(_term_meta_cols(t, col, f"{i}|{var}"))
                 cols = {"__tag": pa.nulls(n, pa.int32()).fill_null(i)}
                 for nm in names:
                     cols[nm] = mine.get(nm, pa.nulls(n, pa.string()))
@@ -191,7 +252,12 @@ class QuadStore:
 
             def f(tb: pa.Table, i=i, vars_=vars_) -> pa.Table:
                 t = tb.filter(pc.equal(tb.column("__tag"), i))
-                return pa.table({var: t.column(f"{i}|{var}") for _c, var in vars_})
+                cols = {var: t.column(f"{i}|{var}") for _c, var in vars_}
+                for _c, var in vars_:
+                    if (i, var) in meta_plan:
+                        for suf in ("kind", "lang", "datatype"):
+                            cols[f"{var}__{suf}"] = t.column(f"{i}|{var}__{suf}")
+                return pa.table(cols)
 
             return tagged_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

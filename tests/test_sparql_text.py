@@ -854,3 +854,100 @@ def test_numeric_fns_abs_ceil_floor_round():
     assert (1.5, 2.0, 1.0, 2.0) in rows
     assert (2.0, 2.0, 2.0, 2.0) in rows
     assert (2.5, 3.0, 2.0, 3.0) in rows
+
+
+# --- RDF term introspection: LANG / DATATYPE / isIRI / isLiteral / isBlank --
+
+def _lang_store():
+    import pyarrow as pa
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        # s, o_kind, o_value, o_datatype, o_lang
+        ("http://x/a", "literal", "hello", None, "en"),
+        ("http://x/b", "literal", "hallo", None, "de"),
+        ("http://x/c", "literal", "salut", None, "fr-BE"),
+        ("http://x/d", "literal", "plain", None, None),
+        ("http://x/e", "literal", "42", XSD_INT, None),
+        ("http://x/f", "iri", "http://y/obj", None, None),
+        ("_:blank1", "literal", "anon", None, None),
+    ]
+    tb = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array(["http://p/v"] * len(rows), pa.string()),
+            "o_kind": pa.array([r[1] for r in rows], pa.string()),
+            "o_value": pa.array([r[2] for r in rows], pa.string()),
+            "o_datatype": pa.array([r[3] for r in rows], pa.string()),
+            "o_lang": pa.array([r[4] for r in rows], pa.string()),
+            "c": pa.nulls(len(rows), pa.string()),
+        }
+    )
+    return QuadStore.from_table(tb)
+
+
+def test_lang_filter_and_langmatches():
+    st = _lang_store()
+    out = sparql_query(
+        'SELECT ?o WHERE { ?s <http://p/v> ?o FILTER(LANG(?o) = "en") }', st
+    )
+    assert out.column("o").to_pylist() == ["hello"]
+    out = sparql_query(
+        'SELECT ?o WHERE { ?s <http://p/v> ?o FILTER(LANGMATCHES(LANG(?o), "fr")) }', st
+    )
+    assert out.column("o").to_pylist() == ["salut"]
+    out = sparql_query(
+        'SELECT ?o WHERE { ?s <http://p/v> ?o FILTER(LANGMATCHES(LANG(?o), "*")) } ORDER BY ?o',
+        st,
+    )
+    assert out.column("o").to_pylist() == ["hallo", "hello", "salut"]
+
+
+def test_datatype_bind():
+    st = _lang_store()
+    out = sparql_query(
+        "SELECT ?s ?dt WHERE { ?s <http://p/v> ?o BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?s",
+        st,
+    )
+    got = dict(zip(out.column("s").to_pylist(), out.column("dt").to_pylist()))
+    assert got["http://x/a"].endswith("langString")
+    assert got["http://x/d"].endswith("XMLSchema#string")
+    assert got["http://x/e"].endswith("XMLSchema#integer")
+    assert got["http://x/f"] is None  # DATATYPE of an IRI: no value
+
+
+def test_is_iri_literal_blank():
+    st = _lang_store()
+    out = sparql_query(
+        "SELECT ?s ?o WHERE { ?s <http://p/v> ?o FILTER(ISIRI(?o)) }", st
+    )
+    assert out.column("o").to_pylist() == ["http://y/obj"]
+    out = sparql_query(
+        "SELECT ?s WHERE { ?s <http://p/v> ?o FILTER(ISBLANK(?s)) }", st
+    )
+    assert out.column("s").to_pylist() == ["_:blank1"]
+    out = sparql_query(
+        "SELECT ?s WHERE { ?s <http://p/v> ?o FILTER(ISLITERAL(?o) && ISIRI(?s)) }", st
+    )
+    assert len(out.column("s").to_pylist()) == 5  # a b c d e (not f, not _:blank1)
+
+
+def test_term_fns_through_multi_pattern_bgp():
+    # companions must ride the tagged-scan join path, not just pattern()
+    st = _tag_flag_store()
+    out = sparql_query(
+        "SELECT ?s ?t WHERE { ?s <http://p/tag> ?t . ?s <http://p/flag> ?f "
+        "FILTER(ISLITERAL(?t)) } ORDER BY ?s ?t",
+        st,
+    )
+    assert set(out.column("s").to_pylist()) == {"http://x/a", "http://x/c"}
+
+
+def test_term_fn_on_unbound_var_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(SparqlParseError):
+        sparql_query(
+            'SELECT ?s WHERE { ?s <http://p/v> ?o BIND("x" AS ?z) FILTER(ISIRI(?q)) }',
+            _lang_store(),
+        )

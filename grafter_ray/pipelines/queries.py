@@ -1915,6 +1915,60 @@ SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n FROM events G
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_dedup_corpus(sf_dir: str):
+    """END-TO-END near-dedup corpus materialization, fully distributed
+    and oracle-gated: exact 3-gram Jaccard pairs (prefix-filtered
+    AllPairs join) → distributed connected components (min-label
+    propagation with pointer doubling) → keep each cluster's min-id
+    representative via a distributed anti-join. The oracle replays the
+    same pipeline in SQL (recursive-CTE transitive closure), putting
+    the components kernel itself under the hash gate."""
+    from ..stages.dedup import pair_clusters_dataset, set_jaccard_pairs_prefix
+    from .relational import anti_join_ids
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = set_jaccard_pairs_prefix(docs, threshold=0.5, ngram=3)
+    clusters = pair_clusters_dataset(pairs)
+
+    def losers(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.not_equal(tb.column("doc_id"), tb.column("cluster_id")))
+        return t.select(["doc_id"])
+
+    losers_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    keep = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return anti_join_ids(keep, losers_ds, "doc_id")
+
+
+SQL_DEDUP_CORPUS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+), pair_i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+), e AS (
+  SELECT id_a, id_b FROM pair_i
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM e UNION ALL SELECT id_b, id_a FROM e
+), r(id, x) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.id, e2.b FROM r JOIN edges e2 ON r.x = e2.a
+), losers AS (
+  SELECT id FROM r GROUP BY id HAVING min(x) <> id
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def q_sparql_term_fns(sf_dir: str):
     """RDF term introspection (LANG/DATATYPE/isIRI/isLiteral/isBlank):
     the BGP scan projects kind/lang/datatype companion columns beside
@@ -2131,6 +2185,7 @@ QUERIES = {
     "sparql_minus_exists": q_sparql_minus_exists,
     "sparql_in_if": q_sparql_in_if,
     "sparql_term_fns": q_sparql_term_fns,
+    "dedup_corpus": q_dedup_corpus,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2207,6 +2262,7 @@ ORACLE_SQL = {
     "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
     "sparql_in_if": SQL_SPARQL_IN_IF,
     "sparql_term_fns": SQL_SPARQL_TERM_FNS,
+    "dedup_corpus": SQL_DEDUP_CORPUS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -172,6 +172,51 @@ def grouped_concat(
     return grouped_block_map(ds.select_columns(keys + [col]), keys, f)
 
 
+def anti_join_ids(ds, right, key: str):
+    """Distributed anti-join on one key: rows of `ds` whose `key` does
+    not appear in `right` (a Dataset projecting `key`). Tag-union + one
+    key exchange + a vectorized per-run side test — the house co-group
+    shape (Dataset.join's left_anti breaks on empty hash partitions at
+    small scale). Payload columns ride the exchange; that move IS the
+    anti-join's output materialization, which any plan pays."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    schema = ds.schema()
+    names = list(schema.names)
+    types = list(schema.types)
+
+    def tag_left(tb: pa.Table) -> pa.Table:
+        return tb.append_column("__side", pa.array(np.ones(tb.num_rows, np.int8)))
+
+    def tag_right(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        cols = {}
+        for name, typ in zip(names, types):
+            cols[name] = pc.cast(tb.column(key), typ) if name == key else pa.nulls(n, typ)
+        return pa.table(cols).append_column(
+            "__side", pa.array(np.zeros(n, np.int8))
+        )
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.select_columns([key]).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def keep_left_only(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table({n: pa.array([], t) for n, t in zip(names, types)})
+        starts, ends = key_segments(tb, [key])
+        side = tb.column("__side").to_numpy(zero_copy_only=False)
+        run_min = np.minimum.reduceat(side, starts)
+        keep = np.repeat(run_min == 1, ends - starts) & (side == 1)
+        return tb.filter(pa.array(keep)).drop_columns(["__side"])
+
+    return grouped_block_map(both, [key], keep_left_only)
+
+
 def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner"):
     """Hash-join a Dataset against a small broadcast table — the small side
     is shipped once via ray.put and joined per batch with Arrow's C++ join

@@ -701,6 +701,7 @@ def set_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.2,
+    ngram: int = 1,
 ):
     """EXACT token-set Jaccard join with PREFIX FILTERING (the AllPairs /
     PPJoin candidate rule from the public similarity-join literature):
@@ -729,10 +730,13 @@ def set_jaccard_pairs_prefix(
     import math
 
     from .grouped import first_row_per_key, grouped_block_map, key_segments
-    from .text import _token_hash_rows
+    from .text import _gram_hash_rows
 
+    # ngram > 1 switches the set universe from word tokens to word
+    # n-grams (exact n-gram Jaccard — the right notion when the corpus
+    # vocabulary is small and SEQUENCES, not bags, distinguish docs)
     def explode(tb: pa.Table) -> pa.Table:
-        hashes, offsets = _token_hash_rows(tb.column(text_col))
+        hashes, offsets = _gram_hash_rows(tb.column(text_col), ngram)
         reps = np.diff(offsets)
         ids = np.repeat(tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), reps)
         t = pa.table({"token": pa.array(hashes.view(np.int64)), id_col: pa.array(ids)})
@@ -742,7 +746,7 @@ def set_jaccard_pairs_prefix(
         return t.append_column("set_size", pa.array(cnt[inv], pa.int64()))
 
     def blobs(tb: pa.Table) -> pa.Table:
-        hashes, offsets = _token_hash_rows(tb.column(text_col))
+        hashes, offsets = _gram_hash_rows(tb.column(text_col), ngram)
         ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_blob, out_sz = [], [], []
         for i in range(tb.num_rows):

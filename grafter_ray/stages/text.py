@@ -207,3 +207,20 @@ def repetition_stats(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text
             "dup_bigram_cnt": pa.array(dup, pa.int64()),
         }
     )
+
+
+def _gram_hash_rows(text: pa.ChunkedArray | pa.Array, k: int):
+    """Word k-gram hashes per row with the same (flat hashes, offsets)
+    contract as _token_hash_rows — FULL windows only (rows shorter than
+    k tokens produce none), for exact n-gram set semantics (n-gram
+    Jaccard; matches DuckDB string-gram oracles modulo ~2^-64 hash
+    collisions)."""
+    hashes, offsets = _token_hash_rows(text)
+    if k <= 1:
+        return hashes, offsets
+    sh, starts, counts = _rowlocal_kgram_hashes(hashes, offsets, k)
+    full = np.maximum(counts - (k - 1), 0).astype(np.int64)
+    new_offsets = np.concatenate([[0], np.cumsum(full)])
+    row_of = np.repeat(np.arange(len(full), dtype=np.int64), full)
+    local = np.arange(int(full.sum()), dtype=np.int64) - new_offsets[:-1][row_of]
+    return sh[starts[row_of] + local], new_offsets

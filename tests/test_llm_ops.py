@@ -121,3 +121,53 @@ def test_redact_counts_and_clean_text_unchanged():
     assert out.column("n_email").to_pylist() == [2, 0]
     assert out.column("text")[1].as_py() == "nothing secret-free here"
     assert out.column("text")[0].as_py() == "two mails [E] [E] here"
+
+
+# --- end-to-end near-dedup (pairs → components → representatives) ----------
+
+def test_dedup_corpus_chain_cluster():
+    """A~B and B~C but NOT A~C: connected components must still collapse
+    {A,B,C} into one cluster (min-id representative survives) — pairwise
+    dedup alone would keep C."""
+    from grafter_ray.pipelines.relational import anti_join_ids
+    from grafter_ray.stages.dedup import pair_clusters_dataset, set_jaccard_pairs_prefix
+
+    base = [f"t{i}" for i in range(12)]
+    b = list(base); b[5] = "XX"          # one substitution: J(A,B)=7/13≈0.54
+    c = list(b);    c[9] = "YY"          # second substitution: J(A,C)=4/16=0.25
+    d = [f"u{i}" for i in range(12)]     # unrelated
+    docs = _docs([" ".join(x) for x in (base, b, c, d)])
+    ds = rd.from_arrow(docs).repartition(2)
+    pairs = set_jaccard_pairs_prefix(ds, threshold=0.5, ngram=3)
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in pairs.to_pandas().to_dict("records")
+    }
+    assert got_pairs == {(0, 1), (1, 2)}  # chain, no (0,2)
+    clusters = pair_clusters_dataset(pairs)
+
+    def losers(tb):
+        import pyarrow.compute as _pc
+
+        return tb.filter(
+            _pc.not_equal(tb.column("doc_id"), tb.column("cluster_id"))
+        ).select(["doc_id"])
+
+    survivors = anti_join_ids(
+        ds.select_columns(["doc_id"]),
+        clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+    )
+    assert sorted(survivors.to_pandas()["doc_id"]) == [0, 3]
+
+
+def test_anti_join_ids_types_and_empty_right():
+    from grafter_ray.pipelines.relational import anti_join_ids
+
+    left = rd.from_arrow(_docs(["a", "b", "c"]))
+    right = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+    out = anti_join_ids(left, right, "doc_id").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2]
+    assert out["text"].tolist() == ["a", "c"]
+    none = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    out = anti_join_ids(left, none, "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]

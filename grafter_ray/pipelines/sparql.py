@@ -151,7 +151,7 @@ class SelectQuery:
     values: list = field(default_factory=list)  # (vars_tuple, rows)
     filters: list = field(default_factory=list)  # (var, op, value_token)
     optionals: list = field(default_factory=list)  # pattern tuples
-    order_by: list = field(default_factory=list)  # (var, 'asc'|'desc')
+    order_by: list = field(default_factory=list)  # (var | ('expr', ast), 'asc'|'desc')
     limit: int | None = None
     offset: int | None = None
     union_branches: list = field(default_factory=list)  # list[list[pattern]]
@@ -387,9 +387,13 @@ class _QParser:
                     elif k2 == "kw" and v2.upper() in ("ASC", "DESC"):
                         self.next()
                         self.expect("(")
-                        _, vv = self.next()
+                        e = self._expr()
                         self.expect(")")
-                        self.q.order_by.append((vv[1:], v2.lower()))
+                        key = e[1] if e[0] == "var" else ("expr", e)
+                        self.q.order_by.append((key, v2.lower()))
+                    elif k2 == "kw" and v2.upper() in self._EXPR_FNS:
+                        # bare expression sort key: ORDER BY STRLEN(?x)
+                        self.q.order_by.append((("expr", self._expr()), "asc"))
                     else:
                         break
             elif v.upper() == "HAVING":
@@ -1157,7 +1161,7 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             tb = tb.select(q.select)
         tb = tb.group_by(tb.column_names).aggregate([])
     if q.order_by:
-        tb = tb.sort_by([(v, "ascending" if d == "asc" else "descending") for v, d in q.order_by])
+        tb = _apply_order(tb, q.order_by)
     if q.limit is not None and (late_slice or ds is None):
         tb = tb.slice(0, n_need)
     if q.offset:
@@ -1456,6 +1460,31 @@ def _align_pair(a, b):
     if pa.types.is_boolean(a.type) and pa.types.is_boolean(b.type):
         return a, b
     return _to_str(a), _to_str(b)
+
+
+def _apply_order(tb: pa.Table, order_by: list) -> pa.Table:
+    """ORDER BY with var and EXPRESSION keys: expression keys evaluate
+    into temporary columns (dropped after the sort)."""
+    keys, temps = [], []
+    for i, (key, d) in enumerate(order_by):
+        direction = "ascending" if d == "asc" else "descending"
+        if isinstance(key, tuple) and key[0] == "expr":
+            name = f"__ob{i}"
+            tb = tb.append_column(name, _as_array(_eval_expr(key[1], tb), tb.num_rows))
+            temps.append(name)
+            keys.append((name, direction))
+        else:
+            keys.append((key, direction))
+    tb = tb.sort_by(keys)
+    return tb.drop_columns(temps) if temps else tb
+
+
+def _as_array(v, n: int):
+    if isinstance(v, pa.Scalar):
+        return pa.nulls(n, v.type).fill_null(v)
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    return v
 
 
 def _apply_binds(tb: pa.Table, binds: list) -> pa.Table:

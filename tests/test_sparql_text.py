@@ -951,3 +951,21 @@ def test_term_fn_on_unbound_var_raises():
             'SELECT ?s WHERE { ?s <http://p/v> ?o BIND("x" AS ?z) FILTER(ISIRI(?q)) }',
             _lang_store(),
         )
+
+
+def test_order_by_expression_keys():
+    st = _tag_flag_store()
+    out = sparql_query(
+        "SELECT ?t WHERE { ?s <http://p/tag> ?t } "
+        "ORDER BY DESC(STRLEN(?t)) ?t LIMIT 3",
+        st,
+    )
+    # lengths: green=5, blue=4, red=3×3 → desc len, then lexical
+    assert out.column("t").to_pylist() == ["green", "blue", "red"]
+    out = sparql_query(
+        "SELECT ?t WHERE { ?s <http://p/tag> ?t } ORDER BY STRLEN(?t) DESC(?t)",
+        st,
+    )
+    assert out.column("t").to_pylist() == ["red", "red", "red", "blue", "green"]
+    # expression keys never leak into the projection
+    assert out.column_names == ["t"]

@@ -133,7 +133,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|a|true|false)\b)
+      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -620,9 +620,9 @@ class _QParser:
         if k in ("iri", "pname"):
             self.next()
             return ("iri", self._resolve(v))
-        if k == "kw" and v in ("true", "false"):
+        if k == "kw" and v.lower() in ("true", "false"):
             self.next()
-            return ("bool", v == "true")
+            return ("bool", v.lower() == "true")
         if k == "kw" and v.upper() in self._AGG_FNS and self.peek(1)[1] == "(":
             # aggregate call inside an expression (HAVING (COUNT(?x) > 1))
             self.next()

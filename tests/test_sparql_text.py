@@ -969,3 +969,21 @@ def test_order_by_expression_keys():
     assert out.column("t").to_pylist() == ["red", "red", "red", "blue", "green"]
     # expression keys never leak into the projection
     assert out.column_names == ["t"]
+
+
+def test_keywords_case_insensitive():
+    # SPARQL keywords match case-insensitively ('a' stays lowercase-only)
+    st = _tag_flag_store()
+    out = sparql_query(
+        'select ?s ?t where { ?s <http://p/tag> ?t filter(?t != "red") } order by ?s ?t limit 2',
+        st,
+    )
+    assert out.column("t").to_pylist() == ["blue", "green"]
+    out = sparql_query(
+        "select ?s (count(?t) as ?n) where { ?s <http://p/tag> ?t } "
+        "group by ?s having (count(?t) > 1) order by ?s",
+        st,
+    )
+    assert out.column("n").to_pylist() == [2, 2]
+    with pytest.raises(SparqlParseError):
+        sparql_query("SELECT ?s WHERE { ?s A ?t }", st)  # 'A' is not 'a'

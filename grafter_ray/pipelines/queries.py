@@ -1969,6 +1969,48 @@ WHERE d.doc_id NOT IN (SELECT id FROM losers)
 """
 
 
+def q_dedup_embeddings(sf_dir: str):
+    """Embedding-space near-dedup, end-to-end and oracle-gated: banded
+    hyperplane-LSH cosine pairs (exact verify within buckets) →
+    distributed connected components → keep each cluster's min-id
+    vector. Same shape as dedup_corpus but over the vector column —
+    the semantic-dedup path of a training-data pipeline."""
+    from ..stages.dedup import pair_clusters_dataset
+    from ..stages.similarity import cosine_pairs
+    from .relational import anti_join_ids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pairs(emb, threshold=0.45)
+    clusters = pair_clusters_dataset(pairs)
+
+    def losers(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.not_equal(tb.column("doc_id"), tb.column("cluster_id")))
+        return pa.table({"vec_id": t.column("doc_id")})
+
+    losers_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    keep = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    return anti_join_ids(keep, losers_ds, "vec_id")
+
+
+SQL_DEDUP_EMBEDDINGS = """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM e UNION ALL SELECT id_b, id_a FROM e
+), r(id, x) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.id, e2.b FROM r JOIN edges e2 ON r.x = e2.a
+), losers AS (
+  SELECT id FROM r GROUP BY id HAVING min(x) <> id
+)
+SELECT v.vec_id, v.label FROM embeddings v
+WHERE v.vec_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def q_sparql_term_fns(sf_dir: str):
     """RDF term introspection (LANG/DATATYPE/isIRI/isLiteral/isBlank):
     the BGP scan projects kind/lang/datatype companion columns beside
@@ -2186,6 +2228,7 @@ QUERIES = {
     "sparql_in_if": q_sparql_in_if,
     "sparql_term_fns": q_sparql_term_fns,
     "dedup_corpus": q_dedup_corpus,
+    "dedup_embeddings": q_dedup_embeddings,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2263,6 +2306,7 @@ ORACLE_SQL = {
     "sparql_in_if": SQL_SPARQL_IN_IF,
     "sparql_term_fns": SQL_SPARQL_TERM_FNS,
     "dedup_corpus": SQL_DEDUP_CORPUS,
+    "dedup_embeddings": SQL_DEDUP_EMBEDDINGS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -2011,6 +2011,65 @@ WHERE v.vec_id NOT IN (SELECT id FROM losers)
 """
 
 
+def q_quality_gate(sf_dir: str):
+    """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1):
+    length + top-bigram-fraction + duplicate-bigram-fraction thresholds
+    in ONE streaming pass (token counting and repetition signals fused
+    per batch — no shuffle anywhere). Fractions are e4 fixed-point
+    integer arithmetic so the oracle hash is exact."""
+    from ..stages.text import repetition_stats, token_count_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(tb: pa.Table) -> pa.Table:
+        rep = repetition_stats(tb)
+        nw = pc.cast(token_count_array(tb.column("text")), pa.int64())
+        nb = rep.column("n_bigrams")
+        safe_nb = pc.max_element_wise(nb, pa.scalar(1, pa.int64()))
+        tf = pc.divide(pc.multiply(rep.column("top_bigram_cnt"), pa.scalar(10_000, pa.int64())), safe_nb)
+        df = pc.divide(pc.multiply(rep.column("dup_bigram_cnt"), pa.scalar(10_000, pa.int64())), safe_nb)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(nw, 20), pc.less_equal(tf, 400)),
+            pc.less_equal(df, 1000),
+        )
+        return pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "n_words": nw,
+                "tf_e4": tf,
+                "df_e4": df,
+                "keep": pc.cast(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_GATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+), cnts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT) AS top,
+         CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup
+  FROM cnts GROUP BY doc_id
+), t AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_words,
+         COALESCE(a.top, 0) * 10000 // greatest(COALESCE(a.nb, 0), 1) AS tf_e4,
+         COALESCE(a.dup, 0) * 10000 // greatest(COALESCE(a.nb, 0), 1) AS df_e4
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_words, tf_e4, df_e4,
+       CAST(n_words >= 20 AND tf_e4 <= 400 AND df_e4 <= 1000 AS BIGINT) AS keep
+FROM t
+"""
+
+
 def q_sparql_term_fns(sf_dir: str):
     """RDF term introspection (LANG/DATATYPE/isIRI/isLiteral/isBlank):
     the BGP scan projects kind/lang/datatype companion columns beside
@@ -2229,6 +2288,7 @@ QUERIES = {
     "sparql_term_fns": q_sparql_term_fns,
     "dedup_corpus": q_dedup_corpus,
     "dedup_embeddings": q_dedup_embeddings,
+    "quality_gate": q_quality_gate,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2307,6 +2367,7 @@ ORACLE_SQL = {
     "sparql_term_fns": SQL_SPARQL_TERM_FNS,
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "dedup_embeddings": SQL_DEDUP_EMBEDDINGS,
+    "quality_gate": SQL_QUALITY_GATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

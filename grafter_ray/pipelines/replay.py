@@ -1128,7 +1128,13 @@ class CDCLake:
         """(old watermark, current entries whose max_lsn exceeds it) —
         the manifest's per-partition max_lsn stats prune unchanged
         partitions without opening a single data file."""
-        old = self.manifest_at(since_version)
+        try:
+            old = self.manifest_at(since_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {since_version} was vacuumed (manifest gone) — "
+                "raise vacuum's keep_versions to retain the diff horizon"
+            ) from None
         if old is None:
             raise ValueError(f"no committed manifest for version {since_version}")
         wm = int(old["watermark_lsn"])
@@ -1209,6 +1215,18 @@ class CDCLake:
                 pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
             )
         data_dir = self.log.data_dir
+        # vacuum drops data files beyond its retention horizon — fail at
+        # the driver with a clear message instead of a FileNotFoundError
+        # inside a Ray task
+        for it in items:
+            refs = [it["old_file"]] + json.loads(it["old_deltas"])
+            for f in refs:
+                if f and not os.path.exists(os.path.join(data_dir, f)):
+                    raise ValueError(
+                        f"deleted_keys(since_version={since_version}): data file "
+                        f"{f!r} was vacuumed — raise vacuum's keep_versions to "
+                        "retain the diff horizon"
+                    )
 
         def keys_of(file: str, deltas_json: str) -> pa.Table:
             base = pq.read_table(os.path.join(data_dir, file), columns=None) if file else None

@@ -390,3 +390,13 @@ def test_read_changes_latest_version_is_empty(tmp_path, binlog):
     latest = lake.manifest["version"]
     assert lake.read_changes(latest, view=False).count() == 0
     assert lake.deleted_keys(latest).count() == 0
+
+
+def test_deleted_keys_after_vacuum_raises_clearly(tmp_path, binlog):
+    # delta_ratio=0: every window rewrites its partitions, so version-0
+    # files are definitely superseded and vacuumable
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4, delta_ratio=0)
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)  # many versions
+    lake.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        lake.deleted_keys(0).count()

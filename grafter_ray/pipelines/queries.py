@@ -2011,6 +2011,69 @@ WHERE v.vec_id NOT IN (SELECT id FROM losers)
 """
 
 
+def q_asof_last_error(sf_dir: str):
+    """AS-OF JOIN (time-series lookup): each purchase event picks up the
+    user's most recent error event at-or-before its timestamp — one
+    tag-union key exchange + a vectorized running-last-right-index scan
+    per block (relational.asof_join). The oracle is DuckDB's native
+    ASOF LEFT JOIN. Right (user_id, ts) pairs are unique in this corpus
+    (asserted by probe), so the match is deterministic."""
+    from .relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mk_left(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.equal(tb.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+            }
+        )
+
+    def mk_right(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.equal(tb.column("event_type"), "error"))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "err_id": t.column("event_id"),
+                "err_cents": cents,
+            }
+        )
+
+    left = ev.map_batches(mk_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(mk_right, batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(left, right, "user_id", "ts", ["err_id", "err_cents"])
+
+    def export(tb: pa.Table) -> pa.Table:
+        return tb.set_column(
+            tb.column_names.index("ts"), "ts_us", pc.cast(tb.column("ts"), pa.int64())
+        )
+
+    return out.map_batches(export, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ASOF_LAST_ERROR = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, event_id AS err_id,
+         CAST(round(value * 100) AS BIGINT) AS err_cents
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id, l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       r.err_id, r.err_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_quality_gate(sf_dir: str):
     """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1):
     length + top-bigram-fraction + duplicate-bigram-fraction thresholds
@@ -2289,6 +2352,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "dedup_embeddings": q_dedup_embeddings,
     "quality_gate": q_quality_gate,
+    "asof_last_error": q_asof_last_error,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2368,6 +2432,7 @@ ORACLE_SQL = {
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "dedup_embeddings": SQL_DEDUP_EMBEDDINGS,
     "quality_gate": SQL_QUALITY_GATE,
+    "asof_last_error": SQL_ASOF_LAST_ERROR,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

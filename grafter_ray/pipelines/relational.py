@@ -172,7 +172,85 @@ def grouped_concat(
     return grouped_block_map(ds.select_columns(keys + [col]), keys, f)
 
 
-def anti_join_ids(ds, right, key: str):
+def asof_join(left, right, key: str, ts: str, value_cols: list[str]):
+    """AS-OF LEFT JOIN (time-series lookup): for each left row, attach
+    `value_cols` from the right row with the greatest right.ts <=
+    left.ts within the same key (equal timestamps match; right (key,
+    ts) should be unique — dedupe upstream for determinism).
+
+    Distributed plan: ONE tag-union key exchange (the same co-group
+    shape as the house anti-join), then per block: sort (key, ts, side
+    right-first), compute the running last-right-row index with a single
+    np.maximum.accumulate, and validate it against each key run's start
+    — no per-row loop, no driver state, no second pass."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    lsch = left.schema()
+    lnames, ltypes = list(lsch.names), list(lsch.types)
+    rsch = right.schema()
+    rtypes = {n: t for n, t in zip(rsch.names, rsch.types)}
+    vtypes = [rtypes[c] for c in value_cols]
+    clash = [c for c in value_cols if c in lnames]
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {clash}")
+
+    def tag_left(tb: pa.Table) -> pa.Table:
+        cols = {n: tb.column(n) for n in lnames}
+        for c, t in zip(value_cols, vtypes):
+            cols[c] = pa.nulls(tb.num_rows, t)
+        cols["__side"] = pa.nulls(tb.num_rows, pa.int8()).fill_null(1)
+        return pa.table(cols)
+
+    def tag_right(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        cols = {}
+        for name, typ in zip(lnames, ltypes):
+            if name == key or name == ts:
+                cols[name] = pc.cast(tb.column(name), typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        for c in value_cols:
+            cols[c] = tb.column(c)
+        cols["__side"] = pa.nulls(n, pa.int8()).fill_null(0)
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.select_columns([key, ts] + value_cols).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {
+                    **{n: pa.array([], t) for n, t in zip(lnames, ltypes)},
+                    **{c: pa.array([], t) for c, t in zip(value_cols, vtypes)},
+                }
+            )
+        tb = tb.sort_by(
+            [(key, "ascending"), (ts, "ascending"), ("__side", "ascending")]
+        )
+        n = tb.num_rows
+        starts, ends = key_segments(tb, [key])
+        run_start = np.repeat(starts, ends - starts)
+        side = tb.column("__side").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        valid = (last_right >= run_start) & (side == 1)
+        is_left = side == 1
+        take_right = np.where(valid, last_right, 0)
+        out = {nn: tb.column(nn).filter(pa.array(is_left)) for nn in lnames}
+        for c in value_cols:
+            picked = tb.column(c).take(
+                pa.array(take_right[is_left], pa.int64())
+            )
+            out[c] = pc.if_else(pa.array(valid[is_left]), picked, pa.nulls(int(is_left.sum()), rtypes[c]))
+        return pa.table(out)
+
+    return grouped_block_map(both, [key], block)
     """Distributed anti-join on one key: rows of `ds` whose `key` does
     not appear in `right` (a Dataset projecting `key`). Tag-union + one
     key exchange + a vectorized per-run side test — the house co-group

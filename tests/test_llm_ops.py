@@ -171,3 +171,64 @@ def test_anti_join_ids_types_and_empty_right():
     none = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     out = anti_join_ids(left, none, "doc_id").to_pandas()
     assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+# --- as-of join ------------------------------------------------------------
+
+def test_asof_join_semantics():
+    from grafter_ray.pipelines.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "t": pa.array([10, 15, 5, 7], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([8, 15, 9], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+    })).repartition(2)
+    out = (
+        asof_join(left, right, "k", "t", ["v"])
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    # lid1 t=10 → right t=8 'a'; lid2 t=15 → EQUAL ts matches 'b';
+    # lid3 t=5 → nothing ≤ 5 → null; lid4 k=2 t=7 → right t=9 is later → null
+    assert out["v"].tolist() == ["a", "b", None, None]
+
+
+def test_asof_join_partition_invariance():
+    import numpy as np
+
+    from grafter_ray.pipelines.relational import asof_join
+
+    rng = np.random.RandomState(7)
+    lt = pa.table({
+        "lid": pa.array(range(300), pa.int64()),
+        "k": pa.array(rng.randint(0, 9, 300), pa.int64()),
+        "t": pa.array(rng.randint(0, 1000, 300), pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(rng.randint(0, 9, 120), pa.int64()),
+        "t": pa.array(rng.permutation(1000)[:120], pa.int64()),  # unique ts
+        "v": pa.array(rng.randint(0, 10**6, 120), pa.int64()),
+    })
+    outs = []
+    for parts in (1, 7):
+        o = asof_join(
+            rd.from_arrow(lt).repartition(parts),
+            rd.from_arrow(rt).repartition(parts),
+            "k", "t", ["v"],
+        ).to_pandas().sort_values("lid", ignore_index=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1])
+    # spot-check against a pandas merge_asof oracle
+    import pandas as pd
+
+    lpd = lt.to_pandas().sort_values("t")
+    rpd = rt.to_pandas().sort_values("t")
+    want = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+    want = want.sort_values("lid", ignore_index=True)
+    got = outs[0]
+    assert got["v"].fillna(-1).astype(int).tolist() == want["v"].fillna(-1).astype(int).tolist()

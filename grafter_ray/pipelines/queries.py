@@ -507,6 +507,27 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-25 vocabulary via the heavy-hitters sketch path
+    (stages/sketch.py): per-block top-`capacity` candidate pruning
+    (Misra-Gries bound) + exact recount of the broadcast candidate set —
+    the exchange is bounded by capacity per block, not vocabulary size.
+    Same oracle as vocab_topk (LIMIT 25) proves exactness."""
+    from ..stages.sketch import heavy_hitters_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters_topk(ds, k=25, capacity=64)
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks WHERE token <> ''
+GROUP BY token ORDER BY freq DESC, token LIMIT 25
+"""
+
+
 _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
@@ -2353,6 +2374,7 @@ QUERIES = {
     "dedup_embeddings": q_dedup_embeddings,
     "quality_gate": q_quality_gate,
     "asof_last_error": q_asof_last_error,
+    "heavy_hitters": q_heavy_hitters,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2433,6 +2455,7 @@ ORACLE_SQL = {
     "dedup_embeddings": SQL_DEDUP_EMBEDDINGS,
     "quality_gate": SQL_QUALITY_GATE,
     "asof_last_error": SQL_ASOF_LAST_ERROR,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -1,0 +1,74 @@
+"""Heavy-hitters top-k with bounded-exchange candidate pruning (the
+Misra-Gries / SpaceSaving family, expressed Arrow-vectorized).
+
+`vocab_topk` ships every block's full vocabulary into the combine
+exchange — correct, but at code-corpus scale the identifier vocabulary
+is ~corpus-sized. Heavy-hitters bounds the exchange instead:
+
+  pass 1  per block: exact local count, keep only the top-`capacity`
+          tokens. Misra-Gries bound: any token with global frequency
+          > N/capacity has block frequency > n_b/capacity in at least
+          one block, and at most `capacity` tokens can exceed that in a
+          block — so the union of per-block top-capacity candidates is
+          a SUPERSET of every global heavy hitter. Exchange payload is
+          ≤ capacity rows per block, independent of vocabulary size.
+  pass 2  exact recount restricted to the broadcast candidate set →
+          two-phase grouped_agg over the (small) candidate space →
+          block-local top-k + tiny final sort.
+
+The result is EXACT whenever the true k-th frequency exceeds
+N/capacity (size capacity to the expected skew; with a Zipf-ish corpus
+capacity a few × k suffices). The planted test exercises
+capacity ≪ vocabulary.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+
+
+def _block_counts(tb: pa.Table, text_col: str) -> pa.Table:
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _WS)
+    flat = pc.list_flatten(toks)
+    t = pa.table({"token": flat}).filter(pc.not_equal(flat, ""))
+    part = t.group_by(["token"]).aggregate([("token", "count")])
+    return pa.table({"token": part.column("token"), "cnt": part.column("token_count")})
+
+
+def heavy_hitters_topk(ds, text_col: str = "text", k: int = 100, capacity: int = 1024):
+    """Dataset[text] → pa-sorted Dataset[(token, freq)] of the exact
+    global top-k, with the combine exchange bounded at `capacity` rows
+    per block instead of the block vocabulary."""
+    import ray
+
+    from ..pipelines.relational import grouped_agg, top_k
+
+    def candidates(tb: pa.Table) -> pa.Table:
+        c = _block_counts(tb, text_col)
+        if c.num_rows > capacity:
+            c = c.sort_by([("cnt", "descending"), ("token", "ascending")]).slice(0, capacity)
+        return c.select(["token"])
+
+    cand_parts = ds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # ≤ capacity × blocks rows — the sketch's documented bound
+    cand = pc.unique(pa.array([r["token"] for r in cand_parts], pa.string()))
+    cand_ref = ray.put(cand)
+
+    def recount(tb: pa.Table) -> pa.Table:
+        c = _block_counts(tb, text_col)
+        keep = pc.is_in(c.column("token"), value_set=ray.get(cand_ref))
+        return c.filter(keep)
+
+    partials = ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+    counted = grouped_agg(partials, ["token"], [("freq", "cnt", "sum")])
+
+    def to_int(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index("freq")
+        return tb.set_column(i, "freq", pc.cast(tb.column("freq"), pa.int64()))
+
+    counted = counted.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(counted, [("freq", "descending"), ("token", "ascending")], k)

@@ -232,3 +232,32 @@ def test_asof_join_partition_invariance():
     want = want.sort_values("lid", ignore_index=True)
     got = outs[0]
     assert got["v"].fillna(-1).astype(int).tolist() == want["v"].fillna(-1).astype(int).tolist()
+
+
+# --- heavy hitters sketch --------------------------------------------------
+
+def test_heavy_hitters_exact_under_small_capacity():
+    """capacity ≪ vocabulary: a Zipf-ish corpus where the true top-5 are
+    genuinely heavy — the candidate union must cover them and the final
+    counts must be exact."""
+    import collections
+
+    from grafter_ray.stages.sketch import heavy_hitters_topk
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = []
+    for d in range(60):
+        toks = []
+        for _ in range(80):
+            # heavy head: w0..w4 get ~half the mass
+            if rng.rand() < 0.5:
+                toks.append(f"w{rng.randint(0, 5)}")
+            else:
+                toks.append(vocab[rng.randint(0, 500)])
+        texts.append(" ".join(toks))
+    truth = collections.Counter(t for s in texts for t in s.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ds = rd.from_arrow(_docs(texts)).repartition(6)
+    got = heavy_hitters_topk(ds, k=5, capacity=32).to_pandas()
+    assert list(zip(got["token"], got["freq"])) == want

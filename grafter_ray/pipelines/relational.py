@@ -251,6 +251,9 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str]):
         return pa.table(out)
 
     return grouped_block_map(both, [key], block)
+
+
+def anti_join_ids(ds, right, key: str):
     """Distributed anti-join on one key: rows of `ds` whose `key` does
     not appear in `right` (a Dataset projecting `key`). Tag-union + one
     key exchange + a vectorized per-run side test — the house co-group

@@ -2095,6 +2095,74 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join_windows(sf_dir: str):
+    """Range (interval-containment) join, many-to-many: every purchase
+    event × every user's first-hour activity window that contains it.
+    Distributed via time binning (relational.interval_join): intervals
+    replicate to covered bins, points to one bin, one co-group exchange
+    verifies containment — no all-pairs, no broadcast of either side."""
+    from .relational import grouped_agg, interval_join
+
+    HOUR_US = 3_600_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def mk_points(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.equal(tb.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    def mk_first(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w_user": tb.column("user_id"),
+                "first_us": pc.cast(tb.column("ts"), pa.int64()),
+            }
+        )
+
+    firsts = grouped_agg(
+        ev.map_batches(mk_first, batch_format="pyarrow", zero_copy_batch=True),
+        ["w_user"],
+        [("w_lo_us", "first_us", "min")],
+    )
+
+    def mk_intervals(tb: pa.Table) -> pa.Table:
+        lo = pc.cast(tb.column("w_lo_us"), pa.int64())
+        return pa.table(
+            {
+                "w_user": tb.column("w_user"),
+                "w_lo_us": lo,
+                "w_hi_us": pc.add(lo, pa.scalar(HOUR_US, pa.int64())),
+            }
+        )
+
+    points = ev.map_batches(mk_points, batch_format="pyarrow", zero_copy_batch=True)
+    intervals = firsts.map_batches(mk_intervals, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_join(
+        points, intervals, ts="ts_us", lo="w_lo_us", hi="w_hi_us",
+        value_cols=["w_user"], bin_width=HOUR_US,
+    )
+
+
+SQL_RANGE_JOIN_WINDOWS = """
+WITH w AS (
+  SELECT user_id AS w_user,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS w_lo_us,
+         CAST(epoch_us(min(ts)) AS BIGINT) + 3600000000 AS w_hi_us
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us, w.w_user
+FROM p JOIN w ON p.ts_us >= w.w_lo_us AND p.ts_us <= w.w_hi_us
+"""
+
+
 def q_quality_gate(sf_dir: str):
     """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1):
     length + top-bigram-fraction + duplicate-bigram-fraction thresholds
@@ -2375,6 +2443,7 @@ QUERIES = {
     "quality_gate": q_quality_gate,
     "asof_last_error": q_asof_last_error,
     "heavy_hitters": q_heavy_hitters,
+    "range_join_windows": q_range_join_windows,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2456,6 +2525,7 @@ ORACLE_SQL = {
     "quality_gate": SQL_QUALITY_GATE,
     "asof_last_error": SQL_ASOF_LAST_ERROR,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "range_join_windows": SQL_RANGE_JOIN_WINDOWS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

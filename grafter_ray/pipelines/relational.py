@@ -172,6 +172,124 @@ def grouped_concat(
     return grouped_block_map(ds.select_columns(keys + [col]), keys, f)
 
 
+def interval_join(points, intervals, ts: str, lo: str, hi: str, value_cols: list[str], bin_width: int):
+    """Range (interval-containment) join: every (point, interval) pair
+    with interval.lo <= point.ts <= interval.hi — many-to-many.
+
+    Distributed plan: time is binned at `bin_width` (same units as the
+    columns after int64 cast — µs for timestamps); each interval
+    replicates to the bins it covers, each point to its one bin, and one
+    co-group exchange on bin verifies containment vectorized per run
+    (an interval×point broadcast bounded by bin occupancy). A pair
+    co-occurs only in the point's single bin, so no dedup pass is
+    needed. Size bin_width to the typical interval length: replication
+    factor is ceil(len/bin_width)+1 per interval."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    psch = points.schema()
+    pnames, ptypes = list(psch.names), list(psch.types)
+    isch = intervals.schema()
+    ityp = {n: t for n, t in zip(isch.names, isch.types)}
+    vtypes = [ityp[c] for c in value_cols]
+    clash = [c for c in value_cols if c in pnames]
+    if clash:
+        raise ValueError(f"value_cols collide with point columns: {clash}")
+
+    def _i64(col):
+        return col.to_numpy(zero_copy_only=False).astype("int64")
+
+    def tag_points(tb: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = _i64(tb.column(ts))
+        cols = {
+            "__bin": pa.array(t // bin_width, pa.int64()),
+            "__side": pa.nulls(tb.num_rows, pa.int8()).fill_null(1),
+        }
+        for n in pnames:
+            cols[n] = tb.column(n)
+        for c, typ in zip(value_cols, vtypes):
+            cols[c] = pa.nulls(tb.num_rows, typ)
+        cols["__lo"] = pa.nulls(tb.num_rows, pa.int64())
+        cols["__hi"] = pa.nulls(tb.num_rows, pa.int64())
+        cols["__ts"] = pa.array(t, pa.int64())
+        return pa.table(cols)
+
+    def tag_intervals(tb: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lo_v = _i64(tb.column(lo))
+        hi_v = _i64(tb.column(hi))
+        b0 = lo_v // bin_width
+        reps = (hi_v // bin_width - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)])[:-1], reps
+        )
+        take = pa.array(idx)
+        n = len(idx)
+        cols = {
+            "__bin": pa.array(b0[idx] + offs, pa.int64()),
+            "__side": pa.nulls(n, pa.int8()).fill_null(0),
+        }
+        for name, typ in zip(pnames, ptypes):
+            cols[name] = pa.nulls(n, typ)
+        for c in value_cols:
+            cols[c] = tb.column(c).take(take)
+        cols["__lo"] = pa.array(lo_v[idx], pa.int64())
+        cols["__hi"] = pa.array(hi_v[idx], pa.int64())
+        cols["__ts"] = pa.nulls(n, pa.int64())
+        return pa.table(cols)
+
+    both = points.map_batches(tag_points, batch_format="pyarrow", zero_copy_batch=True).union(
+        intervals.select_columns([lo, hi] + value_cols).map_batches(
+            tag_intervals, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_names = pnames + value_cols
+    out_types = ptypes + vtypes
+
+    def block(tb: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table({n: pa.array([], t) for n, t in zip(out_names, out_types)})
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return empty
+        starts, ends = key_segments(tb, ["__bin"])
+        side = tb.column("__side").to_numpy(zero_copy_only=False)
+        # fill the cross-side nulls so to_numpy stays int64 (nulls would
+        # silently promote to float64); each array is only ever indexed
+        # on its own side, so the fill value is never read
+        tsv = pc.fill_null(tb.column("__ts"), 0).to_numpy(zero_copy_only=False)
+        lov = pc.fill_null(tb.column("__lo"), 0).to_numpy(zero_copy_only=False)
+        hiv = pc.fill_null(tb.column("__hi"), 0).to_numpy(zero_copy_only=False)
+        p_parts, i_parts = [], []
+        for s, e in zip(starts, ends):
+            seg_side = side[s:e]
+            p = np.nonzero(seg_side == 1)[0] + s
+            iv = np.nonzero(seg_side == 0)[0] + s
+            if len(p) == 0 or len(iv) == 0:
+                continue
+            pp = np.repeat(p, len(iv))
+            ii = np.tile(iv, len(p))
+            ok = (tsv[pp] >= lov[ii]) & (tsv[pp] <= hiv[ii])
+            p_parts.append(pp[ok])
+            i_parts.append(ii[ok])
+        if not p_parts:
+            return empty
+        pi = pa.array(np.concatenate(p_parts), pa.int64())
+        ii = pa.array(np.concatenate(i_parts), pa.int64())
+        cols = {n: tb.column(n).take(pi) for n in pnames}
+        for c in value_cols:
+            cols[c] = tb.column(c).take(ii)
+        return pa.table(cols)
+
+    return grouped_block_map(both, ["__bin"], block)
+
+
 def asof_join(left, right, key: str, ts: str, value_cols: list[str]):
     """AS-OF LEFT JOIN (time-series lookup): for each left row, attach
     `value_cols` from the right row with the greatest right.ts <=

@@ -261,3 +261,29 @@ def test_heavy_hitters_exact_under_small_capacity():
     ds = rd.from_arrow(_docs(texts)).repartition(6)
     got = heavy_hitters_topk(ds, k=5, capacity=32).to_pandas()
     assert list(zip(got["token"], got["freq"])) == want
+
+
+# --- range (interval) join -------------------------------------------------
+
+def test_interval_join_boundaries_and_multibin():
+    from grafter_ray.pipelines.relational import interval_join
+
+    points = rd.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+        "t": pa.array([5, 10, 25, 99], pa.int64()),
+    })).repartition(2)
+    # interval A [5,10] (boundaries inclusive both ends, matches p1 AND p2),
+    # interval B [8,27] spans bins 0-2 at width 10 (matches p2 and p3),
+    # interval C [90,95] matches nothing
+    intervals = rd.from_arrow(pa.table({
+        "lo": pa.array([5, 8, 90], pa.int64()),
+        "hi": pa.array([10, 27, 95], pa.int64()),
+        "name": pa.array(["A", "B", "C"], pa.string()),
+    })).repartition(2)
+    out = (
+        interval_join(points, intervals, "t", "lo", "hi", ["name"], bin_width=10)
+        .to_pandas()
+        .sort_values(["pid", "name"], ignore_index=True)
+    )
+    got = list(zip(out["pid"], out["name"]))
+    assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "B")]

@@ -61,6 +61,13 @@ QUERY_SUBSET = [
     "decontaminate",
     "repetition_stats",
     "redact_secrets",
+    "sparql_term_fns",
+    "dedup_corpus",
+    "dedup_embeddings",
+    "quality_gate",
+    "asof_last_error",
+    "heavy_hitters",
+    "range_join_windows",
 ]
 
 

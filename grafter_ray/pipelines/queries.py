@@ -2163,6 +2163,64 @@ FROM p JOIN w ON p.ts_us >= w.w_lo_us AND p.ts_us <= w.w_hi_us
 """
 
 
+def q_value_percentiles(sf_dir: str):
+    """EXACT global percentiles (p50/p95/p99) without a global sort:
+    per-block value-count partials on integer cents → two-phase
+    grouped_agg over the (bounded) distinct-value space → the tiny
+    (value, count) table cumsums on the driver. The raw value stream is
+    never shuffled or collected — the classic counting-quantile shape
+    for bounded-resolution numeric columns."""
+    import numpy as np
+
+    from .relational import grouped_agg
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def cents_counts(tb: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0)),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table({"c": c}).group_by(["c"]).aggregate([("c", "count")])
+        return pa.table({"c": t.column("c"), "cnt": t.column("c_count")})
+
+    partials = ev.map_batches(cents_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counted = grouped_agg(partials, ["c"], [("n", "cnt", "sum")])
+    # distinct cents values are bounded by the value domain (~50k rows at
+    # any corpus size) — the ONLY driver-side table in this pipeline
+    tb = counted.to_arrow_refs()
+    import ray as _ray
+
+    tabs = [t for t in (_ray.get(r) for r in tb) if t.num_rows]
+    small = pa.concat_tables(tabs).sort_by([("c", "ascending")])
+    vals = small.column("c").to_numpy(zero_copy_only=False)
+    cnts = small.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    out_p, out_v = [], []
+    for pct in (50, 95, 99):
+        target = -(-pct * total // 100)  # ceil(pct*total/100)
+        out_p.append(pct)
+        out_v.append(int(vals[np.searchsorted(cum, target)]))
+    return pa.table(
+        {"pct": pa.array(out_p, pa.int64()), "value_cents": pa.array(out_v, pa.int64())}
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+WITH t AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t
+), n AS (SELECT count(*) AS cnt FROM t)
+SELECT p.pct,
+       (SELECT min(c) FROM s, n
+        WHERE rn >= CAST(ceil(p.pct * n.cnt / 100.0) AS BIGINT)) AS value_cents
+FROM (VALUES (50), (95), (99)) p(pct)
+"""
+
+
 def q_quality_gate(sf_dir: str):
     """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1):
     length + top-bigram-fraction + duplicate-bigram-fraction thresholds
@@ -2444,6 +2502,7 @@ QUERIES = {
     "asof_last_error": q_asof_last_error,
     "heavy_hitters": q_heavy_hitters,
     "range_join_windows": q_range_join_windows,
+    "value_percentiles": q_value_percentiles,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2526,6 +2585,7 @@ ORACLE_SQL = {
     "asof_last_error": SQL_ASOF_LAST_ERROR,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "range_join_windows": SQL_RANGE_JOIN_WINDOWS,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,

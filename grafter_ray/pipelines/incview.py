@@ -1,0 +1,253 @@
+"""Incremental materialized-view maintenance over the CDC lake.
+
+A derived aggregate table (GROUP BY over the lake's live rows) kept in
+sync with the lake WITHOUT recomputing: each refresh folds the signed
+change feed (`CDCLake.changes_with_old` — current row +1, prior row -1
+for every changed key) into the stored aggregate, so refresh cost is
+O(changed partitions + view size), never O(lake). This is the
+lake-engine analogue of the reference's derived-graph pattern (a
+`graph-fn` template re-run over changed rows only; grafter's pipelines
+are rerun-from-scratch — the Ray-native design replaces the rerun with
+delta folding).
+
+Semantics: additive aggregates only (count / sum). Any additive
+aggregate f satisfies f(S after change) = f(S) + f(inserted) −
+f(retracted), so folding signed contributions is exact for integer
+measures (float sums can carry ±1 ulp residue per fold; groups are
+dropped by ROW COUNT reaching zero, never by a sum reaching zero).
+min/max are not incrementally maintainable under deletes without
+re-reading the group — use a full `refresh(full=True)` or a recompute
+query for those.
+
+Exactly-once / resume: a refresh writes the new view directory, then
+atomically renames the manifest (same recipe as state/commitlog.py).
+A crash mid-refresh leaves the previous manifest intact; the rerun
+folds the same lake-version diff again and converges to the identical
+state (the fold is a pure function of (old view, lake diff)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_SUM_TYPES = {"int64": pa.int64(), "float64": pa.float64()}
+
+
+def _norm_measures(measures) -> list[tuple[str, str | None, str, pa.DataType]]:
+    out = []
+    for m in measures:
+        if len(m) == 3:
+            name, col, how = m
+            typ = "int64"
+        else:
+            name, col, how, typ = m
+        if how not in ("count", "sum"):
+            raise ValueError(
+                f"measure {name!r}: how={how!r} — only additive aggregates "
+                "(count, sum) are incrementally maintainable under deletes"
+            )
+        if how == "sum" and col is None:
+            raise ValueError(f"sum measure {name!r} needs a source column")
+        out.append((name, col, how, _SUM_TYPES[typ]))
+    return out
+
+
+class IncrementalView:
+    """A materialized GROUP-BY aggregate over a CDCLake, maintained
+    incrementally from the lake's signed change feed.
+
+    measures: list of (out_name, src_col|None, how[, dtype]) with
+    how ∈ {count, sum}, dtype ∈ {int64 (default), float64}.
+    prepare: optional batch→batch pyarrow callable run over the (view-
+    projected) lake rows before contributions are taken — derive measure
+    columns here (e.g. n_chars = utf8_length(content)). It must be a
+    pure per-row projection: it sees both +1 and -1 rows and the two
+    must derive identical values for the same stored row.
+    """
+
+    def __init__(self, lake, root: str, group_keys: list[str], measures, prepare=None):
+        self.lake = lake
+        self.root = root
+        self.group_keys = list(group_keys)
+        self.measures = _norm_measures(measures)
+        self.prepare = prepare
+        os.makedirs(root, exist_ok=True)
+        m = self.manifest()
+        if m is not None and (
+            m["group_keys"] != self.group_keys
+            or m["measures"] != [[n, c, h, str(t)] for n, c, h, t in self.measures]
+        ):
+            raise ValueError(
+                "existing view manifest disagrees with the requested "
+                "group_keys/measures — use a fresh root for a different view"
+            )
+
+    # -- state ----------------------------------------------------------
+    def manifest(self) -> dict | None:
+        path = os.path.join(self.root, "MANIFEST.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = os.path.join(self.root, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, "MANIFEST.json"))
+
+    def _dir_files(self, d: str) -> list[str]:
+        p = os.path.join(self.root, d)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    # -- contributions ----------------------------------------------------
+    def _contrib_schema_cols(self) -> list[str]:
+        return [f"c_{n}" for n, _, _, _ in self.measures] + ["__rows"]
+
+    def _contrib(self, tb: pa.Table, signed: bool) -> pa.Table:
+        """(view-projected lake rows [+ sign]) → contribution rows."""
+        if self.prepare is not None and tb.num_rows:
+            tb = self.prepare(tb)
+        n = tb.num_rows
+        if signed and n:
+            sign = pc.cast(tb.column("sign"), pa.int64())
+        else:
+            sign = pa.array(np.ones(n, np.int64))
+        cols = {k: tb.column(k) for k in self.group_keys}
+        for name, col, how, typ in self.measures:
+            if how == "count":
+                cols[f"c_{name}"] = pc.cast(sign, typ)
+            else:
+                # prepare() is skipped on empty batches — derived measure
+                # columns may be absent there; contribute a typed empty
+                src = tb.column(col) if col in tb.schema.names else pa.array([], typ)
+                cols[f"c_{name}"] = pc.multiply(pc.cast(src, typ), pc.cast(sign, typ))
+        cols["__rows"] = sign
+        return pa.table(cols)
+
+    def _stored_as_contrib(self, tb: pa.Table) -> pa.Table:
+        cols = {k: tb.column(k) for k in self.group_keys}
+        for name, _, _, _ in self.measures:
+            cols[f"c_{name}"] = tb.column(name)
+        cols["__rows"] = tb.column("__rows")
+        return pa.table(cols)
+
+    # -- refresh ----------------------------------------------------------
+    def refresh(self, full: bool = False) -> dict:
+        """Fold lake changes since the last refresh into the view.
+        First refresh (or full=True) builds from a full lake read; later
+        refreshes read ONLY the partitions whose manifest max_lsn moved.
+        Returns {mode, view_version, lake_version, changed_partitions}."""
+        import ray
+        import ray.data as rd
+
+        from .relational import grouped_agg
+
+        lm = self.lake.manifest
+        lake_v = int(lm["version"]) if lm else -1
+        state = self.manifest()
+        if state is not None and not full and int(state["lake_version"]) == lake_v:
+            return {
+                "mode": "noop",
+                "view_version": state["view_version"],
+                "lake_version": lake_v,
+                "changed_partitions": 0,
+            }
+
+        signed_me = self  # closure capture for Ray tasks
+
+        if state is None or full:
+            mode = "full"
+            changed = self.lake.num_partitions
+            src = self.lake.read(view=True)
+            contrib = src.map_batches(
+                lambda tb: signed_me._contrib(tb, signed=False),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            mode = "incremental"
+            since = int(state["lake_version"])
+            changed = len(self.lake._changed_entries(since)[1])
+            delta = self.lake.changes_with_old(since, view=True)
+            contrib = delta.map_batches(
+                lambda tb: signed_me._contrib(tb, signed=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            prev_files = self._dir_files(state["dir"])
+            if prev_files:
+                prev = rd.read_parquet(prev_files).map_batches(
+                    lambda tb: signed_me._stored_as_contrib(tb),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                contrib = contrib.union(prev)
+
+        specs = [(name, f"c_{name}", "sum") for name, _, _, _ in self.measures]
+        specs.append(("__rows", "__rows", "sum"))
+        agg = grouped_agg(contrib, self.group_keys, specs)
+
+        def live_groups(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return tb
+            return tb.filter(pc.greater(tb.column("__rows"), 0))
+
+        out = agg.map_batches(live_groups, batch_format="pyarrow", zero_copy_batch=True)
+
+        vv = (int(state["view_version"]) + 1) if state else 0
+        d = f"v{vv:06d}"
+        tmp = os.path.join(self.root, d + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write_parquet(tmp)
+        final_dir = os.path.join(self.root, d)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.replace(tmp, final_dir)
+        old_dirs = [state["dir"]] if state else []
+        self._commit(
+            {
+                "view_version": vv,
+                "lake_version": lake_v,
+                "dir": d,
+                "group_keys": self.group_keys,
+                "measures": [[n, c, h, str(t)] for n, c, h, t in self.measures],
+            }
+        )
+        # previous view version is dead the moment the manifest points
+        # past it (the view has no time travel — the lake does)
+        for od in old_dirs:
+            if od != d:
+                shutil.rmtree(os.path.join(self.root, od), ignore_errors=True)
+        return {
+            "mode": mode,
+            "view_version": vv,
+            "lake_version": lake_v,
+            "changed_partitions": changed,
+        }
+
+    # -- reads ------------------------------------------------------------
+    def read_table(self) -> pa.Table:
+        """Driver-side view read, key-sorted, without internal columns."""
+        state = self.manifest()
+        if state is None:
+            raise ValueError("view has never been refreshed")
+        files = self._dir_files(state["dir"])
+        if not files:
+            cols = {k: pa.array([], pa.string()) for k in self.group_keys}
+            for name, _, _, typ in self.measures:
+                cols[name] = pa.array([], typ)
+            return pa.table(cols)
+        tb = pa.concat_tables([pq.read_table(f) for f in files], promote_options="none")
+        tb = tb.select(self.group_keys + [n for n, _, _, _ in self.measures])
+        return tb.sort_by([(k, "ascending") for k in self.group_keys])

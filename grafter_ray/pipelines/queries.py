@@ -1764,6 +1764,114 @@ WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
 
+def q_incr_view_lang_stats(sf_dir: str):
+    """Incremental materialized-view maintenance under the oracle gate
+    (pipelines/incview.py): the deterministic documents binlog applied
+    in TWO windows; a (repo, lang) count/sum-of-chars view refreshes
+    after each — the second refresh folds ONLY the signed change feed
+    of the %5 update wave (CDCLake.changes_with_old: changed partitions
+    pruned via manifest max_lsn, current row +1 / prior row -1), never
+    recomputing from the lake — and the folded state must equal the
+    full-recompute SQL over the converged corpus. The reference reruns
+    its whole graph-template pipeline to refresh a derived graph; delta
+    folding is the Ray-native replacement."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .incview import IncrementalView
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_incview_")
+    try:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+
+        def prepare(tb: pa.Table) -> pa.Table:
+            return tb.append_column(
+                "n_chars_src", pc.cast(pc.utf8_length(tb.column("content")), pa.int64())
+            )
+
+        view = IncrementalView(
+            lake,
+            f"{tmp}/view",
+            ["repo", "lang"],
+            [("n_docs", None, "count"), ("sum_chars", "n_chars_src", "sum")],
+            prepare=prepare,
+        )
+        view.refresh()
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        stats = view.refresh()
+        if stats["mode"] != "incremental":  # the gate must exercise the fold
+            raise RuntimeError(f"expected an incremental fold, got {stats['mode']}")
+        return view.read_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INCR_VIEW_LANG_STATS = """
+WITH survivors AS (
+  SELECT source, lang,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+)
+SELECT 'repo/' || source AS repo, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(t)) AS BIGINT) AS sum_chars
+FROM survivors GROUP BY 1, 2
+"""
+
+
+def q_lake_point_lookup(sf_dir: str):
+    """Indexed point lookup against the converged docs lake
+    (CDCLake.lookup): keys hash-route to exactly one partition —
+    untouched partitions are never opened — and the (repo, path)-sorted
+    base files are read with parquet predicate pushdown (row groups
+    pruned by column stats). Looks up every doc_id % 97 == 0 key,
+    including deleted ones, which must come back absent. The reference's
+    native store serves this via its key-ordered covering indexes
+    (repository.clj:126-136)."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+
+    ids_tb = _read_table(sf_dir, "documents", ["doc_id", "source"])
+    ids = ids_tb.column("doc_id").to_numpy(zero_copy_only=False)
+    srcs = ids_tb.column("source").to_pylist()
+    keys = [
+        (f"repo/{s}", f"doc/{i}.txt")
+        for i, s in zip(ids, srcs)
+        if i % 97 == 0
+    ]
+    tmp = tempfile.mkdtemp(prefix="graftray_lookup_")
+    try:
+        _build_docs_lake(sf_dir, f"{tmp}/lake")
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        tb = lake.lookup(keys, view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_LAKE_POINT_LOOKUP = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content_sha,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END AS BIGINT) AS last_lsn
+FROM documents
+WHERE doc_id % 97 = 0 AND (doc_id % 5 = 0 OR doc_id % 7 <> 0)
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti-join (Dataset.join left_anti): customers that never ordered."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -2526,6 +2634,8 @@ QUERIES = {
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
+    "incr_view_lang_stats": q_incr_view_lang_stats,
+    "lake_point_lookup": q_lake_point_lookup,
     "customers_without_orders": q_customers_without_orders,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
@@ -2605,6 +2715,8 @@ ORACLE_SQL = {
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
+    "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
+    "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

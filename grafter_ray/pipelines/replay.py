@@ -1144,6 +1144,12 @@ class CDCLake:
             for pid, e in cur["partitions"].items()
             if int(e.get("max_lsn", -1)) > wm
         ]
+        # a partition whose every key was deleted is dropped from the
+        # current manifest entirely — it changed, but no current entry
+        # carries its max_lsn; synthesize an empty entry so downstream
+        # diffs (deleted_keys / changes_with_old) still see it
+        for pid in set(old["partitions"]) - set(cur["partitions"]):
+            entries.append({"partition_id": pid, "file": "", "deltas": [], "max_lsn": wm + 1})
         return wm, entries
 
     def read_changes(self, since_version: int, view: bool = True):
@@ -1248,3 +1254,153 @@ class CDCLake:
         return rd.from_items(items).map_batches(
             diff, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
         )
+
+    def changes_with_old(self, since_version: int, view: bool = True):
+        """Signed incremental feed for derived-table maintenance
+        (incview.IncrementalView): for every key whose state changed
+        after `since_version`, emit the CURRENT row with sign=+1 and the
+        PRIOR row (the state at since_version) with sign=-1 — so any
+        additive aggregate over the lake is maintainable by folding
+        signed contributions (insert → +1 only, delete → -1 only,
+        update → both). Partition-local like deleted_keys: unchanged
+        partitions are pruned via the manifest max_lsn stats and never
+        read; requires the old version's files on disk (vacuum's
+        keep_versions horizon). Both sides are projected through the
+        CURRENT schema view (the lake stores canonical base columns), so
+        the fold is consistent with a full recompute under today's view."""
+        import ray.data as rd
+
+        wm, entries = self._changed_entries(since_version)
+        old_m = self.manifest_at(since_version) or {"partitions": {}}
+        old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
+        items = []
+        for e in entries:
+            oe = old_parts.get(str(e["partition_id"]))
+            items.append(
+                {
+                    "old_file": oe["file"] if oe else "",
+                    "old_deltas": json.dumps(oe.get("deltas", []) if oe else []),
+                    "new_file": e["file"],
+                    "new_deltas": json.dumps(e.get("deltas", [])),
+                }
+            )
+        sv = self.schema_version
+        sign_field = pa.field("sign", pa.int8())
+        data_dir = self.log.data_dir
+        for it in items:
+            refs = ([it["old_file"]] if it["old_file"] else []) + json.loads(it["old_deltas"])
+            for f in refs:
+                if not os.path.exists(os.path.join(data_dir, f)):
+                    raise ValueError(
+                        f"changes_with_old(since_version={since_version}): data file "
+                        f"{f!r} was vacuumed — raise vacuum's keep_versions to "
+                        "retain the diff horizon"
+                    )
+        if not items:
+            empty = apply_view(LAKE.empty_table(), sv) if view else LAKE.empty_table()
+            return rd.from_arrow(empty.append_column(sign_field, pa.array([], pa.int8())))
+
+        def chain_of(file: str, deltas_json: str) -> pa.Table:
+            base = pq.read_table(os.path.join(data_dir, file)) if file else None
+            chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(deltas_json)]
+            if chain:
+                return _merge_chain(base, chain)
+            return base if base is not None else LAKE.empty_table()
+
+        def signed(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                new_t = chain_of(row["new_file"], row["new_deltas"])
+                old_t = chain_of(row["old_file"], row["old_deltas"])
+                changed = new_t.filter(pc.greater(new_t.column("last_lsn"), wm))
+                ok = pc.binary_join_element_wise(old_t.column("repo"), old_t.column("path"), "\x00")
+                nk_all = pc.binary_join_element_wise(new_t.column("repo"), new_t.column("path"), "\x00")
+                ck = pc.binary_join_element_wise(changed.column("repo"), changed.column("path"), "\x00")
+                # retract prior state of keys that were updated or deleted
+                gone = pc.invert(pc.is_in(ok, value_set=nk_all.combine_chunks()))
+                upd = pc.is_in(ok, value_set=ck.combine_chunks())
+                retract = old_t.filter(pc.or_(gone, upd))
+                for t, sgn in ((changed, 1), (retract, -1)):
+                    t = apply_view(t, sv) if view else t
+                    out.append(
+                        t.append_column(
+                            sign_field, pa.array(np.full(t.num_rows, sgn, np.int8))
+                        )
+                    )
+            return pa.concat_tables(out, promote_options="none")
+
+        return rd.from_items(items).map_batches(
+            signed, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+        )
+
+    def lookup(self, keys: list[tuple[str, str]], view: bool = True) -> pa.Table:
+        """Point lookup of (repo, path) keys — the indexed-get path the
+        reference's native store serves via its key-ordered covering
+        indexes (repository.clj:126-136). Each key hashes to exactly one
+        partition (manifest routing — partitions holding no requested key
+        are never opened); base files are (repo, path)-sorted so the
+        parquet predicate pushdown prunes row groups by column stats, and
+        delta-chain files are window-sized. One Ray task per touched
+        partition; the result is a driver Table (point lookups are small
+        by construction)."""
+        import ray.data as rd
+
+        if not keys:
+            tb = LAKE.empty_table()
+            return apply_view(tb, self.schema_version) if view else tb
+        repo_a = pa.array([k[0] for k in keys], pa.string())
+        path_a = pa.array([k[1] for k in keys], pa.string())
+        pids = partition_ids(repo_a, path_a, self.num_partitions).to_numpy(zero_copy_only=False)
+        by_pid: dict[int, list[int]] = {}
+        for i, p in enumerate(pids):
+            by_pid.setdefault(int(p), []).append(i)
+        m = self.manifest or {"partitions": {}}
+        parts = {str(pid): e for pid, e in m["partitions"].items()}
+        data_dir = self.log.data_dir
+        items = []
+        for pid, idxs in by_pid.items():
+            e = parts.get(str(pid))
+            if e is None or (not e["file"] and not e.get("deltas")):
+                continue
+            items.append(
+                {
+                    "file": e["file"],
+                    "deltas": json.dumps(e.get("deltas", [])),
+                    "repos": json.dumps([keys[i][0] for i in idxs]),
+                    "paths": json.dumps([keys[i][1] for i in idxs]),
+                }
+            )
+        if not items:
+            tb = LAKE.empty_table()
+            return apply_view(tb, self.schema_version) if view else tb
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                repos = json.loads(row["repos"])
+                paths = json.loads(row["paths"])
+                dnf = [[("repo", "==", r), ("path", "==", p)] for r, p in zip(repos, paths)]
+                base = (
+                    pq.read_table(os.path.join(data_dir, row["file"]), filters=dnf)
+                    if row["file"]
+                    else None
+                )
+                chain = [
+                    pq.read_table(os.path.join(data_dir, f))
+                    for f in json.loads(row["deltas"])
+                ]
+                t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+                want = pc.binary_join_element_wise(
+                    pa.array(repos, pa.string()), pa.array(paths, pa.string()), "\x00"
+                )
+                have = pc.binary_join_element_wise(t.column("repo"), t.column("path"), "\x00")
+                out.append(t.filter(pc.is_in(have, value_set=want)))
+            return pa.concat_tables(out, promote_options="none")
+
+        ds = rd.from_items(items).map_batches(
+            fetch, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+        )
+        tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+        tb = pa.concat_tables(tabs, promote_options="none") if tabs else LAKE.empty_table()
+        tb = tb.sort_by([("repo", "ascending"), ("path", "ascending")])
+        return apply_view(tb, self.schema_version) if view else tb

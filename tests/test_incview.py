@@ -1,0 +1,290 @@
+"""Incremental materialized-view maintenance + lake point lookups:
+the view folded from the signed change feed must equal a full recompute
+over the live lake after every window; lookups must match filtered
+full reads through base files AND delta chains."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.pipelines.incview import IncrementalView
+
+CFG = BinlogConfig(
+    n_events=4_000, n_keys=250, n_repos=8, schema_every=100_000, delete_pct=0.15
+)
+
+
+def _make_prepare():
+    # nested so cloudpickle ships it BY VALUE — Ray workers cannot import
+    # the test module
+    def prepare(tb: pa.Table) -> pa.Table:
+        return tb.append_column(
+            "n_chars", pc.cast(pc.utf8_length(tb.column("content")), pa.int64())
+        )
+
+    return prepare
+
+
+_prepare = _make_prepare()
+
+MEASURES = [("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")]
+
+
+def _view(lake, root) -> IncrementalView:
+    return IncrementalView(lake, root, ["repo", "lang"], MEASURES, prepare=_prepare)
+
+
+def _recompute(lake) -> pa.Table:
+    tb = _prepare(lake.read_table(view=True))
+    g = tb.group_by(["repo", "lang"]).aggregate(
+        [("repo", "count"), ("n_chars", "sum")]
+    )
+    out = pa.table(
+        {
+            "repo": g.column("repo"),
+            "lang": g.column("lang"),
+            "n_docs": pc.cast(g.column("repo_count"), pa.int64()),
+            "sum_chars": pc.cast(g.column("n_chars_sum"), pa.int64()),
+        }
+    )
+    return out.sort_by([("repo", "ascending"), ("lang", "ascending")])
+
+
+def _assert_view_matches(view, lake):
+    got = view.read_table()
+    want = _recompute(lake)
+    assert got.num_rows == want.num_rows
+    for c in want.schema.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_incremental_refresh_matches_recompute_across_windows(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    view = _view(lake, str(tmp_path / "view"))
+    modes = []
+    for upto in (1_000, 2_500, CFG.n_events):
+        lake.apply(rd.from_arrow(binlog), upto_lsn=upto - 1)
+        stats = view.refresh()
+        modes.append(stats["mode"])
+        _assert_view_matches(view, lake)
+    assert modes == ["full", "incremental", "incremental"]
+
+
+def test_small_window_prunes_partitions(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    view = _view(lake, str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog), upto_lsn=CFG.n_events - 10)
+    view.refresh()
+    # the tail window touches few keys → few partitions
+    lake.apply(rd.from_arrow(binlog))
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    assert 0 < stats["changed_partitions"] < lake.num_partitions
+    _assert_view_matches(view, lake)
+
+
+def test_noop_when_lake_unchanged(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    view = _view(lake, str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog))
+    v1 = view.refresh()
+    v2 = view.refresh()
+    assert v2["mode"] == "noop" and v2["view_version"] == v1["view_version"]
+
+
+def test_view_reopen_resumes_incrementally(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    _view(lake, str(tmp_path / "view")).refresh  # construct only
+    view = _view(lake, str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_000)
+    view.refresh()
+    reopened = _view(CDCLake(str(tmp_path / "lake")), str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog))
+    stats = reopened.refresh()
+    assert stats["mode"] == "incremental"
+    _assert_view_matches(reopened, lake)
+
+
+def test_view_spec_mismatch_raises(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    view = _view(lake, str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_000)
+    view.refresh()
+    with pytest.raises(ValueError, match="disagrees"):
+        IncrementalView(lake, str(tmp_path / "view"), ["lang"], MEASURES)
+
+
+def _mini_binlog(rows):
+    cols = {
+        "lsn": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows]),
+        "repo": pa.array([r[2] for r in rows]),
+        "path": pa.array([r[3] for r in rows]),
+        "commit": pa.array([r[4] for r in rows]),
+        "lang": pa.array([r[5] for r in rows]),
+        "content": pa.array([r[6] for r in rows]),
+        "schema_version": pa.array([0] * len(rows), pa.int32()),
+    }
+    return pa.table(cols)
+
+
+def test_changes_with_old_signs(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    w1 = _mini_binlog(
+        [
+            (0, "upsert", "r", "a", "c0", "py", "alpha"),
+            (1, "upsert", "r", "b", "c1", "py", "beta"),
+            (2, "upsert", "r", "c", "c2", "py", "gamma"),
+        ]
+    )
+    m1 = lake.apply(rd.from_arrow(w1))
+    w2 = _mini_binlog(
+        [
+            (3, "upsert", "r", "a", "c3", "py", "alpha v2"),  # update
+            (4, "delete", "r", "b", None, None, None),  # delete
+            (5, "upsert", "r", "d", "c5", "py", "delta"),  # insert
+        ]
+    )
+    lake.apply(rd.from_arrow(w2))
+    import ray
+
+    feed = lake.changes_with_old(m1["version"])
+    tabs = [t for t in (ray.get(r) for r in feed.to_arrow_refs()) if t.num_rows]
+    tb = pa.concat_tables(tabs, promote_options="none")
+    rows = {
+        (p, s): c
+        for p, s, c in zip(
+            tb.column("path").to_pylist(),
+            tb.column("sign").to_pylist(),
+            tb.column("content").to_pylist(),
+        )
+    }
+    assert rows == {
+        ("a", 1): "alpha v2",
+        ("a", -1): "alpha",
+        ("b", -1): "beta",
+        ("d", 1): "delta",
+    }
+    # unchanged key "c" must not appear on either side
+    assert "c" not in {p for p, _ in rows}
+
+
+def test_group_disappears_when_members_deleted(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    w1 = _mini_binlog(
+        [
+            (0, "upsert", "r", "a", "c0", "py", "alpha"),
+            (1, "upsert", "r", "b", "c1", "go", "beta"),
+        ]
+    )
+    lake.apply(rd.from_arrow(w1))
+    view = _view(lake, str(tmp_path / "view"))
+    view.refresh()
+    assert set(view.read_table().column("lang").to_pylist()) == {"py", "go"}
+    lake.apply(rd.from_arrow(_mini_binlog([(2, "delete", "r", "b", None, None, None)])))
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    got = view.read_table()
+    assert got.column("lang").to_pylist() == ["py"]
+    _assert_view_matches(view, lake)
+
+
+def test_deleted_keys_sees_fully_emptied_partition(tmp_path):
+    # a partition whose every key is deleted is dropped from the current
+    # manifest — the diff feeds must still surface its tombstones
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=1)
+    m1 = lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (0, "upsert", "r", "a", "c0", "py", "alpha"),
+                    (1, "upsert", "r", "b", "c1", "go", "beta"),
+                ]
+            )
+        )
+    )
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (2, "delete", "r", "a", None, None, None),
+                    (3, "delete", "r", "b", None, None, None),
+                ]
+            )
+        )
+    )
+    gone = lake.deleted_keys(m1["version"]).materialize()
+    assert sorted(r["path"] for r in gone.take_all()) == ["a", "b"]
+
+
+def test_changes_with_old_vacuum_horizon_raises(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4, delta_ratio=0)
+    m1 = lake.apply(rd.from_arrow(binlog), upto_lsn=1_000)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_000)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=3_000)
+    lake.apply(rd.from_arrow(binlog))
+    lake.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        lake.changes_with_old(m1["version"]).materialize()
+
+
+# ---------------------------------------------------------------- lookup
+
+
+def test_lookup_matches_full_read(tmp_path):
+    binlog = binlog_table(CFG)
+    # small windows force LSM delta chains so lookups merge chains too
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=8, delta_ratio=0.5, max_delta_chain=4
+    )
+    for upto in (3_800, 3_900, 3_950, CFG.n_events):
+        lake.apply(rd.from_arrow(binlog), upto_lsn=upto - 1)
+    assert any(e.get("deltas") for e in lake.partition_entries())
+    full = lake.read_table(view=False)
+    keys = list(
+        zip(full.column("repo").to_pylist()[::7], full.column("path").to_pylist()[::7])
+    )[:40]
+    got = lake.lookup(keys, view=False)
+    want_k = {k for k in keys}
+    have = pa.table(
+        {
+            "repo": full.column("repo"),
+            "path": full.column("path"),
+            "content_sha": full.column("content_sha"),
+            "last_lsn": full.column("last_lsn"),
+        }
+    )
+    mask = [
+        (r, p) in want_k
+        for r, p in zip(have.column("repo").to_pylist(), have.column("path").to_pylist())
+    ]
+    want = have.filter(pa.array(mask))
+    assert got.num_rows == want.num_rows == len(keys)
+    for c in ("repo", "path", "content_sha", "last_lsn"):
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_lookup_absent_and_deleted_keys(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(
+        rd.from_arrow(_mini_binlog(
+            [
+                (0, "upsert", "r", "a", "c0", "py", "alpha"),
+                (1, "upsert", "r", "b", "c1", "py", "beta"),
+                (2, "delete", "r", "b", None, None, None),
+            ]
+        ))
+    )
+    got = lake.lookup([("r", "a"), ("r", "b"), ("r", "nope")], view=False)
+    assert got.column("path").to_pylist() == ["a"]
+    assert lake.lookup([], view=False).num_rows == 0
+    assert lake.lookup([("zz", "zz")], view=False).num_rows == 0

@@ -732,6 +732,41 @@ FROM embeddings ORDER BY cosine_e4 DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_radius(sf_dir: str):
+    """Cosine range search (all neighbors within a radius, not top-k):
+    a pure streaming per-block matmul+mask with zero shuffle — result
+    size is data-dependent, so nothing global-sorts or reduces."""
+    from ..stages.similarity import radius_search
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = radius_search(ds, q, threshold=0.2)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"vec_id": tb.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# list_cosine_similarity runs in float32 — at radius-result sizes its e4
+# fixed-point flips vs the engine's float64 by one unit on a few rows, so
+# the oracle computes the cosine in DOUBLE via an exact unnest
+SQL_ANN_RADIUS = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id,
+         sum(CAST(u.z[1] AS DOUBLE) * CAST(u.z[2] AS DOUBLE))
+           / (sqrt(sum(CAST(u.z[1] AS DOUBLE) * CAST(u.z[1] AS DOUBLE)))
+              * sqrt(sum(CAST(u.z[2] AS DOUBLE) * CAST(u.z[2] AS DOUBLE)))) AS c
+  FROM embeddings e, q, unnest(list_zip(e.embedding, q.qe)) AS u(z)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(round(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos WHERE round(c, 6) >= 0.2
+"""
+
+
 def q_ann_batch(sf_dir: str):
     """Batched multi-query ANN (the batched-inference shape): 3 query
     vectors scored in one broadcast matmul per block; per-query top-5."""
@@ -1872,6 +1907,42 @@ WHERE doc_id % 97 = 0 AND (doc_id % 5 = 0 OR doc_id % 7 <> 0)
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """ExactSubstr-style duplicate-span detection (stages/dupspans.py):
+    per-doc statistics of maximal runs of word 3-grams shared with at
+    least one other document — two linear exchanges (gram-hash group,
+    then doc group), no suffix array, nothing quadratic."""
+    from ..stages.dupspans import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(ds, n=3)
+
+
+SQL_DUP_SPANS = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM words, unnest(range(1, len(w) - 1)) AS u(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+),
+spans AS (SELECT doc_id, grp, count(*) AS glen FROM isl GROUP BY doc_id, grp)
+SELECT doc_id,
+       CAST(sum(glen) AS BIGINT) AS n_dup_grams,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(glen) AS BIGINT) AS max_span_grams,
+       CAST(sum(glen + 2) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti-join (Dataset.join left_anti): customers that never ordered."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -2631,11 +2702,13 @@ QUERIES = {
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
+    "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "lake_point_lookup": q_lake_point_lookup,
+    "dup_spans": q_dup_spans,
     "customers_without_orders": q_customers_without_orders,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
@@ -2675,6 +2748,7 @@ ORACLE_SQL = {
     "jaccard_pairs_prefix": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_TOPK,
+    "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "sparql_select": SQL_SPARQL_SELECT,
@@ -2717,6 +2791,7 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
+    "dup_spans": SQL_DUP_SPANS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

@@ -1,0 +1,163 @@
+"""Cross-document duplicate n-gram SPAN detection — the distributed
+shape of ExactSubstr training-data dedup (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", 2022): find every word
+n-gram that occurs in ≥2 distinct documents, then merge each document's
+duplicated gram positions into maximal consecutive spans and report
+per-doc span statistics (feeding a cut/filter policy downstream).
+
+The published implementation builds a monolithic suffix array; that is
+a single-machine design. The Ray-native shape is two LINEAR exchanges:
+
+  1. explode (gram-hash128, doc_id, pos) — gram identity is two
+     independent 64-bit hash streams (collision-safe at 10^10+ grams) —
+     and group by gram: groups seen in ≥2 distinct docs re-emit their
+     (doc_id, pos) rows, everything else dies map-side. Volume =
+     token count; nothing quadratic, no suffix array.
+  2. group the surviving positions by doc_id: one vectorized pass
+     merges consecutive positions into spans (islands) and reduces to
+     per-doc stats.
+
+Skew note: a boilerplate gram shared by M docs creates an M-row group —
+bounded by that gram's corpus frequency, the same bound the suffix-array
+approach pays. `gram_df_cap` (opt-in) drops such ultra-common grams with
+a logged count when marking them is not required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import _KEY2
+from .decontam import ngram_strings
+from .grouped import grouped_block_map
+
+
+def _gram_hash_pair(grams: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(grams.to_pandas(), dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_KEY2, categorize=False)
+    return h1.astype(np.uint64), h2.astype(np.uint64)
+
+
+def duplicate_spans(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_df_cap: int | None = None,
+):
+    """Dataset[(id_col, text_col)] → Dataset[(id_col, n_dup_grams,
+    n_spans, max_span_grams, dup_tokens)] for documents containing at
+    least one n-gram shared with another document.
+
+    dup_tokens is the token coverage of the union of duplicated windows
+    [pos, pos+n): a maximal run of L consecutive duplicated gram
+    positions covers L + n - 1 tokens."""
+    import logging
+
+    log = logging.getLogger(__name__)
+
+    def explode(tb: pa.Table) -> pa.Table:
+        grams, row_of = ngram_strings(tb.column(text_col), n)
+        if len(row_of) == 0:
+            return pa.table(
+                {
+                    "gh1": pa.array([], pa.uint64()),
+                    "gh2": pa.array([], pa.uint64()),
+                    id_col: pa.array([], tb.schema.field(id_col).type),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        h1, h2 = _gram_hash_pair(grams)
+        # gram position within its own document
+        starts = np.concatenate([[0], np.cumsum(np.bincount(row_of, minlength=tb.num_rows))])[:-1]
+        pos = np.arange(len(row_of), dtype=np.int64) - starts[row_of]
+        return pa.table(
+            {
+                "gh1": pa.array(h1),
+                "gh2": pa.array(h2),
+                id_col: tb.column(id_col).take(pa.array(row_of)),
+                "pos": pa.array(pos),
+            }
+        )
+
+    occ = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cross_doc_rows(tb: pa.Table) -> pa.Table:
+        """Per key-sorted block: keep rows of grams with ≥2 distinct docs."""
+        if tb.num_rows == 0:
+            return tb.select([id_col, "pos"])
+        g1 = tb.column("gh1").to_numpy(zero_copy_only=False)
+        g2 = tb.column("gh2").to_numpy(zero_copy_only=False)
+        d = tb.column(id_col).to_numpy(zero_copy_only=False)
+        # block arrives key-sorted; order docs within each gram run
+        order = np.lexsort((d, g2, g1))
+        g1s, g2s, ds_ = g1[order], g2[order], d[order]
+        new_gram = np.ones(len(order), dtype=bool)
+        new_gram[1:] = (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])
+        gram_id = np.cumsum(new_gram) - 1
+        new_doc = new_gram.copy()
+        new_doc[1:] |= ds_[1:] != ds_[:-1]
+        starts = np.nonzero(new_gram)[0]
+        ndocs = np.add.reduceat(new_doc.astype(np.int64), starts)
+        occs = np.diff(np.append(starts, len(order)))
+        keep_gram = ndocs >= 2
+        if gram_df_cap is not None:
+            over = keep_gram & (occs > gram_df_cap)
+            if over.any():
+                log.warning(
+                    "duplicate_spans: dropping %d grams over gram_df_cap=%d",
+                    int(over.sum()),
+                    gram_df_cap,
+                )
+            keep_gram &= occs <= gram_df_cap
+        keep = keep_gram[gram_id]
+        sel = pa.array(order[keep])
+        return pa.table({id_col: tb.column(id_col).take(sel), "pos": tb.column("pos").take(sel)})
+
+    marked = grouped_block_map(occ, ["gh1", "gh2"], cross_doc_rows)
+
+    def span_stats(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], tb.schema.field(id_col).type if id_col in tb.schema.names else pa.int64()),
+                    "n_dup_grams": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "max_span_grams": pa.array([], pa.int64()),
+                    "dup_tokens": pa.array([], pa.int64()),
+                }
+            )
+        d = tb.column(id_col).to_numpy(zero_copy_only=False)
+        p = tb.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        ds_, ps = d[order], p[order]
+        new_doc = np.ones(len(order), dtype=bool)
+        new_doc[1:] = ds_[1:] != ds_[:-1]
+        # a duplicated gram may appear at the same position only once;
+        # new span when doc changes or position is not the successor
+        new_span = new_doc.copy()
+        new_span[1:] |= ps[1:] != ps[:-1] + 1
+        doc_starts = np.nonzero(new_doc)[0]
+        span_starts = np.nonzero(new_span)[0]
+        span_len = np.diff(np.append(span_starts, len(order)))
+        # per-doc reductions over spans (every doc's spans are contiguous
+        # in span order because rows are (doc, pos)-sorted)
+        doc_span_starts = np.nonzero(new_doc[span_starts])[0]
+        n_spans = np.diff(np.append(doc_span_starts, len(span_starts)))
+        n_dup = np.add.reduceat(np.ones(len(order), dtype=np.int64), doc_starts)
+        max_span = np.maximum.reduceat(span_len, doc_span_starts)
+        dup_tokens = np.add.reduceat(span_len + (n - 1), doc_span_starts)
+        return pa.table(
+            {
+                id_col: pa.array(ds_[doc_starts]),
+                "n_dup_grams": pa.array(n_dup),
+                "n_spans": pa.array(n_spans.astype(np.int64)),
+                "max_span_grams": pa.array(max_span.astype(np.int64)),
+                "dup_tokens": pa.array(dup_tokens.astype(np.int64)),
+            }
+        )
+
+    return grouped_block_map(marked, [id_col], span_stats)

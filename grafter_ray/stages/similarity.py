@@ -58,6 +58,34 @@ def brute_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_c
     return reduced.sort(key=["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def radius_search(ds, query: np.ndarray, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """All vectors within a cosine radius of the query (range search):
+    one broadcast of the normalized query, a per-block float64 matmul +
+    mask — a pure streaming filter with ZERO shuffle (unlike top-k there
+    is no global reduce at all; result size is data-dependent). The
+    scale path for a selective threshold is the same LSH bucket filter
+    as lsh_topk composed in front (probe buckets, then radius-filter)."""
+    q = _normalize(query.reshape(1, -1).astype(np.float32).astype(np.float64))
+    q_box = {"ref": ray.put(q)}
+
+    def radius_block(tb: pa.Table) -> pa.Table:
+        qm = ray.get(q_box["ref"])
+        m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+        sims = (m @ qm.T).ravel()
+        keep = np.round(sims, 6) >= threshold
+        # membership uses the 6-decimal round (stable at the radius
+        # boundary); the returned score stays full-precision float64 so
+        # downstream fixed-point exports round the TRUE value once
+        return pa.table(
+            {
+                id_col: tb.column(id_col).filter(pa.array(keep)),
+                "cosine": pa.array(sims[keep]),
+            }
+        )
+
+    return ds.map_batches(radius_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures (deterministic seed) for cosine LSH.
 

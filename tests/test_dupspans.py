@@ -1,0 +1,118 @@
+"""Planted-truth tests for cross-document duplicate n-gram span
+detection (stages/dupspans.py) and cosine radius search."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.dupspans import duplicate_spans
+from grafter_ray.stages.similarity import radius_search
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+def _collect(ds) -> dict:
+    rows = ds.take_all()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_single_shared_gram():
+    ds = _docs(
+        [
+            (1, "one two three four five"),
+            (2, "zero one two three nine"),
+            (3, "totally unique words here now"),
+        ]
+    )
+    got = _collect(duplicate_spans(ds, n=3))
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        r = got[d]
+        assert r["n_dup_grams"] == 1
+        assert r["n_spans"] == 1
+        assert r["max_span_grams"] == 1
+        assert r["dup_tokens"] == 3
+
+
+def test_consecutive_grams_merge_into_one_span():
+    ds = _docs(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+        ]
+    )
+    got = _collect(duplicate_spans(ds, n=3))
+    # shared 3-grams: "a b c", "b c d", "c d e" at positions 0,1,2
+    for d in (1, 2):
+        r = got[d]
+        assert r["n_dup_grams"] == 3
+        assert r["n_spans"] == 1
+        assert r["max_span_grams"] == 3
+        assert r["dup_tokens"] == 5  # tokens a..e
+
+
+def test_disjoint_spans_counted_separately():
+    ds = _docs(
+        [
+            (1, "a b c XX YY ZZ d e f"),
+            (2, "a b c QQ RR SS d e f"),
+        ]
+    )
+    got = _collect(duplicate_spans(ds, n=3))
+    for d in (1, 2):
+        r = got[d]
+        assert r["n_dup_grams"] == 2  # "a b c" and "d e f"
+        assert r["n_spans"] == 2
+        assert r["max_span_grams"] == 1
+        assert r["dup_tokens"] == 6
+
+
+def test_no_duplicates_returns_empty():
+    ds = _docs([(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")])
+    assert duplicate_spans(ds, n=3).count() == 0
+
+
+def test_gram_df_cap_drops_ultra_common_grams():
+    ds = _docs(
+        [
+            (1, "k k2 k3 pad1a pad1b"),
+            (2, "k k2 k3 pad2a pad2b"),
+            (3, "k k2 k3 pad3a pad3b"),
+        ]
+    )
+    # "k k2 k3" occurs in 3 docs (df 3) — capped at 2 it must vanish
+    assert duplicate_spans(ds, n=3, gram_df_cap=2).count() == 0
+    assert duplicate_spans(ds, n=3).count() == 3
+
+
+def test_radius_search_planted():
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # cos 1.0
+        (1, [1.0, 1.0, 0.0, 0.0]),  # cos ~0.7071
+        (2, [0.0, 1.0, 0.0, 0.0]),  # cos 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # cos -1
+        (4, [1.0, 0.2, 0.0, 0.0]),  # cos ~0.9806
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    rows = {r["vec_id"]: r["cosine"] for r in radius_search(ds, q, threshold=0.7).take_all()}
+    assert set(rows) == {0, 1, 4}
+    assert rows[0] == 1.0
+    assert abs(rows[1] - 0.707107) < 1e-6
+    assert abs(rows[4] - 0.980581) < 1e-6

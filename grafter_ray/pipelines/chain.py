@@ -1,0 +1,131 @@
+"""CDC chaining: maintain a DERIVED lake from an upstream lake's change
+feed — the Grafter ETL pipeline shape (source graph → transformed graph,
+reference pipeline model SURVEY.md §3) recast as incremental lake-to-lake
+sync. Instead of re-running the whole transform over the corpus, each
+sync turns the upstream diff (`read_changes` + `deleted_keys`, both
+pruned to changed partitions via manifest max_lsn stats) back into a
+binlog and replays it through the downstream lake's own exactly-once
+apply path.
+
+Exactly-once composition: the derived lake lives in a DOUBLED lsn
+space — upserts replay at 2*last_lsn (even), deletes at
+2*src_watermark+1 (odd). The doubling keeps per-key order, guarantees a
+delete outranks every lsn the deleted key ever wrote, and keeps delete
+lsns disjoint from upsert lsns (the apply path fetches pass-2 payloads
+by lsn, so a collision between a synthetic delete and a genuine upsert
+winner would corrupt the fetch). The downstream watermark filter +
+per-key LWW then make re-syncs and crash/rerun no-ops — the same
+idempotence argument as a direct replay (replay.py module doc),
+inherited by every derived hop.
+
+Sync cursor: no sidecar state. The downstream watermark IS the cursor —
+the upstream version to diff from is the newest one whose watermark the
+downstream has fully applied, recovered by scanning the (small) manifest
+chain. A destroyed-and-recreated downstream bootstraps from a full
+upstream read automatically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import BINLOG
+
+
+def _as_binlog_upserts(tb: pa.Table) -> pa.Table:
+    """Lake rows (base columns, view=False) → binlog upsert rows."""
+    import pyarrow.compute as pc
+
+    n = tb.num_rows
+    return pa.table(
+        {
+            "lsn": pc.multiply(tb.column("last_lsn"), pa.scalar(2, pa.int64())),
+            "op": pa.array(np.full(n, "upsert"), pa.string()),
+            "repo": tb.column("repo"),
+            "path": tb.column("path"),
+            "commit": tb.column("commit"),
+            "lang": tb.column("lang"),
+            "content": tb.column("content"),
+            "schema_version": tb.column("event_schema_version"),
+        }
+    ).cast(BINLOG)
+
+
+def _as_binlog_deletes(tb: pa.Table, lsn: int) -> pa.Table:
+    n = tb.num_rows
+    return pa.table(
+        {
+            "lsn": pa.array(np.full(n, lsn, np.int64)),
+            "op": pa.array(np.full(n, "delete"), pa.string()),
+            "repo": tb.column("repo"),
+            "path": tb.column("path"),
+            "commit": pa.nulls(n, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+            "content": pa.nulls(n, pa.string()),
+            "schema_version": pa.array(np.zeros(n, np.int32)),
+        }
+    ).cast(BINLOG)
+
+
+def _source_version_for(src, dst_watermark: int) -> int | None:
+    """Newest upstream version whose watermark the downstream has fully
+    applied (the sync cursor). None → bootstrap from a full read."""
+    best = None
+    for v in src.log.versions():
+        m = src.log.read(v)
+        if 2 * m["watermark_lsn"] <= dst_watermark:  # doubled-lsn space
+            best = v
+    return best
+
+
+def sync_lakes(src, dst, transform=None, **apply_kwargs) -> dict:
+    """One incremental sync of `dst` from `src`'s change feed.
+
+    transform: optional batch→batch pyarrow callable over BINLOG-shaped
+    upsert rows (derive/rewrite `content`, `lang`, … — the ETL step).
+    It must be a pure per-row map and must NOT touch the key or lsn
+    columns (repo, path, lsn) — those carry the exactly-once identity.
+    Delete events bypass it. Returns {mode, src_version, manifest}."""
+    src_m = src.manifest
+    if src_m is None:
+        return {"mode": "noop", "src_version": None, "manifest": dst.manifest}
+    since = _source_version_for(src, dst.watermark)
+    if since is not None and since == int(src_m["version"]):
+        return {"mode": "noop", "src_version": since, "manifest": dst.manifest}
+
+    if since is None:
+        mode = "bootstrap"
+        ups = src.read(view=False).map_batches(
+            _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        feed = ups
+    else:
+        mode = "incremental"
+        ups = src.read_changes(since, view=False).map_batches(
+            _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        del_lsn = 2 * int(src_m["watermark_lsn"]) + 1
+        dels = src.deleted_keys(since).map_batches(
+            lambda tb: _as_binlog_deletes(tb, del_lsn),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        feed = ups.union(dels)
+    if transform is not None:
+        t = transform
+
+        def guarded(tb: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(tb.column("op"), "upsert")
+            ups_t = t(tb.filter(mask)).cast(BINLOG)
+            rest = tb.filter(pa.compute.invert(mask))
+            return pa.concat_tables([ups_t, rest], promote_options="none")
+
+        feed = feed.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
+    # anchor the downstream watermark at 2*src_wm+1 even when no event
+    # carries that lsn (src watermarks can exceed their max event lsn) —
+    # otherwise the cursor never reaches the synced version and every
+    # sync re-diffs the same changes (idempotent but wasteful)
+    apply_kwargs.setdefault("upto_lsn", 2 * int(src_m["watermark_lsn"]) + 1)
+    manifest = dst.apply(feed, **apply_kwargs)
+    return {"mode": mode, "src_version": int(src_m["version"]), "manifest": manifest}

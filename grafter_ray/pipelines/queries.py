@@ -1907,6 +1907,65 @@ WHERE doc_id % 97 = 0 AND (doc_id % 5 = 0 OR doc_id % 7 <> 0)
 """
 
 
+def q_cdc_chain_derived(sf_dir: str):
+    """CDC chaining under the oracle gate (pipelines/chain.py): a derived
+    lake synced from the docs lake's change feed — bootstrap after window
+    1, then an INCREMENTAL sync of the %5 update wave (changed partitions
+    only, doubled-lsn space, deletes propagated) — with an ETL transform
+    appending ' [etl]' to content. The final derived state (sha256 of the
+    transformed content) must equal the closed-form SQL. This is the
+    reference's source-graph→derived-graph pipeline
+    (SURVEY.md §3) without the full rerun."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .chain import sync_lakes
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_chain_")
+    try:
+        src = CDCLake(f"{tmp}/src", num_partitions=32)
+        dst = CDCLake(f"{tmp}/dst", num_partitions=32)
+
+        def etl(tb: pa.Table) -> pa.Table:
+            i = tb.schema.get_field_index("content")
+            return tb.set_column(
+                i, "content", pc.binary_join_element_wise(tb.column("content"), " [etl]", "")
+            )
+
+        src.apply(binlog, upto_lsn=2 * n_docs - 1)
+        sync_lakes(src, dst, transform=etl)
+        src.apply(binlog, upto_lsn=3 * n_docs)
+        st = sync_lakes(src, dst, transform=etl)
+        if st["mode"] != "incremental":  # the gate must exercise the delta path
+            raise RuntimeError(f"expected an incremental sync, got {st['mode']}")
+        tb = dst.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_CDC_CHAIN_DERIVED = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       lang,
+       sha256((CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) || ' [etl]') AS content_sha,
+       CAST(2 * (CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END) AS BIGINT) AS last_lsn
+FROM documents
+WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """ExactSubstr-style duplicate-span detection (stages/dupspans.py):
     per-doc statistics of maximal runs of word 3-grams shared with at
@@ -2709,6 +2768,7 @@ QUERIES = {
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "lake_point_lookup": q_lake_point_lookup,
     "dup_spans": q_dup_spans,
+    "cdc_chain_derived": q_cdc_chain_derived,
     "customers_without_orders": q_customers_without_orders,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
@@ -2792,6 +2852,7 @@ ORACLE_SQL = {
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "dup_spans": SQL_DUP_SPANS,
+    "cdc_chain_derived": SQL_CDC_CHAIN_DERIVED,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

@@ -1,0 +1,133 @@
+"""CDC chaining (pipelines/chain.py): a derived lake synced from an
+upstream lake's change feed must track the upstream through bootstrap,
+incremental windows, deletes, re-creates and transforms — exactly-once
+(re-syncs are no-ops)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from grafter_ray import CDCLake
+from grafter_ray.pipelines.chain import sync_lakes
+
+
+def _mini_binlog(rows):
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows]),
+            "schema_version": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+
+
+def _make_transform():
+    # nested so cloudpickle ships it by value (workers can't import tests)
+    def transform(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index("content")
+        return tb.set_column(
+            i, "content", pc.binary_join_element_wise(tb.column("content"), " [t]", "")
+        )
+
+    return transform
+
+
+_transform = _make_transform()
+
+
+def _assert_tracks(src: CDCLake, dst: CDCLake, transformed: bool):
+    s = src.read_table(view=False)
+    d = dst.read_table(view=False)
+    assert d.num_rows == s.num_rows
+    assert d.column("repo").to_pylist() == s.column("repo").to_pylist()
+    assert d.column("path").to_pylist() == s.column("path").to_pylist()
+    want_content = (
+        [c + " [t]" for c in s.column("content").to_pylist()]
+        if transformed
+        else s.column("content").to_pylist()
+    )
+    assert d.column("content").to_pylist() == want_content
+    assert d.column("last_lsn").to_pylist() == [2 * x for x in s.column("last_lsn").to_pylist()]
+
+
+W1 = [
+    (0, "upsert", "r", "a", "c0", "py", "alpha"),
+    (1, "upsert", "r", "b", "c1", "go", "beta"),
+    (2, "upsert", "r", "c", "c2", "py", "gamma"),
+    (3, "delete", "r", "c", None, None, None),
+]
+# newest event (lsn 6 == window watermark) is an UPSERT while another key
+# is deleted in the same window — the collision case a naive delete-lsn
+# stamp (src watermark) would corrupt in pass-2 fetch
+W2 = [
+    (4, "delete", "r", "b", None, None, None),
+    (5, "upsert", "r", "c", "c5", "py", "gamma2"),  # re-create after delete
+    (6, "upsert", "r", "a", "c6", "py", "alpha v2"),
+]
+
+
+def test_bootstrap_then_incremental_tracks_source(tmp_path):
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    src.apply(rd.from_arrow(_mini_binlog(W1)))
+    s1 = sync_lakes(src, dst)
+    assert s1["mode"] == "bootstrap"
+    _assert_tracks(src, dst, transformed=False)
+
+    src.apply(rd.from_arrow(_mini_binlog(W2)))
+    s2 = sync_lakes(src, dst)
+    assert s2["mode"] == "incremental"
+    _assert_tracks(src, dst, transformed=False)
+    # deleted key b gone, re-created key c present with the new content
+    paths = dst.read_table(view=False).column("path").to_pylist()
+    assert "b" not in paths and "c" in paths
+
+    assert sync_lakes(src, dst)["mode"] == "noop"
+
+
+def test_transform_applied_to_upserts_only(tmp_path):
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    src.apply(rd.from_arrow(_mini_binlog(W1)))
+    sync_lakes(src, dst, transform=_transform)
+    _assert_tracks(src, dst, transformed=True)
+    src.apply(rd.from_arrow(_mini_binlog(W2)))
+    sync_lakes(src, dst, transform=_transform)
+    _assert_tracks(src, dst, transformed=True)
+
+
+def test_resync_after_watermark_only_window_is_noop(tmp_path):
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    src.apply(rd.from_arrow(_mini_binlog(W1)), upto_lsn=50)  # wm beyond max lsn
+    assert sync_lakes(src, dst)["mode"] == "bootstrap"
+    _assert_tracks(src, dst, transformed=False)
+    assert sync_lakes(src, dst)["mode"] == "noop"
+
+
+def test_sync_empty_source_is_noop(tmp_path):
+    src = CDCLake(str(tmp_path / "src"), num_partitions=2)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=2)
+    assert sync_lakes(src, dst)["mode"] == "noop"
+
+
+def test_second_hop_chain(tmp_path):
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    mid = CDCLake(str(tmp_path / "mid"), num_partitions=4)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    src.apply(rd.from_arrow(_mini_binlog(W1)))
+    sync_lakes(src, mid)
+    sync_lakes(mid, dst)
+    src.apply(rd.from_arrow(_mini_binlog(W2)))
+    assert sync_lakes(src, mid)["mode"] == "incremental"
+    assert sync_lakes(mid, dst)["mode"] == "incremental"
+    s = src.read_table(view=False)
+    d = dst.read_table(view=False)
+    assert d.column("path").to_pylist() == s.column("path").to_pylist()
+    assert d.column("content").to_pylist() == s.column("content").to_pylist()
+    assert d.column("last_lsn").to_pylist() == [4 * x for x in s.column("last_lsn").to_pylist()]

@@ -68,6 +68,11 @@ QUERY_SUBSET = [
     "asof_last_error",
     "heavy_hitters",
     "range_join_windows",
+    "incr_view_lang_stats",
+    "lake_point_lookup",
+    "cdc_chain_derived",
+    "dup_spans",
+    "ann_radius",
 ]
 
 

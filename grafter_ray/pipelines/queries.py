@@ -1966,6 +1966,27 @@ WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Characteristic terms per document under tf/df ranking
+    (stages/text.py top_terms_per_doc): three linear exchanges, raw text
+    never shuffled, deterministic integer/lexical tie-breaks."""
+    from ..stages.text import top_terms_per_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms_per_doc(ds, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT doc_id, token, tf, df FROM tf JOIN df USING (token)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1.0 / df DESC, token) <= 3
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """ExactSubstr-style duplicate-span detection (stages/dupspans.py):
     per-doc statistics of maximal runs of word 3-grams shared with at
@@ -1999,6 +2020,31 @@ SELECT doc_id,
        CAST(max(glen) AS BIGINT) AS max_span_grams,
        CAST(sum(glen + 2) AS BIGINT) AS dup_tokens
 FROM spans GROUP BY doc_id
+"""
+
+
+def q_customers_with_orders_bloom(sf_dir: str):
+    """Exact semi-join via a distributed Bloom pre-filter
+    (relational.bloom_semi_join): orders' custkeys fold into a broadcast
+    1 MiB filter (per-block bitmaps, tree-OR), customers stream through
+    the mask, and only the survivors enter the exact co-group verify —
+    the big×big semi-join shape when the filter side is too large to
+    broadcast as an exact key set."""
+    from .relational import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def rn(tb: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": tb.column("o_custkey")})
+
+    right = orders.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_semi_join(cust, right, "c_custkey")
+
+
+SQL_CUSTOMERS_WITH_ORDERS_BLOOM = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
@@ -2769,7 +2815,9 @@ QUERIES = {
     "lake_point_lookup": q_lake_point_lookup,
     "dup_spans": q_dup_spans,
     "cdc_chain_derived": q_cdc_chain_derived,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
     "segment_top3_customers": q_segment_top3_customers,
@@ -2853,7 +2901,9 @@ ORACLE_SQL = {
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "dup_spans": SQL_DUP_SPANS,
     "cdc_chain_derived": SQL_CDC_CHAIN_DERIVED,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,

@@ -416,6 +416,111 @@ def anti_join_ids(ds, right, key: str):
     return grouped_block_map(both, [key], keep_left_only)
 
 
+def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16):
+    """Exact semi-join on one key for big×big inputs where the filter
+    side is too large to broadcast as an exact key set: fold `right`'s
+    keys into an m-bit Bloom filter DISTRIBUTEDLY (per-block bitmaps →
+    a tree OR over `reduce_blocks` merge tasks → one driver OR of
+    ≤reduce_blocks bitmaps), broadcast the filter once (m/8 bytes —
+    1 MiB at the 2^23 default, vs gigabytes of keys), stream `left`
+    through the membership mask, then verify the survivors (true
+    matches + bloom false positives, ≈(1-e^{-kn/m})^k) with the house
+    tag-union co-group semi-join — so the key exchange moves ONLY bloom
+    survivors, never the full left side. The result equals an exact
+    semi-join regardless of the false-positive rate."""
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+    from ..util import hash_stream, key_hash_array
+
+    m = np.uint64(1 << bits_log2)
+    words = (1 << bits_log2) // 64
+    K = 4  # hash count; fp ≈ 0.6% at n = m/16 keys
+
+    def _hash_pair(col):
+        h1 = key_hash_array(pc.cast(col, pa.string())).astype(np.uint64)
+        # double hashing: position_i = (h1 + i*h2) mod m; h2 forced odd
+        # so the stride never degenerates
+        h2 = hash_stream(h1, 0xB100F11E) | np.uint64(1)
+        return h1, h2
+
+    def block_bloom(tb: pa.Table) -> pa.Table:
+        bits = np.zeros(words, np.uint64)
+        if tb.num_rows:
+            h1, h2 = _hash_pair(tb.column(key))
+            for i in range(K):
+                pos = (h1 + np.uint64(i) * h2) % m
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+                )
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.large_binary())})
+
+    def or_merge(tb: pa.Table) -> pa.Table:
+        acc = np.zeros(words, np.uint64)
+        for b in tb.column("bloom").to_pylist():
+            acc |= np.frombuffer(b, np.uint64)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.large_binary())})
+
+    blooms = (
+        right.select_columns([key])
+        .map_batches(block_bloom, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(reduce_blocks)
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    final = np.zeros(words, np.uint64)
+    for row in blooms.take_all():  # ≤ reduce_blocks rows of m/8 bytes
+        final |= np.frombuffer(row["bloom"], np.uint64)
+    bloom_box = {"ref": ray.put(final)}
+
+    def bloom_mask(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        bits = ray.get(bloom_box["ref"])
+        h1, h2 = _hash_pair(tb.column(key))
+        keep = np.ones(tb.num_rows, dtype=bool)
+        for i in range(K):
+            pos = (h1 + np.uint64(i) * h2) % m
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return tb.filter(pa.array(keep))
+
+    survivors = left.map_batches(bloom_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact verify of the (small) survivor set: tag-union co-group —
+    # keep left rows whose key run contains a right row
+    schema = left.schema()
+    names, types = list(schema.names), list(schema.types)
+
+    def tag_left(tb: pa.Table) -> pa.Table:
+        return tb.append_column("__side", pa.array(np.ones(tb.num_rows, np.int8)))
+
+    def tag_right(tb: pa.Table) -> pa.Table:
+        uniq = pc.unique(tb.column(key))
+        n = len(uniq)
+        cols = {
+            name: (pc.cast(uniq, typ) if name == key else pa.nulls(n, typ))
+            for name, typ in zip(names, types)
+        }
+        return pa.table(cols).append_column("__side", pa.array(np.zeros(n, np.int8)))
+
+    both = survivors.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.select_columns([key]).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def keep_matched(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table({n: pa.array([], t) for n, t in zip(names, types)})
+        starts, ends = key_segments(tb, [key])
+        side = tb.column("__side").to_numpy(zero_copy_only=False)
+        run_min = np.minimum.reduceat(side, starts)
+        keep = np.repeat(run_min == 0, ends - starts) & (side == 1)
+        return tb.filter(pa.array(keep)).drop_columns(["__side"])
+
+    return grouped_block_map(both, [key], keep_matched)
+
+
 def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner"):
     """Hash-join a Dataset against a small broadcast table — the small side
     is shipped once via ray.put and joined per batch with Arrow's C++ join

@@ -224,3 +224,80 @@ def _gram_hash_rows(text: pa.ChunkedArray | pa.Array, k: int):
     row_of = np.repeat(np.arange(len(full), dtype=np.int64), full)
     local = np.arange(int(full.sum()), dtype=np.int64) - new_offsets[:-1][row_of]
     return sh[starts[row_of] + local], new_offsets
+
+
+def top_terms_per_doc(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document characteristic terms — tf/df ranking (the integer-
+    exact cousin of tf-idf: idf is monotone in 1/df, so the top-k under
+    tf/df with a lexical tie-break is deterministic across engines while
+    ln() last-ulp noise is not).
+
+    Three LINEAR exchanges, raw text never shuffled:
+      1. block-local tf: tokenize + one C++ hash-agg per block
+         (a doc lives in one row, so its tf is complete map-side)
+      2. token exchange: df = run length per key-co-located token run
+      3. doc exchange: take_per_group top-k under (tf/df desc, token asc)
+    Output (id, token, tf, df) — integers and strings only."""
+    from ..pipelines.relational import take_per_group
+    from .decontam import ngram_strings
+
+    def block_tf(tb: pa.Table) -> pa.Table:
+        toks, row_of = ngram_strings(tb.column(text_col), 1)
+        if len(row_of) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], tb.schema.field(id_col).type),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({id_col: tb.column(id_col).take(pa.array(row_of)), "token": toks})
+        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "token": g.column("token"),
+                "tf": pc.cast(g.column("token_count"), pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(block_tf, batch_format="pyarrow", zero_copy_batch=True)
+
+    def with_df(tb: pa.Table) -> pa.Table:
+        from .grouped import key_segments
+
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        starts, ends = key_segments(tb, ["token"])
+        run_len = (ends - starts).astype(np.int64)
+        df = np.repeat(run_len, run_len)
+        return tb.append_column("df", pa.array(df))
+
+    from .grouped import grouped_block_map
+
+    scored = grouped_block_map(tf, ["token"], with_df)
+
+    def add_score(tb: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(tb.column("tf"), pa.float64()), pc.cast(tb.column("df"), pa.float64())
+        )
+        return tb.append_column("score", s)
+
+    ranked = take_per_group(
+        scored.map_batches(add_score, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col],
+        [("score", "desc"), ("token", "asc")],
+        k,
+    )
+    return ranked.map_batches(
+        lambda tb: tb.drop_columns(["score"]) if "score" in tb.schema.names else tb,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

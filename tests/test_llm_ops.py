@@ -287,3 +287,75 @@ def test_interval_join_boundaries_and_multibin():
     )
     got = list(zip(out["pid"], out["name"]))
     assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "B")]
+
+
+# ---------------------------------------------------------------- bloom semi-join
+
+
+def test_bloom_semi_join_equals_exact_semi_join():
+    import numpy as np
+    import ray.data as rd
+
+    from grafter_ray.pipelines.relational import bloom_semi_join
+
+    rng = np.random.RandomState(7)
+    left_keys = rng.randint(0, 5_000, size=8_000)
+    right_keys = rng.randint(2_500, 7_500, size=6_000)
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(left_keys, pa.int64()), "v": pa.array(np.arange(8_000))})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array(right_keys, pa.int64())}))
+    got = bloom_semi_join(left, right, "k").take_all()
+    want = {(r, v) for r, v in zip(left_keys, range(8_000)) if r in set(right_keys)}
+    assert {(r["k"], r["v"]) for r in got} == want
+
+
+def test_bloom_semi_join_exact_under_heavy_false_positives():
+    import numpy as np
+    import ray.data as rd
+
+    from grafter_ray.pipelines.relational import bloom_semi_join
+
+    # 64-bit filter with hundreds of keys → nearly every probe is a bloom
+    # hit; the exact verify must still produce the precise semi-join
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(list(range(400)), pa.int64()), "v": pa.array(list(range(400)))})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([3, 7, 399], pa.int64())}))
+    got = sorted(r["k"] for r in bloom_semi_join(left, right, "k", bits_log2=6).take_all())
+    assert got == [3, 7, 399]
+
+
+def test_bloom_semi_join_string_keys_and_empty_right():
+    import ray.data as rd
+
+    from grafter_ray.pipelines.relational import bloom_semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(["a", "b", "c"]), "v": pa.array([1, 2, 3])}))
+    right = rd.from_arrow(pa.table({"k": pa.array(["b", "zz"])}))
+    assert sorted(r["k"] for r in bloom_semi_join(left, right, "k").take_all()) == ["b"]
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    assert bloom_semi_join(left, empty, "k").count() == 0
+
+
+def test_top_terms_per_doc_planted():
+    from grafter_ray.stages.text import top_terms_per_doc
+
+    ds = rd.from_arrow(
+        _docs(
+            [
+                "apple apple banana common",
+                "banana banana cherry common",
+                "common common common",
+            ]
+        )
+    )
+    rows = top_terms_per_doc(ds, k=3).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["token"], r["tf"], r["df"]))
+    # d0: apple tf2/df1=2.0 > banana 1/2 > common 1/3
+    assert by_doc[0] == [("apple", 2, 1), ("banana", 1, 2), ("common", 1, 3)]
+    # d1: banana 2/2=1.0 = cherry 1/1 → lexical tie-break banana < cherry
+    assert by_doc[1] == [("banana", 2, 2), ("cherry", 1, 1), ("common", 1, 3)]
+    assert by_doc[2] == [("common", 3, 3)]

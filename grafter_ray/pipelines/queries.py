@@ -1966,6 +1966,61 @@ WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
 
+def q_cdc_changed_quads(sf_dir: str):
+    """Incremental RDF materialization: the graph-template expansion
+    (triplify/graph, templater.clj:40-97) applied ONLY to the lake rows
+    changed since the previous version — read_changes prunes to changed
+    partitions, expand_table fans each row into quads map-side, nothing
+    recomputes over the unchanged corpus. The derived-graph refresh a
+    grafter user reruns from scratch, done as a delta."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .templater import PredicateSpec, QuadTemplate, expand_table
+    from ..schemas import XSD
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    tmpl = QuadTemplate(
+        subject_parts=["doc:", ("col", "path")],
+        graph_parts=["graph:", ("col", "repo")],
+        predicates=[
+            PredicateSpec("prop:lang", "lang", "literal", XSD + "string"),
+            PredicateSpec("prop:sha", "content_sha", "literal", XSD + "string"),
+        ],
+    )
+    tmp = tempfile.mkdtemp(prefix="graftray_chquads_")
+    try:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        quads = lake.read_changes(m1["version"], view=False).map_batches(
+            lambda tb: expand_table(tb, tmpl), batch_format="pyarrow", zero_copy_batch=True
+        )
+        tabs = [t for t in _collect_refs(quads) if t.num_rows]
+        return pa.concat_tables(tabs, promote_options="none")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_CDC_CHANGED_QUADS = """
+WITH changed AS (
+  SELECT 'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         'repo/' || source AS repo, lang,
+         sha256(text || ' v2') AS content_sha
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT 'doc:' || path AS s, 'prop:lang' AS p, 'literal' AS o_kind, lang AS o_value,
+       'http://www.w3.org/2001/XMLSchema#string' AS o_datatype,
+       CAST(NULL AS VARCHAR) AS o_lang, 'graph:' || repo AS c
+FROM changed
+UNION ALL
+SELECT 'doc:' || path, 'prop:sha', 'literal', content_sha,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR), 'graph:' || repo
+FROM changed
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Characteristic terms per document under tf/df ranking
     (stages/text.py top_terms_per_doc): three linear exchanges, raw text
@@ -2816,6 +2871,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "cdc_chain_derived": q_cdc_chain_derived,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "cdc_changed_quads": q_cdc_changed_quads,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
@@ -2902,6 +2958,7 @@ ORACLE_SQL = {
     "dup_spans": SQL_DUP_SPANS,
     "cdc_chain_derived": SQL_CDC_CHAIN_DERIVED,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "cdc_changed_quads": SQL_CDC_CHANGED_QUADS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,

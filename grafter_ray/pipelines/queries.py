@@ -2278,25 +2278,19 @@ SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n FROM events G
 def q_dedup_corpus(sf_dir: str):
     """END-TO-END near-dedup corpus materialization, fully distributed
     and oracle-gated: exact 3-gram Jaccard pairs (prefix-filtered
-    AllPairs join) → distributed connected components (min-label
-    propagation with pointer doubling) → keep each cluster's min-id
-    representative via a distributed anti-join. The oracle replays the
-    same pipeline in SQL (recursive-CTE transitive closure), putting
-    the components kernel itself under the hash gate."""
-    from ..stages.dedup import pair_clusters_dataset, set_jaccard_pairs_prefix
-    from .relational import anti_join_ids
+    AllPairs join) → connected components → keep each cluster's min-id
+    representative. Components are ADAPTIVE on the measured pair count
+    (dedup.cluster_representatives): driver union-find + broadcast
+    anti-filter below the bound, distributed min-label fixpoint +
+    co-group anti-join above it. The oracle replays the same pipeline
+    in SQL (recursive-CTE transitive closure), keeping the components
+    result under the hash gate either way."""
+    from ..stages.dedup import cluster_representatives, set_jaccard_pairs_prefix
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = set_jaccard_pairs_prefix(docs, threshold=0.5, ngram=3)
-    clusters = pair_clusters_dataset(pairs)
-
-    def losers(tb: pa.Table) -> pa.Table:
-        t = tb.filter(pc.not_equal(tb.column("doc_id"), tb.column("cluster_id")))
-        return t.select(["doc_id"])
-
-    losers_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
     keep = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return anti_join_ids(keep, losers_ds, "doc_id")
+    return cluster_representatives(keep, pairs, "doc_id")
 
 
 SQL_DEDUP_CORPUS = """
@@ -2332,24 +2326,16 @@ WHERE d.doc_id NOT IN (SELECT id FROM losers)
 def q_dedup_embeddings(sf_dir: str):
     """Embedding-space near-dedup, end-to-end and oracle-gated: banded
     hyperplane-LSH cosine pairs (exact verify within buckets) →
-    distributed connected components → keep each cluster's min-id
-    vector. Same shape as dedup_corpus but over the vector column —
+    adaptive connected components (see q_dedup_corpus) → keep each
+    cluster's min-id vector. Same shape as dedup_corpus but over the vector column —
     the semantic-dedup path of a training-data pipeline."""
-    from ..stages.dedup import pair_clusters_dataset
+    from ..stages.dedup import cluster_representatives
     from ..stages.similarity import cosine_pairs
-    from .relational import anti_join_ids
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = cosine_pairs(emb, threshold=0.45)
-    clusters = pair_clusters_dataset(pairs)
-
-    def losers(tb: pa.Table) -> pa.Table:
-        t = tb.filter(pc.not_equal(tb.column("doc_id"), tb.column("cluster_id")))
-        return pa.table({"vec_id": t.column("doc_id")})
-
-    losers_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
     keep = _read(sf_dir, "embeddings", ["vec_id", "label"])
-    return anti_join_ids(keep, losers_ds, "vec_id")
+    return cluster_representatives(keep, pairs, "vec_id")
 
 
 SQL_DEDUP_EMBEDDINGS = """

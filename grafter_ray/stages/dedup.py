@@ -926,3 +926,62 @@ def set_jaccard_pairs_prefix(
 
     _ = math  # (ceil done in numpy)
     return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_representatives(
+    ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_max_pairs: int = 5_000_000,
+):
+    """End-to-end near-dedup materialization: near-dup pairs → connected
+    components → keep each cluster's min-id representative, dropping the
+    rest of `ds`.
+
+    Adaptive on the MEASURED pair count (the pair Dataset materializes
+    once either way — it is the candidate output, orders of magnitude
+    smaller than the corpus): at or below `driver_max_pairs` the
+    component step is the driver union-find over the pair set only
+    (the canonical dedup shape — distributed candidate generation, tiny
+    global clustering; 5M pairs ≈ 80 MB) and the loser ids broadcast as
+    a zero-exchange anti-FILTER over the stream. Above the bound, the
+    distributed min-label fixpoint (pair_clusters_dataset) plus the
+    co-group anti-join run instead — same result, nothing lands on the
+    driver. The bound exists because per-round exchange fixed costs
+    dwarf a <100 MB union-find; at boilerplate-corpus scale the pair
+    set exceeds it and the fixpoint is the only shape that works."""
+    import ray
+
+    from ..pipelines.relational import anti_join_ids
+
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() <= driver_max_pairs:
+        tabs = [t for t in (ray.get(r) for r in pairs_mat.to_arrow_refs()) if t.num_rows]
+        pairs_tb = (
+            pa.concat_tables(tabs, promote_options="none")
+            if tabs
+            else pa.table({id_a: pa.array([], pa.int64()), id_b: pa.array([], pa.int64())})
+        )
+        clusters = pair_clusters(pairs_tb, id_a, id_b)
+        doomed = clusters.filter(
+            pc.not_equal(clusters.column("doc_id"), clusters.column("cluster_id"))
+        ).column("doc_id")
+        doomed_box = {"ref": ray.put(pc.cast(doomed, pa.int64()).combine_chunks())}
+
+        def anti_filter(tb: pa.Table) -> pa.Table:
+            bad = ray.get(doomed_box["ref"])
+            ids = pc.cast(tb.column(id_col), pa.int64())
+            return tb.filter(pc.invert(pc.is_in(ids, value_set=bad)))
+
+        return ds.map_batches(anti_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    clusters_ds = pair_clusters_dataset(pairs_mat, id_a, id_b)
+
+    def losers(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.not_equal(tb.column("doc_id"), tb.column("cluster_id")))
+        return pa.table({id_col: pc.cast(t.column("doc_id"), pa.int64())})
+
+    losers_ds = clusters_ds.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join_ids(ds, losers_ds, id_col)

@@ -269,3 +269,33 @@ def test_pair_clusters_dataset_matches_union_find():
     assert got == want
     # the whole chain collapsed to one cluster rooted at 100
     assert {(i, 100) for i in range(100, 130)} <= got
+
+
+def test_cluster_representatives_driver_and_distributed_agree():
+    import ray.data as rd
+
+    from grafter_ray.stages.dedup import cluster_representatives
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10, 30], pa.int64()),
+            "id_b": pa.array([2, 3, 11, 31], pa.int64()),
+        }
+    )
+    corpus = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+    got_driver = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(
+            rd.from_arrow(corpus), rd.from_arrow(pairs), "doc_id"
+        ).take_all()
+    )
+    got_dist = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(
+            rd.from_arrow(corpus), rd.from_arrow(pairs), "doc_id", driver_max_pairs=0
+        ).take_all()
+    )
+    # clusters {1,2,3} -> keep 1; {10,11} -> keep 10; {30,31} -> keep 30
+    want = sorted(set(range(40)) - {2, 3, 11, 31})
+    assert got_driver == want
+    assert got_dist == want

@@ -288,3 +288,35 @@ def test_lookup_absent_and_deleted_keys(tmp_path):
     assert got.column("path").to_pylist() == ["a"]
     assert lake.lookup([], view=False).num_rows == 0
     assert lake.lookup([("zz", "zz")], view=False).num_rows == 0
+
+
+def test_view_over_evolving_schema(tmp_path):
+    # schema events mid-stream: v1 adds content_len, v2 renames
+    # lang->language, v3 casts, v4 adds n_lines. The view groups on a
+    # base column and sums the DERIVED content_len produced by the
+    # current schema view — both feed sides project through the same
+    # current view, so the fold matches a full recompute.
+    cfg = BinlogConfig(n_events=4_000, n_keys=200, n_repos=6, schema_every=1_000, delete_pct=0.1)
+    binlog = binlog_table(cfg)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    view = IncrementalView(
+        lake,
+        str(tmp_path / "view"),
+        ["repo"],
+        [("n", None, "count"), ("len_sum", "content_len", "sum")],
+    )
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_999)
+    assert lake.schema_version >= 1
+    view.refresh()
+    lake.apply(rd.from_arrow(binlog))
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    got = view.read_table()
+    tb = lake.read_table(view=True)
+    g = tb.group_by(["repo"]).aggregate([("repo", "count"), ("content_len", "sum")])
+    g = g.sort_by([("repo", "ascending")])
+    assert got.column("n").to_pylist() == pc.cast(g.column("repo_count"), pa.int64()).to_pylist()
+    assert (
+        got.column("len_sum").to_pylist()
+        == pc.cast(g.column("content_len_sum"), pa.int64()).to_pylist()
+    )

@@ -67,6 +67,16 @@ META_COLS = ["lsn", "op", "repo", "path", "schema_version"]
 META_COLS_KH = ["lsn", "op", "kh1", "kh2", "schema_version"]
 
 
+def _item_batch_size(n_items: int) -> int:
+    """Per-partition item maps: one row per partition task is pure fixed
+    cost at high partition counts — batch items so ~4 waves of tasks
+    cover the cluster while single/few items still parallelize fully."""
+    import multiprocessing
+
+    workers = max(1, multiprocessing.cpu_count() - 2)
+    return max(1, n_items // (4 * workers))
+
+
 def _binlog_column_names(binlog) -> list[str]:
     """Column names of a binlog input (parquet dir or ray Dataset) without
     scanning data — parquet metadata only / lazy Dataset schema."""
@@ -1095,7 +1105,7 @@ class CDCLake:
                 {"file": e["file"], "deltas": json.dumps(e.get("deltas", []))} for e in entries
             ]
             ds = rd.from_items(items).map_batches(
-                merge_entry, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+                merge_entry, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
             )
         else:
             ds = rd.read_parquet(self.files(), columns=columns)
@@ -1162,6 +1172,8 @@ class CDCLake:
         import ray.data as rd
 
         wm, entries = self._changed_entries(since_version)
+        old_m = self.manifest_at(since_version) or {"partitions": {}}
+        old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
         if not entries:
             ds = rd.from_arrow(LAKE.empty_table())
         else:
@@ -1170,18 +1182,43 @@ class CDCLake:
             def changed_rows(batch: pa.Table) -> pa.Table:
                 out = []
                 for row in batch.to_pylist():
-                    base = pq.read_table(os.path.join(data_dir, row["file"])) if row["file"] else None
-                    chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["deltas"])]
-                    t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+                    suffix = json.loads(row["suffix"])
+                    if suffix:
+                        # LSM fast path: the chain only extended since
+                        # since_version — the suffix deltas ARE the
+                        # change set (winner-merge drops tombstones);
+                        # the base and pre-existing chain are never read
+                        t = _merge_chain(None, [pq.read_table(os.path.join(data_dir, f)) for f in suffix])
+                    else:
+                        base = pq.read_table(os.path.join(data_dir, row["file"])) if row["file"] else None
+                        chain = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["deltas"])]
+                        t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
                     out.append(t.filter(pc.greater(t.column("last_lsn"), wm)))
                 return pa.concat_tables(out, promote_options="none")
 
+            def _suffix(e) -> list[str]:
+                oe = old_parts.get(str(e["partition_id"]))
+                od = (oe.get("deltas", []) or []) if oe else []
+                nd = e.get("deltas", []) or []
+                if (
+                    oe is not None
+                    and (oe.get("file") or "") == (e.get("file") or "")
+                    and len(nd) > len(od)
+                    and nd[: len(od)] == od
+                ):
+                    return nd[len(od) :]
+                return []
+
             items = [
-                {"file": e["file"], "deltas": json.dumps(e.get("deltas", []))}
+                {
+                    "file": e["file"],
+                    "deltas": json.dumps(e.get("deltas", [])),
+                    "suffix": json.dumps(_suffix(e)),
+                }
                 for e in entries
             ]
             ds = rd.from_items(items).map_batches(
-                changed_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+                changed_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
             )
         if view and self.schema_version > 0:
             v = self.schema_version
@@ -1252,7 +1289,7 @@ class CDCLake:
             return pa.concat_tables(out, promote_options="none")
 
         return rd.from_items(items).map_batches(
-            diff, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+            diff, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
         )
 
     def changes_with_old(self, since_version: int, view: bool = True):
@@ -1267,7 +1304,20 @@ class CDCLake:
         read; requires the old version's files on disk (vacuum's
         keep_versions horizon). Both sides are projected through the
         CURRENT schema view (the lake stores canonical base columns), so
-        the fold is consistent with a full recompute under today's view."""
+        the fold is consistent with a full recompute under today's view.
+
+        Delta-chain fast path (O(changes), not O(partition)): when a
+        changed partition's LSM chain simply EXTENDED since
+        since_version (same base file, old delta list is a prefix), the
+        suffix delta files contain exactly the post-watermark change set
+        — the current side comes from merging the suffix alone, and the
+        prior side from a stats-pruned point read of the old chain
+        (base files are key-sorted; repo-IN filters prune row groups).
+        A fold/compaction since since_version falls back to the
+        full-partition diff for that partition. Suffix tombstones carry
+        only the 128-bit key hash, so a partition whose suffix contains
+        deletes reads its old chain in full (the retract match is by
+        key hash either way)."""
         import ray.data as rd
 
         wm, entries = self._changed_entries(since_version)
@@ -1276,12 +1326,23 @@ class CDCLake:
         items = []
         for e in entries:
             oe = old_parts.get(str(e["partition_id"]))
+            od = (oe.get("deltas", []) or []) if oe else []
+            nd = e.get("deltas", []) or []
+            suffix = []
+            if (
+                oe is not None
+                and (oe.get("file") or "") == (e.get("file") or "")
+                and len(nd) > len(od)
+                and nd[: len(od)] == od
+            ):
+                suffix = nd[len(od) :]
             items.append(
                 {
                     "old_file": oe["file"] if oe else "",
-                    "old_deltas": json.dumps(oe.get("deltas", []) if oe else []),
+                    "old_deltas": json.dumps(od),
                     "new_file": e["file"],
-                    "new_deltas": json.dumps(e.get("deltas", [])),
+                    "new_deltas": json.dumps(nd),
+                    "suffix": json.dumps(suffix),
                 }
             )
         sv = self.schema_version
@@ -1307,19 +1368,75 @@ class CDCLake:
                 return _merge_chain(base, chain)
             return base if base is not None else LAKE.empty_table()
 
+        def _suffix_winners(suffix_files: list[str]) -> pa.Table:
+            """Newest-wins per 128-bit key across the suffix deltas,
+            KEEPING tombstone rows and the kh columns (unlike
+            _merge_chain, which drops both)."""
+            tabs = [pq.read_table(os.path.join(data_dir, f)) for f in suffix_files]
+            parts = []
+            for i, t in enumerate(tabs):
+                if t.num_rows:
+                    parts.append(
+                        t.append_column("__chain", pa.array(np.full(t.num_rows, i, np.int32)))
+                    )
+            if not parts:
+                return DELTA_SCHEMA.empty_table()
+            allt = pa.concat_tables(parts, promote_options="none")
+            k1 = allt.column("kh1").to_numpy(zero_copy_only=False)
+            k2 = allt.column("kh2").to_numpy(zero_copy_only=False)
+            ch = allt.column("__chain").to_numpy(zero_copy_only=False)
+            order = np.lexsort((-ch.astype(np.int64), k2, k1))
+            s1, s2 = k1[order], k2[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            return allt.take(pa.array(order[first])).drop_columns(["__chain"])
+
+        def _diff_fast(row: dict) -> tuple[pa.Table, pa.Table]:
+            """(changed current rows, prior rows to retract) from the
+            suffix deltas + a pruned old-chain point read."""
+            win = _suffix_winners(json.loads(row["suffix"]))
+            if win.num_rows == 0:
+                return LAKE.empty_table(), LAKE.empty_table()
+            tombs = win.filter(win.column("tomb"))
+            changed = win.filter(pc.invert(win.column("tomb"))).select(LAKE.names).cast(LAKE)
+            want_kh = _kh_binary(win.column("kh1"), win.column("kh2"))
+            old_deltas = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["old_deltas"])]
+            if row["old_file"]:
+                if tombs.num_rows:
+                    # tombstones carry no key strings → no repo pruning
+                    base = pq.read_table(os.path.join(data_dir, row["old_file"]))
+                else:
+                    repos = pc.unique(changed.column("repo")).to_pylist()
+                    base = pq.read_table(
+                        os.path.join(data_dir, row["old_file"]),
+                        filters=[("repo", "in", repos)] if repos else None,
+                    )
+            else:
+                base = None
+            old_t = _merge_chain(base, old_deltas) if old_deltas else (base if base is not None else LAKE.empty_table())
+            oh1, oh2 = key_hash_pair(old_t.column("repo"), old_t.column("path"))
+            okh = _kh_binary(pa.array(oh1), pa.array(oh2))
+            retract = old_t.filter(pc.is_in(okh, value_set=want_kh))
+            return changed, retract
+
+        def _diff_full(row: dict) -> tuple[pa.Table, pa.Table]:
+            new_t = chain_of(row["new_file"], row["new_deltas"])
+            old_t = chain_of(row["old_file"], row["old_deltas"])
+            changed = new_t.filter(pc.greater(new_t.column("last_lsn"), wm))
+            ok = pc.binary_join_element_wise(old_t.column("repo"), old_t.column("path"), "\x00")
+            nk_all = pc.binary_join_element_wise(new_t.column("repo"), new_t.column("path"), "\x00")
+            ck = pc.binary_join_element_wise(changed.column("repo"), changed.column("path"), "\x00")
+            # retract prior state of keys that were updated or deleted
+            gone = pc.invert(pc.is_in(ok, value_set=nk_all.combine_chunks()))
+            upd = pc.is_in(ok, value_set=ck.combine_chunks())
+            return changed, old_t.filter(pc.or_(gone, upd))
+
         def signed(batch: pa.Table) -> pa.Table:
             out = []
             for row in batch.to_pylist():
-                new_t = chain_of(row["new_file"], row["new_deltas"])
-                old_t = chain_of(row["old_file"], row["old_deltas"])
-                changed = new_t.filter(pc.greater(new_t.column("last_lsn"), wm))
-                ok = pc.binary_join_element_wise(old_t.column("repo"), old_t.column("path"), "\x00")
-                nk_all = pc.binary_join_element_wise(new_t.column("repo"), new_t.column("path"), "\x00")
-                ck = pc.binary_join_element_wise(changed.column("repo"), changed.column("path"), "\x00")
-                # retract prior state of keys that were updated or deleted
-                gone = pc.invert(pc.is_in(ok, value_set=nk_all.combine_chunks()))
-                upd = pc.is_in(ok, value_set=ck.combine_chunks())
-                retract = old_t.filter(pc.or_(gone, upd))
+                changed, retract = (
+                    _diff_fast(row) if json.loads(row["suffix"]) else _diff_full(row)
+                )
                 for t, sgn in ((changed, 1), (retract, -1)):
                     t = apply_view(t, sv) if view else t
                     out.append(
@@ -1330,7 +1447,7 @@ class CDCLake:
             return pa.concat_tables(out, promote_options="none")
 
         return rd.from_items(items).map_batches(
-            signed, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+            signed, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
         )
 
     def lookup(self, keys: list[tuple[str, str]], view: bool = True) -> pa.Table:
@@ -1398,7 +1515,7 @@ class CDCLake:
             return pa.concat_tables(out, promote_options="none")
 
         ds = rd.from_items(items).map_batches(
-            fetch, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+            fetch, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
         )
         tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
         tb = pa.concat_tables(tabs, promote_options="none") if tabs else LAKE.empty_table()

@@ -320,3 +320,69 @@ def test_view_over_evolving_schema(tmp_path):
         got.column("len_sum").to_pylist()
         == pc.cast(g.column("content_len_sum"), pa.int64()).to_pylist()
     )
+
+
+def _feed_rows(lake, since_version):
+    import ray
+
+    feed = lake.changes_with_old(since_version, view=False)
+    tabs = [t for t in (ray.get(r) for r in feed.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return set()
+    tb = pa.concat_tables(tabs, promote_options="none")
+    return {
+        (r, p, s, c)
+        for r, p, s, c in zip(
+            tb.column("repo").to_pylist(),
+            tb.column("path").to_pylist(),
+            tb.column("sign").to_pylist(),
+            tb.column("content_sha").to_pylist(),
+        )
+    }
+
+
+def test_changes_with_old_chain_fast_path_matches_full(tmp_path):
+    # identical windows into a chained lake (suffix fast path) and a
+    # rewrite-only lake (full-partition diff) — the signed feeds must be
+    # identical, including updates, inserts AND deletes (tombstones force
+    # the unpruned old-chain read)
+    binlog = binlog_table(CFG)
+    fast = CDCLake(str(tmp_path / "fast"), num_partitions=8, delta_ratio=1.0, max_delta_chain=10)
+    full = CDCLake(str(tmp_path / "full"), num_partitions=8, delta_ratio=0)
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog), upto_lsn=3_500)
+    m_fast = fast.manifest["version"]
+    m_full = full.manifest["version"]
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog))
+    # the chained lake must actually exercise the suffix path
+    assert any(e.get("deltas") for e in fast.partition_entries())
+    assert _feed_rows(fast, m_fast) == _feed_rows(full, m_full) != set()
+
+
+def test_incview_over_chained_lake(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8, delta_ratio=1.0, max_delta_chain=10)
+    view = _view(lake, str(tmp_path / "view"))
+    for upto in (2_000, 3_000, 3_500, CFG.n_events):
+        lake.apply(rd.from_arrow(binlog), upto_lsn=upto - 1)
+        view.refresh()
+        _assert_view_matches(view, lake)
+
+
+def test_read_changes_chain_fast_path_matches_full(tmp_path):
+    binlog = binlog_table(CFG)
+    fast = CDCLake(str(tmp_path / "fast"), num_partitions=8, delta_ratio=1.0, max_delta_chain=10)
+    full = CDCLake(str(tmp_path / "full"), num_partitions=8, delta_ratio=0)
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog), upto_lsn=3_500)
+    vf, vr = fast.manifest["version"], full.manifest["version"]
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog))
+    assert any(e.get("deltas") for e in fast.partition_entries())
+
+    def rows(lk, v):
+        t = [r for r in lk.read_changes(v, view=False).take_all()]
+        return {(r["repo"], r["path"], r["content_sha"], r["last_lsn"]) for r in t}
+
+    assert rows(fast, vf) == rows(full, vr) != set()

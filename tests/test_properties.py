@@ -171,3 +171,40 @@ def test_prefix_jaccard_equals_naive_random(docs, threshold):
         for r in set_jaccard_pairs_prefix(rd.from_arrow(tb), threshold=threshold).take_all()
     }
     assert pref == naive
+
+
+@given(binlogs(), st.data())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incview_fold_matches_recompute_on_random_binlogs(tmp_path_factory, binlog, data):
+    """The incremental view fold (signed change feed incl. retractions,
+    delta-chain fast path when LSM chains form) must equal a full
+    recompute after EVERY window, for arbitrary upsert/delete/schema
+    interleavings and arbitrary window splits."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from grafter_ray import CDCLake
+    from grafter_ray.pipelines.incview import IncrementalView
+
+    n = binlog.num_rows
+    cut = data.draw(st.integers(0, n - 1), label="window cut")
+    root = tmp_path_factory.mktemp("ivprop")
+    # delta_ratio=1.0 forces LSM chains → exercises the suffix fast path
+    lake = CDCLake(str(root / "lake"), num_partitions=4, delta_ratio=1.0, max_delta_chain=16)
+    view = IncrementalView(lake, str(root / "view"), ["repo"], [("n", None, "count")])
+    for upto in sorted({cut, n - 1}):
+        lake.apply(rd.from_arrow(binlog), upto_lsn=upto)
+        view.refresh()
+        live = lake.read_table(view=False)
+        if live.num_rows:
+            g = live.group_by(["repo"]).aggregate([("repo", "count")]).sort_by(
+                [("repo", "ascending")]
+            )
+            want = list(
+                zip(g.column("repo").to_pylist(), pc.cast(g.column("repo_count"), pa.int64()).to_pylist())
+            )
+        else:
+            want = []
+        got_t = view.read_table()
+        got = list(zip(got_t.column("repo").to_pylist(), got_t.column("n").to_pylist()))
+        assert got == want

@@ -322,8 +322,10 @@ class MergeActor:
             self.delta = None
             return pa.table({"lsn": pa.array([], pa.int64())}), n_schema
         self.delta = delta.sort_by("partition_id")
-        ups = delta.filter(pc.equal(delta.column("op_code"), pa.scalar(1, pa.int8())))
-        return ups.select(["lsn"]), n_schema
+        # fetch EVERY winner — upserts for their payload, deletes for
+        # their key strings (tombstone rows then carry (repo, path), which
+        # unlocks stats-pruned point reads in the change-feed fast path)
+        return self.delta.select(["lsn"]), n_schema
 
     # -- pass 2: payload fetch ----------------------------------------------
     def add_rows(self, tb: pa.Table) -> int:
@@ -416,7 +418,7 @@ class MergeActor:
                 "partition_id": full.column("partition_id"),
             }
         ).sort_by("partition_id")
-        self.rows = [full.filter(pc.equal(full.column("op"), "upsert"))]
+        self.rows = [full]  # winners of BOTH ops — deletes feed tombstone keys
         self.row_count = 0
         return self.finalize(), n_schema
 
@@ -433,10 +435,10 @@ class MergeActor:
             else None
         )
         self.rows, self.row_count = [], 0
-        n_up = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(1, pa.int8()))).as_py() or 0)
+        n_win = delta.num_rows
         n_fetched = fetched.num_rows if fetched is not None else 0
-        if n_fetched != n_up:
-            raise RuntimeError(f"fetch pass lost rows: {n_fetched} fetched != {n_up} upsert winners")
+        if n_fetched != n_win:
+            raise RuntimeError(f"fetch pass lost rows: {n_fetched} fetched != {n_win} winners")
 
         pids = delta.column("partition_id").to_numpy(zero_copy_only=False)
         bounds = [0] + list((np.nonzero(np.diff(pids))[0] + 1)) + [len(pids)]
@@ -469,7 +471,7 @@ class MergeActor:
             else None
         )
         self.rows, self.row_count = [], 0
-        n_up = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(1, pa.int8()))).as_py() or 0)
+        n_win = delta.num_rows
         mem_pids = (
             mem.column("partition_id").to_numpy(zero_copy_only=False)
             if mem is not None
@@ -495,9 +497,9 @@ class MergeActor:
             stats.append(self._finalize_one(pid, d, f))
         for cur in cursors:
             cur.close()
-        if total_fetched != n_up:
+        if total_fetched != n_win:
             raise RuntimeError(
-                f"fetch pass lost rows: {total_fetched} fetched != {n_up} upsert winners"
+                f"fetch pass lost rows: {total_fetched} fetched != {n_win} winners"
             )
         for sf in self.spill_files:
             with contextlib.suppress(FileNotFoundError):
@@ -506,11 +508,15 @@ class MergeActor:
         self.delta = None
         return _stats_table(stats)
 
-    def _window_delta_table(self, delta: pa.Table, new_rows: pa.Table | None) -> pa.Table:
+    def _window_delta_table(
+        self, delta: pa.Table, new_rows: pa.Table | None, del_keys: pa.Table | None = None
+    ) -> pa.Table:
         """The window's per-partition change set in DELTA_SCHEMA form:
         upsert winners with full payload + key hash (looked up from the
-        meta delta by lsn — no string hashing), plus tombstone rows (key
-        hash only) for delete winners."""
+        meta delta by lsn — no string hashing), plus tombstone rows for
+        delete winners (key hash + the (repo, path) strings recovered by
+        the pass-2 fetch — string-bearing tombstones let change-feed
+        consumers prune old-chain point reads by key)."""
         pieces = []
         if new_rows is not None and new_rows.num_rows:
             pos = pc.index_in(new_rows.column("last_lsn"), value_set=delta.column("lsn"))
@@ -523,6 +529,10 @@ class MergeActor:
         if tombs.num_rows:
             n = tombs.num_rows
             cols = {name: pa.nulls(n, LAKE.field(name).type) for name in LAKE.names}
+            if del_keys is not None and del_keys.num_rows:
+                pos = pc.index_in(tombs.column("lsn"), value_set=del_keys.column("lsn").combine_chunks())
+                cols["repo"] = pc.take(del_keys.column("repo"), pos)
+                cols["path"] = pc.take(del_keys.column("path"), pos)
             cols["last_lsn"] = tombs.column("lsn")
             cols["kh1"] = tombs.column("kh1")
             cols["kh2"] = tombs.column("kh2")
@@ -534,19 +544,26 @@ class MergeActor:
 
     def _finalize_one(self, pid: int, delta: pa.Table, fetched: pa.Table | None) -> dict:
         new_rows = None
+        del_keys = None
         if fetched is not None and fetched.num_rows:
-            new_rows = pa.table(
-                {
-                    "repo": fetched.column("repo"),
-                    "path": fetched.column("path"),
-                    "commit": fetched.column("commit"),
-                    "lang": fetched.column("lang"),
-                    "content": fetched.column("content"),
-                    "content_sha": sha256_array(fetched.column("content")),
-                    "last_lsn": fetched.column("lsn"),
-                    "event_schema_version": fetched.column("schema_version"),
-                }
-            ).cast(LAKE)
+            dmask = pc.equal(fetched.column("op"), "delete")
+            dels = fetched.filter(dmask)
+            if dels.num_rows:
+                del_keys = dels.select(["lsn", "repo", "path"])
+            ups = fetched.filter(pc.invert(dmask))
+            if ups.num_rows:
+                new_rows = pa.table(
+                    {
+                        "repo": ups.column("repo"),
+                        "path": ups.column("path"),
+                        "commit": ups.column("commit"),
+                        "lang": ups.column("lang"),
+                        "content": ups.column("content"),
+                        "content_sha": sha256_array(ups.column("content")),
+                        "last_lsn": ups.column("lsn"),
+                        "event_schema_version": ups.column("schema_version"),
+                    }
+                ).cast(LAKE)
 
         prev = self.prev_files.get(str(pid))
         prev_base = prev.get("file", "") if prev else ""
@@ -554,7 +571,7 @@ class MergeActor:
         prev_rows = int(prev["rows"]) if prev else 0
         n_del = int(pc.sum(pc.equal(delta.column("op_code"), pa.scalar(2, pa.int8()))).as_py() or 0)
         max_lsn = int(pc.max(delta.column("lsn")).as_py())
-        cur = self._window_delta_table(delta, new_rows)
+        cur = self._window_delta_table(delta, new_rows, del_keys)
 
         # LSM path: small delta against an existing base → append a delta
         # file; finalize cost is then O(window), not O(lake). Chains fold
@@ -1402,11 +1419,19 @@ class CDCLake:
             want_kh = _kh_binary(win.column("kh1"), win.column("kh2"))
             old_deltas = [pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["old_deltas"])]
             if row["old_file"]:
-                if tombs.num_rows:
-                    # tombstones carry no key strings → no repo pruning
+                tomb_repos = tombs.column("repo")
+                if tombs.num_rows and tomb_repos.null_count:
+                    # pre-string-tombstone delta file → no repo pruning
                     base = pq.read_table(os.path.join(data_dir, row["old_file"]))
                 else:
-                    repos = pc.unique(changed.column("repo")).to_pylist()
+                    repos = pc.unique(
+                        pa.concat_arrays(
+                            [
+                                changed.column("repo").combine_chunks(),
+                                pc.cast(tomb_repos, pa.string()).combine_chunks(),
+                            ]
+                        )
+                    ).to_pylist()
                     base = pq.read_table(
                         os.path.join(data_dir, row["old_file"]),
                         filters=[("repo", "in", repos)] if repos else None,

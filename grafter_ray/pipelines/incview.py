@@ -211,6 +211,10 @@ class IncrementalView:
         tmp = os.path.join(self.root, d + ".tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         out.write_parquet(tmp)
+        # an all-empty view (empty lake / every group retracted) writes
+        # zero files and Ray skips creating the sink dir — the rename
+        # below still needs one
+        os.makedirs(tmp, exist_ok=True)
         final_dir = os.path.join(self.root, d)
         shutil.rmtree(final_dir, ignore_errors=True)
         os.replace(tmp, final_dir)

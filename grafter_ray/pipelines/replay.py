@@ -67,6 +67,44 @@ META_COLS = ["lsn", "op", "repo", "path", "schema_version"]
 META_COLS_KH = ["lsn", "op", "kh1", "kh2", "schema_version"]
 
 
+def _suffix_winners(data_dir: str, suffix_files: list[str]) -> pa.Table:
+    """Newest-wins per 128-bit key across a partition's LSM suffix
+    deltas, KEEPING tombstone rows and the kh columns (unlike
+    _merge_chain, which drops both) — the change-feed fast paths read
+    ONLY these files, never the base."""
+    tabs = [pq.read_table(os.path.join(data_dir, f)) for f in suffix_files]
+    parts = []
+    for i, t in enumerate(tabs):
+        if t.num_rows:
+            parts.append(t.append_column("__chain", pa.array(np.full(t.num_rows, i, np.int32))))
+    if not parts:
+        return DELTA_SCHEMA.empty_table()
+    allt = pa.concat_tables(parts, promote_options="none")
+    k1 = allt.column("kh1").to_numpy(zero_copy_only=False)
+    k2 = allt.column("kh2").to_numpy(zero_copy_only=False)
+    ch = allt.column("__chain").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-ch.astype(np.int64), k2, k1))
+    s1, s2 = k1[order], k2[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    return allt.take(pa.array(order[first])).drop_columns(["__chain"])
+
+
+def _chain_suffix(old_e: dict | None, new_e: dict) -> list[str]:
+    """Delta files appended since the old manifest entry, or [] when the
+    chain folded/rewrote (same-base prefix rule)."""
+    od = (old_e.get("deltas", []) or []) if old_e else []
+    nd = new_e.get("deltas", []) or []
+    if (
+        old_e is not None
+        and (old_e.get("file") or "") == (new_e.get("file") or "")
+        and len(nd) > len(od)
+        and nd[: len(od)] == od
+    ):
+        return nd[len(od) :]
+    return []
+
+
 def _item_batch_size(n_items: int) -> int:
     """Per-partition item maps: one row per partition task is pure fixed
     cost at high partition counts — batch items so ~4 waves of tasks
@@ -1213,24 +1251,11 @@ class CDCLake:
                     out.append(t.filter(pc.greater(t.column("last_lsn"), wm)))
                 return pa.concat_tables(out, promote_options="none")
 
-            def _suffix(e) -> list[str]:
-                oe = old_parts.get(str(e["partition_id"]))
-                od = (oe.get("deltas", []) or []) if oe else []
-                nd = e.get("deltas", []) or []
-                if (
-                    oe is not None
-                    and (oe.get("file") or "") == (e.get("file") or "")
-                    and len(nd) > len(od)
-                    and nd[: len(od)] == od
-                ):
-                    return nd[len(od) :]
-                return []
-
             items = [
                 {
                     "file": e["file"],
                     "deltas": json.dumps(e.get("deltas", [])),
-                    "suffix": json.dumps(_suffix(e)),
+                    "suffix": json.dumps(_chain_suffix(old_parts.get(str(e["partition_id"])), e)),
                 }
                 for e in entries
             ]
@@ -1251,7 +1276,11 @@ class CDCLake:
         task per CHANGED partition anti-joins old keys against current
         keys — unchanged partitions are pruned via manifest max_lsn and
         never read. Requires the old version's files to still be on disk
-        (vacuum's keep_versions horizon)."""
+        (vacuum's keep_versions horizon). LSM fast path: when the chain
+        only extended AND every suffix tombstone carries key strings,
+        the candidates are the suffix tombstones themselves and only a
+        repo-pruned existence check against the old chain runs —
+        O(deletes), not O(2 × partition)."""
         import ray.data as rd
 
         wm, entries = self._changed_entries(since_version)
@@ -1268,6 +1297,7 @@ class CDCLake:
                     "old_deltas": json.dumps(oe.get("deltas", [])),
                     "new_file": e["file"],
                     "new_deltas": json.dumps(e.get("deltas", [])),
+                    "suffix": json.dumps(_chain_suffix(oe, e)),
                 }
             )
         if not items:
@@ -1294,9 +1324,67 @@ class CDCLake:
             t = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
             return t.select(["repo", "path"])
 
+        def diff_fast(row: dict) -> pa.Table | None:
+            """Suffix tombstones → deleted candidates; None = fall back.
+            A key is DELETED iff its newest suffix state is a tombstone
+            and it existed at since_version (kh existence check against
+            a repo-pruned old-chain read)."""
+            win = _suffix_winners(data_dir, json.loads(row["suffix"]))
+            if win.num_rows == 0:
+                return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+            tombs = win.filter(win.column("tomb"))
+            if tombs.num_rows == 0:
+                return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+            if tombs.column("repo").null_count:
+                return None  # pre-string-tombstone delta file
+            repos = pc.unique(pc.cast(tombs.column("repo"), pa.string())).to_pylist()
+            old_deltas = [
+                pq.read_table(os.path.join(data_dir, f)) for f in json.loads(row["old_deltas"])
+            ]
+            # row-filter prunes row groups either way; the column prune is
+            # only sound when no deltas must merge (_merge_chain needs the
+            # full LAKE base schema)
+            old_base = (
+                pq.read_table(
+                    os.path.join(data_dir, row["old_file"]),
+                    columns=None if old_deltas else ["repo", "path"],
+                    filters=[("repo", "in", repos)],
+                )
+                if row["old_file"]
+                else None
+            )
+            if old_deltas:
+                # pruned base + full (window-sized) old deltas: winners are
+                # correct for every candidate key — their base rows are in
+                # the prune set, and all delta rows are present
+                old = _merge_chain(old_base, old_deltas).select(["repo", "path"])
+            elif old_base is not None:
+                old = old_base.select(["repo", "path"])
+            else:
+                old = pa.table(
+                    {"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())}
+                )
+            tk = pc.binary_join_element_wise(
+                pc.cast(tombs.column("repo"), pa.string()), pc.cast(tombs.column("path"), pa.string()), "\x00"
+            )
+            ok = pc.binary_join_element_wise(old.column("repo"), old.column("path"), "\x00")
+            hit = pc.is_in(tk, value_set=ok.combine_chunks())
+            dead = tombs.filter(hit)
+            return pa.table(
+                {
+                    "repo": pc.cast(dead.column("repo"), pa.string()),
+                    "path": pc.cast(dead.column("path"), pa.string()),
+                }
+            )
+
         def diff(batch: pa.Table) -> pa.Table:
             out = []
             for row in batch.to_pylist():
+                if json.loads(row["suffix"]):
+                    fast = diff_fast(row)
+                    if fast is not None:
+                        out.append(fast)
+                        continue
                 old = keys_of(row["old_file"], row["old_deltas"])
                 new = keys_of(row["new_file"], row["new_deltas"])
                 ok = pc.binary_join_element_wise(old.column("repo"), old.column("path"), "\x00")
@@ -1343,23 +1431,13 @@ class CDCLake:
         items = []
         for e in entries:
             oe = old_parts.get(str(e["partition_id"]))
-            od = (oe.get("deltas", []) or []) if oe else []
-            nd = e.get("deltas", []) or []
-            suffix = []
-            if (
-                oe is not None
-                and (oe.get("file") or "") == (e.get("file") or "")
-                and len(nd) > len(od)
-                and nd[: len(od)] == od
-            ):
-                suffix = nd[len(od) :]
             items.append(
                 {
                     "old_file": oe["file"] if oe else "",
-                    "old_deltas": json.dumps(od),
+                    "old_deltas": json.dumps((oe.get("deltas", []) or []) if oe else []),
                     "new_file": e["file"],
-                    "new_deltas": json.dumps(nd),
-                    "suffix": json.dumps(suffix),
+                    "new_deltas": json.dumps(e.get("deltas", []) or []),
+                    "suffix": json.dumps(_chain_suffix(oe, e)),
                 }
             )
         sv = self.schema_version
@@ -1385,33 +1463,10 @@ class CDCLake:
                 return _merge_chain(base, chain)
             return base if base is not None else LAKE.empty_table()
 
-        def _suffix_winners(suffix_files: list[str]) -> pa.Table:
-            """Newest-wins per 128-bit key across the suffix deltas,
-            KEEPING tombstone rows and the kh columns (unlike
-            _merge_chain, which drops both)."""
-            tabs = [pq.read_table(os.path.join(data_dir, f)) for f in suffix_files]
-            parts = []
-            for i, t in enumerate(tabs):
-                if t.num_rows:
-                    parts.append(
-                        t.append_column("__chain", pa.array(np.full(t.num_rows, i, np.int32)))
-                    )
-            if not parts:
-                return DELTA_SCHEMA.empty_table()
-            allt = pa.concat_tables(parts, promote_options="none")
-            k1 = allt.column("kh1").to_numpy(zero_copy_only=False)
-            k2 = allt.column("kh2").to_numpy(zero_copy_only=False)
-            ch = allt.column("__chain").to_numpy(zero_copy_only=False)
-            order = np.lexsort((-ch.astype(np.int64), k2, k1))
-            s1, s2 = k1[order], k2[order]
-            first = np.ones(len(order), dtype=bool)
-            first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
-            return allt.take(pa.array(order[first])).drop_columns(["__chain"])
-
         def _diff_fast(row: dict) -> tuple[pa.Table, pa.Table]:
             """(changed current rows, prior rows to retract) from the
             suffix deltas + a pruned old-chain point read."""
-            win = _suffix_winners(json.loads(row["suffix"]))
+            win = _suffix_winners(data_dir, json.loads(row["suffix"]))
             if win.num_rows == 0:
                 return LAKE.empty_table(), LAKE.empty_table()
             tombs = win.filter(win.column("tomb"))

@@ -370,6 +370,61 @@ def test_incview_over_chained_lake(tmp_path):
         _assert_view_matches(view, lake)
 
 
+def test_deleted_keys_chain_fast_path_matches_full(tmp_path):
+    # extend-only chain (suffix-tombstone fast path: O(deletes) existence
+    # probe against a repo-pruned old-chain read) vs rewrite-only lake
+    # (full partition anti-join) — identical tombstone feeds
+    binlog = binlog_table(CFG)
+    fast = CDCLake(str(tmp_path / "fast"), num_partitions=8, delta_ratio=1.0, max_delta_chain=10)
+    full = CDCLake(str(tmp_path / "full"), num_partitions=8, delta_ratio=0)
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog), upto_lsn=3_500)
+    vf, vr = fast.manifest["version"], full.manifest["version"]
+    for lk in (fast, full):
+        lk.apply(rd.from_arrow(binlog))
+    assert any(e.get("deltas") for e in fast.partition_entries())
+
+    def gone(lk, v):
+        return {(r["repo"], r["path"]) for r in lk.deleted_keys(v).take_all()}
+
+    assert gone(fast, vf) == gone(full, vr) != set()
+
+
+def test_deleted_keys_fast_path_window_edge_cases(tmp_path):
+    # within-window insert→delete (never existed at since_version: NOT a
+    # delete), delete→reinsert (newest suffix state live: NOT a delete),
+    # plain delete of a pre-existing key (IS a delete) — all through an
+    # extend-only chain so the suffix fast path runs
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=1, delta_ratio=1.0, max_delta_chain=10)
+    m1 = lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (0, "upsert", "r", "keep", "c0", "py", "alpha"),
+                    (1, "upsert", "r", "dead", "c1", "go", "beta"),
+                    (2, "upsert", "r", "flip", "c2", "py", "gamma"),
+                ]
+            )
+        )
+    )
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (3, "delete", "r", "dead", None, None, None),
+                    (4, "upsert", "r", "ephem", "c3", "py", "delta"),
+                    (5, "delete", "r", "ephem", None, None, None),
+                    (6, "delete", "r", "flip", None, None, None),
+                    (7, "upsert", "r", "flip", "c4", "py", "eps"),
+                ]
+            )
+        )
+    )
+    assert any(e.get("deltas") for e in lake.partition_entries())
+    gone = {(r["repo"], r["path"]) for r in lake.deleted_keys(m1["version"]).take_all()}
+    assert gone == {("r", "dead")}
+
+
 def test_read_changes_chain_fast_path_matches_full(tmp_path):
     binlog = binlog_table(CFG)
     fast = CDCLake(str(tmp_path / "fast"), num_partitions=8, delta_ratio=1.0, max_delta_chain=10)

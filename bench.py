@@ -62,6 +62,7 @@ QUERY_SUBSET = [
     "repetition_stats",
     "redact_secrets",
     "sparql_term_fns",
+    "sparql_update_graph",
     "dedup_corpus",
     "dedup_embeddings",
     "quality_gate",

@@ -2631,6 +2631,53 @@ FROM documents, (VALUES ('prop:text'), ('prop:lang'), ('prop:n_chars')) pp(p)
 """
 
 
+def q_sparql_update_graph(sf_dir: str):
+    """SPARQL 1.1 UPDATE end-to-end — the reference's `pr/update!`
+    (repository.clj:470-474,590-601 prepareUpdate → execute): a 3-op
+    ';'-chained request over the expanded document quad store — a
+    graph-preserving modify (predicate rewrite via GRAPH ?g), a
+    graph-scoped DELETE WHERE, and a ground INSERT DATA — returning the
+    final store's (s, p, o_value, c) quads. Solutions are projected to
+    the template vars only (?d ?g — the document bodies bound by ?t
+    never leave the workers)."""
+    from .sparql import sparql_update
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    upd = """
+    DELETE { GRAPH ?g { ?d <prop:text> ?t } }
+    INSERT { GRAPH ?g { ?d <prop:has_text> "y" } }
+    WHERE  { GRAPH ?g { ?d <prop:text> ?t } } ;
+    DELETE WHERE { GRAPH <graph:src0> { ?d <prop:lang> ?l } } ;
+    INSERT DATA { <meta:corpus> <meta:version> "2" }
+    """
+    out = sparql_update(upd, store)
+    return out.ds.map_batches(
+        lambda tb: tb.select(["s", "p", "o_value", "c"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_SPARQL_UPDATE_GRAPH = """
+WITH quads AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, 'prop:text' AS p,
+         text AS o_value, 'graph:' || source AS c FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:lang', lang, 'graph:' || source FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'prop:n_chars', CAST(n_chars AS VARCHAR),
+         'graph:' || source FROM documents
+)
+SELECT s, 'prop:has_text' AS p, 'y' AS o_value, c FROM quads WHERE p = 'prop:text'
+UNION ALL
+SELECT s, p, o_value, c FROM quads
+WHERE p <> 'prop:text' AND NOT (p = 'prop:lang' AND c = 'graph:src0')
+UNION ALL
+SELECT 'meta:corpus', 'meta:version', '2', CAST(NULL AS VARCHAR)
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: doc_id-ordered token stream split into
     256-token training chunks; each doc gets its (first_chunk,
@@ -2821,6 +2868,7 @@ QUERIES = {
     "sparql_minus_exists": q_sparql_minus_exists,
     "sparql_in_if": q_sparql_in_if,
     "sparql_term_fns": q_sparql_term_fns,
+    "sparql_update_graph": q_sparql_update_graph,
     "dedup_corpus": q_dedup_corpus,
     "dedup_embeddings": q_dedup_embeddings,
     "quality_gate": q_quality_gate,
@@ -2913,6 +2961,7 @@ ORACLE_SQL = {
     "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
     "sparql_in_if": SQL_SPARQL_IN_IF,
     "sparql_term_fns": SQL_SPARQL_TERM_FNS,
+    "sparql_update_graph": SQL_SPARQL_UPDATE_GRAPH,
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "dedup_embeddings": SQL_DEDUP_EMBEDDINGS,
     "quality_gate": SQL_QUALITY_GATE,

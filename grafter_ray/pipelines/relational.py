@@ -565,15 +565,27 @@ def top_k(ds, sort_keys: list[tuple[str, str]], k: int):
 def distinct(ds, cols: list[str]):
     """Exact distinct on a column set: per-block dedup (map-side), then a
     final per-group first — set-semantics ingest of the reference
-    (store = quad set, repository_test.clj:62-76)."""
+    (store = quad set, repository_test.clj:62-76). The exchange sorts on
+    ONE derived non-null key column (null→sentinel join of the casted
+    cols): Ray's sort boundary search chokes on nulls in key columns,
+    and a single key beats an N-column sort anyway."""
 
     def block_dedup(tb: pa.Table) -> pa.Table:
-        return tb.select(cols).group_by(cols).aggregate([])
+        tb = tb.select(cols).group_by(cols).aggregate([])
+        parts = [pc.coalesce(pc.cast(tb.column(c), pa.string()), "\x01") for c in cols]
+        key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x00")
+        return tb.append_column("__distinct_key", key)
 
     from ..stages.grouped import first_row_per_key
 
-    return first_row_per_key(
-        ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True), cols
+    out = first_row_per_key(
+        ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        ["__distinct_key"],
+    )
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__distinct_key"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

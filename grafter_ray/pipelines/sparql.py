@@ -133,7 +133,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -281,6 +281,8 @@ class _QParser:
         k, v = self.next()
         if k == "var":
             return ("var", v[1:])
+        if k == "pname" and v.startswith("_:"):
+            return ("bnode", v)
         if k == "iri" or k == "pname":
             return ("iri", self._resolve(v))
         if k == "kw" and v == "a":
@@ -298,7 +300,159 @@ class _QParser:
         if k == "num":
             dt = XSD + ("double" if "." in v else "integer")
             return ("literal", v, dt, None)
+        if k == "kw" and v in ("true", "false"):
+            return ("literal", v, XSD + "boolean", None)
         raise SparqlParseError(f"bad CONSTRUCT template term {k}:{v!r}")
+
+    # --- SPARQL 1.1 UPDATE (reference pr/update!: repository.clj:470,590) --
+    def _quad_triples(self, out: list, graph_term):
+        """TriplesTemplate → append (s, p, o, g) template tuples."""
+        while True:
+            k, v = self.peek()
+            if v == "}" or v is None or (k == "kw" and v.upper() == "GRAPH"):
+                return
+            s = self._template_term()
+            p = self._template_term()
+            o = self._template_term()
+            out.append((s, p, o, graph_term))
+            if self.peek()[1] == ".":
+                self.next()
+
+    def _quad_block(self) -> list:
+        """QuadPattern: { triples (GRAPH VarOrIri { triples })* } →
+        template tuples whose graph slot is None | ('iri', v) |
+        ('var', name)."""
+        self.expect("{")
+        out: list = []
+        while self.peek()[1] != "}":
+            k, v = self.peek()
+            if k is None:
+                raise SparqlParseError("unterminated quad block")
+            if k == "kw" and v.upper() == "GRAPH":
+                self.next()
+                gk, gv = self.next()
+                g = ("var", gv[1:]) if gk == "var" else ("iri", self._resolve(gv))
+                self.expect("{")
+                self._quad_triples(out, g)
+                self.expect("}")
+                if self.peek()[1] == ".":
+                    self.next()
+            else:
+                self._quad_triples(out, None)
+        self.expect("}")
+        return out
+
+    def _graph_ref(self, allow_bare_iri: bool = False) -> tuple:
+        """GraphRef / GraphOrDefault → ('graph', iri) | ('default',) |
+        ('named',) | ('all',)."""
+        k, v = self.next()
+        u = v.upper() if isinstance(v, str) else ""
+        if k == "kw" and u == "GRAPH":
+            _, gv = self.next()
+            return ("graph", self._resolve(gv))
+        if k == "kw" and u == "DEFAULT":
+            return ("default",)
+        if k == "kw" and u == "NAMED":
+            return ("named",)
+        if k == "kw" and u == "ALL":
+            return ("all",)
+        if allow_bare_iri and k in ("iri", "pname"):
+            return ("graph", self._resolve(v))
+        raise SparqlParseError(f"bad graph reference {v!r}")
+
+    def _modify_op(self, with_g: str | None, first: str | None = None) -> dict:
+        """[WITH <g>] DELETE {t} / INSERT {t} / both, then WHERE {group}.
+        `first` is set when the leading DELETE/INSERT keyword was already
+        consumed by the dispatcher."""
+        if first is None:
+            kw = self.next()[1]
+            first = kw.lower() if kw else ""
+            if first not in ("delete", "insert"):
+                raise SparqlParseError(f"expected DELETE or INSERT after WITH, got {kw!r}")
+        delete_tmpl: list = []
+        insert_tmpl: list = []
+        if first == "delete":
+            if self.peek()[1] and self.peek()[1].upper() == "WHERE":
+                self.next()
+                return {"op": "delete_where", "quads": self._quad_block(), "with": with_g}
+            delete_tmpl = self._quad_block()
+            if self.peek()[1] and self.peek()[1].upper() == "INSERT":
+                self.next()
+                insert_tmpl = self._quad_block()
+        else:
+            insert_tmpl = self._quad_block()
+        if self.peek()[1] and self.peek()[1].upper() == "USING":
+            raise SparqlParseError("USING is not supported in the UPDATE subset")
+        self.expect("WHERE")
+        prefixes = dict(self.q.prefixes)
+        self.q = SelectQuery(prefixes=prefixes)  # fresh WHERE scope per op
+        self.expect("{")
+        self._group(graph=with_g)
+        q = self.q
+        self.q = SelectQuery(prefixes=prefixes)
+        return {"op": "modify", "delete": delete_tmpl, "insert": insert_tmpl, "q": q, "with": with_g}
+
+    def parse_update(self) -> list[dict]:
+        """UpdateUnit: ';'-separated operations sharing a prologue."""
+        ops: list[dict] = []
+        while self.peek()[1] is not None:
+            while self.peek()[1] and self.peek()[1].upper() == "PREFIX":
+                self.next()
+                k, pname = self.next()
+                if k != "pname":
+                    raise SparqlParseError(f"bad PREFIX name {pname!r}")
+                _, iri = self.next()
+                self.q.prefixes[pname.rstrip(":").partition(":")[0]] = iri[1:-1]
+            k, v = self.peek()
+            if v is None:
+                break
+            kw = v.upper()
+            if kw == "WITH":
+                self.next()
+                _, gv = self.next()
+                ops.append(self._modify_op(self._resolve(gv)))
+            elif kw == "INSERT":
+                self.next()
+                if self.peek()[1] and self.peek()[1].upper() == "DATA":
+                    self.next()
+                    ops.append({"op": "insert_data", "quads": self._quad_block()})
+                else:
+                    ops.append(self._modify_op(None, first="insert"))
+            elif kw == "DELETE":
+                self.next()
+                nxt = self.peek()[1].upper() if self.peek()[1] else ""
+                if nxt == "DATA":
+                    self.next()
+                    ops.append({"op": "delete_data", "quads": self._quad_block()})
+                elif nxt == "WHERE":
+                    self.next()
+                    ops.append({"op": "delete_where", "quads": self._quad_block(), "with": None})
+                else:
+                    ops.append(self._modify_op(None, first="delete"))
+            elif kw in ("CLEAR", "DROP"):
+                self.next()
+                if self.peek()[1] and self.peek()[1].upper() == "SILENT":
+                    self.next()
+                ops.append({"op": "clear", "target": self._graph_ref()})
+            elif kw in ("COPY", "MOVE", "ADD"):
+                self.next()
+                if self.peek()[1] and self.peek()[1].upper() == "SILENT":
+                    self.next()
+                src = self._graph_ref(allow_bare_iri=True)
+                self.expect("TO")
+                dst = self._graph_ref(allow_bare_iri=True)
+                ops.append({"op": kw.lower(), "src": src, "dst": dst})
+            elif kw == "CREATE":
+                self.next()
+                if self.peek()[1] and self.peek()[1].upper() == "SILENT":
+                    self.next()
+                self._graph_ref()
+                ops.append({"op": "create"})  # graphs are implicit: no-op
+            else:
+                raise SparqlParseError(f"unsupported UPDATE operation {v!r}")
+            if self.peek()[1] == ";":
+                self.next()
+        return ops
 
     _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
 
@@ -690,6 +844,8 @@ class _QParser:
     def _term(self):
         """→ raw string value for column matching ('?x' kept for vars)."""
         k, v = self.next()
+        if k == "pname" and v.startswith("_:"):
+            return v
         if k == "iri" or k == "pname":
             return self._resolve(v)
         if k == "var":
@@ -923,14 +1079,9 @@ def _run_describe(q: SelectQuery, store) -> pa.Table:
     return _collect(store.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
 
 
-def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
-    """CONSTRUCT template × solutions → QUAD table, set semantics.
-    Object-slot kind rule (solutions carry lexical values only): values
-    starting '_:' are bnodes; vars also bound in an s/p/g slot of the
-    WHERE clause are IRIs; all other object vars instantiate as
-    literals."""
-    from ..schemas import QUAD
-
+def _pattern_iri_vars(q: SelectQuery) -> set[str]:
+    """Vars bound at an s/p/g slot of the WHERE clause — positionally
+    IRIs (or bnodes) in RDF, used to type template-instantiated terms."""
     iri_vars: set[str] = set()
     all_pats = list(q.patterns) + [p for br in q.union_branches for p in br] + list(q.optionals)
     for pat in all_pats:
@@ -938,19 +1089,39 @@ def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
         for t in slots:
             if isinstance(t, str) and t.startswith("?"):
                 iri_vars.add(t[1:])
+    return iri_vars
+
+
+def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
+    return _instantiate_quads(q.template, sols, _pattern_iri_vars(q))
+
+
+def _instantiate_quads(
+    template: list, sols: pa.Table, iri_vars: set[str], default_graph: str | None = None
+) -> pa.Table:
+    """Triple/quad template × solutions → QUAD table, set semantics
+    (CONSTRUCT and the UPDATE forms share this). Template tuples are
+    (s, p, o) or (s, p, o, g); a missing/None graph slot instantiates as
+    `default_graph` (None ⇒ the default graph, c = null). Object-slot
+    kind rule (solutions carry lexical values only): values starting
+    '_:' are bnodes; vars also bound in an s/p/g slot of the WHERE
+    clause are IRIs; all other object vars instantiate as literals."""
+    from ..schemas import QUAD
 
     n = sols.num_rows
     pieces = []
-    for s_t, p_t, o_t in q.template:
+    for entry in template:
+        s_t, p_t, o_t = entry[0], entry[1], entry[2]
+        g_t = entry[3] if len(entry) > 3 else None
 
         def resource_col(term, what):
             if term[0] == "var":
                 if term[1] not in sols.column_names:
-                    raise SparqlParseError(f"CONSTRUCT template var ?{term[1]} is not bound")
+                    raise SparqlParseError(f"template var ?{term[1]} is not bound")
                 return pc.cast(sols.column(term[1]), pa.string())
             if term[0] in ("iri", "bnode"):
                 return pa.nulls(n, pa.string()).fill_null(term[1])
-            raise SparqlParseError(f"CONSTRUCT {what} slot cannot hold a literal")
+            raise SparqlParseError(f"template {what} slot cannot hold a literal")
 
         s_col = resource_col(s_t, "subject")
         p_col = resource_col(p_t, "predicate")
@@ -968,12 +1139,18 @@ def _instantiate_template(q: SelectQuery, sols: pa.Table) -> pa.Table:
                 o_kind = pc.if_else(is_b, pa.scalar("bnode"), pa.scalar("iri"))
             o_dt = pa.nulls(n, pa.string())
             o_lang = pa.nulls(n, pa.string())
+        if g_t is not None:
+            c_col = resource_col(g_t, "graph")
+        elif default_graph is not None:
+            c_col = pa.nulls(n, pa.string()).fill_null(default_graph)
+        else:
+            c_col = pa.nulls(n, pa.string())
         pieces.append(
             pa.table(
                 {
                     "s": s_col, "p": p_col, "o_kind": pc.cast(o_kind, pa.string()),
                     "o_value": o_value, "o_datatype": o_dt, "o_lang": o_lang,
-                    "c": pa.nulls(n, pa.string()),
+                    "c": c_col,
                 },
                 schema=QUAD,
             )
@@ -1709,6 +1886,221 @@ def sparql_query_file(path: str, store, **kw):
     """query from a .sparql file (sparql.clj:261-318 resource arity)."""
     with open(path) as f:
         return sparql_query(f.read(), store, **kw)
+
+
+# --- SPARQL 1.1 UPDATE execution ---------------------------------------------
+
+def parse_update(text: str) -> list[dict]:
+    return _QParser(_tokens(strip_comments(text))).parse_update()
+
+
+def sparql_update(update_text: str, store):
+    """The reference's `pr/update!` (repository.clj:470-474,590-601:
+    prepareUpdate → execute) over a QuadStore — functional where the
+    reference mutates the connection: returns the updated store.
+
+    Subset: INSERT DATA / DELETE DATA (ground quads, GRAPH blocks),
+    DELETE WHERE, [WITH <g>] DELETE {t} INSERT {t} WHERE {g}, CLEAR /
+    DROP / CREATE, ADD / COPY / MOVE. ';'-chained operations run in
+    order, each over the previous result; a modify op evaluates WHERE
+    once against its pre-state (deletes apply before inserts). USING
+    and LOAD raise. House dialect notes: a graph VARIABLE (GRAPH ?g and
+    the DELETE WHERE expansion) binds c as-is, the null default graph
+    included; blank-node labels in INSERT templates are constants, not
+    per-solution fresh nodes. Instantiated delete sets are broadcast to an
+    anti-filter (same shape as QuadStore.delete) — right for
+    update-sized deletes; a delete rewriting most of the store is a
+    full-scan rewrite either way."""
+    for op in parse_update(update_text):
+        store = _apply_update_op(store, op)
+    return store
+
+
+def _ground_quads(template: list) -> pa.Table:
+    """INSERT/DELETE DATA template (no variables allowed) → QUAD table."""
+    for entry in template:
+        for t in entry:
+            if t is not None and t[0] == "var":
+                raise SparqlParseError(f"INSERT/DELETE DATA must be ground, got ?{t[1]}")
+    one = pa.table({"__one": pa.array([0])})
+    return _instantiate_quads(template, one, set())
+
+
+def _normalize_plain(quads: pa.Table) -> pa.Table:
+    """Store-side plain-literal convention (the N-Quads/Turtle parsers):
+    a lang-less xsd:string literal is stored with a NULL datatype — an
+    inserted quad must dedup against its parsed twin (RDF 1.1: the two
+    spellings denote the same literal)."""
+    dt = quads.column("o_datatype")
+    drop = pc.and_(
+        pc.equal(pc.fill_null(dt, ""), _XSD_STRING),
+        pc.is_null(quads.column("o_lang")),
+    )
+    dt2 = pc.if_else(drop, pa.scalar(None, pa.string()), dt)
+    return quads.set_column(quads.schema.get_field_index("o_datatype"), "o_datatype", dt2)
+
+
+def _where_from_template(template: list, with_g: str | None) -> tuple[SelectQuery, list]:
+    """DELETE WHERE: the quad template doubles as the pattern group.
+    Under the engine's union-of-graphs default-BGP semantics a pattern
+    with no GRAPH clause matches quads in EVERY graph, so each such
+    pattern gets a fresh graph variable that flows back into the delete
+    template — matched quads are deleted in the graph they matched."""
+    q = SelectQuery()
+    tmpl2 = []
+
+    def pat_term(t) -> str:
+        return "?" + t[1] if t[0] == "var" else t[1]
+
+    for i, (s_t, p_t, o_t, g_t) in enumerate(template):
+        pat = (pat_term(s_t), pat_term(p_t), pat_term(o_t))
+        if g_t is not None:
+            q.patterns.append(pat + (pat_term(g_t),))
+            tmpl2.append((s_t, p_t, o_t, g_t))
+        elif with_g is not None:
+            q.patterns.append(pat + (with_g,))
+            tmpl2.append((s_t, p_t, o_t, ("iri", with_g)))
+        else:
+            gv = f"__g{i}"
+            q.patterns.append(pat + ("?" + gv,))
+            tmpl2.append((s_t, p_t, o_t, ("var", gv)))
+    return q, tmpl2
+
+
+_XSD_STRING = XSD + "string"
+
+
+def _delete_keys(tb: pa.Table, exact: bool) -> pa.Array:
+    """Row identity for delete matching. exact (ground DATA quads):
+    (s,p,kind,value,lang,datatype,c) with RDF 1.1 normalization — a
+    plain literal IS xsd:string, so null datatype ≡ xsd:string and a
+    lang-tagged literal's datatype is ignored. loose (template quads
+    instantiated from solutions, which carry lexical values only):
+    (s,p,value,c)."""
+    s = pc.cast(tb.column("s"), pa.string())
+    p = pc.cast(tb.column("p"), pa.string())
+    v = pc.cast(tb.column("o_value"), pa.string())
+    c = pc.coalesce(pc.cast(tb.column("c"), pa.string()), "\x01")
+    if not exact:
+        j = pc.binary_join_element_wise(s, p, v, c, "\x00")
+        return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+    kind = pc.cast(tb.column("o_kind"), pa.string())
+    lang = pc.coalesce(pc.cast(tb.column("o_lang"), pa.string()), "\x01")
+    dt = pc.cast(tb.column("o_datatype"), pa.string())
+    is_plain_lit = pc.and_(pc.equal(kind, "literal"), pc.equal(lang, "\x01"))
+    dt = pc.if_else(is_plain_lit, pc.coalesce(dt, _XSD_STRING), pa.scalar("\x01", pa.string()))
+    j = pc.binary_join_element_wise(s, p, kind, v, lang, pc.coalesce(dt, "\x01"), c, "\x00")
+    return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
+
+def _delete_instantiated(store, quads: pa.Table, exact: bool):
+    from .store import QuadStore
+
+    if quads.num_rows == 0:
+        return store
+    doomed = _delete_keys(quads, exact)
+
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.invert(pc.is_in(_delete_keys(tb, exact), value_set=doomed)))
+
+    return QuadStore(store.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def _graph_mask(target: tuple):
+    """Per-batch keep-mask factory for CLEAR/DROP targets."""
+    def f(tb: pa.Table) -> pa.Table:
+        c = tb.column("c")
+        if target[0] == "default":
+            keep = pc.is_valid(c)
+        elif target[0] == "named":
+            keep = pc.is_null(c)
+        else:  # ("graph", iri)
+            keep = pc.fill_null(pc.not_equal(c, target[1]), True)
+        return tb.filter(keep)
+
+    return f
+
+
+def _graph_retarget(store, src: tuple, dst_c: str | None):
+    """Streaming Dataset of src-graph quads rewritten into dst: filter +
+    constant c column per batch — the moved graph never lands on the
+    driver."""
+    def f(tb: pa.Table) -> pa.Table:
+        c = tb.column("c")
+        mask = pc.is_null(c) if src[0] == "default" else pc.fill_null(pc.equal(c, src[1]), False)
+        tb = tb.filter(mask)
+        n = tb.num_rows
+        c2 = pa.nulls(n, pa.string()) if dst_c is None else pa.nulls(n, pa.string()).fill_null(dst_c)
+        return tb.set_column(tb.schema.get_field_index("c"), "c", c2)
+
+    return store.ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _apply_update_op(store, op: dict):
+    from ..schemas import QUAD
+    from .store import QuadStore
+
+    kind = op["op"]
+    if kind == "create":
+        return store  # graphs exist implicitly; CREATE is a no-op
+    if kind == "insert_data":
+        return store.add(_normalize_plain(_ground_quads(op["quads"])))
+    if kind == "delete_data":
+        return _delete_instantiated(store, _ground_quads(op["quads"]), exact=True)
+    if kind == "delete_where":
+        q, tmpl = _where_from_template(op["quads"], op.get("with"))
+        sols = _run_select(q, store)
+        quads = _instantiate_quads(tmpl, sols, _pattern_iri_vars(q))
+        return _delete_instantiated(store, quads, exact=False)
+    if kind == "modify":
+        q = op["q"]
+        # project the solutions down to the vars the templates consume —
+        # WHERE can bind wide columns (document bodies) that the update
+        # never touches, and sols land on the driver
+        tvars = {
+            t[1]
+            for tmpl in (op["delete"], op["insert"])
+            for entry in tmpl
+            for t in entry
+            if t is not None and t[0] == "var"
+        }
+        q.select = sorted(tvars) or None
+        if not tvars and q.limit is None:
+            q.limit = 1  # ground templates: WHERE is only an existence gate
+        sols = _run_select(q, store)
+        iri_vars = _pattern_iri_vars(q)
+        out = store
+        if op["delete"]:
+            dead = _instantiate_quads(op["delete"], sols, iri_vars, op["with"])
+            out = _delete_instantiated(out, dead, exact=False)
+        if op["insert"]:
+            out = out.add(
+                _normalize_plain(_instantiate_quads(op["insert"], sols, iri_vars, op["with"]))
+            )
+        return out
+    if kind == "clear":
+        if op["target"][0] == "all":
+            return QuadStore.from_table(QUAD.empty_table())
+        return QuadStore(
+            store.ds.map_batches(_graph_mask(op["target"]), batch_format="pyarrow", zero_copy_batch=True)
+        )
+    if kind in ("add", "copy", "move"):
+        src, dst = op["src"], op["dst"]
+        if src == dst:
+            return store
+        for ref in (src, dst):
+            if ref[0] not in ("default", "graph"):
+                raise SparqlParseError(f"{kind.upper()} needs DEFAULT or a named graph, got {ref[0].upper()}")
+        dst_c = None if dst[0] == "default" else dst[1]
+        moved = _graph_retarget(store, src, dst_c)  # streaming, pre-clear snapshot
+        out = store
+        if kind == "copy":  # COPY replaces the destination graph first
+            out = _apply_update_op(out, {"op": "clear", "target": dst})
+        out = QuadStore(out.ds.union(moved)).dedup()
+        if kind == "move":
+            out = _apply_update_op(out, {"op": "clear", "target": src})
+        return out
+    raise SparqlParseError(f"unknown update op {kind!r}")
 
 
 def _collect(ds) -> pa.Table:

@@ -1,0 +1,202 @@
+"""SPARQL 1.1 UPDATE over QuadStore — the reference's `pr/update!`
+(repository.clj:470-474,590-601 prepareUpdate → execute) re-expressed
+functionally: each operation returns a new store. Covers INSERT/DELETE
+DATA (incl. GRAPH blocks and exact-literal matching), DELETE WHERE,
+WITH/DELETE/INSERT/WHERE modify, operation chaining, CLEAR/DROP,
+ADD/COPY/MOVE, and the unsupported-form errors."""
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.pipelines.sparql import SparqlParseError, parse_update, sparql_update
+from grafter_ray.pipelines.store import QuadStore
+from grafter_ray.schemas import QUAD, XSD
+
+PRE = "PREFIX ex: <http://ex.org/>\n"
+
+
+def _store(rows):
+    """rows: (s, p, o_kind, o_value, o_datatype, o_lang, c)"""
+    cols = list(zip(*rows)) if rows else [[]] * 7
+    tb = pa.table(
+        {name: pa.array(list(col), pa.string()) for name, col in zip(QUAD.names, cols)},
+        schema=QUAD,
+    )
+    return QuadStore.from_table(tb)
+
+
+def _rows(store):
+    tb = store.ds.take_all()
+    return sorted(
+        (
+            (r["s"], r["p"], r["o_kind"], r["o_value"], r["o_datatype"], r["o_lang"], r["c"])
+            for r in tb
+        ),
+        key=lambda t: tuple(x or "" for x in t),
+    )
+
+
+E = "http://ex.org/"
+
+
+def base_store():
+    return _store(
+        [
+            (E + "a", E + "name", "literal", "alpha", None, None, None),
+            (E + "a", E + "knows", "iri", E + "b", None, None, None),
+            (E + "b", E + "name", "literal", "beta", None, None, E + "g1"),
+            (E + "c", E + "name", "literal", "gamma", None, None, E + "g2"),
+        ]
+    )
+
+
+def test_insert_data_default_and_graph():
+    out = sparql_update(
+        PRE + 'INSERT DATA { ex:d ex:name "delta" . GRAPH ex:g1 { ex:d ex:age 4 } }',
+        base_store(),
+    )
+    rows = _rows(out)
+    # plain string literals store a NULL datatype (the parsers' convention)
+    assert (E + "d", E + "name", "literal", "delta", None, None, None) in rows
+    assert (E + "d", E + "age", "literal", "4", XSD + "integer", None, E + "g1") in rows
+    assert len(rows) == 6
+
+
+def test_insert_data_is_set_semantics():
+    # inserting an existing quad must not duplicate it (store = SET)
+    st = base_store()
+    out = sparql_update(PRE + 'INSERT DATA { GRAPH ex:g1 { ex:b ex:name "beta" } }', st)
+    assert out.ds.count() == st.ds.count()
+
+
+def test_delete_data_exact_literal_matching():
+    st = _store(
+        [
+            (E + "x", E + "v", "literal", "1", None, None, None),  # plain ≡ xsd:string
+            (E + "x", E + "v", "literal", "1", XSD + "integer", None, None),
+            (E + "x", E + "v", "literal", "1", None, "en", None),
+        ]
+    )
+    # plain-literal delete kills the xsd:string variant ONLY
+    out = sparql_update(PRE + 'DELETE DATA { ex:x ex:v "1" }', st)
+    rows = _rows(out)
+    assert len(rows) == 2
+    assert {r[4] or r[5] for r in rows} == {XSD + "integer", "en"}
+    # typed delete kills the integer variant only
+    out2 = sparql_update(
+        PRE + 'DELETE DATA { ex:x ex:v "1"^^<' + XSD + 'integer> }', st
+    )
+    assert len(_rows(out2)) == 2
+    assert all(r[4] != XSD + "integer" for r in _rows(out2))
+
+
+def test_delete_data_respects_graph():
+    out = sparql_update(PRE + 'DELETE DATA { ex:b ex:name "beta" }', base_store())
+    # the beta quad lives in g1, not the default graph: no-op
+    assert out.ds.count() == 4
+    out2 = sparql_update(PRE + 'DELETE DATA { GRAPH ex:g1 { ex:b ex:name "beta" } }', base_store())
+    assert out2.ds.count() == 3
+
+
+def test_delete_where():
+    out = sparql_update(PRE + "DELETE WHERE { ?s ex:name ?n }", base_store())
+    rows = _rows(out)
+    # name triples in EVERY graph match (?s ex:name ?n has no graph scope)
+    assert rows == [(E + "a", E + "knows", "iri", E + "b", None, None, None)]
+
+
+def test_delete_where_graph_scoped():
+    out = sparql_update(
+        PRE + "DELETE WHERE { GRAPH ex:g1 { ?s ex:name ?n } }", base_store()
+    )
+    assert out.ds.count() == 3
+    assert all(r[6] != E + "g1" for r in _rows(out))
+
+
+def test_modify_rename_predicate_preserving_graph():
+    upd = (
+        PRE
+        + "DELETE { GRAPH ?g { ?s ex:name ?n } } INSERT { GRAPH ?g { ?s ex:label ?n } } "
+        + "WHERE { GRAPH ?g { ?s ex:name ?n } }"
+    )
+    out = sparql_update(upd, base_store())
+    rows = _rows(out)
+    assert (E + "b", E + "label", "literal", "beta", None, None, E + "g1") in rows
+    assert (E + "c", E + "label", "literal", "gamma", None, None, E + "g2") in rows
+    # house semantics: a graph var binds c as-is, NULL (default graph)
+    # included — the default-graph name triple renames in place too
+    assert (E + "a", E + "label", "literal", "alpha", None, None, None) in rows
+    assert not any(r[1] == E + "name" for r in rows)
+
+
+def test_with_modify():
+    upd = PRE + 'WITH ex:g1 DELETE { ?s ex:name ?n } INSERT { ?s ex:name "BETA" } WHERE { ?s ex:name ?n }'
+    out = sparql_update(upd, base_store())
+    rows = _rows(out)
+    assert (E + "b", E + "name", "literal", "BETA", None, None, E + "g1") in rows
+    assert not any(r[3] == "beta" for r in rows)
+    # other graphs untouched
+    assert (E + "c", E + "name", "literal", "gamma", None, None, E + "g2") in rows
+
+
+def test_insert_where_only():
+    upd = PRE + "INSERT { ?s ex:seen true } WHERE { ?s ex:knows ?o }"
+    out = sparql_update(upd, base_store())
+    assert (E + "a", E + "seen", "literal", "true", XSD + "boolean", None, None) in _rows(out)
+
+
+def test_chained_operations_run_in_order():
+    upd = (
+        PRE
+        + 'INSERT DATA { ex:t ex:name "tmp" } ;\n'
+        + "DELETE WHERE { ex:t ex:name ?n } ;\n"
+        + 'INSERT DATA { ex:t ex:name "final" }'
+    )
+    out = sparql_update(upd, base_store())
+    rows = [r for r in _rows(out) if r[0] == E + "t"]
+    assert rows == [(E + "t", E + "name", "literal", "final", None, None, None)]
+
+
+def test_clear_and_drop():
+    st = base_store()
+    assert sparql_update(PRE + "CLEAR GRAPH ex:g1", st).ds.count() == 3
+    assert sparql_update("CLEAR DEFAULT", st).ds.count() == 2
+    assert sparql_update("DROP NAMED", st).ds.count() == 2
+    assert sparql_update("CLEAR ALL", st).ds.count() == 0
+    assert sparql_update("CREATE GRAPH <http://ex.org/new>", st).ds.count() == 4
+
+
+def test_add_copy_move():
+    st = base_store()
+    added = sparql_update(PRE + "ADD ex:g1 TO ex:g2", st)
+    assert added.ds.count() == 5  # g1's quad now also in g2
+    rows = _rows(added)
+    assert (E + "b", E + "name", "literal", "beta", None, None, E + "g2") in rows
+    copied = sparql_update(PRE + "COPY ex:g1 TO ex:g2", st)
+    assert copied.ds.count() == 4  # g2's own quad replaced by g1's
+    assert not any(r[3] == "gamma" for r in _rows(copied))
+    moved = sparql_update(PRE + "MOVE ex:g1 TO ex:g2", st)
+    rows = _rows(moved)
+    assert not any(r[6] == E + "g1" for r in rows)
+    assert (E + "b", E + "name", "literal", "beta", None, None, E + "g2") in rows
+    # DEFAULT as a target
+    to_def = sparql_update(PRE + "ADD ex:g1 TO DEFAULT", st)
+    assert (E + "b", E + "name", "literal", "beta", None, None, None) in _rows(to_def)
+
+
+def test_unsupported_forms_raise():
+    with pytest.raises(SparqlParseError, match="USING"):
+        parse_update(PRE + "DELETE { ?s ?p ?o } USING ex:g1 WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlParseError, match="unsupported UPDATE"):
+        parse_update("LOAD <http://remote/data.nt>")
+    with pytest.raises(SparqlParseError, match="ground"):
+        sparql_update(PRE + "INSERT DATA { ex:a ex:b ?x }", base_store())
+
+
+def test_parse_update_shapes():
+    ops = parse_update(
+        PRE + 'INSERT DATA { ex:a ex:b "c" } ; WITH ex:g1 DELETE { ?s ?p ?o } WHERE { ?s ?p ?o } ; CLEAR ALL'
+    )
+    assert [o["op"] for o in ops] == ["insert_data", "modify", "clear"]
+    assert ops[1]["with"] == E + "g1"
+    assert ops[1]["q"].patterns == [("?s", "?p", "?o", E + "g1")]

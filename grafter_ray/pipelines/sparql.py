@@ -133,7 +133,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -448,6 +448,21 @@ class _QParser:
                     self.next()
                 self._graph_ref()
                 ops.append({"op": "create"})  # graphs are implicit: no-op
+            elif kw == "LOAD":
+                self.next()
+                if self.peek()[1] and self.peek()[1].upper() == "SILENT":
+                    self.next()
+                lk, lv = self.next()
+                if lk != "iri":
+                    raise SparqlParseError(f"LOAD needs an IRI, got {lv!r}")
+                g = None
+                if self.peek()[1] and self.peek()[1].upper() == "INTO":
+                    self.next()
+                    ref = self._graph_ref()
+                    if ref[0] != "graph":
+                        raise SparqlParseError("LOAD ... INTO needs GRAPH <iri>")
+                    g = ref[1]
+                ops.append({"op": "load", "url": lv[1:-1], "graph": g})
             else:
                 raise SparqlParseError(f"unsupported UPDATE operation {v!r}")
             if self.peek()[1] == ";":
@@ -1927,16 +1942,17 @@ def _ground_quads(template: list) -> pa.Table:
 
 
 def _normalize_plain(quads: pa.Table) -> pa.Table:
-    """Store-side plain-literal convention (the N-Quads/Turtle parsers):
-    a lang-less xsd:string literal is stored with a NULL datatype — an
-    inserted quad must dedup against its parsed twin (RDF 1.1: the two
-    spellings denote the same literal)."""
+    """Store-side plain-literal convention (the N-Quads/Turtle parsers
+    and the CONSTRUCT template): a lang-less plain literal carries an
+    EXPLICIT xsd:string datatype — an inserted quad must dedup against
+    its parsed twin (RDF 1.1: the two spellings denote the same
+    literal), so a NULL datatype on a lang-less literal normalizes UP."""
     dt = quads.column("o_datatype")
-    drop = pc.and_(
-        pc.equal(pc.fill_null(dt, ""), _XSD_STRING),
-        pc.is_null(quads.column("o_lang")),
+    fill = pc.and_(
+        pc.and_(pc.is_null(dt), pc.is_null(quads.column("o_lang"))),
+        pc.equal(quads.column("o_kind"), "literal"),
     )
-    dt2 = pc.if_else(drop, pa.scalar(None, pa.string()), dt)
+    dt2 = pc.if_else(fill, pa.scalar(_XSD_STRING, pa.string()), dt)
     return quads.set_column(quads.schema.get_field_index("o_datatype"), "o_datatype", dt2)
 
 
@@ -2084,6 +2100,24 @@ def _apply_update_op(store, op: dict):
         return QuadStore(
             store.ds.map_batches(_graph_mask(op["target"]), batch_format="pyarrow", zero_copy_batch=True)
         )
+    if kind == "load":
+        url = op["url"]
+        if url.startswith(("http://", "https://")):
+            raise SparqlParseError(
+                "LOAD from remote URLs is not supported (no network) — use file:// or a local path"
+            )
+        from ..sources.nquads import statements
+
+        loaded = statements(url)  # path or file:// URL; suffix dispatch
+        if op["graph"] is not None:
+            g = op["graph"]
+
+            def retag(tb: pa.Table) -> pa.Table:
+                c2 = pa.nulls(tb.num_rows, pa.string()).fill_null(g)
+                return tb.set_column(tb.schema.get_field_index("c"), "c", c2)
+
+            loaded = loaded.map_batches(retag, batch_format="pyarrow", zero_copy_batch=True)
+        return QuadStore(store.ds.union(loaded)).dedup()
     if kind in ("add", "copy", "move"):
         src, dst = op["src"], op["dst"]
         if src == dst:

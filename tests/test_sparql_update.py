@@ -37,15 +37,16 @@ def _rows(store):
 
 
 E = "http://ex.org/"
+XS = XSD + "string"  # parser convention: plain literals carry explicit xsd:string
 
 
 def base_store():
     return _store(
         [
-            (E + "a", E + "name", "literal", "alpha", None, None, None),
+            (E + "a", E + "name", "literal", "alpha", XS, None, None),
             (E + "a", E + "knows", "iri", E + "b", None, None, None),
-            (E + "b", E + "name", "literal", "beta", None, None, E + "g1"),
-            (E + "c", E + "name", "literal", "gamma", None, None, E + "g2"),
+            (E + "b", E + "name", "literal", "beta", XS, None, E + "g1"),
+            (E + "c", E + "name", "literal", "gamma", XS, None, E + "g2"),
         ]
     )
 
@@ -56,8 +57,8 @@ def test_insert_data_default_and_graph():
         base_store(),
     )
     rows = _rows(out)
-    # plain string literals store a NULL datatype (the parsers' convention)
-    assert (E + "d", E + "name", "literal", "delta", None, None, None) in rows
+    # plain literals carry explicit xsd:string (the parsers' convention)
+    assert (E + "d", E + "name", "literal", "delta", XS, None, None) in rows
     assert (E + "d", E + "age", "literal", "4", XSD + "integer", None, E + "g1") in rows
     assert len(rows) == 6
 
@@ -121,11 +122,11 @@ def test_modify_rename_predicate_preserving_graph():
     )
     out = sparql_update(upd, base_store())
     rows = _rows(out)
-    assert (E + "b", E + "label", "literal", "beta", None, None, E + "g1") in rows
-    assert (E + "c", E + "label", "literal", "gamma", None, None, E + "g2") in rows
+    assert (E + "b", E + "label", "literal", "beta", XS, None, E + "g1") in rows
+    assert (E + "c", E + "label", "literal", "gamma", XS, None, E + "g2") in rows
     # house semantics: a graph var binds c as-is, NULL (default graph)
     # included — the default-graph name triple renames in place too
-    assert (E + "a", E + "label", "literal", "alpha", None, None, None) in rows
+    assert (E + "a", E + "label", "literal", "alpha", XS, None, None) in rows
     assert not any(r[1] == E + "name" for r in rows)
 
 
@@ -133,10 +134,10 @@ def test_with_modify():
     upd = PRE + 'WITH ex:g1 DELETE { ?s ex:name ?n } INSERT { ?s ex:name "BETA" } WHERE { ?s ex:name ?n }'
     out = sparql_update(upd, base_store())
     rows = _rows(out)
-    assert (E + "b", E + "name", "literal", "BETA", None, None, E + "g1") in rows
+    assert (E + "b", E + "name", "literal", "BETA", XS, None, E + "g1") in rows
     assert not any(r[3] == "beta" for r in rows)
     # other graphs untouched
-    assert (E + "c", E + "name", "literal", "gamma", None, None, E + "g2") in rows
+    assert (E + "c", E + "name", "literal", "gamma", XS, None, E + "g2") in rows
 
 
 def test_insert_where_only():
@@ -154,7 +155,7 @@ def test_chained_operations_run_in_order():
     )
     out = sparql_update(upd, base_store())
     rows = [r for r in _rows(out) if r[0] == E + "t"]
-    assert rows == [(E + "t", E + "name", "literal", "final", None, None, None)]
+    assert rows == [(E + "t", E + "name", "literal", "final", XS, None, None)]
 
 
 def test_clear_and_drop():
@@ -171,26 +172,41 @@ def test_add_copy_move():
     added = sparql_update(PRE + "ADD ex:g1 TO ex:g2", st)
     assert added.ds.count() == 5  # g1's quad now also in g2
     rows = _rows(added)
-    assert (E + "b", E + "name", "literal", "beta", None, None, E + "g2") in rows
+    assert (E + "b", E + "name", "literal", "beta", XS, None, E + "g2") in rows
     copied = sparql_update(PRE + "COPY ex:g1 TO ex:g2", st)
     assert copied.ds.count() == 4  # g2's own quad replaced by g1's
     assert not any(r[3] == "gamma" for r in _rows(copied))
     moved = sparql_update(PRE + "MOVE ex:g1 TO ex:g2", st)
     rows = _rows(moved)
     assert not any(r[6] == E + "g1" for r in rows)
-    assert (E + "b", E + "name", "literal", "beta", None, None, E + "g2") in rows
+    assert (E + "b", E + "name", "literal", "beta", XS, None, E + "g2") in rows
     # DEFAULT as a target
     to_def = sparql_update(PRE + "ADD ex:g1 TO DEFAULT", st)
-    assert (E + "b", E + "name", "literal", "beta", None, None, None) in _rows(to_def)
+    assert (E + "b", E + "name", "literal", "beta", XS, None, None) in _rows(to_def)
 
 
 def test_unsupported_forms_raise():
     with pytest.raises(SparqlParseError, match="USING"):
         parse_update(PRE + "DELETE { ?s ?p ?o } USING ex:g1 WHERE { ?s ?p ?o }")
-    with pytest.raises(SparqlParseError, match="unsupported UPDATE"):
-        parse_update("LOAD <http://remote/data.nt>")
+    with pytest.raises(SparqlParseError, match="remote"):
+        sparql_update("LOAD <http://remote/data.nt>", base_store())
     with pytest.raises(SparqlParseError, match="ground"):
         sparql_update(PRE + "INSERT DATA { ex:a ex:b ?x }", base_store())
+
+
+def test_load_local_file_into_graph(tmp_path):
+    nq = tmp_path / "extra.nq"
+    nq.write_text(
+        '<http://ex.org/z> <http://ex.org/name> "zeta" <http://ex.org/gz> .\n'
+        '<http://ex.org/z> <http://ex.org/age> "9"^^<' + XSD + 'integer> <http://ex.org/gz> .\n'
+    )
+    out = sparql_update(f"LOAD <file://{nq}>", base_store())
+    rows = _rows(out)
+    assert (E + "z", E + "name", "literal", "zeta", XS, None, E + "gz") in rows
+    assert out.ds.count() == 6
+    # INTO GRAPH overrides the file's own graphs
+    out2 = sparql_update(f"LOAD <file://{nq}> INTO GRAPH <http://ex.org/dst>", base_store())
+    assert all(r[6] == E + "dst" for r in _rows(out2) if r[0] == E + "z")
 
 
 def test_parse_update_shapes():

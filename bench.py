@@ -70,6 +70,7 @@ QUERY_SUBSET = [
     "heavy_hitters",
     "range_join_windows",
     "incr_view_lang_stats",
+    "incr_view_minmax",
     "lake_point_lookup",
     "cdc_chain_derived",
     "dup_spans",

@@ -10,14 +10,16 @@ lake-engine analogue of the reference's derived-graph pattern (a
 are rerun-from-scratch — the Ray-native design replaces the rerun with
 delta folding).
 
-Semantics: additive aggregates only (count / sum). Any additive
-aggregate f satisfies f(S after change) = f(S) + f(inserted) −
-f(retracted), so folding signed contributions is exact for integer
-measures (float sums can carry ±1 ulp residue per fold; groups are
+Semantics: additive aggregates (count / sum) fold exactly — any
+additive f satisfies f(S after change) = f(S) + f(inserted) −
+f(retracted) (float sums can carry ±1 ulp residue per fold; groups are
 dropped by ROW COUNT reaching zero, never by a sum reaching zero).
-min/max are not incrementally maintainable under deletes without
-re-reading the group — use a full `refresh(full=True)` or a recompute
-query for those.
+min/max fold on the MONOTONE side (inserts tighten the extreme; deletes
+of non-extreme values leave it alone) and fall back to a targeted
+recompute ONLY for groups where a retracted value ties the stored
+extreme: those dirty keys (bounded by the changed-key count, usually a
+tiny fraction) are collected and one broadcast-filtered lake pass
+re-aggregates just their rows — never a full recompute.
 
 Exactly-once / resume: a refresh writes the new view directory, then
 atomically renames the manifest (same recipe as state/commitlog.py).
@@ -38,6 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 _SUM_TYPES = {"int64": pa.int64(), "float64": pa.float64()}
+_MINMAX_TYPES = {**_SUM_TYPES, "string": pa.string()}
 
 
 def _norm_measures(measures) -> list[tuple[str, str | None, str, pa.DataType]]:
@@ -48,14 +51,16 @@ def _norm_measures(measures) -> list[tuple[str, str | None, str, pa.DataType]]:
             typ = "int64"
         else:
             name, col, how, typ = m
-        if how not in ("count", "sum"):
+        if how not in ("count", "sum", "min", "max"):
             raise ValueError(
-                f"measure {name!r}: how={how!r} — only additive aggregates "
-                "(count, sum) are incrementally maintainable under deletes"
+                f"measure {name!r}: how={how!r} — count/sum fold additively, "
+                "min/max maintain monotonically with extreme-hit recompute; "
+                "other aggregates are not incrementally maintainable"
             )
-        if how == "sum" and col is None:
-            raise ValueError(f"sum measure {name!r} needs a source column")
-        out.append((name, col, how, _SUM_TYPES[typ]))
+        if how != "count" and col is None:
+            raise ValueError(f"{how} measure {name!r} needs a source column")
+        types = _MINMAX_TYPES if how in ("min", "max") else _SUM_TYPES
+        out.append((name, col, how, types[typ]))
     return out
 
 
@@ -112,11 +117,19 @@ class IncrementalView:
         )
 
     # -- contributions ----------------------------------------------------
-    def _contrib_schema_cols(self) -> list[str]:
-        return [f"c_{n}" for n, _, _, _ in self.measures] + ["__rows"]
+    @property
+    def _additive(self):
+        return [m for m in self.measures if m[2] in ("count", "sum")]
+
+    @property
+    def _minmax(self):
+        return [m for m in self.measures if m[2] in ("min", "max")]
 
     def _contrib(self, tb: pa.Table, signed: bool) -> pa.Table:
-        """(view-projected lake rows [+ sign]) → contribution rows."""
+        """(view-projected lake rows [+ sign]) → contribution rows.
+        Additive measures ride sign-multiplied c_ columns; min/max ride
+        three null-split columns per measure — i_ (inserted values),
+        d_ (retracted values), o_ (stored prior extreme, null here)."""
         if self.prepare is not None and tb.num_rows:
             tb = self.prepare(tb)
         n = tb.num_rows
@@ -124,24 +137,118 @@ class IncrementalView:
             sign = pc.cast(tb.column("sign"), pa.int64())
         else:
             sign = pa.array(np.ones(n, np.int64))
+        pos = pc.greater(sign, 0)
         cols = {k: tb.column(k) for k in self.group_keys}
         for name, col, how, typ in self.measures:
             if how == "count":
                 cols[f"c_{name}"] = pc.cast(sign, typ)
+                continue
+            # prepare() is skipped on empty batches — derived measure
+            # columns may be absent there; contribute a typed empty
+            src = tb.column(col) if col in tb.schema.names else pa.array([], typ)
+            src = pc.cast(src, typ)
+            if how == "sum":
+                cols[f"c_{name}"] = pc.multiply(src, pc.cast(sign, typ))
             else:
-                # prepare() is skipped on empty batches — derived measure
-                # columns may be absent there; contribute a typed empty
-                src = tb.column(col) if col in tb.schema.names else pa.array([], typ)
-                cols[f"c_{name}"] = pc.multiply(pc.cast(src, typ), pc.cast(sign, typ))
+                null = pa.scalar(None, typ)
+                cols[f"i_{name}"] = pc.if_else(pos, src, null)
+                cols[f"d_{name}"] = pc.if_else(pos, null, src)
+                cols[f"o_{name}"] = pa.nulls(n, typ)
         cols["__rows"] = sign
         return pa.table(cols)
 
     def _stored_as_contrib(self, tb: pa.Table) -> pa.Table:
         cols = {k: tb.column(k) for k in self.group_keys}
-        for name, _, _, _ in self.measures:
-            cols[f"c_{name}"] = tb.column(name)
+        n = tb.num_rows
+        for name, _, how, typ in self.measures:
+            if how in ("count", "sum"):
+                cols[f"c_{name}"] = tb.column(name)
+            else:
+                cols[f"i_{name}"] = pa.nulls(n, typ)
+                cols[f"d_{name}"] = pa.nulls(n, typ)
+                cols[f"o_{name}"] = pc.cast(tb.column(name), typ)
         cols["__rows"] = tb.column("__rows")
         return pa.table(cols)
+
+    # -- min/max extreme-hit recompute --------------------------------------
+    @staticmethod
+    def _composite_key(tb: pa.Table, keys: list[str]):
+        parts = [pc.coalesce(pc.cast(tb.column(k), pa.string()), "\x01") for k in keys]
+        j = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x00")
+        return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
+    def _patch_extreme_hits(self, out):
+        """Recompute min/max for the groups the fold flagged dirty: one
+        broadcast-filtered lake pass over ONLY their rows (the dirty set
+        is bounded by the changed-key count), then a vectorized patch of
+        the folded view. Drops the __dirty marker column."""
+        out = out.materialize()  # the view aggregate — small by design
+
+        def dirty_keys(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0 or "__dirty" not in tb.schema.names:
+                return pa.table({"__k": pa.array([], pa.string())})
+            d = tb.filter(tb.column("__dirty"))
+            return pa.table({"__k": self._composite_key(d, self.group_keys)})
+
+        import ray
+
+        kt = [
+            ray.get(r)
+            for r in out.map_batches(
+                dirty_keys, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ]
+        dirty = pa.concat_tables([t for t in kt if t.num_rows], promote_options="none") if any(t.num_rows for t in kt) else None
+
+        def drop_marker(tb: pa.Table) -> pa.Table:
+            return tb.drop_columns(["__dirty"]) if "__dirty" in tb.schema.names else tb
+
+        if dirty is None:
+            return out.map_batches(drop_marker, batch_format="pyarrow", zero_copy_batch=True)
+
+        key_set = dirty.column("__k").combine_chunks()
+        me = self
+        keys = self.group_keys
+
+        def group_rows(tb: pa.Table) -> pa.Table:
+            """Dirty-group rows only, projected to keys + min/max sources
+            (cast to the declared measure type so every block agrees)."""
+            if me.prepare is not None and tb.num_rows:
+                tb = me.prepare(tb)
+            names = set(tb.schema.names)
+            cols = {
+                k: (tb.column(k) if k in names else pa.array([], pa.string())) for k in keys
+            }
+            for _, c, _, t in me._minmax:
+                src = tb.column(c) if c in names else pa.array([], t)
+                cols[c] = pc.cast(src, t)
+            t2 = pa.table(cols)
+            return t2.filter(pc.is_in(me._composite_key(t2, keys), value_set=key_set))
+
+        from .relational import grouped_agg
+
+        src = self.lake.read(view=True).map_batches(
+            group_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        fixed_ds = grouped_agg(src, keys, [(n, c, h) for n, c, h, _ in self._minmax])
+        parts = [t for t in (ray.get(r) for r in fixed_ds.to_arrow_refs()) if t.num_rows]
+        if not parts:  # dirty groups are live by construction; defensive
+            return out.map_batches(drop_marker, batch_format="pyarrow", zero_copy_batch=True)
+        fixed = pa.concat_tables(parts, promote_options="none")
+        fixed_keys = self._composite_key(fixed, keys)
+        fixed_vals = {n: fixed.column(n).combine_chunks() for n, _, _, _ in self._minmax}
+
+        def patch(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return drop_marker(tb)
+            idx = pc.index_in(self._composite_key(tb, keys), value_set=fixed_keys)
+            for name, _, _, typ in self._minmax:
+                repl = pc.take(fixed_vals[name], idx)  # null where not dirty
+                i = tb.schema.get_field_index(name)
+                tb = tb.set_column(i, name, pc.coalesce(repl, pc.cast(tb.column(name), typ)))
+            return drop_marker(tb)
+
+        return out.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
 
     # -- refresh ----------------------------------------------------------
     def refresh(self, full: bool = False) -> dict:
@@ -195,16 +302,53 @@ class IncrementalView:
                 )
                 contrib = contrib.union(prev)
 
-        specs = [(name, f"c_{name}", "sum") for name, _, _, _ in self.measures]
+        specs = [(name, f"c_{name}", "sum") for name, _, how, _ in self._additive]
+        for name, _, how, _ in self._minmax:
+            specs.append((f"{name}__ins", f"i_{name}", how))
+            specs.append((f"{name}__del", f"d_{name}", how))
+            specs.append((f"{name}__old", f"o_{name}", how))
         specs.append(("__rows", "__rows", "sum"))
         agg = grouped_agg(contrib, self.group_keys, specs)
 
+        group_keys = self.group_keys
+        additive = [n for n, _, _, _ in self._additive]
+        minmax = [(n, h) for n, _, h, _ in self._minmax]
+
         def live_groups(tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0:
+            """Drop dead groups; fold min/max on the monotone side and
+            flag extreme-hit groups (a retracted value that TIES the
+            stored extreme may have been its only witness)."""
+            if tb.num_rows == 0 and tb.num_columns == 0:
                 return tb
-            return tb.filter(pc.greater(tb.column("__rows"), 0))
+            tb = tb.filter(pc.greater(tb.column("__rows"), 0))
+            if not minmax:
+                return tb
+            cols = {k: tb.column(k) for k in group_keys}
+            for n in additive:
+                cols[n] = tb.column(n)
+            dirty = pa.array(np.zeros(tb.num_rows, bool))
+            for name, how in minmax:
+                old = tb.column(f"{name}__old")
+                ins = tb.column(f"{name}__ins")
+                dl = tb.column(f"{name}__del")
+                if how == "min":
+                    cand = pc.min_element_wise(old, ins)
+                    cmp = pc.less_equal(dl, old)
+                else:
+                    cand = pc.max_element_wise(old, ins)
+                    cmp = pc.greater_equal(dl, old)
+                # delete hits the stored extreme (or the group had no
+                # stored extreme at all — defensive) ⇒ recompute
+                hit = pc.and_(pc.is_valid(dl), pc.fill_null(cmp, True))
+                dirty = pc.or_(dirty, hit)
+                cols[name] = cand
+            cols["__rows"] = tb.column("__rows")
+            cols["__dirty"] = dirty
+            return pa.table(cols)
 
         out = agg.map_batches(live_groups, batch_format="pyarrow", zero_copy_batch=True)
+        if minmax:
+            out = self._patch_extreme_hits(out)
 
         vv = (int(state["view_version"]) + 1) if state else 0
         d = f"v{vv:06d}"

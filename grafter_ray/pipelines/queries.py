@@ -1857,6 +1857,67 @@ FROM survivors GROUP BY 1, 2
 """
 
 
+def q_incr_view_minmax(sf_dir: str):
+    """Min/max incremental view under the oracle gate: the same
+    two-window documents binlog, but the view maintains per-(repo, lang)
+    MIN/MAX of content length — inserts fold monotonically; window 2's
+    %7 delete wave retracts rows, and every group whose retracted value
+    ties the stored extreme is recomputed by ONE broadcast-filtered lake
+    pass over just those groups' rows (incview._patch_extreme_hits),
+    never a full recompute. Folded + patched state must equal the
+    full-recompute SQL."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .incview import IncrementalView
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_incview_mm_")
+    try:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+
+        def prepare(tb: pa.Table) -> pa.Table:
+            return tb.append_column(
+                "n_chars_src", pc.cast(pc.utf8_length(tb.column("content")), pa.int64())
+            )
+
+        view = IncrementalView(
+            lake,
+            f"{tmp}/view",
+            ["repo", "lang"],
+            [
+                ("n_docs", None, "count"),
+                ("min_chars", "n_chars_src", "min"),
+                ("max_chars", "n_chars_src", "max"),
+            ],
+            prepare=prepare,
+        )
+        view.refresh()
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        stats = view.refresh()
+        if stats["mode"] != "incremental":  # the gate must exercise the fold
+            raise RuntimeError(f"expected an incremental fold, got {stats['mode']}")
+        return view.read_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INCR_VIEW_MINMAX = """
+WITH survivors AS (
+  SELECT source, lang,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+)
+SELECT 'repo/' || source AS repo, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(length(t)) AS BIGINT) AS min_chars,
+       CAST(max(length(t)) AS BIGINT) AS max_chars
+FROM survivors GROUP BY 1, 2
+"""
+
+
 def q_lake_point_lookup(sf_dir: str):
     """Indexed point lookup against the converged docs lake
     (CDCLake.lookup): keys hash-route to exactly one partition —
@@ -2901,6 +2962,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "incr_view_lang_stats": q_incr_view_lang_stats,
+    "incr_view_minmax": q_incr_view_minmax,
     "lake_point_lookup": q_lake_point_lookup,
     "dup_spans": q_dup_spans,
     "cdc_chain_derived": q_cdc_chain_derived,
@@ -2989,6 +3051,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
+    "incr_view_minmax": SQL_INCR_VIEW_MINMAX,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "dup_spans": SQL_DUP_SPANS,
     "cdc_chain_derived": SQL_CDC_CHAIN_DERIVED,

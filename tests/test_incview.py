@@ -370,6 +370,135 @@ def test_incview_over_chained_lake(tmp_path):
         _assert_view_matches(view, lake)
 
 
+MM_MEASURES = [
+    ("n_docs", None, "count"),
+    ("min_chars", "n_chars", "min"),
+    ("max_chars", "n_chars", "max"),
+]
+
+
+def _mm_view(lake, root) -> IncrementalView:
+    return IncrementalView(lake, root, ["repo"], MM_MEASURES, prepare=_prepare)
+
+
+def _mm_recompute(lake) -> pa.Table:
+    tb = _prepare(lake.read_table(view=True))
+    g = tb.group_by(["repo"]).aggregate(
+        [("repo", "count"), ("n_chars", "min"), ("n_chars", "max")]
+    )
+    out = pa.table(
+        {
+            "repo": g.column("repo"),
+            "n_docs": pc.cast(g.column("repo_count"), pa.int64()),
+            "min_chars": pc.cast(g.column("n_chars_min"), pa.int64()),
+            "max_chars": pc.cast(g.column("n_chars_max"), pa.int64()),
+        }
+    )
+    return out.sort_by([("repo", "ascending")])
+
+
+def _assert_mm_matches(view, lake):
+    got = view.read_table()
+    want = _mm_recompute(lake)
+    assert got.num_rows == want.num_rows
+    for c in want.schema.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_minmax_view_monotone_inserts(tmp_path):
+    # inserts only: the fold tightens min/max without any recompute
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(_mini_binlog([(0, "upsert", "r", "a", "c0", "py", "xx")])))
+    view = _mm_view(lake, str(tmp_path / "view"))
+    view.refresh()
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (1, "upsert", "r", "b", "c1", "py", "yyyyyy"),
+                    (2, "upsert", "r", "c", "c2", "py", "z"),
+                ]
+            )
+        )
+    )
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    _assert_mm_matches(view, lake)
+
+
+def test_minmax_view_delete_hits_extreme_recomputes(tmp_path):
+    # deleting the min-holding row forces the targeted recompute path
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (0, "upsert", "r", "short", "c0", "py", "z"),
+                    (1, "upsert", "r", "mid", "c1", "py", "yyy"),
+                    (2, "upsert", "r", "long", "c2", "py", "xxxxxxx"),
+                ]
+            )
+        )
+    )
+    view = _mm_view(lake, str(tmp_path / "view"))
+    view.refresh()
+    lake.apply(rd.from_arrow(_mini_binlog([(3, "delete", "r", "short", None, None, None)])))
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    _assert_mm_matches(view, lake)  # min moves z→yyy only via recompute
+    # and the other direction: delete the max holder
+    lake.apply(rd.from_arrow(_mini_binlog([(4, "delete", "r", "long", None, None, None)])))
+    view.refresh()
+    _assert_mm_matches(view, lake)
+
+
+def test_minmax_view_nonextreme_delete_and_tie(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (0, "upsert", "r", "a", "c0", "py", "q"),  # tie at min (len 1)
+                    (1, "upsert", "r", "b", "c1", "py", "w"),
+                    (2, "upsert", "r", "c", "c2", "py", "mmmm"),
+                    (3, "upsert", "s", "d", "c3", "go", "pp"),
+                ]
+            )
+        )
+    )
+    view = _mm_view(lake, str(tmp_path / "view"))
+    view.refresh()
+    lake.apply(
+        rd.from_arrow(
+            _mini_binlog(
+                [
+                    (4, "delete", "r", "c", None, None, None),  # non-extreme... (max!) forces max recompute
+                    (5, "delete", "r", "a", None, None, None),  # min tie survives via b
+                ]
+            )
+        )
+    )
+    view.refresh()
+    _assert_mm_matches(view, lake)
+    got = view.read_table()
+    r = got.filter(pc.equal(got.column("repo"), "r"))
+    assert r.column("min_chars").to_pylist() == [1]  # the tie survived
+    # untouched group stays put
+    s = got.filter(pc.equal(got.column("repo"), "s"))
+    assert s.column("n_docs").to_pylist() == [1]
+
+
+def test_minmax_view_updates_across_windows_match_recompute(tmp_path):
+    cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=8, schema_every=100_000, delete_pct=0.2)
+    binlog = binlog_table(cfg)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    view = _mm_view(lake, str(tmp_path / "view"))
+    for upto in (1_000, 2_000, cfg.n_events):
+        lake.apply(rd.from_arrow(binlog), upto_lsn=upto - 1)
+        view.refresh()
+        _assert_mm_matches(view, lake)
+
+
 def test_deleted_keys_chain_fast_path_matches_full(tmp_path):
     # extend-only chain (suffix-tombstone fast path: O(deletes) existence
     # probe against a repo-pruned old-chain read) vs rewrite-only lake

@@ -181,32 +181,31 @@ class IncrementalView:
         """Recompute min/max for the groups the fold flagged dirty: one
         broadcast-filtered lake pass over ONLY their rows (the dirty set
         is bounded by the changed-key count), then a vectorized patch of
-        the folded view. Drops the __dirty marker column."""
-        out = out.materialize()  # the view aggregate — small by design
-
-        def dirty_keys(tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0 or "__dirty" not in tb.schema.names:
-                return pa.table({"__k": pa.array([], pa.string())})
-            d = tb.filter(tb.column("__dirty"))
-            return pa.table({"__k": self._composite_key(d, self.group_keys)})
-
+        the folded view. Drops the __dirty marker column. The folded
+        aggregate is collected to the driver here — the view is small by
+        design (read_table already reads it driver-side), and doing the
+        key-extraction and patch in-process saves two Ray executions per
+        refresh."""
         import ray
+        import ray.data as rd
 
-        kt = [
-            ray.get(r)
-            for r in out.map_batches(
-                dirty_keys, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+        blocks = [
+            t
+            for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows and t.num_columns
         ]
-        dirty = pa.concat_tables([t for t in kt if t.num_rows], promote_options="none") if any(t.num_rows for t in kt) else None
+        if not blocks:
+            return rd.from_arrow(pa.table({}))
+        folded = pa.concat_tables(blocks, promote_options="none")
 
         def drop_marker(tb: pa.Table) -> pa.Table:
             return tb.drop_columns(["__dirty"]) if "__dirty" in tb.schema.names else tb
 
-        if dirty is None:
-            return out.map_batches(drop_marker, batch_format="pyarrow", zero_copy_batch=True)
+        dirty = folded.filter(folded.column("__dirty"))
+        if dirty.num_rows == 0:
+            return rd.from_arrow(drop_marker(folded))
 
-        key_set = dirty.column("__k").combine_chunks()
+        key_set = self._composite_key(dirty, self.group_keys)
         me = self
         keys = self.group_keys
 
@@ -233,22 +232,20 @@ class IncrementalView:
         fixed_ds = grouped_agg(src, keys, [(n, c, h) for n, c, h, _ in self._minmax])
         parts = [t for t in (ray.get(r) for r in fixed_ds.to_arrow_refs()) if t.num_rows]
         if not parts:  # dirty groups are live by construction; defensive
-            return out.map_batches(drop_marker, batch_format="pyarrow", zero_copy_batch=True)
+            return rd.from_arrow(drop_marker(folded))
         fixed = pa.concat_tables(parts, promote_options="none")
         fixed_keys = self._composite_key(fixed, keys)
-        fixed_vals = {n: fixed.column(n).combine_chunks() for n, _, _, _ in self._minmax}
-
-        def patch(tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0:
-                return drop_marker(tb)
-            idx = pc.index_in(self._composite_key(tb, keys), value_set=fixed_keys)
-            for name, _, _, typ in self._minmax:
-                repl = pc.take(fixed_vals[name], idx)  # null where not dirty
-                i = tb.schema.get_field_index(name)
-                tb = tb.set_column(i, name, pc.coalesce(repl, pc.cast(tb.column(name), typ)))
-            return drop_marker(tb)
-
-        return out.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
+        idx = pc.index_in(self._composite_key(folded, keys), value_set=fixed_keys)
+        tb = folded
+        for name, _, _, typ in self._minmax:
+            repl = pc.take(fixed.column(name).combine_chunks(), idx)  # null where not dirty
+            # combine_chunks is LOAD-BEARING: pc.coalesce(Array,
+            # multi-chunk ChunkedArray) silently misaligns chunks and
+            # returns garbage past the first chunk (pyarrow 16)
+            old = pc.cast(tb.column(name), typ).combine_chunks()
+            i = tb.schema.get_field_index(name)
+            tb = tb.set_column(i, name, pc.coalesce(repl, old))
+        return rd.from_arrow(drop_marker(tb))
 
     # -- refresh ----------------------------------------------------------
     def refresh(self, full: bool = False) -> dict:

@@ -1925,10 +1925,17 @@ def sparql_update(update_text: str, store):
     per-solution fresh nodes. Instantiated delete sets are broadcast to an
     anti-filter (same shape as QuadStore.delete) — right for
     update-sized deletes; a delete rewriting most of the store is a
-    full-scan rewrite either way."""
+    full-scan rewrite either way. Inserts union WITHOUT deduping and ONE
+    set-semantics dedup runs after the last operation — every op's
+    semantics are multiplicity-insensitive (deletes remove all copies,
+    duplicate solutions instantiate duplicate quads that collapse in the
+    final dedup), so the request pays one sort exchange, not one per
+    insert."""
+    dirty = False
     for op in parse_update(update_text):
-        store = _apply_update_op(store, op)
-    return store
+        store, added = _apply_update_op(store, op)
+        dirty = dirty or added
+    return store.dedup() if dirty else store
 
 
 def _ground_quads(template: list) -> pa.Table:
@@ -2053,21 +2060,26 @@ def _graph_retarget(store, src: tuple, dst_c: str | None):
 
 
 def _apply_update_op(store, op: dict):
+    """→ (new store, inserted_anything) — the caller runs ONE final
+    set-semantics dedup per request instead of one per insert op."""
+    import ray.data as rd
+
     from ..schemas import QUAD
     from .store import QuadStore
 
     kind = op["op"]
     if kind == "create":
-        return store  # graphs exist implicitly; CREATE is a no-op
+        return store, False  # graphs exist implicitly; CREATE is a no-op
     if kind == "insert_data":
-        return store.add(_normalize_plain(_ground_quads(op["quads"])))
+        quads = _normalize_plain(_ground_quads(op["quads"]))
+        return QuadStore(store.ds.union(rd.from_arrow(quads))), True
     if kind == "delete_data":
-        return _delete_instantiated(store, _ground_quads(op["quads"]), exact=True)
+        return _delete_instantiated(store, _ground_quads(op["quads"]), exact=True), False
     if kind == "delete_where":
         q, tmpl = _where_from_template(op["quads"], op.get("with"))
         sols = _run_select(q, store)
         quads = _instantiate_quads(tmpl, sols, _pattern_iri_vars(q))
-        return _delete_instantiated(store, quads, exact=False)
+        return _delete_instantiated(store, quads, exact=False), False
     if kind == "modify":
         q = op["q"]
         # project the solutions down to the vars the templates consume —
@@ -2090,16 +2102,15 @@ def _apply_update_op(store, op: dict):
             dead = _instantiate_quads(op["delete"], sols, iri_vars, op["with"])
             out = _delete_instantiated(out, dead, exact=False)
         if op["insert"]:
-            out = out.add(
-                _normalize_plain(_instantiate_quads(op["insert"], sols, iri_vars, op["with"]))
-            )
-        return out
+            ins = _normalize_plain(_instantiate_quads(op["insert"], sols, iri_vars, op["with"]))
+            out = QuadStore(out.ds.union(rd.from_arrow(ins)))
+        return out, bool(op["insert"])
     if kind == "clear":
         if op["target"][0] == "all":
-            return QuadStore.from_table(QUAD.empty_table())
+            return QuadStore.from_table(QUAD.empty_table()), False
         return QuadStore(
             store.ds.map_batches(_graph_mask(op["target"]), batch_format="pyarrow", zero_copy_batch=True)
-        )
+        ), False
     if kind == "load":
         url = op["url"]
         if url.startswith(("http://", "https://")):
@@ -2117,11 +2128,11 @@ def _apply_update_op(store, op: dict):
                 return tb.set_column(tb.schema.get_field_index("c"), "c", c2)
 
             loaded = loaded.map_batches(retag, batch_format="pyarrow", zero_copy_batch=True)
-        return QuadStore(store.ds.union(loaded)).dedup()
+        return QuadStore(store.ds.union(loaded)), True
     if kind in ("add", "copy", "move"):
         src, dst = op["src"], op["dst"]
         if src == dst:
-            return store
+            return store, False
         for ref in (src, dst):
             if ref[0] not in ("default", "graph"):
                 raise SparqlParseError(f"{kind.upper()} needs DEFAULT or a named graph, got {ref[0].upper()}")
@@ -2129,11 +2140,11 @@ def _apply_update_op(store, op: dict):
         moved = _graph_retarget(store, src, dst_c)  # streaming, pre-clear snapshot
         out = store
         if kind == "copy":  # COPY replaces the destination graph first
-            out = _apply_update_op(out, {"op": "clear", "target": dst})
-        out = QuadStore(out.ds.union(moved)).dedup()
+            out, _ = _apply_update_op(out, {"op": "clear", "target": dst})
+        out = QuadStore(out.ds.union(moved))
         if kind == "move":
-            out = _apply_update_op(out, {"op": "clear", "target": src})
-        return out
+            out, _ = _apply_update_op(out, {"op": "clear", "target": src})
+        return out, True
     raise SparqlParseError(f"unknown update op {kind!r}")
 
 

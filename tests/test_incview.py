@@ -488,6 +488,25 @@ def test_minmax_view_nonextreme_delete_and_tie(tmp_path):
     assert s.column("n_docs").to_pylist() == [1]
 
 
+def test_minmax_untouched_groups_survive_targeted_recompute(tmp_path):
+    # regression: the extreme-hit patch coalesces the recomputed values
+    # into a driver-side concat of MANY small blocks (multi-chunk
+    # columns) — pyarrow's coalesce(Array, multi-chunk ChunkedArray)
+    # silently corrupts trailing chunks unless chunks are combined
+    # first. Many untouched groups + one dirty group exercises it.
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    rows = [(i, "upsert", f"r{i % 23}", f"p{i}", f"c{i}", "py", "x" * (10 + i % 37)) for i in range(200)]
+    lake.apply(rd.from_arrow(_mini_binlog(rows)))
+    view = _mm_view(lake, str(tmp_path / "view"))
+    view.refresh()
+    # delete ONE group's min holder → exactly that group recomputes
+    tgt = min((r for r in rows if r[2] == "r7"), key=lambda r: len(r[6]))
+    lake.apply(rd.from_arrow(_mini_binlog([(200, "delete", "r7", tgt[3], None, None, None)])))
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    _assert_mm_matches(view, lake)  # every untouched group must keep its extremes
+
+
 def test_minmax_view_updates_across_windows_match_recompute(tmp_path):
     cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=8, schema_every=100_000, delete_pct=0.2)
     binlog = binlog_table(cfg)

@@ -79,15 +79,21 @@ def _source_version_for(src, dst_watermark: int) -> int | None:
     return best
 
 
-def sync_lakes(src, dst, transform=None, **apply_kwargs) -> dict:
+def sync_lakes(src, dst, transform=None, at_version: int | None = None, **apply_kwargs) -> dict:
     """One incremental sync of `dst` from `src`'s change feed.
 
     transform: optional batch→batch pyarrow callable over BINLOG-shaped
     upsert rows (derive/rewrite `content`, `lang`, … — the ETL step).
     It must be a pure per-row map and must NOT touch the key or lsn
     columns (repo, path, lsn) — those carry the exactly-once identity.
-    Delete events bypass it. Returns {mode, src_version, manifest}."""
-    src_m = src.manifest
+    Delete events bypass it.
+    at_version: pin the sync target to an older committed SRC version
+    (time travel) — supported for the BOOTSTRAP path only (the change
+    feed always diffs against the latest src manifest); lets a derived
+    lake bootstrap at a historical version of a shared read-only
+    upstream and catch up incrementally on the next sync.
+    Returns {mode, src_version, manifest}."""
+    src_m = src.manifest_at(at_version)
     if src_m is None:
         return {"mode": "noop", "src_version": None, "manifest": dst.manifest}
     since = _source_version_for(src, dst.watermark)
@@ -96,11 +102,18 @@ def sync_lakes(src, dst, transform=None, **apply_kwargs) -> dict:
 
     if since is None:
         mode = "bootstrap"
-        ups = src.read(view=False).map_batches(
+        ups = src.read(view=False, version=at_version).map_batches(
             _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
         )
         feed = ups
     else:
+        if at_version is not None and (
+            src.manifest is None or int(src.manifest["version"]) != int(src_m["version"])
+        ):
+            raise ValueError(
+                "incremental sync targets the latest src version only — "
+                "at_version is a bootstrap-time pin"
+            )
         mode = "incremental"
         ups = src.read_changes(since, view=False).map_batches(
             _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True

@@ -248,19 +248,31 @@ class IncrementalView:
         return rd.from_arrow(drop_marker(tb))
 
     # -- refresh ----------------------------------------------------------
-    def refresh(self, full: bool = False) -> dict:
+    def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
         """Fold lake changes since the last refresh into the view.
         First refresh (or full=True) builds from a full lake read; later
         refreshes read ONLY the partitions whose manifest max_lsn moved.
+        `at_version` pins the refresh target to an older committed lake
+        version (time travel) — supported for the FULL path only (the
+        change feed always diffs against the latest manifest), so it
+        lets a view bootstrap at a historical version of a shared
+        read-only lake and then catch up incrementally.
         Returns {mode, view_version, lake_version, changed_partitions}."""
         import ray
         import ray.data as rd
 
         from .relational import grouped_agg
 
-        lm = self.lake.manifest
+        lm = self.lake.manifest_at(at_version)
         lake_v = int(lm["version"]) if lm else -1
         state = self.manifest()
+        if at_version is not None and state is not None and not full:
+            latest = self.lake.manifest
+            if latest is None or int(latest["version"]) != lake_v:
+                raise ValueError(
+                    "incremental refresh targets the latest lake version only — "
+                    "pass full=True to rebuild pinned at an older version"
+                )
         if state is not None and not full and int(state["lake_version"]) == lake_v:
             return {
                 "mode": "noop",
@@ -274,7 +286,10 @@ class IncrementalView:
         if state is None or full:
             mode = "full"
             changed = self.lake.num_partitions
-            src = self.lake.read(view=True)
+            # pinned full reads can never flag extreme hits (signed=False
+            # contributes no retractions), so _patch_extreme_hits — which
+            # always reads the LATEST lake — is unreachable here
+            src = self.lake.read(view=True, version=at_version)
             contrib = src.map_batches(
                 lambda tb: signed_me._contrib(tb, signed=False),
                 batch_format="pyarrow",

@@ -1132,12 +1132,19 @@ class CDCLake:
             return _merge_chain(base, chain)
         return base if base is not None else LAKE.empty_table()
 
-    def read(self, view: bool = True, columns: list[str] | None = None):
+    def read(
+        self,
+        view: bool = True,
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ):
         """Lake state as a streaming ray.data.Dataset (evolved-schema view
-        applied per batch unless view=False)."""
+        applied per batch unless view=False). `version` pins an older
+        committed manifest (time travel) — the pinned version's files must
+        still be live (vacuum keeps the retention horizon)."""
         import ray.data as rd
 
-        entries = self.partition_entries()
+        entries = self.partition_entries(version)
         if not entries:
             ds = rd.from_arrow(LAKE.empty_table())
         elif any(e.get("deltas") for e in entries):
@@ -1163,11 +1170,12 @@ class CDCLake:
                 merge_entry, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
             )
         else:
-            ds = rd.read_parquet(self.files(), columns=columns)
-        if view and self.schema_version > 0:
-            v = self.schema_version
+            ds = rd.read_parquet(self.files(version), columns=columns)
+        m = self.manifest_at(version)
+        sv = m["schema_version"] if m else 0
+        if view and sv > 0:
             ds = ds.map_batches(
-                lambda tb: apply_view(tb, v), batch_format="pyarrow", zero_copy_batch=True
+                lambda tb: apply_view(tb, sv), batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
 

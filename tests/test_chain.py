@@ -131,3 +131,39 @@ def test_second_hop_chain(tmp_path):
     assert d.column("path").to_pylist() == s.column("path").to_pylist()
     assert d.column("content").to_pylist() == s.column("content").to_pylist()
     assert d.column("last_lsn").to_pylist() == [4 * x for x in s.column("last_lsn").to_pylist()]
+
+
+def test_pinned_bootstrap_then_catchup_from_shared_lake(tmp_path):
+    """Bootstrap a derived lake pinned at an OLDER committed version of a
+    fully-applied (shared, read-only) upstream, then one plain sync
+    catches up incrementally to the latest state."""
+    import pytest
+
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    m1 = src.apply(rd.from_arrow(_mini_binlog(W1)))
+    src.apply(rd.from_arrow(_mini_binlog(W2)))
+    v0 = int(m1["version"])
+
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    s1 = sync_lakes(src, dst, at_version=v0)
+    assert s1["mode"] == "bootstrap" and s1["src_version"] == v0
+    # dst tracks window-1 state only
+    w1_state = src.read_table(view=False, version=v0)
+    d = dst.read_table(view=False)
+    assert d.column("path").to_pylist() == w1_state.column("path").to_pylist()
+
+    s2 = sync_lakes(src, dst)
+    assert s2["mode"] == "incremental"
+    _assert_tracks(src, dst, transformed=False)
+
+    # re-pinning at an already-synced version is a clean noop
+    dst2 = CDCLake(str(tmp_path / "dst2"), num_partitions=4)
+    sync_lakes(src, dst2, at_version=v0)
+    assert sync_lakes(src, dst2, at_version=v0)["mode"] == "noop"
+
+    # but an INCREMENTAL sync pinned to a non-latest version is an error,
+    # not silent drift
+    v1 = int(src.manifest["version"])
+    src.apply(rd.from_arrow(_mini_binlog([(7, "upsert", "r", "d", "c7", "go", "delta2")])))
+    with pytest.raises(ValueError, match="latest src version"):
+        sync_lakes(src, dst2, at_version=v1)

@@ -589,3 +589,72 @@ def test_read_changes_chain_fast_path_matches_full(tmp_path):
         return {(r["repo"], r["path"], r["content_sha"], r["last_lsn"]) for r in t}
 
     assert rows(fast, vf) == rows(full, vr) != set()
+
+
+def test_pinned_bootstrap_then_catchup(tmp_path):
+    """A view over a SHARED fully-applied lake: bootstrap pinned at an
+    older committed version (refresh(at_version=v0) must see only
+    window-1 state), then one plain refresh folds the rest of the
+    history incrementally — matching recompute at each target."""
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    m1 = lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    lake.apply(rd.from_arrow(binlog))
+    v0 = int(m1["version"])
+
+    view = _view(lake, str(tmp_path / "view"))
+    st = view.refresh(at_version=v0)
+    assert st["mode"] == "full" and st["lake_version"] == v0
+    want0 = _prepare(lake.read_table(view=True, version=v0))
+    got0 = view.read_table()
+    assert got0.column("n_docs").to_pylist() == [
+        r
+        for r in want0.group_by(["repo", "lang"])
+        .aggregate([("repo", "count")])
+        .sort_by([("repo", "ascending"), ("lang", "ascending")])
+        .column("repo_count")
+        .to_pylist()
+    ]
+
+    st2 = view.refresh()
+    assert st2["mode"] == "incremental"
+    _assert_view_matches(view, lake)
+
+
+def test_pinned_incremental_refresh_rejected(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    m1 = lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    lake.apply(rd.from_arrow(binlog))
+    view = _view(lake, str(tmp_path / "view"))
+    view.refresh(at_version=int(m1["version"]))
+    with pytest.raises(ValueError, match="latest lake version"):
+        view.refresh(at_version=int(m1["version"]))
+
+
+def test_lake_read_version_pinned_matches_read_table(tmp_path):
+    """Streaming read(version=) must return exactly read_table(version=)
+    — through delta chains too."""
+    binlog = binlog_table(CFG)
+    # ratio > 1 forces the LSM delta path (window-2 winners can outnumber
+    # window-1 live rows when 15% of keys were tombstoned)
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=8, delta_ratio=10.0, max_delta_chain=10
+    )
+    m1 = lake.apply(rd.from_arrow(binlog), upto_lsn=2_000)
+    lake.apply(rd.from_arrow(binlog))
+    assert any(e.get("deltas") for e in lake.partition_entries())
+    for v in (int(m1["version"]), None):
+        want = lake.read_table(view=False, version=v)
+        got = pa.concat_tables(
+            [pa.Table.from_pylist(b.to_pylist(), schema=want.schema) for b in [t for t in _collect(lake.read(view=False, version=v))] if b.num_rows]
+        ).sort_by([("repo", "ascending"), ("path", "ascending")])
+        assert got.num_rows == want.num_rows
+        for c in ("repo", "path", "content_sha", "last_lsn"):
+            assert got.column(c).to_pylist() == want.column(c).to_pylist(), (v, c)
+
+
+def _collect(ds):
+    import ray
+
+    return [ray.get(r) for r in ds.to_arrow_refs()]

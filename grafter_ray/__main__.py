@@ -1,0 +1,200 @@
+"""`python -m grafter_ray` — the `ray job submit` entry point.
+
+The north rule runs the engine as a Ray job on a fixed-size cluster:
+
+    ray job submit --working-dir . -- \
+        python -m grafter_ray replay --binlog s3://…/binlog --lake /mnt/lake \
+            --window-size 10000000 --partitions 256
+
+Every subcommand is RESUMABLE: the lake's committed manifest carries the
+per-partition high-watermark LSNs, so re-submitting the same job after a
+crash (or against a grown binlog) applies only events beyond the
+watermark — exactly-once across retries. One JSON line of lineage /
+metrics goes to stdout per command (machine-readable for job drivers);
+progress goes to stderr.
+
+Session ownership: this module is one of the three sanctioned Ray-session
+owners (with bench.py and the test fixture). Inside `ray job submit` the
+job runtime has already initialised Ray, so init is guarded.
+
+Reference parity: grafter exposes its pipelines as `lein grafter`-style
+command invocations over declared pipeline vars (grafter's pipeline
+tooling); this is the same operational surface re-expressed for a Ray
+cluster job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ray_session(address: str | None, num_cpus: int | None):
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        kw = {"num_cpus": num_cpus} if num_cpus else {}
+        ray.init(
+            address=address or os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+            **kw,
+        )
+    return owned
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj, sort_keys=True))
+
+
+def _manifest_summary(m: dict | None) -> dict:
+    if m is None:
+        return {"version": None, "watermark_lsn": -1, "lake_rows": 0}
+    return {
+        "version": int(m["version"]),
+        "watermark_lsn": int(m["watermark_lsn"]),
+        "schema_version": int(m["schema_version"]),
+        "num_partitions": int(m["num_partitions"]),
+        "live_partitions": len(m["partitions"]),
+        "lake_rows": int(sum(e["rows"] for e in m["partitions"].values())),
+        "chained_partitions": sum(1 for e in m["partitions"].values() if e.get("deltas")),
+        "counters": dict(m["counters"]),
+    }
+
+
+def cmd_replay(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    before = lake.watermark
+    t0 = time.perf_counter()
+    m = lake.apply(
+        args.binlog,
+        upto_lsn=args.upto_lsn,
+        window_size=args.window_size,
+        batch_size=args.batch_size,
+        payload_mode=args.payload_mode,
+    )
+    wall = time.perf_counter() - t0
+    after = int(m["watermark_lsn"]) if m else before
+    applied = max(0, after - before)
+    out = {
+        "cmd": "replay",
+        "resumed_from_lsn": before,
+        "events_applied": applied,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(applied / wall, 1) if wall > 0 and applied else 0.0,
+        **_manifest_summary(m),
+    }
+    _emit(out)
+    return 0
+
+
+def cmd_tail(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    for m in lake.tail(
+        args.binlog,
+        poll_interval_s=args.poll_interval,
+        max_polls=args.max_polls,
+        window_size=args.window_size,
+    ):
+        _emit({"cmd": "tail", **_manifest_summary(m)})
+        sys.stdout.flush()
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    log = lake.log
+    _emit({"cmd": "status", "versions": log.versions(), **_manifest_summary(lake.manifest)})
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    m = lake.compact()
+    _emit({"cmd": "compact", **_manifest_summary(m)})
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    removed = lake.vacuum(keep_versions=args.keep_versions)
+    _emit({"cmd": "vacuum", "files_removed": int(removed), **_manifest_summary(lake.manifest)})
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m grafter_ray", description=__doc__.splitlines()[0])
+    p.add_argument("--ray-address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
+    p.add_argument("--num-cpus", type=int, default=None, help="cap the locally-owned Ray session (ignored on a cluster)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def lake_args(sp, partitions_default=256):
+        sp.add_argument("--lake", required=True, help="lake root directory")
+        sp.add_argument(
+            "--partitions",
+            type=int,
+            default=partitions_default,
+            help="LOGICAL partition count — fixed for a lake's lifetime, sized ≫ workers",
+        )
+
+    sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
+    sp.add_argument("--binlog", required=True, help="binlog parquet directory")
+    lake_args(sp)
+    sp.add_argument("--window-size", type=int, default=None, help="LSNs per checkpoint window (default: one commit)")
+    sp.add_argument("--upto-lsn", type=int, default=None, help="stop after this LSN (default: binlog max from footer stats)")
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--payload-mode", choices=["two_pass", "single_pass"], default="two_pass")
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
+    sp.add_argument("--binlog", required=True)
+    lake_args(sp)
+    sp.add_argument("--window-size", type=int, default=None)
+    sp.add_argument("--poll-interval", type=float, default=2.0)
+    sp.add_argument("--max-polls", type=int, default=None, help="bound the loop (default: run forever)")
+    sp.set_defaults(fn=cmd_tail)
+
+    sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")
+    lake_args(sp)
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("compact", help="fold all LSM delta chains into fresh bases (OPTIMIZE)")
+    lake_args(sp)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("vacuum", help="delete data files unreferenced by the retained manifests")
+    lake_args(sp)
+    sp.add_argument("--keep-versions", type=int, default=2)
+    sp.set_defaults(fn=cmd_vacuum)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    needs_ray = args.cmd != "status"
+    owned = _ray_session(args.ray_address, args.num_cpus) if needs_ray else False
+    try:
+        return args.fn(args)
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

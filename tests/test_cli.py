@@ -1,0 +1,84 @@
+"""`python -m grafter_ray` job entry point (grafter's pipeline-command
+surface, re-expressed as the north rule's `ray job submit` job): replay
+is resumable + exactly-once across invocations, status/compact/vacuum
+report machine-readable lineage."""
+
+import json
+
+import pyarrow.parquet as pq
+
+from grafter_ray import BinlogConfig, binlog_table, oracle_lake_table
+from grafter_ray.__main__ import main
+
+CFG = BinlogConfig(n_events=3_000, n_keys=250, n_repos=6, schema_every=1_500, delete_pct=0.1)
+
+
+def _run(capsys, argv) -> dict:
+    assert main(argv) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1])
+
+
+def _write_binlog(tmp_path) -> str:
+    p = tmp_path / "binlog"
+    p.mkdir()
+    tb = binlog_table(CFG)
+    pq.write_table(tb.slice(0, 1_500), p / "part-0.parquet")
+    pq.write_table(tb.slice(1_500), p / "part-1.parquet")
+    return str(p)
+
+
+def test_replay_resume_status_compact_vacuum(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+
+    out = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake,
+                        "--partitions", "8", "--window-size", "1000"])
+    assert out["events_applied"] == CFG.n_events
+    assert out["resumed_from_lsn"] == -1
+    assert out["watermark_lsn"] == CFG.n_events - 1
+    assert out["version"] == 2  # 3 windows → versions 0..2
+    want, _ = oracle_lake_table(binlog_table(CFG))
+    assert out["lake_rows"] == want.num_rows
+
+    # exactly-once: a resubmitted job applies nothing and commits nothing
+    out2 = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == 0
+    assert out2["version"] == out["version"]
+    assert out2["resumed_from_lsn"] == CFG.n_events - 1
+
+    st = _run(capsys, ["status", "--lake", lake, "--partitions", "8"])
+    assert st["versions"] == [0, 1, 2]
+    assert st["lake_rows"] == want.num_rows
+
+    cp = _run(capsys, ["compact", "--lake", lake, "--partitions", "8"])
+    assert cp["chained_partitions"] == 0
+    vc = _run(capsys, ["vacuum", "--lake", lake, "--partitions", "8", "--keep-versions", "1"])
+    assert vc["files_removed"] >= 0
+    # lake still readable after vacuum
+    st2 = _run(capsys, ["status", "--lake", lake, "--partitions", "8"])
+    assert st2["lake_rows"] == want.num_rows
+
+
+def test_tail_bounded_polls(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    out = _run(capsys, ["tail", "--binlog", binlog, "--lake", lake,
+                        "--partitions", "8", "--max-polls", "1", "--poll-interval", "0"])
+    assert out["cmd"] == "tail"
+    assert out["watermark_lsn"] == CFG.n_events - 1
+
+
+def test_mid_stream_resume_after_partial_window(tmp_path, capsys):
+    """A job stopped mid-binlog (upto-lsn cut) resumes from the committed
+    watermark and converges to the same state as a single run."""
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    a = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake,
+                      "--partitions", "8", "--upto-lsn", "1111"])
+    assert a["watermark_lsn"] == 1111
+    b = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    assert b["resumed_from_lsn"] == 1111
+    assert b["events_applied"] == CFG.n_events - 1112
+    want, _ = oracle_lake_table(binlog_table(CFG))
+    assert b["lake_rows"] == want.num_rows

@@ -821,16 +821,25 @@ def set_jaccard_pairs_prefix(
             {"id_a": pa.array(np.concatenate(out_a)), "id_b": pa.array(np.concatenate(out_b))}
         )
 
-    cands = first_row_per_key(
-        grouped_block_map(prefixes, ["token"], token_pairs), ["id_a", "id_b"]
-    )
+    # candidate pairs arrive DUPLICATED (one copy per shared prefix
+    # token); the dedup folds into the id_a blob-attach's co-group —
+    # equal (id_a, id_b) rows co-locate under the id_a key, so a
+    # dedicated (id_a, id_b) dedup exchange would move the candidate
+    # stream (the largest intermediate on boilerplate corpora) across
+    # the cluster one extra time for nothing.
+    cands = grouped_block_map(prefixes, ["token"], token_pairs)
 
-    def attach_blob(pairs_ds, key_col: str, out_blob: str, out_size: str, carry: list[tuple]):
+    def attach_blob(
+        pairs_ds, key_col: str, out_blob: str, out_size: str, carry: list[tuple],
+        dedup_col: str | None = None,
+    ):
         """Co-group attach of each pair row's doc blob via ONE key
         exchange (Ray's Dataset.join chokes on empty hash partitions at
         sparse-candidate scale — a grouped-block union join does not).
         tag 0 = blob rows (≤1 per key, sorted first), tag 1 = pairs.
-        carry: [(column, arrow_type)] pair columns to thread through."""
+        carry: [(column, arrow_type)] pair columns to thread through.
+        dedup_col: drop candidate rows whose (k, dedup_col) repeats —
+        block-local, since the k exchange co-locates them."""
 
         def tag_blobs(tb: pa.Table) -> pa.Table:
             n = tb.num_rows
@@ -866,13 +875,25 @@ def set_jaccard_pairs_prefix(
             empty_cols[out_size] = pa.array([], pa.int64())
             if tb.num_rows == 0 or tb.num_columns == 0:
                 return pa.table(empty_cols)
-            tb = tb.sort_by([("k", "ascending"), ("tag", "ascending")])
+            sort_keys = [("k", "ascending"), ("tag", "ascending")]
+            if dedup_col is not None:
+                sort_keys.append((dedup_col, "ascending"))
+            tb = tb.sort_by(sort_keys)
             starts, ends = key_segments(tb, ["k"])
             tag = tb.column("tag").to_numpy(zero_copy_only=False)
             run_id = np.repeat(np.arange(len(starts)), ends - starts)
             has_blob = tag[starts] == 0
             cand = tag == 1
             keep = cand & has_blob[run_id]
+            if dedup_col is not None and len(tag) > 1:
+                # adjacent equal (k, dedup_col) candidate rows are dups
+                # (fill_null keeps int64 exact — float NaN would be lossy)
+                dv = pc.fill_null(tb.column(dedup_col), -1).to_numpy(zero_copy_only=False)
+                dup = np.zeros(len(tag), bool)
+                dup[1:] = (
+                    (run_id[1:] == run_id[:-1]) & cand[1:] & cand[:-1] & (dv[1:] == dv[:-1])
+                )
+                keep &= ~dup
             blob_src = starts[run_id[keep]]
             idx = np.nonzero(keep)[0]
             out = {c: tb.column(c).take(pa.array(idx, pa.int64())) for c, _t in carry}
@@ -883,7 +904,8 @@ def set_jaccard_pairs_prefix(
         return grouped_block_map(both, ["k"], block)
 
     with_a = attach_blob(
-        cands, "id_a", "blob_a", "size_a", [("id_a", pa.int64()), ("id_b", pa.int64())]
+        cands, "id_a", "blob_a", "size_a", [("id_a", pa.int64()), ("id_b", pa.int64())],
+        dedup_col="id_b",
     )
     joined = attach_blob(
         with_a,
@@ -905,17 +927,32 @@ def set_jaccard_pairs_prefix(
         b = tb.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
         sa = tb.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
         sb = tb.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        ba = tb.column("blob_a")
-        bb = tb.column("blob_b")
-        if isinstance(ba, pa.ChunkedArray):
-            ba = ba.combine_chunks()
-        if isinstance(bb, pa.ChunkedArray):
-            bb = bb.combine_chunks()
+        def views(col):
+            """Per-row uint64 views over the large_binary data buffer —
+            no per-row .as_py() bytes copies. Blobs are np.unique output
+            (sorted, 8-byte multiples), so offsets stay 8-aligned."""
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            off = np.frombuffer(arr.buffers()[1], np.int64, len(arr) + 1, arr.offset * 8)
+            data = np.frombuffer(arr.buffers()[2], np.uint8)
+            return off, data
+
+        off_a, dat_a = views(tb.column("blob_a"))
+        off_b, dat_b = views(tb.column("blob_b"))
         inter = np.empty(len(a), np.int64)
         for i in range(len(a)):
-            ha = np.frombuffer(ba[i].as_py(), np.uint64)
-            hb = np.frombuffer(bb[i].as_py(), np.uint64)
-            inter[i] = len(np.intersect1d(ha, hb, assume_unique=True))
+            ha = dat_a[off_a[i] : off_a[i + 1]].view(np.uint64)
+            hb = dat_b[off_b[i] : off_b[i + 1]].view(np.uint64)
+            if len(ha) > len(hb):
+                ha, hb = hb, ha
+            if not len(hb):
+                inter[i] = 0
+                continue
+            # both sorted unique: membership of the small side in the big
+            # (a clamped out-of-range probe can't match — the value
+            # exceeds hb's max, so hb[0] differs)
+            idx = np.searchsorted(hb, ha)
+            idx[idx == len(hb)] = 0
+            inter[i] = int(np.count_nonzero(hb[idx] == ha))
         union = sa + sb - inter
         jac = inter / union
         keep = jac >= threshold

@@ -184,11 +184,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .state.commitlog import LakeLockError
+
     args = build_parser().parse_args(argv)
     needs_ray = args.cmd != "status"
     owned = _ray_session(args.ray_address, args.num_cpus) if needs_ray else False
     try:
         return args.fn(args)
+    except LakeLockError as e:
+        # another live writer holds the lake — retryable, not a crash
+        # (75 = EX_TEMPFAIL; job drivers resubmit and resume exactly-once)
+        _emit({"cmd": args.cmd, "error": "lake_locked", "detail": str(e)})
+        return 75
     finally:
         if owned:
             import ray

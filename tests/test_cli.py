@@ -82,3 +82,22 @@ def test_mid_stream_resume_after_partial_window(tmp_path, capsys):
     assert b["events_applied"] == CFG.n_events - 1112
     want, _ = oracle_lake_table(binlog_table(CFG))
     assert b["lake_rows"] == want.num_rows
+
+
+def test_contended_lake_is_retryable_not_a_crash(tmp_path, capsys):
+    """While a live writer holds the lake lock, a second job exits 75
+    (EX_TEMPFAIL) with a machine-readable error line; after the lock is
+    released the resubmitted job converges exactly-once."""
+    from grafter_ray import CDCLake
+
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    holder = CDCLake(lake, num_partitions=8)
+    with holder.log.writer_lock("test-holder"):
+        rc = main(["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 75 and out["error"] == "lake_locked"
+    out2 = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == CFG.n_events
+    want, _ = oracle_lake_table(binlog_table(CFG))
+    assert out2["lake_rows"] == want.num_rows

@@ -18,8 +18,10 @@ UCASE/LCASE/CONCAT/SUBSTR/BOUND, && || ! and + - * /), BIND(expr AS
 DISTINCT/REDUCED, aggregates (COUNT/SUM/MIN/MAX/AVG, incl. DISTINCT
 arguments) with GROUP BY, `{A} UNION {B}` chains (bag semantics, one
 chain per group), nested `{ SELECT ... LIMIT n }` subselects
-(natural-joined on shared vars), ';'/',' predicate-object lists) is
-compiled onto QuadStore.bgp — joins, broadcast-vs-shuffle planning
+(natural-joined on shared vars), `SERVICE [SILENT] <ep> { … }`
+federation (body shipped verbatim through the sparql_http connector,
+solutions natural-joined locally; SILENT failure = identity),
+';'/',' predicate-object lists) is compiled onto QuadStore.bgp — joins, broadcast-vs-shuffle planning
 and graph restriction all come from the store layer. ASK text form →
 bool; CONSTRUCT text form → QUAD-schema table (set semantics);
 DESCRIBE → subject-matched QUAD-schema table (simple subject
@@ -133,7 +135,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -171,6 +173,7 @@ class SelectQuery:
     minus_groups: list = field(default_factory=list)  # list[list[pattern]]
     exists_filters: list = field(default_factory=list)  # (positive, [patterns])
     agg_params: dict = field(default_factory=dict)  # alias → {"sep": str}
+    services: list = field(default_factory=list)  # (endpoint, silent, body_text, vars)
 
 
 def _tokens(text: str):
@@ -592,6 +595,44 @@ class _QParser:
         self.i = sub.i
         return sub.q
 
+    def _service(self) -> tuple:
+        """`SERVICE [SILENT] <endpoint> { body }` → (endpoint, silent,
+        body_text, vars). The braced body ships to the remote endpoint
+        VERBATIM (token-reconstructed, outer PREFIXes prepended), so
+        anything the endpoint's engine supports — FILTER, paths, nested
+        groups — is legal inside; only the solution join is local."""
+        silent = False
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "SILENT":
+            self.next()
+            silent = True
+        ek, ev = self.next()
+        if ek not in ("iri", "pname"):
+            raise SparqlParseError(f"SERVICE endpoint must be an IRI, got {ek}:{ev!r}")
+        endpoint = self._resolve(ev)
+        self.expect("{")
+        depth, parts, svars = 1, [], []
+        while depth:
+            tk, tv = self.next()
+            if tk is None:
+                raise SparqlParseError("unterminated SERVICE group")
+            if tv == "{":
+                depth += 1
+            elif tv == "}":
+                depth -= 1
+                if not depth:
+                    break
+            if tk == "var" and tv[1:] not in svars:
+                svars.append(tv[1:])
+            # lang tags / ^^ bind tighter than token-level whitespace
+            if parts and (tk in ("lang", "dtype") or parts[-1].endswith("^^")):
+                parts[-1] += tv
+            else:
+                parts.append(tv)
+        if not svars:
+            raise SparqlParseError("SERVICE group binds no variables")
+        return (endpoint, silent, " ".join(parts), svars)
+
     def _group(self, graph):
         while True:
             k, v = self.peek()
@@ -641,6 +682,10 @@ class _QParser:
                     g = "?" + g
                 self.expect("{")
                 self._group(graph=g)
+                continue
+            if k == "kw" and v.upper() == "SERVICE":
+                self.next()
+                self.q.services.append(self._service())
                 continue
             if v == "{":  # subselect, UNION chain, or transparent group
                 self.next()
@@ -1176,11 +1221,50 @@ def _instantiate_quads(
     return out.group_by(out.column_names).aggregate([])  # graph = triple SET
 
 
+# endpoint IRI → transport override for SERVICE evaluation (tests wire a
+# stub; production uses SparqlRepo's urllib default). The reference gets
+# federation from RDF4J's SERVICE support inside its repositories; here
+# the engine owns the join, the connector owns the wire.
+SERVICE_TRANSPORTS: dict = {}
+
+
+def _run_service(q: SelectQuery, endpoint: str, silent: bool, body: str, svars: list):
+    """Evaluate one SERVICE group on its remote endpoint → pa.Table of
+    lexical bindings (the engine's storage form on both sides, so the
+    natural join is plain column equality). SILENT maps any transport /
+    endpoint error to the identity solution (None), per SPARQL 1.1
+    Federated Query §4."""
+    from ..sources.sparql_http import RepositoryError, SparqlRepo
+
+    prefix_block = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in q.prefixes.items())
+    text = (
+        prefix_block
+        + "SELECT "
+        + " ".join("?" + v for v in svars)
+        + " WHERE { "
+        + body
+        + " }"
+    )
+    repo = SparqlRepo(endpoint, transport=SERVICE_TRANSPORTS.get(endpoint))
+    try:
+        res = repo.query(text)
+    except (RepositoryError, OSError):
+        if silent:
+            return None
+        raise
+    if isinstance(res, bool):
+        raise SparqlParseError("SERVICE body must be a pattern group")
+    return res
+
+
 def _run_select(q: SelectQuery, store) -> pa.Table:
     """Evaluate one (possibly nested) SELECT: BGP / UNION-of-BGPs →
     VALUES + FILTER constraints → subselect natural joins → OPTIONAL
     left joins → solution modifiers → projection. Subselects recurse."""
-    if not q.patterns and not q.union_branches and not q.subselects and not q.path_patterns:
+    if (
+        not q.patterns and not q.union_branches and not q.subselects
+        and not q.path_patterns and not q.services
+    ):
         raise SparqlParseError("query has no triple patterns")
     path_sides = [(pat, _path_side(store, pat)) for pat in q.path_patterns]
     meta_vars = _term_meta_vars(q)
@@ -1277,6 +1361,7 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     late_slice = bool(
         q.order_by or q.optionals or q.subselects or q.aggregates or q.distinct
         or path_sides or q.minus_groups or q.exists_filters or q.having
+        or q.services
     )
     # HAVING may reference aggregates that aren't projected (COUNT(?x) > 1):
     # resolve aggrefs to aliases, adding synthetic aggregates, BEFORE the
@@ -1290,7 +1375,7 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     push_agg = (
         bool(q.aggregates) and ds is not None
         and not q.optionals and not q.subselects and not path_sides
-        and not q.minus_groups and not q.exists_filters
+        and not q.minus_groups and not q.exists_filters and not q.services
     )
     if ds is not None:
         if push_agg:
@@ -1309,6 +1394,20 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
             if not keys:
                 raise SparqlParseError("subselect shares no variable with the outer group")
             tb = tb.join(stb, keys=keys, join_type="inner")
+    for endpoint, silent, body, svars in q.services:
+        stb = _run_service(q, endpoint, silent, body, svars)
+        if stb is None:  # SERVICE SILENT failure ≡ the identity solution
+            continue
+        if tb is None:
+            tb = stb
+        elif (keys := [c for c in stb.column_names if c in tb.column_names]):
+            tb = tb.join(stb, keys=keys, join_type="inner")
+        else:  # no shared vars: cartesian of two solution tables
+            k = "__svc_x"
+            tb = tb.append_column(k, pa.nulls(tb.num_rows, pa.int8()).fill_null(0)).join(
+                stb.append_column(k, pa.nulls(stb.num_rows, pa.int8()).fill_null(0)),
+                keys=[k], join_type="inner",
+            ).drop_columns([k])
     for pat, side in path_sides:  # remaining path relations natural-join
         ptb = _collect(side)
         if "__exists" in ptb.column_names:  # both endpoints constant

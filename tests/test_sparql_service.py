@@ -1,0 +1,175 @@
+"""SPARQL 1.1 Federated Query — `SERVICE [SILENT] <endpoint> { … }`.
+The reference federates through RDF4J's SERVICE support inside its
+repositories; here the engine owns the solution join and the
+sparql_http connector owns the wire (transport injected per endpoint
+via sparql.SERVICE_TRANSPORTS, exactly like the connector's own
+tests)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from grafter_ray.pipelines import sparql as S
+from grafter_ray.pipelines.sparql import SparqlParseError, sparql_query
+from grafter_ray.pipelines.store import QuadStore
+from grafter_ray.schemas import QUAD
+
+EP = "http://remote.example/sparql"
+
+
+def _store():
+    rows = [
+        ("http://x/a", "http://p/name", "literal", "alice", None, None, "http://g/1"),
+        ("http://x/b", "http://p/name", "literal", "bob", None, None, "http://g/1"),
+        ("http://x/c", "http://p/name", "literal", "carol", None, None, "http://g/1"),
+    ]
+    cols = list(zip(*rows))
+    tb = pa.table({f.name: pa.array(list(c), pa.string()) for f, c in zip(QUAD, cols)})
+    return QuadStore.from_table(tb)
+
+
+def _json_body(var_rows: dict[str, list]):
+    vars_ = list(var_rows)
+    n = len(next(iter(var_rows.values())))
+    bindings = []
+    for i in range(n):
+        b = {}
+        for v in vars_:
+            val = var_rows[v][i]
+            if val is not None:
+                kind = "uri" if val.startswith("http") else "literal"
+                b[v] = {"type": kind, "value": val}
+        bindings.append(b)
+    return json.dumps({"head": {"vars": vars_}, "results": {"bindings": bindings}}).encode()
+
+
+def _stub(body_bytes, seen: list | None = None, status=200):
+    def transport(url, params, headers):
+        if seen is not None:
+            seen.append(dict(params))
+        return status, {}, body_bytes
+    return transport
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    yield
+    S.SERVICE_TRANSPORTS.clear()
+
+
+def test_service_join_binds_remote_columns_and_ships_body_verbatim():
+    seen: list = []
+    S.SERVICE_TRANSPORTS[EP] = _stub(
+        _json_body({"s": ["http://x/a", "http://x/zzz"], "city": ["Paris", "Oslo"]}), seen
+    )
+    out = sparql_query(
+        """PREFIX p: <http://p/>
+        SELECT ?s ?name ?city WHERE {
+          ?s p:name ?name .
+          SERVICE <http://remote.example/sparql> {
+            ?s p:city ?city FILTER(?city != "Atlantis")
+          }
+        }""",
+        _store(),
+    )
+    assert out.num_rows == 1  # only http://x/a exists locally
+    assert out.column("city").to_pylist() == ["Paris"]
+    assert out.column("name").to_pylist() == ["alice"]
+    sent = seen[0]["query"]
+    # outer PREFIXes prepended; body (incl. FILTER) shipped verbatim
+    assert sent.startswith("PREFIX p: <http://p/>")
+    assert 'FILTER ( ?city != "Atlantis" )' in sent
+    assert "SELECT ?s ?city WHERE" in sent
+
+
+def test_service_silent_failure_is_the_identity_solution():
+    S.SERVICE_TRANSPORTS[EP] = _stub(b"boom", status=500)
+    out = sparql_query(
+        """SELECT ?s WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE SILENT <http://remote.example/sparql> { ?s <http://p/city> ?city }
+        }""",
+        _store(),
+    )
+    assert out.num_rows == 3  # local solutions pass through unjoined
+
+
+def test_service_failure_raises_without_silent():
+    from grafter_ray.sources.sparql_http import RepositoryError
+
+    S.SERVICE_TRANSPORTS[EP] = _stub(b"boom", status=500)
+    with pytest.raises(RepositoryError):
+        sparql_query(
+            """SELECT ?s WHERE {
+              ?s <http://p/name> ?name .
+              SERVICE <http://remote.example/sparql> { ?s <http://p/city> ?city }
+            }""",
+            _store(),
+        )
+
+
+def test_service_only_where_clause():
+    S.SERVICE_TRANSPORTS[EP] = _stub(_json_body({"city": ["Paris", "Oslo"]}))
+    out = sparql_query(
+        "SELECT ?city WHERE { SERVICE <http://remote.example/sparql> "
+        "{ ?x <http://p/city> ?city } } ORDER BY ?city",
+        _store(),
+    )
+    assert out.column("city").to_pylist() == ["Oslo", "Paris"]
+
+
+def test_service_no_shared_vars_is_cartesian():
+    S.SERVICE_TRANSPORTS[EP] = _stub(_json_body({"city": ["Paris", "Oslo"]}))
+    out = sparql_query(
+        """SELECT ?name ?city WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE <http://remote.example/sparql> { ?x <http://p/city> ?city }
+        }""",
+        _store(),
+    )
+    assert out.num_rows == 6  # 3 local names × 2 remote cities
+
+
+def test_service_unterminated_group_raises():
+    with pytest.raises(SparqlParseError, match="unterminated SERVICE"):
+        sparql_query(
+            "SELECT ?s WHERE { SERVICE <http://remote.example/sparql> { ?s ?p ?o ",
+            _store(),
+        )
+
+
+def test_service_over_real_localhost_endpoint():
+    """Wire test: a real http.server speaking SPARQL JSON results."""
+    import http.server
+    import threading
+
+    body = _json_body({"s": ["http://x/b"], "city": ["Berlin"]})
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/sparql-results+json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ep = f"http://127.0.0.1:{srv.server_port}/sparql"
+        out = sparql_query(
+            f"""SELECT ?s ?name ?city WHERE {{
+              ?s <http://p/name> ?name .
+              SERVICE <{ep}> {{ ?s <http://p/city> ?city }}
+            }}""",
+            _store(),
+        )
+        assert out.column("name").to_pylist() == ["bob"]
+        assert out.column("city").to_pylist() == ["Berlin"]
+    finally:
+        srv.shutdown()

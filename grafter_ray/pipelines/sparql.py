@@ -174,6 +174,7 @@ class SelectQuery:
     exists_filters: list = field(default_factory=list)  # (positive, [patterns])
     agg_params: dict = field(default_factory=dict)  # alias → {"sep": str}
     services: list = field(default_factory=list)  # (endpoint, silent, body_text, vars)
+    service_bound_join: int | None = None  # VALUES-pushdown batch size (None = fetch whole relation)
 
 
 def _tokens(text: str):
@@ -1098,12 +1099,16 @@ def sparql_query(
     bindings: dict | None = None,
     limits: dict | None = None,
     offsets: dict | None = None,
+    service_bound_join: int | None = None,
 ):
     """Execute a SPARQL query (text or loaded file) over a QuadStore.
     SELECT → pa.Table (bounded: projection + LIMIT; heavy joins run
     distributed inside store.bgp). ASK → bool. CONSTRUCT → QUAD-schema
-    pa.Table (set semantics)."""
+    pa.Table (set semantics). service_bound_join: opt-in SERVICE bound
+    join — push local bindings to the endpoint as chunked VALUES of
+    this size (see _run_service)."""
     q = prepare_query(query_text, bindings, limits, offsets)
+    q.service_bound_join = service_bound_join
     if q.form == "ask":
         if q.limit is None:
             q.limit = 1  # existence only — never collect more than one row
@@ -1228,33 +1233,73 @@ def _instantiate_quads(
 SERVICE_TRANSPORTS: dict = {}
 
 
-def _run_service(q: SelectQuery, endpoint: str, silent: bool, body: str, svars: list):
+def _service_term(v: str) -> str:
+    """Lexical solution value → SPARQL term text for a VALUES pushdown.
+    The store keeps terms kind-less (lexical strings), so serialization
+    is by shape: absolute-IRI-looking values become <iri>, everything
+    else a quoted plain literal — the same plain-literal convention the
+    UPDATE dialect documents. A plain literal that LOOKS like an
+    absolute IRI would be pushed as an IRI and miss; bound joins are
+    therefore opt-in (service_bound_join)."""
+    if "://" in v or v.startswith(("urn:", "mailto:", "tel:")):
+        return f"<{v}>"
+    if v.startswith("_:"):  # bnodes can't cross endpoints — match nothing
+        return '"\\u0000__bnode__"'
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _run_service(
+    q: SelectQuery, endpoint: str, silent: bool, body: str, svars: list,
+    local_tb: pa.Table | None = None,
+):
     """Evaluate one SERVICE group on its remote endpoint → pa.Table of
     lexical bindings (the engine's storage form on both sides, so the
     natural join is plain column equality). SILENT maps any transport /
     endpoint error to the identity solution (None), per SPARQL 1.1
-    Federated Query §4."""
+    Federated Query §4.
+
+    Scale path (q.service_bound_join = batch size): a BOUND join — the
+    local solutions' distinct shared-var values ship to the endpoint as
+    a VALUES clause, chunked, so the remote only returns matching rows
+    instead of its whole relation (the FedX/BIND-join strategy from the
+    federated-query literature). Default (None) fetches the whole
+    SERVICE relation — correct for small remote sides."""
     from ..sources.sparql_http import RepositoryError, SparqlRepo
 
     prefix_block = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in q.prefixes.items())
-    text = (
-        prefix_block
-        + "SELECT "
-        + " ".join("?" + v for v in svars)
-        + " WHERE { "
-        + body
-        + " }"
-    )
+    head = prefix_block + "SELECT " + " ".join("?" + v for v in svars) + " WHERE { " + body
     repo = SparqlRepo(endpoint, transport=SERVICE_TRANSPORTS.get(endpoint))
+
+    texts = []
+    bound_var = None
+    if q.service_bound_join and local_tb is not None:
+        shared = [v for v in svars if v in local_tb.column_names]
+        if shared:
+            bound_var = shared[0]
+            vals = pc.drop_null(local_tb.column(bound_var)).unique().to_pylist()
+            B = int(q.service_bound_join)
+            for i in range(0, len(vals), B):
+                chunk = " ".join(_service_term(v) for v in vals[i : i + B])
+                texts.append(head + " VALUES ?" + bound_var + " { " + chunk + " } }")
+            if not texts:  # no local candidates → remote side is empty
+                return pa.table({v: pa.array([], pa.string()) for v in svars})
+    if not texts:
+        texts = [head + " }"]
+
+    parts = []
     try:
-        res = repo.query(text)
+        for text in texts:
+            res = repo.query(text)
+            if isinstance(res, bool):
+                raise SparqlParseError("SERVICE body must be a pattern group")
+            parts.append(res)
     except (RepositoryError, OSError):
         if silent:
             return None
         raise
-    if isinstance(res, bool):
-        raise SparqlParseError("SERVICE body must be a pattern group")
-    return res
+    # chunks partition DISTINCT bound values, so no remote row can appear
+    # in two chunks — concat preserves bag semantics exactly
+    return pa.concat_tables(parts, promote_options="permissive")
 
 
 def _run_select(q: SelectQuery, store) -> pa.Table:
@@ -1395,7 +1440,7 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
                 raise SparqlParseError("subselect shares no variable with the outer group")
             tb = tb.join(stb, keys=keys, join_type="inner")
     for endpoint, silent, body, svars in q.services:
-        stb = _run_service(q, endpoint, silent, body, svars)
+        stb = _run_service(q, endpoint, silent, body, svars, local_tb=tb)
         if stb is None:  # SERVICE SILENT failure ≡ the identity solution
             continue
         if tb is None:

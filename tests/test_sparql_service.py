@@ -173,3 +173,61 @@ def test_service_over_real_localhost_endpoint():
         assert out.column("city").to_pylist() == ["Berlin"]
     finally:
         srv.shutdown()
+
+
+def test_service_bound_join_pushes_chunked_values():
+    """Opt-in FedX-style bound join: local distinct shared-var values
+    ship as chunked VALUES clauses; the remote returns only matches and
+    the join result equals the whole-relation fetch."""
+    seen: list = []
+    body = _json_body({"s": ["http://x/a", "http://x/c"], "city": ["Paris", "Rome"]})
+    S.SERVICE_TRANSPORTS[EP] = _stub(body, seen)
+    out = sparql_query(
+        """SELECT ?s ?city WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE <http://remote.example/sparql> { ?s <http://p/city> ?city }
+        }""",
+        _store(),
+        service_bound_join=2,
+    )
+    # 3 local subjects / batch 2 → 2 remote requests, each with VALUES
+    assert len(seen) == 2
+    for req in seen:
+        assert "VALUES ?s {" in req["query"]
+    sent_terms = " ".join(r["query"] for r in seen)
+    for iri in ("<http://x/a>", "<http://x/b>", "<http://x/c>"):
+        assert iri in sent_terms  # IRIs serialized as IRIs
+    # stub returns both rows per request → concat keeps per-chunk rows;
+    # join restricts to local subjects (a and c exist locally)
+    assert sorted(out.column("city").to_pylist()) == ["Paris", "Paris", "Rome", "Rome"]
+
+
+def test_service_bound_join_literal_values_quoted():
+    seen: list = []
+    S.SERVICE_TRANSPORTS[EP] = _stub(_json_body({"name": ["alice"], "age": ["39"]}), seen)
+    out = sparql_query(
+        """SELECT ?name ?age WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE <http://remote.example/sparql> { ?r <http://p/name> ?name ; <http://p/age> ?age }
+        }""",
+        _store(),
+        service_bound_join=10,
+    )
+    assert '"alice"' in seen[0]["query"] and '"bob"' in seen[0]["query"]
+    assert out.column("age").to_pylist() == ["39"]
+
+
+def test_service_bound_join_no_local_candidates_short_circuits():
+    seen: list = []
+    S.SERVICE_TRANSPORTS[EP] = _stub(_json_body({"s": ["http://x/a"], "city": ["Paris"]}), seen)
+    out = sparql_query(
+        """SELECT ?s ?city WHERE {
+          ?s <http://p/name> ?name .
+          FILTER(?name = "nobody")
+          SERVICE <http://remote.example/sparql> { ?s <http://p/city> ?city }
+        }""",
+        _store(),
+        service_bound_join=10,
+    )
+    assert out.num_rows == 0
+    assert seen == []  # zero candidates → no remote request at all

@@ -1302,6 +1302,20 @@ def _run_service(
     return pa.concat_tables(parts, promote_options="permissive")
 
 
+def _project(tb: pa.Table, sel: list[str]) -> pa.Table:
+    """SELECT projection. A ZERO-ROW result may have lost its bound
+    columns entirely (Ray coalesces empty filtered blocks into a
+    schema-less block) — synthesize the missing columns empty instead of
+    raising; with rows present a missing var is a genuine query error."""
+    missing = [v for v in sel if v not in tb.column_names]
+    if missing:
+        if tb.num_rows:
+            raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
+        for v in missing:
+            tb = tb.append_column(v, pa.array([], pa.string()))
+    return tb.select(sel)
+
+
 def _run_select(q: SelectQuery, store) -> pa.Table:
     """Evaluate one (possibly nested) SELECT: BGP / UNION-of-BGPs →
     VALUES + FILTER constraints → subselect natural joins → OPTIONAL
@@ -1491,22 +1505,16 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
         # SPARQL modifier order: project → DISTINCT → ORDER → slice
         # (ORDER BY vars must appear in the projection, per the spec)
         if q.select:
-            missing = [v for v in q.select if v not in tb.column_names]
-            if missing:
-                raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
-            tb = tb.select(q.select)
+            tb = _project(tb, q.select)
         tb = tb.group_by(tb.column_names).aggregate([])
-    if q.order_by:
+    if q.order_by and tb.num_rows:
         tb = _apply_order(tb, q.order_by)
     if q.limit is not None and (late_slice or ds is None):
         tb = tb.slice(0, n_need)
     if q.offset:
         tb = tb.slice(q.offset)
     if q.select and not q.distinct:
-        missing = [v for v in q.select if v not in tb.column_names]
-        if missing:
-            raise SparqlParseError(f"SELECT vars not bound by the pattern: {missing}")
-        tb = tb.select(q.select)
+        tb = _project(tb, q.select)
     return tb
 
 
@@ -2295,11 +2303,20 @@ def _apply_update_op(store, op: dict):
 def _collect(ds) -> pa.Table:
     import ray
 
-    tbs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    all_tbs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tbs = [t for t in all_tbs if t.num_rows]
     if tbs:
         return pa.concat_tables(tbs, promote_options="permissive")
     # zero-match result: preserve the pipeline's bound columns so
-    # projection / ORDER BY see the schema and return 0 rows (not raise)
+    # projection / ORDER BY see the schema and return 0 rows (not raise).
+    # Prefer an actual empty BLOCK's schema (per-block map fns preserve
+    # columns even when Ray's unified dataset schema degrades to empty).
+    widest = None
+    for t in all_tbs:
+        if t.num_columns and (widest is None or t.num_columns > widest.num_columns):
+            widest = t
+    if widest is not None:
+        return widest.slice(0, 0)
     try:
         return pa.Table.from_pylist([], schema=ds.schema().base_schema)
     except Exception:

@@ -30,6 +30,21 @@ from .relational import broadcast_join
 _POS = ["s", "p", "o_value", "c"]
 
 
+def _self_eq_filter(tb: pa.Table, vars_: list) -> pa.Table:
+    """A variable repeated WITHIN one pattern (e.g. `<s> ?a ?a`) must
+    bind the SAME term in every position — keep only rows where the
+    duplicated columns agree (SPARQL pattern-matching semantics)."""
+    first: dict = {}
+    mask = None
+    for col, var in vars_:
+        if var in first:
+            m = pc.equal(tb.column(first[var]), tb.column(col))
+            mask = m if mask is None else pc.and_(mask, m)
+        else:
+            first[var] = col
+    return tb if mask is None else tb.filter(pc.fill_null(mask, False))
+
+
 def _is_var(x) -> bool:
     return isinstance(x, str) and x.startswith("?")
 
@@ -149,6 +164,7 @@ class QuadStore:
         meta = term_meta or set()
 
         def proj(tb: pa.Table) -> pa.Table:
+            tb = _self_eq_filter(tb, vars_)
             cols = {}
             for col, name in vars_:
                 cols[name] = tb.column(col)
@@ -232,6 +248,7 @@ class QuadStore:
                     m = pc.equal(tb.column(col), v)
                     mask = m if mask is None else pc.and_(mask, m)
                 t = tb.filter(mask) if mask is not None else tb
+                t = _self_eq_filter(t, vars_)
                 n = t.num_rows
                 mine = {f"{i}|{var}": t.column(col) for col, var in vars_}
                 for col, var in vars_:

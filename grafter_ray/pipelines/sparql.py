@@ -1442,6 +1442,24 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
         elif q.limit is not None and not late_slice:
             ds = ds.limit(n_need)
         tb = _collect(ds)
+        if tb.num_rows == 0 and not push_agg:
+            # zero-match: Ray may coalesce empty blocks schema-less; the
+            # bound vars are statically known from the patterns — rebuild
+            # them (plus term-meta companions) so every downstream step
+            # (FILTER, OPTIONAL, BIND, projection) sees the schema
+            pats = list(q.patterns) + [p for b in q.union_branches for p in b]
+            stat_vars = [
+                t[1:]
+                for pat in pats
+                for t in pat
+                if isinstance(t, str) and t.startswith("?")
+            ]
+            cols = list(stat_vars)
+            for v in meta_vars:
+                cols += [f"{v}__kind", f"{v}__lang", f"{v}__datatype"]
+            for v in cols:
+                if v not in tb.column_names:
+                    tb = tb.append_column(v, pa.array([], pa.string()))
     else:
         tb = None
     for sub in q.subselects:
@@ -1975,8 +1993,17 @@ def _apply_optionals(tb: pa.Table, optionals: list, store) -> pa.Table:
     a filtered projection of the store (size-guarded by the same
     selectivity expectations as BGP sides)."""
     for pat in optionals:
+        pat_vars = [v[1:] for v in pat if isinstance(v, str) and v.startswith("?")]
+        if tb.num_rows == 0:
+            # zero-match base (possibly schema-less — Ray coalesces empty
+            # blocks): the left join is also empty; just bind the
+            # optional's fresh vars as empty columns
+            for v in pat_vars:
+                if v not in tb.column_names:
+                    tb = tb.append_column(v, pa.array([], pa.string()))
+            continue
         side = _collect(store.pattern(*pat))
-        keys = [v[1:] for v in pat if isinstance(v, str) and v.startswith("?") and v[1:] in tb.column_names]
+        keys = [v for v in pat_vars if v in tb.column_names]
         if not keys:
             raise SparqlParseError(f"OPTIONAL pattern shares no variable: {pat}")
         tb = tb.join(side, keys=keys, join_type="left outer")

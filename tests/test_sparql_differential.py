@@ -145,6 +145,61 @@ def _gen_query(rng: random.Random):
     return sparql, sql
 
 
+def _gen_optional_query(rng: random.Random):
+    """BGP + one OPTIONAL pattern → (sparql, sql with LEFT JOIN).
+    FILTERs may reference the optional var: the engine defers filters
+    until after left joins (BOUND scope), exactly SQL's WHERE-after-
+    LEFT-JOIN — unbound comparisons drop the row in both."""
+    sparql, sql = None, None
+    # base: one or two required patterns over ?a (+?b)
+    base_sparql, base_sql = _gen_query(rng)
+    # extract base vars from the generated text (proj is sorted set)
+    base_vars = sorted({t[1:].rstrip(" ,") for t in base_sparql.split() if t.startswith("?")})
+    if not base_vars or "DISTINCT" in base_sparql:
+        return None  # keep the oracle join simple; plenty of seeds remain
+    anchor = rng.choice(base_vars)
+    fresh = "z"
+    p = f"http://p/p{rng.randrange(N_PRED)}"
+    opt_sparql = f"OPTIONAL {{ ?{anchor} <{p}> ?{fresh} . }}"
+    cut = base_sparql.rfind("}")
+    sparql = (base_sparql[:cut] + opt_sparql + " }").replace(
+        "SELECT ", f"SELECT ?{fresh} ", 1
+    )
+    # SQL: wrap the base as a subquery, LEFT JOIN the optional pattern
+    sql = (
+        f"SELECT base.*, opt.o_value AS {fresh} FROM ({base_sql}) base "
+        f"LEFT JOIN q opt ON opt.s = base.{anchor} AND opt.p = '{p}'"
+    )
+    return sparql, sql
+
+
+def test_random_optional_queries_match_duckdb():
+    rng = random.Random(99118822)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    checked = 0
+    while checked < 25:
+        got_q = _gen_optional_query(rng)
+        if got_q is None:
+            continue
+        sparql, sql = got_q
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        g = sorted(
+            map(tuple, zip(*[got.column(c).to_pylist() for c in sorted(got.column_names)])),
+            key=repr,
+        ) if got.num_rows else []
+        w = sorted(
+            map(tuple, zip(*[want.column(c).to_pylist() for c in sorted(want.column_names)])),
+            key=repr,
+        ) if want.num_rows else []
+        assert sorted(got.column_names) == sorted(want.column_names), (sparql, sql)
+        assert g == w, (sparql, sql, len(g), len(w))
+        checked += 1
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

@@ -1896,9 +1896,24 @@ def _aggregate_ds(ds, q: SelectQuery):
     keys = list(q.group_by)
     if len(dist) + len(gcs) + (1 if plain else 0) > 1:
         ds = ds.materialize()  # narrow solution projection, multiple passes
+
+    def norm_part(part: pa.Table, fn_aliases: list[tuple]) -> pa.Table:
+        """Zero-group results can collect schema-less (Ray coalesces
+        empty blocks) — rebuild the part's key+alias columns so the
+        mixed plain/distinct join below always sees its keys."""
+        if part.num_rows:
+            return part
+        cols: dict = {k: pa.array([], pa.string()) for k in keys}
+        for fn, a in fn_aliases:
+            cols[a] = pa.array(
+                [], pa.int64() if fn == "count" else
+                (pa.string() if fn == "group_concat" else pa.float64())
+            )
+        return pa.table(cols)
+
     parts = []
     if plain:
-        parts.append(_collect(_agg_pass(ds, keys, plain)))
+        parts.append(norm_part(_collect(_agg_pass(ds, keys, plain)), [(f, a) for f, _v, a in plain]))
     byvar: dict[str, list] = {}
     for fn, v, a in dist:
         byvar.setdefault(v, []).append((fn, a))
@@ -1907,7 +1922,7 @@ def _aggregate_ds(ds, q: SelectQuery):
 
     for v, fns in byvar.items():
         dd = rel_distinct(ds, keys + [v])
-        parts.append(_collect(_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns])))
+        parts.append(norm_part(_collect(_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns])), fns))
     for v, a, d in gcs:
         sep = q.agg_params.get(a, {}).get("sep", " ")
         gds = ds
@@ -1920,9 +1935,9 @@ def _aggregate_ds(ds, q: SelectQuery):
             gds = ds.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True)
             gkeys = ["__g"]
         gtb = _collect(grouped_concat(gds, gkeys, v, a, sep=sep, distinct=d))
-        if not keys:
+        if not keys and "__g" in gtb.column_names:
             gtb = gtb.drop_columns(["__g"])
-        parts.append(gtb)
+        parts.append(norm_part(gtb, [("group_concat", a)]))
     out = parts[0]
     for p in parts[1:]:
         if keys:

@@ -10,6 +10,7 @@ import random
 
 import duckdb
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from grafter_ray.pipelines.sparql import sparql_query
 from grafter_ray.pipelines.store import QuadStore
@@ -197,6 +198,56 @@ def test_random_optional_queries_match_duckdb():
         ) if want.num_rows else []
         assert sorted(got.column_names) == sorted(want.column_names), (sparql, sql)
         assert g == w, (sparql, sql, len(g), len(w))
+        checked += 1
+
+
+def _gen_agg_query(rng: random.Random):
+    """BGP + GROUP BY aggregates → (sparql, sql). COUNT / COUNT DISTINCT
+    only (the engine numeric-casts SUM/MIN/MAX args; the corpus values
+    are non-numeric strings). Exercises the distributed two-phase
+    grouped_agg pushdown and the per-var distinct pass."""
+    base_sparql, base_sql = _gen_query(rng)
+    if "DISTINCT" in base_sparql or "FILTER" in base_sparql:
+        return None
+    head, _, rest = base_sparql.partition(" WHERE ")
+    vars_ = head.replace("SELECT ", "").split()
+    if len(vars_) < 2:
+        return None
+    gvar, cvar = vars_[0][1:], vars_[1][1:]
+    sparql = (
+        f"SELECT ?{gvar} (COUNT(?{cvar}) AS ?n) (COUNT(DISTINCT ?{cvar}) AS ?nd) "
+        f"WHERE {rest} GROUP BY ?{gvar}"
+    )
+    sql = (
+        f"SELECT {gvar}, CAST(COUNT({cvar}) AS VARCHAR) AS n, "
+        f"CAST(COUNT(DISTINCT {cvar}) AS VARCHAR) AS nd FROM ({base_sql}) base GROUP BY {gvar}"
+    )
+    return sparql, sql
+
+
+def test_random_aggregate_queries_match_duckdb():
+    rng = random.Random(7741991)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    checked = 0
+    while checked < 20:
+        g = _gen_agg_query(rng)
+        if g is None:
+            continue
+        sparql, sql = g
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        gl = sorted(
+            map(repr, zip(*[pc.cast(got.column(c), pa.string()).to_pylist()
+                            for c in sorted(got.column_names)]))
+        ) if got.num_rows else []
+        wl = sorted(
+            map(repr, zip(*[want.column(c).to_pylist() for c in sorted(want.column_names)]))
+        ) if want.num_rows else []
+        assert sorted(got.column_names) == sorted(want.column_names), (sparql, sql)
+        assert gl == wl, (sparql, sql, len(gl), len(wl))
         checked += 1
 
 

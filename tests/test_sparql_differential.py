@@ -251,6 +251,65 @@ def test_random_aggregate_queries_match_duckdb():
         checked += 1
 
 
+def _gen_union_query(rng: random.Random):
+    """Shared pattern P + {A} UNION {B} → (sparql, sql UNION ALL).
+    The engine distributes the join over the union (bgp(P+A) ⊎ bgp(P+B),
+    bag semantics) — exactly SQL UNION ALL of the two conjunctions."""
+    p0 = f"http://p/p{rng.randrange(N_PRED)}"
+    pa_, pb_ = (f"http://p/p{rng.randrange(N_PRED)}" for _ in range(2))
+    o0 = "?b" if rng.random() < 0.6 else f'"v{rng.randrange(N_LIT)}"'
+    oa = "?x" if rng.random() < 0.7 else f"<http://x/s{rng.randrange(N_SUBJ)}>"
+    ob = "?x" if oa == "?x" else oa  # identical var sets across branches
+    ga = f"<http://g/g{rng.randrange(N_GRAPH)}>" if rng.random() < 0.3 else None
+    a_pat = f"?a <{pa_}> {oa} ."
+    b_pat = f"?a <{pb_}> {ob} ."
+    if ga:
+        a_pat = f"GRAPH {ga} {{ {a_pat} }}"
+    proj = ["a"] + (["b"] if o0 == "?b" else []) + (["x"] if oa == "?x" else [])
+    sparql = (
+        "SELECT " + " ".join("?" + v for v in proj)
+        + f" WHERE {{ ?a <{p0}> {o0} . {{ {a_pat} }} UNION {{ {b_pat} }} }}"
+    )
+
+    def branch_sql(p_br, o_br, g_br):
+        conds = [f"t0.p = '{p0}'", "t1.s = t0.s", f"t1.p = '{p_br}'"]
+        sel = ["t0.s AS a"]
+        if o0 == "?b":
+            sel.append("t0.o_value AS b")
+        else:
+            conds.append(f"t0.o_value = '{o0[1:-1]}'")
+        if o_br == "?x":
+            sel.append("t1.o_value AS x")
+        else:
+            conds.append(f"t1.o_value = '{o_br[1:-1]}'")
+        if g_br:
+            conds.append(f"t1.c = '{g_br[1:-1]}'")
+        return "SELECT " + ", ".join(sel) + " FROM q t0, q t1 WHERE " + " AND ".join(conds)
+
+    sql = branch_sql(pa_, oa, ga) + " UNION ALL " + branch_sql(pb_, ob, None)
+    return sparql, sql
+
+
+def test_random_union_queries_match_duckdb():
+    rng = random.Random(5550123)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    for case in range(20):
+        sparql, sql = _gen_union_query(rng)
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        gl = sorted(
+            map(repr, zip(*[got.column(c).to_pylist() for c in sorted(got.column_names)]))
+        ) if got.num_rows else []
+        wl = sorted(
+            map(repr, zip(*[want.column(c).to_pylist() for c in sorted(want.column_names)]))
+        ) if want.num_rows else []
+        assert sorted(got.column_names) == sorted(want.column_names), (case, sparql, sql)
+        assert gl == wl, (case, sparql, sql, len(gl), len(wl))
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

@@ -34,6 +34,14 @@ def _corpus(rng: random.Random) -> pa.Table:
             continue
         seen.add(key)
         rows.append((s, p, kind, val, None, None, c))
+    # a dedicated all-numeric predicate for SUM/MIN/MAX/AVG differentials
+    for i in range(60):
+        s = f"http://x/s{rng.randrange(N_SUBJ)}"
+        val = f"{rng.randrange(-50, 200)}.{rng.randrange(100):02d}"
+        key = (s, "http://p/num", "literal", val, "http://g/g0")
+        if key not in seen:
+            seen.add(key)
+            rows.append((s, "http://p/num", "literal", val, None, None, "http://g/g0"))
     cols = list(zip(*rows))
     return pa.table({f.name: pa.array(list(c), pa.string()) for f, c in zip(QUAD, cols)})
 
@@ -288,6 +296,37 @@ def _gen_union_query(rng: random.Random):
 
     sql = branch_sql(pa_, oa, ga) + " UNION ALL " + branch_sql(pb_, ob, None)
     return sparql, sql
+
+
+def test_random_numeric_aggregates_match_duckdb():
+    """SUM/MIN/MAX/AVG over the all-numeric predicate, grouped by
+    subject-linked vars — engine lexical→float64 casting vs SQL
+    CAST(AS DOUBLE), compared at 1e-9 relative tolerance."""
+    rng = random.Random(31337)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    for case in range(12):
+        fn = rng.choice(["SUM", "MIN", "MAX", "AVG"])
+        p_link = f"http://p/p{rng.randrange(N_PRED)}"
+        sparql = (
+            f"SELECT ?b ({fn}(?x) AS ?agg) WHERE {{ "
+            f"?a <{p_link}> ?b . ?a <http://p/num> ?x . }} GROUP BY ?b"
+        )
+        sql = (
+            f"SELECT t0.o_value AS b, {fn}(CAST(t1.o_value AS DOUBLE)) AS agg "
+            f"FROM q t0, q t1 WHERE t0.p = '{p_link}' AND t1.s = t0.s "
+            f"AND t1.p = 'http://p/num' GROUP BY t0.o_value"
+        )
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        gm = dict(zip(got.column("b").to_pylist(),
+                      pc.cast(got.column("agg"), pa.float64()).to_pylist())) if got.num_rows else {}
+        wm = dict(zip(want.column("b").to_pylist(), want.column("agg").to_pylist())) if want.num_rows else {}
+        assert set(gm) == set(wm), (case, sparql)
+        for k in gm:
+            assert abs(gm[k] - wm[k]) <= 1e-9 * max(1.0, abs(wm[k])), (case, k, gm[k], wm[k])
 
 
 def test_random_union_queries_match_duckdb():

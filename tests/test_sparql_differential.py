@@ -349,6 +349,35 @@ def test_random_union_queries_match_duckdb():
         assert gl == wl, (case, sparql, sql, len(gl), len(wl))
 
 
+def test_random_order_by_queries_match_duckdb():
+    """ORDER BY over random BGPs: multiset equality with SQL plus a
+    sortedness check on the engine's own output (tie order is
+    implementation-defined in both engines, so exact row order isn't
+    comparable — sorted-by-key and same-bag is the real contract)."""
+    rng = random.Random(424242)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    checked = 0
+    while checked < 15:
+        base_sparql, base_sql = _gen_query(rng)
+        if "DISTINCT" in base_sparql:
+            continue
+        vars_ = base_sparql.partition(" WHERE ")[0].replace("SELECT ", "").split()
+        key = rng.choice(vars_)[1:]
+        desc = rng.random() < 0.5
+        sparql = base_sparql + f" ORDER BY {'DESC(?' + key + ')' if desc else '?' + key}"
+        got = sparql_query(sparql, store)
+        want = con.execute(base_sql).fetch_arrow_table()
+        gl = sorted(map(repr, zip(*[got.column(c).to_pylist() for c in sorted(got.column_names)]))) if got.num_rows else []
+        wl = sorted(map(repr, zip(*[want.column(c).to_pylist() for c in sorted(want.column_names)]))) if want.num_rows else []
+        assert gl == wl, (sparql, base_sql)
+        ks = got.column(key).to_pylist()
+        assert ks == sorted(ks, reverse=desc), (sparql, "not sorted")
+        checked += 1
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

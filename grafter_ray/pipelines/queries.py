@@ -961,6 +961,31 @@ FROM documents GROUP BY lang HAVING count(*) > 70 ORDER BY lang
 """
 
 
+def q_sparql_optional(sf_dir: str):
+    """OPTIONAL left join end-to-end under the oracle gate: every doc
+    binds ?lang; only docs in the graph:src3 named graph (sources are
+    graphs in the documents template) bind ?n3 — the rest come back
+    with ?n3 unbound (null), exactly a SQL LEFT JOIN."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    return sparql_query(
+        "SELECT ?d ?lang ?n3 WHERE { "
+        "?d <prop:lang> ?lang . "
+        "OPTIONAL { GRAPH <graph:src3> { ?d <prop:n_chars> ?n3 . } } "
+        "} ORDER BY ?d",
+        store,
+    )
+
+
+SQL_SPARQL_OPTIONAL = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, lang,
+       CASE WHEN source = 'src3' THEN CAST(n_chars AS VARCHAR) END AS n3
+FROM documents ORDER BY 1
+"""
+
+
 def q_sparql_minus_exists(sf_dir: str):
     """MINUS + FILTER NOT EXISTS: both run as broadcast anti-semi-joins
     of the solution stream against a BGP side relation (composite-key
@@ -2936,6 +2961,7 @@ QUERIES = {
     "sparql_count_distinct": q_sparql_count_distinct,
     "sparql_describe": q_sparql_describe,
     "sparql_having_concat": q_sparql_having_concat,
+    "sparql_optional": q_sparql_optional,
     "sparql_minus_exists": q_sparql_minus_exists,
     "sparql_in_if": q_sparql_in_if,
     "sparql_term_fns": q_sparql_term_fns,
@@ -3030,6 +3056,7 @@ ORACLE_SQL = {
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
     "sparql_describe": SQL_SPARQL_DESCRIBE,
     "sparql_having_concat": SQL_SPARQL_HAVING_CONCAT,
+    "sparql_optional": SQL_SPARQL_OPTIONAL,
     "sparql_minus_exists": SQL_SPARQL_MINUS_EXISTS,
     "sparql_in_if": SQL_SPARQL_IN_IF,
     "sparql_term_fns": SQL_SPARQL_TERM_FNS,

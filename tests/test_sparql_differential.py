@@ -378,6 +378,46 @@ def test_random_order_by_queries_match_duckdb():
         checked += 1
 
 
+def test_random_minus_exists_queries_match_duckdb():
+    """MINUS / FILTER [NOT] EXISTS with a shared variable vs SQL
+    [NOT] EXISTS correlated subqueries (with shared vars, SPARQL MINUS
+    and NOT EXISTS coincide)."""
+    rng = random.Random(660912)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    checked = 0
+    while checked < 18:
+        base_sparql, base_sql = _gen_query(rng)
+        if "DISTINCT" in base_sparql:
+            continue
+        vars_ = base_sparql.partition(" WHERE ")[0].replace("SELECT ", "").split()
+        anchor = rng.choice(vars_)[1:]
+        p = f"http://p/p{rng.randrange(N_PRED)}"
+        mode = rng.choice(["minus", "exists", "not_exists"])
+        side = f"?{anchor} <{p}> ?w ."
+        cut = base_sparql.rfind("}")
+        if mode == "minus":
+            sparql = base_sparql[:cut] + f"MINUS {{ {side} }} }}"
+        elif mode == "exists":
+            sparql = base_sparql[:cut] + f"FILTER EXISTS {{ {side} }} }}"
+        else:
+            sparql = base_sparql[:cut] + f"FILTER NOT EXISTS {{ {side} }} }}"
+        neg = "NOT " if mode in ("minus", "not_exists") else ""
+        sql = (
+            f"SELECT base.* FROM ({base_sql}) base WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM q m WHERE m.s = base.{anchor} AND m.p = '{p}')"
+        )
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        gl = sorted(map(repr, zip(*[got.column(c).to_pylist() for c in sorted(got.column_names)]))) if got.num_rows else []
+        wl = sorted(map(repr, zip(*[want.column(c).to_pylist() for c in sorted(want.column_names)]))) if want.num_rows else []
+        assert sorted(got.column_names) == sorted(want.column_names), (sparql, sql)
+        assert gl == wl, (sparql, sql, len(gl), len(wl))
+        checked += 1
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

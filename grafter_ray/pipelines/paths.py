@@ -134,11 +134,14 @@ def _dedup(tb: pa.Table) -> pa.Table:
     return tb.group_by(["src", "dst"]).aggregate([])
 
 
-def _join(a: pa.Table, b: pa.Table) -> pa.Table:
-    """pairs(a) ∘ pairs(b): a.dst = b.src."""
+def _join(a: pa.Table, b: pa.Table, distinct: bool = False) -> pa.Table:
+    """pairs(a) ∘ pairs(b): a.dst = b.src. Bag semantics by default
+    (SPARQL fixed-length paths keep multiplicity, matching the BGP
+    layer's quad-level bags); closures pass distinct=True."""
     a = a.rename_columns(["src", "mid"])
     b = b.rename_columns(["mid", "dst"])
-    return _dedup(a.join(b, keys=["mid"], join_type="inner").select(["src", "dst"]))
+    out = a.join(b, keys=["mid"], join_type="inner").select(["src", "dst"])
+    return _dedup(out) if distinct else out
 
 
 def eval_path(quads: pa.Table, path) -> pa.Table:
@@ -148,10 +151,10 @@ def eval_path(quads: pa.Table, path) -> pa.Table:
     path = _coerce(path)
     if isinstance(path, P):
         e = quads.filter(pc.equal(quads.column("p"), path.iri))
-        return _dedup(pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS))
+        return pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS)
     if isinstance(path, NegSet):
         e = quads.filter(pc.invert(pc.is_in(quads.column("p"), value_set=pa.array(path.iris))))
-        return _dedup(pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS))
+        return pa.table({"src": e.column("s"), "dst": e.column("o_value")}).cast(_PAIRS)
     if isinstance(path, Inv):
         inner = eval_path(quads, path.part)
         return inner.rename_columns(["dst", "src"]).select(["src", "dst"])
@@ -161,14 +164,16 @@ def eval_path(quads: pa.Table, path) -> pa.Table:
             acc = _join(acc, eval_path(quads, part))
         return acc
     if isinstance(path, Alt):
-        return _dedup(pa.concat_tables([eval_path(quads, x) for x in path.parts]))
+        # bag union (SPARQL alternation keeps multiplicity)
+        return pa.concat_tables([eval_path(quads, x) for x in path.parts])
     if isinstance(path, (Star, Plus)):
-        base = eval_path(quads, path.part)
+        # arbitrary-length paths ARE set-semantics (SPARQL 1.1 §18.4)
+        base = _dedup(eval_path(quads, path.part))
         # transitive closure: frontier fixpoint of hash joins
         closure = base
         frontier = base
         while True:
-            nxt = _join(frontier, base)
+            nxt = _join(frontier, base, distinct=True)
             before = closure.num_rows
             closure = _dedup(pa.concat_tables([closure, nxt]))
             if closure.num_rows == before:
@@ -264,7 +269,7 @@ def _anti_ds(left, right):
     return grouped_block_map(both, ["src", "dst"], keep_left_only)
 
 
-def _join_ds(a, b, num_partitions: int = 8):
+def _join_ds(a, b, num_partitions: int = 8, distinct: bool = False):
     """pairs(a) ∘ pairs(b): co-group on the mid node via ONE key exchange
     (tag-union + grouped_block_map) and a per-key cross product. The
     exchange shape is identical to a hash join; avoiding Dataset.join
@@ -310,7 +315,8 @@ def _join_ds(a, b, num_partitions: int = 8):
             {"src": pa.array(np.concatenate(out_src)), "dst": pa.array(np.concatenate(out_dst))}
         ).cast(_PAIRS)
 
-    return _distinct_ds(grouped_block_map(both, ["mid"], compose))
+    out = grouped_block_map(both, ["mid"], compose)
+    return _distinct_ds(out) if distinct else out
 
 
 def _identity_pairs_ds(ds):
@@ -332,9 +338,9 @@ def eval_path_dataset(ds, path, num_partitions: int = 8, max_iters: int = 64):
     vocabulary-sized graphs — it is cheaper below ~1M edges."""
     path = _coerce(path)
     if isinstance(path, P):
-        return _distinct_ds(_pairs_ds(ds, pred=path.iri))
+        return _pairs_ds(ds, pred=path.iri)
     if isinstance(path, NegSet):
-        return _distinct_ds(_pairs_ds(ds, neg_iris=path.iris))
+        return _pairs_ds(ds, neg_iris=path.iris)
     if isinstance(path, Inv):
         inner = eval_path_dataset(ds, path.part, num_partitions)
 
@@ -353,13 +359,14 @@ def eval_path_dataset(ds, path, num_partitions: int = 8, max_iters: int = 64):
         acc = parts[0]
         for p_ in parts[1:]:
             acc = acc.union(p_)
-        return _distinct_ds(acc)
+        return acc  # bag union, matching the table evaluator
     if isinstance(path, (Star, Plus)):
-        base = eval_path_dataset(ds, path.part, num_partitions).materialize()
+        # arbitrary-length paths ARE set-semantics (SPARQL 1.1 §18.4)
+        base = _distinct_ds(eval_path_dataset(ds, path.part, num_partitions)).materialize()
         closure = base
         frontier = base
         for _ in range(max_iters):
-            nxt = _join_ds(frontier, base, num_partitions)
+            nxt = _join_ds(frontier, base, num_partitions, distinct=True)
             new = _anti_ds(nxt, closure).materialize()
             if new.count() == 0:
                 break

@@ -418,6 +418,52 @@ def test_random_minus_exists_queries_match_duckdb():
         checked += 1
 
 
+def test_random_property_paths_match_duckdb():
+    """Property paths as a third independent oracle (the suite already
+    cross-checks the table and Dataset evaluators against each other):
+    `p+` → recursive CTE reachability, `p1/p2` → two-hop join,
+    `p1|p2` → UNION. Arbitrary-length paths are DISTINCT endpoint
+    pairs per SPARQL — compared as sets."""
+    rng = random.Random(81524)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    for case in range(12):
+        p1 = f"http://p/p{rng.randrange(N_PRED)}"
+        p2 = f"http://p/p{rng.randrange(N_PRED)}"
+        kind = rng.choice(["plus", "seq", "alt"])
+        if kind == "plus":
+            sparql = f"SELECT ?a ?b WHERE {{ ?a <{p1}>+ ?b . }}"
+            sql = f"""
+              WITH RECURSIVE r(a, b) AS (
+                -- literal endpoints are legal path results; they simply
+                -- never match a subject, so recursion stops there
+                SELECT s, o_value FROM q WHERE p = '{p1}'
+                UNION
+                SELECT r.a, q.o_value FROM r JOIN q ON q.s = r.b
+                WHERE q.p = '{p1}'
+              ) SELECT DISTINCT a, b FROM r"""
+        elif kind == "seq":
+            sparql = f"SELECT ?a ?b WHERE {{ ?a <{p1}>/<{p2}> ?b . }}"
+            sql = (
+                f"SELECT t0.s AS a, t1.o_value AS b FROM q t0 JOIN q t1 ON t1.s = t0.o_value "
+                f"WHERE t0.p = '{p1}' AND t1.p = '{p2}'"
+            )
+        else:
+            sparql = f"SELECT ?a ?b WHERE {{ ?a <{p1}>|<{p2}> ?b . }}"
+            sql = (
+                f"SELECT s AS a, o_value AS b FROM q WHERE p = '{p1}' "
+                f"UNION ALL SELECT s, o_value FROM q WHERE p = '{p2}'"
+            )
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        cmp = set if kind == "plus" else sorted
+        gl = cmp(map(tuple, zip(got.column("a").to_pylist(), got.column("b").to_pylist()))) if got.num_rows else cmp([])
+        wl = cmp(map(tuple, zip(want.column("a").to_pylist(), want.column("b").to_pylist()))) if want.num_rows else cmp([])
+        assert gl == wl, (case, sparql, len(got), len(want))
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

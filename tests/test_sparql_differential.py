@@ -464,6 +464,36 @@ def test_random_property_paths_match_duckdb():
         assert gl == wl, (case, sparql, len(got), len(want))
 
 
+def test_random_subselect_queries_match_duckdb():
+    """Nested { SELECT (COUNT …) GROUP BY } subselects natural-joined
+    with the outer pattern vs SQL subquery joins."""
+    rng = random.Random(20121)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    for case in range(12):
+        p0 = f"http://p/p{rng.randrange(N_PRED)}"
+        p1 = f"http://p/p{rng.randrange(N_PRED)}"
+        sparql = (
+            f"SELECT ?a ?b ?n WHERE {{ ?a <{p0}> ?b . "
+            f"{{ SELECT ?a (COUNT(?x) AS ?n) WHERE {{ ?a <{p1}> ?x . }} GROUP BY ?a }} }}"
+        )
+        sql = (
+            f"SELECT t0.s AS a, t0.o_value AS b, CAST(sub.n AS VARCHAR) AS n "
+            f"FROM q t0 JOIN (SELECT s, COUNT(o_value) AS n FROM q WHERE p = '{p1}' "
+            f"GROUP BY s) sub ON sub.s = t0.s WHERE t0.p = '{p0}'"
+        )
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        gl = sorted(map(repr, zip(*[pc.cast(got.column(c), pa.string()).to_pylist()
+                                    for c in sorted(got.column_names)]))) if got.num_rows else []
+        wl = sorted(map(repr, zip(*[want.column(c).to_pylist()
+                                    for c in sorted(want.column_names)]))) if want.num_rows else []
+        assert sorted(got.column_names) == sorted(want.column_names), (case, sparql)
+        assert gl == wl, (case, sparql, len(gl), len(wl))
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

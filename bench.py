@@ -57,6 +57,7 @@ QUERY_SUBSET = [
     "jsonld_roundtrip",
     "sparql_having_concat",
     "sparql_minus_exists",
+    "sparql_optional",
     "pack_sequences",
     "decontaminate",
     "repetition_stats",

@@ -174,6 +174,7 @@ class SelectQuery:
     exists_filters: list = field(default_factory=list)  # (positive, [patterns])
     agg_params: dict = field(default_factory=dict)  # alias → {"sep": str}
     services: list = field(default_factory=list)  # (endpoint, silent, body_text, vars)
+    extra_term_meta: set = field(default_factory=set)  # callers needing {v}__kind columns
     service_bound_join: int | None = None  # VALUES-pushdown batch size (None = fetch whole relation)
 
 
@@ -1195,6 +1196,13 @@ def _instantiate_quads(
             o_value = pa.nulls(n, pa.string()).fill_null(o_t[1])
             o_dt = pa.nulls(n, pa.string()) if o_t[2] is None else pa.nulls(n, pa.string()).fill_null(o_t[2])
             o_lang = pa.nulls(n, pa.string()) if o_t[3] is None else pa.nulls(n, pa.string()).fill_null(o_t[3])
+        elif o_t[0] == "var" and f"{o_t[1]}__kind" in sols.column_names:
+            # the WHERE projected the store's own term identity for this
+            # var — re-inserted objects keep their exact kind/dt/lang
+            o_value = resource_col(o_t, "object")
+            o_kind = pc.cast(sols.column(f"{o_t[1]}__kind"), pa.string())
+            o_dt = pc.cast(sols.column(f"{o_t[1]}__datatype"), pa.string())
+            o_lang = pc.cast(sols.column(f"{o_t[1]}__lang"), pa.string())
         else:
             o_value = resource_col(o_t, "object")
             is_b = pc.starts_with(o_value, "_:")
@@ -1812,7 +1820,7 @@ def _term_meta_vars(q: SelectQuery) -> set[str]:
         walk(e)
     for e in q.having:
         walk(e)
-    return out
+    return out | set(q.extra_term_meta)
 
 
 def _align_pair(a, b):
@@ -2286,11 +2294,24 @@ def _apply_update_op(store, op: dict):
             for t in entry
             if t is not None and t[0] == "var"
         }
-        q.select = sorted(tvars) or None
+        iri_vars = _pattern_iri_vars(q)
+        # template object-slot vars bound ONLY at object positions need
+        # the store's term identity (kind/dt/lang) to re-insert exactly —
+        # project their companion columns through the solution
+        obj_meta = {
+            t[1]
+            for entry in op["insert"]
+            for t in (entry[2],)
+            if t is not None and t[0] == "var" and t[1] not in iri_vars
+        }
+        q.extra_term_meta = obj_meta
+        sel = sorted(tvars)
+        for v in sorted(obj_meta):
+            sel += [f"{v}__kind", f"{v}__lang", f"{v}__datatype"]
+        q.select = sel or None
         if not tvars and q.limit is None:
             q.limit = 1  # ground templates: WHERE is only an existence gate
         sols = _run_select(q, store)
-        iri_vars = _pattern_iri_vars(q)
         out = store
         if op["delete"]:
             dead = _instantiate_quads(op["delete"], sols, iri_vars, op["with"])

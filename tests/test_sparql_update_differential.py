@@ -1,0 +1,109 @@
+"""Differential SPARQL 1.1 UPDATE fuzzing: seeded random update
+sequences (INSERT DATA / DELETE DATA / DELETE WHERE / CLEAR GRAPH /
+WITH … DELETE INSERT WHERE) run through sparql_update over a QuadStore
+AND replayed against a plain Python set-of-quads model; final stores
+must agree exactly (the store is set-semantics, so the model is a
+set)."""
+
+import random
+
+import pyarrow as pa
+
+from grafter_ray.pipelines.sparql import sparql_update
+from grafter_ray.pipelines.store import QuadStore
+from grafter_ray.schemas import QUAD
+
+N_S, N_P, N_O, N_G = 8, 3, 6, 2
+XS = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _term(kind, i):
+    return {
+        "s": f"http://x/s{i}",
+        "p": f"http://p/p{i}",
+        "o": f"http://x/o{i}",
+        "g": f"http://g/g{i}",
+    }[kind]
+
+
+def _rand_quad(rng):
+    s = _term("s", rng.randrange(N_S))
+    p = _term("p", rng.randrange(N_P))
+    if rng.random() < 0.5:
+        o = ("iri", _term("o", rng.randrange(N_O)), None, None)
+    else:
+        # store convention: lang-less plain literals normalize UP to an
+        # explicit xsd:string datatype (matches the parsers)
+        o = ("literal", f"v{rng.randrange(N_O)}", XS, None)
+    g = _term("g", rng.randrange(N_G)) if rng.random() < 0.7 else None
+    return (s, p, *o, g)
+
+
+def _quad_text(q):
+    s, p, kind, val, _dt, _lang, g = q
+    o = f"<{val}>" if kind == "iri" else f'"{val}"'
+    t = f"<{s}> <{p}> {o} ."
+    return f"GRAPH <{g}> {{ {t} }}" if g else t
+
+
+def _store_set(store: QuadStore) -> set:
+    tb = store.to_table()
+    rows = set()
+    for i in range(tb.num_rows):
+        rows.add(tuple(tb.column(c)[i].as_py() for c in QUAD.names))
+    return rows
+
+
+def _model_set(model: set) -> set:
+    return {(s, p, k, v, dt, lang, g) for (s, p, k, v, dt, lang, g) in model}
+
+
+def test_random_update_sequences_match_model():
+    rng = random.Random(190844)
+    for trial in range(8):
+        store = QuadStore.from_table(
+            pa.table({f.name: pa.array([], pa.string()) for f in QUAD})
+        )
+        model: set = set()
+        for _step in range(10):
+            op = rng.choice(["insert", "insert", "delete_data", "delete_where", "clear", "modify"])
+            if op == "insert":
+                quads = [_rand_quad(rng) for _ in range(rng.randrange(1, 5))]
+                text = "INSERT DATA { " + " ".join(_quad_text(q) for q in quads) + " }"
+                store = sparql_update(text, store)
+                model |= set(quads)
+            elif op == "delete_data":
+                # half the time target quads that actually exist
+                pool = sorted(model) if model and rng.random() < 0.5 else None
+                quads = (
+                    [pool[rng.randrange(len(pool))] for _ in range(rng.randrange(1, 3))]
+                    if pool
+                    else [_rand_quad(rng) for _ in range(rng.randrange(1, 3))]
+                )
+                text = "DELETE DATA { " + " ".join(_quad_text(q) for q in quads) + " }"
+                store = sparql_update(text, store)
+                model -= set(quads)
+            elif op == "delete_where":
+                p = _term("p", rng.randrange(N_P))
+                text = f"DELETE WHERE {{ ?s <{p}> ?o }}"
+                store = sparql_update(text, store)
+                # house dialect: pattern with no GRAPH matches EVERY graph
+                model = {q for q in model if q[1] != p}
+            elif op == "clear":
+                g = _term("g", rng.randrange(N_G))
+                text = f"CLEAR GRAPH <{g}>"
+                store = sparql_update(text, store)
+                model = {q for q in model if q[6] != g}
+            else:  # modify: retype every (?, p_from, ?) edge to p_to, in place
+                p_from = _term("p", rng.randrange(N_P))
+                p_to = _term("p", rng.randrange(N_P))
+                g = _term("g", rng.randrange(N_G))
+                text = (
+                    f"WITH <{g}> DELETE {{ ?s <{p_from}> ?o }} "
+                    f"INSERT {{ ?s <{p_to}> ?o }} WHERE {{ ?s <{p_from}> ?o }}"
+                )
+                store = sparql_update(text, store)
+                hit = {q for q in model if q[1] == p_from and q[6] == g}
+                model -= hit
+                model |= {(q[0], p_to, q[2], q[3], q[4], q[5], q[6]) for q in hit}
+        assert _store_set(store) == _model_set(model), (trial, sorted(model)[:5])

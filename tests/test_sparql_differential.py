@@ -494,6 +494,24 @@ def test_random_subselect_queries_match_duckdb():
         assert gl == wl, (case, sparql, len(gl), len(wl))
 
 
+def test_random_ask_queries_match_duckdb():
+    """ASK → SQL EXISTS over the same generated BGPs."""
+    rng = random.Random(314159)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    checked = 0
+    while checked < 15:
+        sparql, sql = _gen_query(rng)
+        ask = "ASK" + sparql.partition(" WHERE ")[1] + sparql.partition(" WHERE ")[2]
+        got = sparql_query(ask, store)
+        want = bool(con.execute(f"SELECT EXISTS (SELECT 1 FROM ({sql}))").fetchone()[0])
+        assert isinstance(got, bool)
+        assert got == want, (ask, sql)
+        checked += 1
+
+
 def test_random_bgp_queries_match_duckdb():
     rng = random.Random(20260818)
     tb = _corpus(rng)

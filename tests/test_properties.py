@@ -208,3 +208,45 @@ def test_incview_fold_matches_recompute_on_random_binlogs(tmp_path_factory, binl
         got_t = view.read_table()
         got = list(zip(got_t.column("repo").to_pylist(), got_t.column("n").to_pylist()))
         assert got == want
+
+
+@given(binlogs(), st.data())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_engine_windowed_modes_resume_match_oracle(tmp_path_factory, binlog, data):
+    """The engine's FULL operating envelope under fuzz: random window
+    cuts (micro-batch checkpoints), LSM delta-chain settings, payload
+    modes, a mid-stream STOP + re-open from disk (resume), and a pinned
+    time-travel read at the mid-stream committed version — every
+    combination must converge sha-exactly to the oracle, and the pinned
+    read must equal the oracle replay of the prefix."""
+    import ray.data as rd
+
+    from grafter_ray import CDCLake, oracle_lake_table
+
+    window = data.draw(st.sampled_from([None, 3, 7, 20]), label="window_size")
+    delta_ratio = data.draw(st.sampled_from([0.0, 0.2, 10.0]), label="delta_ratio")
+    payload = data.draw(st.sampled_from(["two_pass", "single_pass"]), label="payload_mode")
+    cut = data.draw(st.integers(0, binlog.num_rows - 1), label="stop_at_lsn")
+
+    root = str(tmp_path_factory.mktemp("prop_env") / "lake")
+    kw = dict(num_partitions=4, delta_ratio=delta_ratio, max_delta_chain=3)
+    lake = CDCLake(root, **kw)
+    m1 = lake.apply(
+        rd.from_arrow(binlog), upto_lsn=cut, window_size=window, payload_mode=payload
+    )
+    # stop + re-open from disk: the rest of the stream resumes exactly-once
+    lake2 = CDCLake(root, **kw)
+    lake2.apply(rd.from_arrow(binlog), window_size=window, payload_mode=payload)
+
+    got = lake2.read_table(view=False)
+    want, version = oracle_lake_table(binlog)
+    assert lake2.schema_version == version
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()
+
+    # time travel to the mid-stream commit == oracle replay of the prefix
+    if m1 is not None and int(m1["watermark_lsn"]) == cut:
+        mid_want, _ = oracle_lake_table(binlog, upto_lsn=cut)
+        mid_got = lake2.read_table(view=False, version=int(m1["version"]))
+        assert mid_got.column("content_sha").to_pylist() == mid_want.column("content_sha").to_pylist()
+        assert mid_got.column("last_lsn").to_pylist() == mid_want.column("last_lsn").to_pylist()

@@ -1,0 +1,94 @@
+"""Differential windowed-aggregate fuzzing vs DuckDB: random event
+streams with ADVERSARIAL timestamps — gaps exactly at/around the
+session threshold, events exactly on hour boundaries, duplicate
+timestamps — through sessionize / tumbling / hopping and the equivalent
+SQL over the same table. The driver's fixed-corpus oracles can't reach
+these boundary cases."""
+
+import random
+from datetime import datetime, timedelta
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+BASE = datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _events(rng: random.Random, n=400, n_users=12) -> pa.Table:
+    rows = []
+    t = {u: BASE + timedelta(seconds=rng.randrange(0, 3600)) for u in range(n_users)}
+    deltas = [0, 1, 59, 1799, 1800, 1801, 3600, 7200, 30]  # threshold edges
+    for i in range(n):
+        u = rng.randrange(n_users)
+        t[u] = t[u] + timedelta(seconds=rng.choice(deltas))
+        ts = t[u]
+        if rng.random() < 0.15:  # exact hour boundary
+            ts = ts.replace(minute=0, second=0, microsecond=0)
+            t[u] = ts
+        rows.append(
+            {"event_id": i, "user_id": u, "ts": ts, "value": round(rng.uniform(0, 99), 2)}
+        )
+    tb = pa.Table.from_pylist(rows)
+    return tb.set_column(
+        tb.schema.get_field_index("ts"), "ts", tb.column("ts").cast(pa.timestamp("us"))
+    )
+
+
+def _sorted_rows(tb: pa.Table):
+    cols = sorted(tb.column_names)
+    return sorted(map(repr, zip(*[tb.column(c).to_pylist() for c in cols]))), cols
+
+
+def test_windows_match_duckdb_on_adversarial_timestamps():
+    from grafter_ray.pipelines.queries import _fixed_point
+    from grafter_ray.stages.windows import hopping_counts, sessionize, tumbling_counts
+
+    rng = random.Random(9090)
+    for trial in range(4):
+        tb = _events(rng)
+        con = duckdb.connect()
+        con.register("ev", tb)
+        ds = rd.from_arrow(tb)
+
+        # sessionize (gap strictly > 1800 s starts a new session)
+        sess = sessionize(ds, "user_id", "ts", "event_id").take_all()
+        got_tb = pa.Table.from_pylist(sess)
+        want = con.execute("""
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id,
+                         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                  FROM ev) GROUP BY user_id
+        """).fetch_arrow_table()
+        g, gc = _sorted_rows(got_tb)
+        w, wc = _sorted_rows(want)
+        assert gc == wc and g == w, (trial, "sessionize")
+
+        # tumbling hourly counts + value cents
+        tum = _fixed_point(tumbling_counts(ds, "ts", value_col="value"), ["sum_value_cents"])
+        tum_tb = pa.Table.from_pylist(tum.take_all()) if hasattr(tum, "take_all") else tum
+        want = con.execute("""
+            SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+            FROM ev GROUP BY 1
+        """).fetch_arrow_table()
+        g, gc = _sorted_rows(tum_tb)
+        w, wc = _sorted_rows(want)
+        assert gc == wc and g == w, (trial, "tumbling")
+
+        # hopping 2h/1h windows
+        hop = _fixed_point(hopping_counts(ds, "ts", 2, 1, value_col="value"), ["sum_value_cents"])
+        hop_tb = pa.Table.from_pylist(hop.take_all()) if hasattr(hop, "take_all") else hop
+        want = con.execute("""
+            SELECT window_start, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+            FROM (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start, value FROM ev
+                  UNION ALL
+                  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H'), value FROM ev)
+            GROUP BY window_start
+        """).fetch_arrow_table()
+        g, gc = _sorted_rows(hop_tb)
+        w, wc = _sorted_rows(want)
+        assert gc == wc and g == w, (trial, "hopping")

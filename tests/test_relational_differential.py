@@ -1,0 +1,70 @@
+"""Differential fuzzing of the CORE two-phase grouped_agg (the
+aggregation primitive under most pipelines) vs DuckDB GROUP BY over the
+same table: random group sizes, NULL-laden measure columns (all-null
+groups included), count/sum/min/max/mean across int and float inputs.
+Keys stay non-null — the engine's documented shuffle contract."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+
+def _table(rng: random.Random, n=500) -> pa.Table:
+    keys, fvals, ivals = [], [], []
+    for _ in range(n):
+        k = rng.randrange(8)
+        keys.append(k)
+        # integer-valued floats: cross-engine sums are exact
+        fvals.append(None if rng.random() < 0.25 else float(rng.randrange(-50, 500)))
+        ivals.append(None if rng.random() < 0.25 else rng.randrange(-1000, 1000))
+    # key 7 gets ONLY nulls (all-null group edge)
+    for i, k in enumerate(keys):
+        if k == 7:
+            fvals[i] = None
+            ivals[i] = None
+    return pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "f": pa.array(fvals, pa.float64()),
+            "i": pa.array(ivals, pa.int64()),
+        }
+    )
+
+
+def test_grouped_agg_matches_duckdb_with_nulls():
+    from grafter_ray.pipelines.relational import grouped_agg
+
+    rng = random.Random(112233)
+    for trial in range(4):
+        tb = _table(rng)
+        con = duckdb.connect()
+        con.register("t", tb)
+        out = grouped_agg(
+            rd.from_arrow(tb),
+            ["k"],
+            [
+                ("n", None, "count"),
+                ("sf", "f", "sum"),
+                ("mnf", "f", "min"),
+                ("mxf", "f", "max"),
+                ("avf", "f", "mean"),
+                ("si", "i", "sum"),
+                ("mni", "i", "min"),
+                ("mxi", "i", "max"),
+            ],
+        )
+        got = pa.Table.from_pylist(out.take_all()).sort_by([("k", "ascending")])
+        want = con.execute("""
+            SELECT k, COUNT(*) AS n, SUM(f) AS sf, MIN(f) AS mnf, MAX(f) AS mxf,
+                   AVG(f) AS avf, CAST(SUM(i) AS BIGINT) AS si,
+                   MIN(i) AS mni, MAX(i) AS mxi
+            FROM t GROUP BY k ORDER BY k
+        """).fetch_arrow_table()
+        assert got.num_rows == want.num_rows, trial
+        for c in ("k", "n", "sf", "mnf", "mxf", "si", "mni", "mxi"):
+            assert got.column(c).to_pylist() == want.column(c).to_pylist(), (trial, c)
+        ga, wa = got.column("avf").to_pylist(), want.column("avf").to_pylist()
+        for x, y in zip(ga, wa):
+            assert (x is None) == (y is None) and (x is None or abs(x - y) < 1e-9), (trial, x, y)

@@ -529,3 +529,31 @@ def test_random_bgp_queries_match_duckdb():
         assert g == w, (case, sparql, sql, len(g), len(w))
         checked += 1
     assert checked == 60
+
+
+def test_random_describe_queries_match_duckdb():
+    """DESCRIBE <iri> / DESCRIBE ?v WHERE — subject-description form:
+    all quads whose subject is a described resource, vs plain SQL."""
+    rng = random.Random(271828)
+    tb = _corpus(rng)
+    store = QuadStore.from_table(tb)
+    con = duckdb.connect()
+    con.register("q", tb)
+    for case in range(10):
+        if rng.random() < 0.5:
+            subj = f"http://x/s{rng.randrange(N_SUBJ)}"
+            sparql = f"DESCRIBE <{subj}>"
+            sql = f"SELECT * FROM q WHERE s = '{subj}'"
+        else:
+            p = f"http://p/p{rng.randrange(N_PRED)}"
+            sparql = f"DESCRIBE ?d WHERE {{ ?d <{p}> ?x . }}"
+            sql = (
+                f"SELECT q.* FROM q JOIN (SELECT DISTINCT s FROM q WHERE p = '{p}') d "
+                f"ON q.s = d.s"
+            )
+        got = sparql_query(sparql, store)
+        want = con.execute(sql).fetch_arrow_table()
+        # DESCRIBE result is a quad SET
+        g = set(map(tuple, zip(*[got.column(c).to_pylist() for c in QUAD.names]))) if got.num_rows else set()
+        w = set(map(tuple, zip(*[want.column(c).to_pylist() for c in QUAD.names]))) if want.num_rows else set()
+        assert g == w, (case, sparql, len(g), len(w))

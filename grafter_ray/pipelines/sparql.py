@@ -135,7 +135,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|BASE|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -175,6 +175,7 @@ class SelectQuery:
     agg_params: dict = field(default_factory=dict)  # alias → {"sep": str}
     services: list = field(default_factory=list)  # (endpoint, silent, body_text, vars)
     extra_term_meta: set = field(default_factory=set)  # callers needing {v}__kind columns
+    base: str | None = None  # BASE <iri> for relative-IRI resolution
     service_bound_join: int | None = None  # VALUES-pushdown batch size (None = fetch whole relation)
 
 
@@ -211,22 +212,44 @@ class _QParser:
             raise SparqlParseError(f"expected {value!r}, got {v!r}")
         return v
 
+    def _base_resolve(self, iri: str) -> str:
+        """Resolve a relative IRI against the query's BASE (RFC 3986 via
+        urljoin; absolute IRIs pass through). Reference direction:
+        'Support base-uri everywhere including in SPARQL'
+        (doc/ideas.org:6-12); grammar: SPARQL 1.1 §4.1.1 BaseDecl."""
+        import re as _re
+        from urllib.parse import urljoin
+
+        if self.q.base is None or _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return iri
+        out = urljoin(self.q.base, iri)
+        if iri.endswith("#") and not out.endswith("#"):
+            out += "#"  # urljoin drops an empty fragment; vocab IRIs keep it
+        return out
+
     def _resolve(self, raw: str) -> str:
         if raw.startswith("<"):
-            return raw[1:-1]
+            return self._base_resolve(raw[1:-1])
         pre, _, local = raw.partition(":")
         if pre not in self.q.prefixes:
             raise SparqlParseError(f"undefined prefix {pre + ':'!r}")
         return self.q.prefixes[pre] + local
 
     def parse(self) -> SelectQuery:
-        while self.peek()[1] and self.peek()[1].upper() == "PREFIX":
-            self.next()
+        while self.peek()[1] and self.peek()[1].upper() in ("PREFIX", "BASE"):
+            kw = self.next()[1].upper()
+            if kw == "BASE":
+                bk, biri = self.next()
+                if bk != "iri":
+                    raise SparqlParseError(f"bad BASE IRI {biri!r}")
+                self.q.base = biri[1:-1]
+                continue
             k, pname = self.next()
             if k != "pname":
                 raise SparqlParseError(f"bad PREFIX name {pname!r}")
+            # a PREFIX IRI is itself base-resolvable (SPARQL 1.1 §4.1.1)
             _, iri = self.next()
-            self.q.prefixes[pname.rstrip(":").partition(":")[0]] = iri[1:-1]
+            self.q.prefixes[pname.rstrip(":").partition(":")[0]] = self._base_resolve(iri[1:-1])
         head = self.peek()[1]
         if head and head.upper() == "ASK":
             self.next()

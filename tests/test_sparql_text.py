@@ -987,3 +987,36 @@ def test_keywords_case_insensitive():
     assert out.column("n").to_pylist() == [2, 2]
     with pytest.raises(SparqlParseError):
         sparql_query("SELECT ?s WHERE { ?s A ?t }", st)  # 'A' is not 'a'
+
+
+def test_base_declaration_resolves_relative_iris():
+    """BASE <iri> (SPARQL 1.1 §4.1.1; reference direction ideas.org:6-12
+    'Support base-uri everywhere including in SPARQL'): relative IRIs in
+    patterns AND in PREFIX declarations resolve against it; absolute
+    IRIs pass through."""
+    q = parse_query(
+        "BASE <http://example.org/data/> PREFIX v: <vocab#> "
+        "SELECT ?s WHERE { ?s <rel/p> <../up> . ?s v:name <http://abs/x> }"
+    )
+    assert q.base == "http://example.org/data/"
+    assert q.prefixes["v"] == "http://example.org/data/vocab#"
+    assert q.patterns[0] == ("?s", "http://example.org/data/rel/p", "http://example.org/up")
+    assert q.patterns[1] == ("?s", "http://example.org/data/vocab#name", "http://abs/x")
+
+
+def test_base_executes_end_to_end():
+    import pyarrow as pa
+
+    from grafter_ray.schemas import QUAD
+
+    tb = pa.table(
+        {
+            "s": ["http://e/a"], "p": ["http://e/p"], "o_kind": ["iri"],
+            "o_value": ["http://e/b"], "o_datatype": [None], "o_lang": [None],
+            "c": [None],
+        },
+        schema=QUAD,
+    )
+    store = QuadStore.from_table(tb)
+    out = sparql_query("BASE <http://e/> SELECT ?o WHERE { <a> <p> ?o }", store)
+    assert out.column("o").to_pylist() == ["http://e/b"]

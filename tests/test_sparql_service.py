@@ -231,3 +231,75 @@ def test_service_bound_join_no_local_candidates_short_circuits():
     )
     assert out.num_rows == 0
     assert seen == []  # zero candidates → no remote request at all
+
+
+def _answering_transport(remote_store, seen=None):
+    """A stub endpoint that EXECUTES the received SPARQL with the engine
+    itself over `remote_store` and answers SPARQL JSON — full wire loop."""
+
+    def transport(url, params, headers):
+        q = dict(params)["query"]
+        if seen is not None:
+            seen.append(q)
+        tb = sparql_query(q, remote_store)
+        vars_ = tb.column_names
+        bindings = []
+        for i in range(tb.num_rows):
+            b = {}
+            for v in vars_:
+                val = tb.column(v)[i].as_py()
+                if val is not None:
+                    b[v] = {"type": "uri" if val.startswith("http") else "literal", "value": val}
+            bindings.append(b)
+        body = json.dumps({"head": {"vars": vars_}, "results": {"bindings": bindings}})
+        return 200, {}, body.encode()
+
+    return transport
+
+
+def test_self_federation_differential_vs_two_table_sql():
+    """Random federated joins, the remote side answered by the engine
+    itself over a second corpus — the federated result must equal a
+    two-table SQL join over (local, remote), with and without bound
+    joins (which must also shrink what crosses the wire)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(77007)
+    rows_l, rows_r = [], []
+    for i in range(60):
+        s = f"http://x/s{rng.randrange(10)}"
+        rows_l.append((s, "http://p/name", "literal", f"n{rng.randrange(6)}", None, None, None))
+        if rng.random() < 0.7:
+            rows_r.append((s, "http://p/city", "literal", f"c{rng.randrange(5)}", None, None, None))
+    def mk(rows):
+        cols = list(zip(*rows))
+        return pa.table({f.name: pa.array(list(c), pa.string()) for f, c in zip(QUAD, cols)})
+    local_tb, remote_tb = mk(rows_l), mk(rows_r)
+    local = QuadStore.from_table(local_tb)
+    remote = QuadStore.from_table(remote_tb)
+    con = duckdb.connect()
+    con.register("l", local_tb)
+    con.register("r", remote_tb)
+    want = con.execute("""
+        SELECT l.s AS s, l.o_value AS name, r.o_value AS city
+        FROM l JOIN r ON r.s = l.s
+        WHERE l.p = 'http://p/name' AND r.p = 'http://p/city'
+    """).fetch_arrow_table()
+    wl = sorted(map(repr, zip(want.column("s").to_pylist(), want.column("name").to_pylist(),
+                              want.column("city").to_pylist())))
+    text = """SELECT ?s ?name ?city WHERE {
+        ?s <http://p/name> ?name .
+        SERVICE <http://remote.example/sparql> { ?s <http://p/city> ?city }
+    }"""
+    for bound in (None, 3):
+        seen: list = []
+        S.SERVICE_TRANSPORTS[EP] = _answering_transport(remote, seen)
+        got = sparql_query(text, local, service_bound_join=bound)
+        gl = sorted(map(repr, zip(got.column("s").to_pylist(), got.column("name").to_pylist(),
+                                  got.column("city").to_pylist())))
+        assert gl == wl, ("bound" if bound else "full-fetch", len(gl), len(wl))
+        if bound:
+            assert len(seen) > 1  # chunked
+            assert all("VALUES ?s {" in q for q in seen)

@@ -568,7 +568,15 @@ class MergeActor:
             n = tombs.num_rows
             cols = {name: pa.nulls(n, LAKE.field(name).type) for name in LAKE.names}
             if del_keys is not None and del_keys.num_rows:
-                pos = pc.index_in(tombs.column("lsn"), value_set=del_keys.column("lsn").combine_chunks())
+                # Match by 128-bit key hash, NOT lsn: chained syncs give
+                # every delete in a window the same synthetic lsn
+                # (chain.py `2*src_wm+1`), so an lsn first-match would
+                # hand every tombstone the first key's strings.
+                dh1, dh2 = key_hash_pair(del_keys.column("repo"), del_keys.column("path"))
+                pos = pc.index_in(
+                    _kh_binary(tombs.column("kh1"), tombs.column("kh2")),
+                    value_set=_kh_binary(pa.array(dh1), pa.array(dh2)),
+                )
                 cols["repo"] = pc.take(del_keys.column("repo"), pos)
                 cols["path"] = pc.take(del_keys.column("path"), pos)
             cols["last_lsn"] = tombs.column("lsn")

@@ -167,3 +167,47 @@ def test_pinned_bootstrap_then_catchup_from_shared_lake(tmp_path):
     src.apply(rd.from_arrow(_mini_binlog([(7, "upsert", "r", "d", "c7", "go", "delta2")])))
     with pytest.raises(ValueError, match="latest src version"):
         sync_lakes(src, dst2, at_version=v1)
+
+
+def test_multi_delete_one_window_lsm_tombstone_strings(tmp_path):
+    """Regression: chained syncs stamp EVERY delete in a window with the
+    same synthetic lsn (2*src_wm+1). Tombstone (repo, path) strings must
+    therefore be matched to delete winners by 128-bit key hash, not by
+    lsn first-match — else every tombstone in a partition inherits the
+    first deleted key's strings and deleted_keys()' LSM suffix fast path
+    reports the wrong keys as deleted."""
+    # ONE partition so all deletes collide; delta_ratio high enough that
+    # the delete window takes the LSM delta path (tombstone strings are
+    # only read back from suffix delta files).
+    src = CDCLake(str(tmp_path / "src"), num_partitions=1)
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=1, delta_ratio=0.9)
+
+    keys = [f"k{i:02d}" for i in range(10)]
+    w1 = [(i, "upsert", "r", k, f"c{i}", "py", f"body {k}") for i, k in enumerate(keys)]
+    src.apply(rd.from_arrow(_mini_binlog(w1)))
+    assert sync_lakes(src, dst)["mode"] == "bootstrap"
+    v_boot = int(dst.manifest["version"])
+
+    # delete three keys (not the first key of the window) in ONE window
+    dead = ["k03", "k07", "k09"]
+    w2 = [(10 + j, "delete", "r", k, None, None, None) for j, k in enumerate(dead)]
+    src.apply(rd.from_arrow(_mini_binlog(w2)))
+    assert sync_lakes(src, dst)["mode"] == "incremental"
+
+    # the delete window must have taken the LSM delta path (that's the
+    # code path under test — suffix tombstones carry the strings)
+    parts = dst.manifest["partitions"]
+    assert any(p.get("deltas") for p in parts.values()), "expected LSM delta path"
+
+    got = dst.deleted_keys(v_boot).take_all()
+    assert sorted(r["path"] for r in got) == sorted(dead)
+    assert all(r["repo"] == "r" for r in got)
+
+    # changes_with_old must emit sign=-1 retractions for ALL deleted keys
+    ch = dst.changes_with_old(v_boot, view=False).take_all()
+    neg = sorted(r["path"] for r in ch if r["sign"] == -1)
+    assert neg == sorted(dead)
+
+    # surviving state is intact
+    live = sorted(dst.read_table(view=False).column("path").to_pylist())
+    assert live == sorted(set(keys) - set(dead))

@@ -177,7 +177,7 @@ class IncrementalView:
         j = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x00")
         return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
 
-    def _patch_extreme_hits(self, out):
+    def _patch_extreme_hits(self, out, lake_version: int | None = None):
         """Recompute min/max for the groups the fold flagged dirty: one
         broadcast-filtered lake pass over ONLY their rows (the dirty set
         is bounded by the changed-key count), then a vectorized patch of
@@ -226,7 +226,7 @@ class IncrementalView:
 
         from .relational import grouped_agg
 
-        src = self.lake.read(view=True).map_batches(
+        src = self.lake.read(view=True, version=lake_version).map_batches(
             group_rows, batch_format="pyarrow", zero_copy_batch=True
         )
         fixed_ds = grouped_agg(src, keys, [(n, c, h) for n, c, h, _ in self._minmax])
@@ -298,8 +298,12 @@ class IncrementalView:
         else:
             mode = "incremental"
             since = int(state["lake_version"])
-            changed = len(self.lake._changed_entries(since)[1])
-            delta = self.lake.changes_with_old(since, view=True)
+            # pin the diff target to the manifest snapshot captured
+            # above: a concurrent apply committing between manifest_at()
+            # and the diff would otherwise fold the newer changes while
+            # recording the older version — and re-fold them next refresh
+            changed = len(self.lake._changed_entries(since, to_manifest=lm)[1])
+            delta = self.lake.changes_with_old(since, view=True, to_manifest=lm)
             contrib = delta.map_batches(
                 lambda tb: signed_me._contrib(tb, signed=True),
                 batch_format="pyarrow",
@@ -360,7 +364,7 @@ class IncrementalView:
 
         out = agg.map_batches(live_groups, batch_format="pyarrow", zero_copy_batch=True)
         if minmax:
-            out = self._patch_extreme_hits(out)
+            out = self._patch_extreme_hits(out, lake_version=lake_v if lake_v >= 0 else None)
 
         vv = (int(state["view_version"]) + 1) if state else 0
         d = f"v{vv:06d}"

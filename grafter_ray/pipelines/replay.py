@@ -1205,10 +1205,15 @@ class CDCLake:
         sv = m["schema_version"] if m else 0
         return apply_view(tb, sv) if view else tb
 
-    def _changed_entries(self, since_version: int) -> tuple[int, list[dict]]:
+    def _changed_entries(
+        self, since_version: int, to_manifest: dict | None = None
+    ) -> tuple[int, list[dict]]:
         """(old watermark, current entries whose max_lsn exceeds it) —
         the manifest's per-partition max_lsn stats prune unchanged
-        partitions without opening a single data file."""
+        partitions without opening a single data file. `to_manifest`
+        pins the diff target to a caller-held manifest snapshot so a
+        reader racing a concurrent apply diffs against the exact version
+        it records (ADVICE r3: incview refresh double-fold)."""
         try:
             old = self.manifest_at(since_version)
         except FileNotFoundError:
@@ -1219,7 +1224,7 @@ class CDCLake:
         if old is None:
             raise ValueError(f"no committed manifest for version {since_version}")
         wm = int(old["watermark_lsn"])
-        cur = self.manifest or {"partitions": {}}
+        cur = to_manifest if to_manifest is not None else (self.manifest or {"partitions": {}})
         entries = [
             dict(e, partition_id=pid)
             for pid, e in cur["partitions"].items()
@@ -1413,7 +1418,9 @@ class CDCLake:
             diff, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
         )
 
-    def changes_with_old(self, since_version: int, view: bool = True):
+    def changes_with_old(
+        self, since_version: int, view: bool = True, to_manifest: dict | None = None
+    ):
         """Signed incremental feed for derived-table maintenance
         (incview.IncrementalView): for every key whose state changed
         after `since_version`, emit the CURRENT row with sign=+1 and the
@@ -1441,7 +1448,7 @@ class CDCLake:
         key hash either way)."""
         import ray.data as rd
 
-        wm, entries = self._changed_entries(since_version)
+        wm, entries = self._changed_entries(since_version, to_manifest=to_manifest)
         old_m = self.manifest_at(since_version) or {"partitions": {}}
         old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
         items = []
@@ -1456,7 +1463,7 @@ class CDCLake:
                     "suffix": json.dumps(_chain_suffix(oe, e)),
                 }
             )
-        sv = self.schema_version
+        sv = int(to_manifest["schema_version"]) if to_manifest is not None else self.schema_version
         sign_field = pa.field("sign", pa.int8())
         data_dir = self.log.data_dir
         for it in items:

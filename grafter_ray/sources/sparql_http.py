@@ -233,6 +233,18 @@ def paged_select(
             t = repo_box["repo"].query(q)
             if isinstance(t, pa.Table) and t.num_rows:
                 out.append(t)
+                if page == max_pages - 1 and t.num_rows == page_size:
+                    # the final page came back full — the remote relation
+                    # may extend past the page budget; probe one row past
+                    # the horizon and fail loudly instead of silently
+                    # returning a truncated Dataset
+                    probe = repo_box["repo"].query(f"{text} LIMIT 1 OFFSET {max_pages * page_size}")
+                    if isinstance(probe, pa.Table) and probe.num_rows:
+                        raise RepositoryError(
+                            f"paged_select: result exceeds max_pages={max_pages} × "
+                            f"page_size={page_size} = {max_pages * page_size} rows — "
+                            "raise max_pages (or page_size) to cover the remote relation"
+                        )
         return pa.concat_tables(out) if out else pa.table({})
 
     return rd.range(max_pages).map_batches(

@@ -74,55 +74,112 @@ class CommitLog:
     # deletes any data file not referenced by a KEPT manifest, which
     # includes the staging files of an in-flight uncommitted window — so
     # the two must never overlap. O_EXCL create is the atomic claim; a
-    # crashed owner's lock is stolen when its pid is dead (single-node)
-    # or the lock is older than stale_after_s (multi-node fallback).
+    # crashed owner's lock is stolen when its pid is dead AND the lock
+    # was taken on THIS host (pid tables are per-node — on a shared
+    # multi-node lake a foreign host's live writer must not be stolen),
+    # or when the lock is older than stale_after_s (the only steal rule
+    # that works across nodes). Steals go through an atomic
+    # rename-to-unique + content compare so a fresh lock acquired by
+    # someone else between our read and our steal is never destroyed.
 
     @property
     def _lock_path(self) -> str:
         return os.path.join(self.root, "_LOCK")
 
+    def _steal_if_unchanged(self, judged_raw: str | None) -> None:
+        """Remove the lock only if it still holds the content we judged
+        stale. Atomic rename claims the file exclusively first; if the
+        content changed under us (a new holder slipped in after our
+        read), restore it with a fail-if-exists link and walk away."""
+        tmp = self._lock_path + f".steal.{os.getpid()}.{time.time_ns()}"
+        try:
+            os.rename(self._lock_path, tmp)
+        except FileNotFoundError:
+            return  # another stealer got there first
+        try:
+            with open(tmp) as f:
+                now_raw = f.read()
+        except OSError:
+            now_raw = None
+        if now_raw != judged_raw:
+            # we displaced a FRESH lock — put it back unless a newer
+            # acquirer already filled the slot
+            with contextlib.suppress(FileExistsError, FileNotFoundError):
+                os.link(tmp, self._lock_path)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
+
     @contextlib.contextmanager
     def writer_lock(self, owner: str, stale_after_s: float = 3600.0):
+        import socket
+
+        host = socket.gethostname()
+        token = f"{host}:{os.getpid()}:{time.time_ns()}:{os.urandom(4).hex()}"
         while True:
             try:
                 fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                raw: str | None = None
                 info: dict = {}
                 try:
                     with open(self._lock_path) as f:
-                        info = json.load(f)
+                        raw = f.read()
+                    info = json.loads(raw)
                 except (OSError, ValueError):
-                    pass
-                pid, ts = info.get("pid"), info.get("ts", 0)
+                    info = {}
+                pid, ts = info.get("pid"), info.get("ts")
                 pid_dead = False
-                if isinstance(pid, int):
+                if isinstance(pid, int) and info.get("host", host) == host:
+                    # pid liveness is only meaningful on the host that
+                    # wrote the lock; foreign hosts rely on stale_after_s
                     try:
                         os.kill(pid, 0)
                     except ProcessLookupError:
                         pid_dead = True
                     except PermissionError:
                         pass
+                if ts is None:
+                    # unreadable / partially-written lock: age by file
+                    # mtime and never pid-steal (the writer may be mid-
+                    # write between O_EXCL create and the JSON flush)
+                    pid_dead = False
+                    try:
+                        ts = os.stat(self._lock_path).st_mtime
+                    except FileNotFoundError:
+                        continue
                 if pid_dead or (time.time() - ts) > stale_after_s:
-                    # crashed writer — steal (remove may race another
-                    # stealer; the O_EXCL retry arbitrates)
-                    with contextlib.suppress(FileNotFoundError):
-                        os.remove(self._lock_path)
+                    self._steal_if_unchanged(raw)
                     continue
                 raise LakeLockError(
                     f"lake is locked by {info.get('owner', '?')} "
-                    f"(pid {pid}, since {time.ctime(ts)}): concurrent "
-                    "apply/vacuum is not supported"
+                    f"(host {info.get('host', '?')}, pid {pid}, since "
+                    f"{time.ctime(ts)}): concurrent apply/vacuum is not "
+                    "supported"
                 )
         try:
-            os.write(fd, json.dumps({"owner": owner, "pid": os.getpid(), "ts": time.time()}).encode())
+            os.write(
+                fd,
+                json.dumps(
+                    {"owner": owner, "host": host, "pid": os.getpid(), "ts": time.time(), "token": token}
+                ).encode(),
+            )
         finally:
             os.close(fd)
         try:
             yield
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(self._lock_path)
+            # release only OUR lock: if it was stolen while we ran (e.g.
+            # this process was paused past stale_after_s), the slot now
+            # belongs to someone else and must be left alone
+            try:
+                with open(self._lock_path) as f:
+                    still_ours = json.load(f).get("token") == token
+            except (OSError, ValueError):
+                still_ours = False
+            if still_ours:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(self._lock_path)
 
     def commit(self, manifest: dict) -> None:
         version = manifest["version"]

@@ -658,3 +658,44 @@ def _collect(ds):
     import ray
 
     return [ray.get(r) for r in ds.to_arrow_refs()]
+
+
+def test_refresh_racing_concurrent_apply_folds_exactly_once(tmp_path):
+    """ADVICE r3: refresh() captured lake_version, then changes_with_old
+    re-read the LATEST manifest — an apply committing in between made the
+    fold include the newer changes while recording the older version, so
+    the next refresh double-folded them. The fix pins the diff to the
+    manifest snapshot refresh captured. Simulated by patching manifest_at
+    to return a stale snapshot while the real lake has advanced."""
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    view = _view(lake, str(tmp_path / "view"))
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    view.refresh()  # full build at v0
+
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_499)  # v1
+    stale = lake.manifest_at(1)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=CFG.n_events - 1)  # v2 — the racer
+
+    # refresh "started" before the v2 commit: it sees the v1 manifest
+    orig = lake.manifest_at
+    calls = {"n": 0}
+
+    def racy_manifest_at(version=None):
+        if version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return stale
+        return orig(version)
+
+    lake.manifest_at = racy_manifest_at
+    try:
+        stats = view.refresh()
+    finally:
+        del lake.manifest_at
+    assert stats["mode"] == "incremental"
+    assert stats["lake_version"] == 1  # recorded what it actually folded
+
+    # catching up must not double-fold the v1→v2 changes
+    stats2 = view.refresh()
+    assert stats2["lake_version"] == 2
+    _assert_view_matches(view, lake)

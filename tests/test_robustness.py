@@ -107,3 +107,96 @@ def test_writer_lock_released_on_error(tmp_path):
         pass
     with log.writer_lock("apply"):  # not deadlocked
         pass
+
+
+def test_writer_lock_foreign_host_live_lock_not_stolen(tmp_path):
+    """A live writer on ANOTHER node must not be stolen just because its
+    pid is unassigned locally (ADVICE r3: multi-node shared lake)."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from grafter_ray.state.commitlog import CommitLog, LakeLockError
+
+    log = CommitLog(str(tmp_path / "lake"))
+    with open(log._lock_path, "w") as f:
+        _json.dump(
+            {"owner": "apply", "host": "other-node-7", "pid": 2**22 + 12345, "ts": _time.time()},
+            f,
+        )
+    with _pytest.raises(LakeLockError, match="other-node-7"):
+        with log.writer_lock("vacuum"):
+            pass
+
+
+def test_writer_lock_foreign_host_stale_lock_stolen(tmp_path):
+    import json as _json
+
+    from grafter_ray.state.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "lake"))
+    with open(log._lock_path, "w") as f:
+        _json.dump({"owner": "apply", "host": "other-node-7", "pid": 2**22 + 12345, "ts": 1.0}, f)
+    with log.writer_lock("vacuum", stale_after_s=60.0):
+        pass
+
+
+def test_writer_lock_steal_does_not_destroy_fresh_lock(tmp_path):
+    """TOCTOU guard: a stealer holding a STALE snapshot of the lock must
+    not remove a fresh lock acquired by someone else in between."""
+    import json as _json
+    import time as _time
+
+    from grafter_ray.state.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "lake"))
+    stale_raw = _json.dumps({"owner": "apply", "host": "h", "pid": 1, "ts": 1.0})
+    fresh = {"owner": "apply", "host": "h2", "pid": 2, "ts": _time.time(), "token": "T"}
+    with open(log._lock_path, "w") as f:
+        f.write(_json.dumps(fresh))
+    # stealer judged the OLD content stale; the file now holds a fresh lock
+    log._steal_if_unchanged(stale_raw)
+    with open(log._lock_path) as f:
+        assert _json.load(f) == fresh  # fresh lock survived
+    # and a matching judgment does remove it
+    log._steal_if_unchanged(_json.dumps(fresh))
+    import os as _os
+
+    assert not _os.path.exists(log._lock_path)
+
+
+def test_writer_lock_release_leaves_foreign_lock(tmp_path):
+    """If our lock was stolen while we ran, release must not remove the
+    new holder's lock."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from grafter_ray.state.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "lake"))
+    with log.writer_lock("apply"):
+        # simulate a steal + re-acquire by another writer
+        _os.remove(log._lock_path)
+        other = {"owner": "vacuum", "host": "h2", "pid": 99, "ts": _time.time(), "token": "X"}
+        with open(log._lock_path, "w") as f:
+            f.write(_json.dumps(other))
+    with open(log._lock_path) as f:
+        assert _json.load(f)["token"] == "X"  # untouched by our release
+    _os.remove(log._lock_path)
+
+
+def test_writer_lock_partial_write_not_pid_stolen(tmp_path):
+    """An empty/unparseable lock (writer mid-flush) ages by mtime and is
+    never pid-stolen."""
+    import pytest as _pytest
+
+    from grafter_ray.state.commitlog import CommitLog, LakeLockError
+
+    log = CommitLog(str(tmp_path / "lake"))
+    with open(log._lock_path, "w"):
+        pass  # zero-byte lock, mtime = now
+    with _pytest.raises(LakeLockError):
+        with log.writer_lock("vacuum"):
+            pass

@@ -134,6 +134,49 @@ def test_paged_select_fans_out_and_stops():
         paged_select(repo, "SELECT ?s WHERE { ?s ?p ?o } LIMIT 5")
 
 
+def test_paged_select_raises_on_truncation():
+    """A result larger than max_pages x page_size must fail loudly, not
+    silently return a truncated Dataset (ADVICE r3)."""
+
+    def paged_transport(url, params, headers):
+        import re as _re
+
+        q = dict(params)["query"]
+        m = _re.search(r"LIMIT (\d+) OFFSET (\d+)", q)
+        limit, offset = int(m.group(1)), int(m.group(2))
+        total = 16  # > 3 pages x 5
+        rows = [
+            {"s": {"type": "uri", "value": f"http://x/{i}"}}
+            for i in range(offset, min(offset + limit, total))
+        ]
+        doc = {"head": {"vars": ["s"]}, "results": {"bindings": rows}}
+        return 200, {}, json.dumps(doc).encode()
+
+    repo = SparqlRepo("http://ep/q", transport=paged_transport)
+    ds = paged_select(repo, "SELECT ?s WHERE { ?s ?p ?o }", page_size=5, max_pages=3)
+    with pytest.raises(Exception, match="max_pages"):
+        ds.take_all()
+    # exactly at the budget (15 rows / 3 pages of 5 ... boundary probe
+    # finds nothing past the horizon) -> fine
+    def exact_transport(url, params, headers):
+        import re as _re
+
+        q = dict(params)["query"]
+        m = _re.search(r"LIMIT (\d+) OFFSET (\d+)", q)
+        limit, offset = int(m.group(1)), int(m.group(2))
+        total = 15
+        rows = [
+            {"s": {"type": "uri", "value": f"http://x/{i}"}}
+            for i in range(offset, min(offset + limit, total))
+        ]
+        doc = {"head": {"vars": ["s"]}, "results": {"bindings": rows}}
+        return 200, {}, json.dumps(doc).encode()
+
+    repo2 = SparqlRepo("http://ep/q", transport=exact_transport)
+    ds2 = paged_select(repo2, "SELECT ?s WHERE { ?s ?p ?o }", page_size=5, max_pages=3)
+    assert len(ds2.take_all()) == 15
+
+
 def test_real_localhost_endpoint():
     """The DEFAULT urllib transport against an in-process HTTP server —
     proves the wire path, not just the stubs."""

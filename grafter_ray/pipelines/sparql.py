@@ -1909,10 +1909,14 @@ def _aggregate_ds(ds, q: SelectQuery):
     DISTINCT aggregates (COUNT(DISTINCT ?v) etc.) run as a separate
     distributed pass per distinct var: an exact `distinct` over
     keys ∪ {v} (one key exchange), then the same grouped_agg — the raw
-    stream is never collected. Mixed plain+distinct results join on the
-    grouping keys driver-side (aggregated outputs are group-sized)."""
-    import ray.data as _rd
-
+    stream is never collected. Mixed plain+distinct parts join
+    DISTRIBUTEDLY: each group-sized part is padded to the full alias
+    schema (its own aliases live, the others null), the parts union, and
+    one max-combine exchange folds them — every alias is non-null in
+    exactly one part and every part carries the identical key set
+    (all aggregate the same solution stream), so the null-skipping max
+    per key IS the inner join. Group cardinality never reaches the
+    driver (ADVICE r3: GROUP BY over 100 TB = billions of groups)."""
     plain = [(fn, v, a) for fn, v, a, d in q.aggregates if not d and fn != "group_concat"]
     dist = [(fn, v, a) for fn, v, a, d in q.aggregates if d and fn != "group_concat"]
     gcs = [(v, a, d) for fn, v, a, d in q.aggregates if fn == "group_concat"]
@@ -1927,55 +1931,109 @@ def _aggregate_ds(ds, q: SelectQuery):
     keys = list(q.group_by)
     if len(dist) + len(gcs) + (1 if plain else 0) > 1:
         ds = ds.materialize()  # narrow solution projection, multiple passes
+    if keys:
+        return _aggregate_keyed(ds, q, keys, plain, dist, gcs)
+    return _aggregate_global(ds, q, plain, dist, gcs)
 
-    def norm_part(part: pa.Table, fn_aliases: list[tuple]) -> pa.Table:
-        """Zero-group results can collect schema-less (Ray coalesces
-        empty blocks) — rebuild the part's key+alias columns so the
-        mixed plain/distinct join below always sees its keys."""
-        if part.num_rows:
-            return part
-        cols: dict = {k: pa.array([], pa.string()) for k in keys}
-        for fn, a in fn_aliases:
-            cols[a] = pa.array(
-                [], pa.int64() if fn == "count" else
-                (pa.string() if fn == "group_concat" else pa.float64())
-            )
-        return pa.table(cols)
 
-    parts = []
-    if plain:
-        parts.append(norm_part(_collect(_agg_pass(ds, keys, plain)), [(f, a) for f, _v, a in plain]))
-    byvar: dict[str, list] = {}
-    for fn, v, a in dist:
-        byvar.setdefault(v, []).append((fn, a))
+def _alias_type(fn: str) -> pa.DataType:
+    if fn == "count":
+        return pa.int64()
+    return pa.string() if fn == "group_concat" else pa.float64()
+
+
+def _aggregate_parts(ds, q: SelectQuery, keys, plain, dist, gcs):
+    """The per-part aggregate Datasets of a mixed plain/distinct query,
+    as [(part_ds, [(fn, alias), ...])] in output-column order."""
     from .relational import distinct as rel_distinct
     from .relational import grouped_concat
 
+    parts: list[tuple] = []
+    if plain:
+        parts.append((_agg_pass(ds, keys, plain), [(f, a) for f, _v, a in plain]))
+    byvar: dict[str, list] = {}
+    for fn, v, a in dist:
+        byvar.setdefault(v, []).append((fn, a))
     for v, fns in byvar.items():
         dd = rel_distinct(ds, keys + [v])
-        parts.append(norm_part(_collect(_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns])), fns))
+        parts.append((_agg_pass(dd, keys, [(fn, v, a) for fn, a in fns]), fns))
     for v, a, d in gcs:
         sep = q.agg_params.get(a, {}).get("sep", " ")
-        gds = ds
-        gkeys = keys
-        if not keys:  # global GROUP_CONCAT: synthetic single group
+        parts.append((grouped_concat(ds, keys, v, a, sep=sep, distinct=d), [("group_concat", a)]))
+    return parts
 
-            def add_g(tb: pa.Table) -> pa.Table:
-                return tb.append_column("__g", pa.nulls(tb.num_rows, pa.int8()).fill_null(0))
 
-            gds = ds.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True)
-            gkeys = ["__g"]
-        gtb = _collect(grouped_concat(gds, gkeys, v, a, sep=sep, distinct=d))
-        if not keys and "__g" in gtb.column_names:
+def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
+    """Distributed part-join for GROUP BY queries: no driver-side
+    materialization anywhere — group cardinality is unbounded at scale.
+    (A scale-guard test greps this function for `_collect`.)"""
+    from .relational import grouped_agg
+
+    gkeys = keys
+    parts = _aggregate_parts(ds, q, keys, plain, dist, gcs)
+    alias_order: list[tuple[str, pa.DataType]] = []
+    for _p, fns in parts:
+        alias_order.extend((a, _alias_type(fn)) for fn, a in fns)
+    if len(parts) == 1:
+        return parts[0][0]
+
+    def make_pad(own: set[str]):
+        def pad(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0 or tb.num_columns == 0:
+                cols: dict = {k: pa.array([], pa.string()) for k in gkeys}
+                for a, t in alias_order:
+                    cols[a] = pa.array([], t)
+                return pa.table(cols)
+            names = set(tb.column_names)
+            cols = {k: tb.column(k) for k in gkeys}
+            for a, t in alias_order:
+                cols[a] = pc.cast(tb.column(a), t) if a in names else pa.nulls(tb.num_rows, t)
+            return pa.table(cols)
+
+        return pad
+
+    padded = [
+        p.map_batches(
+            make_pad({a for _f, a in fns}), batch_format="pyarrow", zero_copy_batch=True
+        )
+        for p, fns in parts
+    ]
+    union = padded[0].union(*padded[1:])
+    return grouped_agg(union, gkeys, [(a, a, "max") for a, _t in alias_order])
+
+
+def _aggregate_global(ds, q: SelectQuery, plain, dist, gcs):
+    """Global (no GROUP BY) mixed aggregates: each part is exactly ONE
+    row — stacking them driver-side is bounded by the aggregate count."""
+    import ray.data as _rd
+
+    def norm_part(part: pa.Table, fn_aliases: list[tuple]) -> pa.Table:
+        """Zero-solution results can collect schema-less (Ray coalesces
+        empty blocks) — rebuild the part's alias columns."""
+        if part.num_rows:
+            return part
+        return pa.table({a: pa.array([], _alias_type(fn)) for fn, a in fn_aliases})
+
+    from .relational import grouped_concat
+
+    parts = []
+    for p, fns in _aggregate_parts(ds, q, [], plain, dist, []):
+        parts.append(norm_part(_collect(p), fns))
+    for v, a, d in gcs:
+        sep = q.agg_params.get(a, {}).get("sep", " ")
+
+        def add_g(tb: pa.Table) -> pa.Table:
+            return tb.append_column("__g", pa.nulls(tb.num_rows, pa.int8()).fill_null(0))
+
+        gds = ds.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True)
+        gtb = _collect(grouped_concat(gds, ["__g"], v, a, sep=sep, distinct=d))
+        if "__g" in gtb.column_names:
             gtb = gtb.drop_columns(["__g"])
         parts.append(norm_part(gtb, [("group_concat", a)]))
     out = parts[0]
     for p in parts[1:]:
-        if keys:
-            out = out.join(p, keys=keys, join_type="inner")
-        else:  # global aggregates: single-row parts, stack columns
-            for name in p.column_names:
-                out = out.append_column(name, p.column(name))
+        for name in p.column_names:
+            out = out.append_column(name, p.column(name))
     return _rd.from_arrow(out)
 
 

@@ -557,3 +557,62 @@ def test_random_describe_queries_match_duckdb():
         g = set(map(tuple, zip(*[got.column(c).to_pylist() for c in QUAD.names]))) if got.num_rows else set()
         w = set(map(tuple, zip(*[want.column(c).to_pylist() for c in QUAD.names]))) if want.num_rows else set()
         assert g == w, (case, sparql, len(g), len(w))
+
+
+def test_mixed_distinct_aggregate_high_cardinality_groups():
+    """VERDICT r3: mixed plain/distinct aggregate parts must join
+    DISTRIBUTEDLY — 10^5 groups through the part-join, verified against
+    DuckDB. (The old driver-side pa.Table.join would still pass this at
+    test scale; the source guard below pins the mechanism.)"""
+    rng = random.Random(424242)
+    n_subj = 100_000
+    s, p, o = [], [], []
+    for i in range(n_subj):
+        subj = f"http://x/h{i}"
+        for _ in range(rng.choice([1, 2, 3])):
+            s.append(subj)
+            p.append("http://p/v")
+            o.append(f"w{rng.randrange(4)}")
+    tb = pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o_kind": pa.array(["literal"] * len(s), pa.string()),
+            "o_value": pa.array(o, pa.string()),
+            "o_lang": pa.nulls(len(s), pa.string()),
+            "o_datatype": pa.nulls(len(s), pa.string()),
+            "c": pa.nulls(len(s), pa.string()),
+        }
+    )
+    store = QuadStore.from_table(tb)
+    got = sparql_query(
+        "SELECT ?a (COUNT(?v) AS ?n) (COUNT(DISTINCT ?v) AS ?nd) "
+        '(GROUP_CONCAT(DISTINCT ?v; SEPARATOR=",") AS ?cc) '
+        "WHERE { ?a <http://p/v> ?v } GROUP BY ?a",
+        store,
+    )
+    con = duckdb.connect()
+    con.register("q", tb)
+    want = con.execute(
+        "SELECT s AS a, CAST(COUNT(o_value) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT o_value) AS BIGINT) AS nd, "
+        "string_agg(DISTINCT o_value, ',' ORDER BY o_value) AS cc "
+        "FROM q GROUP BY s"
+    ).fetch_arrow_table()
+    assert got.num_rows == n_subj
+    cols = sorted(got.column_names)
+    gl = sorted(zip(*[pc.cast(got.column(c), pa.string()).to_pylist() for c in cols]))
+    wl = sorted(zip(*[pc.cast(want.column(c), pa.string()).to_pylist() for c in cols]))
+    assert gl == wl
+
+
+def test_keyed_mixed_aggregate_never_materializes_driver_side():
+    """Scale guard (pattern from test_dedup_quality's set_jaccard guard):
+    the keyed mixed-aggregate join must stay a Dataset end-to-end."""
+    import inspect
+
+    from grafter_ray.pipelines import sparql as _sp
+
+    src = inspect.getsource(_sp._aggregate_keyed) + inspect.getsource(_sp._aggregate_parts)
+    for forbidden in ("_collect(", "to_pandas", "take_all", "to_arrow_refs", "pa.Table.join", ".join("):
+        assert forbidden not in src, forbidden

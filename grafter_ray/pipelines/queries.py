@@ -1320,6 +1320,68 @@ SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
 """
 
 
+def q_turtle_full_grammar(sf_dir: str):
+    """Full Turtle grammar gate (W3C Turtle §2.7-2.8; the reference
+    parses full Turtle via RDF4J's parser factory, formats.clj:149-189):
+    anonymous blank-node property lists [ … ] and RDF collections ( … )
+    survive a distributed synthesize → parse cycle. Each document row
+    becomes
+      ex:doc<id> ex:meta [ ex:lang "<lang>" ; ex:tokens ( k items ) ] .
+    with k = doc_id % 3 + 1, so the per-predicate triple counts are
+    exactly SQL-derivable."""
+    import shutil
+    import tempfile
+
+    import ray as _ray
+
+    from ..sources.nquads import write_text_lines
+    from ..sources.turtle_reader import read_turtle
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def synth(tb: pa.Table) -> pa.Table:
+        lines = ["@prefix ex: <http://ex/> ."]
+        for did, lang in zip(tb.column("doc_id").to_pylist(), tb.column("lang").to_pylist()):
+            k = did % 3 + 1
+            toks = " ".join(f'"t{i}"' for i in range(k))
+            lines.append(f'ex:doc{did} ex:meta [ ex:lang "{lang}" ; ex:tokens ( {toks} ) ] .')
+        return pa.table({"text": pa.array(["\n".join(lines)], pa.string())})
+
+    path = tempfile.mkdtemp(prefix="graftray_ttlfg_")
+    try:
+        write_text_lines(
+            docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+            path,
+            file_format="ttl",
+        )
+        out = grouped_agg(
+            read_turtle(path).map_batches(
+                lambda tb: pa.table({"p": tb.column("p")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["p"],
+            [("n", None, "count")],
+        )
+        tables = [t for t in (_ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tables)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+SQL_TURTLE_FULL_GRAMMAR = """
+SELECT p, CAST(SUM(n) AS BIGINT) AS n FROM (
+  SELECT 'http://ex/meta' AS p, COUNT(*) AS n FROM documents
+  UNION ALL SELECT 'http://ex/lang', COUNT(*) FROM documents
+  UNION ALL SELECT 'http://ex/tokens', COUNT(*) FROM documents
+  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+    SUM(doc_id % 3 + 1) FROM documents
+  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+    SUM(doc_id % 3 + 1) FROM documents
+) GROUP BY p
+"""
+
+
 def q_jsonld_roundtrip(sf_dir: str):
     """JSON-LD write+read path end-to-end (mirrors turtle_roundtrip):
     documents → quad expand → write_jsonld (self-contained per-block
@@ -2981,6 +3043,7 @@ QUERIES = {
     "sparql_path_text": q_sparql_path_text,
     "inferred_domain_types": q_inferred_domain_types,
     "turtle_roundtrip": q_turtle_roundtrip,
+    "turtle_full_grammar": q_turtle_full_grammar,
     "jsonld_roundtrip": q_jsonld_roundtrip,
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
@@ -3076,6 +3139,7 @@ ORACLE_SQL = {
     "sparql_path_text": SQL_PATH_GEO_CLOSURE,
     "inferred_domain_types": SQL_INFERRED_DOMAIN_TYPES,
     "turtle_roundtrip": SQL_TURTLE_ROUNDTRIP,
+    "turtle_full_grammar": SQL_TURTLE_FULL_GRAMMAR,
     "jsonld_roundtrip": SQL_JSONLD_ROUNDTRIP,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "inferred_type_counts": SQL_INFERRED_TYPE_COUNTS,

@@ -9,6 +9,9 @@ dates-and-times.ttl, foaf.ttl):
 - literals: quoted + triple-quoted strings with @lang / ^^datatype,
   numeric shorthand (integer/decimal/double), booleans
 - ';' predicate lists, ',' object lists, blank nodes (_:label)
+- anonymous blank-node property lists [ … ] (incl. standalone-subject
+  form) and RDF collections ( … ) → rdf:first/rdf:rest chains, nested
+  arbitrarily; fresh bnode labels are deterministic per document
 - TriG graph blocks  <g> { ... } / pre:g { ... } / GRAPH <g> { ... }
 - '#' comments outside strings
 
@@ -29,6 +32,9 @@ from ..schemas import QUAD
 from .nquads import _unescape
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _PN_LOCAL = r"(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?"
@@ -77,7 +83,7 @@ class _Parser:
     """Recursive-descent statement parser → QUAD rows. Errors raise in-band
     (reference: parse errors propagate through the lazy seq, io.clj:668-677)."""
 
-    def __init__(self, tokens, default_graph: str | None = None):
+    def __init__(self, tokens, default_graph: str | None = None, anon_prefix: str = "_:anon-"):
         self.toks = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -85,6 +91,11 @@ class _Parser:
         self.graph: str | None = default_graph
         self.default_graph = default_graph
         self.rows: list[tuple] = []
+        # deterministic fresh bnodes for [ … ] / ( … ) (same discipline
+        # as templater.py: a per-document counter, no randomness); the
+        # caller guarantees anon_prefix collides with no explicit label
+        self.anon_prefix = anon_prefix
+        self.anon_n = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -114,6 +125,10 @@ class _Parser:
             raise TurtleParseError(f"undefined prefix {pre + ':'!r}")
         return self.prefixes[pre] + local
 
+    def _fresh_bnode(self) -> str:
+        self.anon_n += 1
+        return f"{self.anon_prefix}{self.anon_n}"
+
     def parse_subject(self):
         k, v = self.next()
         if k == "iri":
@@ -122,7 +137,58 @@ class _Parser:
             return self._resolve_pname(v)
         if k == "bnode":
             return v
+        if (k, v) == ("punct", "("):
+            kind, val, _dt, _lang = self.parse_collection()
+            return val
         raise TurtleParseError(f"bad subject token {k}:{v!r}")
+
+    def parse_bnode_property_list(self) -> str:
+        """'[' already consumed: predicateObjectList? ']' → fresh bnode
+        label; nested [ … ] / ( … ) recurse through parse_object."""
+        b = self._fresh_bnode()
+        if self.peek() == ("punct", "]"):
+            self.next()
+            return b
+        while True:
+            p = self.parse_predicate()
+            while True:
+                kind, value, dt, lang = self.parse_object()
+                self.rows.append((b, p, kind, value, dt, lang, self.graph))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("punct", ";"):
+                self.next()
+                if self.peek() == ("punct", "]"):  # trailing ';'
+                    break
+                continue
+            break
+        self.expect("punct", "]")
+        return b
+
+    def parse_collection(self):
+        """'(' already consumed: object* ')' → rdf:first/rdf:rest chain;
+        '()' is rdf:nil. Returns an object 4-tuple."""
+        items = []
+        while self.peek() != ("punct", ")"):
+            if self.peek()[0] is None:
+                raise TurtleParseError("unterminated collection")
+            items.append(self.parse_object())
+        self.next()  # ')'
+        if not items:
+            return ("iri", RDF_NIL, None, None)
+        head = self._fresh_bnode()
+        cur = head
+        for idx, (kind, value, dt, lang) in enumerate(items):
+            self.rows.append((cur, RDF_FIRST, kind, value, dt, lang, self.graph))
+            if idx == len(items) - 1:
+                self.rows.append((cur, RDF_REST, "iri", RDF_NIL, None, None, self.graph))
+            else:
+                nxt = self._fresh_bnode()
+                self.rows.append((cur, RDF_REST, "bnode", nxt, None, None, self.graph))
+                cur = nxt
+        return ("bnode", head, None, None)
 
     def parse_predicate(self):
         k, v = self.peek()
@@ -166,7 +232,11 @@ class _Parser:
             return ("literal", v, XSD + "double", None)
         if k == "kw" and v in ("true", "false"):
             return ("literal", v, XSD + "boolean", None)
-        raise TurtleParseError(f"bad object token {k}:{v!r} (collections/anon bnodes unsupported)")
+        if (k, v) == ("punct", "["):
+            return ("bnode", self.parse_bnode_property_list(), None, None)
+        if (k, v) == ("punct", "("):
+            return self.parse_collection()
+        raise TurtleParseError(f"bad object token {k}:{v!r}")
 
     # --- statements --------------------------------------------------------
 
@@ -187,7 +257,17 @@ class _Parser:
             raise TurtleParseError(f"unknown directive {v!r}")
 
     def parse_triples(self):
-        s = self.parse_subject()
+        if self.peek() == ("punct", "["):
+            self.next()
+            s = self.parse_bnode_property_list()
+            # Turtle: a blankNodePropertyList subject may stand alone
+            # ('[ p o ] .') — the outer predicateObjectList is optional
+            if self.peek()[1] in (".", "}") or self.peek()[0] is None:
+                if self.peek() == ("punct", "."):
+                    self.next()
+                return
+        else:
+            s = self.parse_subject()
         while True:
             p = self.parse_predicate()
             while True:
@@ -253,7 +333,10 @@ class _Parser:
 
 def parse_turtle(text: str, default_graph: str | None = None) -> pa.Table:
     """Turtle/TriG text → QUAD table."""
-    rows = _Parser(_tokenize(text), default_graph).parse()
+    anon = "_:anon-"
+    while anon in text:  # never collide with an explicit label
+        anon = anon[:-1] + "x-"
+    rows = _Parser(_tokenize(text), default_graph, anon_prefix=anon).parse()
     cols = {k: [] for k in QUAD.names}
     for s, p, kind, value, dt, lang, g in rows:
         cols["s"].append(s)

@@ -129,3 +129,110 @@ def test_turtle_writer_output_reparses(tmp_path):
     got = sorted(zip(back.column("s").to_pylist(), back.column("o_value").to_pylist(), back.column("o_lang").to_pylist()))
     want = sorted(zip(tb.column("s").to_pylist(), tb.column("o_value").to_pylist(), tb.column("o_lang").to_pylist()))
     assert got == want
+
+
+# --- full grammar: [ ... ] anon bnode property lists + ( ... ) collections --
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_anon_bnode_property_lists_w3c_examples():
+    """W3C Turtle spec §2.7 shapes."""
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    tb = parse_turtle(
+        """
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+[] foaf:knows [ foaf:name "Bob" ] .
+"""
+    )
+    rows = {(r["s"], r["p"], r["o_kind"], r["o_value"]) for r in tb.to_pylist()}
+    # two distinct fresh bnodes; inner one carries the name
+    by_p = {r["p"]: r for r in tb.to_pylist()}
+    inner = by_p["http://xmlns.com/foaf/0.1/name"]
+    outer = by_p["http://xmlns.com/foaf/0.1/knows"]
+    assert outer["o_kind"] == "bnode" and outer["o_value"] == inner["s"]
+    assert outer["s"] != inner["s"] and outer["s"].startswith("_:")
+    assert inner["o_value"] == "Bob"
+
+    # predicateObjectList-less standalone subject: '[ p o ] .'
+    tb2 = parse_turtle('@prefix ex: <http://ex/> . [ ex:q "v" ] .')
+    assert tb2.num_rows == 1
+    assert tb2.column("p").to_pylist() == ["http://ex/q"]
+
+    # object lists mixing [ ] with IRIs (spec example shape)
+    tb3 = parse_turtle(
+        """
+@prefix : <http://xmlns.com/foaf/0.1/> .
+<http://e/p> :givenName "Eric" ;
+    :knows <http://n/dan> , [ :mbox <mailto:t@w3.org> ] , <http://g/amy> .
+"""
+    )
+    assert tb3.num_rows == 5
+
+
+def test_collections_w3c_examples():
+    """W3C Turtle spec §2.8: rdf:first/rdf:rest chains, () = rdf:nil,
+    nesting, collection as subject."""
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    tb = parse_turtle(
+        """
+@prefix : <http://example.org/stuff/1.0/> .
+:a :b ( "apple" "banana" ) .
+:c :d () .
+"""
+    )
+    rows = tb.to_pylist()
+    firsts = [r for r in rows if r["p"] == RDF_NS + "first"]
+    rests = [r for r in rows if r["p"] == RDF_NS + "rest"]
+    assert [r["o_value"] for r in firsts] == ["apple", "banana"]
+    assert [r["o_kind"] for r in rests] == ["bnode", "iri"]
+    assert rests[-1]["o_value"] == RDF_NS + "nil"
+    # chain links up: head bnode is :a :b's object
+    head = next(r for r in rows if r["p"] == "http://example.org/stuff/1.0/b")
+    assert head["o_kind"] == "bnode" and head["o_value"] == firsts[0]["s"]
+    # empty collection object = rdf:nil IRI
+    nil = next(r for r in rows if r["p"] == "http://example.org/stuff/1.0/d")
+    assert (nil["o_kind"], nil["o_value"]) == ("iri", RDF_NS + "nil")
+
+    # collection as SUBJECT + nested collection
+    tb2 = parse_turtle("@prefix : <http://ex/> . ( ( :x ) 2 ) :p :o .")
+    rows2 = tb2.to_pylist()
+    subj = next(r for r in rows2 if r["p"] == "http://ex/p")
+    assert subj["s"].startswith("_:")
+    nested_first = [r for r in rows2 if r["p"] == RDF_NS + "first"]
+    assert {r["o_kind"] for r in nested_first} == {"bnode", "iri", "literal"}
+
+
+def test_anon_labels_never_collide_with_explicit():
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    tb = parse_turtle(
+        '@prefix ex: <http://ex/> . _:anon-1 ex:p [ ex:q "v" ] .'
+    )
+    rows = tb.to_pylist()
+    outer = next(r for r in rows if r["p"] == "http://ex/p")
+    assert outer["s"] == "_:anon-1"
+    assert outer["o_value"] != "_:anon-1"  # fresh label dodged the explicit one
+
+
+def test_bracket_collection_writer_roundtrip():
+    """[ … ] / ( … ) quads → Turtle writer → parse back: identical quad
+    multiset (labels are already concrete after the first parse)."""
+    from grafter_ray.sources.turtle import quads_to_turtle
+    from grafter_ray.sources.turtle_reader import parse_turtle
+
+    src = """
+@prefix ex: <http://ex/> .
+ex:doc ex:meta [ ex:lang "en" ; ex:tokens ( "a" "b" 3 ) ] .
+[ ex:standalone true ] .
+"""
+    t1 = parse_turtle(src)
+    text = quads_to_turtle(t1, {"ex": "http://ex/", "rdf": RDF_NS, "xsd": "http://www.w3.org/2001/XMLSchema#"})
+    t2 = parse_turtle(text)
+
+    def key(tb):
+        return sorted(zip(*[tb.column(c).to_pylist() for c in tb.column_names]))
+
+    assert key(t1) == key(t2)

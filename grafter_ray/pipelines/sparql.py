@@ -1263,6 +1263,40 @@ def _instantiate_quads(
 # the engine owns the join, the connector owns the wire.
 SERVICE_TRANSPORTS: dict = {}
 
+# unbound SERVICE fetch paging (LIMIT/OFFSET pages fanned out as Ray
+# tasks — each task holds at most one page; see sparql_http.paged_select)
+SERVICE_PAGE_SIZE = 10_000
+SERVICE_MAX_PAGES = 1_000
+
+
+def _is_transport_error(e: BaseException) -> bool:
+    """True when `e` is (or wraps, e.g. as a RayTaskError cause chain) a
+    remote-endpoint transport failure that SERVICE SILENT absorbs."""
+    from ..sources.sparql_http import RepositoryError
+
+    seen: set[int] = set()
+    stack: list[BaseException] = [e]
+    while stack:
+        x = stack.pop()
+        if id(x) in seen:
+            continue
+        seen.add(id(x))
+        if isinstance(x, (RepositoryError, OSError)):
+            return True
+        for a in ("cause", "__cause__", "__context__"):
+            nxt = getattr(x, a, None)
+            if isinstance(nxt, BaseException):
+                stack.append(nxt)
+    # Ray serialization severs the cause chain of task errors (only the
+    # formatted remote traceback survives) — fall back to matching the
+    # error class name in it
+    import ray.exceptions as rexc
+
+    if isinstance(e, (rexc.RayTaskError, rexc.UserCodeException)):
+        text = str(e)
+        return "RepositoryError" in text or "URLError" in text or "OSError" in text
+    return False
+
 
 def _service_term(v: str) -> str:
     """Lexical solution value → SPARQL term text for a VALUES pushdown.
@@ -1315,7 +1349,53 @@ def _run_service(
             if not texts:  # no local candidates → remote side is empty
                 return pa.table({v: pa.array([], pa.string()) for v in svars})
     if not texts:
-        texts = [head + " }"]
+        # unbound path: probe one page driver-side; a remote relation
+        # that fits in it (the common case — small vocabulary endpoints)
+        # IS the result. Anything larger streams in as LIMIT/OFFSET
+        # pages fanned out across Ray tasks (one page per task, never
+        # the whole relation in one response, sparql_http.paged_select),
+        # with locally-matching-row pruning inside each task when the
+        # local side shares a var — so what reaches the driver is
+        # bounded by the join output. Caveat (documented): OFFSET paging
+        # assumes the endpoint enumerates results stably across requests
+        # (true of RDF4J and most stores); bound joins
+        # (service_bound_join) avoid the assumption entirely.
+        from ..sources.sparql_http import paged_select
+
+        try:
+            probe = repo.query(head + f" }} LIMIT {SERVICE_PAGE_SIZE}")
+        except (RepositoryError, OSError):
+            if silent:
+                return None
+            raise
+        if isinstance(probe, bool):
+            raise SparqlParseError("SERVICE body must be a pattern group")
+        if probe.num_rows < SERVICE_PAGE_SIZE:
+            return probe
+        ds = paged_select(
+            repo, head + " }", page_size=SERVICE_PAGE_SIZE, max_pages=SERVICE_MAX_PAGES
+        )
+        if local_tb is not None:
+            shared = [v for v in svars if v in local_tb.column_names]
+            if shared:
+                v0 = shared[0]
+                keep = pc.unique(pc.drop_null(local_tb.column(v0)))  # flat Array
+
+                def prune(tb: pa.Table, v0=v0, keep=keep) -> pa.Table:
+                    if tb.num_rows == 0 or v0 not in tb.column_names:
+                        return tb
+                    return tb.filter(pc.is_in(tb.column(v0), value_set=keep))
+
+                ds = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        try:
+            out = _collect(ds)
+        except Exception as e:
+            if silent and _is_transport_error(e):
+                return None
+            raise
+        if out.num_columns == 0:  # all pages empty → rebuild svars schema
+            return pa.table({v: pa.array([], pa.string()) for v in svars})
+        return out
 
     parts = []
     try:

@@ -303,3 +303,78 @@ def test_self_federation_differential_vs_two_table_sql():
         if bound:
             assert len(seen) > 1  # chunked
             assert all("VALUES ?s {" in q for q in seen)
+
+
+def test_service_unbound_large_relation_streams_pages(monkeypatch):
+    """VERDICT r3: a remote relation larger than one page fans out as
+    LIMIT/OFFSET page tasks — no single response (and so no single task)
+    ever holds more than one page, and per-task pruning keeps only
+    locally-matching rows."""
+    monkeypatch.setattr(S, "SERVICE_PAGE_SIZE", 7)
+    monkeypatch.setattr(S, "SERVICE_MAX_PAGES", 20)
+    total = 23  # rows s0..s22; locally only a/b/c exist
+
+    def paging_transport(url, params, headers):
+        import json as _json
+        import re as _re
+
+        q = dict(params)["query"]
+        m = _re.search(r"LIMIT (\d+)(?: OFFSET (\d+))?", q)
+        limit = int(m.group(1))
+        offset = int(m.group(2) or 0)
+        rows = []
+        names = ["http://x/a", "http://x/b", "http://x/c"] + [
+            f"http://x/z{i}" for i in range(total - 3)
+        ]
+        for i in range(offset, min(offset + limit, total)):
+            rows.append(
+                {
+                    "s": {"type": "uri", "value": names[i]},
+                    "city": {"type": "literal", "value": f"city{i}"},
+                }
+            )
+        assert len(rows) <= limit  # the endpoint honors the page bound
+        doc = {"head": {"vars": ["s", "city"]}, "results": {"bindings": rows}}
+        return 200, {}, _json.dumps(doc).encode()
+
+    S.SERVICE_TRANSPORTS[EP] = paging_transport
+    out = sparql_query(
+        """SELECT ?s ?name ?city WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE <http://remote.example/sparql> { ?s <http://p/city> ?city }
+        }""",
+        _store(),
+    )
+    assert sorted(out.column("city").to_pylist()) == ["city0", "city1", "city2"]
+    assert sorted(out.column("name").to_pylist()) == ["alice", "bob", "carol"]
+
+
+def test_service_silent_absorbs_mid_page_failure(monkeypatch):
+    """SILENT must also absorb a transport failure that happens inside a
+    page-fetch Ray task (error arrives wrapped in RayTaskError)."""
+    monkeypatch.setattr(S, "SERVICE_PAGE_SIZE", 5)
+    monkeypatch.setattr(S, "SERVICE_MAX_PAGES", 4)
+
+    def flaky_transport(url, params, headers):
+        import json as _json
+        import re as _re
+
+        q = dict(params)["query"]
+        m = _re.search(r"LIMIT (\d+)(?: OFFSET (\d+))?", q)
+        offset = int(m.group(2) or 0)
+        if offset >= 5:
+            return 500, {}, b"backend fell over"
+        rows = [
+            {"s": {"type": "uri", "value": f"http://x/s{i}"}} for i in range(5)
+        ]
+        return 200, {}, _json.dumps({"head": {"vars": ["s"]}, "results": {"bindings": rows}}).encode()
+
+    S.SERVICE_TRANSPORTS[EP] = flaky_transport
+    out = sparql_query(
+        """SELECT ?s WHERE {
+          ?s <http://p/name> ?name .
+          SERVICE SILENT <http://remote.example/sparql> { ?s <http://p/city> ?city }
+        }""",
+        _store(),
+    )
+    assert out.num_rows == 3  # identity solution: local side passes through

@@ -888,6 +888,49 @@ def q_sparql_union_sub(sf_dir: str):
     return sparql_query_file(path, store)
 
 
+def q_sparql_from_named(sf_dir: str):
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2; reference
+    make-restricted-dataset sentinel semantics, repository.clj:641-665):
+    part 'default' aggregates over the MERGED FROM graphs; part 'named'
+    binds GRAPH ?g over the FROM NAMED set only — with a FROM clause
+    also present, proving the two sides stay disjoint."""
+    from .sparql import sparql_query
+    from .store import QuadStore
+
+    store = QuadStore(q_quad_expand(sf_dir))
+    a = sparql_query(
+        "SELECT ?lang (COUNT(?d) AS ?n) FROM <graph:src1> FROM <graph:src2> "
+        "WHERE { ?d <prop:lang> ?lang } GROUP BY ?lang",
+        store,
+    )
+    b = sparql_query(
+        "SELECT ?g (COUNT(?d) AS ?n) FROM <graph:src1> FROM NAMED <graph:src3> "
+        "WHERE { GRAPH ?g { ?d <prop:lang> ?lang } } GROUP BY ?g",
+        store,
+    )
+    return pa.table(
+        {
+            "k": pa.array(
+                ["default:" + v for v in a.column("lang").to_pylist()]
+                + b.column("g").to_pylist(),
+                pa.string(),
+            ),
+            "n": pa.concat_arrays(
+                [a.column("n").combine_chunks(), b.column("n").combine_chunks()]
+            ),
+        }
+    )
+
+
+SQL_SPARQL_FROM_NAMED = """
+SELECT 'default:' || lang AS k, CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE source IN ('src1', 'src2') GROUP BY lang
+UNION ALL
+SELECT 'graph:' || source, CAST(count(*) AS BIGINT)
+FROM documents WHERE source = 'src3' GROUP BY source
+"""
+
+
 def q_sparql_agg(sf_dir: str):
     """SPARQL aggregate text form with DISTRIBUTED pushdown: the GROUP
     BY runs as the engine's two-phase grouped_agg before anything is
@@ -3015,6 +3058,7 @@ QUERIES = {
     "jaccard_pairs_prefix": q_jaccard_pairs_prefix,
     "bgp_documents": q_bgp_documents,
     "sparql_select": q_sparql_select,
+    "sparql_from_named": q_sparql_from_named,
     "sparql_union_sub": q_sparql_union_sub,
     "sparql_construct": q_sparql_construct,
     "sparql_agg": q_sparql_agg,
@@ -3111,6 +3155,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,
     "sparql_select": SQL_SPARQL_SELECT,
+    "sparql_from_named": SQL_SPARQL_FROM_NAMED,
     "sparql_union_sub": SQL_SPARQL_UNION_SUB,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "sparql_agg": SQL_SPARQL_AGG,

@@ -135,7 +135,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|BASE|CONSTRUCT|DESCRIBE|WHERE|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|BASE|CONSTRUCT|DESCRIBE|WHERE|FROM|NAMED|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -177,6 +177,8 @@ class SelectQuery:
     extra_term_meta: set = field(default_factory=set)  # callers needing {v}__kind columns
     base: str | None = None  # BASE <iri> for relative-IRI resolution
     service_bound_join: int | None = None  # VALUES-pushdown batch size (None = fetch whole relation)
+    from_graphs: list | None = None  # FROM <iri> dataset clause (default-graph merge)
+    from_named: list | None = None  # FROM NAMED <iri> dataset clause
 
 
 def _tokens(text: str):
@@ -254,12 +256,14 @@ class _QParser:
         if head and head.upper() == "ASK":
             self.next()
             self.q.form = "ask"
+            self._dataset_clause()
             if self.peek()[1] and self.peek()[1].upper() == "WHERE":
                 self.next()  # WHERE is optional in ASK
         elif head and head.upper() == "CONSTRUCT":
             self.next()
             self.q.form = "construct"
             self._template()
+            self._dataset_clause()
             self.expect("WHERE")
         elif head and head.upper() == "DESCRIBE":
             self.next()
@@ -276,6 +280,7 @@ class _QParser:
                     break
             if not self.q.describe_terms:
                 raise SparqlParseError("DESCRIBE needs at least one resource or variable")
+            self._dataset_clause()
             if self.peek()[1] and self.peek()[1].upper() == "WHERE":
                 self.next()
                 self.expect("{")
@@ -286,11 +291,31 @@ class _QParser:
             return self.q
         else:
             self._select_head()
+            self._dataset_clause()
             self.expect("WHERE")
         self.expect("{")
         self._group(graph=None)
         self._modifiers(stop_at_brace=False)
         return self.q
+
+    def _dataset_clause(self):
+        """DatasetClause*: FROM <iri> / FROM NAMED <iri> (SPARQL 1.1
+        §13.2; reference graph restriction make-restricted-dataset,
+        repository.clj:641-665)."""
+        while self.peek()[0] == "kw" and self.peek()[1].upper() == "FROM":
+            self.next()
+            named = False
+            if self.peek()[0] == "kw" and self.peek()[1].upper() == "NAMED":
+                self.next()
+                named = True
+            k, v = self.next()
+            if k not in ("iri", "pname"):
+                raise SparqlParseError(f"FROM needs an IRI, got {k}:{v!r}")
+            iri = self._resolve(v)
+            if named:
+                self.q.from_named = (self.q.from_named or []) + [iri]
+            else:
+                self.q.from_graphs = (self.q.from_graphs or []) + [iri]
 
     def _template(self):
         """CONSTRUCT { ...template triples... } — terms keep their kind
@@ -1133,6 +1158,7 @@ def sparql_query(
     this size (see _run_service)."""
     q = prepare_query(query_text, bindings, limits, offsets)
     q.service_bound_join = service_bound_join
+    q, store = _apply_dataset_clause(q, store)
     if q.form == "ask":
         if q.limit is None:
             q.limit = 1  # existence only — never collect more than one row
@@ -1140,8 +1166,122 @@ def sparql_query(
     if q.form == "construct":
         return _instantiate_template(q, _run_select(q, store))
     if q.form == "describe":
-        return _run_describe(q, store)
+        return _strip_dataset_sentinel(_run_describe(q, store))
     return _run_select(q, store)
+
+
+_DATASET_DEFAULT_G = "urn:x-graftray:dataset-default-graph"
+
+
+def _apply_dataset_clause(q: SelectQuery, store):
+    """FROM / FROM NAMED → a rewritten (query, store) pair implementing
+    SPARQL 1.1 §13.2 over the house quad model: the store view keeps the
+    FROM graphs' quads re-stamped onto a reserved default-graph sentinel
+    (merged as a SET when >1 graph) plus the FROM NAMED graphs' quads
+    verbatim; every default-graph pattern (no GRAPH wrapper) gets the
+    sentinel as its graph constant. FROM without FROM NAMED ⇒ GRAPH
+    patterns see no graphs; FROM NAMED without FROM ⇒ empty default
+    graph (the reference's sentinel private-graph behavior,
+    repository.clj:641-665). GRAPH ?var never binds the sentinel (an
+    injected != filter keeps it off)."""
+    if q.from_graphs is None and q.from_named is None:
+        return q, store
+    from ..schemas import QUAD
+    from .relational import distinct as rel_distinct
+    from .store import QuadStore
+
+    from_g = list(dict.fromkeys(q.from_graphs or []))
+    from_n = list(dict.fromkeys(q.from_named or []))
+    base = store.ds
+    parts = []
+    if from_g:
+        g_set = pa.array(from_g, pa.string())
+
+        def to_default(tb: pa.Table) -> pa.Table:
+            t = tb.filter(pc.is_in(tb.column("c"), value_set=g_set))
+            i = t.schema.get_field_index("c")
+            return t.set_column(
+                i, "c", pa.nulls(t.num_rows, pa.string()).fill_null(_DATASET_DEFAULT_G)
+            )
+
+        d_ds = base.map_batches(to_default, batch_format="pyarrow", zero_copy_batch=True)
+        if len(from_g) > 1:
+            # the default graph is the MERGE (set union) of the FROM
+            # graphs — a quad present in several must collapse to one
+            d_ds = rel_distinct(d_ds, list(QUAD.names))
+        parts.append(d_ds)
+    if from_n:
+        n_set = pa.array(from_n, pa.string())
+
+        def to_named(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.is_in(tb.column("c"), value_set=n_set))
+
+        parts.append(base.map_batches(to_named, batch_format="pyarrow", zero_copy_batch=True))
+    ds2 = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    _rewrite_dataset_patterns(q)
+    return q, QuadStore(ds2)
+
+
+def _rewrite_dataset_patterns(q: SelectQuery) -> None:
+    """Stamp the dataset sentinel onto every default-graph pattern and
+    keep GRAPH vars off it; recurses into subselects."""
+
+    def rw(pat):
+        return (*pat, _DATASET_DEFAULT_G) if len(pat) == 3 else pat
+
+    def gvars(pats) -> set:
+        return {
+            p[3][1:]
+            for p in pats
+            if len(p) > 3 and isinstance(p[3], str) and p[3].startswith("?")
+        }
+
+    q.patterns = [rw(p) for p in q.patterns]
+    q.union_branches = [[rw(p) for p in b] for b in q.union_branches]
+    q.optionals = [rw(p) for p in q.optionals]
+    q.path_patterns = [
+        (s, ast, o, g if g is not None else _DATASET_DEFAULT_G)
+        for s, ast, o, g in q.path_patterns
+    ]
+    q.minus_groups = [[rw(p) for p in g] for g in q.minus_groups]
+    q.exists_filters = [(pos, [rw(p) for p in pats]) for pos, pats in q.exists_filters]
+    inner_gv = set()
+    for g in q.minus_groups:
+        inner_gv |= gvars(g)
+    for _pos, pats in q.exists_filters:
+        inner_gv |= gvars(pats)
+    if inner_gv:
+        # a GRAPH ?var private to a MINUS / EXISTS group evaluates inside
+        # _apply_set_pattern where the outer filter can't reach — honest
+        # subset raise rather than silently binding the sentinel
+        outer = gvars(q.patterns) | {v for b in q.union_branches for v in gvars(b)} | gvars(q.optionals)
+        if inner_gv - outer:
+            raise SparqlParseError(
+                "GRAPH ?var inside MINUS/EXISTS is unsupported under a FROM/FROM NAMED dataset clause"
+            )
+    seen_filters = {(f[0], f[1], f[2]) for f in q.filters}
+    for name in sorted(
+        gvars(q.patterns)
+        | {v for b in q.union_branches for v in gvars(b)}
+        | gvars(q.optionals)
+        | {p[3][1:] for p in q.path_patterns if isinstance(p[3], str) and p[3].startswith("?")}
+    ):
+        f = (name, "!=", _DATASET_DEFAULT_G)
+        if f not in seen_filters:
+            q.filters.append(f)
+    for sub in q.subselects:
+        _rewrite_dataset_patterns(sub)
+
+
+def _strip_dataset_sentinel(tb: pa.Table) -> pa.Table:
+    """Dataset-clause DESCRIBE/CONSTRUCT outputs: merged-default-graph
+    quads go back to the null default graph."""
+    if tb.num_rows == 0 or "c" not in tb.column_names:
+        return tb
+    i = tb.schema.get_field_index("c")
+    c = tb.column(i)
+    mask = pc.equal(c, _DATASET_DEFAULT_G)
+    return tb.set_column(i, "c", pc.if_else(pc.fill_null(mask, False), pa.nulls(len(c), pa.string()), c))
 
 
 def _run_describe(q: SelectQuery, store) -> pa.Table:

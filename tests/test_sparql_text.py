@@ -1020,3 +1020,113 @@ def test_base_executes_end_to_end():
     store = QuadStore.from_table(tb)
     out = sparql_query("BASE <http://e/> SELECT ?o WHERE { <a> <p> ?o }", store)
     assert out.column("o").to_pylist() == ["http://e/b"]
+
+
+# --- FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2) -------------------
+
+
+def _dataset_store():
+    import pyarrow as pa
+
+    from grafter_ray.pipelines.store import QuadStore
+    from grafter_ray.schemas import QUAD
+
+    rows = [
+        ("http://x/a", "http://p/v", "literal", "in-g1", None, None, "http://g/1"),
+        ("http://x/b", "http://p/v", "literal", "in-g2", None, None, "http://g/2"),
+        ("http://x/c", "http://p/v", "literal", "in-g3", None, None, "http://g/3"),
+        ("http://x/d", "http://p/v", "literal", "no-graph", None, None, None),
+        ("http://x/e", "http://p/v", "literal", "dup", None, None, "http://g/1"),
+        ("http://x/e", "http://p/v", "literal", "dup", None, None, "http://g/2"),
+        ("http://x/a", "http://p/w", "literal", "w3", None, None, "http://g/3"),
+    ]
+    cols = list(zip(*rows))
+    tb = pa.table({f.name: pa.array(list(c), pa.string()) for f, c in zip(QUAD, cols)})
+    return QuadStore.from_table(tb)
+
+
+def test_from_merges_graphs_as_set():
+    st = _dataset_store()
+    out = sparql_query(
+        "SELECT ?s ?v FROM <http://g/1> FROM <http://g/2> WHERE { ?s <http://p/v> ?v }", st
+    )
+    # g3 + null-graph quads excluded; the dup quad (in g1 AND g2) collapses
+    assert sorted(out.column("v").to_pylist()) == ["dup", "in-g1", "in-g2"]
+
+
+def test_from_without_named_hides_graph_patterns():
+    st = _dataset_store()
+    out = sparql_query(
+        "SELECT ?g FROM <http://g/1> WHERE { GRAPH ?g { ?s <http://p/v> ?v } }", st
+    )
+    assert out.num_rows == 0
+
+
+def test_from_named_without_from_empties_default_graph():
+    st = _dataset_store()
+    assert (
+        sparql_query(
+            "SELECT ?v FROM NAMED <http://g/2> WHERE { ?s <http://p/v> ?v }", st
+        ).num_rows
+        == 0
+    )
+    out = sparql_query(
+        "SELECT ?g ?v FROM NAMED <http://g/2> WHERE { GRAPH ?g { ?s <http://p/v> ?v } }", st
+    )
+    assert sorted(zip(out.column("g").to_pylist(), out.column("v").to_pylist())) == [
+        ("http://g/2", "dup"),
+        ("http://g/2", "in-g2"),
+    ]
+
+
+def test_from_and_from_named_stay_disjoint():
+    st = _dataset_store()
+    out = sparql_query(
+        """SELECT ?v ?g FROM <http://g/1> FROM NAMED <http://g/3>
+           WHERE { ?s <http://p/v> ?v . GRAPH ?g { ?s <http://p/w> ?w } }""",
+        st,
+    )
+    assert sorted(set(zip(out.column("v").to_pylist(), out.column("g").to_pylist()))) == [
+        ("in-g1", "http://g/3")
+    ]
+    # a constant GRAPH outside the named set matches nothing
+    assert (
+        sparql_query(
+            "SELECT ?v FROM NAMED <http://g/2> WHERE { GRAPH <http://g/3> { ?s <http://p/w> ?v } }",
+            st,
+        ).num_rows
+        == 0
+    )
+
+
+def test_dataset_clause_on_ask_and_construct():
+    st = _dataset_store()
+    assert sparql_query("ASK FROM <http://g/3> WHERE { ?s <http://p/w> ?v }", st) is True
+    assert sparql_query("ASK FROM NAMED <http://g/3> WHERE { ?s <http://p/w> ?v }", st) is False
+    out = sparql_query(
+        "CONSTRUCT { ?s <http://p/c> ?v } FROM <http://g/1> WHERE { ?s <http://p/v> ?v }",
+        st,
+    )
+    assert sorted(out.column("o_value").to_pylist()) == ["dup", "in-g1"]
+    assert out.column("c").null_count == out.num_rows  # no sentinel leak
+
+
+def test_dataset_clause_describe_strips_sentinel():
+    st = _dataset_store()
+    out = sparql_query("DESCRIBE <http://x/a> FROM <http://g/1> WHERE { }", st)
+    assert out.num_rows == 1
+    assert out.column("c").to_pylist() == [None]
+
+
+def test_graph_var_in_minus_under_dataset_clause_raises():
+    import pytest
+
+    st = _dataset_store()
+    with pytest.raises(SparqlParseError, match="MINUS/EXISTS"):
+        sparql_query(
+            """SELECT ?v FROM <http://g/1> WHERE {
+                 ?s <http://p/v> ?v
+                 MINUS { GRAPH ?g { ?s <http://p/w> ?w } }
+               }""",
+            st,
+        )

@@ -1284,23 +1284,37 @@ def _strip_dataset_sentinel(tb: pa.Table) -> pa.Table:
     return tb.set_column(i, "c", pc.if_else(pc.fill_null(mask, False), pa.nulls(len(c), pa.string()), c))
 
 
+# DESCRIBE is an interactive form: its subject set is broadcast to every
+# scan task, so it must stay bounded. A WHERE matching more subjects than
+# this raises with a clear message instead of building an unbounded
+# driver-side set (ADVICE r3).
+DESCRIBE_MAX_SUBJECTS = 1_000_000
+
+
 def _run_describe(q: SelectQuery, store) -> pa.Table:
     """DESCRIBE → all quads whose SUBJECT is a described resource (the
     simple subject-description form — DESCRIBE's result shape is
     implementation-defined, this is a conforming answer). Constant IRIs
-    are used directly; variables come from the WHERE solutions."""
-    resources = {v for t, v in q.describe_terms if t == "iri"}
+    are used directly; variables come from the WHERE solutions — their
+    distinct values stay Arrow end-to-end (one pc.unique, no Python
+    set) and are broadcast into the scan as a semi-join value set."""
+    from ..schemas import QUAD
+
+    parts = [pa.array([v for t, v in q.describe_terms if t == "iri"], pa.string())]
     var_terms = [v for t, v in q.describe_terms if t == "var"]
     if var_terms:
         sols = _run_select(q, store)
         for name in var_terms:
-            col = pc.cast(sols.column(name), pa.string())
-            resources.update(x for x in col.to_pylist() if x is not None)
-    from ..schemas import QUAD
-
-    if not resources:
+            parts.append(pc.drop_null(pc.cast(sols.column(name), pa.string())).combine_chunks())
+    rset = pc.unique(pa.concat_arrays(parts))
+    if len(rset) > DESCRIBE_MAX_SUBJECTS:
+        raise SparqlParseError(
+            f"DESCRIBE WHERE matched {len(rset)} subjects (cap "
+            f"{DESCRIBE_MAX_SUBJECTS}) — restrict the WHERE clause or use "
+            "CONSTRUCT over a distributed pipeline instead"
+        )
+    if len(rset) == 0:
         return QUAD.empty_table()
-    rset = pa.array(sorted(resources), pa.string())
 
     def f(tb: pa.Table) -> pa.Table:
         return tb.filter(pc.is_in(tb.column("s"), value_set=rset))

@@ -11,8 +11,8 @@ Reader grammar covered (the full everyday profile):
 - rdf:parseType="Resource" (anonymous node), ="Literal" (XML literal,
   rdf:XMLLiteral datatype), ="Collection" (rdf:first/rest list)
 - property ATTRIBUTES on node elements (string literal shorthand)
-- rdf:ID on PROPERTY elements (reification) stays outside the subset
-  and raises.
+- rdf:ID on PROPERTY elements: statement reification (spec §7.3 —
+  base#ID becomes an rdf:Statement with subject/predicate/object).
 
 Writer: subject-grouped rdf:Description blocks with auto-derived
 namespace prefixes; one self-contained XML document per block file
@@ -94,20 +94,32 @@ def parse_rdfxml(text: str, base: str = "") -> pa.Table:
             p = _expand(prop.tag)
             lang = prop.get(XML_LANG, inherited_lang)
             ptype = prop.attrib.get(_A_PARSETYPE)
-            if _A_ID in prop.attrib:
-                raise RdfXmlParseError("rdf:ID reification on property elements is outside the supported subset")
+            rid = prop.attrib.get(_A_ID)
+
+            def emit_prop(kind, val, dt=None, plang=None, s=s, p=p, rid=rid):
+                """The property's main triple; rdf:ID on a property
+                element additionally REIFIES it (RDF/XML spec §7.3):
+                base#ID becomes an rdf:Statement describing the triple."""
+                emit(s, p, kind, val, dt, plang)
+                if rid is not None:
+                    r = f"{base}#{rid}"
+                    emit(r, RDF_TYPE, "iri", RDF_NS + "Statement", None, None)
+                    emit(r, RDF_NS + "subject", "bnode" if s.startswith("_:") else "iri", s, None, None)
+                    emit(r, RDF_NS + "predicate", "iri", p, None, None)
+                    emit(r, RDF_NS + "object", kind, val, dt, plang)
+
             if ptype == "Resource":
                 b = fresh_bnode()
-                emit(s, p, "bnode", b, None, None)
+                emit_prop("bnode", b)
                 properties(b, list(prop), inherited_lang=lang)
             elif ptype == "Literal":
                 inner = (prop.text or "") + "".join(
                     ET.tostring(ch, encoding="unicode") for ch in prop
                 )
-                emit(s, p, "literal", inner, XML_LITERAL, None)
+                emit_prop("literal", inner, XML_LITERAL)
             elif ptype == "Collection":
                 cells = [fresh_bnode() for _ in prop]
-                emit(s, p, "bnode" if cells else "iri", cells[0] if cells else RDF_NIL, None, None)
+                emit_prop("bnode" if cells else "iri", cells[0] if cells else RDF_NIL)
                 for i, (cell, child) in enumerate(zip(cells, prop)):
                     o = node(child)
                     kind = "bnode" if o.startswith("_:") else "iri"
@@ -117,20 +129,20 @@ def parse_rdfxml(text: str, base: str = "") -> pa.Table:
             elif ptype is not None:
                 raise RdfXmlParseError(f"rdf:parseType={ptype!r} is outside the supported subset")
             elif _A_RESOURCE in prop.attrib:
-                emit(s, p, "iri", prop.attrib[_A_RESOURCE], None, None)
+                emit_prop("iri", prop.attrib[_A_RESOURCE])
             elif _A_NODEID in prop.attrib:
-                emit(s, p, "bnode", "_:" + prop.attrib[_A_NODEID], None, None)
+                emit_prop("bnode", "_:" + prop.attrib[_A_NODEID])
             elif len(prop):  # nested node element
                 child = list(prop)
                 if len(child) != 1:
                     raise RdfXmlParseError("property element with multiple child nodes")
                 o = node(child[0])
                 kind = "bnode" if o.startswith("_:") else "iri"
-                emit(s, p, kind, o, None, None)
+                emit_prop(kind, o)
             else:
                 dt = prop.get(_A_DATATYPE)
-                emit(
-                    s, p, "literal", prop.text or "",
+                emit_prop(
+                    "literal", prop.text or "",
                     dt if dt else (None if lang else XSD_STRING), lang,
                 )
 

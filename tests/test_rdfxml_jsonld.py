@@ -45,15 +45,58 @@ def test_rdfxml_typed_node_and_properties():
 
 def test_rdfxml_unsupported_raises():
     with pytest.raises(RdfXmlParseError):
-        # rdf:ID on a PROPERTY element (reification) stays out of subset
-        parse_rdfxml(
-            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
-            ' xmlns:d="http://d/">'
-            '<rdf:Description rdf:about="http://x"><d:p rdf:ID="r1">v</d:p>'
-            "</rdf:Description></rdf:RDF>"
-        )
-    with pytest.raises(RdfXmlParseError):
         parse_rdfxml("<NoNamespace/>")
+
+
+def test_rdfxml_property_id_reifies_statement():
+    """rdf:ID on a PROPERTY element (RDF/XML spec §7.3): the triple is
+    asserted AND reified as base#ID — golden quad set matches RDF4J's
+    output for the same document."""
+    t = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:d="http://d/">'
+        '<rdf:Description rdf:about="http://x"><d:p rdf:ID="r1">v</d:p>'
+        "</rdf:Description></rdf:RDF>",
+        base="http://doc",
+    )
+    got = sorted(
+        zip(
+            t.column("s").to_pylist(),
+            t.column("p").to_pylist(),
+            t.column("o_kind").to_pylist(),
+            t.column("o_value").to_pylist(),
+        )
+    )
+    R = "http://doc#r1"
+    assert got == sorted(
+        [
+            ("http://x", "http://d/p", "literal", "v"),
+            (R, RDF_NS + "type", "iri", RDF_NS + "Statement"),
+            (R, RDF_NS + "subject", "iri", "http://x"),
+            (R, RDF_NS + "predicate", "iri", "http://d/p"),
+            (R, RDF_NS + "object", "literal", "v"),
+        ]
+    )
+
+
+def test_rdfxml_reified_statement_roundtrip():
+    """Reified quads survive writer → reader (they are ordinary quads
+    once parsed)."""
+    from grafter_ray.sources.rdfxml import quads_to_rdfxml
+
+    t1 = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:d="http://d/">'
+        '<rdf:Description rdf:about="http://x"><d:p rdf:ID="r1" rdf:resource="http://y"/>'
+        "</rdf:Description></rdf:RDF>",
+        base="http://doc",
+    )
+    t2 = parse_rdfxml(quads_to_rdfxml(t1))
+
+    def key(tb):
+        return sorted(zip(*[tb.column(c).to_pylist() for c in tb.column_names]))
+
+    assert key(t1) == key(t2)
 
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -1130,3 +1130,17 @@ def test_graph_var_in_minus_under_dataset_clause_raises():
                }""",
             st,
         )
+
+
+def test_describe_subject_cap(monkeypatch):
+    from grafter_ray.pipelines import sparql as S
+
+    st = _dataset_store()
+    monkeypatch.setattr(S, "DESCRIBE_MAX_SUBJECTS", 2)
+    import pytest
+
+    with pytest.raises(SparqlParseError, match="cap 2"):
+        sparql_query("DESCRIBE ?s WHERE { ?s <http://p/v> ?v }", st)
+    # within the cap still answers
+    out = sparql_query('DESCRIBE ?s WHERE { ?s <http://p/v> "in-g1" }', st)
+    assert set(out.column("s").to_pylist()) == {"http://x/a"}

@@ -2083,15 +2083,29 @@ def q_lake_point_lookup(sf_dir: str):
     including deleted ones, which must come back absent. The reference's
     native store serves this via its key-ordered covering indexes
     (repository.clj:126-136)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
     from .. import CDCLake
 
-    ids_tb = _read_table(sf_dir, "documents", ["doc_id", "source"])
-    ids = ids_tb.column("doc_id").to_numpy(zero_copy_only=False)
-    srcs = ids_tb.column("source").to_pylist()
+    # fixture-key derivation: push the % 97 filter into the parquet read
+    # so only the looked-up keys' rows reach the driver (ADVICE r3).
+    # Expressions have no modulo — enumerate the multiples from the
+    # footer's doc_id max stat (no data pages read) and push an isin.
+    path = f"{sf_dir}/documents.parquet"
+    meta = pq.read_metadata(path)
+    ci = meta.schema.to_arrow_schema().get_field_index("doc_id")
+    hi = max(meta.row_group(i).column(ci).statistics.max for i in range(meta.num_row_groups))
+    ids_tb = pq.read_table(
+        path,
+        columns=["doc_id", "source"],
+        filters=pads.field("doc_id").isin(list(range(0, int(hi) + 1, 97))),
+    )
     keys = [
         (f"repo/{s}", f"doc/{i}.txt")
-        for i, s in zip(ids, srcs)
-        if i % 97 == 0
+        for i, s in zip(
+            ids_tb.column("doc_id").to_pylist(), ids_tb.column("source").to_pylist()
+        )
     ]
     lake_root, _, _, _ = _shared_docs_lake(sf_dir)
     lake = CDCLake(lake_root, num_partitions=32)

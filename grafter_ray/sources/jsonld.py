@@ -3,8 +3,10 @@
 prefix @context — the profile data publishers actually emit):
 
 - top-level node object, array of node objects, or {"@context", "@graph"}
-- @context: {prefix: iri} string mappings (term → IRI); remote contexts
-  and complex term definitions raise
+- @context: {prefix: iri} string mappings (term → IRI), lists of
+  mappings, and remote context IRIs via the injectable resolver
+  registry (register_context — no network, so unregistered IRIs raise);
+  complex term definitions raise
 - @id / @type (string or list), property values: string/number/bool
   literals, {"@id": ...} IRI objects, {"@value", "@language"/"@type"},
   arrays of any of these
@@ -35,6 +37,31 @@ def _expand(term: str, ctx: dict[str, str]) -> str:
     return term  # already an IRI (or a relative name kept as-is)
 
 
+# Remote @context resolution: there is no network in this engine, so
+# callers PRE-REGISTER contexts (context IRI → {prefix: iri} mapping, or
+# a callable returning one) — the JSON-LD documentLoader hook without
+# the loader. Unregistered remote contexts still raise honestly.
+CONTEXT_RESOLVERS: dict = {}
+
+
+def register_context(url: str, context) -> None:
+    """Register a remote @context IRI → mapping (dict or callable)."""
+    CONTEXT_RESOLVERS[url] = context
+
+
+def _resolve_remote_context(url: str) -> dict:
+    if url not in CONTEXT_RESOLVERS:
+        raise JsonLdParseError(
+            f"remote @context {url!r} is not resolvable (this engine has no "
+            "network) — pre-register it with jsonld.register_context(url, mapping)"
+        )
+    c = CONTEXT_RESOLVERS[url]
+    c = c(url) if callable(c) else c
+    if not isinstance(c, dict):
+        raise JsonLdParseError(f"registered context for {url!r} must resolve to a dict")
+    return c
+
+
 def parse_jsonld(text: str) -> pa.Table:
     doc = json.loads(text)
     rows = {k: [] for k in QUAD.names}
@@ -53,13 +80,16 @@ def parse_jsonld(text: str) -> pa.Table:
         raw = obj.get("@context")
         if raw is None:
             return parent_ctx
-        if not isinstance(raw, dict):
-            raise JsonLdParseError("remote / non-object @context is outside the supported subset")
         ctx = dict(parent_ctx)
-        for k, v in raw.items():
-            if not isinstance(v, str):
-                raise JsonLdParseError(f"complex term definition for {k!r} is outside the supported subset")
-            ctx[k] = v
+        for part in raw if isinstance(raw, list) else [raw]:
+            if isinstance(part, str):  # remote context IRI
+                part = _resolve_remote_context(part)
+            if not isinstance(part, dict):
+                raise JsonLdParseError("non-object @context entry is outside the supported subset")
+            for k, v in part.items():
+                if not isinstance(v, str):
+                    raise JsonLdParseError(f"complex term definition for {k!r} is outside the supported subset")
+                ctx[k] = v
         return ctx
 
     def node_id(obj, ctx) -> str:

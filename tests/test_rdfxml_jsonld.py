@@ -256,3 +256,28 @@ def test_read_statements_dispatch_rdfxml_jsonld(tmp_path):
     p2 = tmp_path / "doc.jsonld"
     p2.write_text(JSONLD_DOC)
     assert len(read_statements(str(p2)).take_all()) == 6
+
+
+def test_jsonld_registered_remote_context():
+    """Remote @context IRIs resolve through the injectable registry
+    (documentLoader hook without the loader — no network); unregistered
+    IRIs keep raising honestly."""
+    import grafter_ray.sources.jsonld as J
+
+    doc = (
+        '{"@context": ["http://ctx.example/v1", {"extra": "http://e/"}],'
+        ' "@id": "http://x/a", "foaf:name": "Ada", "extra:tag": "t1"}'
+    )
+    with pytest.raises(JsonLdParseError, match="register_context"):
+        parse_jsonld(doc)
+    J.register_context("http://ctx.example/v1", {"foaf": "http://xmlns.com/foaf/0.1/"})
+    try:
+        t = parse_jsonld(doc)
+        got = dict(zip(t.column("p").to_pylist(), t.column("o_value").to_pylist()))
+        assert got == {"http://xmlns.com/foaf/0.1/name": "Ada", "http://e/tag": "t1"}
+        # callable resolver form
+        J.register_context("http://ctx.example/v2", lambda url: {"dc": "http://purl.org/dc/terms/"})
+        t2 = parse_jsonld('{"@context": "http://ctx.example/v2", "@id": "http://x/b", "dc:title": "T"}')
+        assert t2.column("p").to_pylist() == ["http://purl.org/dc/terms/title"]
+    finally:
+        J.CONTEXT_RESOLVERS.clear()

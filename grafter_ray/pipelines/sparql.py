@@ -1739,6 +1739,12 @@ def _run_select(q: SelectQuery, store) -> pa.Table:
     for endpoint, silent, body, svars in q.services:
         stb = _run_service(q, endpoint, silent, body, svars, local_tb=tb)
         if stb is None:  # SERVICE SILENT failure ≡ the identity solution
+            if tb is not None:
+                # the group's vars stay UNBOUND (SPARQL 1.1 Federated
+                # Query §4) — projectable as nulls, not a query error
+                for v in svars:
+                    if v not in tb.column_names:
+                        tb = tb.append_column(v, pa.nulls(tb.num_rows, pa.string()))
             continue
         if tb is None:
             tb = stb

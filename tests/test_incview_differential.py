@@ -1,0 +1,92 @@
+"""Incremental-view differential (TODO r3 / VERDICT r3 #8): seeded
+random measure mixes (count / sum / min / max over random derived
+columns), random group keys and random multi-window ingest histories
+(incl. deletes) — after every refresh the folded view must equal a
+DuckDB GROUP BY over the LIVE lake table. This is a cross-engine check
+of the signed-fold + extreme-hit-repair machinery, not a fold-vs-fold
+identity."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.pipelines.incview import IncrementalView
+
+# (name, derived-src, how, SQL over the registered live-lake table)
+_MEASURE_POOL = [
+    ("n_rows", None, "count", "CAST(count(*) AS BIGINT)"),
+    ("sum_chars", "n_chars", "sum", "CAST(sum(length(content)) AS BIGINT)"),
+    ("min_chars", "n_chars", "min", "CAST(min(length(content)) AS BIGINT)"),
+    ("max_chars", "n_chars", "max", "CAST(max(length(content)) AS BIGINT)"),
+    ("sum_commit", "commit_mod", "sum", "CAST(sum(length(commit) % 11) AS BIGINT)"),
+    ("min_commit", "commit_mod", "min", "CAST(min(length(commit) % 11) AS BIGINT)"),
+    ("max_commit", "commit_mod", "max", "CAST(max(length(commit) % 11) AS BIGINT)"),
+]
+
+
+def _make_prepare():
+    def prepare(tb: pa.Table) -> pa.Table:
+        tb = tb.append_column(
+            "n_chars", pc.cast(pc.utf8_length(tb.column("content")), pa.int64())
+        )
+        lens = pc.cast(pc.utf8_length(tb.column("commit")), pa.int64())
+        return tb.append_column(
+            "commit_mod",
+            pc.subtract(lens, pc.multiply(pc.divide(lens, pa.scalar(11)), pa.scalar(11))),
+        )
+
+    return prepare
+
+
+def _sql_recompute(lake, keys, chosen):
+    live = lake.read_table(view=False)
+    con = duckdb.connect()
+    con.register("lake", live)
+    sel = ", ".join(keys + [f"{sql} AS {name}" for name, _c, _h, sql in chosen])
+    want = con.execute(
+        f"SELECT {sel} FROM lake GROUP BY {', '.join(keys)} ORDER BY {', '.join(keys)}"
+    ).fetch_arrow_table()
+    return want
+
+
+def test_incview_random_measure_mixes_match_duckdb(tmp_path):
+    rng = random.Random(55088)
+    prepare = _make_prepare()
+    for trial in range(4):
+        cfg = BinlogConfig(
+            n_events=2_500,
+            n_keys=rng.choice([120, 260]),
+            n_repos=rng.choice([5, 9]),
+            schema_every=10**9,
+            delete_pct=rng.choice([0.1, 0.25]),
+        )
+        binlog = binlog_table(cfg)
+        keys = rng.choice([["repo"], ["repo", "lang"]])
+        k = rng.randrange(2, len(_MEASURE_POOL) + 1)
+        chosen = rng.sample(_MEASURE_POOL, k)
+        # the fold needs at least one additive row-count style measure to
+        # know group liveness — always include count
+        if not any(h == "count" for _n, _c, h, _s in chosen):
+            chosen.append(_MEASURE_POOL[0])
+        measures = [(n, c, h) for n, c, h, _s in chosen]
+        lake = CDCLake(str(tmp_path / f"lake{trial}"), num_partitions=8)
+        view = IncrementalView(
+            lake, str(tmp_path / f"view{trial}"), keys, measures, prepare=prepare
+        )
+        cuts = sorted(rng.sample(range(200, cfg.n_events - 1), 2)) + [cfg.n_events - 1]
+        for upto in cuts:
+            lake.apply(rd.from_arrow(binlog), upto_lsn=upto)
+            view.refresh()
+            got = view.read_table()
+            want = _sql_recompute(lake, keys, chosen)
+            assert got.num_rows == want.num_rows, (trial, upto, measures)
+            got = got.select(want.column_names).sort_by([(c, "ascending") for c in keys])
+            for cname in want.column_names:
+                assert (
+                    pc.cast(got.column(cname), pa.string()).to_pylist()
+                    == pc.cast(want.column(cname), pa.string()).to_pylist()
+                ), (trial, upto, cname, measures)

@@ -61,6 +61,39 @@ from ..state.schema_registry import apply_view
 from ..util import key_hash_pair, partition_ids
 
 DEFAULT_BATCH_SIZE = 20_000  # grafter add-batched default, protocols.cljc:514-515
+
+
+def _cluster_shape() -> tuple[int, int]:
+    """(total CPUs, alive CPU-bearing nodes) from the Ray cluster view —
+    the per-stage sizing rules below are per-NODE rules (each node has
+    its own plasma store), so multi-node clusters scale them by this."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        n_nodes = len(
+            [n for n in ray.nodes() if n.get("Alive") and n.get("Resources", {}).get("CPU")]
+        )
+    except Exception:
+        n_nodes = 1
+    return ncpu, max(1, n_nodes)
+
+
+def default_merge_actor_count(ncpu: int, n_nodes: int, num_partitions: int) -> int:
+    """W merge actors: 2-4 on one node (ack-convoy measurement — see the
+    apply() comment), ~2 per node on a cluster, never more than the
+    partition count."""
+    per_cluster = 4 if n_nodes <= 1 else 2 * n_nodes
+    return max(2, min(ncpu // 2, num_partitions, per_cluster))
+
+
+def default_route_cap(ncpu: int, n_nodes: int, w: int) -> int:
+    """Concurrent scan/route producers: ~14 per node (each node's object
+    store saturates past that — measured single-node), bounded by the
+    CPUs left over after the merge actors."""
+    return max(1, min(ncpu - w, 14 * n_nodes))
+
+
 META_COLS = ["lsn", "op", "repo", "path", "schema_version"]
 # Binlogs with writer-side key hashes (schemas.BINLOG_KH): the metadata
 # pass reads NO string key columns — pure fixed-width parquet decode.
@@ -828,14 +861,14 @@ class CDCLake:
 
         P = self.num_partitions
         prev_files = dict(prev_parts)  # full entries: {file, rows, max_lsn[, deltas]}
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ncpu, n_nodes = _cluster_shape()
         if concurrency is None:
             # W merge actors ≪ routing tasks: every routed block waits for
             # acks from the actors it hits, so large W creates an ack
             # convoy (measured on one node: W=16 halves throughput vs W=4
             # at 32 CPUs; W=4 also beats W=2 at 8 CPUs). Single-node sweet
-            # spot is 2-4; on a multi-node cluster pass concurrency≈2/node.
-            concurrency = max(2, min(ncpu // 2, P, 4))
+            # spot is 2-4; a multi-node cluster defaults to ~2/node.
+            concurrency = default_merge_actor_count(ncpu, n_nodes, P)
         W = concurrency
 
         # fractional CPU: merge actors are idle while the scan passes run
@@ -847,25 +880,48 @@ class CDCLake:
             if f.startswith("spill-") and f.endswith(".parquet"):
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(self.log.data_dir, f))
+        # GRAFT_SPREAD_ACTORS=1: pin merge actors to a best-effort SPREAD
+        # placement group so a multi-node cluster lands ~one actor per
+        # node bundle (the per-node object store then serves its local
+        # actor). Off by default — single-node placement is free and a
+        # placement group only adds scheduling latency there.
+        pg = None
+        if os.environ.get("GRAFT_SPREAD_ACTORS", "").lower() in ("1", "true", "yes"):
+            from ray.util.placement_group import placement_group
+            from ray.util.scheduling_strategies import PlacementGroupSchedulingStrategy
+
+            pg = placement_group([{"CPU": 0.5}] * W, strategy="SPREAD")
+            ray.get(pg.ready())
+
+        def _actor_opts(i: int) -> dict:
+            opts = {"num_cpus": 0.5, "max_restarts": 0}
+            if pg is not None:
+                from ray.util.scheduling_strategies import PlacementGroupSchedulingStrategy
+
+                opts["scheduling_strategy"] = PlacementGroupSchedulingStrategy(
+                    placement_group=pg, placement_group_bundle_index=i
+                )
+            return opts
+
         handles = [
-            MergeActor.options(num_cpus=0.5, max_restarts=0).remote(
+            MergeActor.options(**_actor_opts(i)).remote(
                 self.log.data_dir, version, prev_files,
                 compact_threshold=self.actor_compact_threshold,
                 spill_bytes=self.actor_spill_bytes,
                 delta_ratio=self.delta_ratio,
                 max_delta_chain=self.max_delta_chain,
             )
-            for _ in range(W)
+            for i in range(W)
         ]
         try:
             # cap concurrent scan/route tasks: on one node, beyond ~14-16
             # concurrent producers the shared object store becomes the
             # bottleneck and extra tasks only add contention (measured at
             # 32 CPUs: uncapped ~500k events/s, capped at 14 → 930k).
-            # On a multi-node cluster raise via GRAFT_ROUTER_CAP (the
-            # store is per-node there; ~14/node is the analogous rule).
+            # The object store is per-node, so the default scales ~14 per
+            # alive node; GRAFT_ROUTER_CAP overrides.
             cap = os.environ.get("GRAFT_ROUTER_CAP")
-            route_cap = int(cap) if cap else max(1, min(ncpu - W, 14))
+            route_cap = int(cap) if cap else default_route_cap(ncpu, n_nodes, W)
             route_kwargs = {"concurrency": route_cap}
 
             if payload_mode == "single_pass":
@@ -952,6 +1008,11 @@ class CDCLake:
                     pass  # never mask the window's own error
             for h in handles:
                 ray.kill(h)
+            if pg is not None:
+                from ray.util.placement_group import remove_placement_group
+
+                with contextlib.suppress(Exception):
+                    remove_placement_group(pg)
         stats = pa.concat_tables(stats_tables).to_pylist()
 
         parts = dict(prev_parts)

@@ -101,3 +101,69 @@ def test_contended_lake_is_retryable_not_a_crash(tmp_path, capsys):
     assert out2["events_applied"] == CFG.n_events
     want, _ = oracle_lake_table(binlog_table(CFG))
     assert out2["lake_rows"] == want.num_rows
+
+
+def test_foreign_node_writer_blocks_cli_with_exit_75(tmp_path, capsys):
+    """Fake-multi-node (VERDICT r3 #7): a LIVE writer on another node —
+    its pid unknowable locally — must block this node's job with the
+    retryable exit, never be stolen. Stale foreign locks (beyond
+    stale_after_s) are stolen and the job proceeds."""
+    import json as _json
+    import time as _time
+
+    from grafter_ray import CDCLake
+
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    holder = CDCLake(lake, num_partitions=8)
+    with open(holder.log._lock_path, "w") as f:
+        _json.dump(
+            {"owner": "apply", "host": "node-B", "pid": 2**22 + 4242, "ts": _time.time()},
+            f,
+        )
+    rc = main(["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 75 and out["error"] == "lake_locked"
+    # the same lock gone stale (crashed node-B writer): the stale-age
+    # path — the documented multi-node steal rule — lets the job through
+    with open(holder.log._lock_path, "w") as f:
+        _json.dump(
+            {"owner": "apply", "host": "node-B", "pid": 2**22 + 4242, "ts": _time.time() - 7200},
+            f,
+        )
+    out2 = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == CFG.n_events
+
+
+def test_multi_node_sizing_rules():
+    """Router cap and merge-actor count are per-NODE rules (one plasma
+    store per node): the defaults must scale with the alive node count,
+    not just the CPU total."""
+    from grafter_ray.pipelines.replay import default_merge_actor_count, default_route_cap
+
+    # single 32-CPU box: the measured sweet spots
+    assert default_merge_actor_count(32, 1, 32) == 4
+    assert default_route_cap(32, 1, 4) == 14
+    # same 32 CPUs as a 4-node cluster: ~2 actors + ~14 producers per node
+    assert default_merge_actor_count(32, 4, 32) == 8
+    assert default_route_cap(32, 4, 8) == 24  # bounded by ncpu - W
+    # big cluster: node rule dominates until CPUs bound it
+    assert default_merge_actor_count(256, 8, 64) == 16
+    assert default_route_cap(256, 8, 16) == 112
+    # never exceed partitions; never go below the floor
+    assert default_merge_actor_count(256, 8, 3) == 3
+    assert default_merge_actor_count(4, 1, 32) == 2
+
+
+def test_spread_actor_placement_flag(tmp_path, capsys, monkeypatch):
+    """GRAFT_SPREAD_ACTORS=1 routes merge actors through a SPREAD
+    placement group (per-node bundles on a real cluster; best-effort on
+    one node) — replay must still converge exactly."""
+    monkeypatch.setenv("GRAFT_SPREAD_ACTORS", "1")
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    out = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake,
+                        "--partitions", "8", "--window-size", "1500"])
+    want, _ = oracle_lake_table(binlog_table(CFG))
+    assert out["events_applied"] == CFG.n_events
+    assert out["lake_rows"] == want.num_rows

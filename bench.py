@@ -76,6 +76,10 @@ QUERY_SUBSET = [
     "cdc_chain_derived",
     "dup_spans",
     "ann_radius",
+    "turtle_full_grammar",
+    "sparql_from_named",
+    "lm_score",
+    "kmeans_clusters",
 ]
 
 

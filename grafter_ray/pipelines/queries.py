@@ -817,6 +817,83 @@ def q_ann_lsh(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lm_score(sf_dir: str):
+    """Self-trained bigram-LM document scoring (CCNet-style perplexity
+    gate): one pruned scan + three bounded exchanges, the model is never
+    materialized or broadcast (stages/lm.py docstring has the plan)."""
+    from ..stages.lm import bigram_logprob_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_logprob_scores(ds, id_col="doc_id", text_col="text", smooth=4096.0)
+    return _fixed_point(out, ["avg_logprob"], scale=1_000_000).map_batches(
+        lambda tb: pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "n_bigrams": tb.column("n_bigrams"),
+                "avg_logprob_e6": tb.column("avg_logprob"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_LM_SCORE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+), toks AS (
+  SELECT doc_id, unnest(a) AS tok, unnest(generate_series(1, len(a))) AS ord FROM arrs
+), toks2 AS (
+  SELECT * FROM toks WHERE tok <> ''
+), big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks2 a JOIN toks2 b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+   c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(sum(ln((c2.c2 + 1.0) / (c1.c1 + 4096.0))) / count(*) * 1000000) AS BIGINT) AS avg_logprob_e6
+FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY g.doc_id
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic Lloyd's k-means over the embedding column (the
+    SemDeDup / data-mixture clustering shape): broadcast k×d centroids,
+    per-block partial sums, two assignment passes — the only driver-side
+    rows are k per block (stages/clustering.py docstring)."""
+    from ..stages.clustering import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds, id_col="vec_id", vec_col="embedding", k=8, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+), a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, i.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, i.v), i.c) AS rn
+    FROM e CROSS JOIN init i) WHERE rn = 1
+), ex AS (
+  SELECT vec_id, unnest(v) AS val, unnest(generate_series(1, len(v))) AS dim FROM e
+), m1 AS (
+  SELECT a1.c, ex.dim, avg(ex.val) AS av FROM a1 JOIN ex USING (vec_id) GROUP BY a1.c, ex.dim
+), c1 AS (
+  SELECT c, list(av ORDER BY dim) AS v FROM m1 GROUP BY c
+), a2 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c1.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, c1.v), c1.c) AS rn
+    FROM e CROSS JOIN c1) WHERE rn = 1
+)
+SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a2
+"""
+
+
 def q_cdc_replay(sf_dir: str):
     """Full engine smoke over a deterministic synthetic binlog sized to the
     sf tier; returns the converged lake keyed rows (rows-only check)."""
@@ -3067,6 +3144,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_batch": q_ann_batch,
     "ann_lsh": q_ann_lsh,
+    "lm_score": q_lm_score,
+    "kmeans_clusters": q_kmeans_clusters,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "jaccard_pairs_prefix": q_jaccard_pairs_prefix,
@@ -3164,6 +3243,8 @@ ORACLE_SQL = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "jaccard_pairs_prefix": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,
+    "lm_score": SQL_LM_SCORE,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ann_ivf": SQL_ANN_TOPK,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,

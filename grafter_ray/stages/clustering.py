@@ -1,0 +1,137 @@
+"""Deterministic k-means over an embedding column (Lloyd's algorithm).
+
+Training-data pipelines cluster embeddings to balance data mixtures and
+to pick diverse subsets (SemDeDup-style); the engine needs the iterative
+shape: a tiny broadcast model (k×d centroids) refined over a streaming
+corpus. Each iteration is:
+
+  - centroids → ``ray.put`` once, read zero-copy by every task
+    (never re-shipped per batch),
+  - one map_batches pass: per block, assign vectors (vectorized
+    squared-distance argmin in float64) and emit k partial rows
+    (cluster, count, sum-vector) — the exchange per block is k rows of
+    d doubles, independent of block size,
+  - driver combines the k×blocks partials (bounded: k × #blocks rows,
+    documented) into new means; clusters that lost all members are
+    dropped, surviving clusters keep their original ids (the SQL oracle
+    does the same).
+
+The final pass assigns every vector against the last centroids and
+streams (id, cluster) out. Determinism: init = the embeddings of the k
+smallest ids, fixed iteration count, first-min argmin tie-break (= SQL
+``ORDER BY dist, c``). All arithmetic in float64 to match a DOUBLE[]
+oracle.
+
+At 100 TB the corpus side streams; only k×d×blocks partial floats ever
+reach the driver, so scale is bounded by block count, not rows. Mini-batch
+or tree-combine of partials is the escalation if block count itself grows
+past driver memory (it is k rows per block — it will not).
+
+Reference anchor: no clustering in the reference (RDF engine); this is
+the iterative-algorithm family member of the LLM-data operators
+(SURVEY.md §2 additions), sharing the broadcast-small-side discipline of
+stages/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _vecs(tb: pa.Table, vec_col: str) -> np.ndarray:
+    col = tb.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _assign(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # direct (v-c)^2 form (not the ||v||²-2vc+||c||² expansion): matches
+    # the oracle's list_distance summation to ~1 ulp, so argmin never
+    # flips on cancellation noise
+    d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)  # first min = ORDER BY dist, cluster
+
+
+def kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8, iters: int = 2):
+    """Lloyd's k-means with ``iters`` assignment passes (so ``iters - 1``
+    centroid refinements). Returns a Dataset (id_col, cluster) where
+    cluster is the surviving init index. See module docstring for the
+    distributed plan and determinism rules."""
+    from ..pipelines.relational import top_k
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    init_tb = pa.concat_tables(
+        ray.get(top_k(ds, [(id_col, "ascending")], k).to_arrow_refs())
+    )  # k rows — bounded by construction
+    cents = _vecs(init_tb, vec_col)
+    order = np.argsort(init_tb.column(id_col).to_numpy(zero_copy_only=False), kind="stable")
+    cents = cents[order]
+    cluster_ids = np.arange(len(cents), dtype=np.int64)
+
+    for _ in range(iters - 1):
+        ref = ray.put((cents, cluster_ids))
+
+        def partial_sums(tb: pa.Table) -> pa.Table:
+            c, _ids = ray.get(ref)  # zero-copy plasma read, once per task
+            if tb.num_rows == 0:
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            v = _vecs(tb, vec_col)
+            a = _assign(v, c)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in range(len(c)):
+                m = a == j
+                cnt = int(m.sum())
+                if cnt:
+                    rows_c.append(j)
+                    rows_n.append(cnt)
+                    rows_s.append(v[m].sum(axis=0))
+            return pa.table(
+                {
+                    "c": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array([list(s) for s in rows_s], pa.list_(pa.float64())),
+                }
+            )
+
+        parts = pa.concat_tables(
+            ray.get(
+                ds.map_batches(partial_sums, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+            )
+        )  # ≤ k rows per block — bounded by block count, not data size
+        cs = parts.column("c").to_numpy(zero_copy_only=False)
+        ns = parts.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = _vecs(parts, "s")
+        new_cents, new_ids = [], []
+        for j in range(len(cents)):
+            m = cs == j
+            total = ns[m].sum()
+            if total > 0:
+                new_cents.append(ss[m].sum(axis=0) / total)
+                new_ids.append(cluster_ids[j])
+        cents = np.stack(new_cents)
+        cluster_ids = np.asarray(new_ids, dtype=np.int64)
+
+    final_ref = ray.put((cents, cluster_ids))
+
+    def assign_block(tb: pa.Table) -> pa.Table:
+        c, ids = ray.get(final_ref)
+        if tb.num_rows == 0:
+            return pa.table(
+                {id_col: tb.column(id_col), "cluster": pa.array([], pa.int64())}
+            )
+        a = _assign(_vecs(tb, vec_col), c)
+        return pa.table({id_col: tb.column(id_col), "cluster": pa.array(ids[a], pa.int64())})
+
+    return ds.map_batches(assign_block, batch_format="pyarrow", zero_copy_batch=True)

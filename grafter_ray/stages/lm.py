@@ -1,0 +1,169 @@
+"""Bigram language-model scoring at corpus scale.
+
+The classic quality signal a training-data pipeline computes (KenLM-style
+perplexity filtering, as in CCNet/Gopher): train an n-gram model ON the
+corpus, score every document by its average token log-probability, then
+gate on the score. Here the model is a bigram LM with add-one smoothing
+over a fixed smoothing denominator, trained and applied in ONE pipeline
+without ever materializing the model:
+
+  p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + SMOOTH)
+
+Plan (one pruned scan + three bounded exchanges, no broadcast, no
+driver-side data):
+
+  1. map_batches: tokenize each block (Arrow split_pattern_regex),
+     pre-count bigrams WITHIN each (doc, w1, w2) — only unique
+     per-doc bigrams with their multiplicity ``k`` enter the exchange,
+     never the raw token stream.
+  2. sort by (w1, w2) [house grouped_block_map]: every occurrence of a
+     bigram is co-located, so the global count C(w1,w2) is a per-run
+     reduceat — emit (doc_id, w1, k, k·ln(C2+1)).
+  3. sort by (w1): every bigram with left token w1 is co-located, so
+     C(w1) = Σk over the run — emit (doc_id, k, k·ln(C2+1) − k·ln(C1+S)).
+  4. grouped_agg by doc_id → (doc_id, n_bigrams, avg_logprob).
+
+The decomposition ln p = ln(C2+1) − ln(C1+S) is what lets training and
+scoring fuse: each factor becomes computable exactly where its count is
+co-located, so the "model" never exists as a table and nothing is
+broadcast. Documents shorter than two tokens have no bigrams and drop
+out (same as the SQL oracle).
+
+Partitioning assumption (same as every grouped_block_map user): the
+sort-shuffle co-locates all rows of one key in one block. A stop-word
+left-token ("the", …) makes stage 3's largest run ≈ the number of
+distinct (doc, "the", w2) rows; if that ever exceeds a block at extreme
+scale, salt stage 3 by hash(doc_id)%S and attach C(w1) via a two-phase
+grouped_agg + tagged co-group instead (C1 is a sum, so it salts
+cleanly).
+
+Reference anchor: the reference has no LM scorer (it is an RDF engine);
+this extends the quality-scoring family (stages/text.py, Gopher gate)
+the way CCNet §4.2 describes perplexity filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _bigram_block_counts(tb: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, w1, w2, k): per-block pre-counted bigram multiplicities.
+
+    Tokenization mirrors the SQL oracle exactly:
+    regexp_split_to_array(trim(text), '\\s+'). Interior empty tokens are
+    impossible with \\s+ after trim, so the only '' token is the single
+    one a whitespace-only document yields — which forms no bigram.
+    """
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(lens.sum())
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], tb.schema.field(id_col).type),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+            }
+        )
+    # a position i pairs with i+1 unless it is the last token of its doc
+    last = np.cumsum(lens) - 1  # last flat index per doc (lens==0 docs yield -1 … masked below)
+    keep = np.ones(n, dtype=bool)
+    keep[last[lens > 0]] = False
+    left = np.nonzero(keep)[0]
+    doc_ids = tb.column(id_col).take(pa.array(np.repeat(np.arange(len(lens)), lens)[left]))
+    pairs = pa.table(
+        {
+            id_col: doc_ids,
+            "w1": flat.take(pa.array(left)),
+            "w2": flat.take(pa.array(left + 1)),
+        }
+    )
+    g = pairs.group_by([id_col, "w1", "w2"]).aggregate([("w1", "count")])
+    return pa.table(
+        {
+            id_col: g.column(id_col),
+            "w1": g.column("w1"),
+            "w2": g.column("w2"),
+            "k": pc.cast(g.column("w1_count"), pa.int64()),
+        }
+    )
+
+
+def bigram_logprob_scores(ds, id_col: str = "doc_id", text_col: str = "text", smooth: float = 4096.0):
+    """Score every document by its average bigram log-probability under a
+    self-trained add-one-smoothed bigram LM (module docstring has the
+    distributed plan). Returns a Dataset (id_col, n_bigrams, avg_logprob);
+    docs with < 2 tokens are absent."""
+    from ..pipelines.relational import grouped_agg
+    from .grouped import grouped_block_map, key_segments
+
+    partials = ds.map_batches(
+        lambda tb: _bigram_block_counts(tb, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def c2_pass(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64()),
+                    "w1": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                    "a_part": pa.array([], pa.float64()),
+                }
+            )
+        starts, ends = key_segments(tb, ["w1", "w2"])
+        k = tb.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2_run = np.add.reduceat(k, starts)
+        c2 = np.repeat(c2_run, ends - starts)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "w1": tb.column("w1"),
+                "k": tb.column("k"),
+                "a_part": pa.array(k * np.log(c2 + 1.0), pa.float64()),
+            }
+        )
+
+    def c1_pass(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "s_part": pa.array([], pa.float64()),
+                }
+            )
+        starts, ends = key_segments(tb, ["w1"])
+        k = tb.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1_run = np.add.reduceat(k, starts)
+        c1 = np.repeat(c1_run, ends - starts)
+        a = tb.column("a_part").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "k": tb.column("k"),
+                "s_part": pa.array(a - k * np.log(c1 + float(smooth)), pa.float64()),
+            }
+        )
+
+    with_c2 = grouped_block_map(partials, ["w1", "w2"], c2_pass)
+    with_c1 = grouped_block_map(with_c2, ["w1"], c1_pass)
+    agg = grouped_agg(with_c1, [id_col], [("n_bigrams", "k", "sum"), ("s", "s_part", "sum")])
+
+    def finish(tb: pa.Table) -> pa.Table:
+        n = pc.cast(tb.column("n_bigrams"), pa.int64())
+        avg = pc.divide(pc.cast(tb.column("s"), pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table({id_col: tb.column(id_col), "n_bigrams": n, "avg_logprob": avg})
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

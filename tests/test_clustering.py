@@ -1,0 +1,73 @@
+"""K-means (stages/clustering.py): recovers planted clusters, block
+composition independence, empty-cluster drop, numpy reference parity.
+Oracle parity at sf0.001 runs via test_queries.py (kmeans_clusters)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.clustering import kmeans_assign
+
+
+def _ds(vecs, parallelism=3):
+    tb = pa.table(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(tb).repartition(parallelism)
+
+
+def _reference(vecs, k, iters):
+    """Plain-numpy Lloyd's with the same determinism rules."""
+    v = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    cents = v[:k].copy()  # ids 0..n are already ascending
+    ids = np.arange(k)
+    for _ in range(iters - 1):
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        new_c, new_i = [], []
+        for j in range(len(cents)):
+            m = a == j
+            if m.sum():
+                new_c.append(v[m].mean(axis=0))
+                new_i.append(ids[j])
+        cents, ids = np.stack(new_c), np.asarray(new_i)
+    d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return ids[np.argmin(d2, axis=1)]
+
+
+def _assignments(vecs, k=4, iters=2, parallelism=3):
+    out = kmeans_assign(_ds(vecs, parallelism), k=k, iters=iters).to_pandas()
+    return out.sort_values("vec_id")["cluster"].to_numpy()
+
+
+def test_planted_clusters_recovered():
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    # interleave groups so the smallest-id init sees all four regions
+    vecs = np.stack([centers[i % 4] + rng.normal(0, 0.3, 2) for i in range(100)])
+    a = _assignments(list(vecs), k=4, iters=4)
+    # every planted group lands in exactly one cluster
+    for g in range(4):
+        assert len(set(a[np.arange(100) % 4 == g])) == 1
+    assert len(set(a)) == 4
+
+
+def test_matches_numpy_reference_and_block_independent():
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (120, 8))
+    want = _reference(list(vecs), k=5, iters=3)
+    a = _assignments(list(vecs), k=5, iters=3, parallelism=1)
+    b = _assignments(list(vecs), k=5, iters=3, parallelism=13)
+    assert (a == want).all()
+    assert (b == want).all()
+
+
+def test_empty_cluster_dropped_ids_stable():
+    # two far duplicated points; k=3 inits on [0,0],[0,0],[9,9] — the
+    # duplicate centroid 1 never wins a point (argmin prefers index 0)
+    vecs = [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0], [9.1, 9.0], [0.1, 0.0]]
+    a = _assignments(vecs, k=3, iters=3, parallelism=2)
+    assert set(a) == {0, 2}

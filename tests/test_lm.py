@@ -1,0 +1,81 @@
+"""Bigram-LM scoring (stages/lm.py): hand-computed micro-corpus, block
+composition independence, short-doc semantics. Oracle parity at sf0.001
+runs via test_queries.py (lm_score)."""
+
+import math
+
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.lm import bigram_logprob_scores
+
+SMOOTH = 4096.0
+
+
+def _scores(docs, parallelism=2, smooth=SMOOTH):
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(parallelism)
+    out = bigram_logprob_scores(ds, smooth=smooth).to_pandas()
+    return {int(r.doc_id): (int(r.n_bigrams), float(r.avg_logprob)) for r in out.itertuples()}
+
+
+def _expected(docs, smooth=SMOOTH):
+    bigrams = []
+    per_doc = {}
+    for i, text in enumerate(docs):
+        toks = [t for t in text.strip().split() if t]
+        bg = list(zip(toks, toks[1:]))
+        per_doc[i] = bg
+        bigrams.extend(bg)
+    c2 = {}
+    c1 = {}
+    for w1, w2 in bigrams:
+        c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+        c1[w1] = c1.get(w1, 0) + 1
+    exp = {}
+    for i, bg in per_doc.items():
+        if not bg:
+            continue
+        s = sum(math.log((c2[(w1, w2)] + 1.0) / (c1[w1] + smooth)) for w1, w2 in bg)
+        exp[i] = (len(bg), s / len(bg))
+    return exp
+
+
+def test_micro_corpus_matches_hand_model():
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "the the the",  # repeated bigram multiplicity
+    ]
+    got = _scores(docs)
+    want = _expected(docs)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-12
+
+
+def test_short_and_empty_docs_drop_out():
+    docs = ["single", "", "   ", "two tokens"]
+    got = _scores(docs)
+    assert set(got) == {3}
+    assert got[3][0] == 1
+
+
+def test_block_composition_independence():
+    docs = [f"w{i % 7} w{(i + 1) % 5} w{i % 3} common tail" for i in range(60)]
+    a = _scores(docs, parallelism=1)
+    b = _scores(docs, parallelism=16)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 1e-12
+
+
+def test_smoothing_constant_applies():
+    docs = ["x y", "x z"]
+    got = _scores(docs, smooth=10.0)
+    # c2(x,y)=1, c1(x)=2 → ln(2/12)
+    assert abs(got[0][1] - math.log(2.0 / 12.0)) < 1e-12

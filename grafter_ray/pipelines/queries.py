@@ -1618,42 +1618,45 @@ SELECT 'lang:any' AS cls, count(*) AS n FROM documents
 def q_video_frames(sf_dir: str):
     """Third multimodal modality: video payloads → every-Nth-frame
     sample rows (media_id, frame_idx, thumbnail tensor, mean luma)
-    through the actor-pool stage (codec stubbed deterministically;
-    rows-only check — planted-shape pytest covers the kernel)."""
+    through the actor-pool stage — REAL uncompressed-AVI decode via the
+    pure-numpy codec (strict mode; rows-only check — codec round-trip
+    pytest covers the kernel)."""
     import ray.data as rd
 
     from ..stages.multimodal import PAYLOAD_BATCH_KWARGS, VideoFrameSampleStage, synth_media_table
 
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
-    ds = rd.from_arrow(synth_media_table(min(n_docs, 128), kind="video/mp4"))
-    out = ds.map_batches(VideoFrameSampleStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 128), kind="video/avi"))
+    out = ds.map_batches(VideoFrameSampleStage, fn_constructor_kwargs={"strict": True}, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
     return out.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal stage plumbing over a deterministic synthetic media
-    corpus sized to the tier (decode stubbed; rows-only check)."""
+    """Multimodal image features over a deterministic synthetic media
+    corpus sized to the tier — REAL BMP decode + nearest-neighbor resize
+    via the pure-numpy codec (strict mode; rows-only check)."""
     import ray.data as rd
 
     from ..stages.multimodal import DecodeImageStage, PAYLOAD_BATCH_KWARGS, synth_media_table
 
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
-    ds = rd.from_arrow(synth_media_table(min(n_docs, 256)))
-    out = ds.map_batches(DecodeImageStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 256), kind="image/bmp"))
+    out = ds.map_batches(DecodeImageStage, fn_constructor_kwargs={"strict": True}, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
     return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
 
 
 def q_audio_frames(sf_dir: str):
     """Second multimodal modality: audio payloads → fixed frame-energy
-    vectors through the actor-pool stage (codec stubbed deterministically;
-    rows-only check — planted-shape pytest covers the kernel)."""
+    vectors through the actor-pool stage — REAL RIFF/WAVE PCM16 decode
+    via the pure-numpy codec (strict mode; rows-only check — codec
+    round-trip pytest covers the kernel)."""
     import ray.data as rd
 
     from ..stages.multimodal import AudioFrameSampleStage, PAYLOAD_BATCH_KWARGS, synth_media_table
 
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
     ds = rd.from_arrow(synth_media_table(min(n_docs, 256), kind="audio/wav"))
-    out = ds.map_batches(AudioFrameSampleStage, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
+    out = ds.map_batches(AudioFrameSampleStage, fn_constructor_kwargs={"strict": True}, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS)
 
     def flat(tb: pa.Table) -> pa.Table:
         fe = tb.column("frame_energy")

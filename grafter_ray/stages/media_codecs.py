@@ -1,0 +1,221 @@
+"""Pure-numpy codecs for the uncompressed public media container formats.
+
+The sandbox has no PIL/soundfile/av, but WAV (RIFF PCM), BMP (BI_RGB
+24-bit), PPM (P6) and a minimal uncompressed AVI (RIFF 'movi' with raw
+DIB frames) need no codec library — they are header + raw samples, fully
+specified publicly (RIFF/WAVE: Microsoft multimedia spec; BMP: Windows
+BITMAPINFOHEADER; PPM: netpbm; AVI: Microsoft 'AVI RIFF File Reference').
+Implementing them in numpy upgrades the multimodal stages from
+deterministic fakes to REAL decode paths on self-generated corpora;
+compressed formats (png/jpeg/mp3/mp4) still raise honestly.
+
+All decoders take `bytes` and return numpy arrays; all encoders are the
+exact inverses used by the test fixtures and `synth_media_table`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class MediaDecodeError(ValueError):
+    """Payload is not decodable by the pure-numpy codec set."""
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF/WAVE, PCM 16-bit (mono or interleaved multi-channel)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """samples: int16 array, shape (n,) mono or (n, ch) interleaved."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ (float64 mono samples in [-1, 1], sample_rate). Multi-channel
+    input is averaged to mono (the usual feature-extraction front end)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    pos, ch, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or bits != 16:
+                raise MediaDecodeError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if ch is None or data is None:
+        raise MediaDecodeError("WAV missing fmt/data chunk")
+    s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2").reshape(-1, ch)
+    return s.astype(np.float64).mean(axis=1) / 32768.0, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# BMP — BITMAPINFOHEADER, 24 bpp BI_RGB, bottom-up rows padded to 4 bytes
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    bgr = np.ascontiguousarray(rgb[::-1, :, ::-1], dtype=np.uint8)  # bottom-up, BGR
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise MediaDecodeError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise MediaDecodeError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * stride, offset=off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# PPM — netpbm P6, maxval 255
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(rgb, np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise MediaDecodeError("not a P6 PPM payload")
+    # header = three whitespace-separated ints (comments unsupported — the
+    # synth corpus never writes them), then ONE whitespace byte
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise MediaDecodeError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise MediaDecodeError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# AVI — minimal uncompressed RIFF: hdrl(strf = BITMAPINFOHEADER) + movi
+# with one '00db' chunk of raw bottom-up BGR DIB data per frame
+# ---------------------------------------------------------------------------
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """frames: (n, h, w, 3) uint8 RGB → minimal uncompressed AVI."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack("<IIIIIIIIIIIIII", 1_000_000 // fps, frame_bytes * fps, 0, 0, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_body = b""
+    for f in frames:
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1], dtype=np.uint8)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_body += _chunk(b"00db", rows.tobytes())
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl) + len(_list(b"movi", movi_body))) + b"AVI " + hdrl + _list(b"movi", movi_body)
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """→ (n, h, w, 3) uint8 RGB frames (uncompressed '00db' DIB only)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI payload")
+    w = h = None
+    frames = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"strf":
+                _hsz, w_, h_, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, body_start)
+                if bpp != 24 or comp != 0:
+                    raise MediaDecodeError(f"unsupported AVI stream (bpp={bpp}, compression={comp})")
+                w, h = w_, abs(h_)
+            elif cid == b"00db":
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames:
+        raise MediaDecodeError("AVI missing strf header or frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((len(frames), h, w, 3), np.uint8)
+    for i, fb in enumerate(frames):
+        rows = np.frombuffer(fb, np.uint8, count=h * stride).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor resize (the only interpolation the stages need)
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(rgb: np.ndarray, h: int, w: int) -> np.ndarray:
+    sh, sw = rgb.shape[:2]
+    ri = (np.arange(h) * sh // h).clip(0, sh - 1)
+    ci = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return rgb[ri][:, ci]
+
+
+def sniff_image(payload: bytes) -> str | None:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    return None

@@ -1,0 +1,106 @@
+"""Pure-numpy media codecs (stages/media_codecs.py): encode→decode
+round-trips, real-decode feature correctness through the stages, and
+honest-raise behavior for compressed formats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grafter_ray.stages.media_codecs import (
+    MediaDecodeError,
+    decode_avi,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_avi,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+)
+from grafter_ray.stages.multimodal import (
+    AudioFrameSampleStage,
+    VideoFrameSampleStage,
+    _synth_rgb,
+    synth_media_table,
+)
+
+
+def test_bmp_round_trip_odd_width_padding():
+    img = _synth_rgb(5, 24, 33)  # 33*3=99 → 1-byte row padding exercised
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_ppm_round_trip():
+    img = _synth_rgb(9, 7, 11)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_wav_round_trip_mono_and_stereo_average():
+    mono = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, sample_rate=16000))
+    assert rate == 16000
+    assert np.allclose(s, mono.astype(np.float64) / 32768.0)
+    stereo = np.stack([mono, np.zeros_like(mono)], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, sample_rate=16000))
+    assert np.allclose(s2, mono.astype(np.float64) / 65536.0)  # mean of (x, 0)
+
+
+def test_avi_round_trip_multiframe():
+    frames = np.stack([_synth_rgb(i, 18, 25) for i in range(7)])
+    assert np.array_equal(decode_avi(encode_avi(frames)), frames)
+
+
+def test_decode_errors_are_honest():
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(b"notabmp")
+    with pytest.raises(MediaDecodeError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # P5 (grayscale) unsupported
+    with pytest.raises(MediaDecodeError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_resize_nearest_known_pattern():
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = 255
+    up = resize_nearest(img, 4, 4)
+    assert np.array_equal(up[:2, :2], np.full((2, 2, 3), 255, np.uint8))
+    assert up[2:].sum() == 0 and up[:, 2:].sum() == 0
+    down = resize_nearest(up, 2, 2)
+    assert np.array_equal(down, img)
+
+
+def test_audio_stage_real_energy_matches_numpy():
+    tb = synth_media_table(3, kind="audio/wav")
+    stage = AudioFrameSampleStage(n_frames=16, strict=True)
+    out = stage(tb)
+    payload = tb.column("payload")[0].as_py()
+    samples, _ = decode_wav(payload)
+    n = (len(samples) // 16) * 16
+    want = np.round(np.sqrt((samples[:n].reshape(16, -1) ** 2).mean(axis=1)), 6)
+    got = np.asarray(out.column("frame_energy")[0].as_py())
+    assert np.allclose(got, want)
+    assert got.max() > 0.1  # real sine energy, not digest noise
+
+
+def test_video_stage_real_avi_frames():
+    tb = synth_media_table(4, kind="video/avi")
+    stage = VideoFrameSampleStage(every_n=3, max_frames=4, target_size=(18, 25), strict=True)
+    out = stage(tb)
+    # media 3 has 1 + 3 % 20 = 4 raw frames → sampled idx 0 and 3
+    rows = {
+        (out.column("media_id")[i].as_py(), out.column("frame_idx")[i].as_py()): i
+        for i in range(out.num_rows)
+    }
+    assert (3, 0) in rows and (3, 3) in rows
+    i = rows[(3, 0)]
+    px = np.asarray(out.column("pixels")[i].as_py(), np.uint8).reshape(18, 25, 3)
+    assert np.array_equal(px, _synth_rgb(3, 18, 25))  # same-size resize = identity
+
+
+def test_strict_stage_raises_on_undecodable():
+    stage = AudioFrameSampleStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage._energies(b"ID3\x04mp3 junk")

@@ -28,9 +28,32 @@ def test_image_stage_shapes_and_determinism():
     assert np.array_equal(np.stack(got["pixels"]), np.stack(got2["pixels"]))
 
 
-def test_image_stage_strict_raises_without_codec():
+def test_image_stage_strict_raises_on_compressed_payload():
+    # strict mode decodes BMP/PPM natively but refuses payloads that
+    # would need PIL (png/jpeg bytes)
+    stage = DecodeImageStage(strict=True)
     with pytest.raises(NotImplementedError):
-        DecodeImageStage(strict=True)
+        stage._decode_one(b"\x89PNG\r\n\x1a\n junk")
+
+
+def test_image_stage_real_bmp_decode():
+    from grafter_ray.stages.media_codecs import encode_bmp
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, :16] = [255, 0, 0]  # left half red, right half black
+    tb = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": ["image/bmp"],
+            "payload": pa.array([encode_bmp(img)], pa.large_binary()),
+            "meta_json": ["{}"],
+        }
+    )
+    out = DecodeImageStage(strict=True)(tb)
+    px = np.asarray(out.column("pixels")[0].as_py(), np.uint8).reshape(32, 32, 3)
+    assert np.array_equal(px, img)  # same size → resize is identity
+    assert out.column("mean_r")[0].as_py() == pytest.approx(127.5)
+    assert out.column("mean_g")[0].as_py() == 0.0
 
 
 def test_audio_stage_fixed_frames():
@@ -182,8 +205,9 @@ def test_video_frame_sample_stage_shapes():
     out2 = VideoFrameSampleStage()(tb)
     out1 = VideoFrameSampleStage()(tb)
     assert out1.equals(out2)
+    # strict refuses compressed containers (no av/ffmpeg), decodes AVI
     with _pytest.raises(NotImplementedError):
-        VideoFrameSampleStage(strict=True)
+        VideoFrameSampleStage(strict=True)._frames(b"\x00\x00\x00\x18ftypmp42")
 
 
 # --- deterministic hash sampling (stages/sampling.py) ------------------------

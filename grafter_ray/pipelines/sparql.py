@@ -2169,10 +2169,11 @@ def _aggregate_ds(ds, q: SelectQuery):
     if not dist and not gcs:
         return _agg_pass(ds, q.group_by, plain)
     keys = list(q.group_by)
+    if keys:
+        # single-pass, single-exchange — no materialize needed
+        return _aggregate_keyed(ds, q, keys, plain, dist, gcs)
     if len(dist) + len(gcs) + (1 if plain else 0) > 1:
         ds = ds.materialize()  # narrow solution projection, multiple passes
-    if keys:
-        return _aggregate_keyed(ds, q, keys, plain, dist, gcs)
     return _aggregate_global(ds, q, plain, dist, gcs)
 
 
@@ -2203,43 +2204,255 @@ def _aggregate_parts(ds, q: SelectQuery, keys, plain, dist, gcs):
     return parts
 
 
+def _mixed_alias_type(fn: str) -> pa.DataType:
+    if fn == "count":
+        return pa.int64()
+    if fn in ("sample", "group_concat"):
+        return pa.string()
+    return pa.float64()
+
+
 def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
-    """Distributed part-join for GROUP BY queries: no driver-side
-    materialization anywhere — group cardinality is unbounded at scale.
+    """Mixed plain/distinct/group_concat GROUP BY in ONE key exchange.
+
+    Per block (map side, before the shuffle) every aggregate family is
+    compressed to group-sized partials: the plain aggregates pre-combine
+    exactly like grouped_agg's partial pass, each DISTINCT var ships its
+    block-unique (keys, value) pairs, and GROUP_CONCAT ships its values
+    (block-deduped when DISTINCT). The families concat into one
+    unified-schema stream tagged by `__fam`, so a single sort-by-keys
+    exchange co-locates everything a group needs; the block kernel then
+    runs one vectorized C++ group_by per family and joins the per-family
+    results in memory (every family covers every key of the block, so
+    the inner join is total).
+
+    This replaces both the r3 driver-side part-join (unbounded group
+    cardinality on the driver — ADVICE r3) and the r4 multi-pass
+    union-fold (4+ exchanges + a materialize): group cardinality never
+    reaches the driver AND the exchange count equals a plain aggregate's.
     (A scale-guard test greps this function for `_collect`.)"""
-    from .relational import grouped_agg
+    from ..stages.grouped import grouped_block_map, key_segments
 
     gkeys = keys
-    parts = _aggregate_parts(ds, q, keys, plain, dist, gcs)
-    alias_order: list[tuple[str, pa.DataType]] = []
-    for _p, fns in parts:
-        alias_order.extend((a, _alias_type(fn)) for fn, a in fns)
-    if len(parts) == 1:
-        return parts[0][0]
+    num_vars = {v for fn, v, _a in plain if fn in ("sum", "avg", "min", "max") and v}
+    dist_num = {v for fn, v, _a in dist if fn in ("sum", "avg", "min", "max")}
+    dvars = list(dict.fromkeys(v for _f, v, _a in dist))
+    plain_counts = [(v, a) for fn, v, a in plain if fn == "count"]
 
-    def make_pad(own: set[str]):
-        def pad(tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0 or tb.num_columns == 0:
-                cols: dict = {k: pa.array([], pa.string()) for k in gkeys}
-                for a, t in alias_order:
-                    cols[a] = pa.array([], t)
-                return pa.table(cols)
-            names = set(tb.column_names)
-            cols = {k: tb.column(k) for k in gkeys}
-            for a, t in alias_order:
-                cols[a] = pc.cast(tb.column(a), t) if a in names else pa.nulls(tb.num_rows, t)
-            return pa.table(cols)
+    alias_order = [(a, _mixed_alias_type(fn)) for fn, _v, a in plain]
+    alias_order += [(a, _mixed_alias_type(fn)) for fn, _v, a in dist]
+    alias_order += [(a, pa.string()) for _v, a, _d in gcs]
 
-        return pad
+    # unified partial schema: keys (typed from the stream) + family tag +
+    # per-family payload columns, null outside their own family's rows
+    def payload_fields() -> list[tuple[str, pa.DataType]]:
+        out: list[tuple[str, pa.DataType]] = [("__fam", pa.int8())]
+        for fn, v, a in plain:
+            if fn == "count":
+                out.append((f"__pc_{a}", pa.int64()))
+            elif fn == "avg":
+                out.append((f"__psum_{a}", pa.float64()))
+                out.append((f"__pcnt_{a}", pa.int64()))
+            elif fn == "sample":
+                out.append((f"__pmin_{a}", pa.string()))
+            else:
+                out.append((f"__p{fn}_{a}", pa.float64()))
+        for v in dvars:
+            out.append((f"__d_{v}", pa.float64() if v in dist_num else pa.string()))
+        for _v, a, _d in gcs:
+            out.append((f"__g_{a}", pa.string()))
+        return out
 
-    padded = [
-        p.map_batches(
-            make_pad({a for _f, a in fns}), batch_format="pyarrow", zero_copy_batch=True
-        )
-        for p, fns in parts
-    ]
-    union = padded[0].union(*padded[1:])
-    return grouped_agg(union, gkeys, [(a, a, "max") for a, _t in alias_order])
+    payload = payload_fields()
+
+    def _full(n: int, key_cols: dict, present: dict) -> pa.Table:
+        cols = dict(key_cols)
+        for name, t in payload:
+            cols[name] = present.get(name, pa.nulls(n, t))
+        return pa.table(cols)
+
+    def partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return _full(0, {k: pa.array([], pa.string()) for k in gkeys}, {})
+        for v in num_vars | dist_num:
+            i = tb.schema.get_field_index(v)
+            tb = tb.set_column(i, v, pc.cast(pc.cast(tb.column(v), pa.string()), pa.float64()))
+        pieces = []
+        if plain:
+            work = tb
+            aggs, renames = [], []
+            for fn, v, a in plain:
+                if fn == "count":
+                    ind = (
+                        pa.nulls(work.num_rows, pa.int64()).fill_null(1)
+                        if v is None
+                        else pc.cast(pc.is_valid(work.column(v)), pa.int64())
+                    )
+                    work = work.append_column(f"__i_{a}", ind)
+                    aggs.append((f"__i_{a}", "sum"))
+                    renames.append((f"__i_{a}_sum", f"__pc_{a}"))
+                elif fn == "avg":
+                    aggs.append((v, "sum"))
+                    renames.append((f"{v}_sum", f"__psum_{a}"))
+                    aggs.append((v, "count"))
+                    renames.append((f"{v}_count", f"__pcnt_{a}"))
+                elif fn == "sample":
+                    aggs.append((v, "min"))
+                    renames.append((f"{v}_min", f"__pmin_{a}"))
+                else:
+                    aggs.append((v, fn))
+                    renames.append((f"{v}_{fn}", f"__p{fn}_{a}"))
+            g = work.group_by(gkeys).aggregate(list(dict.fromkeys(aggs)))
+            present = {out: g.column(src) for src, out in renames}
+            present["__fam"] = pa.nulls(g.num_rows, pa.int8()).fill_null(0)
+            pieces.append(_full(g.num_rows, {k: g.column(k) for k in gkeys}, present))
+        for i, v in enumerate(dvars):
+            u = tb.select(gkeys + [v]).group_by(gkeys + [v]).aggregate([])
+            present = {
+                "__fam": pa.nulls(u.num_rows, pa.int8()).fill_null(10 + i),
+                f"__d_{v}": u.column(v),
+            }
+            pieces.append(_full(u.num_rows, {k: u.column(k) for k in gkeys}, present))
+        for j, (v, a, d) in enumerate(gcs):
+            sub = tb.select(gkeys + [v])
+            if d:
+                sub = sub.group_by(gkeys + [v]).aggregate([])
+            present = {
+                "__fam": pa.nulls(sub.num_rows, pa.int8()).fill_null(20 + j),
+                f"__g_{a}": pc.cast(sub.column(v), pa.string()),
+            }
+            pieces.append(_full(sub.num_rows, {k: sub.column(k) for k in gkeys}, present))
+        return pa.concat_tables(pieces)
+
+    def _empty_out(tb: pa.Table | None = None) -> pa.Table:
+        names = set(tb.schema.names) if tb is not None else set()
+        cols = {
+            k: pa.array([], tb.schema.field(k).type if k in names else pa.string()) for k in gkeys
+        }
+        for a, t in alias_order:
+            cols[a] = pa.array([], t)
+        return pa.table(cols)
+
+    def combine(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return _empty_out(tb if tb is not None and tb.num_columns else None)
+        fam = tb.column("__fam")
+        result: pa.Table | None = None
+
+        def merge(r: pa.Table) -> None:
+            # every family covers every key of the block (each family emits
+            # >=1 partial row per key in every source block, and the sort
+            # exchange co-locates all of a key's rows here), so key-sorted
+            # family results align row-for-row: the merge is a column
+            # concat, no join needed
+            nonlocal result
+            r = r.sort_by([(k, "ascending") for k in gkeys])
+            if result is None:
+                result = r
+                return
+            for k in gkeys:
+                if not pc.all(
+                    pc.equal(result.column(k), r.column(k))
+                ).as_py():  # pragma: no cover - invariant guard
+                    raise AssertionError("aggregate family key sets diverged")
+            for name in r.column_names:
+                if name not in gkeys:
+                    result = result.append_column(name, r.column(name))
+
+        if plain:
+            sub = tb.filter(pc.equal(fam, 0))
+            aggs, finals = [], []
+            for fn, v, a in plain:
+                if fn == "count":
+                    aggs.append((f"__pc_{a}", "sum"))
+                    finals.append((a, "count", f"__pc_{a}_sum", None))
+                elif fn == "avg":
+                    aggs.append((f"__psum_{a}", "sum"))
+                    aggs.append((f"__pcnt_{a}", "sum"))
+                    finals.append((a, "avg", f"__psum_{a}_sum", f"__pcnt_{a}_sum"))
+                elif fn == "sample":
+                    aggs.append((f"__pmin_{a}", "min"))
+                    finals.append((a, "sample", f"__pmin_{a}_min", None))
+                else:
+                    comb = "min" if fn == "min" else ("max" if fn == "max" else "sum")
+                    aggs.append((f"__p{fn}_{a}", comb))
+                    finals.append((a, fn, f"__p{fn}_{a}_{comb}", None))
+            g = sub.group_by(gkeys).aggregate(list(dict.fromkeys(aggs)))
+            cols = {k: g.column(k) for k in gkeys}
+            for a, fn, src, src2 in finals:
+                if fn == "count":
+                    cols[a] = pc.cast(pc.coalesce(g.column(src), pa.scalar(0)), pa.int64())
+                elif fn == "avg":
+                    cols[a] = pc.divide(
+                        pc.cast(g.column(src), pa.float64()), pc.cast(g.column(src2), pa.float64())
+                    )
+                else:
+                    cols[a] = g.column(src)
+            merge(pa.table(cols))
+        for i, v in enumerate(dvars):
+            col = f"__d_{v}"
+            sub = tb.filter(pc.equal(fam, 10 + i)).select(gkeys + [col])
+            u = sub.group_by(gkeys + [col]).aggregate([])  # cross-block dedup
+            fns = [(fn, a) for fn, dv, a in dist if dv == v]
+            aggs, finals = [], []
+            work = u
+            for fn, a in fns:
+                if fn == "count":
+                    work = work.append_column(
+                        f"__i_{a}", pc.cast(pc.is_valid(work.column(col)), pa.int64())
+                    )
+                    aggs.append((f"__i_{a}", "sum"))
+                    finals.append((a, "count", f"__i_{a}_sum", None))
+                elif fn == "avg":
+                    aggs.append((col, "sum"))
+                    aggs.append((col, "count"))
+                    finals.append((a, "avg", f"{col}_sum", f"{col}_count"))
+                elif fn == "sample":
+                    aggs.append((col, "min"))
+                    finals.append((a, "sample", f"{col}_min", None))
+                else:
+                    aggs.append((col, fn))
+                    finals.append((a, fn, f"{col}_{fn}", None))
+            g = work.group_by(gkeys).aggregate(list(dict.fromkeys(aggs)))
+            cols = {k: g.column(k) for k in gkeys}
+            for a, fn, src, src2 in finals:
+                if fn == "count":
+                    cols[a] = pc.cast(pc.coalesce(g.column(src), pa.scalar(0)), pa.int64())
+                elif fn == "avg":
+                    cols[a] = pc.divide(
+                        pc.cast(g.column(src), pa.float64()), pc.cast(g.column(src2), pa.float64())
+                    )
+                elif fn == "sample":
+                    cols[a] = pc.cast(g.column(src), pa.string())
+                else:
+                    cols[a] = g.column(src)
+            merge(pa.table(cols))
+        for j, (v, a, d) in enumerate(gcs):
+            import numpy as np
+
+            col = f"__g_{a}"
+            sep = q.agg_params.get(a, {}).get("sep", " ")
+            sub = tb.filter(pc.equal(fam, 20 + j)).select(gkeys + [col])
+            sub = sub.sort_by([(k, "ascending") for k in gkeys] + [(col, "ascending")])
+            vals = pc.cast(sub.column(col), pa.large_string()).combine_chunks()
+            if d:
+                s0, _ = key_segments(sub, gkeys + [col])
+                sub = sub.take(pa.array(s0))
+                vals = vals.take(pa.array(s0))
+            starts, _ = key_segments(sub, gkeys)
+            offsets = np.append(starts, sub.num_rows).astype(np.int64)
+            lists = pa.LargeListArray.from_arrays(offsets, vals)
+            joined = pc.cast(pc.binary_join(lists, pa.scalar(sep, pa.large_string())), pa.string())
+            cols = {k: sub.column(k).take(pa.array(starts)) for k in gkeys}
+            cols[a] = joined
+            merge(pa.table(cols))
+        out = {k: result.column(k) for k in gkeys}
+        for a, _t in alias_order:
+            out[a] = result.column(a)
+        return pa.table(out)
+
+    stream = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_block_map(stream, gkeys, combine)
 
 
 def _aggregate_global(ds, q: SelectQuery, plain, dist, gcs):

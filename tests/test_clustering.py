@@ -71,3 +71,31 @@ def test_empty_cluster_dropped_ids_stable():
     vecs = [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0], [9.1, 9.0], [0.1, 0.0]]
     a = _assignments(vecs, k=3, iters=3, parallelism=2)
     assert set(a) == {0, 2}
+
+
+def test_semdedup_drops_planted_near_dups():
+    from grafter_ray.stages.clustering import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (40, 6))
+    vecs = list(base)
+    # planted: id 40 ≈ copy of 7 (tiny noise), 41 = exact copy of 0,
+    # 42 = zero vector (cosine undefined → never dropped)
+    vecs.append(base[7] + 1e-6)
+    vecs.append(base[0])
+    vecs.append(np.zeros(6))
+    out = kmeans_assign(_ds(vecs, 4), k=4, iters=2).to_pandas()  # same clustering path
+    kept = (
+        semdedup(_ds(vecs, 4), k=4, iters=2, tau=0.99)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = set(kept["vec_id"])
+    assert 40 not in ids and 41 not in ids  # near-copies dropped
+    assert 7 in ids and 0 in ids  # smallest id of each dup set survives
+    assert 42 in ids  # zero vector kept
+    assert len(ids) == 41
+    # cluster labels agree with the plain assignment for kept rows
+    assign = out.set_index("vec_id")["cluster"]
+    for _, r in kept.iterrows():
+        assert assign[r["vec_id"]] == r["cluster"]

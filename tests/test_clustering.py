@@ -99,3 +99,20 @@ def test_semdedup_drops_planted_near_dups():
     assign = out.set_index("vec_id")["cluster"]
     for _, r in kept.iterrows():
         assert assign[r["vec_id"]] == r["cluster"]
+
+
+def test_kmeans_fuzz_matches_numpy_reference():
+    rng_master = np.random.default_rng(99)
+    for trial in range(5):
+        n = int(rng_master.integers(20, 150))
+        d = int(rng_master.integers(2, 12))
+        k = int(rng_master.integers(2, 9))
+        iters = int(rng_master.integers(1, 5))
+        vecs = rng_master.normal(0, 1, (n, d))
+        # planted duplicates stress tie-breaks and empty clusters
+        for _ in range(int(rng_master.integers(0, 5))):
+            i, j = rng_master.integers(0, n, 2)
+            vecs[i] = vecs[j]
+        want = _reference(list(vecs), k=k, iters=iters)
+        got = _assignments(list(vecs), k=k, iters=iters, parallelism=int(rng_master.integers(1, 8)))
+        assert (got == want).all(), f"trial {trial}: n={n} d={d} k={k} iters={iters}"

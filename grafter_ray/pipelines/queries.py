@@ -488,6 +488,23 @@ WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100
 """
 
 
+def q_exact_k_sample(sf_dir: str):
+    """Exactly-k deterministic sample (fixed-size eval split): LCG-hash
+    rank with id tie-break, block-local top-k prune + tiny merge — the
+    corpus is never sorted; output size is exact, rerun- and
+    shard-order-stable (stages/sampling.py exact_k_sample)."""
+    from ..stages.sampling import exact_k_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return exact_k_sample(ds, id_col="doc_id", k=40)
+
+
+SQL_EXACT_K_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id LIMIT 40
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Global vocabulary top-k (classic word count at corpus scale):
     tokenize inside each block (Arrow split_pattern_regex), PRE-COUNT
@@ -3198,6 +3215,7 @@ QUERIES = {
     "quad_expand": q_quad_expand,
     "token_stats": q_token_stats,
     "stratified_sample": q_stratified_sample,
+    "exact_k_sample": q_exact_k_sample,
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
@@ -3300,6 +3318,7 @@ ORACLE_SQL = {
     "quad_expand": SQL_QUAD_EXPAND,
     "token_stats": SQL_TOKEN_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,

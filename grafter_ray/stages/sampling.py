@@ -69,3 +69,29 @@ def stratified_hash_sample(
         return tb.filter(pa.array(b < thr))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_k_sample(ds, id_col: str, k: int, tie_cols: list[str] | None = None):
+    """Exactly-k deterministic sample (fixed-size eval/holdout split at
+    corpus scale): rank every row by its LCG hash (ties broken by id —
+    total order, so the winner set is unique) and keep the k smallest.
+    Block-local top-k prunes each block to <= k rows before the single
+    tiny merge — the exchange is bounded by k x blocks, the corpus is
+    never sorted or shuffled. Same guarantees as hash_sample (seed-free,
+    rerun-stable, shard-order-independent) but with an EXACT output
+    size, which rate-based sampling cannot give.
+
+    SQL oracle spelling: ORDER BY (id*1103515245+12345)%2147483648, id
+    LIMIT k."""
+    from ..pipelines.relational import top_k
+
+    def rank(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        return tb.append_column("__h", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k(ranked, [("__h", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__h"]), batch_format="pyarrow", zero_copy_batch=True
+    )

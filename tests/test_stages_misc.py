@@ -275,3 +275,23 @@ def test_vocab_topk_tiebreak_and_counts(tmp_path):
     out = q_vocab_topk(str(tmp_path)).take_all()
     # a=3 b=3 c=3 — full tie, broken by token ascending
     assert [(r["token"], r["freq"]) for r in out] == [("a", 3), ("b", 3), ("c", 3)]
+
+
+def test_exact_k_sample_exact_stable_and_block_independent():
+    import ray.data as rd
+
+    from grafter_ray.stages.sampling import LCG_A, LCG_C, LCG_M, exact_k_sample
+
+    ids = list(range(200))
+    tb = pa.table({"doc_id": ids, "x": [i * 2 for i in ids]})
+    a = exact_k_sample(rd.from_arrow(tb).repartition(1), "doc_id", 25).to_pandas()
+    b = exact_k_sample(rd.from_arrow(tb).repartition(16), "doc_id", 25).to_pandas()
+    want = sorted(ids, key=lambda i: ((i * LCG_A + LCG_C) % LCG_M, i))[:25]
+    assert sorted(a["doc_id"]) == sorted(want)
+    assert sorted(b["doc_id"]) == sorted(want)
+    assert len(a) == 25
+    # payload columns ride along untouched
+    assert set(a.columns) == {"doc_id", "x"}
+    # k larger than the corpus degrades to the full set
+    c = exact_k_sample(rd.from_arrow(tb), "doc_id", 500).to_pandas()
+    assert len(c) == 200

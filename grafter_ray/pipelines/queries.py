@@ -148,6 +148,36 @@ GROUP BY c_mktsegment
 """
 
 
+def q_lineitem_dispersion(sf_dir: str):
+    """Grouped dispersion aggregates (SQL stddev_samp / covar_samp / corr):
+    two-phase like every grouped_agg — per-block stable moments via the
+    Arrow variance kernel, then the exact within+between M2 combine
+    (relational.py grouped_agg), so the raw stream is never shuffled and
+    no end-to-end sum-of-squares cancellation occurs."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    agg = grouped_agg(
+        ds,
+        ["l_returnflag"],
+        [
+            ("n", None, "count"),
+            ("std_price_cents", "l_extendedprice", "std"),
+            ("covar_qty_price_cents", ("l_quantity", "l_extendedprice"), "covar"),
+            ("corr_qty_price_e6", ("l_quantity", "l_extendedprice"), "corr"),
+        ],
+    )
+    agg = _fixed_point(agg, ["std_price_cents", "covar_qty_price_cents"])
+    return _fixed_point(agg, ["corr_qty_price_e6"], scale=1_000_000)
+
+
+SQL_LINEITEM_DISPERSION = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(round(stddev_samp(l_extendedprice) * 100) AS BIGINT) AS std_price_cents,
+       CAST(round(covar_samp(l_quantity, l_extendedprice) * 100) AS BIGINT) AS covar_qty_price_cents,
+       CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_qty_price_e6
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_region_customers(sf_dir: str):
     """Two chained broadcast joins (customer→nation→region)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -1803,6 +1833,52 @@ FROM (
 """
 
 
+def q_user_event_seq(sf_dir: str):
+    """Analytic window functions (SQL fn() OVER (PARTITION BY … ORDER BY …)):
+    per-user event sequencing — row_number, previous value (lag), running
+    sum and running count. One key exchange, vectorized per-segment
+    kernels (stages/analytic.py); the stream is never globally sorted."""
+    from ..stages.analytic import window_functions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = window_functions(
+        ds,
+        ["user_id"],
+        ["ts", "event_id"],
+        [
+            ("seq", None, "row_number"),
+            ("prev_value", "value", "lag"),
+            ("run_value", "value", "cumsum"),
+            ("run_n", "value", "cumcount"),
+        ],
+    )
+
+    def shape(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tb.column("event_id"),
+                "user_id": tb.column("user_id"),
+                "seq": tb.column("seq"),
+                "prev_value_cents": tb.column("prev_value"),
+                "run_value_cents": tb.column("run_value"),
+                "run_n": tb.column("run_n"),
+            }
+        )
+
+    out = out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    return _fixed_point(out, ["prev_value_cents", "run_value_cents"])
+
+
+SQL_USER_EVENT_SEQ = """
+SELECT event_id, user_id,
+       row_number() OVER w AS seq,
+       CAST(round(lag(value) OVER w * 100) AS BIGINT) AS prev_value_cents,
+       CAST(round(sum(value) OVER (w ROWS UNBOUNDED PRECEDING) * 100) AS BIGINT) AS run_value_cents,
+       count(value) OVER (w ROWS UNBOUNDED PRECEDING) AS run_n
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_hourly_events(sf_dir: str):
     """Tumbling event-time window: counts + value cents per hour."""
     from ..stages.windows import tumbling_counts
@@ -3200,6 +3276,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
+    "lineitem_dispersion": q_lineitem_dispersion,
     "region_customers": q_region_customers,
     "brass_parts": q_brass_parts,
     "supplier_region": q_supplier_region,
@@ -3274,6 +3351,7 @@ QUERIES = {
     "melt_part": q_melt_part,
     "derive_retail_cents": q_derive_retail_cents,
     "sessionize": q_sessionize,
+    "user_event_seq": q_user_event_seq,
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
@@ -3303,6 +3381,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+    "lineitem_dispersion": SQL_LINEITEM_DISPERSION,
     "region_customers": SQL_REGION_CUSTOMERS,
     "brass_parts": SQL_BRASS_PARTS,
     "supplier_region": SQL_SUPPLIER_REGION,
@@ -3372,6 +3451,7 @@ ORACLE_SQL = {
     "melt_part": SQL_MELT_PART,
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     "sessionize": SQL_SESSIONIZE,
+    "user_event_seq": SQL_USER_EVENT_SEQ,
     "hourly_events": SQL_HOURLY_EVENTS,
     "hopping_events": SQL_HOPPING_EVENTS,
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,

@@ -22,12 +22,47 @@ import ray
 # mean is decomposed into sum+count partials.
 _SIMPLE = {"sum": "sum", "min": "min", "max": "max"}
 
+# dispersion aggregates: per-block moments via Arrow's numerically stable
+# `variance` kernel (M2_i = var_i * n_i), then the exact between-block
+# combine  M2 = Σ M2_i + Σ n_i·mean_i² − N·mean²  (total = within +
+# between). The raw stream is never summed-of-squares end-to-end, so the
+# catastrophic cancellation of naive Σx² − N·mean² at corpus scale never
+# happens — per-block sums are bounded by batch size.
+_VAR_HOWS = ("var", "std", "varp", "stdp")  # sample / population
+_PAIR_HOWS = ("covar", "corr")  # input col = (x, y) tuple
+
+
+def _var_partial_cols(out: str) -> list[str]:
+    return [f"{out}__cnt", f"{out}__sx", f"{out}__m2", f"{out}__nm2"]
+
+
+def _pair_partial_cols(out: str) -> list[str]:
+    return [
+        f"{out}__cnt", f"{out}__sx", f"{out}__sy", f"{out}__c2",
+        f"{out}__m2x", f"{out}__m2y", f"{out}__nxy", f"{out}__nm2x", f"{out}__nm2y",
+    ]
+
+
+def _f64(col):
+    return pc.cast(col, pa.float64())
+
+
+def _safe_div(num, den):
+    """num/den with den==0 → 0 (groups with no valid rows contribute 0)."""
+    z = pc.equal(den, pa.scalar(0.0))
+    return pc.if_else(z, pa.scalar(0.0), pc.divide(num, pc.if_else(z, pa.scalar(1.0), den)))
+
 
 def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     """Distributed group-by aggregate.
 
-    specs: list of (out_name, input_col, how); how ∈ sum|min|max|count|mean.
-    Returns a Dataset with columns keys + out_names (floats NOT rounded).
+    specs: list of (out_name, input_col, how);
+    how ∈ sum|min|max|count|mean|var|std|varp|stdp|covar|corr.
+    var/std are SAMPLE variance/stddev (SQL var_samp/stddev_samp: NULL
+    under 2 valid rows), varp/stdp population. covar (sample) and corr
+    take input_col = (x, y) and use pairwise-complete rows, matching SQL
+    covar_samp/corr NULL semantics. Returns a Dataset with columns
+    keys + out_names (floats NOT rounded).
     """
 
     def partial(tb: pa.Table) -> pa.Table:
@@ -35,6 +70,7 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
             return _empty_partial(tb, keys, specs)
         aggs = []
         renames: list[tuple[str, str]] = []  # (pa output col, partial col)
+        moment_specs = []  # (out, col_or_pair, how) handled post-group_by
         for out, col, how in specs:
             if how == "count":
                 aggs.append((keys[0], "count"))
@@ -44,6 +80,22 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
                 renames.append((f"{col}_sum", f"{out}__sum"))
                 aggs.append((col, "count"))
                 renames.append((f"{col}_count", f"{out}__cnt"))
+            elif how in _VAR_HOWS:
+                aggs.extend([(col, "sum"), (col, "count"), (col, "variance")])
+                moment_specs.append((out, col, how))
+            elif how in _PAIR_HOWS:
+                x, y = col
+                # pairwise-complete masking: null in either drops the row
+                # for BOTH series (SQL corr/covar semantics)
+                xm, ym, xym = f"{out}__xmv", f"{out}__ymv", f"{out}__xymv"
+                tb = tb.append_column(xm, pc.if_else(pc.is_valid(tb.column(y)), _f64(tb.column(x)), pa.scalar(None, pa.float64())))
+                tb = tb.append_column(ym, pc.if_else(pc.is_valid(tb.column(x)), _f64(tb.column(y)), pa.scalar(None, pa.float64())))
+                tb = tb.append_column(xym, pc.multiply(tb.column(xm), tb.column(ym)))
+                aggs.extend(
+                    [(xm, "sum"), (ym, "sum"), (xym, "sum"), (xm, "count"),
+                     (xm, "variance"), (ym, "variance")]
+                )
+                moment_specs.append((out, (xm, ym, xym), how))
             else:
                 aggs.append((col, _SIMPLE[how]))
                 renames.append((f"{col}_{_SIMPLE[how]}", f"{out}__{how}"))
@@ -52,6 +104,33 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
         out_cols = {k: part.column(k) for k in keys}
         for agg_name, out_name in renames:
             out_cols[out_name] = part.column(agg_name)
+        for out, col, how in moment_specs:
+            if how in _VAR_HOWS:
+                cnt = _f64(part.column(f"{col}_count"))
+                sx = pc.coalesce(_f64(part.column(f"{col}_sum")), pa.scalar(0.0))
+                var = pc.coalesce(part.column(f"{col}_variance"), pa.scalar(0.0))
+                out_cols[f"{out}__cnt"] = part.column(f"{col}_count")
+                out_cols[f"{out}__sx"] = sx
+                out_cols[f"{out}__m2"] = pc.multiply(var, cnt)
+                out_cols[f"{out}__nm2"] = _safe_div(pc.multiply(sx, sx), cnt)
+            else:
+                xm, ym, xym = col
+                cnt = _f64(part.column(f"{xm}_count"))
+                sx = pc.coalesce(_f64(part.column(f"{xm}_sum")), pa.scalar(0.0))
+                sy = pc.coalesce(_f64(part.column(f"{ym}_sum")), pa.scalar(0.0))
+                sxy = pc.coalesce(_f64(part.column(f"{xym}_sum")), pa.scalar(0.0))
+                vx = pc.coalesce(part.column(f"{xm}_variance"), pa.scalar(0.0))
+                vy = pc.coalesce(part.column(f"{ym}_variance"), pa.scalar(0.0))
+                nxy = _safe_div(pc.multiply(sx, sy), cnt)
+                out_cols[f"{out}__cnt"] = part.column(f"{xm}_count")
+                out_cols[f"{out}__sx"] = sx
+                out_cols[f"{out}__sy"] = sy
+                out_cols[f"{out}__c2"] = pc.subtract(sxy, nxy)
+                out_cols[f"{out}__m2x"] = pc.multiply(vx, cnt)
+                out_cols[f"{out}__m2y"] = pc.multiply(vy, cnt)
+                out_cols[f"{out}__nxy"] = nxy
+                out_cols[f"{out}__nm2x"] = _safe_div(pc.multiply(sx, sx), cnt)
+                out_cols[f"{out}__nm2y"] = _safe_div(pc.multiply(sy, sy), cnt)
         return pa.table(out_cols)
 
     def final_block(tb: pa.Table) -> pa.Table:
@@ -67,10 +146,24 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
             elif how == "mean":
                 aggs.append((f"{out}__sum", "sum"))
                 aggs.append((f"{out}__cnt", "sum"))
+            elif how in _VAR_HOWS:
+                aggs.extend((c, "sum") for c in _var_partial_cols(out))
+            elif how in _PAIR_HOWS:
+                aggs.extend((c, "sum") for c in _pair_partial_cols(out))
             else:
                 aggs.append((f"{out}__{how}", _SIMPLE[how]))
         g = tb.group_by(keys).aggregate(list(dict.fromkeys(aggs)))
         out_cols = {k: g.column(k) for k in keys}
+
+        def _m2_total(pref: str, n, sfx: str = "") -> pa.ChunkedArray:
+            """Σ M2_i + Σ n_i·mean_i² − (Σ s)²/N — exact combined M2.
+            sfx '' → single-series cols (__sx/__m2/__nm2); 'x'/'y' → the
+            pair spec's per-series cols (__sx|__sy, __m2x|__m2y, …)."""
+            s = _f64(g.column(f"{pref}__s{sfx}_sum" if sfx else f"{pref}__sx_sum"))
+            m2 = g.column(f"{pref}__m2{sfx}_sum")
+            nm2 = g.column(f"{pref}__nm2{sfx}_sum")
+            return pc.subtract(pc.add(m2, nm2), _safe_div(pc.multiply(s, s), n))
+
         for out, col, how in specs:
             if how == "count":
                 out_cols[out] = pc.cast(pc.coalesce(g.column(f"{out}__cnt_sum"), pa.scalar(0)), pa.int64())
@@ -79,6 +172,35 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
                     pc.cast(g.column(f"{out}__sum_sum"), pa.float64()),
                     pc.cast(g.column(f"{out}__cnt_sum"), pa.float64()),
                 )
+            elif how in _VAR_HOWS:
+                n = _f64(g.column(f"{out}__cnt_sum"))
+                m2 = _m2_total(out, n)
+                ddof = 0.0 if how in ("varp", "stdp") else 1.0
+                den = pc.subtract(n, pa.scalar(ddof))
+                v = pc.if_else(pc.greater(den, pa.scalar(0.0)), _safe_div(m2, den), pa.scalar(None, pa.float64()))
+                # float jitter can push a zero-variance group's M2 a hair
+                # negative; clamp so std's sqrt stays real
+                v = pc.max_element_wise(v, pa.scalar(0.0), skip_nulls=False)
+                out_cols[out] = pc.sqrt(v) if how in ("std", "stdp") else v
+            elif how in _PAIR_HOWS:
+                n = _f64(g.column(f"{out}__cnt_sum"))
+                sx = _f64(g.column(f"{out}__sx_sum"))
+                sy = _f64(g.column(f"{out}__sy_sum"))
+                c2 = pc.subtract(
+                    pc.add(g.column(f"{out}__c2_sum"), g.column(f"{out}__nxy_sum")),
+                    _safe_div(pc.multiply(sx, sy), n),
+                )
+                valid = pc.greater(n, pa.scalar(1.0))
+                if how == "covar":
+                    out_cols[out] = pc.if_else(
+                        valid, _safe_div(c2, pc.subtract(n, pa.scalar(1.0))), pa.scalar(None, pa.float64())
+                    )
+                else:
+                    m2x = pc.max_element_wise(_m2_total(out, n, "x"), pa.scalar(0.0), skip_nulls=False)
+                    m2y = pc.max_element_wise(_m2_total(out, n, "y"), pa.scalar(0.0), skip_nulls=False)
+                    denom = pc.sqrt(pc.multiply(m2x, m2y))
+                    ok = pc.and_(valid, pc.greater(denom, pa.scalar(0.0)))
+                    out_cols[out] = pc.if_else(ok, _safe_div(c2, denom), pa.scalar(None, pa.float64()))
             elif how == "sum":
                 out_cols[out] = g.column(f"{out}__sum_sum")
             elif how == "min":
@@ -108,7 +230,7 @@ def _empty_final(keys, specs, tb: pa.Table | None = None) -> pa.Table:
     for out, col, how in specs:
         if how == "count":
             t = pa.int64()
-        elif how == "mean":
+        elif how == "mean" or how in _VAR_HOWS or how in _PAIR_HOWS:
             t = pa.float64()
         else:
             part = f"{out}__{how}"
@@ -125,6 +247,12 @@ def _empty_partial(tb: pa.Table, keys, specs) -> pa.Table:
         elif how == "mean":
             cols[f"{out}__sum"] = pa.array([], pa.float64())
             cols[f"{out}__cnt"] = pa.array([], pa.int64())
+        elif how in _VAR_HOWS:
+            for c in _var_partial_cols(out):
+                cols[c] = pa.array([], pa.int64() if c.endswith("__cnt") else pa.float64())
+        elif how in _PAIR_HOWS:
+            for c in _pair_partial_cols(out):
+                cols[c] = pa.array([], pa.int64() if c.endswith("__cnt") else pa.float64())
         else:
             typ = tb.schema.field(col).type if col else pa.int64()
             cols[f"{out}__{how}"] = pa.array([], typ)

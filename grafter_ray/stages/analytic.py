@@ -1,0 +1,143 @@
+"""Analytic (window) functions over a partition key — SQL
+`fn() OVER (PARTITION BY keys ORDER BY order_by)` re-expressed
+Ray-Data-first (SURVEY.md §2.5/§2.6 adjacency: ordered per-key analytics
+are the relational face of the reference's per-key commit ordering,
+replay.py's per-key LSN rule).
+
+Plan: ONE key exchange (grouped_block_map: ds.sort(keys) co-locates each
+partition key's rows in a single block — the same contract every house
+exchange relies on), then a single Arrow sort per block by
+(keys + order_by) and fully vectorized per-segment kernels (numpy
+cumulatives + segment-offset arithmetic; no per-group Python dispatch).
+
+Scale notes:
+- moved bytes = input bytes, once — any window-function implementation
+  must co-locate a partition's rows, so this is the lower bound.
+- a single giant partition key becomes a single giant block (the
+  documented skew caveat of every keyed exchange here; salt the key or
+  pre-aggregate if one key holds a meaningful fraction of the corpus).
+- ORDER BY must be a total order within a key (pass tie-breaker
+  columns); rows whose order columns contain NULL/NaN split tie-runs
+  differently from SQL (NaN != NaN) — use non-null order columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grouped import grouped_block_map, key_segments
+
+# fn → needs_input_column
+_FNS = {
+    "row_number": False,
+    "rank": False,
+    "dense_rank": False,
+    "lag": True,
+    "lead": True,
+    "cumsum": True,
+    "cumcount": True,  # running COUNT(col): non-null so far (incl. current)
+}
+
+
+def _seg_base(starts: np.ndarray, n: int) -> np.ndarray:
+    """Per-row index of its segment start (vectorized via repeat)."""
+    ends = np.append(starts[1:], n)
+    return np.repeat(starts, ends - starts)
+
+
+def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> pa.Table:
+    """Apply window specs to one key-complete block. specs entries:
+    (out, col_or_None, fn) or (out, col, 'lag'|'lead', offset)."""
+    if tb.num_rows == 0:
+        cols = {n: tb.column(n) for n in tb.schema.names}
+        for spec in specs:
+            out, col, fn = spec[0], spec[1], spec[2]
+            if fn in ("row_number", "rank", "dense_rank", "cumcount"):
+                cols[out] = pa.array([], pa.int64())
+            elif fn == "cumsum":
+                cols[out] = pa.array([], pa.float64())
+            else:
+                cols[out] = pa.array([], tb.schema.field(col).type)
+        return pa.table(cols)
+
+    tb = tb.sort_by([(c, "ascending") for c in list(keys) + list(order_by)])
+    n = tb.num_rows
+    starts, _ = key_segments(tb, keys)
+    base = _seg_base(starts, n)
+    idx = np.arange(n, dtype=np.int64)
+    rn = idx - base + 1  # row_number
+
+    tie_starts = None  # computed lazily: first row index of each tie-run
+
+    def _ties() -> np.ndarray:
+        nonlocal tie_starts
+        if tie_starts is None:
+            ts, _ = key_segments(tb, list(keys) + list(order_by))
+            tie_starts = _seg_base(ts, n)
+        return tie_starts
+
+    out_cols = {name: tb.column(name) for name in tb.schema.names}
+    for spec in specs:
+        out, col, fn = spec[0], spec[1], spec[2]
+        if fn == "row_number":
+            out_cols[out] = pa.array(rn, pa.int64())
+        elif fn == "rank":
+            out_cols[out] = pa.array(_ties() - base + 1, pa.int64())
+        elif fn == "dense_rank":
+            # number of distinct tie-runs started in the segment so far:
+            # cumulative count of run-start rows, reset per segment
+            is_run_start = np.zeros(n, dtype=np.int64)
+            is_run_start[np.unique(_ties())] = 1
+            cr = np.cumsum(is_run_start)
+            out_cols[out] = pa.array(cr - cr[base] + 1, pa.int64())
+        elif fn in ("lag", "lead"):
+            off = spec[3] if len(spec) > 3 else 1
+            src = tb.column(col).combine_chunks()
+            if fn == "lag":
+                shifted = idx - off
+                oob = shifted < base
+            else:
+                # per-row segment end = base + segment length
+                seg_len = np.append(starts[1:], n) - starts
+                ends = base + np.repeat(seg_len, seg_len)
+                shifted = idx + off
+                oob = shifted >= ends
+            shifted = np.where(oob, 0, shifted)
+            taken = src.take(pa.array(shifted))
+            out_cols[out] = pc.if_else(pa.array(~oob), taken, pa.scalar(None, src.type))
+        elif fn in ("cumsum", "cumcount"):
+            src = tb.column(col)
+            v = pc.cast(src, pa.float64()).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(v)
+            cs = np.cumsum(np.where(valid, v, 0.0))
+            cc = np.cumsum(valid.astype(np.int64))
+            run_sum = cs - cs[base] + np.where(valid[base], v[base], 0.0)
+            run_cnt = cc - cc[base] + valid[base]
+            if fn == "cumcount":
+                out_cols[out] = pa.array(run_cnt, pa.int64())
+            else:
+                # SQL running SUM is NULL until the first non-null value
+                out_cols[out] = pc.if_else(
+                    pa.array(run_cnt > 0), pa.array(run_sum, pa.float64()), pa.scalar(None, pa.float64())
+                )
+        else:
+            raise ValueError(f"unknown window fn {fn!r}")
+    return pa.table(out_cols)
+
+
+def window_functions(ds, keys: list[str], order_by: list[str], specs):
+    """Distributed window functions: one key exchange, vectorized blocks.
+
+    specs: list of (out, col, fn) / (out, col, 'lag'|'lead', offset);
+    fn ∈ row_number|rank|dense_rank|lag|lead|cumsum|cumcount.
+    Returns a Dataset with every input column plus the spec outputs.
+    """
+    for spec in specs:
+        fn = spec[2]
+        if fn not in _FNS:
+            raise ValueError(f"unknown window fn {fn!r}")
+        if _FNS[fn] and spec[1] is None:
+            raise ValueError(f"{fn} needs an input column")
+    return grouped_block_map(ds, list(keys), lambda tb: window_block(tb, keys, order_by, specs))

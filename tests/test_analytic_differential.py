@@ -1,0 +1,113 @@
+"""Differential fuzzing of the analytic window-function stage
+(stages/analytic.py) vs DuckDB `fn() OVER (PARTITION BY … ORDER BY …)`:
+random key/order distributions with heavy ties, NULL-laden value
+columns, lag/lead offsets past segment edges, single-row partitions."""
+
+import random
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _frame(rng: random.Random, n: int, n_keys: int, n_ordvals: int) -> pa.Table:
+    k = [rng.randrange(n_keys) for _ in range(n)]
+    o = [rng.randrange(n_ordvals) for _ in range(n)]  # ties by design
+    v = [None if rng.random() < 0.25 else float(rng.randrange(-500, 500)) for _ in range(n)]
+    return pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "o": pa.array(o, pa.int64()),
+            "rid": pa.array(range(n), pa.int64()),
+            "v": pa.array(v, pa.float64()),
+        }
+    )
+
+
+def test_window_functions_match_duckdb():
+    from grafter_ray.stages.analytic import window_functions
+
+    rng = random.Random(31415)
+    for trial, (n, n_keys, n_ordvals) in enumerate(
+        [(800, 5, 10), (1200, 60, 4), (300, 300, 1000), (500, 1, 3)]
+    ):
+        tb = _frame(rng, n, n_keys, n_ordvals)
+        off = 1 + trial  # push lag/lead past segment edges
+        out = (
+            window_functions(
+                rd.from_arrow(tb).repartition(1 + trial * 3),
+                ["k"],
+                ["o", "rid"],
+                [
+                    ("rn", None, "row_number"),
+                    ("pv", "v", "lag", off),
+                    ("nv", "v", "lead", off),
+                    ("cs", "v", "cumsum"),
+                    ("cc", "v", "cumcount"),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "rid"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute(f"""
+            SELECT k, o, rid, v,
+                   row_number() OVER w AS rn,
+                   lag(v, {off}) OVER w AS pv, lead(v, {off}) OVER w AS nv,
+                   sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cs,
+                   count(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cc
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o, rid)
+            ORDER BY k, o, rid
+        """).fetchdf()
+        assert len(out) == len(ref), trial
+        for c in ("rn", "pv", "nv", "cs", "cc"):
+            a, b = out[c].to_numpy(dtype=float, na_value=np.nan), ref[c].to_numpy(
+                dtype=float, na_value=np.nan
+            )
+            same = (np.isnan(a) & np.isnan(b)) | (np.abs(np.nan_to_num(a - b)) < 1e-9) & (
+                np.isnan(a) == np.isnan(b)
+            )
+            assert same.all(), (trial, c, int((~same).sum()))
+
+
+def test_rank_dense_rank_ties_match_duckdb():
+    from grafter_ray.stages.analytic import window_functions
+
+    rng = random.Random(2718)
+    tb = _frame(rng, 900, 12, 5)  # heavy ties on o
+    out = (
+        window_functions(
+            rd.from_arrow(tb).repartition(5),
+            ["k"],
+            ["o"],
+            [("rk", None, "rank"), ("dr", None, "dense_rank")],
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "rid"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tb)
+    ref = con.execute("""
+        SELECT k, o, rid,
+               rank() OVER (PARTITION BY k ORDER BY o) AS rk,
+               dense_rank() OVER (PARTITION BY k ORDER BY o) AS dr
+        FROM t ORDER BY k, o, rid
+    """).fetchdf()
+    m = out.merge(ref, on=["k", "o", "rid"], suffixes=("", "_ref"))
+    assert (m.rk == m.rk_ref).all() and (m.dr == m.dr_ref).all()
+
+
+def test_window_fn_validation():
+    import pytest
+
+    from grafter_ray.stages.analytic import window_functions
+
+    tb = pa.table({"k": [1], "o": [1], "v": [1.0]})
+    with pytest.raises(ValueError, match="unknown window fn"):
+        window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", "v", "ntile")])
+    with pytest.raises(ValueError, match="needs an input column"):
+        window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", None, "lag")])

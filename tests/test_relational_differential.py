@@ -68,3 +68,73 @@ def test_grouped_agg_matches_duckdb_with_nulls():
         ga, wa = got.column("avf").to_pylist(), want.column("avf").to_pylist()
         for x, y in zip(ga, wa):
             assert (x is None) == (y is None) and (x is None or abs(x - y) < 1e-9), (trial, x, y)
+
+
+def test_dispersion_aggs_match_duckdb():
+    """var/std (sample+population), covar_samp, corr vs DuckDB: NULL-laden
+    columns (pairwise-complete semantics), all-null groups, single-row
+    groups (NULL for sample stats), constant groups (corr NULL, var 0),
+    and a large-offset series stressing the between-block M2 combine."""
+    from grafter_ray.pipelines.relational import grouped_agg
+
+    rng = random.Random(445566)
+    for trial in range(3):
+        keys, xs, ys = [], [], []
+        for _ in range(600):
+            k = rng.randrange(10)
+            keys.append(k)
+            x = None if rng.random() < 0.2 else rng.uniform(-100, 100)
+            y = None if rng.random() < 0.2 else rng.uniform(-5, 5)
+            if k == 6 and x is not None:
+                x += 1e6  # large offset: cancellation stress
+            if k == 7:
+                x, y = None, None  # all-null group
+            if k == 8:
+                x = 42.0  # constant x → var 0, corr NULL
+            xs.append(x)
+            ys.append(y)
+        # key 9: exactly one row (sample stats NULL)
+        keep_one = [i for i, k in enumerate(keys) if k == 9][1:]
+        keys = [k for i, k in enumerate(keys) if i not in keep_one]
+        xs = [v for i, v in enumerate(xs) if i not in keep_one]
+        ys = [v for i, v in enumerate(ys) if i not in keep_one]
+        tb = pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "x": pa.array(xs, pa.float64()),
+                "y": pa.array(ys, pa.float64()),
+            }
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        out = grouped_agg(
+            rd.from_arrow(tb).repartition(7),
+            ["k"],
+            [
+                ("v", "x", "var"),
+                ("s", "x", "std"),
+                ("vp", "x", "varp"),
+                ("sp", "x", "stdp"),
+                ("cv", ("x", "y"), "covar"),
+                ("r", ("x", "y"), "corr"),
+            ],
+        )
+        got = pa.Table.from_pylist(out.take_all()).sort_by([("k", "ascending")])
+        want = con.execute("""
+            SELECT k, var_samp(x) AS v, stddev_samp(x) AS s,
+                   var_pop(x) AS vp, stddev_pop(x) AS sp,
+                   covar_samp(x, y) AS cv, corr(x, y) AS r
+            FROM t GROUP BY k ORDER BY k
+        """).fetch_arrow_table()
+        assert got.column("k").to_pylist() == want.column("k").to_pylist(), trial
+        for c in ("v", "s", "vp", "sp", "cv", "r"):
+            for k, gv, wv in zip(
+                got.column("k").to_pylist(), got.column(c).to_pylist(), want.column(c).to_pylist()
+            ):
+                # DuckDB returns NaN for some degenerate corr; we use NULL
+                if wv is not None and wv != wv:
+                    wv = None
+                assert (gv is None) == (wv is None), (trial, c, k, gv, wv)
+                if gv is not None:
+                    tol = max(abs(wv), 1.0) * 1e-6
+                    assert abs(gv - wv) < tol, (trial, c, k, gv, wv)

@@ -2590,28 +2590,76 @@ SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FRO
 """
 
 
+def _half_up_cents(t: pa.Table, cols: list[str], scale: int = 100) -> pa.Table:
+    """Half-up (not banker's) fixed-point to match SQL round() — exact
+    half-cent interpolants are common for quantiles of 2-decimal money."""
+    for c in cols:
+        i = t.schema.get_field_index(c)
+        v = pc.floor(pc.add(pc.multiply(t.column(c), pa.scalar(float(scale))), pa.scalar(0.5)))
+        t = t.set_column(i, c, pc.cast(v, pa.int64()))
+    return t
+
+
 def q_order_value_median(sf_dir: str):
-    """Exact per-group median (continuous interpolation) via per-group
-    local sort — groups are value vectors, not the stream."""
+    """Exact per-group median over FEW HUGE groups — distributed
+    selection (stages/quantiles.py sorted regime): two linear passes
+    over the sorted stream; no group's value vector ever materializes
+    (the previous map_groups version held a whole priority's orders in
+    one worker — wrong shape at corpus scale)."""
+    from ..stages.quantiles import grouped_quantiles_sorted
+
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-
-    def med(group: pa.Table) -> pa.Table:
-        vals = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
-        m = float(np.quantile(vals, 0.5, method="linear"))
-        # half-up (not banker's) to match SQL round()
-        return pa.table(
-            {
-                "o_orderpriority": group.column("o_orderpriority").slice(0, 1),
-                "median_cents": pa.array([int(np.floor(m * 100 + 0.5))], pa.int64()),
-            }
-        )
-
-    return ds.groupby("o_orderpriority").map_groups(med, batch_format="pyarrow")
+    t = grouped_quantiles_sorted(ds, ["o_orderpriority"], "o_totalprice", {"median_cents": 0.5})
+    return _half_up_cents(t, ["median_cents"])
 
 
 SQL_ORDER_VALUE_MEDIAN = """
 SELECT o_orderpriority, CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_cents
 FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_priority_value_quartiles(sf_dir: str):
+    """Exact grouped quartiles, few-huge-groups regime (distributed
+    selection — driver sees O(blocks) count rows and ≤ 2·|groups|·3
+    picked values, never a group vector)."""
+    from ..stages.quantiles import grouped_quantiles_sorted
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    t = grouped_quantiles_sorted(
+        ds, ["o_orderpriority"], "o_totalprice",
+        {"p25_cents": 0.25, "p50_cents": 0.5, "p75_cents": 0.75},
+    )
+    return _half_up_cents(t, ["p25_cents", "p50_cents", "p75_cents"])
+
+
+SQL_PRIORITY_VALUE_QUARTILES = """
+SELECT o_orderpriority,
+       CAST(round(quantile_cont(o_totalprice, 0.25) * 100) AS BIGINT) AS p25_cents,
+       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+       CAST(round(quantile_cont(o_totalprice, 0.75) * 100) AS BIGINT) AS p75_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_user_value_median(sf_dir: str):
+    """Exact grouped median, many-small-groups regime (one key exchange,
+    vectorized per-segment interpolation — per-user event counts are
+    bounded, the documented contract of the segment regime)."""
+    from ..stages.quantiles import grouped_quantiles_segment
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    out = grouped_quantiles_segment(ds, ["user_id"], "value", {"median_cents": 0.5})
+    return out.map_batches(
+        lambda tb: _half_up_cents(tb, ["median_cents"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_USER_VALUE_MEDIAN = """
+SELECT user_id, CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS median_cents
+FROM events GROUP BY user_id
 """
 
 
@@ -3370,6 +3418,8 @@ QUERIES = {
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
+    "priority_value_quartiles": q_priority_value_quartiles,
+    "user_value_median": q_user_value_median,
     "segment_top3_customers": q_segment_top3_customers,
     "first_word": q_first_word,
     "all_ids_union": q_all_ids_union,
@@ -3468,6 +3518,8 @@ ORACLE_SQL = {
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
+    "priority_value_quartiles": SQL_PRIORITY_VALUE_QUARTILES,
+    "user_value_median": SQL_USER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,
     "first_word": SQL_FIRST_WORD,
     "all_ids_union": SQL_ALL_IDS_UNION,

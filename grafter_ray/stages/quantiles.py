@@ -1,0 +1,180 @@
+"""Exact grouped quantiles (SQL quantile_cont / median), scale-safe in
+both group-cardinality regimes:
+
+- `grouped_quantiles_segment` — MANY SMALL groups (per-user stats):
+  one key exchange (grouped_block_map) and a vectorized per-segment
+  rank/interpolate. Groups live in one block each — the same contract
+  as every keyed exchange here; result is a Dataset sized O(groups).
+
+- `grouped_quantiles_sorted` — FEW HUGE groups (per-priority stats over
+  the full corpus): no group ever materializes. The stream is
+  distributed-sorted by (keys, value); pass 1 reads only per-block
+  per-key COUNTS (O(blocks + group-block incidences) driver rows — keys
+  are few by regime definition); the driver does rank arithmetic and
+  sends each block the exact row offsets it must surface; pass 2 takes
+  those rows (≤ 2·|groups|·|qs| total). This is distributed selection:
+  two linear passes over sorted blocks, never a per-group vector.
+  Blocks are addressed by ordinal, which Dataset.map_batches cannot
+  express — the two passes run as raw Ray tasks over the sorted
+  Dataset's block refs (the documented last-resort case).
+
+NULL values sort last within each key (Arrow default) and are excluded,
+matching SQL aggregate semantics; an all-NULL group yields NULL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .grouped import grouped_block_map, key_segments
+
+
+def _interp(sorted_vals: np.ndarray, q: float) -> float:
+    """quantile_cont linear interpolation at rank (n-1)·q."""
+    n = len(sorted_vals)
+    r = (n - 1) * q
+    lo, hi = int(np.floor(r)), int(np.ceil(r))
+    frac = r - lo
+    return float(sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac)
+
+
+def grouped_quantiles_segment(ds, keys: list[str], col: str, qs: dict[str, float]):
+    """Many-small-groups regime: Dataset of keys + one column per q."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            cols = {k: tb.column(k) for k in keys}
+            for out in qs:
+                cols[out] = pa.array([], pa.float64())
+            return pa.table(cols)
+        tb = tb.sort_by([(k, "ascending") for k in keys] + [(col, "ascending")])
+        starts, ends = key_segments(tb, keys)
+        v = pc.cast(tb.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        valid_n = np.array(
+            [int(np.sum(~np.isnan(v[s:e]))) for s, e in zip(starts, ends)], np.int64
+        )
+        cols = {k: tb.column(k).take(pa.array(starts)) for k in keys}
+        for out, q in qs.items():
+            vals = []
+            for s, n_ok in zip(starts, valid_n):
+                if n_ok == 0:
+                    vals.append(None)
+                else:
+                    vals.append(_interp(v[s : s + n_ok], q))  # nulls sorted last
+            cols[out] = pa.array(vals, pa.float64())
+        return pa.table(cols)
+
+    return grouped_block_map(ds.select_columns(list(keys) + [col]), list(keys), f)
+
+
+@ray.remote
+def _block_counts(block: pa.Table, keys: list[str], col: str) -> pa.Table | None:
+    """Per-key (start_row, n_total, n_valid) for one sorted block.
+    None for empty blocks (their schema may carry no columns at all)."""
+    if block.num_rows == 0:
+        return None
+    starts, ends = key_segments(block, keys)
+    valid = pc.is_valid(block.column(col)).to_numpy(zero_copy_only=False)
+    cval = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    return pa.table(
+        {**{k: block.column(k).take(pa.array(starts)) for k in keys},
+         "start": pa.array(starts, pa.int64()),
+         "n_total": pa.array(ends - starts, pa.int64()),
+         "n_valid": pa.array(cval[ends] - cval[starts], pa.int64())}
+    )
+
+
+@ray.remote
+def _block_take(block: pa.Table, col: str, rows: np.ndarray, tags: np.ndarray) -> pa.Table:
+    t = block.take(pa.array(rows))
+    return pa.table({"tag": pa.array(tags, pa.int64()), "value": pc.cast(t.column(col), pa.float64())})
+
+
+def grouped_quantiles_sorted(ds, keys: list[str], col: str, qs: dict[str, float]) -> pa.Table:
+    """Few-huge-groups regime: exact distributed selection, returns a
+    small pa.Table (keys + one float64 column per q name)."""
+    sorted_ds = ds.select_columns(list(keys) + [col]).sort(list(keys) + [col]).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    counts = ray.get([_block_counts.remote(r, keys, col) for r in refs]) if refs else []
+    nonempty = [(bi, ct) for bi, ct in enumerate(counts) if ct is not None]
+    if not nonempty:
+        sch = ds.schema()
+        cols = {k: pa.array([], sch.base_schema.field(k).type) for k in keys}
+        for out in qs:
+            cols[out] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    # driver rank arithmetic over O(blocks + incidences) summary rows
+    key_rows: dict[tuple, dict] = {}  # key → {n_valid, spans: [(block, start, n_valid_in_block)]}
+    order: list[tuple] = []
+    for bi, ct in nonempty:
+        kcols = [ct.column(k).to_pylist() for k in keys]
+        st = ct.column("start").to_pylist()
+        nv = ct.column("n_valid").to_pylist()
+        for i in range(ct.num_rows):
+            kt = tuple(c[i] for c in kcols)
+            ent = key_rows.get(kt)
+            if ent is None:
+                ent = key_rows[kt] = {"n": 0, "spans": []}
+                order.append(kt)
+            if nv[i]:
+                ent["spans"].append((bi, st[i], ent["n"], nv[i]))  # (block, row0, cum_prev, n)
+            ent["n"] += nv[i]
+
+    # locate every (key, q, lo/hi) rank → (block, local row)
+    per_block: dict[int, list[tuple[int, int]]] = {}  # block → [(row, tag)]
+    tags: list[tuple[tuple, str, str, float]] = []  # tag idx → (key, out, kind, frac)
+    for kt in order:
+        ent = key_rows[kt]
+        n = ent["n"]
+        for out, q in qs.items():
+            if n == 0:
+                continue
+            r = (n - 1) * q
+            lo, hi, frac = int(np.floor(r)), int(np.ceil(r)), (n - 1) * q - int(np.floor(r))
+            for kind, rank in (("lo", lo), ("hi", hi)):
+                for bi, row0, cum_prev, nv in ent["spans"]:
+                    if cum_prev <= rank < cum_prev + nv:
+                        tag = len(tags)
+                        tags.append((kt, out, kind, frac))
+                        per_block.setdefault(bi, []).append((row0 + (rank - cum_prev), tag))
+                        break
+
+    takes = ray.get(
+        [
+            _block_take.remote(
+                refs[bi],
+                col,
+                np.array([r for r, _ in lst], np.int64),
+                np.array([t for _, t in lst], np.int64),
+            )
+            for bi, lst in per_block.items()
+        ]
+    )
+    val_by_tag: dict[int, float] = {}
+    for t in takes:
+        for tag, v in zip(t.column("tag").to_pylist(), t.column("value").to_pylist()):
+            val_by_tag[tag] = v
+
+    acc: dict[tuple, dict[str, dict]] = {kt: {} for kt in order}
+    for tag, (kt, out, kind, frac) in enumerate(tags):
+        acc[kt].setdefault(out, {"frac": frac})[kind] = val_by_tag[tag]
+
+    key_type = {k: nonempty[0][1].schema.field(k).type for k in keys}
+    cols: dict[str, list] = {k: [] for k in keys}
+    qcols: dict[str, list] = {out: [] for out in qs}
+    for kt in order:
+        for k, kv in zip(keys, kt):
+            cols[k].append(kv)
+        for out in qs:
+            ent = acc[kt].get(out)
+            if ent is None:
+                qcols[out].append(None)  # all-NULL group
+            else:
+                qcols[out].append(ent["lo"] * (1 - ent["frac"]) + ent["hi"] * ent["frac"])
+    out_cols = {k: pa.array(cols[k], key_type[k]) for k in keys}
+    for out in qs:
+        out_cols[out] = pa.array(qcols[out], pa.float64())
+    return pa.table(out_cols)

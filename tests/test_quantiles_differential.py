@@ -1,0 +1,60 @@
+"""Differential fuzzing of exact grouped quantiles (stages/quantiles.py,
+both regimes) vs DuckDB quantile_cont: random group sizes down to 1,
+NULL-laden values, all-NULL groups, and — for the sorted regime — keys
+straddling many block boundaries (the rank arithmetic under test)."""
+
+import random
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _check(got_df, ref_df, qcols):
+    got = got_df.sort_values("k").reset_index(drop=True)
+    ref = ref_df.sort_values("k").reset_index(drop=True)
+    assert len(got) == len(ref)
+    for c in qcols:
+        a = got[c].to_numpy(dtype=float, na_value=np.nan)
+        b = ref[c].to_numpy(dtype=float, na_value=np.nan)
+        same = (np.isnan(a) & np.isnan(b)) | (
+            (np.isnan(a) == np.isnan(b)) & (np.abs(np.nan_to_num(a - b)) < 1e-9)
+        )
+        assert same.all(), (c, a[~same], b[~same])
+
+
+def test_grouped_quantiles_both_regimes_match_duckdb():
+    from grafter_ray.stages.quantiles import (
+        grouped_quantiles_segment,
+        grouped_quantiles_sorted,
+    )
+
+    rng = random.Random(808)
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9}
+    for trial, (n, n_keys, parts) in enumerate([(4000, 3, 17), (2500, 40, 6), (900, 200, 9)]):
+        k = [rng.randrange(n_keys) for _ in range(n)]
+        v = [None if rng.random() < 0.15 else rng.uniform(-1e4, 1e4) for _ in range(n)]
+        v = [None if kk == 0 else vv for kk, vv in zip(k, v)]  # key 0 all-null
+        tb = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v, pa.float64())})
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute(
+            "SELECT k, quantile_cont(v, 0.1) p10, quantile_cont(v, 0.5) p50, "
+            "quantile_cont(v, 0.9) p90 FROM t GROUP BY k"
+        ).fetchdf()
+        ds = rd.from_arrow(tb).repartition(parts)
+        _check(grouped_quantiles_sorted(ds, ["k"], "v", qs).to_pandas(), ref, list(qs))
+        _check(grouped_quantiles_segment(ds, ["k"], "v", qs).to_pandas(), ref, list(qs))
+
+
+def test_sorted_regime_single_row_groups_and_empty():
+    from grafter_ray.stages.quantiles import grouped_quantiles_sorted
+
+    tb = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([5.0, None, 7.0])})
+    got = grouped_quantiles_sorted(rd.from_arrow(tb).repartition(3), ["k"], "v", {"m": 0.5})
+    by_k = dict(zip(got.column("k").to_pylist(), got.column("m").to_pylist()))
+    assert by_k == {1: 5.0, 2: None, 3: 7.0}
+
+    empty = grouped_quantiles_sorted(rd.from_arrow(tb.slice(0, 0)), ["k"], "v", {"m": 0.5})
+    assert empty.num_rows == 0 and empty.schema.names == ["k", "m"]

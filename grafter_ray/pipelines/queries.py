@@ -2619,6 +2619,27 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_rollup_order_stats(sf_dir: str):
+    """GROUP BY ROLLUP: one full exchange for the finest level, coarser
+    levels cascade over group-sized results (relational.rollup_agg)."""
+    from .relational import rollup_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = rollup_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [("n", None, "count"), ("revenue_cents", "o_totalprice", "sum")],
+    )
+    return _fixed_point(out, ["revenue_cents"])
+
+
+SQL_ROLLUP_ORDER_STATS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_priority_value_quartiles(sf_dir: str):
     """Exact grouped quartiles, few-huge-groups regime (distributed
     selection — driver sees O(blocks) count rows and ≤ 2·|groups|·3
@@ -3418,6 +3439,7 @@ QUERIES = {
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
+    "rollup_order_stats": q_rollup_order_stats,
     "priority_value_quartiles": q_priority_value_quartiles,
     "user_value_median": q_user_value_median,
     "segment_top3_customers": q_segment_top3_customers,
@@ -3518,6 +3540,7 @@ ORACLE_SQL = {
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
+    "rollup_order_stats": SQL_ROLLUP_ORDER_STATS,
     "priority_value_quartiles": SQL_PRIORITY_VALUE_QUARTILES,
     "user_value_median": SQL_USER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,

@@ -738,3 +738,83 @@ def take_per_group(ds, keys: list[str], order_keys: list[tuple[str, str]], n: in
         return tb.take(pa.array(idx, pa.int64()))
 
     return grouped_block_map(ds, keys, block)
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
+    """GROUP BY ROLLUP(keys): every key-prefix level down to the grand
+    total, rolled-up key columns emitted as NULL (SQL ROLLUP shape).
+
+    how ∈ sum|min|max|count only (decomposable): the stream is scanned
+    and exchanged ONCE for the finest level; every coarser level
+    re-aggregates the previous level's group-sized output (count
+    cascades as a sum of counts), so rollup costs one full exchange plus
+    len(keys) exchanges over group-sized data. Key columns must be
+    non-null (the house shuffle contract) — a NULL in the output always
+    means "rolled up", no GROUPING() marker needed.
+    """
+    bad = [how for _, _, how in specs if how not in ("sum", "min", "max", "count")]
+    if bad:
+        raise ValueError(f"rollup_agg supports decomposable aggregates only, got {bad}")
+
+    out_names = [out for out, _, _ in specs]
+    key_fields: dict[str, pa.DataType] = {}
+
+    def with_nulls(tb: pa.Table, present: list[str]) -> pa.Table:
+        """Reorder to full key set + outputs, NULL-filling absent keys."""
+        cols = {}
+        for k in keys:
+            if k in present:
+                cols[k] = tb.column(k)
+                key_fields.setdefault(k, tb.schema.field(k).type)
+            else:
+                cols[k] = pa.nulls(tb.num_rows, key_fields[k])
+        for o in out_names:
+            cols[o] = tb.column(o)
+        return pa.table(cols)
+
+    # materialize the finest level: it is group-sized (the documented
+    # bound), and the union below otherwise re-executes the FULL input
+    # scan+exchange once per rollup level (lazy Dataset branches share
+    # no work) — measured 3× the stream for a 2-key rollup
+    finest = grouped_agg(ds, keys, specs).materialize()
+    sch = finest.schema()
+    for k in keys:
+        key_fields[k] = sch.base_schema.field(k).type
+
+    cascade = [(out, out, "sum" if how == "count" else how) for out, _, how in specs]
+    count_outs = [out for out, _, how in specs if how == "count"]
+
+    def recast_counts(tb: pa.Table) -> pa.Table:
+        for o in count_outs:
+            i = tb.schema.get_field_index(o)
+            tb = tb.set_column(i, o, pc.cast(tb.column(o), pa.int64()))
+        return tb
+
+    levels = [finest.map_batches(lambda tb: with_nulls(tb, keys), batch_format="pyarrow", zero_copy_batch=True)]
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            lvl = grouped_agg(prev, sub, cascade)
+        else:
+            # grand total: aggregate under a constant key, then drop it
+            tagged = prev.map_batches(
+                lambda tb: tb.append_column("__all", pa.nulls(tb.num_rows, pa.int8()).fill_null(0)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lvl = grouped_agg(tagged, ["__all"], cascade).map_batches(
+                lambda tb: tb.drop_columns(["__all"]), batch_format="pyarrow", zero_copy_batch=True
+            )
+        prev = lvl
+        levels.append(
+            lvl.map_batches(
+                lambda tb, p=list(sub): with_nulls(recast_counts(tb), p),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

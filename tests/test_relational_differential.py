@@ -138,3 +138,52 @@ def test_dispersion_aggs_match_duckdb():
                 if gv is not None:
                     tol = max(abs(wv), 1.0) * 1e-6
                     assert abs(gv - wv) < tol, (trial, c, k, gv, wv)
+
+
+def test_rollup_agg_matches_duckdb():
+    """ROLLUP over 1-, 2- and 3-key sets vs DuckDB GROUP BY ROLLUP:
+    NULL in output keys means rolled-up; counts cascade as sums."""
+    from grafter_ray.pipelines.relational import rollup_agg
+
+    rng = random.Random(7788)
+    n = 2000
+    tb = pa.table(
+        {
+            "a": pa.array([rng.randrange(3) for _ in range(n)], pa.int64()),
+            "b": pa.array([chr(97 + rng.randrange(4)) for _ in range(n)]),
+            "c": pa.array([rng.randrange(2) for _ in range(n)], pa.int64()),
+            "x": pa.array([float(rng.randrange(-50, 100)) for _ in range(n)]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tb)
+    for keys in (["a"], ["a", "b"], ["a", "b", "c"]):
+        out = (
+            rollup_agg(
+                rd.from_arrow(tb).repartition(7),
+                keys,
+                [("n", None, "count"), ("s", "x", "sum"), ("mn", "x", "min")],
+            )
+            .to_pandas()
+        )
+        ref = con.execute(
+            f"SELECT {', '.join(keys)}, count(*) AS n, sum(x) AS s, min(x) AS mn "
+            f"FROM t GROUP BY ROLLUP({', '.join(keys)})"
+        ).fetchdf()
+        assert len(out) == len(ref), keys
+
+        def norm(df):
+            df = df[keys + ["n", "s", "mn"]].astype(str)
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        o_, r_ = norm(out), norm(ref.assign(n=ref.n.astype("int64")))
+        assert o_.equals(r_), (keys, o_.compare(r_))
+
+
+def test_rollup_agg_rejects_non_decomposable():
+    import pytest
+
+    from grafter_ray.pipelines.relational import rollup_agg
+
+    with pytest.raises(ValueError, match="decomposable"):
+        rollup_agg(None, ["k"], [("m", "x", "mean")])

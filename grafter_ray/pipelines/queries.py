@@ -2619,6 +2619,48 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_order_quartile_ranks(sf_dir: str):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per priority, ordered by (totalprice, orderkey). floor-scaling on
+    BOTH sides: the rational rank values come from the identical IEEE
+    division, so floor is engine-stable where round's half-tie is not."""
+    from ..stages.analytic import window_functions
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = window_functions(
+        ds,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        [
+            ("quartile", None, "ntile", 4),
+            ("pr", None, "percent_rank"),
+            ("cd", None, "cume_dist"),
+        ],
+    )
+
+    def shape(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tb.column("o_orderkey"),
+                "o_orderpriority": tb.column("o_orderpriority"),
+                "quartile": tb.column("quartile"),
+                "pr_e6": pc.cast(pc.floor(pc.multiply(tb.column("pr"), pa.scalar(1e6))), pa.int64()),
+                "cd_e6": pc.cast(pc.floor(pc.multiply(tb.column("cd"), pa.scalar(1e6))), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ORDER_QUARTILE_RANKS = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_rollup_order_stats(sf_dir: str):
     """GROUP BY ROLLUP: one full exchange for the finest level, coarser
     levels cascade over group-sized results (relational.rollup_agg)."""
@@ -2686,17 +2728,15 @@ FROM events GROUP BY user_id
 
 def q_segment_top3_customers(sf_dir: str):
     """Per-group top-k + ordered string aggregation: the 3 smallest
-    custkeys per segment, comma-joined in order."""
+    custkeys per segment, comma-joined in order. Map-side pre-reduction
+    (take_per_group) keeps a giant segment from ever crossing the wire
+    whole — the previous map_groups version shipped each segment's full
+    row set to one worker."""
+    from .relational import grouped_concat, take_per_group
+
     ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def top3(group: pa.Table) -> pa.Table:
-        g = group.sort_by("c_custkey").slice(0, 3)
-        keys = ",".join(str(k) for k in g.column("c_custkey").to_pylist())
-        return pa.table(
-            {"c_mktsegment": group.column("c_mktsegment").slice(0, 1), "top3": pa.array([keys], pa.string())}
-        )
-
-    return ds.groupby("c_mktsegment").map_groups(top3, batch_format="pyarrow")
+    top = take_per_group(ds, ["c_mktsegment"], [("c_custkey", "ascending")], 3)
+    return grouped_concat(top, ["c_mktsegment"], "c_custkey", "top3", sep=",")
 
 
 SQL_SEGMENT_TOP3_CUSTOMERS = """
@@ -3439,6 +3479,7 @@ QUERIES = {
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
+    "order_quartile_ranks": q_order_quartile_ranks,
     "rollup_order_stats": q_rollup_order_stats,
     "priority_value_quartiles": q_priority_value_quartiles,
     "user_value_median": q_user_value_median,
@@ -3540,6 +3581,7 @@ ORACLE_SQL = {
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
+    "order_quartile_ranks": SQL_ORDER_QUARTILE_RANKS,
     "rollup_order_stats": SQL_ROLLUP_ORDER_STATS,
     "priority_value_quartiles": SQL_PRIORITY_VALUE_QUARTILES,
     "user_value_median": SQL_USER_VALUE_MEDIAN,

@@ -719,9 +719,12 @@ def distinct(ds, cols: list[str]):
 
 def take_per_group(ds, keys: list[str], order_keys: list[tuple[str, str]], n: int):
     """First n rows per group under order_keys — the corpus-balancing
-    primitive ('cap N docs per source/domain'). One key exchange; each
-    key-co-located block is sorted and sliced vectorized (equal-key run
-    offsets + bounded arange), no per-group dispatch."""
+    primitive ('cap N docs per source/domain'). Top-n per key is
+    decomposable, so the SAME sort+slice kernel runs twice: map-side per
+    input block (candidates shrink to ≤ n per key per block BEFORE any
+    exchange — a giant group never crosses the wire whole), then once
+    per key-co-located block after the exchange. Vectorized equal-key
+    run offsets, no per-group dispatch."""
     import numpy as np
 
     from ..stages.grouped import grouped_block_map, key_segments
@@ -737,7 +740,8 @@ def take_per_group(ds, keys: list[str], order_keys: list[tuple[str, str]], n: in
         idx = np.concatenate([np.arange(lo, min(lo + n, hi)) for lo, hi in zip(starts, ends)])
         return tb.take(pa.array(idx, pa.int64()))
 
-    return grouped_block_map(ds, keys, block)
+    pre = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_block_map(pre, keys, block)
 
 
 def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):

@@ -34,8 +34,13 @@ _FNS = {
     "row_number": False,
     "rank": False,
     "dense_rank": False,
+    "percent_rank": False,  # (rank-1)/(n-1); 0.0 for single-row partitions
+    "cume_dist": False,  # rows with order value ≤ current / partition rows
+    "ntile": False,  # spec: (out, None, 'ntile', k)
     "lag": True,
     "lead": True,
+    "first_value": True,  # over the FULL partition frame
+    "last_value": True,  # over the FULL partition frame
     "cumsum": True,
     "cumcount": True,  # running COUNT(col): non-null so far (incl. current)
 }
@@ -54,9 +59,9 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
         cols = {n: tb.column(n) for n in tb.schema.names}
         for spec in specs:
             out, col, fn = spec[0], spec[1], spec[2]
-            if fn in ("row_number", "rank", "dense_rank", "cumcount"):
+            if fn in ("row_number", "rank", "dense_rank", "cumcount", "ntile"):
                 cols[out] = pa.array([], pa.int64())
-            elif fn == "cumsum":
+            elif fn in ("cumsum", "percent_rank", "cume_dist"):
                 cols[out] = pa.array([], pa.float64())
             else:
                 cols[out] = pa.array([], tb.schema.field(col).type)
@@ -66,17 +71,20 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
     n = tb.num_rows
     starts, _ = key_segments(tb, keys)
     base = _seg_base(starts, n)
+    seg_len = np.append(starts[1:], n) - starts
+    part_n = np.repeat(seg_len, seg_len)  # per-row partition size
     idx = np.arange(n, dtype=np.int64)
     rn = idx - base + 1  # row_number
 
-    tie_starts = None  # computed lazily: first row index of each tie-run
+    tie_runs = None  # lazy per-row (run_start, run_end) of the tie-run
 
-    def _ties() -> np.ndarray:
-        nonlocal tie_starts
-        if tie_starts is None:
+    def _ties() -> tuple[np.ndarray, np.ndarray]:
+        nonlocal tie_runs
+        if tie_runs is None:
             ts, _ = key_segments(tb, list(keys) + list(order_by))
-            tie_starts = _seg_base(ts, n)
-        return tie_starts
+            run_len = np.append(ts[1:], n) - ts
+            tie_runs = (_seg_base(ts, n), np.repeat(ts + run_len, run_len))
+        return tie_runs
 
     out_cols = {name: tb.column(name) for name in tb.schema.names}
     for spec in specs:
@@ -84,14 +92,41 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
         if fn == "row_number":
             out_cols[out] = pa.array(rn, pa.int64())
         elif fn == "rank":
-            out_cols[out] = pa.array(_ties() - base + 1, pa.int64())
+            out_cols[out] = pa.array(_ties()[0] - base + 1, pa.int64())
         elif fn == "dense_rank":
             # number of distinct tie-runs started in the segment so far:
             # cumulative count of run-start rows, reset per segment
             is_run_start = np.zeros(n, dtype=np.int64)
-            is_run_start[np.unique(_ties())] = 1
+            is_run_start[np.unique(_ties()[0])] = 1
             cr = np.cumsum(is_run_start)
             out_cols[out] = pa.array(cr - cr[base] + 1, pa.int64())
+        elif fn == "percent_rank":
+            rank = _ties()[0] - base + 1
+            den = np.maximum(part_n - 1, 1)
+            out_cols[out] = pa.array(
+                np.where(part_n > 1, (rank - 1) / den, 0.0), pa.float64()
+            )
+        elif fn == "cume_dist":
+            out_cols[out] = pa.array((_ties()[1] - base) / part_n, pa.float64())
+        elif fn == "ntile":
+            k = spec[3] if len(spec) > 3 else None
+            if not k or k < 1:
+                raise ValueError("ntile needs a positive bucket count: (out, None, 'ntile', k)")
+            r0 = rn - 1
+            bsz = part_n // k
+            rem = part_n % k
+            cut = rem * (bsz + 1)  # rows in the first `rem` (bigger) buckets
+            big = r0 < cut
+            tile = np.where(
+                big,
+                r0 // np.maximum(bsz + 1, 1),
+                rem + (r0 - cut) // np.maximum(bsz, 1),
+            )
+            out_cols[out] = pa.array(tile + 1, pa.int64())
+        elif fn in ("first_value", "last_value"):
+            src = tb.column(col).combine_chunks()
+            pos = base if fn == "first_value" else base + part_n - 1
+            out_cols[out] = src.take(pa.array(pos))
         elif fn in ("lag", "lead"):
             off = spec[3] if len(spec) > 3 else 1
             src = tb.column(col).combine_chunks()
@@ -99,11 +134,8 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
                 shifted = idx - off
                 oob = shifted < base
             else:
-                # per-row segment end = base + segment length
-                seg_len = np.append(starts[1:], n) - starts
-                ends = base + np.repeat(seg_len, seg_len)
                 shifted = idx + off
-                oob = shifted >= ends
+                oob = shifted >= base + part_n
             shifted = np.where(oob, 0, shifted)
             taken = src.take(pa.array(shifted))
             out_cols[out] = pc.if_else(pa.array(~oob), taken, pa.scalar(None, src.type))

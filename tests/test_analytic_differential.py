@@ -108,6 +108,55 @@ def test_window_fn_validation():
 
     tb = pa.table({"k": [1], "o": [1], "v": [1.0]})
     with pytest.raises(ValueError, match="unknown window fn"):
-        window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", "v", "ntile")])
+        window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", "v", "median")])
     with pytest.raises(ValueError, match="needs an input column"):
         window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", None, "lag")])
+    with pytest.raises(Exception, match="ntile needs a positive bucket count"):
+        window_functions(rd.from_arrow(tb), ["k"], ["o"], [("x", None, "ntile")]).take_all()
+
+
+def test_distribution_window_fns_match_duckdb():
+    """percent_rank / cume_dist / ntile / first_value / last_value vs
+    DuckDB, including single-row partitions and k > partition size."""
+    from grafter_ray.stages.analytic import window_functions
+
+    rng = random.Random(424242)
+    tb = _frame(rng, 700, 25, 6)
+    for k in (1, 3, 7, 1000):
+        out = (
+            window_functions(
+                rd.from_arrow(tb).repartition(4),
+                ["k"],
+                ["o", "rid"],
+                [
+                    ("pr", None, "percent_rank"),
+                    ("cd", None, "cume_dist"),
+                    ("nt", None, "ntile", k),
+                    ("fv", "v", "first_value"),
+                    ("lv", "v", "last_value"),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "rid"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute(f"""
+            SELECT k, o, rid,
+                   percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+                   ntile({k}) OVER w AS nt,
+                   first_value(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS fv,
+                   last_value(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS lv
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o, rid)
+            ORDER BY k, o, rid
+        """).fetchdf()
+        for c in ("pr", "cd", "nt", "fv", "lv"):
+            a = out[c].to_numpy(dtype=float, na_value=np.nan)
+            b = ref[c].to_numpy(dtype=float, na_value=np.nan)
+            same = (np.isnan(a) & np.isnan(b)) | (
+                (np.isnan(a) == np.isnan(b)) & (np.abs(np.nan_to_num(a - b)) < 1e-9)
+            )
+            assert same.all(), (k, c, int((~same).sum()))

@@ -2705,6 +2705,34 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_chunk_dedup(sf_dir: str):
+    """C4-style corpus-wide duplicate-chunk removal + document rewrite
+    (stages/dedup.py chunk_dedup): text crosses the wire once; the
+    winner decision exchanges only (sha256, doc_id, chunk_no)."""
+    from ..stages.dedup import chunk_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(ds, words=8)
+
+
+SQL_CHUNK_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+chunks AS (
+  SELECT doc_id, u.i - 1 AS chunk_no,
+         array_to_string(list_slice(ws, (u.i-1)*8+1, u.i*8), ' ') AS chunk
+  FROM w, LATERAL (SELECT unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i) u
+),
+kept AS (
+  SELECT doc_id, chunk_no, chunk FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) rn FROM chunks
+  ) WHERE rn = 1
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
+       count(*) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_user_value_median(sf_dir: str):
     """Exact grouped median, many-small-groups regime (one key exchange,
     vectorized per-segment interpolation — per-user event counts are
@@ -3405,6 +3433,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
+    "chunk_dedup": q_chunk_dedup,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3514,6 +3543,7 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
     "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,

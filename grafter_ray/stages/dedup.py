@@ -1022,3 +1022,188 @@ def cluster_representatives(
 
     losers_ds = clusters_ds.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
     return anti_join_ids(ds, losers_ds, id_col)
+
+
+# --- corpus-wide chunk (line-level) dedup ----------------------------------
+# The C4/CCNet "remove duplicate lines across the corpus" REWRITE op: the
+# corpus is chunked deterministically, every chunk occurrence except the
+# globally-first (min (doc_id, chunk_no)) is deleted, and documents are
+# reassembled from their surviving chunks in order. Differs from
+# dup_spans (detection) — this one rewrites the text.
+
+
+def chunk_explode(tb: pa.Table, id_col: str, text_col: str, words: int) -> pa.Table:
+    """(doc_id, chunk_no, chunk): consecutive `words`-word windows per
+    document. Fully vectorized: one split_pattern, then offset arithmetic
+    over the flat word buffer and a single binary_join."""
+    n = tb.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], tb.schema.field(id_col).type),
+                "chunk_no": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    wl = pc.split_pattern(pc.cast(tb.column(text_col), pa.large_string()), pattern=" ").combine_chunks()
+    offs = wl.offsets.to_numpy(zero_copy_only=False)  # len n+1
+    counts = np.diff(offs)
+    n_chunks = (counts + words - 1) // words  # ceil; empty text → 1 chunk ("")
+    n_chunks = np.maximum(n_chunks, 1)
+    # chunk start offsets into the flat word array: for each row r,
+    # offs[r] + words*j for j in [0, n_chunks[r])
+    row_of_chunk = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_in_row = np.arange(int(n_chunks.sum()), dtype=np.int64) - first[row_of_chunk]
+    starts = offs[row_of_chunk] + words * chunk_in_row
+    ends = np.minimum(starts + words, offs[row_of_chunk + 1])
+    # list array over the flat words: interleave starts/ends as offsets
+    # via a LargeListArray per chunk (starts strictly increasing within a
+    # row but not across rows — build with explicit take)
+    m = len(starts)
+    chunk_offsets = np.empty(m + 1, dtype=np.int64)
+    lens = ends - starts
+    chunk_offsets[0] = 0
+    np.cumsum(lens, out=chunk_offsets[1:])
+    take_idx = np.repeat(starts, lens) + (
+        np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(chunk_offsets[:-1], lens)
+    )
+    flat = wl.values.take(pa.array(take_idx))
+    lists = pa.LargeListArray.from_arrays(chunk_offsets, flat)
+    chunk = pc.cast(pc.binary_join(lists, pa.scalar(" ", pa.large_string())), pa.string())
+    return pa.table(
+        {
+            id_col: tb.column(id_col).take(pa.array(row_of_chunk)),
+            "chunk_no": pa.array(chunk_in_row, pa.int64()),
+            "chunk": chunk,
+        }
+    )
+
+
+def chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text", words: int = 8):
+    """Corpus-wide duplicate-chunk removal + document rewrite.
+
+    Scale plan (text crosses the wire ONCE): chunking is map-side; the
+    winner decision exchanges only (sha256, doc_id, chunk_no) metadata
+    (grouped on sha — one segment scan marks every non-first occurrence
+    a loser); the rebuild co-groups chunk text with loser verdicts on
+    doc_id via the house tag-union exchange and reassembles surviving
+    chunks in order. Documents whose every chunk lost are dropped
+    (SQL-groupable semantics; the caller can anti-join to find them)."""
+    from .sha import sha256_array
+
+    def explode(tb: pa.Table) -> pa.Table:
+        return chunk_explode(tb, id_col, text_col, words)
+
+    chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def meta(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sha": sha256_array(tb.column("chunk")),
+                id_col: tb.column(id_col),
+                "chunk_no": tb.column("chunk_no"),
+            }
+        )
+
+    def losers_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "chunk_no": pa.array([], pa.int64())}
+            )
+        tb = tb.sort_by([("sha", "ascending"), (id_col, "ascending"), ("chunk_no", "ascending")])
+        starts, _ = key_segments(tb, ["sha"])
+        keep = np.zeros(tb.num_rows, dtype=bool)
+        keep[starts] = True
+        t = tb.filter(pa.array(~keep))
+        return pa.table(
+            {id_col: pc.cast(t.column(id_col), pa.int64()), "chunk_no": t.column("chunk_no")}
+        )
+
+    losers = grouped_block_map(
+        chunks.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True),
+        ["sha"],
+        losers_block,
+    )
+
+    def tag_chunks(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(tb.column(id_col), pa.int64()),
+                "chunk_no": tb.column("chunk_no"),
+                "chunk": tb.column("chunk"),
+                "__side": pa.nulls(tb.num_rows, pa.int8()).fill_null(0),
+            }
+        )
+
+    def tag_losers(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_no": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                    "__side": pa.array([], pa.int8()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "chunk_no": tb.column("chunk_no"),
+                "chunk": pa.nulls(tb.num_rows, pa.string()),
+                "__side": pa.nulls(tb.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+
+    both = chunks.map_batches(tag_chunks, batch_format="pyarrow", zero_copy_batch=True).union(
+        losers.map_batches(tag_losers, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def rebuild(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        # a loser (doc, chunk_no) pair appears exactly twice (chunk row +
+        # verdict row); sorting by (doc, chunk_no, side) makes them
+        # adjacent — drop both of the pair, keep lone side-0 rows
+        tb = tb.sort_by(
+            [(id_col, "ascending"), ("chunk_no", "ascending"), ("__side", "ascending")]
+        )
+        d = tb.column(id_col).to_numpy(zero_copy_only=False)
+        c = tb.column("chunk_no").to_numpy(zero_copy_only=False)
+        s = tb.column("__side").to_numpy(zero_copy_only=False)
+        nrows = len(d)
+        same_next = np.zeros(nrows, dtype=bool)
+        same_next[:-1] = (d[1:] == d[:-1]) & (c[1:] == c[:-1])
+        drop = np.zeros(nrows, dtype=bool)
+        drop[same_next] = True  # chunk row of a lost pair
+        drop[1:] |= same_next[:-1]  # its verdict row
+        drop |= s == 1  # safety: any unpaired verdict
+        t = tb.filter(pa.array(~drop))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        starts, ends = key_segments(t, [id_col])
+        offsets = np.append(starts, t.num_rows).astype(np.int64)
+        vals = pc.cast(t.column("chunk"), pa.large_string()).combine_chunks()
+        lists = pa.LargeListArray.from_arrays(offsets, vals)
+        joined = pc.cast(pc.binary_join(lists, pa.scalar(" ", pa.large_string())), pa.string())
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(starts)),
+                "clean_text": joined,
+                "n_kept": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return grouped_block_map(both, [id_col], rebuild)

@@ -299,3 +299,39 @@ def test_cluster_representatives_driver_and_distributed_agree():
     want = sorted(set(range(40)) - {2, 3, 11, 31})
     assert got_driver == want
     assert got_dist == want
+
+
+def test_chunk_dedup_planted_and_edges():
+    """Planted duplicate chunks: the first occurrence (min (doc, chunk_no))
+    survives, later ones vanish, docs rebuild in chunk order; a doc whose
+    every chunk lost disappears; short and empty docs pass through."""
+    import ray.data as rd
+
+    from grafter_ray.stages.dedup import chunk_dedup
+
+    w8 = " ".join(f"w{i}" for i in range(8))          # one full chunk
+    other = " ".join(f"x{i}" for i in range(8))
+    docs = {
+        1: w8 + " " + other,        # chunks: [w8, other] — both first
+        2: w8 + " tail words here", # w8 lost, "tail words here" kept
+        3: w8,                      # fully deduplicated away
+        4: "short",                 # sub-chunk doc, kept
+        5: "",                      # empty text → one "" chunk, kept (first)
+        6: "",                      # "" chunk lost → doc dropped
+    }
+    tb = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    out = chunk_dedup(rd.from_arrow(tb).repartition(3), words=8).to_pandas()
+    got = dict(zip(out.doc_id, out.clean_text))
+    assert got == {
+        1: w8 + " " + other,
+        2: "tail words here",
+        4: "short",
+        5: "",
+    }
+    kept = dict(zip(out.doc_id, out.n_kept))
+    assert kept == {1: 2, 2: 1, 4: 1, 5: 1}

@@ -2705,6 +2705,37 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_normalize_docs(sf_dir: str):
+    """Text canonicalization (NFC, control strip, whitespace collapse,
+    trim, casefold) — map-side, shuffle-free; each step mirrors a DuckDB
+    function 1:1 (both engines run RE2/ICU)."""
+    from ..stages.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(ds, "text", casefold=True)
+
+    def shape(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "norm_text": tb.column("text"),
+                "n_chars_norm": pc.cast(pc.utf8_length(tb.column("text")), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NORMALIZE_DOCS = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             '[\p{Cc}]', '', 'g'), '\s+', ' ', 'g'))) AS norm_text,
+       CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             '[\p{Cc}]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 def q_chunk_dedup(sf_dir: str):
     """C4-style corpus-wide duplicate-chunk removal + document rewrite
     (stages/dedup.py chunk_dedup): text crosses the wire once; the
@@ -3434,6 +3465,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
+    "normalize_docs": q_normalize_docs,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3544,6 +3576,7 @@ ORACLE_SQL = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "normalize_docs": SQL_NORMALIZE_DOCS,
     "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,

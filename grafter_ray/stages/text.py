@@ -301,3 +301,44 @@ def top_terms_per_doc(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "t
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def normalize_text_batch(tb: pa.Table, text_col: str = "text", casefold: bool = True) -> pa.Table:
+    """Unicode/whitespace canonicalization — the standard pre-dedup
+    cleanup pass (NFC, control-char strip, whitespace collapse, trim,
+    optional casefold). All Arrow RE2/utf8 kernels, one pass, no Python
+    rows; DuckDB mirrors each step 1:1 (nfc_normalize / regexp_replace /
+    trim / lower), so the op is oracle-gateable."""
+    s = pc.cast(tb.column(text_col), pa.string())
+    # NFC: pyarrow 16.1's utf8_normalize NEVER COMPOSES (every form —
+    # NFC included — returns decomposed output; sibling of the
+    # pc.coalesce chunk-layout bug, see TODO.md). ASCII is NFC by
+    # definition, so detect the non-ASCII minority vectorized and run
+    # unicodedata.normalize (C) on just those rows.
+    nonascii = pc.match_substring_regex(s, pattern=r"[^\x00-\x7F]")
+    if pc.any(nonascii).as_py():
+        import unicodedata
+
+        idx = np.nonzero(nonascii.combine_chunks().to_numpy(zero_copy_only=False))[0]
+        sc = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        py = sc.take(pa.array(idx)).to_pylist()
+        fixed = pa.array([None if v is None else unicodedata.normalize("NFC", v) for v in py])
+        mask = np.zeros(len(sc), dtype=bool)
+        mask[idx] = True
+        s = pc.replace_with_mask(sc, pa.array(mask), fixed)
+    s = pc.replace_substring_regex(s, pattern=r"[\p{Cc}]", replacement="")
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim_whitespace(s)
+    if casefold:
+        s = pc.utf8_lower(s)
+    i = tb.schema.get_field_index(text_col)
+    return tb.set_column(i, text_col, s)
+
+
+def normalize_text(ds, text_col: str = "text", casefold: bool = True):
+    """Dataset wrapper over normalize_text_batch (map-side, shuffle-free)."""
+    return ds.map_batches(
+        lambda tb: normalize_text_batch(tb, text_col, casefold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -359,3 +359,37 @@ def test_top_terms_per_doc_planted():
     # d1: banana 2/2=1.0 = cherry 1/1 → lexical tie-break banana < cherry
     assert by_doc[1] == [("banana", 2, 2), ("cherry", 1, 1), ("common", 1, 3)]
     assert by_doc[2] == [("common", 3, 3)]
+
+
+def test_normalize_text_unicode_and_whitespace():
+    """Planted messy unicode: combining-char NFC composition, control
+    chars, tab/newline runs, casefold — matches DuckDB's equivalent
+    expression exactly (both engines are RE2/ICU)."""
+    import duckdb
+    import ray.data as rd
+
+    from grafter_ray.stages.text import normalize_text
+
+    texts = [
+        "Héllo \t  Wo\x07rld  ",          # é composes under NFC
+        # no NUL: DuckDB nfc_normalize truncates at embedded NUL (C-string API)
+        "\x01\x1fctrl\xa0nbsp",            # Cc stripped; NBSP is not RE2 \s, stays
+        "  MiXeD   CaSe\n\nlines ",
+        "",
+        "already clean ascii",
+    ]
+    tb = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = (
+        normalize_text(rd.from_arrow(tb), "text")
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", tb)
+    ref = con.execute(r"""
+        SELECT lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\p{Cc}]', '', 'g'), '\s+', ' ', 'g'))) FROM t ORDER BY doc_id
+    """).fetchall()
+    assert out == [r[0] for r in ref]
+    assert out[0] == "héllo world" and len(out[0].split()[0]) == 5  # composed é

@@ -135,7 +135,7 @@ _SPARQL_TOKEN_RE = re.compile(
       |(?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
       |(?P<var>\?\w+)
       |(?P<num>[+-]?\d+(?:\.\d+)?)
-      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|BASE|CONSTRUCT|DESCRIBE|WHERE|FROM|NAMED|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
+      |(?P<kw>\b(?:(?i:SELECT|SERVICE|ASK|BASE|CONSTRUCT|DESCRIBE|WHERE|FROM|NAMED|GRAPH|VALUES|LIMIT|OFFSET|PREFIX|UNION|OPTIONAL|FILTER|BIND|ORDER|GROUP_CONCAT|GROUP|BY|ASC|DESC|DISTINCT|REDUCED|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|HAVING|MINUS|EXISTS|NOT|INSERT|IN|REGEX|STRSTARTS|STRENDS|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|CONCAT|SUBSTR|CONTAINS|BOUND|IF|COALESCE|REPLACE|ABS|CEIL|FLOOR|ROUND|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TZ|MD5|SHA512|SHA384|SHA256|SHA1|ENCODE_FOR_URI|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|DELETE|DATA|WITH|USING|CLEAR|DROP|CREATE|COPY|MOVE|ADD|TO|INTO|SILENT|DEFAULT|NAMED|ALL|LOAD|true|false)|a)\b)
       |(?P<op>\|\||&&|<=|>=|!=|<|>|=|[+\-/!^|?])
       |(?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?)
       |(?P<star>\*)
@@ -807,6 +807,8 @@ class _QParser:
         "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "BOUND",
         "IF", "COALESCE", "REPLACE", "STRBEFORE", "STRAFTER",
         "ABS", "CEIL", "FLOOR", "ROUND",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+        "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
         "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI",
         "ISLITERAL", "ISBLANK",
     }
@@ -2000,7 +2002,78 @@ def _eval_call(fn: str, args: list, tb: pa.Table):
     if fn == "ROUND":
         # SPARQL ROUND: nearest integer, ties toward +∞ (Arrow half_up)
         return pc.round(_to_f64(vals[0]), ndigits=0, round_mode="half_up")
+    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+        return _eval_datetime_accessor(fn, _to_str(vals[0]))
+    if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        return _hash_hex(fn.lower(), _to_str(vals[0]))
+    if fn == "ENCODE_FOR_URI":
+        return _encode_for_uri(_to_str(vals[0]))
     raise SparqlParseError(f"unsupported function {fn}")
+
+
+# xsd:dateTime / xsd:date lexical form (SPARQL 1.1 §17.4.5 operand);
+# time part and zone optional so xsd:date works for YEAR/MONTH/DAY
+_DT_LEXICAL_RE = (
+    r"^(?P<y>-?\d{4,})-(?P<mo>\d{2})-(?P<d>\d{2})"
+    r"(?:T(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}(?:\.\d+)?))?"
+    r"(?P<tz>Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _eval_datetime_accessor(fn: str, s):
+    """SPARQL 1.1 §17.4.5 datetime accessors over the LEXICAL form —
+    vectorized (one extract_regex); malformed lexicals yield null (the
+    house error→unbound rule). TZ returns the zone string ('' when
+    absent, per spec); TIMEZONE (the duration form) is not provided."""
+    if isinstance(s, pa.Scalar):
+        s = pa.array([s.as_py()], pa.string())
+        scalar = True
+    else:
+        scalar = False
+    parts = pc.extract_regex(s, pattern=_DT_LEXICAL_RE)
+    field = {"YEAR": "y", "MONTH": "mo", "DAY": "d", "HOURS": "h", "MINUTES": "mi", "SECONDS": "s", "TZ": "tz"}[fn]
+    matched = pc.is_valid(parts)
+    v = pc.struct_field(parts, field)
+    # a non-participating optional group extracts as "" (not null)
+    v = pc.if_else(pc.and_kleene(matched, pc.not_equal(pc.fill_null(v, ""), "")), v, pa.scalar(None, pa.string()))
+    if fn == "TZ":
+        out = pc.if_else(matched, pc.fill_null(v, ""), pa.scalar(None, pa.string()))
+    elif fn == "SECONDS":
+        out = pc.cast(v, pa.float64())  # xsd:decimal — fraction kept
+    else:
+        out = pc.cast(v, pa.int64())
+    return out[0] if scalar else out
+
+
+def _hash_hex(algo: str, s):
+    """SPARQL 1.1 §17.4.4 hash functions — hex digest of the UTF-8
+    lexical form. hashlib is C; the loop slices the Arrow value buffer
+    (same zero-copy discipline as stages/sha.py sha256_array)."""
+    import hashlib
+
+    if isinstance(s, pa.Scalar):
+        if not s.is_valid:
+            return pa.scalar(None, pa.string())
+        return pa.scalar(hashlib.new(algo, str(s.as_py()).encode()).hexdigest(), pa.string())
+    vals = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    out = [
+        None if v is None else hashlib.new(algo, v.encode()).hexdigest()
+        for v in vals.to_pylist()
+    ]
+    return pa.array(out, pa.string())
+
+
+def _encode_for_uri(s):
+    """SPARQL 1.1 §17.4.2.8: percent-encode everything but unreserved."""
+    from urllib.parse import quote
+
+    if isinstance(s, pa.Scalar):
+        if not s.is_valid:
+            return pa.scalar(None, pa.string())
+        return pa.scalar(quote(str(s.as_py()), safe="-_.~"), pa.string())
+    vals = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    out = [None if v is None else quote(v, safe="-_.~") for v in vals.to_pylist()]
+    return pa.array(out, pa.string())
 
 
 _TERM_FNS = {"LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK"}

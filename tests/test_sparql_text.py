@@ -189,8 +189,10 @@ def test_unsupported_constructs_raise():
     # REGEX in FILTER is now part of the supported expression subset
     assert sparql_query('SELECT * WHERE { ?s ?p ?o FILTER(regex(?o, "x")) }', store).num_rows == 0
     with pytest.raises(SparqlParseError):
-        # functions outside the expression subset are rejected
-        sparql_query("SELECT * WHERE { ?s ?p ?o FILTER(MD5(?o) = ?o) }", store)
+        # functions outside the expression subset are rejected (MD5 and
+        # friends joined the subset in round 4; UUID is nondeterministic
+        # and stays out)
+        sparql_query("SELECT * WHERE { ?s ?p ?o FILTER(UUID() = ?o) }", store)
     with pytest.raises(SparqlParseError):
         # one UNION chain per group in the subset
         sparql_query(
@@ -1144,3 +1146,63 @@ def test_describe_subject_cap(monkeypatch):
     # within the cap still answers
     out = sparql_query('DESCRIBE ?s WHERE { ?s <http://p/v> "in-g1" }', st)
     assert set(out.column("s").to_pylist()) == {"http://x/a"}
+
+
+def test_datetime_accessors_and_hashes():
+    """SPARQL 1.1 §17.4.4-5: YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ over
+    xsd:dateTime and xsd:date lexicals (malformed → unbound), hash
+    functions, ENCODE_FOR_URI."""
+    import hashlib
+
+    import pyarrow as pa
+
+    tb = pa.table(
+        {
+            "s": pa.array([f"http://x/{i}" for i in range(4)], pa.string()),
+            "p": pa.array(["http://p/when"] * 4, pa.string()),
+            "o_kind": pa.array(["literal"] * 4, pa.string()),
+            "o_value": pa.array(
+                [
+                    "2024-03-01T12:34:56.25+05:30",
+                    "2019-11-30T23:59:59Z",
+                    "2020-02-29",          # xsd:date — time accessors unbound
+                    "not a date",          # malformed — all accessors unbound
+                ],
+                pa.string(),
+            ),
+            "o_datatype": pa.array(["http://www.w3.org/2001/XMLSchema#dateTime"] * 4),
+            "o_lang": pa.nulls(4, pa.string()),
+            "c": pa.nulls(4, pa.string()),
+        }
+    )
+    store = QuadStore.from_table(tb)
+    out = sparql_query(
+        "SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz WHERE { ?s <http://p/when> ?w . "
+        "BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo) BIND(DAY(?w) AS ?d) "
+        "BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?sec) "
+        "BIND(TZ(?w) AS ?tz) } ORDER BY ?s",
+        store,
+    )
+    rows = {r["s"]: r for r in out.to_pylist()}
+    assert rows["http://x/0"] == {
+        "s": "http://x/0", "y": 2024, "mo": 3, "d": 1, "h": 12, "mi": 34,
+        "sec": 56.25, "tz": "+05:30",
+    }
+    assert rows["http://x/1"]["tz"] == "Z" and rows["http://x/1"]["sec"] == 59.0
+    assert rows["http://x/2"]["y"] == 2020 and rows["http://x/2"]["h"] is None
+    assert rows["http://x/2"]["tz"] == ""  # date w/o zone: TZ is ''
+    assert all(rows["http://x/3"][k] is None for k in ("y", "mo", "d", "h", "mi", "sec", "tz"))
+
+    out2 = sparql_query(
+        'SELECT ?m ?s1 ?s256 ?e WHERE { ?s <http://p/when> ?w . '
+        'FILTER(STRSTARTS(?w, "2024")) '
+        'BIND(MD5(?w) AS ?m) BIND(SHA1(?w) AS ?s1) BIND(SHA256(?w) AS ?s256) '
+        'BIND(ENCODE_FOR_URI(?w) AS ?e) }',
+        store,
+    )
+    r = out2.to_pylist()[0]
+    lex = "2024-03-01T12:34:56.25+05:30"
+    assert r["m"] == hashlib.md5(lex.encode()).hexdigest()
+    assert r["s1"] == hashlib.sha1(lex.encode()).hexdigest()
+    assert r["s256"] == hashlib.sha256(lex.encode()).hexdigest()
+    assert r["e"] == "2024-03-01T12%3A34%3A56.25%2B05%3A30"

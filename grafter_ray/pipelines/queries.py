@@ -1879,6 +1879,54 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_user_value_trend(sf_dir: str):
+    """Rolling-frame window aggregate (SQL ROWS 4 PRECEDING): 5-event
+    moving sum/count of value per user. Values become exact integer
+    cents BEFORE the window, so the frame arithmetic is exact in both
+    engines — no float summation-order hazard."""
+    from ..stages.analytic import window_functions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(tb: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_id": tb.column("event_id"),
+                "user_id": tb.column("user_id"),
+                "ts": tb.column("ts"),
+                "value_cents": c,
+            }
+        )
+
+    out = window_functions(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["ts", "event_id"],
+        [("roll5_sum_cents", "value_cents", "rolling_sum", 5)],
+    )
+
+    def shape(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tb.column("event_id"),
+                "user_id": tb.column("user_id"),
+                "roll5_sum_cents": pc.cast(tb.column("roll5_sum_cents"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_USER_VALUE_TREND = """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_sum_cents
+FROM events
+"""
+
+
 def q_hourly_events(sf_dir: str):
     """Tumbling event-time window: counts + value cents per hour."""
     from ..stages.windows import tumbling_counts
@@ -3522,6 +3570,7 @@ QUERIES = {
     "derive_retail_cents": q_derive_retail_cents,
     "sessionize": q_sessionize,
     "user_event_seq": q_user_event_seq,
+    "user_value_trend": q_user_value_trend,
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
@@ -3628,6 +3677,7 @@ ORACLE_SQL = {
     "derive_retail_cents": SQL_DERIVE_RETAIL_CENTS,
     "sessionize": SQL_SESSIONIZE,
     "user_event_seq": SQL_USER_EVENT_SEQ,
+    "user_value_trend": SQL_USER_VALUE_TREND,
     "hourly_events": SQL_HOURLY_EVENTS,
     "hopping_events": SQL_HOPPING_EVENTS,
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,

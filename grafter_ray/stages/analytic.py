@@ -43,6 +43,9 @@ _FNS = {
     "last_value": True,  # over the FULL partition frame
     "cumsum": True,
     "cumcount": True,  # running COUNT(col): non-null so far (incl. current)
+    # SQL ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW — spec: (out, col, fn, k)
+    "rolling_sum": True,
+    "rolling_mean": True,
 }
 
 
@@ -61,7 +64,7 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
             out, col, fn = spec[0], spec[1], spec[2]
             if fn in ("row_number", "rank", "dense_rank", "cumcount", "ntile"):
                 cols[out] = pa.array([], pa.int64())
-            elif fn in ("cumsum", "percent_rank", "cume_dist"):
+            elif fn in ("cumsum", "percent_rank", "cume_dist", "rolling_sum", "rolling_mean"):
                 cols[out] = pa.array([], pa.float64())
             else:
                 cols[out] = pa.array([], tb.schema.field(col).type)
@@ -139,6 +142,28 @@ def window_block(tb: pa.Table, keys: list[str], order_by: list[str], specs) -> p
             shifted = np.where(oob, 0, shifted)
             taken = src.take(pa.array(shifted))
             out_cols[out] = pc.if_else(pa.array(~oob), taken, pa.scalar(None, src.type))
+        elif fn in ("rolling_sum", "rolling_mean"):
+            k = spec[3] if len(spec) > 3 else None
+            if not k or k < 1:
+                raise ValueError("rolling fns need a window size: (out, col, fn, k)")
+            v = pc.cast(tb.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(v)
+            vf = np.where(valid, v, 0.0)
+            cs = np.cumsum(vf)
+            cc = np.cumsum(valid.astype(np.int64))
+            j = np.maximum(base, idx - k + 1)  # frame start (within segment)
+            wsum = cs - cs[j] + vf[j]
+            wcnt = cc - cc[j] + valid[j]
+            if fn == "rolling_sum":
+                out_cols[out] = pc.if_else(
+                    pa.array(wcnt > 0), pa.array(wsum, pa.float64()), pa.scalar(None, pa.float64())
+                )
+            else:
+                out_cols[out] = pc.if_else(
+                    pa.array(wcnt > 0),
+                    pa.array(wsum / np.maximum(wcnt, 1), pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                )
         elif fn in ("cumsum", "cumcount"):
             src = tb.column(col)
             v = pc.cast(src, pa.float64()).to_numpy(zero_copy_only=False)

@@ -160,3 +160,40 @@ def test_distribution_window_fns_match_duckdb():
                 (np.isnan(a) == np.isnan(b)) & (np.abs(np.nan_to_num(a - b)) < 1e-9)
             )
             assert same.all(), (k, c, int((~same).sum()))
+
+
+def test_rolling_window_aggs_match_duckdb():
+    """rolling_sum / rolling_mean (ROWS k-1 PRECEDING frame) vs DuckDB,
+    NULL-laden values, window sizes from 1 to larger-than-partition."""
+    from grafter_ray.stages.analytic import window_functions
+
+    rng = random.Random(606)
+    tb = _frame(rng, 800, 15, 9)
+    for k in (1, 3, 50):
+        out = (
+            window_functions(
+                rd.from_arrow(tb).repartition(6),
+                ["k"],
+                ["o", "rid"],
+                [("rs", "v", "rolling_sum", k), ("rm", "v", "rolling_mean", k)],
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "rid"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute(f"""
+            SELECT k, o, rid,
+                   sum(v) OVER (w ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS rs,
+                   avg(v) OVER (w ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS rm
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o, rid)
+            ORDER BY k, o, rid
+        """).fetchdf()
+        for c in ("rs", "rm"):
+            a = out[c].to_numpy(dtype=float, na_value=np.nan)
+            b = ref[c].to_numpy(dtype=float, na_value=np.nan)
+            same = (np.isnan(a) & np.isnan(b)) | (
+                (np.isnan(a) == np.isnan(b)) & (np.abs(np.nan_to_num(a - b)) < 1e-9)
+            )
+            assert same.all(), (k, c, int((~same).sum()))

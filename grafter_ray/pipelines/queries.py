@@ -2753,6 +2753,18 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_approx_distinct_texts(sf_dir: str):
+    """HyperLogLog approximate distinct texts + per-lang grouped sketch:
+    registers (not values) are the only exchange — the mergeable-sketch
+    shape that counts distincts over 100 TB without shuffling the value
+    stream. Approximate by design → rows-only driver check; accuracy and
+    layout-invariance are pytest-gated (test_sketch_hll.py)."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return grouped_approx_distinct(ds, ["lang"], "text", p=14, alias="approx_texts")
+
+
 def q_normalize_docs(sf_dir: str):
     """Text canonicalization (NFC, control strip, whitespace collapse,
     trim, casefold) — map-side, shuffle-free; each step mirrors a DuckDB
@@ -3514,6 +3526,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
     "normalize_docs": q_normalize_docs,
+    "approx_distinct_texts": q_approx_distinct_texts,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,

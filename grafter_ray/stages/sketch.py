@@ -72,3 +72,145 @@ def heavy_hitters_topk(ds, text_col: str = "text", k: int = 100, capacity: int =
 
     counted = counted.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
     return top_k(counted, [("freq", "descending"), ("token", "ascending")], k)
+
+
+# --- HyperLogLog approximate distinct (Flajolet et al. 2007) ----------------
+# The canonical mergeable cardinality sketch: per-block register arrays
+# (2^p bytes) replace the per-value exchange an exact distinct needs —
+# the ONLY shape that counts distinct over 100 TB without shuffling the
+# value stream. Registers merge by elementwise max (associative and
+# idempotent), so block composition, retries and tree folds are all
+# safe. Deterministic: the value hash is the house key_hash_array
+# (fixed-key siphash), never Python's randomized hash.
+
+import numpy as np
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (6-step binary search)."""
+    n = np.zeros(len(w), dtype=np.uint8)
+    x = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        top_zero = x < (np.uint64(1) << np.uint64(64 - shift))
+        n[top_zero] += np.uint8(shift)
+        x = np.where(top_zero, x << np.uint64(shift), x)
+    n[w == 0] = 64
+    return n
+
+
+def hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p uint8 registers from uint64 hashes: idx = top p bits, value =
+    1 + leading zeros of the remaining 64-p bits (capped)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h):
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        rho = np.minimum(_clz64(w), 64 - p).astype(np.uint8) + np.uint8(1)
+        np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range linear counting."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+def _col_hashes(col) -> np.ndarray:
+    from ..util import key_hash_array
+
+    s = pc.cast(col, pa.string())
+    s = pc.fill_null(s, "\x00null")  # SQL COUNT(DISTINCT) skips nulls; callers pre-filter
+    return key_hash_array(s).astype(np.uint64)
+
+
+def approx_distinct(ds, col: str, p: int = 14):
+    """Approximate COUNT(DISTINCT col): ±1.04/√(2^p) relative error
+    (p=14 → 0.8%). One register row (2^p bytes) leaves each block; a
+    fixed 32-way intermediate fold bounds any single fold task, then the
+    driver folds ≤32 rows. Returns a one-row pa.Table {approx_n}."""
+
+    def partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"regs": pa.array([], pa.binary(1 << p))})
+        valid = tb.filter(pc.is_valid(tb.column(col)))
+        if valid.num_rows == 0:
+            return pa.table({"regs": pa.array([], pa.binary(1 << p))})
+        regs = hll_registers(_col_hashes(valid.column(col)), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary(1 << p))})
+
+    def fold(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        mat = np.frombuffer(b"".join(tb.column("regs").to_pylist()), dtype=np.uint8)
+        regs = mat.reshape(tb.num_rows, 1 << p).max(axis=0)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary(1 << p))})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(32)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )  # ≤ 32 rows of 2^p bytes — the documented driver bound
+    if not rows:
+        return pa.table({"approx_n": pa.array([0], pa.int64())})
+    mat = np.frombuffer(b"".join(r["regs"] for r in rows), dtype=np.uint8)
+    regs = mat.reshape(len(rows), 1 << p).max(axis=0)
+    return pa.table({"approx_n": pa.array([int(round(hll_estimate(regs)))], pa.int64())})
+
+
+def grouped_approx_distinct(ds, keys: list[str], col: str, p: int = 12, alias: str = "approx_n"):
+    """Per-group approximate COUNT(DISTINCT col): per-block per-group
+    registers (2^p bytes each) are the ONLY exchange — blocks × groups
+    register rows, never the value stream. p=12 → 1.6% error."""
+    from .grouped import grouped_block_map, key_segments
+
+    def partial(tb: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                **{k: tb.column(k).slice(0, 0) for k in keys},
+                "regs": pa.array([], pa.binary(1 << p)),
+            }
+        )
+        if tb.num_rows == 0:
+            return empty
+        tb = tb.filter(pc.is_valid(tb.column(col)))
+        if tb.num_rows == 0:
+            return empty
+        tb = tb.sort_by([(k, "ascending") for k in keys])
+        h = _col_hashes(tb.column(col))
+        starts, ends = key_segments(tb, keys)
+        blobs = [hll_registers(h[s:e], p).tobytes() for s, e in zip(starts, ends)]
+        out = {k: tb.column(k).take(pa.array(starts)) for k in keys}
+        out["regs"] = pa.array(blobs, pa.binary(1 << p))
+        return pa.table(out)
+
+    def final(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys}, alias: pa.array([], pa.int64())}
+            )
+        starts, ends = key_segments(tb, keys)
+        mat = np.frombuffer(b"".join(tb.column("regs").to_pylist()), dtype=np.uint8).reshape(
+            tb.num_rows, 1 << p
+        )
+        ests = [
+            int(round(hll_estimate(mat[s:e].max(axis=0)))) for s, e in zip(starts, ends)
+        ]
+        out = {k: tb.column(k).take(pa.array(starts)) for k in keys}
+        out[alias] = pa.array(ests, pa.int64())
+        return pa.table(out)
+
+    return grouped_block_map(
+        ds.select_columns(list(keys) + [col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        list(keys),
+        final,
+    )

@@ -2753,6 +2753,21 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_source_distinct_langs(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): map-side pair dedup, one
+    distinct-pair exchange, grouped count (relational
+    grouped_count_distinct — the exact sibling of the HLL sketch)."""
+    from .relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return grouped_count_distinct(ds, ["source"], "lang", alias="n_langs")
+
+
+SQL_SOURCE_DISTINCT_LANGS = """
+SELECT source, count(DISTINCT lang) AS n_langs FROM documents GROUP BY source
+"""
+
+
 def q_approx_distinct_texts(sf_dir: str):
     """HyperLogLog approximate distinct texts + per-lang grouped sketch:
     registers (not values) are the only exchange — the mergeable-sketch
@@ -3527,6 +3542,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "normalize_docs": q_normalize_docs,
     "approx_distinct_texts": q_approx_distinct_texts,
+    "source_distinct_langs": q_source_distinct_langs,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3639,6 +3655,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "normalize_docs": SQL_NORMALIZE_DOCS,
+    "source_distinct_langs": SQL_SOURCE_DISTINCT_LANGS,
     "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,

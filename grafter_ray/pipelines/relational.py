@@ -822,3 +822,21 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouped_count_distinct(ds, keys: list[str], col: str, alias: str = "n_distinct"):
+    """Exact per-group COUNT(DISTINCT col): map-side (keys, col) dedup
+    shrinks each block to its distinct pairs BEFORE the single exchange,
+    then one grouped count over the distinct relation. NULLs don't count
+    (SQL semantics). The exchange carries distinct pairs only — bounded
+    by output cardinality, not the stream. For approximate-at-scale, see
+    stages/sketch.py grouped_approx_distinct (registers, not values)."""
+    pairs = distinct(
+        ds.map_batches(
+            lambda tb: tb.filter(pc.is_valid(tb.column(col))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).select_columns(list(keys) + [col]),
+        list(keys) + [col],
+    )
+    return grouped_agg(pairs, list(keys), [(alias, None, "count")])

@@ -81,6 +81,18 @@ QUERY_SUBSET = [
     "lm_score",
     "kmeans_clusters",
     "semdedup",
+    # round-4 session-2 additions
+    "lineitem_dispersion",
+    "user_event_seq",
+    "user_value_trend",
+    "order_quartile_ranks",
+    "priority_value_quartiles",
+    "user_value_median",
+    "rollup_order_stats",
+    "chunk_dedup",
+    "normalize_docs",
+    "approx_distinct_texts",
+    "source_distinct_langs",
 ]
 
 

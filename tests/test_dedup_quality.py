@@ -335,3 +335,60 @@ def test_chunk_dedup_planted_and_edges():
     }
     kept = dict(zip(out.doc_id, out.n_kept))
     assert kept == {1: 2, 2: 1, 4: 1, 5: 1}
+
+
+def test_chunk_dedup_random_differential_vs_sql():
+    """Random corpora with heavy chunk-level repetition vs the DuckDB
+    oracle (string_split + list_slice + window + ordered string_agg),
+    across chunk widths and block layouts."""
+    import random
+
+    import duckdb
+    import ray.data as rd
+
+    from grafter_ray.stages.dedup import chunk_dedup
+
+    rng = random.Random(9090)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, (n_docs, words, parts) in enumerate([(60, 4, 5), (120, 8, 3), (40, 3, 7)]):
+        texts = []
+        for _ in range(n_docs):
+            n_words = rng.randrange(0, 40)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
+        tb = pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            chunk_dedup(rd.from_arrow(tb).repartition(parts), words=words)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs", tb)
+        ref = con.execute(f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM docs),
+            chunks AS (
+              SELECT doc_id, u.i - 1 AS chunk_no,
+                     array_to_string(list_slice(ws, (u.i-1)*{words}+1, u.i*{words}), ' ') AS chunk
+              FROM w, LATERAL (SELECT unnest(generate_series(1,
+                   CAST(ceil(len(ws)/{words}.0) AS BIGINT))) AS i) u
+            ),
+            kept AS (
+              SELECT doc_id, chunk_no, chunk FROM (
+                SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) rn
+                FROM chunks
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """).fetchdf()
+        ref["n_kept"] = ref["n_kept"].astype("int64")
+        assert len(out) == len(ref), trial
+        assert out[["doc_id", "clean_text", "n_kept"]].equals(
+            ref[["doc_id", "clean_text", "n_kept"]]
+        ), trial

@@ -535,6 +535,26 @@ ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id LIMIT 40
 """
 
 
+def q_lang_balanced_sample(sf_dir: str):
+    """Exactly k docs PER LANGUAGE (balanced eval split): per-group
+    LCG-hash top-k with map-side pre-reduction — a giant stratum never
+    crosses the wire whole (stages/sampling.py grouped_exact_k_sample)."""
+    from ..stages.sampling import grouped_exact_k_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return grouped_exact_k_sample(ds, ["lang"], id_col="doc_id", k=15)
+
+
+SQL_LANG_BALANCED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang
+      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Global vocabulary top-k (classic word count at corpus scale):
     tokenize inside each block (Arrow split_pattern_regex), PRE-COUNT
@@ -3536,6 +3556,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "stratified_sample": q_stratified_sample,
     "exact_k_sample": q_exact_k_sample,
+    "lang_balanced_sample": q_lang_balanced_sample,
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
@@ -3650,6 +3671,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
+    "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -95,3 +95,26 @@ def exact_k_sample(ds, id_col: str, k: int, tie_cols: list[str] | None = None):
     return out.map_batches(
         lambda tb: tb.drop_columns(["__h"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_exact_k_sample(ds, keys: list[str], id_col: str, k: int):
+    """Exactly k rows PER GROUP (balanced eval splits — e.g. k docs per
+    language): same LCG-hash total order as exact_k_sample, selected
+    per group via the pre-reduced per-group top-n (take_per_group —
+    each block prunes to ≤ k rows per key before the single exchange,
+    so a giant stratum never crosses the wire whole). Groups smaller
+    than k keep all their rows. Seed-free, rerun- and
+    shard-order-stable, SQL-expressible (row_number() OVER (PARTITION
+    BY keys ORDER BY (id*1103515245+12345)%2147483648, id) <= k)."""
+    from ..pipelines.relational import take_per_group
+
+    def rank(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        return tb.append_column("__h", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = take_per_group(ranked, keys, [("__h", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__h"]), batch_format="pyarrow", zero_copy_batch=True
+    )

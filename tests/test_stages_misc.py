@@ -295,3 +295,31 @@ def test_exact_k_sample_exact_stable_and_block_independent():
     # k larger than the corpus degrades to the full set
     c = exact_k_sample(rd.from_arrow(tb), "doc_id", 500).to_pandas()
     assert len(c) == 200
+
+
+def test_grouped_exact_k_sample_properties():
+    """Per-group exact-k: exact size per group (min(k, group size)),
+    block-layout invariance, determinism across reruns."""
+    import ray.data as rd
+
+    from grafter_ray.stages.sampling import grouped_exact_k_sample
+
+    n = 500
+    tb = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "g": pa.array([i % 7 if i % 7 < 5 else 5 for i in range(n)], pa.int64()),
+        }
+    )
+    # group 6 removed; group 5 doubled-ish; add a tiny group 9 of 2 rows
+    tb = pa.concat_tables(
+        [tb, pa.table({"id": pa.array([9001, 9002], pa.int64()), "g": pa.array([9, 9], pa.int64())})]
+    )
+    a = grouped_exact_k_sample(rd.from_arrow(tb).repartition(5), ["g"], "id", k=10).to_pandas()
+    b = grouped_exact_k_sample(rd.from_arrow(tb).repartition(2), ["g"], "id", k=10).to_pandas()
+    sizes = a.groupby("g").size().to_dict()
+    assert sizes[9] == 2  # smaller-than-k group keeps all rows
+    assert all(v == 10 for g, v in sizes.items() if g != 9)
+    ka = set(map(tuple, a[["g", "id"]].itertuples(index=False)))
+    kb = set(map(tuple, b[["g", "id"]].itertuples(index=False)))
+    assert ka == kb  # layout invariant

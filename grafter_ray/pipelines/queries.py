@@ -2750,6 +2750,51 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_cube_order_stats(sf_dir: str):
+    """GROUP BY CUBE: one corpus exchange for the finest level, all 2^k
+    subset levels cascade over group-sized results
+    (relational.cube_agg)."""
+    from .relational import cube_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = cube_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [("n", None, "count"), ("revenue_cents", "o_totalprice", "sum")],
+    )
+    return _fixed_point(out, ["revenue_cents"])
+
+
+SQL_CUBE_ORDER_STATS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_grouping_sets_events(sf_dir: str):
+    """GROUP BY GROUPING SETS over explicit non-chain subsets ((type),
+    (user_id), ()): each set is a group-sized re-aggregation of the one
+    finest exchange (relational.grouping_sets_agg)."""
+    from .relational import grouping_sets_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    out = grouping_sets_agg(
+        ds,
+        ["event_type", "user_id"],
+        [["event_type"], ["user_id"], []],
+        [("n", None, "count"), ("value_cents", "value", "sum")],
+    )
+    return _fixed_point(out, ["value_cents"])
+
+
+SQL_GROUPING_SETS_EVENTS = """
+SELECT event_type, user_id, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
 def q_priority_value_quartiles(sf_dir: str):
     """Exact grouped quartiles, few-huge-groups regime (distributed
     selection — driver sees O(blocks) count rows and ≤ 2·|groups|·3
@@ -3641,6 +3686,8 @@ QUERIES = {
     "order_value_median": q_order_value_median,
     "order_quartile_ranks": q_order_quartile_ranks,
     "rollup_order_stats": q_rollup_order_stats,
+    "cube_order_stats": q_cube_order_stats,
+    "grouping_sets_events": q_grouping_sets_events,
     "priority_value_quartiles": q_priority_value_quartiles,
     "user_value_median": q_user_value_median,
     "segment_top3_customers": q_segment_top3_customers,
@@ -3748,6 +3795,8 @@ ORACLE_SQL = {
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,
     "order_quartile_ranks": SQL_ORDER_QUARTILE_RANKS,
     "rollup_order_stats": SQL_ROLLUP_ORDER_STATS,
+    "cube_order_stats": SQL_CUBE_ORDER_STATS,
+    "grouping_sets_events": SQL_GROUPING_SETS_EVENTS,
     "priority_value_quartiles": SQL_PRIORITY_VALUE_QUARTILES,
     "user_value_median": SQL_USER_VALUE_MEDIAN,
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,

@@ -824,6 +824,85 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     return out
 
 
+def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]], specs: list[tuple[str, str | None, str]]):
+    """GROUP BY GROUPING SETS(sets): one aggregate stream per requested
+    key subset, rolled-up key columns emitted as NULL (SQL shape).
+
+    Same contract as rollup_agg (which is the chain-cascade special
+    case): how ∈ sum|min|max|count only (decomposable), key columns
+    non-null. The stream is scanned and exchanged ONCE at the finest
+    level (the union of all requested sets); every requested set then
+    re-aggregates that group-sized result — each extra set costs one
+    exchange over groups, never over the corpus. Duplicate sets are
+    legal (SQL emits duplicate rows) and cost one group-sized pass each.
+    """
+    bad = [how for _, _, how in specs if how not in ("sum", "min", "max", "count")]
+    if bad:
+        raise ValueError(f"grouping_sets_agg supports decomposable aggregates only, got {bad}")
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} names columns outside keys: {unknown}")
+
+    out_names = [out for out, _, _ in specs]
+    # finest level = the full key union: group-sized by the documented
+    # bound, and every requested set is a subset of it by construction
+    finest = grouped_agg(ds, keys, specs).materialize()
+    sch = finest.schema()
+    key_types = {k: sch.base_schema.field(k).type for k in keys}
+    cascade = [(out, out, "sum" if how == "count" else how) for out, _, how in specs]
+    count_outs = [out for out, _, how in specs if how == "count"]
+
+    def project(tb: pa.Table, present: list[str]) -> pa.Table:
+        # cascaded counts come back as sums — recast to SQL's BIGINT
+        for o in count_outs:
+            i = tb.schema.get_field_index(o)
+            tb = tb.set_column(i, o, pc.cast(tb.column(o), pa.int64()))
+        cols = {}
+        for k in keys:
+            cols[k] = tb.column(k) if k in present else pa.nulls(tb.num_rows, key_types[k])
+        for o in out_names:
+            cols[o] = tb.column(o)
+        return pa.table(cols)
+
+    levels = []
+    for s in sets:
+        s = list(s)
+        if sorted(s) == sorted(keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_agg(finest, s, cascade)
+        else:
+            # grand total: aggregate under a constant key, then drop it
+            tagged = finest.map_batches(
+                lambda tb: tb.append_column("__all", pa.nulls(tb.num_rows, pa.int8()).fill_null(0)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lvl = grouped_agg(tagged, ["__all"], cascade).map_batches(
+                lambda tb: tb.drop_columns(["__all"]), batch_format="pyarrow", zero_copy_batch=True
+            )
+        levels.append(
+            lvl.map_batches(
+                lambda tb, p=s: project(tb, p), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
+    """GROUP BY CUBE(keys): every subset of the key list (2^k grouping
+    sets — k is the handful of report dimensions, never data-sized).
+    One corpus exchange + 2^k group-sized passes via grouping_sets_agg."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, specs)
+
+
 def grouped_count_distinct(ds, keys: list[str], col: str, alias: str = "n_distinct"):
     """Exact per-group COUNT(DISTINCT col): map-side (keys, col) dedup
     shrinks each block to its distinct pairs BEFORE the single exchange,

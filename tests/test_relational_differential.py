@@ -187,3 +187,79 @@ def test_rollup_agg_rejects_non_decomposable():
 
     with pytest.raises(ValueError, match="decomposable"):
         rollup_agg(None, ["k"], [("m", "x", "mean")])
+
+
+def test_grouping_sets_and_cube_match_duckdb():
+    """Random GROUPING SETS (incl. duplicates and the empty set) and
+    full CUBE vs DuckDB: NULL in output keys means rolled-up; each set
+    re-aggregates the one finest exchange."""
+    from grafter_ray.pipelines.relational import cube_agg, grouping_sets_agg
+
+    rng = random.Random(424242)
+    n = 1500
+    tb = pa.table(
+        {
+            "a": pa.array([rng.randrange(3) for _ in range(n)], pa.int64()),
+            "b": pa.array([chr(97 + rng.randrange(4)) for _ in range(n)]),
+            "c": pa.array([rng.randrange(2) for _ in range(n)], pa.int64()),
+            "x": pa.array([float(rng.randrange(-50, 100)) for _ in range(n)]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tb)
+    keys = ["a", "b", "c"]
+    specs = [("n", None, "count"), ("s", "x", "sum"), ("mx", "x", "max")]
+
+    def norm(df):
+        df = df[keys + ["n", "s", "mx"]].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def check(out_df, sets, sets_sql):
+        # a column in NO set can't be selected in strict SQL — emit NULL
+        used = {k for s in sets for k in s}
+        types = {"a": "BIGINT", "b": "VARCHAR", "c": "BIGINT"}
+        sel = ", ".join(k if k in used else f"CAST(NULL AS {types[k]}) AS {k}" for k in keys)
+        ref = con.execute(
+            f"SELECT {sel}, count(*) AS n, sum(x) AS s, max(x) AS mx "
+            f"FROM t GROUP BY GROUPING SETS {sets_sql}"
+        ).fetchdf()
+        assert len(out_df) == len(ref), sets_sql
+        o_, r_ = norm(out_df), norm(ref.assign(n=ref.n.astype("int64")))
+        assert o_.equals(r_), (sets_sql, o_.compare(r_))
+
+    # hand-picked shapes: non-chain subsets, duplicate set, empty set
+    cases = [
+        ([["a", "c"], ["b"], []], "((a, c), (b), ())"),
+        ([["b"], ["b"], ["a", "b", "c"]], "((b), (b), (a, b, c))"),
+        ([[]], "(())"),
+    ]
+    # plus 3 random ones
+    pool = [[], ["a"], ["b"], ["c"], ["a", "b"], ["a", "c"], ["b", "c"], ["a", "b", "c"]]
+    for _ in range(3):
+        sets = [rng.choice(pool) for _ in range(rng.randrange(1, 4))]
+        sql = "(" + ", ".join("(" + ", ".join(s) + ")" for s in sets) + ")"
+        cases.append((sets, sql))
+    for sets, sql in cases:
+        out = grouping_sets_agg(rd.from_arrow(tb).repartition(5), keys, sets, specs).to_pandas()
+        check(out, sets, sql)
+
+    out = cube_agg(rd.from_arrow(tb).repartition(5), ["a", "b"], specs).to_pandas()
+    # cube over (a,b) leaves c entirely rolled up in our 3-key norm —
+    # compare against DuckDB CUBE directly on the two keys
+    ref = con.execute(
+        "SELECT a, b, count(*) AS n, sum(x) AS s, max(x) AS mx FROM t GROUP BY CUBE(a, b)"
+    ).fetchdf()
+    assert len(out) == len(ref)
+    cols = ["a", "b", "n", "s", "mx"]
+    o_ = out[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    r_ = ref.assign(n=ref.n.astype("int64"))[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert o_.equals(r_)
+
+
+def test_grouping_sets_rejects_unknown_key():
+    import pytest
+
+    from grafter_ray.pipelines.relational import grouping_sets_agg
+
+    with pytest.raises(ValueError, match="outside keys"):
+        grouping_sets_agg(None, ["k"], [["z"]], [("n", None, "count")])

@@ -555,6 +555,26 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Exactly-k WEIGHTED deterministic sample (priority sampling —
+    inclusion odds ~ weight): one IEEE division per row, block-local
+    top-k prune, single tiny merge (stages/sampling.py
+    weighted_sample_k). Value-weighted corpus mixing at 100 TB with a
+    bit-for-bit SQL spelling."""
+    from ..stages.sampling import weighted_sample_k
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return weighted_sample_k(ds, id_col="o_orderkey", weight_col="o_totalprice", k=30)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+WHERE o_totalprice > 0
+ORDER BY ((o_orderkey * 1103515245 + 12345) % 2147483648 + 1) / o_totalprice, o_orderkey
+LIMIT 30
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Global vocabulary top-k (classic word count at corpus scale):
     tokenize inside each block (Arrow split_pattern_regex), PRE-COUNT
@@ -3602,6 +3622,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "exact_k_sample": q_exact_k_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
+    "weighted_sample": q_weighted_sample,
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
@@ -3719,6 +3740,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -118,3 +118,43 @@ def grouped_exact_k_sample(ds, keys: list[str], id_col: str, k: int):
     return out.map_batches(
         lambda tb: tb.drop_columns(["__h"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def weighted_sample_k(ds, id_col: str, weight_col: str, k: int):
+    """Exactly-k WEIGHTED deterministic sample (priority sampling,
+    Duffield-Lund-Thorup JACM'07 shape): each row gets priority
+    u/w with u = (LCG(id)+1) in (0, 2^31] — rows with larger weight get
+    stochastically smaller keys, and the k smallest keys win, so
+    inclusion probability is ~ min(1, w/tau) for the k-th threshold tau.
+
+    Deterministic and SQL-exact BY CONSTRUCTION: the key is one IEEE
+    division of two exactly-representable values ((h+1) integer, w) —
+    no transcendental whose last ulp could differ between engines — so
+    the oracle spelling ORDER BY ((id*1103515245+12345)%2147483648 + 1)
+    / w, id LIMIT k reproduces the winner set bit-for-bit. Rows with
+    NULL or non-positive weight are excluded (zero mass cannot be
+    sampled; a negative weight is a caller bug surfaced by exclusion,
+    mirroring SQL's WHERE w > 0).
+
+    Scale shape = exact_k_sample: block-local top-k prunes each block to
+    <= k rows before the single tiny merge — the corpus is never sorted
+    or shuffled; seed-free, rerun- and shard-order-stable."""
+    from ..pipelines.relational import top_k
+
+    def rank(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = tb.column(weight_col)
+        tb = tb.filter(pc.and_kleene(pc.is_valid(w), pc.greater(w, 0)))
+        if tb.num_rows == 0:
+            return tb.append_column("__pri", pa.array([], pa.float64()))
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        wv = tb.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return tb.append_column("__pri", pa.array((h + 1).astype(np.float64) / wv, pa.float64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k(ranked, [("__pri", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__pri"]), batch_format="pyarrow", zero_copy_batch=True
+    )

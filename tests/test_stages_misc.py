@@ -323,3 +323,39 @@ def test_grouped_exact_k_sample_properties():
     ka = set(map(tuple, a[["g", "id"]].itertuples(index=False)))
     kb = set(map(tuple, b[["g", "id"]].itertuples(index=False)))
     assert ka == kb  # layout invariant
+
+
+def test_weighted_sample_k_properties():
+    """Priority-sampling invariants: exact size, block independence,
+    NULL/non-positive weights excluded, heavy weights overrepresented,
+    and the winner set equals the reference model."""
+    import ray.data as rd
+
+    from grafter_ray.stages.sampling import LCG_A, LCG_C, LCG_M, weighted_sample_k
+
+    n = 400
+    ids = list(range(n))
+    # ids < 100 get weight 50, the rest weight 1; sprinkle bad weights
+    w = [50.0 if i < 100 else 1.0 for i in ids]
+    w[5] = None
+    w[250] = 0.0
+    w[251] = -3.0
+    tb = pa.table({"id": pa.array(ids, pa.int64()), "w": pa.array(w, pa.float64())})
+
+    def model(k):
+        elig = [(i, wt) for i, wt in zip(ids, w) if wt is not None and wt > 0]
+        key = lambda p: (float((p[0] * LCG_A + LCG_C) % LCG_M + 1) / p[1], p[0])
+        return sorted(i for i, _ in sorted(elig, key=key)[:k])
+
+    a = weighted_sample_k(rd.from_arrow(tb).repartition(1), "id", "w", 80).to_pandas()
+    b = weighted_sample_k(rd.from_arrow(tb).repartition(13), "id", "w", 80).to_pandas()
+    want = model(80)
+    assert sorted(a["id"]) == want and sorted(b["id"]) == want
+    assert len(a) == 80
+    # excluded rows can never win even with k = corpus size
+    full = weighted_sample_k(rd.from_arrow(tb), "id", "w", n).to_pandas()
+    assert {5, 250, 251}.isdisjoint(set(full["id"]))
+    assert len(full) == n - 3
+    # 100 heavy rows (weight 50) vs 297 light: heavies dominate a k=80 draw
+    heavy = sum(1 for i in a["id"] if i < 100)
+    assert heavy > 60, heavy

@@ -590,10 +590,19 @@ class MergeActor:
         consumers prune old-chain point reads by key)."""
         pieces = []
         if new_rows is not None and new_rows.num_rows:
-            pos = pc.index_in(new_rows.column("last_lsn"), value_set=delta.column("lsn"))
             cols = {n: new_rows.column(n) for n in LAKE.names}
-            cols["kh1"] = pc.take(delta.column("kh1"), pos)
-            cols["kh2"] = pc.take(delta.column("kh2"), pos)
+            if len(pc.unique(delta.column("lsn"))) == delta.num_rows:
+                pos = pc.index_in(new_rows.column("last_lsn"), value_set=delta.column("lsn"))
+                cols["kh1"] = pc.take(delta.column("kh1"), pos)
+                cols["kh2"] = pc.take(delta.column("kh2"), pos)
+            else:
+                # duplicate lsns in the window (snapshot bootstrap pins
+                # every row at snapshot_lsn; chained syncs reuse one
+                # synthetic lsn) — an lsn first-match would hand every
+                # row the first key's hash, so hash the strings directly
+                h1, h2 = key_hash_pair(new_rows.column("repo"), new_rows.column("path"))
+                cols["kh1"] = pa.array(h1)
+                cols["kh2"] = pa.array(h2)
             cols["tomb"] = pa.array(np.zeros(new_rows.num_rows, dtype=bool))
             pieces.append(pa.table(cols, schema=DELTA_SCHEMA))
         tombs = delta.filter(pc.equal(delta.column("op_code"), pa.scalar(2, pa.int8())))
@@ -795,6 +804,107 @@ class CDCLake:
                 hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
                 manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
         return manifest
+
+    def bootstrap(
+        self,
+        snapshot,
+        snapshot_lsn: int = 0,
+        *,
+        schema_version: int = 0,
+        batch_size: int | None = None,
+        concurrency: int | None = None,
+    ) -> dict:
+        """Initial snapshot load (the CDC snapshot phase that precedes
+        binlog tailing — Debezium's snapshot→streaming handoff shape,
+        and the bulk `add` a reference ETL run starts with,
+        grafter repository.clj add → to-statements stream): turn the
+        source table's CURRENT state into upsert events pinned at
+        `snapshot_lsn` and bulk-apply them via the single_pass path
+        (every snapshot row survives LWW by construction, so the
+        two-pass metadata exchange would only add a second scan).
+
+        `snapshot` is a parquet path or Dataset with one row per key —
+        columns (repo, path, commit, lang, content[, schema_version]);
+        duplicate keys would tie on lsn and pick an undefined winner,
+        exactly as two source rows for one primary key would be a
+        corrupt source dump. The lake must be fresh (bootstrap is the
+        genesis commit); the binlog tail then applies from
+        snapshot_lsn+1 via the normal exactly-once watermark rule, so
+        `lake.apply(binlog)` after bootstrap skips everything the
+        snapshot already reflects.
+
+        `schema_version` seeds the lake's schema counter with the
+        source's version at snapshot time (the count of schema_change
+        markers the snapshot already reflects), so the evolved-column
+        VIEW after tailing matches a full-history replay exactly. It is
+        materialized as that many synthetic schema_change markers on
+        the lsns just below snapshot_lsn — the markers occupy real
+        binlog positions at the source, so snapshot_lsn >= their count
+        always holds for a faithful snapshot.
+        """
+        if self.manifest is not None:
+            raise ValueError("bootstrap requires a fresh lake (no prior commits)")
+        if snapshot_lsn < 0:
+            raise ValueError("snapshot_lsn must be >= 0")
+        if schema_version > snapshot_lsn + 1:
+            raise ValueError(
+                f"schema_version {schema_version} exceeds the lsns available below "
+                f"snapshot_lsn {snapshot_lsn} — not a faithful snapshot position"
+            )
+        import ray.data as rd
+
+        ds = rd.read_parquet(snapshot) if isinstance(snapshot, str) else snapshot
+        lsn_v = snapshot_lsn
+
+        def to_events(tb: pa.Table) -> pa.Table:
+            n = tb.num_rows
+            names = set(tb.column_names)
+            # a snapshot cut from a lake read carries event_schema_version
+            # (LAKE schema); a source dump may carry schema_version; else 0
+            if "schema_version" in names:
+                sv = tb.column("schema_version")
+            elif "event_schema_version" in names:
+                sv = tb.column("event_schema_version")
+            else:
+                sv = pa.nulls(n, pa.int32()).fill_null(0)
+            cols = {
+                "lsn": pa.nulls(n, pa.int64()).fill_null(lsn_v),
+                "op": pa.nulls(n, pa.string()).fill_null("upsert"),
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content": tb.column("content"),
+                "schema_version": pc.cast(sv, pa.int32()),
+            }
+            return pa.table(cols)
+
+        events = ds.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True)
+        if schema_version:
+            k = schema_version
+            marker_lsns = np.arange(snapshot_lsn - k + 1, snapshot_lsn + 1, dtype=np.int64)
+            markers = pa.table(
+                {
+                    "lsn": pa.array(marker_lsns),
+                    "op": pa.nulls(k, pa.string()).fill_null("schema_change"),
+                    "repo": pa.nulls(k, pa.string()),
+                    "path": pa.nulls(k, pa.string()),
+                    "commit": pa.nulls(k, pa.string()),
+                    "lang": pa.nulls(k, pa.string()),
+                    "content": pa.nulls(k, pa.string()),
+                    "schema_version": pa.array(np.arange(1, k + 1, dtype=np.int32)),
+                }
+            )
+            import ray.data as rd  # noqa: F811 (same module alias as above)
+
+            events = events.union(rd.from_arrow(markers))
+        return self.apply(
+            events,
+            upto_lsn=snapshot_lsn,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            payload_mode="single_pass",
+        )
 
     def _max_lsn(self, binlog):
         """Watermark probe. For parquet paths this must NOT scan the
@@ -1685,3 +1795,67 @@ class CDCLake:
         tb = pa.concat_tables(tabs, promote_options="none") if tabs else LAKE.empty_table()
         tb = tb.sort_by([("repo", "ascending"), ("path", "ascending")])
         return apply_view(tb, self.schema_version) if view else tb
+
+
+def compact_binlog(binlog, lo: int | None = None, hi: int | None = None):
+    """Replay-equivalent binlog compaction: keep each key's winning
+    event only (max lsn — upsert OR delete, so a lake that already
+    holds the key still sees the retraction) plus every schema_change
+    marker (each bumps schema_version during replay). The output is
+    itself a valid binlog: applying it to a fresh lake converges to the
+    same table state, watermark and schema_version as replaying the
+    full range, at a fraction of the events — the standard WAL-segment
+    compaction a 10^10-event tail needs before archival or re-replay.
+
+    One scan, one keyed exchange: schema markers borrow a synthetic
+    unique key (\\x00schema\\x00<lsn> can never collide with a repo
+    name) so a single take_per_group pass keeps them all while pruning
+    data events map-side to one candidate per key per block — a hot
+    key's events never cross the wire whole.
+
+    `binlog` is a parquet path or Dataset; lo/hi bound the LSN range
+    (parquet paths push the range into the row-group read).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..schemas import OP_SCHEMA
+    from .relational import take_per_group
+
+    if isinstance(binlog, str):
+        expr = None
+        if lo is not None or hi is not None:
+            expr = (pads.field("lsn") >= (lo or 0)) & (
+                pads.field("lsn") <= (hi if hi is not None else (1 << 62))
+            )
+        ds = rd.read_parquet(binlog, filter=expr)
+    else:
+        ds = binlog
+        if lo is not None or hi is not None:
+            l, h = lo or 0, hi if hi is not None else (1 << 62)
+
+            def in_range(tb: pa.Table) -> pa.Table:
+                return tb.filter(
+                    pc.and_(pc.greater_equal(tb.column("lsn"), l), pc.less_equal(tb.column("lsn"), h))
+                )
+
+            ds = ds.map_batches(in_range, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keyed(tb: pa.Table) -> pa.Table:
+        is_schema = pc.equal(tb.column("op"), OP_SCHEMA)
+        marker = pc.binary_join_element_wise(
+            "\x00schema\x00", pc.cast(tb.column("lsn"), pa.string()), ""
+        )
+        k1 = pc.if_else(is_schema, marker, tb.column("repo"))
+        k2 = pc.if_else(is_schema, pa.scalar("", pa.string()), tb.column("path"))
+        return tb.append_column("__k1", k1).append_column("__k2", k2)
+
+    out = take_per_group(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["__k1", "__k2"],
+        [("lsn", "descending")],
+        1,
+    )
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__k1", "__k2"]), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,127 @@
+"""Snapshot bootstrap (the CDC snapshot->streaming handoff) and
+replay-equivalent binlog compaction: both must converge to the same
+lake state, watermark and schema_version as a full-history replay
+(oracle = grafter_ray.oracle, itself validated against the reference
+replay semantics in test_replay.py)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, compact_binlog
+from grafter_ray.oracle import oracle_lake_table, oracle_view_table
+
+
+CFG = BinlogConfig(n_events=6_000, n_keys=400, n_repos=10, schema_every=1_500)
+
+
+def _sha_list(tb: pa.Table) -> list[str]:
+    return tb.column("content_sha").to_pylist()
+
+
+def test_bootstrap_then_tail_matches_full_replay(tmp_path):
+    full = binlog_table(CFG)
+    S = 2_999
+    snap, ver = oracle_lake_table(full, upto_lsn=S)
+    assert ver == 2  # markers at 1499 and 2999
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    m0 = lake.bootstrap(
+        rd.from_arrow(snap.select(["repo", "path", "commit", "lang", "content", "event_schema_version"])),
+        snapshot_lsn=S,
+        schema_version=ver,
+    )
+    assert m0["watermark_lsn"] == S
+    assert m0["schema_version"] == ver
+    # genesis commit reflects the snapshot row count
+    assert sum(e["rows"] for e in m0["partitions"].values()) == snap.num_rows
+
+    # tail replay: watermark rule skips everything <= S automatically
+    m1 = lake.apply(rd.from_arrow(full))
+    want = oracle_view_table(full)
+    got = lake.read_table(view=True)
+    assert got.column_names == want.column_names
+    assert _sha_list(got) == _sha_list(want)
+    assert m1["schema_version"] == 4  # 2 seeded + 2 tailed
+
+    # re-apply is a no-op (exactly-once)
+    m2 = lake.apply(rd.from_arrow(full))
+    assert m2["version"] == m1["version"]
+
+
+def test_bootstrap_guards(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    snap = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"],
+            "content": ["x"],
+        }
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="faithful snapshot"):
+        lake.bootstrap(rd.from_arrow(snap), snapshot_lsn=0, schema_version=5)
+    lake.bootstrap(rd.from_arrow(snap), snapshot_lsn=0)
+    with pytest.raises(ValueError, match="fresh lake"):
+        lake.bootstrap(rd.from_arrow(snap), snapshot_lsn=3)
+
+
+def test_compact_binlog_replay_equivalent(tmp_path):
+    full = binlog_table(CFG)
+    comp = compact_binlog(rd.from_arrow(full)).materialize()
+
+    # strictly smaller (hot keys collapse), every schema marker kept
+    n_comp = comp.count()
+    assert n_comp < CFG.n_events
+    ct = pa.Table.from_pylist(comp.take_all())
+    n_markers = pc.sum(pc.cast(pc.equal(ct.column("op"), "schema_change"), pa.int64())).as_py()
+    assert n_markers == CFG.n_schema_events
+    # one event per key, and it is that key's max lsn
+    data = ct.filter(pc.not_equal(ct.column("op"), "schema_change"))
+    keys = list(zip(data.column("repo").to_pylist(), data.column("path").to_pylist()))
+    assert len(keys) == len(set(keys))
+    import collections
+
+    best: dict = collections.defaultdict(int)
+    ft = full.filter(pc.not_equal(full.column("op"), "schema_change"))
+    for r, p, l in zip(
+        ft.column("repo").to_pylist(), ft.column("path").to_pylist(), ft.column("lsn").to_pylist()
+    ):
+        best[(r, p)] = max(best[(r, p)], l)
+    got_lsn = {k: l for k, l in zip(keys, data.column("lsn").to_pylist())}
+    assert got_lsn == dict(best)
+
+    # replaying the compacted log converges to the identical lake
+    la = CDCLake(str(tmp_path / "a"), num_partitions=8)
+    ma = la.apply(rd.from_arrow(full))
+    lb = CDCLake(str(tmp_path / "b"), num_partitions=8)
+    mb = lb.apply(comp)
+    assert mb["watermark_lsn"] == ma["watermark_lsn"]
+    assert mb["schema_version"] == ma["schema_version"]
+    ta, tbv = la.read_table(view=True), lb.read_table(view=True)
+    assert ta.column_names == tbv.column_names
+    assert _sha_list(ta) == _sha_list(tbv)
+
+
+def test_compact_binlog_lsn_range_from_parquet(tmp_path):
+    full = binlog_table(CFG)
+    path = str(tmp_path / "binlog")
+    os.makedirs(path)
+    import pyarrow.parquet as pq
+
+    pq.write_table(full, os.path.join(path, "part-0.parquet"))
+    lo, hi = 1_000, 3_999
+    comp = pa.Table.from_pylist(compact_binlog(path, lo=lo, hi=hi).take_all())
+    assert comp.num_rows > 0
+    lsns = comp.column("lsn").to_pylist()
+    assert min(lsns) >= lo and max(lsns) <= hi
+    # equivalent to compacting the sliced table
+    want = pa.Table.from_pylist(
+        compact_binlog(rd.from_arrow(full.filter(
+            pc.and_(pc.greater_equal(full.column("lsn"), lo), pc.less_equal(full.column("lsn"), hi))
+        ))).take_all()
+    )
+    key = lambda t: sorted(map(tuple, zip(t.column("lsn").to_pylist(), t.column("op").to_pylist())))
+    assert key(comp) == key(want)

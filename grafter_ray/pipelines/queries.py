@@ -963,6 +963,47 @@ GROUP BY g.doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet §4.3 head/middle/tail perplexity buckets per language:
+    self-trained bigram scores with lang riding the bigram relation,
+    fixed-point rounding BEFORE ranking (integer-exact order), one
+    window exchange for the per-language ntile (stages/lm.py
+    ccnet_buckets)."""
+    from ..stages.lm import ccnet_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return ccnet_buckets(ds, id_col="doc_id", text_col="text", lang_col="lang")
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+), toks AS (
+  SELECT doc_id, unnest(a) AS tok, unnest(generate_series(1, len(a))) AS ord FROM arrs
+), toks2 AS (
+  SELECT * FROM toks WHERE tok <> ''
+), big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks2 a JOIN toks2 b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+   c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+scores AS (
+  SELECT g.doc_id,
+         CAST(round(sum(ln((c2.c2 + 1.0) / (c1.c1 + 4096.0))) / count(*) * 1000000) AS BIGINT)
+           AS avg_logprob_e6
+  FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, lang, avg_logprob_e6,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT s.doc_id, d.lang, s.avg_logprob_e6,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logprob_e6 DESC, s.doc_id) AS nt
+  FROM scores s JOIN documents d USING (doc_id)
+)
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Deterministic Lloyd's k-means over the embedding column (the
     SemDeDup / data-mixture clustering shape): broadcast k×d centroids,
@@ -3639,6 +3680,7 @@ QUERIES = {
     "ann_batch": q_ann_batch,
     "ann_lsh": q_ann_lsh,
     "lm_score": q_lm_score,
+    "ccnet_buckets": q_ccnet_buckets,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "simhash_pairs": q_simhash_pairs,
@@ -3754,6 +3796,7 @@ ORACLE_SQL = {
     "jaccard_pairs_prefix": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,
     "lm_score": SQL_LM_SCORE,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,

@@ -51,7 +51,9 @@ import pyarrow.compute as pc
 _TOKEN_SPLIT = r"\s+"
 
 
-def _bigram_block_counts(tb: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _bigram_block_counts(
+    tb: pa.Table, id_col: str, text_col: str, carry_cols: list[str] | None = None
+) -> pa.Table:
     """(doc_id, w1, w2, k): per-block pre-counted bigram multiplicities.
 
     Tokenization mirrors the SQL oracle exactly:
@@ -59,6 +61,7 @@ def _bigram_block_counts(tb: pa.Table, id_col: str, text_col: str) -> pa.Table:
     impossible with \\s+ after trim, so the only '' token is the single
     one a whitespace-only document yields — which forms no bigram.
     """
+    carry = carry_cols or []
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _TOKEN_SPLIT)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -66,104 +69,173 @@ def _bigram_block_counts(tb: pa.Table, id_col: str, text_col: str) -> pa.Table:
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     n = int(lens.sum())
     if n == 0:
-        return pa.table(
-            {
-                id_col: pa.array([], tb.schema.field(id_col).type),
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "k": pa.array([], pa.int64()),
-            }
-        )
+        cols = {id_col: pa.array([], tb.schema.field(id_col).type)}
+        for c in carry:
+            cols[c] = pa.array([], tb.schema.field(c).type)
+        cols.update({"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()), "k": pa.array([], pa.int64())})
+        return pa.table(cols)
     # a position i pairs with i+1 unless it is the last token of its doc
     last = np.cumsum(lens) - 1  # last flat index per doc (lens==0 docs yield -1 … masked below)
     keep = np.ones(n, dtype=bool)
     keep[last[lens > 0]] = False
     left = np.nonzero(keep)[0]
-    doc_ids = tb.column(id_col).take(pa.array(np.repeat(np.arange(len(lens)), lens)[left]))
-    pairs = pa.table(
-        {
-            id_col: doc_ids,
-            "w1": flat.take(pa.array(left)),
-            "w2": flat.take(pa.array(left + 1)),
-        }
-    )
-    g = pairs.group_by([id_col, "w1", "w2"]).aggregate([("w1", "count")])
-    return pa.table(
-        {
-            id_col: g.column(id_col),
-            "w1": g.column("w1"),
-            "w2": g.column("w2"),
-            "k": pc.cast(g.column("w1_count"), pa.int64()),
-        }
-    )
+    row_of = pa.array(np.repeat(np.arange(len(lens)), lens)[left])
+    pairs_cols = {id_col: tb.column(id_col).take(row_of)}
+    for c in carry:
+        pairs_cols[c] = tb.column(c).take(row_of)
+    pairs_cols["w1"] = flat.take(pa.array(left))
+    pairs_cols["w2"] = flat.take(pa.array(left + 1))
+    pairs = pa.table(pairs_cols)
+    # carry cols are functionally dependent on the doc id, so adding them
+    # to the local group key changes nothing but keeps them in the output
+    g = pairs.group_by([id_col, *carry, "w1", "w2"]).aggregate([("w1", "count")])
+    out = {id_col: g.column(id_col)}
+    for c in carry:
+        out[c] = g.column(c)
+    out["w1"] = g.column("w1")
+    out["w2"] = g.column("w2")
+    out["k"] = pc.cast(g.column("w1_count"), pa.int64())
+    return pa.table(out)
 
 
-def bigram_logprob_scores(ds, id_col: str = "doc_id", text_col: str = "text", smooth: float = 4096.0):
+def bigram_logprob_scores(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth: float = 4096.0,
+    carry_cols: list[str] | None = None,
+):
     """Score every document by its average bigram log-probability under a
     self-trained add-one-smoothed bigram LM (module docstring has the
-    distributed plan). Returns a Dataset (id_col, n_bigrams, avg_logprob);
-    docs with < 2 tokens are absent."""
+    distributed plan). Returns a Dataset (id_col, *carry_cols, n_bigrams,
+    avg_logprob); docs with < 2 tokens are absent. carry_cols (small
+    per-doc attributes functionally dependent on the id, e.g. lang) ride
+    the bigram relation — a constant-factor width add, no extra join."""
     from ..pipelines.relational import grouped_agg
     from .grouped import grouped_block_map, key_segments
 
+    carry = list(carry_cols or [])
     partials = ds.map_batches(
-        lambda tb: _bigram_block_counts(tb, id_col, text_col),
+        lambda tb: _bigram_block_counts(tb, id_col, text_col, carry),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
     def c2_pass(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
-            return pa.table(
-                {
-                    id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64()),
-                    "w1": pa.array([], pa.string()),
-                    "k": pa.array([], pa.int64()),
-                    "a_part": pa.array([], pa.float64()),
-                }
-            )
+            cols = {id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64())}
+            for c in carry:
+                cols[c] = tb.column(c) if c in tb.schema.names else pa.array([], pa.string())
+            cols.update({"w1": pa.array([], pa.string()), "k": pa.array([], pa.int64()), "a_part": pa.array([], pa.float64())})
+            return pa.table(cols)
         starts, ends = key_segments(tb, ["w1", "w2"])
         k = tb.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
         c2_run = np.add.reduceat(k, starts)
         c2 = np.repeat(c2_run, ends - starts)
-        return pa.table(
-            {
-                id_col: tb.column(id_col),
-                "w1": tb.column("w1"),
-                "k": tb.column("k"),
-                "a_part": pa.array(k * np.log(c2 + 1.0), pa.float64()),
-            }
-        )
+        cols = {id_col: tb.column(id_col)}
+        for c in carry:
+            cols[c] = tb.column(c)
+        cols["w1"] = tb.column("w1")
+        cols["k"] = tb.column("k")
+        cols["a_part"] = pa.array(k * np.log(c2 + 1.0), pa.float64())
+        return pa.table(cols)
 
     def c1_pass(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
-            return pa.table(
-                {
-                    id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64()),
-                    "k": pa.array([], pa.int64()),
-                    "s_part": pa.array([], pa.float64()),
-                }
-            )
+            cols = {id_col: tb.column(id_col) if id_col in tb.schema.names else pa.array([], pa.int64())}
+            for c in carry:
+                cols[c] = tb.column(c) if c in tb.schema.names else pa.array([], pa.string())
+            cols.update({"k": pa.array([], pa.int64()), "s_part": pa.array([], pa.float64())})
+            return pa.table(cols)
         starts, ends = key_segments(tb, ["w1"])
         k = tb.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
         c1_run = np.add.reduceat(k, starts)
         c1 = np.repeat(c1_run, ends - starts)
         a = tb.column("a_part").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: tb.column(id_col),
-                "k": tb.column("k"),
-                "s_part": pa.array(a - k * np.log(c1 + float(smooth)), pa.float64()),
-            }
-        )
+        cols = {id_col: tb.column(id_col)}
+        for c in carry:
+            cols[c] = tb.column(c)
+        cols["k"] = tb.column("k")
+        cols["s_part"] = pa.array(a - k * np.log(c1 + float(smooth)), pa.float64())
+        return pa.table(cols)
 
     with_c2 = grouped_block_map(partials, ["w1", "w2"], c2_pass)
     with_c1 = grouped_block_map(with_c2, ["w1"], c1_pass)
-    agg = grouped_agg(with_c1, [id_col], [("n_bigrams", "k", "sum"), ("s", "s_part", "sum")])
+    agg = grouped_agg(
+        with_c1, [id_col, *carry], [("n_bigrams", "k", "sum"), ("s", "s_part", "sum")]
+    )
 
     def finish(tb: pa.Table) -> pa.Table:
         n = pc.cast(tb.column("n_bigrams"), pa.int64())
         avg = pc.divide(pc.cast(tb.column("s"), pa.float64()), pc.cast(n, pa.float64()))
-        return pa.table({id_col: tb.column(id_col), "n_bigrams": n, "avg_logprob": avg})
+        cols = {id_col: tb.column(id_col)}
+        for c in carry:
+            cols[c] = tb.column(c)
+        cols["n_bigrams"] = n
+        cols["avg_logprob"] = avg
+        return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_buckets(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    smooth: float = 4096.0,
+    tiles: int = 3,
+):
+    """CCNet-style per-language perplexity buckets (CCNet §4.3: split
+    each language's documents into head/middle/tail thirds by LM score).
+
+    Composition, all house stages: self-trained bigram scores with the
+    language riding the bigram relation (no corpus-side join), score
+    rounded to 1e-6 fixed-point FIRST — so the rank order is
+    integer-exact and cross-engine reproducible, no float-boundary
+    flapping — then one window exchange: ntile(tiles) per language over
+    (score DESC, id). Higher avg_logprob = more in-distribution = head.
+
+    Returns (id_col, lang_col, avg_logprob_e6, bucket) with bucket in
+    head|middle|tail for tiles=3, else 'q<k>'.
+    """
+    from .analytic import window_functions
+
+    scores = bigram_logprob_scores(ds, id_col, text_col, smooth=smooth, carry_cols=[lang_col])
+
+    def e6(tb: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(tb.column("avg_logprob"), pa.scalar(1e6))), pa.int64())
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                lang_col: tb.column(lang_col),
+                "avg_logprob_e6": v,
+                "__neg": pc.negate(v),
+            }
+        )
+
+    ranked = window_functions(
+        scores.map_batches(e6, batch_format="pyarrow", zero_copy_batch=True),
+        [lang_col],
+        ["__neg", id_col],
+        [("__tile", None, "ntile", tiles)],
+    )
+    names = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if tiles == 3
+        else {i: f"q{i}" for i in range(1, tiles + 1)}
+    )
+
+    def finish(tb: pa.Table) -> pa.Table:
+        t = tb.column("__tile").to_numpy(zero_copy_only=False)
+        lut = np.array([""] + [names[i] for i in range(1, tiles + 1)], dtype=object)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                lang_col: tb.column(lang_col),
+                "avg_logprob_e6": tb.column("avg_logprob_e6"),
+                "bucket": pa.array(lut[t], pa.string()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

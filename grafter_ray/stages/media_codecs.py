@@ -7,7 +7,9 @@ specified publicly (RIFF/WAVE: Microsoft multimedia spec; BMP: Windows
 BITMAPINFOHEADER; PPM: netpbm; AVI: Microsoft 'AVI RIFF File Reference').
 Implementing them in numpy upgrades the multimodal stages from
 deterministic fakes to REAL decode paths on self-generated corpora;
-compressed formats (png/jpeg/mp3/mp4) still raise honestly.
+PNG decodes for real too (DEFLATE via the stdlib zlib; all five
+scanline filters); the codec-library formats (jpeg/mp3/mp4) and Adam7
+interlace still raise honestly.
 
 All decoders take `bytes` and return numpy arrays; all encoders are the
 exact inverses used by the test fixtures and `synth_media_table`.
@@ -218,4 +220,144 @@ def sniff_image(payload: bytes) -> str | None:
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
+
+
+# ---------------------------------------------------------------------------
+# PNG — ISO/IEC 15948 (W3C PNG spec), 8-bit gray / gray+alpha / RGB / RGBA.
+# DEFLATE comes from CPython's built-in zlib, so unlike jpeg/mp4 this
+# compressed format needs no external codec library: chunk framing, the
+# five scanline filters and Adam7 detection are implemented here from the
+# public spec. Interlaced (Adam7) and <8/16-bit depths raise honestly.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit PNG from (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB or
+    (h, w, 4) RGBA uint8. Scanlines use filter 0 (None) — simplicity over
+    ratio; decode_png handles all five filters regardless."""
+    import zlib
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise MediaDecodeError(f"unsupported channel count {ch}")
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters. Rows are sequential (Up /
+    Average / Paeth reference the prior row); within a row, Sub is a
+    per-byte-lane cumulative sum and Average/Paeth walk pixels with the
+    byte lanes vectorized."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumulative per byte lane
+            lanes = cur.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is None:
+                raise MediaDecodeError("corrupt PNG stride")
+            rec = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = cur.copy()
+            p = prev.astype(np.int32)
+            rec[:bpp] = (cur[:bpp] + p[:bpp] // 2) % 256
+            for x in range(bpp, stride, bpp):
+                rec[x : x + bpp] = (
+                    cur[x : x + bpp] + (rec[x - bpp : x] + p[x : x + bpp]) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            p = prev.astype(np.int32)
+            rec[:bpp] = (cur[:bpp] + p[:bpp]) % 256  # left=0, ul=0 → predictor = up
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp : x]
+                b = p[x : x + bpp]
+                c = p[x - bpp : x]
+                pp = a + b - c
+                pa_, pb, pc_ = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+                rec[x : x + bpp] = (cur[x : x + bpp] + pred) % 256
+        else:
+            raise MediaDecodeError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB. Gray expands to RGB; alpha is dropped
+    (composited over nothing — the feature-extraction front end wants
+    opaque pixels). 8-bit, non-interlaced only; Adam7 and 1/2/4/16-bit
+    depths raise MediaDecodeError honestly."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = depth = color = interlace = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise MediaDecodeError("PNG missing IHDR/IDAT")
+    if depth != 8:
+        raise MediaDecodeError(f"unsupported PNG bit depth {depth} (8 only)")
+    if interlace != 0:
+        raise MediaDecodeError("Adam7 interlaced PNG unsupported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise MediaDecodeError(f"unsupported PNG color type {color} (palette needs PLTE)")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError("PNG data length mismatch")
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()

@@ -10,7 +10,7 @@ layout — is real and tested. Codec coverage is split honestly:
   24-bit), PPM (P6), minimal uncompressed AVI — so the full pipeline
   (parse → tensor → resize/frame-sample → features) runs end-to-end on
   self-generated corpora with no codec library.
-- COMPRESSED formats (png/jpeg/mp3/mp4) need PIL/soundfile/av, which
+- codec-library formats (jpeg/mp3/mp4) need PIL/soundfile/av, which
   this container lacks: with `strict=True` an undecodable payload raises
   NotImplementedError; by default it falls back to the deterministic
   digest-fake decoder so shape/schema plumbing stays testable.
@@ -50,7 +50,7 @@ except ImportError:
 
 class DecodeImageStage:
     """Actor-pool stage: payload bytes → (height, width, 3) uint8 tensor
-    + basic features. BMP/PPM payloads decode for real (media_codecs.py);
+    + basic features. BMP/PPM/PNG payloads decode for real (media_codecs.py);
     other formats go to PIL when present, else the digest fake
     (``strict=True`` raises instead). Use as
     ``ds.map_batches(DecodeImageStage, concurrency=(1, N), **PAYLOAD_BATCH_KWARGS)``.
@@ -62,13 +62,15 @@ class DecodeImageStage:
         self.strict = strict
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        from .media_codecs import decode_bmp, decode_ppm, resize_nearest, sniff_image
+        from .media_codecs import decode_bmp, decode_png, decode_ppm, resize_nearest, sniff_image
 
         kind = sniff_image(payload)
         if kind == "bmp":
             return resize_nearest(decode_bmp(payload), self.h, self.w)
         if kind == "ppm":
             return resize_nearest(decode_ppm(payload), self.h, self.w)
+        if kind == "png":
+            return resize_nearest(decode_png(payload), self.h, self.w)
         if _HAVE_PIL:  # pragma: no cover
             import io
 
@@ -79,7 +81,7 @@ class DecodeImageStage:
         if self.strict:
             raise NotImplementedError(
                 "compressed image codec not available in this environment (PIL missing); "
-                "only BMP/PPM decode natively"
+                "only BMP/PPM/PNG decode natively"
             )
         # deterministic fake decoder: pixels derived from payload digest so
         # the full pipeline (schema, shapes, feature math) is testable
@@ -244,15 +246,17 @@ def _synth_rgb(i: int, h: int, w: int) -> np.ndarray:
 
 def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
     """Deterministic synthetic media corpus. For the natively-decodable
-    kinds (image/bmp, image/ppm, audio/wav, video/avi) the payloads are
+    kinds (image/bmp, image/ppm, image/png, audio/wav, video/avi) the payloads are
     REAL encoded files (media_codecs.py), so downstream stages exercise
     the true parse→tensor path; other kinds get seeded digest bytes for
     the fake-decode plumbing."""
-    from .media_codecs import encode_avi, encode_bmp, encode_ppm, encode_wav
+    from .media_codecs import encode_avi, encode_bmp, encode_png, encode_ppm, encode_wav
 
     ids = np.arange(n, dtype=np.int64)
     if kind == "image/bmp":
         payloads = [encode_bmp(_synth_rgb(int(i), 24, 33)) for i in ids]  # odd width → row padding
+    elif kind == "image/png":
+        payloads = [encode_png(_synth_rgb(int(i), 24, 33)) for i in ids]
     elif kind == "image/ppm":
         payloads = [encode_ppm(_synth_rgb(int(i), 24, 33)) for i in ids]
     elif kind == "audio/wav":

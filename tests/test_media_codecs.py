@@ -104,3 +104,124 @@ def test_strict_stage_raises_on_undecodable():
     stage = AudioFrameSampleStage(strict=True)
     with pytest.raises(NotImplementedError):
         stage._energies(b"ID3\x04mp3 junk")
+
+
+def test_png_roundtrip_all_channel_layouts():
+    from grafter_ray.stages.media_codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    out = decode_png(encode_png(gray))
+    assert (out == np.repeat(gray[:, :, None], 3, axis=2)).all()
+    ga = rng.integers(0, 256, (6, 4, 2), dtype=np.uint8)
+    out = decode_png(encode_png(ga))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba))
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_png_all_five_scanline_filters_decode():
+    """Hand-filter each scanline with a different filter type (the
+    encoder only emits filter 0) and check reconstruction is exact."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from grafter_ray.stages.media_codecs import decode_png
+
+    rng = np.random.default_rng(99)
+    h, w, bpp = 5, 6, 3
+    img = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
+    rows = img.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros(w * bpp, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        else:
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul))
+            filt = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_honest_raises():
+    import struct
+    import zlib
+
+    import pytest
+
+    from grafter_ray.stages.media_codecs import MediaDecodeError, decode_png, encode_png
+
+    with pytest.raises(MediaDecodeError, match="not a PNG"):
+        decode_png(b"JFIF....")
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    # Adam7 interlace
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="Adam7"):
+        decode_png(p)
+    # 16-bit depth
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="bit depth"):
+        decode_png(p)
+
+
+def test_png_sniff_and_decode_stage():
+    import ray.data as rd
+
+    from grafter_ray.stages.media_codecs import sniff_image
+    from grafter_ray.stages.multimodal import (
+        PAYLOAD_BATCH_KWARGS,
+        DecodeImageStage,
+        synth_media_table,
+    )
+
+    tb = synth_media_table(6, kind="image/png")
+    assert sniff_image(tb.column("payload")[0].as_py()) == "png"
+    # strict=True: PNG now decodes natively — no NotImplementedError
+    out = (
+        rd.from_arrow(tb)
+        .map_batches(DecodeImageStage(target_size=(16, 16), strict=True), **PAYLOAD_BATCH_KWARGS)
+        .to_pandas()
+    )
+    assert len(out) == 6
+    assert len(out["pixels"][0]) == 16 * 16 * 3

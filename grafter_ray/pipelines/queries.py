@@ -2879,6 +2879,19 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_approx_value_percentiles(sf_dir: str):
+    """Single-pass per-group approximate quantiles (KLL sketch): one
+    exchange of ~k-item sketch rows, a hot group's raw rows never move
+    (stages/kll.py). No SQL oracle — the estimate is rank-bounded, not
+    value-exact; tests/test_kll.py asserts the error bound vs exact."""
+    from ..stages.kll import grouped_approx_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_approx_quantiles(
+        ds, ["o_orderpriority"], "o_totalprice", {"p50": 0.5, "p90": 0.9}, k=256
+    )
+
+
 def q_source_distinct_langs(sf_dir: str):
     """Exact per-group COUNT(DISTINCT): map-side pair dedup, one
     distinct-pair exchange, grouped count (relational
@@ -3670,6 +3683,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "normalize_docs": q_normalize_docs,
     "approx_distinct_texts": q_approx_distinct_texts,
+    "approx_value_percentiles": q_approx_value_percentiles,
     "source_distinct_langs": q_source_distinct_langs,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,

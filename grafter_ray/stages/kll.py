@@ -1,0 +1,212 @@
+"""Mergeable approximate-quantile sketch (KLL shape) at corpus scale.
+
+The exact grouped quantiles (stages/quantiles.py) cover both exact
+regimes: many small groups (segment interpolation after one key
+exchange) and few huge groups (distributed selection). What they cannot
+do is a SINGLE-PASS percentile over a 100-TB column — selection needs a
+second targeted read. The standard answer is a mergeable rank sketch
+(Karnin-Lang-Liberty, FOCS'16 family): every block builds a small
+sketch, sketches merge associatively, and the merged sketch answers any
+quantile with rank error ~ O(n/k).
+
+This implementation keeps the KLL level structure (level i holds items
+of weight 2^i) with equal per-level capacity k and DETERMINISTIC
+compaction: the keep-even/keep-odd choice is an LCG step of
+(level, compaction count) — seed-free, so re-running a shard or merging
+in any grouping produces the same sketch for the same multiset order.
+(Block order still affects which items survive — the sketch is an
+approximation; only its ERROR BOUND, not its exact content, is
+order-free. Tests therefore assert rank error, not byte equality.)
+
+Distributed plumbing:
+- approx_quantiles: map_batches → one serialized sketch row per block
+  (items + their power-of-two weights), driver merges O(blocks) small
+  sketches — bounded by block count, never by rows.
+- grouped_approx_quantiles: per-block per-key sketch rows, ONE key
+  exchange of sketch rows (≤ groups × blocks, each ~k items), per-key
+  merge in a vectorized segment pass. A hot key costs its merge fan-in,
+  never its raw rows — this is the shape that survives a 10^9-row group.
+
+Reference anchor: the reference has no sketching (RDF engine); this
+extends the aggregate family of SURVEY.md §2.5 the way HLL
+(stages/sketch.py) extends COUNT(DISTINCT).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+class KLLSketch:
+    """Equal-capacity KLL: levels[i] is a sorted float64 array of items
+    with weight 2^i; level buffers compact upward when they exceed k."""
+
+    __slots__ = ("k", "levels", "n", "n_compactions")
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self.n_compactions = 0
+
+    # -- build -------------------------------------------------------------
+    def add_batch(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def add_weighted(self, items: np.ndarray, weights: np.ndarray) -> "KLLSketch":
+        """Insert items that already carry power-of-two weights (merge
+        path): weight 2^i goes straight to level i."""
+        items = np.asarray(items, np.float64)
+        weights = np.asarray(weights, np.int64)
+        if len(items) == 0:
+            return self
+        lvl = np.log2(weights).astype(np.int64)
+        if not np.array_equal(weights, np.int64(1) << lvl):
+            raise ValueError("KLL merge weights must be powers of two")
+        self.n += int(weights.sum())
+        top = int(lvl.max())
+        while len(self.levels) <= top:
+            self.levels.append(np.empty(0, np.float64))
+        for i in range(top + 1):
+            sel = items[lvl == i]
+            if len(sel):
+                self.levels[i] = np.concatenate([self.levels[i], sel])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        items, weights = other.items_weights()
+        return self.add_weighted(items, weights)
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i])
+                # deterministic even/odd pick per (level, compaction id)
+                h = ((i + 1) * _LCG_A + self.n_compactions * _LCG_C) % _LCG_M
+                keep = buf[(h & 1)::2]
+                self.n_compactions += 1
+                self.levels[i] = np.empty(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], keep])
+            i += 1
+
+    # -- query -------------------------------------------------------------
+    def items_weights(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for i, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << i, np.int64))
+        if not items:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        return np.concatenate(items), np.concatenate(weights)
+
+    def quantile(self, q: float) -> float:
+        items, weights = self.items_weights()
+        if len(items) == 0:
+            return float("nan")
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        return float(items[np.searchsorted(cum, target, side="left").clip(0, len(items) - 1)])
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+
+def _sketch_row(tb_or_vals, k: int) -> pa.Table:
+    sk = KLLSketch(k)
+    sk.add_batch(tb_or_vals)
+    items, weights = sk.items_weights()
+    return pa.table(
+        {
+            "items": pa.array([items.tolist()], pa.list_(pa.float64())),
+            "weights": pa.array([weights.tolist()], pa.list_(pa.int64())),
+        }
+    )
+
+
+def approx_quantiles(ds, col: str, qs: dict[str, float], k: int = 200) -> pa.Table:
+    """Single-pass approximate quantiles of `col`: one KLL sketch row per
+    block, driver merges O(blocks) sketches (~k floats each — the only
+    driver-side data, bounded by block count). Returns a 1-row table of
+    the requested quantiles."""
+
+    def block(tb: pa.Table) -> pa.Table:
+        return _sketch_row(tb.column(col).to_numpy(zero_copy_only=False), k)
+
+    rows = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    sk = KLLSketch(k)
+    for r in rows:
+        sk.add_weighted(np.asarray(r["items"], np.float64), np.asarray(r["weights"], np.int64))
+    return pa.table({name: pa.array([sk.quantile(q)], pa.float64()) for name, q in qs.items()})
+
+
+def grouped_approx_quantiles(ds, keys: list[str], col: str, qs: dict[str, float], k: int = 200):
+    """Per-group single-pass approximate quantiles: per-block per-key
+    sketch rows (each ≤ ~k items), ONE key exchange of sketches, per-key
+    merge. The exchange carries ≤ groups × blocks sketch rows — a hot
+    key's raw rows never move. Returns a Dataset (keys..., <q names>...)."""
+    from .grouped import grouped_block_map, key_segments
+
+    def block_sketches(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            cols = {kk: tb.column(kk) for kk in keys}
+            cols["items"] = pa.array([], pa.list_(pa.float64()))
+            cols["weights"] = pa.array([], pa.list_(pa.int64()))
+            return pa.table(cols)
+        tb = tb.sort_by([(kk, "ascending") for kk in keys])
+        starts, ends = key_segments(tb, keys)
+        vals = tb.column(col).to_numpy(zero_copy_only=False)
+        items_l, weights_l = [], []
+        for lo, hi in zip(starts, ends):
+            sk = KLLSketch(k)
+            sk.add_batch(vals[lo:hi])
+            it, wt = sk.items_weights()
+            items_l.append(it.tolist())
+            weights_l.append(wt.tolist())
+        first = pa.array(starts, pa.int64())
+        cols = {kk: tb.column(kk).take(first) for kk in keys}
+        cols["items"] = pa.array(items_l, pa.list_(pa.float64()))
+        cols["weights"] = pa.array(weights_l, pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    def merge_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            cols = {kk: tb.column(kk) for kk in keys}
+            for name in qs:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        starts, ends = key_segments(tb, keys)
+        items = tb.column("items").to_pylist()
+        weights = tb.column("weights").to_pylist()
+        out = {name: [] for name in qs}
+        for lo, hi in zip(starts, ends):
+            sk = KLLSketch(k)
+            for j in range(lo, hi):
+                sk.add_weighted(np.asarray(items[j], np.float64), np.asarray(weights[j], np.int64))
+            for name, q in qs.items():
+                out[name].append(sk.quantile(q))
+        first = pa.array(starts, pa.int64())
+        cols = {kk: tb.column(kk).take(first) for kk in keys}
+        for name in qs:
+            cols[name] = pa.array(out[name], pa.float64())
+        return pa.table(cols)
+
+    pre = ds.map_batches(block_sketches, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_block_map(pre, keys, merge_block)

@@ -1,0 +1,94 @@
+"""KLL mergeable quantile sketch: small-n exactness, rank-error bounds
+under compaction and sharded merges, and the distributed plumbing
+(per-block sketches, grouped sketch exchange) vs exact quantiles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.kll import KLLSketch, approx_quantiles, grouped_approx_quantiles
+
+
+def _rank_err(data: np.ndarray, est: float, q: float) -> float:
+    s = np.sort(data)
+    r = np.searchsorted(s, est, side="right")
+    return abs(r - q * len(s)) / len(s)
+
+
+def test_exact_below_capacity():
+    sk = KLLSketch(k=64)
+    vals = np.array([5.0, 1.0, 9.0, 3.0, 7.0])
+    sk.add_batch(vals)
+    assert sk.n == 5
+    assert sk.quantile(0.0) == 1.0
+    assert sk.quantile(0.5) == 5.0
+    assert sk.quantile(1.0) == 9.0
+
+
+def test_nan_ignored_and_bad_weights_raise():
+    sk = KLLSketch(k=16)
+    sk.add_batch(np.array([1.0, np.nan, 3.0]))
+    assert sk.n == 2
+    with pytest.raises(ValueError, match="powers of two"):
+        sk.add_weighted(np.array([1.0]), np.array([3]))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipfy"])
+def test_rank_error_bound_single_sketch(dist):
+    rng = np.random.default_rng(42)
+    n = 200_000
+    if dist == "uniform":
+        data = rng.uniform(0, 1, n)
+    elif dist == "lognormal":
+        data = rng.lognormal(0, 2, n)
+    else:
+        data = 1.0 / rng.uniform(1e-4, 1, n)  # heavy tail
+    sk = KLLSketch(k=200)
+    for lo in range(0, n, 8192):
+        sk.add_batch(data[lo : lo + 8192])
+    assert sk.n == n
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert _rank_err(data, sk.quantile(q), q) < 0.02, (dist, q)
+
+
+def test_sharded_merge_rank_error():
+    rng = np.random.default_rng(7)
+    n = 120_000
+    data = rng.normal(100, 15, n)
+    shards = np.array_split(data, 50)
+    sketches = [KLLSketch(k=200).add_batch(s) for s in shards]
+    merged = KLLSketch(k=200)
+    for s in sketches:
+        merged.merge(s)
+    assert merged.n == n
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(data, merged.quantile(q), q) < 0.025, q
+
+
+def test_approx_quantiles_dataset():
+    rng = np.random.default_rng(11)
+    vals = rng.exponential(10, 50_000)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(16)
+    out = approx_quantiles(ds, "x", {"p50": 0.5, "p90": 0.9}, k=256)
+    assert out.num_rows == 1
+    assert _rank_err(vals, out.column("p50")[0].as_py(), 0.5) < 0.02
+    assert _rank_err(vals, out.column("p90")[0].as_py(), 0.9) < 0.02
+
+
+def test_grouped_approx_quantiles_with_hot_key():
+    rng = np.random.default_rng(23)
+    # group 'hot' holds 80% of rows; 4 cold groups share the rest
+    n = 60_000
+    hot = int(n * 0.8)
+    keys = np.array(["hot"] * hot + [f"g{i % 4}" for i in range(n - hot)])
+    vals = np.concatenate([rng.normal(50, 5, hot), rng.uniform(0, 100, n - hot)])
+    perm = rng.permutation(n)
+    tb = pa.table({"k": keys[perm], "x": vals[perm]})
+    ds = rd.from_arrow(tb).repartition(12)
+    out = grouped_approx_quantiles(ds, ["k"], "x", {"p50": 0.5, "p95": 0.95}, k=200).to_pandas()
+    assert sorted(out["k"]) == ["g0", "g1", "g2", "g3", "hot"]
+    for _, row in out.iterrows():
+        grp = vals[keys == row["k"]]
+        assert _rank_err(grp, row["p50"], 0.5) < 0.03, row["k"]
+        assert _rank_err(grp, row["p95"], 0.95) < 0.03, row["k"]

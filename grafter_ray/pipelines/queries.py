@@ -963,6 +963,26 @@ GROUP BY g.doc_id
 """
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy short-string self-join: document pairs whose first 40
+    characters are within Levenshtein distance 2. FastSS deletion
+    neighborhoods give complete candidates in ONE exchange; the exact DP
+    verify inside each bucket makes the result sound
+    (stages/editdist.py)."""
+    from ..stages.editdist import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return edit_distance_pairs(ds, id_col="doc_id", text_col="text", k=2, prefix_len=40)
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH s AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE abs(len(a.t) - len(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2
+"""
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet §4.3 head/middle/tail perplexity buckets per language:
     self-trained bigram scores with lang riding the bigram relation,
@@ -3695,6 +3715,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "lm_score": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "simhash_pairs": q_simhash_pairs,
@@ -3811,6 +3832,7 @@ ORACLE_SQL = {
     "ann_lsh": SQL_ANN_TOPK,
     "lm_score": SQL_LM_SCORE,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,

@@ -1,0 +1,186 @@
+"""Edit-distance fuzzy self-join over short string fields.
+
+The near-dup families in stages/dedup.py (MinHash, SimHash, Jaccard)
+target long documents; near-duplicate SHORT strings — titles, names,
+paths, the first line of a file — need character-level edit distance.
+All-pairs Levenshtein is O(n²·L²), so candidates come from the FastSS /
+SymSpell deletion-neighborhood scheme (Bocek et al. 2007, public): if
+ed(s, t) ≤ k then the ≤k-deletion variant sets of s and t intersect, so
+bucketing every variant and verifying only co-bucketed pairs is COMPLETE
+(no missed pair) and, after the exact DP verify, SOUND (no false pair).
+
+Plan, house shapes throughout:
+1. map_batches: slice each string to `prefix_len`, generate all ≤k
+   deletion variants VECTORIZED (an i-loop of Arrow slice+concat over
+   the whole column, O(L^k) vector ops per block — never a per-row
+   Python loop), hash variants to uint64 (util.key_hash_array), and
+   locally dedupe (sig, id) pairs.
+2. ONE exchange on sig (grouped_block_map): within each equal-sig run,
+   form ordered candidate pairs and verify them immediately with a
+   short-circuit Levenshtein DP — only (id1, id2, dist ≤ k) survivors
+   leave the bucket, candidate strings never make a second hop.
+3. global distinct on the pair (a pair can co-bucket under many shared
+   variants).
+
+Scale contract: signature volume is Σ C(L, ≤k) per row (L = prefix_len)
+— the documented FastSS space-for-one-exchange trade; keep k ≤ 2 and
+prefix_len ≤ ~64 at corpus scale. The hottest bucket is the largest
+near-identical cluster (e.g. an empty-prefix run): its pairs are
+verified exactly; cap it upstream (dedupe exact duplicates first) if a
+corpus has degenerate mass on one prefix.
+
+Reference anchor: no counterpart in the reference (RDF engine); extends
+the dedup family of SURVEY.md §2's training-data operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import key_hash_array
+
+_BIG = 1 << 30  # slice end sentinel (arrow slices clamp to length)
+
+
+def _lev_leq(a: str, b: str, k: int) -> int | None:
+    """Exact Levenshtein distance if ≤ k, else None (early length gate +
+    per-row band short-circuit). O(L·(2k+1)) per pair."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > k:
+            return None
+        prev = cur
+    d = prev[lb]
+    return d if d <= k else None
+
+
+def _variant_sigs(s: pa.Array, k: int) -> list[pa.Array]:
+    """All distinct-position deletion variants to depth k, vectorized:
+    depth d+1 applies single-char deletion at every position to every
+    depth-d variant column. Returns the variant COLUMNS (each aligned
+    with the input rows); duplicates across columns are fine — pairs
+    dedupe later."""
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    max_len = int(pc.max(pc.utf8_length(s)).as_py() or 0)
+    frontier = [s]
+    out = [s]
+    for _ in range(k):
+        nxt = []
+        for col in frontier:
+            for i in range(max_len):
+                # delete position i: s[:i] + s[i+1:] (no-op for rows
+                # shorter than i+1 — slice clamps, yielding the row
+                # itself minus nothing; these duplicates dedupe later)
+                v = pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(col, 0, i),
+                    pc.utf8_slice_codeunits(col, i + 1, _BIG),
+                    "",
+                )
+                nxt.append(v)
+        out.extend(nxt)
+        frontier = nxt
+        max_len = max(max_len - 1, 0)
+    return out
+
+
+def edit_distance_pairs(ds, id_col: str, text_col: str, k: int = 1, prefix_len: int = 40):
+    """All pairs (id1 < id2, dist) whose `text_col` prefixes of
+    `prefix_len` characters are within Levenshtein distance k. Exact
+    (complete by the FastSS deletion-neighborhood property, sound by the
+    DP verify). Module docstring has the distributed plan."""
+    from ..pipelines.relational import distinct
+    from .grouped import grouped_block_map, key_segments
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+
+    def sigs(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    "sig": pa.array([], pa.uint64()),
+                    "id": pa.array([], tb.schema.field(id_col).type),
+                    "s": pa.array([], pa.string()),
+                }
+            )
+        s = pc.utf8_slice_codeunits(tb.column(text_col), 0, prefix_len)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        ids = tb.column(id_col)
+        pieces = []
+        for v in _variant_sigs(s, k):
+            pieces.append(
+                pa.table(
+                    {
+                        "sig": pa.array(key_hash_array(v).astype(np.uint64)),
+                        "id": ids,
+                        "s": s,
+                    }
+                )
+            )
+        all_rows = pa.concat_tables(pieces, promote_options="none")
+        # local (sig, id) dedupe cuts the exchange to distinct signatures
+        g = all_rows.group_by(["sig", "id"]).aggregate([("s", "first")])
+        return pa.table({"sig": g.column("sig"), "id": g.column("id"), "s": g.column("s_first")})
+
+    def bucket_verify(tb: pa.Table) -> pa.Table:
+        id_type = tb.schema.field("id").type
+        empty = pa.table(
+            {
+                "id1": pa.array([], id_type),
+                "id2": pa.array([], id_type),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if tb.num_rows == 0:
+            return empty
+        tb = tb.sort_by([("sig", "ascending"), ("id", "ascending")])
+        starts, ends = key_segments(tb, ["sig"])
+        ids = tb.column("id").to_pylist()
+        strs = tb.column("s").to_pylist()
+        seen: set = set()
+        o1, o2, od = [], [], []
+        for lo, hi in zip(starts, ends):
+            for i in range(lo, hi):
+                for j in range(i + 1, hi):
+                    if ids[i] == ids[j]:
+                        continue
+                    key = (ids[i], ids[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    d = _lev_leq(strs[i], strs[j], k)
+                    if d is not None:
+                        o1.append(ids[i])
+                        o2.append(ids[j])
+                        od.append(d)
+        if not o1:
+            return empty
+        return pa.table(
+            {
+                "id1": pa.array(o1, id_type),
+                "id2": pa.array(o2, id_type),
+                "dist": pa.array(od, pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = grouped_block_map(cand, ["sig"], bucket_verify)
+    # a pair co-buckets under every shared variant ACROSS blocks too
+    return distinct(pairs, ["id1", "id2", "dist"])

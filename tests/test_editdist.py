@@ -1,0 +1,94 @@
+"""Edit-distance fuzzy join: DP kernel vs a reference implementation,
+FastSS completeness/soundness vs brute force over planted-typo corpora,
+block-layout independence, and k=0 (exact-prefix) degeneration."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.editdist import _lev_leq, edit_distance_pairs
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = np.zeros((la + 1, lb + 1), np.int64)
+    d[:, 0] = np.arange(la + 1)
+    d[0, :] = np.arange(lb + 1)
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1, d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(d[la, lb])
+
+
+def test_lev_leq_matches_reference():
+    rng = random.Random(4242)
+    alpha = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        true = _lev_ref(a, b)
+        for k in (0, 1, 2, 3):
+            got = _lev_leq(a, b, k)
+            assert got == (true if true <= k else None), (a, b, k)
+
+
+def _corpus(rng: random.Random, n=200):
+    """Base strings + planted 1- and 2-edit typo variants."""
+    alpha = "abcdefgh"
+    rows = []
+    for i in range(n):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randrange(4, 16)))
+        rows.append(base)
+    # plant typos of random earlier rows
+    for i in range(n // 2):
+        src = list(rows[rng.randrange(len(rows))])
+        for _ in range(rng.randrange(1, 3)):
+            op = rng.randrange(3)
+            pos = rng.randrange(max(len(src), 1))
+            if op == 0 and src:
+                src[pos] = rng.choice(alpha)
+            elif op == 1:
+                src.insert(pos, rng.choice(alpha))
+            elif src:
+                del src[pos]
+        rows.append("".join(src))
+    return rows
+
+
+def _brute(rows, k, prefix):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i][:prefix], rows[j][:prefix]
+            d = _lev_ref(a, b)
+            if d <= k:
+                out.add((i, j, d))
+    return out
+
+
+def test_pairs_match_brute_force_planted_typos():
+    rng = random.Random(77)
+    rows = _corpus(rng)
+    tb = pa.table({"id": pa.array(range(len(rows)), pa.int64()), "t": pa.array(rows)})
+    for k in (0, 1, 2):
+        for parts in (1, 7):
+            got = edit_distance_pairs(
+                rd.from_arrow(tb).repartition(parts), "id", "t", k=k, prefix_len=32
+            ).to_pandas()
+            got_set = set(zip(got["id1"], got["id2"], got["dist"]))
+            assert got_set == _brute(rows, k, 32), (k, parts)
+
+
+def test_prefix_len_applies():
+    tb = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "t": pa.array(["commonprefix-AAAA", "commonprefix-BBBB"]),
+        }
+    )
+    out = edit_distance_pairs(rd.from_arrow(tb), "id", "t", k=1, prefix_len=12).to_pandas()
+    assert list(out["dist"]) == [0]  # identical within the prefix
+    out2 = edit_distance_pairs(rd.from_arrow(tb), "id", "t", k=1, prefix_len=17).to_pandas()
+    assert len(out2) == 0  # 4 substitutions apart at full length

@@ -93,6 +93,13 @@ QUERY_SUBSET = [
     "normalize_docs",
     "approx_distinct_texts",
     "source_distinct_langs",
+    # round-4 session-3 additions
+    "cube_order_stats",
+    "grouping_sets_events",
+    "weighted_sample",
+    "ccnet_buckets",
+    "edit_distance_pairs",
+    "approx_value_percentiles",
 ]
 
 

@@ -663,6 +663,23 @@ FROM documents
 """
 
 
+def q_bpe_train_encode(sf_dir: str):
+    """Full BPE tokenizer pipeline: train the merge table on the corpus
+    word histogram (one exchange, vocab-bounded driver loop — stages/
+    bpe.py has the max_words contract), broadcast the merges once, and
+    encode every document in an actor-pool stage with per-word
+    memoization. No SQL oracle (iterative argmax training); the gate is
+    the reference-model differential + losslessness in tests/test_bpe.py."""
+    from ..stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, "text", n_merges=150, min_count=2)
+    out = bpe_encode(_read(sf_dir, "documents", ["doc_id", "text"]), merges)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["tokens"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_quality_filter(sf_dir: str):
     """Quality gate: keep docs with >= 30 words and mean word length in
     [3, 12] (the length/punctuation-ratio family), count kept per lang —
@@ -3699,6 +3716,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_train_encode": q_bpe_train_encode,
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
     "normalize_docs": q_normalize_docs,

@@ -1,0 +1,245 @@
+"""Distributed BPE tokenizer training + encoding.
+
+The repo already COUNTS GPT-2-style pre-tokens (queries.q_bpe_token_counts);
+this module TRAINS the merge table and encodes with it — the tokenizer
+half a training-data pipeline owns (Sennrich et al. 2016; the
+HuggingFace-tokenizers training shape).
+
+Key scale fact every real BPE trainer exploits: training never touches
+the raw corpus after ONE pass — it operates on the WORD HISTOGRAM
+(distinct word → count). Heaps' law keeps the histogram sublinear in
+corpus size, and `max_words` hard-caps what the driver ever sees
+(standard practice — rare words can't win merges anyway: a merge's
+count is ≤ the total count of words containing the pair, and words
+outside the kept top-`max_words` by count contribute less than the
+lightest kept word; the cap is the documented approximation knob, set
+it ≥ the true vocabulary for exactness).
+
+Plan:
+1. word histogram: per-block local word counts (vectorized Arrow split),
+   ONE (word) exchange of (word, partial_count) — the q_vocab_topk
+   shape — then top-`max_words` by (count desc, word) via block-local
+   top-k prune (bounded merge, corpus never sorted).
+2. merge loop on the histogram, driver-side (vocab-bounded, documented):
+   classic pair-count argmax with deterministic (count desc, pair lex)
+   tie-break so training is seed-free and rerun-stable.
+3. encoding is embarrassingly parallel: an ACTOR-POOL stage builds the
+   rank dict once per actor (__init__), then per batch applies merges
+   per DISTINCT word in the batch (memoized — Zipf makes the distinct
+   set tiny relative to tokens) and re-assembles per-doc token counts
+   vectorized.
+
+No SQL oracle — iterative argmax training is not SQL-expressible; the
+gate is a reference-implementation differential (tests/test_bpe.py) plus
+the losslessness property encode→join == word for every trained word.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_SPLIT = r"\s+"
+END = "</w>"  # end-of-word marker (classic BPE; keeps merges word-internal)
+
+
+def word_histogram(ds, text_col: str = "text", max_words: int = 1_000_000) -> pa.Table:
+    """(word, count) for the top-`max_words` words by (count desc, word
+    asc). One exchange of pre-counted (word, partial) rows; block-local
+    top-k bounds the final merge at k × blocks rows."""
+    from ..pipelines.relational import grouped_agg, top_k
+
+    def local_counts(tb: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(tb.column(text_col)), _WORD_SPLIT
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"word": flat})
+        g = t.group_by(["word"]).aggregate([("word", "count")])
+        return pa.table({"word": g.column("word"), "c": pc.cast(g.column("word_count"), pa.int64())})
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg(partials, ["word"], [("count", "c", "sum")])
+
+    def negc(tb: pa.Table) -> pa.Table:
+        return tb.append_column("__negc", pc.negate(pc.cast(tb.column("count"), pa.int64())))
+
+    ranked = counts.map_batches(negc, batch_format="pyarrow", zero_copy_batch=True)
+    kept = top_k(ranked, [("__negc", "ascending"), ("word", "ascending")], max_words)
+    tb = pa.Table.from_pylist(kept.take_all())
+    if tb.num_rows == 0:
+        return pa.table({"word": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+    tb = tb.sort_by([("__negc", "ascending"), ("word", "ascending")])
+    return pa.table({"word": tb.column("word"), "count": pc.cast(tb.column("count"), pa.int64())})
+
+
+def _train_on_histogram(words: list[str], counts: list[int], n_merges: int, min_count: int):
+    """Classic BPE merge loop over (word, count) — pure function, also
+    the reference model the tests compare against. Deterministic:
+    best pair = max count, ties broken lexicographically."""
+    # each word as a tuple of symbols, char-split + end marker
+    seqs = [tuple(w) + (END,) for w in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, c in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic: highest count, ties to the lexicographically
+        # smallest pair
+        bc = max(pair_counts.values())
+        if bc < max(min_count, 1):
+            break
+        cand = sorted(p for p, c in pair_counts.items() if c == bc)
+        best = cand[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_seqs = []
+        for seq in seqs:
+            if a not in seq:
+                new_seqs.append(seq)
+                continue
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+    return merges
+
+
+def bpe_train(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 2,
+    max_words: int = 1_000_000,
+) -> pa.Table:
+    """Train a BPE merge table on the corpus (module docstring has the
+    plan and the max_words contract). Returns (rank, left, right)."""
+    hist = word_histogram(ds, text_col, max_words=max_words)
+    merges = _train_on_histogram(
+        hist.column("word").to_pylist(),
+        hist.column("count").to_pylist(),
+        n_merges,
+        min_count,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+
+
+def _encode_word(w: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
+    seq = list(w) + [END]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        # merge EVERY occurrence of the best pair (training applied
+        # merges globally per step, so encode must too)
+        a, b = seq[best_i], seq[best_i + 1]
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return tuple(seq)
+
+
+class BpeEncodeStage:
+    """Actor-pool stage: (id, text) → (id, n_words, n_tokens,
+    tokens list<string>). Rank dict built ONCE per actor from the
+    broadcast merges table (reference §2.3 stateful-stage shape); per
+    batch, merges run once per DISTINCT word (memo dict — Zipf), and
+    per-doc assembly is offset arithmetic."""
+
+    def __init__(self, merges: pa.Table, id_col: str = "doc_id", text_col: str = "text"):
+        import ray
+
+        if isinstance(merges, ray.ObjectRef):
+            merges = ray.get(merges)
+        self.ranks = {
+            (left, right): int(rank)
+            for rank, left, right in zip(
+                merges.column("rank").to_pylist(),
+                merges.column("left").to_pylist(),
+                merges.column("right").to_pylist(),
+            )
+        }
+        self.id_col = id_col
+        self.text_col = text_col
+        self.memo: dict[str, tuple[str, ...]] = {}
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(tb.column(self.text_col)), _WORD_SPLIT
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_pylist()
+        doc_tokens: list[list[str]] = []
+        n_words: list[int] = []
+        pos = 0
+        for ln in lens:
+            out: list[str] = []
+            nw = 0
+            for w in flat[pos : pos + ln]:
+                if not w:
+                    continue
+                nw += 1
+                enc = self.memo.get(w)
+                if enc is None:
+                    enc = _encode_word(w, self.ranks)
+                    self.memo[w] = enc
+                out.extend(enc)
+            doc_tokens.append(out)
+            n_words.append(nw)
+            pos += ln
+        return pa.table(
+            {
+                self.id_col: tb.column(self.id_col),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array([len(t) for t in doc_tokens], pa.int64()),
+                "tokens": pa.array(doc_tokens, pa.list_(pa.string())),
+            }
+        )
+
+
+def bpe_encode(ds, merges: pa.Table, id_col: str = "doc_id", text_col: str = "text", concurrency=(1, 8)):
+    """Encode the corpus with a trained merge table: merges broadcast via
+    ray.put ONCE, rank dict built once per actor, per-word memoization
+    per batch. Embarrassingly parallel — no shuffle."""
+    import ray
+
+    ref = ray.put(merges)
+    return ds.map_batches(
+        BpeEncodeStage,
+        fn_constructor_kwargs={"merges": ref, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

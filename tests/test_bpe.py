@@ -1,0 +1,81 @@
+"""BPE training/encoding: merge table vs a hand-checked corpus, encode
+losslessness (join(tokens of w) == w + END), memoized actor stage over a
+Dataset, max_words histogram cap, determinism across layouts."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.bpe import (
+    END,
+    BpeEncodeStage,
+    _encode_word,
+    _train_on_histogram,
+    bpe_encode,
+    bpe_train,
+    word_histogram,
+)
+
+
+def test_train_on_histogram_classic_example():
+    # the Sennrich et al. running example shape: 'low lower newest widest'
+    words = ["low", "lower", "newest", "widest"]
+    counts = [5, 2, 6, 3]
+    merges = _train_on_histogram(words, counts, n_merges=4, min_count=1)
+    # 'es' appears in newest+widest = 9 — top pair; then 'es'+'t' = 9 …
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+    assert merges[3] == ("l", "o")  # lo: 7 beats w-END 5 (ties none)
+
+
+def test_encode_word_applies_merges_in_rank_order():
+    merges = [("e", "s"), ("es", "t"), ("est", END), ("l", "o")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("newest", ranks) == ("n", "e", "w", "est" + END)
+    assert _encode_word("low", ranks) == ("lo", "w", END)
+    assert _encode_word("zzz", ranks) == ("z", "z", "z", END)
+
+
+def test_lossless_and_dataset_roundtrip():
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest new wider",
+        "  low\tnewest  ",
+        "",
+    ]
+    tb = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow(tb).repartition(3)
+    merges = bpe_train(ds, "text", n_merges=20, min_count=1)
+    assert merges.num_rows > 0
+    out = bpe_encode(rd.from_arrow(tb), merges, concurrency=(1, 2)).to_pandas().sort_values("doc_id")
+    # losslessness: tokens of each doc re-join (stripping END) to its words
+    for _, row in out.iterrows():
+        words = texts[int(row["doc_id"])].split()
+        joined = "".join(row["tokens"]).replace(END, " ").split()
+        assert joined == words, row["doc_id"]
+        assert row["n_words"] == len(words)
+        assert row["n_tokens"] >= row["n_words"] * 0  # defined
+    # empty doc → zero tokens
+    assert out[out.doc_id == 3]["n_tokens"].iloc[0] == 0
+
+
+def test_word_histogram_cap_and_layout_independence():
+    texts = ["a a a b b c", "b c c c d", "a b"]
+    tb = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)})
+    h1 = word_histogram(rd.from_arrow(tb).repartition(1), "text")
+    h5 = word_histogram(rd.from_arrow(tb).repartition(5), "text")
+    assert h1.equals(h5)
+    assert dict(zip(h1.column("word").to_pylist(), h1.column("count").to_pylist())) == {
+        "a": 4, "b": 4, "c": 4, "d": 1,
+    }
+    # (count desc, word asc) order and the cap keep only the heaviest
+    top2 = word_histogram(rd.from_arrow(tb), "text", max_words=2)
+    assert top2.column("word").to_pylist() == ["a", "b"]
+
+
+def test_train_deterministic_across_layouts():
+    texts = ["the cat sat on the mat", "the cat ate the rat", "a rat sat"] * 4
+    tb = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    m1 = bpe_train(rd.from_arrow(tb).repartition(1), "text", n_merges=15, min_count=1)
+    m7 = bpe_train(rd.from_arrow(tb).repartition(7), "text", n_merges=15, min_count=1)
+    assert m1.equals(m7)

@@ -222,6 +222,8 @@ def sniff_image(payload: bytes) -> str | None:
         return "ppm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -361,3 +363,182 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF — GIF87a/89a (CompuServe spec, public): LZW-compressed color-index
+# frames + palette. LZW here is ~60 lines of table arithmetic, so like PNG
+# this "compressed" format needs no codec library. First frame only
+# (animation = repeated image blocks; the multimodal frame-sample stage
+# wants stills); interlaced frames are deinterlaced per spec.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise MediaDecodeError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code - 1 > (1 << 12) - 1:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → single-frame GIF87a. GIF is palette-indexed:
+    the frame is quantized to its distinct colors, which must be ≤ 256
+    (the synthetic-corpus case; a natural photo needs a quantizer —
+    out of scope, raises)."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise MediaDecodeError(f"GIF encoder needs <= 256 distinct colors, got {len(palette)}")
+    depth = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
+    size = 1 << depth
+    pal = np.zeros((size, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(depth, 2)
+    out.append(min_code)
+    data = _lzw_encode(inverse.astype(int).tolist(), min_code)
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00;"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB of the FIRST image block. Handles global and
+    local color tables, interlace, 87a/89a extensions (skipped)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise MediaDecodeError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(_lzw_decode(bytes(data), min_code), np.int64)
+            if len(idx) < iw * ih:
+                raise MediaDecodeError("GIF frame underflow")
+            idx = idx[: iw * ih].reshape(ih, iw)
+            if iflags & 0x40:  # interlace: rows in 4 passes (8/8, 8/8+4, 4/+2, 2/+1)
+                order = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8), np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            if (idx >= len(ct)).any():
+                raise MediaDecodeError("GIF index out of palette range")
+            return ct[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise MediaDecodeError("GIF contains no image block")

@@ -50,7 +50,7 @@ except ImportError:
 
 class DecodeImageStage:
     """Actor-pool stage: payload bytes → (height, width, 3) uint8 tensor
-    + basic features. BMP/PPM/PNG payloads decode for real (media_codecs.py);
+    + basic features. BMP/PPM/PNG/GIF payloads decode for real (media_codecs.py);
     other formats go to PIL when present, else the digest fake
     (``strict=True`` raises instead). Use as
     ``ds.map_batches(DecodeImageStage, concurrency=(1, N), **PAYLOAD_BATCH_KWARGS)``.
@@ -62,7 +62,7 @@ class DecodeImageStage:
         self.strict = strict
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        from .media_codecs import decode_bmp, decode_png, decode_ppm, resize_nearest, sniff_image
+        from .media_codecs import decode_bmp, decode_gif, decode_png, decode_ppm, resize_nearest, sniff_image
 
         kind = sniff_image(payload)
         if kind == "bmp":
@@ -71,6 +71,8 @@ class DecodeImageStage:
             return resize_nearest(decode_ppm(payload), self.h, self.w)
         if kind == "png":
             return resize_nearest(decode_png(payload), self.h, self.w)
+        if kind == "gif":
+            return resize_nearest(decode_gif(payload), self.h, self.w)
         if _HAVE_PIL:  # pragma: no cover
             import io
 
@@ -81,7 +83,7 @@ class DecodeImageStage:
         if self.strict:
             raise NotImplementedError(
                 "compressed image codec not available in this environment (PIL missing); "
-                "only BMP/PPM/PNG decode natively"
+                "only BMP/PPM/PNG/GIF decode natively"
             )
         # deterministic fake decoder: pixels derived from payload digest so
         # the full pipeline (schema, shapes, feature math) is testable
@@ -246,17 +248,20 @@ def _synth_rgb(i: int, h: int, w: int) -> np.ndarray:
 
 def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
     """Deterministic synthetic media corpus. For the natively-decodable
-    kinds (image/bmp, image/ppm, image/png, audio/wav, video/avi) the payloads are
+    kinds (image/bmp, image/ppm, image/png, image/gif, audio/wav, video/avi) the payloads are
     REAL encoded files (media_codecs.py), so downstream stages exercise
     the true parse→tensor path; other kinds get seeded digest bytes for
     the fake-decode plumbing."""
-    from .media_codecs import encode_avi, encode_bmp, encode_png, encode_ppm, encode_wav
+    from .media_codecs import encode_avi, encode_bmp, encode_gif, encode_png, encode_ppm, encode_wav
 
     ids = np.arange(n, dtype=np.int64)
     if kind == "image/bmp":
         payloads = [encode_bmp(_synth_rgb(int(i), 24, 33)) for i in ids]  # odd width → row padding
     elif kind == "image/png":
         payloads = [encode_png(_synth_rgb(int(i), 24, 33)) for i in ids]
+    elif kind == "image/gif":
+        # quantized gradient (GIF needs <= 256 distinct colors)
+        payloads = [encode_gif((_synth_rgb(int(i), 24, 33) // 32) * 32) for i in ids]
     elif kind == "image/ppm":
         payloads = [encode_ppm(_synth_rgb(int(i), 24, 33)) for i in ids]
     elif kind == "audio/wav":

@@ -225,3 +225,71 @@ def test_png_sniff_and_decode_stage():
     )
     assert len(out) == 6
     assert len(out["pixels"][0]) == 16 * 16 * 3
+
+
+def test_gif_roundtrip_and_palette_cap():
+    from grafter_ray.stages.media_codecs import MediaDecodeError, decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 200, (14, 9))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+    # > 256 distinct colors refuses (needs a quantizer)
+    big = np.arange(17 * 17 * 3, dtype=np.uint8).reshape(17, 17, 3)
+    big[:, :, 0] = np.arange(17 * 17).reshape(17, 17) % 251
+    big[:, :, 1] = np.arange(17 * 17).reshape(17, 17) // 251
+    with pytest.raises(MediaDecodeError, match="256 distinct"):
+        encode_gif(big)
+    with pytest.raises(MediaDecodeError, match="not a GIF"):
+        decode_gif(b"BM junk")
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced payload: rows stored in Adam-style GIF
+    pass order (8/8, then +4, +2, +1) must come back deinterlaced."""
+    import struct
+
+    import numpy as np
+
+    from grafter_ray.stages.media_codecs import _lzw_encode, decode_gif
+
+    h, w = 11, 5
+    pal = np.array([[i, 255 - i, 7 * i % 256] for i in range(16)], np.uint8)
+    idx = (np.arange(h * w).reshape(h, w) % 16).astype(np.int64)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    stored = idx[order]  # what an interlaced encoder writes
+    out = bytearray(b"GIF87a")
+    depth = 4
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"," + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(depth)
+    data = _lzw_encode(stored.reshape(-1).tolist(), depth)
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00;"
+    assert (decode_gif(bytes(out)) == pal[idx]).all()
+
+
+def test_gif_stage_and_sniff():
+    import ray.data as rd
+
+    from grafter_ray.stages.media_codecs import sniff_image
+    from grafter_ray.stages.multimodal import (
+        PAYLOAD_BATCH_KWARGS,
+        DecodeImageStage,
+        synth_media_table,
+    )
+
+    tb = synth_media_table(4, kind="image/gif")
+    assert sniff_image(tb.column("payload")[0].as_py()) == "gif"
+    out = (
+        rd.from_arrow(tb)
+        .map_batches(DecodeImageStage(target_size=(8, 8), strict=True), **PAYLOAD_BATCH_KWARGS)
+        .to_pandas()
+    )
+    assert len(out) == 4 and len(out["pixels"][0]) == 8 * 8 * 3

@@ -136,6 +136,31 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    m = lake.bootstrap(
+        args.snapshot, snapshot_lsn=args.snapshot_lsn, schema_version=args.schema_version
+    )
+    wall = time.perf_counter() - t0
+    _emit({"cmd": "bootstrap", "wall_sec": round(wall, 3), **_manifest_summary(m)})
+    return 0
+
+
+def cmd_compact_binlog(args) -> int:
+    from .pipelines.replay import compact_binlog
+
+    t0 = time.perf_counter()
+    out = compact_binlog(args.binlog, lo=args.lo, hi=args.hi)
+    out.write_parquet(args.out)
+    n = out.count()
+    wall = time.perf_counter() - t0
+    _emit({"cmd": "compact-binlog", "out": args.out, "events": int(n), "wall_sec": round(wall, 3)})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m grafter_ray", description=__doc__.splitlines()[0])
     p.add_argument("--ray-address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
@@ -180,6 +205,28 @@ def build_parser() -> argparse.ArgumentParser:
     lake_args(sp)
     sp.add_argument("--keep-versions", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "bootstrap",
+        help="genesis-load a snapshot table into a FRESH lake (CDC snapshot->streaming handoff)",
+    )
+    sp.add_argument("--snapshot", required=True, help="snapshot parquet dir (one row per key)")
+    lake_args(sp)
+    sp.add_argument("--snapshot-lsn", type=int, default=0, help="source LSN the snapshot reflects")
+    sp.add_argument(
+        "--schema-version", type=int, default=0, help="source schema version at snapshot time"
+    )
+    sp.set_defaults(fn=cmd_bootstrap)
+
+    sp = sub.add_parser(
+        "compact-binlog",
+        help="LWW-compact a binlog range to one winning event per key (replay-equivalent)",
+    )
+    sp.add_argument("--binlog", required=True)
+    sp.add_argument("--out", required=True, help="output parquet dir (must be fresh — writes append)")
+    sp.add_argument("--lo", type=int, default=None)
+    sp.add_argument("--hi", type=int, default=None)
+    sp.set_defaults(fn=cmd_compact_binlog)
     return p
 
 

@@ -167,3 +167,45 @@ def test_spread_actor_placement_flag(tmp_path, capsys, monkeypatch):
     want, _ = oracle_lake_table(binlog_table(CFG))
     assert out["events_applied"] == CFG.n_events
     assert out["lake_rows"] == want.num_rows
+
+
+def test_cli_bootstrap_then_replay_tail(tmp_path, capsys):
+    """bootstrap a snapshot at lsn S, then the SAME full-binlog replay
+    command applies only the tail and converges to the full-history
+    oracle."""
+    binlog = _write_binlog(tmp_path)
+    full = binlog_table(CFG)
+    S = 1_499
+    snap, ver = oracle_lake_table(full, upto_lsn=S)
+    snap_dir = tmp_path / "snap"
+    snap_dir.mkdir()
+    pq.write_table(
+        snap.select(["repo", "path", "commit", "lang", "content", "event_schema_version"]),
+        snap_dir / "snap.parquet",
+    )
+    lake = str(tmp_path / "lake")
+    out = _run(capsys, [
+        "bootstrap", "--snapshot", str(snap_dir), "--lake", lake, "--partitions", "16",
+        "--snapshot-lsn", str(S), "--schema-version", str(ver),
+    ])
+    assert out["watermark_lsn"] == S
+    assert out["lake_rows"] == snap.num_rows
+
+    out = _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "16"])
+    assert out["resumed_from_lsn"] == S
+    want, want_ver = oracle_lake_table(full)
+    assert out["lake_rows"] == want.num_rows
+    assert out["schema_version"] == want_ver
+
+
+def test_cli_compact_binlog_replays_identically(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    comp_dir = str(tmp_path / "compacted")
+    out = _run(capsys, ["compact-binlog", "--binlog", binlog, "--out", comp_dir])
+    assert 0 < out["events"] < CFG.n_events
+
+    a = _run(capsys, ["replay", "--binlog", binlog, "--lake", str(tmp_path / "a"), "--partitions", "8"])
+    b = _run(capsys, ["replay", "--binlog", comp_dir, "--lake", str(tmp_path / "b"), "--partitions", "8"])
+    assert a["lake_rows"] == b["lake_rows"]
+    assert a["watermark_lsn"] == b["watermark_lsn"]
+    assert a["schema_version"] == b["schema_version"]

@@ -75,47 +75,69 @@ def word_histogram(ds, text_col: str = "text", max_words: int = 1_000_000) -> pa
     return pa.table({"word": tb.column("word"), "count": pc.cast(tb.column("count"), pa.int64())})
 
 
+def _merge_seq(seq: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Merge every (a, b) occurrence in one symbol sequence."""
+    ab = a + b
+    out: list[str] = []
+    i = 0
+    n = len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def _pairs_of(seq: tuple[str, ...]):
+    return zip(seq, seq[1:])
+
+
 def _train_on_histogram(words: list[str], counts: list[int], n_merges: int, min_count: int):
-    """Classic BPE merge loop over (word, count) — pure function, also
-    the reference model the tests compare against. Deterministic:
-    best pair = max count, ties broken lexicographically."""
-    # each word as a tuple of symbols, char-split + end marker
+    """BPE merge loop over (word, count) with the standard inverted-index
+    incremental update (the HF-tokenizers algorithm shape): pair counts
+    and the pair→words index are maintained, so each merge touches ONLY
+    the words containing the merged pair — O(affected words) per merge,
+    not O(vocabulary). Deterministic: best pair = max count, ties to the
+    lexicographically smallest pair. (tests/test_bpe.py pins this
+    against the naive recount-everything reference model.)"""
     seqs = [tuple(w) + (END,) for w in words]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (seq, c) in enumerate(zip(seqs, counts)):
+        for p in _pairs_of(seq):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
     merges: list[tuple[str, str]] = []
+    floor = max(min_count, 1)
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for seq, c in zip(seqs, counts):
-            for i in range(len(seq) - 1):
-                p = (seq[i], seq[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
         if not pair_counts:
             break
-        # deterministic: highest count, ties to the lexicographically
-        # smallest pair
         bc = max(pair_counts.values())
-        if bc < max(min_count, 1):
+        if bc < floor:
             break
-        cand = sorted(p for p, c in pair_counts.items() if c == bc)
-        best = cand[0]
+        best = min(p for p, c in pair_counts.items() if c == bc)
         merges.append(best)
         a, b = best
-        ab = a + b
-        new_seqs = []
-        for seq in seqs:
-            if a not in seq:
-                new_seqs.append(seq)
-                continue
-            out = []
-            i = 0
-            while i < len(seq):
-                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
-                    out.append(ab)
-                    i += 2
+        for wi in list(pair_words.get(best, ())):
+            seq, c = seqs[wi], counts[wi]
+            for p in _pairs_of(seq):
+                left = pair_counts[p] - c
+                if left:
+                    pair_counts[p] = left
                 else:
-                    out.append(seq[i])
-                    i += 1
-            new_seqs.append(tuple(out))
-        seqs = new_seqs
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+            new = _merge_seq(seq, a, b)
+            seqs[wi] = new
+            for p in _pairs_of(new):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
     return merges
 
 

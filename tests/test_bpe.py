@@ -5,7 +5,7 @@ Dataset, max_words histogram cap, determinism across layouts."""
 import pyarrow as pa
 import ray.data as rd
 
-from grafter_ray.stages.bpe import (
+from grafter_ray.stages.bpe import (  # noqa: F401
     END,
     BpeEncodeStage,
     _encode_word,
@@ -79,3 +79,52 @@ def test_train_deterministic_across_layouts():
     m1 = bpe_train(rd.from_arrow(tb).repartition(1), "text", n_merges=15, min_count=1)
     m7 = bpe_train(rd.from_arrow(tb).repartition(7), "text", n_merges=15, min_count=1)
     assert m1.equals(m7)
+
+
+def _train_naive(words, counts, n_merges, min_count):
+    """Recount-everything reference model for the incremental trainer."""
+    seqs = [tuple(w) + (END,) for w in words]
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for seq, c in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        bc = max(pc.values())
+        if bc < max(min_count, 1):
+            break
+        best = min(p for p, c in pc.items() if c == bc)
+        merges.append(best)
+        a, b = best
+        out = []
+        for seq in seqs:
+            r, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(seq[i])
+                    i += 1
+            out.append(tuple(r))
+        seqs = out
+    return merges
+
+
+def test_incremental_trainer_matches_naive_reference():
+    import random
+
+    rng = random.Random(9)
+    for trial in range(4):
+        words = list({
+            "".join(rng.choice("abcde") for _ in range(rng.randrange(1, 9)))
+            for _ in range(300)
+        })
+        counts = [rng.randrange(1, 50) for _ in words]
+        for mc in (1, 3):
+            got = _train_on_histogram(words, counts, n_merges=40, min_count=mc)
+            want = _train_naive(words, counts, n_merges=40, min_count=mc)
+            assert got == want, (trial, mc)

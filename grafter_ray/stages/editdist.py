@@ -78,12 +78,16 @@ def _variant_sigs(s: pa.Array, k: int) -> list[pa.Array]:
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
     max_len = int(pc.max(pc.utf8_length(s)).as_py() or 0)
-    frontier = [s]
+    # (column, min_next_pos): deleting positions i then j<i duplicates
+    # the unordered pair {i, j} — restricting each depth to positions ≥
+    # the previous deletion (in the SHRUNK indexing) enumerates every
+    # deletion SET exactly once, halving depth-2 volume
+    frontier: list[tuple[pa.Array, int]] = [(s, 0)]
     out = [s]
     for _ in range(k):
-        nxt = []
-        for col in frontier:
-            for i in range(max_len):
+        nxt: list[tuple[pa.Array, int]] = []
+        for col, lo in frontier:
+            for i in range(lo, max_len):
                 # delete position i: s[:i] + s[i+1:] (no-op for rows
                 # shorter than i+1 — slice clamps, yielding the row
                 # itself minus nothing; these duplicates dedupe later)
@@ -92,8 +96,8 @@ def _variant_sigs(s: pa.Array, k: int) -> list[pa.Array]:
                     pc.utf8_slice_codeunits(col, i + 1, _BIG),
                     "",
                 )
-                nxt.append(v)
-        out.extend(nxt)
+                nxt.append((v, i))
+        out.extend(v for v, _ in nxt)
         frontier = nxt
         max_len = max(max_len - 1, 0)
     return out
@@ -152,6 +156,16 @@ def edit_distance_pairs(ds, id_col: str, text_col: str, k: int = 1, prefix_len: 
             return empty
         tb = tb.sort_by([("sig", "ascending"), ("id", "ascending")])
         starts, ends = key_segments(tb, ["sig"])
+        # singleton buckets (the overwhelming majority) can't form a
+        # pair — drop them VECTORIZED before any Python-object decode,
+        # so the per-pair loop below only ever sees collision rows
+        lens = ends - starts
+        multi = lens >= 2
+        if not multi.any():
+            return empty
+        keep = np.concatenate([np.arange(lo, hi) for lo, hi in zip(starts[multi], ends[multi])])
+        tb = tb.take(pa.array(keep, pa.int64()))
+        starts, ends = key_segments(tb, ["sig"])
         ids = tb.column("id").to_pylist()
         strs = tb.column("s").to_pylist()
         seen: set = set()
@@ -180,7 +194,13 @@ def edit_distance_pairs(ds, id_col: str, text_col: str, k: int = 1, prefix_len: 
             }
         )
 
-    cand = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    # signature generation is the compute-heavy stage (L^k hash columns
+    # per row): split the input into worker-sized blocks first so it
+    # parallelizes even when the source is a single parquet file.
+    # batch_size bounds each task's variant blow-up (rows × ~L^k/2).
+    cand = ds.repartition(64).map_batches(
+        sigs, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
     pairs = grouped_block_map(cand, ["sig"], bucket_verify)
     # a pair co-buckets under every shared variant ACROSS blocks too
     return distinct(pairs, ["id1", "id2", "dist"])

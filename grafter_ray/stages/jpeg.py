@@ -1,0 +1,474 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + Python bit IO.
+
+Like PNG (zlib) and GIF (LZW), baseline sequential JPEG is fully
+publicly specified: the Annex K quantization + Huffman tables, zigzag
+order, 8×8 DCT and the marker layout are all in T.81. Implementing it
+here closes the last common IMAGE format gap in the multimodal stages —
+only the video/audio codec formats (mp3/mp4/h264) still raise honestly.
+
+Scope:
+- decode: baseline sequential (SOF0), 8-bit, 1 or 3 components, any
+  1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), restart intervals.
+  Progressive (SOF2), arithmetic coding and 12-bit raise honestly.
+- encode: 4:4:4 YCbCr (or grayscale), Annex K tables scaled by
+  `quality`, standard Huffman tables. Lossy by nature — tests gate on
+  PSNR, not equality.
+
+The per-8×8-block transform is numpy (batched matmul DCT over ALL
+blocks at once); only the entropy layer is a Python loop, which is the
+honest cost of Huffman without a codec library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import MediaDecodeError
+
+# ---------------------------------------------------------------------------
+# constants (ITU-T T.81 Annex K — public)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.float64)
+
+# standard Huffman tables (T.81 K.3): (BITS counts per length 1..16, HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61,
+    0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+    0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25,
+    0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64,
+    0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+    0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+    0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3,
+    0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+    0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61,
+    0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+    0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18,
+    0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63,
+    0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+    0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,
+    0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA,
+    0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+    0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8×8 DCT-II matrix
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16) * (np.sqrt(0.125) if _k == 0 else 0.5)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → symbol map for the reader."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.floor((q * s + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    # marker (RSTn handled by caller via resync) — pad
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to just after the next RST marker (restart interval)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos < len(d) - 1:
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise MediaDecodeError("expected JPEG restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (size class, appended bits) for Huffman coding."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = int(a).bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0].astype(np.float64), rgb[..., 1].astype(np.float64), rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128, ycc[..., 2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) → (n_blocks, 8, 8), edge-padded by replication."""
+    h, w = plane.shape
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    return (
+        p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        H // 8,
+        W // 8,
+    )
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → baseline JFIF bytes
+    (4:4:4, Annex K tables scaled by quality)."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    planes = [a.astype(np.float64)] if gray else list(np.moveaxis(_rgb_to_ycbcr(a), -1, 0))
+    ql = _quality_scale(Q_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(Q_CHROMA, quality).reshape(8, 8)
+    qts = [ql] if gray else [ql, qc, qc]
+
+    dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS), _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS), _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    # DCT + quantize every component fully vectorized
+    comp_coeffs = []
+    nby = nbx = 0
+    for plane, qt in zip(planes, qts):
+        blocks, nby, nbx = _blocks(plane)
+        f = _C @ (blocks - 128.0) @ _C.T
+        comp_coeffs.append(np.round(f / qt).astype(np.int64))
+
+    wbits = _BitWriter()
+    prev_dc = [0] * len(planes)
+    zz = ZIGZAG
+    for bi in range(nby * nbx):  # interleave MCUs (1 block per comp, 4:4:4)
+        for ci, coeffs in enumerate(comp_coeffs):
+            tid = 0 if ci == 0 else 1
+            dct, act = dc_tabs[tid], ac_tabs[tid]
+            blk = coeffs[bi].reshape(-1)[zz]
+            diff = int(blk[0]) - prev_dc[ci]
+            prev_dc[ci] = int(blk[0])
+            t, bits = _magnitude(diff)
+            code, ln = dct[t]
+            wbits.write(code, ln)
+            if t:
+                wbits.write(bits, t)
+            run = 0
+            last_nz = int(np.nonzero(blk[1:])[0][-1]) + 1 if np.any(blk[1:]) else 0
+            for i in range(1, last_nz + 1):
+                v = int(blk[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]  # ZRL
+                    wbits.write(code, ln)
+                    run -= 16
+                t, bits = _magnitude(v)
+                code, ln = act[(run << 4) | t]
+                wbits.write(code, ln)
+                wbits.write(bits, t)
+                run = 0
+            if last_nz < 63:
+                code, ln = act[0x00]  # EOB
+                wbits.write(code, ln)
+    wbits.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate([ql] if gray else [ql, qc]):
+        body = bytes([tid]) + bytes(qt.reshape(-1)[zz].astype(np.uint8))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in huffs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += wbits.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF → (h, w, 3) uint8 RGB (grayscale replicates).
+    Progressive/arithmetic/12-bit raise MediaDecodeError honestly."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    comps = []  # (id, h_samp, v_samp, qt_id)
+    h = w = None
+    restart = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            b = body
+            while b:
+                pq_, tq = b[0] >> 4, b[0] & 0x0F
+                if pq_ != 0:
+                    raise MediaDecodeError("16-bit quant tables unsupported")
+                qts[tq] = np.frombuffer(b[1:65], np.uint8).astype(np.float64)
+                b = b[65:]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise MediaDecodeError("only 8-bit JPEG supported")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17 : 17 + n])
+                (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, vals)
+                b = b[17 + n :]
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            pos += 2 + size
+            break
+        pos += 2 + size
+    if scan is None or h is None:
+        raise MediaDecodeError("JPEG missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(payload[pos:])
+    # per-component coefficient block grids
+    grids = {}
+    for cid, hs, vs, tq in comps:
+        grids[cid] = np.zeros((mcuy * vs, mcux * hs, 8, 8), np.float64)
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    comp_by_id = {c[0]: c for c in comps}
+    zz = ZIGZAG
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                reader.align_to_marker()
+                prev_dc = {cid: 0 for cid, *_ in comps}
+            n_mcu += 1
+            for cid, tdc, tac in scan:
+                _, hs, vs, tq = comp_by_id[cid]
+                dct, act = dc_dec[tdc], ac_dec[tac]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, np.float64)
+                        t = _read_symbol(reader, dct)
+                        diff = _extend(reader.receive(t), t) if t else 0
+                        prev_dc[cid] += diff
+                        blk[0] = prev_dc[cid]
+                        i = 1
+                        while i < 64:
+                            rs = _read_symbol(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    i += 16
+                                    continue
+                                break  # EOB
+                            i += r
+                            if i > 63:
+                                raise MediaDecodeError("JPEG AC overflow")
+                            blk[i] = _extend(reader.receive(s), s)
+                            i += 1
+                        blk = blk * qts[tq]
+                        m = np.zeros(64, np.float64)
+                        m[zz] = blk
+                        grids[cid][my * vs + by, mx * hs + bx] = m.reshape(8, 8)
+    # IDCT all blocks per component at once, assemble, upsample
+    planes = []
+    for cid, hs, vs, _tq in comps:
+        g = grids[cid]
+        sp = _C.T @ g @ _C + 128.0
+        gh, gw = g.shape[0] * 8, g.shape[1] * 8
+        plane = sp.transpose(0, 2, 1, 3).reshape(gh, gw)
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _read_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise MediaDecodeError("invalid JPEG Huffman code")

@@ -7,9 +7,10 @@ specified publicly (RIFF/WAVE: Microsoft multimedia spec; BMP: Windows
 BITMAPINFOHEADER; PPM: netpbm; AVI: Microsoft 'AVI RIFF File Reference').
 Implementing them in numpy upgrades the multimodal stages from
 deterministic fakes to REAL decode paths on self-generated corpora;
-PNG decodes for real too (DEFLATE via the stdlib zlib; all five
-scanline filters); the codec-library formats (jpeg/mp3/mp4) and Adam7
-interlace still raise honestly.
+PNG (stdlib zlib DEFLATE, stages/media_codecs.py), GIF (pure-Python
+LZW) and baseline JPEG (stages/jpeg.py: numpy DCT + T.81 Annex K
+tables) decode for real too; the audio/video codec formats (mp3/mp4)
+and the exotic variants (Adam7, progressive JPEG) raise honestly.
 
 All decoders take `bytes` and return numpy arrays; all encoders are the
 exact inverses used by the test fixtures and `synth_media_table`.
@@ -224,6 +225,8 @@ def sniff_image(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 

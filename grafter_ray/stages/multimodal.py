@@ -10,7 +10,7 @@ layout — is real and tested. Codec coverage is split honestly:
   24-bit), PPM (P6), minimal uncompressed AVI — so the full pipeline
   (parse → tensor → resize/frame-sample → features) runs end-to-end on
   self-generated corpora with no codec library.
-- codec-library formats (jpeg/mp3/mp4) need PIL/soundfile/av, which
+- audio/video codec formats (mp3/mp4/h264) need soundfile/av, which
   this container lacks: with `strict=True` an undecodable payload raises
   NotImplementedError; by default it falls back to the deterministic
   digest-fake decoder so shape/schema plumbing stays testable.
@@ -50,7 +50,8 @@ except ImportError:
 
 class DecodeImageStage:
     """Actor-pool stage: payload bytes → (height, width, 3) uint8 tensor
-    + basic features. BMP/PPM/PNG/GIF payloads decode for real (media_codecs.py);
+    + basic features. BMP/PPM/PNG/GIF/baseline-JPEG payloads decode for real
+    (media_codecs.py, jpeg.py);
     other formats go to PIL when present, else the digest fake
     (``strict=True`` raises instead). Use as
     ``ds.map_batches(DecodeImageStage, concurrency=(1, N), **PAYLOAD_BATCH_KWARGS)``.
@@ -73,6 +74,10 @@ class DecodeImageStage:
             return resize_nearest(decode_png(payload), self.h, self.w)
         if kind == "gif":
             return resize_nearest(decode_gif(payload), self.h, self.w)
+        if kind == "jpeg":
+            from .jpeg import decode_jpeg
+
+            return resize_nearest(decode_jpeg(payload), self.h, self.w)
         if _HAVE_PIL:  # pragma: no cover
             import io
 
@@ -83,7 +88,7 @@ class DecodeImageStage:
         if self.strict:
             raise NotImplementedError(
                 "compressed image codec not available in this environment (PIL missing); "
-                "only BMP/PPM/PNG/GIF decode natively"
+                "only BMP/PPM/PNG/GIF/baseline-JPEG decode natively"
             )
         # deterministic fake decoder: pixels derived from payload digest so
         # the full pipeline (schema, shapes, feature math) is testable
@@ -248,7 +253,7 @@ def _synth_rgb(i: int, h: int, w: int) -> np.ndarray:
 
 def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
     """Deterministic synthetic media corpus. For the natively-decodable
-    kinds (image/bmp, image/ppm, image/png, image/gif, audio/wav, video/avi) the payloads are
+    kinds (image/{bmp,ppm,png,gif,jpeg}, audio/wav, video/avi) the payloads are
     REAL encoded files (media_codecs.py), so downstream stages exercise
     the true parse→tensor path; other kinds get seeded digest bytes for
     the fake-decode plumbing."""
@@ -262,6 +267,10 @@ def synth_media_table(n: int, kind: str = "image/png") -> pa.Table:
     elif kind == "image/gif":
         # quantized gradient (GIF needs <= 256 distinct colors)
         payloads = [encode_gif((_synth_rgb(int(i), 24, 33) // 32) * 32) for i in ids]
+    elif kind == "image/jpeg":
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(_synth_rgb(int(i), 24, 33), quality=90) for i in ids]
     elif kind == "image/ppm":
         payloads = [encode_ppm(_synth_rgb(int(i), 24, 33)) for i in ids]
     elif kind == "audio/wav":

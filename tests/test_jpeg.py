@@ -1,0 +1,73 @@
+"""Baseline JPEG codec: lossy round-trip PSNR gates, flat-color near
+exactness, grayscale, honest raises (progressive/12-bit/non-JPEG),
+sniff + strict DecodeImageStage integration."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.jpeg import decode_jpeg, encode_jpeg
+from grafter_ray.stages.media_codecs import MediaDecodeError, sniff_image
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_roundtrip_psnr_gradient_and_noise():
+    y, x = np.mgrid[0:24, 0:33]
+    img = np.stack([(x * 7) % 256, (y * 9) % 256, ((x + y) * 3) % 256], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 40
+    rng = np.random.default_rng(8)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert _psnr(noise, out) > 25  # noise is the worst case for DCT
+
+
+def test_flat_color_near_exact_and_gray():
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=85))
+    assert np.abs(out.astype(int) - 77).max() <= 2
+    y, x = np.mgrid[0:17, 0:11]
+    g = ((y * 11 + x * 5) % 256).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, quality=90))
+    assert og.shape == (17, 11, 3)
+    assert _psnr(np.repeat(g[:, :, None], 3, 2), og) > 35
+
+
+def test_quality_knob_monotone_size():
+    y, x = np.mgrid[0:32, 0:32]
+    img = np.stack([(x * 5) % 256] * 3, axis=2).astype(np.uint8)
+    sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_honest_raises():
+    with pytest.raises(MediaDecodeError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    # progressive: flip SOF0 marker to SOF2 in a real payload
+    p = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2
+    with pytest.raises(MediaDecodeError, match="SOF2"):
+        decode_jpeg(bytes(p))
+
+
+def test_sniff_and_stage():
+    from grafter_ray.stages.multimodal import (
+        PAYLOAD_BATCH_KWARGS,
+        DecodeImageStage,
+        synth_media_table,
+    )
+
+    tb = synth_media_table(4, kind="image/jpeg")
+    assert sniff_image(tb.column("payload")[0].as_py()) == "jpeg"
+    out = (
+        rd.from_arrow(tb)
+        .map_batches(DecodeImageStage(target_size=(12, 12), strict=True), **PAYLOAD_BATCH_KWARGS)
+        .to_pandas()
+    )
+    assert len(out) == 4 and len(out["pixels"][0]) == 12 * 12 * 3

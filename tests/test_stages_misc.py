@@ -29,16 +29,19 @@ def test_image_stage_shapes_and_determinism():
 
 
 def test_image_stage_strict_raises_on_compressed_payload():
-    # strict mode decodes BMP/PPM/PNG natively but refuses payloads that
-    # would need a codec library (jpeg bytes)
+    # strict mode decodes BMP/PPM/PNG/GIF/baseline-JPEG natively but
+    # refuses formats that would need a codec library (webp bytes)
     stage = DecodeImageStage(strict=True)
     with pytest.raises(NotImplementedError):
-        stage._decode_one(b"\xff\xd8\xff\xe0\x00\x10JFIF junk")
-    # corrupt PNG is a decode error, not a missing-codec error
+        stage._decode_one(b"RIFF\x00\x00\x00\x00WEBPVP8 junk")
+    # corrupt payloads of native formats are decode errors, not
+    # missing-codec errors
     from grafter_ray.stages.media_codecs import MediaDecodeError
 
     with pytest.raises(MediaDecodeError):
         stage._decode_one(b"\x89PNG\r\n\x1a\n junk")
+    with pytest.raises(MediaDecodeError):
+        stage._decode_one(b"\xff\xd8\xff\xe0\x00\x10JFIF junk")
 
 
 def test_image_stage_real_bmp_decode():

@@ -32,17 +32,59 @@ class MediaDecodeError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """samples: int16 array, shape (n,) mono or (n, ch) interleaved."""
+# G.711 companding (public ITU-T spec): decode is the spec formula as a
+# 256-entry LUT; encode picks the nearest decodable level (optimal
+# quantization — >= standard-encoder quality, round-trips through the
+# spec decoder).
+def _ulaw_decode_lut() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -s, s).astype(np.int16)
+
+
+def _alaw_decode_lut() -> np.ndarray:
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    s = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1).clip(0))
+    return np.where(sign, -s, s).astype(np.int16)
+
+
+def _companding_encode(s: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    order = np.argsort(lut, kind="stable")
+    lev = lut[order].astype(np.int64)
+    idx = np.searchsorted(lev, s.astype(np.int64))
+    idx = np.clip(idx, 1, len(lev) - 1)
+    lo, hi = lev[idx - 1], lev[idx]
+    pick = np.where(np.abs(s - lo) <= np.abs(hi - s), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000, codec: str = "pcm16") -> bytes:
+    """samples: int16 array, shape (n,) mono or (n, ch) interleaved.
+    codec: pcm16 (fmt 1), ulaw (fmt 7, G.711 mu-law) or alaw (fmt 6)."""
     s = np.asarray(samples, dtype="<i2")
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.reshape(-1).tobytes()
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if codec == "pcm16":
+        fmt_code, bits, bw = 1, 16, 2
+        data = s.reshape(-1).tobytes()
+    elif codec in ("ulaw", "alaw"):
+        fmt_code, bits, bw = (7 if codec == "ulaw" else 6), 8, 1
+        lut = _ulaw_decode_lut() if codec == "ulaw" else _alaw_decode_lut()
+        data = _companding_encode(s.reshape(-1), lut).tobytes()
+    else:
+        raise MediaDecodeError(f"unknown WAV codec {codec!r}")
+    byte_rate = sample_rate * ch * bw
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate, byte_rate, ch * bw, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -50,7 +92,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     input is averaged to mono (the usual feature-extraction front end)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
-    pos, ch, rate, bits, data = 12, None, None, None, None
+    pos, ch, rate, bits, data, audio_fmt = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -58,14 +100,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if audio_fmt != 1 or bits != 16:
+            if not ((audio_fmt == 1 and bits == 16) or (audio_fmt in (6, 7) and bits == 8)):
                 raise MediaDecodeError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if ch is None or data is None:
         raise MediaDecodeError("WAV missing fmt/data chunk")
-    s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2").reshape(-1, ch)
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law: LUT-expand to int16
+        lut = _alaw_decode_lut() if audio_fmt == 6 else _ulaw_decode_lut()
+        s = lut[np.frombuffer(data[: (len(data) // ch) * ch], np.uint8)].reshape(-1, ch)
+    else:
+        s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2").reshape(-1, ch)
     return s.astype(np.float64).mean(axis=1) / 32768.0, int(rate)
 
 
@@ -151,33 +197,54 @@ def _list(kind: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", kind + body)
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """frames: (n, h, w, 3) uint8 RGB → minimal uncompressed AVI."""
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "dib", quality: int = 85) -> bytes:
+    """frames: (n, h, w, 3) uint8 RGB → minimal AVI. codec='dib' writes
+    raw bottom-up DIB frames; codec='mjpg' writes Motion-JPEG (each
+    frame a baseline JPEG from stages/jpeg.py) — the standard compressed
+    AVI a capture pipeline emits."""
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
     frame_bytes = stride * h
+    if codec == "mjpg":
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(p) for p in payloads)
+        fourcc, comp, ckid = b"MJPG", 0x47504A4D, b"00dc"
+    elif codec == "dib":
+        payloads = None
+        fourcc, comp, ckid = b"DIB ", 0, b"00db"
+    else:
+        raise MediaDecodeError(f"unknown AVI codec {codec!r}")
     avih = struct.pack("<IIIIIIIIIIIIII", 1_000_000 // fps, frame_bytes * fps, 0, 0, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
-    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    strh = b"vids" + fourcc + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_bytes, 0, 0, 0, 0)
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
     movi_body = b""
-    for f in frames:
-        bgr = np.ascontiguousarray(f[::-1, :, ::-1], dtype=np.uint8)
-        rows = np.zeros((h, stride), np.uint8)
-        rows[:, : w * 3] = bgr.reshape(h, w * 3)
-        movi_body += _chunk(b"00db", rows.tobytes())
+    if codec == "mjpg":
+        for p in payloads:
+            movi_body += _chunk(ckid, p)
+    else:
+        for f in frames:
+            bgr = np.ascontiguousarray(f[::-1, :, ::-1], dtype=np.uint8)
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            movi_body += _chunk(ckid, rows.tobytes())
     return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl) + len(_list(b"movi", movi_body))) + b"AVI " + hdrl + _list(b"movi", movi_body)
 
 
 def decode_avi(payload: bytes) -> np.ndarray:
-    """→ (n, h, w, 3) uint8 RGB frames (uncompressed '00db' DIB only)."""
+    """→ (n, h, w, 3) uint8 RGB frames. Uncompressed '00db' DIB and
+    Motion-JPEG ('MJPG' fourcc, '00dc' JPEG frames) decode natively;
+    other codecs raise honestly."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise MediaDecodeError("not a RIFF/AVI payload")
     w = h = None
+    comp_code = 0
     frames = []
 
     def walk(buf: bytes, pos: int, end: int):
-        nonlocal w, h
+        nonlocal w, h, comp_code
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
@@ -186,16 +253,20 @@ def decode_avi(payload: bytes) -> np.ndarray:
                 walk(buf, body_start + 4, body_start + size)
             elif cid == b"strf":
                 _hsz, w_, h_, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, body_start)
-                if bpp != 24 or comp != 0:
+                if comp not in (0, 0x47504A4D) or (comp == 0 and bpp != 24):
                     raise MediaDecodeError(f"unsupported AVI stream (bpp={bpp}, compression={comp})")
-                w, h = w_, abs(h_)
-            elif cid == b"00db":
+                w, h, comp_code = w_, abs(h_), comp
+            elif cid in (b"00db", b"00dc"):
                 frames.append(buf[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
     walk(payload, 12, len(payload))
     if w is None or not frames:
         raise MediaDecodeError("AVI missing strf header or frames")
+    if comp_code == 0x47504A4D:  # MJPG: each frame is a baseline JPEG
+        from .jpeg import decode_jpeg
+
+        return np.stack([decode_jpeg(fb) for fb in frames])
     stride = (w * 3 + 3) & ~3
     out = np.zeros((len(frames), h, w, 3), np.uint8)
     for i, fb in enumerate(frames):

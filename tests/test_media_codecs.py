@@ -293,3 +293,45 @@ def test_gif_stage_and_sniff():
         .to_pandas()
     )
     assert len(out) == 4 and len(out["pixels"][0]) == 8 * 8 * 3
+
+
+def test_mjpeg_avi_roundtrip_and_dib_unchanged():
+    from grafter_ray.stages.media_codecs import decode_avi, encode_avi
+
+    y, x = np.mgrid[0:16, 0:24]
+    frames = np.stack(
+        [
+            np.stack([(x * 7 + i * 13) % 256, (y * 9) % 256, ((x + y) * 3) % 256], axis=2).astype(np.uint8)
+            for i in range(5)
+        ]
+    )
+    out = decode_avi(encode_avi(frames, codec="mjpg", quality=90))
+    assert out.shape == frames.shape
+    mse = np.mean((out.astype(float) - frames.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 38
+    # raw DIB stays byte-exact
+    assert (decode_avi(encode_avi(frames, codec="dib")) == frames).all()
+    with pytest.raises(MediaDecodeError, match="unknown AVI codec"):
+        encode_avi(frames, codec="h264")
+
+
+def test_g711_wav_roundtrip_snr_and_raises():
+    from grafter_ray.stages.media_codecs import decode_wav, encode_wav
+
+    t = np.arange(1600)
+    sig = np.round(11000 * np.sin(2 * np.pi * 120 * t / 8000)).astype(np.int16)
+    ref = sig.astype(float) / 32768.0
+    for codec, min_snr in (("ulaw", 33.0), ("alaw", 33.0)):
+        payload = encode_wav(sig, 8000, codec=codec)
+        out, rate = decode_wav(payload)
+        assert rate == 8000 and len(out) == len(sig)
+        snr = 10 * np.log10(np.mean(ref**2) / np.mean((out - ref) ** 2))
+        assert snr > min_snr, (codec, snr)
+        # G.711 payload is half the PCM16 size (8-bit samples)
+        assert len(payload) < len(encode_wav(sig, 8000)) * 0.6
+    # stereo companded audio averages to mono like PCM
+    st = np.stack([sig, -sig // 2], axis=1)
+    out, _ = decode_wav(encode_wav(st, 8000, codec="ulaw"))
+    assert len(out) == len(sig)
+    with pytest.raises(MediaDecodeError, match="unknown WAV codec"):
+        encode_wav(sig, codec="opus")

@@ -1872,6 +1872,23 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
 
 
+def q_media_jpeg_features(sf_dir: str):
+    """Compressed-image modality: baseline-JPEG payloads decoded for
+    REAL by the pure-numpy T.81 codec (stages/jpeg.py) inside the strict
+    actor-pool stage — the full parse→DCT→tensor path, no codec library
+    (rows-only check; PSNR gates live in tests/test_jpeg.py)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImageStage, PAYLOAD_BATCH_KWARGS, synth_media_table
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    ds = rd.from_arrow(synth_media_table(min(n_docs, 128), kind="image/jpeg"))
+    out = ds.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"strict": True}, concurrency=(1, 4), **PAYLOAD_BATCH_KWARGS
+    )
+    return out.select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
+
+
 def q_audio_frames(sf_dir: str):
     """Second multimodal modality: audio payloads → fixed frame-energy
     vectors through the actor-pool stage — REAL RIFF/WAVE PCM16 decode
@@ -3775,6 +3792,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "inferred_type_counts": q_inferred_type_counts,
     "media_features": q_media_features,
+    "media_jpeg_features": q_media_jpeg_features,
     "audio_frames": q_audio_frames,
     "video_frames": q_video_frames,
     "melt_part": q_melt_part,

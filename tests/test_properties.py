@@ -250,3 +250,44 @@ def test_engine_windowed_modes_resume_match_oracle(tmp_path_factory, binlog, dat
         mid_got = lake2.read_table(view=False, version=int(m1["version"]))
         assert mid_got.column("content_sha").to_pylist() == mid_want.column("content_sha").to_pylist()
         assert mid_got.column("last_lsn").to_pylist() == mid_want.column("last_lsn").to_pylist()
+
+
+@given(binlogs(), st.data())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bootstrap_and_compaction_match_oracle(tmp_path_factory, binlog, data):
+    """Snapshot bootstrap at a random cut + tail replay, and replay of
+    the LWW-compacted binlog, both converge to the full-history oracle
+    (content sha + schema_version; bootstrapped rows pin last_lsn at the
+    snapshot position by design, so last_lsn is compared only on the
+    compaction path)."""
+    import ray.data as rd
+
+    from grafter_ray import CDCLake, compact_binlog, oracle_lake_table
+
+    want, version = oracle_lake_table(binlog)
+
+    # --- bootstrap at a random snapshot cut, then tail ------------------
+    S = data.draw(st.integers(0, binlog.num_rows - 1), label="snapshot_lsn")
+    snap, ver = oracle_lake_table(binlog, upto_lsn=S)
+    root = str(tmp_path_factory.mktemp("prop_bs") / "lake")
+    lake = CDCLake(root, num_partitions=4)
+    lake.bootstrap(
+        rd.from_arrow(snap.select(["repo", "path", "commit", "lang", "content", "event_schema_version"])),
+        snapshot_lsn=S,
+        schema_version=ver,
+    )
+    assert lake.watermark == S
+    lake.apply(rd.from_arrow(binlog))
+    got = lake.read_table(view=False)
+    assert lake.schema_version == version
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+    # --- replay of the compacted binlog ---------------------------------
+    comp = compact_binlog(rd.from_arrow(binlog))
+    root2 = str(tmp_path_factory.mktemp("prop_cb") / "lake")
+    lake2 = CDCLake(root2, num_partitions=4)
+    lake2.apply(comp)
+    got2 = lake2.read_table(view=False)
+    assert lake2.schema_version == version
+    assert got2.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got2.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()

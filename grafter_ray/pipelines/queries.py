@@ -575,6 +575,29 @@ LIMIT 30
 """
 
 
+def q_grouped_weighted_sample(sf_dir: str):
+    """Exactly-k weighted sample PER GROUP (value-weighted stratified
+    mixing): per-priority top-k of the SQL-exact priority key, map-side
+    pre-reduced (stages/sampling.py grouped_weighted_sample_k)."""
+    from ..stages.sampling import grouped_weighted_sample_k
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_weighted_sample_k(
+        ds, ["o_orderpriority"], id_col="o_orderkey", weight_col="o_totalprice", k=12
+    )
+
+
+SQL_GROUPED_WEIGHTED_SAMPLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY ((o_orderkey * 1103515245 + 12345) % 2147483648 + 1) / o_totalprice, o_orderkey
+  ) AS rn
+  FROM orders WHERE o_totalprice > 0
+) WHERE rn <= 12
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Global vocabulary top-k (classic word count at corpus scale):
     tokenize inside each block (Arrow split_pattern_regex), PRE-COUNT
@@ -3731,6 +3754,7 @@ QUERIES = {
     "exact_k_sample": q_exact_k_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
     "weighted_sample": q_weighted_sample,
+    "grouped_weighted_sample": q_grouped_weighted_sample,
     "vocab_topk": q_vocab_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "bpe_train_encode": q_bpe_train_encode,
@@ -3854,6 +3878,7 @@ ORACLE_SQL = {
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "grouped_weighted_sample": SQL_GROUPED_WEIGHTED_SAMPLE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,

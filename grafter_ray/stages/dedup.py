@@ -1080,8 +1080,42 @@ def chunk_explode(tb: pa.Table, id_col: str, text_col: str, words: int) -> pa.Ta
     )
 
 
-def chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text", words: int = 8):
+def sep_chunk_explode(tb: pa.Table, id_col: str, text_col: str, sep: str) -> pa.Table:
+    """(doc_id, chunk_no, chunk): separator-delimited units per document
+    (CCNet dedups by PARAGRAPH — sep='\n'). Vectorized: one
+    split_pattern, offset arithmetic over the flat unit buffer."""
+    n = tb.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], tb.schema.field(id_col).type),
+                "chunk_no": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    wl = pc.split_pattern(pc.cast(tb.column(text_col), pa.large_string()), pattern=sep).combine_chunks()
+    offs = wl.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offs)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    first = offs[:-1]
+    chunk_no = np.arange(int(counts.sum()), dtype=np.int64) - first[row_of]
+    return pa.table(
+        {
+            id_col: tb.column(id_col).take(pa.array(row_of)),
+            "chunk_no": pa.array(chunk_no),
+            "chunk": pc.cast(wl.values, pa.string()),
+        }
+    )
+
+
+def chunk_dedup(
+    ds, id_col: str = "doc_id", text_col: str = "text", words: int = 8, sep: str | None = None
+):
     """Corpus-wide duplicate-chunk removal + document rewrite.
+
+    Chunk unit: consecutive `words`-word windows (C4 shape) by default,
+    or separator-delimited units when `sep` is given (CCNet paragraph
+    dedup: sep='\n'); the rebuild re-joins with the same unit separator.
 
     Scale plan (text crosses the wire ONCE): chunking is map-side; the
     winner decision exchanges only (sha256, doc_id, chunk_no) metadata
@@ -1092,8 +1126,12 @@ def chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text", words: int =
     (SQL-groupable semantics; the caller can anti-join to find them)."""
     from .sha import sha256_array
 
+    join_sep = " " if sep is None else sep
+
     def explode(tb: pa.Table) -> pa.Table:
-        return chunk_explode(tb, id_col, text_col, words)
+        if sep is None:
+            return chunk_explode(tb, id_col, text_col, words)
+        return sep_chunk_explode(tb, id_col, text_col, sep)
 
     chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1197,7 +1235,7 @@ def chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text", words: int =
         offsets = np.append(starts, t.num_rows).astype(np.int64)
         vals = pc.cast(t.column("chunk"), pa.large_string()).combine_chunks()
         lists = pa.LargeListArray.from_arrays(offsets, vals)
-        joined = pc.cast(pc.binary_join(lists, pa.scalar(" ", pa.large_string())), pa.string())
+        joined = pc.cast(pc.binary_join(lists, pa.scalar(join_sep, pa.large_string())), pa.string())
         return pa.table(
             {
                 id_col: t.column(id_col).take(pa.array(starts)),

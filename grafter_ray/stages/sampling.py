@@ -158,3 +158,33 @@ def weighted_sample_k(ds, id_col: str, weight_col: str, k: int):
     return out.map_batches(
         lambda tb: tb.drop_columns(["__pri"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_weighted_sample_k(ds, keys: list[str], id_col: str, weight_col: str, k: int):
+    """Exactly k rows PER GROUP, weighted (per-stratum priority
+    sampling — 'k docs per language, favoring the long ones'): the same
+    SQL-exact (LCG(id)+1)/weight priority as weighted_sample_k, selected
+    per group via the pre-reduced per-group top-n (take_per_group — each
+    block prunes to ≤ k rows per key before the single exchange).
+    NULL/non-positive weights are excluded; groups smaller than k keep
+    all their eligible rows. SQL spelling: row_number() OVER (PARTITION
+    BY keys ORDER BY ((id*1103515245+12345)%2147483648+1)/w, id) <= k."""
+    from ..pipelines.relational import take_per_group
+
+    def rank(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = tb.column(weight_col)
+        tb = tb.filter(pc.and_kleene(pc.is_valid(w), pc.greater(w, 0)))
+        if tb.num_rows == 0:
+            return tb.append_column("__pri", pa.array([], pa.float64()))
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        wv = tb.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return tb.append_column("__pri", pa.array((h + 1).astype(np.float64) / wv, pa.float64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = take_per_group(ranked, keys, [("__pri", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__pri"]), batch_format="pyarrow", zero_copy_batch=True
+    )

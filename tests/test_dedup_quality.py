@@ -392,3 +392,58 @@ def test_chunk_dedup_random_differential_vs_sql():
         assert out[["doc_id", "clean_text", "n_kept"]].equals(
             ref[["doc_id", "clean_text", "n_kept"]]
         ), trial
+
+
+def test_paragraph_dedup_differential_vs_sql():
+    """sep mode (CCNet paragraph dedup): separator-delimited units,
+    corpus-wide first-occurrence wins, documents re-joined with the same
+    separator — vs the DuckDB split/window/string_agg oracle."""
+    import random
+
+    import duckdb
+    import ray.data as rd
+
+    from grafter_ray.stages.dedup import chunk_dedup
+
+    rng = random.Random(2468)
+    paras = [f"para {i} body {i % 7}" for i in range(25)]
+    for trial, (n_docs, parts) in enumerate([(80, 4), (50, 9)]):
+        texts = []
+        for _ in range(n_docs):
+            k = rng.randrange(1, 6)
+            texts.append("\n".join(rng.choice(paras) for _ in range(k)))
+        tb = pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            chunk_dedup(rd.from_arrow(tb).repartition(parts), sep="\n")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs", tb)
+        ref = con.execute("""
+            WITH p AS (
+              SELECT doc_id, u.i - 1 AS chunk_no, ps[u.i] AS chunk
+              FROM (SELECT doc_id, string_split(text, chr(10)) ps FROM docs),
+                   LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) u
+            ),
+            kept AS (
+              SELECT doc_id, chunk_no, chunk FROM (
+                SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) rn
+                FROM p
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, string_agg(chunk, chr(10) ORDER BY chunk_no) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """).fetchdf()
+        ref["n_kept"] = ref["n_kept"].astype("int64")
+        assert len(out) == len(ref), trial
+        assert out[["doc_id", "clean_text", "n_kept"]].equals(
+            ref[["doc_id", "clean_text", "n_kept"]]
+        ), trial

@@ -1004,19 +1004,20 @@ GROUP BY g.doc_id
 
 
 def q_edit_distance_pairs(sf_dir: str):
-    """Fuzzy short-string self-join: document pairs whose first 40
+    """Fuzzy short-string self-join: document pairs whose first 24
     characters are within Levenshtein distance 2. FastSS deletion
     neighborhoods give complete candidates in ONE exchange; the exact DP
     verify inside each bucket makes the result sound
-    (stages/editdist.py)."""
+    (stages/editdist.py). Signature volume ~ prefix_len^2/2 per row —
+    pick the shortest prefix that identifies a near-dup."""
     from ..stages.editdist import edit_distance_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return edit_distance_pairs(ds, id_col="doc_id", text_col="text", k=2, prefix_len=40)
+    return edit_distance_pairs(ds, id_col="doc_id", text_col="text", k=2, prefix_len=24)
 
 
 SQL_EDIT_DISTANCE_PAIRS = """
-WITH s AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+WITH s AS (SELECT doc_id, substr(text, 1, 24) AS t FROM documents)
 SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE abs(len(a.t) - len(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2

@@ -3116,6 +3116,59 @@ SELECT doc_id, regexp_extract(text, '^[a-z]+') AS first_word FROM documents
 """
 
 
+def q_nations_with_both(sf_dir: str):
+    """SQL INTERSECT re-expressed Ray-Data-first: nations having BOTH
+    customers and suppliers — map-side dedup per side, one exchange of
+    distinct keys, per-segment side-mask (relational.intersect_distinct)."""
+    from .relational import intersect_distinct
+
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda tb: pa.table({"nationkey": tb.column("c_nationkey")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda tb: pa.table({"nationkey": tb.column("s_nationkey")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return intersect_distinct(c, s, ["nationkey"])
+
+
+SQL_NATIONS_WITH_BOTH = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_dates_without_urgent(sf_dir: str):
+    """SQL EXCEPT: order dates on which NO urgent order was placed
+    (relational.except_distinct, same one-exchange plan as INTERSECT)."""
+    from .relational import except_distinct
+
+    a = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        lambda tb: pa.table({"orderdate": tb.column("o_orderdate")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    b = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"]).map_batches(
+        lambda tb: pa.table(
+            {
+                "orderdate": tb.filter(
+                    pc.equal(tb.column("o_orderpriority"), "1-URGENT")
+                ).column("o_orderdate")
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return except_distinct(a, b, ["orderdate"])
+
+
+SQL_DATES_WITHOUT_URGENT = """
+SELECT o_orderdate AS orderdate FROM orders
+EXCEPT
+SELECT o_orderdate AS orderdate FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q_all_ids_union(sf_dir: str):
     """Dataset.union of two projections (≡ fixture-repo source union)."""
     ev = _read(sf_dir, "events", ["event_id"]).map_batches(
@@ -3852,6 +3905,8 @@ QUERIES = {
     "segment_top3_customers": q_segment_top3_customers,
     "first_word": q_first_word,
     "all_ids_union": q_all_ids_union,
+    "nations_with_both": q_nations_with_both,
+    "dates_without_urgent": q_dates_without_urgent,
     "props_extract": q_props_extract,
     "value_buckets": q_value_buckets,
 }
@@ -3965,6 +4020,8 @@ ORACLE_SQL = {
     "segment_top3_customers": SQL_SEGMENT_TOP3_CUSTOMERS,
     "first_word": SQL_FIRST_WORD,
     "all_ids_union": SQL_ALL_IDS_UNION,
+    "nations_with_both": SQL_NATIONS_WITH_BOTH,
+    "dates_without_urgent": SQL_DATES_WITHOUT_URGENT,
     "props_extract": SQL_PROPS_EXTRACT,
     "value_buckets": SQL_VALUE_BUCKETS,
     # fingerprint / minhash_dedup / simhash / simhash_pairs / media_features:

@@ -919,3 +919,56 @@ def grouped_count_distinct(ds, keys: list[str], col: str, alias: str = "n_distin
         list(keys) + [col],
     )
     return grouped_agg(pairs, list(keys), [(alias, None, "count")])
+
+
+def _keyed_distinct_side(ds, cols: list[str], side: int):
+    """Map-side dedup + derived non-null key (distinct()'s contract) +
+    a side bit for the set-op co-group."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        tb = tb.select(cols).group_by(cols).aggregate([])
+        parts = [pc.coalesce(pc.cast(tb.column(c), pa.string()), "\x01") for c in cols]
+        key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x00")
+        return tb.append_column("__k", key).append_column(
+            "__side", pa.nulls(tb.num_rows, pa.int8()).fill_null(side)
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _set_op(a, b, cols: list[str], keep_mask: int):
+    import numpy as np
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    both = _keyed_distinct_side(a, cols, 1).union(_keyed_distinct_side(b, cols, 2))
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return tb
+        tb = tb.sort_by([("__k", "ascending"), ("__side", "ascending")])
+        starts, _ = key_segments(tb, ["__k"])
+        s = tb.column("__side").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.bitwise_or.reduceat(s, starts)
+        rows = starts[mask == keep_mask]
+        out = tb.take(pa.array(rows, pa.int64()))
+        return out.drop_columns(["__k", "__side"])
+
+    return grouped_block_map(both, ["__k"], block)
+
+
+def intersect_distinct(a, b, cols: list[str]):
+    """SQL INTERSECT (set semantics): distinct `cols` tuples present in
+    BOTH inputs. Each side dedups map-side, ONE exchange of distinct
+    rows on the derived non-null key, per-segment side-mask test — the
+    exchange is bounded by the two sides' distinct cardinality."""
+    return _set_op(a, b, cols, 3)
+
+
+def except_distinct(a, b, cols: list[str]):
+    """SQL EXCEPT (set semantics): distinct `cols` tuples of `a` absent
+    from `b`. Same one-exchange plan as intersect_distinct (mask == left
+    only). NULL key values compare equal (SQL set-op semantics). Caveat
+    shared by every Dataset-returning helper here: an ALL-empty result
+    loses its schema through Ray's empty-block union."""
+    return _set_op(a, b, cols, 1)

@@ -263,3 +263,44 @@ def test_grouping_sets_rejects_unknown_key():
 
     with pytest.raises(ValueError, match="outside keys"):
         grouping_sets_agg(None, ["k"], [["z"]], [("n", None, "count")])
+
+
+def test_intersect_except_match_duckdb():
+    """INTERSECT / EXCEPT set semantics vs DuckDB: duplicates collapse,
+    NULL keys participate (SQL set ops treat NULLs as equal), empty
+    overlaps, multi-column tuples, layout independence."""
+    from grafter_ray.pipelines.relational import except_distinct, intersect_distinct
+
+    rng = random.Random(31337)
+    for trial in range(3):
+        def mk(n):
+            return pa.table(
+                {
+                    "a": pa.array(
+                        [None if rng.random() < 0.1 else rng.randrange(6) for _ in range(n)],
+                        pa.int64(),
+                    ),
+                    "b": pa.array([chr(97 + rng.randrange(3)) for _ in range(n)]),
+                }
+            )
+
+        ta, tb_ = mk(300), mk(220)
+        con = duckdb.connect()
+        con.register("ta", ta)
+        con.register("tb", tb_)
+
+        def norm(df):
+            df = df.astype(str)
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        for op, fn in (("INTERSECT", intersect_distinct), ("EXCEPT", except_distinct)):
+            got = fn(
+                rd.from_arrow(ta).repartition(5), rd.from_arrow(tb_).repartition(3), ["a", "b"]
+            ).to_pandas()
+            want = con.execute(f"SELECT a, b FROM ta {op} SELECT a, b FROM tb").fetchdf()
+            assert len(got) == len(want), (trial, op)
+            if len(want) == 0:
+                # Ray coalesces all-empty unions schema-less (documented
+                # house caveat) — the count check above is the assertion
+                continue
+            assert norm(got[["a", "b"]]).equals(norm(want[["a", "b"]])), (trial, op)

@@ -100,6 +100,9 @@ QUERY_SUBSET = [
     "ccnet_buckets",
     "edit_distance_pairs",
     "approx_value_percentiles",
+    "grouped_weighted_sample",
+    "nations_with_both",
+    "dates_without_urgent",
 ]
 
 

@@ -415,3 +415,185 @@ class IncrementalView:
         tb = pa.concat_tables([pq.read_table(f) for f in files], promote_options="none")
         tb = tb.select(self.group_keys + [n for n, _, _, _ in self.measures])
         return tb.sort_by([(k, "ascending") for k in self.group_keys])
+
+
+class DistinctCountView:
+    """Exact per-group COUNT(DISTINCT value) maintained incrementally
+    under deletions.
+
+    Additive group-level folding cannot maintain distinct counts (a
+    retraction may or may not remove the last witness of its value) and
+    sketches cannot subtract (HLL registers are max-merged), so the
+    standard exact answer is REFCOUNTED PAIRS: the stored state is
+    (group_keys…, value, refcount > 0), folded ADDITIVELY from the
+    lake's signed change feed (+1 current / −1 prior per changed key) —
+    which makes the pair relation itself an additive view — and the
+    published view is a group-sized count over live pairs. State is
+    bounded by the distinct (group, value) cardinality (the information-
+    theoretic floor for exact distinct under deletions); a refresh
+    exchanges changed-key contributions + stored pairs, never the lake.
+
+    Same exactly-once recipe as IncrementalView: write the new pair
+    directory, atomically rename the manifest; a crashed refresh reruns
+    the same pure fold. NULL values don't count (SQL semantics); group
+    keys must be non-null (house shuffle contract).
+    """
+
+    def __init__(self, lake, root: str, group_keys: list[str], value_col: str, prepare=None):
+        self.lake = lake
+        self.root = root
+        self.group_keys = list(group_keys)
+        self.value_col = value_col
+        self.prepare = prepare
+        os.makedirs(root, exist_ok=True)
+        m = self.manifest()
+        if m is not None and (m["group_keys"] != self.group_keys or m["value_col"] != value_col):
+            raise ValueError(
+                "existing distinct-view manifest disagrees with the requested definition"
+            )
+
+    # -- manifest (same atomic-rename recipe as IncrementalView) -----------
+    def manifest(self) -> dict | None:
+        p = os.path.join(self.root, "MANIFEST.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = os.path.join(self.root, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, "MANIFEST.json"))
+
+    def _dir_files(self, d: str) -> list[str]:
+        full = os.path.join(self.root, d)
+        return sorted(
+            os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")
+        )
+
+    # -- fold ----------------------------------------------------------------
+    def _contrib(self, tb: pa.Table, signed: bool) -> pa.Table:
+        if self.prepare is not None and tb.num_rows:
+            tb = self.prepare(tb)
+        n = tb.num_rows
+        if signed and n:
+            sign = pc.cast(tb.column("sign"), pa.int64())
+        else:
+            sign = pa.array(np.ones(n, np.int64))
+        cols = {k: tb.column(k) for k in self.group_keys}
+        v = (
+            tb.column(self.value_col)
+            if self.value_col in tb.schema.names
+            else pa.array([], pa.string())
+        )
+        cols["__v"] = v
+        cols["__rc"] = sign
+        out = pa.table(cols)
+        # SQL semantics: NULL values never count toward DISTINCT
+        return out.filter(pc.is_valid(out.column("__v"))) if n else out
+
+    def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
+        import ray.data as rd
+
+        from .relational import grouped_agg
+
+        lm = self.lake.manifest_at(at_version)
+        lake_v = int(lm["version"]) if lm else -1
+        state = self.manifest()
+        if at_version is not None and state is not None and not full:
+            latest = self.lake.manifest
+            if latest is None or int(latest["version"]) != lake_v:
+                raise ValueError(
+                    "incremental refresh targets the latest lake version only — "
+                    "pass full=True to rebuild pinned at an older version"
+                )
+        if state is not None and not full and int(state["lake_version"]) == lake_v:
+            return {
+                "mode": "noop",
+                "view_version": state["view_version"],
+                "lake_version": lake_v,
+                "changed_partitions": 0,
+            }
+        me = self
+        if state is None or full:
+            mode = "full"
+            changed = self.lake.num_partitions
+            contrib = self.lake.read(view=True, version=at_version).map_batches(
+                lambda tb: me._contrib(tb, signed=False),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            mode = "incremental"
+            since = int(state["lake_version"])
+            changed = len(self.lake._changed_entries(since, to_manifest=lm)[1])
+            contrib = self.lake.changes_with_old(since, view=True, to_manifest=lm).map_batches(
+                lambda tb: me._contrib(tb, signed=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            prev_files = self._dir_files(state["dir"])
+            if prev_files:
+                contrib = contrib.union(rd.read_parquet(prev_files))
+
+        agg = grouped_agg(contrib, self.group_keys + ["__v"], [("__rc", "__rc", "sum")])
+
+        def live(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0 and tb.num_columns == 0:
+                return tb
+            t = tb.filter(pc.greater(tb.column("__rc"), 0))
+            i = t.schema.get_field_index("__rc")
+            return t.set_column(i, "__rc", pc.cast(t.column("__rc"), pa.int64()))
+
+        out = agg.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+        vv = (int(state["view_version"]) + 1) if state else 0
+        d = f"v{vv:06d}"
+        tmp = os.path.join(self.root, d + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        final_dir = os.path.join(self.root, d)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.replace(tmp, final_dir)
+        old_dirs = [state["dir"]] if state else []
+        self._commit(
+            {
+                "view_version": vv,
+                "lake_version": lake_v,
+                "dir": d,
+                "group_keys": self.group_keys,
+                "value_col": self.value_col,
+            }
+        )
+        for od in old_dirs:
+            if od != d:
+                shutil.rmtree(os.path.join(self.root, od), ignore_errors=True)
+        return {
+            "mode": mode,
+            "view_version": vv,
+            "lake_version": lake_v,
+            "changed_partitions": changed,
+        }
+
+    # -- reads ----------------------------------------------------------------
+    def read_table(self) -> pa.Table:
+        """(group_keys…, n_distinct), sorted by the group keys."""
+        state = self.manifest()
+        if state is None:
+            raise ValueError("view has never been refreshed")
+        files = self._dir_files(state["dir"])
+        if not files:
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in self.group_keys},
+                 "n_distinct": pa.array([], pa.int64())}
+            )
+        pairs = pq.read_table(files)
+        g = pairs.group_by(self.group_keys).aggregate([("__v", "count")])
+        out = pa.table(
+            {
+                **{k: g.column(k) for k in self.group_keys},
+                "n_distinct": pc.cast(g.column("__v_count"), pa.int64()),
+            }
+        )
+        return out.sort_by([(k, "ascending") for k in self.group_keys])

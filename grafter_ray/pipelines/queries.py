@@ -2457,6 +2457,42 @@ FROM survivors GROUP BY 1, 2
 """
 
 
+def q_incr_view_distinct_langs(sf_dir: str):
+    """Incremental COUNT(DISTINCT) maintenance under deletions
+    (incview.DistinctCountView): refcounted (repo, lang) pairs folded
+    from the signed change feed — window 2's %5 update wave and the %7
+    delete retractions adjust refcounts; a value's count drops only when
+    its LAST witness retracts. Bootstrapped pinned at window 1, then one
+    incremental fold; must equal the full-recompute SQL."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .incview import DistinctCountView
+
+    lake_root, v0, _, _ = _shared_docs_lake(sf_dir)
+    lake = CDCLake(lake_root, num_partitions=32)
+    tmp = tempfile.mkdtemp(prefix="graftray_dcview_")
+    try:
+        view = DistinctCountView(lake, f"{tmp}/view", ["repo"], "lang")
+        view.refresh(at_version=v0)
+        stats = view.refresh()
+        if stats["mode"] != "incremental":  # the gate must exercise the fold
+            raise RuntimeError(f"expected an incremental fold, got {stats['mode']}")
+        return view.read_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INCR_VIEW_DISTINCT_LANGS = """
+WITH survivors AS (
+  SELECT source, lang FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+)
+SELECT 'repo/' || source AS repo, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+FROM survivors GROUP BY 1
+"""
+
+
 def q_incr_view_minmax(sf_dir: str):
     """Min/max incremental view under the oracle gate: the same
     two-window documents binlog, but the view maintains per-(repo, lang)
@@ -3886,6 +3922,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "incr_view_lang_stats": q_incr_view_lang_stats,
+    "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
     "lake_point_lookup": q_lake_point_lookup,
     "dup_spans": q_dup_spans,
@@ -4001,6 +4038,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
+    "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "dup_spans": SQL_DUP_SPANS,

@@ -32,6 +32,103 @@ class MediaDecodeError(ValueError):
 # ---------------------------------------------------------------------------
 
 
+# IMA ADPCM (DVI4 / WAV fmt 0x11 — public IMA spec): 4-bit differential
+# coding with the standard step-size and index tables. Mono only (the
+# multimodal front end averages to mono anyway).
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, np.int64)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+], np.int64)
+
+
+def _ima_decode_block(data: bytes, n_samples: int) -> np.ndarray:
+    pred, = struct.unpack_from("<h", data, 0)
+    index = data[2]
+    out = np.empty(n_samples, np.int16)
+    out[0] = pred
+    pred, index = int(pred), min(int(index), 88)
+    nibbles = []
+    for byte in data[4:]:
+        nibbles.append(byte & 0x0F)
+        nibbles.append(byte >> 4)
+    for i, nib in enumerate(nibbles[: n_samples - 1]):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+        out[i + 1] = pred
+    return out
+
+
+def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
+    pred = int(samples[0])
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibbles = []
+    for s in samples[1:]:
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        diff = step >> 3
+        if delta >= step:
+            nib |= 4
+            delta -= step
+            diff += step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+            diff += step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), index
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 505) -> bytes:
+    """Mono int16 → IMA ADPCM WAV (fmt 0x11): ~4:1 vs PCM16. Block size
+    follows the WAV layout: 4-byte header + (block_samples-1)/2 nibbles."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    idx = 0
+    data = bytearray()
+    for lo in range(0, len(s), block_samples):
+        blk = s[lo : lo + block_samples]
+        enc, idx = _ima_encode_block(blk, idx)
+        pad = block_align - len(enc)
+        data += enc + b"\x00" * pad
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4, 2, block_samples
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(s))  # exact sample count
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # G.711 companding (public ITU-T spec): decode is the spec formula as a
 # 256-entry LUT; encode picks the nearest decodable level (optimal
 # quantization — >= standard-encoder quality, round-trips through the
@@ -92,21 +189,37 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     input is averaged to mono (the usual feature-extraction front end)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
-    pos, ch, rate, bits, data, audio_fmt = 12, None, None, None, None, None
+    pos, ch, rate, bits, data, audio_fmt, n_fact = 12, None, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if not ((audio_fmt == 1 and bits == 16) or (audio_fmt in (6, 7) and bits == 8)):
+            if audio_fmt == 0x11:
+                if ch != 1:
+                    raise MediaDecodeError("IMA ADPCM WAV: mono only")
+                (spb,) = struct.unpack_from("<H", body, 18)
+            elif not ((audio_fmt == 1 and bits == 16) or (audio_fmt in (6, 7) and bits == 8)):
                 raise MediaDecodeError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"fact":
+            (n_fact,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if ch is None or data is None:
         raise MediaDecodeError("WAV missing fmt/data chunk")
+    if audio_fmt == 0x11:  # IMA ADPCM: per-block differential decode
+        pieces = []
+        for lo in range(0, len(data) - 3, block_align):
+            blk = data[lo : lo + block_align]
+            pieces.append(_ima_decode_block(blk, min(spb, 1 + 2 * (len(blk) - 4))))
+        s = np.concatenate(pieces) if pieces else np.empty(0, np.int16)
+        if n_fact is not None:
+            s = s[:n_fact]  # drop the final block's pad samples
+        return s.reshape(-1, 1).astype(np.float64).mean(axis=1) / 32768.0, int(rate)
     if audio_fmt in (6, 7):  # G.711 A-law / mu-law: LUT-expand to int16
         lut = _alaw_decode_lut() if audio_fmt == 6 else _ulaw_decode_lut()
         s = lut[np.frombuffer(data[: (len(data) // ch) * ch], np.uint8)].reshape(-1, ch)

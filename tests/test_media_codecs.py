@@ -335,3 +335,35 @@ def test_g711_wav_roundtrip_snr_and_raises():
     assert len(out) == len(sig)
     with pytest.raises(MediaDecodeError, match="unknown WAV codec"):
         encode_wav(sig, codec="opus")
+
+
+def test_ima_adpcm_wav_roundtrip():
+    from grafter_ray.stages.media_codecs import (
+        MediaDecodeError,
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(4000)
+    sig = np.round(
+        12000 * np.sin(2 * np.pi * 220 * t / 8000) + 3000 * np.sin(2 * np.pi * 37 * t / 8000)
+    ).astype(np.int16)
+    payload = encode_wav_adpcm(sig, 8000)
+    out, rate = decode_wav(payload)
+    assert rate == 8000
+    # fact chunk trims the last block's pad — exact length back
+    assert len(out) == len(sig)
+    ref = sig.astype(float) / 32768.0
+    snr = 10 * np.log10(np.mean(ref**2) / np.mean((out - ref) ** 2))
+    assert snr > 24, snr
+    # ~4:1 vs PCM16
+    assert len(payload) < len(encode_wav(sig)) * 0.3
+    # stereo ADPCM unsupported — honest raise path via a crafted fmt
+    import struct
+
+    bad = bytearray(payload)
+    i = bytes(bad).find(b"fmt ") + 8
+    struct.pack_into("<H", bad, i + 2, 2)  # channels = 2
+    with pytest.raises(MediaDecodeError, match="mono only"):
+        decode_wav(bytes(bad))

@@ -367,3 +367,41 @@ def test_weighted_sample_k_properties():
     # 100 heavy rows (weight 50) vs 297 light: heavies dominate a k=80 draw
     heavy = sum(1 for i in a["id"] if i < 100)
     assert heavy > 60, heavy
+
+
+def test_weighted_sample_k_bitexact_vs_duckdb_random():
+    """The priority key is ONE IEEE division of exactly-representable
+    operands — the winner set must match DuckDB's ORDER BY spelling
+    bit-for-bit across random ids/weights (incl. adversarially close
+    weights), layouts and k values."""
+    import random
+
+    import duckdb
+    import ray.data as rd
+
+    from grafter_ray.stages.sampling import weighted_sample_k
+
+    rng = random.Random(8642)
+    for trial in range(4):
+        n = 400
+        ids = rng.sample(range(1, 10_000_000), n)
+        w = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.1:
+                w.append(None)
+            elif r < 0.2:
+                w.append(0.0)
+            else:
+                # many near-identical weights → near-tie priorities
+                w.append(rng.choice([1.0, 1.0 + 2**-40, 100.0, rng.uniform(0.1, 500)]))
+        tb = pa.table({"id": pa.array(ids, pa.int64()), "w": pa.array(w, pa.float64())})
+        con = duckdb.connect()
+        con.register("t", tb)
+        for k in (10, 57):
+            got = weighted_sample_k(rd.from_arrow(tb).repartition(1 + trial * 3), "id", "w", k).to_pandas()
+            want = con.execute(f"""
+                SELECT id FROM t WHERE w > 0
+                ORDER BY ((id * 1103515245 + 12345) % 2147483648 + 1) / w, id LIMIT {k}
+            """).fetchdf()["id"].tolist()
+            assert sorted(got["id"]) == sorted(want), (trial, k)

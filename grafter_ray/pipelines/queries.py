@@ -3033,6 +3033,59 @@ def q_approx_distinct_texts(sf_dir: str):
     return grouped_approx_distinct(ds, ["lang"], "text", p=14, alias="approx_texts")
 
 
+def q_strip_html(sf_dir: str):
+    """HTML -> text extraction (the Common-Crawl preprocessing front
+    end, stages/text.py strip_html): documents wrapped in a synthetic
+    page shell (tags + script + entities) on BOTH sides, then stripped —
+    RE2 kernels on both engines make the chain oracle-exact. One
+    shuffle-free pass."""
+    from ..stages.text import strip_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(tb: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            "<html><head><style>p{x}</style></head><body><p class=\"d\">",
+            tb.column("text"),
+            "</p><script>var j = 1 < 2;</script>&nbsp;tail &amp; end</body></html>",
+            "",
+        )
+        return pa.table({"doc_id": tb.column("doc_id"), "html": html})
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+    out = strip_html(wrapped, col="html", out="text")
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["html"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_STRIP_HTML = r"""
+WITH w AS (
+  SELECT doc_id,
+         '<html><head><style>p{x}</style></head><body><p class="d">' || text ||
+         '</p><script>var j = 1 < 2;</script>&nbsp;tail &amp; end</body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM w
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(t,
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)),
+    '\s+', ' ', 'g')) AS text
+FROM s
+"""
+
+
 def q_normalize_docs(sf_dir: str):
     """Text canonicalization (NFC, control strip, whitespace collapse,
     trim, casefold) — map-side, shuffle-free; each step mirrors a DuckDB
@@ -3850,6 +3903,7 @@ QUERIES = {
     "bpe_train_encode": q_bpe_train_encode,
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
+    "strip_html": q_strip_html,
     "normalize_docs": q_normalize_docs,
     "approx_distinct_texts": q_approx_distinct_texts,
     "approx_value_percentiles": q_approx_value_percentiles,
@@ -3976,6 +4030,7 @@ ORACLE_SQL = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "strip_html": SQL_STRIP_HTML,
     "normalize_docs": SQL_NORMALIZE_DOCS,
     "source_distinct_langs": SQL_SOURCE_DISTINCT_LANGS,
     "quality_filter": SQL_QUALITY_FILTER,

@@ -393,3 +393,29 @@ def test_normalize_text_unicode_and_whitespace():
     """).fetchall()
     assert out == [r[0] for r in ref]
     assert out[0] == "héllo world" and len(out[0].split()[0]) == 5  # composed é
+
+
+def test_strip_html_kernel_edges():
+    import pyarrow as pa
+
+    from grafter_ray.stages.text import strip_html_array
+
+    html = pa.array(
+        [
+            '<html><HEAD><style a="b">p {c}</style></head><body>A <b>B</b></body></html>',
+            "<script>if (1 < 2) { alert('<p>'); }</script>kept",
+            "<!-- <p>comment</p> -->X&nbsp;&amp;&lt;&gt;&quot;&#39;Y",
+            "plain   text\n\twith space",
+            "",
+            "<p>nested <i>tags <u>deep</u></i></p>",
+        ]
+    )
+    got = strip_html_array(html).to_pylist()
+    assert got == [
+        "A B",
+        "kept",
+        "X &<>\"'Y",
+        "plain text with space",
+        "",
+        "nested tags deep",
+    ]

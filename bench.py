@@ -103,6 +103,8 @@ QUERY_SUBSET = [
     "grouped_weighted_sample",
     "nations_with_both",
     "dates_without_urgent",
+    "strip_html",
+    "incr_view_distinct_langs",
 ]
 
 

@@ -367,3 +367,14 @@ def test_ima_adpcm_wav_roundtrip():
     struct.pack_into("<H", bad, i + 2, 2)  # channels = 2
     with pytest.raises(MediaDecodeError, match="mono only"):
         decode_wav(bytes(bad))
+
+
+def test_gif_lzw_dictionary_overflow_roundtrip():
+    """A 128x128 256-color noise frame pushes the LZW dictionary past
+    4096 codes — the clear-and-reset path must round-trip exactly."""
+    from grafter_ray.stages.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(77)
+    pal = np.array([[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], np.uint8)
+    img = pal[rng.integers(0, 256, (128, 128))]
+    assert (decode_gif(encode_gif(img)) == img).all()

@@ -71,3 +71,76 @@ def test_sniff_and_stage():
         .to_pandas()
     )
     assert len(out) == 4 and len(out["pixels"][0]) == 12 * 12 * 3
+
+
+def test_decode_420_subsampled_flat_color():
+    """Hand-built 4:2:0 JPEG (2x2-sampled Y, one chroma block per MCU —
+    the layout our 4:4:4 encoder never emits): a flat color must decode
+    flat, exercising the MCU interleave + chroma upsample path."""
+    import struct
+
+    from grafter_ray.stages.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        Q_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _huff_codes,
+        _magnitude,
+        _quality_scale,
+    )
+
+    y_val, cb_val, cr_val = 90.0, 150.0, 110.0
+    ql = _quality_scale(Q_LUMA, 85).reshape(8, 8)
+    q00 = ql[0, 0]
+    dct = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    act = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    # one 16x16 MCU: 4 Y blocks (DC diff then zeros), Cb, Cr — each
+    # component has its OWN DC predictor, so the first diff per
+    # component is its full quantized DC
+    dy = round(8 * (y_val - 128) / q00)
+    dcb = round(8 * (cb_val - 128) / q00)
+    dcr = round(8 * (cr_val - 128) / q00)
+    w2 = _BitWriter()
+
+    def dc_block(writer, diff):
+        t, bits = _magnitude(diff)
+        c, ln = dct[t]
+        writer.write(c, ln)
+        if t:
+            writer.write(bits, t)
+        c, ln = act[0x00]  # EOB
+        writer.write(c, ln)
+
+    for d in (dy, 0, 0, 0, dcb, dcr):
+        dc_block(w2, d)
+    w2.flush()
+
+    def chunk(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    zz = ZIGZAG
+    out = bytearray(b"\xff\xd8")
+    out += chunk(b"\xff\xdb", bytes([0]) + bytes(ql.reshape(-1)[zz].astype("uint8")))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += chunk(b"\xff\xc0", sof)
+    out += chunk(b"\xff\xc4", bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += chunk(b"\xff\xc4", bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    out += chunk(b"\xff\xda", sos)
+    out += w2.buf
+    out += b"\xff\xd9"
+
+    from grafter_ray.stages.jpeg import decode_jpeg
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    # flat everywhere (quantized DC only) and near the YCbCr->RGB of the target
+    assert img.std(axis=(0, 1)).max() < 1e-9
+    y, cb, cr = y_val, cb_val - 128, cr_val - 128
+    want = np.clip([y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], 0, 255)
+    assert np.abs(img[0, 0].astype(float) - want).max() < 6  # one quantized step

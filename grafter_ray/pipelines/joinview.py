@@ -1,0 +1,289 @@
+"""Incrementally-maintained materialized JOIN of two CDC lakes.
+
+`IncrementalView` (incview.py) maintains derived AGGREGATES; this module
+maintains a derived JOIN — the other half of what a streaming-CDC user
+materializes (reference analogue: a grafter pipeline that re-runs a
+`graph-fn` template over two sources re-runs the whole join; the
+Ray-native design refreshes only what moved).
+
+Design — co-partitioned partition-level delta join:
+
+Both sides are CDCLakes hash-partitioned by the SAME 128-bit key hash
+(replay.key_hash_pair) over the shared primary key (repo, path), so key
+k lives in partition `pid(k)` on BOTH sides. The materialized join is
+stored per partition, and a refresh recomputes ONLY the partitions
+whose manifest max_lsn moved on either side since the versions the view
+last saw (`CDCLake._changed_entries` — manifest stats, no data files
+opened for the pruning decision). Each changed partition is one Ray
+task: read left pid ⊕ right pid (base + LSM delta chain fold), apply
+each side's evolved-schema view, Arrow-join partition-locally, write
+one parquet file. Unchanged partitions keep their previous file —
+reused by manifest reference, no data copied.
+
+Scale shape: NO shuffle ever — the lakes' own ingest already routed
+every key, so the join is partition-local by construction; refresh cost
+is O(changed partitions), not O(lake ∪ lake). This is the join analogue
+of incview's signed-feed fold and the reason the view requires both
+lakes to share `num_partitions`.
+
+Exactly-once / resume: data files for view version v are written first
+(deterministic names, idempotent rewrite), then MANIFEST.json is
+committed by atomic rename (same recipe as state/commitlog.py). A crash
+mid-refresh leaves the old manifest intact; the rerun recomputes the
+same pure function of (left version, right version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.schema_registry import apply_view
+from .replay import LAKE, _item_batch_size, _merge_chain
+
+_KEYS = ["repo", "path"]
+
+
+def _entry_live_table(data_dir: str, entry: dict | None, schema_version: int) -> pa.Table:
+    """One lake partition's live rows (base ⊕ delta chain, evolved view)."""
+    if entry is None:
+        tb = LAKE.empty_table()
+    else:
+        base = (
+            pq.read_table(os.path.join(data_dir, entry["file"])) if entry.get("file") else None
+        )
+        chain = [pq.read_table(os.path.join(data_dir, f)) for f in entry.get("deltas", [])]
+        if chain:
+            tb = _merge_chain(base, chain)
+        else:
+            tb = base if base is not None else LAKE.empty_table()
+    return apply_view(tb, schema_version) if schema_version > 0 else tb
+
+
+def _side_select(tb: pa.Table, cols: dict[str, str]) -> pa.Table:
+    out = {k: tb.column(k) for k in _KEYS}
+    for out_name, src in cols.items():
+        out[out_name] = tb.column(src)
+    return pa.table(out)
+
+
+class JoinView:
+    """Materialized (repo, path)-equi-join of two CDCLakes, refreshed
+    incrementally at partition granularity.
+
+    left_cols / right_cols: {output_name: source_column} payload
+    projections (evolved-schema names); output names must be unique and
+    not shadow the key columns. how: 'inner' or 'left' (left outer —
+    right payloads null where the key is absent on the right).
+    """
+
+    def __init__(self, left, right, root: str, *, left_cols: dict[str, str],
+                 right_cols: dict[str, str], how: str = "inner"):
+        if left.num_partitions != right.num_partitions:
+            raise ValueError(
+                f"JoinView requires co-partitioned lakes: left has "
+                f"{left.num_partitions} partitions, right has {right.num_partitions} — "
+                "the partition-local join relies on the shared key-hash router"
+            )
+        if how not in ("inner", "left"):
+            raise ValueError(f"how={how!r} — 'inner' or 'left'")
+        names = list(left_cols) + list(right_cols)
+        if len(set(names)) != len(names) or set(names) & set(_KEYS):
+            raise ValueError("output column names must be unique and distinct from repo/path")
+        self.left = left
+        self.right = right
+        self.root = root
+        self.how = how
+        self.left_cols = dict(left_cols)
+        self.right_cols = dict(right_cols)
+        os.makedirs(root, exist_ok=True)
+        m = self.manifest()
+        if m is not None and (
+            m["how"] != how or m["left_cols"] != self.left_cols or m["right_cols"] != self.right_cols
+        ):
+            raise ValueError("existing join-view manifest disagrees with the requested definition")
+
+    # -- manifest (atomic-rename recipe, state/commitlog.py) ---------------
+    def manifest(self) -> dict | None:
+        p = os.path.join(self.root, "MANIFEST.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = os.path.join(self.root, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, "MANIFEST.json"))
+
+    # -- refresh ------------------------------------------------------------
+    def _changed_pids(self, state: dict | None, lm: dict, rm: dict) -> set[str]:
+        if state is None:
+            return set(lm["partitions"]) | set(rm["partitions"])
+        pids: set[str] = set()
+        if int(state["left_version"]) != int(lm["version"]):
+            _, entries = self.left._changed_entries(int(state["left_version"]), to_manifest=lm)
+            pids.update(e["partition_id"] for e in entries)
+        if int(state["right_version"]) != int(rm["version"]):
+            _, entries = self.right._changed_entries(int(state["right_version"]), to_manifest=rm)
+            pids.update(e["partition_id"] for e in entries)
+        return pids
+
+    def refresh(self, full: bool = False, at_versions: tuple[int, int] | None = None) -> dict:
+        """Join the lakes' current states into the view. First refresh
+        (or full=True) computes every partition; later refreshes ONLY
+        the partitions whose max_lsn moved on either side. `at_versions`
+        = (left_version, right_version) pins a FULL refresh to older
+        committed lake versions (bootstrap-then-catch-up, mirroring
+        IncrementalView.refresh(at_version=...))."""
+        import ray.data as rd
+
+        if at_versions is not None and not (full or self.manifest() is None):
+            raise ValueError("at_versions pins the full path — pass full=True to rebuild")
+        lm = self.left.manifest_at(at_versions[0] if at_versions else None)
+        rm = self.right.manifest_at(at_versions[1] if at_versions else None)
+        if lm is None or rm is None:
+            raise ValueError("both lakes need at least one committed version")
+        state = self.manifest()
+        if (
+            state is not None
+            and not full
+            and int(state["left_version"]) == int(lm["version"])
+            and int(state["right_version"]) == int(rm["version"])
+        ):
+            return {"mode": "noop", "view_version": state["view_version"],
+                    "changed_partitions": 0}
+
+        if state is None or full:
+            mode = "full"
+            pids = set(lm["partitions"]) | set(rm["partitions"])
+        else:
+            mode = "incremental"
+            pids = self._changed_pids(state, lm, rm)
+
+        vv = (int(state["view_version"]) + 1) if state else 0
+        files: dict[str, str] = dict(state["files"]) if state else {}
+        # partitions that vanished from BOTH lakes (every key deleted)
+        # still need their stale view slice dropped
+        for pid in list(files):
+            if pid not in pids and pid not in lm["partitions"] and pid not in rm["partitions"]:
+                pids.add(pid)
+
+        ldir, rdir = self.left.log.data_dir, self.right.log.data_dir
+        lsv, rsv = int(lm.get("schema_version", 0)), int(rm.get("schema_version", 0))
+        lcols, rcols, how, root = self.left_cols, self.right_cols, self.how, self.root
+        join_type = "inner" if how == "inner" else "left outer"
+
+        def join_one(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                pid = row["pid"]
+                lt = _side_select(
+                    _entry_live_table(ldir, json.loads(row["left"]) if row["left"] else None, lsv),
+                    lcols,
+                )
+                rt = _side_select(
+                    _entry_live_table(rdir, json.loads(row["right"]) if row["right"] else None, rsv),
+                    rcols,
+                )
+                j = lt.join(rt, keys=_KEYS, join_type=join_type)
+                # deterministic partition files: stable row order
+                j = j.sort_by([("repo", "ascending"), ("path", "ascending")])
+                fname = ""
+                if j.num_rows:
+                    fname = f"p{pid}-v{vv:06d}.parquet"
+                    pq.write_table(j, os.path.join(root, fname))
+                out.append({"pid": pid, "file": fname, "rows": j.num_rows})
+            return pa.table(
+                {
+                    "pid": pa.array([o["pid"] for o in out], pa.string()),
+                    "file": pa.array([o["file"] for o in out], pa.string()),
+                    "rows": pa.array([o["rows"] for o in out], pa.int64()),
+                }
+            )
+
+        items = [
+            {
+                "pid": pid,
+                "left": json.dumps(lm["partitions"][pid]) if pid in lm["partitions"] else "",
+                "right": json.dumps(rm["partitions"][pid]) if pid in rm["partitions"] else "",
+            }
+            for pid in sorted(pids)
+        ]
+        old_files = [files.get(pid, "") for pid in pids]
+        if items:
+            stats = rd.from_items(items).map_batches(
+                join_one,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=_item_batch_size(len(items)),
+            ).take_all()  # bounded: one row per changed PARTITION, never per key
+            for row in stats:
+                if row["file"]:
+                    files[row["pid"]] = row["file"]
+                else:
+                    files.pop(row["pid"], None)
+
+        self._commit(
+            {
+                "view_version": vv,
+                "left_version": int(lm["version"]),
+                "right_version": int(rm["version"]),
+                "how": self.how,
+                "left_cols": self.left_cols,
+                "right_cols": self.right_cols,
+                "files": files,
+            }
+        )
+        # previous versions of the recomputed partitions are dead once
+        # the manifest points past them
+        live = set(files.values())
+        for f in old_files:
+            if f and f not in live:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except FileNotFoundError:
+                    pass
+        return {"mode": mode, "view_version": vv, "changed_partitions": len(pids)}
+
+    # -- reads --------------------------------------------------------------
+    def _schema(self) -> pa.Schema:
+        lsv = int((self.left.manifest or {}).get("schema_version", 0))
+        rsv = int((self.right.manifest or {}).get("schema_version", 0))
+        lt = _side_select(
+            apply_view(LAKE.empty_table(), lsv) if lsv else LAKE.empty_table(), self.left_cols
+        )
+        rt = _side_select(
+            apply_view(LAKE.empty_table(), rsv) if rsv else LAKE.empty_table(), self.right_cols
+        )
+        fields = list(lt.schema)
+        for name in self.right_cols:
+            fields.append(rt.schema.field(name))
+        return pa.schema(fields)
+
+    def read(self):
+        """The materialized join as a streaming Dataset."""
+        import ray.data as rd
+
+        state = self.manifest()
+        if state is None:
+            raise ValueError("join view has never been refreshed")
+        paths = [os.path.join(self.root, f) for f in state["files"].values()]
+        if not paths:
+            return rd.from_arrow(self._schema().empty_table())
+        return rd.read_parquet(paths)
+
+    def read_table(self) -> pa.Table:
+        """Driver-side view read, key-sorted — small/test scales only."""
+        state = self.manifest()
+        if state is None:
+            raise ValueError("join view has never been refreshed")
+        tabs = [pq.read_table(os.path.join(self.root, f)) for f in state["files"].values()]
+        if not tabs:
+            return self._schema().empty_table()
+        tb = pa.concat_tables(tabs, promote_options="none")
+        return tb.sort_by([("repo", "ascending"), ("path", "ascending")])

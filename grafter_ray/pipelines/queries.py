@@ -2341,6 +2341,192 @@ def _shared_docs_lake(sf_dir: str) -> tuple[str, int, int, int]:
     return out
 
 
+def _meta_binlog(sf_dir: str):
+    """Second deterministic binlog over the SAME (repo, path) key space
+    as _docs_binlog but with DIFFERENT delete/update waves — the right
+    side of the materialized join view (joinview.py). Upsert per doc
+    with a metadata payload; delete doc_id%11==0; later update wave
+    rewriting doc_id%4==0 with ' m2' content."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+
+    def to_events(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        repo = pc.binary_join_element_wise("repo/", tb.column("source"), "")
+        path = pc.binary_join_element_wise("doc/", pc.cast(tb.column("doc_id"), pa.string()), ".txt", "")
+        meta = pc.binary_join_element_wise(
+            "meta:", tb.column("lang"), ":", pc.cast(tb.column("n_chars"), pa.string()), ""
+        )
+
+        def commit_of(texts):
+            return pa.array([hashlib.sha256(t.encode()).hexdigest()[:16] for t in texts])
+
+        pieces = [
+            pa.table(
+                {
+                    "lsn": pa.array(ids * 2, pa.int64()),
+                    "op": pa.array(["upsert"] * n),
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit_of(meta.to_pylist()),
+                    "lang": tb.column("lang"),
+                    "content": meta,
+                    "schema_version": pa.array(np.zeros(n, np.int32)),
+                }
+            )
+        ]
+        dmask = ids % 11 == 0
+        dtb = tb.filter(pa.array(dmask))
+        nd = dtb.num_rows
+        if nd:
+            pieces.append(
+                pa.table(
+                    {
+                        "lsn": pa.array(ids[dmask] * 2 + 1, pa.int64()),
+                        "op": pa.array(["delete"] * nd),
+                        "repo": pc.binary_join_element_wise("repo/", dtb.column("source"), ""),
+                        "path": pc.binary_join_element_wise(
+                            "doc/", pc.cast(dtb.column("doc_id"), pa.string()), ".txt", ""
+                        ),
+                        "commit": pa.nulls(nd, pa.string()),
+                        "lang": pa.nulls(nd, pa.string()),
+                        "content": pa.nulls(nd, pa.string()),
+                        "schema_version": pa.array(np.zeros(nd, np.int32)),
+                    }
+                )
+            )
+        umask = ids % 4 == 0
+        utb = tb.filter(pa.array(umask))
+        nu = utb.num_rows
+        if nu:
+            m2 = pc.binary_join_element_wise(
+                "meta:", utb.column("lang"), ":", pc.cast(utb.column("n_chars"), pa.string()), ""
+            )
+            m2 = pc.binary_join_element_wise(m2, " m2", "")
+            pieces.append(
+                pa.table(
+                    {
+                        "lsn": pa.array(ids[umask] + 2 * n_docs, pa.int64()),
+                        "op": pa.array(["upsert"] * nu),
+                        "repo": pc.binary_join_element_wise("repo/", utb.column("source"), ""),
+                        "path": pc.binary_join_element_wise(
+                            "doc/", pc.cast(utb.column("doc_id"), pa.string()), ".txt", ""
+                        ),
+                        "commit": commit_of(m2.to_pylist()),
+                        "lang": utb.column("lang"),
+                        "content": m2,
+                        "schema_version": pa.array(np.zeros(nu, np.int32)),
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    return docs.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True), n_docs
+
+
+_META_LAKE_CACHE: dict[str, tuple[str, int, int, int]] = {}
+
+
+def _shared_meta_lake(sf_dir: str) -> tuple[str, int, int, int]:
+    """(lake_root, v0, v1, n_docs) for the metadata lake (_meta_binlog),
+    same two-window shape and cache recipe as _shared_docs_lake."""
+    got = _META_LAKE_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n_docs}|meta-{_LAKE_CACHE_SALT}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"graftray_lakecache_{key}")
+    meta_p = os.path.join(root, "_META.json")
+    if not os.path.exists(meta_p):
+        binlog, _ = _meta_binlog(sf_dir)
+        build = f"{root}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        lake = CDCLake(f"{build}/lake", num_partitions=32)
+        m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+        m2 = lake.apply(binlog, upto_lsn=3 * n_docs)
+        with open(f"{build}/_META.json", "w") as f:
+            json.dump({"v0": int(m1["version"]), "v1": int(m2["version"])}, f)
+        try:
+            os.rename(build, root)  # atomic publish
+        except OSError:  # another process published first — use theirs
+            shutil.rmtree(build, ignore_errors=True)
+    with open(meta_p) as f:
+        meta = json.load(f)
+    out = (os.path.join(root, "lake"), int(meta["v0"]), int(meta["v1"]), n_docs)
+    _META_LAKE_CACHE[sf_dir] = out
+    return out
+
+
+def q_incr_view_join(sf_dir: str):
+    """Materialized JOIN maintenance under the oracle gate
+    (pipelines/joinview.py): the docs lake × the metadata lake — two
+    CDCLakes over the same (repo, path) key space with DIFFERENT
+    delete/update waves — joined partition-locally (co-partitioned by
+    the shared key-hash router, no shuffle ever). The view bootstraps
+    pinned at both lakes' window-1 versions, then ONE incremental
+    refresh recomputes only the partitions whose max_lsn moved on
+    either side; the folded state must equal the full SQL join of the
+    converged corpora."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .joinview import JoinView
+
+    l_root, lv0, _, _ = _shared_docs_lake(sf_dir)
+    r_root, rv0, _, _ = _shared_meta_lake(sf_dir)
+    left = CDCLake(l_root, num_partitions=32)
+    right = CDCLake(r_root, num_partitions=32)
+    tmp = tempfile.mkdtemp(prefix="graftray_joinview_")
+    try:
+        view = JoinView(
+            left,
+            right,
+            f"{tmp}/view",
+            left_cols={"lang": "lang", "content_sha": "content_sha"},
+            right_cols={"meta": "content"},
+            how="inner",
+        )
+        view.refresh(at_versions=(lv0, rv0))
+        stats = view.refresh()
+        if stats["mode"] != "incremental":  # the gate must exercise the delta path
+            raise RuntimeError(f"expected an incremental refresh, got {stats['mode']}")
+        return view.read_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INCR_VIEW_JOIN = """
+WITH l AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         lang,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content_sha
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+), r AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         'meta:' || lang || ':' || CAST(n_chars AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 0 THEN ' m2' ELSE '' END AS meta
+  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 11 <> 0
+)
+SELECT l.repo, l.path, l.lang, l.content_sha, r.meta
+FROM l JOIN r ON l.repo = r.repo AND l.path = r.path
+"""
+
+
 def q_cdc_time_travel(sf_dir: str):
     """Time travel under the oracle gate: the documents binlog applied in
     TWO windows (base upserts+deletes, then the %5 update wave); reading
@@ -3978,6 +4164,7 @@ QUERIES = {
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
+    "incr_view_join": q_incr_view_join,
     "lake_point_lookup": q_lake_point_lookup,
     "dup_spans": q_dup_spans,
     "cdc_chain_derived": q_cdc_chain_derived,
@@ -4095,6 +4282,7 @@ ORACLE_SQL = {
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,
+    "incr_view_join": SQL_INCR_VIEW_JOIN,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "dup_spans": SQL_DUP_SPANS,
     "cdc_chain_derived": SQL_CDC_CHAIN_DERIVED,

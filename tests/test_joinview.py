@@ -1,0 +1,195 @@
+"""Materialized JOIN view (pipelines/joinview.py): the partition-local
+delta join folded from two co-partitioned lakes must equal a full
+Arrow join of the live lake states after every interleaved window;
+unchanged partitions must be reused by reference; a crashed refresh
+must rerun to the identical state."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.pipelines.joinview import JoinView
+
+# same key universe (n_keys × n_repos), different op streams
+CFG_L = BinlogConfig(n_events=4_000, n_keys=250, n_repos=8, schema_every=100_000, delete_pct=0.15)
+CFG_R = BinlogConfig(n_events=3_000, n_keys=250, n_repos=8, schema_every=100_000, delete_pct=0.30)
+
+LEFT_COLS = {"l_lang": "lang", "l_sha": "content_sha"}
+RIGHT_COLS = {"r_sha": "content_sha", "r_lsn": "last_lsn"}
+
+
+def _lakes(tmp_path):
+    return (
+        CDCLake(str(tmp_path / "left"), num_partitions=16),
+        CDCLake(str(tmp_path / "right"), num_partitions=16),
+    )
+
+
+def _view(left, right, tmp_path, how="inner"):
+    return JoinView(
+        left, right, str(tmp_path / f"view_{how}"),
+        left_cols=LEFT_COLS, right_cols=RIGHT_COLS, how=how,
+    )
+
+
+def _recompute(left, right, how="inner") -> pa.Table:
+    lt = left.read_table(view=True)
+    lt = pa.table(
+        {"repo": lt.column("repo"), "path": lt.column("path")}
+        | {out: lt.column(src) for out, src in LEFT_COLS.items()}
+    )
+    rt = right.read_table(view=True)
+    rt = pa.table(
+        {"repo": rt.column("repo"), "path": rt.column("path")}
+        | {out: rt.column(src) for out, src in RIGHT_COLS.items()}
+    )
+    j = lt.join(rt, keys=["repo", "path"], join_type="inner" if how == "inner" else "left outer")
+    return j.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def _assert_matches(view, left, right, how="inner"):
+    got = view.read_table()
+    want = _recompute(left, right, how)
+    assert got.num_rows == want.num_rows
+    assert set(got.schema.names) == set(want.schema.names)
+    for c in want.schema.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_interleaved_windows_match_full_join(tmp_path, how):
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    view = _view(left, right, tmp_path, how)
+    modes = []
+    # interleave: left window, right window, both, right-only tail
+    steps = [(1_500, 1_000), (1_500, 2_000), (3_000, 2_000), (3_000, CFG_R.n_events), (CFG_L.n_events, CFG_R.n_events)]
+    for lw, rw in steps:
+        if left.watermark < lw - 1:
+            left.apply(rd.from_arrow(bl), upto_lsn=lw - 1)
+        if right.watermark < rw - 1:
+            right.apply(rd.from_arrow(br), upto_lsn=rw - 1)
+        modes.append(view.refresh()["mode"])
+        _assert_matches(view, left, right, how)
+    assert modes[0] == "full" and set(modes[1:]) == {"incremental"}
+
+
+def test_noop_and_partition_reuse(tmp_path):
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    left.apply(rd.from_arrow(bl), upto_lsn=3_992 - 1)
+    right.apply(rd.from_arrow(br), upto_lsn=CFG_R.n_events)
+    view = _view(left, right, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    assert view.refresh()["mode"] == "noop"
+    files_before = dict(view.manifest()["files"])
+    # a tiny left-only window (8 events) touches few partitions; every
+    # untouched partition must keep its file BY NAME (reused, not rewritten)
+    left.apply(rd.from_arrow(bl), upto_lsn=CFG_L.n_events)
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    assert 0 < stats["changed_partitions"] <= left.num_partitions
+    files_after = dict(view.manifest()["files"])
+    reused = [p for p in files_before if files_after.get(p) == files_before[p]]
+    assert reused, "expected at least one unchanged partition file to be reused"
+    _assert_matches(view, left, right)
+    # dead files of recomputed partitions are vacuumed
+    on_disk = {f for f in os.listdir(view.root) if f.endswith(".parquet")}
+    assert on_disk == set(files_after.values())
+
+
+def test_crash_before_manifest_commit_then_rerun(tmp_path, monkeypatch):
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    left.apply(rd.from_arrow(bl), upto_lsn=2_000 - 1)
+    right.apply(rd.from_arrow(br), upto_lsn=2_000 - 1)
+    view = _view(left, right, tmp_path)
+    view.refresh()
+    left.apply(rd.from_arrow(bl), upto_lsn=CFG_L.n_events)
+
+    real_commit = JoinView._commit
+
+    def boom(self, manifest):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(JoinView, "_commit", boom)
+    with pytest.raises(RuntimeError, match="crash before"):
+        view.refresh()
+    monkeypatch.setattr(JoinView, "_commit", real_commit)
+    # manifest still points at the OLD state; the rerun recomputes the
+    # same pure function and converges
+    assert view.refresh()["mode"] == "incremental"
+    _assert_matches(view, left, right)
+
+
+def test_co_partitioning_required(tmp_path):
+    left = CDCLake(str(tmp_path / "l"), num_partitions=16)
+    right = CDCLake(str(tmp_path / "r"), num_partitions=8)
+    with pytest.raises(ValueError, match="co-partitioned"):
+        JoinView(left, right, str(tmp_path / "v"), left_cols={"a": "lang"}, right_cols={"b": "lang"})
+
+
+def test_definition_mismatch_rejected(tmp_path):
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    left.apply(rd.from_arrow(bl), upto_lsn=1_000 - 1)
+    right.apply(rd.from_arrow(br), upto_lsn=1_000 - 1)
+    view = _view(left, right, tmp_path)
+    view.refresh()
+    with pytest.raises(ValueError, match="disagrees"):
+        JoinView(
+            left, right, view.root,
+            left_cols=LEFT_COLS, right_cols=RIGHT_COLS, how="left",
+        )
+
+
+def test_all_keys_deleted_partition_drops_from_view(tmp_path):
+    """Delete every key on the right → inner join goes empty; the view's
+    stale partition slices are dropped (and their files removed)."""
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    left.apply(rd.from_arrow(bl), upto_lsn=CFG_L.n_events)
+    right.apply(rd.from_arrow(br), upto_lsn=2_000 - 1)
+    view = _view(left, right, tmp_path)
+    view.refresh()
+    assert view.read_table().num_rows > 0
+    live = right.read_table(view=False)
+    n = live.num_rows
+    deletes = pa.table(
+        {
+            "lsn": pa.array(range(10_000, 10_000 + n), pa.int64()),
+            "op": pa.array(["delete"] * n),
+            "repo": live.column("repo"),
+            "path": live.column("path"),
+            "commit": pa.nulls(n, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+            "content": pa.nulls(n, pa.string()),
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    )
+    right.apply(rd.from_arrow(deletes))
+    assert right.read_table(view=False).num_rows == 0
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    assert view.read_table().num_rows == 0
+    assert view.manifest()["files"] == {}
+    assert not [f for f in os.listdir(view.root) if f.endswith(".parquet")]
+
+
+def test_read_dataset_matches_table(tmp_path):
+    bl, br = binlog_table(CFG_L), binlog_table(CFG_R)
+    left, right = _lakes(tmp_path)
+    left.apply(rd.from_arrow(bl), upto_lsn=CFG_L.n_events)
+    right.apply(rd.from_arrow(br), upto_lsn=CFG_R.n_events)
+    view = _view(left, right, tmp_path)
+    view.refresh()
+    ds_tb = pa.concat_tables(view.read().iter_batches(batch_format="pyarrow"))
+    ds_tb = ds_tb.sort_by([("repo", "ascending"), ("path", "ascending")])
+    want = view.read_table()
+    assert ds_tb.num_rows == want.num_rows
+    for c in want.schema.names:
+        assert ds_tb.column(c).to_pylist() == want.column(c).to_pylist(), c

@@ -4060,6 +4060,80 @@ FROM documents
 """
 
 
+def q_pagerank_suppliers(sf_dir: str):
+    """Iterative distributed PageRank (stages/graph.py) over the
+    customer→supplier purchase graph (distinct (o_custkey, l_suppkey)
+    pairs via the orders⋈lineitem big×big join; supplier node ids offset
+    by 1e6 to disjoin the key spaces). 5 synchronous power iterations,
+    damping 0.85, dangling supplier mass redistributed uniformly —
+    checked EXACTLY against a 5×-unrolled SQL oracle (fixed-point e6)."""
+    from ..stages.graph import pagerank
+    from .relational import distinct
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = li.join(orders, "inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_edge(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(tb.column("o_custkey"), pa.int64()),
+                "dst": pc.add(pc.cast(tb.column("l_suppkey"), pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    edges = distinct(joined.map_batches(to_edge, batch_format="pyarrow", zero_copy_batch=True), ["src", "dst"])
+    ranks = pagerank(edges, num_iters=5, damping=0.85)
+
+    def fixed(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": tb.column("node"),
+                "rank_e6": pc.cast(pc.round(pc.multiply(tb.column("rank"), pa.scalar(1e6))), pa.int64()),
+            }
+        )
+
+    return ranks.map_batches(fixed, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pagerank_oracle_sql(num_iters: int = 5, damping: float = 0.85) -> str:
+    """The same 5 power iterations unrolled as chained CTEs (DuckDB)."""
+    d = repr(damping)
+    parts = [
+        """WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, num_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * ((SELECT coalesce(sum(r.pr), 0) FROM {p} r LEFT JOIN deg dg ON r.node = dg.node
+                   WHERE dg.node IS NULL) / (SELECT n FROM nn)
+                  + coalesce(c.s, 0)) AS pr
+  FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, sum(r.pr / dg.outdeg) AS s
+      FROM edges e JOIN {p} r ON e.src = r.node JOIN deg dg ON e.src = dg.node
+      GROUP BY e.dst) c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(round(pr * 1000000) AS BIGINT) AS rank_e6 FROM r{num_iters}"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK_SUPPLIERS = _pagerank_oracle_sql()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -4171,6 +4245,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "cdc_changed_quads": q_cdc_changed_quads,
     "customers_without_orders": q_customers_without_orders,
+    "pagerank_suppliers": q_pagerank_suppliers,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
@@ -4289,6 +4364,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "cdc_changed_quads": SQL_CDC_CHANGED_QUADS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "pagerank_suppliers": SQL_PAGERANK_SUPPLIERS,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

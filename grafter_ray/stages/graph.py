@@ -1,0 +1,191 @@
+"""Iterative graph computation over edge Datasets — PageRank.
+
+The classic web-scale iterative op (Page et al. 1999, "The PageRank
+citation ranking"; the Pregel/GraphX formulation is the distributed
+standard). Ray-Data-first shape:
+
+- the rank vector is a Dataset keyed by node, MATERIALIZED once per
+  iteration (it is node-sized, never edge-sized; materializing keeps
+  each iteration's lineage flat instead of re-executing the whole
+  prefix every loop — the object store holds it distributed, the
+  driver never sees it),
+- each iteration is bounded linear exchanges: attach each source's
+  rank share to its out-edges (tag-union co-group on src — the house
+  sort-exchange, no driver state), pre-aggregated contribution sums per
+  destination (grouped_agg's partial/final two-phase), and one
+  co-group to fold sums back into the node table,
+- dangling mass (nodes with no out-edges) is a per-iteration SCALAR
+  aggregate redistributed uniformly — the only driver-side value.
+
+Skew: a hot destination (every page links to it) is pre-aggregated
+map-side by grouped_agg before the exchange; a hot SOURCE key's edges
+land in one sorted block — salt src if one node's out-degree is a
+meaningful fraction of the corpus (same caveat as every keyed exchange
+here, stages/analytic.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grouped import key_segments
+
+_TAG = "__tag"
+_VAL = "__val"
+
+
+def lookup_join(main, lookup, key: str, val_col: str, out_name: str,
+                payload: dict[str, pa.DataType], default=None):
+    """Attach `lookup`'s val_col to every `main` row sharing its key —
+    a distributed left join where the right side is KEYED UNIQUE.
+    One tag-union sort exchange, vectorized per block (lookup row sorts
+    first in its key run; its value broadcasts over the run).
+    `payload`: main's non-key columns (name → Arrow type)."""
+
+    def main_side(tb: pa.Table) -> pa.Table:
+        cols = {key: pc.cast(tb.column(key), pa.int64()), _TAG: pa.array(np.ones(tb.num_rows, np.int8))}
+        for name, typ in payload.items():
+            cols[name] = pc.cast(tb.column(name), typ)
+        cols[_VAL] = pa.nulls(tb.num_rows, pa.float64())
+        return pa.table(cols)
+
+    def lookup_side(tb: pa.Table) -> pa.Table:
+        cols = {key: pc.cast(tb.column(key), pa.int64()), _TAG: pa.array(np.zeros(tb.num_rows, np.int8))}
+        for name, typ in payload.items():
+            cols[name] = pa.nulls(tb.num_rows, typ)
+        cols[_VAL] = pc.cast(tb.column(val_col), pa.float64())
+        return pa.table(cols)
+
+    both = main.map_batches(main_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        lookup.map_batches(lookup_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    dflt = default
+
+    def fold(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            cols = {key: pa.array([], pa.int64())}
+            for name, typ in payload.items():
+                cols[name] = pa.array([], typ)
+            cols[out_name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        starts, ends = key_segments(tb, [key])
+        tags = tb.column(_TAG).to_numpy(zero_copy_only=False)
+        vals = tb.column(_VAL).to_numpy(zero_copy_only=False)
+        # per-segment lookup value: the tag-0 row's _VAL (keyed unique),
+        # default where the key run has no lookup row. The sort key is
+        # `key` ALONE — including the tag would let the range partitioner
+        # split a key's lookup row away from its main rows.
+        segval = np.full(len(starts), np.nan if dflt is None else float(dflt))
+        idx0 = np.nonzero(tags == 0)[0]
+        if len(idx0):
+            segid = np.searchsorted(starts, idx0, side="right") - 1
+            segval[segid] = vals[idx0]
+        per_row = np.repeat(segval, ends - starts)
+        keep = tags == 1
+        out = {key: tb.column(key).filter(pa.array(keep))}
+        for name in payload:
+            out[name] = tb.column(name).filter(pa.array(keep))
+        out[out_name] = pa.array(per_row[keep], pa.float64())
+        return pa.table(out)
+
+    return both.sort([key]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def pagerank(edges, *, num_iters: int = 5, damping: float = 0.85,
+             src: str = "src", dst: str = "dst"):
+    """PageRank over a directed edge Dataset (src, dst int64; duplicate
+    edges count once — pass a distinct edge set). Returns a materialized
+    Dataset (node int64, rank float64) after `num_iters` synchronous
+    power iterations from the uniform vector, with dangling-node mass
+    redistributed uniformly (the standard stochastic-matrix patch)."""
+    from ..pipelines.relational import distinct, grouped_agg
+
+    def col_as(name_from: str):
+        def f(tb: pa.Table) -> pa.Table:
+            return pa.table({"node": pc.cast(tb.column(name_from), pa.int64())})
+
+        return f
+
+    nodes = distinct(
+        edges.map_batches(col_as(src), batch_format="pyarrow", zero_copy_batch=True).union(
+            edges.map_batches(col_as(dst), batch_format="pyarrow", zero_copy_batch=True)
+        ),
+        ["node"],
+    )
+    deg = grouped_agg(edges, [src], [("outdeg", None, "count")]).map_batches(
+        lambda tb: pa.table({"node": tb.column(src), "outdeg": pc.cast(tb.column("outdeg"), pa.float64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # node table: (node, outdeg) — outdeg 0 marks dangling nodes
+    meta = lookup_join(nodes, deg, "node", "outdeg", "outdeg", payload={}, default=0.0).materialize()
+    n_nodes = meta.count()
+    if n_nodes == 0:
+        return meta.map_batches(
+            lambda tb: pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+    r0 = 1.0 / n_nodes
+
+    def seed(tb: pa.Table) -> pa.Table:
+        return tb.append_column("rank", pa.array(np.full(tb.num_rows, r0), pa.float64()))
+
+    ranks = meta.map_batches(seed, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    base = (1.0 - damping) / n_nodes
+
+    for _ in range(num_iters):
+        dangling = (
+            ranks.map_batches(
+                lambda tb: pa.table(
+                    {"d": pc.if_else(pc.equal(tb.column("outdeg"), 0.0), tb.column("rank"), pa.scalar(0.0))}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("d")
+            or 0.0
+        )
+
+        def share(tb: pa.Table) -> pa.Table:
+            deg_col = tb.column("outdeg").to_numpy(zero_copy_only=False)
+            r = tb.column("rank").to_numpy(zero_copy_only=False)
+            # keyed under `src` so the tag-union with edges lines up
+            return pa.table(
+                {src: tb.column("node"), "s": pa.array(np.where(deg_col > 0, r / np.maximum(deg_col, 1.0), 0.0))}
+            )
+
+        shares = ranks.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+        contribs = lookup_join(
+            edges, shares, src, "s", "c", payload={dst: pa.int64()}, default=0.0
+        ).map_batches(
+            lambda tb: pa.table({"node": tb.column(dst), "c": tb.column("c")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sums = grouped_agg(contribs, ["node"], [("c", "c", "sum")])
+        add = base + damping * dangling / n_nodes
+        d = damping
+
+        def new_rank(tb: pa.Table) -> pa.Table:
+            c = tb.column("c").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": tb.column("node"),
+                    "outdeg": tb.column("outdeg"),
+                    "rank": pa.array(add + d * c, pa.float64()),
+                }
+            )
+
+        ranks = (
+            lookup_join(meta, sums, "node", "c", "c", payload={"outdeg": pa.float64()}, default=0.0)
+            .map_batches(new_rank, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda tb: tb.select(["node", "rank"]), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,96 @@
+"""PageRank (stages/graph.py) vs a sequential numpy power-iteration
+reference — including dangling-mass redistribution, rank conservation,
+and the lookup_join block-boundary contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.graph import lookup_join, pagerank
+
+
+def _edges_ds(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _reference(pairs, n_iters, d=0.85):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = {}
+    for s, t in pairs:
+        out.setdefault(idx[s], []).append(idx[t])
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        nr = np.full(n, (1 - d) / n)
+        dang = sum(r[u] for u in range(n) if u not in out)
+        nr += d * dang / n
+        for u, vs in out.items():
+            for v in vs:
+                nr[v] += d * r[u] / len(vs)
+        r = nr
+    return nodes, r
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)],  # no dangling sink
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)],  # node 4 dangles
+        [(10, 20), (11, 20), (12, 20), (20, 10)],  # hot destination
+    ],
+)
+def test_pagerank_matches_power_iteration(pairs):
+    nodes, want = _reference(pairs, n_iters=6)
+    got = pagerank(_edges_ds(pairs), num_iters=6).to_pandas().sort_values("node")
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), want, atol=1e-12)
+
+
+def test_pagerank_mass_conserved_and_stable(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 60, size=(300, 2)) if a != b})
+    a = pagerank(_edges_ds(pairs), num_iters=4).to_pandas().sort_values("node")
+    b = pagerank(_edges_ds(pairs), num_iters=4).to_pandas().sort_values("node")
+    # run-to-run stable up to float reduction order (grouped sums are
+    # parallel; bitwise equality is NOT guaranteed — the oracle gate
+    # rounds to fixed-point e6 for the same reason)
+    assert np.allclose(a["rank"].to_numpy(), b["rank"].to_numpy(), atol=1e-12)
+    assert abs(a["rank"].sum() - 1.0) < 1e-9  # stochastic vector stays a distribution
+    nodes, want = _reference(pairs, n_iters=4)
+    assert np.allclose(a["rank"].to_numpy(), want, atol=1e-10)
+
+
+def test_lookup_join_defaults_and_block_boundaries(ray_session):
+    """Keys missing from the lookup take the default, and a key's main
+    rows must find their lookup row even when the sort splits the data
+    across many blocks (regression: sorting by (key, tag) let the range
+    partitioner separate them)."""
+    n = 5_000
+    main = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(n) % 500, pa.int64()), "payload": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(13)
+    lookup = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(0, 500, 2), pa.int64()), "v": pa.array(np.arange(0, 500, 2) * 1.5)})
+    ).repartition(7)
+    out = lookup_join(
+        main, lookup, "k", "v", "val", payload={"payload": pa.int64()}, default=-1.0
+    ).to_pandas()
+    assert len(out) == n
+    even = out[out["k"] % 2 == 0]
+    odd = out[out["k"] % 2 == 1]
+    assert (even["val"] == even["k"] * 1.5).all()
+    assert (odd["val"] == -1.0).all()
+
+
+def test_pagerank_empty_edges(ray_session):
+    got = pagerank(_edges_ds([]), num_iters=3).to_pandas()
+    assert len(got) == 0

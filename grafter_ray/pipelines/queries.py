@@ -4060,6 +4060,70 @@ FROM documents
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD2 (slowly-changing-dimension type 2) history derivation from a
+    changelog: every event opens a version valid [event_id, next
+    event_id); a final 'error' event is a tombstone that closes the last
+    version without opening one. One key exchange (window lead), fully
+    vectorized — the CDC-lake change feed rendered as validity
+    intervals."""
+    from ..stages.analytic import window_functions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    out = window_functions(ds, ["user_id"], ["event_id"], [("valid_to", "event_id", "lead")])
+
+    def f(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.not_equal(tb.column("event_type"), "error"))
+        return pa.table(
+            {
+                "user_id": tb.column("user_id"),
+                "valid_from": tb.column("event_id"),
+                "valid_to": tb.column("valid_to"),
+                "event_type": tb.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0))), pa.int64()),
+                "is_current": pc.cast(pc.is_null(tb.column("valid_to")), pa.int64()),
+            }
+        )
+
+    return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id, valid_from, valid_to, event_type, value_cents,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM (
+  SELECT user_id, event_id AS valid_from,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+         event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events)
+WHERE event_type <> 'error'
+"""
+
+
+def q_train_shuffle(sf_dir: str):
+    """Seeded deterministic epoch shuffle (stages/sampling.py
+    train_shuffle): the global training order is a pure function of
+    (doc_id, seed) — byte-identical across reruns and block layouts, a
+    different permutation per epoch — with the 0-based global position
+    materialized via the O(blocks)-driver prefix sum. The SQL-exact LCG
+    key keeps the ORDER itself under the oracle gate (shuffle_pos is a
+    value, so the hash compare checks the permutation, not just
+    membership)."""
+    from ..stages.sampling import train_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return train_shuffle(docs, id_col="doc_id", seed=3)
+
+
+SQL_TRAIN_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (((doc_id + 7963307283) % 2147483648) * 1103515245 + 12345) % 2147483648,
+                  doc_id) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 def q_pagerank_suppliers(sf_dir: str):
     """Iterative distributed PageRank (stages/graph.py) over the
     customer→supplier purchase graph (distinct (o_custkey, l_suppkey)
@@ -4246,6 +4310,8 @@ QUERIES = {
     "cdc_changed_quads": q_cdc_changed_quads,
     "customers_without_orders": q_customers_without_orders,
     "pagerank_suppliers": q_pagerank_suppliers,
+    "scd2_history": q_scd2_history,
+    "train_shuffle": q_train_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
     "order_value_median": q_order_value_median,
@@ -4365,6 +4431,8 @@ ORACLE_SQL = {
     "cdc_changed_quads": SQL_CDC_CHANGED_QUADS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "pagerank_suppliers": SQL_PAGERANK_SUPPLIERS,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "train_shuffle": SQL_TRAIN_SHUFFLE,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,
     "order_value_median": SQL_ORDER_VALUE_MEDIAN,

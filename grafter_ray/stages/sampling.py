@@ -188,3 +188,89 @@ def grouped_weighted_sample_k(ds, keys: list[str], id_col: str, weight_col: str,
     return out.map_batches(
         lambda tb: tb.drop_columns(["__pri"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+GOLDEN = 2654435761  # Knuth multiplicative constant (seed mixing)
+
+
+def shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded deterministic shuffle key: mod-reduce BEFORE the LCG step
+    so every intermediate stays < 2^61 (exact in int64 AND spellable in
+    ANSI SQL without overflow):
+    ((id + seed*GOLDEN) % 2^31 * A + C) % 2^31."""
+    base = (ids.astype(np.int64) + np.int64(seed) * GOLDEN) % LCG_M
+    return (base * LCG_A + LCG_C) % LCG_M
+
+
+def train_shuffle(ds, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic epoch shuffle for training-data ordering: the global
+    order is a pure function of (id, seed) — sort by the seeded LCG key,
+    tie-broken by id — so every epoch is a different permutation, any
+    shard can be re-derived independently (fault recovery / resumable
+    export), and reruns are byte-identical regardless of input block
+    layout. Emits `shuffle_pos` (0-based global position) computed with
+    the two-pass block prefix sum (pack_sequences' shape): the driver
+    holds one row per BLOCK, never per document.
+
+    At 100 TB this is the standard alternative to
+    Dataset.random_shuffle(): one range-partitioned sort of the narrow
+    (id, key) relation instead of an all-to-all random exchange of the
+    full payload; the payload is re-attached by reading in shuffle-key
+    order (or joining on id per shard)."""
+    import ray
+
+    def keyed(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "__sk": pa.array(shuffle_key(ids, seed), pa.int64()),
+            }
+        )
+
+    ordered = (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["__sk", id_col])
+        .materialize()  # narrow (id, key) relation; two passes below
+    )
+
+    def block_meta(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {"k0": pa.array([], pa.int64()), "id0": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k0": pa.array([tb.column("__sk")[0].as_py()], pa.int64()),
+                "id0": pa.array([tb.column(id_col)[0].as_py()], pa.int64()),
+                "rows": pa.array([tb.num_rows], pa.int64()),
+            }
+        )
+
+    meta = (
+        ordered.map_batches(block_meta, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per BLOCK
+        .sort_values(["k0", "id0"])
+    )
+    offs = np.concatenate([[0], np.cumsum(meta["rows"].to_numpy())[:-1]])
+    off_ref = ray.put(
+        {
+            (int(k), int(i)): int(o)
+            for k, i, o in zip(meta["k0"].to_numpy(), meta["id0"].to_numpy(), offs)
+        }
+    )
+
+    def assign(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "shuffle_pos": pa.array([], pa.int64())})
+        offsets = ray.get(off_ref)
+        first = (tb.column("__sk")[0].as_py(), tb.column(id_col)[0].as_py())
+        start = offsets[first]
+        return pa.table(
+            {
+                id_col: tb.column(id_col),
+                "shuffle_pos": pa.array(start + np.arange(tb.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)

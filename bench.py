@@ -105,6 +105,11 @@ QUERY_SUBSET = [
     "dates_without_urgent",
     "strip_html",
     "incr_view_distinct_langs",
+    # round-4 session-4 additions
+    "incr_view_join",
+    "pagerank_suppliers",
+    "scd2_history",
+    "train_shuffle",
 ]
 
 

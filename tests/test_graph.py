@@ -40,6 +40,7 @@ def _reference(pairs, n_iters, d=0.85):
     return nodes, r
 
 
+@pytest.mark.parametrize("driver_max_edges", [5_000_000, 0])  # local and distributed paths
 @pytest.mark.parametrize(
     "pairs",
     [
@@ -48,14 +49,29 @@ def _reference(pairs, n_iters, d=0.85):
         [(10, 20), (11, 20), (12, 20), (20, 10)],  # hot destination
     ],
 )
-def test_pagerank_matches_power_iteration(pairs):
+def test_pagerank_matches_power_iteration(pairs, driver_max_edges):
     nodes, want = _reference(pairs, n_iters=6)
-    got = pagerank(_edges_ds(pairs), num_iters=6).to_pandas().sort_values("node")
+    got = (
+        pagerank(_edges_ds(pairs), num_iters=6, driver_max_edges=driver_max_edges)
+        .to_pandas()
+        .sort_values("node")
+    )
     assert got["node"].tolist() == nodes
     assert np.allclose(got["rank"].to_numpy(), want, atol=1e-12)
 
 
-def test_pagerank_mass_conserved_and_stable(ray_session):
+def test_pagerank_paths_agree():
+    """The adaptive driver path and the distributed exchange path are the
+    same function up to float reduction order."""
+    rng = np.random.default_rng(11)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 80, size=(400, 2)) if a != b})
+    local = pagerank(_edges_ds(pairs), num_iters=5).to_pandas().sort_values("node")
+    dist = pagerank(_edges_ds(pairs), num_iters=5, driver_max_edges=0).to_pandas().sort_values("node")
+    assert local["node"].tolist() == dist["node"].tolist()
+    assert np.allclose(local["rank"].to_numpy(), dist["rank"].to_numpy(), atol=1e-12)
+
+
+def test_pagerank_mass_conserved_and_stable():
     rng = np.random.default_rng(7)
     pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 60, size=(300, 2)) if a != b})
     a = pagerank(_edges_ds(pairs), num_iters=4).to_pandas().sort_values("node")

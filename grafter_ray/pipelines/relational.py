@@ -744,6 +744,61 @@ def take_per_group(ds, keys: list[str], order_keys: list[tuple[str, str]], n: in
     return grouped_block_map(pre, keys, block)
 
 
+#: adaptive bound shared by rollup/grouping-sets/cube: a finest level at
+#: or under this many GROUPS folds its coarser sets driver-side in Arrow
+#: (2^k exchange fixed costs dwarf the compute there); larger results
+#: keep the distributed per-set re-aggregation.
+DRIVER_MAX_GROUPS = 200_000
+
+
+def _local_sets_fold(tb: pa.Table, keys: list[str], sets: list[list[str]],
+                     specs: list[tuple[str, str | None, str]]) -> pa.Table:
+    """Driver-side coarser-set folds over a BOUNDED collected finest
+    level (≤ DRIVER_MAX_GROUPS rows). Same cascade semantics as the
+    distributed path: count cascades as a sum of counts, sum/min/max
+    re-aggregate; rolled-up keys emit NULL."""
+    out_names = [out for out, _, _ in specs]
+    key_types = {k: tb.schema.field(k).type for k in keys}
+    cascade_how = {out: ("sum" if how == "count" else how) for out, _, how in specs}
+    count_outs = [out for out, _, how in specs if how == "count"]
+
+    def project(t: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            cols[k] = t.column(k) if k in present else pa.nulls(t.num_rows, key_types[k])
+        for o in out_names:
+            col = t.column(o)
+            if o in count_outs:
+                col = pc.cast(col, pa.int64())
+            cols[o] = col
+        return pa.table(cols)
+
+    pieces = []
+    for s in sets:
+        s = list(s)
+        if sorted(s) == sorted(keys):
+            pieces.append(project(tb, s))
+        elif s:
+            g = pa.TableGroupBy(tb, s).aggregate([(o, cascade_how[o]) for o in out_names])
+            g = g.rename_columns(s + out_names)  # keys first, aggs in spec order
+            pieces.append(project(g, s))
+        else:
+            if tb.num_rows == 0:
+                # match the distributed path: no groups ⇒ no grand-total row
+                pieces.append(project(tb, []))
+                continue
+            cols = {}
+            for o in out_names:
+                how = cascade_how[o]
+                if how == "sum":
+                    v = pc.sum(tb.column(o)).as_py()
+                else:
+                    v = pc.min_max(tb.column(o))["min" if how == "min" else "max"].as_py()
+                cols[o] = pa.array([v], tb.schema.field(o).type)
+            pieces.append(project(pa.table(cols), []))
+    return pa.concat_tables(pieces, promote_options="none")
+
+
 def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     """GROUP BY ROLLUP(keys): every key-prefix level down to the grand
     total, rolled-up key columns emitted as NULL (SQL ROLLUP shape).
@@ -784,6 +839,14 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str | None, str]]):
     sch = finest.schema()
     for k in keys:
         key_fields[k] = sch.base_schema.field(k).type
+
+    if finest.count() <= DRIVER_MAX_GROUPS:
+        import ray.data as rd
+
+        batches = list(finest.iter_batches(batch_format="pyarrow"))
+        tb = pa.concat_tables(batches, promote_options="none") if batches else sch.base_schema.empty_table()
+        sets = [keys[:i] for i in range(len(keys), -1, -1)]
+        return rd.from_arrow(_local_sets_fold(tb, keys, sets, specs))
 
     cascade = [(out, out, "sum" if how == "count" else how) for out, _, how in specs]
     count_outs = [out for out, _, how in specs if how == "count"]
@@ -850,6 +913,14 @@ def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]], specs: list[tu
     finest = grouped_agg(ds, keys, specs).materialize()
     sch = finest.schema()
     key_types = {k: sch.base_schema.field(k).type for k in keys}
+
+    if finest.count() <= DRIVER_MAX_GROUPS:
+        import ray.data as rd
+
+        batches = list(finest.iter_batches(batch_format="pyarrow"))
+        tb = pa.concat_tables(batches, promote_options="none") if batches else sch.base_schema.empty_table()
+        return rd.from_arrow(_local_sets_fold(tb, keys, [list(s) for s in sets], specs))
+
     cascade = [(out, out, "sum" if how == "count" else how) for out, _, how in specs]
     count_outs = [out for out, _, how in specs if how == "count"]
 

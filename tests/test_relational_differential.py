@@ -6,6 +6,8 @@ Keys stay non-null — the engine's documented shuffle contract."""
 
 import random
 
+import pytest
+
 import duckdb
 import pyarrow as pa
 import ray.data as rd
@@ -140,10 +142,14 @@ def test_dispersion_aggs_match_duckdb():
                     assert abs(gv - wv) < tol, (trial, c, k, gv, wv)
 
 
-def test_rollup_agg_matches_duckdb():
+@pytest.mark.parametrize("groups_bound", [200_000, 0])  # local fold and distributed cascade
+def test_rollup_agg_matches_duckdb(groups_bound, monkeypatch):
     """ROLLUP over 1-, 2- and 3-key sets vs DuckDB GROUP BY ROLLUP:
     NULL in output keys means rolled-up; counts cascade as sums."""
+    import grafter_ray.pipelines.relational as rel
     from grafter_ray.pipelines.relational import rollup_agg
+
+    monkeypatch.setattr(rel, "DRIVER_MAX_GROUPS", groups_bound)
 
     rng = random.Random(7788)
     n = 2000
@@ -189,11 +195,15 @@ def test_rollup_agg_rejects_non_decomposable():
         rollup_agg(None, ["k"], [("m", "x", "mean")])
 
 
-def test_grouping_sets_and_cube_match_duckdb():
+@pytest.mark.parametrize("groups_bound", [200_000, 0])  # local fold and distributed cascade
+def test_grouping_sets_and_cube_match_duckdb(groups_bound, monkeypatch):
     """Random GROUPING SETS (incl. duplicates and the empty set) and
     full CUBE vs DuckDB: NULL in output keys means rolled-up; each set
     re-aggregates the one finest exchange."""
+    import grafter_ray.pipelines.relational as rel
     from grafter_ray.pipelines.relational import cube_agg, grouping_sets_agg
+
+    monkeypatch.setattr(rel, "DRIVER_MAX_GROUPS", groups_bound)
 
     rng = random.Random(424242)
     n = 1500

@@ -4124,6 +4124,89 @@ FROM documents
 """
 
 
+def q_funnel_stages(sf_dir: str):
+    """Ordered funnel progression (view → click → purchase) per user in
+    changelog (event_id) order: ONE key exchange + vectorized
+    per-segment conditional-min folds (stages/analytic.py funnel) —
+    replaces the SQL spelling's chain of min-filter self-joins."""
+    from ..stages.analytic import funnel
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return funnel(ds, "user_id", "event_id", "event_type", ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_STAGES = """
+WITH v AS (SELECT user_id, min(event_id) AS e1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id AS user_id, min(event_id) AS e2
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND event_id > v.e1 GROUP BY e.user_id),
+p AS (SELECT e.user_id AS user_id, min(event_id) AS e3
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND event_id > c.e2 GROUP BY e.user_id)
+SELECT v.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-activity day; distinct
+    active users per (cohort_day, week offset). One key exchange
+    derives each user's cohort + per-activity week offsets vectorized,
+    then the house exact distinct-count aggregates (group, user) pairs."""
+    from ..stages.grouped import grouped_block_map, key_segments
+    from .relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": tb.column("user_id"), "day": pc.cast(tb.column("ts"), pa.date32())}
+        )
+
+    days = ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.string()),
+                    "week": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        tb = tb.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        starts, ends = key_segments(tb, ["user_id"])
+        dayint = pc.cast(tb.column("day"), pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        cohort = np.repeat(dayint[starts], ends - starts)
+        week = (dayint - cohort) // 7
+        cohort_str = pc.strftime(
+            pc.cast(pa.array(cohort, pa.int32()), pa.date32()), format="%Y-%m-%d"
+        )
+        return pa.table(
+            {
+                "cohort_day": cohort_str,
+                "week": pa.array(week, pa.int64()),
+                "user_id": tb.column("user_id"),
+            }
+        )
+
+    per_activity = grouped_block_map(days, ["user_id"], block)
+    return grouped_count_distinct(per_activity, ["cohort_day", "week"], "user_id", alias="n_users")
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(floor(date_diff('day', c.cohort, d.day) / 7) AS BIGINT) AS week,
+       count(DISTINCT d.user_id) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_pagerank_suppliers(sf_dir: str):
     """Iterative distributed PageRank (stages/graph.py) over the
     customer→supplier purchase graph (distinct (o_custkey, l_suppkey)
@@ -4311,6 +4394,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "pagerank_suppliers": q_pagerank_suppliers,
     "scd2_history": q_scd2_history,
+    "funnel_stages": q_funnel_stages,
+    "retention_cohorts": q_retention_cohorts,
     "train_shuffle": q_train_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
@@ -4432,6 +4517,8 @@ ORACLE_SQL = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "pagerank_suppliers": SQL_PAGERANK_SUPPLIERS,
     "scd2_history": SQL_SCD2_HISTORY,
+    "funnel_stages": SQL_FUNNEL_STAGES,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "train_shuffle": SQL_TRAIN_SHUFFLE,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,

@@ -198,3 +198,45 @@ def window_functions(ds, keys: list[str], order_by: list[str], specs):
         if _FNS[fn] and spec[1] is None:
             raise ValueError(f"{fn} needs an input column")
     return grouped_block_map(ds, list(keys), lambda tb: window_block(tb, keys, order_by, specs))
+
+
+def funnel(ds, key: str, order_col: str, type_col: str, steps: list[str]):
+    """Ordered funnel progression per key: the stage reached walking
+    `steps` in strictly increasing `order_col` (the changelog order —
+    step i+1 must occur AFTER the first qualifying step-i row). Returns
+    Dataset (key, funnel_stage int64) for keys reaching stage >= 1.
+
+    Same plan as every window function here: ONE key exchange, then
+    vectorized per-segment conditional-min folds (np.minimum.reduceat
+    over masked positions) — no per-group Python, no self-joins (the
+    SQL spelling is a chain of min-filter joins; this is one pass)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def block(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        if n == 0:
+            return pa.table(
+                {key: pa.array([], tb.schema.field(key).type), "funnel_stage": pa.array([], pa.int64())}
+            )
+        tb = tb.sort_by([(key, "ascending"), (order_col, "ascending")])
+        starts, ends = key_segments(tb, [key])
+        types = tb.column(type_col).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.float64)
+        INF = np.inf
+        # threshold per row: position of the previous step's first hit
+        # within the row's segment (−1 before step 1)
+        thresh = np.full(len(starts), -1.0)
+        stage = np.zeros(len(starts), dtype=np.int64)
+        for i, step in enumerate(steps):
+            mask = (types == step) & (pos > np.repeat(thresh, ends - starts))
+            cand = np.where(mask, pos, INF)
+            first = np.minimum.reduceat(cand, starts)
+            hit = np.isfinite(first)
+            stage = np.where(hit, i + 1, stage)
+            thresh = np.where(hit, first, INF)  # unreached ⇒ later steps unreachable
+        keys_col = tb.column(key).take(pa.array(starts))
+        out = pa.table({key: keys_col, "funnel_stage": pa.array(stage, pa.int64())})
+        return out.filter(pc.greater(out.column("funnel_stage"), 0))
+
+    return grouped_block_map(ds, [key], block)

@@ -197,3 +197,60 @@ def test_rolling_window_aggs_match_duckdb():
                 (np.isnan(a) == np.isnan(b)) & (np.abs(np.nan_to_num(a - b)) < 1e-9)
             )
             assert same.all(), (k, c, int((~same).sum()))
+
+
+def test_funnel_matches_duckdb_chain():
+    from grafter_ray.stages.analytic import funnel
+
+    rng = random.Random(424242)
+    steps = ["view", "click", "purchase", "refund"]
+    for trial, (n, n_keys, skew) in enumerate([(1500, 40, 0.0), (900, 6, 0.6), (400, 400, 0.0)]):
+        # skew: bias some keys to never see later steps
+        ks, ts, es = [], [], []
+        for rid in range(n):
+            k = rng.randrange(n_keys)
+            depth = 1 if (skew and k % 3 == 0) else len(steps)
+            ks.append(k)
+            ts.append(steps[rng.randrange(depth)])
+            es.append(rid)
+        tb = pa.table(
+            {
+                "user_id": pa.array(ks, pa.int64()),
+                "event_id": pa.array(es, pa.int64()),
+                "event_type": pa.array(ts, pa.string()),
+            }
+        )
+        out = (
+            funnel(
+                rd.from_arrow(tb).repartition(2 + trial * 3),
+                "user_id",
+                "event_id",
+                "event_type",
+                steps,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute("""
+            WITH s1 AS (SELECT user_id, min(event_id) AS e FROM t
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT t.user_id AS user_id, min(event_id) AS e FROM t JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND event_id > s1.e GROUP BY t.user_id),
+            s3 AS (SELECT t.user_id AS user_id, min(event_id) AS e FROM t JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND event_id > s2.e GROUP BY t.user_id),
+            s4 AS (SELECT t.user_id AS user_id, min(event_id) AS e FROM t JOIN s3 USING (user_id)
+                   WHERE event_type = 'refund' AND event_id > s3.e GROUP BY t.user_id)
+            SELECT s1.user_id,
+                   CASE WHEN s4.user_id IS NOT NULL THEN 4
+                        WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_stage
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+                    LEFT JOIN s4 USING (user_id)
+            ORDER BY s1.user_id
+        """).fetchdf()
+        assert len(out) == len(ref), trial
+        assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all(), trial
+        assert (out["funnel_stage"].to_numpy() == ref["funnel_stage"].to_numpy()).all(), trial

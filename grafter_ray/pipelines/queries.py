@@ -4124,6 +4124,72 @@ FROM documents
 """
 
 
+def _dsir_src(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        lambda t: t.append_column("__tgt", pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_dsir_topk(sf_dir: str):
+    """DSIR importance scoring (target = English docs) — model-free
+    fused train-and-score (stages/dsir.py docstring has the plan: the
+    unigram models are never materialized or broadcast), top-50 docs by
+    e6 fixed-point log-likelihood ratio."""
+    from ..stages.dsir import dsir_topk
+
+    return dsir_topk(_dsir_src(sf_dir), 50)
+
+
+_SQL_DSIR_BASE = r"""
+WITH arrs AS (SELECT doc_id, (lang = 'en') AS tgt,
+              regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+toks AS (SELECT doc_id, tgt, unnest(a) AS tok FROM arrs),
+t2 AS (SELECT doc_id, tgt, tok, count(*) AS k FROM toks WHERE tok <> ''
+       GROUP BY doc_id, tgt, tok),
+c AS (SELECT tok, sum(k) AS craw, sum(CASE WHEN tgt THEN k ELSE 0 END) AS ctgt
+      FROM t2 GROUP BY tok),
+n AS (SELECT sum(k) AS nraw, sum(CASE WHEN tgt THEN k ELSE 0 END) AS ntgt FROM t2),
+d AS (SELECT t2.doc_id, sum(t2.k) AS n_tokens,
+             sum(t2.k * (ln(c.ctgt + 1) - ln(c.craw + 1))) AS part
+      FROM t2 JOIN c USING (tok) GROUP BY t2.doc_id),
+s AS (SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+             CAST(round((d.part + d.n_tokens * (ln(n.nraw + 4096.0) - ln(n.ntgt + 4096.0)))
+                        * 1000000) AS BIGINT) AS logratio_e6
+      FROM d, n)
+"""
+
+SQL_DSIR_TOPK = (
+    _SQL_DSIR_BASE
+    + """
+SELECT doc_id, n_tokens, logratio_e6 FROM s ORDER BY logratio_e6 DESC, doc_id LIMIT 50
+"""
+)
+
+
+def q_dsir_sample(sf_dir: str):
+    """DSIR resampling: 30 docs without replacement, P ∝ exp(logratio),
+    via the Gumbel-max trick over integer-derived keys (seed 7) — the
+    winner set is deterministic and SQL-reproducible."""
+    from ..stages.dsir import dsir_sample_k
+
+    return dsir_sample_k(_dsir_src(sf_dir), 30, seed=7)
+
+
+SQL_DSIR_SAMPLE = (
+    _SQL_DSIR_BASE
+    + """
+, g AS (SELECT *, ((doc_id + 7) * 1103515245 + 12345) % 2147483648 AS h FROM s),
+k AS (SELECT doc_id, n_tokens, logratio_e6,
+             logratio_e6 + CAST(round(-ln(-ln((h + 0.5) / 2147483648.0)) * 1000000) AS BIGINT)
+               AS key FROM g)
+SELECT doc_id, n_tokens, logratio_e6 FROM k ORDER BY key DESC, doc_id LIMIT 30
+"""
+)
+
+
 def q_funnel_stages(sf_dir: str):
     """Ordered funnel progression (view → click → purchase) per user in
     changelog (event_id) order: ONE key exchange + vectorized
@@ -4396,6 +4462,8 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
+    "dsir_topk": q_dsir_topk,
+    "dsir_sample": q_dsir_sample,
     "train_shuffle": q_train_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
@@ -4519,6 +4587,8 @@ ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "dsir_topk": SQL_DSIR_TOPK,
+    "dsir_sample": SQL_DSIR_SAMPLE,
     "train_shuffle": SQL_TRAIN_SHUFFLE,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,

@@ -1,0 +1,231 @@
+"""DSIR-style importance scoring and resampling at corpus scale.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw document by the log-likelihood ratio of a target-domain
+unigram model over the raw-corpus unigram model, then resamples the
+corpus proportionally to the importance weight. With add-one smoothing
+over a fixed denominator ``SMOOTH`` (the stages/lm.py convention — no
+global vocab-size scalar needed):
+
+  logratio(d) = Σ_tok n_tok(d) · [ln(c_tgt(tok)+1) − ln(c_raw(tok)+1)]
+              + n_tokens(d) · [ln(N_raw+SMOOTH) − ln(N_tgt+SMOOTH)]
+
+Plan (the lm.py model-free discipline — neither model is ever
+materialized or broadcast; the vocabulary never reaches the driver):
+
+  1. map_batches: tokenize each block (Arrow split_pattern_regex, same
+     spelling as the SQL oracle: regexp_split_to_array(trim(text),
+     '\\s+'), '' dropped) and pre-count WITHIN each (doc, tok) — only
+     block-unique (doc, tok, k, tgt) rows enter the exchange, never the
+     raw token stream.
+  2. sort by tok [house grouped_block_map]: every occurrence of a token
+     is co-located, so the global counts c_raw = Σk and c_tgt = Σk[tgt]
+     are per-run reduceats — emit (doc, k, k·(ln(c_tgt+1)−ln(c_raw+1)),
+     tgt).
+  3. grouped_agg by doc → (doc, n_tokens, part, tgt): one row per doc.
+  4. two distributed scalar sums over step 3's (materialized, O(#docs)
+     narrow rows) give N_raw / N_tgt; a final linear map applies the
+     n_tokens·const correction. Only the two scalars reach the driver.
+
+Partitioning assumption (same as lm.py stage 3): the sort-shuffle
+co-locates a token's rows in one block. A stop-word run's length is the
+number of distinct docs containing it; if that exceeds a block at
+extreme scale, salt stage 2 by hash(doc)%S and combine the (c_tgt,
+c_raw) partials with a two-phase grouped_agg + tagged co-group (both
+are sums, so they salt cleanly).
+
+Resampling: ``dsir_sample_k`` draws k docs without replacement with
+probability ∝ exp(logratio) via the Gumbel-max trick over the
+fixed-point score: key = logratio_e6 + round(g·1e6) with
+g = −ln(−ln(u)), u = ((id+seed)·LCG_A+LCG_C mod 2³¹ + 0.5)/2³¹ — every
+term derives from integers, so the SQL oracle reproduces the winner set
+(ORDER BY key DESC, id). House top_k prunes block-locally; the corpus
+is never globally sorted.
+
+Reference anchor: no data-selection operator in the reference (RDF
+engine); this is the importance-sampling member of the LLM-data
+operator family (SURVEY.md §2 additions), sharing stages/lm.py's
+fused train-and-score shape and stages/sampling.py's integer-derived
+deterministic keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sampling import LCG_A, LCG_C, LCG_M
+
+_TOKEN_SPLIT = r"\s+"
+SMOOTH = 4096.0
+
+
+def _doc_token_counts(tb: pa.Table, id_col: str, text_col: str, tgt_col: str) -> pa.Table:
+    """(doc, tok, k, tgt): per-block pre-counted token multiplicities.
+    Only block-unique (doc, tok) pairs leave the block."""
+    empty = pa.table(
+        {
+            "__doc": pa.array([], pa.int64()),
+            "__tok": pa.array([], pa.string()),
+            "__k": pa.array([], pa.int64()),
+            "__tgt": pa.array([], pa.bool_()),
+        }
+    )
+    if tb.num_rows == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = pc.take(tb.column(id_col), pa.array(np.repeat(np.arange(tb.num_rows), lens)))
+    tgts = pc.take(tb.column(tgt_col), pa.array(np.repeat(np.arange(tb.num_rows), lens)))
+    pairs = pa.table({"__doc": docs, "__tok": flat, "__tgt": tgts})
+    pairs = pairs.filter(pc.not_equal(pairs.column("__tok"), pa.scalar("")))
+    if pairs.num_rows == 0:
+        return empty
+    grp = pa.TableGroupBy(pairs, ["__doc", "__tok", "__tgt"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "__doc": grp.column("__doc"),
+            "__tok": grp.column("__tok"),
+            "__k": pc.cast(grp.column("count_all"), pa.int64()),
+            "__tgt": grp.column("__tgt"),
+        }
+    )
+
+
+def _token_run_parts(tb: pa.Table) -> pa.Table:
+    """Per token run (block is tok-sorted): c_raw = Σk, c_tgt = Σk[tgt];
+    emit (doc, k, k·(ln(c_tgt+1)−ln(c_raw+1)), tgt)."""
+    from .grouped import key_segments
+
+    if tb.num_rows == 0:
+        return pa.table(
+            {
+                "__doc": pa.array([], pa.int64()),
+                "__k": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.float64()),
+                "__tgt": pa.array([], pa.bool_()),
+            }
+        )
+    starts, ends = key_segments(tb, ["__tok"])
+    k = tb.column("__k").to_numpy(zero_copy_only=False).astype(np.float64)
+    tgt = tb.column("__tgt").to_numpy(zero_copy_only=False).astype(bool)
+    c_raw = np.add.reduceat(k, starts)
+    c_tgt = np.add.reduceat(np.where(tgt, k, 0.0), starts)
+    lr = np.log(c_tgt + 1.0) - np.log(c_raw + 1.0)
+    part = k * np.repeat(lr, ends - starts)
+    return pa.table(
+        {
+            "__doc": tb.column("__doc"),
+            "__k": tb.column("__k"),
+            "__part": pa.array(part, pa.float64()),
+            "__tgt": tb.column("__tgt"),
+        }
+    )
+
+
+def dsir_scores(ds, id_col: str = "doc_id", text_col: str = "text", tgt_col: str = "__tgt"):
+    """Dataset (id_col, n_tokens, logratio float64, tgt) — the DSIR
+    importance log-weight of every non-empty document. ``tgt_col`` is a
+    caller-provided boolean column marking the target-domain subset
+    (compute it upstream with a map_batches/add_column)."""
+    from ..pipelines.relational import grouped_agg
+    from .grouped import grouped_block_map
+
+    toks = ds.map_batches(
+        lambda tb: _doc_token_counts(tb, id_col, text_col, tgt_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = grouped_block_map(toks, ["__tok"], _token_run_parts)
+    per_doc = grouped_agg(
+        parts,
+        ["__doc"],
+        [("n_tokens", "__k", "sum"), ("__part", "__part", "sum"), ("__tgt", "__tgt", "max")],
+    ).materialize()  # O(#docs) narrow rows; consumed twice (scalars + final map)
+
+    # distributed scalar sums — only two numbers reach the driver
+    def _totals(tb: pa.Table) -> pa.Table:
+        n = tb.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tb.column("__tgt").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "nr": pa.array([int(n.sum())], pa.int64()),
+                "nt": pa.array([int(n[t].sum())], pa.int64()),
+            }
+        )
+
+    tot = per_doc.map_batches(_totals, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["nr", "nt"]
+    )
+    n_raw, n_tgt = int(tot["sum(nr)"]), int(tot["sum(nt)"])
+    const = float(np.log(n_raw + SMOOTH) - np.log(n_tgt + SMOOTH))
+
+    def _final(tb: pa.Table) -> pa.Table:
+        n = tb.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = tb.column("__part").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: tb.column("__doc"),
+                "n_tokens": tb.column("n_tokens"),
+                "logratio": pa.array(p + n * const, pa.float64()),
+                "tgt": tb.column("__tgt"),
+            }
+        )
+
+    return per_doc.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _score_e6(ds, id_col: str):
+    def f(tb: pa.Table) -> pa.Table:
+        e6 = pc.cast(pc.round(pc.multiply(tb.column("logratio"), pa.scalar(1e6))), pa.int64())
+        return pa.table(
+            {id_col: tb.column(id_col), "n_tokens": tb.column("n_tokens"), "logratio_e6": e6}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_topk(ds, k: int, id_col: str = "doc_id", text_col: str = "text", tgt_col: str = "__tgt"):
+    """Top-k docs by importance log-weight (deterministic id tiebreak) —
+    the rank-and-select spelling of DSIR. Fixed-point e6 scores so the
+    SQL oracle's winner set and values match bit-for-bit."""
+    from ..pipelines.relational import top_k
+
+    scores = _score_e6(dsir_scores(ds, id_col, text_col, tgt_col), id_col)
+    return top_k(scores, [("logratio_e6", "descending"), (id_col, "ascending")], k)
+
+
+def dsir_sample_k(
+    ds,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tgt_col: str = "__tgt",
+):
+    """k docs WITHOUT replacement with P(select) ∝ exp(logratio) — the
+    Gumbel-max trick over the fixed-point score. Every key term derives
+    from integers (LCG uniform, e6-rounded parts), so reruns, shard
+    order, and the SQL oracle all agree on the winner set."""
+    from ..pipelines.relational import top_k
+
+    scores = _score_e6(dsir_scores(ds, id_col, text_col, tgt_col), id_col)
+
+    def key(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids + int(seed)) * LCG_A + LCG_C) % LCG_M
+        u = (h.astype(np.float64) + 0.5) / float(LCG_M)  # strictly in (0,1)
+        g = -np.log(-np.log(u))
+        g_e6 = np.rint(g * 1e6).astype(np.int64)
+        key = tb.column("logratio_e6").to_numpy(zero_copy_only=False) + g_e6
+        return tb.append_column("__key", pa.array(key, pa.int64()))
+
+    keyed = scores.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k(keyed, [("__key", "descending"), (id_col, "ascending")], k)
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__key"]), batch_format="pyarrow", zero_copy_batch=True
+    )

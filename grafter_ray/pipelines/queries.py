@@ -4190,6 +4190,53 @@ SELECT doc_id, n_tokens, logratio_e6 FROM k ORDER BY key DESC, doc_id LIMIT 30
 )
 
 
+_CLF_MODEL = {
+    "filter": 0.31, "batch": 0.22, "scan": -0.18, "hash": 0.12, "merge": 0.27,
+    "stream": 0.41, "slow": -0.55, "join": 0.09, "vector": 0.17, "small": -0.21,
+}
+_CLF_BIAS = -0.15
+
+
+def q_quality_clf_score(sf_dir: str):
+    """Learned-quality-classifier scoring (fastText/CCNet shape): apply
+    a trained token→weight logistic model to every document — model
+    broadcast once, one linear pass, block-unique-token lookup
+    (stages/classify.py; the trainer itself is the distributed
+    full-batch GD tested in tests/test_classify.py). e6 fixed-point."""
+    from ..stages.classify import score_with_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = score_with_weights(ds, _CLF_MODEL, _CLF_BIAS, "text", "doc_id")
+    return out.map_batches(
+        lambda tb: pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "score_e6": pc.cast(
+                    pc.round(pc.multiply(tb.column("score"), pa.scalar(1e6))), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_QUALITY_CLF_SCORE = (
+    "WITH m(tok, w) AS (VALUES "
+    + ", ".join(f"('{k}', {v})" for k, v in _CLF_MODEL.items())
+    + r"""),
+toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+z AS (SELECT d.doc_id, """
+    + str(_CLF_BIAS)
+    + r""" + coalesce(sum(j.w), 0) AS z
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, m.w FROM toks JOIN m USING (tok)) j USING (doc_id)
+      GROUP BY d.doc_id)
+SELECT doc_id, CAST(round(1000000 / (1 + exp(-z))) AS BIGINT) AS score_e6 FROM z
+"""
+)
+
+
 def q_funnel_stages(sf_dir: str):
     """Ordered funnel progression (view → click → purchase) per user in
     changelog (event_id) order: ONE key exchange + vectorized
@@ -4464,6 +4511,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "dsir_topk": q_dsir_topk,
     "dsir_sample": q_dsir_sample,
+    "quality_clf_score": q_quality_clf_score,
     "train_shuffle": q_train_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "docs_per_source_cap": q_docs_per_source_cap,
@@ -4589,6 +4637,7 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "dsir_topk": SQL_DSIR_TOPK,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "quality_clf_score": SQL_QUALITY_CLF_SCORE,
     "train_shuffle": SQL_TRAIN_SHUFFLE,
     "customers_with_orders_bloom": SQL_CUSTOMERS_WITH_ORDERS_BLOOM,
     "docs_per_source_cap": SQL_DOCS_PER_SOURCE_CAP,

@@ -1,0 +1,215 @@
+"""Linear text classification at corpus scale (fastText-style quality
+classifier: hashed bag-of-token features → logistic regression).
+
+The classic learned quality gate a training-data pipeline runs (e.g.
+"looks like Wikipedia vs random web"): featurize each document as a
+hashed bag of tokens, train a logistic regression, score the corpus,
+keep the high scorers. Two halves with different scale contracts:
+
+``logistic_train`` — deterministic full-batch gradient descent:
+
+  - weights (``n_buckets`` float64 + bias) live on the DRIVER and are
+    ``ray.put`` once per epoch — every task reads the epoch's model
+    zero-copy; nothing is re-shipped per batch,
+  - one map_batches pass per epoch: per block, vectorized
+    sigmoid/residual then a SPARSE partial gradient — only the buckets
+    the block actually touched (≤ min(n_buckets, block tokens) rows)
+    enter the exchange, never a dense vector per block,
+  - grouped_agg sums the partials by bucket; the ≤ n_buckets result
+    rows come back to the driver for the update (bounded by
+    ``n_buckets``, the model size — the model must fit on the driver by
+    definition of broadcast training).
+
+Epochs are sequential barriers (each needs the summed gradient) — the
+iterative shape of stages/clustering.py. Determinism: zero init,
+float64, fixed epoch count; block-order float addition noise is the
+only nondeterminism and is bounded by the grouped_agg tree (tests
+compare against a local reference at 1e-9).
+
+``logistic_score`` — broadcast the trained (small) model once, one
+linear pass, no exchange. Hashing: crc32(token) % n_buckets computed
+per BLOCK-UNIQUE token (dictionary-encode first — per-row work is a
+numpy take). For the SQL-oracle spelling, ``score_with_weights`` skips
+hashing and looks tokens up in an explicit token→weight dict (the
+model as a VALUES table), which is how a shipped model is applied
+anyway.
+
+Reference anchor: no classifier in the reference (RDF engine); this is
+the supervised member of the LLM-data quality family (stages/text.py
+heuristics, stages/lm.py perplexity), with CCNet §4.3's linear
+classifier as the published shape.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _block_tokens(tb: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(uniq_tokens, code_per_token, doc_index_per_token): tokenize a
+    block and dictionary-encode the flat token stream. '' dropped."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = np.repeat(np.arange(tb.num_rows, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    docs = docs[keep]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uniq, codes, docs
+
+
+def _bucket_uniq(uniq: np.ndarray, n_buckets: int) -> np.ndarray:
+    """crc32 % n_buckets over the block-unique tokens only."""
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % n_buckets for t in uniq), np.int64, count=len(uniq)
+    )
+
+
+def _doc_bucket_counts(
+    tb: pa.Table, text_col: str, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR-ish sparse features: per (doc, bucket) count. Returns
+    (doc_idx, bucket, count) arrays, doc-major sorted."""
+    uniq, codes, docs = _block_tokens(tb, text_col)
+    if len(codes) == 0:
+        return np.array([], np.int64), np.array([], np.int64), np.array([], np.float64)
+    buckets = _bucket_uniq(uniq, n_buckets)[codes]
+    key = docs * n_buckets + buckets
+    uk, counts = np.unique(key, return_counts=True)
+    return uk // n_buckets, uk % n_buckets, counts.astype(np.float64)
+
+
+def _margins(
+    d: np.ndarray, b: np.ndarray, c: np.ndarray, n_rows: int, w: np.ndarray, bias: float
+) -> np.ndarray:
+    z = np.full(n_rows, bias, np.float64)
+    np.add.at(z, d, c * w[b])
+    return z
+
+
+def logistic_train(
+    ds,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+    epochs: int = 20,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+):
+    """Full-batch logistic regression over hashed token counts.
+    Returns (weights ndarray[n_buckets], bias float). Labels are
+    bool/0-1. Gradient is averaged over N rows (computed once)."""
+    from ..pipelines.relational import grouped_agg
+
+    n_rows = ds.count()
+    if n_rows == 0:
+        raise ValueError("logistic_train: empty dataset")
+    w = np.zeros(n_buckets, np.float64)
+    bias = 0.0
+    for _ in range(epochs):
+        ref = ray.put((w, bias))
+
+        def grad_block(tb: pa.Table, _ref=ref) -> pa.Table:
+            wv, bv = ray.get(_ref)
+            if tb.num_rows == 0:
+                return pa.table(
+                    {"__b": pa.array([], pa.int64()), "__g": pa.array([], pa.float64())}
+                )
+            d, b, c = _doc_bucket_counts(tb, text_col, n_buckets)
+            y = tb.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            z = _margins(d, b, c, tb.num_rows, wv, bv)
+            resid = 1.0 / (1.0 + np.exp(-z)) - y  # p − y
+            # sparse partial: only touched buckets leave the block;
+            # bucket −1 carries the bias gradient
+            gb = np.zeros(n_buckets + 1, np.float64)
+            np.add.at(gb, b + 1, resid[d] * c)
+            gb[0] = resid.sum()
+            nz = np.nonzero(gb)[0]
+            return pa.table(
+                {
+                    "__b": pa.array(nz.astype(np.int64) - 1, pa.int64()),
+                    "__g": pa.array(gb[nz], pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(grad_block, batch_format="pyarrow", zero_copy_batch=True)
+        summed = grouped_agg(parts, ["__b"], [("g", "__g", "sum")])
+        # bounded collect: ≤ n_buckets+1 rows (the model size)
+        gt = pa.concat_tables(
+            [pa.table(batch) for batch in summed.iter_batches(batch_format="pyarrow")]
+        )
+        gb = gt.column("__b").to_numpy(zero_copy_only=False).astype(np.int64)
+        gv = gt.column("g").to_numpy(zero_copy_only=False)
+        grad = np.zeros(n_buckets, np.float64)
+        bias_grad = 0.0
+        for i, bk in enumerate(gb):
+            if bk < 0:
+                bias_grad = gv[i]
+            else:
+                grad[bk] += gv[i]
+        w -= lr * (grad / n_rows + l2 * w)
+        bias -= lr * (bias_grad / n_rows)
+    return w, bias
+
+
+def logistic_score(ds, weights: np.ndarray, bias: float, text_col: str, id_col: str):
+    """(id, score float64 in (0,1)): one linear pass, model broadcast
+    once via ray.put."""
+    n_buckets = len(weights)
+    ref = ray.put((np.asarray(weights, np.float64), float(bias)))
+
+    def f(tb: pa.Table) -> pa.Table:
+        wv, bv = ray.get(ref)
+        if tb.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        d, b, c = _doc_bucket_counts(tb, text_col, n_buckets)
+        z = _margins(d, b, c, tb.num_rows, wv, bv)
+        return pa.table(
+            {id_col: tb.column(id_col), "score": pa.array(1.0 / (1.0 + np.exp(-z)), pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def score_with_weights(ds, token_weights: dict[str, float], bias: float, text_col: str, id_col: str):
+    """(id, score): apply an explicit token→weight model (no hashing —
+    the SQL-oracle spelling: model as a VALUES table, unseen tokens
+    weigh 0). Model broadcast once; per block the lookup is an
+    index_in over block-unique tokens."""
+    toks = pa.array(list(token_weights.keys()), pa.string())
+    vals = np.array(list(token_weights.values()), np.float64)
+    ref = ray.put((toks, vals, float(bias)))
+
+    def f(tb: pa.Table) -> pa.Table:
+        tv, vv, bv = ray.get(ref)
+        if tb.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        uniq, codes, docs = _block_tokens(tb, text_col)
+        if len(codes) == 0:
+            z = np.full(tb.num_rows, bv, np.float64)
+        else:
+            pos = pc.index_in(pa.array(list(uniq), pa.string()), value_set=tv)
+            posn = pos.to_numpy(zero_copy_only=False)
+            uw = np.where(np.isnan(posn.astype(np.float64)), 0.0, vv[np.nan_to_num(posn).astype(np.int64)])
+            z = np.full(tb.num_rows, bv, np.float64)
+            np.add.at(z, docs, uw[codes])
+        return pa.table(
+            {id_col: tb.column(id_col), "score": pa.array(1.0 / (1.0 + np.exp(-z)), pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

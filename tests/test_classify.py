@@ -1,0 +1,116 @@
+"""Tests for the hashed-feature logistic classifier (stages/classify.py):
+distributed full-batch trainer vs an exact local numpy reference,
+convergence/separation on synthetic data, and the explicit-weights
+scorer vs DuckDB."""
+
+import random
+import zlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _synth(rng: random.Random, n: int, sep: float) -> pa.Table:
+    """Two vocabularies; label-1 docs draw mostly from the 'good' one."""
+    good = [f"g{i}" for i in range(30)]
+    bad = [f"b{i}" for i in range(30)]
+    texts, labels = [], []
+    for _ in range(n):
+        y = rng.random() < 0.5
+        pool_a, pool_b = (good, bad) if y else (bad, good)
+        ln = rng.randrange(5, 25)
+        toks = [
+            rng.choice(pool_a) if rng.random() < 0.5 + sep / 2 else rng.choice(pool_b)
+            for _ in range(ln)
+        ]
+        texts.append(" ".join(toks))
+        labels.append(y)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "label": pa.array(labels, pa.bool_()),
+        }
+    )
+
+
+def _local_reference(tb: pa.Table, n_buckets: int, epochs: int, lr: float, l2: float):
+    """Same updates, single process: full-batch GD on crc32-hashed counts."""
+    texts = tb.column("text").to_pylist()
+    y = np.array(tb.column("label").to_pylist(), np.float64)
+    n = len(texts)
+    rows = []
+    for i, t in enumerate(texts):
+        for tok in t.strip().split():
+            rows.append((i, zlib.crc32(tok.encode()) % n_buckets))
+    d = np.array([r[0] for r in rows], np.int64)
+    b = np.array([r[1] for r in rows], np.int64)
+    w = np.zeros(n_buckets, np.float64)
+    bias = 0.0
+    for _ in range(epochs):
+        z = np.full(n, bias, np.float64)
+        np.add.at(z, d, w[b])
+        p = 1.0 / (1.0 + np.exp(-z))
+        resid = p - y
+        grad = np.zeros(n_buckets, np.float64)
+        np.add.at(grad, b, resid[d])
+        w -= lr * (grad / n + l2 * w)
+        bias -= lr * (resid.sum() / n)
+    return w, bias
+
+
+def test_trainer_matches_local_reference():
+    from grafter_ray.stages.classify import logistic_train
+
+    rng = random.Random(17)
+    tb = _synth(rng, 150, 0.8)
+    w, bias = logistic_train(
+        rd.from_arrow(tb).repartition(4), "text", "label", n_buckets=512, epochs=5, lr=0.3, l2=1e-3
+    )
+    wr, br = _local_reference(tb, 512, 5, 0.3, 1e-3)
+    assert abs(bias - br) < 1e-9
+    assert np.abs(w - wr).max() < 1e-9
+
+
+def test_trainer_separates_and_scores():
+    from grafter_ray.stages.classify import logistic_score, logistic_train
+
+    rng = random.Random(23)
+    tb = _synth(rng, 400, 0.9)
+    ds = rd.from_arrow(tb).repartition(6)
+    w, bias = logistic_train(ds, "text", "label", n_buckets=1024, epochs=30, lr=1.0)
+    scored = logistic_score(ds, w, bias, "text", "doc_id").to_pandas()
+    merged = scored.merge(tb.select(["doc_id", "label"]).to_pandas(), on="doc_id")
+    acc = ((merged.score > 0.5) == merged.label).mean()
+    assert acc > 0.97, acc
+
+
+def test_score_with_weights_matches_duckdb():
+    from grafter_ray.stages.classify import score_with_weights
+
+    rng = random.Random(31)
+    tb = _synth(rng, 200, 0.5)
+    model = {f"g{i}": 0.1 * (i + 1) for i in range(10)}
+    model.update({f"b{i}": -0.07 * (i + 1) for i in range(10)})
+    out = (
+        score_with_weights(rd.from_arrow(tb).repartition(3), model, 0.25, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tb)
+    vals = ", ".join(f"('{k}', {v})" for k, v in model.items())
+    ref = con.execute(rf"""
+        WITH m(tok, w) AS (VALUES {vals}),
+        toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM t),
+        z AS (SELECT t.doc_id, 0.25 + coalesce(sum(m.w), 0) AS z
+              FROM t LEFT JOIN (SELECT doc_id, m.w FROM toks JOIN m USING (tok)) m USING (doc_id)
+              GROUP BY t.doc_id)
+        SELECT doc_id, CAST(round(1000000 / (1 + exp(-z))) AS BIGINT) AS s6
+        FROM z ORDER BY doc_id
+    """).fetchdf()
+    got = np.rint(out.score.to_numpy() * 1e6).astype(np.int64)
+    assert len(out) == len(ref)
+    assert (got == ref.s6.to_numpy()).all()

@@ -110,6 +110,11 @@ QUERY_SUBSET = [
     "pagerank_suppliers",
     "scd2_history",
     "train_shuffle",
+    # round-4 session-5 additions
+    "funnel_stages",
+    "retention_cohorts",
+    "dsir_topk",
+    "quality_clf_score",
 ]
 
 

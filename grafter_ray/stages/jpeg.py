@@ -1,18 +1,28 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + Python bit IO.
+"""Baseline + progressive JPEG (ITU-T T.81 / JFIF) codec in pure numpy
++ Python bit IO.
 
-Like PNG (zlib) and GIF (LZW), baseline sequential JPEG is fully
-publicly specified: the Annex K quantization + Huffman tables, zigzag
-order, 8×8 DCT and the marker layout are all in T.81. Implementing it
-here closes the last common IMAGE format gap in the multimodal stages —
-only the video/audio codec formats (mp3/mp4/h264) still raise honestly.
+Like PNG (zlib) and GIF (LZW), JPEG is fully publicly specified: the
+Annex K quantization + Huffman tables, zigzag order, 8×8 DCT, the
+marker layout, and the progressive successive-approximation /
+spectral-selection procedures are all in T.81 (§F baseline, §G
+progressive). Implementing both closes the IMAGE format gaps in the
+multimodal stages — only the video/audio codec formats (mp3/mp4/h264)
+still raise honestly.
 
 Scope:
-- decode: baseline sequential (SOF0), 8-bit, 1 or 3 components, any
-  1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), restart intervals.
-  Progressive (SOF2), arithmetic coding and 12-bit raise honestly.
-- encode: 4:4:4 YCbCr (or grayscale), Annex K tables scaled by
-  `quality`, standard Huffman tables. Lossy by nature — tests gate on
-  PSNR, not equality.
+- decode: baseline sequential (SOF0) AND progressive (SOF2), 8-bit,
+  1 or 3 components, any 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0),
+  restart intervals, multi-scan spectral selection + successive
+  approximation with EOB runs and AC refinement correction bits
+  (T.81 G.2 / the published libjpeg decode_mcu_* procedures).
+  Arithmetic coding and 12-bit raise honestly.
+- encode: baseline 4:4:4 (Annex K tables scaled by `quality`, standard
+  Huffman tables), and progressive 4:4:4 with a configurable scan
+  script (DC first/refine interleaved, per-component AC bands,
+  AC refinement with buffered correction bits) using fixed
+  full-coverage Huffman tables. Lossy by nature — tests gate on the
+  progressive decode being BIT-IDENTICAL to the baseline decode of the
+  same quantized coefficients, plus PSNR vs the source.
 
 The per-8×8-block transform is numpy (batched matmul DCT over ALL
 blocks at once); only the entropy layer is a Python loop, which is the
@@ -341,79 +351,230 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → (h, w, 3) uint8 RGB (grayscale replicates).
-    Progressive/arithmetic/12-bit raise MediaDecodeError honestly."""
-    if payload[:2] != b"\xff\xd8":
-        raise MediaDecodeError("not a JPEG payload")
-    pos = 2
-    qts: dict[int, np.ndarray] = {}
-    dc_dec: dict[int, dict] = {}
-    ac_dec: dict[int, dict] = {}
-    comps = []  # (id, h_samp, v_samp, qt_id)
-    h = w = None
-    restart = 0
-    scan = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise MediaDecodeError("JPEG marker desync")
-        marker = payload[pos + 1]
-        if marker == 0xD9:
-            break
-        (size,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4 : pos + 2 + size]
-        if marker == 0xDB:
-            b = body
-            while b:
-                pq_, tq = b[0] >> 4, b[0] & 0x0F
-                if pq_ != 0:
-                    raise MediaDecodeError("16-bit quant tables unsupported")
-                qts[tq] = np.frombuffer(b[1:65], np.uint8).astype(np.float64)
-                b = b[65:]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise MediaDecodeError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
-        elif marker == 0xC0:
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise MediaDecodeError("only 8-bit JPEG supported")
-            for i in range(nc):
-                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker == 0xC4:
-            b = body
-            while b:
-                tc, th = b[0] >> 4, b[0] & 0x0F
-                bits = list(b[1:17])
-                n = sum(bits)
-                vals = list(b[17 : 17 + n])
-                (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, vals)
-                b = b[17 + n :]
-        elif marker == 0xDD:
-            (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:
-            ns = body[0]
-            scan = []
-            for i in range(ns):
-                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cid, tabs >> 4, tabs & 0x0F))
-            pos += 2 + size
-            break
-        pos += 2 + size
-    if scan is None or h is None:
-        raise MediaDecodeError("JPEG missing SOF/SOS")
+# fixed full-coverage AC table for progressive scans: every symbol
+# 0x00..0xFF present (255 at 9 bits + 1 at 10 — Kraft-valid), so EOBn /
+# ZRL / (r,s) codes all exist without per-scan optimal-table generation
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    reader = _BitReader(payload[pos:])
-    # per-component coefficient block grids
-    grids = {}
-    for cid, hs, vs, tq in comps:
-        grids[cid] = np.zeros((mcuy * vs, mcux * hs, 8, 8), np.float64)
-    prev_dc = {cid: 0 for cid, *_ in comps}
-    comp_by_id = {c[0]: c for c in comps}
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: EOB-run accumulation and
+    (for refinement passes) buffered correction bits, per T.81 §G.1.2 /
+    the published libjpeg encode_mcu_AC_* procedures."""
+
+    def __init__(self, wbits: _BitWriter, ac_codes: dict):
+        self.w = wbits
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # buffered correction bits riding the EOB run
+
+    def emit_ac(self, sym: int):
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_ac(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+
+def _encode_ac_first(sw: _ProgScanWriter, band: list[int], al: int):
+    """One block of an AC first pass (Ah=0): point transform, run-length
+    + EOB-run coding."""
+    vals = [v >> al if v >= 0 else -((-v) >> al) for v in band]
+    if not any(vals):
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    r = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals[: last_nz + 1]):
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            sw.emit_ac(0xF0)
+            r -= 16
+        s, bits = _magnitude(v)
+        sw.emit_ac((r << 4) | s)
+        sw.w.write(bits, s)
+        r = 0
+    if last_nz < len(vals) - 1:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _encode_ac_refine(sw: _ProgScanWriter, band: list[int], al: int):
+    """One block of an AC refinement pass (Ah=Al+1): newly-significant
+    coefs run-length coded, already-nonzero coefs append correction
+    bits buffered across ZRL/EOB boundaries."""
+    absv = [(-v if v < 0 else v) >> al for v in band]
+    eob = 0
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            sw.flush_eobrun()
+            sw.emit_ac(0xF0)
+            r -= 16
+            for b in br:
+                sw.w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        sw.flush_eobrun()
+        sw.emit_ac((r << 4) | 1)
+        sw.w.write(1 if band[i] > 0 else 0, 1)
+        for b in br:
+            sw.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        sw.eobrun += 1
+        sw.be.extend(br)
+        if sw.eobrun == 0x7FFF or len(sw.be) > 900:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85, scans=None) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → progressive (SOF2)
+    JFIF bytes, 4:4:4. ``scans``: list of (comp_indices, Ss, Se, Ah,
+    Al); default script = interleaved DC first+refine, per-component
+    AC bands with one successive-approximation refinement each."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    planes = [a.astype(np.float64)] if gray else list(np.moveaxis(_rgb_to_ycbcr(a), -1, 0))
+    ql = _quality_scale(Q_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(Q_CHROMA, quality).reshape(8, 8)
+    qts = [ql] if gray else [ql, qc, qc]
     zz = ZIGZAG
+
+    comp_coeffs = []  # per comp: (nblocks, 64) int in ZIGZAG order
+    nby = nbx = 0
+    for plane, qt in zip(planes, qts):
+        blocks, nby, nbx = _blocks(plane)
+        f = _C @ (blocks - 128.0) @ _C.T
+        q = np.round(f / qt).astype(np.int64).reshape(-1, 64)
+        comp_coeffs.append(q[:, zz])
+
+    if scans is None:
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+                ([0], 0, 0, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0, 1, 2], 0, 0, 1, 0),
+            ]
+
+    ncomp = 1 if gray else 3
+    dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS), _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_flat = _huff_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate([ql] if gray else [ql, qc]):
+        body = bytes([tid]) + bytes(qt.reshape(-1)[zz].astype(np.uint8))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, _FLAT_AC_BITS, _FLAT_AC_VALS)]
+    if not gray:
+        huffs.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc, bits, vals in huffs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    for comp_ids, ss, se, ah, al in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        wbits = _BitWriter()
+        sw = _ProgScanWriter(wbits, ac_flat)
+        if ss == 0:  # DC scan (interleaved over comp_ids, 4:4:4 MCU = 1 block/comp)
+            if ah == 0:
+                prev = {ci: 0 for ci in comp_ids}
+                for bi in range(nby * nbx):
+                    for ci in comp_ids:
+                        dc = int(comp_coeffs[ci][bi][0]) >> al  # arithmetic shift
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        t, bits = _magnitude(diff)
+                        code, ln = dc_tabs[0 if ci == 0 else 1][t]
+                        wbits.write(code, ln)
+                        if t:
+                            wbits.write(bits, t)
+            else:
+                for bi in range(nby * nbx):
+                    for ci in comp_ids:
+                        wbits.write((int(comp_coeffs[ci][bi][0]) >> al) & 1, 1)
+        else:  # AC scan: single component
+            (ci,) = comp_ids
+            for bi in range(nby * nbx):
+                band = [int(v) for v in comp_coeffs[ci][bi][ss : se + 1]]
+                if ah == 0:
+                    _encode_ac_first(sw, band, al)
+                else:
+                    _encode_ac_refine(sw, band, al)
+            sw.flush_eobrun()
+        wbits.flush()
+        out += wbits.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index just past the entropy-coded segment starting at pos: the
+    first 0xFF followed by a non-stuffing, non-RST byte."""
+    arr = np.frombuffer(payload, np.uint8)
+    ffs = np.nonzero(arr[pos:-1] == 0xFF)[0]
+    for off in ffs:
+        nxt = arr[pos + off + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return pos + int(off)
+    return len(payload)
+
+
+def _decode_baseline_scan(reader, scan, comp_by_id, comps, mcux, mcuy, restart, dc_dec, ac_dec, coef):
+    """Full-band sequential scan (SOF0) into zigzag-order coef grids."""
+    prev_dc = {cid: 0 for cid, *_ in comps}
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -422,11 +583,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prev_dc = {cid: 0 for cid, *_ in comps}
             n_mcu += 1
             for cid, tdc, tac in scan:
-                _, hs, vs, tq = comp_by_id[cid]
+                _, hs, vs, _tq = comp_by_id[cid]
                 dct, act = dc_dec[tdc], ac_dec[tac]
                 for by in range(vs):
                     for bx in range(hs):
-                        blk = np.zeros(64, np.float64)
+                        blk = coef[cid][my * vs + by, mx * hs + bx]
                         t = _read_symbol(reader, dct)
                         diff = _extend(reader.receive(t), t) if t else 0
                         prev_dc[cid] += diff
@@ -445,14 +606,242 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 raise MediaDecodeError("JPEG AC overflow")
                             blk[i] = _extend(reader.receive(s), s)
                             i += 1
-                        blk = blk * qts[tq]
-                        m = np.zeros(64, np.float64)
-                        m[zz] = blk
-                        grids[cid][my * vs + by, mx * hs + bx] = m.reshape(8, 8)
-    # IDCT all blocks per component at once, assemble, upsample
+
+
+def _comp_block_dims(comp, w, h, hmax, vmax) -> tuple[int, int]:
+    """TRUE block dims of a component (non-interleaved scan coverage)."""
+    _cid, hs, vs, _tq = comp
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_scan(
+    reader, scan, spec, comp_by_id, comps, w, h, hmax, vmax, mcux, mcuy, restart, dc_dec, ac_dec, coef
+):
+    """One SOF2 scan (T.81 §G.2): spectral band [Ss, Se], successive
+    approximation Ah→Al, into zigzag-order int coef grids."""
+    ss, se, ah, al = spec
+    if ss == 0:
+        if se != 0:
+            raise MediaDecodeError("progressive DC scan must have Se=0")
+        prev_dc = {cid: 0 for cid, *_ in comps}
+        n_mcu = 0
+        if len(scan) > 1:  # interleaved DC scan: MCU traversal incl. padding blocks
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        reader.align_to_marker()
+                        prev_dc = {cid: 0 for cid, *_ in comps}
+                    n_mcu += 1
+                    for cid, tdc, _tac in scan:
+                        _, hs, vs, _tq = comp_by_id[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[cid][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    t = _read_symbol(reader, dc_dec[tdc])
+                                    diff = _extend(reader.receive(t), t) if t else 0
+                                    prev_dc[cid] += diff
+                                    blk[0] = prev_dc[cid] << al
+                                else:
+                                    blk[0] |= reader.read_bit() << al
+        else:
+            cid, tdc, _tac = scan[0]
+            cbh, cbw = _comp_block_dims(comp_by_id[cid], w, h, hmax, vmax)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        reader.align_to_marker()
+                        prev_dc[cid] = 0
+                    n_mcu += 1
+                    blk = coef[cid][by, bx]
+                    if ah == 0:
+                        t = _read_symbol(reader, dc_dec[tdc])
+                        diff = _extend(reader.receive(t), t) if t else 0
+                        prev_dc[cid] += diff
+                        blk[0] = prev_dc[cid] << al
+                    else:
+                        blk[0] |= reader.read_bit() << al
+        return
+
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise MediaDecodeError("progressive AC scan must be non-interleaved")
+    cid, _tdc, tac = scan[0]
+    act = ac_dec[tac]
+    cbh, cbw = _comp_block_dims(comp_by_id[cid], w, h, hmax, vmax)
+    eobrun = 0
+    n_blk = 0
+    p1, m1 = 1 << al, -1 << al
+    for by in range(cbh):
+        for bx in range(cbw):
+            if restart and n_blk and n_blk % restart == 0:
+                reader.align_to_marker()
+                eobrun = 0
+            n_blk += 1
+            blk = coef[cid][by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(reader, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise MediaDecodeError("JPEG AC band overflow")
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # refinement pass (libjpeg decode_mcu_AC_refine shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(reader, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise MediaDecodeError("bad AC refine magnitude")
+                            newval = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if reader.read_bit() and (v & p1) == 0:
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        blk[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0 and reader.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline (SOF0) or progressive (SOF2) JFIF → (h, w, 3) uint8 RGB
+    (grayscale replicates). Arithmetic/lossless/12-bit raise
+    MediaDecodeError honestly."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    comps = []  # (id, h_samp, v_samp, qt_id)
+    h = w = None
+    restart = 0
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
+    comp_by_id: dict[int, tuple] = {}
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            b = body
+            while b:
+                pq_, tq = b[0] >> 4, b[0] & 0x0F
+                if pq_ != 0:
+                    raise MediaDecodeError("16-bit quant tables unsupported")
+                qts[tq] = np.frombuffer(b[1:65], np.uint8).astype(np.float64)
+                b = b[65:]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(f"unsupported JPEG coding (SOF{marker - 0xC0})")
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise MediaDecodeError("only 8-bit JPEG supported")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            comp_by_id = {c[0]: c for c in comps}
+            for cid, hs, vs, _tq in comps:
+                coef[cid] = np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17 : 17 + n])
+                (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, vals)
+                b = b[17 + n :]
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if h is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            spec = (ss, se, a >> 4, a & 0x0F)
+            data_start = pos + 2 + size
+            data_end = _entropy_end(payload, data_start)
+            reader = _BitReader(payload[data_start:data_end])
+            if progressive:
+                _decode_progressive_scan(
+                    reader, scan, spec, comp_by_id, comps, w, h, hmax, vmax,
+                    mcux, mcuy, restart, dc_dec, ac_dec, coef,
+                )
+            else:
+                _decode_baseline_scan(
+                    reader, scan, comp_by_id, comps, mcux, mcuy, restart, dc_dec, ac_dec, coef
+                )
+            saw_scan = True
+            pos = data_end
+            continue
+        pos += 2 + size
+    if not saw_scan or h is None:
+        raise MediaDecodeError("JPEG missing SOF/SOS")
+
+    # dequantize + IDCT all blocks per component at once, assemble, upsample
+    zz = ZIGZAG
     planes = []
-    for cid, hs, vs, _tq in comps:
-        g = grids[cid]
+    for cid, hs, vs, tq in comps:
+        c = coef[cid].astype(np.float64) * qts[tq]  # zigzag order × zigzag qt
+        nat = np.zeros_like(c)
+        nat[:, :, zz] = c
+        g = nat.reshape(c.shape[0], c.shape[1], 8, 8)
         sp = _C.T @ g @ _C + 128.0
         gh, gw = g.shape[0] * 8, g.shape[1] * 8
         plane = sp.transpose(0, 2, 1, 3).reshape(gh, gw)

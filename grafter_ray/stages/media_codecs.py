@@ -8,9 +8,10 @@ BITMAPINFOHEADER; PPM: netpbm; AVI: Microsoft 'AVI RIFF File Reference').
 Implementing them in numpy upgrades the multimodal stages from
 deterministic fakes to REAL decode paths on self-generated corpora;
 PNG (stdlib zlib DEFLATE, stages/media_codecs.py), GIF (pure-Python
-LZW) and baseline JPEG (stages/jpeg.py: numpy DCT + T.81 Annex K
-tables) decode for real too; the audio/video codec formats (mp3/mp4)
-and the exotic variants (Adam7, progressive JPEG) raise honestly.
+LZW) and baseline + progressive JPEG (stages/jpeg.py: numpy DCT +
+T.81 Annex K tables, §G multi-scan successive approximation) decode
+for real too; the audio/video codec formats (mp3/mp4) and Adam7
+interlaced PNG raise honestly.
 
 All decoders take `bytes` and return numpy arrays; all encoders are the
 exact inverses used by the test fixtures and `synth_media_table`.

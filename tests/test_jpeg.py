@@ -48,12 +48,69 @@ def test_quality_knob_monotone_size():
 def test_honest_raises():
     with pytest.raises(MediaDecodeError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG....")
-    # progressive: flip SOF0 marker to SOF2 in a real payload
+    # arithmetic coding (SOF9) still raises honestly
     p = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     i = bytes(p).find(b"\xff\xc0")
-    p[i + 1] = 0xC2
-    with pytest.raises(MediaDecodeError, match="SOF2"):
+    p[i + 1] = 0xC9
+    with pytest.raises(MediaDecodeError, match="SOF9"):
         decode_jpeg(bytes(p))
+    # a baseline full-band scan under a progressive SOF is malformed
+    p[i + 1] = 0xC2
+    with pytest.raises(MediaDecodeError, match="progressive"):
+        decode_jpeg(bytes(p))
+
+
+def _prog_images(rng):
+    y, x = np.mgrid[0:33, 0:47]
+    return {
+        "structured": np.stack(
+            [
+                (np.sin(x / 3.0) * 100 + 128),
+                (y * 6 % 256),
+                rng.integers(0, 256, (33, 47)),
+            ],
+            axis=-1,
+        ).astype(np.uint8),
+        "flat": np.full((40, 56, 3), 130, np.uint8),  # maximal EOB runs
+        "checker": (np.indices((24, 40)).sum(0) % 2 * 255).astype(np.uint8),  # gray, big coefs
+        "noise": rng.integers(0, 256, (48, 32, 3)).astype(np.uint8),
+    }
+
+
+def test_progressive_decode_matches_baseline_decode():
+    """Same quality ⇒ identical quantized coefficients ⇒ the progressive
+    decode must be BIT-IDENTICAL to the baseline decode — exercises DC
+    first/refine, AC band first passes, AC refinement correction bits,
+    EOB runs across blocks."""
+    from grafter_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for name, img in _prog_images(rng).items():
+        for q in (50, 92):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), (name, q)
+
+
+def test_progressive_custom_scan_script():
+    """Deep successive approximation (Al=3→0) + fine spectral slicing —
+    the ZRL-in-refinement and buffered-correction-bit paths."""
+    from grafter_ray.stages.jpeg import encode_jpeg_progressive
+
+    deep = [
+        ([0, 1, 2], 0, 0, 0, 3), ([0, 1, 2], 0, 0, 3, 2),
+        ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 2, 0, 3), ([0], 3, 8, 0, 3), ([0], 9, 63, 0, 3),
+        ([1], 1, 63, 0, 3), ([2], 1, 63, 0, 3),
+        ([0], 1, 63, 3, 2), ([1], 1, 63, 3, 2), ([2], 1, 63, 3, 2),
+        ([0], 1, 63, 2, 1), ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (41, 29, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=70))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=70, scans=deep))
+    assert np.array_equal(base, prog)
 
 
 def test_sniff_and_stage():

@@ -58,7 +58,7 @@ from ..stages.sha import sha256_array
 from ..schemas import LAKE
 from ..state.commitlog import CommitLog
 from ..state.schema_registry import apply_view
-from ..util import key_hash_pair, partition_ids
+from ..util import coalesced_read_parquet, key_hash_pair, partition_ids
 
 DEFAULT_BATCH_SIZE = 20_000  # grafter add-batched default, protocols.cljc:514-515
 
@@ -938,7 +938,7 @@ class CDCLake:
             expr = None
             if lo is not None:
                 expr = (pads.field("lsn") >= lo) & (pads.field("lsn") <= hi)
-            return rd.read_parquet(binlog, filter=expr, columns=columns)
+            return coalesced_read_parquet(binlog, filter=expr, columns=columns)
         ds = binlog
         if lo is not None or columns is not None:
             l, h, cols = lo, hi, columns
@@ -1349,7 +1349,7 @@ class CDCLake:
                 merge_entry, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
             )
         else:
-            ds = rd.read_parquet(self.files(version), columns=columns)
+            ds = coalesced_read_parquet(self.files(version), columns=columns)
         m = self.manifest_at(version)
         sv = m["schema_version"] if m else 0
         if view and sv > 0:

@@ -39,6 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..util import coalesced_read_parquet
+
 _SUM_TYPES = {"int64": pa.int64(), "float64": pa.float64()}
 _MINMAX_TYPES = {**_SUM_TYPES, "string": pa.string()}
 
@@ -311,7 +313,7 @@ class IncrementalView:
             )
             prev_files = self._dir_files(state["dir"])
             if prev_files:
-                prev = rd.read_parquet(prev_files).map_batches(
+                prev = coalesced_read_parquet(prev_files).map_batches(
                     lambda tb: signed_me._stored_as_contrib(tb),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
@@ -535,7 +537,7 @@ class DistinctCountView:
             )
             prev_files = self._dir_files(state["dir"])
             if prev_files:
-                contrib = contrib.union(rd.read_parquet(prev_files))
+                contrib = contrib.union(coalesced_read_parquet(prev_files))
 
         agg = grouped_agg(contrib, self.group_keys + ["__v"], [("__rc", "__rc", "sum")])
 

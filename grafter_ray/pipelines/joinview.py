@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..state.schema_registry import apply_view
+from ..util import coalesced_read_parquet
 from .replay import LAKE, _item_batch_size, _merge_chain
 
 _KEYS = ["repo", "path"]
@@ -275,7 +276,7 @@ class JoinView:
         paths = [os.path.join(self.root, f) for f in state["files"].values()]
         if not paths:
             return rd.from_arrow(self._schema().empty_table())
-        return rd.read_parquet(paths)
+        return coalesced_read_parquet(paths)
 
     def read_table(self) -> pa.Table:
         """Driver-side view read, key-sorted — small/test scales only."""

@@ -853,7 +853,7 @@ class CDCLake:
             )
         import ray.data as rd
 
-        ds = rd.read_parquet(snapshot) if isinstance(snapshot, str) else snapshot
+        ds = coalesced_read_parquet(snapshot) if isinstance(snapshot, str) else snapshot
         lsn_v = snapshot_lsn
 
         def to_events(tb: pa.Table) -> pa.Table:
@@ -1828,7 +1828,7 @@ def compact_binlog(binlog, lo: int | None = None, hi: int | None = None):
             expr = (pads.field("lsn") >= (lo or 0)) & (
                 pads.field("lsn") <= (hi if hi is not None else (1 << 62))
             )
-        ds = rd.read_parquet(binlog, filter=expr)
+        ds = coalesced_read_parquet(binlog, filter=expr)
     else:
         ds = binlog
         if lo is not None or hi is not None:

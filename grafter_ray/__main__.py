@@ -78,6 +78,7 @@ def cmd_replay(args) -> int:
         window_size=args.window_size,
         batch_size=args.batch_size,
         payload_mode=args.payload_mode,
+        on_bad=args.on_bad,
     )
     wall = time.perf_counter() - t0
     after = int(m["watermark_lsn"]) if m else before
@@ -103,6 +104,7 @@ def cmd_tail(args) -> int:
         poll_interval_s=args.poll_interval,
         max_polls=args.max_polls,
         window_size=args.window_size,
+        on_bad=args.on_bad,
     ):
         _emit({"cmd": "tail", **_manifest_summary(m)})
         sys.stdout.flush()
@@ -183,6 +185,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--upto-lsn", type=int, default=None, help="stop after this LSN (default: binlog max from footer stats)")
     sp.add_argument("--batch-size", type=int, default=None)
     sp.add_argument("--payload-mode", choices=["two_pass", "single_pass"], default="two_pass")
+    sp.add_argument(
+        "--on-bad",
+        choices=["raise", "quarantine"],
+        default="raise",
+        help="malformed events: fail the window (raise) or divert to the dead-letter parquet",
+    )
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
@@ -191,6 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--window-size", type=int, default=None)
     sp.add_argument("--poll-interval", type=float, default=2.0)
     sp.add_argument("--max-polls", type=int, default=None, help="bound the loop (default: run forever)")
+    sp.add_argument("--on-bad", choices=["raise", "quarantine"], default="raise")
     sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")

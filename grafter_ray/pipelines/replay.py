@@ -53,9 +53,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.lww import HKEY, compact_meta_batch, lww_reduce, partial_lww
+from ..stages.lww import HKEY, compact_meta_batch, lww_reduce, partial_lww, split_malformed
 from ..stages.sha import sha256_array
-from ..schemas import LAKE
+from ..schemas import BINLOG, LAKE
 from ..state.commitlog import CommitLog
 from ..state.schema_registry import apply_view
 from ..util import coalesced_read_parquet, key_hash_pair, partition_ids
@@ -286,6 +286,25 @@ def _kh_binary(h1: pa.ChunkedArray | pa.Array, h2: pa.ChunkedArray | pa.Array) -
     return pa.Array.from_buffers(pa.binary(16), n, [None, pa.py_buffer(buf.tobytes())])
 
 
+# dead-letter volume is exceptional by definition — a hard cap turns
+# systemic corruption (every row malformed) into an in-band failure
+# instead of an unbounded quarantine buffer
+DLQ_CAP = 1_000_000
+
+
+def _to_dlq_schema(tb: pa.Table) -> pa.Table:
+    """Canonical dead-letter row layout: the full BINLOG columns (those a
+    pass didn't read are null — the meta pass quarantines without its
+    payload) plus the `reason` string. kh columns are dropped."""
+    n = tb.num_rows
+    cols = {
+        f.name: (tb.column(f.name) if f.name in tb.column_names else pa.nulls(n, f.type))
+        for f in BINLOG
+    }
+    cols["reason"] = tb.column("reason")
+    return pa.table(cols)
+
+
 @ray.remote
 class MergeActor:
     """Stateful merge actor — the LSM-style per-partition apply state
@@ -337,6 +356,8 @@ class MergeActor:
         self.row_count = 0
         self.row_bytes = 0
         self.schema_lsns: list[pa.Table] = []
+        self.dlq: list[pa.Table] = []
+        self.dlq_rows = 0
 
     # -- pass 1: metadata ---------------------------------------------------
     # meta is the COMPACT form (stages.lww.compact_meta_batch): int8 op
@@ -454,6 +475,24 @@ class MergeActor:
         except OSError:
             pass
         return -1.0
+
+    # -- dead-letter buffer (on_bad="quarantine") ----------------------------
+    def add_dlq(self, tb: pa.Table) -> int:
+        self.dlq.append(tb)
+        self.dlq_rows += tb.num_rows
+        if self.dlq_rows > DLQ_CAP:
+            raise RuntimeError(
+                f"dead-letter buffer exceeded {DLQ_CAP} rows in one window — "
+                "the binlog is systemically malformed, not occasionally dirty"
+            )
+        return tb.num_rows
+
+    def collect_dlq(self) -> pa.Table | None:
+        if not self.dlq:
+            return None
+        t = pa.concat_tables(self.dlq, promote_options="none")
+        self.dlq, self.dlq_rows = [], 0
+        return t
 
     # -- single-pass mode (bulk loads: most events survive) -----------------
     def add_schema_lsns(self, tb: pa.Table) -> int:
@@ -774,6 +813,7 @@ class CDCLake:
         batch_size: int | None = None,
         concurrency: int | None = None,
         payload_mode: str = "two_pass",
+        on_bad: str = "raise",
     ) -> dict:
         """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
         lake. With `window_size`, commits one manifest per LSN window
@@ -786,14 +826,29 @@ class CDCLake:
         exchange; best when most events lose LWW, i.e. update-heavy
         replays) or "single_pass" (ship payloads with the first scan —
         best for bulk/initial loads where most events survive and a
-        second read would be wasted). Returns the final manifest."""
+        second read would be wasted). Returns the final manifest.
+
+        on_bad: "raise" (default — a malformed event fails the window
+        in-band, the reference's to-statements* behavior) or
+        "quarantine" — malformed events (unknown/null op, null key,
+        null lsn) are diverted to a per-window dead-letter parquet
+        (`data/dlq-v*.parquet`, referenced by the manifest and committed
+        atomically with the window) and replay continues. Rows-out +
+        quarantined is exactly rows-in, so exactly-once still holds."""
         if payload_mode not in ("two_pass", "single_pass"):
             raise ValueError(f"unknown payload_mode {payload_mode!r}")
+        if on_bad not in ("raise", "quarantine"):
+            raise ValueError(f"unknown on_bad {on_bad!r}")
         if upto_lsn is None:
             hi = self._max_lsn(binlog)
             if hi is None:  # empty binlog → nothing to apply
                 return self.manifest
             upto_lsn = int(hi)
+        # null-lsn events can never enter a replay window (the window
+        # predicate lsn∈[lo,hi] is null-rejecting) — detect them from
+        # parquet footer null counts (no scan) and either fail fast or
+        # quarantine them with the first window
+        null_lsn_rows = self._null_lsn_rows(binlog, on_bad)
         manifest = self.manifest
         # single-writer guard: vacuum deletes staging files of an
         # uncommitted in-flight window, so apply and vacuum hold the same
@@ -802,8 +857,61 @@ class CDCLake:
             while self.watermark < upto_lsn:
                 lo = self.watermark + 1
                 hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
-                manifest = self._apply_window(binlog, lo, hi, batch_size, concurrency, payload_mode)
+                manifest = self._apply_window(
+                    binlog, lo, hi, batch_size, concurrency, payload_mode,
+                    on_bad=on_bad, extra_dlq=null_lsn_rows,
+                )
+                null_lsn_rows = None  # quarantined with the first window only
         return manifest
+
+    def _null_lsn_rows(self, binlog, on_bad: str) -> pa.Table | None:
+        """Footer-stats probe for null-lsn events (driver-side metadata
+        only — zero Ray tasks when the binlog is clean, the common case).
+        Dataset inputs skip the probe: their null-lsn rows are dropped by
+        the in_window filter exactly as a parquet path's are, but there
+        is no footer shortcut to find them without a full extra scan."""
+        if not isinstance(binlog, str):
+            return None
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(binlog, format="parquet", exclude_invalid_files=True)
+        n_null = 0
+        for frag in dset.get_fragments():
+            md = frag.metadata
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None:  # stats absent → must scan to know
+                    n_null = -1
+                    break
+            if n_null == -1:
+                break
+            for rg in range(md.num_row_groups):
+                n_null += md.row_group(rg).column(idx).statistics.null_count or 0
+        if n_null == 0:
+            return None
+        if on_bad == "raise":
+            raise ValueError(
+                f"binlog contains {'an unknown number of' if n_null < 0 else n_null} "
+                "null-lsn event(s) — they can never be replayed (apply order is LSN "
+                "order); pass on_bad='quarantine' to divert them to the dead-letter "
+                "file and continue"
+            )
+        # quarantine: fetch them (stats-pruned scan — only row groups whose
+        # null count is nonzero are read); volume is bounded by the same
+        # systemic-corruption cap as the actor-side buffer
+        tb = (
+            pads.dataset(binlog, format="parquet")
+            .to_table(filter=pads.field("lsn").is_null())
+        )
+        if tb.num_rows > DLQ_CAP:
+            raise RuntimeError(
+                f"{tb.num_rows} null-lsn rows exceed the dead-letter cap "
+                f"{DLQ_CAP} — the binlog is systemically malformed"
+            )
+        if tb.num_rows == 0:
+            return None
+        return tb.append_column("reason", pa.array(["null_lsn"] * tb.num_rows))
 
     def bootstrap(
         self,
@@ -953,7 +1061,17 @@ class CDCLake:
             ds = ds.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
-    def _apply_window(self, binlog, lo: int, hi: int, batch_size: int, concurrency, payload_mode: str = "two_pass") -> dict:
+    def _apply_window(
+        self,
+        binlog,
+        lo: int,
+        hi: int,
+        batch_size: int,
+        concurrency,
+        payload_mode: str = "two_pass",
+        on_bad: str = "raise",
+        extra_dlq: pa.Table | None = None,
+    ) -> dict:
         import sys
         import time as _t
 
@@ -985,9 +1103,12 @@ class CDCLake:
         # and busy only during acks/finalize — reserving whole CPUs would
         # starve the read/combine/route tasks (worst on small nodes).
         # sweep spill orphans from any previously failed window — we hold
-        # the writer lock, so no other window can own a live spill file
+        # the writer lock, so no other window can own a live spill file.
+        # this window's dlq staging file is swept the same way (its name
+        # carries the uncommitted version, so committed dlq files survive)
+        dlq_fname = f"dlq-v{version:06d}.parquet"
         for f in os.listdir(self.log.data_dir):
-            if f.startswith("spill-") and f.endswith(".parquet"):
+            if (f.startswith("spill-") or f == dlq_fname) and f.endswith(".parquet"):
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(self.log.data_dir, f))
         # GRAFT_SPREAD_ACTORS=1: pin merge actors to a best-effort SPREAD
@@ -1034,10 +1155,29 @@ class CDCLake:
             route_cap = int(cap) if cap else default_route_cap(ncpu, n_nodes, W)
             route_kwargs = {"concurrency": route_cap}
 
+            # validity gate (see stages.lww.split_malformed): raise mode
+            # fails the window in-band with a row sample; quarantine mode
+            # ships bad rows to one actor's dead-letter buffer (acked, so
+            # the buffer cap backpressures the scan like add_meta does)
+            def _gate(tb: pa.Table) -> pa.Table:
+                good, bad = split_malformed(tb)
+                if bad is None:
+                    return tb
+                if on_bad == "raise":
+                    raise ValueError(
+                        f"{bad.num_rows} malformed event(s) in window [{lo},{hi}] — "
+                        f"sample: {bad.slice(0, 3).to_pylist()}; pass "
+                        "on_bad='quarantine' to divert them and continue"
+                    )
+                a = int(bad.column("lsn")[0].as_py()) % W
+                ray.get(handles[a].add_dlq.remote(_to_dlq_schema(bad)))
+                return good
+
             if payload_mode == "single_pass":
                 # bulk-load path: one full-width scan, payloads routed with
                 # their metadata (best when most events survive LWW)
                 def combine_route_full(tb: pa.Table) -> pa.Table:
+                    tb = _gate(tb)
                     is_schema = pc.equal(tb.column("op"), "schema_change")
                     schema = tb.filter(is_schema)
                     data = partial_lww(tb.filter(pc.invert(is_schema)), P)
@@ -1068,6 +1208,7 @@ class CDCLake:
                 # and are counted distinctly by the actors — no extra scan;
                 # string keys become a 128-bit hash pair before exchange)
                 def combine_route_meta(tb: pa.Table) -> pa.Table:
+                    tb = _gate(tb)
                     compact = compact_meta_batch(tb, P)
                     if compact.num_rows:
                         _route_to_actors(compact, handles, W, "add_meta")
@@ -1109,6 +1250,11 @@ class CDCLake:
 
                 stats_tables = ray.get([h.finalize.remote() for h in handles])
                 _mark("finalize")
+            dlq_parts = (
+                [t for t in ray.get([h.collect_dlq.remote() for h in handles]) if t is not None]
+                if on_bad == "quarantine"
+                else []
+            )
         finally:
             actor_rss = []
             if timing:
@@ -1144,19 +1290,40 @@ class CDCLake:
             else:
                 parts.pop(pid, None)
 
+        # dead-letter sidecar: written BEFORE the manifest commit and
+        # referenced by it, so the quarantine is atomic with the window
+        # (a crash in between leaves an orphan staging file that the next
+        # window's sweep removes)
+        n_quarantined = 0
+        dlq_entry = None
+        if extra_dlq is not None:
+            dlq_parts.append(_to_dlq_schema(extra_dlq))
+        if dlq_parts:
+            dlq_tb = pa.concat_tables(
+                [_to_dlq_schema(t) for t in dlq_parts], promote_options="none"
+            )
+            pq.write_table(dlq_tb, os.path.join(self.log.data_dir, dlq_fname))
+            n_quarantined = dlq_tb.num_rows
+            dlq_entry = {"file": dlq_fname, "rows": n_quarantined}
+
+        counters = {
+            "events": prev_counters["events"] + n_events + n_schema,
+            "deletes": prev_counters["deletes"] + n_deletes,
+            "schema_changes": prev_counters["schema_changes"] + n_schema,
+        }
+        if n_quarantined or "quarantined" in prev_counters:
+            counters["quarantined"] = prev_counters.get("quarantined", 0) + n_quarantined
         manifest = {
             "version": version,
             "watermark_lsn": hi,
             "schema_version": new_schema_version,
             "num_partitions": P,
             "partitions": parts,
-            "counters": {
-                "events": prev_counters["events"] + n_events + n_schema,
-                "deletes": prev_counters["deletes"] + n_deletes,
-                "schema_changes": prev_counters["schema_changes"] + n_schema,
-            },
+            "counters": counters,
             "parent": version - 1 if version else None,
         }
+        if dlq_entry:
+            manifest["dlq"] = dlq_entry
         self.log.commit(manifest)
         if timing:
             _mark("commit")
@@ -1177,6 +1344,7 @@ class CDCLake:
         max_polls: int | None = None,
         window_size: int | None = None,
         concurrency: int | None = None,
+        on_bad: str = "raise",
     ):
         """Continuous ingest — tail a growing binlog directory (the north
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
@@ -1193,7 +1361,10 @@ class CDCLake:
             except Exception:
                 hi = None  # no files yet
             if hi is not None and hi > self.watermark:
-                yield self.apply(binlog_path, upto_lsn=hi, window_size=window_size, concurrency=concurrency)
+                yield self.apply(
+                    binlog_path, upto_lsn=hi, window_size=window_size,
+                    concurrency=concurrency, on_bad=on_bad,
+                )
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)
 
@@ -1260,6 +1431,8 @@ class CDCLake:
                     if e["file"]:
                         live.add(e["file"])
                     live |= set(e.get("deltas", []))
+                if m.get("dlq"):
+                    live.add(m["dlq"]["file"])
             removed = 0
             for f in os.listdir(self.log.data_dir):
                 if f.endswith(".parquet") and f not in live:
@@ -1270,6 +1443,25 @@ class CDCLake:
                 if v not in keep:
                     os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
             return removed
+
+    def dead_letters(self, version: int | None = None) -> pa.Table:
+        """All quarantined events committed up to `version` (default:
+        latest) — one row per malformed binlog event with a `reason`
+        column. Driver-side read: dead-letter volume is capped per window
+        (DLQ_CAP), so this never scales with the corpus."""
+        upto = self.manifest_at(version)
+        limit = int(upto["version"]) if upto else -1
+        tables = []
+        for v in self.log.versions():
+            if v > limit:
+                break
+            m = self.log.read(v)
+            if m.get("dlq"):
+                tables.append(pq.read_table(os.path.join(self.log.data_dir, m["dlq"]["file"])))
+        if not tables:
+            sch = BINLOG.append(pa.field("reason", pa.string()))
+            return sch.empty_table()
+        return pa.concat_tables(tables, promote_options="none")
 
     # -- read --------------------------------------------------------------
     def manifest_at(self, version: int | None = None) -> dict | None:

@@ -138,3 +138,54 @@ def compact_meta_batch(tb: pa.Table, num_partitions: int) -> pa.Table:
             }
         )
     return pa.concat_tables(pieces, promote_options="none")
+
+
+_KNOWN_OPS = pa.array(["upsert", "delete", "schema_change"])
+
+
+def split_malformed(tb: pa.Table) -> tuple[pa.Table, pa.Table | None]:
+    """Validity gate for binlog event batches (the CDC dead-letter rule).
+
+    Malformed = op null/unknown, or a data event (op != schema_change)
+    whose key is null — (repo, path) when the batch carries strings,
+    (kh1, kh2) when it carries writer-side hashes. Returns
+    ``(good, bad_or_None)``; `bad` keeps the batch's columns plus a
+    `reason` string column. The all-valid fast path is two vectorized
+    checks and no copy.
+
+    Without this gate an unknown op silently applies as an upsert and a
+    null key silently hashes to a real partition — the quarantine mode
+    (CDCLake.apply on_bad="quarantine") turns both into dead-letter rows
+    instead; on_bad="raise" (default) fails the window in-band, matching
+    the reference's malformed-line behavior (grafter.io to-statements*,
+    see sources/nquads.py).
+    """
+    op = tb.column("op")
+    ok = pc.is_in(op, value_set=_KNOWN_OPS)
+    if ok.null_count:
+        ok = ok.fill_null(False)
+    reason_unknown = pc.invert(ok)
+
+    is_data = pc.and_kleene(ok, pc.not_equal(op, "schema_change"))
+    if is_data.null_count:
+        is_data = is_data.fill_null(False)
+    key_cols = ("repo", "path") if "repo" in tb.column_names else (
+        ("kh1", "kh2") if "kh1" in tb.column_names else ()
+    )
+    null_key = None
+    for c in key_cols:
+        n = pc.is_null(tb.column(c))
+        null_key = n if null_key is None else pc.or_(null_key, n)
+    reason_nullkey = (
+        pc.and_(is_data, null_key) if null_key is not None else pa.array([False] * tb.num_rows)
+    )
+
+    bad = pc.or_(reason_unknown, reason_nullkey)
+    if not pc.any(bad).as_py():
+        return tb, None
+    good = tb.filter(pc.invert(bad))
+    bad_rows = tb.filter(bad)
+    reason = pc.if_else(
+        reason_unknown.filter(bad), pa.scalar("unknown_op"), pa.scalar("null_key")
+    )
+    return good, bad_rows.append_column("reason", reason)

@@ -1,0 +1,134 @@
+"""Dead-letter quarantine (CDCLake.apply on_bad=) — malformed binlog
+events either fail the window in-band (raise, the reference's
+to-statements* behavior, grafter.io) or divert to a per-window
+dead-letter parquet committed atomically with the manifest.
+
+Invariant under quarantine: lake state == oracle over ONLY the valid
+events, and dead_letters() holds exactly the malformed ones with the
+right reasons — rows out + quarantined == rows in.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.stages.lww import split_malformed
+
+
+def _dirty_binlog(tmp_path, with_null_lsn: bool = True):
+    """A small valid binlog with malformed rows spliced in: unknown op,
+    null op, null repo, null path, and (optionally) null lsn. Malformed
+    rows reuse in-range lsns? No — they get their OWN lsns so the valid
+    stream is untouched; the oracle sees only the valid rows."""
+    cfg = BinlogConfig(n_events=2_000, n_keys=150, n_repos=10, schema_every=700)
+    good = binlog_table(cfg)
+    bad = pa.table(
+        {
+            "lsn": pa.array([2000, 2001, 2002, 2003, 2004 if not with_null_lsn else None], pa.int64()),
+            "op": ["update", None, "upsert", "delete", "upsert"],
+            "repo": ["r", "r", None, "r", "r"],
+            "path": ["p", "p", "p", None, "p"],
+            "commit": ["c"] * 5,
+            "lang": ["py"] * 5,
+            "content": ["x"] * 5,
+            "schema_version": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    full = pa.concat_tables([good.cast(bad.schema), bad])
+    path = os.path.join(str(tmp_path), "binlog")
+    os.makedirs(path)
+    # two files so the scan sees multi-file input (and footer stats carry
+    # the null-lsn count for the driver probe)
+    pq.write_table(full.slice(0, 1000), os.path.join(path, "part-0.parquet"))
+    pq.write_table(full.slice(1000), os.path.join(path, "part-1.parquet"))
+    return path, good, bad
+
+
+def test_raise_mode_fails_in_band(tmp_path):
+    path, _, _ = _dirty_binlog(tmp_path, with_null_lsn=False)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    # Ray Data wraps the in-band ValueError in RayTaskError/UserCodeException
+    with pytest.raises(Exception, match="malformed"):
+        lake.apply(path, upto_lsn=2004)
+
+
+def test_raise_mode_detects_null_lsn_from_footers(tmp_path):
+    path, _, _ = _dirty_binlog(tmp_path, with_null_lsn=True)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    with pytest.raises(ValueError, match="null-lsn"):
+        lake.apply(path, upto_lsn=2003)
+
+
+@pytest.mark.parametrize("payload_mode", ["two_pass", "single_pass"])
+def test_quarantine_converges_on_valid_rows(tmp_path, payload_mode):
+    path, good, bad = _dirty_binlog(tmp_path)
+    lake = CDCLake(os.path.join(str(tmp_path), f"lake_{payload_mode}"), num_partitions=8)
+    m = lake.apply(path, upto_lsn=2003, payload_mode=payload_mode, on_bad="quarantine")
+
+    got = lake.read_table(view=True)
+    want = oracle_view_table(good)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+    dlq = lake.dead_letters().sort_by("lsn")
+    assert dlq.num_rows == 5
+    reasons = dict(zip(dlq.column("lsn").to_pylist(), dlq.column("reason").to_pylist()))
+    assert reasons[2000] == "unknown_op"
+    assert reasons[2001] == "unknown_op"  # null op is an unknown op
+    assert reasons[2002] == "null_key"
+    assert reasons[2003] == "null_key"
+    assert reasons[None] == "null_lsn"
+    assert m["counters"]["quarantined"] == 5
+    assert m["dlq"]["rows"] == 5
+
+
+def test_quarantine_windowed_and_exactly_once(tmp_path):
+    path, good, _ = _dirty_binlog(tmp_path)
+    root = os.path.join(str(tmp_path), "lake_w")
+    lake = CDCLake(root, num_partitions=8)
+    m = lake.apply(path, upto_lsn=2003, window_size=500, on_bad="quarantine")
+    assert m["counters"]["quarantined"] == 5
+
+    got = lake.read_table(view=True)
+    want = oracle_view_table(good)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+    # re-apply: no-op (watermark), no duplicate dead letters
+    lake2 = CDCLake(root, num_partitions=8)
+    m2 = lake2.apply(path, upto_lsn=2003, on_bad="quarantine")
+    assert m2["version"] == m["version"]
+    assert lake2.dead_letters().num_rows == 5
+
+    # vacuum keeps committed dlq files readable
+    lake2.vacuum(keep_versions=1)
+    assert lake2.dead_letters().num_rows >= 1  # at least the retained horizon
+
+
+def test_dead_letters_time_travel(tmp_path):
+    path, _, _ = _dirty_binlog(tmp_path)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake_tt"), num_partitions=8)
+    lake.apply(path, upto_lsn=2003, window_size=1000, on_bad="quarantine")
+    versions = lake.log.versions()
+    assert len(versions) >= 2
+    early = lake.dead_letters(version=versions[0])
+    full = lake.dead_letters()
+    assert early.num_rows <= full.num_rows
+    assert full.num_rows == 5
+
+
+def test_split_malformed_kh_batch():
+    """kh-mode meta batches validate hash nullity instead of strings."""
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": ["upsert", "bogus", "delete"],
+            "kh1": pa.array([7, 8, None], pa.uint64()),
+            "kh2": pa.array([7, 8, 9], pa.uint64()),
+            "schema_version": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    good, bad = split_malformed(t)
+    assert good.column("lsn").to_pylist() == [1]
+    assert bad.column("reason").to_pylist() == ["unknown_op", "null_key"]

@@ -151,6 +151,17 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    m = lake.repartition(args.out, num_partitions=args.new_partitions)
+    wall = time.perf_counter() - t0
+    _emit({"cmd": "repartition", "out": args.out, "wall_sec": round(wall, 3), **_manifest_summary(m)})
+    return 0
+
+
 def cmd_compact_binlog(args) -> int:
     from .pipelines.replay import compact_binlog
 
@@ -226,6 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--schema-version", type=int, default=0, help="source schema version at snapshot time"
     )
     sp.set_defaults(fn=cmd_bootstrap)
+
+    sp = sub.add_parser(
+        "repartition",
+        help="re-hash the lake into a FRESH lake with a different logical partition count",
+    )
+    lake_args(sp)
+    sp.add_argument("--out", required=True, help="target lake root (must be fresh)")
+    sp.add_argument("--new-partitions", type=int, required=True)
+    sp.set_defaults(fn=cmd_repartition)
 
     sp = sub.add_parser(
         "compact-binlog",

@@ -1444,6 +1444,90 @@ class CDCLake:
                     os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
             return removed
 
+    def repartition(self, out_root: str, num_partitions: int) -> dict:
+        """Re-hash this lake into a NEW lake at `out_root` with a different
+        logical partition count (P is otherwise fixed for a lake's
+        lifetime — this is the operational escape hatch when the cluster
+        grows and P must follow). Rows are preserved VERBATIM (content_sha,
+        last_lsn, event_schema_version — no replay, no re-hash of history),
+        only the partition assignment changes; the new manifest carries the
+        SAME watermark and schema version, so a binlog tail resumes on the
+        new lake exactly-once from where the old one stopped.
+
+        One all-to-all exchange (groupby on the new partition id) + one
+        key-sorted write per partition — the same per-partition memory
+        assumption as finalize/compact (pick num_partitions so a partition
+        fits a worker). Dead-letter sidecars are lineage of the OLD lake
+        and are not copied. The target must be fresh."""
+        src = self.manifest
+        if src is None:
+            raise ValueError("repartition requires a committed source lake")
+        out = CDCLake(out_root, num_partitions=num_partitions)
+        if out.manifest is not None:
+            raise ValueError("repartition target must be a fresh lake (no prior commits)")
+        # sweep any files from a previously crashed repartition attempt
+        for f in os.listdir(out.log.data_dir):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(out.log.data_dir, f))
+
+        P = num_partitions
+        out_dir = out.log.data_dir
+
+        def stamp(tb: pa.Table) -> pa.Table:
+            return tb.append_column(
+                "partition_id", partition_ids(tb.column("repo"), tb.column("path"), P)
+            )
+
+        def write_one(group: pa.Table) -> pa.Table:
+            pid = int(group.column("partition_id")[0].as_py())
+            merged = group.drop_columns(["partition_id"]).sort_by(
+                [("repo", "ascending"), ("path", "ascending")]
+            )
+            fname = CommitLog.data_file(0, pid)
+            # deterministic name + content → a retried task overwrites
+            # with identical bytes (idempotent under Ray task retry)
+            pq.write_table(merged, os.path.join(out_dir, fname))
+            return pa.table(
+                {
+                    "partition_id": pa.array([pid], pa.int32()),
+                    "file": pa.array([fname]),
+                    "rows": pa.array([merged.num_rows], pa.int64()),
+                    "max_lsn": pa.array([int(pc.max(merged.column("last_lsn")).as_py())], pa.int64()),
+                }
+            )
+
+        stats = (
+            self.read(view=False)
+            .map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("partition_id")
+            .map_groups(write_one, batch_format="pyarrow")
+            .take_all()  # one row per live partition — bounded by P
+        )
+        parts = {
+            str(s["partition_id"]): {
+                "file": s["file"],
+                "rows": int(s["rows"]),
+                "max_lsn": int(s["max_lsn"]),
+            }
+            for s in stats
+        }
+        manifest = {
+            "version": 0,
+            "watermark_lsn": int(src["watermark_lsn"]),
+            "schema_version": int(src["schema_version"]),
+            "num_partitions": P,
+            "partitions": parts,
+            "counters": dict(src["counters"]),
+            "parent": None,
+            "repartitioned_from": {
+                "root": self.root,
+                "version": int(src["version"]),
+                "num_partitions": int(src["num_partitions"]),
+            },
+        }
+        out.log.commit(manifest)
+        return manifest
+
     def dead_letters(self, version: int | None = None) -> pa.Table:
         """All quarantined events committed up to `version` (default:
         latest) — one row per malformed binlog event with a `reason`

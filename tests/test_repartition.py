@@ -1,0 +1,74 @@
+"""Lake repartition — re-hash to a new logical partition count with rows
+preserved verbatim and the watermark/schema carried over, so a binlog
+tail resumes on the new lake exactly-once (the P-must-follow-the-cluster
+operational path)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table, write_binlog_parquet
+
+
+CFG = BinlogConfig(n_events=6_000, n_keys=500, n_repos=20, schema_every=2_000)
+
+
+@pytest.fixture(scope="module")
+def source_lake(tmp_path_factory):
+    root = tmp_path_factory.mktemp("repart")
+    binlog = os.path.join(str(root), "binlog")
+    write_binlog_parquet(binlog, CFG, num_files=8)
+    lake = CDCLake(os.path.join(str(root), "src"), num_partitions=16)
+    lake.apply(binlog, upto_lsn=3_999)  # leave a tail to apply post-repartition
+    return lake, binlog, str(root)
+
+
+def test_repartition_preserves_rows_and_state(source_lake):
+    lake, _, root = source_lake
+    m = lake.repartition(os.path.join(root, "out32"), num_partitions=32)
+    out = CDCLake(os.path.join(root, "out32"), num_partitions=32)
+
+    assert m["watermark_lsn"] == lake.watermark
+    assert m["schema_version"] == lake.schema_version
+    assert m["num_partitions"] == 32
+    assert m["repartitioned_from"]["num_partitions"] == 16
+
+    a = lake.read_table(view=False).sort_by([("repo", "ascending"), ("path", "ascending")])
+    b = out.read_table(view=False).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert a.equals(b)  # verbatim: content_sha, last_lsn, event_schema_version
+
+
+def test_repartition_respects_partition_hash(source_lake):
+    """Every row in every new data file hashes to that file's pid under
+    the NEW partition count (the routing invariant point lookups rely on)."""
+    from grafter_ray.util import partition_ids
+
+    lake, _, root = source_lake
+    out = CDCLake(os.path.join(root, "out32"), num_partitions=32)
+    for pid, e in out.manifest["partitions"].items():
+        t = pq.read_table(os.path.join(out.log.data_dir, e["file"]), columns=["repo", "path"])
+        got = partition_ids(t.column("repo"), t.column("path"), 32).to_pylist()
+        assert got == [int(pid)] * t.num_rows
+
+
+def test_tail_resumes_on_repartitioned_lake(source_lake):
+    lake, binlog, root = source_lake
+    out_root = os.path.join(root, "out8")
+    lake.repartition(out_root, num_partitions=8)
+    out = CDCLake(out_root, num_partitions=8)
+    # apply the remaining binlog tail to BOTH lakes — converged states match
+    lake.apply(binlog, upto_lsn=CFG.n_events - 1)
+    out.apply(binlog, upto_lsn=CFG.n_events - 1)
+
+    want = oracle_view_table(binlog_table(CFG))
+    for lk in (lake, out):
+        got = lk.read_table(view=True)
+        assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+
+def test_repartition_target_must_be_fresh(source_lake):
+    lake, _, root = source_lake
+    with pytest.raises(ValueError, match="fresh"):
+        lake.repartition(os.path.join(root, "out32"), num_partitions=32)

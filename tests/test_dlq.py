@@ -132,3 +132,90 @@ def test_split_malformed_kh_batch():
     good, bad = split_malformed(t)
     assert good.column("lsn").to_pylist() == [1]
     assert bad.column("reason").to_pylist() == ["unknown_op", "null_key"]
+
+
+# -- property: quarantine ≡ oracle over the valid subset --------------------
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from grafter_ray.schemas import BINLOG
+
+
+@st.composite
+def dirty_binlogs(draw):
+    """Random interleave of valid events and malformed rows (unknown op,
+    null op, null repo/path)."""
+    n = draw(st.integers(4, 40))
+    rows = []
+    n_bad = 0
+    for lsn in range(n):
+        shape = draw(
+            st.sampled_from(
+                ["upsert", "upsert", "delete", "schema_change", "bad_op", "null_op", "null_key"]
+            )
+        )
+        key = draw(st.integers(0, 5))
+        if shape in ("upsert", "delete", "schema_change"):
+            content = f"c{lsn}" if shape == "upsert" else None
+            rows.append(
+                {
+                    "lsn": lsn,
+                    "op": shape,
+                    "repo": None if shape == "schema_change" else f"r{key % 2}",
+                    "path": None if shape == "schema_change" else f"p{key}",
+                    "commit": content,
+                    "lang": "py" if shape == "upsert" else None,
+                    "content": content,
+                    "schema_version": 0,
+                }
+            )
+        else:
+            n_bad += 1
+            rows.append(
+                {
+                    "lsn": lsn,
+                    "op": {"bad_op": "mutate", "null_op": None, "null_key": "upsert"}[shape],
+                    "repo": None if shape == "null_key" else f"r{key % 2}",
+                    "path": f"p{key}",
+                    "commit": "x",
+                    "lang": "py",
+                    "content": "x",
+                    "schema_version": 0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=BINLOG), n_bad
+
+
+@given(dirty_binlogs(), st.sampled_from([None, 7]))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quarantine_matches_valid_only_oracle(tmp_path_factory, case, window):
+    import ray.data as rd
+
+    from grafter_ray import oracle_lake_table
+    from grafter_ray.stages.lww import split_malformed
+
+    binlog, n_bad = case
+    valid, _ = split_malformed(binlog)
+    root = tmp_path_factory.mktemp("dlqprop") / "lake"
+    lake = CDCLake(str(root), num_partitions=4)
+    m = lake.apply(
+        rd.from_arrow(binlog), upto_lsn=binlog.num_rows - 1,
+        window_size=window, on_bad="quarantine",
+    )
+    got = lake.read_table(view=False)
+    want, version = oracle_lake_table(valid)
+    assert lake.schema_version == version
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()
+    dlq = lake.dead_letters()
+    assert dlq.num_rows == n_bad
+    assert m["counters"].get("quarantined", 0) == n_bad
+    if n_bad:
+        assert sorted(dlq.column("lsn").to_pylist()) == sorted(
+            binlog.filter(
+                pa.compute.invert(
+                    pa.compute.is_in(binlog.column("lsn"), value_set=valid.column("lsn"))
+                )
+            ).column("lsn").to_pylist()
+        )

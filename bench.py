@@ -211,9 +211,23 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _cpu_steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the sandbox VM
+    shows bursty hypervisor CPU steal (15-40% observed), so every bench
+    JSON carries the steal fraction measured DURING its own run; compare
+    walls across runs only at similar steal (see BASELINE.md)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | None = None) -> dict:
     import ray
 
+    steal0, tot0 = _cpu_steal_snapshot()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -238,6 +252,9 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | No
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    steal1, tot1 = _cpu_steal_snapshot()
+    if tot1 > tot0:
+        out["cpu_steal_pct"] = round(100.0 * (steal1 - steal0) / (tot1 - tot0), 1)
     if kh_replay is not None:
         out["keyhash_replay_sec"] = kh_replay["replay_sec"]
         out["keyhash_events_per_sec"] = kh_replay["events_per_sec"]

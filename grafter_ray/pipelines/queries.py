@@ -739,6 +739,102 @@ GROUP BY lang
 """
 
 
+def q_code_quality_filter(sf_dir: str):
+    """StarCoder-style source-file quality gate (payload=code axis):
+    derive multi-line 'files' deterministically from documents (so the
+    line-level kernels are really exercised — the corpus text is
+    single-line), compute the five integer signals in one shuffle-free
+    pass and keep files under the minified-line / encoded-blob gates
+    (stages/codefilter.py docstring has the signal glossary)."""
+    from ..stages.codefilter import code_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(tb: pa.Table) -> pa.Table:
+        d = pc.replace_substring(tb.column("text"), " table ", "\n")
+        st = code_stats(pa.table({"doc_id": tb.column("doc_id"), "text": d}))
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(st.column("max_line_len"), 220),
+                pc.greater_equal(st.column("alnum_x1000"), 818),
+            ),
+            pc.less_equal(st.column("max_token_len"), 12),
+        )
+        return st.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CODE_QUALITY_FILTER = r"""
+SELECT * FROM (
+  SELECT doc_id,
+    len(string_split(t, chr(10))) AS n_lines,
+    list_max(list_transform(string_split(t, chr(10)), x -> length(x))) AS max_line_len,
+    (length(t) - (len(string_split(t, chr(10))) - 1)) * 100
+      // len(string_split(t, chr(10))) AS avg_line_len_x100,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) * 1000 // length(t)
+    END AS alnum_x1000,
+    list_max(list_transform(regexp_split_to_array(trim(t), '\s+'),
+                            x -> length(x))) AS max_token_len
+  FROM (SELECT doc_id, replace(text, ' table ', chr(10)) AS t FROM documents)
+) WHERE max_line_len <= 220 AND alnum_x1000 >= 818 AND max_token_len <= 12
+"""
+
+
+_LICENSE_PREFIXES = [
+    "SPDX-License-Identifier: MIT\n",
+    "// Apache License 2.0\n",
+    "/* MIT License */\n",
+    "# GNU General Public License v3\n",
+    "",
+]
+
+
+def q_license_detect(sf_dir: str):
+    """License detection over synthesized file headers (deterministic
+    doc_id%5 prefix — documents carry no licenses, source files do):
+    SPDX tag wins, then header phrases. Per-license corpus counts; the
+    shape is a stateless map + one tiny grouped agg."""
+    from ..stages.codefilter import detect_license
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pref = np.array(_LICENSE_PREFIXES, dtype=object)
+
+    def f(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        prefix = pa.array(pref[ids % 5], pa.string())
+        d = pc.binary_join_element_wise(prefix, tb.column("text"), "")
+        return pa.table({"doc_id": tb.column("doc_id"), "license": detect_license(d)})
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(
+        out, ["license"], [("n_docs", None, "count"), ("first_doc", "doc_id", "min")]
+    )
+
+
+SQL_LICENSE_DETECT = r"""
+SELECT license, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(d, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) <> ''
+           THEN regexp_extract(d, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+         WHEN contains(d, 'Apache License') THEN 'Apache'
+         WHEN contains(d, 'MIT License') THEN 'MIT'
+         WHEN contains(d, 'GNU General Public License') THEN 'GPL'
+         ELSE 'none' END AS license
+  FROM (
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+        WHEN 1 THEN '// Apache License 2.0' || chr(10)
+        WHEN 2 THEN '/* MIT License */' || chr(10)
+        WHEN 3 THEN '# GNU General Public License v3' || chr(10)
+        ELSE '' END || text AS d
+    FROM documents)
+) GROUP BY license
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return exact_dedup(ds)
@@ -4429,6 +4525,8 @@ QUERIES = {
     "approx_value_percentiles": q_approx_value_percentiles,
     "source_distinct_langs": q_source_distinct_langs,
     "quality_filter": q_quality_filter,
+    "code_quality_filter": q_code_quality_filter,
+    "license_detect": q_license_detect,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_dedup": q_minhash_dedup,
@@ -4563,6 +4661,8 @@ ORACLE_SQL = {
     "normalize_docs": SQL_NORMALIZE_DOCS,
     "source_distinct_langs": SQL_SOURCE_DISTINCT_LANGS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "code_quality_filter": SQL_CODE_QUALITY_FILTER,
+    "license_detect": SQL_LICENSE_DETECT,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

@@ -1,0 +1,102 @@
+"""Source-code corpus filters — the payload=code member of the LLM-data
+operator family (SURVEY.md §2 additions; reference has no code-specific
+ops, its tabular filters are `grafter.tabular` row predicates).
+
+StarCoder/CodeParrot-style per-file quality signals, computed as pure
+Arrow kernels in ONE shuffle-free pass:
+
+  - ``n_lines``            newline count + 1
+  - ``max_line_len``       longest line (codepoints) — minified/one-line
+                           blob detector
+  - ``avg_line_len_x100``  mean line length × 100, integer (hash-stable
+                           oracle arithmetic, no float division)
+  - ``alnum_x1000``        alphanumeric-character fraction × 1000 —
+                           encoded-data / binary-junk detector
+  - ``max_token_len``      longest whitespace-delimited token — base64 /
+                           hex-blob / data-URI detector
+
+plus SPDX / license-header detection (``detect_license``): the
+``SPDX-License-Identifier:`` tag wins, then the common header phrases.
+
+All signals are integers so the DuckDB oracles compare hash-exact; all
+kernels are vectorized (pyarrow.compute + one numpy segmented reduce for
+the per-line / per-token maxima — no Python per row). At 100 TB this is
+a stateless map_batches stage: no shuffle, no driver state, prunable to
+the (id, content) columns at the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+# SPDX tag value charset per the spec (idstring: letters digits . + -)
+_SPDX_RE = r"SPDX-License-Identifier:\s*(?P<lic>[A-Za-z0-9.+-]+)"
+# fallback header phrases, checked in this order after SPDX
+_PHRASES = [("Apache License", "Apache"), ("MIT License", "MIT"),
+            ("GNU General Public License", "GPL")]
+
+
+def _seg_max_len(list_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row max element length of a list<string> column. Every row
+    must have >= 1 element (true for split_pattern output: '' → [''])."""
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    if len(list_arr) == 0:
+        return pa.array([], pa.int64())
+    flat = pc.list_flatten(list_arr)  # offset-correct flatten
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    n_per = pc.list_value_length(list_arr).to_numpy(zero_copy_only=False)
+    off = np.zeros(len(n_per), dtype=np.int64)
+    np.cumsum(n_per[:-1], out=off[1:])
+    return pa.array(np.maximum.reduceat(lens, off), pa.int64())
+
+
+def code_stats(tb: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append the five integer code-quality signals (module docstring);
+    drops the text column (the downstream filter never needs it)."""
+    t = tb.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    n_nl = pc.cast(pc.count_substring(t, "\n"), pa.int64())
+    n_lines = pc.add(n_nl, 1)
+    # sum of line lengths == n_chars - newlines; avg kept integer (×100)
+    line_chars = pc.subtract(n_chars, n_nl)
+    avg_x100 = pc.divide(pc.multiply(line_chars, 100), n_lines)
+    max_line = _seg_max_len(pc.split_pattern(t, "\n"))
+    n_alnum = pc.cast(pc.count_substring_regex(t, "[a-zA-Z0-9]"), pa.int64())
+    alnum_x1000 = pc.if_else(
+        pc.equal(n_chars, 0),
+        pa.scalar(0, pa.int64()),
+        pc.divide(pc.multiply(n_alnum, 1000), pc.max_element_wise(n_chars, 1)),
+    )
+    max_token = _seg_max_len(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(t), _WS)
+    )
+    out = tb.drop_columns([text_col])
+    return (
+        out.append_column("n_lines", n_lines)
+        .append_column("max_line_len", max_line)
+        .append_column("avg_line_len_x100", avg_x100)
+        .append_column("alnum_x1000", alnum_x1000)
+        .append_column("max_token_len", max_token)
+    )
+
+
+def detect_license(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row license label: the SPDX-License-Identifier tag value if
+    present, else the first matching header phrase (Apache / MIT / GPL),
+    else 'none'. Semantics == the SQL oracle's
+    regexp_extract + contains CASE chain."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ex = pc.extract_regex(text, _SPDX_RE)
+    spdx = pc.struct_field(ex, "lic")
+    out = pa.nulls(len(text), pa.string())
+    for phrase, label in reversed(_PHRASES):
+        out = pc.if_else(pc.match_substring(text, phrase), label, out)
+    out = pc.if_else(pc.is_valid(spdx), spdx, out)
+    return pc.fill_null(out, "none")

@@ -835,6 +835,63 @@ SELECT license, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
 """
 
 
+def q_code_imports(sf_dir: str):
+    """Import-dependency extraction (grep-at-scale over a code corpus):
+    per-LINE anchored regex via the line_extract primitive (explode →
+    flat extract_regex; stages/codefilter.py docstring), then per-module
+    corpus counts. Import lines are planted deterministically (doc_id
+    residues — documents are prose; source files have imports)."""
+    from ..stages.codefilter import line_extract
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mods = np.array([f"import mod{i}\n" for i in range(7)], dtype=object)
+
+    def f(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        prefix = np.select(
+            [ids % 3 == 0, ids % 3 == 1],
+            [mods[ids % 7] + "import util\n", mods[ids % 7]],
+            "",
+        )
+        d = pc.binary_join_element_wise(
+            pa.array(prefix, pa.string()),
+            pc.replace_substring(tb.column("text"), " table ", "\n"),
+            "",
+        )
+        return line_extract(
+            pa.table({"doc_id": tb.column("doc_id"), "text": d}),
+            r"^import\s+(?P<m>[a-zA-Z_][a-zA-Z0-9_.]*)$",
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.map_batches(
+        lambda tb: tb.rename_columns(["doc_id", "module"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_agg(
+        out, ["module"], [("n_imports", None, "count"), ("first_doc", "doc_id", "min")]
+    )
+
+
+SQL_CODE_IMPORTS = r"""
+SELECT module, count(*) AS n_imports, min(doc_id) AS first_doc FROM (
+  SELECT doc_id,
+         regexp_extract(line, '^import\s+([a-zA-Z_][a-zA-Z0-9_.]*)$', 1) AS module
+  FROM (
+    SELECT doc_id, unnest(string_split(d, chr(10))) AS line
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+               THEN 'import mod' || (doc_id % 7) || chr(10) || 'import util' || chr(10)
+             WHEN doc_id % 3 = 1 THEN 'import mod' || (doc_id % 7) || chr(10)
+             ELSE '' END || replace(text, ' table ', chr(10)) AS d
+      FROM documents)
+  )
+) WHERE module <> '' GROUP BY module
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return exact_dedup(ds)
@@ -4527,6 +4584,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "code_quality_filter": q_code_quality_filter,
     "license_detect": q_license_detect,
+    "code_imports": q_code_imports,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_dedup": q_minhash_dedup,
@@ -4663,6 +4721,7 @@ ORACLE_SQL = {
     "quality_filter": SQL_QUALITY_FILTER,
     "code_quality_filter": SQL_CODE_QUALITY_FILTER,
     "license_detect": SQL_LICENSE_DETECT,
+    "code_imports": SQL_CODE_IMPORTS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

@@ -86,6 +86,34 @@ def code_stats(tb: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def line_extract(
+    tb: pa.Table,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group: str = "m",
+) -> pa.Table:
+    """Grep-at-scale primitive: explode each document into lines and
+    extract the named group ``(?P<m>…)`` from every MATCHING line —
+    (id, match) rows, one per matching line. Fully vectorized: one
+    split_pattern, one list_parent_indices repeat of the id column, one
+    extract_regex over the flat line array; no per-row Python. The
+    multi-match-per-document case that pyarrow's single-match
+    extract_regex cannot express becomes per-LINE single-match, which
+    covers the line-oriented scans a code corpus needs (imports,
+    pragmas, TODO tags). Stateless map_batches shape — no shuffle."""
+    t = tb.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lines = pc.split_pattern(t, "\n")
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines)
+    ids = pc.take(tb.column(id_col), parent)
+    m = pc.struct_field(pc.extract_regex(flat, pattern), group)
+    keep = pc.is_valid(m)
+    return pa.table({id_col: ids, group: m}).filter(keep)
+
+
 def detect_license(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Per-row license label: the SPDX-License-Identifier tag value if
     present, else the first matching header phrase (Apache / MIT / GPL),

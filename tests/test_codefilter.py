@@ -81,3 +81,35 @@ def test_random_differential_vs_duckdb():
     for col in ["n_lines", "max_line_len", "avg_line_len_x100",
                 "alnum_x1000", "max_token_len", "license"]:
         assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+
+
+def test_line_extract_multi_match_and_ids():
+    from grafter_ray.stages.codefilter import line_extract
+
+    tb = pa.table(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "import os\nx=1\nimport sys\n",
+                "no imports here\nimporter food",  # anchored: no match
+                "import a.b_c\n的是",
+            ],
+        }
+    )
+    out = line_extract(tb, r"^import\s+(?P<m>[a-zA-Z_][a-zA-Z0-9_.]*)$")
+    assert out.column("doc_id").to_pylist() == [10, 10, 12]
+    assert out.column("m").to_pylist() == ["os", "sys", "a.b_c"]
+
+
+def test_line_extract_empty_and_sliced_chunks():
+    from grafter_ray.stages.codefilter import line_extract
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = line_extract(empty, r"^(?P<m>x)$")
+    assert out.num_rows == 0 and out.column_names == ["doc_id", "m"]
+    # chunked text column (concat of two tables) takes the same path
+    t1 = pa.table({"doc_id": [1], "text": ["import q\n"]})
+    t2 = pa.table({"doc_id": [2], "text": ["import r"]})
+    both = pa.concat_tables([t1, t2])
+    out = line_extract(both, r"^import (?P<m>\w+)$")
+    assert out.column("m").to_pylist() == ["q", "r"]

@@ -4096,6 +4096,59 @@ FROM c
 """
 
 
+def q_cross_decontaminate(sf_dir: str):
+    """Cross-corpus NEAR-DUP decontamination (the paraphrase gap exact
+    n-gram overlap misses): docs with doc_id % 10 == 0 act as the eval
+    set; its token postings broadcast, the rest of the corpus streams
+    one shuffle-free pass computing EXACT token-set Jaccard against
+    every eval doc (stages/decontam.py cross_jaccard_decontam — dense
+    batch×eval intersection bound documented there). Emits each
+    contaminated train doc with its best eval match."""
+    import ray as _ray
+
+    from ..stages.decontam import cross_jaccard_decontam, eval_token_postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(tb: pa.Table, want_eval: bool) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 10 == 0
+        return tb.filter(pa.array(m if want_eval else ~m))
+
+    eval_tb = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(
+                lambda tb: split(tb, True), batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )  # eval side is small by definition (the broadcast contract)
+    post = eval_token_postings(eval_tb)
+    train = ds.map_batches(
+        lambda tb: split(tb, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cross_jaccard_decontam(train, post, tau_e4=8500)
+
+
+SQL_CROSS_DECONTAMINATE = r"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+pair_i AS (
+  SELECT a.doc_id AS tid, e.doc_id AS eid, count(*) AS inter
+  FROM w a JOIN w e ON a.w = e.w
+  WHERE a.doc_id % 10 <> 0 AND e.doc_id % 10 = 0 GROUP BY 1, 2),
+j AS (
+  SELECT tid, eid,
+         CAST(floor(inter * 10000.0 / (st.n + se.n - inter)) AS BIGINT) AS jaccard_e4
+  FROM pair_i JOIN sizes st ON st.doc_id = tid JOIN sizes se ON se.doc_id = eid
+  WHERE inter * 10000 >= 8500 * (st.n + se.n - inter))
+SELECT tid AS doc_id, eval_id, jaccard_e4 FROM (
+  SELECT tid, eid AS eval_id, jaccard_e4,
+         row_number() OVER (PARTITION BY tid ORDER BY jaccard_e4 DESC, eid ASC) AS rn
+  FROM j) WHERE rn = 1
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
     held-out eval set; its distinct word 3-grams are broadcast and every
@@ -4625,6 +4678,7 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    "cross_decontaminate": q_cross_decontaminate,
     "repetition_stats": q_repetition_stats,
     "redact_secrets": q_redact_secrets,
     "path_geo_closure": q_path_geo_closure,
@@ -4760,6 +4814,7 @@ ORACLE_SQL = {
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
+    "cross_decontaminate": SQL_CROSS_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
     "redact_secrets": SQL_REDACT_SECRETS,
     "path_geo_closure": SQL_PATH_GEO_CLOSURE,

@@ -116,3 +116,133 @@ def decontaminate(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def eval_token_postings(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text"):
+    """Broadcast side for cross_jaccard_decontam: the eval set's distinct
+    token vocabulary with CSR postings into eval rows (ordered by eval
+    id ascending — ties later resolve to the smallest eval id) plus
+    per-eval distinct-token sizes. Eval sets are small by definition
+    (same contract as benchmark_gram_table), so this is driver-built
+    and ray.put once."""
+    import pandas as pd
+
+    tb = tb.sort_by(id_col)
+    toks = pc.split_pattern(pc.utf8_trim_whitespace(tb.column(text_col)), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    row_of = np.repeat(np.arange(tb.num_rows, dtype=np.int64), np.diff(offsets))
+    codes, vocab = pd.factorize(np.asarray(flat.to_pandas(), dtype=object))
+    pair = np.unique(row_of * np.int64(len(vocab) + 1) + codes)  # distinct (row, tok)
+    prow = pair // np.int64(len(vocab) + 1)
+    pcode = pair % np.int64(len(vocab) + 1)
+    sizes = np.zeros(tb.num_rows, dtype=np.int64)
+    np.add.at(sizes, prow, 1)
+    order = np.argsort(pcode, kind="stable")  # group postings by token, row asc inside
+    pcode, prow = pcode[order], prow[order]
+    post_off = np.zeros(len(vocab) + 1, dtype=np.int64)
+    np.add.at(post_off, pcode + 1, 1)
+    np.cumsum(post_off, out=post_off)
+    eval_ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+    return {
+        "vocab": pa.array(list(vocab), pa.string()),
+        "post_off": post_off,
+        "post_row": prow,
+        "sizes": sizes,
+        "eval_ids": eval_ids,
+    }
+
+
+def cross_jaccard_decontam(
+    ds,
+    postings: dict,
+    tau_e4: int = 1500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Cross-corpus NEAR-DUP decontamination: flag training docs whose
+    exact token-set Jaccard against ANY eval doc reaches tau_e4/10000 —
+    the near-duplicate complement of the exact-n-gram `decontaminate`
+    (eval answers get paraphrased into training corpora; exact grams
+    miss them, set similarity does not).
+
+    Shape: eval postings broadcast (small by definition), the corpus
+    streams through ONE shuffle-free map_batches pass; per batch the
+    intersection counts accumulate into a dense (batch_rows × n_eval)
+    int64 matrix — bounded by batch_size × eval size, documented here,
+    vectorized via np.add.at over the CSR postings. Thresholding is
+    integer-exact (inter·10⁴ ≥ tau_e4·union), the reported jaccard_e4
+    is the house floor fixed point; ties on jaccard_e4 resolve to the
+    smallest eval id (column order == eval id order).
+
+    Returns Dataset[(id_col, eval_id, jaccard_e4)] — one row per
+    CONTAMINATED training doc, its best-matching eval doc."""
+    import ray
+
+    ref = ray.put(postings)
+
+    def score(tb: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        p = ray.get(ref)
+        n_eval = len(p["eval_ids"])
+        empty = pa.table(
+            {
+                id_col: pa.array([], tb.column(id_col).type),
+                "eval_id": pa.array([], pa.int64()),
+                "jaccard_e4": pa.array([], pa.int64()),
+            }
+        )
+        if tb.num_rows == 0 or n_eval == 0:
+            return empty
+        toks = pc.split_pattern(pc.utf8_trim_whitespace(tb.column(text_col)), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(tb.num_rows, dtype=np.int64), np.diff(offsets))
+        # distinct (row, token) — exact strings, factorized per batch
+        codes, vocab_local = pd.factorize(np.asarray(flat.to_pandas(), dtype=object))
+        pair = np.unique(row_of * np.int64(len(vocab_local) + 1) + codes)
+        prow = pair // np.int64(len(vocab_local) + 1)
+        pcode = pair % np.int64(len(vocab_local) + 1)
+        sa = np.zeros(tb.num_rows, dtype=np.int64)
+        np.add.at(sa, prow, 1)
+        # map batch-local distinct tokens into the eval vocabulary
+        vidx = pc.index_in(
+            pa.array(list(vocab_local), pa.string()), value_set=p["vocab"]
+        ).to_numpy(zero_copy_only=False, writable=True)
+        hit_v = vidx[pcode]  # eval-vocab index per (row, token), NaN-masked
+        ok = ~np.isnan(hit_v)
+        hrow, hv = prow[ok], hit_v[ok].astype(np.int64)
+        inter = np.zeros((tb.num_rows, n_eval), dtype=np.int64)
+        if len(hv):
+            starts, ends = p["post_off"][hv], p["post_off"][hv + 1]
+            reps = ends - starts
+            erow = p["post_row"][
+                np.repeat(starts, reps)
+                + (np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps))
+            ]
+            np.add.at(inter, (np.repeat(hrow, reps), erow), 1)
+        union = sa[:, None] + p["sizes"][None, :] - inter
+        contaminated = inter * 10000 >= np.int64(tau_e4) * union
+        any_hit = contaminated.any(axis=1)
+        if not any_hit.any():
+            return empty
+        j_e4 = np.where(
+            inter > 0, np.floor(inter * 10000.0 / np.maximum(union, 1)).astype(np.int64), 0
+        )
+        j_masked = np.where(contaminated, j_e4, -1)
+        best = np.argmax(j_masked, axis=1)  # first max == smallest eval id
+        rows = np.nonzero(any_hit)[0]
+        return pa.table(
+            {
+                id_col: tb.column(id_col).take(pa.array(rows)),
+                "eval_id": pa.array(p["eval_ids"][best[rows]], pa.int64()),
+                "jaccard_e4": pa.array(j_e4[rows, best[rows]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -85,6 +85,50 @@ def test_decontaminate_distinct_hits_counted_once():
     assert out["n_hits"].tolist() == [1]
 
 
+def test_cross_jaccard_decontam_planted_and_tiebreak():
+    from grafter_ray.stages.decontam import cross_jaccard_decontam, eval_token_postings
+
+    # eval docs 0 and 1 are token-identical → a matching train doc ties
+    # at jaccard_e4 and must report the SMALLEST eval id
+    eval_tb = pa.table(
+        {"doc_id": [100, 101, 102], "text": ["a b c d", "a b c d", "p q r s t"]}
+    )
+    post = eval_token_postings(eval_tb)
+    train = _docs(
+        [
+            "a b c d",        # exact dup of eval 100/101 → J=1.0, tie → 100
+            "a b c x",        # J = 3/5 = 0.6 vs eval 100
+            "zz yy xx",       # no overlap
+            "p q r s t",      # exact dup of eval 102
+        ]
+    )
+    out = (
+        cross_jaccard_decontam(rd.from_arrow(train).repartition(3), post, tau_e4=5000)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["eval_id"].tolist() == [100, 100, 102]
+    assert out["jaccard_e4"].tolist() == [10000, 6000, 10000]
+
+
+def test_cross_jaccard_decontam_block_layout_independent():
+    from grafter_ray.stages.decontam import cross_jaccard_decontam, eval_token_postings
+
+    eval_tb = pa.table({"doc_id": [1000], "text": ["m n o p q r"]})
+    post = eval_token_postings(eval_tb)
+    texts = [f"m n o w{i} w{i+1} w{i+2}" for i in range(30)]
+    a = (
+        cross_jaccard_decontam(rd.from_arrow(_docs(texts)).repartition(1), post, tau_e4=3000)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        cross_jaccard_decontam(rd.from_arrow(_docs(texts)).repartition(11), post, tau_e4=3000)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b) and len(a) == 30  # 3/9 ≥ 0.3 for every doc
+
+
 # --- repetition signals ----------------------------------------------------
 
 def test_repetition_stats_counts():

@@ -115,6 +115,11 @@ QUERY_SUBSET = [
     "retention_cohorts",
     "dsir_topk",
     "quality_clf_score",
+    # round-4 session-7 additions
+    "code_quality_filter",
+    "license_detect",
+    "code_imports",
+    "cross_decontaminate",
 ]
 
 

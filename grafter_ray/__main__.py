@@ -120,6 +120,18 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Exit 0 when clean, 1 on any integrity error (warnings don't fail)."""
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    rep = lake.fsck(deep=args.deep, version=args.at_version)
+    rep["wall_sec"] = round(time.perf_counter() - t0, 3)
+    _emit({"cmd": "fsck", **rep})
+    return 0 if rep["ok"] else 1
+
+
 def cmd_compact(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -216,6 +228,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")
     lake_args(sp)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser(
+        "fsck",
+        help="lake integrity check: footer pass (files/rows/lsn bounds) + --deep content verify",
+    )
+    lake_args(sp)
+    sp.add_argument("--deep", action="store_true", help="read every partition: routing, sha, key uniqueness")
+    sp.add_argument("--at-version", type=int, default=None, help="check an older retained manifest")
+    sp.set_defaults(fn=cmd_fsck)
 
     sp = sub.add_parser("compact", help="fold all LSM delta chains into fresh bases (OPTIMIZE)")
     lake_args(sp)

@@ -745,6 +745,41 @@ class MergeActor:
         }
 
 
+def _fsck_entry(data_dir: str, pid: int, e: dict, num_partitions: int) -> tuple[list[str], int]:
+    """Deep fsck of one partition entry (runs as a Ray task — one per
+    partition, never driver-side data): chain-merge the stored files and
+    verify routing, recomputed sha, key uniqueness and the row-count
+    bound. Returns (errors, rows_checked)."""
+    errs: list[str] = []
+    base = pq.read_table(os.path.join(data_dir, e["file"])) if e["file"] else None
+    chain = [pq.read_table(os.path.join(data_dir, f)) for f in e.get("deltas", [])]
+    merged = _merge_chain(base, chain) if chain else (base if base is not None else LAKE.empty_table())
+    n = merged.num_rows
+    if not n:
+        return errs, 0
+    pids = partition_ids(merged.column("repo"), merged.column("path"), num_partitions)
+    bad = pc.sum(pc.cast(pc.not_equal(pids, pid), pa.int64())).as_py() or 0
+    if bad:
+        errs.append(f"partition {pid}: {bad} rows routed to a different pid")
+    want_sha = sha256_array(merged.column("content"))
+    sha_bad = pc.sum(
+        pc.cast(pc.not_equal(want_sha, merged.column("content_sha")), pa.int64())
+    ).as_py() or 0
+    if sha_bad:
+        errs.append(f"partition {pid}: {sha_bad} rows with content_sha mismatch")
+    n_keys = merged.group_by(["repo", "path"]).aggregate([]).num_rows
+    if n_keys != n:
+        errs.append(f"partition {pid}: {n - n_keys} duplicate (repo, path) keys")
+    if e.get("deltas"):
+        if n > int(e["rows"]):
+            errs.append(
+                f"partition {pid}: merged rows {n} exceed manifest bound {e['rows']}"
+            )
+    elif n != int(e["rows"]):
+        errs.append(f"partition {pid}: merged rows {n} != manifest rows {e['rows']}")
+    return errs, n
+
+
 def _route_to_actors(tb: pa.Table, handles: list, W: int, method: str) -> None:
     """Split a block by owning actor and send sub-tables directly (acked,
     so a retried task re-sends — safe under LWW idempotence)."""
@@ -1443,6 +1478,136 @@ class CDCLake:
                 if v not in keep:
                     os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
             return removed
+
+    def fsck(self, deep: bool = False, version: int | None = None) -> dict:
+        """Lake integrity check (operational fsck — read-only, never
+        mutates). Cheap pass reads parquet FOOTERS only:
+
+          - every file the checked manifest references exists and has a
+            readable footer,
+          - compacted entries: footer row count == manifest ``rows``;
+            chained entries: base + delta footer rows sum to it (the
+            chain append arithmetic in _finalize_one),
+          - every data file's ``last_lsn`` column max statistic ≤ the
+            manifest watermark (an applied event's lsn can never exceed
+            it),
+          - orphan ``.parquet`` files in the data dir referenced by NO
+            retained manifest → warnings (vacuum candidates or a crashed
+            window's staging).
+
+        ``deep=True`` additionally reads every partition as one Ray task
+        per entry (P bounded tasks, no driver data) and verifies the
+        content invariants: key→partition routing, recomputed
+        content_sha equality, no duplicate (repo, path) after chain
+        merge, and merged live rows == ``rows`` when compacted (≤ when
+        chained — the entry is an upper bound until compaction).
+
+        Returns {"ok", "errors", "warnings", "files_checked",
+        "rows_checked"}; the CLI maps errors to a nonzero exit."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        m = self.manifest_at(version)
+        if m is None:
+            return {"ok": True, "errors": [], "warnings": ["no committed manifest"],
+                    "files_checked": 0, "rows_checked": 0}
+        data_dir = self.log.data_dir
+        watermark = int(m["watermark_lsn"])
+        files_checked = 0
+
+        def _footer(fname: str):
+            p = os.path.join(data_dir, fname)
+            if not os.path.exists(p):
+                errors.append(f"missing file: {fname}")
+                return None
+            try:
+                return pq.ParquetFile(p).metadata
+            except Exception as exc:  # unreadable footer == corrupt file
+                errors.append(f"unreadable parquet footer: {fname}: {exc}")
+                return None
+
+        def _max_last_lsn(md) -> int | None:
+            try:
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "last_lsn" not in idx:
+                    return None
+                hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["last_lsn"]).statistics
+                    if st is None or st.max is None:
+                        return None  # stats absent → skip the invariant
+                    hi = st.max if hi is None else max(hi, st.max)
+                return hi
+            except Exception:
+                return None
+
+        for pid_s, e in m["partitions"].items():
+            fnames = ([e["file"]] if e["file"] else []) + list(e.get("deltas", []))
+            footer_rows = 0
+            complete = True
+            for f in fnames:
+                md = _footer(f)
+                if md is None:
+                    complete = False
+                    continue
+                files_checked += 1
+                footer_rows += md.num_rows
+                hi = _max_last_lsn(md)
+                if hi is not None and hi > watermark:
+                    errors.append(
+                        f"{f}: last_lsn stat {hi} exceeds watermark {watermark}"
+                    )
+            if complete and fnames and footer_rows != int(e["rows"]):
+                errors.append(
+                    f"partition {pid_s}: footer rows {footer_rows} "
+                    f"!= manifest rows {e['rows']}"
+                )
+        if m.get("dlq"):
+            md = _footer(m["dlq"]["file"])
+            if md is not None:
+                files_checked += 1
+                if md.num_rows != int(m["dlq"]["rows"]):
+                    errors.append(
+                        f"dlq {m['dlq']['file']}: footer rows {md.num_rows} "
+                        f"!= manifest rows {m['dlq']['rows']}"
+                    )
+
+        # orphans vs ALL retained manifests (an old version legitimately
+        # references files the latest one dropped)
+        live: set[str] = set()
+        for v in self.log.versions():
+            mv = self.log.read(v)
+            for e in mv["partitions"].values():
+                if e["file"]:
+                    live.add(e["file"])
+                live |= set(e.get("deltas", []))
+            if mv.get("dlq"):
+                live.add(mv["dlq"]["file"])
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet") and f not in live:
+                warnings.append(f"orphan data file (vacuum candidate): {f}")
+
+        rows_checked = 0
+        if deep and not errors:
+            import ray
+
+            P = int(m["num_partitions"])
+            task = ray.remote(num_cpus=1)(_fsck_entry)
+            refs = [
+                task.remote(data_dir, int(pid_s), e, P)
+                for pid_s, e in m["partitions"].items()
+                if e["file"] or e.get("deltas")
+            ]
+            for errs, n in ray.get(refs):
+                errors.extend(errs)
+                rows_checked += n
+
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "files_checked": files_checked,
+            "rows_checked": rows_checked,
+        }
 
     def repartition(self, out_root: str, num_partitions: int) -> dict:
         """Re-hash this lake into a NEW lake at `out_root` with a different

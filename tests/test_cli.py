@@ -60,6 +60,26 @@ def test_replay_resume_status_compact_vacuum(tmp_path, capsys):
     assert st2["lake_rows"] == want.num_rows
 
 
+def test_cli_fsck_clean_then_corrupt(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "fscklake")
+    _run(capsys, ["replay", "--binlog", binlog, "--lake", lake,
+                  "--partitions", "8", "--window-size", "1500"])
+    rep = _run(capsys, ["fsck", "--lake", lake, "--partitions", "8", "--deep"])
+    assert rep["ok"] and rep["errors"] == [] and rep["rows_checked"] > 0
+
+    # corrupt one data file → shallow fsck fails with exit 1
+    from grafter_ray import CDCLake
+
+    victim = CDCLake(lake, num_partitions=8).files()[0]
+    tb = pq.read_table(victim)
+    pq.write_table(tb.slice(0, tb.num_rows - 1), victim)
+    assert main(["fsck", "--lake", lake, "--partitions", "8"]) == 1
+    out = json.loads([ln for ln in capsys.readouterr().out.strip().splitlines()
+                      if ln.startswith("{")][-1])
+    assert any("footer rows" in e for e in out["errors"])
+
+
 def test_tail_bounded_polls(tmp_path, capsys):
     binlog = _write_binlog(tmp_path)
     lake = str(tmp_path / "lake")

@@ -1,0 +1,92 @@
+"""Lake fsck — read-only integrity check: clean lakes pass, and each
+corruption class (missing file, row-count drift, tampered content,
+orphan staging) is detected by the matching pass."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray import BinlogConfig, CDCLake, write_binlog_parquet
+
+CFG = BinlogConfig(n_events=6_000, n_keys=500, n_repos=20, schema_every=2_000)
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_binlog_parquet(binlog, CFG, num_files=6)
+    # two windows → some partitions carry LSM delta chains
+    lk = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=16)
+    lk.apply(binlog, window_size=3_000)
+    return lk
+
+
+def test_clean_lake_passes_shallow_and_deep(lake):
+    rep = lake.fsck()
+    assert rep["ok"] and rep["errors"] == [] and rep["files_checked"] > 0
+    deep = lake.fsck(deep=True)
+    assert deep["ok"] and deep["rows_checked"] > 0
+
+
+def test_missing_file_detected(lake):
+    victim = lake.files()[0]
+    os.rename(victim, victim + ".hidden")
+    try:
+        rep = lake.fsck()
+        assert not rep["ok"]
+        assert any("missing file" in e for e in rep["errors"])
+    finally:
+        os.rename(victim + ".hidden", victim)
+
+
+def test_row_count_drift_detected(lake):
+    victim = lake.files()[0]
+    tb = pq.read_table(victim)
+    pq.write_table(tb.slice(0, max(tb.num_rows - 1, 0)), victim)
+    rep = lake.fsck()
+    assert not rep["ok"]
+    assert any("footer rows" in e for e in rep["errors"])
+
+
+def test_tampered_content_detected_by_deep(lake):
+    victim = lake.files()[0]
+    tb = pq.read_table(victim)
+    content = tb.column("content").to_pylist()
+    content[0] = (content[0] or "") + " TAMPERED"
+    tb = tb.set_column(
+        tb.column_names.index("content"), "content", pa.array(content, pa.string())
+    )
+    pq.write_table(tb, victim)  # same rows, same sha column → shallow passes
+    assert lake.fsck()["ok"]
+    deep = lake.fsck(deep=True)
+    assert not deep["ok"]
+    assert any("content_sha mismatch" in e for e in deep["errors"])
+
+
+def test_orphan_is_warning_not_error(lake):
+    orphan = os.path.join(lake.log.data_dir, "spill-v999999-0-0.parquet")
+    shutil.copyfile(lake.files()[0], orphan)
+    try:
+        rep = lake.fsck()
+        assert rep["ok"]
+        assert any("orphan" in w for w in rep["warnings"])
+    finally:
+        os.remove(orphan)
+
+
+def test_lsn_beyond_watermark_detected(lake):
+    victim = lake.files()[0]
+    tb = pq.read_table(victim)
+    lsns = tb.column("last_lsn").to_pylist()
+    lsns[0] = lake.watermark + 10_000
+    tb = tb.set_column(
+        tb.column_names.index("last_lsn"), "last_lsn", pa.array(lsns, pa.int64())
+    )
+    pq.write_table(tb, victim)
+    rep = lake.fsck()
+    assert not rep["ok"]
+    assert any("exceeds watermark" in e for e in rep["errors"])

@@ -4600,7 +4600,79 @@ r{i} AS (
 SQL_PAGERANK_SUPPLIERS = _pagerank_oracle_sql()
 
 
+_BM25_QUERIES = {
+    0: ["hash", "join"],
+    1: ["dup", "scan"],  # rare + common term: exercises the idf spread
+    2: ["window", "merge", "batch"],
+    3: ["spark"],
+}
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval for 4 fixed term queries
+    (stages/retrieval.py): corpus stats folded in one bounded exchange
+    (len(terms)+2 rows per block), idf broadcast, vectorized per-block
+    scoring, per-query top-k pre-reduction. Scores quantized to e4 and
+    RANKED on the quantized value so the double-precision oracle selects
+    the identical set."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
+def _bm25_oracle_sql(queries=_BM25_QUERIES, k=10, k1=1.2, b=0.75) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in sorted(ts)
+    )
+    return f"""
+WITH qt(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tk GROUP BY doc_id),
+corpus AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tk) AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+df AS (
+  SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tk
+  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY tok
+),
+tf AS (
+  SELECT q.query_id, t.doc_id, q.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tk t JOIN qt q ON t.tok = q.term GROUP BY q.query_id, t.doc_id, q.term
+),
+contrib AS (
+  SELECT tf.query_id, tf.doc_id,
+         ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl)) AS contrib
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+score AS (
+  SELECT query_id, doc_id, CAST(floor(sum(contrib) * 10000.0) AS BIGINT) AS score_e4
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, doc_id) AS rn
+  FROM score WHERE score_e4 > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e4
+FROM ranked WHERE rn <= {k}
+"""
+
+
+SQL_BM25_TOPK = _bm25_oracle_sql()
+
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4742,6 +4814,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bm25_topk": SQL_BM25_TOPK,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -1,0 +1,133 @@
+"""BM25 top-k retrieval over a document corpus — the batch "search a
+training corpus" primitive (query mining, pretraining-data inspection,
+hard-negative mining for retrievers).
+
+Shape at scale:
+
+  pass 1  one map_batches over the corpus folds the GLOBAL stats BM25
+          needs — doc count N, total token length L, and per-query-term
+          document frequency df(t) — into (term, partial) rows. The
+          exchange is bounded by (len(terms) + 2) rows per block; the
+          final combined table has len(terms) + 2 rows (take_all is
+          bounded by that, never by corpus size).
+  pass 2  idf table broadcast in the task closure (a few floats),
+          one map_batches scores every (query, doc) pair with a
+          vectorized tf bincount per term — the token stream never
+          leaves the block — and emits only rows with score > 0.
+  top-k   per-query block-local top-k pre-reduction + tiny final sort
+          (relational.take_per_group), so the exchange carries at most
+          k × blocks rows per query.
+
+Scores are quantized to 1e-4 (int64 ``score_e4``) and ranked on the
+QUANTIZED value with doc_id tiebreak, so the DuckDB oracle (same
+double-precision formula, same quantization) selects the identical
+top-k independent of last-ulp libm / summation-order differences —
+the same convention as cosine_pairs' ``cosine_e4``.
+
+BM25 (Robertson/Lucene form):
+  idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+  s(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+
+
+def _tokens(tb: pa.Table, text_col: str):
+    """Whitespace tokens of a block, empty tokens dropped: returns
+    (flat tokens, parent row index ndarray)."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _WS)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep).to_numpy(zero_copy_only=False)
+
+
+def bm25_topk(
+    docs,
+    queries: dict[int, list[str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dataset[documents] × {query_id: [terms]} → Dataset[(query_id,
+    doc_id, score_e4)] of the per-query BM25 top-k (score_e4 > 0)."""
+    from ..pipelines.relational import grouped_agg, take_per_group
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qitems = sorted((qid, sorted(ts)) for qid, ts in queries.items())
+
+    # ---- pass 1: corpus stats (N, L, df per term) ----
+    # "\x00N"/"\x01L" sort below any real token, and real tokens are
+    # nonempty so they can't collide with the sentinels.
+    def block_stats(tb: pa.Table) -> pa.Table:
+        flat, parent = _tokens(tb, text_col)
+        names = ["\x00N", "\x01L"]
+        vals = [float(tb.num_rows), float(len(flat))]
+        for t in terms:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            names.append(t)
+            vals.append(float(len(np.unique(parent[mask]))))
+        return pa.table({"term": pa.array(names), "v": pa.array(vals, pa.float64())})
+
+    partials = docs.map_batches(block_stats, batch_format="pyarrow", zero_copy_batch=True)
+    combined = grouped_agg(partials, ["term"], [("v", "v", "sum")])
+    stats = {r["term"]: r["v"] for r in combined.take_all()}  # len(terms)+2 rows — bounded
+    n_docs = stats["\x00N"]
+    avgdl = stats["\x01L"] / n_docs
+    idf = {
+        t: float(np.log((n_docs - stats.get(t, 0.0) + 0.5) / (stats.get(t, 0.0) + 0.5) + 1.0))
+        for t in terms
+    }
+
+    # ---- pass 2: score every (query, doc), emit positive-score rows ----
+    def score_block(tb: pa.Table) -> pa.Table:
+        nrows = tb.num_rows
+        out = {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_e4": pa.array([], pa.int64()),
+        }
+        if nrows == 0:
+            return pa.table(out)
+        flat, parent = _tokens(tb, text_col)
+        dl = np.bincount(parent, minlength=nrows).astype(np.float64)
+        tf = {}
+        for t in terms:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf[t] = np.bincount(parent[mask], minlength=nrows).astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        doc_ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for qid, qterms in qitems:
+            s = np.zeros(nrows, np.float64)
+            for t in qterms:
+                s = s + idf[t] * (tf[t] * (k1 + 1.0)) / (tf[t] + denom_base)
+            e4 = np.floor(s * 10000.0).astype(np.int64)
+            m = e4 > 0
+            if m.any():
+                parts.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(np.full(int(m.sum()), qid, np.int64)),
+                            "doc_id": pa.array(doc_ids[m].astype(np.int64)),
+                            "score_e4": pa.array(e4[m]),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(out)
+        return pa.concat_tables(parts)
+
+    scored = docs.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+    return take_per_group(
+        scored, ["query_id"], [("score_e4", "descending"), ("doc_id", "ascending")], k
+    )

@@ -1,0 +1,76 @@
+"""BM25 retrieval stage: planted-truth ranking + edge cases.
+
+The full-formula exactness is gated by the DuckDB oracle
+(tests/test_queries.py::bm25_topk); these tests pin the stage's
+behavior on inputs the synthetic corpus doesn't produce."""
+
+import math
+
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.retrieval import bm25_topk
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _run(ds, queries, **kw):
+    out = bm25_topk(ds, queries, **kw).to_pandas()
+    return out.sort_values(["query_id", "score_e4", "doc_id"], ascending=[True, False, True])
+
+
+def test_rare_term_outranks_common():
+    # doc 1 holds the only "zebra"; docs 2-4 are all-common filler
+    ds = _docs(
+        [
+            (1, "zebra cat dog"),
+            (2, "cat dog cat dog"),
+            (3, "cat cat cat"),
+            (4, "dog dog"),
+        ]
+    )
+    out = _run(ds, {0: ["zebra"], 1: ["cat"]}, k=2)
+    q0 = out[out.query_id == 0]
+    assert list(q0.doc_id) == [1]
+    q1 = out[out.query_id == 1]
+    assert len(q1) == 2 and 1 not in set(q1.doc_id[1:])  # top cat docs, not doc 1 first
+
+
+def test_tf_saturation_and_length_norm():
+    # same tf, shorter doc wins (length normalization, b > 0)
+    ds = _docs([(1, "cat dog"), (2, "cat dog mouse bird fish wolf bear lion")])
+    out = _run(ds, {0: ["cat"]}, k=2)
+    assert list(out.doc_id) == [1, 2]
+    assert out.score_e4.iloc[0] > out.score_e4.iloc[1]
+
+
+def test_absent_term_and_empty_doc():
+    ds = _docs([(1, "cat"), (2, ""), (3, "   ")])
+    out = _run(ds, {0: ["unicorn"], 1: ["cat"]}, k=5)
+    assert set(out.query_id) == {1}
+    assert list(out.doc_id) == [1]
+
+
+def test_scores_match_reference_formula():
+    ds = _docs([(1, "cat cat dog"), (2, "dog"), (3, "cat fish")])
+    out = _run(ds, {0: ["cat"]}, k=3)
+    n, avgdl = 3.0, 6.0 / 3.0
+    df = 2.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    expect = {1: math.floor(s(2, 3) * 1e4), 3: math.floor(s(1, 2) * 1e4)}
+    got = dict(zip(out.doc_id, out.score_e4))
+    assert got == expect

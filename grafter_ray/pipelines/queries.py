@@ -4671,8 +4671,39 @@ FROM ranked WHERE rn <= {k}
 SQL_BM25_TOPK = _bm25_oracle_sql()
 
 
+def q_chunk_sliding(sf_dir: str):
+    """Overlapping 16-token / stride-8 sliding-window chunking
+    (stages/text.py sliding_chunks) — the RAG / long-doc embedding
+    front end. Shuffle-free flat-map; per-block numpy index algebra,
+    no Python row loop."""
+    from ..stages.text import sliding_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sliding_chunks(ds, window=16, stride=8)
+
+
+SQL_CHUNK_SLIDING = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+nn AS (SELECT doc_id, a, len(a) AS n FROM arrs WHERE len(a) > 0),
+idx AS (
+  SELECT doc_id, a, n,
+         unnest(generate_series(
+           0, CAST(CASE WHEN n <= 16 THEN 0 ELSE ceil((n - 16) / 8.0) END AS BIGINT))) AS j
+  FROM nn
+)
+SELECT doc_id, j AS chunk_no,
+       array_to_string(list_slice(a, j * 8 + 1, least(j * 8 + 16, n)), ' ') AS chunk,
+       CAST(least(j * 8 + 16, n) - j * 8 AS BIGINT) AS n_tok
+FROM idx
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "chunk_sliding": q_chunk_sliding,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4815,6 +4846,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -380,3 +380,86 @@ def strip_html(ds, col: str = "html", out: str = "text"):
         return tb.append_column(out, strip_html_array(tb.column(col)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sliding_chunks_table(
+    tb: pa.Table,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Overlapping token-window chunking of one block — the
+    embedding-pipeline front end (RAG indexing / long-doc encoders slice
+    documents into W-token windows at stride S so no boundary sentence
+    is lost). Fully vectorized: one regex split, then numpy
+    repeat/arange index algebra + one take — the token stream never
+    leaves the block and no Python loop touches rows.
+
+    Chunk grid: starts 0, S, 2S, …; a doc of n>0 tokens yields
+    1 + ceil(max(n−W, 0)/S) chunks, the last truncated at n; empty docs
+    yield no chunks. Output (doc_id, chunk_no, chunk, n_tok) with
+    chunk = space-joined token window.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    empty = pa.table(
+        {
+            id_col: pa.array([], tb.schema.field(id_col).type),
+            "chunk_no": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+            "n_tok": pa.array([], pa.int64()),
+        }
+    )
+    if tb.num_rows == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column(text_col)), _WS)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep).combine_chunks()
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+    n = np.bincount(parent, minlength=tb.num_rows).astype(np.int64)
+
+    c = np.where(n == 0, 0, 1 + -(-np.maximum(n - window, 0) // stride))
+    total = int(c.sum())
+    if total == 0:
+        return empty
+    row_of = np.repeat(np.arange(tb.num_rows), c)
+    # chunk index within its row: global arange minus each row's first slot
+    first_slot = np.repeat(np.cumsum(c) - c, c)
+    j = np.arange(total) - first_slot
+    start = j * stride
+    length = np.minimum(start + window, n[row_of]) - start
+    # gather indices into the filtered token stream (rows are contiguous)
+    row_off = np.cumsum(n) - n
+    g_start = row_off[row_of] + start
+    tot_tok = int(length.sum())
+    tok_first = np.cumsum(length) - length
+    gidx = np.arange(tot_tok) - np.repeat(tok_first, length) + np.repeat(g_start, length)
+    vals = flat.take(pa.array(gidx, pa.int64()))
+    offsets = np.empty(total + 1, np.int64)
+    offsets[0] = 0
+    np.cumsum(length, out=offsets[1:])
+    chunks = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals), " "
+    )
+    return pa.table(
+        {
+            id_col: tb.column(id_col).take(pa.array(row_of, pa.int64())),
+            "chunk_no": pa.array(j),
+            "chunk": pc.cast(chunks, pa.string()),
+            "n_tok": pa.array(length),
+        }
+    )
+
+
+def sliding_chunks(ds, window: int = 16, stride: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper over sliding_chunks_table (embarrassingly
+    parallel; output fan-out ≈ n_tokens/stride per doc, so block sizes
+    stay bounded by the input block's token count)."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        return sliding_chunks_table(tb, window=window, stride=stride, id_col=id_col, text_col=text_col)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,70 @@
+"""sliding_chunks: boundary grid + block-layout independence.
+
+Formula exactness vs SQL is gated by the DuckDB oracle
+(tests/test_queries.py::chunk_sliding)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.text import sliding_chunks, sliding_chunks_table
+
+
+def _tb(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _words(n, tag=""):
+    return " ".join(f"w{tag}{i}" for i in range(n))
+
+
+def test_chunk_grid_boundaries():
+    tb = _tb(
+        [
+            (1, _words(3)),   # n < W  -> 1 chunk
+            (2, _words(4)),   # n == W -> 1 chunk
+            (3, _words(5)),   # n == W+1 -> 2 chunks (second truncated)
+            (4, _words(8)),   # n == W+2S -> 3 chunks
+            (5, ""),          # empty -> 0 chunks
+            (6, "   "),       # whitespace-only -> 0 chunks
+        ]
+    )
+    out = sliding_chunks_table(tb, window=4, stride=2)
+    by_doc = {}
+    for d, j, ch, nt in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("chunk_no").to_pylist(),
+        out.column("chunk").to_pylist(),
+        out.column("n_tok").to_pylist(),
+    ):
+        by_doc.setdefault(d, []).append((j, ch, nt))
+    assert by_doc[1] == [(0, "w0 w1 w2", 3)]
+    assert by_doc[2] == [(0, "w0 w1 w2 w3", 4)]
+    assert by_doc[3] == [(0, "w0 w1 w2 w3", 4), (1, "w2 w3 w4", 3)]
+    assert [c[1] for c in by_doc[4]] == ["w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7"]
+    assert 5 not in by_doc and 6 not in by_doc
+
+
+def test_overlap_covers_every_token():
+    tb = _tb([(1, _words(37))])
+    out = sliding_chunks_table(tb, window=16, stride=8)
+    seen = set()
+    for ch in out.column("chunk").to_pylist():
+        seen.update(ch.split(" "))
+    assert seen == {f"w{i}" for i in range(37)}
+
+
+def test_block_layout_independent():
+    rows = [(i, _words(5 + (i * 7) % 40, tag=f"d{i}_")) for i in range(50)]
+    one = sliding_chunks(rd.from_arrow(_tb(rows)), window=16, stride=8).to_pandas()
+    many = sliding_chunks(
+        rd.from_arrow(_tb(rows)).repartition(13), window=16, stride=8
+    ).to_pandas()
+    key = ["doc_id", "chunk_no"]
+    one = one.sort_values(key, ignore_index=True)
+    many = many.sort_values(key, ignore_index=True)
+    assert one.equals(many)

@@ -4682,6 +4682,45 @@ def q_chunk_sliding(sf_dir: str):
     return sliding_chunks(ds, window=16, stride=8)
 
 
+def q_bloom_history_dedup(sf_dir: str):
+    """Incremental-crawl dedup against an existing corpus
+    (relational.bloom_anti_join): incoming docs (doc_id % 3 == 0) are
+    kept only if their opening-16-token prefix does NOT already appear
+    in the history corpus (doc_id % 3 != 0). History folds into a
+    distributed Bloom filter broadcast once; bloom MISSES stream
+    straight out with no exchange, only bloom hits are exactly verified
+    co-group-side — at 100 TB the exchange carries ~|dupes| rows, not
+    the crawl."""
+    from .relational import bloom_anti_join
+
+    def side_prefix(incoming: bool):
+        def f(tb: pa.Table) -> pa.Table:
+            mod = tb.column("doc_id").to_numpy(zero_copy_only=False) % 3
+            tb = tb.filter(pa.array(mod == 0 if incoming else mod != 0))
+            toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(tb.column("text")), r"\s+")
+            pre = pc.binary_join(pc.list_slice(toks, 0, 16), " ")
+            return pa.table({"doc_id": tb.column("doc_id"), "pre": pc.cast(pre, pa.string())})
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    incoming = docs.map_batches(side_prefix(True), batch_format="pyarrow", zero_copy_batch=True)
+    history = docs.map_batches(side_prefix(False), batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_anti_join(incoming, history, "pre")
+
+
+SQL_BLOOM_HISTORY_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 16), ' ') AS pre
+  FROM documents
+)
+SELECT i.doc_id, i.pre FROM d i
+WHERE i.doc_id % 3 = 0
+  AND NOT EXISTS (SELECT 1 FROM d h WHERE h.doc_id % 3 <> 0 AND h.pre = i.pre)
+"""
+
+
 SQL_CHUNK_SLIDING = """
 WITH arrs AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS a
@@ -4704,6 +4743,7 @@ FROM idx
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "chunk_sliding": q_chunk_sliding,
+    "bloom_history_dedup": q_bloom_history_dedup,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4847,6 +4887,7 @@ QUERIES = {
 ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "chunk_sliding": SQL_CHUNK_SLIDING,
+    "bloom_history_dedup": SQL_BLOOM_HISTORY_DEDUP,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

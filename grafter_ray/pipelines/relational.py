@@ -556,6 +556,26 @@ def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
     tag-union co-group semi-join — so the key exchange moves ONLY bloom
     survivors, never the full left side. The result equals an exact
     semi-join regardless of the false-positive rate."""
+    return _bloom_filter_join(
+        left, right, key, anti=False, bits_log2=bits_log2, reduce_blocks=reduce_blocks
+    )
+
+
+def bloom_anti_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16):
+    """Exact anti-join with the same bloom pre-filter — the "dedup the
+    new crawl against the existing corpus" primitive. Rows that MISS the
+    bloom are definite non-matches and stream straight to the output
+    (no exchange); only bloom HITS (true matches + false positives) are
+    verified with the tag-union co-group, keeping key runs that contain
+    no right row. The key exchange therefore carries ~|matches| +
+    fp·|left| rows instead of |left|; `left` is scanned twice (miss pass
+    + hit pass), which at scale is the cheap side of that trade."""
+    return _bloom_filter_join(
+        left, right, key, anti=True, bits_log2=bits_log2, reduce_blocks=reduce_blocks
+    )
+
+
+def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, reduce_blocks: int):
     import numpy as np
 
     from ..stages.grouped import grouped_block_map, key_segments
@@ -600,17 +620,25 @@ def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
         final |= np.frombuffer(row["bloom"], np.uint64)
     bloom_box = {"ref": ray.put(final)}
 
-    def bloom_mask(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return tb
+    def _hit_mask(tb: pa.Table) -> "np.ndarray":
         bits = ray.get(bloom_box["ref"])
         h1, h2 = _hash_pair(tb.column(key))
-        keep = np.ones(tb.num_rows, dtype=bool)
+        hit = np.ones(tb.num_rows, dtype=bool)
         for i in range(K):
             pos = (h1 + np.uint64(i) * h2) % m
             word = bits[(pos >> np.uint64(6)).astype(np.int64)]
-            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
-        return tb.filter(pa.array(keep))
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return hit
+
+    def bloom_mask(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        return tb.filter(pa.array(_hit_mask(tb)))
+
+    def bloom_miss(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        return tb.filter(pa.array(~_hit_mask(tb)))
 
     survivors = left.map_batches(bloom_mask, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -637,16 +665,24 @@ def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
         )
     )
 
-    def keep_matched(tb: pa.Table) -> pa.Table:
+    # semi keeps runs that CONTAIN a right row (run_min == 0); anti keeps
+    # runs with NO right row (run_min == 1)
+    want_min = 1 if anti else 0
+
+    def keep_verified(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0 or tb.num_columns == 0:
             return pa.table({n: pa.array([], t) for n, t in zip(names, types)})
         starts, ends = key_segments(tb, [key])
         side = tb.column("__side").to_numpy(zero_copy_only=False)
         run_min = np.minimum.reduceat(side, starts)
-        keep = np.repeat(run_min == 0, ends - starts) & (side == 1)
+        keep = np.repeat(run_min == want_min, ends - starts) & (side == 1)
         return tb.filter(pa.array(keep)).drop_columns(["__side"])
 
-    return grouped_block_map(both, [key], keep_matched)
+    verified = grouped_block_map(both, [key], keep_verified)
+    if not anti:
+        return verified
+    misses = left.map_batches(bloom_miss, batch_format="pyarrow", zero_copy_batch=True)
+    return misses.union(verified)
 
 
 def broadcast_join(ds, small: pa.Table, keys: list[str], join_type: str = "inner"):

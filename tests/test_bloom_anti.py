@@ -1,0 +1,53 @@
+"""bloom_anti_join exactness: the result must equal a set anti-join
+regardless of the bloom false-positive rate — exercised with a tiny
+filter (bits_log2=8, 256 bits for hundreds of keys) so most misses
+become bloom hits and the co-group verify does the real work."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.pipelines.relational import bloom_anti_join, bloom_semi_join
+
+
+def _ds(keys, extra=None):
+    cols = {"k": pa.array(keys, pa.string())}
+    if extra is not None:
+        cols["v"] = pa.array(extra, pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+@pytest.mark.parametrize("bits_log2", [8, 23])
+def test_anti_join_exact_under_false_positives(bits_log2):
+    left_keys = [f"L{i}" for i in range(300)] + [f"B{i}" for i in range(50)]
+    right_keys = [f"R{i}" for i in range(400)] + [f"B{i}" for i in range(50)]
+    left = _ds(left_keys, list(range(350))).repartition(7)
+    right = _ds(right_keys).repartition(5)
+
+    out = bloom_anti_join(left, right, "k", bits_log2=bits_log2).to_pandas()
+    want = {k for k in left_keys if k not in set(right_keys)}
+    assert set(out.k) == want
+    assert len(out) == len(want)  # no duplicated rows from the two-stream union
+    # payload column survives intact
+    assert set(out.v) == {i for i, k in enumerate(left_keys) if k in want}
+
+
+def test_anti_plus_semi_partition_left():
+    left_keys = [f"x{i % 37}" for i in range(200)]
+    right_keys = [f"x{i}" for i in range(0, 37, 2)]
+    left = _ds(left_keys, list(range(200))).repartition(5)
+    right = _ds(right_keys).repartition(3)
+    anti = bloom_anti_join(left, right, "k", bits_log2=8).to_pandas()
+    semi = bloom_semi_join(left, right, "k", bits_log2=8).to_pandas()
+    assert len(anti) + len(semi) == 200
+    assert set(anti.v) | set(semi.v) == set(range(200))
+    assert not (set(anti.k) & set(semi.k))
+
+
+def test_empty_sides():
+    left = _ds([f"a{i}" for i in range(10)], list(range(10)))
+    empty = _ds([])
+    out = bloom_anti_join(left, empty, "k").to_pandas()
+    assert len(out) == 10
+    out2 = bloom_anti_join(empty, left, "k").to_pandas()
+    assert len(out2) == 0

@@ -120,6 +120,10 @@ QUERY_SUBSET = [
     "license_detect",
     "code_imports",
     "cross_decontaminate",
+    # round-4 session-8 additions
+    "bm25_topk",
+    "chunk_sliding",
+    "bloom_history_dedup",
 ]
 
 

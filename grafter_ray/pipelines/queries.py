@@ -4682,6 +4682,64 @@ def q_chunk_sliding(sf_dir: str):
     return sliding_chunks(ds, window=16, stride=8)
 
 
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _shared_text_index(sf_dir: str) -> str:
+    """Build-once inverted text index over documents (same atomic
+    tmp-dir publish recipe as _shared_docs_lake); queries share it so
+    the lookup measures LOOKUP cost, while the build cost stays covered
+    by the first call."""
+    got = _TEXT_INDEX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..stages.retrieval import build_text_index
+
+    n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n_docs}|txtidx-v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"graftray_txtidx_{key}")
+    if not os.path.exists(os.path.join(root, "_INDEX.json")):
+        build = f"{root}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        build_text_index(
+            _read(sf_dir, "documents", ["doc_id", "text"]), build, num_partitions=32
+        )
+        try:
+            os.rename(build, root)  # atomic publish; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    _TEXT_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+def q_text_index_lookup(sf_dir: str):
+    """Point lookup against the persisted inverted text index
+    (stages/retrieval.py build_text_index / text_index_lookup): postings
+    for two terms, opening ONLY the terms' hash partitions and pruning
+    row groups via the token-sorted footer stats — O(touched partitions),
+    never a corpus scan. The text-keyed analogue of lake_point_lookup."""
+    from ..stages.retrieval import text_index_lookup
+
+    root = _shared_text_index(sf_dir)
+    return text_index_lookup(root, ["hash", "dup"])
+
+
+SQL_TEXT_INDEX_LOOKUP = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+)
+SELECT tok AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE tok IN ('hash', 'dup')
+GROUP BY tok, doc_id
+"""
+
+
 def q_bloom_history_dedup(sf_dir: str):
     """Incremental-crawl dedup against an existing corpus
     (relational.bloom_anti_join): incoming docs (doc_id % 3 == 0) are
@@ -4744,6 +4802,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "chunk_sliding": q_chunk_sliding,
     "bloom_history_dedup": q_bloom_history_dedup,
+    "text_index_lookup": q_text_index_lookup,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4888,6 +4947,7 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "bloom_history_dedup": SQL_BLOOM_HISTORY_DEDUP,
+    "text_index_lookup": SQL_TEXT_INDEX_LOOKUP,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

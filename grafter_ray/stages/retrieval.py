@@ -131,3 +131,112 @@ def bm25_topk(
     return take_per_group(
         scored, ["query_id"], [("score_e4", "descending"), ("doc_id", "ascending")], k
     )
+
+
+def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+    """Persist an inverted text index as a hash-partitioned parquet
+    lake — build once, point-lookup forever (the reference's native
+    store serves lookups from key-ordered covering indexes,
+    repository.clj:126-136; this is the token-keyed analogue).
+
+    Layout: ``index_dir/part={hash(token) % P}/postings-*.parquet`` with
+    rows (token, doc_id, tf), token-sorted within every file and written
+    with small row groups, so a lookup opens ONLY the term's hash
+    partition and prunes row groups from footer stats. ``_INDEX.json``
+    (partition count + file list) is written last = the commit point; a
+    crashed build leaves no manifest and is simply rebuilt.
+
+    Build shape: per-block exact (token, doc_id, tf) via one Arrow
+    group_by (a doc never spans blocks), then ONE key exchange on
+    (part, token) co-locates each partition's postings; the writer emits
+    one file per part-run per block (≤ P files per block, Python loop
+    bounded by P, not rows)."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..stages.grouped import grouped_block_map, key_segments
+    from ..util import key_hash_array
+
+    P = int(num_partitions)
+    for p in range(P):
+        os.makedirs(os.path.join(index_dir, f"part={p}"), exist_ok=True)
+
+    def postings(tb: pa.Table) -> pa.Table:
+        flat, parent = _tokens(tb, text_col)
+        t = pa.table(
+            {
+                "token": flat,
+                "doc_id": tb.column(id_col).take(pa.array(parent, pa.int64())),
+                "one": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        agg = t.group_by(["token", "doc_id"]).aggregate([("one", "sum")])
+        part = key_hash_array(agg.column("token")) % np.uint64(P)
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int64)),
+                "token": agg.column("token"),
+                "doc_id": pc.cast(agg.column("doc_id"), pa.int64()),
+                "tf": pc.cast(agg.column("one_sum"), pa.int64()),
+            }
+        )
+
+    parts_ds = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def write_runs(tb: pa.Table) -> pa.Table:
+        starts, ends = key_segments(tb, ["part"])
+        names = []
+        for s, e in zip(starts, ends):
+            p = int(tb.column("part")[int(s)].as_py())
+            sub = tb.slice(int(s), int(e - s)).drop_columns(["part"])
+            fname = f"postings-{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(
+                sub, os.path.join(index_dir, f"part={p}", fname), row_group_size=4096
+            )
+            names.append(f"part={p}/{fname}")
+        return pa.table({"file": pa.array(names, pa.string())})
+
+    files = grouped_block_map(parts_ds, ["part", "token"], write_runs).take_all()  # ≤ P×blocks rows
+    manifest = {
+        "num_partitions": P,
+        "files": sorted(r["file"] for r in files),
+        "tokenizer": "whitespace-v1",
+    }
+    with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def text_index_lookup(index_dir: str, terms: list[str]):
+    """Postings lookup against a build_text_index lake: opens ONLY the
+    hash partitions the terms land in, reads with a token predicate
+    (row groups pruned via the token-sorted file stats), returns
+    Dataset[(token, doc_id, tf)]. Cost is O(|touched partitions|), never
+    O(corpus)."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..util import coalesced_read_parquet, key_hash_array
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        man = json.load(f)
+    P = man["num_partitions"]
+    want = {int(key_hash_array(pa.array([t], pa.string()))[0] % np.uint64(P)) for t in terms}
+    paths = [
+        os.path.join(index_dir, f)
+        for f in man["files"]
+        if int(f.split("=", 1)[1].split("/", 1)[0]) in want
+    ]
+    empty = pa.table(
+        {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())}
+    )
+    if not paths:
+        return rd.from_arrow(empty)
+    flt = pads.field("token").isin(sorted(terms))
+    return coalesced_read_parquet(paths, columns=["token", "doc_id", "tf"], filter=flt)

@@ -1,0 +1,72 @@
+"""Persisted inverted text index: postings exactness, partition
+pruning, manifest-as-commit-point."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.retrieval import build_text_index, text_index_lookup
+from grafter_ray.util import key_hash_array
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+ROWS = [
+    (1, "cat dog cat"),
+    (2, "dog dog dog fish"),
+    (3, "cat fish"),
+    (4, ""),
+    (5, "zebra"),
+]
+
+
+def _expected_postings():
+    want = {}
+    for did, text in ROWS:
+        for tok in text.split():
+            want[(tok, did)] = want.get((tok, did), 0) + 1
+    return want
+
+
+def test_postings_exact_and_pruned(tmp_path):
+    idx = str(tmp_path / "idx")
+    man = build_text_index(_docs(ROWS).repartition(3), idx, num_partitions=8)
+    assert man["num_partitions"] == 8
+
+    out = text_index_lookup(idx, ["cat", "dog", "zebra"]).to_pandas()
+    got = {(r.token, r.doc_id): r.tf for r in out.itertuples()}
+    want = {k: v for k, v in _expected_postings().items() if k[0] in {"cat", "dog", "zebra"}}
+    assert got == want
+
+    # pruning: the lookup only lists files from the terms' hash partitions
+    p_cat = int(key_hash_array(pa.array(["cat"]))[0] % 8)
+    with open(os.path.join(idx, "_INDEX.json")) as f:
+        files = json.load(f)["files"]
+    other_parts = {f.split("=", 1)[1].split("/", 1)[0] for f in files} - {str(p_cat)}
+    only_cat = text_index_lookup(idx, ["cat"]).to_pandas()
+    assert set(only_cat.token) == {"cat"}
+    assert len(other_parts) >= 1  # fixture actually spreads across partitions
+
+
+def test_absent_term_empty(tmp_path):
+    idx = str(tmp_path / "idx")
+    build_text_index(_docs(ROWS), idx, num_partitions=4)
+    out = text_index_lookup(idx, ["unicorn"]).to_pandas()
+    assert len(out) == 0
+
+
+def test_no_manifest_means_no_index(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        text_index_lookup(str(tmp_path / "nothere"), ["cat"])

@@ -4730,6 +4730,30 @@ def q_text_index_lookup(sf_dir: str):
     return text_index_lookup(root, ["hash", "dup"])
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Data-mixing to a per-bucket weight budget (stages/sampling.py
+    budget_sample): keep documents per language, in the LCG pseudo-random
+    order, while the running n_chars total stays within 20k — the
+    "B tokens per mixture bucket" step of a pretraining data recipe.
+    One key exchange; selection is SQL-exact."""
+    from ..stages.sampling import budget_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return budget_sample(ds, ["lang"], "doc_id", "n_chars", 20_000)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+         ) AS cum
+  FROM documents
+) WHERE cum <= 20000
+"""
+
+
 SQL_TEXT_INDEX_LOOKUP = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
@@ -4803,6 +4827,7 @@ QUERIES = {
     "chunk_sliding": q_chunk_sliding,
     "bloom_history_dedup": q_bloom_history_dedup,
     "text_index_lookup": q_text_index_lookup,
+    "token_budget_sample": q_token_budget_sample,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4948,6 +4973,7 @@ ORACLE_SQL = {
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "bloom_history_dedup": SQL_BLOOM_HISTORY_DEDUP,
     "text_index_lookup": SQL_TEXT_INDEX_LOOKUP,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -120,6 +120,37 @@ def grouped_exact_k_sample(ds, keys: list[str], id_col: str, k: int):
     )
 
 
+def budget_sample(ds, keys: list[str], id_col: str, weight_col: str, budget: int):
+    """Mixture sampling to a WEIGHT BUDGET per group (the pretraining
+    data-mixing step: "take ~B tokens per language/source/quality
+    bucket"): rows enter each group in the LCG-hash pseudo-random order
+    (ties broken by id — seed-free, rerun- and shard-order-stable) and
+    a row is kept iff the running weight total through it stays within
+    the group's budget. One key exchange (the window cumsum); the
+    selection is SQL-exact:
+
+      sum(w) OVER (PARTITION BY keys
+                   ORDER BY (id*1103515245+12345)%2147483648, id) <= B
+
+    The running total is a float64 cumsum — exact while a group's total
+    weight stays below 2^53, which at 100 TB of token counts it does."""
+    from .analytic import window_functions
+
+    def rank(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        return tb.append_column("__h", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    win = window_functions(ranked, keys, ["__h", id_col], [("__cum", weight_col, "cumsum")])
+
+    def filt(tb: pa.Table) -> pa.Table:
+        cum = tb.column("__cum").to_numpy(zero_copy_only=False)
+        return tb.filter(pa.array(cum <= budget)).drop_columns(["__h", "__cum"])
+
+    return win.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def weighted_sample_k(ds, id_col: str, weight_col: str, k: int):
     """Exactly-k WEIGHTED deterministic sample (priority sampling,
     Duffield-Lund-Thorup JACM'07 shape): each row gets priority

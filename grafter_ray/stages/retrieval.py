@@ -166,14 +166,18 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
 
     def postings(tb: pa.Table) -> pa.Table:
         flat, parent = _tokens(tb, text_col)
+        # dl rides along as a group key (constant per doc, grouping
+        # unchanged) so every posting is self-contained for BM25
+        dl = np.bincount(parent, minlength=tb.num_rows).astype(np.int64)
         t = pa.table(
             {
                 "token": flat,
                 "doc_id": tb.column(id_col).take(pa.array(parent, pa.int64())),
+                "dl": pa.array(dl[parent]),
                 "one": pa.array(np.ones(len(flat), np.int64)),
             }
         )
-        agg = t.group_by(["token", "doc_id"]).aggregate([("one", "sum")])
+        agg = t.group_by(["token", "doc_id", "dl"]).aggregate([("one", "sum")])
         part = key_hash_array(agg.column("token")) % np.uint64(P)
         return pa.table(
             {
@@ -181,6 +185,7 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
                 "token": agg.column("token"),
                 "doc_id": pc.cast(agg.column("doc_id"), pa.int64()),
                 "tf": pc.cast(agg.column("one_sum"), pa.int64()),
+                "dl": agg.column("dl"),
             }
         )
 
@@ -200,17 +205,131 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
         return pa.table({"file": pa.array(names, pa.string())})
 
     files = grouped_block_map(parts_ds, ["part", "token"], write_runs).take_all()  # ≤ P×blocks rows
+
+    # corpus stats for index-only BM25 (N counts EMPTY docs too, which
+    # emit no postings — hence a second 2-column scan, a one-time build
+    # cost): one (n, l) row per block, folded driver-side (blocks rows)
+    def block_nl(tb: pa.Table) -> pa.Table:
+        flat, _ = _tokens(tb, text_col)
+        return pa.table(
+            {
+                "n": pa.array([tb.num_rows], pa.int64()),
+                "l": pa.array([len(flat)], pa.int64()),
+            }
+        )
+
+    nl = docs.map_batches(block_nl, batch_format="pyarrow", zero_copy_batch=True).take_all()
     manifest = {
         "num_partitions": P,
         "files": sorted(r["file"] for r in files),
         "tokenizer": "whitespace-v1",
+        "n_docs": int(sum(r["n"] for r in nl)),
+        "total_tokens": int(sum(r["l"] for r in nl)),
     }
     with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
 
 
-def text_index_lookup(index_dir: str, terms: list[str]):
+def bm25_indexed_topk(
+    index_dir: str,
+    queries: dict[int, list[str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k served ENTIRELY from the persisted index — no corpus
+    scan: postings for the query terms come from the pruned partition
+    read (tf and dl are stored per posting; a (token, doc) posting is
+    globally unique because a doc lives in exactly one build block), df
+    is a bounded aggregate over those postings, and N / avgdl come from
+    the manifest. Produces the identical result to the scan-side
+    bm25_topk (same formula, same e4 quantization, same quantized-rank
+    tiebreak) — the oracle-gated equivalence is the point."""
+    import json
+    import os
+
+    from ..pipelines.relational import grouped_agg, take_per_group
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        man = json.load(f)
+    n_docs = float(man["n_docs"])
+    avgdl = float(man["total_tokens"]) / n_docs
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    post = text_index_lookup(index_dir, terms, columns=["token", "doc_id", "tf", "dl"])
+
+    # df per term: one bounded aggregate over the PRUNED postings
+    def block_df(tb: pa.Table) -> pa.Table:
+        agg = tb.group_by(["token"]).aggregate([("doc_id", "count")])
+        return pa.table(
+            {"token": agg.column("token"), "c": pc.cast(agg.column("doc_id_count"), pa.int64())}
+        )
+
+    partials = post.map_batches(block_df, batch_format="pyarrow", zero_copy_batch=True)
+    combined = grouped_agg(partials, ["token"], [("c", "c", "sum")])
+    df = {r["token"]: float(r["c"]) for r in combined.take_all()}  # ≤ len(terms) rows
+    idf = {
+        t: float(np.log((n_docs - df.get(t, 0.0) + 0.5) / (df.get(t, 0.0) + 0.5) + 1.0))
+        for t in terms
+    }
+    term_qids = {}
+    for qid, ts in sorted(queries.items()):
+        for t in ts:
+            term_qids.setdefault(t, []).append(qid)
+
+    def contribs(tb: pa.Table) -> pa.Table:
+        tf = tb.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = tb.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for t, qids in term_qids.items():  # ≤ len(terms) vector passes
+            m = pc.equal(tb.column("token"), t).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            ct = idf[t] * (tf[m] * (k1 + 1.0)) / (tf[m] + k1 * (1.0 - b + b * dl[m] / avgdl))
+            for qid in qids:
+                parts.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(np.full(int(m.sum()), qid, np.int64)),
+                            "doc_id": pa.array(doc[m].astype(np.int64)),
+                            "c": pa.array(ct),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    per_pair = post.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True)
+    summed = grouped_agg(per_pair, ["query_id", "doc_id"], [("s", "c", "sum")])
+
+    def quantize(tb: pa.Table) -> pa.Table:
+        e4 = np.floor(tb.column("s").to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+        out = pa.table(
+            {
+                "query_id": pc.cast(tb.column("query_id"), pa.int64()),
+                "doc_id": pc.cast(tb.column("doc_id"), pa.int64()),
+                "score_e4": pa.array(e4),
+            }
+        )
+        return out.filter(pa.array(e4 > 0))
+
+    scored = summed.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    return take_per_group(
+        scored, ["query_id"], [("score_e4", "descending"), ("doc_id", "ascending")], k
+    )
+
+
+def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | None = None):
     """Postings lookup against a build_text_index lake: opens ONLY the
     hash partitions the terms land in, reads with a token predicate
     (row groups pruned via the token-sorted file stats), returns
@@ -234,9 +353,16 @@ def text_index_lookup(index_dir: str, terms: list[str]):
         if int(f.split("=", 1)[1].split("/", 1)[0]) in want
     ]
     empty = pa.table(
-        {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())}
+        {
+            "token": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        }
     )
     if not paths:
-        return rd.from_arrow(empty)
+        return rd.from_arrow(empty.select(columns or ["token", "doc_id", "tf"]))
     flt = pads.field("token").isin(sorted(terms))
-    return coalesced_read_parquet(paths, columns=["token", "doc_id", "tf"], filter=flt)
+    return coalesced_read_parquet(
+        paths, columns=columns or ["token", "doc_id", "tf"], filter=flt
+    )

@@ -153,14 +153,58 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
     bounded by P, not rows)."""
     import json
     import os
+
+    P = int(num_partitions)
+    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col)
+    manifest = {
+        "num_partitions": P,
+        "files": sorted(files),
+        "tokenizer": "whitespace-v1",
+        "n_docs": n,
+        "total_tokens": l,
+    }
+    with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def extend_text_index(docs, index_dir: str, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Append a NEW document batch (e.g. the next crawl) to an existing
+    index without rebuilding: new postings files land in the same hash
+    partitions, and the manifest update (file list + corpus stats) is
+    published atomically via tmp+rename — a crashed extend leaves only
+    orphan files the manifest never references (invisible to lookups,
+    swept by a rebuild). Caller contract: doc_ids must be NEW (the index
+    stores one posting per (token, doc) — re-adding a doc would double
+    it, exactly like the binlog writer's append semantics)."""
+    import json
+    import os
+
+    man_path = os.path.join(index_dir, "_INDEX.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    P = int(man["num_partitions"])
+    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col)
+    man["files"] = sorted(set(man["files"]) | set(files))
+    man["n_docs"] = int(man["n_docs"]) + n
+    man["total_tokens"] = int(man["total_tokens"]) + l
+    tmp = f"{man_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)  # atomic publish
+    return man
+
+
+def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str):
+    """Shared build/extend body: write one postings parquet per
+    (part-run, block) and return (files, n_docs, total_tokens)."""
+    import os
     import uuid
 
     import pyarrow.parquet as pq
 
     from ..stages.grouped import grouped_block_map, key_segments
     from ..util import key_hash_array
-
-    P = int(num_partitions)
     for p in range(P):
         os.makedirs(os.path.join(index_dir, f"part={p}"), exist_ok=True)
 
@@ -219,16 +263,11 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
         )
 
     nl = docs.map_batches(block_nl, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    manifest = {
-        "num_partitions": P,
-        "files": sorted(r["file"] for r in files),
-        "tokenizer": "whitespace-v1",
-        "n_docs": int(sum(r["n"] for r in nl)),
-        "total_tokens": int(sum(r["l"] for r in nl)),
-    }
-    with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
-        json.dump(manifest, f)
-    return manifest
+    return (
+        [r["file"] for r in files],
+        int(sum(r["n"] for r in nl)),
+        int(sum(r["l"] for r in nl)),
+    )
 
 
 def bm25_indexed_topk(
@@ -360,9 +399,17 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
             "dl": pa.array([], pa.int64()),
         }
     )
+    cols = columns or ["token", "doc_id", "tf"]
+    typed = empty.select(cols)
     if not paths:
-        return rd.from_arrow(empty.select(columns or ["token", "doc_id", "tf"]))
+        return rd.from_arrow(typed)
     flt = pads.field("token").isin(sorted(terms))
-    return coalesced_read_parquet(
-        paths, columns=columns or ["token", "doc_id", "tf"], filter=flt
+
+    def fix_schema(tb: pa.Table) -> pa.Table:
+        # a filter that matches nothing yields schema-less empty blocks
+        # (Ray coalesces them bare) — rebuild the typed columns
+        return typed if tb.num_columns == 0 else tb
+
+    return coalesced_read_parquet(paths, columns=cols, filter=flt).map_batches(
+        fix_schema, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -70,3 +70,30 @@ def test_absent_term_empty(tmp_path):
 def test_no_manifest_means_no_index(tmp_path):
     with pytest.raises(FileNotFoundError):
         text_index_lookup(str(tmp_path / "nothere"), ["cat"])
+
+
+def test_extend_equals_full_rebuild(tmp_path):
+    from grafter_ray.stages.retrieval import bm25_indexed_topk, extend_text_index
+
+    rows_a = [(i, f"cat w{i} dog" if i % 2 else f"fish w{i}") for i in range(1, 30)]
+    rows_b = [(i, f"dog w{i} zebra" if i % 3 else f"cat cat w{i}") for i in range(100, 140)]
+
+    inc = str(tmp_path / "inc")
+    build_text_index(_docs(rows_a).repartition(3), inc, num_partitions=8)
+    man = extend_text_index(_docs(rows_b).repartition(4), inc)
+
+    full = str(tmp_path / "full")
+    man_full = build_text_index(_docs(rows_a + rows_b).repartition(5), full, num_partitions=8)
+
+    assert man["n_docs"] == man_full["n_docs"]
+    assert man["total_tokens"] == man_full["total_tokens"]
+
+    for terms in (["cat"], ["dog", "zebra"], ["unicorn"]):
+        a = sorted(map(tuple, text_index_lookup(inc, terms).to_pandas().values.tolist()))
+        b = sorted(map(tuple, text_index_lookup(full, terms).to_pandas().values.tolist()))
+        assert a == b
+
+    q = {0: ["cat", "dog"], 1: ["zebra"]}
+    ia = bm25_indexed_topk(inc, q, k=5).to_pandas().sort_values(["query_id", "score_e4", "doc_id"], ignore_index=True)
+    ib = bm25_indexed_topk(full, q, k=5).to_pandas().sort_values(["query_id", "score_e4", "doc_id"], ignore_index=True)
+    assert ia.equals(ib)

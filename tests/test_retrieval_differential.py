@@ -1,0 +1,98 @@
+"""Differential fuzzing of BM25 (scan-side and index-served) and
+budget_sample vs DuckDB: random corpora with empty docs, absent terms,
+rare/common term mixes, random k1/b, random budgets."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+VOCAB = ["cat", "dog", "fish", "bird", "wolf", "bear", "zebra", "ant", "bee", "owl"]
+
+
+def _corpus(rng: random.Random, n_docs: int) -> pa.Table:
+    texts = []
+    for i in range(n_docs):
+        if rng.random() < 0.07:
+            texts.append(rng.choice(["", "   "]))
+            continue
+        ln = rng.randrange(1, 40)
+        # zipf-ish: low vocab indexes much more likely
+        words = [VOCAB[min(int(rng.expovariate(0.55)), len(VOCAB) - 1)] for _ in range(ln)]
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(1, n_docs + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.values.tolist()))
+
+
+def test_bm25_matches_duckdb_and_index_path(tmp_path):
+    from grafter_ray.pipelines.queries import _bm25_oracle_sql
+    from grafter_ray.stages.retrieval import bm25_indexed_topk, bm25_topk, build_text_index
+
+    rng = random.Random(2718)
+    for trial in range(4):
+        tb = _corpus(rng, rng.choice([40, 150, 400]))
+        nq = rng.randrange(1, 4)
+        queries = {
+            qid: sorted(rng.sample(VOCAB + ["unicorn"], rng.randrange(1, 4)))
+            for qid in range(nq)
+        }
+        k = rng.choice([3, 7, 15])
+        k1 = rng.choice([0.9, 1.2, 2.0])
+        b = rng.choice([0.0, 0.4, 0.75])
+
+        ds = rd.from_arrow(tb).repartition(1 + trial * 2)
+        got = bm25_topk(ds, queries, k=k, k1=k1, b=b).to_pandas()
+
+        con = duckdb.connect()
+        con.register("documents", tb)
+        ref = con.execute(_bm25_oracle_sql(queries, k=k, k1=k1, b=b)).df()
+        assert _rows(got) == _rows(ref), f"trial {trial} scan-side mismatch"
+
+        idx = str(tmp_path / f"idx{trial}")
+        build_text_index(ds, idx, num_partitions=rng.choice([4, 16]))
+        got_idx = bm25_indexed_topk(idx, queries, k=k, k1=k1, b=b).to_pandas()
+        assert _rows(got_idx) == _rows(ref), f"trial {trial} index-side mismatch"
+
+
+def test_budget_sample_matches_duckdb():
+    from grafter_ray.stages.sampling import budget_sample
+
+    rng = random.Random(1618)
+    for trial in range(5):
+        n = rng.choice([50, 300, 1000])
+        tb = pa.table(
+            {
+                "doc_id": pa.array(rng.sample(range(1, 100_000), n), pa.int64()),
+                "grp": pa.array([f"g{rng.randrange(1, 7)}" for _ in range(n)], pa.string()),
+                "w": pa.array([rng.randrange(0, 200) for _ in range(n)], pa.int64()),
+            }
+        )
+        budget = rng.choice([0, 37, 500, 4000])
+        got = budget_sample(
+            rd.from_arrow(tb).repartition(1 + trial * 3), ["grp"], "doc_id", "w", budget
+        ).to_pandas()
+
+        con = duckdb.connect()
+        con.register("t", tb)
+        ref = con.execute(
+            f"""
+            SELECT doc_id, grp, w FROM (
+              SELECT *, sum(w) OVER (
+                PARTITION BY grp
+                ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+              ) AS cum FROM t
+            ) WHERE cum <= {budget}
+            """
+        ).df()
+        got_rows = sorted(got.doc_id.tolist()) if len(got) else []
+        ref_rows = sorted(ref.doc_id.tolist()) if len(ref) else []
+        assert got_rows == ref_rows, f"trial {trial} budget mismatch"

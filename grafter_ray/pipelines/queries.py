@@ -4701,14 +4701,17 @@ def _shared_text_index(sf_dir: str) -> str:
 
     n_docs = _read_table(sf_dir, "documents", ["doc_id"]).num_rows
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_docs}|txtidx-v2".encode()
+        f"{os.path.abspath(sf_dir)}|{n_docs}|txtidx-v3".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"graftray_txtidx_{key}")
     if not os.path.exists(os.path.join(root, "_INDEX.json")):
         build = f"{root}.build-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         build_text_index(
-            _read(sf_dir, "documents", ["doc_id", "text"]), build, num_partitions=32
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            build,
+            num_partitions=32,
+            positions=True,
         )
         try:
             os.rename(build, root)  # atomic publish; loser of a race cleans up
@@ -4761,6 +4764,31 @@ WITH toks AS (
 SELECT tok AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM toks WHERE tok IN ('hash', 'dup')
 GROUP BY tok, doc_id
+"""
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search ("hash join") over the positional inverted
+    index (stages/retrieval.py phrase_search): pruned partition read of
+    the two terms' postings, ONE doc_id exchange, vectorized-across-docs
+    adjacency verify via an np.isin key chain — no per-doc Python
+    dispatch, no corpus scan."""
+    from ..stages.retrieval import phrase_search
+
+    root = _shared_text_index(sf_dir)
+    return phrase_search(root, ["hash", "join"])
+
+
+SQL_PHRASE_SEARCH = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(a) AS tok, unnest(generate_series(1, len(a))) AS ord FROM arrs)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+WHERE a.tok = 'hash' AND b.tok = 'join'
+GROUP BY a.doc_id
 """
 
 
@@ -4842,6 +4870,7 @@ QUERIES = {
     "text_index_lookup": q_text_index_lookup,
     "token_budget_sample": q_token_budget_sample,
     "bm25_indexed": q_bm25_indexed,
+    "phrase_search": q_phrase_search,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -4989,6 +5018,7 @@ ORACLE_SQL = {
     "text_index_lookup": SQL_TEXT_INDEX_LOOKUP,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "bm25_indexed": SQL_BM25_TOPK,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -133,7 +133,7 @@ def bm25_topk(
     )
 
 
-def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col: str = "text", id_col: str = "doc_id", positions: bool = False):
     """Persist an inverted text index as a hash-partitioned parquet
     lake — build once, point-lookup forever (the reference's native
     store serves lookups from key-ordered covering indexes,
@@ -155,11 +155,12 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
     import os
 
     P = int(num_partitions)
-    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col)
+    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col, positions)
     manifest = {
         "num_partitions": P,
         "files": sorted(files),
         "tokenizer": "whitespace-v1",
+        "positions": bool(positions),
         "n_docs": n,
         "total_tokens": l,
     }
@@ -184,7 +185,7 @@ def extend_text_index(docs, index_dir: str, *, text_col: str = "text", id_col: s
     with open(man_path) as f:
         man = json.load(f)
     P = int(man["num_partitions"])
-    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col)
+    files, n, l = _write_postings(docs, index_dir, P, text_col, id_col, bool(man.get("positions")))
     man["files"] = sorted(set(man["files"]) | set(files))
     man["n_docs"] = int(man["n_docs"]) + n
     man["total_tokens"] = int(man["total_tokens"]) + l
@@ -195,7 +196,7 @@ def extend_text_index(docs, index_dir: str, *, text_col: str = "text", id_col: s
     return man
 
 
-def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str):
+def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str, with_positions: bool = False):
     """Shared build/extend body: write one postings parquet per
     (part-run, block) and return (files, n_docs, total_tokens)."""
     import os
@@ -210,28 +211,39 @@ def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str):
 
     def postings(tb: pa.Table) -> pa.Table:
         flat, parent = _tokens(tb, text_col)
-        # dl rides along as a group key (constant per doc, grouping
-        # unchanged) so every posting is self-contained for BM25
-        dl = np.bincount(parent, minlength=tb.num_rows).astype(np.int64)
+        # dl and (optionally) within-doc positions ride along so every
+        # posting is self-contained for BM25 / phrase adjacency
+        n = np.bincount(parent, minlength=tb.num_rows).astype(np.int64)
+        row_start = np.cumsum(n) - n
+        pos = np.arange(len(parent), dtype=np.int64) - row_start[parent]
         t = pa.table(
             {
                 "token": flat,
-                "doc_id": tb.column(id_col).take(pa.array(parent, pa.int64())),
-                "dl": pa.array(dl[parent]),
-                "one": pa.array(np.ones(len(flat), np.int64)),
+                "doc_id": pc.cast(
+                    tb.column(id_col).take(pa.array(parent, pa.int64())), pa.int64()
+                ),
+                "dl": pa.array(n[parent]),
+                "pos": pa.array(pos.astype(np.int32), pa.int32()),
             }
-        )
-        agg = t.group_by(["token", "doc_id", "dl"]).aggregate([("one", "sum")])
-        part = key_hash_array(agg.column("token")) % np.uint64(P)
-        return pa.table(
-            {
-                "part": pa.array(part.astype(np.int64)),
-                "token": agg.column("token"),
-                "doc_id": pc.cast(agg.column("doc_id"), pa.int64()),
-                "tf": pc.cast(agg.column("one_sum"), pa.int64()),
-                "dl": agg.column("dl"),
-            }
-        )
+        ).sort_by([("token", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")])
+        starts, ends = key_segments(t, ["token", "doc_id"])
+        take = pa.array(starts)
+        token = t.column("token").take(take).combine_chunks()
+        cols = {
+            "part": pa.array((key_hash_array(token) % np.uint64(P)).astype(np.int64)),
+            "token": token,
+            "doc_id": t.column("doc_id").take(take),
+            "tf": pa.array(ends - starts),
+            "dl": t.column("dl").take(take),
+        }
+        if with_positions:
+            # sorted runs tile the table, so run starts + total length ARE
+            # the list offsets over the pos values
+            offsets = np.append(starts, t.num_rows).astype(np.int32)
+            cols["pos"] = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), t.column("pos").combine_chunks()
+            )
+        return pa.table(cols)
 
     parts_ds = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -397,6 +409,7 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
             "doc_id": pa.array([], pa.int64()),
             "tf": pa.array([], pa.int64()),
             "dl": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.list_(pa.int32())),
         }
     )
     cols = columns or ["token", "doc_id", "tf"]
@@ -413,3 +426,69 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
     return coalesced_read_parquet(paths, columns=cols, filter=flt).map_batches(
         fix_schema, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def phrase_search(index_dir: str, phrase: list[str]):
+    """Exact phrase search over a positional index (built with
+    ``positions=True``): returns Dataset[(doc_id, n_occ)] — documents
+    containing the token sequence, with the (overlap-counting) number
+    of occurrences.
+
+    Shape: postings for the phrase's DISTINCT terms come from the
+    pruned partition read; one exchange on doc_id co-locates each
+    candidate doc's postings; verification is vectorized ACROSS docs —
+    per phrase slot i, positions become keys dense_doc·stride +
+    (pos − i), and candidate starts survive an np.isin chain. No
+    per-doc Python dispatch, no corpus scan."""
+    import json
+    import os
+
+    from ..stages.grouped import grouped_block_map
+
+    if not phrase:
+        raise ValueError("empty phrase")
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        man = json.load(f)
+    if not man.get("positions"):
+        raise ValueError("index was built without positions=True")
+
+    m = len(phrase)
+    post = text_index_lookup(
+        index_dir, sorted(set(phrase)), columns=["token", "doc_id", "pos"]
+    )
+
+    def verify(tb: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_occ": pa.array([], pa.int64())}
+        )
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return out_empty
+        doc = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        plist = tb.column("pos")
+        if isinstance(plist, pa.ChunkedArray):
+            plist = plist.combine_chunks()
+        flat_pos = plist.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        row_doc = np.repeat(doc, counts)
+        uniq, dense_all = np.unique(row_doc, return_inverse=True)
+        stride = int(flat_pos.max() if len(flat_pos) else 0) + m + 2
+        tokrow = np.repeat(np.arange(tb.num_rows, dtype=np.int64), counts)
+        tok = tb.column("token")
+        cand = None
+        for i, term in enumerate(phrase):
+            rows = pc.equal(tok, term).to_numpy(zero_copy_only=False)
+            sel = rows[tokrow]
+            keys = dense_all[sel] * stride + (flat_pos[sel] - i)
+            cand = keys if cand is None else cand[np.isin(cand, keys)]
+            if len(cand) == 0:
+                return out_empty
+        n_occ = np.bincount(cand // stride, minlength=len(uniq))
+        hit = n_occ > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[hit].astype(np.int64)),
+                "n_occ": pa.array(n_occ[hit].astype(np.int64)),
+            }
+        )
+
+    return grouped_block_map(post, ["doc_id"], verify)

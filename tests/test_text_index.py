@@ -97,3 +97,38 @@ def test_extend_equals_full_rebuild(tmp_path):
     ia = bm25_indexed_topk(inc, q, k=5).to_pandas().sort_values(["query_id", "score_e4", "doc_id"], ignore_index=True)
     ib = bm25_indexed_topk(full, q, k=5).to_pandas().sort_values(["query_id", "score_e4", "doc_id"], ignore_index=True)
     assert ia.equals(ib)
+
+
+def test_phrase_search_planted(tmp_path):
+    from grafter_ray.stages.retrieval import phrase_search
+
+    rows = [
+        (1, "the hash join wins"),          # 1 occurrence
+        (2, "hash join hash join"),         # 2 occurrences
+        (3, "hash or join but not both"),   # terms present, never adjacent
+        (4, "cat cat cat"),                 # overlapping repeated-term phrase
+        (5, "join hash"),                   # reversed
+        (6, ""),
+    ]
+    idx = str(tmp_path / "pidx")
+    build_text_index(_docs(rows).repartition(3), idx, num_partitions=8, positions=True)
+
+    out = phrase_search(idx, ["hash", "join"]).to_pandas()
+    assert dict(zip(out.doc_id, out.n_occ)) == {1: 1, 2: 2}
+
+    out2 = phrase_search(idx, ["cat", "cat"]).to_pandas()
+    assert dict(zip(out2.doc_id, out2.n_occ)) == {4: 2}  # overlap counts
+
+    out3 = phrase_search(idx, ["the", "hash", "join", "wins"]).to_pandas()
+    assert dict(zip(out3.doc_id, out3.n_occ)) == {1: 1}
+
+    assert len(phrase_search(idx, ["hash", "unicorn"]).to_pandas()) == 0
+
+
+def test_phrase_search_requires_positions(tmp_path):
+    from grafter_ray.stages.retrieval import phrase_search
+
+    idx = str(tmp_path / "nopos")
+    build_text_index(_docs(ROWS), idx, num_partitions=4)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(idx, ["cat", "dog"])

@@ -124,6 +124,10 @@ QUERY_SUBSET = [
     "bm25_topk",
     "chunk_sliding",
     "bloom_history_dedup",
+    "text_index_lookup",
+    "bm25_indexed",
+    "phrase_search",
+    "token_budget_sample",
 ]
 
 

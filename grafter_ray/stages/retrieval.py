@@ -492,3 +492,67 @@ def phrase_search(index_dir: str, phrase: list[str]):
         )
 
     return grouped_block_map(post, ["doc_id"], verify)
+
+
+def compact_text_index(index_dir: str):
+    """Merge each partition's accumulated postings files (many small
+    files after repeated extend_text_index) into ONE token-sorted file
+    per partition — the index analogue of lake compaction. One Ray task
+    per partition (no exchange: partitions are already token-disjoint);
+    the new manifest is published atomically FIRST, then the replaced
+    files are swept (single-writer discipline, same as the lake's
+    vacuum: a reader holding the old manifest must not outlive the
+    writer's sweep). Lookup results are byte-identical before/after."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    man_path = os.path.join(index_dir, "_INDEX.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    by_part: dict[int, list[str]] = {}
+    for f_ in man["files"]:
+        p = int(f_.split("=", 1)[1].split("/", 1)[0])
+        by_part.setdefault(p, []).append(f_)
+    todo = [{"part": p, "files": fs} for p, fs in sorted(by_part.items()) if len(fs) > 1]
+    if not todo:
+        return man
+
+    # one row per compacted partition; keep (new, olds) aligned per row
+    def compact_rows(batch: pa.Table) -> pa.Table:
+        news, olds = [], []
+        for row in batch.to_pylist():
+            p, fs = row["part"], row["files"]
+            merged = pa.concat_tables(
+                [pq.read_table(os.path.join(index_dir, f_)) for f_ in fs]
+            ).sort_by([("token", "ascending"), ("doc_id", "ascending")])
+            fname = f"part={p}/postings-c{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(merged, os.path.join(index_dir, fname), row_group_size=4096)
+            news.append(fname)
+            olds.append(json.dumps(fs))
+        return pa.table({"new": pa.array(news, pa.string()), "old": pa.array(olds, pa.string())})
+
+    res = (
+        rd.from_items(todo)
+        .map_batches(compact_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # one row per compacted partition — bounded by P
+    replaced = set()
+    added = []
+    for r in res:
+        added.append(r["new"])
+        replaced.update(json.loads(r["old"]))
+    man["files"] = sorted((set(man["files"]) - replaced) | set(added))
+    tmp = f"{man_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)  # commit point
+    for f_ in sorted(replaced):  # sweep AFTER publish
+        try:
+            os.remove(os.path.join(index_dir, f_))
+        except OSError:
+            pass
+    return man

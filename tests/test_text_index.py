@@ -132,3 +132,59 @@ def test_phrase_search_requires_positions(tmp_path):
     build_text_index(_docs(ROWS), idx, num_partitions=4)
     with pytest.raises(ValueError, match="positions"):
         phrase_search(idx, ["cat", "dog"])
+
+
+def test_compact_preserves_lookups_and_prunes_files(tmp_path):
+    from grafter_ray.stages.retrieval import (
+        bm25_indexed_topk,
+        compact_text_index,
+        extend_text_index,
+        phrase_search,
+    )
+
+    idx = str(tmp_path / "cidx")
+    build_text_index(
+        _docs([(i, f"cat dog w{i}") for i in range(1, 20)]).repartition(3),
+        idx,
+        num_partitions=4,
+        positions=True,
+    )
+    extend_text_index(_docs([(i, f"dog fish w{i}") for i in range(100, 130)]).repartition(4), idx)
+    extend_text_index(_docs([(i, "cat dog cat dog") for i in range(200, 210)]).repartition(2), idx)
+
+    before_look = _rows(text_index_lookup(idx, ["cat", "dog", "fish"]))
+    before_bm = _rows_df(bm25_indexed_topk(idx, {0: ["cat", "fish"]}, k=8).to_pandas())
+    before_ph = _rows_df(phrase_search(idx, ["cat", "dog"]).to_pandas())
+
+    import json
+    import os
+
+    with open(os.path.join(idx, "_INDEX.json")) as f:
+        n_before = len(json.load(f)["files"])
+    man = compact_text_index(idx)
+    assert len(man["files"]) <= 4  # one file per touched partition
+    assert len(man["files"]) < n_before
+    # replaced files actually swept; manifest files all exist
+    on_disk = {
+        f"{d}/{f_}"
+        for d in os.listdir(idx)
+        if d.startswith("part=")
+        for f_ in os.listdir(os.path.join(idx, d))
+    }
+    assert on_disk == set(man["files"])
+
+    assert _rows(text_index_lookup(idx, ["cat", "dog", "fish"])) == before_look
+    assert _rows_df(bm25_indexed_topk(idx, {0: ["cat", "fish"]}, k=8).to_pandas()) == before_bm
+    assert _rows_df(phrase_search(idx, ["cat", "dog"]).to_pandas()) == before_ph
+
+    # idempotent: second compact is a no-op
+    man2 = compact_text_index(idx)
+    assert man2["files"] == man["files"]
+
+
+def _rows(ds):
+    return sorted(map(tuple, ds.to_pandas().values.tolist()))
+
+
+def _rows_df(df):
+    return sorted(map(tuple, df.values.tolist()))

@@ -4792,6 +4792,29 @@ GROUP BY a.doc_id
 """
 
 
+def q_boolean_search(sf_dir: str):
+    """Boolean search over the index (must=[hash, join], should=[dup,
+    spark], must_not=[slow]): pruned postings read, one doc exchange,
+    vectorized membership bitmaps."""
+    from ..stages.retrieval import boolean_search
+
+    root = _shared_text_index(sf_dir)
+    return boolean_search(root, ["hash", "join"], should=["dup", "spark"], must_not=["slow"])
+
+
+SQL_BOOLEAN_SEARCH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT d.doc_id FROM (SELECT DISTINCT doc_id FROM toks) d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'hash')
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'join')
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok IN ('dup', 'spark'))
+  AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'slow')
+"""
+
+
 def q_bm25_indexed(sf_dir: str):
     """BM25 top-k served ENTIRELY from the persisted inverted index
     (stages/retrieval.py bm25_indexed_topk): postings carry (tf, dl),
@@ -4871,6 +4894,7 @@ QUERIES = {
     "token_budget_sample": q_token_budget_sample,
     "bm25_indexed": q_bm25_indexed,
     "phrase_search": q_phrase_search,
+    "boolean_search": q_boolean_search,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -5019,6 +5043,7 @@ ORACLE_SQL = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "bm25_indexed": SQL_BM25_TOPK,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "boolean_search": SQL_BOOLEAN_SEARCH,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -556,3 +556,54 @@ def compact_text_index(index_dir: str):
         except OSError:
             pass
     return man
+
+
+def boolean_search(
+    index_dir: str,
+    must: list[str],
+    *,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+):
+    """Boolean document search over the index: docs containing ALL
+    `must` terms, at least one `should` term (when given), and none of
+    `must_not`. Requires ≥1 `must` term — negation alone has no
+    candidate set without a corpus scan, which is exactly what the
+    index exists to avoid. Pruned postings read, ONE doc_id exchange,
+    vectorized membership bitmaps per block. Returns
+    Dataset[(doc_id,)]."""
+    should = should or []
+    must_not = must_not or []
+    if not must:
+        raise ValueError("boolean_search needs at least one must term")
+
+    from ..stages.grouped import grouped_block_map
+
+    terms = sorted(set(must) | set(should) | set(must_not))
+    post = text_index_lookup(index_dir, terms, columns=["token", "doc_id"])
+
+    def verify(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        doc = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, dense = np.unique(doc, return_inverse=True)
+
+        def has(term: str) -> np.ndarray:
+            rows = pc.equal(tb.column("token"), term).to_numpy(zero_copy_only=False)
+            out = np.zeros(len(uniq), dtype=bool)
+            out[dense[rows]] = True
+            return out
+
+        keep = np.ones(len(uniq), dtype=bool)
+        for t in sorted(set(must)):
+            keep &= has(t)
+        if should:
+            any_should = np.zeros(len(uniq), dtype=bool)
+            for t in sorted(set(should)):
+                any_should |= has(t)
+            keep &= any_should
+        for t in sorted(set(must_not)):
+            keep &= ~has(t)
+        return pa.table({"doc_id": pa.array(uniq[keep].astype(np.int64))})
+
+    return grouped_block_map(post, ["doc_id"], verify)

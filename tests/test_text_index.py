@@ -188,3 +188,29 @@ def _rows(ds):
 
 def _rows_df(df):
     return sorted(map(tuple, df.values.tolist()))
+
+
+def test_boolean_search_planted(tmp_path):
+    from grafter_ray.stages.retrieval import boolean_search
+
+    rows = [
+        (1, "cat dog fish"),   # must ok, should(fish) ok, no zebra -> keep
+        (2, "cat dog"),        # should missing -> drop (when should given)
+        (3, "cat dog fish zebra"),  # must_not hit -> drop
+        (4, "cat fish"),       # must(dog) missing -> drop
+        (5, "dog fish cat owl"),    # keep
+    ]
+    idx = str(tmp_path / "bidx")
+    build_text_index(_docs(rows).repartition(2), idx, num_partitions=8)
+
+    out = boolean_search(idx, ["cat", "dog"], should=["fish", "owl"], must_not=["zebra"]).to_pandas()
+    assert sorted(out.doc_id) == [1, 5]
+
+    out2 = boolean_search(idx, ["cat", "dog"]).to_pandas()
+    assert sorted(out2.doc_id) == [1, 2, 3, 5]
+
+    out3 = boolean_search(idx, ["cat"], must_not=["dog"]).to_pandas()
+    assert sorted(out3.doc_id) == [4]
+
+    with pytest.raises(ValueError, match="must term"):
+        boolean_search(idx, [])

@@ -4792,6 +4792,58 @@ GROUP BY a.doc_id
 """
 
 
+def q_index_sync_lookup(sf_dir: str):
+    """The inverted index as a LIVE derived artifact of the CDC lake
+    (stages/retrieval.py sync_text_index — the retrieval analogue of
+    cdc_chain_derived): bootstrap pinned at the window-1 lake version,
+    then an INCREMENTAL sync folds window 2's change feed — updated
+    docs re-index under a new generation and their stale postings
+    retire via tombstones. The postings lookup (term 'v2' exists ONLY
+    in updated docs) must equal the closed-form SQL over the lake's
+    final live state."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.retrieval import sync_text_index, text_index_lookup
+
+    lake_root, v0, _, _ = _shared_docs_lake(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_idxsync_")
+    try:
+        lake = CDCLake(lake_root, num_partitions=32)  # shared, read-only
+        idx = f"{tmp}/idx"
+
+        def path_ids(tb: pa.Table):
+            # 'doc/123.txt' -> 123 (key columns only: works for the
+            # tombstone feed too)
+            p = pc.utf8_slice_codeunits(tb.column("path"), 4)
+            p = pc.replace_substring(p, pattern=".txt", replacement="")
+            return pc.cast(p, pa.int64())
+
+        sync_text_index(lake, idx, doc_id_fn=path_ids, num_partitions=16, at_version=v0)
+        man = sync_text_index(lake, idx, doc_id_fn=path_ids)
+        if int(man["gen"]) != 1:
+            raise RuntimeError("expected an incremental index sync")
+        df = text_index_lookup(idx, ["hash", "v2"]).to_pandas()  # materialize pre-cleanup
+        return pa.Table.from_pandas(df, preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INDEX_SYNC_LOOKUP = """
+WITH live AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS content
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS tok FROM live
+)
+SELECT tok AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE tok IN ('hash', 'v2')
+GROUP BY tok, doc_id
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Boolean search over the index (must=[hash, join], should=[dup,
     spark], must_not=[slow]): pruned postings read, one doc exchange,
@@ -4895,6 +4947,7 @@ QUERIES = {
     "bm25_indexed": q_bm25_indexed,
     "phrase_search": q_phrase_search,
     "boolean_search": q_boolean_search,
+    "index_sync_lookup": q_index_sync_lookup,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -5044,6 +5097,7 @@ ORACLE_SQL = {
     "bm25_indexed": SQL_BM25_TOPK,
     "phrase_search": SQL_PHRASE_SEARCH,
     "boolean_search": SQL_BOOLEAN_SEARCH,
+    "index_sync_lookup": SQL_INDEX_SYNC_LOOKUP,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

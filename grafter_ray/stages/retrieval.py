@@ -163,6 +163,9 @@ def build_text_index(docs, index_dir: str, *, num_partitions: int = 32, text_col
         "positions": bool(positions),
         "n_docs": n,
         "total_tokens": l,
+        "gen": 0,
+        "tombstones": [],
+        "stats_dirty": False,
     }
     with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
         json.dump(manifest, f)
@@ -196,9 +199,20 @@ def extend_text_index(docs, index_dir: str, *, text_col: str = "text", id_col: s
     return man
 
 
-def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str, with_positions: bool = False):
-    """Shared build/extend body: write one postings parquet per
-    (part-run, block) and return (files, n_docs, total_tokens)."""
+def _write_postings(
+    docs,
+    index_dir: str,
+    P: int,
+    text_col: str,
+    id_col: str,
+    with_positions: bool = False,
+    gen: int = 0,
+):
+    """Shared build/extend/sync body: write one postings parquet per
+    (part-run, block) and return (files, n_docs, total_tokens). Every
+    posting carries its write generation `gen` (0 for build/extend; the
+    sync counter for lake-synced updates) so tombstones can retire only
+    OLDER generations of a re-added doc."""
     import os
     import uuid
 
@@ -235,6 +249,7 @@ def _write_postings(docs, index_dir: str, P: int, text_col: str, id_col: str, wi
             "doc_id": t.column("doc_id").take(take),
             "tf": pa.array(ends - starts),
             "dl": t.column("dl").take(take),
+            "gen": pa.array(np.full(len(starts), gen, np.int32)),
         }
         if with_positions:
             # sorted runs tile the table, so run starts + total length ARE
@@ -289,6 +304,7 @@ def bm25_indexed_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    allow_dirty_stats: bool = False,
 ):
     """BM25 top-k served ENTIRELY from the persisted index — no corpus
     scan: postings for the query terms come from the pruned partition
@@ -305,6 +321,12 @@ def bm25_indexed_topk(
 
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         man = json.load(f)
+    if man.get("stats_dirty") and not allow_dirty_stats:
+        raise ValueError(
+            "index corpus stats are stale after lake sync (update/delete "
+            "churn); run compact_text_index to restore them, or pass "
+            "allow_dirty_stats=True for approximate ranking"
+        )
     n_docs = float(man["n_docs"])
     avgdl = float(man["total_tokens"]) / n_docs
 
@@ -390,6 +412,8 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
     import os
 
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
 
     from ..util import coalesced_read_parquet, key_hash_array
@@ -410,6 +434,7 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
             "tf": pa.array([], pa.int64()),
             "dl": pa.array([], pa.int64()),
             "pos": pa.array([], pa.list_(pa.int32())),
+            "gen": pa.array([], pa.int32()),
         }
     )
     cols = columns or ["token", "doc_id", "tf"]
@@ -417,14 +442,43 @@ def text_index_lookup(index_dir: str, terms: list[str], columns: list[str] | Non
     if not paths:
         return rd.from_arrow(typed)
     flt = pads.field("token").isin(sorted(terms))
+    tombs = man.get("tombstones") or []
+    if not tombs:
 
-    def fix_schema(tb: pa.Table) -> pa.Table:
-        # a filter that matches nothing yields schema-less empty blocks
-        # (Ray coalesces them bare) — rebuild the typed columns
-        return typed if tb.num_columns == 0 else tb
+        def fix_schema(tb: pa.Table) -> pa.Table:
+            # a filter that matches nothing yields schema-less empty
+            # blocks (Ray coalesces them bare) — rebuild the typed columns
+            return typed if tb.num_columns == 0 else tb
 
-    return coalesced_read_parquet(paths, columns=cols, filter=flt).map_batches(
-        fix_schema, batch_format="pyarrow", zero_copy_batch=True
+        return coalesced_read_parquet(paths, columns=cols, filter=flt).map_batches(
+            fix_schema, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # lake-synced index: retire postings whose generation predates the
+    # doc's newest tombstone. Tombstone volume is bounded by churn since
+    # the last compaction (the compaction clears them) — small enough to
+    # fold driver-side and broadcast, same contract as incview deltas.
+    tt = pa.concat_tables([pq.read_table(os.path.join(index_dir, t)) for t in tombs])
+    td = tt.column("doc_id").to_numpy(zero_copy_only=False)
+    tg = tt.column("gen").to_numpy(zero_copy_only=False)
+    srt = np.lexsort((tg, td))
+    td, tg = td[srt], tg[srt]
+    last = np.append(td[1:] != td[:-1], True)  # newest tombstone per doc
+    tomb_box = {"ref": ray.put((td[last], tg[last].astype(np.int64)))}
+    read_cols = sorted(set(cols) | {"doc_id", "gen"})
+
+    def drop_tombstoned(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or tb.num_columns == 0:
+            return typed
+        tdoc, tgen = ray.get(tomb_box["ref"])
+        d = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        g = tb.column("gen").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(tdoc, d), 0, len(tdoc) - 1)
+        kill = (tdoc[idx] == d) & (g < tgen[idx])
+        return tb.filter(pa.array(~kill)).select(cols)
+
+    return coalesced_read_parquet(paths, columns=read_cols, filter=flt).map_batches(
+        drop_tombstoned, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -510,6 +564,8 @@ def compact_text_index(index_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from ..util import coalesced_read_parquet
+
     man_path = os.path.join(index_dir, "_INDEX.json")
     with open(man_path) as f:
         man = json.load(f)
@@ -517,9 +573,28 @@ def compact_text_index(index_dir: str):
     for f_ in man["files"]:
         p = int(f_.split("=", 1)[1].split("/", 1)[0])
         by_part.setdefault(p, []).append(f_)
-    todo = [{"part": p, "files": fs} for p, fs in sorted(by_part.items()) if len(fs) > 1]
-    if not todo:
+    tombs = man.get("tombstones") or []
+    # tombstones force EVERY partition through the rewrite (retired
+    # postings must be physically dropped); otherwise only multi-file
+    # partitions need merging
+    todo = [
+        {"part": p, "files": fs}
+        for p, fs in sorted(by_part.items())
+        if len(fs) > 1 or tombs
+    ]
+    if not todo and not tombs:
         return man
+    tomb_ref = None
+    if tombs:
+        import ray
+
+        tt = pa.concat_tables([pq.read_table(os.path.join(index_dir, t)) for t in tombs])
+        td = tt.column("doc_id").to_numpy(zero_copy_only=False)
+        tg = tt.column("gen").to_numpy(zero_copy_only=False)
+        srt = np.lexsort((tg, td))
+        td, tg = td[srt], tg[srt]
+        last = np.append(td[1:] != td[:-1], True)
+        tomb_ref = ray.put((td[last], tg[last].astype(np.int64)))
 
     # one row per compacted partition; keep (new, olds) aligned per row
     def compact_rows(batch: pa.Table) -> pa.Table:
@@ -529,6 +604,16 @@ def compact_text_index(index_dir: str):
             merged = pa.concat_tables(
                 [pq.read_table(os.path.join(index_dir, f_)) for f_ in fs]
             ).sort_by([("token", "ascending"), ("doc_id", "ascending")])
+            if tomb_ref is not None:
+                import ray
+
+                tdoc, tgen = ray.get(tomb_ref)
+                d = merged.column("doc_id").to_numpy(zero_copy_only=False)
+                g = merged.column("gen").to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.clip(np.searchsorted(tdoc, d), 0, max(len(tdoc) - 1, 0))
+                if len(tdoc):
+                    kill = (tdoc[idx] == d) & (g < tgen[idx])
+                    merged = merged.filter(pa.array(~kill))
             fname = f"part={p}/postings-c{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
             pq.write_table(merged, os.path.join(index_dir, fname), row_group_size=4096)
             news.append(fname)
@@ -546,6 +631,23 @@ def compact_text_index(index_dir: str):
         added.append(r["new"])
         replaced.update(json.loads(r["old"]))
     man["files"] = sorted((set(man["files"]) - replaced) | set(added))
+    if tombs:
+        # stats restore point: with retired postings physically gone,
+        # one distinct (doc_id, dl) pass over the compacted files gives
+        # exact N and total token count again (docs whose content is
+        # entirely empty never had postings and drop out of N — a
+        # documented, harmless BM25 drift)
+        from ..pipelines.relational import distinct
+
+        live = coalesced_read_parquet(
+            [os.path.join(index_dir, f_) for f_ in man["files"]],
+            columns=["doc_id", "dl"],
+        )
+        docs_dl = distinct(live, ["doc_id", "dl"])
+        man["n_docs"] = int(docs_dl.count())
+        man["total_tokens"] = int(docs_dl.sum("dl") or 0)
+        man["stats_dirty"] = False
+        man["tombstones"] = []
     tmp = f"{man_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(man, f)
@@ -553,6 +655,11 @@ def compact_text_index(index_dir: str):
     for f_ in sorted(replaced):  # sweep AFTER publish
         try:
             os.remove(os.path.join(index_dir, f_))
+        except OSError:
+            pass
+    for t in tombs:
+        try:
+            os.remove(os.path.join(index_dir, t))
         except OSError:
             pass
     return man
@@ -607,3 +714,119 @@ def boolean_search(
         return pa.table({"doc_id": pa.array(uniq[keep].astype(np.int64))})
 
     return grouped_block_map(post, ["doc_id"], verify)
+
+
+def sync_text_index(
+    lake,
+    index_dir: str,
+    *,
+    doc_id_fn=None,
+    num_partitions: int = 32,
+    positions: bool = False,
+    at_version: int | None = None,
+):
+    """Keep the inverted index a LIVE derived artifact of a CDCLake —
+    the retrieval analogue of pipelines/chain.py's derived lakes.
+
+    First call bootstraps: full index build over the lake's live view.
+    Later calls fold ONLY the change feed since the last synced lake
+    version: upserts re-index under a new generation and deletions and
+    prior generations retire via a tombstone file (doc_id, gen) —
+    lookups (and everything built on them: phrase, boolean, BM25
+    candidates) drop postings older than the doc's newest tombstone, so
+    an updated doc never serves stale postings. Corpus stats are exact
+    for insert-only histories and marked ``stats_dirty`` after
+    update/delete churn; compact_text_index physically drops retired
+    postings, clears tombstones, and restores exact stats.
+
+    ``doc_id_fn(tb) -> int64 array`` derives the doc id from the KEY
+    columns only (repo, path) — it is also applied to the tombstone
+    feed, which carries nothing else. Default: the lake's 64-bit key
+    hash. Change-feed id collection is bounded by churn between syncs
+    (same contract as incview deltas)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..util import key_hash_array
+
+    def default_ids(tb: pa.Table):
+        return pa.array(
+            key_hash_array(tb.column("repo"), tb.column("path")).astype(np.int64)
+        )
+
+    ids = doc_id_fn or default_ids
+
+    def to_docs(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": ids(tb), "text": pc.cast(tb.column("content"), pa.string())}
+        )
+
+    def publish(man_path: str, man: dict) -> None:
+        tmp = f"{man_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, man_path)
+
+    man_path = os.path.join(index_dir, "_INDEX.json")
+    cur_version = int(lake.manifest["version"])
+    if not os.path.exists(man_path):
+        # at_version pins the BOOTSTRAP to an older committed lake
+        # version (chain.py's sync_lakes convention) — the next sync
+        # folds forward from there
+        docs = lake.read(view=True, version=at_version).map_batches(
+            to_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        man = build_text_index(
+            docs, index_dir, num_partitions=num_partitions, positions=positions
+        )
+        man["synced_version"] = int(at_version) if at_version is not None else cur_version
+        publish(man_path, man)
+        return man
+    if at_version is not None:
+        raise ValueError("at_version is a bootstrap-time pin only")
+
+    with open(man_path) as f:
+        man = json.load(f)
+    since = int(man.get("synced_version", 0))
+    if since >= cur_version:
+        return man
+    gen = int(man["gen"]) + 1
+
+    ups = lake.read_changes(since, view=True).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dels = lake.deleted_keys(since).map_batches(
+        lambda tb: pa.table({"doc_id": ids(tb)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    up_ids = ups.map_batches(
+        lambda tb: tb.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded by churn since `since`
+    del_ids = dels.take_all()
+    tomb_ids = sorted({r["doc_id"] for r in up_ids} | {r["doc_id"] for r in del_ids})
+
+    files, _, _ = _write_postings(
+        ups, index_dir, int(man["num_partitions"]), "text", "doc_id",
+        bool(man.get("positions")), gen=gen,
+    )
+    os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
+    tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(tomb_ids, pa.int64()),
+                "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
+            }
+        ),
+        os.path.join(index_dir, tname),
+    )
+    man["files"] = sorted(set(man["files"]) | set(files))
+    man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
+    man["gen"] = gen
+    man["synced_version"] = cur_version
+    man["stats_dirty"] = bool(tomb_ids) or man.get("stats_dirty", False)
+    publish(man_path, man)
+    return man

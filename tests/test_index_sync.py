@@ -1,0 +1,134 @@
+"""Lake-synced inverted index (stages/retrieval.py sync_text_index):
+the index must track the CDC lake through bootstrap, updates, deletes
+and re-creates — stale generations retired by tombstones, compaction
+restoring exact stats."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import CDCLake
+from grafter_ray.stages.retrieval import (
+    bm25_indexed_topk,
+    boolean_search,
+    compact_text_index,
+    phrase_search,
+    sync_text_index,
+    text_index_lookup,
+)
+
+
+def _binlog(rows):
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows]),
+            "schema_version": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+
+
+def _path_ids():
+    def ids(tb: pa.Table):
+        import numpy as np
+
+        return pa.array(
+            np.array([int(p) for p in tb.column("path").to_pylist()], np.int64)
+        )
+
+    return ids
+
+
+W1 = [
+    (0, "upsert", "r", "1", "c0", "py", "cat dog"),
+    (1, "upsert", "r", "2", "c1", "py", "dog fish dog"),
+    (2, "upsert", "r", "3", "c2", "py", "cat cat zebra"),
+]
+W2 = [
+    (3, "delete", "r", "2", None, None, None),          # delete doc 2
+    (4, "upsert", "r", "3", "c4", "py", "owl owl"),     # update doc 3
+    (5, "upsert", "r", "4", "c5", "py", "cat owl"),     # new doc 4
+]
+
+
+def _postings(idx, terms):
+    out = text_index_lookup(idx, terms).to_pandas()
+    return {(r.token, r.doc_id): r.tf for r in out.itertuples()}
+
+
+def test_sync_tracks_lake(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    idx = str(tmp_path / "idx")
+    lake.apply(rd.from_arrow(_binlog(W1)))
+
+    man = sync_text_index(lake, idx, doc_id_fn=_path_ids(), num_partitions=8, positions=True)
+    assert man["n_docs"] == 3 and man["total_tokens"] == 8
+    got = _postings(idx, ["cat", "dog", "zebra", "fish"])
+    assert got == {
+        ("cat", 1): 1, ("dog", 1): 1, ("dog", 2): 2,
+        ("fish", 2): 1, ("cat", 3): 2, ("zebra", 3): 1,
+    }
+
+    lake.apply(rd.from_arrow(_binlog(W2)))
+    man2 = sync_text_index(lake, idx, doc_id_fn=_path_ids())
+    assert man2["stats_dirty"] is True and man2["gen"] == 1
+
+    got2 = _postings(idx, ["cat", "dog", "fish", "zebra", "owl"])
+    assert got2 == {
+        ("cat", 1): 1, ("dog", 1): 1,      # doc 1 untouched
+        ("owl", 3): 2,                     # doc 3 updated: old postings retired
+        ("cat", 4): 1, ("owl", 4): 1,      # doc 4 new
+    }
+
+    # phrase + boolean run tombstone-correct through the same lookup
+    assert sorted(phrase_search(idx, ["cat", "dog"]).to_pandas().doc_id) == [1]
+    assert sorted(boolean_search(idx, ["owl"]).to_pandas().doc_id) == [3, 4]
+
+    # BM25 refuses stale stats, allows explicit override
+    with pytest.raises(ValueError, match="stats"):
+        bm25_indexed_topk(idx, {0: ["cat"]})
+    assert len(bm25_indexed_topk(idx, {0: ["cat"]}, allow_dirty_stats=True).to_pandas()) > 0
+
+    # idempotent: re-sync with no new lake version is a no-op
+    man3 = sync_text_index(lake, idx, doc_id_fn=_path_ids())
+    assert man3["gen"] == man2["gen"] and man3["files"] == man2["files"]
+
+
+def test_compact_restores_stats_and_drops_retired(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    idx = str(tmp_path / "idx")
+    lake.apply(rd.from_arrow(_binlog(W1)))
+    sync_text_index(lake, idx, doc_id_fn=_path_ids(), num_partitions=8)
+    lake.apply(rd.from_arrow(_binlog(W2)))
+    sync_text_index(lake, idx, doc_id_fn=_path_ids())
+
+    before = _postings(idx, ["cat", "dog", "fish", "zebra", "owl"])
+    man = compact_text_index(idx)
+    assert man["stats_dirty"] is False and man["tombstones"] == []
+    # live docs: 1 (cat dog), 3 (owl owl), 4 (cat owl) -> N=3, L=6
+    assert man["n_docs"] == 3 and man["total_tokens"] == 6
+    assert _postings(idx, ["cat", "dog", "fish", "zebra", "owl"]) == before
+
+    # retired postings physically gone: no fish/zebra rows in any file
+    import pyarrow.parquet as pq
+
+    for f in man["files"]:
+        t = pq.read_table(os.path.join(idx, f), columns=["token", "doc_id"])
+        for tok, did in zip(t.column("token").to_pylist(), t.column("doc_id").to_pylist()):
+            assert (tok, did) not in {("fish", 2), ("dog", 2), ("cat", 3), ("zebra", 3)}
+
+    # BM25 works again after compact
+    out = bm25_indexed_topk(idx, {0: ["owl"]}).to_pandas()
+    assert sorted(out.doc_id) == [3, 4]
+
+    # tombstone files swept
+    tdir = os.path.join(idx, "_tombs")
+    assert not os.path.exists(tdir) or os.listdir(tdir) == []

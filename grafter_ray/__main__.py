@@ -186,6 +186,77 @@ def cmd_compact_binlog(args) -> int:
     return 0
 
 
+def cmd_index_sync(args) -> int:
+    from .pipelines.replay import CDCLake
+    from .stages.retrieval import sync_text_index
+
+    t0 = time.perf_counter()
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    man = sync_text_index(
+        lake,
+        args.index,
+        num_partitions=args.index_partitions,
+        positions=args.positions,
+    )
+    _emit(
+        {
+            "cmd": "index-sync",
+            "index": args.index,
+            "synced_version": int(man["synced_version"]),
+            "gen": int(man["gen"]),
+            "files": len(man["files"]),
+            "stats_dirty": bool(man.get("stats_dirty")),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
+def cmd_index_compact(args) -> int:
+    from .stages.retrieval import compact_text_index
+
+    t0 = time.perf_counter()
+    man = compact_text_index(args.index)
+    _emit(
+        {
+            "cmd": "index-compact",
+            "index": args.index,
+            "files": len(man["files"]),
+            "n_docs": int(man["n_docs"]),
+            "total_tokens": int(man["total_tokens"]),
+            "stats_dirty": bool(man.get("stats_dirty")),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
+def cmd_index_search(args) -> int:
+    from .stages.retrieval import bm25_indexed_topk, phrase_search, text_index_lookup
+
+    t0 = time.perf_counter()
+    terms = args.terms
+    if args.mode == "postings":
+        rows = text_index_lookup(args.index, terms).take_all()
+    elif args.mode == "phrase":
+        rows = phrase_search(args.index, terms).take_all()
+    else:
+        rows = bm25_indexed_topk(
+            args.index, {0: terms}, k=args.k, allow_dirty_stats=args.allow_dirty_stats
+        ).take_all()
+    _emit(
+        {
+            "cmd": "index-search",
+            "mode": args.mode,
+            "terms": terms,
+            "rows": rows[: args.limit],
+            "n_rows": len(rows),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m grafter_ray", description=__doc__.splitlines()[0])
     p.add_argument("--ray-address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
@@ -277,6 +348,32 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lo", type=int, default=None)
     sp.add_argument("--hi", type=int, default=None)
     sp.set_defaults(fn=cmd_compact_binlog)
+
+    sp = sub.add_parser(
+        "index-sync",
+        help="bootstrap or incrementally sync the inverted text index from the lake's change feed",
+    )
+    lake_args(sp)
+    sp.add_argument("--index", required=True, help="index root directory")
+    sp.add_argument("--index-partitions", type=int, default=32)
+    sp.add_argument("--positions", action="store_true", help="store within-doc positions (phrase search)")
+    sp.set_defaults(fn=cmd_index_sync)
+
+    sp = sub.add_parser(
+        "index-compact",
+        help="merge postings files, drop tombstoned generations, restore exact corpus stats",
+    )
+    sp.add_argument("--index", required=True)
+    sp.set_defaults(fn=cmd_index_compact)
+
+    sp = sub.add_parser("index-search", help="query the inverted text index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--mode", choices=["postings", "phrase", "bm25"], default="postings")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--limit", type=int, default=20, help="rows echoed in the JSON line")
+    sp.add_argument("--allow-dirty-stats", action="store_true")
+    sp.add_argument("terms", nargs="+")
+    sp.set_defaults(fn=cmd_index_search)
     return p
 
 

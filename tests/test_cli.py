@@ -229,3 +229,47 @@ def test_cli_compact_binlog_replays_identically(tmp_path, capsys):
     assert a["lake_rows"] == b["lake_rows"]
     assert a["watermark_lsn"] == b["watermark_lsn"]
     assert a["schema_version"] == b["schema_version"]
+
+
+def test_index_sync_search_compact(tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from grafter_ray import CDCLake
+
+    rows = [
+        (0, "upsert", "r", "a", "c0", "py", "cat dog"),
+        (1, "upsert", "r", "b", "c1", "py", "dog fish dog"),
+    ]
+    tb = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows]),
+            "schema_version": pa.array([0, 0], pa.int32()),
+        }
+    )
+    lake = str(tmp_path / "lake")
+    CDCLake(lake, num_partitions=4).apply(rd.from_arrow(tb))
+    idx = str(tmp_path / "idx")
+
+    out = _run(capsys, ["index-sync", "--lake", lake, "--partitions", "4",
+                        "--index", idx, "--index-partitions", "8", "--positions"])
+    assert out["gen"] == 0 and out["stats_dirty"] is False
+
+    out = _run(capsys, ["index-search", "--index", idx, "--mode", "postings", "dog"])
+    assert out["n_rows"] == 2 and {r["tf"] for r in out["rows"]} == {1, 2}
+
+    out = _run(capsys, ["index-search", "--index", idx, "--mode", "phrase", "cat", "dog"])
+    assert out["n_rows"] == 1 and out["rows"][0]["n_occ"] == 1
+
+    out = _run(capsys, ["index-search", "--index", idx, "--mode", "bm25", "dog"])
+    assert out["n_rows"] == 2
+    assert out["rows"][0]["score_e4"] >= out["rows"][1]["score_e4"]
+
+    out = _run(capsys, ["index-compact", "--index", idx])
+    assert out["n_docs"] == 2 and out["total_tokens"] == 5 and out["stats_dirty"] is False

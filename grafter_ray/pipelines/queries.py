@@ -4671,6 +4671,107 @@ FROM ranked WHERE rn <= {k}
 SQL_BM25_TOPK = _bm25_oracle_sql()
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval (stages/retrieval.py hybrid_rrf_topk): BM25
+    top-20 over documents × cosine top-20 over embeddings (doc_id ==
+    vec_id), fused by reciprocal-rank fusion 1/(60+rank), top-10 per
+    query. Query vectors are the embeddings of vec_id 0-3 (the
+    ann_batch convention); both legs rank on fixed-point scores so the
+    double-precision oracle reproduces the exact candidate sets. Only
+    the two k-bounded rank lists reach the driver."""
+    from ..stages.retrieval import hybrid_rrf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = sorted(_BM25_QUERIES)
+    qvecs = np.array([tb.column("embedding")[i].as_py() for i in qids], dtype=np.float64)
+    return hybrid_rrf_topk(docs, emb, _BM25_QUERIES, qvecs, k=10, k_leg=20)
+
+
+def _hybrid_oracle_sql(queries=_BM25_QUERIES, k=10, k_leg=20, rrf_c=60, k1=1.2, b=0.75) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in sorted(ts)
+    )
+    qid_list = ", ".join(str(q) for q in sorted(queries))
+    return f"""
+WITH qt(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tk GROUP BY doc_id),
+corpus AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tk) AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+df AS (
+  SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tk
+  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY tok
+),
+tf AS (
+  SELECT q.query_id, t.doc_id, q.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tk t JOIN qt q ON t.tok = q.term GROUP BY q.query_id, t.doc_id, q.term
+),
+contrib AS (
+  SELECT tf.query_id, tf.doc_id,
+         ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl)) AS contrib
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+score AS (
+  SELECT query_id, doc_id, CAST(floor(sum(contrib) * 10000.0) AS BIGINT) AS score_e4
+  FROM contrib GROUP BY query_id, doc_id
+),
+sleg AS (
+  SELECT query_id, doc_id, rn AS r FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, doc_id) AS rn
+    FROM score WHERE score_e4 > 0
+  ) WHERE rn <= {k_leg}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({qid_list})),
+cos AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         sum(CAST(u.z[1] AS DOUBLE) * CAST(u.z[2] AS DOUBLE))
+           / (sqrt(sum(CAST(u.z[1] AS DOUBLE) * CAST(u.z[1] AS DOUBLE)))
+              * sqrt(sum(CAST(u.z[2] AS DOUBLE) * CAST(u.z[2] AS DOUBLE)))) AS c
+  FROM embeddings e, qv q, unnest(list_zip(e.embedding, q.qe)) AS u(z)
+  GROUP BY q.query_id, e.vec_id
+),
+dleg AS (
+  SELECT query_id, doc_id, rn AS r FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(floor(c * 10000) AS BIGINT) DESC, doc_id) AS rn
+    FROM cos
+  ) WHERE rn <= {k_leg}
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({rrf_c} + s.r), 0.0) + coalesce(1.0 / ({rrf_c} + d.r), 0.0) AS rrf
+  FROM sleg s FULL OUTER JOIN dleg d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+franked AS (
+  SELECT query_id, doc_id, CAST(floor(rrf * 1000000.0) AS BIGINT) AS rrf_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(rrf * 1000000.0) AS BIGINT) DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6
+FROM franked WHERE rn <= {k}
+"""
+
+
+SQL_HYBRID_SEARCH = _hybrid_oracle_sql()
+
+
 def q_chunk_sliding(sf_dir: str):
     """Overlapping 16-token / stride-8 sliding-window chunking
     (stages/text.py sliding_chunks) — the RAG / long-doc embedding
@@ -4940,6 +5041,7 @@ FROM idx
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
     "chunk_sliding": q_chunk_sliding,
     "bloom_history_dedup": q_bloom_history_dedup,
     "text_index_lookup": q_text_index_lookup,
@@ -5090,6 +5192,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
+    "hybrid_search": SQL_HYBRID_SEARCH,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "bloom_history_dedup": SQL_BLOOM_HISTORY_DEDUP,
     "text_index_lookup": SQL_TEXT_INDEX_LOOKUP,

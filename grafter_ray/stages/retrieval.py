@@ -830,3 +830,144 @@ def sync_text_index(
     man["stats_dirty"] = bool(tomb_ids) or man.get("stats_dirty", False)
     publish(man_path, man)
     return man
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (sparse) × embedding cosine (dense) fused by RRF
+# ---------------------------------------------------------------------------
+
+
+def dense_topk_e4(
+    emb,
+    query_vecs,
+    qids,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Batched cosine top-k with e4 fixed-point scores: like
+    similarity.brute_topk_batch, but ranks on floor(cosine * 1e4) with an
+    id tie-break so a double-precision SQL oracle selects the identical
+    set (the same quantized-rank discipline as bm25_topk's score_e4).
+    One broadcast matmul per block; block-local per-query top-k
+    pre-reduction, then the keyed take_per_group reduce — the corpus is
+    never globally sorted."""
+    import ray
+
+    from ..pipelines.relational import take_per_group
+    from .similarity import _matrix, _normalize
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    box = {"q": ray.put(q)}
+
+    def score_block(tb: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "cosine_e4": pa.array([], pa.int64()),
+            }
+        )
+        if tb.num_rows == 0:
+            return empty
+        qm = ray.get(box["q"])
+        m = _normalize(_matrix(tb.column(vec_col), dtype=np.float64))
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e4 = np.floor((qm @ m.T) * 10000.0).astype(np.int64)  # (Q, n)
+        take = min(k, e4.shape[1])
+        parts = []
+        for qi in range(e4.shape[0]):
+            # block-local top-k on (e4 desc, id asc)
+            order = np.lexsort((ids, -e4[qi]))[:take]
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(take, qid_arr[qi], np.int64)),
+                        "doc_id": pa.array(ids[order]),
+                        "cosine_e4": pa.array(e4[qi][order]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    scored = emb.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+    return take_per_group(
+        scored, ["query_id"], [("cosine_e4", "descending"), ("doc_id", "ascending")], k
+    )
+
+
+def hybrid_rrf_topk(
+    docs,
+    emb,
+    queries: dict[int, list[str]],
+    query_vecs,
+    *,
+    k: int = 10,
+    k_leg: int = 20,
+    rrf_c: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Hybrid search: per query, the BM25 top-k_leg over `docs` and the
+    cosine top-k_leg over `emb` (joined on doc_id == vec_id) are fused by
+    reciprocal-rank fusion rrf = Σ_leg 1/(rrf_c + rank), top-k per query
+    by floor(rrf * 1e6) with doc_id tie-break.
+
+    Scale shape: each leg is a full distributed scan with block-local
+    top-k pre-reduction (bm25_topk / dense_topk_e4); ONLY the fused rank
+    lists reach the driver — ≤ 2 × |queries| × k_leg rows regardless of
+    corpus size (the bounded-collect discipline of
+    cluster_representatives). Both legs rank on fixed-point scores
+    (score_e4 / cosine_e4, id tie-break) so the DuckDB oracle reproduces
+    the exact candidate sets and ranks."""
+    qids = sorted(queries)
+    sparse = bm25_topk(docs, queries, k=k_leg, text_col=text_col, id_col=doc_id_col)
+    dense = dense_topk_e4(
+        emb, query_vecs, qids, k=k_leg, id_col=vec_id_col, vec_col=vec_col
+    )
+
+    def _ranks(tb: pa.Table, score_col: str) -> dict:
+        qs = tb.column("query_id").to_numpy(zero_copy_only=False)
+        ds_ = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = tb.column(score_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ds_, -sc, qs))
+        ranks = {}
+        prev_q, r = None, 0
+        for i in order:
+            qid = int(qs[i])
+            r = r + 1 if qid == prev_q else 1
+            prev_q = qid
+            ranks[(qid, int(ds_[i]))] = r
+        return ranks
+
+    # bounded collects: each leg holds ≤ len(qids) * k_leg rows
+    rs = _ranks(sparse.take_batch(len(qids) * k_leg + 1, batch_format="pyarrow"), "score_e4")
+    rd = _ranks(dense.take_batch(len(qids) * k_leg + 1, batch_format="pyarrow"), "cosine_e4")
+
+    fused: dict[tuple[int, int], float] = {}
+    for key, r in rs.items():
+        fused[key] = fused.get(key, 0.0) + 1.0 / (rrf_c + r)
+    for key, r in rd.items():
+        fused[key] = fused.get(key, 0.0) + 1.0 / (rrf_c + r)
+
+    out_q, out_d, out_s = [], [], []
+    for qid in qids:
+        rows = sorted(
+            ((int(np.floor(v * 1_000_000.0)), d) for (q, d), v in fused.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for e6, d in rows:
+            out_q.append(qid)
+            out_d.append(d)
+            out_s.append(e6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rrf_e6": pa.array(out_s, pa.int64()),
+        }
+    )

@@ -96,3 +96,54 @@ def test_budget_sample_matches_duckdb():
         got_rows = sorted(got.doc_id.tolist()) if len(got) else []
         ref_rows = sorted(ref.doc_id.tolist()) if len(ref) else []
         assert got_rows == ref_rows, f"trial {trial} budget mismatch"
+
+
+def test_hybrid_rrf_matches_duckdb():
+    """Random corpora + random unit-ish embeddings: hybrid RRF fusion
+    equals the DuckDB double-precision oracle (both legs' candidate
+    sets, ranks, and the fused e6 scores)."""
+    import numpy as np
+
+    from grafter_ray.pipelines.queries import _hybrid_oracle_sql
+    from grafter_ray.stages.retrieval import hybrid_rrf_topk
+
+    rng = random.Random(9092)
+    nprng = np.random.default_rng(9092)
+    for trial in range(4):
+        n_docs = rng.choice([40, 150, 400])
+        tb = _corpus(rng, n_docs)
+        n_emb = rng.choice([n_docs, n_docs // 2])
+        dim = rng.choice([8, 24])
+        vecs = nprng.normal(size=(n_emb, dim)).astype(np.float32)
+        emb_tb = pa.table(
+            {
+                "vec_id": pa.array(range(1, n_emb + 1), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        nq = rng.randrange(1, 4)
+        queries = {
+            qid: sorted(rng.sample(VOCAB + ["unicorn"], rng.randrange(1, 4)))
+            for qid in range(1, nq + 1)  # qids must exist as vec_ids (1-based)
+        }
+        k = rng.choice([3, 7])
+        k_leg = rng.choice([5, 12])
+        qids = sorted(queries)
+        qvecs = np.array([vecs[q - 1] for q in qids], dtype=np.float64)
+
+        got = hybrid_rrf_topk(
+            rd.from_arrow(tb).repartition(1 + trial * 2),
+            rd.from_arrow(emb_tb).repartition(1 + trial),
+            queries,
+            qvecs,
+            k=k,
+            k_leg=k_leg,
+        ).to_pandas()
+
+        con = duckdb.connect()
+        con.register("documents", tb)
+        con.register("embeddings", emb_tb)
+        ref = con.execute(_hybrid_oracle_sql(queries, k=k, k_leg=k_leg)).df()
+        assert _rows(got) == _rows(ref), f"trial {trial} hybrid mismatch"

@@ -2295,6 +2295,28 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (stages/similarity.py pq_topk): vectors
+    compress to m=8 uint8 codes (32× smaller than float32[64] — the RAM
+    budget that keeps a 100-TB embedding corpus scannable), blocks are
+    pruned by ADC table lookups, and only the per-block top-`refine`
+    candidates get the exact float64 cosine. Oracle-gated against the
+    brute-force SQL top-k — at these fixture scales the refine=64
+    candidate window holds the full true top-10 (recall-vs-refine is
+    asserted separately in tests/test_similarity.py)."""
+    from ..stages.similarity import pq_topk
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, q, k=10, m=8, ks=16, refine=64)
+
+    def fp(tb: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(tb.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"vec_id": tb.column("vec_id"), "cosine_e4": e4})
+
+    return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _docs_binlog(sf_dir: str):
     """Deterministic binlog derived from the documents table (upsert per
     doc; delete for doc_id%7==0; later update wave rewriting doc_id%5==0
@@ -5150,6 +5172,7 @@ QUERIES = {
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
@@ -5246,6 +5269,7 @@ ORACLE_SQL = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,
+    "ann_pq": SQL_ANN_TOPK,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,

@@ -394,3 +394,129 @@ def brute_topk_batch(ds, queries: np.ndarray, qids, k: int = 10, id_col: str = "
         return tb.take(pa.array(idx, pa.int64()))
 
     return grouped_block_map(partials, ["qid"], final_topk)
+
+
+class PQCodebook:
+    """Deterministic product quantizer over L2-normalized vectors
+    (cosine metric). The dimension is split into `m` contiguous
+    subspaces; each subspace gets `ks` codewords trained with the same
+    deterministic kmeans-lite discipline as IVFIndex (evenly-spaced
+    sample init, fixed iteration count, empty clusters keep their
+    previous centroid). A vector compresses to m uint8 codes — at
+    m=8 that is 8 bytes against 256 for a float32[64] embedding, the
+    32× memory ratio that makes a 100-TB embedding corpus scannable
+    from RAM. Query scoring is ADC (asymmetric distance computation):
+    dot(q, x) ≈ Σ_sub LUT[sub][code[sub]] where LUT[sub] = q_sub ·
+    codewords_sub — one table lookup per subspace, no decode."""
+
+    def __init__(self, m: int = 8, ks: int = 16, iters: int = 8):
+        self.m = m
+        self.ks = ks
+        self.iters = iters
+        self.codebooks: np.ndarray | None = None  # (m, ks, dsub)
+        self.dim: int | None = None
+
+    def _split(self, mat: np.ndarray) -> np.ndarray:
+        n, d = mat.shape
+        assert d % self.m == 0, f"dim {d} not divisible by m={self.m}"
+        return mat.reshape(n, self.m, d // self.m)
+
+    def fit(self, sample: np.ndarray) -> "PQCodebook":
+        mat = _normalize(sample.astype(np.float64))
+        self.dim = mat.shape[1]
+        subs = self._split(mat)  # (n, m, dsub)
+        n = mat.shape[0]
+        ks = min(self.ks, n)
+        init_idx = np.linspace(0, n - 1, ks).astype(np.int64)
+        books = []
+        for s in range(self.m):
+            x = subs[:, s, :]  # (n, dsub)
+            cent = x[init_idx].copy()
+            for _ in range(self.iters):
+                # L2 assignment == argmin ||x-c||² == argmax (x·c − ½||c||²)
+                d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None, :]
+                assign = np.argmin(d2, axis=1)
+                for c in range(ks):
+                    members = x[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books.append(cent)
+        self.codebooks = np.stack(books)  # (m, ks, dsub)
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """Normalized float matrix → (n, m) uint8 code matrix."""
+        subs = self._split(_normalize(mat.astype(np.float64)))
+        codes = np.empty((mat.shape[0], self.m), np.uint8)
+        for s in range(self.m):
+            x = subs[:, s, :]
+            cent = self.codebooks[s]
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return codes
+
+    def lut(self, q: np.ndarray) -> np.ndarray:
+        """Normalized query → (m, ks) ADC dot-contribution table."""
+        qs = _normalize(q.reshape(1, -1).astype(np.float64)).reshape(self.m, -1)
+        return np.einsum("sd,skd->sk", qs, self.codebooks)
+
+    def adc_scores(self, codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+        """(n, m) codes × (m, ks) LUT → (n,) approximate dot products."""
+        return lut[np.arange(self.m)[None, :], codes].sum(axis=1)
+
+
+def pq_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 64,
+    train_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization ANN top-k with exact re-rank: the codebook
+    is trained on a bounded driver-side sample and broadcast once; each
+    block encodes its vectors to m uint8 codes, scores them with one
+    ADC table lookup per subspace, keeps only its top-`refine`
+    candidates by approximate score, and re-scores JUST those with the
+    exact float64 cosine. The global reduce is brute_topk's k-bounded
+    sort. Output shape matches brute_topk: Dataset[(id, cosine)] with
+    cosine rounded to 6.
+
+    Scale shape: at 100 TB the codes (8-16 B/vector) live in RAM/object
+    store while the float payload stays on disk; the exact re-rank
+    touches refine × n_blocks vectors, not the corpus. Recall is a
+    parameter (refine), gated by tests/test_similarity PQ recall and
+    the ann_pq oracle (exact top-k at the fixture scales)."""
+    sample_tb = ds.limit(train_rows).select_columns([vec_col]).take_batch(
+        train_rows, batch_format="pyarrow"
+    )
+    book = PQCodebook(m=m, ks=ks).fit(_matrix(sample_tb.column(vec_col), dtype=np.float64))
+    q = np.asarray(query, np.float64)
+    lut = book.lut(q)
+    qn = _normalize(q.reshape(1, -1))
+    box = {"book": ray.put(book), "lut": ray.put(lut), "q": ray.put(qn)}
+
+    def score_block(tb: pa.Table) -> pa.Table:
+        bk = ray.get(box["book"])
+        lt = ray.get(box["lut"])
+        qm = ray.get(box["q"])
+        mat = _matrix(tb.column(vec_col), dtype=np.float64)
+        approx = bk.adc_scores(bk.encode(mat), lt)
+        take = min(refine, len(approx))
+        cand = np.argpartition(-approx, take - 1)[:take] if take < len(approx) else np.arange(len(approx))
+        exact = (_normalize(mat[cand]) @ qm.T).ravel()
+        order = np.argsort(-exact, kind="stable")[: min(k, take)]
+        sel = cand[order]
+        return pa.table(
+            {
+                id_col: tb.column(id_col).take(pa.array(sel)),
+                "cosine": pa.array(np.round(exact[order], 6)),
+            }
+        )
+
+    reduced = ds.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+    return reduced.sort(key=["cosine", id_col], descending=[True, False]).limit(k)

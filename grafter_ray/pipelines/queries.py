@@ -2295,6 +2295,80 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_chunk_reconstruct(sf_dir: str):
+    """Content-defined chunking round-trip gate (stages/cdchunk.py):
+    Gear-hash FastCDC chunking of every document, then reassembly by
+    (doc_id, chunk_idx) — doc_len/sha256 must equal the source table's
+    strlen/sha256 (DuckDB computes both natively; strlen is byte length), proving the
+    spans are lossless, ordered and non-overlapping. Chunking is a
+    shuffle-free flat-map; reassembly is ONE keyed exchange."""
+    from ..stages.cdchunk import cdc_chunk, cdc_reconstruct
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = cdc_chunk(ds, min_size=64, avg_bits=7, max_size=512, with_content=True)
+    return cdc_reconstruct(chunks)
+
+
+SQL_CDC_CHUNK_RECONSTRUCT = """
+SELECT doc_id, strlen(text) AS doc_len, sha256(text) AS doc_sha FROM documents
+"""
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Chunk-level dedup ledger: total vs distinct content chunks and
+    bytes (the dedup ratio a content-addressed chunk store would see).
+    Distinct bytes are folded per sha map-side, so the exchange carries
+    one row per distinct chunk, never the chunk payloads. Rows-only
+    (boundaries aren't SQL-expressible); the reconstruct gate above and
+    the differential suite pin the chunking itself."""
+    from ..pipelines.relational import grouped_agg
+    from ..stages.cdchunk import cdc_chunk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = cdc_chunk(ds, min_size=64, avg_bits=7, max_size=512)
+
+    def pre(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk_sha": tb.column("chunk_sha"),
+                "length": tb.column("length"),
+                "n": pa.array(np.ones(tb.num_rows, np.int64)),
+            }
+        )
+
+    per_sha = grouped_agg(
+        chunks.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["chunk_sha"],
+        [("length", "length", "min"), ("n", "n", "sum")],
+    )
+
+    def fold_block(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_chunks": pa.array([int(pc.sum(tb.column("n")).as_py() or 0)]),
+                "n_unique": pa.array([tb.num_rows], pa.int64()),
+                "total_bytes": pa.array(
+                    [int(pc.sum(pc.multiply(tb.column("length"), tb.column("n"))).as_py() or 0)]
+                ),
+                "unique_bytes": pa.array([int(pc.sum(tb.column("length")).as_py() or 0)]),
+            }
+        )
+
+    partials = per_sha.map_batches(fold_block, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(
+        partials,
+        ["k"],
+        [
+            ("n_chunks", "n_chunks", "sum"),
+            ("n_unique", "n_unique", "sum"),
+            ("total_bytes", "total_bytes", "sum"),
+            ("unique_bytes", "unique_bytes", "sum"),
+        ],
+    )
+    return out.drop_columns(["k"])
+
+
 def q_ann_pq(sf_dir: str):
     """Product-quantization ANN (stages/similarity.py pq_topk): vectors
     compress to m=8 uint8 codes (32× smaller than float32[64] — the RAM
@@ -5173,6 +5247,8 @@ QUERIES = {
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "cdc_chunk_reconstruct": q_cdc_chunk_reconstruct,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
@@ -5270,6 +5346,7 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,
     "ann_pq": SQL_ANN_TOPK,
+    "cdc_chunk_reconstruct": SQL_CDC_CHUNK_RECONSTRUCT,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,

@@ -1,0 +1,218 @@
+"""Content-defined chunking (Gear rolling hash, FastCDC-style cut
+rule) — the binary-level dedup front end of a 100-TB ingest: chunk
+boundaries are a pure function of a 64-byte content window, so an
+insertion early in a document shifts only the chunks around the edit
+and the rest re-align (re-dedupe) byte-identically.
+
+The reference has no binary layer (its streams are RDF statements);
+this is the engine-side analogue of its set-semantics ingest
+(repository_test.clj:62-76 — store as a SET of statements) applied to
+byte payloads: identical content chunks collapse to one stored copy
+keyed by sha256.
+
+Design (Ray-Data-first):
+- the Gear hash is computed with 64 vectorized passes over the block's
+  concatenated utf-8 buffer (h[n] = Σ_{j<64} gear[b[n-j]] << j, the
+  closed form of the classic h = (h<<1) + gear[b] recurrence, which is
+  sequential) — no per-byte Python.
+- candidate cut positions (hash & mask == 0) are SPARSE (one per
+  2^avg_bits bytes); only the greedy min/max-size walk touches them,
+  via searchsorted jumps per emitted chunk.
+- chunking is a shuffle-free flat-map; chunk-level dedup afterwards is
+  the house hash-keyed distinct.
+- windows never cross documents: min_size ≥ 64 keeps every candidate's
+  64-byte window inside its own document, and the walk restarts per
+  document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "GEAR_SEED",
+    "gear_table",
+    "gear_hashes",
+    "chunk_spans",
+    "cdc_chunk",
+    "cdc_reconstruct",
+]
+
+GEAR_SEED = 0x9E3779B97F4A7C15
+_WINDOW = 64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & mask
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+    return z ^ (z >> np.uint64(31))
+
+
+def gear_table(seed: int = GEAR_SEED) -> np.ndarray:
+    """Deterministic 256-entry uint64 gear table (splitmix64 stream)."""
+    idx = np.arange(256, dtype=np.uint64) + np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    return _splitmix64(idx)
+
+
+_GEAR = gear_table()
+
+
+def gear_hashes(buf: np.ndarray, gear: np.ndarray | None = None) -> np.ndarray:
+    """Rolling 64-byte Gear hash at every position of a uint8 buffer:
+    h[n] = Σ_{j=0..63} gear[buf[n-j]] << j (mod 2^64). Vectorized as 64
+    shifted adds over the whole buffer; positions with a partial window
+    (n < 63) carry a short-window value and are never cut candidates
+    because min_size ≥ 64."""
+    g = (_GEAR if gear is None else gear)[buf]
+    h = np.zeros(len(buf), np.uint64)
+    n = len(buf)
+    for j in range(_WINDOW):
+        if j >= n:
+            break
+        np.add(h[j:], g[: n - j] << np.uint64(j), out=h[j:])
+    return h
+
+
+def chunk_spans(
+    h: np.ndarray,
+    n: int,
+    *,
+    min_size: int = 64,
+    avg_bits: int = 8,
+    max_size: int = 1024,
+) -> list[tuple[int, int]]:
+    """Greedy FastCDC walk over one document's hash slice: a chunk ends
+    at the first candidate position (hash & mask == 0) at least
+    min_size in, or at max_size, whichever comes first. Returns
+    [(offset, length)]; an empty document yields one empty span (so
+    reconstruction keeps the row)."""
+    if min_size < _WINDOW:
+        raise ValueError(f"min_size must be >= {_WINDOW} (window inside the document)")
+    if n == 0:
+        return [(0, 0)]
+    mask = np.uint64((1 << avg_bits) - 1)
+    cand = np.flatnonzero((h & mask) == 0)
+    spans = []
+    start = 0
+    while start < n:
+        lo = start + min_size - 1
+        hi = min(start + max_size - 1, n - 1)
+        if lo >= n:
+            spans.append((start, n - start))
+            break
+        j = int(np.searchsorted(cand, lo))
+        c = int(cand[j]) if j < len(cand) and cand[j] <= hi else hi
+        spans.append((start, c - start + 1))
+        start = c + 1
+    return spans
+
+
+def _string_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, flat utf-8 buffer) of an Arrow string column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = arr.fill_null("")
+    arr = arr.cast(pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], np.int64, len(arr) + 1, arr.offset * 8)
+    dbuf = arr.buffers()[2]
+    data = np.zeros(0, np.uint8) if dbuf is None else np.frombuffer(dbuf, np.uint8)
+    return off, data
+
+
+def cdc_chunk(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_size: int = 64,
+    avg_bits: int = 8,
+    max_size: int = 1024,
+    with_content: bool = False,
+):
+    """Dataset[documents] → Dataset[(doc_id, chunk_idx, offset, length,
+    chunk_sha[, chunk])] — shuffle-free flat-map; one Gear-hash pass per
+    block, sparse greedy cuts per document, sha256 per emitted chunk."""
+
+    def block(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        off, data = _string_bytes(tb.column(text_col))
+        h = gear_hashes(data)
+        out_id, out_idx, out_off, out_len, out_sha, out_chunk = [], [], [], [], [], []
+        for r in range(tb.num_rows):
+            lo, hi = int(off[r]), int(off[r + 1])
+            spans = chunk_spans(
+                h[lo:hi] if hi > lo else h[:0],
+                hi - lo,
+                min_size=min_size,
+                avg_bits=avg_bits,
+                max_size=max_size,
+            )
+            # positions < 63 of the slice have windows crossing into the
+            # previous document in the shared buffer — harmless: every
+            # consulted candidate sits at local index >= min_size-1 >= 63
+            for ci, (o, ln) in enumerate(spans):
+                b = data[lo + o : lo + o + ln].tobytes()
+                out_id.append(int(ids[r]))
+                out_idx.append(ci)
+                out_off.append(o)
+                out_len.append(ln)
+                out_sha.append(hashlib.sha256(b).hexdigest())
+                if with_content:
+                    out_chunk.append(b)
+        cols = {
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "offset": pa.array(out_off, pa.int64()),
+            "length": pa.array(out_len, pa.int64()),
+            "chunk_sha": pa.array(out_sha, pa.string()),
+        }
+        if with_content:
+            cols["chunk"] = pa.array(out_chunk, pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_reconstruct(chunks, *, id_col: str = "doc_id"):
+    """Inverse gate: reassemble each document from its chunks (one keyed
+    exchange co-locates a doc's chunks, then an in-block ordered concat)
+    → Dataset[(doc_id, doc_len, doc_sha)] where doc_sha is the sha256
+    hex of the reassembled bytes. Matching the source table's
+    octet_length/sha256 proves the spans are lossless, ordered and
+    non-overlapping."""
+    from .grouped import grouped_block_map, key_segments
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "doc_len": pa.array([], pa.int64()),
+                    "doc_sha": pa.array([], pa.string()),
+                }
+            )
+        tb = tb.sort_by([(id_col, "ascending"), ("chunk_idx", "ascending")])
+        starts, ends = key_segments(tb, [id_col])
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        chunks_py = tb.column("chunk").to_pylist()
+        out_id, out_len, out_sha = [], [], []
+        for lo, hi in zip(starts, ends):
+            blob = b"".join(chunks_py[lo:hi])
+            out_id.append(int(ids[lo]))
+            out_len.append(len(blob))
+            out_sha.append(hashlib.sha256(blob).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "doc_len": pa.array(out_len, pa.int64()),
+                "doc_sha": pa.array(out_sha, pa.string()),
+            }
+        )
+
+    return grouped_block_map(chunks, [id_col], block)

@@ -1,0 +1,150 @@
+"""Content-defined chunking: differential vs a naive per-byte scalar
+reference, edit-resync property, size invariants, reconstruct + dedup
+round trip through the Dataset path."""
+
+import hashlib
+import random
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray.stages.cdchunk import (
+    cdc_chunk,
+    cdc_reconstruct,
+    chunk_spans,
+    gear_hashes,
+    gear_table,
+)
+
+GEAR = gear_table()
+
+
+def naive_spans(data: bytes, min_size=64, avg_bits=8, max_size=1024):
+    """Scalar reference: the classic h = (h<<1) + gear[b] recurrence and
+    a per-byte greedy walk."""
+    n = len(data)
+    if n == 0:
+        return [(0, 0)]
+    M = (1 << 64) - 1
+    hs = []
+    h = 0
+    for b in data:
+        h = ((h << 1) + int(GEAR[b])) & M
+        hs.append(h)
+    mask = (1 << avg_bits) - 1
+    spans, start = [], 0
+    while start < n:
+        lo = start + min_size - 1
+        hi = min(start + max_size - 1, n - 1)
+        if lo >= n:
+            spans.append((start, n - start))
+            break
+        c = next((i for i in range(lo, hi + 1) if hs[i] & mask == 0), hi)
+        spans.append((start, c - start + 1))
+        start = c + 1
+    return spans
+
+
+def _rand_doc(rng: random.Random, n: int) -> bytes:
+    # small alphabet → repeated content → nontrivial candidate density
+    return bytes(rng.choice(b"abcdefgh \n") for _ in range(n))
+
+
+def test_spans_match_naive_scalar():
+    rng = random.Random(404)
+    for trial in range(12):
+        n = rng.choice([0, 50, 63, 64, 200, 1500, 5000])
+        data = _rand_doc(rng, n)
+        min_size = rng.choice([64, 100])
+        avg_bits = rng.choice([6, 8])
+        max_size = rng.choice([256, 1024])
+        buf = np.frombuffer(data, np.uint8)
+        got = chunk_spans(
+            gear_hashes(buf), n, min_size=min_size, avg_bits=avg_bits, max_size=max_size
+        )
+        want = naive_spans(data, min_size=min_size, avg_bits=avg_bits, max_size=max_size)
+        assert got == want, f"trial {trial}"
+        # invariants: cover exactly, bounded sizes
+        assert sum(ln for _, ln in got) == n
+        assert all(ln <= max_size for _, ln in got)
+        assert all(ln >= min_size for _, ln in got[:-1])
+
+
+def test_dataset_path_matches_naive_and_reconstructs():
+    """Multiple docs per block share one hash buffer — per-doc spans must
+    still equal the isolated scalar reference (window never crosses a
+    document), and reassembly is sha-exact."""
+    rng = random.Random(77)
+    docs = [_rand_doc(rng, rng.choice([0, 80, 400, 3000])) for _ in range(40)]
+    texts = [d.decode() for d in docs]
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    chunks = cdc_chunk(
+        rd.from_arrow(tb).repartition(5),
+        min_size=64,
+        avg_bits=7,
+        max_size=512,
+        with_content=True,
+    )
+    rows = chunks.take_all()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, d in enumerate(docs):
+        got = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        want = naive_spans(d, min_size=64, avg_bits=7, max_size=512)
+        assert [(r["offset"], r["length"]) for r in got] == want, f"doc {i}"
+        for r in got:
+            piece = d[r["offset"] : r["offset"] + r["length"]]
+            assert r["chunk"] == piece
+            assert r["chunk_sha"] == hashlib.sha256(piece).hexdigest()
+
+    rec = {
+        r["doc_id"]: (r["doc_len"], r["doc_sha"])
+        for r in cdc_reconstruct(chunks).take_all()
+    }
+    for i, d in enumerate(docs):
+        assert rec[i] == (len(d), hashlib.sha256(d).hexdigest())
+
+
+def test_resync_after_insert():
+    """The CDC property: inserting bytes near the front only disturbs
+    chunks around the edit — the tails re-align byte-identically, so a
+    content-addressed store re-dedupes the unchanged suffix."""
+    rng = random.Random(9)
+    doc = _rand_doc(rng, 8000)
+    edited = doc[:100] + b"INSERTED BYTES!" + doc[100:]
+
+    def chunk_list(d: bytes):
+        spans = naive_spans(d, min_size=64, avg_bits=6, max_size=512)
+        return [d[o : o + ln] for o, ln in spans]
+
+    a, b = chunk_list(doc), chunk_list(edited)
+    # common suffix of the two chunk lists
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    tail_bytes = sum(len(c) for c in a[len(a) - k :])
+    assert tail_bytes >= len(doc) * 0.6, (k, tail_bytes)
+
+
+def test_planted_duplicate_chunks_dedupe():
+    """Docs sharing a long identical paragraph (inserted at different
+    offsets) share interior chunk shas."""
+    rng = random.Random(31)
+    shared = _rand_doc(rng, 2000)
+    docs = [
+        _rand_doc(rng, rng.randrange(100, 600)) + shared + _rand_doc(rng, 200)
+        for _ in range(4)
+    ]
+    shas = []
+    for d in docs:
+        spans = naive_spans(d, min_size=64, avg_bits=6, max_size=512)
+        shas.append({hashlib.sha256(d[o : o + ln]).digest() for o, ln in spans})
+    common = set.intersection(*shas)
+    assert len(common) >= 10, len(common)

@@ -555,6 +555,27 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_holdout_split(sf_dir: str):
+    """Leakage-safe train/test split (stages/sampling.py
+    grouped_holdout_split): every doc of a source lands on the same
+    side, decided by md5(source) mod 100 — duplicates cluster within a
+    domain, so a row-level split leaks eval content into train; a
+    group-keyed split cannot. Shuffle-free stamp; each block hashes
+    only its distinct sources."""
+    from ..stages.sampling import grouped_holdout_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return grouped_holdout_split(ds, "source", test_pct=25)
+
+
+SQL_HOLDOUT_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) % 100 < 25
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Exactly-k WEIGHTED deterministic sample (priority sampling —
     inclusion odds ~ weight): one IEEE division per row, block-local
@@ -5165,6 +5186,7 @@ QUERIES = {
     "quad_expand": q_quad_expand,
     "token_stats": q_token_stats,
     "stratified_sample": q_stratified_sample,
+    "holdout_split": q_holdout_split,
     "exact_k_sample": q_exact_k_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
     "weighted_sample": q_weighted_sample,
@@ -5319,6 +5341,7 @@ ORACLE_SQL = {
     "quad_expand": SQL_QUAD_EXPAND,
     "token_stats": SQL_TOKEN_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "holdout_split": SQL_HOLDOUT_SPLIT,
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2**31
 
@@ -305,3 +306,35 @@ def train_shuffle(ds, id_col: str = "doc_id", seed: int = 0):
         )
 
     return ordered.map_batches(assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_holdout_split(ds, group_col: str, test_pct: int = 10):
+    """Leakage-safe train/test split: EVERY row of a group (domain,
+    source, repo) lands on the same side, decided by a pure hash of the
+    group value — md5 hex prefix mod 100 < test_pct ⇒ 'test'. Duplicated
+    and near-duplicated documents cluster within a domain, so splitting
+    by row (hash_sample) leaks train content into eval; splitting by
+    group does not. Shuffle-free one-pass stamp: each block hashes only
+    its DISTINCT group values (bounded by group cardinality per block),
+    seed-free and rerun-stable, and exactly reproducible in SQL
+    (CAST('0x'||substr(md5(g),1,8) AS UBIGINT) % 100)."""
+    import hashlib
+
+    def stamp(tb: pa.Table) -> pa.Table:
+        col = tb.column(group_col)
+        uniq = pc.unique(col)
+        uvals = uniq.to_pylist()
+        labels = np.array(
+            [
+                "test"
+                if v is not None
+                and int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100 < test_pct
+                else "train"
+                for v in uvals
+            ],
+            dtype=object,
+        )
+        idx = pc.index_in(col, value_set=uniq).to_numpy(zero_copy_only=False)
+        return tb.append_column("split", pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)

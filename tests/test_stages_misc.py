@@ -405,3 +405,34 @@ def test_weighted_sample_k_bitexact_vs_duckdb_random():
                 ORDER BY ((id * 1103515245 + 12345) % 2147483648 + 1) / w, id LIMIT {k}
             """).fetchdf()["id"].tolist()
             assert sorted(got["id"]) == sorted(want), (trial, k)
+
+
+def test_grouped_holdout_split_group_coherent_and_union_stable():
+    """Every row of a group lands on one side; nulls go to train; the
+    split decision is independent of block composition (union-stable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from grafter_ray.stages.sampling import grouped_holdout_split
+
+    groups = [f"dom{i}" for i in range(30)]
+    rows_g, rows_i = [], []
+    for i in range(600):
+        rows_g.append(groups[i % 30] if i % 97 else None)
+        rows_i.append(i)
+    tb = pa.table({"doc_id": pa.array(rows_i, pa.int64()), "source": pa.array(rows_g, pa.string())})
+
+    out = grouped_holdout_split(rd.from_arrow(tb).repartition(7), "source", test_pct=30).take_all()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_group.values())
+    assert by_group.get(None) == {"train"}
+    sides = {g: next(iter(s)) for g, s in by_group.items() if g is not None}
+    assert 0 < sum(1 for v in sides.values() if v == "test") < len(sides)
+
+    # union stability: a different partitioning yields the same stamp
+    out2 = grouped_holdout_split(rd.from_arrow(tb).repartition(1), "source", test_pct=30).take_all()
+    assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+        (r["doc_id"], r["split"]) for r in out2
+    )

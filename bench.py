@@ -128,6 +128,12 @@ QUERY_SUBSET = [
     "bm25_indexed",
     "phrase_search",
     "token_budget_sample",
+    # round-4 session-9 additions
+    "hybrid_search",
+    "ann_pq",
+    "cdc_chunk_reconstruct",
+    "cdc_chunk_dedup",
+    "holdout_split",
 ]
 
 

@@ -264,6 +264,46 @@ GROUP BY o_orderpriority
 """
 
 
+def q_skew_join_revenue(sf_dir: str):
+    """Skew-resilient join (relational.py skew_join): lineitem ⋈ orders
+    with map-side broadcast handling of any hot orderkey (Misra-Gries
+    detection, bounded exchange/driver cost) and a single-exchange
+    co-group for the cold mass. TPC-H keys are near-uniform, so here
+    the cold path carries the data — the planted-skew differential
+    suite drives the hot path; the result is identical either way,
+    which is exactly what this oracle gates."""
+    from .relational import skew_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_returnflag"])
+    li = li.rename_columns({"l_orderkey": "orderkey"})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.rename_columns({"o_orderkey": "orderkey"})
+    joined = skew_join(
+        li,
+        orders,
+        "orderkey",
+        ["l_extendedprice", "l_returnflag"],
+        ["o_orderpriority"],
+        hot_count=200_000,
+        capacity=64,
+    )
+    agg = grouped_agg(
+        joined,
+        ["o_orderpriority", "l_returnflag"],
+        [("revenue_cents", "l_extendedprice", "sum"), ("line_count", None, "count")],
+    )
+    return _fixed_point(agg, ["revenue_cents"])
+
+
+SQL_SKEW_JOIN_REVENUE = """
+SELECT o_orderpriority, l_returnflag,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS revenue_cents,
+       count(*) AS line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+"""
+
+
 def q_values_filter(sf_dir: str):
     """VALUES-clause broadcast semi-join semantics (sparql.clj:66-92)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag"])
@@ -5175,6 +5215,7 @@ QUERIES = {
     "brass_parts": q_brass_parts,
     "supplier_region": q_supplier_region,
     "order_revenue_by_priority": q_order_revenue_by_priority,
+    "skew_join_revenue": q_skew_join_revenue,
     "values_filter": q_values_filter,
     "orders_per_day": q_orders_per_day,
     "limit_offset": q_limit_offset,
@@ -5330,6 +5371,7 @@ ORACLE_SQL = {
     "brass_parts": SQL_BRASS_PARTS,
     "supplier_region": SQL_SUPPLIER_REGION,
     "order_revenue_by_priority": SQL_ORDER_REVENUE_BY_PRIORITY,
+    "skew_join_revenue": SQL_SKEW_JOIN_REVENUE,
     "values_filter": SQL_VALUES_FILTER,
     "orders_per_day": SQL_ORDERS_PER_DAY,
     "limit_offset": SQL_LIMIT_OFFSET,

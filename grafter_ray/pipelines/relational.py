@@ -14,6 +14,7 @@ Design rules applied throughout:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1079,3 +1080,230 @@ def except_distinct(a, b, cols: list[str]):
     shared by every Dataset-returning helper here: an ALL-empty result
     loses its schema through Ray's empty-block union."""
     return _set_op(a, b, cols, 1)
+
+
+def skew_join(
+    left,
+    right,
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    *,
+    hot_count: int = 100_000,
+    capacity: int = 256,
+    broadcast_max: int = 2_000_000,
+):
+    """Skew-resilient distributed inner join on one key. A plain hash
+    join ships every row of a hot key to ONE partition — the classic
+    100-TB skew killer (one straggler task holds the whole hot key).
+    Here the hot keys never enter the exchange at all:
+
+      1. detect: per-block Misra-Gries candidates (top-`capacity` local
+         key counts — any key with global share > 1/capacity surfaces in
+         some block), exact recount restricted to candidates; keys with
+         count ≥ hot_count are HOT. Exchange/driver cost is bounded by
+         capacity × blocks rows, never the key cardinality.
+      2. hot path: the right rows of hot keys are collected ONCE
+         (guarded by broadcast_max — hot keys are few by construction,
+         so this side is small), broadcast via ray.put, and joined
+         map-side against each left block: the skewed rows stay where
+         they are, work spreads across every left block.
+      3. cold path: both sides' remaining rows co-group through ONE
+         keyed exchange; per-key cross products are expanded with
+         vectorized repeat/offset arithmetic (no per-key Python).
+
+    Rows with NULL keys are dropped (SQL inner-join semantics).
+    left_cols/right_cols must be disjoint; output columns are
+    [key] + left_cols + right_cols. If BOTH sides are skewed on the
+    same key the m×n blowup is inherent to the join, not the plan."""
+    import ray
+
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    if set(left_cols) & set(right_cols):
+        raise ValueError("left_cols and right_cols must be disjoint")
+    out_names = [key] + list(left_cols) + list(right_cols)
+
+    lsch = left.schema().base_schema
+    rsch = right.schema().base_schema
+    types = {key: lsch.field(key).type}
+    for c in left_cols:
+        types[c] = lsch.field(c).type
+    for c in right_cols:
+        types[c] = rsch.field(c).type
+
+    def _drop_null_key(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.is_valid(tb.column(key)))
+
+    left = left.map_batches(_drop_null_key, batch_format="pyarrow", zero_copy_batch=True)
+    right = right.map_batches(_drop_null_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- 1. hot-key detection on the left side ----
+    def block_cand(tb: pa.Table) -> pa.Table:
+        c = tb.group_by([key]).aggregate([(key, "count")])
+        c = pa.table({key: c.column(key), "cnt": c.column(f"{key}_count")})
+        if c.num_rows > capacity:
+            c = c.sort_by([("cnt", "descending"), (key, "ascending")]).slice(0, capacity)
+        return c.select([key])
+
+    cand_rows = (
+        left.select_columns([key])
+        .map_batches(block_cand, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # ≤ capacity × blocks rows — the sketch's documented bound
+    hot_keys = pa.array([], type=pa.string())
+    if cand_rows:
+        cand = pc.unique(pa.array([r[key] for r in cand_rows]))
+        cand_ref = ray.put(cand)
+
+        def recount(tb: pa.Table) -> pa.Table:
+            keep = pc.is_in(tb.column(key), value_set=ray.get(cand_ref))
+            t = tb.filter(keep).group_by([key]).aggregate([(key, "count")])
+            return pa.table({key: t.column(key), "cnt": t.column(f"{key}_count")})
+
+        counted = grouped_agg(
+            left.select_columns([key]).map_batches(
+                recount, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            [key],
+            [("cnt", "cnt", "sum")],
+        )
+        hot_rows = counted.filter(expr=f"cnt >= {int(hot_count)}").take_all()
+        hot_keys = pa.array([r[key] for r in hot_rows], type=cand.type)
+
+    # ---- 2. hot path: broadcast the right rows of hot keys ----
+    hot_ref = None
+    if len(hot_keys):
+        hot_set_ref = ray.put(hot_keys)
+
+        def right_hot_rows(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.is_in(tb.column(key), value_set=ray.get(hot_set_ref)))
+
+        hot_right_parts = (
+            right.select_columns([key] + list(right_cols))
+            .map_batches(right_hot_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        if len(hot_right_parts) > broadcast_max:
+            raise ValueError(
+                f"skew_join: right side holds {len(hot_right_parts)} rows for "
+                f"{len(hot_keys)} hot keys (> broadcast_max={broadcast_max}) — "
+                "the right side is itself skewed on this key; raise hot_count "
+                "or pre-aggregate the right side"
+            )
+        if hot_right_parts:
+            hot_schema = pa.schema([(n, types[n]) for n in [key] + list(right_cols)])
+            hot_tb = pa.Table.from_pylist(hot_right_parts, schema=hot_schema).sort_by(
+                [(key, "ascending")]
+            )
+            hot_ref = ray.put(hot_tb)
+
+    hot_keys_ref = ray.put(hot_keys)
+
+    # hot rows NEVER enter the keyed exchange (the sort would pull a hot
+    # key's expanded join output back into one block — the straggler we
+    # are avoiding); they join map-side in their own pass. The extra left
+    # read is linear and parallel; the skewed exchange it replaces is not.
+    hot_joined = None
+    if hot_ref is not None:
+
+        def hot_join_block(tb: pa.Table) -> pa.Table:
+            tb = tb.select([key] + list(left_cols))
+            hot = tb.filter(pc.is_in(tb.column(key), value_set=ray.get(hot_keys_ref)))
+            if not hot.num_rows:
+                return pa.table(
+                    {n: pa.array([], types[n]) for n in out_names}
+                )
+            return _expand_join(hot, ray.get(hot_ref), key, left_cols, right_cols)
+
+        hot_joined = left.map_batches(
+            hot_join_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def split_left(tb: pa.Table) -> pa.Table:
+        tb = tb.select([key] + list(left_cols))
+        hk = ray.get(hot_keys_ref)
+        if len(hk):
+            tb = tb.filter(pc.invert(pc.is_in(tb.column(key), value_set=hk)))
+        return _tagged(tb, 0, key, left_cols, right_cols, types)
+
+    def split_right(tb: pa.Table) -> pa.Table:
+        tb = tb.select([key] + list(right_cols))
+        hk = ray.get(hot_keys_ref)
+        if len(hk):
+            tb = tb.filter(pc.invert(pc.is_in(tb.column(key), value_set=hk)))
+        return _tagged(tb, 1, key, left_cols, right_cols, types)
+
+    lstream = left.map_batches(split_left, batch_format="pyarrow", zero_copy_batch=True)
+    rstream = right.map_batches(split_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lstream.union(rstream)
+
+    def cogroup(tb: pa.Table) -> pa.Table:
+        if not tb.num_rows:
+            return pa.table({n: pa.array([], types[n]) for n in out_names})
+        tb = tb.sort_by([(key, "ascending"), ("__tag", "ascending")])
+        starts, ends = key_segments(tb, [key])
+        tags = tb.column("__tag").to_numpy(zero_copy_only=False)
+        seg_len = ends - starts
+        nl = np.add.reduceat((tags == 0).astype(np.int64), starts)
+        nr = seg_len - nl
+        tot = nl * nr
+        total = int(tot.sum())
+        if not total:
+            return pa.table({n: pa.array([], types[n]) for n in out_names})
+        starts_rep = np.repeat(starts, tot)
+        nl_rep = np.repeat(nl, tot)
+        nr_rep = np.repeat(nr, tot)
+        off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(tot) - tot, tot)
+        li = starts_rep + off // nr_rep
+        ri = starts_rep + nl_rep + off % nr_rep
+        lrows = tb.take(pa.array(li))
+        rrows = tb.take(pa.array(ri))
+        cols = {key: lrows.column(key)}
+        for c in left_cols:
+            cols[c] = lrows.column(c)
+        for c in right_cols:
+            cols[c] = rrows.column(c)
+        return pa.table(cols)
+
+    cold_out = grouped_block_map(both, [key], cogroup)
+    return cold_out.union(hot_joined) if hot_joined is not None else cold_out
+
+
+def _tagged(
+    tb: pa.Table, tag: int, key: str, left_cols: list[str], right_cols: list[str], types: dict
+) -> pa.Table:
+    """Common tag-union schema: key, __tag, every left col, every right
+    col (the absent side's columns are typed nulls)."""
+    n = tb.num_rows
+    cols = {key: tb.column(key), "__tag": pa.array(np.full(n, tag, np.int8))}
+    present = set(tb.schema.names)
+    for c in list(left_cols) + list(right_cols):
+        cols[c] = tb.column(c) if c in present else pa.nulls(n, types[c])
+    return pa.table(cols)
+
+
+def _expand_join(hot: pa.Table, right_sorted: pa.Table, key: str, left_cols, right_cols) -> pa.Table:
+    """Vectorized many-to-many expansion of hot left rows against the
+    key-sorted broadcast right table (searchsorted ranges + repeat)."""
+    rkeys = right_sorted.column(key).to_numpy(zero_copy_only=False)
+    lkeys = hot.column(key).to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(rkeys, lkeys, side="left")
+    hi = np.searchsorted(rkeys, lkeys, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    li = np.repeat(np.arange(hot.num_rows, dtype=np.int64), counts)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    ri = np.repeat(lo, counts) + off
+    lrows = hot.take(pa.array(li))
+    rrows = right_sorted.take(pa.array(ri))
+    cols = {key: lrows.column(key)}
+    for c in left_cols:
+        cols[c] = lrows.column(c)
+    for c in right_cols:
+        cols[c] = rrows.column(c)
+    return pa.table(cols)
+
+
+def _empty_join_table(tb: pa.Table, out_names: list[str]) -> pa.Table:
+    return pa.table({n: pa.array([], tb.schema.field(n).type) for n in out_names})

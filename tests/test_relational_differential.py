@@ -314,3 +314,90 @@ def test_intersect_except_match_duckdb():
                 # house caveat) — the count check above is the assertion
                 continue
             assert norm(got[["a", "b"]]).equals(norm(want[["a", "b"]])), (trial, op)
+
+
+def test_skew_join_matches_duckdb_and_handles_hot_keys():
+    """Random skewed corpora vs a plain DuckDB join: int and string
+    keys, NULL keys on both sides (dropped, inner semantics), hot-key
+    broadcast path vs all-cold path producing identical rows, and the
+    right-side-skew guard raising."""
+    from grafter_ray.pipelines.relational import skew_join
+
+    rng = random.Random(1203)
+    for trial in range(4):
+        str_keys = trial % 2 == 1
+        n_left = rng.choice([800, 4000])
+        hot = "hotkey" if str_keys else 7
+
+        def mk(i):
+            if rng.random() < 0.05:
+                return None
+            if rng.random() < 0.6:
+                return hot
+            v = rng.randrange(0, 40)
+            return f"k{v}" if str_keys else v
+
+        lk = [mk(i) for i in range(n_left)]
+        rk = [mk(i) for i in range(rng.choice([60, 300]))]
+        ktype = pa.string() if str_keys else pa.int64()
+        lt = pa.table(
+            {
+                "k": pa.array(lk, ktype),
+                "lv": pa.array(range(n_left), pa.int64()),
+            }
+        )
+        rt = pa.table(
+            {
+                "k": pa.array(rk, ktype),
+                "rv": pa.array([float(i) for i in range(len(rk))], pa.float64()),
+            }
+        )
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        ref = sorted(
+            map(tuple, con.execute("select l.k, lv, rv from l join r on l.k = r.k").df().values.tolist())
+        )
+
+        # hot path engaged (hot_count below the hot key's count) …
+        got_hot = skew_join(
+            rd.from_arrow(lt).repartition(1 + trial * 2),
+            rd.from_arrow(rt).repartition(2),
+            "k",
+            ["lv"],
+            ["rv"],
+            hot_count=50,
+            capacity=8,
+        ).to_pandas()
+        # … and the all-cold plan: identical rows either way
+        got_cold = skew_join(
+            rd.from_arrow(lt).repartition(3),
+            rd.from_arrow(rt).repartition(1),
+            "k",
+            ["lv"],
+            ["rv"],
+            hot_count=10**9,
+            capacity=8,
+        ).to_pandas()
+        assert sorted(map(tuple, got_hot[["k", "lv", "rv"]].values.tolist())) == ref, trial
+        assert sorted(map(tuple, got_cold[["k", "lv", "rv"]].values.tolist())) == ref, trial
+
+
+def test_skew_join_right_skew_guard():
+    """If the right side itself holds more hot-key rows than
+    broadcast_max, the join refuses instead of silently materializing."""
+    from grafter_ray.pipelines.relational import skew_join
+
+    lt = pa.table({"k": pa.array([1] * 500, pa.int64()), "lv": pa.array(range(500), pa.int64())})
+    rt = pa.table({"k": pa.array([1] * 200, pa.int64()), "rv": pa.array(range(200), pa.int64())})
+    with pytest.raises(ValueError, match="broadcast_max"):
+        skew_join(
+            rd.from_arrow(lt).repartition(2),
+            rd.from_arrow(rt).repartition(2),
+            "k",
+            ["lv"],
+            ["rv"],
+            hot_count=100,
+            capacity=4,
+            broadcast_max=50,
+        )

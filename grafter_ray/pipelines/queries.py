@@ -538,6 +538,40 @@ FROM documents
 """
 
 
+def q_doc_entropy(sf_dir: str):
+    """Byte-entropy quality signal (stages/text.py entropy_stats):
+    Shannon entropy of each doc's byte distribution, e6 fixed-point —
+    one vectorized scatter per block, shuffle-free. The oracle computes
+    character entropy in SQL (identical on this ASCII corpus). The
+    companion zlib compressibility signal is covered by unit tests
+    (not SQL-expressible)."""
+    from ..stages.text import entropy_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = entropy_stats(ds)
+
+    def proj(tb: pa.Table) -> pa.Table:
+        return tb.select(["doc_id", "n_bytes", "entropy_e6"])
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT cnt.doc_id, -sum((k / n) * log2(k / n)) AS e
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, strlen(d.text) AS n_bytes,
+       CAST(floor(coalesce(ent.e, 0.0) * 1000000.0) AS BIGINT) AS entropy_e6
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified corpus sampling (stages/sampling.py):
     keep 30% of English docs and 10% of every other language, decided
@@ -5228,6 +5262,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "stratified_sample": q_stratified_sample,
     "holdout_split": q_holdout_split,
+    "doc_entropy": q_doc_entropy,
     "exact_k_sample": q_exact_k_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
     "weighted_sample": q_weighted_sample,
@@ -5384,6 +5419,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "holdout_split": SQL_HOLDOUT_SPLIT,
+    "doc_entropy": SQL_DOC_ENTROPY,
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -463,3 +463,53 @@ def sliding_chunks(ds, window: int = 16, stride: int = 8, id_col: str = "doc_id"
         return sliding_chunks_table(tb, window=window, stride=stride, id_col=id_col, text_col=text_col)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entropy_stats_batch(tb: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Byte-level quality signals per document: Shannon entropy of the
+    byte distribution and the zlib compression ratio — the classic
+    junk detectors (binary blobs masquerading as text score ~8 bits and
+    ratio ~1; template/boilerplate spam scores low entropy and ratio
+    ≪ 1). Entropy is fully vectorized: one np.add.at scatter into an
+    (n_docs × 256) count matrix for the whole block — no per-byte
+    Python; zlib runs once per doc (C speed, like the sha256 kernels).
+
+    Output: (doc_id, n_bytes, entropy_e6, zlib_ratio_e6) with e6
+    fixed-point values (floor), empty docs scoring 0/0."""
+    import zlib
+
+    from .cdchunk import _string_bytes
+
+    n_docs = tb.num_rows
+    ids = tb.column(id_col)
+    off, data = _string_bytes(tb.column(text_col))
+    lens = np.diff(off)
+    counts = np.zeros((n_docs, 256), np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    np.add.at(counts, (doc_of, data.astype(np.int64)), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = counts / np.maximum(lens, 1)[:, None]
+        ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+    ent[lens == 0] = 0.0
+    ratios = np.zeros(n_docs, np.float64)
+    for i in range(n_docs):
+        lo, hi = int(off[i]), int(off[i + 1])
+        if hi > lo:
+            ratios[i] = len(zlib.compress(data[lo:hi].tobytes(), 6)) / (hi - lo)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_bytes": pa.array(lens.astype(np.int64)),
+            "entropy_e6": pa.array(np.floor(ent * 1_000_000.0).astype(np.int64)),
+            "zlib_ratio_e6": pa.array(np.floor(ratios * 1_000_000.0).astype(np.int64)),
+        }
+    )
+
+
+def entropy_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Shuffle-free one-pass byte-entropy / compressibility signals."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        return entropy_stats_batch(tb, id_col=id_col, text_col=text_col)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

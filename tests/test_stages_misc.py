@@ -436,3 +436,53 @@ def test_grouped_holdout_split_group_coherent_and_union_stable():
     assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
         (r["doc_id"], r["split"]) for r in out2
     )
+
+
+def test_entropy_and_compressibility_signals():
+    """Entropy: exact closed forms (0 for empty/uniform-1, 1.0 for a
+    50/50 pair, 8-bit-ish for random bytes); zlib ratio separates
+    repetitive boilerplate from high-entropy text; differential vs a
+    scalar Counter reference on random docs."""
+    import collections
+    import math
+    import random
+    import zlib
+
+    import pyarrow as pa
+
+    from grafter_ray.stages.text import entropy_stats_batch
+
+    rng = random.Random(88)
+    texts = [
+        "",
+        "aaaaaaaaaaaaaaaa",
+        "abababababababab",
+        "the same line repeats " * 50,
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ,.!?") for _ in range(3000)),
+    ]
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = entropy_stats_batch(tb)
+    ent = out.column("entropy_e6").to_pylist()
+    ratio = out.column("zlib_ratio_e6").to_pylist()
+    assert ent[0] == 0 and ratio[0] == 0
+    assert ent[1] == 0
+    assert ent[2] == 1_000_000  # 50/50 pair: exactly 1 bit
+    # boilerplate compresses far better than random text
+    assert ratio[3] < ratio[4] * 0.3
+
+    # differential vs scalar reference
+    for i, t in enumerate(texts):
+        b = t.encode()
+        if not b:
+            continue
+        c = collections.Counter(b)
+        want = -sum((k / len(b)) * math.log2(k / len(b)) for k in c.values())
+        assert abs(ent[i] / 1e6 - want) < 1e-5
+        assert ratio[i] == int(len(zlib.compress(b, 6)) / len(b) * 1e6) or abs(
+            ratio[i] / 1e6 - len(zlib.compress(b, 6)) / len(b)
+        ) < 1e-5

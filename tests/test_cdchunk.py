@@ -148,3 +148,25 @@ def test_planted_duplicate_chunks_dedupe():
         shas.append({hashlib.sha256(d[o : o + ln]).digest() for o, ln in spans})
     common = set.intersection(*shas)
     assert len(common) >= 10, len(common)
+
+
+def test_unicode_content_chunks_and_reconstructs():
+    """Multi-byte UTF-8: cut positions may split a codepoint — chunks are
+    binary by design, and byte-level reassembly is still sha-exact."""
+    rng = random.Random(55)
+    texts = [
+        "héllo wörld ünïcode — ”quotes” ≤≥ " * 80,
+        "日本語のテキストです。" * 120,
+        "mixed ascii and émoji 🎉🎊 " * 90,
+    ]
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    chunks = cdc_chunk(rd.from_arrow(tb).repartition(2), min_size=64, avg_bits=6, max_size=512, with_content=True)
+    rec = {r["doc_id"]: (r["doc_len"], r["doc_sha"]) for r in cdc_reconstruct(chunks).take_all()}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert rec[i] == (len(b), hashlib.sha256(b).hexdigest())

@@ -1731,6 +1731,20 @@ class CDCLake:
                 best = m
         return best
 
+    def as_of_ts(self, ts: float) -> dict | None:
+        """Wall-clock time travel: the latest version committed at or
+        before unix-time `ts` (manifests record `committed_ts` at the
+        atomic rename). Reach is bounded by vacuum's retained versions,
+        like every manifest-based read. Manifests from before this field
+        existed are skipped (no false matches)."""
+        best = None
+        for v in self.log.versions():
+            m = self.log.read(v)
+            cts = m.get("committed_ts")
+            if cts is not None and cts <= ts:
+                best = m
+        return best
+
     def partition_entries(self, version: int | None = None) -> list[dict]:
         m = self.manifest_at(version)
         return list(m["partitions"].values()) if m else []

@@ -183,6 +183,9 @@ class CommitLog:
 
     def commit(self, manifest: dict) -> None:
         version = manifest["version"]
+        # wall-clock commit stamp → CDCLake.as_of_ts time travel; set at
+        # the commit point so retries that rebuild the manifest restamp
+        manifest.setdefault("committed_ts", time.time())
         final = os.path.join(self.log_dir, f"{version:020d}.json")
         if os.path.exists(final):
             raise RuntimeError(f"commit conflict: version {version} already committed")

@@ -139,6 +139,13 @@ def test_time_travel_read(tmp_path, binlog):
     # as_of_lsn picks the right manifest
     m = lake.as_of_lsn(1_999)
     assert m["version"] == 0
+    # wall-clock time travel: every manifest carries committed_ts, and
+    # as_of_ts resolves the same versions the commit order implies
+    stamps = [lake.manifest_at(v)["committed_ts"] for v in range(lake.manifest["version"] + 1)]
+    assert stamps == sorted(stamps)
+    assert lake.as_of_ts(stamps[0])["version"] == 0
+    assert lake.as_of_ts(stamps[-1] + 1.0)["version"] == lake.manifest["version"]
+    assert lake.as_of_ts(stamps[0] - 1.0) is None
     # latest still equals the full oracle
     _assert_same_state(lake, binlog)
 

@@ -538,6 +538,41 @@ FROM documents
 """
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled mixture sampling (stages/sampling.py
+    temperature_mixture_sample): per-language budgets ∝ W_lang^0.5
+    (upsampling the tail — the multilingual-pretraining mixing knob),
+    rows selected within each budget by the SQL-exact LCG window-cumsum
+    rule. Group totals: one two-phase aggregate; budgets broadcast."""
+    from ..stages.sampling import temperature_mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return temperature_mixture_sample(
+        ds, ["lang"], "doc_id", "n_chars", total_budget=60_000, tau=0.5
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH w AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
+),
+b AS (
+  SELECT lang,
+         floor(60000 * pow(wt, 0.5) / (SELECT sum(pow(wt, 0.5)) FROM w)) AS bg
+  FROM w
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+         ) AS cum
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.n_chars FROM r JOIN b USING (lang) WHERE r.cum <= b.bg
+"""
+
+
 def q_doc_entropy(sf_dir: str):
     """Byte-entropy quality signal (stages/text.py entropy_stats):
     Shannon entropy of each doc's byte distribution, e6 fixed-point —
@@ -5263,6 +5298,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "holdout_split": q_holdout_split,
     "doc_entropy": q_doc_entropy,
+    "temperature_mix": q_temperature_mix,
     "exact_k_sample": q_exact_k_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
     "weighted_sample": q_weighted_sample,
@@ -5420,6 +5456,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "holdout_split": SQL_HOLDOUT_SPLIT,
     "doc_entropy": SQL_DOC_ENTROPY,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "lang_balanced_sample": SQL_LANG_BALANCED_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -338,3 +338,64 @@ def grouped_holdout_split(ds, group_col: str, test_pct: int = 10):
         return tb.append_column("split", pa.array(labels[idx], pa.string()))
 
     return ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def temperature_mixture_sample(
+    ds,
+    keys: list[str],
+    id_col: str,
+    weight_col: str,
+    total_budget: int,
+    tau: float = 0.5,
+    group_cap: int = 100_000,
+):
+    """Temperature-scaled data mixing (the multilingual-pretraining
+    knob): group g's budget is B_g = floor(total_budget · W_g^τ / Σ_h
+    W_h^τ) where W_g is the group's total weight — τ=1 keeps the natural
+    distribution, τ=0 splits the budget uniformly across groups, 0<τ<1
+    upsamples the tail. Selection within each group is budget_sample's
+    SQL-exact rule (LCG-order window cumsum ≤ B_g).
+
+    Scale shape: ONE two-phase grouped_agg for the totals (the per-group
+    table is collected driver-side, guarded by group_cap — groups are
+    languages/sources/buckets, not rows), budgets broadcast as a small
+    join table, then the single keyed exchange of the window cumsum."""
+    import ray
+
+    from ..pipelines.relational import grouped_agg
+    from .analytic import window_functions
+
+    totals = grouped_agg(ds, keys, [("__w", weight_col, "sum")]).take_all()
+    if len(totals) > group_cap:
+        raise ValueError(
+            f"temperature_mixture_sample: {len(totals)} groups exceeds "
+            f"group_cap={group_cap} — mixing buckets should be coarse; "
+            "raise the cap only if the driver can hold the group table"
+        )
+    ws = np.array([float(r["__w"]) for r in totals], np.float64)
+    powed = np.power(ws, float(tau))
+    denom = float(powed.sum()) or 1.0
+    budgets = np.floor(total_budget * powed / denom)
+    btb = pa.table(
+        {
+            **{k: pa.array([r[k] for r in totals]) for k in keys},
+            "__budget": pa.array(budgets, pa.float64()),
+        }
+    )
+    bref = ray.put(btb)
+
+    def rank(tb: pa.Table) -> pa.Table:
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * LCG_A + LCG_C) % LCG_M
+        return tb.append_column("__h", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+    win = window_functions(ranked, keys, ["__h", id_col], [("__cum", weight_col, "cumsum")])
+
+    def filt(tb: pa.Table) -> pa.Table:
+        joined = tb.join(ray.get(bref), keys=keys, join_type="inner")
+        cum = joined.column("__cum").to_numpy(zero_copy_only=False)
+        bud = joined.column("__budget").to_numpy(zero_copy_only=False)
+        return joined.filter(pa.array(cum <= bud)).drop_columns(["__h", "__cum", "__budget"])
+
+    return win.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -2425,6 +2425,54 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _shared_ann_index(sf_dir: str) -> str:
+    """Build-once persisted IVF-PQ index over embeddings (same atomic
+    tmp-dir publish recipe as _shared_text_index); queries share it so
+    the search measures SEARCH cost."""
+    got = _ANN_INDEX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from ..stages.annindex import build_ann_index
+
+    key = _hl.sha256(sf_dir.encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"graft_annidx_{key}")
+    if not os.path.exists(os.path.join(final, "_ANN.json")):
+        tmp = tempfile.mkdtemp(prefix="graft_annidx_build_")
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ann_index(emb, tmp, n_clusters=8, m=8, ks=16)
+        shutil.rmtree(final, ignore_errors=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    _ANN_INDEX_CACHE[sf_dir] = final
+    return final
+
+
+def q_ann_indexed(sf_dir: str):
+    """Index-SERVED ANN (stages/annindex.py): the persisted IVF-PQ lake
+    answers the same query as ann_topk without scanning the embeddings
+    table — probed-cluster pruned reads of the codes column, ADC, then a
+    vec_id-pushdown fetch of ≤refine candidate vectors for the exact
+    re-rank. Conformance config (nprobe = n_clusters) must equal brute
+    force exactly — the SAME oracle as ann_topk gates it; realistic
+    nprobe recall is asserted in tests/test_annindex.py."""
+    from ..stages.annindex import ann_index_search
+
+    idx = _shared_ann_index(sf_dir)
+    q = _query_vec(sf_dir)
+    out = ann_index_search(idx, q, k=10, nprobe=8, refine=64)
+    e4 = pc.cast(pc.round(pc.multiply(out.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+    return pa.table({"vec_id": out.column("vec_id"), "cosine_e4": e4})
+
+
 def q_cdc_chunk_reconstruct(sf_dir: str):
     """Content-defined chunking round-trip gate (stages/cdchunk.py):
     Gear-hash FastCDC chunking of every document, then reassembly by
@@ -5381,6 +5429,7 @@ QUERIES = {
     "hopping_events": q_hopping_events,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_indexed": q_ann_indexed,
     "cdc_chunk_reconstruct": q_cdc_chunk_reconstruct,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "ann_radius": q_ann_radius,
@@ -5484,6 +5533,7 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "ann_ivf": SQL_ANN_TOPK,
     "ann_pq": SQL_ANN_TOPK,
+    "ann_indexed": SQL_ANN_TOPK,
     "cdc_chunk_reconstruct": SQL_CDC_CHUNK_RECONSTRUCT,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,

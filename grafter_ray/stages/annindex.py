@@ -1,0 +1,211 @@
+"""Persisted ANN index: IVF-PQ as a cluster-partitioned parquet lake —
+the embedding-side sibling of the persisted inverted text index
+(retrieval.py build_text_index; reference analogue: the native store's
+key-ordered covering indexes, repository.clj:126-136). Build once,
+serve searches from pruned reads forever:
+
+- layout: ``index_dir/cluster={c}/vectors-*.parquet`` with rows
+  (vec_id, codes fixed_size_binary(m), embedding), vec_id-sorted within
+  every file (small row groups → footer-stats pruning on the candidate
+  fetch). ``_ANN.json`` (centroids + PQ codebooks + file lists) is
+  written last = the commit point; a crashed build leaves no manifest.
+- search IO shape: (1) read ONLY the probed clusters' (vec_id, codes)
+  columns, ADC-score per block, keep block-local top-refine; (2) fetch
+  the ≤refine candidates' raw vectors via a vec_id-pushdown read of the
+  same files; exact float64 re-rank. At corpus scale the codes read is
+  ~m bytes/vector (the RAM-resident working set) while raw vectors stay
+  on disk and are touched only refine rows per query.
+- recall is a parameter (nprobe, refine); the conformance config
+  (nprobe = n_clusters) must equal brute force exactly — that is the
+  oracle gate. Realistic-config recall is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from .similarity import IVFIndex, PQCodebook, _matrix, _normalize
+
+__all__ = ["build_ann_index", "ann_index_search"]
+
+_MANIFEST = "_ANN.json"
+
+
+def build_ann_index(
+    emb,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Dataset[(id, vector)] → persisted IVF-PQ index. Quantizers train
+    on a bounded driver sample (the same deterministic kmeans-lite
+    discipline as the in-memory IVF/PQ stages) and broadcast once; each
+    block assigns, encodes, and writes one file per cluster-run (the
+    per-block Python loop is bounded by n_clusters, not rows)."""
+    sample_tb = emb.limit(train_rows).select_columns([vec_col]).take_batch(
+        train_rows, batch_format="pyarrow"
+    )
+    sample = _matrix(sample_tb.column(vec_col), dtype=np.float64)
+    ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
+    book = PQCodebook(m=m, ks=ks).fit(sample)
+    box = {"ivf": ray.put(ivf), "book": ray.put(book)}
+    os.makedirs(index_dir, exist_ok=True)
+
+    def write_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()), "cluster": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+        iv = ray.get(box["ivf"])
+        bk = ray.get(box["book"])
+        mat = _matrix(tb.column(vec_col), dtype=np.float64)
+        assign = iv.assign(mat).astype(np.int32)
+        codes = bk.encode(mat)
+        # zero-copy fixed-size-binary column straight from the (n, m)
+        # uint8 code matrix — no per-row Python
+        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(bk.m), len(codes), [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+        )
+        t = pa.table(
+            {
+                id_col: tb.column(id_col),
+                "cluster": pa.array(assign),
+                "codes": codes_arr,
+                vec_col: tb.column(vec_col),
+            }
+        ).sort_by([("cluster", "ascending"), (id_col, "ascending")])
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cl)]])
+        out_f, out_c, out_r = [], [], []
+        for lo, hi in zip(starts, ends):
+            c = int(cl[lo])
+            part = t.slice(lo, hi - lo).drop_columns(["cluster"])
+            d = os.path.join(index_dir, f"cluster={c}")
+            os.makedirs(d, exist_ok=True)
+            fname = f"vectors-{os.getpid()}-{os.urandom(6).hex()}.parquet"
+            pq.write_table(part, os.path.join(d, fname), row_group_size=4096)
+            out_f.append(f"cluster={c}/{fname}")
+            out_c.append(c)
+            out_r.append(hi - lo)
+        return pa.table({"file": pa.array(out_f), "cluster": pa.array(out_c, pa.int32()), "rows": pa.array(out_r, pa.int64())})
+
+    written = emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    files: dict[str, list[str]] = {}
+    n_vec = 0
+    for r in written:
+        files.setdefault(str(int(r["cluster"])), []).append(r["file"])
+        n_vec += int(r["rows"])
+    manifest = {
+        "n_clusters": int(n_clusters),
+        "m": int(m),
+        "ks": int(ks),
+        "metric": "cosine",
+        "n_vectors": n_vec,
+        "centroids": ivf.centroids.tolist(),
+        "codebooks": book.codebooks.tolist(),
+        "files": {c: sorted(fs) for c, fs in sorted(files.items())},
+    }
+    with open(os.path.join(index_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _load(index_dir: str) -> tuple[dict, IVFIndex, PQCodebook]:
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    ivf = IVFIndex(n_clusters=man["n_clusters"])
+    ivf.centroids = np.asarray(man["centroids"], np.float64)
+    book = PQCodebook(m=man["m"], ks=man["ks"])
+    book.codebooks = np.asarray(man["codebooks"], np.float64)
+    book.dim = book.codebooks.shape[0] * book.codebooks.shape[2]
+    return man, ivf, book
+
+
+def ann_index_search(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Index-served cosine top-k: probe the query's nprobe nearest
+    clusters, ADC-score ONLY their codes columns, then exact-re-rank the
+    ≤refine best candidates fetched by vec_id pushdown. Driver holds at
+    most refine × n_read_blocks candidate rows (ids + scores, no
+    vectors) and the refine candidate vectors."""
+    import ray.data as rd
+
+    man, ivf, book = _load(index_dir)
+    q = np.asarray(query, np.float64)
+    probes = ivf.probes(q, nprobe)
+    paths = [
+        os.path.join(index_dir, f)
+        for c in probes
+        for f in man["files"].get(str(int(c)), [])
+    ]
+    empty = pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    if not paths:
+        return empty
+    lut = book.lut(q)
+    box = {"book": ray.put(book), "lut": ray.put(lut)}
+
+    def adc_block(tb: pa.Table) -> pa.Table:
+        bk = ray.get(box["book"])
+        lt = ray.get(box["lut"])
+        carr = tb.column("codes").combine_chunks()
+        if isinstance(carr, pa.ChunkedArray):
+            carr = carr.chunk(0) if carr.num_chunks else pa.array([], pa.binary(bk.m))
+        codes = np.frombuffer(carr.buffers()[1], np.uint8, len(carr) * bk.m, carr.offset * bk.m).reshape(-1, bk.m)
+        approx = bk.adc_scores(codes, lt)
+        take = min(refine, len(approx))
+        cand = np.argpartition(-approx, take - 1)[:take] if take < len(approx) else np.arange(len(approx))
+        return pa.table(
+            {
+                id_col: tb.column(id_col).take(pa.array(cand)),
+                "approx": pa.array(approx[cand]),
+            }
+        )
+
+    cand_rows = (
+        rd.read_parquet(paths, columns=[id_col, "codes"])
+        .map_batches(adc_block, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # ≤ refine × blocks rows (ids + scores only)
+    if not cand_rows:
+        return empty
+    # union of per-block top-refine candidates (≤ refine × blocks ids) —
+    # a global re-cut would squeeze below the per-block guarantee
+    cand_ids = sorted({int(r[id_col]) for r in cand_rows})
+
+    # candidate fetch: vec_id pushdown over the probed files only —
+    # vec_id-sorted row groups prune from footer stats
+    import pyarrow.dataset as pads
+
+    fetched = pads.dataset(paths).to_table(
+        columns=[id_col, vec_col], filter=pads.field(id_col).isin(cand_ids)
+    )
+    mat = _normalize(_matrix(fetched.column(vec_col), dtype=np.float64))
+    qn = _normalize(q.reshape(1, -1))
+    sims = (mat @ qn.T).ravel()
+    order = np.lexsort((fetched.column(id_col).to_numpy(zero_copy_only=False), -np.round(sims, 6)))[:k]
+    return pa.table(
+        {
+            id_col: fetched.column(id_col).take(pa.array(order)),
+            "cosine": pa.array(np.round(sims[order], 6)),
+        }
+    )

@@ -131,9 +131,13 @@ QUERY_SUBSET = [
     # round-4 session-9 additions
     "hybrid_search",
     "ann_pq",
+    "ann_indexed",
     "cdc_chunk_reconstruct",
     "cdc_chunk_dedup",
     "holdout_split",
+    "skew_join_revenue",
+    "doc_entropy",
+    "temperature_mix",
 ]
 
 

@@ -33,7 +33,7 @@ import ray
 
 from .similarity import IVFIndex, PQCodebook, _matrix, _normalize
 
-__all__ = ["build_ann_index", "ann_index_search"]
+__all__ = ["build_ann_index", "extend_ann_index", "ann_index_search"]
 
 _MANIFEST = "_ANN.json"
 
@@ -209,3 +209,72 @@ def ann_index_search(
             "cosine": pa.array(np.round(sims[order], 6)),
         }
     )
+
+
+def extend_ann_index(
+    emb,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append a NEW vector batch (the next crawl's embeddings) without
+    rebuilding: rows are assigned and encoded with the EXISTING
+    quantizers (centroids/codebooks are frozen — distribution drift
+    calls for a rebuild, not a silent retrain that would invalidate
+    every stored code), new files land in the same cluster partitions,
+    and the manifest update is published atomically via tmp+rename — a
+    crashed extend leaves only orphan files the manifest never
+    references. Caller contract: vec_ids must be NEW (same append
+    semantics as extend_text_index)."""
+    man_path = os.path.join(index_dir, _MANIFEST)
+    man, ivf, book = _load(index_dir)
+    box = {"ivf": ray.put(ivf), "book": ray.put(book)}
+
+    def write_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()), "cluster": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+        iv = ray.get(box["ivf"])
+        bk = ray.get(box["book"])
+        mat = _matrix(tb.column(vec_col), dtype=np.float64)
+        assign = iv.assign(mat).astype(np.int32)
+        codes = bk.encode(mat)
+        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(bk.m), len(codes), [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+        )
+        t = pa.table(
+            {
+                id_col: tb.column(id_col),
+                "cluster": pa.array(assign),
+                "codes": codes_arr,
+                vec_col: tb.column(vec_col),
+            }
+        ).sort_by([("cluster", "ascending"), (id_col, "ascending")])
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cl)]])
+        out_f, out_c, out_r = [], [], []
+        for lo, hi in zip(starts, ends):
+            c = int(cl[lo])
+            part = t.slice(lo, hi - lo).drop_columns(["cluster"])
+            d = os.path.join(index_dir, f"cluster={c}")
+            os.makedirs(d, exist_ok=True)
+            fname = f"vectors-{os.getpid()}-{os.urandom(6).hex()}.parquet"
+            pq.write_table(part, os.path.join(d, fname), row_group_size=4096)
+            out_f.append(f"cluster={c}/{fname}")
+            out_c.append(c)
+            out_r.append(hi - lo)
+        return pa.table({"file": pa.array(out_f), "cluster": pa.array(out_c, pa.int32()), "rows": pa.array(out_r, pa.int64())})
+
+    written = emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    for r in written:
+        c = str(int(r["cluster"]))
+        man["files"].setdefault(c, []).append(r["file"])
+        man["n_vectors"] = int(man["n_vectors"]) + int(r["rows"])
+    man["files"] = {c: sorted(fs) for c, fs in sorted(man["files"].items())}
+    tmp = f"{man_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.rename(tmp, man_path)
+    return man

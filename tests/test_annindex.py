@@ -88,3 +88,28 @@ def test_rebuild_is_deterministic(tmp_path):
         return out
 
     assert members(d1, m1) == members(d2, m2)
+
+
+def test_extend_equals_full_rebuild(tmp_path):
+    """Build on the first half, extend with the second: probe-all search
+    over the extended index equals brute force over the union (and the
+    manifest's vector count tracks)."""
+    import pyarrow as pa
+
+    from grafter_ray.stages.annindex import extend_ann_index
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    half = t.num_rows // 2
+    first, second = t.slice(0, half), t.slice(half)
+    d = str(tmp_path / "idx")
+    build_ann_index(rd.from_arrow(first).repartition(2), d, n_clusters=8, m=8, ks=16)
+    man = extend_ann_index(rd.from_arrow(second).repartition(3), d)
+    assert man["n_vectors"] == t.num_rows
+
+    q = _query()
+    got = ann_index_search(d, q, k=10, nprobe=8, refine=64).to_pylist()
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = brute_topk(emb, q, k=10).take_all()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]

@@ -257,6 +257,72 @@ def cmd_index_search(args) -> int:
     return 0
 
 
+def cmd_ann_build(args) -> int:
+    import ray.data as rd
+
+    from .stages.annindex import build_ann_index, extend_ann_index
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(args.embeddings, columns=[args.id_col, args.vec_col])
+    if args.extend:
+        man = extend_ann_index(emb, args.index, id_col=args.id_col, vec_col=args.vec_col)
+    else:
+        man = build_ann_index(
+            emb,
+            args.index,
+            n_clusters=args.clusters,
+            m=args.m,
+            ks=args.ks,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+    _emit(
+        {
+            "cmd": "ann-build",
+            "index": args.index,
+            "extend": bool(args.extend),
+            "n_vectors": int(man["n_vectors"]),
+            "n_clusters": int(man["n_clusters"]),
+            "files": sum(len(v) for v in man["files"].values()),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
+def cmd_ann_search(args) -> int:
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from .stages.annindex import ann_index_search
+
+    t0 = time.perf_counter()
+    if args.query_vec_id is not None:
+        t = _pq.read_table(args.embeddings, columns=[args.id_col, args.vec_col])
+        import pyarrow.compute as _pc
+
+        pos = _pc.index(t.column(args.id_col), args.query_vec_id).as_py()
+        if pos < 0:
+            raise SystemExit(f"query vec_id {args.query_vec_id} not in {args.embeddings}")
+        q = np.asarray(t.column(args.vec_col)[pos].as_py(), np.float32)
+    else:
+        q = np.asarray([float(x) for x in args.vector.split(",")], np.float32)
+    out = ann_index_search(
+        args.index, q, k=args.k, nprobe=args.nprobe, refine=args.refine, id_col=args.id_col
+    )
+    _emit(
+        {
+            "cmd": "ann-search",
+            "index": args.index,
+            "k": args.k,
+            "nprobe": args.nprobe,
+            "rows": out.to_pylist(),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m grafter_ray", description=__doc__.splitlines()[0])
     p.add_argument("--ray-address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
@@ -374,6 +440,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--allow-dirty-stats", action="store_true")
     sp.add_argument("terms", nargs="+")
     sp.set_defaults(fn=cmd_index_search)
+
+    sp = sub.add_parser("ann-build", help="build or extend the persisted IVF-PQ ANN index")
+    sp.add_argument("--embeddings", required=True, help="parquet file/dir of (id, vector)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--extend", action="store_true", help="append to an existing index")
+    sp.add_argument("--clusters", type=int, default=16)
+    sp.add_argument("--m", type=int, default=8)
+    sp.add_argument("--ks", type=int, default=16)
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.set_defaults(fn=cmd_ann_build)
+
+    sp = sub.add_parser("ann-search", help="cosine top-k from the persisted ANN index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--refine", type=int, default=64)
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--query-vec-id", type=int, default=None, help="use this row of --embeddings as the query")
+    sp.add_argument("--embeddings", default=None, help="needed with --query-vec-id")
+    sp.add_argument("--vector", default=None, help="comma-separated floats")
+    sp.set_defaults(fn=cmd_ann_search)
     return p
 
 

@@ -273,3 +273,44 @@ def test_index_sync_search_compact(tmp_path, capsys):
 
     out = _run(capsys, ["index-compact", "--index", idx])
     assert out["n_docs"] == 2 and out["total_tokens"] == 5 and out["stats_dirty"] is False
+
+
+def test_ann_build_extend_search(tmp_path, capsys):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "annidx")
+    out = _run(capsys, ["ann-build", "--embeddings", emb, "--index", idx, "--clusters", "8"])
+    assert out["n_vectors"] == 500 and out["n_clusters"] == 8
+    got = _run(
+        capsys,
+        [
+            "ann-search", "--index", idx, "--query-vec-id", "0",
+            "--embeddings", emb, "--nprobe", "8", "--k", "3",
+        ],
+    )
+    assert got["rows"][0] == {"vec_id": 0, "cosine": 1.0}  # the query row itself
+    # extend with synthetic new ids: count tracks, search still serves
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(emb)
+    extra = pa.table(
+        {
+            "vec_id": pa.array([10_000 + i for i in range(50)], pa.int64()),
+            "embedding": t.column("embedding").slice(0, 50),
+        }
+    )
+    p2 = str(tmp_path / "extra.parquet")
+    _pq.write_table(extra, p2)
+    out2 = _run(capsys, ["ann-build", "--extend", "--embeddings", p2, "--index", idx])
+    assert out2["n_vectors"] == 550
+    got2 = _run(
+        capsys,
+        [
+            "ann-search", "--index", idx, "--query-vec-id", "0",
+            "--embeddings", emb, "--nprobe", "8", "--k", "3",
+        ],
+    )
+    # vec 10000 is a copy of vec 0 → both score cosine 1.0
+    top2 = {r["vec_id"] for r in got2["rows"][:2]}
+    assert top2 == {0, 10_000}

@@ -1,0 +1,318 @@
+"""Content-addressed chunk store maintained EXACTLY-ONCE from the CDC
+lake's signed change feed — the storage-dedup face of the engine: every
+document's content is content-defined-chunked (stages/cdchunk.py) and
+chunks are refcounted by sha256, so identical content across documents
+(and across versions of one document) is stored once.
+
+Sync protocol (the sync_text_index / IncrementalView discipline):
+- first sync: chunk the full lake view, every chunk carries delta=+1.
+- incremental sync: `CDCLake.changes_with_old(synced_version)` emits
+  the CURRENT row (+1) and the PRIOR row (-1) of every changed key;
+  chunking each side and signing its chunks maintains the refcounts
+  under insert/update/delete without touching unchanged partitions.
+- delta files land in ``store_dir/part={hash(sha) % P}/`` (one file per
+  part-run per block); ``_CHUNKSTORE.json`` republishes atomically via
+  tmp+rename with synced_version = the lake version diffed to — a
+  crashed sync leaves orphans the manifest never references, and a
+  re-sync at the same version is a no-op (exactly-once).
+- chunk bytes ride only on +1 rows; retractions are (sha, -1) ledger
+  rows. `compact_chunk_store` folds each partition to one file and
+  drops shas whose refcount reached 0 (publish-then-sweep).
+
+The gate (tests/test_chunkstore.py): after ANY apply/sync interleaving,
+the folded refcounts equal chunking the CURRENT lake view from scratch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.cdchunk import _string_bytes, chunk_spans, gear_hashes
+
+_MANIFEST = "_CHUNKSTORE.json"
+
+_DELTA_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("chunk_sha", pa.string()),
+        ("length", pa.int64()),
+        ("delta", pa.int64()),
+        ("content", pa.binary()),
+    ]
+)
+
+
+def _chunk_signed(tb: pa.Table, P: int, min_size: int, avg_bits: int, max_size: int) -> pa.Table:
+    """(content, sign) rows → signed chunk ledger rows."""
+    if tb.num_rows == 0:
+        return _DELTA_SCHEMA.empty_table()
+    signs = tb.column("sign").to_numpy(zero_copy_only=False).astype(np.int64)
+    off, data = _string_bytes(tb.column("content"))
+    h = gear_hashes(data)
+    parts, shas, lens, deltas, contents = [], [], [], [], []
+    for r in range(tb.num_rows):
+        lo, hi = int(off[r]), int(off[r + 1])
+        sign = int(signs[r])
+        for o, ln in chunk_spans(
+            h[lo:hi] if hi > lo else h[:0], hi - lo,
+            min_size=min_size, avg_bits=avg_bits, max_size=max_size,
+        ):
+            b = data[lo + o : lo + o + ln].tobytes()
+            d = hashlib.sha256(b).digest()
+            parts.append(int.from_bytes(d[:4], "big") % P)
+            shas.append(d.hex())
+            lens.append(ln)
+            deltas.append(sign)
+            contents.append(b if sign > 0 else None)
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "chunk_sha": pa.array(shas, pa.string()),
+            "length": pa.array(lens, pa.int64()),
+            "delta": pa.array(deltas, pa.int64()),
+            "content": pa.array(contents, pa.binary()),
+        }
+    )
+
+
+def _write_part_runs(ledger, store_dir: str) -> list[str]:
+    """One key exchange on part, then one file per part-run per block
+    (the _write_postings pattern — Python loop bounded by P, not rows).
+    Within a run, per-sha deltas are pre-folded (map-side combine)."""
+    from ..stages.grouped import grouped_block_map, key_segments
+
+    os.makedirs(store_dir, exist_ok=True)
+
+    def write_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string())})
+        out = []
+        tb = tb.sort_by([("part", "ascending"), ("chunk_sha", "ascending")])
+        starts, ends = key_segments(tb, ["part"])
+        pcol = tb.column("part").to_numpy(zero_copy_only=False)
+        for lo, hi in zip(starts, ends):
+            p = int(pcol[lo])
+            run = tb.slice(lo, hi - lo)
+            # map-side fold: one row per sha with summed delta; keep any
+            # non-null content (bytes identical for one sha by def)
+            folded = _fold(run)
+            d = os.path.join(store_dir, f"part={p}")
+            os.makedirs(d, exist_ok=True)
+            fname = f"chunks-{os.getpid()}-{os.urandom(6).hex()}.parquet"
+            pq.write_table(folded, os.path.join(d, fname), row_group_size=8192)
+            out.append(f"part={p}/{fname}")
+        return pa.table({"file": pa.array(out, pa.string())})
+
+    written = grouped_block_map(ledger, ["part"], write_block).take_all()
+    return sorted(r["file"] for r in written)
+
+
+def _fold(run: pa.Table) -> pa.Table:
+    """Fold a sha-sorted run: sum deltas, min length, first non-null
+    content per sha (vectorized segment arithmetic)."""
+    from ..stages.grouped import key_segments
+
+    starts, ends = key_segments(run, ["chunk_sha"])
+    deltas = run.column("delta").to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(deltas, starts)
+    valid = pc.is_valid(run.column("content")).to_numpy(zero_copy_only=False)
+    # first content-bearing row per segment, else the segment start —
+    # vectorized: invalid rows get sentinel n, minimum.reduceat picks
+    n = run.num_rows
+    idx = np.where(valid, np.arange(n, dtype=np.int64), n)
+    pick = np.minimum.reduceat(idx, starts)
+    pick = np.where(pick == n, starts, pick)
+    base = run.take(pa.array(pick, pa.int64()))
+    return pa.table(
+        {
+            "part": base.column("part"),
+            "chunk_sha": base.column("chunk_sha"),
+            "length": base.column("length"),
+            "delta": pa.array(sums, pa.int64()),
+            "content": base.column("content"),
+        }
+    )
+
+
+def _load_manifest(store_dir: str) -> dict | None:
+    p = os.path.join(store_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish(store_dir: str, man: dict) -> None:
+    p = os.path.join(store_dir, _MANIFEST)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.rename(tmp, p)
+
+
+def sync_chunk_store(
+    lake,
+    store_dir: str,
+    *,
+    num_partitions: int = 16,
+    min_size: int = 64,
+    avg_bits: int = 8,
+    max_size: int = 1024,
+    version: int | None = None,
+) -> dict:
+    """Bring the chunk store up to the lake's current version (or a
+    pinned `version` — useful for replaying a sync history). Returns
+    the published manifest; a re-sync at the same version is a no-op."""
+    man = _load_manifest(store_dir)
+    cur = version if version is not None else (
+        int(lake.manifest["version"]) if lake.manifest else -1
+    )
+    if cur < 0:
+        raise ValueError("lake has no committed version to sync from")
+    params = {"min_size": min_size, "avg_bits": avg_bits, "max_size": max_size}
+    if man is not None and man.get("params") != params:
+        raise ValueError("chunking params differ from the store's — rebuild in a new dir")
+    if man is not None and int(man["synced_version"]) == cur:
+        return man
+    if man is not None and int(man["synced_version"]) > cur:
+        raise ValueError(
+            f"store is at version {man['synced_version']}, ahead of requested {cur}"
+        )
+    P = int(man["num_partitions"]) if man is not None else int(num_partitions)
+
+    if man is None:
+        feed = lake.read(view=True, version=cur).map_batches(
+            lambda tb: tb.append_column("sign", pa.array(np.ones(tb.num_rows, np.int8))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        feed = lake.changes_with_old(
+            int(man["synced_version"]), view=True, to_manifest=lake.manifest_at(cur)
+        )
+
+    def to_ledger(tb: pa.Table) -> pa.Table:
+        return _chunk_signed(
+            tb.select(["content", "sign"]), P, min_size, avg_bits, max_size
+        )
+
+    ledger = feed.map_batches(to_ledger, batch_format="pyarrow", zero_copy_batch=True)
+    files = _write_part_runs(ledger, store_dir)
+    new_man = {
+        "num_partitions": P,
+        "params": params,
+        "synced_version": cur,
+        "files": sorted((man["files"] if man else []) + files),
+    }
+    _publish(store_dir, new_man)
+    return new_man
+
+
+def chunk_store_live(store_dir: str):
+    """Dataset[(chunk_sha, length, refcount)] of live chunks (refcount
+    > 0), folded per hash partition — all ledger rows of a sha share a
+    part, so one keyed exchange folds it globally."""
+    import ray.data as rd
+
+    from ..pipelines.relational import grouped_agg
+
+    man = _load_manifest(store_dir)
+    if man is None:
+        raise FileNotFoundError(f"no {_MANIFEST} in {store_dir}")
+    if not man["files"]:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "chunk_sha": pa.array([], pa.string()),
+                    "length": pa.array([], pa.int64()),
+                    "refcount": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ds = rd.read_parquet(
+        [os.path.join(store_dir, f) for f in man["files"]],
+        columns=["chunk_sha", "length", "delta"],
+    )
+    agg = grouped_agg(ds, ["chunk_sha"], [("length", "length", "min"), ("refcount", "delta", "sum")])
+
+    def live(tb: pa.Table) -> pa.Table:
+        t = tb.filter(pc.greater(tb.column("refcount"), 0))
+        return pa.table(
+            {
+                "chunk_sha": t.column("chunk_sha"),
+                "length": pc.cast(t.column("length"), pa.int64()),
+                "refcount": pc.cast(t.column("refcount"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_store_get(store_dir: str, shas: list[str]) -> dict[str, bytes]:
+    """Point-fetch chunk bytes by sha: opens ONLY the shas' hash
+    partitions, content pushdown on the sha column."""
+    import pyarrow.dataset as pads
+
+    man = _load_manifest(store_dir)
+    if man is None:
+        raise FileNotFoundError(f"no {_MANIFEST} in {store_dir}")
+    P = int(man["num_partitions"])
+    want_parts = {int.from_bytes(bytes.fromhex(s)[:4], "big") % P for s in shas}
+    paths = [
+        os.path.join(store_dir, f)
+        for f in man["files"]
+        if int(f.split("=", 1)[1].split("/", 1)[0]) in want_parts
+    ]
+    if not paths:
+        return {}
+    t = pads.dataset(paths).to_table(
+        columns=["chunk_sha", "delta", "content"],
+        filter=pads.field("chunk_sha").isin(list(shas)),
+    )
+    out: dict[str, bytes] = {}
+    alive: dict[str, int] = {}
+    for r in t.to_pylist():
+        alive[r["chunk_sha"]] = alive.get(r["chunk_sha"], 0) + int(r["delta"])
+        if r["content"] is not None:
+            out.setdefault(r["chunk_sha"], r["content"])
+    return {s: b for s, b in out.items() if alive.get(s, 0) > 0}
+
+
+def compact_chunk_store(store_dir: str) -> dict:
+    """Fold every partition to ONE file, dropping shas whose refcount
+    reached 0 (their bytes are reclaimed). Publish-then-sweep: the new
+    manifest lands atomically first; old files are removed after."""
+    man = _load_manifest(store_dir)
+    if man is None:
+        raise FileNotFoundError(f"no {_MANIFEST} in {store_dir}")
+    by_part: dict[str, list[str]] = {}
+    for f in man["files"]:
+        by_part.setdefault(f.split("/", 1)[0], []).append(f)
+    new_files: list[str] = []
+    for part, fs in sorted(by_part.items()):
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(store_dir, f)) for f in fs], promote_options="none"
+        ).sort_by([("chunk_sha", "ascending")])
+        folded = _fold(t)
+        folded = folded.filter(pc.greater(folded.column("delta"), 0))
+        if folded.num_rows == 0:
+            continue
+        fname = f"{part}/chunks-compact-{os.getpid()}-{os.urandom(4).hex()}.parquet"
+        pq.write_table(folded, os.path.join(store_dir, fname), row_group_size=8192)
+        new_files.append(fname)
+    old = set(man["files"])
+    man["files"] = sorted(new_files)
+    _publish(store_dir, man)
+    for f in old:
+        try:
+            os.remove(os.path.join(store_dir, f))
+        except FileNotFoundError:
+            pass
+    return man

@@ -2547,6 +2547,61 @@ def q_cdc_chunk_dedup(sf_dir: str):
     return out.drop_columns(["k"])
 
 
+def q_chunk_store_sync(sf_dir: str):
+    """Content-addressed chunk store synced EXACTLY-ONCE from the docs
+    lake's change feed (pipelines/chunkstore.py): full build at v0, then
+    an incremental sync folds the v0→v1 update wave's ± chunk refs.
+    Returns the live-store ledger summary (rows-only; the
+    fold-equals-recompute gate and exactly-once re-sync live in
+    tests/test_chunkstore.py)."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .chunkstore import chunk_store_live, sync_chunk_store
+
+    lake_root, v0, v1, n_docs = _shared_docs_lake(sf_dir)
+    lake = CDCLake(lake_root, num_partitions=32)
+    store = tempfile.mkdtemp(prefix="graft_chunkstore_q_")
+    try:
+        # full build at v0, then an INCREMENTAL fold of the v0→v1 wave
+        sync_chunk_store(lake, store, num_partitions=16, avg_bits=6, max_size=512, version=v0)
+        sync_chunk_store(lake, store, num_partitions=16, avg_bits=6, max_size=512, version=v1)
+        live = chunk_store_live(store)
+
+        def fold(tb: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "n_chunks": pa.array([tb.num_rows], pa.int64()),
+                    "n_refs": pa.array([int(pc.sum(tb.column("refcount")).as_py() or 0)]),
+                    "live_bytes": pa.array([int(pc.sum(tb.column("length")).as_py() or 0)]),
+                }
+            )
+
+        parts = live.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        out = grouped_agg(
+            parts,
+            ["k"],
+            [
+                ("n_chunks", "n_chunks", "sum"),
+                ("n_refs", "n_refs", "sum"),
+                ("live_bytes", "live_bytes", "sum"),
+            ],
+        )
+        return _collect_small(out).drop_columns(["k"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _collect_small(ds) -> pa.Table:
+    """Materialize an already-reduced (≤ a few rows) Dataset."""
+    rows = ds.take_all()
+    if not rows:
+        return pa.table({})
+    return pa.Table.from_pylist(rows)
+
+
 def q_ann_pq(sf_dir: str):
     """Product-quantization ANN (stages/similarity.py pq_topk): vectors
     compress to m=8 uint8 codes (32× smaller than float32[64] — the RAM
@@ -5432,6 +5487,7 @@ QUERIES = {
     "ann_indexed": q_ann_indexed,
     "cdc_chunk_reconstruct": q_cdc_chunk_reconstruct,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "chunk_store_sync": q_chunk_store_sync,
     "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,

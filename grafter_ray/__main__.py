@@ -257,6 +257,41 @@ def cmd_index_search(args) -> int:
     return 0
 
 
+def cmd_chunkstore_sync(args) -> int:
+    from .pipelines.chunkstore import chunk_store_live, compact_chunk_store, sync_chunk_store
+    from .pipelines.replay import CDCLake
+
+    t0 = time.perf_counter()
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    man = sync_chunk_store(
+        lake,
+        args.store,
+        num_partitions=args.store_partitions,
+        min_size=args.min_size,
+        avg_bits=args.avg_bits,
+        max_size=args.max_size,
+    )
+    if args.compact:
+        man = compact_chunk_store(args.store)
+    out = {
+        "cmd": "chunkstore-sync",
+        "store": args.store,
+        "synced_version": int(man["synced_version"]),
+        "files": len(man["files"]),
+        "compacted": bool(args.compact),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    if args.stats:
+        import pyarrow.compute as _pc
+
+        rows = chunk_store_live(args.store).take_all()
+        out["live_chunks"] = len(rows)
+        out["live_bytes"] = int(sum(r["length"] for r in rows))
+        out["live_refs"] = int(sum(r["refcount"] for r in rows))
+    _emit(out)
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     import ray.data as rd
 
@@ -440,6 +475,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--allow-dirty-stats", action="store_true")
     sp.add_argument("terms", nargs="+")
     sp.set_defaults(fn=cmd_index_search)
+
+    sp = sub.add_parser("chunkstore-sync", help="sync the content-addressed chunk store from the lake")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--store-partitions", type=int, default=16)
+    sp.add_argument("--min-size", type=int, default=64)
+    sp.add_argument("--avg-bits", type=int, default=8)
+    sp.add_argument("--max-size", type=int, default=1024)
+    sp.add_argument("--compact", action="store_true")
+    sp.add_argument("--stats", action="store_true", help="fold and report live chunk counts")
+    sp.set_defaults(fn=cmd_chunkstore_sync)
 
     sp = sub.add_parser("ann-build", help="build or extend the persisted IVF-PQ ANN index")
     sp.add_argument("--embeddings", required=True, help="parquet file/dir of (id, vector)")

@@ -314,3 +314,24 @@ def test_ann_build_extend_search(tmp_path, capsys):
     # vec 10000 is a copy of vec 0 → both score cosine 1.0
     top2 = {r["vec_id"] for r in got2["rows"][:2]}
     assert top2 == {0, 10_000}
+
+
+def test_chunkstore_sync_cli(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    store = str(tmp_path / "chunks")
+    out = _run(
+        capsys,
+        ["chunkstore-sync", "--lake", lake, "--partitions", "8", "--store", store,
+         "--avg-bits", "6", "--max-size", "512", "--stats"],
+    )
+    assert out["live_chunks"] > 0 and out["live_bytes"] > 0
+    # second sync at the same version: no-op, counts identical
+    out2 = _run(
+        capsys,
+        ["chunkstore-sync", "--lake", lake, "--partitions", "8", "--store", store,
+         "--avg-bits", "6", "--max-size", "512", "--stats", "--compact"],
+    )
+    assert out2["live_chunks"] == out["live_chunks"]
+    assert out2["live_bytes"] == out["live_bytes"]

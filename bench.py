@@ -138,6 +138,7 @@ QUERY_SUBSET = [
     "skew_join_revenue",
     "doc_entropy",
     "temperature_mix",
+    "chunk_store_sync",
 ]
 
 

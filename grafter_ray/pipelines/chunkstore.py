@@ -316,3 +316,56 @@ def compact_chunk_store(store_dir: str) -> dict:
         except FileNotFoundError:
             pass
     return man
+
+
+def fsck_chunk_store(store_dir: str, deep: bool = False) -> dict:
+    """Operational integrity pass (the lake-fsck discipline applied to
+    the store): manifest-referenced files exist and parse, every row
+    sits in its sha's hash partition, folded refcounts are never
+    negative (a negative means retractions outran additions — lost +1
+    ledger rows). --deep recomputes sha256 over every content-bearing
+    row and verifies every LIVE sha has bytes available. Read-only;
+    returns {ok, files, live_chunks, errors}."""
+    man = _load_manifest(store_dir)
+    if man is None:
+        return {"ok": False, "errors": [f"no {_MANIFEST}"], "files": 0, "live_chunks": 0}
+    errors: list[str] = []
+    P = int(man["num_partitions"])
+    fold: dict[str, int] = {}
+    has_content: set[str] = set()
+    for f in man["files"]:
+        p = os.path.join(store_dir, f)
+        if not os.path.exists(p):
+            errors.append(f"missing file {f}")
+            continue
+        try:
+            t = pq.read_table(p)
+        except Exception as e:  # corrupted parquet
+            errors.append(f"unreadable {f}: {e}")
+            continue
+        want_part = int(f.split("=", 1)[1].split("/", 1)[0])
+        for r in t.to_pylist():
+            sha = r["chunk_sha"]
+            if int.from_bytes(bytes.fromhex(sha)[:4], "big") % P != want_part:
+                errors.append(f"misrouted sha {sha[:12]}… in {f}")
+            if r["part"] != want_part:
+                errors.append(f"part column mismatch in {f}")
+            fold[sha] = fold.get(sha, 0) + int(r["delta"])
+            if r["content"] is not None:
+                has_content.add(sha)
+                if deep and hashlib.sha256(r["content"]).hexdigest() != sha:
+                    errors.append(f"content/sha mismatch for {sha[:12]}… in {f}")
+    neg = [s for s, rc in fold.items() if rc < 0]
+    if neg:
+        errors.append(f"{len(neg)} shas with negative refcount (e.g. {neg[0][:12]}…)")
+    live = [s for s, rc in fold.items() if rc > 0]
+    if deep:
+        for s in live:
+            if s not in has_content:
+                errors.append(f"live sha {s[:12]}… has no stored bytes")
+    return {
+        "ok": not errors,
+        "files": len(man["files"]),
+        "live_chunks": len(live),
+        "errors": errors[:20],
+    }

@@ -105,3 +105,40 @@ def test_chunk_store_sync_equals_recompute(tmp_path):
     # fetch still works post-compaction
     got2 = chunk_store_get(store, some)
     assert got2 == got
+
+
+def test_chunkstore_fsck(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grafter_ray.pipelines.chunkstore import fsck_chunk_store
+
+    cfg = BinlogConfig(n_events=1_500, n_keys=120, n_repos=6, schema_every=1_000)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog_table(cfg)))
+    store = str(tmp_path / "chunks")
+    man = sync_chunk_store(lake, store, num_partitions=4, **PARAMS)
+
+    rep = fsck_chunk_store(store, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["live_chunks"] > 0
+
+    # tamper one content cell → deep fsck flags the sha mismatch
+    victim = os.path.join(store, man["files"][0])
+    t = pq.read_table(victim)
+    idx = next(i for i, v in enumerate(t.column("content").to_pylist()) if v is not None)
+    content = t.column("content").to_pylist()
+    content[idx] = b"TAMPERED" + (content[idx] or b"")
+    t = t.set_column(t.schema.get_field_index("content"), "content", pa.array(content, pa.binary()))
+    pq.write_table(t, victim, row_group_size=8192)
+    rep2 = fsck_chunk_store(store, deep=True)
+    assert not rep2["ok"] and any("content/sha" in e for e in rep2["errors"])
+    # shallow pass does not recompute hashes
+    assert fsck_chunk_store(store, deep=False)["ok"]
+
+    # missing file detected
+    os.remove(victim)
+    rep3 = fsck_chunk_store(store)
+    assert not rep3["ok"] and any("missing file" in e for e in rep3["errors"])

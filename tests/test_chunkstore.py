@@ -142,3 +142,44 @@ def test_chunkstore_fsck(tmp_path):
     os.remove(victim)
     rep3 = fsck_chunk_store(store)
     assert not rep3["ok"] and any("missing file" in e for e in rep3["errors"])
+
+
+def test_chunkstore_crashed_sync_leaves_invisible_orphans(tmp_path, monkeypatch):
+    """A sync that dies after writing delta files but BEFORE the
+    manifest republish changes nothing observable; the retry converges
+    to the same state (the commit-point discipline of the lake)."""
+    import glob
+    import os
+
+    import grafter_ray.pipelines.chunkstore as cs
+
+    cfg = BinlogConfig(n_events=2_000, n_keys=150, n_repos=6, schema_every=1_000)
+    tb = binlog_table(cfg)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    store = str(tmp_path / "chunks")
+    lake.apply(rd.from_arrow(tb.slice(0, 1_000)))
+    sync_chunk_store(lake, store, num_partitions=4, **PARAMS)
+    before = _live(store)
+    man_before = cs._load_manifest(store)
+
+    lake.apply(rd.from_arrow(tb.slice(1_000)))
+
+    real_publish = cs._publish
+
+    def crash_publish(store_dir, man):
+        raise RuntimeError("simulated crash before manifest republish")
+
+    monkeypatch.setattr(cs, "_publish", crash_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sync_chunk_store(lake, store, **PARAMS)
+    # orphan delta files exist on disk but the store is unchanged
+    n_disk = len(glob.glob(os.path.join(store, "part=*", "*.parquet")))
+    assert n_disk > len(man_before["files"])
+    assert cs._load_manifest(store) == man_before
+    assert _live(store) == before
+
+    # retry with the crash removed converges exactly
+    monkeypatch.setattr(cs, "_publish", real_publish)
+    man2 = sync_chunk_store(lake, store, **PARAMS)
+    assert man2["synced_version"] == lake.manifest["version"]
+    assert _live(store) == _expected(lake)

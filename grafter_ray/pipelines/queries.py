@@ -4425,6 +4425,100 @@ FROM c
 """
 
 
+def q_train_pipeline(sf_dir: str):
+    """END-TO-END training-data pipeline, oracle-exact through FIVE
+    composed stages — the flagship composition: (1) Gopher quality gate
+    (length + repetition thresholds, e4 integer arithmetic), (2) exact
+    dedup (min-id survivor per identical text; map-side pre-reduction,
+    only ≤1 row per text per block crosses the wire), (3) leakage-safe
+    holdout (train side of the md5 source split), (4) per-language token
+    budget (LCG window-cumsum mixture), (5) GPT-style sequence packing
+    (distributed prefix sum → 256-token chunk spans). Every stage is
+    SQL-exact, so the WHOLE composition hash-gates against one DuckDB
+    CTE chain."""
+    from ..stages.packing import pack_sequences
+    from ..stages.sampling import budget_sample, grouped_holdout_split
+    from ..stages.sha import sha256_array
+    from ..stages.text import repetition_stats, token_count_array
+    from .relational import take_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def gate(tb: pa.Table) -> pa.Table:
+        rep = repetition_stats(tb)
+        nw = pc.cast(token_count_array(tb.column("text")), pa.int64())
+        nb = rep.column("n_bigrams")
+        safe_nb = pc.max_element_wise(nb, pa.scalar(1, pa.int64()))
+        tf = pc.divide(pc.multiply(rep.column("top_bigram_cnt"), pa.scalar(10_000, pa.int64())), safe_nb)
+        df = pc.divide(pc.multiply(rep.column("dup_bigram_cnt"), pa.scalar(10_000, pa.int64())), safe_nb)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(nw, 20), pc.less_equal(tf, 400)),
+            pc.less_equal(df, 1_000),
+        )
+        out = tb.append_column("n_words", nw).append_column(
+            "sha", sha256_array(tb.column("text"))
+        )
+        return out.filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = take_per_group(gated, ["sha"], [("doc_id", "ascending")], 1)
+    split = grouped_holdout_split(deduped, "source", test_pct=25)
+
+    def train_side(tb: pa.Table) -> pa.Table:
+        return tb.filter(pc.equal(tb.column("split"), "train")).drop_columns(
+            ["split", "sha"]
+        )
+
+    train = split.map_batches(train_side, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = budget_sample(train, ["lang"], "doc_id", "n_words", budget=30_000)
+    return pack_sequences(mixed, capacity=256)
+
+
+SQL_TRAIN_PIPELINE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+), cnts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT) AS top,
+         CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup
+  FROM cnts GROUP BY doc_id
+), gated AS (
+  SELECT d.doc_id, d.text, d.lang, d.source,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_words
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  WHERE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) >= 20
+    AND COALESCE(a.top, 0) * 10000 // greatest(COALESCE(a.nb, 0), 1) <= 400
+    AND COALESCE(a.dup, 0) * 10000 // greatest(COALESCE(a.nb, 0), 1) <= 1000
+), dedup AS (
+  SELECT * FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gated g
+  ) WHERE rn = 1
+), train AS (
+  SELECT * FROM dedup
+  WHERE CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) % 100 >= 25
+), mixed AS (
+  SELECT * FROM (
+    SELECT *, sum(n_words) OVER (
+      PARTITION BY lang
+      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+    ) AS cum FROM train
+  ) WHERE cum <= 30000
+), c AS (
+  SELECT doc_id, n_words,
+         CAST(COALESCE(sum(n_words) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM mixed
+)
+SELECT doc_id, n_words AS n_tokens, prev // 256 AS first_chunk,
+       (prev + n_words - 1) // 256 AS last_chunk
+FROM c
+"""
+
+
 def q_cross_decontaminate(sf_dir: str):
     """Cross-corpus NEAR-DUP decontamination (the paraphrase gap exact
     n-gram overlap misses): docs with doc_id % 10 == 0 act as the eval
@@ -5488,6 +5582,7 @@ QUERIES = {
     "cdc_chunk_reconstruct": q_cdc_chunk_reconstruct,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "chunk_store_sync": q_chunk_store_sync,
+    "train_pipeline": q_train_pipeline,
     "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
@@ -5591,6 +5686,7 @@ ORACLE_SQL = {
     "ann_pq": SQL_ANN_TOPK,
     "ann_indexed": SQL_ANN_TOPK,
     "cdc_chunk_reconstruct": SQL_CDC_CHUNK_RECONSTRUCT,
+    "train_pipeline": SQL_TRAIN_PIPELINE,
     "ann_radius": SQL_ANN_RADIUS,
     "lang_id": SQL_LANG_ID,
     "bgp_documents": SQL_BGP_DOCUMENTS,

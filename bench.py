@@ -139,6 +139,7 @@ QUERY_SUBSET = [
     "doc_entropy",
     "temperature_mix",
     "chunk_store_sync",
+    "train_pipeline",
 ]
 
 

@@ -2473,6 +2473,18 @@ def q_ann_indexed(sf_dir: str):
     return pa.table({"vec_id": out.column("vec_id"), "cosine_e4": e4})
 
 
+def q_chunk_clone_pairs(sf_dir: str):
+    """Chunk-level clone pairs (stages/cdchunk.py chunk_clone_pairs):
+    docs whose CDC chunk-sha sets overlap ≥ 0.5 Jaccard — the code-clone
+    / boilerplate-reuse detector, edit-robust because boundaries
+    resynchronize. Rows-only (boundaries aren't SQL); the planted-clone
+    test and the set-Jaccard oracle (jaccard_pairs) pin the pieces."""
+    from ..stages.cdchunk import chunk_clone_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_clone_pairs(ds, threshold=0.5)
+
+
 def q_cdc_chunk_reconstruct(sf_dir: str):
     """Content-defined chunking round-trip gate (stages/cdchunk.py):
     Gear-hash FastCDC chunking of every document, then reassembly by
@@ -5582,6 +5594,7 @@ QUERIES = {
     "cdc_chunk_reconstruct": q_cdc_chunk_reconstruct,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "chunk_store_sync": q_chunk_store_sync,
+    "chunk_clone_pairs": q_chunk_clone_pairs,
     "train_pipeline": q_train_pipeline,
     "ann_radius": q_ann_radius,
     "cdc_lake_join": q_cdc_lake_join,

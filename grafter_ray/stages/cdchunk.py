@@ -39,6 +39,7 @@ __all__ = [
     "chunk_spans",
     "cdc_chunk",
     "cdc_reconstruct",
+    "chunk_clone_pairs",
 ]
 
 GEAR_SEED = 0x9E3779B97F4A7C15
@@ -216,3 +217,53 @@ def cdc_reconstruct(chunks, *, id_col: str = "doc_id"):
         )
 
     return grouped_block_map(chunks, [id_col], block)
+
+
+def chunk_clone_pairs(
+    docs,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_size: int = 64,
+    avg_bits: int = 6,
+    max_size: int = 512,
+):
+    """Chunk-level clone detection (the code-clone / boilerplate-reuse
+    shape): documents whose CDC chunk-sha SETS overlap — robust to
+    insertions the way token shingles are not, because boundaries
+    resynchronize after an edit. Composition: chunk (shuffle-free
+    flat-map) → per-doc sha set (one keyed exchange) → the EXACT
+    inverted-index set-Jaccard join (dedup.set_jaccard_pairs — only docs
+    SHARING a chunk ever pair). Returns (id_a, id_b, jaccard_e4)."""
+    from .dedup import set_jaccard_pairs
+    from .grouped import grouped_block_map, key_segments
+
+    chunks = cdc_chunk(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_size=min_size,
+        avg_bits=avg_bits,
+        max_size=max_size,
+    )
+
+    def to_sets(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        tb = tb.sort_by([(id_col, "ascending")])
+        starts, ends = key_segments(tb, [id_col])
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+        shas = tb.column("chunk_sha").to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array([int(ids[lo]) for lo in starts], pa.int64()),
+                "text": pa.array(
+                    [" ".join(sorted(set(shas[lo:hi]))) for lo, hi in zip(starts, ends)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    sets = grouped_block_map(chunks, [id_col], to_sets)
+    return set_jaccard_pairs(sets, id_col=id_col, threshold=threshold)

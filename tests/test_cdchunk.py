@@ -170,3 +170,24 @@ def test_unicode_content_chunks_and_reconstructs():
     for i, t in enumerate(texts):
         b = t.encode()
         assert rec[i] == (len(b), hashlib.sha256(b).hexdigest())
+
+
+def test_chunk_clone_pairs_planted():
+    """Planted clones: a doc cloned with a small head edit must pair
+    with its original at high Jaccard; unrelated docs must not."""
+    from grafter_ray.stages.cdchunk import chunk_clone_pairs
+
+    rng = random.Random(17)
+    base = _rand_doc(rng, 6000).decode()
+    clone = "EDITED HEAD! " + base[40:]
+    unrelated = [_rand_doc(rng, 3000).decode() for _ in range(6)]
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([base, clone] + unrelated, pa.string()),
+        }
+    )
+    pairs = chunk_clone_pairs(rd.from_arrow(tb).repartition(3), threshold=0.5).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got, got
+    assert all(p == (0, 1) for p in got), got

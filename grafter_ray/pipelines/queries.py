@@ -2743,6 +2743,42 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_cdc_envelope_replay(sf_dir: str):
+    """The CDC WIRE FORMAT end-to-end: the deterministic documents
+    binlog serialized to Debezium-style JSON envelopes (op c/u/d,
+    before/after images, source.lsn — sources/envelope.py), parsed back
+    by the vectorized envelope decoder inside the same streaming
+    pipeline, and replayed through CDCLake. Converged state must equal
+    cdc_replay_docs' closed-form SQL oracle, proving the wire
+    encode→decode round trip is lossless where it matters (op mapping,
+    lsn, key, payload) and that the engine ingests a connector's JSON
+    tail exactly as it ingests parquet. Reference: grafter.io
+    `statements` coerces any line source into the pipeline
+    (io.clj:619-667); the envelope stream is the CDC-era equivalent."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.envelope import decode_batch, encode_batch
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    wire = binlog.map_batches(encode_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parsed = wire.map_batches(decode_batch, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(parsed, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_cdc_lake_join(sf_dir: str):
     """Lake-backed analytical query: the converged CDC lake (same
     deterministic documents binlog as cdc_replay_docs) STREAMED back out
@@ -5600,6 +5636,7 @@ QUERIES = {
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
+    "cdc_envelope_replay": q_cdc_envelope_replay,
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
@@ -5748,6 +5785,7 @@ ORACLE_SQL = {
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
+    "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,

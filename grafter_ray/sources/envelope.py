@@ -1,0 +1,309 @@
+"""Debezium-style CDC envelope source / sink over the BINLOG schema.
+
+A change-data-capture tail rarely arrives as clean parquet: the wire
+format of every mainstream connector (Debezium for MySQL/Postgres/Mongo,
+and the JSON event streams most homegrown binlog tailers emit) is one
+JSON *envelope* per change event::
+
+    {"op": "c|u|r|d", "before": {row...}|null, "after": {row...}|null,
+     "source": {"lsn": N, ...}, "ts_ms": ..., "schema_version": V}
+
+- ``op`` "c" (create), "u" (update) and "r" (read, i.e. snapshot rows
+  emitted during initial bootstrap) all carry the full new row in
+  ``after`` → our ``upsert``.
+- ``op`` "d" carries the key (at minimum) in ``before`` and a null
+  ``after`` → our ``delete``.
+- ``source.lsn`` is the commit-ordered log sequence number — exactly the
+  replay order key ``CDCLake.apply`` requires.
+
+This module is the bridge from that wire format to the engine's BINLOG
+table schema (schemas.py:28), as a stateless vectorized ``map_batches``
+kernel over lines — the same splittable-line-format shape as the
+N-Quads reader (sources/nquads.py; reference: grafter.io `statements`
+coerces any line source, grafter.io to-statements* raises in-band on a
+malformed line).
+
+Fast path: polars' Rust JSON decoder with an EXPLICIT dtype — missing
+fields surface as nulls, unknown fields are ignored (connector-specific
+envelope extras like ``source.txId`` don't break parsing), and the
+decode is vectorized across the whole batch. A batch containing any
+malformed line falls back to a per-row stdlib parse so only dirty
+batches pay the Python-loop cost; when polars is absent entirely the
+stdlib path handles everything (import-try guard, no hard dependency).
+
+Malformed lines (invalid JSON / not an object): ``on_bad="raise"``
+(default) raises in-band with the offending line, matching the
+reference's malformed-line behaviour; ``on_bad="null_lsn"`` emits the
+line as a BINLOG row whose ``lsn`` is null, ``op`` is null and
+``content`` preserves the raw line — stage such a parse to parquet and
+``CDCLake.apply(path, on_bad="quarantine")`` diverts exactly those rows
+to the dead-letter file via the footer null-count probe (replay.py
+``_null_lsn_rows``), so the wire parser composes with the engine's
+existing quarantine machinery instead of growing a second DLQ.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import BINLOG
+
+try:  # optional vectorized fast path
+    import polars as _pl
+except Exception:  # pragma: no cover - polars is baked into this env
+    _pl = None
+
+# Envelope row payload: the BINLOG columns minus (lsn, op, schema_version),
+# which live at the envelope level.
+ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
+
+_OP_MAP = {"c": "upsert", "u": "upsert", "r": "upsert", "d": "delete"}
+
+if _pl is not None:
+    _PL_ROW = _pl.Struct({f: _pl.String for f in ROW_FIELDS})
+    _PL_ENVELOPE = _pl.Struct(
+        {
+            "op": _pl.String,
+            "before": _PL_ROW,
+            "after": _PL_ROW,
+            "source": _pl.Struct({"lsn": _pl.Int64}),
+            "ts_ms": _pl.Int64,
+            "schema_version": _pl.Int32,
+        }
+    )
+
+
+def _decode_stdlib(lines: list, on_bad: str) -> dict:
+    """Per-row stdlib parse → column lists. The slow path: only batches
+    that contain a malformed line (or environments without polars) land
+    here."""
+    n = len(lines)
+    cols = {
+        "op": [None] * n,
+        "lsn": [None] * n,
+        "ts_ms": [None] * n,
+        "schema_version": [None] * n,
+    }
+    rows = {f: [None] * n for f in ROW_FIELDS}
+    for i, line in enumerate(lines):
+        try:
+            e = json.loads(line)
+            if not isinstance(e, dict):
+                raise ValueError("envelope is not a JSON object")
+        except ValueError as exc:
+            if on_bad == "raise":
+                raise ValueError(f"malformed CDC envelope: {line!r}") from exc
+            rows["content"][i] = line if isinstance(line, str) else str(line)
+            continue
+        cols["op"][i] = e.get("op")
+        src = e.get("source")
+        if isinstance(src, dict):
+            cols["lsn"][i] = src.get("lsn")
+        cols["ts_ms"][i] = e.get("ts_ms")
+        cols["schema_version"][i] = e.get("schema_version")
+        side = e.get("before") if e.get("op") == "d" else e.get("after")
+        if isinstance(side, dict):
+            for f in ROW_FIELDS:
+                v = side.get(f)
+                rows[f][i] = v if isinstance(v, str) or v is None else str(v)
+    return {
+        "raw_op": pa.array(cols["op"], pa.string()),
+        "lsn": pa.array(cols["lsn"], pa.int64()),
+        "ts_ms": pa.array(cols["ts_ms"], pa.int64()),
+        "schema_version": pa.array(cols["schema_version"], pa.int32()),
+        **{f: pa.array(rows[f], pa.string()) for f in ROW_FIELDS},
+    }
+
+
+def _decode_polars(lines) -> dict:
+    """Vectorized decode (raises on any malformed line — caller falls
+    back). Deletes read their key from `before`; everything else from
+    `after` (Debezium update envelopes may also carry `before`, which is
+    correctly ignored for the new-state row)."""
+    e = _pl.col("e")
+    df = (
+        _pl.Series("e", lines, dtype=_pl.String)
+        .str.json_decode(_PL_ENVELOPE)
+        .to_frame("e")
+        .select(
+            e.struct.field("op").alias("raw_op"),
+            e.struct.field("source").struct.field("lsn").alias("lsn"),
+            e.struct.field("ts_ms").alias("ts_ms"),
+            e.struct.field("schema_version").alias("schema_version"),
+            *[
+                _pl.when(e.struct.field("op") == "d")
+                .then(e.struct.field("before").struct.field(f))
+                .otherwise(e.struct.field("after").struct.field(f))
+                .alias(f)
+                for f in ROW_FIELDS
+            ],
+        )
+    )
+    at = df.to_arrow()
+    casts = {"raw_op": pa.string(), "lsn": pa.int64(), "ts_ms": pa.int64(), "schema_version": pa.int32()}
+    return {
+        name: at.column(name).cast(casts.get(name, pa.string()))
+        for name in at.column_names
+    }
+
+
+def envelope_decode(
+    lines: pa.Array | pa.ChunkedArray | list,
+    *,
+    on_bad: str = "raise",
+    default_schema_version: int = 0,
+) -> pa.Table:
+    """Decode a batch of JSON envelope lines into a BINLOG-schema table.
+
+    ``ts_ms`` (when present) is surfaced as an extra trailing int64
+    column after the BINLOG columns; ``CDCLake.apply`` ignores columns
+    it does not know, so the table feeds the engine as-is. Envelopes
+    with an unknown ``op`` code become rows whose op column carries the
+    raw code — ``split_malformed`` inside the apply window quarantines
+    or raises on them under the engine's own rule (stages/lww.py), so a
+    connector emitting a new op code is surfaced, never misapplied.
+    """
+    if on_bad not in ("raise", "null_lsn"):
+        raise ValueError(f"unknown on_bad {on_bad!r}")
+    if isinstance(lines, (pa.Array, pa.ChunkedArray)):
+        py_lines = lines.to_pylist()
+    else:
+        py_lines = list(lines)
+    cols = None
+    if _pl is not None:
+        try:
+            cols = _decode_polars(py_lines)
+        except Exception:
+            cols = None  # dirty batch (or nulls) → stdlib path decides per row
+    if cols is None:
+        cols = _decode_stdlib(py_lines, on_bad)
+    raw_op = cols.pop("raw_op")
+    if on_bad == "raise":
+        # op or lsn missing → the event can never be replayed (apply
+        # order is LSN order); raise in-band with the offending line.
+        # An UNKNOWN-but-present op with a valid lsn passes through for
+        # the engine's own validity gate (split_malformed) to adjudicate.
+        bad = pc.or_(pc.is_null(raw_op), pc.is_null(cols["lsn"]))
+        if pc.any(bad).as_py():
+            idx = pc.index(bad, True).as_py()
+            raise ValueError(f"unreplayable CDC envelope (missing op or source.lsn): {py_lines[idx]!r}")
+    # c/u/r → upsert, d → delete; anything else passes through verbatim
+    # for the engine's validity gate to adjudicate.
+    op = raw_op
+    for code, engine_op in _OP_MAP.items():
+        op = pc.if_else(pc.equal(raw_op, code), engine_op, op)
+    sv = pc.fill_null(cols["schema_version"], default_schema_version)
+    # quarantined raw lines (on_bad="null_lsn") keep the raw text in
+    # `content`; fill it only for parsed rows.
+    content = cols["content"]
+    tb = pa.table(
+        {
+            "lsn": cols["lsn"],
+            "op": op,
+            "repo": cols["repo"],
+            "path": cols["path"],
+            "commit": cols["commit"],
+            "lang": cols["lang"],
+            "content": content,
+            "schema_version": sv,
+            "ts_ms": cols["ts_ms"],
+        }
+    )
+    return tb.cast(pa.schema(list(BINLOG) + [pa.field("ts_ms", pa.int64())]))
+
+
+def decode_batch(tb: pa.Table, *, column: str = "text", on_bad: str = "raise") -> pa.Table:
+    """``map_batches`` kernel: a table with a `column` of JSON envelope
+    lines → BINLOG rows. Plug directly onto ``ray.data.read_text``."""
+    return envelope_decode(tb.column(column), on_bad=on_bad)
+
+
+def read_envelope_jsonl(paths, *, on_bad: str = "raise", **read_kwargs):
+    """Read newline-delimited CDC envelopes into a BINLOG-schema Dataset.
+
+    ``read_text`` splits files into blocks, so parsing parallelizes for
+    free and streams with backpressure — the same source shape as the
+    N-Quads reader. Feed the result straight to ``CDCLake.apply`` (or
+    stage to parquet first when you want the null-lsn quarantine probe).
+    """
+    import ray.data as rd
+
+    ds = rd.read_text(paths, **read_kwargs)
+    return ds.map_batches(
+        lambda tb: decode_batch(tb, on_bad=on_bad),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode (the sink / outbox side)
+# ---------------------------------------------------------------------------
+
+
+def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
+    """BINLOG rows → one Debezium-style JSON envelope line per row
+    (string array). Upserts encode as op "u" with the row in ``after``;
+    deletes as op "d" with the key columns in ``before`` and a null
+    ``after``. Vectorized via polars' JSON encoder; stdlib fallback.
+
+    The inverse of :func:`envelope_decode` up to the c/u/r → upsert
+    collapse (a decoded envelope stream re-encodes stably)."""
+    n = tb.num_rows
+    known = pc.is_in(tb.column("op"), value_set=pa.array(["upsert", "delete"]))
+    if not pc.all(known.fill_null(False)).as_py():
+        others = pc.unique(tb.filter(pc.invert(known.fill_null(False))).column("op"))
+        raise ValueError(
+            f"envelope_encode handles data events only (upsert/delete); got op {others.to_pylist()!r}"
+            " — filter schema_change rows out first (they have no row image to envelope)"
+        )
+    is_del = pc.equal(tb.column("op"), "delete")
+    if _pl is not None:
+        frame = _pl.from_arrow(
+            tb.select(["lsn", "schema_version", *ROW_FIELDS]).append_column(
+                "_del", is_del.combine_chunks() if isinstance(is_del, pa.ChunkedArray) else is_del
+            )
+        )
+        parts = [
+            _pl.when(_pl.col("_del")).then(_pl.lit("d")).otherwise(_pl.lit("u")).alias("op"),
+            _pl.when(_pl.col("_del"))
+            .then(_pl.struct(_pl.col("repo"), _pl.col("path")))
+            .otherwise(None)
+            .alias("before"),
+            _pl.when(_pl.col("_del"))
+            .then(None)
+            .otherwise(_pl.struct([_pl.col(f) for f in ROW_FIELDS]))
+            .alias("after"),
+            _pl.struct(_pl.col("lsn")).alias("source"),
+            _pl.col("schema_version"),
+        ]
+        if ts_ms is not None:
+            parts.append(_pl.lit(ts_ms, dtype=_pl.Int64).alias("ts_ms"))
+        enc = frame.select(_pl.struct(parts).struct.json_encode())[:, 0]
+        return enc.to_arrow().cast(pa.string())
+    # stdlib fallback
+    out = []
+    dl = is_del.to_pylist()
+    cols = {c: tb.column(c).to_pylist() for c in tb.column_names}
+    for i in range(n):
+        row = {f: cols[f][i] for f in ROW_FIELDS}
+        e = {
+            "op": "d" if dl[i] else "u",
+            "before": {k: row[k] for k in ("repo", "path")} if dl[i] else None,
+            "after": None if dl[i] else row,
+            "source": {"lsn": cols["lsn"][i]},
+            "schema_version": cols["schema_version"][i],
+        }
+        if ts_ms is not None:
+            e["ts_ms"] = ts_ms
+        out.append(json.dumps(e, separators=(",", ":")))
+    return pa.array(out, pa.string())
+
+
+def encode_batch(tb: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: BINLOG rows → a one-column `text` table of
+    envelope lines (feed to ``write_text``-style sinks or a queue)."""
+    return pa.table({"text": envelope_encode(tb)})

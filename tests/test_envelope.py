@@ -1,0 +1,154 @@
+"""Debezium-style CDC envelope source/sink (sources/envelope.py).
+
+- decode: op mapping (c/u/r → upsert, d → delete with key from
+  `before`), missing optional fields → null, connector extras ignored,
+  explicit schema_version honored, default fill otherwise.
+- encode→decode round trip is lossless over the BINLOG columns.
+- polars fast path ≡ stdlib slow path on the same input.
+- malformed / unreplayable lines: on_bad="raise" raises in-band with
+  the line; on_bad="null_lsn" preserves the raw line in `content` with
+  a null lsn, and a parquet-staged parse flows into CDCLake.apply's
+  quarantine (footer null-count probe) — rows out + dead letters ==
+  rows in.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import grafter_ray.sources.envelope as env
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.sources.envelope import (
+    decode_batch,
+    encode_batch,
+    envelope_decode,
+    envelope_encode,
+    read_envelope_jsonl,
+)
+
+GOLDEN = [
+    '{"op":"c","after":{"repo":"r","path":"p","commit":"c1","lang":"py","content":"x"},"source":{"lsn":5},"ts_ms":11}',
+    '{"op":"d","before":{"repo":"r","path":"p"},"source":{"lsn":6},"extra":42}',
+    '{"op":"r","after":{"repo":"r2","path":"q","commit":null,"lang":"go","content":"y","junk":1},"source":{"lsn":7,"txId":9},"schema_version":3}',
+    '{"op":"u","before":{"repo":"r2","path":"q","commit":"old"},"after":{"repo":"r2","path":"q","commit":"new","lang":"go","content":"z"},"source":{"lsn":8}}',
+]
+
+
+def test_decode_golden():
+    tb = envelope_decode(GOLDEN)
+    d = tb.to_pydict()
+    assert d["op"] == ["upsert", "delete", "upsert", "upsert"]
+    assert d["lsn"] == [5, 6, 7, 8]
+    # delete key comes from `before`; update new state from `after`
+    assert d["repo"] == ["r", "r", "r2", "r2"]
+    assert d["commit"] == ["c1", None, None, "new"]
+    assert d["content"] == ["x", None, "y", "z"]
+    assert d["schema_version"] == [0, 0, 3, 0]
+    assert d["ts_ms"] == [11, None, None, None]
+
+
+def test_unknown_op_passes_to_engine_gate():
+    # present-but-unknown op with a valid lsn is NOT the parser's call —
+    # split_malformed (the engine validity gate) adjudicates it.
+    tb = envelope_decode(['{"op":"zz","after":{"repo":"a","path":"b"},"source":{"lsn":1}}'])
+    assert tb.to_pydict()["op"] == ["zz"]
+    from grafter_ray.stages.lww import split_malformed
+
+    good, bad = split_malformed(tb.select([f.name for f in tb.schema if f.name != "ts_ms"]))
+    assert good.num_rows == 0 and bad.num_rows == 1
+
+
+@pytest.mark.parametrize(
+    "line",
+    [
+        "{bad json",
+        '"a json string, not an object"',
+        '{"after":{"repo":"a","path":"b"},"source":{"lsn":1}}',  # no op
+        '{"op":"c","after":{"repo":"a","path":"b"}}',  # no lsn
+    ],
+)
+def test_raise_on_unreplayable(line):
+    with pytest.raises(ValueError):
+        envelope_decode([line])
+
+
+def test_null_lsn_mode_preserves_raw_line():
+    tb = envelope_decode(["{bad json", GOLDEN[0]], on_bad="null_lsn")
+    d = tb.to_pydict()
+    assert d["lsn"] == [None, 5]
+    assert d["op"][0] is None
+    assert d["content"] == ["{bad json", "x"]
+
+
+def test_roundtrip_and_paths_agree():
+    cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=12, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    enc_fast = envelope_encode(binlog)
+    dec_fast = envelope_decode(enc_fast)
+    # polars path ≡ stdlib path, both directions
+    saved = env._pl
+    try:
+        env._pl = None
+        enc_slow = envelope_encode(binlog)
+        dec_slow = envelope_decode(enc_fast)
+    finally:
+        env._pl = saved
+    assert enc_fast.equals(enc_slow)
+    assert dec_fast.equals(dec_slow)
+    # round trip is lossless over the BINLOG columns
+    got = dec_fast.select(binlog.column_names)
+    assert got.equals(binlog.cast(got.schema))
+    # every line is valid JSON with the Debezium shape
+    e = json.loads(enc_fast[0].as_py())
+    assert set(e) == {"op", "before", "after", "source", "schema_version"}
+
+
+def test_encode_delete_uses_before_image():
+    tb = envelope_decode(GOLDEN)
+    lines = envelope_encode(tb, ts_ms=99).to_pylist()
+    d = json.loads(lines[1])
+    assert d["op"] == "d" and d["after"] is None
+    assert d["before"] == {"repo": "r", "path": "p"}
+    assert d["ts_ms"] == 99
+
+
+def test_read_envelope_jsonl_streams(tmp_path):
+    cfg = BinlogConfig(n_events=2_000, n_keys=100, n_repos=8, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lines = envelope_encode(binlog).to_pylist()
+    f = tmp_path / "tail.jsonl"
+    f.write_text("\n".join(lines) + "\n")
+    import ray
+
+    ds = read_envelope_jsonl(str(f))
+    tb = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    tb = tb.sort_by("lsn").select(binlog.column_names)
+    assert tb.equals(binlog.sort_by("lsn").cast(tb.schema))
+
+
+def test_envelope_tail_through_lake_with_quarantine(tmp_path):
+    """The full wire path: JSON tail with malformed lines spliced in →
+    parse (null_lsn mode) → parquet staging → CDCLake.apply quarantine.
+    Lake state equals the oracle over only the valid events; the dead
+    letters hold exactly the bad lines."""
+    cfg = BinlogConfig(n_events=4_000, n_keys=250, n_repos=10, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lines = envelope_encode(binlog).to_pylist()
+    lines.insert(7, "{definitely not json")
+    lines.insert(1234, '{"op":"c","after":{"repo":"x","path":"y","content":"orphan"}}')
+    tb = envelope_decode(lines, on_bad="null_lsn")
+    staged = tmp_path / "staged.parquet"
+    pq.write_table(tb, staged)
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(str(staged), upto_lsn=int(cfg.n_events) * 2, on_bad="quarantine")
+    got = lake.read_table(view=False)
+    exp = oracle_view_table(binlog)
+    assert got.num_rows == exp.num_rows
+    dl = lake.dead_letters()
+    assert dl.num_rows == 2
+    assert sorted(set(dl.column("reason").to_pylist())) == ["null_lsn"]
+    raws = set(dl.column("content").to_pylist())
+    assert "{definitely not json" in raws

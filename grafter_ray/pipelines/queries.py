@@ -2743,6 +2743,71 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_patch_lww_profiles(sf_dir: str):
+    """Sparse (partial-column) patch upserts — per-COLUMN LWW
+    (stages/sparse.py): a deterministic patch stream derived from the
+    events table (each event patches a subset of {last_type, last_value}
+    on its user, every 29th event is a full-row tombstone) folded into
+    converged per-user profiles. Map-side partial fold collapses patch
+    fan-in before the single key exchange; the delete rule (a column
+    survives only if set after the key's last delete, a key only if
+    patched after it) is applied once at the end. Oracle: per-column
+    arg_max FILTER (non-null) + the same delete predicate in SQL."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def to_patches(tb: pa.Table) -> pa.Table:
+        eid = tb.column("event_id").to_numpy(zero_copy_only=False)
+        is_del = eid % 29 == 3
+        set_t = ~is_del & (eid % 3 != 0)
+        set_v = ~is_del & (eid % 3 != 1)
+        return pa.table(
+            {
+                "user_id": tb.column("user_id"),
+                "lsn": tb.column("event_id"),
+                "op": pc.if_else(pa.array(is_del), "delete", "upsert"),
+                "last_type": pc.if_else(
+                    pa.array(set_t), tb.column("event_type"), pa.nulls(len(eid), pa.string())
+                ),
+                "last_value": pc.if_else(
+                    pa.array(set_v), tb.column("value"), pa.nulls(len(eid), pa.float64())
+                ),
+            }
+        )
+
+    from ..stages.sparse import sparse_lww
+
+    patches = ev.map_batches(to_patches, batch_format="pyarrow", zero_copy_batch=True)
+    return sparse_lww(
+        patches, ["user_id"], "lsn", ["last_type", "last_value"], op_col="op"
+    )
+
+
+SQL_PATCH_LWW_PROFILES = """
+WITH p AS (
+  SELECT user_id,
+         event_id AS lsn,
+         CASE WHEN event_id % 29 = 3 THEN 'delete' ELSE 'upsert' END AS op,
+         CASE WHEN event_id % 29 <> 3 AND event_id % 3 <> 0 THEN event_type END AS last_type,
+         CASE WHEN event_id % 29 <> 3 AND event_id % 3 <> 1 THEN value END AS last_value
+  FROM events
+), agg AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN op = 'delete' THEN lsn END), -1) AS dl,
+         coalesce(max(CASE WHEN op = 'upsert' THEN lsn END), -1) AS ul,
+         arg_max(last_type, lsn) FILTER (WHERE last_type IS NOT NULL) AS t_val,
+         coalesce(max(lsn) FILTER (WHERE last_type IS NOT NULL), -1) AS t_ord,
+         arg_max(last_value, lsn) FILTER (WHERE last_value IS NOT NULL) AS v_val,
+         coalesce(max(lsn) FILTER (WHERE last_value IS NOT NULL), -1) AS v_ord
+  FROM p GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN t_ord > dl THEN t_val END AS last_type,
+       CASE WHEN v_ord > dl THEN v_val END AS last_value
+FROM agg
+WHERE ul > dl
+"""
+
+
 def q_cdc_envelope_replay(sf_dir: str):
     """The CDC WIRE FORMAT end-to-end: the deterministic documents
     binlog serialized to Debezium-style JSON envelopes (op c/u/d,
@@ -5637,6 +5702,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
+    "patch_lww_profiles": q_patch_lww_profiles,
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
@@ -5786,6 +5852,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
+    "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,

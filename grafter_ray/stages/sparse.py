@@ -1,0 +1,188 @@
+"""Sparse (partial-column) patch upserts — per-column last-writer-wins.
+
+The full-row engine (stages/lww.py, pipelines/replay.py) assumes every
+upsert carries the complete new row: the Debezium/MySQL "after image"
+model. Plenty of real CDC feeds don't — Mongo/DynamoDB-style change
+streams and API-edit event logs emit *patches*: only the columns that
+changed are present, everything else is null. The merge rule then is
+per-COLUMN, not per-row:
+
+    final[key][c] = value of c at the greatest order among patches of
+                    key where c is non-null — but only if that order is
+                    greater than key's last delete; a key exists iff it
+                    has any patch after its last delete.
+
+(Grafter's closest analogue is derive-column / mapc over a tabular
+pipeline — columns evolve independently; tabular.clj `derive-column`.
+This stage is the streaming per-key version of that column independence.)
+
+Scale shape — the same two-phase discipline as the engine's LWW:
+
+1. **Map-side partial fold** (`map_batches`, no exchange): each block is
+   reduced to ONE row per key carrying, per column, (value, order) at
+   the block-local per-column argmax plus the block-local max
+   upsert/delete orders. Patch fan-in per key per block collapses
+   before anything is shuffled.
+2. **One key exchange + final fold**: the reduced rows (≤ keys ×
+   blocks) sort by key (grouped_block_map) and the identical
+   associative fold runs once per key; the delete mask is applied once
+   at the end (a delete at order D nulls any column whose last set is
+   ≤ D and kills keys with no later patch — max/argmax folds commute
+   with this, so the two-phase split is exact).
+
+Orders must be unique per event and ≥ 0 (the binlog LSN invariant;
+internally -1 is the "never set" sentinel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grouped import grouped_block_map, key_segments
+
+_UL = "__sparse_ul"  # per-key max upsert order seen
+_DL = "__sparse_dl"  # per-key max delete order seen
+
+
+def _ord_name(c: str) -> str:
+    return f"__sparse_ord_{c}"
+
+
+def _seg_argmax(score: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Per segment: (max score, row index of the max) — vectorized.
+    score uses -1 as 'absent'; unique positive scores (LSNs) mean ties
+    can only be two -1s, where the index is unused."""
+    n = len(score)
+    m = np.maximum.reduceat(score, starts) if len(starts) else np.array([], score.dtype)
+    rep = np.repeat(m, ends - starts)
+    pos = np.where((score == rep) & (score >= 0), np.arange(n), n)
+    idx = np.minimum.reduceat(pos, starts) if len(starts) else np.array([], np.int64)
+    return m, idx
+
+
+def _fold_block(
+    tb: pa.Table,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    order_col: str | None,
+    op_col: str | None,
+) -> pa.Table:
+    """One associative fold step: key-sorted rows → one row per key in
+    the intermediate layout (keys, value_cols, per-column order, _UL,
+    _DL). First application reads `order_col`/`op_col` raw patch rows;
+    later applications read the intermediate layout (order_col=None)."""
+    if tb.num_rows == 0:
+        fields = [(k, tb.schema.field(k).type) for k in keys]
+        fields += [(c, tb.schema.field(c).type) for c in value_cols]
+        fields += [(_ord_name(c), pa.int64()) for c in value_cols]
+        fields += [(_UL, pa.int64()), (_DL, pa.int64())]
+        return pa.table({name: pa.array([], t) for name, t in fields})
+    tb = tb.sort_by([(k, "ascending") for k in keys])
+    starts, ends = key_segments(tb, keys)
+    n = tb.num_rows
+    out: dict[str, pa.Array] = {k: tb.column(k).take(pa.array(starts)) for k in keys}
+
+    if order_col is not None:  # raw patch rows
+        order = tb.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if op_col is not None:
+            is_del = pc.fill_null(pc.equal(tb.column(op_col), "delete"), False).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            is_del = np.zeros(n, bool)
+        ul_scores = np.where(~is_del, order, -1)
+        dl_scores = np.where(is_del, order, -1)
+        col_ord = {}
+        for c in value_cols:
+            valid = pc.is_valid(tb.column(c)).to_numpy(zero_copy_only=False) & ~is_del
+            col_ord[c] = np.where(valid, order, -1)
+    else:  # intermediate layout: per-column orders already present
+        ul_scores = tb.column(_UL).to_numpy(zero_copy_only=False)
+        dl_scores = tb.column(_DL).to_numpy(zero_copy_only=False)
+        col_ord = {
+            c: tb.column(_ord_name(c)).to_numpy(zero_copy_only=False) for c in value_cols
+        }
+
+    for c in value_cols:
+        m, idx = _seg_argmax(col_ord[c], starts, ends)
+        safe = np.where(idx == n, 0, idx)
+        vals = tb.column(c).take(pa.array(safe))
+        out[c] = pc.if_else(pa.array(m >= 0), vals, pa.nulls(len(m), vals.type))
+        out[_ord_name(c)] = pa.array(m, pa.int64())
+    out[_UL] = pa.array(np.maximum.reduceat(ul_scores, starts), pa.int64())
+    out[_DL] = pa.array(np.maximum.reduceat(dl_scores, starts), pa.int64())
+    return pa.table(out)
+
+
+def _finish_block(
+    tb: pa.Table, keys: list[str], value_cols: list[str], include_order: bool
+) -> pa.Table:
+    """Apply the delete rule to a folded block: a column survives only if
+    its last set is after the key's last delete; a key survives only if
+    some patch is after its last delete."""
+    dl = tb.column(_DL).to_numpy(zero_copy_only=False)
+    ul = tb.column(_UL).to_numpy(zero_copy_only=False)
+    alive = pa.array(ul > dl)
+    cols: dict[str, pa.Array] = {k: tb.column(k) for k in keys}
+    for c in value_cols:
+        o = tb.column(_ord_name(c)).to_numpy(zero_copy_only=False)
+        vis = pa.array(o > dl)
+        col = tb.column(c)
+        cols[c] = pc.if_else(vis, col, pa.nulls(tb.num_rows, col.type))
+        if include_order:
+            cols[f"{c}_lsn"] = pc.if_else(vis, tb.column(_ord_name(c)), pa.nulls(tb.num_rows, pa.int64()))
+    return pa.table(cols).filter(alive)
+
+
+def sparse_lww(
+    ds,
+    keys: list[str],
+    order_col: str,
+    value_cols: list[str],
+    *,
+    op_col: str | None = None,
+    include_order: bool = False,
+):
+    """Fold a patch stream into converged per-key rows (per-column LWW).
+
+    ds: Dataset of patch events — `keys` identify the entity, `order_col`
+    is the unique commit order (LSN), each of `value_cols` is present
+    (non-null) only when that patch sets it. Rows whose `op_col` equals
+    "delete" (when given) are full-row tombstones at their order.
+    Returns a Dataset of one row per surviving key with the merged
+    columns (+ `{col}_lsn` per column when include_order=True).
+    """
+    cols_needed = list(keys) + [order_col] + list(value_cols) + ([op_col] if op_col else [])
+
+    def partial(tb: pa.Table) -> pa.Table:
+        return _fold_block(
+            tb.select(cols_needed), keys, value_cols, order_col=order_col, op_col=op_col
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(tb: pa.Table) -> pa.Table:
+        folded = _fold_block(tb, keys, value_cols, order_col=None, op_col=None)
+        return _finish_block(folded, keys, value_cols, include_order)
+
+    return grouped_block_map(part, keys, final)
+
+
+def sparse_lww_table(
+    tb: pa.Table,
+    keys: list[str],
+    order_col: str,
+    value_cols: list[str],
+    *,
+    op_col: str | None = None,
+    include_order: bool = False,
+) -> pa.Table:
+    """Driver-side single-table variant (tests / small inputs): the same
+    two fold applications over one block, proving the fold is exact
+    independently of Ray's block boundaries."""
+    folded = _fold_block(tb, keys, value_cols, order_col=order_col, op_col=op_col)
+    folded = _fold_block(folded, keys, value_cols, order_col=None, op_col=None)
+    return _finish_block(folded, keys, value_cols, include_order)

@@ -1,0 +1,129 @@
+"""Sparse (partial-column) patch LWW (stages/sparse.py).
+
+The fold must be exact vs a row-at-a-time reference interpreter and
+independent of block boundaries (associativity) — the property the
+two-phase map-side-combine design relies on.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from grafter_ray.stages.sparse import _finish_block, _fold_block, sparse_lww, sparse_lww_table
+
+
+def _reference(tb: pa.Table, value_cols):
+    """Row-at-a-time interpreter of the patch semantics."""
+    rows = sorted(tb.to_pylist(), key=lambda r: r["lsn"])
+    info = {}
+    for r in rows:
+        e = info.setdefault(r["k"], {"dl": -1, "ul": -1, **{c: (None, -1) for c in value_cols}})
+        if r.get("op") == "delete":
+            e["dl"] = max(e["dl"], r["lsn"])
+        else:
+            e["ul"] = max(e["ul"], r["lsn"])
+            for c in value_cols:
+                if r[c] is not None and r["lsn"] > e[c][1]:
+                    e[c] = (r[c], r["lsn"])
+    out = {}
+    for k, e in info.items():
+        if e["ul"] > e["dl"]:
+            out[k] = tuple(e[c][0] if e[c][1] > e["dl"] else None for c in value_cols)
+    return out
+
+
+def _rand_patches(seed: int, n: int, n_keys: int, del_pct: float) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, n_keys, n)
+    lsn = np.arange(n, dtype=np.int64)
+    rng.shuffle(lsn)
+    op = np.where(rng.random(n) < del_pct, "delete", "upsert")
+    a = rng.integers(0, 50, n)
+    a_set = (rng.random(n) < 0.5) & (op == "upsert")
+    b = rng.choice(["x", "y", "z", "w"], n)
+    b_set = (rng.random(n) < 0.35) & (op == "upsert")
+    return pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "lsn": pa.array(lsn),
+            "op": pa.array(op.tolist(), pa.string()),
+            "a": pa.array([int(v) if s else None for v, s in zip(a, a_set)], pa.int64()),
+            "b": pa.array([v if s else None for v, s in zip(b, b_set)], pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed,del_pct", [(1, 0.0), (2, 0.1), (3, 0.5), (4, 0.95)])
+def test_table_variant_matches_reference(seed, del_pct):
+    tb = _rand_patches(seed, 4_000, 150, del_pct)
+    got = sparse_lww_table(tb, ["k"], "lsn", ["a", "b"], op_col="op")
+    gd = {r["k"]: (r["a"], r["b"]) for r in got.to_pylist()}
+    assert gd == _reference(tb, ["a", "b"])
+
+
+@pytest.mark.parametrize("chunk", [1, 37, 500, 10_000])
+def test_fold_is_block_boundary_independent(chunk):
+    tb = _rand_patches(9, 3_000, 80, 0.12)
+    parts = [
+        _fold_block(tb.slice(i, chunk), ["k"], ["a", "b"], order_col="lsn", op_col="op")
+        for i in range(0, tb.num_rows, chunk)
+    ]
+    merged = _fold_block(pa.concat_tables(parts), ["k"], ["a", "b"], order_col=None, op_col=None)
+    fin = _finish_block(merged, ["k"], ["a", "b"], False)
+    gd = {r["k"]: (r["a"], r["b"]) for r in fin.to_pylist()}
+    assert gd == _reference(tb, ["a", "b"])
+
+
+def test_dataset_path_and_include_order():
+    tb = _rand_patches(11, 6_000, 200, 0.08)
+    ds = rd.from_arrow(tb).repartition(13)
+    out = sparse_lww(ds, ["k"], "lsn", ["a", "b"], op_col="op", include_order=True)
+    import ray
+
+    got = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+    ref = _reference(tb, ["a", "b"])
+    gd = {r["k"]: (r["a"], r["b"]) for r in got.to_pylist()}
+    assert gd == ref
+    # include_order: each surviving column's lsn is a real patch lsn that set it
+    lut = {(r["k"], r["lsn"]): r for r in tb.to_pylist()}
+    for r in got.to_pylist():
+        if r["a"] is not None:
+            src = lut[(r["k"], r["a_lsn"])]
+            assert src["a"] == r["a"]
+        else:
+            assert r["a_lsn"] is None
+
+
+def test_no_op_col_means_pure_patches():
+    tb = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "lsn": pa.array([0, 1, 2], pa.int64()),
+            "a": pa.array([5, None, None], pa.int64()),
+            "b": pa.array([None, "y", None], pa.string()),
+        }
+    )
+    got = sparse_lww_table(tb, ["k"], "lsn", ["a", "b"])
+    assert got.to_pylist() == [{"k": 1, "a": 5, "b": "y"}]
+
+
+def test_delete_then_partial_recreate():
+    # set both cols, delete, then re-set only b: a must be null, key alive
+    tb = pa.table(
+        {
+            "k": pa.array([7, 7, 7, 7], pa.int64()),
+            "lsn": pa.array([0, 1, 2, 3], pa.int64()),
+            "op": pa.array(["upsert", "upsert", "delete", "upsert"]),
+            "a": pa.array([5, 6, None, None], pa.int64()),
+            "b": pa.array(["x", None, None, "z"], pa.string()),
+        }
+    )
+    got = sparse_lww_table(tb, ["k"], "lsn", ["a", "b"], op_col="op")
+    assert got.to_pylist() == [{"k": 7, "a": None, "b": "z"}]
+    # delete last → key gone
+    tb2 = tb.set_column(2, "op", pa.array(["upsert", "upsert", "upsert", "delete"]))
+    tb2 = tb2.set_column(4, "b", pa.array(["x", None, None, None], pa.string()))
+    got2 = sparse_lww_table(tb2, ["k"], "lsn", ["a", "b"], op_col="op")
+    assert got2.num_rows == 0

@@ -2743,6 +2743,83 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_version_token_churn(sf_dir: str):
+    """Commit-to-commit token churn over a versioned file stream
+    (stages/churn.py): documents become two-version chains (the %5 wave
+    gets an edited v2: first five tokens dropped, one appended), and the
+    churn operator reports distinct tokens added/removed per transition.
+    One sort exchange + a fully vectorized block kernel (dictionary-coded
+    (row, token) pair adjacency — no per-pair loop). Oracle: lag() window
+    + list set ops in SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def versions(tb: pa.Table) -> pa.Table:
+        repo = pc.binary_join_element_wise("repo/", tb.column("source"), "")
+        path = pc.binary_join_element_wise(
+            "doc/", pc.cast(tb.column("doc_id"), pa.string()), ".txt", ""
+        )
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        base = pa.table(
+            {
+                "repo": repo,
+                "path": path,
+                "lsn": pa.array(ids * 2, pa.int64()),
+                "content": tb.column("text"),
+            }
+        )
+        sel = pa.array(ids % 5 == 0)
+        utb, urepo, upath = tb.filter(sel), repo.filter(sel), path.filter(sel)
+        toks = pc.split_pattern(utb.column("text"), " ")
+        edited = pc.binary_join_element_wise(
+            pc.binary_join(pc.list_slice(toks, 5), " "), " v2r", ""
+        )
+        v2 = pa.table(
+            {
+                "repo": urepo,
+                "path": upath,
+                "lsn": pa.array(utb.column("doc_id").to_numpy(zero_copy_only=False) * 2 + 1, pa.int64()),
+                "content": edited,
+            }
+        )
+        return pa.concat_tables([base, v2])
+
+    from ..stages.churn import token_churn
+
+    vds = docs.map_batches(versions, batch_format="pyarrow", zero_copy_batch=True)
+    return token_churn(vds, ["repo", "path"], "lsn", "content")
+
+
+SQL_VERSION_TOKEN_CHURN = """
+WITH v2 AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[6:], ' ') || ' v2r' AS content
+  FROM documents WHERE doc_id % 5 = 0
+), versions AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         2 * doc_id AS lsn, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'repo/' || source, 'doc/' || CAST(doc_id AS VARCHAR) || '.txt',
+         2 * doc_id + 1, content
+  FROM v2
+), w AS (
+  SELECT repo, path, lsn, content,
+         lag(content) OVER (PARTITION BY repo, path ORDER BY lsn) AS prev
+  FROM versions
+), t AS (
+  SELECT repo, path, lsn,
+         list_distinct(string_split(content, ' ')) AS cur,
+         list_distinct(string_split(prev, ' ')) AS prv
+  FROM w WHERE prev IS NOT NULL
+)
+SELECT repo, path, lsn,
+       len(list_filter(cur, x -> NOT list_contains(prv, x))) AS tokens_added,
+       len(list_filter(prv, x -> NOT list_contains(cur, x))) AS tokens_removed
+FROM t
+"""
+
+
 def q_patch_lww_profiles(sf_dir: str):
     """Sparse (partial-column) patch upserts — per-COLUMN LWW
     (stages/sparse.py): a deterministic patch stream derived from the
@@ -5703,6 +5780,7 @@ QUERIES = {
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "patch_lww_profiles": q_patch_lww_profiles,
+    "version_token_churn": q_version_token_churn,
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
@@ -5853,6 +5931,7 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
+    "version_token_churn": SQL_VERSION_TOKEN_CHURN,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,

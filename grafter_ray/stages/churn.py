@@ -1,0 +1,111 @@
+"""Version-to-version token churn — the CDC "diff between commits" map.
+
+For each key (e.g. a file: repo, path) with versions ordered by LSN,
+compute per consecutive transition how many distinct tokens the new
+version added and removed relative to the previous one (set semantics —
+the cheap, shuffle-friendly cousin of a line diff, and the signal code
+pipelines actually aggregate: churn per file, per repo, per author).
+
+Scale shape: ONE sort exchange by (keys, order) co-locates each key's
+version chain in a block (the same discipline as grouped_block_map),
+then a single vectorized kernel per block:
+
+1. tokenize every version once (`pc.split_pattern`), dictionary-encode
+   the flattened tokens to int codes;
+2. unique (row, code) pairs via one np.unique over a packed int64;
+3. the intersection size of every ADJACENT version pair falls out of a
+   second sort by (code, row): a token is shared by transition i-1→i
+   exactly when the pair list contains (code, i-1) and (code, i) next
+   to each other within one key segment — one vectorized mask + one
+   bincount, no per-pair loop;
+4. added = |cur| - |∩|, removed = |prev| - |∩|.
+
+No Python loop touches tokens or pairs; block cost is O(tokens log
+tokens). A key's whole chain must fit one block — the partitioning
+assumption every per-key-ordered operator here documents (chains are
+bounded by version-retention policy, not corpus size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grouped import key_segments
+
+
+def churn_block(
+    tb: pa.Table,
+    keys: list[str],
+    order_col: str,
+    content_col: str,
+    split: str = " ",
+) -> pa.Table:
+    """(keys, order)-sorted block → one row per consecutive transition:
+    keys + order (of the NEW version) + tokens_added + tokens_removed."""
+    n = tb.num_rows
+    out_schema = pa.schema(
+        [(k, tb.schema.field(k).type) for k in keys]
+        + [(order_col, tb.schema.field(order_col).type),
+           ("tokens_added", pa.int64()), ("tokens_removed", pa.int64())]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    # order within the block here: the exchange co-locates each key's run
+    # in one block but guarantees nothing about intra-run order (and MUST
+    # NOT sort by (keys, order) itself — unique sort keys let the shuffle
+    # cut a block between two versions of one key).
+    tb = tb.sort_by([(k, "ascending") for k in keys] + [(order_col, "ascending")])
+    starts, _ends = key_segments(tb, keys)
+    seg_id = np.zeros(n, np.int64)
+    seg_id[starts] = 1
+    seg_id = np.cumsum(seg_id) - 1
+
+    content = pc.fill_null(tb.column(content_col), "")
+    toks = pc.split_pattern(content, split)
+    flat = pc.list_flatten(toks)
+    codes = pc.dictionary_encode(flat.combine_chunks()).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    # unique (row, code) pairs — pack into one int64 (codes < len(flat))
+    k = int(codes.max()) + 1 if len(codes) else 1
+    packed = np.unique(row_of * k + codes)
+    urow = packed // k
+    ucode = packed % k
+    uniq_per_row = np.bincount(urow, minlength=n)
+
+    # adjacency: sort pairs by (code, row); (code,r) followed by (code,r+1)
+    # within one key segment ⇒ token shared by transition r→r+1
+    order2 = np.lexsort((urow, ucode))
+    c2, r2 = ucode[order2], urow[order2]
+    shared = (
+        (c2[1:] == c2[:-1])
+        & (r2[1:] == r2[:-1] + 1)
+        & (seg_id[r2[1:]] == seg_id[r2[:-1]])
+    )
+    inter = np.bincount(r2[1:][shared], minlength=n)
+
+    is_transition = np.ones(n, bool)
+    is_transition[starts] = False
+    idx = np.nonzero(is_transition)[0]
+    added = uniq_per_row[idx] - inter[idx]
+    removed = uniq_per_row[idx - 1] - inter[idx]
+    sel = pa.array(idx)
+    cols = {kcol: tb.column(kcol).take(sel) for kcol in keys}
+    cols[order_col] = tb.column(order_col).take(sel)
+    cols["tokens_added"] = pa.array(added, pa.int64())
+    cols["tokens_removed"] = pa.array(removed, pa.int64())
+    return pa.table(cols, schema=out_schema)
+
+
+def token_churn(ds, keys: list[str], order_col: str, content_col: str, split: str = " "):
+    """Dataset of versioned rows → Dataset of per-transition churn rows.
+    One sort exchange BY KEYS ONLY (grouped_block_map's run-colocation
+    contract); version order is restored block-locally in the kernel."""
+    from .grouped import grouped_block_map
+
+    return grouped_block_map(
+        ds, list(keys), lambda tb: churn_block(tb, keys, order_col, content_col, split)
+    )

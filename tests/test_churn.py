@@ -1,0 +1,117 @@
+"""Version-to-version token churn (stages/churn.py): exact vs a
+row-at-a-time reference, robust to block layout and unordered input,
+and conformant to the equal-key-run colocation contract (the operator
+must exchange by KEYS ONLY — sorting by (keys, order) would let the
+shuffle cut between two versions of one key; that exact bug was caught
+by the sf0.01 oracle gate during development)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from grafter_ray.stages.churn import churn_block, token_churn
+
+
+def _reference(rows):
+    """rows: (key, lsn, content) — per-transition (key, lsn, added, removed)."""
+    out = []
+    prev = {}
+    for k, l, c in sorted(rows):
+        cur = set(c.split(" "))
+        if k in prev:
+            p = prev[k]
+            out.append({"k": k, "lsn": l, "tokens_added": len(cur - p), "tokens_removed": len(p - cur)})
+        prev[k] = cur
+    return sorted(out, key=lambda r: (r["k"], r["lsn"]))
+
+
+def _rand_rows(seed, n_keys=40, max_versions=7, vocab=60):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        for v in range(rng.integers(1, max_versions)):
+            toks = rng.choice([f"t{i}" for i in range(vocab)], rng.integers(1, 30))
+            rows.append((f"k{k:03d}", int(v * 3 + 1), " ".join(toks)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_block_kernel_matches_reference(seed):
+    rows = _rand_rows(seed)
+    rng = np.random.default_rng(seed + 100)
+    perm = rng.permutation(len(rows))  # kernel must restore order itself
+    tb = pa.table(
+        {
+            "k": [rows[i][0] for i in perm],
+            "lsn": pa.array([rows[i][1] for i in perm], pa.int64()),
+            "content": [rows[i][2] for i in perm],
+        }
+    )
+    got = sorted(
+        churn_block(tb, ["k"], "lsn", "content").to_pylist(), key=lambda r: (r["k"], r["lsn"])
+    )
+    assert got == _reference(rows)
+
+
+def test_dataset_path_matches_reference():
+    rows = _rand_rows(7, n_keys=120)
+    tb = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "lsn": pa.array([r[1] for r in rows], pa.int64()),
+            "content": [r[2] for r in rows],
+        }
+    )
+    ds = rd.from_arrow(tb).random_shuffle(seed=5).repartition(17)
+    out = token_churn(ds, ["k"], "lsn", "content")
+    got = sorted(
+        pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows]).to_pylist(),
+        key=lambda r: (r["k"], r["lsn"]),
+    )
+    assert got == _reference(rows)
+
+
+def test_hot_chain_across_tiny_blocks():
+    """Run-splitting conformance: one key's version chain spread over many
+    input blocks with a tiny target block size must still produce exactly
+    n_versions - 1 transitions (no chain cut at a block boundary)."""
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        nv = 4_000
+        body = " ".join(f"w{i}" for i in range(60))
+        tb = pa.table(
+            {
+                "k": pa.array(["hot"] * nv + ["c1", "c2"]),
+                "lsn": pa.array(list(range(nv)) + [0, 0], pa.int64()),
+                "content": pa.array([f"{body} v{i}" for i in range(nv)] + ["a", "b"]),
+            }
+        )
+        ds = rd.from_arrow(tb).repartition(40)
+        out = token_churn(ds, ["k"], "lsn", "content")
+        got = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+        assert got.num_rows == nv - 1
+        # every transition replaces exactly the version token
+        assert set(got.column("tokens_added").to_pylist()) == {1}
+        assert set(got.column("tokens_removed").to_pylist()) == {1}
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_empty_and_null_content():
+    tb = pa.table(
+        {
+            "k": ["a", "a", "a"],
+            "lsn": pa.array([0, 1, 2], pa.int64()),
+            "content": pa.array(["x y", None, "x"], pa.string()),
+        }
+    )
+    got = churn_block(tb, ["k"], "lsn", "content").to_pylist()
+    # null → "" → {''}: transition 1 removes {x,y} adds {''}, transition 2 inverse
+    assert got == [
+        {"k": "a", "lsn": 1, "tokens_added": 1, "tokens_removed": 2},
+        {"k": "a", "lsn": 2, "tokens_added": 1, "tokens_removed": 1},
+    ]

@@ -66,6 +66,25 @@ def _manifest_summary(m: dict | None) -> dict:
     }
 
 
+def _binlog_source(args):
+    """Resolve --binlog + --format into what CDCLake.apply/tail accept.
+    envelope format: the JSON wire tail is decoded in-stream; quarantine
+    mode stages the decoded binlog to parquet first so the engine's
+    null-lsn footer probe and dead-letter path apply unchanged."""
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "parquet":
+        return args.binlog
+    from .sources.envelope import read_envelope_jsonl
+
+    if args.on_bad == "quarantine":
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="graftray_envelope_stage_")
+        read_envelope_jsonl(args.binlog, on_bad="null_lsn").write_parquet(stage)
+        return stage
+    return read_envelope_jsonl(args.binlog, on_bad="raise")
+
+
 def cmd_replay(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -73,7 +92,7 @@ def cmd_replay(args) -> int:
     before = lake.watermark
     t0 = time.perf_counter()
     m = lake.apply(
-        args.binlog,
+        _binlog_source(args),
         upto_lsn=args.upto_lsn,
         window_size=args.window_size,
         batch_size=args.batch_size,
@@ -98,9 +117,27 @@ def cmd_replay(args) -> int:
 def cmd_tail(args) -> int:
     from .pipelines.replay import CDCLake
 
+    if getattr(args, "format", "parquet") == "envelope":
+        if args.on_bad == "quarantine":
+            # a tailed wire stream has no parquet footers to probe and a
+            # Dataset input silently drops null-lsn rows — refuse rather
+            # than quarantine incompletely; use `replay --format envelope
+            # --on-bad quarantine` (staged) per batch instead.
+            print(
+                "tail --format envelope supports --on-bad raise only "
+                "(quarantine needs the staged replay path)",
+                file=sys.stderr,
+            )
+            return 2
+        from .sources.envelope import read_envelope_jsonl
+
+        source = lambda: read_envelope_jsonl(args.binlog, on_bad="raise")  # noqa: E731
+    else:
+        source = args.binlog
+
     lake = CDCLake(args.lake, num_partitions=args.partitions)
     for m in lake.tail(
-        args.binlog,
+        source,
         poll_interval_s=args.poll_interval,
         max_polls=args.max_polls,
         window_size=args.window_size,
@@ -374,7 +411,9 @@ def build_parser() -> argparse.ArgumentParser:
         )
 
     sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
-    sp.add_argument("--binlog", required=True, help="binlog parquet directory")
+    sp.add_argument("--binlog", required=True, help="binlog parquet directory (or JSONL path with --format envelope)")
+    sp.add_argument("--format", choices=["parquet", "envelope"], default="parquet",
+                    help="binlog wire format: parquet (default) or Debezium-style JSON envelopes")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None, help="LSNs per checkpoint window (default: one commit)")
     sp.add_argument("--upto-lsn", type=int, default=None, help="stop after this LSN (default: binlog max from footer stats)")
@@ -390,6 +429,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
     sp.add_argument("--binlog", required=True)
+    sp.add_argument("--format", choices=["parquet", "envelope"], default="parquet")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None)
     sp.add_argument("--poll-interval", type=float, default=2.0)

@@ -1385,19 +1385,25 @@ class CDCLake:
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
         committed watermark as one (or windowed) exactly-once commit(s),
         then sleeps. Yields the manifest after each poll that advanced the
-        watermark; `max_polls` bounds the loop for tests/batch use."""
+        watermark; `max_polls` bounds the loop for tests/batch use.
+
+        `binlog_path` may also be a zero-arg callable returning a fresh
+        binlog Dataset per poll (e.g. a JSON envelope tail via
+        sources/envelope.read_envelope_jsonl — the wire source has no
+        parquet footer, so the watermark probe is a pruned lsn scan)."""
         import time as _time
 
         polls = 0
         while max_polls is None or polls < max_polls:
             polls += 1
+            src = binlog_path() if callable(binlog_path) else binlog_path
             try:
-                hi = int(self._max_lsn(binlog_path))
+                hi = int(self._max_lsn(src))
             except Exception:
                 hi = None  # no files yet
             if hi is not None and hi > self.watermark:
                 yield self.apply(
-                    binlog_path, upto_lsn=hi, window_size=window_size,
+                    src, upto_lsn=hi, window_size=window_size,
                     concurrency=concurrency, on_bad=on_bad,
                 )
             if max_polls is None or polls < max_polls:

@@ -152,3 +152,67 @@ def test_envelope_tail_through_lake_with_quarantine(tmp_path):
     assert sorted(set(dl.column("reason").to_pylist())) == ["null_lsn"]
     raws = set(dl.column("content").to_pylist())
     assert "{definitely not json" in raws
+
+
+def test_cli_replay_envelope_format(tmp_path, capsys):
+    """`replay --format envelope` ingests a JSONL wire tail end-to-end,
+    resumable exactly-once; quarantine mode stages and dead-letters."""
+    import json as _json
+
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=2_000, n_keys=150, n_repos=6, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lines = envelope_encode(binlog).to_pylist()
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    (tail / "a.jsonl").write_text("\n".join(lines[:1000]) + "\n")
+    (tail / "b.jsonl").write_text("\n".join(lines[1000:]) + "\n")
+    lake = str(tmp_path / "lake")
+
+    def run(argv):
+        assert main(argv) == 0
+        out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+        return _json.loads(out[-1])
+
+    out = run(["replay", "--binlog", str(tail), "--format", "envelope",
+               "--lake", lake, "--partitions", "8"])
+    assert out["events_applied"] == cfg.n_events
+    exp = oracle_view_table(binlog)
+    assert out["lake_rows"] == exp.num_rows
+    # exactly-once resubmit
+    out2 = run(["replay", "--binlog", str(tail), "--format", "envelope",
+                "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == 0 and out2["version"] == out["version"]
+
+    # quarantine mode: malformed wire line lands in the dead-letter file
+    (tail / "c.jsonl").write_text("{broken\n" + "\n".join(lines[:1]) + "\n")
+    lake2 = str(tmp_path / "lake2")
+    out3 = run(["replay", "--binlog", str(tail), "--format", "envelope",
+                "--lake", lake2, "--partitions", "8", "--on-bad", "quarantine"])
+    assert out3["lake_rows"] == exp.num_rows
+    dl = CDCLake(lake2, num_partitions=8).dead_letters()
+    assert dl.num_rows == 1 and dl.column("content").to_pylist() == ["{broken"]
+
+
+def test_cli_tail_envelope_format(tmp_path, capsys):
+    import json as _json
+
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=1_200, n_keys=90, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lines = envelope_encode(binlog).to_pylist()
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    (tail / "a.jsonl").write_text("\n".join(lines) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(["tail", "--binlog", str(tail), "--format", "envelope",
+                 "--lake", lake, "--partitions", "8",
+                 "--max-polls", "1", "--poll-interval", "0.01"]) == 0
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert _json.loads(out[-1])["lake_rows"] == oracle_view_table(binlog).num_rows
+    # envelope tail refuses quarantine (no footer probe on a wire stream)
+    assert main(["tail", "--binlog", str(tail), "--format", "envelope",
+                 "--lake", lake, "--partitions", "8", "--on-bad", "quarantine",
+                 "--max-polls", "1"]) == 2

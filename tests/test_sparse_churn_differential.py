@@ -1,0 +1,151 @@
+"""Differential fuzzing of the two newest per-key-ordered operators vs
+DuckDB over random inputs:
+
+- sparse patch LWW (stages/sparse.py) vs per-column arg_max FILTER +
+  the delete predicate — random key counts, null densities, delete
+  rates, mixed int/string/float columns, block layouts;
+- token churn (stages/churn.py) vs lag() + list set ops — random
+  vocabularies, version-chain lengths, whitespace edge cases.
+
+Both operators have a fixed oracle-gated queries() entry; these suites
+cover the dimensions the fixed stream can't (all-delete keys, columns
+never set, single-version keys, duplicate tokens, empty strings).
+"""
+
+import random
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from grafter_ray.stages.churn import token_churn
+from grafter_ray.stages.sparse import sparse_lww
+
+
+def _collect(ds) -> pa.Table:
+    tbs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbs) if tbs else None
+
+
+SPARSE_SQL = """
+WITH agg AS (
+  SELECT k,
+         coalesce(max(CASE WHEN op = 'delete' THEN lsn END), -1) AS dl,
+         coalesce(max(CASE WHEN op = 'upsert' THEN lsn END), -1) AS ul,
+         arg_max(a, lsn) FILTER (WHERE a IS NOT NULL) AS a_val,
+         coalesce(max(lsn) FILTER (WHERE a IS NOT NULL), -1) AS a_ord,
+         arg_max(b, lsn) FILTER (WHERE b IS NOT NULL) AS b_val,
+         coalesce(max(lsn) FILTER (WHERE b IS NOT NULL), -1) AS b_ord,
+         arg_max(c, lsn) FILTER (WHERE c IS NOT NULL) AS c_val,
+         coalesce(max(lsn) FILTER (WHERE c IS NOT NULL), -1) AS c_ord
+  FROM p GROUP BY k
+)
+SELECT k,
+       CASE WHEN a_ord > dl THEN a_val END AS a,
+       CASE WHEN b_ord > dl THEN b_val END AS b,
+       CASE WHEN c_ord > dl THEN c_val END AS c
+FROM agg WHERE ul > dl ORDER BY k
+"""
+
+
+def _sparse_table(rng: random.Random, n: int, n_keys: int, del_pct: float) -> pa.Table:
+    lsn = list(range(n))
+    rng.shuffle(lsn)
+    ks, ops, a, b, c = [], [], [], [], []
+    for i in range(n):
+        ks.append(rng.randrange(n_keys))
+        is_del = rng.random() < del_pct
+        ops.append("delete" if is_del else "upsert")
+        a.append(None if is_del or rng.random() < 0.6 else rng.randrange(100))
+        b.append(None if is_del or rng.random() < 0.6 else rng.choice("wxyz"))
+        # integer-valued floats: exact across engines
+        c.append(None if is_del or rng.random() < 0.85 else float(rng.randrange(50)))
+    # key 0: deletes only (must vanish); key 1: column c never set
+    for i in range(n):
+        if ks[i] == 0:
+            ops[i], a[i], b[i], c[i] = "delete", None, None, None
+        if ks[i] == 1:
+            c[i] = None
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(ops, pa.string()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.string()),
+            "c": pa.array(c, pa.float64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_sparse_lww_matches_duckdb(seed):
+    rng = random.Random(seed)
+    n_keys = rng.choice([5, 40, 300])
+    del_pct = rng.choice([0.0, 0.15, 0.6])
+    tb = _sparse_table(rng, 2_500, n_keys, del_pct)
+    con = duckdb.connect()
+    con.register("p", tb)
+    exp = con.execute(SPARSE_SQL).arrow()
+    ds = rd.from_arrow(tb).random_shuffle(seed=seed).repartition(rng.choice([1, 9, 31]))
+    got = _collect(sparse_lww(ds, ["k"], "lsn", ["a", "b", "c"], op_col="op"))
+    if got is None:
+        assert exp.num_rows == 0
+        return
+    got = got.sort_by([("k", "ascending")]).select(["k", "a", "b", "c"])
+    assert got.equals(exp.cast(got.schema))
+
+
+CHURN_SQL = """
+WITH w AS (
+  SELECT k, lsn, content,
+         lag(content) OVER (PARTITION BY k ORDER BY lsn) AS prev
+  FROM v
+), t AS (
+  SELECT k, lsn,
+         list_distinct(string_split(content, ' ')) AS cur,
+         list_distinct(string_split(prev, ' ')) AS prv
+  FROM w WHERE prev IS NOT NULL
+)
+SELECT k, lsn,
+       len(list_filter(cur, x -> NOT list_contains(prv, x))) AS tokens_added,
+       len(list_filter(prv, x -> NOT list_contains(cur, x))) AS tokens_removed
+FROM t ORDER BY k, lsn
+"""
+
+
+def _churn_table(rng: random.Random, n_keys: int, vocab: int) -> pa.Table:
+    ks, lsns, contents = [], [], []
+    words = [f"w{i}" for i in range(vocab)] + ["", "  "]  # empty-ish tokens
+    for kid in range(n_keys):
+        for v in range(rng.randrange(1, 7)):
+            toks = [rng.choice(words) for _ in range(rng.randrange(1, 20))]
+            ks.append(f"k{kid:04d}")
+            lsns.append(v * 7 + rng.randrange(3))  # non-contiguous, unique per key
+            contents.append(" ".join(toks))
+    return pa.table(
+        {
+            "k": pa.array(ks),
+            "lsn": pa.array(lsns, pa.int64()),
+            "content": pa.array(contents),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44])
+def test_token_churn_matches_duckdb(seed):
+    rng = random.Random(seed)
+    tb = _churn_table(rng, rng.choice([3, 50, 200]), rng.choice([4, 30]))
+    con = duckdb.connect()
+    con.register("v", tb)
+    exp = con.execute(CHURN_SQL).arrow()
+    ds = rd.from_arrow(tb).random_shuffle(seed=seed).repartition(rng.choice([1, 8, 23]))
+    got = _collect(token_churn(ds, ["k"], "lsn", "content"))
+    if got is None:
+        assert exp.num_rows == 0
+        return
+    got = got.sort_by([("k", "ascending"), ("lsn", "ascending")])
+    assert got.equals(exp.cast(got.schema))

@@ -2743,6 +2743,46 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_value_index_lookup(sf_dir: str):
+    """Secondary VALUE index on a lake column (stages/valueindex.py):
+    bootstrap a lang index over the converged docs lake at its first
+    committed version, fold the update wave incrementally (generation
+    tombstones retire stale postings), then point-look-up two languages
+    — touched hash partitions only, never a lake scan. Oracle: the
+    closed-form alive-docs predicate + lang IN (...)."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.valueindex import sync_value_index, value_index_lookup
+
+    lake_root, v0, _, _ = _shared_docs_lake(sf_dir)
+    lake = CDCLake(lake_root, num_partitions=32)
+
+    def ids(tb: pa.Table) -> pa.Array:
+        return pc.cast(
+            pc.struct_field(pc.extract_regex(tb.column("path"), r"doc/(?P<id>\d+)\.txt"), "id"),
+            pa.int64(),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="graftray_vidx_")
+    try:
+        idx = f"{tmp}/vidx"
+        sync_value_index(lake, idx, "lang", doc_id_fn=ids, at_version=v0)
+        sync_value_index(lake, idx, "lang", doc_id_fn=ids)  # fold the %5 update wave
+        out = value_index_lookup(idx, ["en", "zh"], value_col="lang")
+        tables = [t for t in _collect_refs(out) if t.num_rows]
+        return pa.concat_tables(tables)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_VALUE_INDEX_LOOKUP = """
+SELECT lang, doc_id FROM documents
+WHERE (doc_id % 5 = 0 OR doc_id % 7 <> 0) AND lang IN ('en', 'zh')
+"""
+
+
 def q_version_token_churn(sf_dir: str):
     """Commit-to-commit token churn over a versioned file stream
     (stages/churn.py): documents become two-version chains (the %5 wave
@@ -5781,6 +5821,7 @@ QUERIES = {
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
+    "value_index_lookup": q_value_index_lookup,
     "incr_view_lang_stats": q_incr_view_lang_stats,
     "incr_view_distinct_langs": q_incr_view_distinct_langs,
     "incr_view_minmax": q_incr_view_minmax,
@@ -5932,6 +5973,7 @@ ORACLE_SQL = {
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,
+    "value_index_lookup": SQL_VALUE_INDEX_LOOKUP,
     "incr_view_lang_stats": SQL_INCR_VIEW_LANG_STATS,
     "incr_view_distinct_langs": SQL_INCR_VIEW_DISTINCT_LANGS,
     "incr_view_minmax": SQL_INCR_VIEW_MINMAX,

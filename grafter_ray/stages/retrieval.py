@@ -721,6 +721,7 @@ def sync_text_index(
     index_dir: str,
     *,
     doc_id_fn=None,
+    content_fn=None,
     num_partitions: int = 32,
     positions: bool = False,
     at_version: int | None = None,
@@ -759,9 +760,11 @@ def sync_text_index(
     ids = doc_id_fn or default_ids
 
     def to_docs(tb: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": ids(tb), "text": pc.cast(tb.column("content"), pa.string())}
-        )
+        # content_fn lets derived indexes choose WHAT is tokenized (e.g.
+        # stages/valueindex.py feeds one whitespace-escaped value token
+        # per row); default: the lake's content column verbatim.
+        text = content_fn(tb) if content_fn else pc.cast(tb.column("content"), pa.string())
+        return pa.table({"doc_id": ids(tb), "text": text})
 
     def publish(man_path: str, man: dict) -> None:
         tmp = f"{man_path}.tmp-{os.getpid()}"

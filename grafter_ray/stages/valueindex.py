@@ -1,0 +1,98 @@
+"""Secondary VALUE index on a lake column — point lookups by non-key
+attribute (all rows with lang=py, all docs from source=web, …), served
+without scanning the lake.
+
+This is a thin, honest specialization of the inverted text index
+(stages/retrieval.py): a scalar column value is ONE token per row, so
+the whole postings machinery — hash-partitioned token lake, pruned
+reads, generation tombstones from the change-feed sync, compaction —
+applies verbatim. The only new piece is an injective whitespace-safe
+encoding (the tokenizer splits on whitespace): %-escape of ``%`` and
+the four whitespace characters, reversed on output. Null values are
+not indexed (SQL equality semantics: ``col = v`` never matches NULL).
+
+Reference parity: grafter's native store keeps covering indexes over
+term columns and serves `query-bindings` point lookups from them
+(repository.clj:126-136); this is the same idea for an arbitrary
+attribute of the CDC lake, kept LIVE by the change feed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# order matters: escape '%' first on encode, decode it last
+_ENC = [("%", "%25"), (" ", "%20"), ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D")]
+# every token gets this prefix so the EMPTY STRING value still yields a
+# non-empty token (the tokenizer drops empty tokens = how nulls opt out)
+_PREFIX = "="
+
+
+def encode_values(col) -> pa.ChunkedArray | pa.Array:
+    """Injective, whitespace-free, non-empty string form of a column."""
+    out = pc.cast(col, pa.string())
+    for raw, esc in _ENC:
+        out = pc.replace_substring(out, raw, esc)
+    return pc.binary_join_element_wise(_PREFIX, out, "")
+
+
+def decode_values(col):
+    out = pc.utf8_replace_slice(col, 0, len(_PREFIX), "")
+    for raw, esc in reversed(_ENC):
+        out = pc.replace_substring(out, esc, raw)
+    return out
+
+
+def encode_value(v) -> str:
+    s = str(v)
+    for raw, esc in _ENC:
+        s = s.replace(raw, esc)
+    return _PREFIX + s
+
+
+def sync_value_index(
+    lake,
+    index_dir: str,
+    column: str,
+    *,
+    doc_id_fn=None,
+    num_partitions: int = 32,
+    at_version: int | None = None,
+):
+    """Bootstrap or incrementally sync a value index over ``column`` of a
+    CDCLake — sync_text_index with a one-token-per-row content function.
+    Rows whose value is null contribute no posting (and their doc_id is
+    still tombstoned on update/delete via the shared sync path, so a row
+    whose value BECOMES null correctly disappears from lookups)."""
+    from .retrieval import sync_text_index
+
+    def one_token(tb: pa.Table):
+        return pc.fill_null(encode_values(tb.column(column)), "")
+
+    return sync_text_index(
+        lake,
+        index_dir,
+        doc_id_fn=doc_id_fn,
+        content_fn=one_token,
+        num_partitions=num_partitions,
+        at_version=at_version,
+    )
+
+
+def value_index_lookup(index_dir: str, values: list, *, value_col: str = "value"):
+    """Dataset[(value, doc_id)] of live rows whose indexed column equals
+    any of ``values`` — opens only the touched hash partitions, prunes
+    row groups from token stats, retires tombstoned generations
+    (text_index_lookup does all the work; this decodes tokens back)."""
+    from .retrieval import text_index_lookup
+
+    terms = [encode_value(v) for v in values]
+    ds = text_index_lookup(index_dir, terms, columns=["token", "doc_id"])
+
+    def decode(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {value_col: decode_values(tb.column("token")), "doc_id": tb.column("doc_id")}
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

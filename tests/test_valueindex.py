@@ -1,0 +1,129 @@
+"""Secondary value index (stages/valueindex.py): injective token
+encoding, bootstrap + incremental sync from the lake change feed,
+tombstone-retired lookups under value updates / nulling / deletes."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data as rd
+
+from grafter_ray import CDCLake
+from grafter_ray.stages.valueindex import (
+    decode_values,
+    encode_value,
+    encode_values,
+    sync_value_index,
+    value_index_lookup,
+)
+
+WEIRD = ["py", "a b", "", "100% x", "t\tn", "nl\nv", "%20", "% ", "=", "=%"]
+
+
+def test_encoding_injective_roundtrip():
+    enc = encode_values(pa.array(WEIRD)).to_pylist()
+    assert len(set(enc)) == len(WEIRD)  # injective
+    for e in enc:
+        assert e and not any(ch.isspace() for ch in e)
+    assert decode_values(pa.array(enc)).to_pylist() == WEIRD
+    assert [encode_value(v) for v in WEIRD] == enc
+
+
+def _binlog(rows):
+    n = len(rows)
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "content": pa.array(["body"] * n),
+            "schema_version": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+
+
+def _lookup_ids(idx, value):
+    out = value_index_lookup(idx, [value])
+    tbs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbs:
+        return set()
+    return set(pa.concat_tables(tbs).column("doc_id").to_pylist())
+
+
+def _num_ids(tb_ids):
+    return tb_ids
+
+
+def test_value_index_sync_update_null_delete(tmp_path):
+    """lang index over a tiny lake: bootstrap, then one window that
+    (a) changes doc 1's value, (b) nulls doc 2's value, (c) deletes
+    doc 3, (d) inserts doc 4 — the synced lookup reflects all four."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    w1 = _binlog(
+        [
+            (0, "upsert", "r", "doc/1.txt", "py"),
+            (1, "upsert", "r", "doc/2.txt", "py"),
+            (2, "upsert", "r", "doc/3.txt", "go"),
+            (3, "upsert", "r", "doc/5.txt", ""),  # empty string IS a value
+        ]
+    )
+    lake.apply(rd.from_arrow(w1), upto_lsn=3)
+
+    import pyarrow.compute as pc
+
+    def ids(tb):
+        return pc.cast(
+            pc.struct_field(pc.extract_regex(tb.column("path"), r"doc/(?P<id>\d+)\.txt"), "id"),
+            pa.int64(),
+        )
+
+    idx = str(tmp_path / "vidx")
+    man = sync_value_index(lake, idx, "lang", doc_id_fn=ids, num_partitions=4)
+    assert _lookup_ids(idx, "py") == {1, 2}
+    assert _lookup_ids(idx, "go") == {3}
+    assert _lookup_ids(idx, "") == {5}
+
+    w2 = _binlog(
+        [
+            (4, "upsert", "r", "doc/1.txt", "go"),  # value change
+            (5, "upsert", "r", "doc/2.txt", None),  # value nulled
+            (6, "delete", "r", "doc/3.txt", None),  # row deleted
+            (7, "upsert", "r", "doc/4.txt", "py"),  # new row
+        ]
+    )
+    lake.apply(rd.from_arrow(w2), upto_lsn=7)
+    man2 = sync_value_index(lake, idx, "lang", doc_id_fn=ids)
+    assert man2["synced_version"] > man["synced_version"]
+
+    assert _lookup_ids(idx, "py") == {4}
+    assert _lookup_ids(idx, "go") == {1}
+    assert _lookup_ids(idx, "") == {5}
+    assert _lookup_ids(idx, "absent") == set()
+
+    # idempotent re-sync: nothing to fold
+    man3 = sync_value_index(lake, idx, "lang", doc_id_fn=ids)
+    assert man3["synced_version"] == man2["synced_version"]
+    assert _lookup_ids(idx, "go") == {1}
+
+
+def test_value_index_weird_values_lookup(tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    rows = [(i, "upsert", "r", f"doc/{i}.txt", v) for i, v in enumerate(WEIRD)]
+    lake.apply(rd.from_arrow(_binlog(rows)), upto_lsn=len(rows) - 1)
+
+    import pyarrow.compute as pc
+
+    def ids(tb):
+        return pc.cast(
+            pc.struct_field(pc.extract_regex(tb.column("path"), r"doc/(?P<id>\d+)\.txt"), "id"),
+            pa.int64(),
+        )
+
+    idx = str(tmp_path / "vidx")
+    sync_value_index(lake, idx, "lang", doc_id_fn=ids, num_partitions=4)
+    for i, v in enumerate(WEIRD):
+        assert _lookup_ids(idx, v) == {i}, repr(v)

@@ -140,6 +140,11 @@ QUERY_SUBSET = [
     "temperature_mix",
     "chunk_store_sync",
     "train_pipeline",
+    # round-4 session-10 additions
+    "cdc_envelope_replay",
+    "patch_lww_profiles",
+    "version_token_churn",
+    "value_index_lookup",
 ]
 
 

@@ -253,27 +253,37 @@ def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
     The inverse of :func:`envelope_decode` up to the c/u/r → upsert
     collapse (a decoded envelope stream re-encodes stably)."""
     n = tb.num_rows
-    known = pc.is_in(tb.column("op"), value_set=pa.array(["upsert", "delete"]))
-    if not pc.all(known.fill_null(False)).as_py():
-        others = pc.unique(tb.filter(pc.invert(known.fill_null(False))).column("op"))
+    known = pc.is_in(tb.column("op"), value_set=pa.array(["upsert", "delete", "schema_change"]))
+    if not pc.all(pc.fill_null(known, False)).as_py():
+        others = pc.unique(tb.filter(pc.invert(pc.fill_null(known, False))).column("op"))
         raise ValueError(
-            f"envelope_encode handles data events only (upsert/delete); got op {others.to_pylist()!r}"
-            " — filter schema_change rows out first (they have no row image to envelope)"
+            f"envelope_encode: unknown op {others.to_pylist()!r} "
+            "(upsert/delete/schema_change only)"
         )
     is_del = pc.equal(tb.column("op"), "delete")
+    is_sch = pc.equal(tb.column("op"), "schema_change")
     if _pl is not None:
+
+        def _chunkless(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
         frame = _pl.from_arrow(
-            tb.select(["lsn", "schema_version", *ROW_FIELDS]).append_column(
-                "_del", is_del.combine_chunks() if isinstance(is_del, pa.ChunkedArray) else is_del
-            )
+            tb.select(["lsn", "schema_version", *ROW_FIELDS])
+            .append_column("_del", _chunkless(is_del))
+            .append_column("_sch", _chunkless(is_sch))
         )
         parts = [
-            _pl.when(_pl.col("_del")).then(_pl.lit("d")).otherwise(_pl.lit("u")).alias("op"),
+            _pl.when(_pl.col("_del"))
+            .then(_pl.lit("d"))
+            .when(_pl.col("_sch"))
+            .then(_pl.lit("schema_change"))
+            .otherwise(_pl.lit("u"))
+            .alias("op"),
             _pl.when(_pl.col("_del"))
             .then(_pl.struct(_pl.col("repo"), _pl.col("path")))
             .otherwise(None)
             .alias("before"),
-            _pl.when(_pl.col("_del"))
+            _pl.when(_pl.col("_del") | _pl.col("_sch"))
             .then(None)
             .otherwise(_pl.struct([_pl.col(f) for f in ROW_FIELDS]))
             .alias("after"),
@@ -287,13 +297,14 @@ def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
     # stdlib fallback
     out = []
     dl = is_del.to_pylist()
+    sch = is_sch.to_pylist()
     cols = {c: tb.column(c).to_pylist() for c in tb.column_names}
     for i in range(n):
         row = {f: cols[f][i] for f in ROW_FIELDS}
         e = {
-            "op": "d" if dl[i] else "u",
+            "op": "d" if dl[i] else ("schema_change" if sch[i] else "u"),
             "before": {k: row[k] for k in ("repo", "path")} if dl[i] else None,
-            "after": None if dl[i] else row,
+            "after": None if (dl[i] or sch[i]) else row,
             "source": {"lsn": cols["lsn"][i]},
             "schema_version": cols["schema_version"][i],
         }

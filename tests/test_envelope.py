@@ -83,7 +83,8 @@ def test_null_lsn_mode_preserves_raw_line():
 
 
 def test_roundtrip_and_paths_agree():
-    cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=12, schema_every=10**9)
+    # schema_every=700 → schema_change marker events ride the wire too
+    cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=12, schema_every=700)
     binlog = binlog_table(cfg)
     enc_fast = envelope_encode(binlog)
     dec_fast = envelope_decode(enc_fast)

@@ -294,6 +294,25 @@ def cmd_index_search(args) -> int:
     return 0
 
 
+def cmd_export_changes(args) -> int:
+    from .pipelines.outbox import export_changes
+    from .pipelines.replay import CDCLake
+
+    t0 = time.perf_counter()
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    man = export_changes(lake, args.out)
+    _emit(
+        {
+            "cmd": "export-changes",
+            "out": args.out,
+            "exported_version": int(man["exported_version"]),
+            "files": len(man.get("files", [])),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
 def cmd_chunkstore_sync(args) -> int:
     from .pipelines.chunkstore import chunk_store_live, compact_chunk_store, sync_chunk_store
     from .pipelines.replay import CDCLake
@@ -515,6 +534,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--allow-dirty-stats", action="store_true")
     sp.add_argument("terms", nargs="+")
     sp.set_defaults(fn=cmd_index_search)
+
+    sp = sub.add_parser(
+        "export-changes",
+        help="export the lake's change feed as Debezium JSONL (exactly-once outbox)",
+    )
+    sp.add_argument("--out", required=True, help="outbox directory (manifest-committed)")
+    lake_args(sp)
+    sp.set_defaults(fn=cmd_export_changes)
 
     sp = sub.add_parser("chunkstore-sync", help="sync the content-addressed chunk store from the lake")
     sp.add_argument("--lake", required=True)

@@ -1,0 +1,134 @@
+"""Change-feed EXPORT (the outbox side of CDC): materialize the lake's
+committed change feed as Debezium-style JSON envelope files a downstream
+consumer can tail — the exact wire format sources/envelope.py ingests,
+so two lakes chain over plain JSONL with no shared storage format
+beyond "a directory of lines".
+
+Exactly-once across retries, mirroring the lake's own commit discipline
+(state/commitlog.py): each export writes its files under a
+version-range subdirectory, then atomically publishes `_OUTBOX.json`
+naming the committed directories and the exported lake version. A crash
+before publish leaves an orphan directory no manifest references; the
+retry re-exports the same range into a fresh pid-stamped directory and
+publishes that one — consumers reading only manifest-listed dirs never
+see a partial or doubled range.
+
+Feed semantics per export (since = last exported version) use
+chain.py's DOUBLED lsn space — upserts at 2 × last_lsn (even), deletes
+at 2 × watermark + 1 (odd). The doubling keeps per-key order, makes a
+delete outrank every lsn its key ever wrote, AND keeps successive
+exports monotonic for the consumer: after applying range 1 (watermark
+2·wm₁+1), range 2's upserts sit at 2·lsn ≥ 2·wm₁+2, so the consumer's
+exactly-once watermark filter never skips them. (Exporting ORIGINAL
+lsns would break exactly that way — a consumer's watermark, pushed to
+the synthetic delete lsn, would silently drop the next range's
+upserts.)
+- upserts: `read_changes(since)` — live rows whose last_lsn moved;
+- deletes: `deleted_keys(since)` — tombstone keys;
+- bootstrap (first export): the full live view as snapshot upserts.
+
+Writes happen INSIDE map_batches tasks (one JSONL file per non-empty
+block, the _write_postings discipline) — the feed streams to disk with
+backpressure; nothing is collected on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+MANIFEST = "_OUTBOX.json"
+
+
+def _write_lines_stage(out_dir: str, subdir: str):
+    """map_batches kernel factory: encode a binlog block to envelope
+    lines and write one JSONL file per non-empty block; emits the
+    relative filename (tiny) downstream instead of the data."""
+    import binascii
+
+    from ..sources.envelope import envelope_encode
+
+    def write_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string())})
+        lines = envelope_encode(tb)
+        uniq = binascii.hexlify(os.urandom(8)).decode()
+        name = f"{subdir}/feed-{os.getpid()}-{uniq}.jsonl"
+        path = os.path.join(out_dir, name)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines.to_pylist()))
+            f.write("\n")
+        return pa.table({"file": pa.array([name], pa.string())})
+
+    return write_block
+
+
+def export_changes(lake, out_dir: str) -> dict:
+    """Export the change feed since the last committed export (or the
+    full live view on the first call). Returns the published manifest;
+    a no-op (already exported the current version) returns it unchanged.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, MANIFEST)
+    man = {"exported_version": -1, "dirs": [], "files": []}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+    cur = int(lake.manifest["version"]) if lake.manifest else -1
+    since = int(man["exported_version"])
+    if cur < 0 or since >= cur:
+        return man
+    wm = int(lake.manifest["watermark_lsn"])
+
+    subdir = f"v{since}-{cur}-{os.getpid()}"
+    os.makedirs(os.path.join(out_dir, subdir), exist_ok=True)
+
+    from .chain import _as_binlog_deletes, _as_binlog_upserts
+
+    if since < 0:
+        ups = lake.read(view=False)
+    else:
+        ups = lake.read_changes(since, view=False)
+    ups = ups.map_batches(_as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True)
+    stages = [ups]
+    if since >= 0:
+        del_lsn = 2 * wm + 1  # doubled-lsn space (module doc)
+        stages.append(
+            lake.deleted_keys(since).map_batches(
+                lambda tb: _as_binlog_deletes(tb, del_lsn),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    import ray
+
+    write = _write_lines_stage(out_dir, subdir)
+    files: list[str] = []
+    for ds in stages:
+        out = ds.map_batches(write, batch_format="pyarrow", zero_copy_batch=True)
+        for t in ray.get(out.to_arrow_refs()):  # filenames only
+            # Ray coalesces zero-match blocks schema-less ("file" absent)
+            if "file" in t.column_names:
+                files.extend(t.column("file").to_pylist())
+
+    new_man = {
+        "exported_version": cur,
+        "watermark_lsn": wm,
+        "dirs": sorted(set(man.get("dirs", [])) | {subdir}),
+        "files": sorted(set(man.get("files", [])) | set(files)),
+    }
+    tmp = f"{man_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, man_path)  # atomic publish
+    return new_man
+
+
+def feed_paths(out_dir: str) -> list[str]:
+    """Committed feed files in export order (consumers read ONLY these —
+    orphan dirs from crashed exports are invisible)."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        man = json.load(f)
+    return [os.path.join(out_dir, f) for f in man["files"]]

@@ -1,0 +1,117 @@
+"""Change-feed export (pipelines/outbox.py): the lake emits a Debezium
+JSONL wire stream a downstream lake ingests with sources/envelope.py —
+the full loop (lake → wire → lake) must converge to identical key/sha
+state, exactly-once on both sides."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.pipelines.outbox import MANIFEST, export_changes, feed_paths
+from grafter_ray.sources.envelope import read_envelope_jsonl
+
+
+def _state(lake) -> dict:
+    tb = lake.read_table(view=False)
+    return {
+        (r, p): s
+        for r, p, s in zip(
+            tb.column("repo").to_pylist(),
+            tb.column("path").to_pylist(),
+            tb.column("content_sha").to_pylist(),
+        )
+    }
+
+
+def _ingest(feed_dir: str, lake_dir: str, partitions: int = 8) -> CDCLake:
+    dst = CDCLake(lake_dir, num_partitions=partitions)
+    paths = feed_paths(feed_dir)
+    if paths:
+        dst.apply(read_envelope_jsonl(paths))
+    return dst
+
+
+def test_export_ingest_loop_converges(tmp_path):
+    cfg = BinlogConfig(n_events=4_000, n_keys=300, n_repos=10, schema_every=10**9, delete_pct=0.12)
+    binlog = binlog_table(cfg)
+    src = CDCLake(str(tmp_path / "src"), num_partitions=8)
+    src.apply(rd.from_arrow(binlog.slice(0, 2_500)), upto_lsn=2_499)
+
+    out = str(tmp_path / "feed")
+    man1 = export_changes(src, out)
+    assert man1["exported_version"] == src.manifest["version"]
+
+    dst = _ingest(out, str(tmp_path / "dst"))
+    assert _state(dst) == _state(src)
+
+    # window 2 (updates + deletes), incremental export, consumer catches up
+    src.apply(rd.from_arrow(binlog.slice(2_500)), upto_lsn=cfg.n_events - 1)
+    man2 = export_changes(src, out)
+    assert man2["exported_version"] > man1["exported_version"]
+    assert set(man1["files"]) < set(man2["files"])
+
+    dst.apply(read_envelope_jsonl(feed_paths(out)))
+    assert _state(dst) == _state(src)
+
+    # replaying the ENTIRE feed again is a consumer no-op (exactly-once)
+    v = dst.manifest["version"]
+    dst.apply(read_envelope_jsonl(feed_paths(out)))
+    assert dst.manifest["version"] == v
+    assert _state(dst) == _state(src)
+
+    # re-export with no new lake version is a producer no-op
+    man3 = export_changes(src, out)
+    assert man3 == man2
+
+
+def test_crashed_export_is_invisible(tmp_path):
+    cfg = BinlogConfig(n_events=1_000, n_keys=80, n_repos=5, schema_every=10**9)
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    src.apply(rd.from_arrow(binlog_table(cfg)), upto_lsn=cfg.n_events - 1)
+    out = str(tmp_path / "feed")
+
+    # simulate a crashed export: orphan dir with a file, no manifest entry
+    os.makedirs(os.path.join(out, "v-1-0-dead"), exist_ok=True)
+    with open(os.path.join(out, "v-1-0-dead", "feed-dead.jsonl"), "w") as f:
+        f.write('{"op":"c","after":{"repo":"junk","path":"junk"},"source":{"lsn":0}}\n')
+
+    man = export_changes(src, out)
+    assert "v-1-0-dead/feed-dead.jsonl" not in man["files"]
+    dst = _ingest(out, str(tmp_path / "dst"), 4)
+    assert _state(dst) == _state(src)
+    assert ("junk", "junk") not in _state(dst)
+
+
+def test_feed_is_valid_envelope_jsonl(tmp_path):
+    cfg = BinlogConfig(n_events=600, n_keys=50, n_repos=4, schema_every=10**9)
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    src.apply(rd.from_arrow(binlog_table(cfg)), upto_lsn=cfg.n_events - 1)
+    out = str(tmp_path / "feed")
+    export_changes(src, out)
+    for p in feed_paths(out):
+        with open(p) as f:
+            for line in f:
+                e = json.loads(line)
+                assert e["op"] in ("u", "d")
+                assert isinstance(e["source"]["lsn"], int)
+
+
+def test_cli_export_changes(tmp_path, capsys):
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=800, n_keys=60, n_repos=4, schema_every=10**9)
+    src = CDCLake(str(tmp_path / "src"), num_partitions=4)
+    src.apply(rd.from_arrow(binlog_table(cfg)), upto_lsn=cfg.n_events - 1)
+    out = str(tmp_path / "feed")
+    assert main(["export-changes", "--lake", str(tmp_path / "src"),
+                 "--partitions", "4", "--out", out]) == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["exported_version"] == src.manifest["version"]
+    dst = _ingest(out, str(tmp_path / "dst"), 4)
+    assert _state(dst) == _state(src)

@@ -2961,6 +2961,66 @@ def q_cdc_envelope_replay(sf_dir: str):
         )
 
 
+def q_sharded_feed_merge(sf_dir: str):
+    """Sharded upstream ingest (pipelines/shards.py): the deterministic
+    documents binlog split into TWO key-partitioned shard feeds (doc id
+    parity), each commit-ordered only within itself, merged into the
+    interleaved LSN space lsn*2+shard and replayed through CDCLake as
+    one exactly-once stream. Converged state matches the single-feed
+    closed form with last_lsn transposed into the merged space — the
+    oracle proves the merge preserved per-key order and lost nothing."""
+    import tempfile
+
+    from .. import CDCLake
+    from .shards import merge_binlogs
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+
+    def shard_of(tb: pa.Table, want: int) -> pa.Table:
+        ids = pc.cast(
+            pc.struct_field(pc.extract_regex(tb.column("path"), r"doc/(?P<id>\d+)\.txt"), "id"),
+            pa.int64(),
+        )
+        keep = pc.equal(pc.bit_wise_and(ids, 1), want)
+        return tb.filter(keep)
+
+    feeds = [
+        binlog.map_batches(
+            lambda tb, w=w: shard_of(tb, w), batch_format="pyarrow", zero_copy_batch=True
+        )
+        for w in (0, 1)
+    ]
+    merged = merge_binlogs(feeds)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(merged, upto_lsn=6 * n_docs + 1)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_SHARDED_FEED_MERGE = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), 1, 16) AS commit_id,
+       lang,
+       sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content_sha,
+       2 * (CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END)
+         + doc_id % 2 AS last_lsn
+FROM documents
+WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+"""
+
+
 def q_cdc_lake_join(sf_dir: str):
     """Lake-backed analytical query: the converged CDC lake (same
     deterministic documents binlog as cdc_replay_docs) STREAMED back out
@@ -5819,6 +5879,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
+    "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
     "value_index_lookup": q_value_index_lookup,
@@ -5971,6 +6032,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
+    "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,
     "value_index_lookup": SQL_VALUE_INDEX_LOOKUP,

@@ -1,0 +1,76 @@
+"""Multi-shard binlog merge — ingest N independently-ordered CDC feeds
+as ONE exactly-once replay.
+
+Real upstreams are sharded (one binlog per database shard, one JSONL
+tail per Kafka partition): each feed is commit-ordered WITHIN itself,
+with its own dense LSN space, and no global order exists across feeds.
+The engine's apply, however, wants a single totally-ordered LSN space
+(watermark, windows, per-key LWW all key off it).
+
+`merge_binlogs` embeds feed i of K into the interleaved space
+``lsn*K + i``: per-feed order is preserved exactly, the mapping is
+injective across feeds (no collisions — the apply path fetches pass-2
+payloads by lsn), and the interleave is DETERMINISTIC — a key written
+by two shards at the same per-shard lsn resolves by shard index, every
+replay, every retry. Resume works unchanged: the merged space is just
+another LSN space, so the consumer watermark + idempotent re-apply
+carry over (same argument as chain.py's doubled space, which is the
+K=2 special case with one virtual "delete shard").
+
+Caveats, stated loudly:
+- per-KEY order across shards is the interleave's order, not wall
+  time's. If a key can be written by more than one shard, the winner
+  under equal per-shard progress is the higher shard index — shard
+  assignment should partition the keyspace (the normal sharding
+  contract) for cross-shard order to be moot.
+- schema_change markers are per-shard statements about a GLOBAL schema;
+  merging feeds whose schema histories diverge is ill-defined, so any
+  schema_change event raises by default (schema_change="forbid");
+  pass "passthrough" when all shards replicate the same history.
+- lsn*K must fit int64 — checked per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_I64_MAX = (1 << 63) - 1
+
+
+def _remap_stage(k: int, i: int, schema_change: str):
+    def remap(tb: pa.Table) -> pa.Table:
+        if schema_change == "forbid" and tb.num_rows:
+            if pc.any(pc.equal(tb.column("op"), "schema_change")).as_py():
+                raise ValueError(
+                    "merge_binlogs: schema_change event in shard feed "
+                    f"{i} — per-shard schema histories don't merge; replay "
+                    'them separately or pass schema_change="passthrough" '
+                    "if every shard replicates the same history"
+                )
+        lsn = tb.column("lsn")
+        if tb.num_rows and pc.max(lsn).as_py() > (_I64_MAX - i) // k:
+            raise OverflowError(f"merge_binlogs: shard {i} lsn overflows int64 after *{k}")
+        new = pc.add(pc.multiply(lsn, pa.scalar(k, pa.int64())), pa.scalar(i, pa.int64()))
+        return tb.set_column(tb.column_names.index("lsn"), "lsn", new)
+
+    return remap
+
+
+def merge_binlogs(feeds: list, *, schema_change: str = "forbid"):
+    """[Dataset, ...] of BINLOG-schema feeds → one Dataset in the
+    interleaved LSN space lsn*K + i. Pure map + union: no exchange, no
+    driver materialization — the merged feed streams straight into
+    CDCLake.apply."""
+    if schema_change not in ("forbid", "passthrough"):
+        raise ValueError(f"unknown schema_change mode {schema_change!r}")
+    k = len(feeds)
+    if k == 0:
+        raise ValueError("merge_binlogs needs at least one feed")
+    out = None
+    for i, ds in enumerate(feeds):
+        mapped = ds.map_batches(
+            _remap_stage(k, i, schema_change), batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = mapped if out is None else out.union(mapped)
+    return out

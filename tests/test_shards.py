@@ -1,0 +1,138 @@
+"""Multi-shard binlog merge (pipelines/shards.py): per-shard order
+preserved, deterministic cross-shard interleave, exactly-once resume in
+the merged space, schema_change guard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.pipelines.shards import merge_binlogs
+
+
+def _shard(tb: pa.Table, i: int, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from grafter_ray.util import key_hash_array
+
+    h = key_hash_array(tb.column("repo"), tb.column("path")) % np.uint64(k)
+    keep = pa.array(h == np.uint64(i))
+    shard = tb.filter(keep)
+    # re-densify: each shard gets its OWN dense lsn space (per-shard
+    # order = original order) — the realistic sharded-upstream shape
+    return shard.set_column(
+        shard.column_names.index("lsn"),
+        "lsn",
+        pa.array(np.arange(shard.num_rows, dtype=np.int64)),
+    )
+
+
+def _reference(shards: list[pa.Table]) -> dict:
+    """Interpret the interleaved space row-at-a-time."""
+    k = len(shards)
+    events = []
+    for i, tb in enumerate(shards):
+        for r in tb.to_pylist():
+            events.append((r["lsn"] * k + i, r))
+    state = {}
+    for _, r in sorted(events, key=lambda x: x[0]):
+        key = (r["repo"], r["path"])
+        if r["op"] == "delete":
+            state.pop(key, None)
+        elif r["op"] == "upsert":
+            state[key] = r["content"]
+    return state
+
+
+def test_merge_matches_reference_interleave(tmp_path):
+    cfg = BinlogConfig(n_events=3_000, n_keys=200, n_repos=8, schema_every=10**9, delete_pct=0.15)
+    full = binlog_table(cfg)
+    K = 3
+    shards = [_shard(full, i, K) for i in range(K)]
+    merged = merge_binlogs([rd.from_arrow(s) for s in shards])
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    hi = max(int(s.num_rows) for s in shards) * K + K
+    lake.apply(merged, upto_lsn=hi)
+    got = lake.read_table(view=True)
+    ref = _reference(shards)
+    import hashlib
+
+    want_sha = {k: hashlib.sha256(v.encode()).hexdigest() for k, v in ref.items()}
+    got_sha = {
+        (r, p): s
+        for r, p, s in zip(
+            got.column("repo").to_pylist(),
+            got.column("path").to_pylist(),
+            got.column("content_sha").to_pylist(),
+        )
+    }
+    assert got_sha == want_sha
+
+
+def test_merge_resume_exactly_once(tmp_path):
+    cfg = BinlogConfig(n_events=2_000, n_keys=150, n_repos=6, schema_every=10**9)
+    full = binlog_table(cfg)
+    shards = [_shard(full, i, 2) for i in range(2)]
+    feeds = lambda: [rd.from_arrow(s) for s in shards]  # noqa: E731
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    # window 1: first half of the merged space; window 2: the rest
+    hi = max(s.num_rows for s in shards) * 2 + 2
+    lake.apply(merge_binlogs(feeds()), upto_lsn=hi // 2)
+    v1 = lake.manifest["version"]
+    lake.apply(merge_binlogs(feeds()), upto_lsn=hi)
+    # re-apply = no-op
+    v2 = lake.manifest["version"]
+    lake.apply(merge_binlogs(feeds()), upto_lsn=hi)
+    assert lake.manifest["version"] == v2 > v1
+    got_sha = set(lake.read_table(view=True).column("content_sha").to_pylist())
+    import hashlib
+
+    want = {hashlib.sha256(v.encode()).hexdigest() for v in _reference(shards).values()}
+    assert got_sha == want
+
+
+def test_cross_shard_tie_goes_to_higher_shard_index(tmp_path):
+    def feed(content: str) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": pa.array([0], pa.int64()),
+                "op": pa.array(["upsert"]),
+                "repo": pa.array(["r"]),
+                "path": pa.array(["p"]),
+                "commit": pa.array(["c"]),
+                "lang": pa.array(["x"]),
+                "content": pa.array([content]),
+                "schema_version": pa.array(np.zeros(1, np.int32)),
+            }
+        )
+
+    merged = merge_binlogs([rd.from_arrow(feed("from-shard-0")), rd.from_arrow(feed("from-shard-1"))])
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply(merged, upto_lsn=1)
+    import hashlib
+
+    got = lake.read_table(view=True)
+    assert got.column("content_sha").to_pylist() == [
+        hashlib.sha256(b"from-shard-1").hexdigest()
+    ]
+
+
+def test_schema_change_forbidden_by_default():
+    tb = pa.table(
+        {
+            "lsn": pa.array([0], pa.int64()),
+            "op": pa.array(["schema_change"]),
+            "repo": pa.array([None], pa.string()),
+            "path": pa.array([None], pa.string()),
+            "commit": pa.array([None], pa.string()),
+            "lang": pa.array([None], pa.string()),
+            "content": pa.array([None], pa.string()),
+            "schema_version": pa.array(np.ones(1, np.int32)),
+        }
+    )
+    merged = merge_binlogs([rd.from_arrow(tb), rd.from_arrow(tb)])
+    with pytest.raises(Exception, match="schema_change"):
+        merged.materialize()
+    ok = merge_binlogs([rd.from_arrow(tb)], schema_change="passthrough")
+    assert ok.count() == 1

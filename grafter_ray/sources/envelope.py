@@ -172,6 +172,11 @@ def envelope_decode(
         py_lines = lines.to_pylist()
     else:
         py_lines = list(lines)
+    # a UTF-8 BOM on a dump's first line is data noise, not an error
+    py_lines = [
+        s.lstrip("﻿") if isinstance(s, str) and s.startswith("﻿") else s
+        for s in py_lines
+    ]
     cols = None
     if _pl is not None:
         try:

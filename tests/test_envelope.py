@@ -217,3 +217,9 @@ def test_cli_tail_envelope_format(tmp_path, capsys):
     assert main(["tail", "--binlog", str(tail), "--format", "envelope",
                  "--lake", lake, "--partitions", "8", "--on-bad", "quarantine",
                  "--max-polls", "1"]) == 2
+
+
+def test_bom_and_crlf_tolerated():
+    line = GOLDEN[0]
+    tb = envelope_decode(["﻿" + line, line + "\r"])
+    assert tb.column("lsn").to_pylist() == [5, 5]

@@ -5752,6 +5752,97 @@ FROM idx
 """
 
 
+_LATENESS_S = 86_400  # allowed lateness: 24 h of event time
+
+
+def _with_arrival(tb: pa.Table) -> pa.Table:
+    """Deterministic multi-shard arrival order over the events table:
+    shard = user_id % 5, each shard's feed lags by shard*1000 event-id
+    steps (the canonical out-of-order CDC arrival shape,
+    pipelines/shards.py); event_id breaks ties so the order is total."""
+    eid = tb.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = tb.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = (eid + (uid % 5) * 1000) * 10_000_000 + eid
+    return tb.append_column("arr", pa.array(arr, pa.int64()))
+
+
+def q_late_events(sf_dir: str):
+    """Allowed-lateness side output (stages/lateness.py): events arriving
+    more than 24 h of event time behind the stream's running high-water
+    mark under shard-lagged arrival order. Distributed prefix-max —
+    O(blocks) driver state, one range exchange."""
+    from ..stages.lateness import late_flags
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        _with_arrival, batch_format="pyarrow", zero_copy_batch=True
+    )
+    flagged = late_flags(ds, "ts", "arr", _LATENESS_S)
+
+    def f(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(tb.column("is_late"))
+        return tb.select(["event_id", "user_id", "event_type", "behind_us"])
+
+    return flagged.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LATE_EVENTS = f"""
+WITH a AS (
+  SELECT *, (event_id + (user_id % 5) * 1000) * 10000000 + event_id AS arr
+  FROM events),
+w AS (
+  SELECT event_id, user_id, event_type,
+         greatest(0, coalesce(date_diff('microsecond', ts,
+           max(ts) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0))
+           AS behind_us
+  FROM a)
+SELECT event_id, user_id, event_type, behind_us
+FROM w WHERE behind_us > {_LATENESS_S}000000
+"""
+
+
+def q_watermark_windows(sf_dir: str):
+    """Tumbling hourly windows with allowed lateness: per bucket, counts
+    and cent-sums over ON-TIME events plus the late-arrival count routed
+    to the side output (stages/lateness.py windowed_with_lateness)."""
+    from ..stages.lateness import windowed_with_lateness
+
+    def prep(tb: pa.Table) -> pa.Table:
+        tb = _with_arrival(tb)
+        return pa.table(
+            {
+                "ts": tb.column("ts"),
+                "arr": tb.column("arr"),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return windowed_with_lateness(ds, "ts", "arr", _LATENESS_S, value_col="value_cents")
+
+
+SQL_WATERMARK_WINDOWS = f"""
+WITH a AS (
+  SELECT *, (event_id + (user_id % 5) * 1000) * 10000000 + event_id AS arr,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events),
+w AS (
+  SELECT ts, value_cents,
+         greatest(0, coalesce(date_diff('microsecond', ts,
+           max(ts) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0))
+           > {_LATENESS_S}000000 AS late
+  FROM a)
+SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
+       sum(CASE WHEN late THEN 0 ELSE 1 END) AS n_on_time,
+       sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+       sum(CASE WHEN late THEN 0 ELSE value_cents END) AS sum_value_cents
+FROM w GROUP BY bucket
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -5917,6 +6008,8 @@ QUERIES = {
     "dates_without_urgent": q_dates_without_urgent,
     "props_extract": q_props_extract,
     "value_buckets": q_value_buckets,
+    "late_events": q_late_events,
+    "watermark_windows": q_watermark_windows,
 }
 
 ORACLE_SQL = {
@@ -6070,6 +6163,8 @@ ORACLE_SQL = {
     "dates_without_urgent": SQL_DATES_WITHOUT_URGENT,
     "props_extract": SQL_PROPS_EXTRACT,
     "value_buckets": SQL_VALUE_BUCKETS,
+    "late_events": SQL_LATE_EVENTS,
+    "watermark_windows": SQL_WATERMARK_WINDOWS,
     # fingerprint / minhash_dedup / simhash / simhash_pairs / media_features:
     # non-SQL-expressible (pandas hash_array kernels / stubbed codecs) →
     # rows-only checks backed by planted-truth pytest

@@ -1,0 +1,141 @@
+"""Event-time watermarks and allowed lateness — the streaming-semantics
+layer a CDC/event ingest needs on top of the window operators
+(stages/windows.py): decide, per event, how far it arrived BEHIND the
+stream's running event-time high-water mark, and route events that
+exceed the allowed lateness to a side output instead of folding them
+into their (long-closed) window.
+
+Deterministic definition (so the result is a pure function of the data
+and SQL-oracle-checkable): arrival order is the stream sequence column
+(the binlog LSN / event_id). The high-water mark BEFORE event i is
+
+    hwm_i = max(ts_j : seq_j < seq_i)          (NULL for the first event)
+    behind_us_i = greatest(0, hwm_i - ts_i)    (0 when event i advances
+                                                or equals the mark)
+    late_i = behind_us_i > lateness_us
+
+which is exactly SQL's `max(ts) OVER (ORDER BY seq ROWS BETWEEN
+UNBOUNDED PRECEDING AND 1 PRECEDING)` — a global running prefix-max.
+
+Scale shape: a prefix scan, NOT a sequential pass. Same two-narrow-pass
+discipline as the packing prefix sum (stages/packing.py):
+
+  pass 1  range-sort by seq (the one exchange any arrival-ordered
+          semantics must pay), emit ONE row per block (block min seq,
+          block max ts) — the driver holds O(blocks) rows, never events;
+  pass 2  broadcast the exclusive prefix-max of block maxima (carry-in
+          per block, keyed by block min seq) and compute each block's
+          internal running max locally with np.maximum.accumulate.
+
+Reference analogue: grafter's pull-stream has no event-time notion
+(SURVEY.md §2.9 — backpressure only); allowed lateness is the
+streaming-ingest semantics the north rule's binlog replay implies once
+feeds are multi-shard and out-of-order (pipelines/shards.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_NEG_INF = np.int64(np.iinfo(np.int64).min)
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] (or any timestamp) column → int64 microseconds."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+
+
+def late_flags(ds, ts_col: str, seq_col: str, lateness_s: float):
+    """Dataset → Dataset (seq-sorted) + `behind_us` (int64: microseconds
+    the event trails the running high-water mark, 0 if none) + `is_late`
+    (bool: behind_us > lateness). All original columns pass through."""
+    import ray
+
+    lateness_us = np.int64(round(lateness_s * 1_000_000))
+    # The one exchange: range-sort by arrival sequence. Two passes over
+    # the sorted stream ⇒ materialize (spills to the object store at
+    # scale; blocks stay range-disjoint, the invariant both passes use).
+    ds = ds.sort(seq_col).materialize()
+
+    def block_meta(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"min_seq": pa.array([], pa.int64()), "max_ts": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "min_seq": pa.array([tb.column(seq_col)[0].as_py()], pa.int64()),
+                "max_ts": pa.array([int(_ts_us(tb.column(ts_col)).max())], pa.int64()),
+            }
+        )
+
+    meta = (
+        ds.map_batches(block_meta, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per BLOCK — tiny at any stream size
+        .sort_values("min_seq")
+    )
+    maxes = meta["max_ts"].to_numpy(dtype=np.int64)
+    # exclusive prefix max of block maxima = each block's carry-in mark
+    carry = np.concatenate([[_NEG_INF], np.maximum.accumulate(maxes)[:-1]]) if len(maxes) else maxes
+    carry_ref = ray.put(dict(zip(meta["min_seq"].astype(np.int64), carry)))
+
+    def flag(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.append_column("behind_us", pa.array([], pa.int64())).append_column(
+                "is_late", pa.array([], pa.bool_())
+            )
+        carry_in = ray.get(carry_ref)[int(tb.column(seq_col)[0].as_py())]
+        ts = _ts_us(tb.column(ts_col))
+        run = np.maximum.accumulate(ts)
+        hwm = np.empty(len(ts), dtype=np.int64)
+        hwm[0] = carry_in
+        hwm[1:] = np.maximum(run[:-1], carry_in)
+        behind = hwm - ts
+        # no predecessor (global first block, hwm = -inf) or on-time → 0
+        np.maximum(behind, 0, out=behind, where=hwm != _NEG_INF)
+        behind[hwm == _NEG_INF] = 0
+        return tb.append_column("behind_us", pa.array(behind, pa.int64())).append_column(
+            "is_late", pa.array(behind > lateness_us)
+        )
+
+    return ds.map_batches(flag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def windowed_with_lateness(
+    ds,
+    ts_col: str,
+    seq_col: str,
+    lateness_s: float,
+    fmt: str = "%Y-%m-%d %H",
+    value_col: str | None = None,
+):
+    """Tumbling event-time windows with allowed lateness: per bucket,
+    counts and value sums over ON-TIME events plus the count of LATE
+    arrivals that targeted the bucket (the side-output accounting a
+    beam/flink-style pipeline reports). One grouped-agg exchange after
+    the late_flags prefix scan."""
+    from ..pipelines.relational import grouped_agg
+
+    flagged = late_flags(ds, ts_col, seq_col, lateness_s)
+
+    def project(tb: pa.Table) -> pa.Table:
+        late = tb.column("is_late")
+        on_time = pc.invert(late)
+        cols = {
+            "bucket": pc.strftime(tb.column(ts_col), format=fmt),
+            "on_time": pc.cast(on_time, pa.int64()),
+            "late": pc.cast(late, pa.int64()),
+        }
+        if value_col:
+            cols["on_time_value"] = pc.if_else(
+                on_time, tb.column(value_col), pa.scalar(0, tb.column(value_col).type)
+            )
+        return pa.table(cols)
+
+    specs = [("n_on_time", "on_time", "sum"), ("n_late", "late", "sum")]
+    if value_col:
+        specs.append((f"sum_{value_col}", "on_time_value", "sum"))
+    out = flagged.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(out, ["bucket"], specs)

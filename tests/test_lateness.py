@@ -1,0 +1,119 @@
+"""Watermark / allowed-lateness semantics (stages/lateness.py):
+differential vs DuckDB's running window max, block-layout invariance,
+and the boundary cases (first event, monotone stream, ties)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.lateness import late_flags, windowed_with_lateness
+
+EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _stream(n: int, seed: int, max_jitter_s: int = 5000) -> pa.Table:
+    """Arrival sequence 0..n-1; event time = arrival time minus a random
+    per-event delay (the realistic out-of-order shape)."""
+    rng = np.random.default_rng(seed)
+    base = np.sort(rng.integers(0, n * 600, size=n)).astype(np.int64)
+    delay = rng.integers(0, max_jitter_s, size=n).astype(np.int64)
+    ts = EPOCH + (base - delay) * np.timedelta64(1_000_000, "us")
+    return pa.table(
+        {
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array(rng.integers(0, 1000, size=n), pa.int64()),
+        }
+    )
+
+
+def _oracle(tb: pa.Table, lateness_s: float) -> dict[int, tuple[int, bool]]:
+    con = duckdb.connect()
+    con.register("s", tb)
+    rows = con.execute(
+        f"""
+        SELECT seq, greatest(0, coalesce(date_diff('microsecond', ts,
+                 max(ts) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0))
+        FROM s"""
+    ).fetchall()
+    lim = lateness_s * 1_000_000
+    return {r[0]: (r[1], r[1] > lim) for r in rows}
+
+
+@pytest.mark.parametrize("seed,n,blocks", [(1, 500, 7), (2, 2000, 13), (3, 64, 1)])
+def test_differential_vs_duckdb(seed, n, blocks):
+    tb = _stream(n, seed)
+    ds = rd.from_arrow(tb).repartition(blocks)
+    out = late_flags(ds, "ts", "seq", lateness_s=1200).to_arrow_refs()
+    import ray
+
+    got = pa.concat_tables([ray.get(r) for r in out])
+    want = _oracle(tb, 1200)
+    for seq, behind, late in zip(
+        got.column("seq").to_pylist(), got.column("behind_us").to_pylist(), got.column("is_late").to_pylist()
+    ):
+        assert (behind, late) == want[seq], seq
+    assert got.num_rows == n
+
+
+def test_block_layout_invariance():
+    tb = _stream(1200, seed=9)
+    outs = []
+    for blocks in (1, 5, 40):
+        ds = rd.from_arrow(tb).repartition(blocks)
+        t = late_flags(ds, "ts", "seq", lateness_s=600).sort("seq").to_pandas()
+        outs.append(t[["seq", "behind_us", "is_late"]].reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_monotone_stream_never_late():
+    n = 300
+    ts = EPOCH + np.arange(n, dtype=np.int64) * np.timedelta64(1_000_000, "us")
+    tb = pa.table({"seq": pa.array(np.arange(n, dtype=np.int64)), "ts": pa.array(ts, pa.timestamp("us"))})
+    out = late_flags(rd.from_arrow(tb).repartition(4), "ts", "seq", lateness_s=0).to_pandas()
+    assert out["behind_us"].eq(0).all() and (~out["is_late"]).all()
+
+
+def test_first_event_has_no_watermark():
+    # the global first event trails nothing even when its ts is minimal
+    ts = EPOCH + np.array([100, 0, 50], dtype=np.int64) * np.timedelta64(1_000_000, "us")
+    tb = pa.table({"seq": pa.array([0, 1, 2], pa.int64()), "ts": pa.array(ts, pa.timestamp("us"))})
+    out = late_flags(rd.from_arrow(tb), "ts", "seq", lateness_s=10).sort("seq").to_pandas()
+    assert out["behind_us"].tolist() == [0, 100_000_000, 50_000_000]
+    assert out["is_late"].tolist() == [False, True, True]
+
+
+def test_tie_with_hwm_is_on_time():
+    ts = EPOCH + np.array([10, 10, 9], dtype=np.int64) * np.timedelta64(1_000_000, "us")
+    tb = pa.table({"seq": pa.array([0, 1, 2], pa.int64()), "ts": pa.array(ts, pa.timestamp("us"))})
+    out = late_flags(rd.from_arrow(tb), "ts", "seq", lateness_s=0).sort("seq").to_pandas()
+    assert out["behind_us"].tolist() == [0, 0, 1_000_000]
+
+
+def test_windowed_with_lateness_vs_duckdb():
+    tb = _stream(1500, seed=4)
+    ds = rd.from_arrow(tb).repartition(6)
+    got = (
+        windowed_with_lateness(ds, "ts", "seq", lateness_s=900, value_col="v")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("s", tb)
+    want = con.execute(
+        """
+        WITH w AS (SELECT ts, v, greatest(0, coalesce(date_diff('microsecond', ts,
+             max(ts) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0))
+             > 900000000 AS late FROM s)
+        SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
+               sum(CASE WHEN late THEN 0 ELSE 1 END) AS n_on_time,
+               sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+               sum(CASE WHEN late THEN 0 ELSE v END) AS sum_v
+        FROM w GROUP BY bucket ORDER BY bucket"""
+    ).df()
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+    for c in ("n_on_time", "n_late", "sum_v"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c

@@ -5843,6 +5843,93 @@ FROM w GROUP BY bucket
 """
 
 
+def _events_deltas(sf_dir: str):
+    """events as a delta feed: value in cents, 'error' events as resets."""
+
+    def prep(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tb.column("user_id"),
+                "event_id": tb.column("event_id"),
+                "event_type": tb.column("event_type"),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0))), pa.int64()
+                ),
+                "is_del": pc.equal(tb.column("event_type"), "error"),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_counter_state(sf_dir: str):
+    """Mergeable-register apply with delete-reset (stages/mergeable.py):
+    per user, the counter/extremum/LWW state folded from delta events,
+    where an 'error' event resets the key (discards all contributions at
+    order ≤ the reset). One key exchange, vectorized per-key fold."""
+    from ..stages.mergeable import mergeable_fold
+
+    return mergeable_fold(
+        _events_deltas(sf_dir),
+        ["user_id"],
+        "event_id",
+        [
+            ("balance_cents", "value_cents", "sum"),
+            ("max_tx_cents", "value_cents", "max"),
+            ("last_event_type", "event_type", "last"),
+            ("n_tx", None, "count"),
+        ],
+        delete_col="is_del",
+    )
+
+
+SQL_COUNTER_STATE = """
+WITH d AS (
+  SELECT user_id, max(event_id) AS dl FROM events WHERE event_type = 'error' GROUP BY user_id),
+live AS (
+  SELECT e.user_id, e.event_id, CAST(round(e.value * 100) AS BIGINT) AS value_cents, e.event_type
+  FROM events e LEFT JOIN d ON e.user_id = d.user_id
+  WHERE e.event_type <> 'error' AND (d.dl IS NULL OR e.event_id > d.dl))
+SELECT user_id, CAST(sum(value_cents) AS BIGINT) AS balance_cents,
+       max(value_cents) AS max_tx_cents,
+       arg_max(event_type, event_id) AS last_event_type,
+       count(*) AS n_tx
+FROM live GROUP BY user_id
+"""
+
+
+def q_register_state(sf_dir: str):
+    """Delete-free mergeable fold — exercises the exact map-side combine
+    path (commutative partials, one narrow exchange of ≤ keys × blocks
+    rows) of stages/mergeable.py."""
+    from ..stages.mergeable import mergeable_fold
+
+    return mergeable_fold(
+        _events_deltas(sf_dir),
+        ["user_id"],
+        "event_id",
+        [
+            ("total_cents", "value_cents", "sum"),
+            ("peak_cents", "value_cents", "max"),
+            ("floor_cents", "value_cents", "min"),
+            ("last_event_type", "event_type", "last"),
+            ("n_events", None, "count"),
+        ],
+    )
+
+
+SQL_REGISTER_STATE = """
+SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS peak_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS floor_cents,
+       arg_max(event_type, event_id) AS last_event_type,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -6010,6 +6097,8 @@ QUERIES = {
     "value_buckets": q_value_buckets,
     "late_events": q_late_events,
     "watermark_windows": q_watermark_windows,
+    "counter_state": q_counter_state,
+    "register_state": q_register_state,
 }
 
 ORACLE_SQL = {
@@ -6165,6 +6254,8 @@ ORACLE_SQL = {
     "value_buckets": SQL_VALUE_BUCKETS,
     "late_events": SQL_LATE_EVENTS,
     "watermark_windows": SQL_WATERMARK_WINDOWS,
+    "counter_state": SQL_COUNTER_STATE,
+    "register_state": SQL_REGISTER_STATE,
     # fingerprint / minhash_dedup / simhash / simhash_pairs / media_features:
     # non-SQL-expressible (pandas hash_array kernels / stubbed codecs) →
     # rows-only checks backed by planted-truth pytest

@@ -1,0 +1,201 @@
+"""Mergeable per-key fold — CRDT-counter-style apply semantics for feeds
+whose events carry DELTAS, not after-images.
+
+The engine's core apply is last-writer-wins over full rows
+(stages/lww.py) and per-column LWW over patches (stages/sparse.py). A
+third real CDC shape is the *mergeable register*: events are
+commutative contributions (counter increments, high-water marks) and
+the key's state is a fold, with a delete acting as a RESET — it
+discards every contribution at order ≤ the delete's order, and the key
+exists only if a contribution arrives after its last delete:
+
+    last_del[k] = max(order : delete of k)              (-∞ if none)
+    state[k][c] = fold_c(value_c(e) : e upsert of k, order(e) > last_del[k])
+    k exists  ⇔  at least one such e
+
+Policies: sum | max | min | count (commutative folds) and last
+(LWW by order — so one call can mix counter and register columns).
+
+Scale shape — two cases, chosen by whether the feed has deletes:
+
+* no deletes (`delete_col=None`): commutativity makes map-side combining
+  exact — each block folds per key locally (`map_batches`, no exchange),
+  then ONE narrow exchange of ≤ keys × blocks partial rows merges with
+  the lifted policies (sum→sum, count→sum, max→max, min→min, last→last
+  with its carried order). Same two-phase discipline as the engine LWW.
+* deletes present: a reset does NOT commute with sum — a partial sum
+  carries no per-event orders, so a later-global delete landing inside
+  another block's folded range can't be subtracted back out. The stage
+  therefore pays exactly ONE key exchange of the projected event stream
+  (the exchange any keyed aggregation without a combiner pays) and runs
+  the whole fold vectorized per key-run (reduceat, never a Python row
+  loop). Deletes are rare in counter feeds; the projection is narrow
+  (key, order, delete flag, value columns).
+
+Reference analogue: grafter models stores as SETS with idempotent add
+(SURVEY.md §1.1) — the degenerate mergeable fold; this stage is the
+generalization a metrics/ledger CDC ingest needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .grouped import grouped_block_map, key_segments
+
+_POLICIES = ("sum", "max", "min", "count", "last")
+# merging two partials of a policy uses this (lifted) policy
+_LIFT = {"sum": "sum", "count": "sum", "max": "max", "min": "min", "last": "last"}
+
+
+def _np_col(tb: pa.Table, name: str) -> np.ndarray:
+    return tb.column(name).to_numpy(zero_copy_only=False)
+
+
+def _identity(dtype: np.dtype, policy: str):
+    if policy in ("sum", "count"):
+        return np.int64(0) if dtype.kind in "iu" else dtype.type(0)
+    lo = np.iinfo(dtype).min if dtype.kind in "iu" else -np.inf
+    hi = np.iinfo(dtype).max if dtype.kind in "iu" else np.inf
+    return lo if policy == "max" else hi
+
+
+def _seg_last_idx(score: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per segment: row index of the max score (score -1 = excluded;
+    positive scores are unique orders, so the argmax is unambiguous).
+    Returns -1 for segments with no included row."""
+    n = len(score)
+    m = np.maximum.reduceat(score, starts) if len(starts) else np.array([], score.dtype)
+    rep = np.repeat(m, ends - starts)
+    pos = np.where((score == rep) & (score >= 0), np.arange(n), n)
+    idx = np.minimum.reduceat(pos, starts) if len(starts) else pos
+    out = np.where(m >= 0, idx, -1)
+    return out
+
+
+def _fold_block(tb: pa.Table, key_cols, order_col, specs, delete_col, carry_orders: bool) -> pa.Table:
+    """One vectorized fold over a key-sorted block. When carry_orders,
+    emit __ord_<name> for 'last' specs (partial rows to be re-merged)."""
+    if tb.num_rows == 0:
+        fields = {k: pa.array([], tb.column(k).type) for k in key_cols}
+        for name, col, policy in specs:
+            t = pa.int64() if policy == "count" else tb.column(col).type
+            fields[name] = pa.array([], t)
+            if carry_orders and policy == "last":
+                fields[f"__ord_{name}"] = pa.array([], pa.int64())
+        return pa.table(fields)
+    tb = tb.sort_by([(k, "ascending") for k in key_cols])
+    starts, ends = key_segments(tb, key_cols)
+    order = _np_col(tb, order_col).astype(np.int64)
+    if delete_col is not None:
+        is_del = _np_col(tb, delete_col).astype(bool)
+        dscore = np.where(is_del, order, -1)
+        last_del = np.maximum.reduceat(dscore, starts)
+        mask = (~is_del) & (order > np.repeat(last_del, ends - starts))
+    else:
+        mask = np.ones(len(order), dtype=bool)
+    n_live = np.add.reduceat(mask.astype(np.int64), starts)
+    keep = n_live > 0
+    cols: dict[str, pa.Array] = {}
+    starts_pa = pa.array(starts)
+    for k in key_cols:
+        cols[k] = tb.column(k).take(starts_pa)
+    live_score = np.where(mask, order, -1)
+    last_idx = None
+    for name, col, policy in specs:
+        if policy == "count":
+            cols[name] = pa.array(n_live, pa.int64())
+            continue
+        if policy == "last":
+            if last_idx is None:
+                last_idx = _seg_last_idx(live_score, starts, ends)
+            cols[name] = tb.column(col).take(pa.array(np.maximum(last_idx, 0)))
+            if carry_orders:
+                cols[f"__ord_{name}"] = pa.array(
+                    np.where(last_idx >= 0, order[np.maximum(last_idx, 0)], -1), pa.int64()
+                )
+            continue
+        v = _np_col(tb, col)
+        ident = _identity(v.dtype, policy)
+        vv = np.where(mask, v, ident)
+        red = {"sum": np.add, "max": np.maximum, "min": np.minimum}[policy].reduceat(vv, starts)
+        cols[name] = pa.array(red, pa.from_numpy_dtype(red.dtype))
+    out = pa.table(cols)
+    if not keep.all():
+        out = out.filter(pa.array(keep))
+    return out
+
+
+def mergeable_fold(ds, key_cols: list[str], order_col: str, specs, delete_col: str | None = None):
+    """Dataset of delta events → Dataset of one state row per surviving
+    key. specs: [(out_name, value_col (None for count), policy)] with
+    policy in sum|max|min|count|last. delete_col: optional bool column
+    marking reset events. Orders must be unique per key and ≥ 0."""
+    for _, col, policy in specs:
+        if policy not in _POLICIES:
+            raise ValueError(f"unknown policy {policy!r}")
+        if (col is None) != (policy == "count"):
+            raise ValueError("count takes no column; every other policy needs one")
+    if delete_col is not None:
+        # reset does not commute with sum: one key exchange, exact fold
+        def block(tb: pa.Table) -> pa.Table:
+            return _fold_block(tb, key_cols, order_col, specs, delete_col, carry_orders=False)
+
+        return grouped_block_map(ds, key_cols, block)
+
+    # delete-free feed: exact map-side combine, then one narrow exchange
+    def partial(tb: pa.Table) -> pa.Table:
+        return _fold_block(tb, key_cols, order_col, specs, None, carry_orders=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    lifted = []
+    for name, col, policy in specs:
+        lifted.append((name, name, _LIFT[policy]))
+
+    def merge(tb: pa.Table) -> pa.Table:
+        # merge partial rows: 'last' re-folds by its carried order
+        sub_specs = [
+            (name, src, pol if pol != "last" else "last") for (name, src, pol) in lifted
+        ]
+        ord_col = "__merge_ord"
+        # a single carried order per 'last' spec; use the first one found
+        # (all 'last' specs share the block argmax order of their column)
+        last_specs = [name for name, _, pol in lifted if pol == "last"]
+        if last_specs:
+            # fold each 'last' column by ITS OWN carried order: run the
+            # kernel once per distinct order column (cheap: partials are
+            # block-count sized)
+            base_specs = [(n, s, p) for (n, s, p) in sub_specs if p != "last"]
+            out = _fold_block(
+                tb.select(
+                    list(dict.fromkeys(key_cols + [s for _, s, _ in base_specs]))
+                ).append_column(ord_col, pa.array(np.zeros(tb.num_rows, np.int64))),
+                key_cols,
+                ord_col,
+                base_specs,
+                None,
+                carry_orders=False,
+            ) if base_specs else None
+            for name in last_specs:
+                one = _fold_block(
+                    tb.select(key_cols + [name, f"__ord_{name}"]),
+                    key_cols,
+                    f"__ord_{name}",
+                    [(name, name, "last")],
+                    None,
+                    carry_orders=False,
+                )
+                out = one if out is None else out.join(one, keys=key_cols, join_type="inner")
+            return out
+        return _fold_block(
+            tb.append_column(ord_col, pa.array(np.zeros(tb.num_rows, np.int64))),
+            key_cols,
+            ord_col,
+            sub_specs,
+            None,
+            carry_orders=False,
+        )
+
+    return grouped_block_map(partials, key_cols, merge)

@@ -1,0 +1,122 @@
+"""Mergeable per-key fold (stages/mergeable.py): differential vs DuckDB
+over random delta feeds with resets, combine-path == exchange-path
+equality, block-layout invariance, and edge semantics (all-reset keys
+drop, resets don't commute trap, spec validation)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.mergeable import mergeable_fold
+
+SPECS = [
+    ("total", "v", "sum"),
+    ("hi", "v", "max"),
+    ("lo", "v", "min"),
+    ("last_tag", "tag", "last"),
+    ("n", None, "count"),
+]
+
+
+def _feed(n: int, n_keys: int, seed: int, del_frac: float) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "k": pa.array(rng.integers(0, n_keys, size=n), pa.int64()),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(-50, 100, size=n), pa.int64()),
+            "tag": pa.array(rng.choice(["a", "b", "c", "d"], size=n)),
+            "is_del": pa.array(rng.random(n) < del_frac),
+        }
+    )
+
+
+def _oracle(tb: pa.Table):
+    con = duckdb.connect()
+    con.register("f", tb)
+    return con.execute(
+        """
+        WITH d AS (SELECT k, max(o) AS dl FROM f WHERE is_del GROUP BY k),
+        live AS (SELECT f.* FROM f LEFT JOIN d ON f.k = d.k
+                 WHERE NOT f.is_del AND (d.dl IS NULL OR f.o > d.dl))
+        SELECT k, CAST(sum(v) AS BIGINT) AS total, max(v) AS hi, min(v) AS lo,
+               arg_max(tag, o) AS last_tag, count(*) AS n
+        FROM live GROUP BY k ORDER BY k"""
+    ).df()
+
+
+def _run(tb: pa.Table, blocks: int, delete_col):
+    ds = rd.from_arrow(tb).repartition(blocks)
+    out = mergeable_fold(ds, ["k"], "o", SPECS, delete_col=delete_col)
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    return df[["k", "total", "hi", "lo", "last_tag", "n"]]
+
+
+@pytest.mark.parametrize("seed,n,keys,frac,blocks", [(1, 800, 40, 0.1, 7), (2, 3000, 11, 0.25, 5), (3, 500, 500, 0.05, 3)])
+def test_differential_with_resets(seed, n, keys, frac, blocks):
+    tb = _feed(n, keys, seed, frac)
+    got = _run(tb, blocks, "is_del")
+    want = _oracle(tb)
+    assert got["k"].tolist() == want["k"].tolist()
+    for c in ("total", "hi", "lo", "n"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+    assert got["last_tag"].tolist() == want["last_tag"].tolist()
+
+
+def test_combine_path_equals_exchange_path():
+    tb = _feed(2500, 60, seed=7, del_frac=0.0)
+    via_combine = _run(tb, 9, None)  # map-side partials + merge
+    via_exchange = _run(tb, 9, "is_del")  # no deletes fire, same answer
+    assert via_combine.equals(via_exchange)
+    want = _oracle(tb)
+    assert via_combine["total"].astype(int).tolist() == want["total"].astype(int).tolist()
+
+
+def test_block_layout_invariance():
+    tb = _feed(1500, 30, seed=11, del_frac=0.15)
+    outs = [_run(tb, b, "is_del") for b in (1, 4, 32)]
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_reset_inside_foreign_blocks_range():
+    # the non-commuting trap: key's delete sits between two other blocks'
+    # folded contributions — exchange path must still be exact
+    tb = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "o": pa.array([10, 20, 15, 30], pa.int64()),
+            "v": pa.array([5, 7, 0, 9], pa.int64()),
+            "tag": pa.array(["a", "b", "x", "c"]),
+            "is_del": pa.array([False, False, True, False]),
+        }
+    )
+    # contributions at o=10 (≤15) die; o=20,30 survive
+    got = _run(tb, 2, "is_del")
+    assert got.iloc[0][["total", "hi", "lo", "n"]].astype(int).tolist() == [16, 9, 7, 2]
+    assert got.iloc[0]["last_tag"] == "c"
+
+
+def test_fully_reset_key_drops():
+    tb = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "o": pa.array([1, 5, 3], pa.int64()),
+            "v": pa.array([4, 0, 8], pa.int64()),
+            "tag": pa.array(["a", "x", "b"]),
+            "is_del": pa.array([False, True, False]),
+        }
+    )
+    got = _run(tb, 1, "is_del")
+    assert got["k"].tolist() == [2]
+
+
+def test_spec_validation():
+    ds = rd.from_arrow(_feed(10, 2, 1, 0.0))
+    with pytest.raises(ValueError, match="unknown policy"):
+        mergeable_fold(ds, ["k"], "o", [("x", "v", "mean")])
+    with pytest.raises(ValueError, match="count takes no column"):
+        mergeable_fold(ds, ["k"], "o", [("x", "v", "count")])
+    with pytest.raises(ValueError, match="count takes no column"):
+        mergeable_fold(ds, ["k"], "o", [("x", None, "sum")])

@@ -5930,6 +5930,75 @@ FROM events GROUP BY user_id
 """
 
 
+_ZORDER_BOX = {"user_id": (10, 30), "value": (250.0, 500.0)}
+
+
+def q_zorder_scan(sf_dir: str):
+    """Z-order-clustered scan (stages/layout.py): events rewritten along
+    the Morton curve of (user_id, value) so row-group footers prune BOTH
+    dimensions, then a pushed-down 2-D box scan. The result is
+    layout-independent (the oracle is a plain WHERE); the pruning itself
+    is gated in tests/test_layout.py (z-order scans strictly fewer row
+    groups than the linear layout)."""
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.layout import zorder_sort
+
+    import ray
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(tempfile.gettempdir(), f"grafter_zorder_{tag}")
+    if not os.path.isdir(dest):
+        ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        z = zorder_sort(ds, ["user_id", "value"], bits=16, keep_key=True)
+        # single-file rewrite of the NARROW 4-column projection (≤ a few
+        # MB at bench scale — a bounded demo collect; at corpus scale use
+        # z.write_parquet: per-block files, footers prune identically).
+        # Re-sort driver-side: block ORDER isn't guaranteed by the
+        # executor (preserve_order off), and a row group straddling two
+        # out-of-order blocks would get a wide footer box.
+        zt = pa.concat_tables(ray.get(z.to_arrow_refs())).sort_by("__z").drop_columns(["__z"])
+        tmp = tempfile.mkdtemp(prefix=f"grafter_zorder_{tag}_", dir=tempfile.gettempdir())
+        pq.write_table(zt, os.path.join(tmp, "events.parquet"), row_group_size=1024)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            pass  # lost a benign race: another builder finished first
+    (ulo, uhi), (vlo, vhi) = _ZORDER_BOX["user_id"], _ZORDER_BOX["value"]
+    flt = (
+        (pads.field("user_id") >= ulo)
+        & (pads.field("user_id") <= uhi)
+        & (pads.field("value") >= vlo)
+        & (pads.field("value") <= vhi)
+    )
+    out = rd.read_parquet(os.path.join(dest, "events.parquet"), filter=flt)
+
+    def f(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tb.column("event_id"),
+                "user_id": tb.column("user_id"),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(tb.column("value"), pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ZORDER_SCAN = """
+SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN 10 AND 30 AND value BETWEEN 250.0 AND 500.0
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -6099,6 +6168,7 @@ QUERIES = {
     "watermark_windows": q_watermark_windows,
     "counter_state": q_counter_state,
     "register_state": q_register_state,
+    "zorder_scan": q_zorder_scan,
 }
 
 ORACLE_SQL = {
@@ -6256,6 +6326,7 @@ ORACLE_SQL = {
     "watermark_windows": SQL_WATERMARK_WINDOWS,
     "counter_state": SQL_COUNTER_STATE,
     "register_state": SQL_REGISTER_STATE,
+    "zorder_scan": SQL_ZORDER_SCAN,
     # fingerprint / minhash_dedup / simhash / simhash_pairs / media_features:
     # non-SQL-expressible (pandas hash_array kernels / stubbed codecs) →
     # rows-only checks backed by planted-truth pytest

@@ -1,0 +1,107 @@
+"""Z-order (Morton) clustering — multi-column data layout for scan
+pruning on the lake.
+
+The CDC lake hash-partitions on the primary key, which makes point
+lookups footer-prunable (pipelines/replay.py read path) but does
+nothing for range scans over OTHER columns. Z-ordering rewrites a
+table's row order along a space-filling curve over k quantized
+columns, so parquet row-group min/max footers become tight boxes in
+ALL k dimensions at once: a 2-D predicate then skips most row groups,
+where a linear sort helps only its leading column.
+
+Scale shape: one cheap global min/max pass per column (O(blocks)
+driver rows), then a single range exchange (`ds.sort` on the Morton
+key) — exactly the cost of any re-clustering. The curve value is
+computed vectorized (bit-spread over ≤ bits × k numpy ops per block,
+rows never looped).
+
+Reference analogue: grafter's native-store covering indexes pick ONE
+statement order per index (SURVEY.md §2.1 memory-store/native-store);
+Z-order is the columnar counterpart — one physical order serving
+every dimension at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _numeric(col) -> np.ndarray:
+    a = col.to_numpy(zero_copy_only=False)
+    if a.dtype.kind == "M":  # timestamps → int64 us
+        a = a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.float64)
+
+
+def zvalues(arrays: list[np.ndarray], los: list[float], his: list[float], bits: int = 16) -> np.ndarray:
+    """Morton-interleave k quantized columns → uint64 curve positions.
+    Each column is linearly quantized to [0, 2^bits) against its global
+    [lo, hi]; k*bits must fit 64."""
+    k = len(arrays)
+    if k * bits > 64:
+        raise ValueError(f"{k} cols x {bits} bits exceeds 64")
+    z = np.zeros(len(arrays[0]), dtype=np.uint64)
+    top = np.uint64((1 << bits) - 1)
+    for c, (a, lo, hi) in enumerate(zip(arrays, los, his)):
+        span = hi - lo
+        q = np.zeros(len(a), np.uint64) if span <= 0 else np.minimum(
+            ((a - lo) * ((1 << bits) - 1) / span).astype(np.uint64), top
+        )
+        for b in range(bits):
+            z |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + c)
+    return z
+
+
+def zorder_sort(ds, cols: list[str], bits: int = 16, keep_key: bool = False):
+    """Rewrite a Dataset's row order along the Z-curve of `cols`
+    (numeric or timestamp). One stats pass + one range exchange."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(*[f(c) for c in cols for f in (Min, Max)])
+    los = [float(stats[f"min({c})"]) for c in cols]
+    his = [float(stats[f"max({c})"]) for c in cols]
+
+    def add_z(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.append_column("__z", pa.array([], pa.uint64()))
+        arrays = [_numeric(tb.column(c)) for c in cols]
+        return tb.append_column("__z", pa.array(zvalues(arrays, los, his, bits), pa.uint64()))
+
+    out = ds.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True).sort("__z")
+    if keep_key:
+        return out
+    return out.map_batches(
+        lambda tb: tb.drop_columns(["__z"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def row_groups_scanned(path: str, ranges: dict[str, tuple], files: list[str] | None = None):
+    """(scanned, total) parquet row groups whose footer min/max boxes
+    overlap every column range — the exact pruning a reader with
+    predicate pushdown performs against this layout."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = files if files is not None else sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ) or [path]
+    scanned = total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for rg in range(md.num_row_groups):
+            total += 1
+            hit = True
+            for col, (lo, hi) in ranges.items():
+                st = md.row_group(rg).column(names.index(col)).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats → cannot prune
+                if st.max < lo or st.min > hi:
+                    hit = False
+                    break
+            scanned += hit
+    return scanned, total

@@ -1,0 +1,102 @@
+"""Z-order clustering (stages/layout.py): curve correctness, row
+preservation, and the thing the layout exists for — a 2-D box scan
+prunes strictly more row groups than the linear layout."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from grafter_ray.stages.layout import row_groups_scanned, zorder_sort, zvalues
+
+
+def test_zvalues_interleaving():
+    # 2 cols, 2 bits: z = y1x1 y0x0 (x = col 0 → even bits)
+    x = np.array([0.0, 3.0, 0.0, 3.0])
+    y = np.array([0.0, 0.0, 3.0, 3.0])
+    z = zvalues([x, y], [0.0, 0.0], [3.0, 3.0], bits=2)
+    assert z.tolist() == [0b0000, 0b0101, 0b1010, 0b1111]
+
+
+def test_zvalues_constant_column():
+    z = zvalues([np.array([5.0, 5.0]), np.array([0.0, 1.0])], [5.0, 0.0], [5.0, 1.0], bits=4)
+    assert z[0] != z[1]  # degenerate span quantizes to 0, other col still varies
+
+
+def test_zvalues_width_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        zvalues([np.zeros(1)] * 5, [0] * 5, [1] * 5, bits=16)
+
+
+def _grid(n_side: int = 96) -> pa.Table:
+    xs, ys = np.meshgrid(np.arange(n_side), np.arange(n_side))
+    x, y = xs.ravel().astype(np.int64), ys.ravel().astype(np.int64)
+    return pa.table({"rid": pa.array(np.arange(len(x))), "x": pa.array(x), "y": pa.array(y)})
+
+
+def test_rows_preserved_and_curve_sorted():
+    tb = _grid(32)
+    out = zorder_sort(rd.from_arrow(tb).repartition(5), ["x", "y"], bits=8, keep_key=True)
+    got = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert got.num_rows == tb.num_rows
+    assert sorted(got.column("rid").to_pylist()) == tb.column("rid").to_pylist()
+    # recompute the curve from the row values: must equal the carried key
+    z = zvalues(
+        [got.column("x").to_numpy().astype(float), got.column("y").to_numpy().astype(float)],
+        [0.0, 0.0],
+        [31.0, 31.0],
+        bits=8,
+    )
+    assert (got.column("__z").to_numpy() == z).all()
+
+
+def test_zorder_prunes_2d_box(tmp_path):
+    tb = _grid(96)  # 9216 rows on a 96x96 grid
+    lin = tb.sort_by([("x", "ascending"), ("y", "ascending")])
+    zt = (
+        pa.concat_tables(
+            ray.get(zorder_sort(rd.from_arrow(tb).repartition(4), ["x", "y"], bits=8, keep_key=True).to_arrow_refs())
+        )
+        .sort_by("__z")
+        .drop_columns(["__z"])
+    )
+    lp, zp = str(tmp_path / "lin.parquet"), str(tmp_path / "z.parquet")
+    pq.write_table(lin, lp, row_group_size=256)
+    pq.write_table(zt, zp, row_group_size=256)
+    # the claim z-order makes: the NON-leading dimension prunes too. A
+    # y-only box scans every row group of the (x, y)-sorted layout
+    # (each group spans full y ranges) but only the curve tiles that
+    # intersect the y-band.
+    band = {"y": (40, 55)}
+    ls, lt = row_groups_scanned(lp, band)
+    zs, zt_ = row_groups_scanned(zp, band)
+    assert lt == zt_ == 36
+    assert ls == 36  # linear: y is unsorted within every group
+    assert zs < ls // 2, (zs, ls)
+    # and the 2-D box stays tightly bounded on the curve layout (the
+    # linear layout may win or lose here depending on leading-column
+    # selectivity — z-order's guarantee is balance, not dominance)
+    zs2, _ = row_groups_scanned(zp, {"x": (40, 55), "y": (40, 55)})
+    assert zs2 <= 9, zs2
+    # pruning never loses rows: pushdown scan returns the exact box
+    import pyarrow.dataset as pads
+
+    flt = (
+        (pads.field("x") >= 40) & (pads.field("x") <= 55)
+        & (pads.field("y") >= 40) & (pads.field("y") <= 55)
+    )
+    got = pads.dataset(zp).to_table(filter=flt)
+    assert got.num_rows == 16 * 16
+
+
+def test_row_groups_scanned_missing_stats_is_conservative(tmp_path):
+    tb = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(tb, p, write_statistics=False)
+    s, t = row_groups_scanned(p, {"x": (100, 200)})
+    assert (s, t) == (1, 1)  # no stats → must scan

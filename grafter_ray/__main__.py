@@ -74,6 +74,17 @@ def _binlog_source(args):
     fmt = getattr(args, "format", "parquet")
     if fmt == "parquet":
         return args.binlog
+    if fmt == "pgoutput":
+        from .sources.pgoutput import read_pgoutput
+
+        layout = getattr(args, "pg_layout", "slot")
+        if args.on_bad == "quarantine":
+            import tempfile
+
+            stage = tempfile.mkdtemp(prefix="graftray_pgoutput_stage_")
+            read_pgoutput(args.binlog, layout=layout, on_bad="null_lsn").write_parquet(stage)
+            return stage
+        return read_pgoutput(args.binlog, layout=layout, on_bad="raise")
     from .sources.envelope import read_envelope_jsonl
 
     if args.on_bad == "quarantine":
@@ -117,21 +128,27 @@ def cmd_replay(args) -> int:
 def cmd_tail(args) -> int:
     from .pipelines.replay import CDCLake
 
-    if getattr(args, "format", "parquet") == "envelope":
+    if getattr(args, "format", "parquet") in ("envelope", "pgoutput"):
         if args.on_bad == "quarantine":
             # a tailed wire stream has no parquet footers to probe and a
             # Dataset input silently drops null-lsn rows — refuse rather
             # than quarantine incompletely; use `replay --format envelope
             # --on-bad quarantine` (staged) per batch instead.
             print(
-                "tail --format envelope supports --on-bad raise only "
+                f"tail --format {args.format} supports --on-bad raise only "
                 "(quarantine needs the staged replay path)",
                 file=sys.stderr,
             )
             return 2
-        from .sources.envelope import read_envelope_jsonl
+        if args.format == "pgoutput":
+            from .sources.pgoutput import read_pgoutput
 
-        source = lambda: read_envelope_jsonl(args.binlog, on_bad="raise")  # noqa: E731
+            layout = getattr(args, "pg_layout", "slot")
+            source = lambda: read_pgoutput(args.binlog, layout=layout, on_bad="raise")  # noqa: E731
+        else:
+            from .sources.envelope import read_envelope_jsonl
+
+            source = lambda: read_envelope_jsonl(args.binlog, on_bad="raise")  # noqa: E731
     else:
         source = args.binlog
 
@@ -430,9 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
         )
 
     sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
-    sp.add_argument("--binlog", required=True, help="binlog parquet directory (or JSONL path with --format envelope)")
-    sp.add_argument("--format", choices=["parquet", "envelope"], default="parquet",
-                    help="binlog wire format: parquet (default) or Debezium-style JSON envelopes")
+    sp.add_argument("--binlog", required=True, help="binlog parquet directory (or wire-format path with --format)")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput"], default="parquet",
+                    help="binlog wire format: parquet (default), Debezium-style JSON envelopes, "
+                         "or Postgres test_decoding dumps")
+    sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot",
+                    help="pgoutput feed layout: slot dump with real LSNs (default) or raw plugin lines")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None, help="LSNs per checkpoint window (default: one commit)")
     sp.add_argument("--upto-lsn", type=int, default=None, help="stop after this LSN (default: binlog max from footer stats)")
@@ -448,7 +468,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
     sp.add_argument("--binlog", required=True)
-    sp.add_argument("--format", choices=["parquet", "envelope"], default="parquet")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput"], default="parquet")
+    sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None)
     sp.add_argument("--poll-interval", type=float, default=2.0)

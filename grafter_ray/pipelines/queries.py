@@ -2961,6 +2961,40 @@ def q_cdc_envelope_replay(sf_dir: str):
         )
 
 
+def q_cdc_pgoutput_replay(sf_dir: str):
+    """The SECOND CDC wire format end-to-end: the deterministic documents
+    binlog serialized as Postgres test_decoding slot-dump lines
+    (BEGIN/COMMIT framing, `lsn | xid |` prefixes, ''-escaped quoting —
+    sources/pgoutput.py), parsed back inside the same streaming pipeline
+    and replayed through CDCLake. Converged state must equal
+    cdc_replay_docs' closed-form SQL oracle — proving the engine ingests
+    a Postgres logical-replication dump exactly as it ingests parquet or
+    Debezium JSON. Reference: grafter.io `statements` coerces any line
+    source (io.clj:619-667)."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.pgoutput import decode_batch, encode_batch
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    wire = binlog.map_batches(encode_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parsed = wire.map_batches(decode_batch, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(parsed, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_sharded_feed_merge(sf_dir: str):
     """Sharded upstream ingest (pipelines/shards.py): the deterministic
     documents binlog split into TWO key-partitioned shard feeds (doc id
@@ -6126,6 +6160,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
+    "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -6284,6 +6319,7 @@ ORACLE_SQL = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
+    "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

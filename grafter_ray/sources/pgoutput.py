@@ -1,0 +1,317 @@
+"""Postgres logical-decoding (`test_decoding`) wire source / sink over
+the BINLOG schema — the second mainstream CDC text format next to the
+Debezium JSON envelope (sources/envelope.py).
+
+A logical replication slot decoded with the stock `test_decoding`
+plugin emits one line per change, framed by transaction markers::
+
+    BEGIN 570
+    table public.docs: INSERT: repo[text]:'repo/web' path[text]:'doc/1.txt' ...
+    table public.docs: UPDATE: old-key: path[text]:'a' new-tuple: path[text]:'b' ...
+    table public.docs: DELETE: repo[text]:'repo/web' path[text]:'doc/7.txt'
+    COMMIT 570
+
+Values are `col[type]:value` pairs; strings are single-quoted with ''
+escaping, NULL is the bare token ``null``. Two feed layouts are
+supported:
+
+* **slot dump** (default for round trips): each line prefixed with the
+  WAL position and xid the slot query returns —
+  ``0/16D68B0 | 570 | table public.docs: INSERT: …`` — so every event
+  carries a REAL LSN (parsed from the ``hi/lo`` hex pair into the
+  int64 ``(hi<<32)|lo`` Postgres uses).
+* **raw plugin output** (no per-line LSN): the LSN is synthesized as
+  ``xid * 2**20 + position-within-transaction`` — commit-ordered feeds
+  with monotone xids stay replay-ordered; the intra-transaction offset
+  must stay under 2**20 (raised otherwise, never wrapped).
+
+Because transactions bracket lines, RAW layout parsing is stateful
+across lines — so this source parses PER FILE (one shard feed per
+file, the `pipelines/shards.py` model), never over arbitrarily split
+text blocks. The slot-dump layout is line-independent and also safe
+under block splits.
+
+Out-of-band events: a logical `message` line (pg_logical_emit_message)
+with prefix ``schema_change`` maps to the engine's schema_change
+marker op, mirroring the envelope codec.
+
+Reference: grafter.io `statements` coerces any line source into the
+statement pipeline (io.clj:619-667); this is the same splittable-
+line-source shape pointed at a Postgres replication slot's dump.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import BINLOG
+
+ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
+_TX_OFFSET_BASE = 1 << 20
+
+_DATA_RE = re.compile(
+    r"^table (?P<table>[\w\"]+\.[\w\"]+): (?P<op>INSERT|UPDATE|DELETE): (?P<rest>.*)$"
+)
+_MSG_RE = re.compile(
+    r"^message: transactional: (?:true|false) prefix: (?P<prefix>\S+), sz: \d+ content:(?P<content>.*)$"
+)
+_PREFIX_RE = re.compile(r"^(?P<hi>[0-9A-Fa-f]+)/(?P<lo>[0-9A-Fa-f]+) \| (?P<xid>\d+) \| (?P<rest>.*)$")
+_BEGIN_RE = re.compile(r"^BEGIN (?P<xid>\d+)\s*$")
+_COMMIT_RE = re.compile(r"^COMMIT (?P<xid>\d+)(?: \(at .*\))?\s*$")
+# col[type]:value — value is a single-quoted string (with '' escapes) or a bare token
+_FIELD_RES = {
+    f: re.compile(rf"\b{f}\[[^\]]*\]:('(?:[^']|'')*'|[^\s]+)") for f in ROW_FIELDS
+}
+
+
+def _unescape(s: str) -> str:
+    """C-style \\n \\r \\\\ → literal (the dump-to-file convention: raw
+    test_decoding prints embedded newlines literally, which no line
+    format survives; file dumps therefore escape them)."""
+    if "\\" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in "nr\\":
+                out.append({"n": "\n", "r": "\r", "\\": "\\"}[nxt])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _unquote(v: str | None, unescape: bool = True) -> str | None:
+    if v is None or v == "null":
+        return None
+    if v.startswith("'") and v.endswith("'"):
+        v = v[1:-1].replace("''", "'")
+        return _unescape(v) if unescape else v
+    return v
+
+
+def _parse_pairs(rest: str, unescape: bool = True) -> dict:
+    # UPDATE with a replica-identity change carries both images; the new
+    # state is everything after "new-tuple: "
+    nt = rest.find("new-tuple: ")
+    if nt >= 0:
+        rest = rest[nt + len("new-tuple: ") :]
+    out = {}
+    for f, rx in _FIELD_RES.items():
+        m = rx.search(rest)
+        out[f] = _unquote(m.group(1), unescape) if m else None
+    return out
+
+
+def pgoutput_decode(
+    lines,
+    *,
+    layout: str = "slot",
+    table: str | None = None,
+    on_bad: str = "raise",
+    default_schema_version: int = 0,
+    unescape: bool = True,
+) -> pa.Table:
+    """Decode test_decoding lines → BINLOG-schema table.
+
+    layout="slot": `lsn_hex | xid | data` prefixed lines (real LSNs).
+    layout="raw": bare plugin output; LSN synthesized from the BEGIN
+    xid and the position within the transaction — the whole
+    transaction must be present in `lines` (parse per file).
+    table: only decode rows of this `schema.table` (None = all).
+    on_bad: "raise" (in-band, with the offending line) or "null_lsn"
+    (emit a quarantine row exactly like the envelope decoder, feeding
+    CDCLake.apply(on_bad="quarantine")).
+    unescape: decode C-style \\n \\r \\\\ inside quoted values (the
+    dump-to-file convention our encoder writes); pass False for a feed
+    whose text contains literal backslashes and no escapes."""
+    if layout not in ("slot", "raw"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if on_bad not in ("raise", "null_lsn"):
+        raise ValueError(f"unknown on_bad {on_bad!r}")
+    if isinstance(lines, (pa.Array, pa.ChunkedArray)):
+        lines = lines.to_pylist()
+    out = {
+        "lsn": [],
+        "op": [],
+        **{f: [] for f in ROW_FIELDS},
+        "schema_version": [],
+    }
+
+    def bad(line: str, why: str):
+        if on_bad == "raise":
+            raise ValueError(f"malformed test_decoding line ({why}): {line!r}")
+        out["lsn"].append(None)
+        out["op"].append(None)
+        for f in ROW_FIELDS:
+            out[f].append(line if f == "content" else None)
+        out["schema_version"].append(None)
+
+    def emit(lsn: int | None, op: str, row: dict, sv: int | None = None):
+        out["lsn"].append(lsn)
+        out["op"].append(op)
+        for f in ROW_FIELDS:
+            out[f].append(row.get(f))
+        out["schema_version"].append(default_schema_version if sv is None else sv)
+
+    cur_xid = None
+    tx_pos = 0
+    for raw in lines:
+        if raw is None:
+            continue
+        line = raw.lstrip("﻿").rstrip("\r")
+        if not line.strip():
+            continue
+        lsn = None
+        data = line
+        if layout == "slot":
+            pm = _PREFIX_RE.match(line)
+            if not pm:
+                bad(line, "missing 'lsn | xid |' prefix")
+                continue
+            lsn = (int(pm.group("hi"), 16) << 32) | int(pm.group("lo"), 16)
+            data = pm.group("rest")
+        if _BEGIN_RE.match(data):
+            cur_xid = int(_BEGIN_RE.match(data).group("xid"))
+            tx_pos = 0
+            continue
+        if _COMMIT_RE.match(data):
+            cur_xid = None
+            continue
+        if layout == "raw":
+            if cur_xid is None:
+                bad(line, "change outside BEGIN/COMMIT")
+                continue
+            if tx_pos >= _TX_OFFSET_BASE:
+                raise ValueError(
+                    f"transaction {cur_xid} exceeds {_TX_OFFSET_BASE} changes; "
+                    "synthesized LSNs would collide — use the slot-dump layout"
+                )
+            lsn = cur_xid * _TX_OFFSET_BASE + tx_pos
+            tx_pos += 1
+        mm = _MSG_RE.match(data)
+        if mm:
+            if mm.group("prefix") == "schema_change":
+                sv_txt = mm.group("content").strip()
+                try:
+                    sv = int(sv_txt)
+                except ValueError:
+                    bad(line, "schema_change message without a version")
+                    continue
+                emit(lsn, "schema_change", {}, sv=sv)
+            continue  # other logical messages are not replayable rows
+        dm = _DATA_RE.match(data)
+        if not dm:
+            bad(line, "not a change/marker line")
+            continue
+        if table is not None and dm.group("table") != table:
+            continue  # filtered rows still consumed their tx offset (raw)
+        op = dm.group("op")
+        rest = dm.group("rest")
+        if op == "DELETE":
+            if rest.strip() == "(no-tuple-data)":
+                bad(line, "DELETE without replica identity")
+                continue
+            emit(lsn, "delete", _parse_pairs(rest, unescape))
+        else:
+            emit(lsn, "upsert", _parse_pairs(rest, unescape))
+
+    tb = pa.table(
+        {
+            "lsn": pa.array(out["lsn"], pa.int64()),
+            "op": pa.array(out["op"], pa.string()),
+            **{f: pa.array(out[f], pa.string()) for f in ROW_FIELDS},
+            "schema_version": pa.array(out["schema_version"], pa.int32()),
+        }
+    )
+    return tb.cast(pa.schema(list(BINLOG)))
+
+
+def decode_batch(tb: pa.Table, *, column: str = "text", **kwargs) -> pa.Table:
+    """``map_batches`` kernel for the SLOT-DUMP layout (line-independent,
+    safe under block splits). The raw layout needs whole transactions —
+    use :func:`read_pgoutput` for that."""
+    if kwargs.get("layout", "slot") != "slot":
+        raise ValueError("decode_batch only supports layout='slot'; use read_pgoutput")
+    return pgoutput_decode(tb.column(column), **kwargs)
+
+
+def read_pgoutput(paths, *, layout: str = "slot", **decode_kwargs):
+    """Read test_decoding dump files into a BINLOG-schema Dataset.
+
+    slot layout: read_text blocks parse independently (streaming, split
+    anywhere). raw layout: each FILE parses as one unit so BEGIN/COMMIT
+    state never crosses a parse boundary — one task per shard file, the
+    per-shard-ordered feed shape `pipelines/shards.py` merges."""
+    import ray.data as rd
+
+    if layout == "slot":
+        return rd.read_text(paths).map_batches(
+            lambda tb: pgoutput_decode(tb.column("text"), layout="slot", **decode_kwargs),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def per_file(tb: pa.Table) -> pa.Table:
+        outs = []
+        for blob in tb.column("bytes").to_pylist():
+            text = blob.decode("utf-8", errors="replace")
+            outs.append(pgoutput_decode(text.splitlines(), layout="raw", **decode_kwargs))
+        return pa.concat_tables(outs) if outs else pgoutput_decode([], layout="raw")
+
+    return rd.read_binary_files(paths).map_batches(
+        per_file, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode (the sink side — also the round-trip test harness)
+# ---------------------------------------------------------------------------
+
+
+def _quote(v) -> str:
+    if v is None:
+        return "null"
+    s = str(v).replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+    return "'" + s.replace("'", "''") + "'"
+
+
+def pgoutput_encode(tb: pa.Table, *, table: str = "public.docs", layout: str = "slot") -> pa.Array:
+    """BINLOG rows → test_decoding dump lines, one transaction per event
+    (xid = a running sequence; slot layout carries the row's real lsn as
+    the WAL-position prefix). Inverse of :func:`pgoutput_decode`."""
+    cols = {c: tb.column(c).to_pylist() for c in ("lsn", "op", "schema_version", *ROW_FIELDS)}
+    lines: list[str] = []
+    for i in range(tb.num_rows):
+        lsn, op = cols["lsn"][i], cols["op"][i]
+        pre = ""
+        if layout == "slot":
+            pre = f"{(lsn >> 32) & 0xFFFFFFFF:X}/{lsn & 0xFFFFFFFF:X} | {i + 1} | "
+        lines.append(f"{pre}BEGIN {i + 1}")
+        if op == "delete":
+            body = (
+                f"table {table}: DELETE: "
+                f"repo[text]:{_quote(cols['repo'][i])} path[text]:{_quote(cols['path'][i])}"
+            )
+        elif op == "schema_change":
+            sv = cols["schema_version"][i]
+            body = f"message: transactional: true prefix: schema_change, sz: {len(str(sv))} content: {sv}"
+        else:
+            pairs = " ".join(f"{f}[text]:{_quote(cols[f][i])}" for f in ROW_FIELDS)
+            body = f"table {table}: INSERT: {pairs}"
+        lines.append(pre + body)
+        lines.append(f"{pre}COMMIT {i + 1}")
+    return pa.array(lines, pa.string())
+
+
+def encode_batch(tb: pa.Table, **kwargs) -> pa.Table:
+    """``map_batches`` kernel: BINLOG rows → one-column `text` table of
+    test_decoding dump lines."""
+    return pa.table({"text": pgoutput_encode(tb, **kwargs)})

@@ -1,0 +1,217 @@
+"""test_decoding wire format (sources/pgoutput.py): golden parses,
+quoting/escapes, both layouts, transaction framing, quarantine path,
+encode→decode round trip, and the end-to-end replay drive."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.schemas import BINLOG
+from grafter_ray.sources.pgoutput import (
+    pgoutput_decode,
+    pgoutput_encode,
+    read_pgoutput,
+)
+
+RAW = [
+    "BEGIN 570",
+    "table public.docs: INSERT: repo[text]:'repo/web' path[text]:'doc/1.txt' "
+    "commit[text]:'abc123' lang[text]:'en' content[text]:'hello world'",
+    "table public.docs: INSERT: repo[text]:'repo/web' path[text]:'doc/2.txt' "
+    "commit[text]:'def456' lang[text]:null content[text]:'it''s quoted'",
+    "COMMIT 570",
+    "BEGIN 571",
+    "table public.docs: UPDATE: old-key: path[text]:'doc/1.txt' new-tuple: "
+    "repo[text]:'repo/web' path[text]:'doc/1.txt' commit[text]:'abc124' "
+    "lang[text]:'en' content[text]:'hello again'",
+    "table public.docs: DELETE: repo[text]:'repo/web' path[text]:'doc/2.txt'",
+    "COMMIT 571 (at 2024-01-01 00:00:00+00)",
+]
+
+
+def test_raw_layout_golden():
+    tb = pgoutput_decode(RAW, layout="raw")
+    assert tb.column("op").to_pylist() == ["upsert", "upsert", "upsert", "delete"]
+    assert tb.column("lsn").to_pylist() == [
+        570 << 20, (570 << 20) + 1, 571 << 20, (571 << 20) + 1]
+    assert tb.column("content").to_pylist()[1] == "it's quoted"
+    assert tb.column("lang").to_pylist()[1] is None
+    # UPDATE reads the new-tuple image, not the old key
+    assert tb.column("commit").to_pylist()[2] == "abc124"
+    # DELETE carries the key only
+    assert tb.column("path").to_pylist()[3] == "doc/2.txt"
+    assert tb.column("content").to_pylist()[3] is None
+
+
+def test_slot_layout_real_lsns():
+    lines = [
+        "0/16D68B0 | 570 | BEGIN 570",
+        "0/16D68B0 | 570 | table public.docs: INSERT: repo[text]:'r' path[text]:'p' "
+        "commit[text]:'c' lang[text]:'en' content[text]:'x'",
+        "0/16D6900 | 570 | COMMIT 570",
+        "1/2 | 571 | table public.docs: DELETE: repo[text]:'r' path[text]:'p'",
+    ]
+    tb = pgoutput_decode(lines, layout="slot")
+    assert tb.column("lsn").to_pylist() == [0x16D68B0, (1 << 32) | 2]
+    assert tb.column("op").to_pylist() == ["upsert", "delete"]
+
+
+def test_table_filter_and_message():
+    lines = [
+        "BEGIN 9",
+        "table public.other: INSERT: repo[text]:'x' path[text]:'y'",
+        "message: transactional: true prefix: schema_change, sz: 1 content: 3",
+        "message: transactional: true prefix: heartbeat, sz: 2 content: ok",
+        "table public.docs: INSERT: repo[text]:'r' path[text]:'p' commit[text]:'c' "
+        "lang[text]:'l' content[text]:'z'",
+        "COMMIT 9",
+    ]
+    tb = pgoutput_decode(lines, layout="raw", table="public.docs")
+    assert tb.column("op").to_pylist() == ["schema_change", "upsert"]
+    assert tb.column("schema_version").to_pylist() == [3, 0]
+    # offsets consumed by filtered/foreign lines keep the order monotone
+    assert tb.column("lsn").to_pylist() == [(9 << 20) + 1, (9 << 20) + 3]
+
+
+@pytest.mark.parametrize(
+    "line,why",
+    [
+        ("table public.docs: DELETE: (no-tuple-data)", "replica identity"),
+        ("garbage line", "not a change"),
+    ],
+)
+def test_malformed_raises_and_quarantines(line, why):
+    lines = ["BEGIN 1", line, "COMMIT 1"]
+    with pytest.raises(ValueError):
+        pgoutput_decode(lines, layout="raw")
+    tb = pgoutput_decode(lines, layout="raw", on_bad="null_lsn")
+    assert tb.column("lsn").to_pylist() == [None]
+    assert tb.column("content").to_pylist() == [line]
+
+
+def test_change_outside_transaction_raises():
+    with pytest.raises(ValueError, match="outside BEGIN"):
+        pgoutput_decode(
+            ["table public.docs: INSERT: repo[text]:'r' path[text]:'p'"], layout="raw"
+        )
+
+
+def test_bom_and_crlf_tolerated():
+    lines = ["﻿BEGIN 1\r", "table public.docs: INSERT: repo[text]:'r' "
+             "path[text]:'p' commit[text]:'c' lang[text]:'l' content[text]:'x'\r", "COMMIT 1\r"]
+    tb = pgoutput_decode(lines, layout="raw")
+    assert tb.num_rows == 1 and tb.column("repo").to_pylist() == ["r"]
+
+
+def _binlog_sample(n: int = 40) -> pa.Table:
+    rng = np.random.default_rng(5)
+    ops = ["upsert"] * n
+    for i in range(0, n, 7):
+        ops[i] = "delete"
+    ops[4] = "schema_change"  # i=4 → schema_version 1 ≠ the decode default
+    texts = ["line one\nline 'two'", "it''s", "plain", None]
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64) * 3 + 5),
+            "op": pa.array(ops),
+            "repo": pa.array([f"repo/{i % 4}" for i in range(n)]),
+            "path": pa.array([f"doc/{i}.txt" for i in range(n)]),
+            "commit": pa.array([f"c{i:04x}" for i in range(n)]),
+            "lang": pa.array([None if i % 5 == 0 else "en" for i in range(n)]),
+            "content": pa.array([texts[i % 4] for i in range(n)]),
+            "schema_version": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    ).cast(pa.schema(list(BINLOG)))
+
+
+def test_round_trip_slot_layout():
+    tb = _binlog_sample()
+    lines = pgoutput_encode(tb, layout="slot")
+    back = pgoutput_decode(lines, layout="slot")
+    assert back.column("lsn").to_pylist() == tb.column("lsn").to_pylist()
+    assert back.column("op").to_pylist() == tb.column("op").to_pylist()
+    for i, op in enumerate(tb.column("op").to_pylist()):
+        for f in ("repo", "path", "commit", "lang", "content"):
+            want = tb.column(f)[i].as_py()
+            got = back.column(f)[i].as_py()
+            if op == "upsert":
+                assert got == want, (f, i)
+            elif op == "delete" and f in ("repo", "path"):
+                assert got == want, (f, i)
+    # schema_change keeps its version through the message line
+    svs = [(o, s) for o, s in zip(back.column("op").to_pylist(), back.column("schema_version").to_pylist()) if o == "schema_change"]
+    assert svs == [("schema_change", 1)]
+
+
+def test_read_pgoutput_raw_per_file(tmp_path):
+    # two shard files, each a self-contained transaction stream
+    f1, f2 = tmp_path / "shard0.txt", tmp_path / "shard1.txt"
+    f1.write_text("\n".join(RAW) + "\n")
+    f2.write_text(
+        "BEGIN 900\n"
+        "table public.docs: INSERT: repo[text]:'repo/s2' path[text]:'doc/9.txt' "
+        "commit[text]:'fff' lang[text]:'de' content[text]:'zwei'\n"
+        "COMMIT 900\n"
+    )
+    ds = read_pgoutput([str(f1), str(f2)], layout="raw")
+    tb = pa.Table.from_pandas(ds.to_pandas())
+    assert tb.num_rows == 5
+    assert sorted(tb.column("lsn").to_pylist())[-1] == 900 << 20
+
+
+def test_slot_layout_splits_anywhere(tmp_path):
+    tb = _binlog_sample(60)
+    lines = pgoutput_encode(tb, layout="slot").to_pylist()
+    p = tmp_path / "dump.txt"
+    p.write_text("\n".join(lines) + "\n")
+    ds = read_pgoutput(str(p), layout="slot")
+    back = pa.Table.from_pandas(ds.to_pandas().sort_values("lsn").reset_index(drop=True))
+    assert back.num_rows == 60
+    assert back.column("lsn").to_pylist() == sorted(tb.column("lsn").to_pylist())
+
+
+def test_cli_replay_pgoutput_format(tmp_path, capsys):
+    """`replay --format pgoutput` ingests a slot dump end-to-end,
+    resumable exactly-once; quarantine mode stages and dead-letters."""
+    import json as _json
+
+    from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=2_000, n_keys=150, n_repos=6, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lines = pgoutput_encode(binlog, layout="slot").to_pylist()
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    (tail / "a.txt").write_text("\n".join(lines[: len(lines) // 2]) + "\n")
+    (tail / "b.txt").write_text("\n".join(lines[len(lines) // 2 :]) + "\n")
+    lake = str(tmp_path / "lake")
+
+    def run(argv):
+        assert main(argv) == 0
+        out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+        return _json.loads(out[-1])
+
+    out = run(["replay", "--binlog", str(tail), "--format", "pgoutput",
+               "--lake", lake, "--partitions", "8"])
+    assert out["events_applied"] == cfg.n_events
+    exp = oracle_view_table(binlog)
+    assert out["lake_rows"] == exp.num_rows
+    out2 = run(["replay", "--binlog", str(tail), "--format", "pgoutput",
+                "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == 0 and out2["version"] == out["version"]
+
+    # quarantine: an unparseable wire line lands in the dead-letter file
+    (tail / "c.txt").write_text("0/1 | 9 | utter garbage\n")
+    lake2 = str(tmp_path / "lake2")
+    out3 = run(["replay", "--binlog", str(tail), "--format", "pgoutput",
+                "--lake", lake2, "--partitions", "8", "--on-bad", "quarantine"])
+    assert out3["lake_rows"] == exp.num_rows
+    dl = CDCLake(lake2, num_partitions=8).dead_letters()
+    assert dl.num_rows == 1 and dl.column("content").to_pylist() == ["0/1 | 9 | utter garbage"]
+
+    # pgoutput tail refuses quarantine (no footer probe on a wire stream)
+    assert main(["tail", "--binlog", str(tail), "--format", "pgoutput",
+                 "--lake", lake, "--partitions", "8", "--on-bad", "quarantine",
+                 "--max-polls", "1"]) == 2

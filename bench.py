@@ -145,6 +145,12 @@ QUERY_SUBSET = [
     "patch_lww_profiles",
     "version_token_churn",
     "value_index_lookup",
+    # round-4 session-11 additions
+    "late_events",
+    "watermark_windows",
+    "counter_state",
+    "zorder_scan",
+    "cdc_pgoutput_replay",
 ]
 
 

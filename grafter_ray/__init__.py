@@ -41,6 +41,7 @@ _configure_data_context()
 
 from .fixtures import BinlogConfig, binlog_batch, binlog_dataset, binlog_table, write_binlog_parquet
 from .oracle import oracle_lake_table, oracle_view_table, replay_oracle
+from .pipelines.history import HistoryLake
 from .pipelines.replay import DEFAULT_BATCH_SIZE, CDCLake, compact_binlog
 from .schemas import BINLOG, CDC_SOURCE, LAKE, QUAD
 
@@ -54,6 +55,7 @@ __all__ = [
     "oracle_view_table",
     "replay_oracle",
     "CDCLake",
+    "HistoryLake",
     "compact_binlog",
     "DEFAULT_BATCH_SIZE",
     "BINLOG",

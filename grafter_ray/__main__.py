@@ -330,6 +330,32 @@ def cmd_export_changes(args) -> int:
     return 0
 
 
+def cmd_history_sync(args) -> int:
+    from .pipelines.history import HistoryLake
+
+    t0 = time.perf_counter()
+    hist = HistoryLake(args.history, num_partitions=args.partitions)
+    before = hist.watermark
+    m = hist.apply(args.binlog, upto_lsn=args.upto_lsn, window_size=args.window_size)
+    out = {
+        "cmd": "history-sync",
+        "history": args.history,
+        "resumed_from_lsn": before,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    if m is not None:
+        out.update(
+            {
+                "version": int(m["version"]),
+                "watermark_lsn": int(m["watermark_lsn"]),
+                "versions_closed": int(m["counters"]["versions_closed"]),
+                "versions_open": int(m["counters"]["versions_open"]),
+            }
+        )
+    _emit(out)
+    return 0
+
+
 def cmd_chunkstore_sync(args) -> int:
     from .pipelines.chunkstore import chunk_store_live, compact_chunk_store, sync_chunk_store
     from .pipelines.replay import CDCLake
@@ -563,6 +589,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True, help="outbox directory (manifest-committed)")
     lake_args(sp)
     sp.set_defaults(fn=cmd_export_changes)
+
+    sp = sub.add_parser("history-sync", help="fold the binlog into the SCD2 version-history lake (resumable)")
+    sp.add_argument("--binlog", required=True, help="binlog parquet directory")
+    sp.add_argument("--history", required=True, help="history lake root")
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--window-size", type=int, default=None)
+    sp.add_argument("--upto-lsn", type=int, default=None)
+    sp.set_defaults(fn=cmd_history_sync)
 
     sp = sub.add_parser("chunkstore-sync", help="sync the content-addressed chunk store from the lake")
     sp.add_argument("--lake", required=True)

@@ -1,0 +1,377 @@
+"""SCD2 history lake — every key's full version history as validity
+intervals, maintained EXACTLY-ONCE from the same binlog the main lake
+replays.
+
+The main lake (pipelines/replay.py) converges to last-writer-wins
+CURRENT state; the warehouse-side complement is the slowly-changing-
+dimension type-2 table: one row per (key, version) with
+
+    [valid_from, valid_to)   valid_from = the upsert's LSN
+                             valid_to   = the NEXT event's LSN for the
+                                          key (upsert or delete),
+                                          NULL while current
+
+built from the raw changelog, NOT from state diffs — the change feed
+loses delete LSNs once tombstones compact, but the binlog carries
+every boundary exactly. q_scd2_history derives the same shape as a
+one-shot batch query; this class is the INCREMENTAL, resumable lake:
+closures are append-only files, only the open set rewrites per window.
+
+Storage per partition (hash of (repo, path) — the engine's one
+partitioning key, reused):
+
+    open-v{V}-p{P}.parquet     the open (current) versions — rewritten
+                               per window, bounded by live keys
+    closed-v{V}-p{P}.parquet   versions CLOSED in window V — immutable,
+                               append-only (a closed interval never
+                               changes), so history size never inflates
+                               rewrite cost
+
+Exactly-once: the same CommitLog manifest-rename discipline as the main
+lake (state/commitlog.py) — watermark filter on lsn, per-window atomic
+commit, re-apply of a seen range is a no-op. Scale shape: one hash
+exchange of the narrow (key, lsn, op, commit, lang, content_sha)
+projection per window; per-partition work is one vectorized key-sorted
+pass (key_segments + shifted-lsn closure, never a Python row loop).
+
+Reference analogue: grafter keeps no history (stores are mutable sets,
+SURVEY.md §1.1); SCD2 is what the north rule's binlog makes possible
+that the reference never had.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state.commitlog import CommitLog
+from ..stages.sha import sha256_array
+from ..util import coalesced_read_parquet, partition_ids
+
+HIST_FIELDS = [
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("valid_from", pa.int64()),
+    ("valid_to", pa.int64()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content_sha", pa.string()),
+]
+HIST_SCHEMA = pa.schema(HIST_FIELDS)
+
+_EV_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+
+
+def _empty_hist() -> pa.Table:
+    return pa.table({n: pa.array([], t) for n, t in HIST_FIELDS})
+
+
+def _versions_of_block(tb: pa.Table, old_open: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """One key-sorted pass over a partition's window events →
+    (closed rows, new full open set). `tb` columns: repo, path, lsn, op,
+    commit, lang, content_sha — sorted by (repo, path, lsn)."""
+    from ..stages.grouped import key_segments
+
+    if tb.num_rows == 0:
+        return _empty_hist(), old_open
+    starts, ends = key_segments(tb, ["repo", "path"])
+    n = tb.num_rows
+    lsn = tb.column("lsn").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_up = pc.equal(tb.column("op"), "upsert").to_numpy(zero_copy_only=False)
+    last_in_seg = np.zeros(n, dtype=bool)
+    last_in_seg[ends - 1] = True
+    # in-window closures: an upsert followed (within its key) by any event
+    next_lsn = np.empty(n, dtype=np.int64)
+    next_lsn[:-1] = lsn[1:]
+    next_lsn[-1] = 0  # unused: last row is last_in_seg
+    closed_mask = is_up & ~last_in_seg
+    closed_in = pa.table(
+        {
+            "repo": tb.column("repo").filter(pa.array(closed_mask)),
+            "path": tb.column("path").filter(pa.array(closed_mask)),
+            "valid_from": pa.array(lsn[closed_mask], pa.int64()),
+            "valid_to": pa.array(next_lsn[closed_mask], pa.int64()),
+            "commit": tb.column("commit").filter(pa.array(closed_mask)),
+            "lang": tb.column("lang").filter(pa.array(closed_mask)),
+            "content_sha": tb.column("content_sha").filter(pa.array(closed_mask)),
+        }
+    )
+    # opens: the key's last event, when it is an upsert
+    open_mask = is_up & last_in_seg
+    opened = pa.table(
+        {
+            "repo": tb.column("repo").filter(pa.array(open_mask)),
+            "path": tb.column("path").filter(pa.array(open_mask)),
+            "valid_from": pa.array(lsn[open_mask], pa.int64()),
+            "valid_to": pa.nulls(int(open_mask.sum()), pa.int64()),
+            "commit": tb.column("commit").filter(pa.array(open_mask)),
+            "lang": tb.column("lang").filter(pa.array(open_mask)),
+            "content_sha": tb.column("content_sha").filter(pa.array(open_mask)),
+        }
+    )
+    # carried opens: close the old open version of every key that saw an
+    # event this window (valid_to = the key's FIRST event lsn)
+    firsts = pa.table(
+        {
+            "repo": tb.column("repo").take(pa.array(starts)),
+            "path": tb.column("path").take(pa.array(starts)),
+            "__first_lsn": pa.array(lsn[starts], pa.int64()),
+        }
+    )
+    if old_open.num_rows:
+        j = old_open.join(firsts, keys=["repo", "path"], join_type="left outer")
+        hit = pc.is_valid(j.column("__first_lsn"))
+        c = j.filter(hit)
+        closed_old = pa.table(
+            {
+                "repo": c.column("repo"),
+                "path": c.column("path"),
+                "valid_from": c.column("valid_from"),
+                "valid_to": c.column("__first_lsn"),
+                "commit": c.column("commit"),
+                "lang": c.column("lang"),
+                "content_sha": c.column("content_sha"),
+            }
+        ).cast(HIST_SCHEMA)
+        carried = (
+            j.filter(pc.invert(hit))
+            .drop_columns(["__first_lsn"])
+            .select([n for n, _ in HIST_FIELDS])
+            .cast(HIST_SCHEMA)
+        )
+    else:
+        closed_old = _empty_hist()
+        carried = _empty_hist()
+    closed = pa.concat_tables([closed_old, closed_in.cast(HIST_SCHEMA)])
+    new_open = pa.concat_tables([carried, opened.cast(HIST_SCHEMA)])
+    return closed, new_open
+
+
+class HistoryLake:
+    """Append-only SCD2 version history, partitioned like the main lake."""
+
+    def __init__(self, root: str, num_partitions: int = 64):
+        self.root = root
+        self.num_partitions = num_partitions
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.log = CommitLog(root)
+        m = self.log.latest()
+        if m is not None and int(m["num_partitions"]) != num_partitions:
+            raise ValueError(
+                f"history lake has {m['num_partitions']} partitions, asked for {num_partitions}"
+            )
+
+    @property
+    def manifest(self) -> dict | None:
+        return self.log.latest()
+
+    @property
+    def watermark(self) -> int:
+        m = self.manifest
+        return int(m["watermark_lsn"]) if m else -1
+
+    # -- apply ---------------------------------------------------------------
+
+    def _events(self, source, lo: int, hi: int):
+        import pyarrow.dataset as pads
+
+        if isinstance(source, str):
+            expr = (pads.field("lsn") >= lo) & (pads.field("lsn") <= hi)
+            ds = coalesced_read_parquet(source, filter=expr, columns=_EV_COLS)
+        else:
+            ds = source
+
+        from_parquet = isinstance(source, str)
+
+        def prep(tb: pa.Table) -> pa.Table:
+            if not from_parquet:  # parquet sources filtered at the read
+                keep = pc.and_(
+                    pc.greater_equal(tb.column("lsn"), pa.scalar(lo, pa.int64())),
+                    pc.less_equal(tb.column("lsn"), pa.scalar(hi, pa.int64())),
+                )
+                tb = tb.filter(pc.fill_null(keep, False))
+            known = pc.is_in(tb.column("op"), value_set=pa.array(["upsert", "delete"]))
+            tb = tb.filter(pc.fill_null(known, False))  # schema markers skip
+            return pa.table(
+                {
+                    "pid": partition_ids(tb.column("repo"), tb.column("path"), self.num_partitions),
+                    "lsn": pc.cast(tb.column("lsn"), pa.int64()),
+                    "op": tb.column("op"),
+                    "repo": tb.column("repo"),
+                    "path": tb.column("path"),
+                    "commit": tb.column("commit"),
+                    "lang": tb.column("lang"),
+                    "content_sha": sha256_array(tb.column("content")),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def apply(self, source, *, upto_lsn: int | None = None, window_size: int | None = None) -> dict:
+        """Fold binlog events beyond the watermark into the history.
+        `source`: a binlog parquet path or a BINLOG-schema Dataset.
+        Exactly-once: re-applying a seen range is a no-op."""
+        import ray
+
+        if upto_lsn is None:
+            if isinstance(source, str):
+                import pyarrow.dataset as pads
+
+                dset = pads.dataset(source, format="parquet", exclude_invalid_files=True)
+                hi = None
+                for frag in dset.get_fragments():
+                    md = frag.metadata
+                    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            hi = st.max if hi is None else max(hi, st.max)
+                if hi is None:
+                    return self.manifest
+                upto_lsn = int(hi)
+            else:
+                mx = source.max("lsn")
+                if mx is None:
+                    return self.manifest
+                upto_lsn = int(mx)
+        manifest = self.manifest
+        with self.log.writer_lock("history-apply"):
+            while self.watermark < upto_lsn:
+                lo = self.watermark + 1
+                hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
+                manifest = self._apply_window(source, lo, hi)
+        return manifest
+
+    def _apply_window(self, source, lo: int, hi: int) -> dict:
+        import ray
+
+        parent = self.manifest
+        version = (int(parent["version"]) + 1) if parent else 1
+        old_parts = dict(parent["partitions"]) if parent else {}
+        open_files = {
+            int(pid): e["open_file"] for pid, e in old_parts.items() if e.get("open_file")
+        }
+        data_dir = self.data_dir
+        events = self._events(source, lo, hi).sort("pid").materialize()
+
+        def fold(tb: pa.Table) -> pa.Table:
+            from ..stages.grouped import key_segments
+
+            meta = {"pid": [], "open_file": [], "closed_file": [], "rows_open": [], "rows_closed": [], "max_lsn": []}
+            if tb.num_rows == 0:
+                return pa.table({k: pa.array(v, pa.int64() if k not in ("open_file", "closed_file") else pa.string()) for k, v in meta.items()})
+            starts, ends = key_segments(tb, ["pid"])
+            for s, e in zip(starts, ends):
+                part = tb.slice(s, e - s).sort_by(
+                    [("repo", "ascending"), ("path", "ascending"), ("lsn", "ascending")]
+                )
+                pid = int(part.column("pid")[0].as_py())
+                of = open_files.get(pid)
+                old_open = (
+                    pq.read_table(os.path.join(data_dir, of)) if of else _empty_hist()
+                )
+                closed, new_open = _versions_of_block(part.drop_columns(["pid"]), old_open)
+                ofn = f"open-v{version:06d}-p{pid:06d}.parquet"
+                pq.write_table(new_open.sort_by([("repo", "ascending"), ("path", "ascending")]), os.path.join(data_dir, ofn))
+                cfn = ""
+                if closed.num_rows:
+                    cfn = f"closed-v{version:06d}-p{pid:06d}.parquet"
+                    pq.write_table(closed, os.path.join(data_dir, cfn))
+                meta["pid"].append(pid)
+                meta["open_file"].append(ofn)
+                meta["closed_file"].append(cfn)
+                meta["rows_open"].append(new_open.num_rows)
+                meta["rows_closed"].append(closed.num_rows)
+                meta["max_lsn"].append(int(pc.max(part.column("lsn")).as_py()))
+            return pa.table(
+                {
+                    "pid": pa.array(meta["pid"], pa.int64()),
+                    "open_file": pa.array(meta["open_file"], pa.string()),
+                    "closed_file": pa.array(meta["closed_file"], pa.string()),
+                    "rows_open": pa.array(meta["rows_open"], pa.int64()),
+                    "rows_closed": pa.array(meta["rows_closed"], pa.int64()),
+                    "max_lsn": pa.array(meta["max_lsn"], pa.int64()),
+                }
+            )
+
+        rows = events.map_batches(
+            fold, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # one row per CHANGED partition — O(partitions)
+        parts = {str(pid): dict(e) for pid, e in old_parts.items()}
+        for r in rows.itertuples(index=False):
+            prev = parts.get(str(int(r.pid)), {})
+            closed_files = list(prev.get("closed", []))
+            if r.closed_file:
+                closed_files.append(r.closed_file)
+            parts[str(int(r.pid))] = {
+                "open_file": r.open_file,
+                "rows_open": int(r.rows_open),
+                "closed": closed_files,
+                "rows_closed": int(prev.get("rows_closed", 0)) + int(r.rows_closed),
+                "max_lsn": int(r.max_lsn),
+            }
+        manifest = {
+            "version": version,
+            "watermark_lsn": hi,
+            "num_partitions": self.num_partitions,
+            "partitions": parts,
+            "counters": {
+                "versions_closed": int(sum(int(e.get("rows_closed", 0)) for e in parts.values())),
+                "versions_open": int(sum(int(e.get("rows_open", 0)) for e in parts.values())),
+            },
+            "parent": int(parent["version"]) if parent else 0,
+        }
+        self.log.commit(manifest)
+        return manifest
+
+    # -- read ----------------------------------------------------------------
+
+    def _files(self, version: int | None = None) -> list[str]:
+        m = self.log.latest() if version is None else self.log.read(version)
+        if m is None:
+            return []
+        out = []
+        for e in m["partitions"].values():
+            if e.get("open_file"):
+                out.append(os.path.join(self.data_dir, e["open_file"]))
+            out.extend(os.path.join(self.data_dir, f) for f in e.get("closed", []))
+        return out
+
+    def read(self, version: int | None = None):
+        """Full history as a Dataset (valid_to null = current version)."""
+        import ray.data as rd
+
+        files = self._files(version)
+        if not files:
+            return rd.from_arrow(_empty_hist())
+        return coalesced_read_parquet(files)
+
+    def read_table(self, version: int | None = None) -> pa.Table:
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in self._files(version)] or [_empty_hist()]
+        )
+        return t.sort_by(
+            [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
+        )
+
+    def as_of(self, lsn: int):
+        """The state as of `lsn` (inclusive) reconstructed from validity
+        intervals — point-in-time time travel beyond the main lake's
+        retained manifest horizon."""
+        import pyarrow.dataset as pads
+
+        files = self._files()
+        if not files:
+            import ray.data as rd
+
+            return rd.from_arrow(_empty_hist())
+        expr = (pads.field("valid_from") <= lsn) & (
+            pads.field("valid_to").is_null() | (pads.field("valid_to") > lsn)
+        )
+        return coalesced_read_parquet(files, filter=expr)

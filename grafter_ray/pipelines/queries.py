@@ -2995,6 +2995,103 @@ def q_cdc_pgoutput_replay(sf_dir: str):
         )
 
 
+def q_scd2_sync_history(sf_dir: str):
+    """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
+    deterministic documents binlog folded into a versioned history lake
+    in TWO apply() calls (the tail shape — the second window must close
+    versions the first left open, across the update/delete waves), then
+    read back as validity intervals. Oracle: the lead()-window closed
+    form over the same event set. Unlike q_scd2_history (one-shot batch
+    window query), this is the resumable exactly-once lake a warehouse
+    actually maintains."""
+    import tempfile
+
+    from .history import HistoryLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = HistoryLake(f"{tmp}/hist", num_partitions=32)
+        lake.apply(binlog, upto_lsn=2 * n_docs - 1)  # base upserts + deletes
+        lake.apply(binlog, upto_lsn=3 * n_docs)  # the %5 update wave
+        tb = lake.read_table()
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "valid_from": tb.column("valid_from"),
+                "valid_to": tb.column("valid_to"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+            }
+        )
+
+
+SQL_SCD2_SYNC_HISTORY = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ev AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(2 * doc_id AS BIGINT) AS lsn, 'upsert' AS op,
+         substr(sha256(text), 1, 16) AS commit_id, lang, sha256(text) AS content_sha
+  FROM documents
+  UNION ALL
+  SELECT 'repo/' || source, 'doc/' || CAST(doc_id AS VARCHAR) || '.txt',
+         CAST(2 * doc_id + 1 AS BIGINT), 'delete', NULL, NULL, NULL
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'repo/' || source, 'doc/' || CAST(doc_id AS VARCHAR) || '.txt',
+         CAST(2 * (SELECT c FROM n) + doc_id AS BIGINT), 'upsert',
+         substr(sha256(text || ' v2'), 1, 16), lang, sha256(text || ' v2')
+  FROM documents WHERE doc_id % 5 = 0),
+v AS (SELECT *, lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to FROM ev)
+SELECT repo, path, lsn AS valid_from, valid_to, commit_id, lang, content_sha
+FROM v WHERE op = 'upsert'
+"""
+
+
+def q_history_as_of(sf_dir: str):
+    """Point-in-time reconstruction from the SCD2 history
+    (HistoryLake.as_of): the state as of the pre-update-wave LSN must
+    equal the post-delete converged corpus — time travel past any
+    manifest retention horizon, served by validity-interval predicate
+    pushdown (no replay)."""
+    import tempfile
+
+    from .history import HistoryLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = HistoryLake(f"{tmp}/hist", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        tb = pa.concat_tables(_collect_refs(lake.as_of(2 * n_docs - 1)))
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "valid_from": tb.column("valid_from"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+            }
+        )
+
+
+def _collect_refs(ds):
+    import ray
+
+    return ray.get(ds.to_arrow_refs())
+
+
+SQL_HISTORY_AS_OF = """
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       CAST(2 * doc_id AS BIGINT) AS valid_from,
+       substr(sha256(text), 1, 16) AS commit_id, lang, sha256(text) AS content_sha
+FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
 def q_sharded_feed_merge(sf_dir: str):
     """Sharded upstream ingest (pipelines/shards.py): the deterministic
     documents binlog split into TWO key-partitioned shard feeds (doc id
@@ -6161,6 +6258,8 @@ QUERIES = {
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
+    "scd2_sync_history": q_scd2_sync_history,
+    "history_as_of": q_history_as_of,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -6320,6 +6419,8 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
+    "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
+    "history_as_of": SQL_HISTORY_AS_OF,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

@@ -1,0 +1,170 @@
+"""SCD2 history lake (pipelines/history.py): differential vs DuckDB's
+window closed form over random binlogs, window-split invariance,
+exactly-once re-apply, delete/recreate boundaries, and as_of time
+travel cross-checked against the main lake's converged oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grafter_ray import BinlogConfig, binlog_table, oracle_view_table
+from grafter_ray.pipelines.history import HistoryLake
+
+
+def _sha_df(con: duckdb.DuckDBPyConnection, binlog: pa.Table) -> pd.DataFrame:
+    con.register("binlog", binlog)
+    return con.execute(
+        """
+        WITH ev AS (
+          SELECT lsn, op, repo, path, commit, lang,
+                 CASE WHEN op = 'upsert' THEN sha256(content) END AS content_sha
+          FROM binlog WHERE op IN ('upsert', 'delete')),
+        v AS (SELECT *, lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to
+              FROM ev)
+        SELECT repo, path, lsn AS valid_from, valid_to, commit, lang, content_sha
+        FROM v WHERE op = 'upsert'
+        ORDER BY repo, path, valid_from"""
+    ).df()
+
+
+def _hist_df(lake: HistoryLake) -> pd.DataFrame:
+    return (
+        lake.read_table()
+        .to_pandas()
+        .sort_values(["repo", "path", "valid_from"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert len(got) == len(want)
+    for c in ("repo", "path", "commit", "lang", "content_sha"):
+        assert got[c].fillna("∅").tolist() == want[c].fillna("∅").tolist(), c
+    assert got["valid_from"].astype(int).tolist() == want["valid_from"].astype(int).tolist()
+    assert got["valid_to"].fillna(-1).astype(int).tolist() == want["valid_to"].fillna(-1).astype(int).tolist()
+
+
+@pytest.mark.parametrize("n,window,dpct", [(4000, None, 0.1), (6000, 1500, 0.3)])
+def test_differential_vs_duckdb(tmp_path, n, window, dpct):
+    cfg = BinlogConfig(n_events=n, n_keys=n // 12, n_repos=7, schema_every=n // 3, delete_pct=dpct)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "hist"), num_partitions=16)
+    lake.apply(_as_ds(binlog), window_size=window)
+    _assert_equal(_hist_df(lake), _sha_df(duckdb.connect(), binlog))
+
+
+def _as_ds(tb: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tb).repartition(6)
+
+
+def test_window_split_invariance(tmp_path):
+    cfg = BinlogConfig(n_events=3000, n_keys=200, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    frames = []
+    for i, w in enumerate((None, 500, 2999)):
+        lake = HistoryLake(str(tmp_path / f"h{i}"), num_partitions=8)
+        lake.apply(_as_ds(binlog), window_size=w)
+        frames.append(_hist_df(lake))
+    assert frames[0].equals(frames[1]) and frames[1].equals(frames[2])
+
+
+def test_exactly_once_reapply(tmp_path):
+    cfg = BinlogConfig(n_events=1500, n_keys=100, n_repos=4, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=8)
+    m1 = lake.apply(_as_ds(binlog))
+    m2 = lake.apply(_as_ds(binlog))
+    assert m2["version"] == m1["version"]
+    # reopened from disk: watermark restored, still a no-op
+    lake2 = HistoryLake(str(tmp_path / "h"), num_partitions=8)
+    assert lake2.watermark == m1["watermark_lsn"]
+    m3 = lake2.apply(_as_ds(binlog))
+    assert m3["version"] == m1["version"]
+
+
+def test_incremental_equals_batch(tmp_path):
+    """Applying the feed in two SEPARATE apply() calls (the tail shape)
+    equals one batch derivation."""
+    cfg = BinlogConfig(n_events=2400, n_keys=150, n_repos=5, schema_every=600)
+    binlog = binlog_table(cfg)
+    half = int(pa.compute.max(binlog.column("lsn")).as_py()) // 2
+    inc = HistoryLake(str(tmp_path / "inc"), num_partitions=8)
+    inc.apply(_as_ds(binlog), upto_lsn=half)
+    inc.apply(_as_ds(binlog))
+    _assert_equal(_hist_df(inc), _sha_df(duckdb.connect(), binlog))
+
+
+def test_delete_recreate_versions(tmp_path):
+    binlog = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": pa.array(["upsert", "delete", "upsert", "upsert"]),
+            "repo": pa.array(["r"] * 4),
+            "path": pa.array(["p"] * 4),
+            "commit": pa.array(["c1", None, "c3", "c4"]),
+            "lang": pa.array(["en", None, "en", "en"]),
+            "content": pa.array(["a", None, "b", "c"]),
+            "schema_version": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), window_size=2)  # the delete closes across a window
+    df = _hist_df(lake)
+    assert df["valid_from"].tolist() == [1, 3, 4]
+    assert df["valid_to"].fillna(-1).astype(int).tolist() == [2, 4, -1]
+
+
+def test_as_of_matches_converged_oracle(tmp_path):
+    cfg = BinlogConfig(n_events=2000, n_keys=120, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=8)
+    lake.apply(_as_ds(binlog))
+    mid = 999
+    got = (
+        lake.as_of(mid)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    trunc = binlog.filter(pa.compute.less_equal(binlog.column("lsn"), mid))
+    want = (
+        oracle_view_table(trunc)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert got[["repo", "path"]].values.tolist() == want[["repo", "path"]].values.tolist()
+    assert got["content_sha"].tolist() == want["content_sha"].tolist()
+    assert got["valid_from"].astype(int).tolist() == want["last_lsn"].astype(int).tolist()
+
+
+def test_cli_history_sync(tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=1200, n_keys=90, n_repos=4, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    pq.write_table(binlog, str(bdir / "part0.parquet"))
+    hist = str(tmp_path / "hist")
+
+    def run(argv):
+        assert main(argv) == 0
+        out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+        return _json.loads(out[-1])
+
+    out = run(["history-sync", "--binlog", str(bdir), "--history", hist, "--partitions", "8"])
+    assert out["watermark_lsn"] == int(pa.compute.max(binlog.column("lsn")).as_py())
+    want = _sha_df(duckdb.connect(), binlog)
+    assert out["versions_closed"] + out["versions_open"] == len(want)
+    # resubmit → exactly-once no-op
+    out2 = run(["history-sync", "--binlog", str(bdir), "--history", hist, "--partitions", "8"])
+    assert out2["version"] == out["version"]

@@ -151,6 +151,13 @@ QUERY_SUBSET = [
     "counter_state",
     "zorder_scan",
     "cdc_pgoutput_replay",
+    "scd2_sync_history",
+    "history_as_of",
+    "rate_anomalies",
+    "value_drift",
+    "lang_mix_drift",
+    "binlog_lint",
+    "cdc_mysql_replay",
 ]
 
 

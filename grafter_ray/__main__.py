@@ -85,6 +85,16 @@ def _binlog_source(args):
             read_pgoutput(args.binlog, layout=layout, on_bad="null_lsn").write_parquet(stage)
             return stage
         return read_pgoutput(args.binlog, layout=layout, on_bad="raise")
+    if fmt == "mysql":
+        from .sources.mysqlbinlog import read_mysqlbinlog
+
+        if args.on_bad == "quarantine":
+            import tempfile
+
+            stage = tempfile.mkdtemp(prefix="graftray_mysql_stage_")
+            read_mysqlbinlog(args.binlog, on_bad="null_lsn").write_parquet(stage)
+            return stage
+        return read_mysqlbinlog(args.binlog, on_bad="raise")
     from .sources.envelope import read_envelope_jsonl
 
     if args.on_bad == "quarantine":
@@ -128,7 +138,7 @@ def cmd_replay(args) -> int:
 def cmd_tail(args) -> int:
     from .pipelines.replay import CDCLake
 
-    if getattr(args, "format", "parquet") in ("envelope", "pgoutput"):
+    if getattr(args, "format", "parquet") in ("envelope", "pgoutput", "mysql"):
         if args.on_bad == "quarantine":
             # a tailed wire stream has no parquet footers to probe and a
             # Dataset input silently drops null-lsn rows — refuse rather
@@ -145,6 +155,10 @@ def cmd_tail(args) -> int:
 
             layout = getattr(args, "pg_layout", "slot")
             source = lambda: read_pgoutput(args.binlog, layout=layout, on_bad="raise")  # noqa: E731
+        elif args.format == "mysql":
+            from .sources.mysqlbinlog import read_mysqlbinlog
+
+            source = lambda: read_mysqlbinlog(args.binlog, on_bad="raise")  # noqa: E731
         else:
             from .sources.envelope import read_envelope_jsonl
 
@@ -337,6 +351,10 @@ def cmd_history_sync(args) -> int:
     hist = HistoryLake(args.history, num_partitions=args.partitions)
     before = hist.watermark
     m = hist.apply(args.binlog, upto_lsn=args.upto_lsn, window_size=args.window_size)
+    if args.expire_before is not None:
+        m = hist.expire(args.expire_before)
+    if args.compact:
+        m = hist.compact()
     out = {
         "cmd": "history-sync",
         "history": args.history,
@@ -354,6 +372,18 @@ def cmd_history_sync(args) -> int:
         )
     _emit(out)
     return 0
+
+
+def cmd_lint(args) -> int:
+    """Exit 0 when the feed is replayable as-is, 1 otherwise (gaps only
+    report — compaction legitimately leaves them)."""
+    from .stages.lint import lint_binlog
+
+    t0 = time.perf_counter()
+    rep = lint_binlog(args.binlog)
+    rep["wall_sec"] = round(time.perf_counter() - t0, 3)
+    _emit({"cmd": "lint", **rep})
+    return 0 if rep["ok"] else 1
 
 
 def cmd_chunkstore_sync(args) -> int:
@@ -474,9 +504,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
     sp.add_argument("--binlog", required=True, help="binlog parquet directory (or wire-format path with --format)")
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput"], default="parquet",
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql"], default="parquet",
                     help="binlog wire format: parquet (default), Debezium-style JSON envelopes, "
-                         "or Postgres test_decoding dumps")
+                         "Postgres test_decoding dumps, or mysqlbinlog --verbose row dumps")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot",
                     help="pgoutput feed layout: slot dump with real LSNs (default) or raw plugin lines")
     lake_args(sp)
@@ -494,7 +524,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
     sp.add_argument("--binlog", required=True)
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput"], default="parquet")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql"], default="parquet")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None)
@@ -596,7 +626,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partitions", type=int, default=64)
     sp.add_argument("--window-size", type=int, default=None)
     sp.add_argument("--upto-lsn", type=int, default=None)
+    sp.add_argument("--expire-before", type=int, default=None,
+                    help="retention: drop closed versions whose validity ended at or before this LSN")
+    sp.add_argument("--compact", action="store_true", help="merge per-window closure files after syncing")
     sp.set_defaults(fn=cmd_history_sync)
+
+    sp = sub.add_parser("lint", help="audit a binlog feed for replay invariants (unique LSNs, known ops, keys)")
+    sp.add_argument("--binlog", required=True, help="binlog parquet directory")
+    sp.set_defaults(fn=cmd_lint)
 
     sp = sub.add_parser("chunkstore-sync", help="sync the content-addressed chunk store from the lake")
     sp.add_argument("--lake", required=True)

@@ -330,6 +330,180 @@ class HistoryLake:
         self.log.commit(manifest)
         return manifest
 
+    def check_against_lake(self, lake, max_examples: int = 10) -> dict:
+        """Cross-lake invariant audit: when this history and the main
+        CDC lake consumed the same binlog to the same watermark, the
+        history's OPEN versions must equal the lake's current state —
+        same key set, valid_from == last_lsn, same content_sha. One
+        tagged key exchange (grouped co-location), vectorized per-key
+        compare; only counts and a bounded example list reach the
+        driver."""
+        from ..stages.grouped import grouped_block_map
+
+        if lake.watermark != self.watermark:
+            raise ValueError(
+                f"watermarks differ (lake {lake.watermark} vs history {self.watermark}) "
+                "— sync both to the same LSN before auditing"
+            )
+
+        def open_side(tb: pa.Table) -> pa.Table:
+            tb = tb.filter(pc.is_null(tb.column("valid_to")))
+            return pa.table(
+                {
+                    "repo": tb.column("repo"),
+                    "path": tb.column("path"),
+                    "lsn": tb.column("valid_from"),
+                    "sha": tb.column("content_sha"),
+                    "side": pa.array(np.zeros(tb.num_rows, np.int8)),
+                }
+            )
+
+        def lake_side(tb: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "repo": tb.column("repo"),
+                    "path": tb.column("path"),
+                    "lsn": pc.cast(tb.column("last_lsn"), pa.int64()),
+                    "sha": tb.column("content_sha"),
+                    "side": pa.array(np.ones(tb.num_rows, np.int8)),
+                }
+            )
+
+        h = self.read().map_batches(open_side, batch_format="pyarrow", zero_copy_batch=True)
+        l = lake.read(view=False).map_batches(lake_side, batch_format="pyarrow", zero_copy_batch=True)
+        both = h.union(l)
+
+        def audit(tb: pa.Table) -> pa.Table:
+            from ..stages.grouped import key_segments
+
+            if tb.num_rows == 0:
+                return pa.table({"n_keys": pa.array([], pa.int64()), "n_bad": pa.array([], pa.int64()), "examples": pa.array([], pa.string())})
+            tb = tb.sort_by([("repo", "ascending"), ("path", "ascending"), ("side", "ascending")])
+            starts, ends = key_segments(tb, ["repo", "path"])
+            side = tb.column("side").to_numpy(zero_copy_only=False)
+            lsn = tb.column("lsn").to_numpy(zero_copy_only=False)
+            sha = tb.column("sha").to_numpy(zero_copy_only=False)
+            lens = ends - starts
+            ok = (lens == 2) & (side[starts] == 0) & (side[np.minimum(ends - 1, len(side) - 1)] == 1)
+            pair = np.minimum(starts + 1, len(side) - 1)
+            ok &= (lsn[starts] == lsn[pair]) & (sha[starts] == sha[pair])
+            bad_idx = starts[~ok][:max_examples]
+            examples = [
+                f"{tb.column('repo')[int(i)].as_py()}/{tb.column('path')[int(i)].as_py()}"
+                for i in bad_idx
+            ]
+            return pa.table(
+                {
+                    "n_keys": pa.array([len(starts)], pa.int64()),
+                    "n_bad": pa.array([int((~ok).sum())], pa.int64()),
+                    "examples": pa.array([json.dumps(examples)], pa.string()),
+                }
+            )
+
+        rows = grouped_block_map(both, ["repo", "path"], audit).to_pandas()
+        n_bad = int(rows["n_bad"].sum()) if len(rows) else 0
+        examples = []
+        for e in rows["examples"].tolist() if len(rows) else []:
+            examples.extend(json.loads(e))
+        return {
+            "ok": n_bad == 0,
+            "watermark_lsn": self.watermark,
+            "keys_checked": int(rows["n_keys"].sum()) if len(rows) else 0,
+            "mismatches": n_bad,
+            "examples": examples[:max_examples],
+        }
+
+    def expire(self, before_lsn: int) -> dict:
+        """Retention: drop every CLOSED version whose validity ended at
+        or before `before_lsn` (compliance deletion / cost control for
+        the append-only history). Open versions and closures past the
+        horizon are untouched; as_of() earlier than the horizon becomes
+        partial by design. Returns the new manifest (or the current one
+        when nothing expires). Rewrites only files that actually contain
+        expired rows."""
+        parent = self.manifest
+        if parent is None:
+            return parent
+        version = int(parent["version"]) + 1
+        changed = False
+        parts = {}
+        dropped = 0
+        with self.log.writer_lock("history-expire"):
+            for pid, e in parent["partitions"].items():
+                e = dict(e)
+                kept_files = []
+                for i, f in enumerate(e.get("closed", [])):
+                    t = pq.read_table(os.path.join(self.data_dir, f))
+                    keep = pc.greater(t.column("valid_to"), pa.scalar(before_lsn, pa.int64()))
+                    n_keep = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+                    if n_keep == t.num_rows:
+                        kept_files.append(f)
+                        continue
+                    changed = True
+                    dropped += t.num_rows - n_keep
+                    e["rows_closed"] = int(e.get("rows_closed", 0)) - (t.num_rows - n_keep)
+                    if n_keep:
+                        fn = f"closed-v{version:06d}-p{int(pid):06d}-e{i:04d}.parquet"
+                        pq.write_table(t.filter(keep), os.path.join(self.data_dir, fn))
+                        kept_files.append(fn)
+                e["closed"] = kept_files
+                parts[pid] = e
+            if not changed:
+                return parent
+            manifest = {
+                "version": version,
+                "watermark_lsn": int(parent["watermark_lsn"]),
+                "num_partitions": self.num_partitions,
+                "partitions": parts,
+                "counters": {
+                    "versions_closed": int(sum(int(e.get("rows_closed", 0)) for e in parts.values())),
+                    "versions_open": int(parent["counters"]["versions_open"]),
+                    "expired": int(parent["counters"].get("expired", 0)) + dropped,
+                },
+                "parent": int(parent["version"]),
+            }
+            self.log.commit(manifest)
+        return manifest
+
+    def compact(self) -> dict:
+        """Merge each partition's per-window closed files into one
+        (validity-sorted) file and republish the manifest. A windowed
+        tail writes one closed file per changed partition per window —
+        compaction bounds reader fan-in without touching open sets.
+        Closed intervals are immutable, so this is a pure rewrite: the
+        history read before and after is byte-identical content."""
+        parent = self.manifest
+        if parent is None:
+            return parent
+        version = int(parent["version"]) + 1
+        parts = {}
+        changed = False
+        with self.log.writer_lock("history-compact"):
+            for pid, e in parent["partitions"].items():
+                e = dict(e)
+                closed = e.get("closed", [])
+                if len(closed) > 1:
+                    merged = pa.concat_tables(
+                        [pq.read_table(os.path.join(self.data_dir, f)) for f in closed]
+                    ).sort_by(
+                        [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
+                    )
+                    fn = f"closed-v{version:06d}-p{int(pid):06d}.parquet"
+                    pq.write_table(merged, os.path.join(self.data_dir, fn))
+                    e["closed"] = [fn]
+                    changed = True
+                parts[pid] = e
+            if not changed:
+                return parent
+            manifest = {
+                **{k: parent[k] for k in ("watermark_lsn", "num_partitions", "counters")},
+                "version": version,
+                "partitions": parts,
+                "parent": int(parent["version"]),
+            }
+            self.log.commit(manifest)
+        return manifest
+
     # -- read ----------------------------------------------------------------
 
     def _files(self, version: int | None = None) -> list[str]:

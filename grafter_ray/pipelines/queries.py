@@ -2995,6 +2995,47 @@ def q_cdc_pgoutput_replay(sf_dir: str):
         )
 
 
+def q_cdc_mysql_replay(sf_dir: str):
+    """The THIRD CDC wire format end-to-end: the deterministic documents
+    binlog rendered as a `mysqlbinlog --verbose` row dump (`# at`
+    offsets carry the LSNs, positional @1..@5 columns, MySQL backslash
+    escapes — sources/mysqlbinlog.py), parsed back in-stream and
+    replayed through CDCLake; converged state equals cdc_replay_docs'
+    closed-form sha256 oracle. With envelope (Debezium JSON) and
+    pgoutput (Postgres) this covers the three wire formats a real CDC
+    estate emits."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.mysqlbinlog import mysqlbinlog_decode, mysqlbinlog_encode
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+
+    def enc(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": mysqlbinlog_encode(tb)})
+
+    def dec(tb: pa.Table) -> pa.Table:
+        return mysqlbinlog_decode(tb.column("text"))
+
+    parsed = binlog.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        dec, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(parsed, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_scd2_sync_history(sf_dir: str):
     """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
     deterministic documents binlog folded into a versioned history lake
@@ -5966,11 +6007,15 @@ w AS (
            max(ts) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0))
            > {_LATENESS_S}000000 AS late
   FROM a)
-SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
-       sum(CASE WHEN late THEN 0 ELSE 1 END) AS n_on_time,
-       sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
-       sum(CASE WHEN late THEN 0 ELSE value_cents END) AS sum_value_cents
-FROM w GROUP BY bucket
+SELECT bucket, n_on_time, n_late, sum_value_cents,
+       CAST(epoch_us(strptime(bucket, '%Y-%m-%d %H')) + 3600000000
+            <= (SELECT max(epoch_us(ts)) FROM events) - {_LATENESS_S}000000 AS BIGINT) AS closed
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
+         sum(CASE WHEN late THEN 0 ELSE 1 END) AS n_on_time,
+         sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         sum(CASE WHEN late THEN 0 ELSE value_cents END) AS sum_value_cents
+  FROM w GROUP BY bucket)
 """
 
 
@@ -6130,6 +6175,212 @@ WHERE user_id BETWEEN 10 AND 30 AND value BETWEEN 250.0 AND 500.0
 """
 
 
+def q_rate_anomalies(sf_dir: str):
+    """Ingest-rate anomaly detection (CDC ops monitoring): hourly event
+    counts flagged when they deviate from the trailing-24h mean by more
+    than 3 sigma. The 3-sigma test is evaluated in EXACT integer
+    arithmetic — (k·n − s)² > 9(k·ss − s²) with s/ss the trailing sum
+    and sum-of-squares — so the oracle hash can't wobble on float
+    variance. One grouped-agg exchange; the window pass runs over the
+    tiny bucket table."""
+    from ..stages.analytic import window_functions
+    from .relational import grouped_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def b(tb: pa.Table) -> pa.Table:
+        return pa.table({"bucket": pc.strftime(tb.column("ts"), format="%Y-%m-%d %H")})
+
+    buckets = grouped_agg(
+        ds.map_batches(b, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        [("n", None, "count")],
+    )
+
+    def prep(tb: pa.Table) -> pa.Table:
+        n = pc.cast(tb.column("n"), pa.int64())
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(tb.num_rows, np.int8)),
+                "bucket": tb.column("bucket"),
+                "n": n,
+                "n2": pc.multiply(n, n),
+            }
+        )
+
+    w = window_functions(
+        buckets.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"],
+        ["bucket"],
+        [("s25", "n", "rolling_sum", 25), ("ss25", "n2", "rolling_sum", 25), ("rn", None, "row_number")],
+    )
+
+    def f(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.greater_equal(tb.column("rn"), pa.scalar(25)))
+        n = tb.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tb.column("s25").to_numpy(zero_copy_only=False).astype(np.int64) - n
+        n2 = tb.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = tb.column("ss25").to_numpy(zero_copy_only=False).astype(np.int64) - n2
+        lhs = (24 * n - s) ** 2
+        rhs = 9 * (24 * ss - s * s)
+        return pa.table(
+            {
+                "bucket": tb.column("bucket"),
+                "n": pa.array(n, pa.int64()),
+                "is_anomaly": pa.array((lhs > rhs).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return w.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_RATE_ANOMALIES = """
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, count(*) AS n FROM events GROUP BY 1),
+w AS (
+  SELECT bucket, n,
+         sum(n)     OVER (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s,
+         sum(n * n) OVER (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ss,
+         count(*)   OVER (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS k
+  FROM b)
+SELECT bucket, n,
+       CAST((24 * n - s) * (24 * n - s) > 9 * (24 * ss - s * s) AS BIGINT) AS is_anomaly
+FROM w WHERE k = 24
+"""
+
+
+def q_value_drift(sf_dir: str):
+    """Two-sample KS drift over the event value distribution
+    (stages/drift.py): even vs odd user shards. D is reported and
+    thresholded as the INTEGER numerator max|ca·n_b − cb·n_a| (no float
+    division anywhere), computed with one range sort + the O(blocks)
+    prefix-carry pattern. Single-row result."""
+    from ..stages.drift import ks_drift
+
+    def prep(tb: pa.Table) -> pa.Table:
+        uid = tb.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "value": tb.column("value"),
+                "event_id": tb.column("event_id"),
+                "in_a": pa.array((uid % 2 == 0).astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    r = ks_drift(ds, "value", "in_a", "event_id", threshold_permille=50)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
+
+
+SQL_VALUE_DRIFT = """
+WITH s AS (
+  SELECT value AS v, event_id AS tid,
+         CAST(user_id % 2 = 0 AS BIGINT) AS in_a
+  FROM events),
+o AS (
+  SELECT v,
+         sum(in_a)     OVER (ORDER BY v, tid ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(1 - in_a) OVER (ORDER BY v, tid ROWS UNBOUNDED PRECEDING) AS cb,
+         lead(v)       OVER (ORDER BY v, tid) AS nv
+  FROM s),
+t AS (SELECT sum(in_a) AS na, sum(1 - in_a) AS nb FROM s),
+d AS (SELECT max(abs(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t))) AS d_num
+      FROM o WHERE nv IS NULL OR v <> nv)
+SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(1000 * d_num > 50 * (SELECT na FROM t) * (SELECT nb FROM t) AS BIGINT) AS is_drift
+FROM d
+"""
+
+
+def q_lang_mix_drift(sf_dir: str):
+    """Categorical drift (total-variation distance) of the language mix
+    between even- and odd-numbered sources (stages/drift.py tvd_drift):
+    per language, sample counts plus the integer TVD numerator
+    |ca·n_b − cb·n_a| — which languages moved, not just whether."""
+    import ray
+
+    from ..stages.drift import tvd_drift
+
+    def prep(tb: pa.Table) -> pa.Table:
+        src = pc.cast(pc.utf8_slice_codeunits(tb.column("source"), 3, 99), pa.int64())
+        return pa.table(
+            {
+                "lang": tb.column("lang"),
+                "in_a": pc.cast(pc.equal(pc.bit_wise_and(src, pa.scalar(1, pa.int64())), 0), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "source"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tabs = [t for t in ray.get(tvd_drift(ds, "lang", "in_a").to_arrow_refs()) if t.num_rows]
+    counts = pa.concat_tables(tabs)
+    ca = counts.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = counts.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())  # category table: tiny by definition
+    return pa.table(
+        {
+            "category": counts.column("category"),
+            "ca": pa.array(ca, pa.int64()),
+            "cb": pa.array(cb, pa.int64()),
+            "d_num": pa.array(np.abs(ca * n_b - cb * n_a), pa.int64()),
+        }
+    )
+
+
+SQL_LANG_MIX_DRIFT = """
+WITH s AS (
+  SELECT lang, CAST(CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS BIGINT) AS in_a
+  FROM documents),
+c AS (SELECT lang AS category, CAST(sum(in_a) AS BIGINT) AS ca,
+             CAST(sum(1 - in_a) AS BIGINT) AS cb
+      FROM s GROUP BY lang),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+SELECT category, ca, cb,
+       abs(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t)) AS d_num
+FROM c
+"""
+
+
+def q_binlog_lint(sf_dir: str):
+    """Feed QA (stages/lint.py): the deterministic documents binlog
+    audited for the invariants replay rests on — unique LSNs, known
+    ops, non-null keys — plus the gap census. The docs binlog's LSN
+    space has a closed form (even base lsns, %7 delete odds, %5 update
+    wave at 2N+id), so every count is SQL-derivable."""
+    from ..stages.lint import lint_binlog
+
+    binlog, _ = _docs_binlog(sf_dir)
+    r = lint_binlog(binlog)
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in r.items()})
+
+
+SQL_BINLOG_LINT = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ev AS (
+  SELECT CAST(2 * doc_id AS BIGINT) AS lsn FROM documents
+  UNION ALL
+  SELECT CAST(2 * doc_id + 1 AS BIGINT) FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT CAST(2 * (SELECT c FROM n) + doc_id AS BIGINT) FROM documents WHERE doc_id % 5 = 0),
+d AS (SELECT lsn - lag(lsn) OVER (ORDER BY lsn) AS df FROM ev)
+SELECT (SELECT count(*) FROM ev) AS n_events,
+       (SELECT min(lsn) FROM ev) AS lsn_min,
+       (SELECT max(lsn) FROM ev) AS lsn_max,
+       CAST(0 AS BIGINT) AS n_null_lsn,
+       CAST(sum(CASE WHEN df = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lsn,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(max(df) - 1 AS BIGINT) AS largest_gap,
+       CAST(0 AS BIGINT) AS n_unknown_op,
+       CAST(0 AS BIGINT) AS n_null_key,
+       CAST(1 AS BIGINT) AS ok
+FROM d
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -6258,8 +6509,13 @@ QUERIES = {
     "cdc_replay_docs": q_cdc_replay_docs,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
+    "cdc_mysql_replay": q_cdc_mysql_replay,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
+    "rate_anomalies": q_rate_anomalies,
+    "value_drift": q_value_drift,
+    "lang_mix_drift": q_lang_mix_drift,
+    "binlog_lint": q_binlog_lint,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -6419,8 +6675,13 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
+    "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
+    "rate_anomalies": SQL_RATE_ANOMALIES,
+    "value_drift": SQL_VALUE_DRIFT,
+    "lang_mix_drift": SQL_LANG_MIX_DRIFT,
+    "binlog_lint": SQL_BINLOG_LINT,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

@@ -1,0 +1,279 @@
+"""MySQL row-based binlog dump (`mysqlbinlog --verbose`) source / sink
+over the BINLOG schema — the third mainstream CDC wire format next to
+Debezium JSON (sources/envelope.py) and Postgres test_decoding
+(sources/pgoutput.py).
+
+`mysqlbinlog -v` renders ROW-format events as pseudo-SQL comments::
+
+    # at 4
+    #240101 12:00:00 server id 1  end_log_pos 290 ... Write_rows: table id 108
+    ### INSERT INTO `app`.`docs`
+    ### SET
+    ###   @1='repo/web'
+    ###   @2='doc/1.txt'
+    ...
+    # at 290
+    ### UPDATE `app`.`docs`
+    ### WHERE
+    ###   @1='repo/web'
+    ...
+    ### SET
+    ###   @1='repo/web'
+    ...
+    # at 510
+    ### DELETE FROM `app`.`docs`
+    ### WHERE
+    ###   @1='repo/web'
+    ###   @2='doc/7.txt'
+
+Columns are POSITIONAL (`@1..@n`) — the caller maps them with
+`col_map` (default: the engine's five payload columns in order).
+Values: single-quoted strings with MySQL backslash escapes
+(\\' \\\\ \\n \\r \\0), bare numerics, the literal NULL.
+
+LSN: the `# at N` byte offset preceding each row event — unique and
+monotone WITHIN one binlog file. Offsets restart per file, so
+multi-file dumps embed the file ordinal (the numeric suffix MySQL
+gives binlogs, `binlog.000007`) as ``lsn = seq·2^40 + offset`` —
+per-file order exact, injective across files (the same embedding the
+shard merger uses, pipelines/shards.py). A dump without a numeric
+suffix gets seq 0, so single-file round trips preserve raw offsets.
+
+Events span many lines (statefully framed) → this source parses PER
+FILE, exactly like raw test_decoding.
+
+Reference: grafter.io `statements` coerces any line source into the
+pipeline (io.clj:619-667).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..schemas import BINLOG
+
+ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
+FILE_SEQ_SHIFT = 40  # lsn = file_seq << 40 | byte offset
+
+_AT_RE = re.compile(r"^# at (?P<pos>\d+)\s*$")
+_STMT_RE = re.compile(
+    r"^### (?P<op>INSERT INTO|UPDATE|DELETE FROM) `(?P<db>[^`]+)`\.`(?P<tbl>[^`]+)`\s*$"
+)
+_COL_RE = re.compile(r"^###   @(?P<idx>\d+)=(?P<val>.*?)\s*(?:/\* .*? \*/)?\s*$")
+_SECTION_RE = re.compile(r"^### (?P<sec>SET|WHERE)\s*$")
+_FILE_SEQ_RE = re.compile(r"\.(\d+)$")
+
+_UNESC = {"\\'": "'", "\\\\": "\\", "\\n": "\n", "\\r": "\r", "\\0": "\0", '\\"': '"'}
+
+
+def _unquote(v: str) -> str | None:
+    if v == "NULL":
+        return None
+    if v.startswith("'") and v.endswith("'") and len(v) >= 2:
+        s = v[1:-1]
+        if "\\" not in s:
+            return s
+        out = []
+        i, n = 0, len(s)
+        while i < n:
+            if s[i] == "\\" and i + 1 < n and s[i : i + 2] in _UNESC:
+                out.append(_UNESC[s[i : i + 2]])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+    return v  # bare numeric / hex — kept lexical (BINLOG columns are strings)
+
+
+def file_seq_of(path: str) -> int:
+    m = _FILE_SEQ_RE.search(path.rsplit("/", 1)[-1])
+    return int(m.group(1)) if m else 0
+
+
+def mysqlbinlog_decode(
+    lines,
+    *,
+    file_seq: int = 0,
+    table: str | None = None,
+    col_map: tuple = ROW_FIELDS,
+    on_bad: str = "raise",
+    default_schema_version: int = 0,
+) -> pa.Table:
+    """Decode one verbose-dump FILE's lines → BINLOG-schema table.
+    `table`: restrict to `db.tbl` (None = all). `col_map`: positional
+    @1..@n → column names (None entries skip a position)."""
+    if on_bad not in ("raise", "null_lsn"):
+        raise ValueError(f"unknown on_bad {on_bad!r}")
+    if isinstance(lines, (pa.Array, pa.ChunkedArray)):
+        lines = lines.to_pylist()
+    out = {"lsn": [], "op": [], **{f: [] for f in ROW_FIELDS}, "schema_version": []}
+
+    def bad(line: str, why: str):
+        if on_bad == "raise":
+            raise ValueError(f"malformed mysqlbinlog line ({why}): {line!r}")
+        out["lsn"].append(None)
+        out["op"].append(None)
+        for f in ROW_FIELDS:
+            out[f].append(line if f == "content" else None)
+        out["schema_version"].append(None)
+
+    pos = None  # current "# at" offset
+    rows_in_event = 0  # a Write_rows event can carry several row images
+    cur = None  # dict: op, capture flag, row
+    base = file_seq << FILE_SEQ_SHIFT
+
+    def flush():
+        nonlocal cur
+        if cur is None:
+            return
+        if cur["skip"]:
+            cur = None
+            return
+        if cur["lsn"] is None:
+            bad(cur["stmt_line"], "row event without a preceding '# at' offset")
+            cur = None
+            return
+        out["lsn"].append(cur["lsn"])
+        out["op"].append(cur["op"])
+        for f in ROW_FIELDS:
+            out[f].append(cur["row"].get(f))
+        out["schema_version"].append(default_schema_version)
+        cur = None
+
+    for raw in lines:
+        if raw is None:
+            continue
+        line = raw.lstrip("﻿").rstrip("\r")
+        m = _AT_RE.match(line)
+        if m:
+            flush()
+            pos = int(m.group("pos"))
+            rows_in_event = 0
+            continue
+        m = _STMT_RE.match(line)
+        if m:
+            flush()
+            op = {"INSERT INTO": "upsert", "UPDATE": "upsert", "DELETE FROM": "delete"}[
+                m.group("op")
+            ]
+            full = f"{m.group('db')}.{m.group('tbl')}"
+            cur = {
+                "op": op,
+                "row": {},
+                # several row images can share one event offset: offset +
+                # row index keeps lsns unique (bounded by event size; the
+                # post-parse monotonicity check below catches overflow)
+                "lsn": None if pos is None else (base | pos) + rows_in_event,
+                "capture": m.group("op") != "UPDATE",  # UPDATE: capture after SET only
+                "skip": table is not None and full != table,
+                "stmt_line": line,
+            }
+            rows_in_event += 1
+            continue
+        m = _SECTION_RE.match(line)
+        if m and cur is not None:
+            # DELETE captures WHERE (the key image); INSERT captures SET;
+            # UPDATE captures the SET (after) image, not the WHERE (before)
+            sec = m.group("sec")
+            cur["capture"] = (sec == "SET") if cur["op"] == "upsert" else (sec == "WHERE")
+            continue
+        m = _COL_RE.match(line)
+        if m and cur is not None:
+            if cur["capture"] and not cur["skip"]:
+                idx = int(m.group("idx")) - 1
+                if idx >= len(col_map):
+                    bad(line, f"@{idx + 1} beyond col_map")
+                    continue
+                name = col_map[idx]
+                if name is not None:
+                    cur["row"][name] = _unquote(m.group("val"))
+            continue
+        # anything else (timestamps, BEGIN/COMMIT/*!*/;, DELIMITER noise,
+        # ROLLBACK footer) is dump chrome — ignored
+    flush()
+    live = [x for x in out["lsn"] if x is not None]
+    if len(set(live)) != len(live):
+        raise ValueError(
+            "synthesized LSNs collided (a multi-row event carried more rows "
+            "than the gap to the next event offset) — this dump needs a "
+            "per-row position source"
+        )
+    tb = pa.table(
+        {
+            "lsn": pa.array(out["lsn"], pa.int64()),
+            "op": pa.array(out["op"], pa.string()),
+            **{f: pa.array(out[f], pa.string()) for f in ROW_FIELDS},
+            "schema_version": pa.array(out["schema_version"], pa.int32()),
+        }
+    )
+    return tb.cast(pa.schema(list(BINLOG)))
+
+
+def read_mysqlbinlog(paths, **decode_kwargs):
+    """Verbose-dump files → BINLOG-schema Dataset; one parse task per
+    file (events are multi-line), file ordinal from the name's numeric
+    suffix keeps multi-file LSNs injective."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(
+        lambda tb: pa.concat_tables(
+            [
+                mysqlbinlog_decode(
+                    blob.decode("utf-8", errors="replace").splitlines(),
+                    file_seq=file_seq_of(path),
+                    **decode_kwargs,
+                )
+                for blob, path in zip(tb.column("bytes").to_pylist(), tb.column("path").to_pylist())
+            ]
+        )
+        if tb.num_rows
+        else mysqlbinlog_decode([], **decode_kwargs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode (sink / round-trip harness)
+# ---------------------------------------------------------------------------
+
+
+def _quote(v) -> str:
+    if v is None:
+        return "NULL"
+    s = str(v)
+    for lit, esc in (("\\", "\\\\"), ("'", "\\'"), ("\n", "\\n"), ("\r", "\\r"), ("\0", "\\0")):
+        s = s.replace(lit, esc)
+    return f"'{s}'"
+
+
+def mysqlbinlog_encode(tb: pa.Table, *, table: str = "app.docs") -> pa.Array:
+    """BINLOG rows → verbose-dump lines; `# at <lsn>` carries the row's
+    lsn as the byte offset, so a single-file round trip is lossless.
+    schema_change markers have no row-event form and are refused — keep
+    them on the envelope/pgoutput wire or the parquet binlog."""
+    ops = tb.column("op").to_pylist()
+    if any(op not in ("upsert", "delete") for op in ops):
+        bad = sorted({op for op in ops if op not in ("upsert", "delete")})
+        raise ValueError(f"mysqlbinlog_encode: no row-event form for op {bad!r}")
+    db, tbl = table.split(".", 1)
+    cols = {c: tb.column(c).to_pylist() for c in ("lsn", *ROW_FIELDS)}
+    lines: list[str] = []
+    for i, op in enumerate(ops):
+        lines.append(f"# at {cols['lsn'][i]}")
+        if op == "delete":
+            lines.append(f"### DELETE FROM `{db}`.`{tbl}`")
+            lines.append("### WHERE")
+            for j, f in enumerate(("repo", "path")):
+                lines.append(f"###   @{j + 1}={_quote(cols[f][i])}")
+        else:
+            lines.append(f"### INSERT INTO `{db}`.`{tbl}`")
+            lines.append("### SET")
+            for j, f in enumerate(ROW_FIELDS):
+                lines.append(f"###   @{j + 1}={_quote(cols[f][i])}")
+    lines.append("# End of log file")
+    return pa.array(lines, pa.string())

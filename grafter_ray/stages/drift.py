@@ -1,0 +1,151 @@
+"""Two-sample distribution drift — the Kolmogorov-Smirnov statistic
+over a numeric column, computed distributed and EXACTLY.
+
+Training-data pipelines re-ingest sources continuously; the monitoring
+question is "did this column's distribution move between snapshot A and
+snapshot B?". KS D = max_x |ECDF_A(x) − ECDF_B(x)| answers it without
+binning assumptions.
+
+Exactness discipline: D is compared as the INTEGER numerator
+|ca·n_b − cb·n_a| (ca/cb = cumulative counts at a value boundary), so
+the result and its threshold test carry no float division — the same
+hash-stable trick as q_rate_anomalies, and SQL can reproduce it
+verbatim (window cumsums + a boundary QUALIFY).
+
+Scale shape: ONE range sort of the narrow (value, in_a, in_b)
+projection — the lower bound for any exact ECDF — then the house
+O(blocks)-driver prefix pattern (stages/packing.py, stages/lateness.py):
+per-block partial counts, exclusive prefix sums broadcast as carries,
+one vectorized in-block pass. Ties are evaluated only at value-run
+boundaries (mid-tie cumulatives are order-dependent noise); runs that
+straddle blocks are handled by comparing each block's last value with
+the NEXT block's first value from the same O(blocks) meta.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tvd_drift(ds, cat_col: str, a_col: str):
+    """Categorical drift by total-variation distance:
+    TVD = ½ Σ_c |p_A(c) − p_B(c)|, integer-exact as the numerator
+    Σ_c |ca·n_b − cb·n_a| (= 2·TVD·n_a·n_b). This stage pays ONE
+    grouped-agg exchange and returns the per-category (category, ca,
+    cb) counts — the category space is small by definition, so the
+    caller folds n_a/n_b and the per-category |ca·n_b − cb·n_a| from
+    this table directly (q_lang_mix_drift shows the SQL mirror)."""
+    from ..pipelines.relational import grouped_agg
+
+    def prep(tb: pa.Table) -> pa.Table:
+        a = pc.cast(tb.column(a_col), pa.int64())
+        return pa.table(
+            {
+                "category": tb.column(cat_col),
+                "in_a": a,
+                "in_b": pc.subtract(pa.scalar(1, pa.int64()), a),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(narrow, ["category"], [("ca", "in_a", "sum"), ("cb", "in_b", "sum")])
+
+
+def ks_drift(ds, value_col: str, a_col: str, tiebreak_col: str, threshold_permille: int = 50) -> dict:
+    """Dataset with int 0/1 columns `a_col` (1 = sample A, 0 = sample B)
+    → {n_a, n_b, d_num, is_drift} where d_num = max |ca·n_b − cb·n_a|
+    over value boundaries and is_drift tests
+    D > threshold_permille/1000 in exact integer arithmetic.
+
+    `tiebreak_col` must be UNIQUE per row (an id): it totalizes the sort
+    so every block has a distinct first row to key its prefix carry on —
+    a value-keyed carry would collide when one tie run spans blocks."""
+    import ray
+
+    def prep(tb: pa.Table) -> pa.Table:
+        a = pc.cast(tb.column(a_col), pa.int64())
+        return pa.table(
+            {
+                "v": tb.column(value_col),
+                "tid": pc.cast(tb.column(tiebreak_col), pa.int64()),
+                "in_a": a,
+                "in_b": pc.subtract(pa.scalar(1, pa.int64()), a),
+            }
+        )
+
+    narrow = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["v", "tid"])
+        .materialize()
+    )
+
+    def block_meta(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    "first_v": pa.array([], pa.float64()),
+                    "first_tid": pa.array([], pa.int64()),
+                    "sum_a": pa.array([], pa.int64()),
+                    "sum_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_v": pc.cast(tb.column("v"), pa.float64()).slice(0, 1),
+                "first_tid": tb.column("tid").slice(0, 1),
+                "sum_a": pa.array([pc.sum(tb.column("in_a")).as_py()], pa.int64()),
+                "sum_b": pa.array([pc.sum(tb.column("in_b")).as_py()], pa.int64()),
+            }
+        )
+
+    meta = (
+        narrow.map_batches(block_meta, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per BLOCK
+        .sort_values(["first_v", "first_tid"], kind="stable")
+        .reset_index(drop=True)
+    )
+    n_a = int(meta["sum_a"].sum())
+    n_b = int(meta["sum_b"].sum())
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"both samples must be non-empty (n_a={n_a}, n_b={n_b})")
+    ca_carry = np.concatenate([[0], np.cumsum(meta["sum_a"].to_numpy())[:-1]]).astype(np.int64)
+    cb_carry = np.concatenate([[0], np.cumsum(meta["sum_b"].to_numpy())[:-1]]).astype(np.int64)
+    firsts = meta["first_v"].to_numpy()
+    # the value that FOLLOWS each block (next block's first value; NaN for
+    # the last block → its last row is always a boundary)
+    next_first = np.concatenate([firsts[1:], [np.nan]])
+    carry_ref = ray.put(
+        {
+            int(t): (int(ca), int(cb), float(nf))
+            for t, ca, cb, nf in zip(meta["first_tid"].to_numpy(), ca_carry, cb_carry, next_first)
+        }
+    )
+
+    def block_max(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        v = pc.cast(tb.column("v"), pa.float64()).to_numpy(zero_copy_only=False)
+        ca0, cb0, nf = ray.get(carry_ref)[int(tb.column("tid")[0].as_py())]
+        ca = ca0 + np.cumsum(tb.column("in_a").to_numpy(zero_copy_only=False))
+        cb = cb0 + np.cumsum(tb.column("in_b").to_numpy(zero_copy_only=False))
+        boundary = np.empty(len(v), dtype=bool)
+        boundary[:-1] = v[:-1] != v[1:]
+        boundary[-1] = np.isnan(nf) or v[-1] != nf
+        if not boundary.any():
+            return pa.table({"d": pa.array([], pa.int64())})
+        d = np.abs(ca[boundary] * n_b - cb[boundary] * n_a).max()
+        return pa.table({"d": pa.array([int(d)], pa.int64())})
+
+    parts = narrow.map_batches(
+        block_max, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    d_num = int(parts["d"].max()) if len(parts) else 0
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "d_num": d_num,
+        # D > t/1000  ⇔  1000·d_num > t·n_a·n_b  (exact integers)
+        "is_drift": int(1000 * d_num > threshold_permille * n_a * n_b),
+    }

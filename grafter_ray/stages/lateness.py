@@ -53,6 +53,12 @@ def late_flags(ds, ts_col: str, seq_col: str, lateness_s: float):
     """Dataset → Dataset (seq-sorted) + `behind_us` (int64: microseconds
     the event trails the running high-water mark, 0 if none) + `is_late`
     (bool: behind_us > lateness). All original columns pass through."""
+    return _late_flags_meta(ds, ts_col, seq_col, lateness_s)[0]
+
+
+def _late_flags_meta(ds, ts_col: str, seq_col: str, lateness_s: float):
+    """(flagged Dataset, final high-water mark in us or None) — the mark
+    comes free from the prefix pass's O(blocks) block maxima."""
     import ray
 
     lateness_us = np.int64(round(lateness_s * 1_000_000))
@@ -100,7 +106,8 @@ def late_flags(ds, ts_col: str, seq_col: str, lateness_s: float):
             "is_late", pa.array(behind > lateness_us)
         )
 
-    return ds.map_batches(flag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(flag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return out, (int(maxes.max()) if len(maxes) else None)
 
 
 def windowed_with_lateness(
@@ -110,15 +117,20 @@ def windowed_with_lateness(
     lateness_s: float,
     fmt: str = "%Y-%m-%d %H",
     value_col: str | None = None,
+    window_s: int = 3600,
 ):
     """Tumbling event-time windows with allowed lateness: per bucket,
     counts and value sums over ON-TIME events plus the count of LATE
     arrivals that targeted the bucket (the side-output accounting a
-    beam/flink-style pipeline reports). One grouped-agg exchange after
-    the late_flags prefix scan."""
+    beam/flink-style pipeline reports), and `closed` — 1 once the
+    stream's final watermark (max event time − lateness) passed the
+    bucket end, i.e. no on-time event can ever land in it again (the
+    beam/flink window-finalization trigger). One grouped-agg exchange
+    after the late_flags prefix scan; the watermark comes free from the
+    scan's block maxima."""
     from ..pipelines.relational import grouped_agg
 
-    flagged = late_flags(ds, ts_col, seq_col, lateness_s)
+    flagged, max_ts_us = _late_flags_meta(ds, ts_col, seq_col, lateness_s)
 
     def project(tb: pa.Table) -> pa.Table:
         late = tb.column("is_late")
@@ -138,4 +150,18 @@ def windowed_with_lateness(
     if value_col:
         specs.append((f"sum_{value_col}", "on_time_value", "sum"))
     out = flagged.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_agg(out, ["bucket"], specs)
+    agg = grouped_agg(out, ["bucket"], specs)
+    wm_us = None if max_ts_us is None else max_ts_us - int(round(lateness_s * 1_000_000))
+    win_us = window_s * 1_000_000
+
+    def close(tb: pa.Table) -> pa.Table:
+        start = pc.cast(pc.strptime(tb.column("bucket"), format=fmt, unit="us"), pa.timestamp("us"))
+        start_us = pa.array(_ts_us(start), pa.int64())
+        closed = (
+            pc.less_equal(pc.add(start_us, pa.scalar(win_us, pa.int64())), pa.scalar(wm_us, pa.int64()))
+            if wm_us is not None
+            else pa.array(np.zeros(tb.num_rows, bool))
+        )
+        return tb.append_column("closed", pc.cast(closed, pa.int64()))
+
+    return agg.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)

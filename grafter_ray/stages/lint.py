@@ -1,0 +1,179 @@
+"""Binlog feed lint — audit the invariants replay correctness rests on
+BEFORE applying a foreign feed.
+
+The engine's exactly-once LWW apply assumes (pipelines/replay.py:21-24):
+unique LSNs (ties would make the per-key winner ambiguous), a known op
+vocabulary, and non-null keys on replayable events. A feed handed over
+from someone else's connector deserves a cheap audit of exactly those
+invariants, plus the gap census (a hole in the LSN range usually means
+a lost wire chunk — compaction legitimately leaves gaps, so gaps are
+reported, not failed).
+
+Scale shape: one narrow (lsn) range sort + the house O(blocks)-driver
+carry pattern for adjacent-pair checks across block boundaries
+(stages/packing.py lineage); op/key counts fold map-side in the same
+pass over the unsorted stream (no second exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNOWN_OPS = ("upsert", "delete", "schema_change")
+
+
+def lint_binlog(source) -> dict:
+    """Parquet path or BINLOG Dataset → audit report:
+    {n_events, lsn_min, lsn_max, n_null_lsn, n_dup_lsn, n_gaps,
+     largest_gap, n_unknown_op, n_null_key, ok}. `ok` means replayable
+    as-is: no duplicate/null LSNs, no unknown ops, no null keys on
+    upsert/delete rows (gaps only lower throughput expectations)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import coalesced_read_parquet
+
+    ds = coalesced_read_parquet(source, columns=["lsn", "op", "repo", "path"]) if isinstance(
+        source, str
+    ) else ds_select(source)
+
+    def counts(tb: pa.Table) -> pa.Table:
+        op = tb.column("op")
+        known = pc.is_in(op, value_set=pa.array(list(KNOWN_OPS)))
+        replayable = pc.is_in(op, value_set=pa.array(["upsert", "delete"]))
+        null_key = pc.and_(
+            pc.fill_null(replayable, False),
+            pc.or_(pc.is_null(tb.column("repo")), pc.is_null(tb.column("path"))),
+        )
+        return pa.table(
+            {
+                "n": pa.array([tb.num_rows], pa.int64()),
+                "n_null_lsn": pa.array([tb.column("lsn").null_count], pa.int64()),
+                "n_unknown_op": pa.array(
+                    [tb.num_rows - pc.sum(pc.cast(pc.fill_null(known, False), pa.int64())).as_py()],
+                    pa.int64(),
+                ),
+                "n_null_key": pa.array(
+                    [pc.sum(pc.cast(null_key, pa.int64())).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    c = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas().sum()
+
+    def lsn_only(tb: pa.Table) -> pa.Table:
+        col = pc.cast(tb.column("lsn"), pa.int64())
+        return pa.table({"lsn": col}).filter(pc.is_valid(col))
+
+    lsns = ds.map_batches(lsn_only, batch_format="pyarrow", zero_copy_batch=True).sort("lsn").materialize()
+
+    def block_meta(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()), "last": pa.array([], pa.int64())})
+        a = tb.column("lsn")
+        return pa.table({"first": a.slice(0, 1), "last": a.slice(tb.num_rows - 1, 1)})
+
+    meta = (
+        lsns.map_batches(block_meta, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["first", "last"])
+        .reset_index(drop=True)
+    )
+    if len(meta) == 0:
+        return {
+            "n_events": int(c["n"]),
+            "lsn_min": None,
+            "lsn_max": None,
+            "n_null_lsn": int(c["n_null_lsn"]),
+            "n_dup_lsn": 0,
+            "n_gaps": 0,
+            "largest_gap": 0,
+            "n_unknown_op": int(c["n_unknown_op"]),
+            "n_null_key": int(c["n_null_key"]),
+            "ok": int(c["n_null_lsn"]) == 0
+            and int(c["n_unknown_op"]) == 0
+            and int(c["n_null_key"]) == 0,
+        }
+    # carry: the PREVIOUS block's last lsn, keyed by this block's first —
+    # block firsts can tie only when a duplicate lsn straddles blocks, so
+    # key by (first, occurrence index) via a cumulative disambiguator
+    firsts = meta["first"].to_numpy()
+    lasts = meta["last"].to_numpy()
+    prev_last = np.concatenate([[np.iinfo(np.int64).min], lasts[:-1]]).astype(np.int64)
+    order = {}
+    carries: dict[tuple, int] = {}
+    for f, p in zip(firsts, prev_last):
+        k = order.get(int(f), 0)
+        order[int(f)] = k + 1
+        carries[(int(f), k)] = int(p)
+    carry_ref = ray.put(carries)
+
+    class _Adj:
+        """Stateful per-actor occurrence counter keyed by block first
+        (concurrency 1). Delivery order among blocks with TIED firsts is
+        not guaranteed — but tied firsts hand out the same multiset of
+        carries whichever way they're assigned, so the aggregate
+        dup/gap counts are order-independent. The pass is O(blocks)
+        boundary pairs + in-block vectorized diffs; one actor is not a
+        bottleneck."""
+
+        def __init__(self):
+            self.occ: dict[int, int] = {}
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return pa.table(
+                    {"dups": pa.array([], pa.int64()), "gaps": pa.array([], pa.int64()), "maxgap": pa.array([], pa.int64())}
+                )
+            a = tb.column("lsn").to_numpy(zero_copy_only=False)
+            first = int(a[0])
+            k = self.occ.get(first, 0)
+            self.occ[first] = k + 1
+            prev = ray.get(carry_ref).get((first, k), np.iinfo(np.int64).min)
+            full = np.concatenate([[prev], a])
+            d = np.diff(full)
+            if full[0] == np.iinfo(np.int64).min:
+                d = d[1:]  # no predecessor for the global first block
+            dups = int((d == 0).sum())
+            gaps = int((d > 1).sum())
+            maxgap = int(d.max() - 1) if len(d) and d.max() > 1 else 0
+            return pa.table(
+                {
+                    "dups": pa.array([dups], pa.int64()),
+                    "gaps": pa.array([gaps], pa.int64()),
+                    "maxgap": pa.array([maxgap], pa.int64()),
+                }
+            )
+
+    adj = lsns.map_batches(
+        _Adj, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, concurrency=1
+    ).to_pandas()
+    n_dup = int(adj["dups"].sum())
+    n_gaps = int(adj["gaps"].sum())
+    report = {
+        "n_events": int(c["n"]),
+        "lsn_min": int(firsts.min()),
+        "lsn_max": int(lasts.max()),
+        "n_null_lsn": int(c["n_null_lsn"]),
+        "n_dup_lsn": n_dup,
+        "n_gaps": n_gaps,
+        "largest_gap": int(adj["maxgap"].max()) if len(adj) else 0,
+        "n_unknown_op": int(c["n_unknown_op"]),
+        "n_null_key": int(c["n_null_key"]),
+    }
+    report["ok"] = (
+        report["n_null_lsn"] == 0
+        and report["n_dup_lsn"] == 0
+        and report["n_unknown_op"] == 0
+        and report["n_null_key"] == 0
+    )
+    return report
+
+
+def ds_select(ds):
+    def f(tb: pa.Table) -> pa.Table:
+        return tb.select(["lsn", "op", "repo", "path"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

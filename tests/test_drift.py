@@ -1,0 +1,108 @@
+"""KS drift statistic (stages/drift.py): integer-exact differential vs
+DuckDB's window-cumsum closed form, tie-run-across-blocks conformance,
+planted drift detection, block-layout invariance."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.drift import ks_drift
+
+
+def _oracle_d_num(tb: pa.Table) -> int:
+    con = duckdb.connect()
+    con.register("s", tb)
+    return con.execute(
+        """
+        WITH o AS (
+          SELECT v,
+                 sum(in_a) OVER (ORDER BY v, tid ROWS UNBOUNDED PRECEDING) AS ca,
+                 sum(1 - in_a) OVER (ORDER BY v, tid ROWS UNBOUNDED PRECEDING) AS cb,
+                 lead(v) OVER (ORDER BY v, tid) AS nv
+          FROM s),
+        t AS (SELECT (SELECT sum(in_a) FROM s) AS na, (SELECT sum(1 - in_a) FROM s) AS nb)
+        SELECT max(abs(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t)))
+        FROM o WHERE nv IS NULL OR v <> nv"""
+    ).fetchone()[0]
+
+
+def _tb(va: np.ndarray, vb: np.ndarray) -> pa.Table:
+    v = np.concatenate([va, vb])
+    a = np.concatenate([np.ones(len(va), np.int64), np.zeros(len(vb), np.int64)])
+    return pa.table(
+        {
+            "v": pa.array(v.astype(np.float64)),
+            "in_a": pa.array(a),
+            "tid": pa.array(np.arange(len(v), dtype=np.int64)),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed,na,nb,blocks", [(1, 800, 1200, 7), (2, 3000, 500, 3), (3, 64, 64, 1)])
+def test_differential_vs_duckdb(seed, na, nb, blocks):
+    rng = np.random.default_rng(seed)
+    # coarse integer values force heavy ties
+    tb = _tb(rng.integers(0, 40, na).astype(float), rng.integers(0, 40, nb).astype(float))
+    got = ks_drift(rd.from_arrow(tb).repartition(blocks), "v", "in_a", "tid")
+    assert got["d_num"] == int(_oracle_d_num(tb))
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+
+
+def test_tie_run_spanning_blocks():
+    # one giant tie run across many tiny blocks: identical distributions
+    va = np.full(500, 7.0)
+    vb = np.full(500, 7.0)
+    tb = _tb(va, vb)
+    got = ks_drift(rd.from_arrow(tb).repartition(25), "v", "in_a", "tid")
+    assert got["d_num"] == 0 and got["is_drift"] == 0
+
+
+def test_planted_drift_detected():
+    rng = np.random.default_rng(5)
+    va = rng.normal(0.0, 1.0, 2000)
+    vb = rng.normal(0.8, 1.0, 2000)  # shifted → D ≈ 0.3 ≫ 0.05
+    got = ks_drift(rd.from_arrow(_tb(va, vb)).repartition(9), "v", "in_a", "tid")
+    assert got["is_drift"] == 1
+    same = ks_drift(rd.from_arrow(_tb(va, va + 0.0)).repartition(9), "v", "in_a", "tid")
+    # identical samples interleave tightly; D stays under the threshold
+    assert same["is_drift"] == 0
+
+
+def test_block_layout_invariance():
+    rng = np.random.default_rng(11)
+    tb = _tb(rng.integers(0, 25, 900).astype(float), rng.integers(0, 25, 700).astype(float))
+    outs = [ks_drift(rd.from_arrow(tb).repartition(b), "v", "in_a", "tid") for b in (1, 4, 30)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_empty_sample_raises():
+    tb = _tb(np.array([1.0, 2.0]), np.array([], dtype=float))
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_drift(rd.from_arrow(tb), "v", "in_a", "tid")
+
+
+def test_tvd_drift_counts():
+    import pyarrow.compute as pc
+
+    from grafter_ray.stages.drift import tvd_drift
+
+    tb = pa.table(
+        {
+            "lang": pa.array(["en"] * 6 + ["de"] * 2 + ["en"] * 3 + ["fr"] * 3),
+            "in_a": pa.array([1] * 8 + [0] * 6, pa.int64()),
+        }
+    )
+    out = (
+        tvd_drift(rd.from_arrow(tb).repartition(3), "lang", "in_a")
+        .to_pandas()
+        .set_index("category")
+    )
+    assert out.loc["en", "ca"] == 6 and out.loc["en", "cb"] == 3
+    assert out.loc["de", "ca"] == 2 and out.loc["de", "cb"] == 0
+    assert out.loc["fr", "ca"] == 0 and out.loc["fr", "cb"] == 3
+    na, nb = out["ca"].sum(), out["cb"].sum()
+    d_num = (out["ca"] * nb - out["cb"] * na).abs().sum()
+    # 2*TVD*na*nb: TVD = 0.5*(|6/8-3/6| + |2/8-0| + |0-3/6|) = 0.5
+    assert d_num == 2 * 0.5 * na * nb

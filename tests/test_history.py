@@ -168,3 +168,80 @@ def test_cli_history_sync(tmp_path, capsys):
     # resubmit → exactly-once no-op
     out2 = run(["history-sync", "--binlog", str(bdir), "--history", hist, "--partitions", "8"])
     assert out2["version"] == out["version"]
+
+
+def test_compact_preserves_history(tmp_path):
+    cfg = BinlogConfig(n_events=2400, n_keys=150, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), window_size=300)  # 8 windows of closed files
+    before = _hist_df(lake)
+    n_closed_files = sum(len(e.get("closed", [])) for e in lake.manifest["partitions"].values())
+    assert n_closed_files > 4  # per-window fan-out actually happened
+    m = lake.compact()
+    after_files = sum(len(e.get("closed", [])) for e in m["partitions"].values())
+    assert after_files <= 4
+    assert _hist_df(lake).equals(before)
+    # compacting twice is a no-op (manifest version unchanged)
+    assert lake.compact()["version"] == m["version"]
+    # and the lake still resumes exactly-once after compaction
+    assert lake.apply(_as_ds(binlog))["version"] == m["version"]
+
+
+def test_check_against_lake(tmp_path):
+    import pyarrow.parquet as pq
+
+    from grafter_ray import CDCLake
+
+    cfg = BinlogConfig(n_events=1800, n_keys=120, n_repos=5, schema_every=600)
+    binlog = binlog_table(cfg)
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    pq.write_table(binlog, str(bdir / "part0.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    lake.apply(str(bdir))
+    hist = HistoryLake(str(tmp_path / "hist"), num_partitions=8)
+    hist.apply(str(bdir))
+    rep = hist.check_against_lake(lake)
+    assert rep["ok"] and rep["mismatches"] == 0
+    assert rep["keys_checked"] == lake.read_table(view=False).num_rows
+
+    # corrupt one open-version row → detected with an example key
+    m = hist.manifest
+    pid, e = next((p, e) for p, e in m["partitions"].items() if e["rows_open"])
+    f = str(tmp_path / "hist" / "data" / e["open_file"])
+    t = pq.read_table(f)
+    shas = t.column("content_sha").to_pylist()
+    shas[0] = "0" * 64
+    t = t.set_column(t.schema.get_field_index("content_sha"), "content_sha", pa.array(shas))
+    pq.write_table(t, f)
+    rep2 = hist.check_against_lake(lake)
+    assert not rep2["ok"] and rep2["mismatches"] == 1 and len(rep2["examples"]) == 1
+
+    # watermark mismatch refuses to audit
+    import pytest as _pytest
+
+    hist2 = HistoryLake(str(tmp_path / "hist2"), num_partitions=8)
+    hist2.apply(str(bdir), upto_lsn=900)
+    with _pytest.raises(ValueError, match="watermarks differ"):
+        hist2.check_against_lake(lake)
+
+
+def test_expire_retention(tmp_path):
+    cfg = BinlogConfig(n_events=2000, n_keys=130, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), window_size=500)
+    before = _hist_df(lake)
+    horizon = 800
+    m = lake.expire(horizon)
+    after = _hist_df(lake)
+    # exactly the closures ending ≤ horizon are gone; opens untouched
+    keep = before[(before["valid_to"].isna()) | (before["valid_to"] > horizon)].reset_index(drop=True)
+    assert after.equals(keep)
+    assert m["counters"]["expired"] == len(before) - len(keep)
+    assert m["counters"]["versions_open"] == int(before["valid_to"].isna().sum())
+    # idempotent: nothing else expires at the same horizon
+    assert lake.expire(horizon)["version"] == m["version"]
+    # recent time travel still works; watermark and resume untouched
+    assert lake.apply(_as_ds(binlog))["version"] == m["version"]

@@ -117,3 +117,24 @@ def test_windowed_with_lateness_vs_duckdb():
     assert got["bucket"].tolist() == want["bucket"].tolist()
     for c in ("n_on_time", "n_late", "sum_v"):
         assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+
+def test_window_close_trigger():
+    # 10 hours of events, lateness 1h: every bucket whose end precedes
+    # (max ts - 1h) is closed; the last two hours can still change
+    n = 600
+    ts = EPOCH + np.arange(n, dtype=np.int64) * np.timedelta64(60_000_000, "us")  # 1/min
+    tb = pa.table(
+        {"seq": pa.array(np.arange(n, dtype=np.int64)), "ts": pa.array(ts, pa.timestamp("us")),
+         "v": pa.array(np.ones(n, np.int64))}
+    )
+    out = (
+        windowed_with_lateness(rd.from_arrow(tb).repartition(3), "ts", "seq", lateness_s=3600, value_col="v")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 10
+    # max ts = 09:59; watermark = 08:59 → buckets 00..07 closed, 08/09 open
+    assert out["closed"].tolist() == [1] * 8 + [0, 0]
+    assert out["n_on_time"].sum() == n

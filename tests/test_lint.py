@@ -1,0 +1,106 @@
+"""Binlog lint (stages/lint.py): clean feeds pass, every violated
+invariant is counted exactly, gaps report without failing, and
+block-boundary dups/gaps are caught."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, binlog_table
+from grafter_ray.stages.lint import lint_binlog
+
+
+def _feed(lsns, ops=None, repos=None):
+    n = len(lsns)
+    return pa.table(
+        {
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": pa.array(ops or ["upsert"] * n),
+            "repo": pa.array(repos or ["r"] * n),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+        }
+    )
+
+
+def test_clean_fixture_feed(tmp_path):
+    cfg = BinlogConfig(n_events=3000, n_keys=200, n_repos=5, schema_every=500)
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    pq.write_table(binlog_table(cfg), str(bdir / "p0.parquet"))
+    rep = lint_binlog(str(bdir))
+    assert rep["ok"]
+    assert rep["n_events"] == 3000
+    assert (rep["lsn_min"], rep["lsn_max"]) == (0, 2999)
+    assert rep["n_gaps"] == rep["n_dup_lsn"] == 0
+
+
+def test_dups_gaps_counted_across_blocks():
+    # 0..49, then a gap to 100, a duplicate 100, then 101
+    lsns = list(range(50)) + [100, 100, 101]
+    rep = lint_binlog(rd.from_arrow(_feed(lsns)).repartition(7))
+    assert rep["n_dup_lsn"] == 1
+    assert rep["n_gaps"] == 1 and rep["largest_gap"] == 50
+    assert not rep["ok"]
+
+
+def test_tie_run_spanning_blocks_counts_all_dups():
+    rep = lint_binlog(rd.from_arrow(_feed([5] * 40)).repartition(10))
+    assert rep["n_dup_lsn"] == 39 and not rep["ok"]
+
+
+def test_unknown_op_null_key_null_lsn():
+    tb = pa.table(
+        {
+            "lsn": pa.array([1, 2, None, 4], pa.int64()),
+            "op": pa.array(["upsert", "frobnicate", "upsert", "delete"]),
+            "repo": pa.array(["r", "r", "r", None]),
+            "path": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    rep = lint_binlog(rd.from_arrow(tb))
+    assert rep["n_null_lsn"] == 1
+    assert rep["n_unknown_op"] == 1
+    assert rep["n_null_key"] == 1  # the delete with a null repo
+    assert not rep["ok"]
+
+
+def test_schema_change_rows_need_no_key():
+    tb = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["schema_change", "upsert"]),
+            "repo": pa.array([None, "r"]),
+            "path": pa.array([None, "p"]),
+        }
+    )
+    rep = lint_binlog(rd.from_arrow(tb))
+    assert rep["ok"] and rep["n_null_key"] == 0
+
+
+def test_compaction_gaps_report_but_pass():
+    # compacted feeds legitimately skip lsns — gaps never fail the lint
+    rep = lint_binlog(rd.from_arrow(_feed([0, 5, 9, 20])).repartition(2))
+    assert rep["ok"] and rep["n_gaps"] == 3 and rep["largest_gap"] == 10
+
+
+def test_cli_lint(tmp_path, capsys):
+    import json as _json
+
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=800, n_keys=60, n_repos=4, schema_every=200)
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    pq.write_table(binlog_table(cfg), str(bdir / "p0.parquet"))
+    assert main(["lint", "--binlog", str(bdir)]) == 0
+    out = _json.loads([l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1])
+    assert out["ok"] and out["n_events"] == 800
+
+    # a duplicated file makes every lsn a dup → exit 1
+    import shutil
+
+    shutil.copy(str(bdir / "p0.parquet"), str(bdir / "p1.parquet"))
+    assert main(["lint", "--binlog", str(bdir)]) == 1
+    out = _json.loads([l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1])
+    assert out["n_dup_lsn"] == 800 and not out["ok"]

@@ -1,0 +1,197 @@
+"""mysqlbinlog --verbose wire format (sources/mysqlbinlog.py): golden
+parses, escapes, multi-row events, multi-file LSN embedding, table
+filter, round trip, and the per-file Dataset reader."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.schemas import BINLOG
+from grafter_ray.sources.mysqlbinlog import (
+    FILE_SEQ_SHIFT,
+    file_seq_of,
+    mysqlbinlog_decode,
+    mysqlbinlog_encode,
+    read_mysqlbinlog,
+)
+
+DUMP = [
+    "/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=1*/;",
+    "# at 4",
+    "#240101 12:00:00 server id 1  end_log_pos 126 CRC32 0x1234  Start: binlog v 4",
+    "BEGIN",
+    "/*!*/;",
+    "# at 290",
+    "#240101 12:00:01 server id 1  end_log_pos 410  Write_rows: table id 108 flags: STMT_END_F",
+    "### INSERT INTO `app`.`docs`",
+    "### SET",
+    "###   @1='repo/web'",
+    "###   @2='doc/1.txt'",
+    "###   @3='abc123'",
+    "###   @4='en'",
+    "###   @5='hello \\'world\\'\\nline two'",
+    "# at 410",
+    "### UPDATE `app`.`docs`",
+    "### WHERE",
+    "###   @1='repo/web'",
+    "###   @2='doc/1.txt'",
+    "### SET",
+    "###   @1='repo/web'",
+    "###   @2='doc/1.txt'",
+    "###   @3='abc124'",
+    "###   @4=NULL",
+    "###   @5='updated'",
+    "# at 510",
+    "### DELETE FROM `app`.`docs`",
+    "### WHERE",
+    "###   @1='repo/web'",
+    "###   @2='doc/1.txt'",
+    "COMMIT/*!*/;",
+    "# End of log file",
+]
+
+
+def test_golden_dump():
+    tb = mysqlbinlog_decode(DUMP)
+    assert tb.column("op").to_pylist() == ["upsert", "upsert", "delete"]
+    assert tb.column("lsn").to_pylist() == [290, 410, 510]
+    assert tb.column("content").to_pylist()[0] == "hello 'world'\nline two"
+    # UPDATE takes the after image; NULL decodes to null
+    assert tb.column("commit").to_pylist()[1] == "abc124"
+    assert tb.column("lang").to_pylist()[1] is None
+    # DELETE carries the key only
+    assert tb.column("content").to_pylist()[2] is None
+    assert tb.column("path").to_pylist() == ["doc/1.txt"] * 3
+
+
+def test_multi_row_event_offsets():
+    lines = [
+        "# at 100",
+        "### INSERT INTO `a`.`t`",
+        "### SET",
+        "###   @1='r1'",
+        "###   @2='p1'",
+        "### INSERT INTO `a`.`t`",
+        "### SET",
+        "###   @1='r2'",
+        "###   @2='p2'",
+        "# at 300",
+        "### INSERT INTO `a`.`t`",
+        "### SET",
+        "###   @1='r3'",
+        "###   @2='p3'",
+    ]
+    tb = mysqlbinlog_decode(lines)
+    assert tb.column("lsn").to_pylist() == [100, 101, 300]
+    assert tb.column("repo").to_pylist() == ["r1", "r2", "r3"]
+
+
+def test_table_filter():
+    lines = [
+        "# at 10",
+        "### INSERT INTO `a`.`other`",
+        "### SET",
+        "###   @1='x'",
+        "### INSERT INTO `a`.`t`",
+        "### SET",
+        "###   @1='keep'",
+        "###   @2='p'",
+    ]
+    tb = mysqlbinlog_decode(lines, table="a.t")
+    assert tb.column("repo").to_pylist() == ["keep"]
+    assert tb.column("lsn").to_pylist() == [11]  # consumed its in-event slot
+
+
+def test_event_without_offset_and_quarantine():
+    lines = ["### INSERT INTO `a`.`t`", "### SET", "###   @1='x'"]
+    with pytest.raises(ValueError, match="without a preceding"):
+        mysqlbinlog_decode(lines)
+    tb = mysqlbinlog_decode(lines, on_bad="null_lsn")
+    assert tb.column("lsn").to_pylist() == [None]
+
+
+def test_file_seq_embedding():
+    assert file_seq_of("binlog.000007") == 7
+    assert file_seq_of("dump.sql") == 0
+    lines = ["# at 4", "### INSERT INTO `a`.`t`", "### SET", "###   @1='x'", "###   @2='y'"]
+    tb = mysqlbinlog_decode(lines, file_seq=7)
+    assert tb.column("lsn").to_pylist() == [(7 << FILE_SEQ_SHIFT) + 4]
+
+
+def _binlog_sample(n: int = 30) -> pa.Table:
+    ops = ["delete" if i % 6 == 0 else "upsert" for i in range(n)]
+    texts = ["a 'quoted'\nnewline", "back\\slash", None, "plain"]
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64) * 7 + 11),
+            "op": pa.array(ops),
+            "repo": pa.array([f"repo/{i % 3}" for i in range(n)]),
+            "path": pa.array([f"doc/{i}.txt" for i in range(n)]),
+            "commit": pa.array([f"c{i:03d}" for i in range(n)]),
+            "lang": pa.array(["en" if i % 2 else None for i in range(n)]),
+            "content": pa.array([texts[i % 4] for i in range(n)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    ).cast(pa.schema(list(BINLOG)))
+
+
+def test_round_trip():
+    tb = _binlog_sample()
+    back = mysqlbinlog_decode(mysqlbinlog_encode(tb).to_pylist())
+    assert back.column("lsn").to_pylist() == tb.column("lsn").to_pylist()
+    assert back.column("op").to_pylist() == tb.column("op").to_pylist()
+    for i, op in enumerate(tb.column("op").to_pylist()):
+        fields = ("repo", "path", "commit", "lang", "content") if op == "upsert" else ("repo", "path")
+        for f in fields:
+            assert back.column(f)[i].as_py() == tb.column(f)[i].as_py(), (f, i)
+
+
+def test_encode_refuses_schema_change():
+    tb = _binlog_sample(3)
+    tb = tb.set_column(1, "op", pa.array(["upsert", "schema_change", "delete"]))
+    with pytest.raises(ValueError, match="no row-event form"):
+        mysqlbinlog_encode(tb)
+
+
+def test_read_multi_file(tmp_path):
+    tb = _binlog_sample(20)
+    half = tb.slice(0, 10), tb.slice(10)
+    for i, part in enumerate(half):
+        (tmp_path / f"binlog.{i + 1:06d}").write_text(
+            "\n".join(mysqlbinlog_encode(part).to_pylist()) + "\n"
+        )
+    ds = read_mysqlbinlog([str(tmp_path / "binlog.000001"), str(tmp_path / "binlog.000002")])
+    got = pa.Table.from_pandas(ds.to_pandas().sort_values("lsn").reset_index(drop=True))
+    assert got.num_rows == 20
+    want = sorted(
+        (int(l) + ((i // 10 + 1) << FILE_SEQ_SHIFT))
+        for i, l in enumerate(tb.column("lsn").to_pylist())
+    )
+    assert got.column("lsn").to_pylist() == want
+
+
+def test_cli_replay_mysql_format(tmp_path, capsys):
+    import json as _json
+
+    from grafter_ray import BinlogConfig, binlog_table, oracle_view_table
+    from grafter_ray.__main__ import main
+
+    cfg = BinlogConfig(n_events=1500, n_keys=110, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    dump = tmp_path / "dumps"
+    dump.mkdir()
+    (dump / "binlog.000001").write_text("\n".join(mysqlbinlog_encode(binlog).to_pylist()) + "\n")
+    lake = str(tmp_path / "lake")
+
+    def run(argv):
+        assert main(argv) == 0
+        out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+        return _json.loads(out[-1])
+
+    out = run(["replay", "--binlog", str(dump), "--format", "mysql",
+               "--lake", lake, "--partitions", "8"])
+    assert out["lake_rows"] == oracle_view_table(binlog).num_rows
+    out2 = run(["replay", "--binlog", str(dump), "--format", "mysql",
+                "--lake", lake, "--partitions", "8"])
+    assert out2["events_applied"] == 0 and out2["version"] == out["version"]

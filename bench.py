@@ -158,6 +158,7 @@ QUERY_SUBSET = [
     "lang_mix_drift",
     "binlog_lint",
     "cdc_mysql_replay",
+    "cdc_ops_pipeline",
 ]
 
 

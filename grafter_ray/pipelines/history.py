@@ -413,6 +413,96 @@ class HistoryLake:
             "examples": examples[:max_examples],
         }
 
+    def bootstrap(self, lake) -> dict:
+        """Adopt SCD2 maintenance for an EXISTING lake whose earlier
+        binlog is gone (the snapshot→streaming handoff, mirroring
+        CDCLake.bootstrap): seed the open set from the lake's current
+        rows (valid_from = last_lsn, content_sha taken from the lake —
+        payloads never read), NO closures (pre-adoption history is
+        unknowable by construction), watermark = the lake's. apply()
+        then continues from the binlog tail exactly-once."""
+        if self.manifest is not None:
+            raise ValueError("bootstrap requires an empty history lake")
+        from ..util import partition_ids
+
+        num_partitions = self.num_partitions
+        data_dir = self.data_dir
+        version = 1
+
+        def project(tb: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "pid": partition_ids(tb.column("repo"), tb.column("path"), num_partitions),
+                    "repo": tb.column("repo"),
+                    "path": tb.column("path"),
+                    "valid_from": pc.cast(tb.column("last_lsn"), pa.int64()),
+                    "valid_to": pa.nulls(tb.num_rows, pa.int64()),
+                    "commit": tb.column("commit"),
+                    "lang": tb.column("lang"),
+                    "content_sha": tb.column("content_sha"),
+                    "__max_lsn": pc.cast(tb.column("last_lsn"), pa.int64()),
+                }
+            )
+
+        def write_open(tb: pa.Table) -> pa.Table:
+            from ..stages.grouped import key_segments
+
+            meta = {"pid": [], "open_file": [], "rows_open": [], "max_lsn": []}
+            if tb.num_rows:
+                starts, ends = key_segments(tb, ["pid"])
+                for s, e in zip(starts, ends):
+                    part = tb.slice(s, e - s)
+                    pid = int(part.column("pid")[0].as_py())
+                    fn = f"open-v{version:06d}-p{pid:06d}.parquet"
+                    body = part.drop_columns(["pid", "__max_lsn"]).sort_by(
+                        [("repo", "ascending"), ("path", "ascending")]
+                    )
+                    pq.write_table(body.cast(HIST_SCHEMA), os.path.join(data_dir, fn))
+                    meta["pid"].append(pid)
+                    meta["open_file"].append(fn)
+                    meta["rows_open"].append(part.num_rows)
+                    meta["max_lsn"].append(int(pc.max(part.column("__max_lsn")).as_py()))
+            return pa.table(
+                {
+                    "pid": pa.array(meta["pid"], pa.int64()),
+                    "open_file": pa.array(meta["open_file"], pa.string()),
+                    "rows_open": pa.array(meta["rows_open"], pa.int64()),
+                    "max_lsn": pa.array(meta["max_lsn"], pa.int64()),
+                }
+            )
+
+        with self.log.writer_lock("history-bootstrap"):
+            rows = (
+                lake.read(view=False)
+                .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+                .sort("pid")
+                .map_batches(write_open, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+                .to_pandas()
+            )
+            parts = {
+                str(int(r.pid)): {
+                    "open_file": r.open_file,
+                    "rows_open": int(r.rows_open),
+                    "closed": [],
+                    "rows_closed": 0,
+                    "max_lsn": int(r.max_lsn),
+                }
+                for r in rows.itertuples(index=False)
+            }
+            manifest = {
+                "version": version,
+                "watermark_lsn": int(lake.watermark),
+                "num_partitions": num_partitions,
+                "partitions": parts,
+                "counters": {
+                    "versions_closed": 0,
+                    "versions_open": int(sum(e["rows_open"] for e in parts.values())),
+                },
+                "parent": 0,
+            }
+            self.log.commit(manifest)
+        return manifest
+
     def expire(self, before_lsn: int) -> dict:
         """Retention: drop every CLOSED version whose validity ended at
         or before `before_lsn` (compliance deletion / cost control for

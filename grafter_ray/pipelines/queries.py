@@ -3133,6 +3133,55 @@ FROM documents WHERE doc_id % 7 <> 0
 """
 
 
+def q_cdc_ops_pipeline(sf_dir: str):
+    """The CDC OPS CAPSTONE — the full operational loop a production
+    ingest runs, composed and oracle-gated end to end: (1) lint the
+    feed (stages/lint.py — must be replayable as-is), (2) replay it
+    into the converged lake (pipelines/replay.py), (3) maintain the
+    SCD2 history incrementally in two windows (pipelines/history.py),
+    (4) cross-audit history open set ≡ lake current state, then return
+    the validity intervals with the audit verdict stamped on every row.
+    The hash gate covers the intervals AND the audit bit — a silent
+    divergence anywhere in the loop flips the oracle."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.lint import lint_binlog
+    from .history import HistoryLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    lint = lint_binlog(binlog)
+    if not lint["ok"]:
+        raise ValueError(f"feed failed lint: {lint}")
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        hist = HistoryLake(f"{tmp}/hist", num_partitions=32)
+        hist.apply(binlog, upto_lsn=2 * n_docs - 1)
+        hist.apply(binlog, upto_lsn=3 * n_docs)
+        audit = hist.check_against_lake(lake)
+        tb = hist.read_table()
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "valid_from": tb.column("valid_from"),
+                "valid_to": tb.column("valid_to"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "audit_ok": pa.array([int(audit["ok"])] * tb.num_rows, pa.int64()),
+            }
+        )
+
+
+SQL_CDC_OPS_PIPELINE = SQL_SCD2_SYNC_HISTORY.replace(
+    "SELECT repo, path, lsn AS valid_from, valid_to, commit_id, lang, content_sha",
+    "SELECT repo, path, lsn AS valid_from, valid_to, commit_id, lang, content_sha,\n"
+    "       CAST(1 AS BIGINT) AS audit_ok",
+)
+
+
 def q_sharded_feed_merge(sf_dir: str):
     """Sharded upstream ingest (pipelines/shards.py): the deterministic
     documents binlog split into TWO key-partitioned shard feeds (doc id
@@ -6516,6 +6565,7 @@ QUERIES = {
     "value_drift": q_value_drift,
     "lang_mix_drift": q_lang_mix_drift,
     "binlog_lint": q_binlog_lint,
+    "cdc_ops_pipeline": q_cdc_ops_pipeline,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -6682,6 +6732,7 @@ ORACLE_SQL = {
     "value_drift": SQL_VALUE_DRIFT,
     "lang_mix_drift": SQL_LANG_MIX_DRIFT,
     "binlog_lint": SQL_BINLOG_LINT,
+    "cdc_ops_pipeline": SQL_CDC_OPS_PIPELINE,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

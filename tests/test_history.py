@@ -245,3 +245,56 @@ def test_expire_retention(tmp_path):
     assert lake.expire(horizon)["version"] == m["version"]
     # recent time travel still works; watermark and resume untouched
     assert lake.apply(_as_ds(binlog))["version"] == m["version"]
+
+
+def test_bootstrap_then_tail(tmp_path):
+    """Adopting history from a lake snapshot, then following the binlog
+    tail: intervals equal the closed form over (snapshot-as-upserts ∪
+    tail events) — pre-adoption history is absent by construction."""
+    import pyarrow.parquet as pq
+
+    from grafter_ray import CDCLake
+
+    # schema-stable feed: the snapshot oracle below reads the view
+    # columns, which evolve under schema_change markers (the history
+    # lake itself stores canonical base columns either way)
+    cfg = BinlogConfig(n_events=2400, n_keys=150, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    horizon = 1199
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    pq.write_table(binlog, str(bdir / "p0.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=16)
+    lake.apply(str(bdir), upto_lsn=horizon)
+
+    hist = HistoryLake(str(tmp_path / "hist"), num_partitions=8)
+    m = hist.bootstrap(lake)
+    assert m["watermark_lsn"] == horizon and m["counters"]["versions_closed"] == 0
+    with pytest.raises(ValueError, match="empty history"):
+        hist.bootstrap(lake)
+    # continue from the tail — exactly-once from the lake's watermark
+    hist.apply(str(bdir))
+    got = _hist_df(hist)
+
+    con = duckdb.connect()
+    snap = oracle_view_table(binlog.filter(pa.compute.less_equal(binlog.column("lsn"), horizon)))
+    tail = binlog.filter(pa.compute.greater(binlog.column("lsn"), horizon))
+    con.register("snap", snap)
+    con.register("tail", tail)
+    want = con.execute(
+        """
+        WITH ev AS (
+          SELECT last_lsn AS lsn, 'upsert' AS op, repo, path, commit, lang, content_sha FROM snap
+          UNION ALL
+          SELECT lsn, op, repo, path, commit, lang,
+                 CASE WHEN op = 'upsert' THEN sha256(content) END
+          FROM tail WHERE op IN ('upsert', 'delete')),
+        v AS (SELECT *, lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to FROM ev)
+        SELECT repo, path, lsn AS valid_from, valid_to, commit, lang, content_sha
+        FROM v WHERE op = 'upsert'
+        ORDER BY repo, path, valid_from"""
+    ).df()
+    _assert_equal(got, want)
+    # the audit closes the loop: open set == lake current state
+    lake.apply(str(bdir))
+    assert hist.check_against_lake(lake)["ok"]

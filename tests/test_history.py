@@ -298,3 +298,54 @@ def test_bootstrap_then_tail(tmp_path):
     # the audit closes the loop: open set == lake current state
     lake.apply(str(bdir))
     assert hist.check_against_lake(lake)["ok"]
+
+
+def test_crash_before_commit_then_resume(tmp_path, monkeypatch):
+    """Staging files written but the manifest rename never happened:
+    the orphaned files are invisible; a retried apply re-derives the
+    same window deterministically and converges."""
+    import os
+
+    from grafter_ray.state.commitlog import CommitLog
+
+    cfg = BinlogConfig(n_events=1600, n_keys=120, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=8)
+    lake.apply(_as_ds(binlog), upto_lsn=799)
+    v1 = lake.manifest["version"]
+
+    real_commit = CommitLog.commit
+    boom = {"armed": True}
+
+    def crashing(self, manifest):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before manifest rename")
+        return real_commit(self, manifest)
+
+    monkeypatch.setattr(CommitLog, "commit", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        lake.apply(_as_ds(binlog))
+    # nothing visible changed
+    lake2 = HistoryLake(str(tmp_path / "h"), num_partitions=8)
+    assert lake2.manifest["version"] == v1 and lake2.watermark == 799
+    # retry converges to the same state a crash-free run produces
+    lake2.apply(_as_ds(binlog))
+    got = _hist_df(lake2)
+    clean = HistoryLake(str(tmp_path / "clean"), num_partitions=8)
+    clean.apply(_as_ds(binlog), upto_lsn=799)
+    clean.apply(_as_ds(binlog))
+    assert got.equals(_hist_df(clean))
+    _assert_equal(got, _sha_df(duckdb.connect(), binlog))
+
+
+def test_concurrent_writer_locked_out(tmp_path):
+    cfg = BinlogConfig(n_events=400, n_keys=40, n_repos=3, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), upto_lsn=199)
+    from grafter_ray.state.commitlog import LakeLockError
+
+    with lake.log.writer_lock("someone-else"):
+        with pytest.raises(LakeLockError):
+            lake.apply(_as_ds(binlog))

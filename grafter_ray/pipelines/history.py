@@ -503,6 +503,76 @@ class HistoryLake:
             self.log.commit(manifest)
         return manifest
 
+    def purge_key(self, repo: str, path: str) -> dict:
+        """Right-to-be-forgotten: erase a key's ENTIRE version history
+        (open and closed) from the lake. Hash routing bounds the rewrite
+        to the key's one partition; files without the key are untouched.
+        Unlike expire() this removes the open version too — a later
+        binlog upsert of the key simply reopens it (the fold never needs
+        prior state to exist). Returns the new manifest; a no-op when
+        the key has no rows."""
+        from ..util import partition_ids
+
+        parent = self.manifest
+        if parent is None:
+            return parent
+        pid = int(
+            partition_ids(pa.array([repo]), pa.array([path]), self.num_partitions)[0].as_py()
+        )
+        e = parent["partitions"].get(str(pid))
+        if e is None:
+            return parent
+        version = int(parent["version"]) + 1
+        removed = 0
+
+        def scrub(fname: str, out_name: str) -> tuple[str, int, int]:
+            nonlocal removed
+            t = pq.read_table(os.path.join(self.data_dir, fname))
+            hit = pc.and_(pc.equal(t.column("repo"), repo), pc.equal(t.column("path"), path))
+            n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+            if n_hit == 0:
+                return fname, t.num_rows, 0
+            removed += n_hit
+            kept = t.filter(pc.invert(hit))
+            if kept.num_rows:
+                pq.write_table(kept, os.path.join(self.data_dir, out_name))
+                return out_name, kept.num_rows, n_hit
+            return "", 0, n_hit
+
+        with self.log.writer_lock("history-purge"):
+            e = dict(e)
+            open_rows = 0
+            if e.get("open_file"):
+                fn, open_rows, _ = scrub(
+                    e["open_file"], f"open-v{version:06d}-p{pid:06d}.parquet"
+                )
+                e["open_file"], e["rows_open"] = fn, open_rows
+            closed = []
+            for i, f in enumerate(e.get("closed", [])):
+                fn, rows, n_hit = scrub(f, f"closed-v{version:06d}-p{pid:06d}-x{i:04d}.parquet")
+                e["rows_closed"] = int(e.get("rows_closed", 0)) - n_hit
+                if fn:
+                    closed.append(fn)
+            e["closed"] = closed
+            if removed == 0:
+                return parent
+            parts = {str(p): dict(v) for p, v in parent["partitions"].items()}
+            parts[str(pid)] = e
+            manifest = {
+                "version": version,
+                "watermark_lsn": int(parent["watermark_lsn"]),
+                "num_partitions": self.num_partitions,
+                "partitions": parts,
+                "counters": {
+                    "versions_closed": int(sum(int(v.get("rows_closed", 0)) for v in parts.values())),
+                    "versions_open": int(sum(int(v.get("rows_open", 0)) for v in parts.values())),
+                    "purged": int(parent["counters"].get("purged", 0)) + removed,
+                },
+                "parent": int(parent["version"]),
+            }
+            self.log.commit(manifest)
+        return manifest
+
     def expire(self, before_lsn: int) -> dict:
         """Retention: drop every CLOSED version whose validity ended at
         or before `before_lsn` (compliance deletion / cost control for

@@ -349,3 +349,44 @@ def test_concurrent_writer_locked_out(tmp_path):
     with lake.log.writer_lock("someone-else"):
         with pytest.raises(LakeLockError):
             lake.apply(_as_ds(binlog))
+
+
+def test_purge_key(tmp_path):
+    cfg = BinlogConfig(n_events=1800, n_keys=120, n_repos=5, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), window_size=400)
+    before = _hist_df(lake)
+    # pick a key with >1 version (an actual history to erase)
+    multi = before.groupby(["repo", "path"]).size()
+    repo, path = multi[multi > 1].index[0]
+    n_versions = int(multi[(repo, path)])
+    m = lake.purge_key(repo, path)
+    after = _hist_df(lake)
+    assert len(after) == len(before) - n_versions
+    assert after[(after["repo"] == repo) & (after["path"] == path)].empty
+    # every other key's history is untouched
+    rest = before[~((before["repo"] == repo) & (before["path"] == path))].reset_index(drop=True)
+    assert after.equals(rest)
+    assert m["counters"]["purged"] == n_versions
+    # purging a missing key is a manifest no-op
+    assert lake.purge_key("no/such", "key.txt")["version"] == m["version"]
+    # a later upsert of the key simply reopens it
+    reup = pa.table(
+        {
+            "lsn": pa.array([10_000], pa.int64()),
+            "op": pa.array(["upsert"]),
+            "repo": pa.array([repo]),
+            "path": pa.array([path]),
+            "commit": pa.array(["cafe"]),
+            "lang": pa.array(["en"]),
+            "content": pa.array(["reborn"]),
+            "schema_version": pa.array([0], pa.int32()),
+        }
+    )
+    import ray.data as rd
+
+    lake.apply(rd.from_arrow(reup))
+    back = _hist_df(lake)
+    row = back[(back["repo"] == repo) & (back["path"] == path)]
+    assert len(row) == 1 and row.iloc[0]["valid_from"] == 10_000 and pd.isna(row.iloc[0]["valid_to"])

@@ -120,3 +120,24 @@ def test_spec_validation():
         mergeable_fold(ds, ["k"], "o", [("x", "v", "count")])
     with pytest.raises(ValueError, match="count takes no column"):
         mergeable_fold(ds, ["k"], "o", [("x", None, "sum")])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    keys=st.integers(min_value=1, max_value=25),
+    frac=st.floats(min_value=0.0, max_value=0.5),
+    blocks=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_fuzz_vs_duckdb(n, keys, frac, blocks, seed):
+    tb = _feed(n, keys, seed, frac)
+    got = _run(tb, blocks, "is_del")
+    want = _oracle(tb)
+    assert got["k"].tolist() == want["k"].tolist()
+    for c in ("total", "hi", "lo", "n"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+    assert got["last_tag"].tolist() == want["last_tag"].tolist()

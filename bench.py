@@ -159,6 +159,7 @@ QUERY_SUBSET = [
     "binlog_lint",
     "cdc_mysql_replay",
     "cdc_ops_pipeline",
+    "shard_lag",
 ]
 
 

@@ -374,6 +374,17 @@ def cmd_history_sync(args) -> int:
     return 0
 
 
+def cmd_history_fsck(args) -> int:
+    from .pipelines.history import HistoryLake
+
+    hist = HistoryLake(args.history, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    rep = hist.fsck(deep=args.deep)
+    rep["wall_sec"] = round(time.perf_counter() - t0, 3)
+    _emit({"cmd": "history-fsck", **rep})
+    return 0 if rep["ok"] else 1
+
+
 def cmd_lint(args) -> int:
     """Exit 0 when the feed is replayable as-is, 1 otherwise (gaps only
     report — compaction legitimately leaves them)."""
@@ -630,6 +641,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="retention: drop closed versions whose validity ended at or before this LSN")
     sp.add_argument("--compact", action="store_true", help="merge per-window closure files after syncing")
     sp.set_defaults(fn=cmd_history_sync)
+
+    sp = sub.add_parser("history-fsck", help="integrity audit of the SCD2 history lake")
+    sp.add_argument("--history", required=True)
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--deep", action="store_true", help="also verify SCD2 interval invariants per partition")
+    sp.set_defaults(fn=cmd_history_fsck)
 
     sp = sub.add_parser("lint", help="audit a binlog feed for replay invariants (unique LSNs, known ops, keys)")
     sp.add_argument("--binlog", required=True, help="binlog parquet directory")

@@ -503,6 +503,76 @@ class HistoryLake:
             self.log.commit(manifest)
         return manifest
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Integrity audit of the committed history (parity with the
+        main lake's fsck): every referenced file exists with footer row
+        counts matching the manifest; orphaned staging files (from a
+        crash before a manifest rename) are reported as warnings — they
+        are invisible by design. deep=True additionally verifies the
+        SCD2 invariants per partition: valid_to > valid_from on every
+        closed row, at most one OPEN version per key, and no overlapping
+        intervals within a key."""
+        import glob
+
+        m = self.manifest
+        errs: list[str] = []
+        warns: list[str] = []
+        if m is None:
+            return {"ok": True, "errors": [], "warnings": ["empty history (no manifest)"]}
+        referenced = set()
+        for pid, e in m["partitions"].items():
+            files = ([e["open_file"]] if e.get("open_file") else []) + list(e.get("closed", []))
+            rows = {"open": 0, "closed": 0}
+            for f in files:
+                referenced.add(f)
+                p = os.path.join(self.data_dir, f)
+                if not os.path.exists(p):
+                    errs.append(f"partition {pid}: missing file {f}")
+                    continue
+                n = pq.ParquetFile(p).metadata.num_rows
+                rows["open" if f.startswith("open-") else "closed"] += n
+            if rows["open"] != int(e.get("rows_open", 0)):
+                errs.append(
+                    f"partition {pid}: open rows {rows['open']} != manifest {e.get('rows_open', 0)}"
+                )
+            if rows["closed"] != int(e.get("rows_closed", 0)):
+                errs.append(
+                    f"partition {pid}: closed rows {rows['closed']} != manifest {e.get('rows_closed', 0)}"
+                )
+        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
+            if os.path.basename(p) not in referenced:
+                warns.append(f"orphaned staging file (invisible): {os.path.basename(p)}")
+        if deep and not errs:
+            from ..stages.grouped import key_segments
+
+            for pid, e in m["partitions"].items():
+                files = ([e["open_file"]] if e.get("open_file") else []) + list(e.get("closed", []))
+                tabs = [pq.read_table(os.path.join(self.data_dir, f)) for f in files]
+                if not tabs:
+                    continue
+                t = pa.concat_tables(tabs).sort_by(
+                    [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
+                )
+                vf = t.column("valid_from").to_numpy(zero_copy_only=False)
+                vt = t.column("valid_to").to_numpy(zero_copy_only=False)
+                closed_bad = (~np.isnan(vt)) & (vt <= vf)
+                if closed_bad.any():
+                    errs.append(f"partition {pid}: {int(closed_bad.sum())} empty/negative interval(s)")
+                starts, ends = key_segments(t, ["repo", "path"])
+                open_per_key = np.add.reduceat(np.isnan(vt).astype(np.int64), starts)
+                if (open_per_key > 1).any():
+                    errs.append(f"partition {pid}: key with multiple open versions")
+                # within a key (valid_from-sorted), each interval must end
+                # at or before the next one starts; the open row is last
+                nxt = np.empty(len(vf), dtype=np.float64)
+                nxt[:-1] = vf[1:]
+                nxt[ends - 1] = np.inf
+                overlap = (~np.isnan(vt)) & (vt > nxt)
+                open_not_last = np.isnan(vt) & (np.arange(len(vt)) != np.repeat(ends - 1, ends - starts))
+                if overlap.any() or open_not_last.any():
+                    errs.append(f"partition {pid}: overlapping validity intervals")
+        return {"ok": not errs, "errors": errs, "warnings": warns}
+
     def purge_key(self, repo: str, path: str) -> dict:
         """Right-to-be-forgotten: erase a key's ENTIRE version history
         (open and closed) from the lake. Hash routing bounds the rewrite

@@ -6430,6 +6430,48 @@ FROM d
 """
 
 
+def q_shard_lag(sf_dir: str):
+    """Per-shard ingestion lag: event-time distance between each upstream
+    shard's head (max ts) and the global head — the monitor that says
+    WHICH feed is behind (multi-shard ingest, pipelines/shards.py). One
+    grouped-agg exchange over (shard, ts_us); the lag fold runs on the
+    shard-count-sized table."""
+    import ray
+
+    from .relational import grouped_agg
+
+    def prep(tb: pa.Table) -> pa.Table:
+        uid = tb.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(tb.column("ts"), pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % 5).astype(np.int64)),
+                "ts_us": pa.array(ts.astype("datetime64[us]").astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    heads = pa.concat_tables(
+        [t for t in ray.get(grouped_agg(ds, ["shard"], [("head_us", "ts_us", "max")]).to_arrow_refs()) if t.num_rows]
+    )
+    head = heads.column("head_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "shard": heads.column("shard"),
+            "lag_us": pa.array(head.max() - head, pa.int64()),
+        }
+    )
+
+
+SQL_SHARD_LAG = """
+WITH s AS (SELECT user_id % 5 AS shard, max(ts) AS head FROM events GROUP BY 1)
+SELECT shard, CAST(date_diff('microsecond', head, (SELECT max(head) FROM s)) AS BIGINT) AS lag_us
+FROM s
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -6566,6 +6608,7 @@ QUERIES = {
     "lang_mix_drift": q_lang_mix_drift,
     "binlog_lint": q_binlog_lint,
     "cdc_ops_pipeline": q_cdc_ops_pipeline,
+    "shard_lag": q_shard_lag,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -6733,6 +6776,7 @@ ORACLE_SQL = {
     "lang_mix_drift": SQL_LANG_MIX_DRIFT,
     "binlog_lint": SQL_BINLOG_LINT,
     "cdc_ops_pipeline": SQL_CDC_OPS_PIPELINE,
+    "shard_lag": SQL_SHARD_LAG,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

@@ -390,3 +390,45 @@ def test_purge_key(tmp_path):
     back = _hist_df(lake)
     row = back[(back["repo"] == repo) & (back["path"] == path)]
     assert len(row) == 1 and row.iloc[0]["valid_from"] == 10_000 and pd.isna(row.iloc[0]["valid_to"])
+
+
+def test_fsck(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg = BinlogConfig(n_events=1500, n_keys=100, n_repos=4, schema_every=10**9)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "h"), num_partitions=4)
+    lake.apply(_as_ds(binlog), window_size=400)
+    rep = lake.fsck(deep=True)
+    assert rep["ok"] and rep["errors"] == []
+
+    # an orphaned staging file warns but does not fail
+    orphan = tmp_path / "h" / "data" / "open-v999999-p000000.parquet"
+    pq.write_table(pa.table({"x": pa.array([1])}), str(orphan))
+    rep2 = lake.fsck()
+    assert rep2["ok"] and any("orphaned" in w for w in rep2["warnings"])
+    os.remove(orphan)
+
+    # row-count mismatch is an error
+    e = next(e for e in lake.manifest["partitions"].values() if e["rows_open"])
+    f = str(tmp_path / "h" / "data" / e["open_file"])
+    t = pq.read_table(f)
+    pq.write_table(t.slice(0, t.num_rows - 1), f)
+    rep3 = lake.fsck()
+    assert not rep3["ok"] and any("open rows" in x for x in rep3["errors"])
+    pq.write_table(t, f)  # restore
+
+    # deep mode: an overlapping interval is caught
+    cf = next((e for e in lake.manifest["partitions"].values() if e.get("closed")), None)
+    assert cf is not None
+    cpath = str(tmp_path / "h" / "data" / cf["closed"][0])
+    ct = pq.read_table(cpath)
+    vf = ct.column("valid_from").to_pylist()
+    vt = ct.column("valid_to").to_pylist()
+    vt[0] = vf[0]  # empty interval
+    ct = ct.set_column(ct.schema.get_field_index("valid_to"), "valid_to", pa.array(vt, pa.int64()))
+    pq.write_table(ct, cpath)
+    rep4 = lake.fsck(deep=True)
+    assert not rep4["ok"] and any("interval" in x for x in rep4["errors"])

@@ -106,6 +106,15 @@ def _binlog_source(args):
     return read_envelope_jsonl(args.binlog, on_bad="raise")
 
 
+def _parse_expects(args) -> list | None:
+    specs = getattr(args, "expect", None)
+    if not specs:
+        return None
+    from .stages.expect import parse_expect_spec
+
+    return [parse_expect_spec(s) for s in specs]
+
+
 def cmd_replay(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -119,6 +128,7 @@ def cmd_replay(args) -> int:
         batch_size=args.batch_size,
         payload_mode=args.payload_mode,
         on_bad=args.on_bad,
+        expectations=_parse_expects(args),
     )
     wall = time.perf_counter() - t0
     after = int(m["watermark_lsn"]) if m else before
@@ -173,6 +183,7 @@ def cmd_tail(args) -> int:
         max_polls=args.max_polls,
         window_size=args.window_size,
         on_bad=args.on_bad,
+        expectations=_parse_expects(args),
     ):
         _emit({"cmd": "tail", **_manifest_summary(m)})
         sys.stdout.flush()
@@ -239,6 +250,47 @@ def cmd_repartition(args) -> int:
     m = lake.repartition(args.out, num_partitions=args.new_partitions)
     wall = time.perf_counter() - t0
     _emit({"cmd": "repartition", "out": args.out, "wall_sec": round(wall, 3), **_manifest_summary(m)})
+    return 0
+
+
+def cmd_branch(args) -> int:
+    from .pipelines.branch import create_branch
+
+    t0 = time.perf_counter()
+    br = create_branch(args.lake, args.out, at_version=args.at_version)
+    wall = time.perf_counter() - t0
+    _emit(
+        {
+            "cmd": "branch",
+            "out": args.out,
+            "wall_sec": round(wall, 3),
+            **_manifest_summary(br.manifest),
+        }
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .pipelines.branch import CDCLake, MergeConflictError, merge_branch
+
+    lake = CDCLake(args.lake)
+    branch = CDCLake(args.branch)
+    t0 = time.perf_counter()
+    try:
+        res = merge_branch(lake, branch, strategy=args.strategy)
+    except MergeConflictError as e:
+        _emit(
+            {
+                "cmd": "merge",
+                "error": "merge_conflict",
+                "conflicts": e.n_conflicts,
+                "sample": [list(k) for k in e.sample[:10]],
+            }
+        )
+        return 4  # EX_CONFLICT: rerun with --strategy theirs/ours or rebase
+    wall = time.perf_counter() - t0
+    m = res.pop("manifest")
+    _emit({"cmd": "merge", "wall_sec": round(wall, 3), **res, **_manifest_summary(m)})
     return 0
 
 
@@ -531,6 +583,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="raise",
         help="malformed events: fail the window (raise) or divert to the dead-letter parquet",
     )
+    sp.add_argument(
+        "--expect",
+        action="append",
+        default=None,
+        metavar="SPEC",
+        help="CHECK constraint, repeatable — e.g. not_null:content:drop, "
+        "len_between:content:1:100000, matches:path:^doc/ "
+        "(see stages.expect.parse_expect_spec)",
+    )
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
@@ -542,6 +603,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--poll-interval", type=float, default=2.0)
     sp.add_argument("--max-polls", type=int, default=None, help="bound the loop (default: run forever)")
     sp.add_argument("--on-bad", choices=["raise", "quarantine"], default="raise")
+    sp.add_argument("--expect", action="append", default=None, metavar="SPEC",
+                    help="CHECK constraint, repeatable (same syntax as replay --expect)")
     sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")
@@ -565,6 +628,21 @@ def build_parser() -> argparse.ArgumentParser:
     lake_args(sp)
     sp.add_argument("--keep-versions", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("branch", help="fork the lake at a committed version (zero-copy hard links)")
+    lake_args(sp)
+    sp.add_argument("--out", required=True, help="branch root directory (must not exist / be empty)")
+    sp.add_argument("--at-version", type=int, default=None, help="fork point (default: latest)")
+    sp.set_defaults(fn=cmd_branch)
+
+    sp = sub.add_parser(
+        "merge",
+        help="fold a branch's changes back into the lake (exit 4 on key conflicts under fail)",
+    )
+    lake_args(sp)
+    sp.add_argument("--branch", required=True, help="branch root (created by `branch`)")
+    sp.add_argument("--strategy", choices=["fail", "theirs", "ours"], default="fail")
+    sp.set_defaults(fn=cmd_merge)
 
     sp = sub.add_parser(
         "bootstrap",

@@ -1,0 +1,261 @@
+"""Lake branching and merge — isolated what-if ingest over a CDCLake.
+
+A *branch* is a new lake whose version-0 manifest references the parent's
+data files at a chosen committed version (zero-copy: files are
+hard-linked, falling back to copy across filesystems). The branch then
+ingests independently — its own commit log, watermark, schema registry,
+vacuum horizon — without touching the parent. *Merge* folds the branch's
+net effect (its change feed since the fork) back into the parent as one
+ordinary exactly-once replay window, with key-level conflict detection
+against what the parent did concurrently.
+
+This is the lakehouse branch/merge surface (the public pattern of
+Nessie / lakeFS / Delta shallow-clone) expressed in this engine's own
+primitives — no new storage format:
+
+  - fork state   = manifest copy + file hard-links (renamed ``fork-*`` so
+                   branch windows can never collide with linked names)
+  - branch delta = ``read_changes(since_version=0)`` ∪ ``deleted_keys(0)``
+                   — the engine's own pruned change feed (only partitions
+                   whose max_lsn moved are read)
+  - conflicts    = key-hash intersection of the two sides'
+                   changed-key sets, detected with the house EXACT
+                   bloom-verified semi-join (big×big safe; the exchange
+                   moves only changed keys, never either lake)
+  - merge apply  = a synthetic binlog re-stamped above the parent's
+                   watermark (per-key order is trivial: a change feed has
+                   at most one row per key), applied via CDCLake.apply —
+                   so exactly-once, lineage counters, expectations and
+                   resume all hold for merges too
+
+Strategies: ``fail`` (any concurrently-changed key aborts — the default,
+lakeFS semantics), ``theirs`` (branch wins conflicting keys), ``ours``
+(parent keeps conflicting keys; only the branch's non-conflicting
+changes land).
+
+Scale shape: branch creation is O(partition count) driver-side metadata
++ O(files) hard-links (no data read); conflict detection and the merge
+feed are bounded by CHANGED keys on each side (manifest max_lsn pruning),
+never by lake size; the merge itself is one windowed replay. Reference
+analogue: grafter pipelines run what-if transformations by re-running
+the whole pipeline into a scratch repository (`fixture-repo`,
+repository.clj) — branching gives the same isolation without recomputing
+or copying the unchanged 99%.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .replay import CDCLake
+from .relational import bloom_semi_join, anti_join_ids
+
+# ASCII unit separator: cannot appear in repo/path produced by any of the
+# engine's sources (binlog lint rejects control chars in keys)
+_SEP = "\x1f"
+
+
+class MergeConflictError(RuntimeError):
+    """Raised by merge_branch(strategy='fail') when both sides changed
+    the same key since the fork. Carries a bounded sample of keys."""
+
+    def __init__(self, n_conflicts: int, sample: list[tuple[str, str]]):
+        self.n_conflicts = n_conflicts
+        self.sample = sample
+        super().__init__(
+            f"{n_conflicts} key(s) changed on BOTH sides since the fork — "
+            f"sample: {sample[:10]}; merge with strategy='theirs' or 'ours' "
+            "to resolve, or rebase the branch"
+        )
+
+
+def create_branch(src_root: str, branch_root: str, at_version: int | None = None) -> CDCLake:
+    """Fork `src_root` at `at_version` (default: latest committed) into a
+    new independent lake at `branch_root`. Data files are hard-linked
+    (same filesystem — zero copy) or copied, under ``fork-*`` names so
+    the branch's own windows can never overwrite a linked file in place
+    (windows write ``v*-p*.parquet``; an in-place overwrite of a hard
+    link would corrupt the PARENT too)."""
+    src = CDCLake(src_root)
+    m = src.manifest_at(at_version)
+    if m is None:
+        raise ValueError(f"{src_root} has no committed manifest to branch from")
+    if os.path.exists(branch_root) and os.listdir(branch_root):
+        raise ValueError(f"branch root {branch_root} already exists and is non-empty")
+    branch = CDCLake(branch_root, num_partitions=int(m["num_partitions"]))
+
+    def link(fname: str) -> str:
+        new = f"fork-{fname}"
+        dst_path = os.path.join(branch.log.data_dir, new)
+        if not os.path.exists(dst_path):
+            src_path = os.path.join(src.log.data_dir, fname)
+            try:
+                os.link(src_path, dst_path)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(src_path, dst_path)
+        return new
+
+    parts = {}
+    for pid, e in m["partitions"].items():
+        ne = dict(e)
+        if ne.get("file"):
+            ne["file"] = link(ne["file"])
+        if ne.get("deltas"):
+            ne["deltas"] = [link(f) for f in ne["deltas"]]
+        parts[pid] = ne
+
+    branch.log.commit(
+        {
+            "version": 0,
+            "watermark_lsn": int(m["watermark_lsn"]),
+            "schema_version": int(m["schema_version"]),
+            "num_partitions": int(m["num_partitions"]),
+            "partitions": parts,
+            "counters": dict(m["counters"]),
+            "parent": None,
+            "branch": {
+                "from_root": os.path.realpath(src_root),
+                "from_version": int(m["version"]),
+                "fork_watermark": int(m["watermark_lsn"]),
+            },
+        }
+    )
+    return branch
+
+
+def _keyed(ds, cols: list[str]):
+    """Project (repo, path) → one composite key column `__k`."""
+
+    def f(tb: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(tb.column("repo"), _SEP, tb.column("path"), "")
+        out = {"__k": k}
+        for c in cols:
+            out[c] = tb.column(c)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _branch_info(branch: CDCLake) -> dict:
+    b0 = branch.manifest_at(0)
+    if not b0 or "branch" not in b0:
+        raise ValueError(f"{branch.root} is not a branch (no fork record in its v0 manifest)")
+    return b0["branch"]
+
+
+def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> dict:
+    """Fold the branch's net changes since its fork back into `dst` as
+    one exactly-once replay window. See module docstring for semantics.
+    Returns {upserts, deletes, conflicts, strategy, manifest}."""
+    if strategy not in ("fail", "theirs", "ours"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    info = _branch_info(branch)
+    if info["from_root"] != os.path.realpath(dst.root):
+        raise ValueError(
+            f"branch was forked from {info['from_root']}, not {os.path.realpath(dst.root)}"
+        )
+    fork_version = int(info["from_version"])
+    fork_wm = int(info["fork_watermark"])
+    if branch.schema_version != dst.schema_version:
+        raise ValueError(
+            "schema versions diverged since the fork "
+            f"(branch={branch.schema_version}, dst={dst.schema_version}) — "
+            "replay the schema-change events on the lagging side first; "
+            "merging divergent schema registries is not defined"
+        )
+
+    # net branch delta: ≤1 row per key by construction (a converged lake
+    # state diff) — raw columns, the view is dst's job after merge
+    b_up = _keyed(
+        branch.read_changes(0, view=False),
+        ["repo", "path", "commit", "lang", "content", "event_schema_version", "last_lsn"],
+    )
+    b_del = _keyed(branch.deleted_keys(0), ["repo", "path"])
+
+    # keys dst changed concurrently (upserts ∪ deletes since the fork)
+    d_up_keys = _keyed(dst.read_changes(fork_version, view=False), [])
+    d_del_keys = _keyed(dst.deleted_keys(fork_version), [])
+    dst_keys = d_up_keys.select_columns(["__k"]).union(d_del_keys.select_columns(["__k"]))
+
+    # conflicts: branch-changed ∩ dst-changed (exact bloom-verified
+    # semi-join; the exchange carries only changed keys)
+    conflict_keys = bloom_semi_join(
+        b_up.select_columns(["__k"]).union(b_del.select_columns(["__k"])),
+        dst_keys,
+        "__k",
+        schema=pa.schema([("__k", pa.string())]),
+    )
+    sample = conflict_keys.limit(25).take_all()
+    n_conflicts = len(sample) if len(sample) < 25 else int(conflict_keys.count())
+    if n_conflicts and strategy == "fail":
+        keys = [tuple(r["__k"].split(_SEP, 1)) for r in sample[:10]]
+        raise MergeConflictError(n_conflicts, keys)
+
+    if strategy == "ours" and n_conflicts:
+        s = pa.string()
+        up_schema = pa.schema(
+            [
+                ("__k", s), ("repo", s), ("path", s), ("commit", s), ("lang", s),
+                ("content", s), ("event_schema_version", pa.int32()), ("last_lsn", pa.int64()),
+            ]
+        )
+        del_schema = pa.schema([("__k", s), ("repo", s), ("path", s)])
+        b_up = anti_join_ids(b_up, dst_keys, "__k", schema=up_schema)
+        b_del = anti_join_ids(b_del, dst_keys, "__k", schema=del_schema)
+
+    dst_wm = dst.watermark
+    shift = dst_wm - fork_wm  # remap: new_lsn = branch_lsn + shift (>dst_wm)
+    del_lsn = dst_wm + (branch.watermark - fork_wm) + 1
+
+    def up_events(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": pc.add(tb.column("last_lsn"), shift),
+                "op": pa.array(["upsert"] * tb.num_rows),
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content": tb.column("content"),
+                "schema_version": pc.cast(tb.column("event_schema_version"), pa.int32()),
+            }
+        )
+
+    def del_events(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table(
+            {
+                # one shared lsn is fine: the apply path handles lsn
+                # collisions across DIFFERENT keys (direct key hashing),
+                # and a change feed has one row per key
+                "lsn": pa.array([del_lsn] * n, pa.int64()),
+                "op": pa.array(["delete"] * n),
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit": pa.nulls(n, pa.string()),
+                "lang": pa.nulls(n, pa.string()),
+                "content": pa.nulls(n, pa.string()),
+                "schema_version": pa.array([0] * n, pa.int32()),
+            }
+        )
+
+    feed = b_up.map_batches(up_events, batch_format="pyarrow", zero_copy_batch=True).union(
+        b_del.map_batches(del_events, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_up = int(b_up.count())
+    n_del = int(b_del.count())
+    manifest = dst.manifest
+    if n_up or n_del:
+        manifest = dst.apply(feed, upto_lsn=del_lsn)
+    return {
+        "upserts": n_up,
+        "deletes": n_del,
+        "conflicts": n_conflicts,
+        "strategy": strategy,
+        "manifest": manifest,
+    }

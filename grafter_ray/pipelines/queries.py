@@ -2743,6 +2743,190 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_expect_replay(sf_dir: str):
+    """Ingest expectations under the oracle gate (stages/expect.py): the
+    deterministic documents binlog replayed with a declared CHECK
+    constraint — upserts whose content ends with ' v2' are QUARANTINED at
+    the gate (the %5 update wave), so every key keeps its base version
+    and the %7 deletes are never resurrected. The oracle replays the
+    identical event derivation and the identical predicate in SQL, then
+    takes the per-key LWW winner — semantics matched end-to-end, not
+    assumed. Violation counts land in the manifest's lineage counters
+    (asserted in tests/test_expect.py; the result table is the converged
+    lake state)."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages import expect as ex
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    exp = ex.custom(
+        "no_v2_suffix",
+        ("content",),
+        lambda tb: pc.invert(pc.ends_with(tb.column("content"), " v2")),
+        action="quarantine",
+        sql="NOT (content LIKE '% v2')",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs, expectations=[exp])
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_EXPECT_REPLAY = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ev AS (
+  SELECT 2 * doc_id AS lsn, 'upsert' AS op, doc_id, text AS content FROM documents
+  UNION ALL
+  SELECT 2 * doc_id + 1, 'delete', doc_id, NULL FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 2 * (SELECT c FROM n) + doc_id, 'upsert', doc_id, text || ' v2'
+  FROM documents WHERE doc_id % 5 = 0
+),
+kept AS (SELECT * FROM ev WHERE op <> 'upsert' OR NOT (content LIKE '% v2')),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM kept)
+SELECT 'repo/' || d.source AS repo,
+       'doc/' || CAST(w.doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(w.content), 1, 16) AS commit_id,
+       d.lang,
+       sha256(w.content) AS content_sha,
+       w.lsn AS last_lsn
+FROM w JOIN documents d ON w.doc_id = d.doc_id
+WHERE w.rn = 1 AND w.op = 'upsert'
+"""
+
+
+def q_branch_merge(sf_dir: str):
+    """Lake branch + merge under the oracle gate (pipelines/branch.py):
+    the documents binlog's base+deletes converge a MAIN lake; a zero-copy
+    branch then ingests the ' v2' update wave plus deletes of the %11
+    keys, while main concurrently ingests a ' v3' wave over the %3==1
+    keys; merge_branch(strategy='theirs') folds the branch delta back —
+    branch wins every conflicting key, branch deletes retract, and
+    non-conflicting main work survives. The oracle reproduces the exact
+    three-way state algebra (fork state, both sides' LWW, override +
+    retraction, lsn remap new = old + (main_wm − fork_wm)) in SQL."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.sha import sha256_array
+    from .branch import create_branch, merge_branch
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def v3_wave(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % 3 == 1)
+        t = tb.filter(sel)
+        n = t.num_rows
+        v3 = pc.binary_join_element_wise(t.column("text"), " v3", "")
+        return pa.table(
+            {
+                "lsn": pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) + 2 * n_docs, pa.int64()),
+                "op": pa.array(["upsert"] * n),
+                "repo": pc.binary_join_element_wise("repo/", t.column("source"), ""),
+                "path": pc.binary_join_element_wise("doc/", pc.cast(t.column("doc_id"), pa.string()), ".txt", ""),
+                "commit": pc.utf8_slice_codeunits(sha256_array(v3), 0, 16),
+                "lang": pa.nulls(n, pa.string()),
+                "content": v3,
+                "schema_version": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    def br_deletes(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        t = tb.filter(pa.array(ids % 11 == 0))
+        n = t.num_rows
+        return pa.table(
+            {
+                "lsn": pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) + 3 * n_docs + 1, pa.int64()),
+                "op": pa.array(["delete"] * n),
+                "repo": pc.binary_join_element_wise("repo/", t.column("source"), ""),
+                "path": pc.binary_join_element_wise("doc/", pc.cast(t.column("doc_id"), pa.string()), ".txt", ""),
+                "commit": pa.nulls(n, pa.string()),
+                "lang": pa.nulls(n, pa.string()),
+                "content": pa.nulls(n, pa.string()),
+                "schema_version": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    # lang is deliberately absent from the comparison: the v3 wave's
+    # events carry a null lang (a feed that doesn't know the column), so
+    # the stored lang differs per winner — content_sha and last_lsn are
+    # the state being verified
+    with tempfile.TemporaryDirectory() as tmp:
+        main = CDCLake(f"{tmp}/main", num_partitions=32)
+        main.apply(binlog, upto_lsn=2 * n_docs - 1)  # base + deletes only
+        branch = create_branch(main.root, f"{tmp}/br")
+        branch.apply(binlog, upto_lsn=3 * n_docs)  # the ' v2' wave
+        branch.apply(
+            docs.map_batches(br_deletes, batch_format="pyarrow", zero_copy_batch=True),
+            upto_lsn=4 * n_docs + 1,
+        )
+        main.apply(
+            docs.map_batches(v3_wave, batch_format="pyarrow", zero_copy_batch=True),
+            upto_lsn=3 * n_docs,
+        )
+        merge_branch(main, branch, strategy="theirs")
+        tb = main.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_BRANCH_MERGE = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+main_state AS (  -- main LWW after its ' v3' wave (lsn 2c+id, wm 3c)
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN text || ' v3' ELSE text END AS content,
+         CASE WHEN doc_id % 3 = 1 THEN 2 * (SELECT c FROM n) + doc_id
+              ELSE 2 * doc_id END AS lsn
+  FROM documents
+  WHERE doc_id % 3 = 1 OR doc_id % 7 <> 0
+),
+branch_alive AS (  -- branch keys changed since fork and alive now
+  SELECT doc_id, text || ' v2' AS content, 2 * (SELECT c FROM n) + doc_id AS lsn
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0
+),
+branch_deleted AS (  -- alive at the fork, deleted on the branch
+  SELECT doc_id FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+),
+shift AS (  -- merge remap: main_wm(3c) - fork_wm(2c-1)
+  SELECT (SELECT c FROM n) + 1 AS s
+),
+merged AS (
+  SELECT m.doc_id, m.content, m.lsn FROM main_state m
+  WHERE m.doc_id NOT IN (SELECT doc_id FROM branch_deleted)
+    AND m.doc_id NOT IN (SELECT doc_id FROM branch_alive)
+  UNION ALL
+  SELECT b.doc_id, b.content, b.lsn + (SELECT s FROM shift) FROM branch_alive b
+)
+SELECT 'repo/' || d.source AS repo,
+       'doc/' || CAST(m.doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(m.content), 1, 16) AS commit_id,
+       sha256(m.content) AS content_sha,
+       m.lsn AS last_lsn
+FROM merged m JOIN documents d ON m.doc_id = d.doc_id
+"""
+
+
 def q_value_index_lookup(sf_dir: str):
     """Secondary VALUE index on a lake column (stages/valueindex.py):
     bootstrap a lang index over the converged docs lake at its first
@@ -6598,6 +6782,8 @@ QUERIES = {
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
+    "expect_replay": q_expect_replay,
+    "branch_merge": q_branch_merge,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
@@ -6766,6 +6952,8 @@ ORACLE_SQL = {
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
+    "expect_replay": SQL_EXPECT_REPLAY,
+    "branch_merge": SQL_BRANCH_MERGE,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,

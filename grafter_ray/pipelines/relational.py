@@ -500,18 +500,20 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str]):
     return grouped_block_map(both, [key], block)
 
 
-def anti_join_ids(ds, right, key: str):
+def anti_join_ids(ds, right, key: str, schema=None):
     """Distributed anti-join on one key: rows of `ds` whose `key` does
     not appear in `right` (a Dataset projecting `key`). Tag-union + one
     key exchange + a vectorized per-run side test — the house co-group
     shape (Dataset.join's left_anti breaks on empty hash partitions at
     small scale). Payload columns ride the exchange; that move IS the
-    anti-join's output materialization, which any plan pays."""
+    anti-join's output materialization, which any plan pays.
+    `schema` (names+types) overrides `ds.schema()` — pass it when `ds`
+    may be empty with unknown schema (Ray returns None there)."""
     import numpy as np
 
     from ..stages.grouped import grouped_block_map, key_segments
 
-    schema = ds.schema()
+    schema = schema if schema is not None else ds.schema()
     names = list(schema.names)
     types = list(schema.types)
 
@@ -545,7 +547,7 @@ def anti_join_ids(ds, right, key: str):
     return grouped_block_map(both, [key], keep_left_only)
 
 
-def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16):
+def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16, schema=None):
     """Exact semi-join on one key for big×big inputs where the filter
     side is too large to broadcast as an exact key set: fold `right`'s
     keys into an m-bit Bloom filter DISTRIBUTEDLY (per-block bitmaps →
@@ -558,11 +560,12 @@ def bloom_semi_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
     survivors, never the full left side. The result equals an exact
     semi-join regardless of the false-positive rate."""
     return _bloom_filter_join(
-        left, right, key, anti=False, bits_log2=bits_log2, reduce_blocks=reduce_blocks
+        left, right, key, anti=False, bits_log2=bits_log2, reduce_blocks=reduce_blocks,
+        schema=schema,
     )
 
 
-def bloom_anti_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16):
+def bloom_anti_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16, schema=None):
     """Exact anti-join with the same bloom pre-filter — the "dedup the
     new crawl against the existing corpus" primitive. Rows that MISS the
     bloom are definite non-matches and stream straight to the output
@@ -576,7 +579,7 @@ def bloom_anti_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
     )
 
 
-def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, reduce_blocks: int):
+def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, reduce_blocks: int, schema=None):
     import numpy as np
 
     from ..stages.grouped import grouped_block_map, key_segments
@@ -645,7 +648,7 @@ def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, red
 
     # exact verify of the (small) survivor set: tag-union co-group —
     # keep left rows whose key run contains a right row
-    schema = left.schema()
+    schema = schema if schema is not None else left.schema()
     names, types = list(schema.names), list(schema.types)
 
     def tag_left(tb: pa.Table) -> pa.Table:

@@ -53,6 +53,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
+from ..stages.expect import check_batch
 from ..stages.lww import HKEY, compact_meta_batch, lww_reduce, partial_lww, split_malformed
 from ..stages.sha import sha256_array
 from ..schemas import BINLOG, LAKE
@@ -358,6 +359,9 @@ class MergeActor:
         self.schema_lsns: list[pa.Table] = []
         self.dlq: list[pa.Table] = []
         self.dlq_rows = 0
+        # per-expectation violation counts (stages/expect.py) — merged
+        # into the manifest's lineage counters at window commit
+        self.expect_counts: dict[str, int] = {}
 
     # -- pass 1: metadata ---------------------------------------------------
     # meta is the COMPACT form (stages.lww.compact_meta_batch): int8 op
@@ -493,6 +497,15 @@ class MergeActor:
         t = pa.concat_tables(self.dlq, promote_options="none")
         self.dlq, self.dlq_rows = [], 0
         return t
+
+    # -- expectation counters (stages/expect.py) -----------------------------
+    def add_expect(self, name: str, n: int) -> int:
+        self.expect_counts[name] = self.expect_counts.get(name, 0) + int(n)
+        return 1
+
+    def collect_expect(self) -> dict:
+        c, self.expect_counts = self.expect_counts, {}
+        return c
 
     # -- single-pass mode (bulk loads: most events survive) -----------------
     def add_schema_lsns(self, tb: pa.Table) -> int:
@@ -849,6 +862,7 @@ class CDCLake:
         concurrency: int | None = None,
         payload_mode: str = "two_pass",
         on_bad: str = "raise",
+        expectations: list | None = None,
     ) -> dict:
         """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
         lake. With `window_size`, commits one manifest per LSN window
@@ -869,7 +883,13 @@ class CDCLake:
         null lsn) are diverted to a per-window dead-letter parquet
         (`data/dlq-v*.parquet`, referenced by the manifest and committed
         atomically with the window) and replay continues. Rows-out +
-        quarantined is exactly rows-in, so exactly-once still holds."""
+        quarantined is exactly rows-in, so exactly-once still holds.
+
+        expectations: declarative CHECK constraints (stages/expect.py)
+        evaluated on the same gate — each a named predicate with action
+        fail / drop / quarantine; violation counts land in the manifest's
+        lineage counters as ``expect:<name>``. Independent of `on_bad`
+        (which governs STRUCTURALLY malformed rows)."""
         if payload_mode not in ("two_pass", "single_pass"):
             raise ValueError(f"unknown payload_mode {payload_mode!r}")
         if on_bad not in ("raise", "quarantine"):
@@ -894,7 +914,7 @@ class CDCLake:
                 hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
                 manifest = self._apply_window(
                     binlog, lo, hi, batch_size, concurrency, payload_mode,
-                    on_bad=on_bad, extra_dlq=null_lsn_rows,
+                    on_bad=on_bad, extra_dlq=null_lsn_rows, expectations=expectations,
                 )
                 null_lsn_rows = None  # quarantined with the first window only
         return manifest
@@ -1106,6 +1126,7 @@ class CDCLake:
         payload_mode: str = "two_pass",
         on_bad: str = "raise",
         extra_dlq: pa.Table | None = None,
+        expectations: list | None = None,
     ) -> dict:
         import sys
         import time as _t
@@ -1196,17 +1217,37 @@ class CDCLake:
             # the buffer cap backpressures the scan like add_meta does)
             def _gate(tb: pa.Table) -> pa.Table:
                 good, bad = split_malformed(tb)
-                if bad is None:
-                    return tb
-                if on_bad == "raise":
-                    raise ValueError(
-                        f"{bad.num_rows} malformed event(s) in window [{lo},{hi}] — "
-                        f"sample: {bad.slice(0, 3).to_pylist()}; pass "
-                        "on_bad='quarantine' to divert them and continue"
-                    )
-                a = int(bad.column("lsn")[0].as_py()) % W
-                ray.get(handles[a].add_dlq.remote(_to_dlq_schema(bad)))
-                return good
+                if bad is not None:
+                    if on_bad == "raise":
+                        raise ValueError(
+                            f"{bad.num_rows} malformed event(s) in window [{lo},{hi}] — "
+                            f"sample: {bad.slice(0, 3).to_pylist()}; pass "
+                            "on_bad='quarantine' to divert them and continue"
+                        )
+                    a = int(bad.column("lsn")[0].as_py()) % W
+                    ray.get(handles[a].add_dlq.remote(_to_dlq_schema(bad)))
+                    tb = good
+                if expectations:
+                    # semantic CHECK layer (stages/expect.py): pure Arrow
+                    # kernels per batch; actor calls only on violation
+                    tb, fails = check_batch(tb, expectations)
+                    for exp, failed in fails:
+                        if exp.action == "fail":
+                            raise ValueError(
+                                f"{failed.num_rows} row(s) violate expectation "
+                                f"{exp.name!r} in window [{lo},{hi}] — sample: "
+                                f"{failed.slice(0, 3).to_pylist()}"
+                            )
+                        a = int(failed.column("lsn")[0].as_py()) % W
+                        refs = [handles[a].add_expect.remote(exp.name, failed.num_rows)]
+                        if exp.action == "quarantine":
+                            q = failed.append_column(
+                                "reason",
+                                pa.array([f"expect:{exp.name}"] * failed.num_rows),
+                            )
+                            refs.append(handles[a].add_dlq.remote(_to_dlq_schema(q)))
+                        ray.get(refs)
+                return tb
 
             if payload_mode == "single_pass":
                 # bulk-load path: one full-width scan, payloads routed with
@@ -1250,6 +1291,12 @@ class CDCLake:
                     return pa.table({"n": pa.array([compact.num_rows], pa.int64())})
 
                 meta_cols = META_COLS_KH if "kh1" in _binlog_column_names(binlog) else META_COLS
+                if expectations:
+                    # the metadata projection widens by exactly the columns
+                    # the declared expectations read — declared cost, no
+                    # second scan
+                    extra = [c for e in expectations for c in e.columns]
+                    meta_cols = list(dict.fromkeys([*meta_cols, *extra]))
                 self._dataset(binlog, lo, hi, columns=meta_cols).map_batches(
                     combine_route_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **route_kwargs
                 ).count()
@@ -1285,11 +1332,19 @@ class CDCLake:
 
                 stats_tables = ray.get([h.finalize.remote() for h in handles])
                 _mark("finalize")
+            may_quarantine = on_bad == "quarantine" or bool(
+                expectations and any(e.action == "quarantine" for e in expectations)
+            )
             dlq_parts = (
                 [t for t in ray.get([h.collect_dlq.remote() for h in handles]) if t is not None]
-                if on_bad == "quarantine"
+                if may_quarantine
                 else []
             )
+            expect_counts: dict[str, int] = {}
+            if expectations:
+                for d in ray.get([h.collect_expect.remote() for h in handles]):
+                    for k, v in d.items():
+                        expect_counts[k] = expect_counts.get(k, 0) + v
         finally:
             actor_rss = []
             if timing:
@@ -1348,6 +1403,14 @@ class CDCLake:
         }
         if n_quarantined or "quarantined" in prev_counters:
             counters["quarantined"] = prev_counters.get("quarantined", 0) + n_quarantined
+        # per-expectation lineage: cumulative, carried across windows even
+        # when a later window runs without expectations
+        for k, v in prev_counters.items():
+            if k.startswith("expect:"):
+                counters[k] = v
+        for name, n in expect_counts.items():
+            k = f"expect:{name}"
+            counters[k] = counters.get(k, 0) + n
         manifest = {
             "version": version,
             "watermark_lsn": hi,
@@ -1380,6 +1443,7 @@ class CDCLake:
         window_size: int | None = None,
         concurrency: int | None = None,
         on_bad: str = "raise",
+        expectations: list | None = None,
     ):
         """Continuous ingest — tail a growing binlog directory (the north
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
@@ -1405,6 +1469,7 @@ class CDCLake:
                 yield self.apply(
                     src, upto_lsn=hi, window_size=window_size,
                     concurrency=concurrency, on_bad=on_bad,
+                    expectations=expectations,
                 )
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)

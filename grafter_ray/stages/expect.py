@@ -1,0 +1,238 @@
+"""Declarative ingest expectations — CHECK constraints on the replay gate.
+
+The reference validates every record at the ingest boundary and fails the
+stream in-band on a bad row (`to-statements*` raises on a malformed line,
+grafter.io; quad conversion raises on a bad row, SURVEY.md §2.2).
+`split_malformed` already gives this engine that *structural* gate
+(null lsn / op / key). This module adds the *semantic* layer a production
+CDC pipeline needs on top: user-declared row predicates ("content must be
+non-empty", "lang must be one of …", "path must match …") with one of
+three actions per expectation — the Delta-Live-Tables-style contract:
+
+  - ``fail``        a violating row fails the window in-band (the
+                    reference's behavior — nothing commits)
+  - ``drop``        violating rows are dropped; the per-expectation count
+                    is recorded in the manifest's lineage counters
+  - ``quarantine``  violating rows are diverted to the window's
+                    dead-letter parquet (reason ``expect:<name>``) and
+                    counted; replay continues
+
+Scale shape: expectations evaluate inside the pass-1 routing tasks as
+pure Arrow kernels over each batch — no extra scan, no shuffle, no
+driver state. In two-pass replay the metadata scan's column projection
+is widened by exactly the columns the declared expectations read (an
+expectation on `content` costs reading `content` in pass 1 — declared,
+not hidden). Counts travel to the merge actors only when a batch
+actually has violations, so a clean binlog pays nothing.
+
+Semantics notes:
+  - an expectation declares which binlog ops it applies to
+    (default: upserts only — a delete's payload is null by design and
+    must not be killed by a `not_null(content)` check).
+  - a NULL predicate result counts as a violation (SQL CHECK treats
+    NULL as pass; an ingest gate must not let unknowns through — the
+    stricter reading is deliberate and documented here).
+  - dropping an event is a *semantic* decision recorded in lineage: the
+    key keeps its previous value, exactly as if the event had never
+    been produced. Watermarks still advance over dropped lsns, so
+    exactly-once resume is unaffected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ACTIONS = ("fail", "drop", "quarantine")
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named CHECK constraint over binlog rows.
+
+    fn(table) -> BooleanArray where True = row passes. `columns` lists
+    every binlog column the predicate reads (drives the pass-1
+    projection). `ops` limits which binlog ops are checked; rows with
+    other ops auto-pass. `sql` is the equivalent SQL predicate (docs +
+    oracle parity)."""
+
+    name: str
+    columns: tuple[str, ...]
+    fn: Callable[[pa.Table], pa.BooleanArray]
+    action: str = "quarantine"
+    ops: tuple[str, ...] | None = ("upsert",)
+    sql: str | None = field(default=None, compare=False)
+
+    def __post_init__(self):
+        if self.action not in _ACTIONS:
+            raise ValueError(f"unknown expectation action {self.action!r} (one of {_ACTIONS})")
+        if not self.name or ":" in self.name:
+            raise ValueError(f"expectation name must be non-empty and ':'-free, got {self.name!r}")
+
+
+def check_batch(
+    tb: pa.Table, expectations: list[Expectation]
+) -> tuple[pa.Table, list[tuple[Expectation, pa.Table]]]:
+    """Evaluate expectations over one batch → (passing rows, violations).
+
+    Vectorized: one kernel pass per expectation, two filters only when a
+    batch actually violates. Expectations are applied in declaration
+    order; a row failing expectation i is not re-checked by i+1 (its
+    fate — fail/drop/quarantine — is decided by the FIRST violated
+    expectation, so counts partition the violations)."""
+    fails: list[tuple[Expectation, pa.Table]] = []
+    for exp in expectations:
+        if tb.num_rows == 0:
+            break
+        mask = exp.fn(tb)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        mask = pc.fill_null(pc.cast(mask, pa.bool_()), False)  # NULL = violation
+        if exp.ops is not None:
+            applies = pc.is_in(
+                tb.column("op"), value_set=pa.array(list(exp.ops), pa.string())
+            )
+            mask = pc.or_kleene(mask, pc.invert(pc.fill_null(applies, False)))
+        n_fail = tb.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+        if not n_fail:
+            continue
+        fails.append((exp, tb.filter(pc.invert(mask))))
+        tb = tb.filter(mask)
+    return tb, fails
+
+
+# ---- builders ---------------------------------------------------------------
+
+
+def not_null(col: str, action: str = "quarantine", ops=("upsert",)) -> Expectation:
+    return Expectation(
+        name=f"not_null_{col}",
+        columns=(col,),
+        fn=lambda tb: pc.is_valid(tb.column(col)),
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"{col} IS NOT NULL",
+    )
+
+
+def matches(col: str, pattern: str, action: str = "quarantine", name: str | None = None, ops=("upsert",)) -> Expectation:
+    """Row passes when `col` matches the RE2 `pattern` (substring match —
+    anchor with ^…$ for a full match)."""
+    return Expectation(
+        name=name or f"matches_{col}",
+        columns=(col,),
+        fn=lambda tb: pc.match_substring_regex(tb.column(col), pattern),
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"regexp_matches({col}, '{pattern}')",
+    )
+
+
+def not_contains(col: str, needle: str, action: str = "quarantine", name: str | None = None, ops=("upsert",)) -> Expectation:
+    return Expectation(
+        name=name or f"not_contains_{col}",
+        columns=(col,),
+        fn=lambda tb: pc.invert(pc.match_substring(tb.column(col), needle)),
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"NOT contains({col}, '{needle}')",
+    )
+
+
+def in_set(col: str, values, action: str = "quarantine", name: str | None = None, ops=("upsert",)) -> Expectation:
+    vals = list(values)
+    vset = pa.array(vals)
+    quoted = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in vals)
+    return Expectation(
+        name=name or f"in_set_{col}",
+        columns=(col,),
+        fn=lambda tb: pc.is_in(tb.column(col), value_set=vset),
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"{col} IN ({quoted})",
+    )
+
+
+def len_between(col: str, lo: int, hi: int, action: str = "quarantine", name: str | None = None, ops=("upsert",)) -> Expectation:
+    """Codepoint length of a string column within [lo, hi]."""
+
+    def fn(tb: pa.Table) -> pa.BooleanArray:
+        n = pc.utf8_length(tb.column(col))
+        return pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi))
+
+    return Expectation(
+        name=name or f"len_between_{col}",
+        columns=(col,),
+        fn=fn,
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"length({col}) BETWEEN {lo} AND {hi}",
+    )
+
+
+def value_between(col: str, lo, hi, action: str = "quarantine", name: str | None = None, ops=("upsert",)) -> Expectation:
+    def fn(tb: pa.Table) -> pa.BooleanArray:
+        c = tb.column(col)
+        return pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+
+    return Expectation(
+        name=name or f"value_between_{col}",
+        columns=(col,),
+        fn=fn,
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=f"{col} BETWEEN {lo} AND {hi}",
+    )
+
+
+def custom(
+    name: str,
+    columns,
+    fn: Callable[[pa.Table], pa.BooleanArray],
+    action: str = "quarantine",
+    ops=("upsert",),
+    sql: str | None = None,
+) -> Expectation:
+    return Expectation(
+        name=name,
+        columns=tuple(columns),
+        fn=fn,
+        action=action,
+        ops=tuple(ops) if ops is not None else None,
+        sql=sql,
+    )
+
+
+def parse_expect_spec(spec: str) -> Expectation:
+    """CLI mini-syntax → Expectation. Forms (':'-separated):
+
+        not_null:<col>[:<action>]
+        matches:<col>:<pattern>[:<action>]
+        not_contains:<col>:<needle>[:<action>]
+        in_set:<col>:<v1,v2,…>[:<action>]
+        len_between:<col>:<lo>:<hi>[:<action>]
+
+    e.g. ``--expect not_null:content:drop --expect len_between:content:1:100000``
+    """
+    parts = spec.split(":")
+    kind = parts[0]
+
+    def act(rest_after: int, default: str = "quarantine") -> str:
+        return parts[rest_after] if len(parts) > rest_after else default
+
+    if kind == "not_null" and len(parts) in (2, 3):
+        return not_null(parts[1], action=act(2))
+    if kind == "matches" and len(parts) in (3, 4):
+        return matches(parts[1], parts[2], action=act(3))
+    if kind == "not_contains" and len(parts) in (3, 4):
+        return not_contains(parts[1], parts[2], action=act(3))
+    if kind == "in_set" and len(parts) in (3, 4):
+        return in_set(parts[1], parts[2].split(","), action=act(3))
+    if kind == "len_between" and len(parts) in (4, 5):
+        return len_between(parts[1], int(parts[2]), int(parts[3]), action=act(4))
+    raise ValueError(
+        f"bad --expect spec {spec!r} — see grafter_ray.stages.expect.parse_expect_spec"
+    )

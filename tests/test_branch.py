@@ -1,0 +1,208 @@
+"""Lake branching + merge (pipelines/branch.py): zero-copy fork, isolated
+ingest, key-level conflict detection, and merge-as-replay semantics.
+
+Invariants:
+  - the fork is byte-identical to the parent at the fork version and is
+    hard-linked (no data copied on one filesystem);
+  - branch ingest never moves the parent; parent ingest never moves the
+    branch; parent vacuum never breaks the branch (links keep inodes);
+  - merge of disjoint concurrent work == LWW oracle over the union of
+    both sides' events;
+  - a key changed on both sides: strategy fail → MergeConflictError,
+    theirs → branch value, ours → parent value (other branch work lands);
+  - branch deletes propagate; merge is one ordinary exactly-once window.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.pipelines.branch import MergeConflictError, create_branch, merge_branch
+
+CFG = BinlogConfig(n_events=1_200, n_keys=120, n_repos=8, schema_every=10**9)
+
+
+def _mk_events(lsns, keys, content_of, op="upsert"):
+    """Hand-built upsert/delete events over string keys [(repo, path)]."""
+    n = len(lsns)
+    dead = op == "delete"
+    return pa.table(
+        {
+            "lsn": pa.array(list(lsns), pa.int64()),
+            "op": pa.array([op] * n),
+            "repo": pa.array([k[0] for k in keys]),
+            "path": pa.array([k[1] for k in keys]),
+            "commit": pa.nulls(n, pa.string()) if dead else pa.array([f"c{l}" for l in lsns]),
+            "lang": pa.nulls(n, pa.string()) if dead else pa.array(["py"] * n),
+            "content": pa.nulls(n, pa.string())
+            if dead
+            else pa.array([content_of(k, l) for k, l in zip(keys, lsns)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    )
+
+
+@pytest.fixture()
+def forked(tmp_path):
+    """Parent lake with the fixture binlog applied, branched at its tip."""
+    base = binlog_table(CFG)
+    main = CDCLake(os.path.join(str(tmp_path), "main"), num_partitions=8)
+    main.apply(rd.from_arrow(base))
+    branch = create_branch(main.root, os.path.join(str(tmp_path), "br"))
+    return main, branch, base
+
+
+def _shas(lake: CDCLake) -> dict:
+    tb = lake.read_table(view=False)
+    return dict(
+        zip(
+            zip(tb.column("repo").to_pylist(), tb.column("path").to_pylist()),
+            tb.column("content_sha").to_pylist(),
+        )
+    )
+
+
+def test_fork_is_identical_and_hardlinked(forked, tmp_path):
+    main, branch, base = forked
+    assert _shas(branch) == _shas(main)
+    # hard links: at least one fork- file shares an inode with a parent file
+    linked = [f for f in os.listdir(branch.log.data_dir) if f.startswith("fork-")]
+    assert linked
+    src = os.path.join(main.log.data_dir, linked[0][len("fork-") :])
+    dst = os.path.join(branch.log.data_dir, linked[0])
+    assert os.stat(src).st_ino == os.stat(dst).st_ino
+    # refuses to fork onto a non-empty root
+    with pytest.raises(ValueError, match="non-empty"):
+        create_branch(main.root, branch.root)
+
+
+def test_branch_isolated_both_directions(forked):
+    main, branch, base = forked
+    wm = main.watermark
+    b_ev = _mk_events([wm + 1], [("bry", "b.txt")], lambda k, l: "branch only")
+    branch.apply(rd.from_arrow(b_ev), upto_lsn=wm + 1)
+    m_ev = _mk_events([wm + 1], [("mn", "m.txt")], lambda k, l: "main only")
+    main.apply(rd.from_arrow(m_ev), upto_lsn=wm + 1)
+    assert ("bry", "b.txt") in _shas(branch) and ("bry", "b.txt") not in _shas(main)
+    assert ("mn", "m.txt") in _shas(main) and ("mn", "m.txt") not in _shas(branch)
+
+
+def test_parent_vacuum_does_not_break_branch(forked):
+    main, branch, base = forked
+    wm = main.watermark
+    # force a parent rewrite of every partition, then vacuum old versions
+    main.apply(rd.from_arrow(binlog_table(CFG, start=0, stop=400).set_column(
+        0, "lsn", pa.array([wm + 1 + i for i in range(400)], pa.int64())
+    )), upto_lsn=wm + 400)
+    main.vacuum(keep_versions=1)
+    got = _shas(branch)  # branch still reads its fork state via the links
+    want = oracle_view_table(base)
+    assert len(got) == want.num_rows
+
+
+def test_merge_disjoint_equals_union_oracle(forked):
+    main, branch, base = forked
+    wm = main.watermark
+    bkeys = [("brepo", f"b{i}.py") for i in range(40)]
+    mkeys = [("mrepo", f"m{i}.py") for i in range(30)]
+    b_ev = _mk_events(range(wm + 1, wm + 41), bkeys, lambda k, l: f"B {k[1]} v{l}")
+    m_ev = _mk_events(range(wm + 1, wm + 31), mkeys, lambda k, l: f"M {k[1]} v{l}")
+    branch.apply(rd.from_arrow(b_ev), upto_lsn=wm + 40)
+    main.apply(rd.from_arrow(m_ev), upto_lsn=wm + 30)
+
+    res = merge_branch(main, branch)  # fail strategy: no conflicts expected
+    assert res == {
+        "upserts": 40,
+        "deletes": 0,
+        "conflicts": 0,
+        "strategy": "fail",
+        "manifest": res["manifest"],
+    }
+    got = _shas(main)
+    want = oracle_view_table(
+        pa.concat_tables([base.cast(b_ev.schema), m_ev, b_ev])
+    )
+    want_map = dict(
+        zip(
+            zip(want.column("repo").to_pylist(), want.column("path").to_pylist()),
+            want.column("content_sha").to_pylist(),
+        )
+    )
+    assert got == want_map
+    # the merge was an ordinary exactly-once window: watermark advanced
+    assert main.watermark == res["manifest"]["watermark_lsn"] > wm + 30
+
+
+def test_merge_conflict_fail_theirs_ours(tmp_path):
+    base = binlog_table(CFG)
+    hot = ("org0/repo0", "hot.py")
+
+    def setup(sub):
+        main = CDCLake(os.path.join(str(tmp_path), f"main_{sub}"), num_partitions=8)
+        main.apply(rd.from_arrow(base))
+        branch = create_branch(main.root, os.path.join(str(tmp_path), f"br_{sub}"))
+        wm = main.watermark
+        branch.apply(
+            rd.from_arrow(pa.concat_tables(
+                [
+                    _mk_events([wm + 1], [hot], lambda k, l: "branch version"),
+                    _mk_events([wm + 2], [("bonly", "x.py")], lambda k, l: "branch extra"),
+                ]
+            )),
+            upto_lsn=wm + 2,
+        )
+        main.apply(rd.from_arrow(_mk_events([wm + 1], [hot], lambda k, l: "main version")), upto_lsn=wm + 1)
+        return main, branch
+
+    main, branch = setup("fail")
+    with pytest.raises(MergeConflictError) as ei:
+        merge_branch(main, branch)
+    assert ei.value.n_conflicts == 1 and ei.value.sample == [hot]
+
+    main, branch = setup("theirs")
+    res = merge_branch(main, branch, strategy="theirs")
+    assert res["conflicts"] == 1 and res["upserts"] == 2
+    got = _shas(main)
+    import hashlib
+
+    assert got[hot] == hashlib.sha256(b"branch version").hexdigest()
+    assert ("bonly", "x.py") in got
+
+    main, branch = setup("ours")
+    res = merge_branch(main, branch, strategy="ours")
+    assert res["conflicts"] == 1 and res["upserts"] == 1
+    got = _shas(main)
+    assert got[hot] == hashlib.sha256(b"main version").hexdigest()
+    assert ("bonly", "x.py") in got  # non-conflicting branch work still lands
+
+
+def test_branch_delete_propagates(forked):
+    main, branch, base = forked
+    victim = next(iter(_shas(main)))
+    wm = main.watermark
+    branch.apply(rd.from_arrow(_mk_events([wm + 1], [victim], None, op="delete")), upto_lsn=wm + 1)
+    res = merge_branch(main, branch)
+    assert res["deletes"] == 1 and res["upserts"] == 0
+    assert victim not in _shas(main)
+
+
+def test_merge_guards(forked, tmp_path):
+    main, branch, base = forked
+    # not-a-branch guard
+    with pytest.raises(ValueError, match="not a branch"):
+        merge_branch(main, main)
+    # wrong-parent guard
+    other = CDCLake(os.path.join(str(tmp_path), "other"), num_partitions=8)
+    other.apply(rd.from_arrow(binlog_table(BinlogConfig(n_events=50, n_keys=10, schema_every=10**9))))
+    with pytest.raises(ValueError, match="forked from"):
+        merge_branch(other, branch)
+    with pytest.raises(ValueError, match="unknown merge strategy"):
+        merge_branch(main, branch, strategy="rebase")
+    # empty merge is a no-op (manifest unchanged)
+    v = main.manifest["version"]
+    res = merge_branch(main, branch)
+    assert res["upserts"] == res["deletes"] == 0
+    assert main.manifest["version"] == v

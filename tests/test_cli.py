@@ -335,3 +335,64 @@ def test_chunkstore_sync_cli(tmp_path, capsys):
     )
     assert out2["live_chunks"] == out["live_chunks"]
     assert out2["live_bytes"] == out["live_bytes"]
+
+
+def test_branch_merge_cli(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    br = str(tmp_path / "br")
+    out = _run(capsys, ["branch", "--lake", lake, "--out", br])
+    assert out["version"] == 0 and out["lake_rows"] > 0
+
+    # branch ingests one more upsert, then the merge folds it back
+    import pyarrow as pa
+
+    extra = pa.table(
+        {
+            "lsn": pa.array([CFG.n_events], pa.int64()),
+            "op": ["upsert"],
+            "repo": ["cli"],
+            "path": ["extra.py"],
+            "commit": ["c"],
+            "lang": ["py"],
+            "content": ["cli merge"],
+            "schema_version": pa.array([0], pa.int32()),
+        }
+    )
+    bb = tmp_path / "binlog2"
+    bb.mkdir()
+    pq.write_table(extra, bb / "part-0.parquet")
+    _run(capsys, ["replay", "--binlog", str(bb), "--lake", br, "--partitions", "8"])
+    out = _run(capsys, ["merge", "--lake", lake, "--branch", br])
+    assert out["upserts"] == 1 and out["conflicts"] == 0
+    st = _run(capsys, ["status", "--lake", lake, "--partitions", "8"])
+    assert st["lake_rows"] == out["lake_rows"]
+
+    # conflicting merge exits 4 with a sample
+    br2 = str(tmp_path / "br2")
+    _run(capsys, ["branch", "--lake", lake, "--out", br2])
+    conflict = extra.set_column(0, "lsn", pa.array([CFG.n_events + 10], pa.int64()))
+    b3 = tmp_path / "binlog3"
+    b3.mkdir()
+    pq.write_table(conflict, b3 / "part-0.parquet")
+    _run(capsys, ["replay", "--binlog", str(b3), "--lake", br2, "--partitions", "8"])
+    pq.write_table(
+        conflict.set_column(0, "lsn", pa.array([CFG.n_events + 11], pa.int64())),
+        b3 / "part-1.parquet",
+    )
+    _run(capsys, ["replay", "--binlog", str(b3), "--lake", lake, "--partitions", "8"])
+    assert main(["merge", "--lake", lake, "--branch", br2]) == 4
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["error"] == "merge_conflict" and err["conflicts"] == 1
+
+
+def test_expect_cli(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    out = _run(
+        capsys,
+        ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8",
+         "--expect", "matches:path:\\.py$:drop"],
+    )
+    assert out["counters"]["expect:matches_path"] > 0

@@ -1,0 +1,190 @@
+"""Ingest expectations (stages/expect.py + CDCLake.apply expectations=) —
+declarative CHECK constraints on the replay gate, the semantic layer on
+top of the structural malformed-row gate (reference analogue: quad
+conversion raising on a bad row, SURVEY.md §2.2; the drop/quarantine
+actions are the production-CDC extension).
+
+Invariants:
+  - lake state under `drop`/`quarantine` == oracle over the events that
+    pass the predicate (deletes/schema markers auto-pass by default);
+  - quarantined rows land in dead_letters() with reason expect:<name>;
+  - per-expectation counts accumulate in manifest counters across
+    windows and survive a later window run WITHOUT expectations;
+  - `fail` fails the window in-band (nothing commits).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.stages import expect as ex
+
+CFG = BinlogConfig(n_events=3_000, n_keys=200, n_repos=10, schema_every=1_100)
+
+
+def _write_binlog(tmp_path) -> tuple[str, pa.Table]:
+    tb = binlog_table(CFG)
+    path = os.path.join(str(tmp_path), "binlog")
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tb.slice(0, 1500), os.path.join(path, "part-0.parquet"))
+    pq.write_table(tb.slice(1500), os.path.join(path, "part-1.parquet"))
+    return path, tb
+
+
+def _oracle_after(events: pa.Table, exps: list[ex.Expectation]) -> pa.Table:
+    """Reference state: drop upserts violating any expectation, keep all
+    other ops, then the single-process oracle replay."""
+    keep = pa.array([True] * events.num_rows)
+    for e in exps:
+        mask = pc.fill_null(pc.cast(e.fn(events), pa.bool_()), False)
+        applies = pc.is_in(events.column("op"), value_set=pa.array(list(e.ops)))
+        keep = pc.and_(keep, pc.or_(mask, pc.invert(applies)))
+    return oracle_view_table(events.filter(keep))
+
+
+# ---- unit: check_batch -------------------------------------------------------
+
+
+def test_check_batch_null_is_violation_and_delete_autopasses():
+    tb = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": ["upsert", "delete", "upsert"],
+            "content": ["ok", None, None],
+        }
+    )
+    good, fails = ex.check_batch(tb, [ex.not_null("content")])
+    # the delete's null content auto-passes (ops gating); the upsert's
+    # null content is a violation (NULL = fail, stricter than SQL CHECK)
+    assert good.column("lsn").to_pylist() == [1, 2]
+    assert len(fails) == 1 and fails[0][1].column("lsn").to_pylist() == [3]
+
+
+def test_check_batch_first_violation_wins():
+    tb = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": ["upsert", "upsert"],
+            "content": [None, "xx"],
+        }
+    )
+    e1 = ex.not_null("content")
+    e2 = ex.len_between("content", 3, 10)
+    good, fails = ex.check_batch(tb, [e1, e2])
+    assert good.num_rows == 0
+    got = {e.name: t.column("lsn").to_pylist() for e, t in fails}
+    assert got == {"not_null_content": [1], "len_between_content": [2]}
+
+
+def test_builders_reject_bad_action_and_name():
+    with pytest.raises(ValueError, match="action"):
+        ex.not_null("content", action="explode")
+    with pytest.raises(ValueError, match="name"):
+        ex.custom("a:b", ("content",), lambda tb: None)
+
+
+def test_parse_expect_spec_roundtrip():
+    e = ex.parse_expect_spec("not_null:content:drop")
+    assert (e.name, e.action, e.columns) == ("not_null_content", "drop", ("content",))
+    e = ex.parse_expect_spec("len_between:content:1:100")
+    assert e.action == "quarantine" and e.sql == "length(content) BETWEEN 1 AND 100"
+    e = ex.parse_expect_spec("in_set:lang:py,rs:fail")
+    assert e.action == "fail"
+    with pytest.raises(ValueError, match="bad --expect"):
+        ex.parse_expect_spec("frobnicate:x")
+
+
+# ---- integration: replay under expectations ---------------------------------
+
+
+@pytest.mark.parametrize("payload_mode", ["two_pass", "single_pass"])
+def test_drop_converges_on_passing_rows(tmp_path, payload_mode):
+    path, events = _write_binlog(tmp_path)
+    exp = ex.matches("path", r"\.py$", action="drop", name="py_only")
+    lake = CDCLake(os.path.join(str(tmp_path), f"lake_{payload_mode}"), num_partitions=8)
+    m = lake.apply(path, payload_mode=payload_mode, expectations=[exp])
+
+    got = lake.read_table(view=True).sort_by([("repo", "ascending"), ("path", "ascending")])
+    want = _oracle_after(events, [exp]).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()
+
+    n_dropped = m["counters"]["expect:py_only"]
+    ups = events.filter(pc.equal(events.column("op"), "upsert"))
+    expected_drop = ups.num_rows - pc.sum(
+        pc.cast(pc.match_substring_regex(ups.column("path"), r"\.py$"), pa.int64())
+    ).as_py()
+    assert n_dropped == expected_drop > 0
+    # drop ≠ quarantine: no dead-letter sidecar
+    assert lake.dead_letters().num_rows == 0
+
+
+def test_quarantine_ships_rows_with_reason(tmp_path):
+    path, events = _write_binlog(tmp_path)
+    exp = ex.matches("path", r"\.py$", action="quarantine", name="py_only")
+    lake = CDCLake(os.path.join(str(tmp_path), "lakeq"), num_partitions=8)
+    m = lake.apply(path, expectations=[exp])
+
+    want = _oracle_after(events, [exp])
+    got = lake.read_table(view=True)
+    assert sorted(got.column("content_sha").to_pylist()) == sorted(
+        want.column("content_sha").to_pylist()
+    )
+    dlq = lake.dead_letters()
+    assert dlq.num_rows == m["counters"]["expect:py_only"] > 0
+    assert set(dlq.column("reason").to_pylist()) == {"expect:py_only"}
+    # quarantined rows carry their payload (the pass-1 projection included
+    # the expectation's column)
+    assert dlq.column("path").null_count == 0
+
+
+def test_fail_mode_fails_window_in_band(tmp_path):
+    path, _ = _write_binlog(tmp_path)
+    lake = CDCLake(os.path.join(str(tmp_path), "lakef"), num_partitions=8)
+    with pytest.raises(Exception, match="violate expectation"):
+        lake.apply(path, expectations=[ex.matches("path", r"\.py$", action="fail")])
+    assert lake.manifest is None  # nothing committed
+
+
+def test_counters_accumulate_across_windows_and_survive_without(tmp_path):
+    path, events = _write_binlog(tmp_path)
+    exp = ex.matches("path", r"\.py$", action="drop", name="py_only")
+    lake = CDCLake(os.path.join(str(tmp_path), "lakew"), num_partitions=8)
+    m = lake.apply(path, upto_lsn=1999, window_size=1000, expectations=[exp])
+    after_two = m["counters"]["expect:py_only"]
+    assert after_two > 0
+    # third window WITHOUT expectations: the counter must carry forward
+    m = lake.apply(path)
+    assert m["counters"]["expect:py_only"] == after_two
+
+
+def test_deletes_untouched_by_payload_expectations(tmp_path):
+    """A delete (null payload) must survive a content expectation — the
+    tombstone still kills its key."""
+    path, events = _write_binlog(tmp_path)
+    exp = ex.not_null("content", action="drop")
+    lake = CDCLake(os.path.join(str(tmp_path), "laked"), num_partitions=8)
+    m = lake.apply(path, expectations=[exp])
+    # fixture upserts all carry content → zero violations, but deletes ran
+    assert "expect:not_null_content" not in m["counters"]
+    want = oracle_view_table(events)
+    got = lake.read_table(view=True)
+    assert sorted(got.column("content_sha").to_pylist()) == sorted(
+        want.column("content_sha").to_pylist()
+    )
+
+
+def test_resume_idempotent_after_expectation_run(tmp_path):
+    """Re-applying the same binlog after an expectation run is a no-op
+    (watermark covers dropped lsns too)."""
+    path, _ = _write_binlog(tmp_path)
+    exp = ex.matches("path", r"\.py$", action="drop", name="py_only")
+    lake = CDCLake(os.path.join(str(tmp_path), "laker"), num_partitions=8)
+    m1 = lake.apply(path, expectations=[exp])
+    m2 = lake.apply(path, expectations=[exp])
+    assert m1["version"] == m2["version"]
+    assert m2["counters"]["expect:py_only"] == m1["counters"]["expect:py_only"]

@@ -779,3 +779,68 @@ class HistoryLake:
             pads.field("valid_to").is_null() | (pads.field("valid_to") > lsn)
         )
         return coalesced_read_parquet(files, filter=expr)
+
+
+# ASCII unit separator — same composite-key convention as pipelines/branch.py
+_SEP = "\x1f"
+
+
+def asof_enrich(events, hist: "HistoryLake", value_cols=("commit", "lang", "content_sha"), ts: str = "lsn"):
+    """Point-in-time-CORRECT enrichment (temporal join): attach to every
+    event the version of its key that was valid AT the event's `ts` LSN —
+    the version with the greatest valid_from <= ts whose valid_to is
+    still open or > ts. Events whose key did not exist yet, or was
+    deleted at/before ts, get NULL enrichment columns (left join). This
+    is the feature-store / Flink-temporal-join primitive: joining a feed
+    against CURRENT state leaks the future; joining against the SCD2
+    intervals reconstructs what was knowable at each event.
+
+    Plan: one tag-union key exchange (relational.asof_join — the house
+    co-group), a single lexsort + np.maximum.accumulate per block, then
+    a vectorized validity mask (valid_to <= ts ⇒ the matched version was
+    CLOSED BY A DELETE before the event — an upsert closure would have
+    produced a later matching version — so the key is dead at ts and the
+    enrichment nulls out). No driver state; moved bytes = events +
+    history, the lower bound for any temporal join.
+
+    `events` needs (repo, path, `ts`) plus any payload columns, which
+    ride through unchanged. Returns events + value_cols + valid_from
+    (NULL where the key is dead/unborn at ts)."""
+    from .relational import asof_join
+
+    vc = list(value_cols)
+
+    def key_events(tb: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(tb.column("repo"), _SEP, tb.column("path"), "")
+        return tb.append_column("__k", k)
+
+    def key_hist(tb: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(tb.column("repo"), _SEP, tb.column("path"), "")
+        cols = {"__k": k, ts: tb.column("valid_from")}
+        for c in vc:
+            cols[c] = tb.column(c)
+        cols["valid_from"] = tb.column("valid_from")
+        cols["valid_to"] = tb.column("valid_to")
+        return pa.table(cols)
+
+    ev = events.map_batches(key_events, batch_format="pyarrow", zero_copy_batch=True)
+    hi = hist.read().map_batches(key_hist, batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(ev, hi, "__k", ts, vc + ["valid_from", "valid_to"])
+
+    def finish(tb: pa.Table) -> pa.Table:
+        dead = pc.and_kleene(
+            pc.is_valid(tb.column("valid_to")),
+            pc.less_equal(tb.column("valid_to"), tb.column(ts)),
+        )
+        dead = pc.fill_null(dead, False)
+        cols = {}
+        for name, typ in zip(tb.schema.names, tb.schema.types):
+            if name in ("__k", "valid_to"):
+                continue
+            col = tb.column(name)
+            if name in vc or name == "valid_from":
+                col = pc.if_else(dead, pa.scalar(None, typ), col)
+            cols[name] = col
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2927,6 +2927,73 @@ FROM merged m JOIN documents d ON m.doc_id = d.doc_id
 """
 
 
+def q_history_enrich(sf_dir: str):
+    """Point-in-time-correct temporal join (history.asof_enrich): the
+    documents binlog builds the SCD2 history lake, then a probe feed —
+    three probes per doc, at the base upsert's lsn, just after the %7
+    delete, and at the %5 update wave — is enriched with the version
+    valid AT each probe's lsn. Joining against CURRENT state would leak
+    the v2 future into early probes and resurrect deleted keys; the
+    interval join must return exactly what was knowable at each lsn.
+    Oracle: the closed-form per-probe CASE over the same derivation."""
+    import tempfile
+
+    from .history import HistoryLake, asof_enrich
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def probes(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        repo = pc.binary_join_element_wise("repo/", tb.column("source"), "")
+        path = pc.binary_join_element_wise(
+            "doc/", pc.cast(tb.column("doc_id"), pa.string()), ".txt", ""
+        )
+        one = pa.table({"repo": repo, "path": path})
+        return pa.concat_tables(
+            [
+                one.append_column("lsn", pa.array(ids * 2, pa.int64())),
+                one.append_column("lsn", pa.array(ids * 2 + 1, pa.int64())),
+                one.append_column("lsn", pa.array(ids + 2 * n_docs, pa.int64())),
+            ]
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        hist = HistoryLake(f"{tmp}/hist", num_partitions=32)
+        hist.apply(binlog, upto_lsn=3 * n_docs)
+        feed = docs.map_batches(probes, batch_format="pyarrow", zero_copy_batch=True)
+        out = asof_enrich(feed, hist, value_cols=("content_sha",))
+        # materialize before the tempdir (the lake files) is torn down —
+        # the result is probe-sized, not history-sized
+        return out.select_columns(["repo", "path", "lsn", "content_sha", "valid_from"]).materialize()
+
+
+SQL_HISTORY_ENRICH = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+p AS (
+  SELECT doc_id, text, source, CAST(2 * doc_id AS BIGINT) AS lsn,
+         sha256(text) AS sha, CAST(2 * doc_id AS BIGINT) AS vf
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, source, CAST(2 * doc_id + 1 AS BIGINT),
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE sha256(text) END,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(2 * doc_id AS BIGINT) END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, source, CAST(2 * (SELECT c FROM n) + doc_id AS BIGINT),
+         CASE WHEN doc_id % 5 = 0 THEN sha256(text || ' v2')
+              WHEN doc_id % 7 = 0 THEN NULL ELSE sha256(text) END,
+         CASE WHEN doc_id % 5 = 0 THEN CAST(2 * (SELECT c FROM n) + doc_id AS BIGINT)
+              WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(2 * doc_id AS BIGINT) END
+  FROM documents
+)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       lsn, sha AS content_sha, vf AS valid_from
+FROM p
+"""
+
+
 def q_value_index_lookup(sf_dir: str):
     """Secondary VALUE index on a lake column (stages/valueindex.py):
     bootstrap a lang index over the converged docs lake at its first
@@ -6784,6 +6851,7 @@ QUERIES = {
     "cdc_replay_docs": q_cdc_replay_docs,
     "expect_replay": q_expect_replay,
     "branch_merge": q_branch_merge,
+    "history_enrich": q_history_enrich,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
@@ -6954,6 +7022,7 @@ ORACLE_SQL = {
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
     "expect_replay": SQL_EXPECT_REPLAY,
     "branch_merge": SQL_BRANCH_MERGE,
+    "history_enrich": SQL_HISTORY_ENRICH,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,

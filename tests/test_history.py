@@ -432,3 +432,87 @@ def test_fsck(tmp_path):
     pq.write_table(ct, cpath)
     rep4 = lake.fsck(deep=True)
     assert not rep4["ok"] and any("interval" in x for x in rep4["errors"])
+
+
+def test_asof_enrich_point_in_time(tmp_path):
+    """Temporal join (history.asof_enrich): probes at every interval
+    boundary return exactly the version valid at that lsn — unborn keys,
+    deleted-at keys, never-existing keys all null; payload columns ride
+    through; a differential against DuckDB's interval lookup covers a
+    random binlog."""
+    import duckdb
+    import ray.data as rd
+
+    from grafter_ray.pipelines.history import asof_enrich
+
+    cfg = BinlogConfig(n_events=3000, n_keys=200, n_repos=6, schema_every=10**9, delete_pct=0.25)
+    binlog = binlog_table(cfg)
+    lake = HistoryLake(str(tmp_path / "hist"), num_partitions=8)
+    lake.apply(_as_ds(binlog))
+
+    # probes: every key at lsns {0, n/3, 2n/3, n-1} plus a key that never existed
+    keys = (
+        binlog.filter(pa.compute.equal(binlog.column("op"), "upsert"))
+        .group_by(["repo", "path"])
+        .aggregate([])
+    )
+    n = cfg.n_events
+    probe_lsns = [0, n // 3, 2 * n // 3, n - 1]
+    pieces = []
+    for L in probe_lsns:
+        pieces.append(
+            pa.table(
+                {
+                    "repo": keys.column("repo"),
+                    "path": keys.column("path"),
+                    "lsn": pa.array([L] * keys.num_rows, pa.int64()),
+                    "tag": pa.array([f"t{L}"] * keys.num_rows),  # payload passthrough
+                }
+            )
+        )
+    pieces.append(
+        pa.table(
+            {
+                "repo": pa.array(["ghost"]),
+                "path": pa.array(["never.py"]),
+                "lsn": pa.array([n - 1], pa.int64()),
+                "tag": pa.array(["ghost"]),
+            }
+        )
+    )
+    probes = pa.concat_tables(pieces)
+
+    got = (
+        asof_enrich(rd.from_arrow(probes).repartition(4), lake, value_cols=("content_sha",))
+        .take_all()
+    )
+    got_map = {(r["repo"], r["path"], r["lsn"]): (r["content_sha"], r["valid_from"], r["tag"]) for r in got}
+    assert len(got_map) == probes.num_rows
+
+    con = duckdb.connect()
+    con.register("binlog", binlog)
+    con.register("probes", probes)
+    want = con.execute(
+        """
+        WITH ev AS (
+          SELECT lsn, op, repo, path,
+                 CASE WHEN op = 'upsert' THEN sha256(content) END AS content_sha
+          FROM binlog WHERE op IN ('upsert','delete')),
+        last AS (
+          SELECT p.repo, p.path, p.lsn AS plsn, e.op, e.content_sha, e.lsn AS vf,
+                 row_number() OVER (PARTITION BY p.repo, p.path, p.lsn ORDER BY e.lsn DESC) AS rn
+          FROM probes p JOIN ev e ON e.repo = p.repo AND e.path = p.path AND e.lsn <= p.lsn)
+        SELECT repo, path, plsn,
+               CASE WHEN op = 'upsert' THEN content_sha END AS sha,
+               CASE WHEN op = 'upsert' THEN vf END AS vf
+        FROM last WHERE rn = 1
+        """
+    ).fetchall()
+    want_map = {(r[0], r[1], r[2]): (r[3], r[4]) for r in want}
+    for k, (sha, vf, tag) in got_map.items():
+        repo, path, lsn = k
+        if k in want_map:
+            assert (sha, vf) == want_map[k], k
+        else:  # unborn or never-existing at this lsn
+            assert sha is None and vf is None, k
+        assert tag == ("ghost" if repo == "ghost" else f"t{lsn}")

@@ -129,6 +129,7 @@ def cmd_replay(args) -> int:
         payload_mode=args.payload_mode,
         on_bad=args.on_bad,
         expectations=_parse_expects(args),
+        skip_unchanged=args.skip_unchanged,
     )
     wall = time.perf_counter() - t0
     after = int(m["watermark_lsn"]) if m else before
@@ -184,6 +185,7 @@ def cmd_tail(args) -> int:
         window_size=args.window_size,
         on_bad=args.on_bad,
         expectations=_parse_expects(args),
+        skip_unchanged=args.skip_unchanged,
     ):
         _emit({"cmd": "tail", **_manifest_summary(m)})
         sys.stdout.flush()
@@ -592,6 +594,8 @@ def build_parser() -> argparse.ArgumentParser:
         "len_between:content:1:100000, matches:path:^doc/ "
         "(see stages.expect.parse_expect_spec)",
     )
+    sp.add_argument("--skip-unchanged", action="store_true",
+                    help="suppress net-no-op events (content-equal upserts, deletes of absent keys)")
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
@@ -605,6 +609,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--on-bad", choices=["raise", "quarantine"], default="raise")
     sp.add_argument("--expect", action="append", default=None, metavar="SPEC",
                     help="CHECK constraint, repeatable (same syntax as replay --expect)")
+    sp.add_argument("--skip-unchanged", action="store_true",
+                    help="suppress net-no-op events (content-equal upserts, deletes of absent keys)")
     sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")

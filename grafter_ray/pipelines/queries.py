@@ -2994,6 +2994,84 @@ FROM p
 """
 
 
+def q_suppress_replay(sf_dir: str):
+    """Redundant-update suppression under the oracle gate (CDCLake.apply
+    skip_unchanged=True): after the documents binlog converges (base +
+    %7 deletes + %5 v2 wave), an ECHO wave re-emits the BASE text for
+    every %2 doc at fresh lsns. Echoes equal to the stored row suppress
+    (key keeps its old last_lsn); echoes against a v2'd key are real
+    downgrades and apply; echoes against a deleted key resurrect. The
+    oracle enumerates exactly those three outcomes in closed form —
+    last_lsn is part of the hash, so a wrongly-applied echo or a
+    wrongly-suppressed change both fail."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.sha import sha256_array
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def echo_wave(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        t = tb.filter(pa.array(ids % 2 == 0))
+        n = t.num_rows
+        return pa.table(
+            {
+                "lsn": pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) + 3 * n_docs + 1, pa.int64()),
+                "op": pa.array(["upsert"] * n),
+                "repo": pc.binary_join_element_wise("repo/", t.column("source"), ""),
+                "path": pc.binary_join_element_wise("doc/", pc.cast(t.column("doc_id"), pa.string()), ".txt", ""),
+                "commit": pc.utf8_slice_codeunits(sha256_array(t.column("text")), 0, 16),
+                "lang": pa.nulls(n, pa.string()),
+                "content": t.column("text"),
+                "schema_version": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        lake.apply(
+            docs.map_batches(echo_wave, batch_format="pyarrow", zero_copy_batch=True),
+            upto_lsn=4 * n_docs + 1,
+            skip_unchanged=True,
+        )
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_SUPPRESS_REPLAY = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(content), 1, 16) AS commit_id,
+       sha256(content) AS content_sha,
+       lsn AS last_lsn
+FROM (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0 THEN text                -- echo target: base text either way
+              WHEN doc_id % 5 = 0 THEN text || ' v2'
+              ELSE text END AS content,
+         CASE WHEN doc_id % 2 = 0 AND (doc_id % 5 = 0 OR doc_id % 7 = 0)
+                   THEN 3 * (SELECT c FROM n) + 1 + doc_id  -- downgrade / resurrect applied
+              WHEN doc_id % 2 = 0 THEN 2 * doc_id           -- echo suppressed: lsn unmoved
+              WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id
+              ELSE 2 * doc_id END AS lsn
+  FROM documents
+  WHERE doc_id % 7 <> 0 OR doc_id % 5 = 0 OR doc_id % 2 = 0
+)
+"""
+
+
 def q_value_index_lookup(sf_dir: str):
     """Secondary VALUE index on a lake column (stages/valueindex.py):
     bootstrap a lang index over the converged docs lake at its first
@@ -6852,6 +6930,7 @@ QUERIES = {
     "expect_replay": q_expect_replay,
     "branch_merge": q_branch_merge,
     "history_enrich": q_history_enrich,
+    "suppress_replay": q_suppress_replay,
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
@@ -7023,6 +7102,7 @@ ORACLE_SQL = {
     "expect_replay": SQL_EXPECT_REPLAY,
     "branch_merge": SQL_BRANCH_MERGE,
     "history_enrich": SQL_HISTORY_ENRICH,
+    "suppress_replay": SQL_SUPPRESS_REPLAY,
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,

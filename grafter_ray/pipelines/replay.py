@@ -173,6 +173,8 @@ _STATS_SCHEMA = pa.schema(
         # JSON list of the partition's delta-chain file names after this
         # window ([] when the partition was rewritten/compacted)
         ("deltas", pa.string()),
+        # skip_unchanged: events whose net effect equaled the stored row
+        ("suppressed", pa.int64()),
     ]
 )
 
@@ -328,8 +330,11 @@ class MergeActor:
         spill_bytes: int | None = None,
         delta_ratio: float = 0.2,
         max_delta_chain: int = 4,
+        skip_unchanged: bool = False,
     ):
         self.data_dir = data_dir
+        # redundant-update suppression (see CDCLake.apply skip_unchanged)
+        self.skip_unchanged = skip_unchanged
         self.version = version
         # {pid: manifest partition entry {file, rows, max_lsn[, deltas]}}
         self.prev_files = prev_files
@@ -631,6 +636,113 @@ class MergeActor:
         self.delta = None
         return _stats_table(stats)
 
+    # -- redundant-update suppression (skip_unchanged) -----------------------
+    # A CDC source that re-emits full rows (snapshot re-syncs, at-least-
+    # once producers, UPDATE ... SET x = x) floods the lake with upserts
+    # whose content equals the stored row. Suppression compares each
+    # window winner against the partition's CURRENT stored sha (a NARROW
+    # columnar read — repo/path/content_sha/tomb only, never the payload)
+    # and drops net-no-ops before anything is written: the row keeps its
+    # old last_lsn, the partition may stay byte-identical (prev manifest
+    # entry reused, max_lsn unmoved), and change-feed consumers see
+    # nothing. Deletes of absent/already-dead keys suppress the same way.
+    # Opt-in: the narrow read is the declared cost; plain replay skips it.
+
+    def _stored_narrow(self, prev: dict):
+        """(key, content_sha, dead) winner per stored key, or None when a
+        legacy chain tombstone carries no key strings (suppression would
+        mis-group it — bail to plain apply for safety)."""
+        sep = "\x1f"
+        tabs = []
+        if prev.get("file"):
+            t = pq.read_table(
+                os.path.join(self.data_dir, prev["file"]),
+                columns=["repo", "path", "content_sha"],
+            )
+            tabs.append((t, np.zeros(t.num_rows, dtype=bool)))
+        for f in prev.get("deltas", []):
+            t = pq.read_table(
+                os.path.join(self.data_dir, f),
+                columns=["repo", "path", "content_sha", "tomb"],
+            )
+            if t.column("repo").null_count:
+                return None  # pre-string-tombstone delta file
+            tabs.append((t, t.column("tomb").to_numpy(zero_copy_only=False)))
+        tabs = [(t, d) for t, d in tabs if t.num_rows]
+        if not tabs:
+            return pa.array([], pa.string()), pa.array([], pa.string()), np.array([], bool)
+        keys, shas, deads, poss = [], [], [], []
+        for i, (t, d) in enumerate(tabs):
+            keys.append(pc.binary_join_element_wise(t.column("repo"), sep, t.column("path"), ""))
+            shas.append(t.column("content_sha"))
+            deads.append(d)
+            poss.append(np.full(t.num_rows, i, np.int32))
+        k_all = pa.concat_arrays([pa.chunked_array([k]).combine_chunks() for k in keys])
+        sha_all = pa.concat_arrays(
+            [pa.chunked_array([s]).combine_chunks().cast(pa.string()) for s in shas]
+        )
+        dead_all = np.concatenate(deads)
+        pos_all = np.concatenate(poss)
+        codes = pc.dictionary_encode(k_all).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos_all, codes))
+        cs = codes[order]
+        last = np.r_[cs[1:] != cs[:-1], True]  # newest chain position wins
+        sel = order[last]
+        idx = pa.array(sel)
+        return k_all.take(idx), sha_all.take(idx), dead_all[sel]
+
+    def _suppress_unchanged(self, prev, delta, new_rows, del_keys):
+        """Drop window winners whose net effect equals the stored state.
+        Returns (delta, new_rows, del_keys, n_suppressed) — delta rows are
+        removed by 128-bit key hash + op code (exact even under lsn
+        collisions)."""
+        if new_rows is None and del_keys is None:
+            return delta, new_rows, del_keys, 0
+        stored = self._stored_narrow(prev)
+        if stored is None:
+            return delta, new_rows, del_keys, 0
+        sk, ssha, sdead = stored
+        sdead_arr = pa.array(sdead)
+        sep = "\x1f"
+        n_sup = 0
+        sup_kh: list[tuple[int, np.ndarray, np.ndarray]] = []
+        if new_rows is not None and new_rows.num_rows and len(sk):
+            k = pc.binary_join_element_wise(new_rows.column("repo"), sep, new_rows.column("path"), "")
+            pos = pc.index_in(k, value_set=sk)
+            alive = pc.fill_null(pc.invert(pc.take(sdead_arr, pos)), False)
+            same = pc.equal(pc.take(ssha, pos), new_rows.column("content_sha"))
+            sup = pc.fill_null(pc.and_kleene(alive, same), False)
+            n = int(pc.sum(pc.cast(sup, pa.int64())).as_py() or 0)
+            if n:
+                supped = new_rows.filter(sup)
+                h1, h2 = key_hash_pair(supped.column("repo"), supped.column("path"))
+                sup_kh.append((1, h1, h2))
+                new_rows = new_rows.filter(pc.invert(sup))
+                n_sup += n
+        if del_keys is not None and del_keys.num_rows:
+            k = pc.binary_join_element_wise(del_keys.column("repo"), sep, del_keys.column("path"), "")
+            pos = pc.index_in(k, value_set=sk) if len(sk) else pa.nulls(del_keys.num_rows, pa.int32())
+            # absent key (null pos) or already-dead key → the delete is a no-op
+            sup = pc.fill_null(pc.take(sdead_arr, pos) if len(sk) else pa.nulls(del_keys.num_rows, pa.bool_()), True)
+            n = int(pc.sum(pc.cast(sup, pa.int64())).as_py() or 0)
+            if n:
+                supped = del_keys.filter(sup)
+                h1, h2 = key_hash_pair(supped.column("repo"), supped.column("path"))
+                sup_kh.append((2, h1, h2))
+                del_keys = del_keys.filter(pc.invert(sup))
+                n_sup += n
+        if n_sup:
+            khb = _kh_binary(delta.column("kh1"), delta.column("kh2"))
+            keep = pa.array(np.ones(delta.num_rows, bool))
+            for opc, h1, h2 in sup_kh:
+                hit = pc.and_(
+                    pc.is_in(khb, value_set=_kh_binary(pa.array(h1), pa.array(h2))),
+                    pc.equal(delta.column("op_code"), pa.scalar(opc, pa.int8())),
+                )
+                keep = pc.and_(keep, pc.invert(hit))
+            delta = delta.filter(keep)
+        return delta, new_rows, del_keys, n_sup
+
     def _window_delta_table(
         self, delta: pa.Table, new_rows: pa.Table | None, del_keys: pa.Table | None = None
     ) -> pa.Table:
@@ -706,6 +818,25 @@ class MergeActor:
                 ).cast(LAKE)
 
         prev = self.prev_files.get(str(pid))
+        n_suppressed = 0
+        if self.skip_unchanged and prev is not None:
+            delta, new_rows, del_keys, n_suppressed = self._suppress_unchanged(
+                prev, delta, new_rows, del_keys
+            )
+            if delta.num_rows == 0:
+                # the whole window was a no-op for this partition: keep the
+                # previous entry verbatim (max_lsn stays put, so downstream
+                # changed-partition pruning correctly skips it)
+                return {
+                    "partition_id": pid,
+                    "file": prev.get("file", ""),
+                    "rows": int(prev["rows"]),
+                    "max_lsn": int(prev["max_lsn"]),
+                    "events": 0,
+                    "deletes": 0,
+                    "deltas": json.dumps(prev.get("deltas", [])),
+                    "suppressed": n_suppressed,
+                }
         prev_base = prev.get("file", "") if prev else ""
         chain = list(prev.get("deltas", [])) if prev else []
         prev_rows = int(prev["rows"]) if prev else 0
@@ -733,6 +864,7 @@ class MergeActor:
                 "events": delta.num_rows,
                 "deletes": n_del,
                 "deltas": json.dumps(chain + [dname]),
+                "suppressed": n_suppressed,
             }
 
         # rewrite / compaction path: fold base + existing chain + this
@@ -755,6 +887,7 @@ class MergeActor:
             "events": delta.num_rows,
             "deletes": n_del,
             "deltas": "[]",
+            "suppressed": n_suppressed,
         }
 
 
@@ -863,6 +996,7 @@ class CDCLake:
         payload_mode: str = "two_pass",
         on_bad: str = "raise",
         expectations: list | None = None,
+        skip_unchanged: bool = False,
     ) -> dict:
         """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
         lake. With `window_size`, commits one manifest per LSN window
@@ -889,7 +1023,15 @@ class CDCLake:
         evaluated on the same gate — each a named predicate with action
         fail / drop / quarantine; violation counts land in the manifest's
         lineage counters as ``expect:<name>``. Independent of `on_bad`
-        (which governs STRUCTURALLY malformed rows)."""
+        (which governs STRUCTURALLY malformed rows).
+
+        skip_unchanged: suppress net-no-op events — upserts whose content
+        sha equals the key's stored sha and deletes of absent/dead keys
+        are dropped at finalize (row keeps its old last_lsn; untouched
+        partitions reuse their previous manifest entry so change-feed
+        consumers see nothing). Costs one narrow (repo, path, sha, tomb)
+        columnar read per touched partition per window — opt-in. Counted
+        cumulatively as counters['suppressed']."""
         if payload_mode not in ("two_pass", "single_pass"):
             raise ValueError(f"unknown payload_mode {payload_mode!r}")
         if on_bad not in ("raise", "quarantine"):
@@ -915,6 +1057,7 @@ class CDCLake:
                 manifest = self._apply_window(
                     binlog, lo, hi, batch_size, concurrency, payload_mode,
                     on_bad=on_bad, extra_dlq=null_lsn_rows, expectations=expectations,
+                    skip_unchanged=skip_unchanged,
                 )
                 null_lsn_rows = None  # quarantined with the first window only
         return manifest
@@ -1127,6 +1270,7 @@ class CDCLake:
         on_bad: str = "raise",
         extra_dlq: pa.Table | None = None,
         expectations: list | None = None,
+        skip_unchanged: bool = False,
     ) -> dict:
         import sys
         import time as _t
@@ -1197,6 +1341,7 @@ class CDCLake:
                 spill_bytes=self.actor_spill_bytes,
                 delta_ratio=self.delta_ratio,
                 max_delta_chain=self.max_delta_chain,
+                skip_unchanged=skip_unchanged,
             )
             for i in range(W)
         ]
@@ -1362,7 +1507,7 @@ class CDCLake:
         stats = pa.concat_tables(stats_tables).to_pylist()
 
         parts = dict(prev_parts)
-        n_events = n_deletes = 0
+        n_events = n_deletes = n_suppressed = 0
         seen_pids = set()
         for s in stats:
             pid = str(s["partition_id"])
@@ -1371,6 +1516,7 @@ class CDCLake:
             seen_pids.add(pid)
             n_events += s["events"]
             n_deletes += s["deletes"]
+            n_suppressed += s.get("suppressed") or 0
             deltas = json.loads(s["deltas"]) if s["deltas"] else []
             if s["rows"] > 0:
                 entry = {"file": s["file"], "rows": int(s["rows"]), "max_lsn": int(s["max_lsn"])}
@@ -1403,6 +1549,8 @@ class CDCLake:
         }
         if n_quarantined or "quarantined" in prev_counters:
             counters["quarantined"] = prev_counters.get("quarantined", 0) + n_quarantined
+        if n_suppressed or "suppressed" in prev_counters:
+            counters["suppressed"] = prev_counters.get("suppressed", 0) + n_suppressed
         # per-expectation lineage: cumulative, carried across windows even
         # when a later window runs without expectations
         for k, v in prev_counters.items():
@@ -1444,6 +1592,7 @@ class CDCLake:
         concurrency: int | None = None,
         on_bad: str = "raise",
         expectations: list | None = None,
+        skip_unchanged: bool = False,
     ):
         """Continuous ingest — tail a growing binlog directory (the north
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
@@ -1469,7 +1618,7 @@ class CDCLake:
                 yield self.apply(
                     src, upto_lsn=hi, window_size=window_size,
                     concurrency=concurrency, on_bad=on_bad,
-                    expectations=expectations,
+                    expectations=expectations, skip_unchanged=skip_unchanged,
                 )
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)

@@ -1,0 +1,157 @@
+"""Redundant-update suppression (CDCLake.apply skip_unchanged=True):
+net-no-op events — upserts whose content sha equals the stored row,
+deletes of absent or already-dead keys — are dropped at finalize.
+
+Invariants:
+  - converged state equals plain replay's (suppression changes lineage,
+    never state), and suppressed keys KEEP their old last_lsn;
+  - a fully-suppressed window reuses the previous manifest entries
+    verbatim (max_lsn unmoved), so the change feed stays silent;
+  - counters['suppressed'] counts exactly the no-ops, cumulatively;
+  - genuinely-changed keys in the same window still apply;
+  - with no redundant events the flag is a no-op vs the oracle.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+
+CFG = BinlogConfig(n_events=2_400, n_keys=180, n_repos=8, schema_every=10**9, delete_pct=0.15)
+
+
+def _echo_events(lake: CDCLake, start_lsn: int, *, change_every: int = 3) -> tuple[pa.Table, int, int]:
+    """Re-emit every live key at fresh lsns: every change_every-th row
+    gets ' changed' appended (real update; change_every=0 → none), the
+    rest are byte-identical echoes (should suppress). Returns (events,
+    n_changed, n_echo)."""
+    cur = lake.read_table(view=False)
+    n = cur.num_rows
+    idx = pa.array([bool(change_every) and (i + 1) % change_every == 0 for i in range(n)])
+    body = pc.cast(cur.column("content"), pa.string())  # read_table widens to large_string
+    content = pc.if_else(idx, pc.binary_join_element_wise(body, " changed", ""), body)
+    ev = pa.table(
+        {
+            "lsn": pa.array(range(start_lsn, start_lsn + n), pa.int64()),
+            "op": pa.array(["upsert"] * n),
+            "repo": cur.column("repo"),
+            "path": cur.column("path"),
+            "commit": cur.column("commit"),
+            "lang": cur.column("lang"),
+            "content": content,
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    )
+    n_changed = sum(1 for i in range(n) if change_every and (i + 1) % change_every == 0)
+    return ev, n_changed, n - n_changed
+
+
+@pytest.mark.parametrize("payload_mode", ["two_pass", "single_pass"])
+def test_echo_wave_suppressed_state_and_lineage(tmp_path, payload_mode):
+    base = binlog_table(CFG)
+    lake = CDCLake(os.path.join(str(tmp_path), f"lake_{payload_mode}"), num_partitions=8)
+    m0 = lake.apply(rd.from_arrow(base))
+    before = lake.read_table(view=False)
+    wm = lake.watermark
+
+    ev, n_changed, n_echo = _echo_events(lake, wm + 1)
+    m = lake.apply(
+        rd.from_arrow(ev), upto_lsn=wm + ev.num_rows,
+        payload_mode=payload_mode, skip_unchanged=True,
+    )
+    assert m["counters"]["suppressed"] == n_echo > 0
+    # applied-event lineage counts only the non-suppressed winners
+    assert m["counters"]["events"] == m0["counters"]["events"] + n_changed
+
+    after = lake.read_table(view=False)
+    key = lambda t: list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
+    b = dict(zip(key(before), zip(before.column("content_sha").to_pylist(), before.column("last_lsn").to_pylist())))
+    a = dict(zip(key(after), zip(after.column("content_sha").to_pylist(), after.column("last_lsn").to_pylist())))
+    assert set(a) == set(b)
+    changed = echoed = 0
+    for k, (sha_b, lsn_b) in b.items():
+        sha_a, lsn_a = a[k]
+        if sha_a == sha_b:
+            assert lsn_a == lsn_b, k  # suppressed: lsn must NOT advance
+            echoed += 1
+        else:
+            assert lsn_a > wm, k
+            changed += 1
+    assert changed == n_changed and echoed == n_echo
+
+
+def test_fully_suppressed_window_keeps_entries_and_feed_silent(tmp_path):
+    base = binlog_table(CFG)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(base))
+    v0 = lake.manifest["version"]
+    parts0 = dict(lake.manifest["partitions"])
+    wm = lake.watermark
+
+    ev, _, _ = _echo_events(lake, wm + 1, change_every=0)  # ALL echoes
+    m = lake.apply(rd.from_arrow(ev), upto_lsn=wm + ev.num_rows, skip_unchanged=True)
+    assert m["counters"]["suppressed"] == ev.num_rows
+    assert m["watermark_lsn"] == wm + ev.num_rows  # watermark still advances
+    assert m["partitions"] == parts0  # every entry reused verbatim
+    # change feed since v0: silent
+    assert lake.read_changes(v0).count() == 0
+    assert lake.deleted_keys(v0).count() == 0
+    # and a RE-apply of the echo wave is a watermark no-op
+    m2 = lake.apply(rd.from_arrow(ev), upto_lsn=wm + ev.num_rows, skip_unchanged=True)
+    assert m2["version"] == m["version"]
+
+
+def test_noop_deletes_suppressed_live_deletes_apply(tmp_path):
+    base = binlog_table(CFG)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(base))
+    wm = lake.watermark
+    cur = lake.read_table(view=False)
+    victim = (cur.column("repo")[0].as_py(), cur.column("path")[0].as_py())
+
+    def d(lsn, repo, path):
+        return {
+            "lsn": lsn, "op": "delete", "repo": repo, "path": path,
+            "commit": None, "lang": None, "content": None, "schema_version": 0,
+        }
+
+    ev = pa.Table.from_pylist(
+        [
+            d(wm + 1, "ghost", "never.py"),      # absent key → suppress
+            d(wm + 2, victim[0], victim[1]),      # live key → applies
+        ],
+        schema=base.schema,
+    )
+    m = lake.apply(rd.from_arrow(ev), upto_lsn=wm + 2, skip_unchanged=True)
+    assert m["counters"]["suppressed"] == 1
+    # a LATER window re-deleting the now-dead key is a no-op too (same-
+    # window duplicates collapse in the LWW reduce before suppression)
+    ev2 = pa.Table.from_pylist([d(wm + 3, victim[0], victim[1])], schema=base.schema)
+    m = lake.apply(rd.from_arrow(ev2), upto_lsn=wm + 3, skip_unchanged=True)
+    assert m["counters"]["suppressed"] == 2
+    after = lake.read_table(view=False)
+    keys = set(zip(after.column("repo").to_pylist(), after.column("path").to_pylist()))
+    assert victim not in keys
+    assert after.num_rows == cur.num_rows - 1
+
+
+def test_flag_is_noop_without_redundancy(tmp_path):
+    """Plain fixture replay (no duplicate content) under skip_unchanged
+    must converge byte-identically to the oracle with zero suppression.
+    Window split forces later windows to see stored state."""
+    base = binlog_table(CFG)
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    m = lake.apply(rd.from_arrow(base), window_size=800, skip_unchanged=True)
+    got = lake.read_table(view=True)
+    want = oracle_view_table(base)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert got.column("last_lsn").to_pylist() == want.column("last_lsn").to_pylist()
+    # the fixture re-delivers nothing content-equal at a later lsn except
+    # delete/recreate patterns; suppression must not have dropped any
+    # event that the oracle applied — state equality above is the proof;
+    # any suppressed count here must be deletes of already-dead keys only
+    assert m["counters"].get("suppressed", 0) == 0 or got.num_rows == want.num_rows

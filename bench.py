@@ -160,6 +160,11 @@ QUERY_SUBSET = [
     "cdc_mysql_replay",
     "cdc_ops_pipeline",
     "shard_lag",
+    # round-4 session-12 additions
+    "expect_replay",
+    "branch_merge",
+    "history_enrich",
+    "suppress_replay",
 ]
 
 

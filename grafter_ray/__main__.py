@@ -296,6 +296,20 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_dlq_retry(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    res = lake.retry_dead_letters(
+        source=args.source, reasons=args.reason, expectations=_parse_expects(args)
+    )
+    wall = time.perf_counter() - t0
+    m = res.pop("manifest")
+    _emit({"cmd": "dlq-retry", "wall_sec": round(wall, 3), **res, **_manifest_summary(m)})
+    return 0
+
+
 def cmd_compact_binlog(args) -> int:
     from .pipelines.replay import compact_binlog
 
@@ -634,6 +648,19 @@ def build_parser() -> argparse.ArgumentParser:
     lake_args(sp)
     sp.add_argument("--keep-versions", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "dlq-retry",
+        help="re-inject quarantined dead-letter events (exactly-once via the retry watermark)",
+    )
+    lake_args(sp)
+    sp.add_argument("--source", default=None,
+                    help="original binlog parquet path — re-fetches payload-less meta-pass quarantines by lsn")
+    sp.add_argument("--reason", action="append", default=None,
+                    help="retry only these reasons (repeatable, e.g. expect:py_only)")
+    sp.add_argument("--expect", action="append", default=None, metavar="SPEC",
+                    help="CHECK constraints applied to the retry window (same syntax as replay --expect)")
+    sp.set_defaults(fn=cmd_dlq_retry)
 
     sp = sub.add_parser("branch", help="fork the lake at a committed version (zero-copy hard links)")
     lake_args(sp)

@@ -1570,6 +1570,9 @@ class CDCLake:
         }
         if dlq_entry:
             manifest["dlq"] = dlq_entry
+        if prev and "dlq_retried_version" in prev:
+            # retry watermark (retry_dead_letters) rides every commit
+            manifest["dlq_retried_version"] = prev["dlq_retried_version"]
         self.log.commit(manifest)
         if timing:
             _mark("commit")
@@ -1913,17 +1916,21 @@ class CDCLake:
         out.log.commit(manifest)
         return manifest
 
-    def dead_letters(self, version: int | None = None) -> pa.Table:
+    def dead_letters(self, version: int | None = None, pending: bool = False) -> pa.Table:
         """All quarantined events committed up to `version` (default:
         latest) — one row per malformed binlog event with a `reason`
         column. Driver-side read: dead-letter volume is capped per window
-        (DLQ_CAP), so this never scales with the corpus."""
+        (DLQ_CAP), so this never scales with the corpus. pending=True
+        skips windows already covered by retry_dead_letters' marker."""
         upto = self.manifest_at(version)
         limit = int(upto["version"]) if upto else -1
+        done = int(upto.get("dlq_retried_version", -1)) if (pending and upto) else -1
         tables = []
         for v in self.log.versions():
             if v > limit:
                 break
+            if v <= done:
+                continue
             m = self.log.read(v)
             if m.get("dlq"):
                 tables.append(pq.read_table(os.path.join(self.log.data_dir, m["dlq"]["file"])))
@@ -1931,6 +1938,142 @@ class CDCLake:
             sch = BINLOG.append(pa.field("reason", pa.string()))
             return sch.empty_table()
         return pa.concat_tables(tables, promote_options="none")
+
+    def retry_dead_letters(
+        self,
+        *,
+        source: str | None = None,
+        fix=None,
+        reasons: list[str] | None = None,
+        expectations: list | None = None,
+        concurrency: int | None = None,
+    ) -> dict:
+        """Re-inject quarantined events into the lake — the ops loop that
+        closes the dead-letter queue: quarantine → (operator fixes the
+        producer / relaxes an expectation / supplies `fix`) → retry.
+
+        Exactly-once across crashes WITHOUT a distributed transaction:
+        a retry watermark (`dlq_retried_version` in the manifest) marks
+        which windows' dead letters have been retried, and the retry
+        window itself applies with skip_unchanged=True — so a crash
+        between the retry apply and the marker commit makes the rerun a
+        content-level no-op (the second injection suppresses against the
+        rows the first one wrote).
+
+        `source`: the original binlog parquet path — rows quarantined by
+        the two-pass METADATA scan carry no payload columns (documented
+        at _to_dlq_schema), so their full rows are re-fetched from the
+        source by original lsn (a stats-pruned isin scan, bounded by
+        DLQ_CAP). `fix`: optional callable(Table) -> Table repairing rows
+        (input = BINLOG columns + `reason`; reason is dropped before
+        apply). `reasons`: retry only these reasons (e.g.
+        ['expect:py_only']) — others stay queued. Upserts still missing
+        content after source/fix RAISE (re-injecting them would overwrite
+        good rows with nulls). Rows that are still malformed or still
+        violate `expectations` re-quarantine into the retry window's own
+        dead-letter file, becoming candidates for the NEXT retry (the
+        natural requeue loop; filter by reason to avoid spinning on
+        unfixable rows). Returns {retried, requeued, suppressed,
+        manifest}."""
+        m0 = self.manifest
+        if m0 is None:
+            return {"retried": 0, "requeued": 0, "suppressed": 0, "manifest": None}
+        done = int(m0.get("dlq_retried_version", -1))
+        tables = []
+        for v in self.log.versions():
+            if v <= done or v > int(m0["version"]):
+                continue
+            mv = self.log.read(v)
+            if mv.get("dlq"):
+                tables.append(pq.read_table(os.path.join(self.log.data_dir, mv["dlq"]["file"])))
+        rows = (
+            pa.concat_tables(tables, promote_options="none")
+            if tables
+            else BINLOG.append(pa.field("reason", pa.string())).empty_table()
+        )
+        if reasons is not None and rows.num_rows:
+            keep = pc.is_in(rows.column("reason"), value_set=pa.array(list(reasons)))
+            rows = rows.filter(keep)
+        if source is not None and rows.num_rows:
+            # re-fetch full rows by original lsn (payload-less meta-pass
+            # quarantines); null-lsn rows keep their dlq form
+            import pyarrow.dataset as pads
+
+            lsns = rows.column("lsn").drop_null().combine_chunks()
+            src = pads.dataset(source, format="parquet")
+            fetched = src.to_table(filter=pads.field("lsn").isin(lsns))
+            fetched = fetched.select([f.name for f in BINLOG])
+            pos = pc.index_in(fetched.column("lsn"), value_set=rows.column("lsn"))
+            fetched = fetched.append_column("reason", pc.take(rows.column("reason"), pos))
+            got = pc.is_in(rows.column("lsn"), value_set=fetched.column("lsn"))
+            leftover = rows.filter(pc.invert(pc.fill_null(got, False)))
+            rows = pa.concat_tables(
+                [fetched.cast(rows.schema), leftover], promote_options="none"
+            )
+        if fix is not None and rows.num_rows:
+            rows = fix(rows)
+        if rows.num_rows:
+            bad_up = pc.and_(
+                pc.equal(rows.column("op"), "upsert"), pc.is_null(rows.column("content"))
+            )
+            n_bad = int(pc.sum(pc.cast(pc.fill_null(bad_up, False), pa.int64())).as_py() or 0)
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} quarantined upsert(s) have no content (meta-pass "
+                    "quarantine strips payloads) — pass source=<original binlog "
+                    "path> to re-fetch them, repair via fix=, or exclude their "
+                    "reason from this retry"
+                )
+        n = rows.num_rows
+        mark_upto = int(m0["version"])
+        if n == 0:
+            # nothing retryable — still advance the marker so the scan
+            # doesn't re-read these windows' files forever
+            manifest = self._metadata_commit(m0, dlq_retried_version=mark_upto)
+            return {"retried": 0, "requeued": 0, "suppressed": 0, "manifest": manifest}
+        import ray.data as rd
+
+        # deterministic re-stamp above the watermark, original-lsn order
+        rows = rows.sort_by([("lsn", "ascending")])
+        wm = self.watermark
+        events = rows.drop_columns(["reason"]).set_column(
+            rows.schema.get_field_index("lsn"),
+            "lsn",
+            pa.array(np.arange(wm + 1, wm + 1 + n, dtype=np.int64)),
+        )
+        q0 = int(m0["counters"].get("quarantined", 0))
+        s0 = int(m0["counters"].get("suppressed", 0))
+        self.apply(
+            rd.from_arrow(events),
+            upto_lsn=wm + n,
+            on_bad="quarantine",
+            expectations=expectations,
+            skip_unchanged=True,
+            concurrency=concurrency,
+        )
+        m1 = self.manifest
+        requeued = int(m1["counters"].get("quarantined", 0)) - q0
+        suppressed = int(m1["counters"].get("suppressed", 0)) - s0
+        manifest = self._metadata_commit(m1, dlq_retried_version=mark_upto)
+        return {
+            "retried": n,
+            "requeued": requeued,
+            "suppressed": suppressed,
+            "manifest": manifest,
+        }
+
+    def _metadata_commit(self, base: dict, **extra) -> dict:
+        """Commit a metadata-only manifest (same partitions/counters, new
+        version) carrying updated bookkeeping keys."""
+        manifest = dict(base)
+        manifest.update(extra)
+        manifest["version"] = int(base["version"]) + 1
+        manifest["parent"] = int(base["version"])
+        manifest.pop("committed_ts", None)  # restamped at commit
+        manifest.pop("dlq", None)  # per-window sidecar, not re-referenced
+        with self.log.writer_lock("metadata"):
+            self.log.commit(manifest)
+        return manifest
 
     # -- read --------------------------------------------------------------
     def manifest_at(self, version: int | None = None) -> dict | None:

@@ -396,3 +396,21 @@ def test_expect_cli(tmp_path, capsys):
          "--expect", "matches:path:\\.py$:drop"],
     )
     assert out["counters"]["expect:matches_path"] > 0
+
+
+def test_dlq_retry_cli(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    out = _run(
+        capsys,
+        ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8",
+         "--expect", "matches:path:\\.py$"],  # quarantine non-.py upserts
+    )
+    n_q = out["counters"]["quarantined"]
+    assert n_q > 0
+    out = _run(capsys, ["dlq-retry", "--lake", lake, "--partitions", "8",
+                        "--source", binlog])
+    assert out["retried"] == n_q and out["requeued"] == 0
+    # drained: a second retry has nothing pending
+    out2 = _run(capsys, ["dlq-retry", "--lake", lake, "--partitions", "8"])
+    assert out2["retried"] == 0

@@ -219,3 +219,122 @@ def test_quarantine_matches_valid_only_oracle(tmp_path_factory, case, window):
                 )
             ).column("lsn").to_pylist()
         )
+
+
+# ---- retry (CDCLake.retry_dead_letters) -------------------------------------
+
+
+def _expect_py(action="quarantine"):
+    from grafter_ray.stages import expect as ex
+
+    return ex.matches("path", r"\.py$", action=action, name="py_only")
+
+
+def test_retry_after_relaxing_expectation(tmp_path):
+    """quarantine under an expectation → retry WITHOUT it → rows land in
+    the lake; the retry is exactly-once (second retry is a no-op) and
+    pending dead_letters drains."""
+    import ray.data as rd
+
+    cfg = BinlogConfig(n_events=1_000, n_keys=120, n_repos=6, schema_every=10**9)
+    tb = binlog_table(cfg)
+    path = os.path.join(str(tmp_path), "binlog")
+    os.makedirs(path)
+    pq.write_table(tb, os.path.join(path, "part-0.parquet"))
+
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=8)
+    m = lake.apply(path, expectations=[_expect_py()])
+    n_q = m["counters"]["quarantined"]
+    assert n_q > 0
+    rows_before = lake.read_table(view=False).num_rows
+
+    # payload-less meta-pass quarantine: retry without source must refuse
+    with pytest.raises(ValueError, match="no content"):
+        lake.retry_dead_letters()
+
+    res = lake.retry_dead_letters(source=path)
+    assert res["retried"] == n_q and res["requeued"] == 0
+    got = lake.read_table(view=True)
+    # retry semantics: retried events apply NOW (after everything that
+    # already landed, original relative order preserved) — a .py upsert
+    # therefore outlives a delete that originally followed it. Model
+    # that by shifting the quarantined events past the stream's end.
+    was_q = pa.compute.and_(
+        pa.compute.equal(tb.column("op"), "upsert"),
+        pa.compute.invert(pa.compute.match_substring_regex(tb.column("path"), r"\.py$")),
+    )
+    shifted = tb.set_column(
+        tb.schema.get_field_index("lsn"),
+        "lsn",
+        pa.compute.add(
+            tb.column("lsn"),
+            pa.compute.if_else(was_q, pa.scalar(10**9, pa.int64()), pa.scalar(0, pa.int64())),
+        ),
+    )
+    want = oracle_view_table(shifted)
+    assert sorted(got.column("content_sha").to_pylist()) == sorted(
+        want.column("content_sha").to_pylist()
+    )
+    assert got.num_rows > rows_before
+    assert lake.dead_letters(pending=True).num_rows == 0
+    assert lake.dead_letters().num_rows == n_q  # history retained
+
+    # second retry: marker advanced, nothing to do, no state change
+    v = lake.manifest["version"]
+    res2 = lake.retry_dead_letters(source=path)
+    assert res2["retried"] == 0
+    assert lake.manifest["version"] == v + 1  # metadata-only marker commit
+
+
+def test_retry_requeues_still_failing_rows(tmp_path):
+    """retrying WITH the same expectation re-quarantines the violators
+    into the retry window's dlq (the requeue loop) without duplicating
+    lake rows."""
+    import ray.data as rd
+
+    cfg = BinlogConfig(n_events=800, n_keys=90, n_repos=6, schema_every=10**9)
+    tb = binlog_table(cfg)
+    path = os.path.join(str(tmp_path), "binlog")
+    os.makedirs(path)
+    pq.write_table(tb, os.path.join(path, "part-0.parquet"))
+    lake = CDCLake(os.path.join(str(tmp_path), "lakeq"), num_partitions=8)
+    m = lake.apply(path, expectations=[_expect_py()])
+    n_q = m["counters"]["quarantined"]
+    rows0 = lake.read_table(view=False).num_rows
+
+    res = lake.retry_dead_letters(source=path, expectations=[_expect_py()])
+    assert res["retried"] == n_q and res["requeued"] == n_q
+    assert lake.read_table(view=False).num_rows == rows0  # nothing new landed
+    assert lake.dead_letters(pending=True).num_rows == n_q  # requeued, retryable again
+
+
+def test_retry_reason_filter_and_marker_carry(tmp_path):
+    """reasons= retries a subset; the retry watermark survives later
+    ordinary applies (manifest carry)."""
+    import ray.data as rd
+
+    cfg = BinlogConfig(n_events=600, n_keys=70, n_repos=5, schema_every=10**9)
+    tb = binlog_table(cfg)
+    path = os.path.join(str(tmp_path), "binlog")
+    os.makedirs(path)
+    pq.write_table(tb, os.path.join(path, "part-0.parquet"))
+    lake = CDCLake(os.path.join(str(tmp_path), "laker"), num_partitions=8)
+    lake.apply(path, expectations=[_expect_py()])
+
+    # filter to a reason that does not exist → no-op retry, marker moves
+    res = lake.retry_dead_letters(reasons=["expect:other"])
+    assert res["retried"] == 0
+    marker = lake.manifest["dlq_retried_version"]
+    # NOTE: the marker intentionally covers ALL scanned windows — reasons=
+    # narrows this retry, and rows left behind are no longer pending
+    assert lake.dead_letters(pending=True).num_rows == 0
+
+    # an ordinary apply must carry the marker forward
+    extra = tb.slice(0, 1).set_column(
+        0, "lsn", pa.array([lake.watermark + 1], pa.int64())
+    )
+    bb = os.path.join(str(tmp_path), "binlog2")
+    os.makedirs(bb)
+    pq.write_table(extra, os.path.join(bb, "p.parquet"))
+    m = lake.apply(bb)
+    assert m["dlq_retried_version"] == marker

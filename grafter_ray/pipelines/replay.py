@@ -1027,7 +1027,10 @@ class CDCLake:
 
         skip_unchanged: suppress net-no-op events — upserts whose content
         sha equals the key's stored sha and deletes of absent/dead keys
-        are dropped at finalize (row keeps its old last_lsn; untouched
+        are dropped at finalize. Granularity is the WINDOW's per-key
+        winner vs pre-window stored state (within-window echo sequences
+        collapse into the winner first — the window's NET effect is what
+        suppresses). Suppressed rows keep their old last_lsn; untouched
         partitions reuse their previous manifest entry so change-feed
         consumers see nothing). Costs one narrow (repo, path, sha, tomb)
         columnar read per touched partition per window — opt-in. Counted

@@ -155,3 +155,88 @@ def test_flag_is_noop_without_redundancy(tmp_path):
     # event that the oracle applied — state equality above is the proof;
     # any suppressed count here must be deletes of already-dead keys only
     assert m["counters"].get("suppressed", 0) == 0 or got.num_rows == want.num_rows
+
+
+def test_differential_random_echo_feeds(tmp_path):
+    """Property over random feeds: replay WITH skip_unchanged must equal
+    the closed-form model — per key, content = LWW over all events;
+    last_lsn = the lsn of the last event that CHANGED the state (an
+    upsert whose content differs from the state before it, or the upsert
+    that (re)creates the key). Feeds mix fresh upserts, exact echoes of
+    the prior value, deletes, delete-echoes, and re-creates, split over
+    several windows so suppression always races stored state."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    keys = [f"k{i}" for i in range(60)]
+    events = []  # (lsn, op, key, content)
+    state: dict[str, str | None] = {}
+    lsn = 0
+    for _ in range(900):
+        k = keys[int(rng.integers(len(keys)))]
+        roll = rng.random()
+        cur = state.get(k)
+        if roll < 0.25 and cur is not None:
+            ev = ("upsert", k, cur)  # exact echo
+        elif roll < 0.40:
+            ev = ("delete", k, None)
+        else:
+            ev = ("upsert", k, f"v{lsn}")
+        events.append((lsn, *ev))
+        if ev[0] == "delete":
+            state[k] = None
+        else:
+            state[k] = ev[2]
+        lsn += 1
+
+    tb = pa.table(
+        {
+            "lsn": pa.array([e[0] for e in events], pa.int64()),
+            "op": pa.array([e[1] for e in events]),
+            "repo": pa.array(["r"] * len(events)),
+            "path": pa.array([e[2] for e in events]),
+            "commit": pa.array(["c"] * len(events)),
+            "lang": pa.array(["py"] * len(events)),
+            "content": pa.array([e[3] for e in events]),
+            "schema_version": pa.array([0] * len(events), pa.int32()),
+        }
+    )
+
+    # closed-form model at WINDOW granularity (suppression compares the
+    # window's per-key WINNER against pre-window stored state — echoes of
+    # values set earlier in the SAME window collapse into the winner):
+    # per key, content = LWW over all events; last_lsn = the winner lsn
+    # of the last window whose winner CHANGED the key's state.
+    WINDOW = 180
+    model: dict[str, tuple[str, int]] = {}
+    cur_state: dict[str, str | None] = {}
+    for w0 in range(0, lsn, WINDOW):
+        winners: dict[str, tuple[int, str, str | None]] = {}
+        for l, op, k, c in events[w0 : w0 + WINDOW]:
+            winners[k] = (l, op, c)
+        for k, (l, op, c) in winners.items():
+            prev = cur_state.get(k)
+            if op == "delete":
+                if prev is not None:
+                    model.pop(k, None)
+                    cur_state[k] = None
+            elif prev != c:  # None != c covers (re)creation
+                model[k] = (c, l)
+                cur_state[k] = c
+
+    lake = CDCLake(os.path.join(str(tmp_path), "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(tb), window_size=180, skip_unchanged=True)
+    got = lake.read_table(view=False)
+    got_map = {
+        p: (c, l)
+        for p, c, l in zip(
+            got.column("path").to_pylist(),
+            got.column("content").to_pylist(),
+            got.column("last_lsn").to_pylist(),
+        )
+    }
+    assert got_map == model
+    # idempotence: re-apply of the whole feed is a watermark no-op
+    v = lake.manifest["version"]
+    lake.apply(rd.from_arrow(tb), window_size=180, skip_unchanged=True)
+    assert lake.manifest["version"] == v

@@ -310,6 +310,30 @@ def cmd_dlq_retry(args) -> int:
     return 0
 
 
+def cmd_rebase(args) -> int:
+    from .pipelines.branch import CDCLake, MergeConflictError, rebase_branch
+
+    parent = CDCLake(args.lake)
+    branch = CDCLake(args.branch)
+    t0 = time.perf_counter()
+    try:
+        res = rebase_branch(branch, parent, strategy=args.strategy)
+    except MergeConflictError as e:
+        _emit(
+            {
+                "cmd": "rebase",
+                "error": "merge_conflict",
+                "conflicts": e.n_conflicts,
+                "sample": [list(k) for k in e.sample[:10]],
+            }
+        )
+        return 4
+    wall = time.perf_counter() - t0
+    m = res.pop("manifest")
+    _emit({"cmd": "rebase", "wall_sec": round(wall, 3), **res, **_manifest_summary(m)})
+    return 0
+
+
 def cmd_compact_binlog(args) -> int:
     from .pipelines.replay import compact_binlog
 
@@ -676,6 +700,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--branch", required=True, help="branch root (created by `branch`)")
     sp.add_argument("--strategy", choices=["fail", "theirs", "ours"], default="fail")
     sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser(
+        "rebase",
+        help="fold the parent's work since the fork into a branch (exit 4 on key conflicts)",
+    )
+    lake_args(sp)
+    sp.add_argument("--branch", required=True, help="branch root (created by `branch`)")
+    sp.add_argument("--strategy", choices=["fail", "theirs", "ours"], default="fail")
+    sp.set_defaults(fn=cmd_rebase)
 
     sp = sub.add_parser(
         "bootstrap",

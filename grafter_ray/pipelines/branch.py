@@ -141,11 +141,24 @@ def _keyed(ds, cols: list[str]):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _branch_info(branch: CDCLake) -> dict:
+def _branch_info(branch: CDCLake) -> tuple[dict, int]:
+    """(latest fork/rebase record, ORIGINAL fork watermark). The v0
+    manifest carries the fork record; each rebase commits an updated
+    record (newer from_version/fork_watermark) on a later manifest —
+    the newest record wins. The original fork watermark (v0's) is the
+    lower bound of every branch change lsn and anchors merge's lsn
+    remap; the record's from_version scopes parent-side conflict
+    detection."""
     b0 = branch.manifest_at(0)
     if not b0 or "branch" not in b0:
         raise ValueError(f"{branch.root} is not a branch (no fork record in its v0 manifest)")
-    return b0["branch"]
+    latest = b0["branch"]
+    for v in reversed(branch.log.versions()):
+        m = branch.log.read(v)
+        if "branch" in m:
+            latest = m["branch"]
+            break
+    return latest, int(b0["watermark_lsn"])
 
 
 def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> dict:
@@ -154,13 +167,15 @@ def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> di
     Returns {upserts, deletes, conflicts, strategy, manifest}."""
     if strategy not in ("fail", "theirs", "ours"):
         raise ValueError(f"unknown merge strategy {strategy!r}")
-    info = _branch_info(branch)
+    info, fork_wm_orig = _branch_info(branch)
     if info["from_root"] != os.path.realpath(dst.root):
         raise ValueError(
             f"branch was forked from {info['from_root']}, not {os.path.realpath(dst.root)}"
         )
+    # conflicts are scoped by the LATEST fork point (advanced by rebase);
+    # the lsn remap anchors on the ORIGINAL fork watermark — the true
+    # lower bound of every branch change lsn
     fork_version = int(info["from_version"])
-    fork_wm = int(info["fork_watermark"])
     if branch.schema_version != dst.schema_version:
         raise ValueError(
             "schema versions diverged since the fork "
@@ -209,8 +224,8 @@ def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> di
         b_del = anti_join_ids(b_del, dst_keys, "__k", schema=del_schema)
 
     dst_wm = dst.watermark
-    shift = dst_wm - fork_wm  # remap: new_lsn = branch_lsn + shift (>dst_wm)
-    del_lsn = dst_wm + (branch.watermark - fork_wm) + 1
+    shift = dst_wm - fork_wm_orig  # remap: new_lsn = branch_lsn + shift (>dst_wm)
+    del_lsn = dst_wm + (branch.watermark - fork_wm_orig) + 1
 
     def up_events(tb: pa.Table) -> pa.Table:
         return pa.table(
@@ -250,12 +265,159 @@ def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> di
     n_up = int(b_up.count())
     n_del = int(b_del.count())
     manifest = dst.manifest
+    s0 = int(manifest["counters"].get("suppressed", 0)) if manifest else 0
+    suppressed = 0
     if n_up or n_del:
-        manifest = dst.apply(feed, upto_lsn=del_lsn)
+        # skip_unchanged: branch rows equal to dst's current value (e.g.
+        # parent work folded IN by an earlier rebase) suppress instead of
+        # churning dst — only actual differences land
+        manifest = dst.apply(feed, upto_lsn=del_lsn, skip_unchanged=True)
+        suppressed = int(manifest["counters"].get("suppressed", 0)) - s0
     return {
         "upserts": n_up,
         "deletes": n_del,
         "conflicts": n_conflicts,
+        "suppressed": suppressed,
+        "strategy": strategy,
+        "manifest": manifest,
+    }
+
+
+def rebase_branch(branch: CDCLake, parent: CDCLake, *, strategy: str = "fail") -> dict:
+    """Bring the PARENT's work since the (latest) fork point into the
+    branch — the other half of the branch workflow: rebase regularly so
+    the eventual merge sees few conflicts, and conflict resolution
+    happens on the branch where it can be tested in isolation.
+
+    Mechanics mirror merge with the roles swapped: the parent's change
+    feed since the fork point (manifest-pruned) is conflict-checked
+    against the branch's own changes (since the ORIGINAL fork — the
+    branch's whole divergence), applied to the branch as one ordinary
+    exactly-once window (skip_unchanged, so re-rebasing converges), and
+    a metadata commit advances the fork record's from_version /
+    fork_watermark to the parent version just rebased from. A later
+    merge then only checks parent work NEWER than this point — keys the
+    rebase folded in fold back as suppressed no-ops.
+
+    Strategies on keys changed on BOTH sides: ``fail`` (default),
+    ``ours`` (branch keeps its version; parent's other work lands),
+    ``theirs`` (parent wins — the branch's conflicting work is
+    overwritten, by the same LWW rule a later parent event would win).
+    Returns {upserts, deletes, conflicts, suppressed, strategy,
+    manifest}."""
+    if strategy not in ("fail", "theirs", "ours"):
+        raise ValueError(f"unknown rebase strategy {strategy!r}")
+    info, _ = _branch_info(branch)
+    if info["from_root"] != os.path.realpath(parent.root):
+        raise ValueError(
+            f"branch was forked from {info['from_root']}, not {os.path.realpath(parent.root)}"
+        )
+    from_version = int(info["from_version"])
+    if branch.schema_version != parent.schema_version:
+        raise ValueError(
+            "schema versions diverged since the fork "
+            f"(branch={branch.schema_version}, parent={parent.schema_version}) — "
+            "replay the schema-change events on the lagging side first"
+        )
+    # pin the parent snapshot we rebase to (a concurrent parent apply
+    # must not smear the fork point past what we actually folded)
+    p_manifest = parent.manifest
+    p_version = int(p_manifest["version"])
+    p_wm_at = int(p_manifest["watermark_lsn"])
+    base_wm = int(parent.manifest_at(from_version)["watermark_lsn"])
+
+    p_up = _keyed(
+        parent.read_changes(from_version, view=False),
+        ["repo", "path", "commit", "lang", "content", "event_schema_version", "last_lsn"],
+    )
+    p_del = _keyed(parent.deleted_keys(from_version), ["repo", "path"])
+
+    b_up_keys = _keyed(branch.read_changes(0, view=False), [])
+    b_del_keys = _keyed(branch.deleted_keys(0), [])
+    branch_keys = b_up_keys.select_columns(["__k"]).union(b_del_keys.select_columns(["__k"]))
+
+    conflict_keys = bloom_semi_join(
+        p_up.select_columns(["__k"]).union(p_del.select_columns(["__k"])),
+        branch_keys,
+        "__k",
+        schema=pa.schema([("__k", pa.string())]),
+    )
+    sample = conflict_keys.limit(25).take_all()
+    n_conflicts = len(sample) if len(sample) < 25 else int(conflict_keys.count())
+    if n_conflicts and strategy == "fail":
+        keys = [tuple(r["__k"].split(_SEP, 1)) for r in sample[:10]]
+        raise MergeConflictError(n_conflicts, keys)
+    if strategy == "ours" and n_conflicts:
+        s = pa.string()
+        up_schema = pa.schema(
+            [
+                ("__k", s), ("repo", s), ("path", s), ("commit", s), ("lang", s),
+                ("content", s), ("event_schema_version", pa.int32()), ("last_lsn", pa.int64()),
+            ]
+        )
+        del_schema = pa.schema([("__k", s), ("repo", s), ("path", s)])
+        p_up = anti_join_ids(p_up, branch_keys, "__k", schema=up_schema)
+        p_del = anti_join_ids(p_del, branch_keys, "__k", schema=del_schema)
+
+    b_wm = branch.watermark
+    shift = b_wm - base_wm  # parent change lsns all exceed base_wm
+    del_lsn = b_wm + (p_wm_at - base_wm) + 1
+
+    def up_events(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": pc.add(tb.column("last_lsn"), shift),
+                "op": pa.array(["upsert"] * tb.num_rows),
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content": tb.column("content"),
+                "schema_version": pc.cast(tb.column("event_schema_version"), pa.int32()),
+            }
+        )
+
+    def del_events(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table(
+            {
+                "lsn": pa.array([del_lsn] * n, pa.int64()),
+                "op": pa.array(["delete"] * n),
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit": pa.nulls(n, pa.string()),
+                "lang": pa.nulls(n, pa.string()),
+                "content": pa.nulls(n, pa.string()),
+                "schema_version": pa.array([0] * n, pa.int32()),
+            }
+        )
+
+    feed = p_up.map_batches(up_events, batch_format="pyarrow", zero_copy_batch=True).union(
+        p_del.map_batches(del_events, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_up = int(p_up.count())
+    n_del = int(p_del.count())
+    manifest = branch.manifest
+    s0 = int(manifest["counters"].get("suppressed", 0)) if manifest else 0
+    suppressed = 0
+    if n_up or n_del:
+        manifest = branch.apply(feed, upto_lsn=del_lsn, skip_unchanged=True)
+        suppressed = int(manifest["counters"].get("suppressed", 0)) - s0
+    # advance the fork record (metadata commit — later merges only check
+    # parent work newer than what this rebase folded in)
+    manifest = branch._metadata_commit(
+        manifest,
+        branch={
+            "from_root": info["from_root"],
+            "from_version": p_version,
+            "fork_watermark": p_wm_at,
+        },
+    )
+    return {
+        "upserts": n_up,
+        "deletes": n_del,
+        "conflicts": n_conflicts,
+        "suppressed": suppressed,
         "strategy": strategy,
         "manifest": manifest,
     }

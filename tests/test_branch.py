@@ -118,6 +118,7 @@ def test_merge_disjoint_equals_union_oracle(forked):
         "upserts": 40,
         "deletes": 0,
         "conflicts": 0,
+        "suppressed": 0,
         "strategy": "fail",
         "manifest": res["manifest"],
     }
@@ -206,3 +207,99 @@ def test_merge_guards(forked, tmp_path):
     res = merge_branch(main, branch)
     assert res["upserts"] == res["deletes"] == 0
     assert main.manifest["version"] == v
+
+
+def test_rebase_then_merge(forked, tmp_path):
+    """rebase brings parent work into the branch; the later merge only
+    conflict-checks parent work NEWER than the rebase, and the rebased-in
+    rows fold back as suppressed no-ops (parent rows not churned)."""
+    from grafter_ray.pipelines.branch import rebase_branch
+
+    main, branch, base = forked
+    wm = main.watermark
+    # parent advances (disjoint new keys) while the branch does its own work
+    m_ev = _mk_events(range(wm + 1, wm + 21), [("mrepo", f"m{i}.py") for i in range(20)],
+                      lambda k, l: f"M {k[1]}")
+    main.apply(rd.from_arrow(m_ev), upto_lsn=wm + 20)
+    b_ev = _mk_events([wm + 1], [("brepo", "b.py")], lambda k, l: "branch work")
+    branch.apply(rd.from_arrow(b_ev), upto_lsn=wm + 1)
+
+    res = rebase_branch(branch, main)
+    assert res["upserts"] == 20 and res["conflicts"] == 0
+    got = _shas(branch)
+    assert ("mrepo", "m0.py") in got and ("brepo", "b.py") in got
+    # fork record advanced to the parent version just rebased from
+    from grafter_ray.pipelines.branch import _branch_info
+
+    info, _ = _branch_info(branch)
+    assert info["from_version"] == main.manifest["version"]
+
+    # re-rebase with no new parent work: nothing to fold
+    res2 = rebase_branch(branch, main)
+    assert res2["upserts"] == 0 and res2["deletes"] == 0
+
+    # merge: only the branch's own key lands as a change; the 20
+    # rebased-in parent rows suppress (no churn, lsns keep parent values)
+    main_rows_before = main.read_table(view=False)
+    res3 = merge_branch(main, branch)
+    assert res3["conflicts"] == 0
+    assert res3["suppressed"] >= 20
+    after = main.read_table(view=False)
+    b_lsn = {
+        (r, p): l
+        for r, p, l in zip(
+            main_rows_before.column("repo").to_pylist(),
+            main_rows_before.column("path").to_pylist(),
+            main_rows_before.column("last_lsn").to_pylist(),
+        )
+    }
+    a_lsn = {
+        (r, p): l
+        for r, p, l in zip(
+            after.column("repo").to_pylist(),
+            after.column("path").to_pylist(),
+            after.column("last_lsn").to_pylist(),
+        )
+    }
+    for i in range(20):
+        k = ("mrepo", f"m{i}.py")
+        assert a_lsn[k] == b_lsn[k], k  # rebased-in rows did not churn
+    assert ("brepo", "b.py") in a_lsn
+
+
+def test_rebase_conflict_strategies(tmp_path):
+    from grafter_ray.pipelines.branch import rebase_branch
+
+    base = binlog_table(CFG)
+    hot = ("org0/repo0", "hot.py")
+
+    def setup(sub):
+        main = CDCLake(os.path.join(str(tmp_path), f"m_{sub}"), num_partitions=8)
+        main.apply(rd.from_arrow(base))
+        branch = create_branch(main.root, os.path.join(str(tmp_path), f"b_{sub}"))
+        wm = main.watermark
+        branch.apply(rd.from_arrow(_mk_events([wm + 1], [hot], lambda k, l: "branch v")), upto_lsn=wm + 1)
+        main.apply(rd.from_arrow(pa.concat_tables([
+            _mk_events([wm + 1], [hot], lambda k, l: "main v"),
+            _mk_events([wm + 2], [("monly", "m.py")], lambda k, l: "main extra"),
+        ])), upto_lsn=wm + 2)
+        return main, branch
+
+    import hashlib
+
+    main, branch = setup("fail")
+    with pytest.raises(MergeConflictError):
+        rebase_branch(branch, main)
+
+    main, branch = setup("ours")
+    res = rebase_branch(branch, main, strategy="ours")
+    assert res["conflicts"] == 1 and res["upserts"] == 1  # only monly lands
+    got = _shas(branch)
+    assert got[hot] == hashlib.sha256(b"branch v").hexdigest()
+    assert ("monly", "m.py") in got
+
+    main, branch = setup("theirs")
+    res = rebase_branch(branch, main, strategy="theirs")
+    assert res["conflicts"] == 1 and res["upserts"] == 2
+    got = _shas(branch)
+    assert got[hot] == hashlib.sha256(b"main v").hexdigest()

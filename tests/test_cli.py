@@ -414,3 +414,31 @@ def test_dlq_retry_cli(tmp_path, capsys):
     # drained: a second retry has nothing pending
     out2 = _run(capsys, ["dlq-retry", "--lake", lake, "--partitions", "8"])
     assert out2["retried"] == 0
+
+
+def test_rebase_cli(tmp_path, capsys):
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    _run(capsys, ["replay", "--binlog", binlog, "--lake", lake, "--partitions", "8"])
+    br = str(tmp_path / "br")
+    _run(capsys, ["branch", "--lake", lake, "--out", br])
+    # parent advances; rebase folds it into the branch
+    import pyarrow as pa
+
+    extra = pa.table(
+        {
+            "lsn": pa.array([CFG.n_events], pa.int64()),
+            "op": ["upsert"], "repo": ["p"], "path": ["new.py"],
+            "commit": ["c"], "lang": ["py"], "content": ["parent work"],
+            "schema_version": pa.array([0], pa.int32()),
+        }
+    )
+    bb = tmp_path / "b2"
+    bb.mkdir()
+    pq.write_table(extra, bb / "p.parquet")
+    _run(capsys, ["replay", "--binlog", str(bb), "--lake", lake, "--partitions", "8"])
+    out = _run(capsys, ["rebase", "--lake", lake, "--branch", br])
+    assert out["upserts"] == 1 and out["conflicts"] == 0
+    # merge back: nothing but suppressed no-ops (branch did nothing itself)
+    out = _run(capsys, ["merge", "--lake", lake, "--branch", br])
+    assert out["upserts"] == 1 and out["suppressed"] == 1

@@ -165,6 +165,9 @@ QUERY_SUBSET = [
     "branch_merge",
     "history_enrich",
     "suppress_replay",
+    # round-4 session-13 additions
+    "dml_delete_update",
+    "merge_upsert",
 ]
 
 

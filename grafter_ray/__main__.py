@@ -244,6 +244,25 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_delete_where(args) -> int:
+    from .pipelines.dml import delete_where, parse_where_spec
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    pred, cols = parse_where_spec(args.where)
+    t0 = time.perf_counter()
+    r = delete_where(lake, pred, columns=cols, dry_run=args.dry_run)
+    wall = time.perf_counter() - t0
+    out = {"cmd": "delete-where", "where": args.where, "wall_sec": round(wall, 3)}
+    if args.dry_run:
+        out["matched"] = int(r["matched"])
+    else:
+        out["deleted"] = int(r["deleted"])
+        out.update(_manifest_summary(r["manifest"]))
+    _emit(out)
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -685,6 +704,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--expect", action="append", default=None, metavar="SPEC",
                     help="CHECK constraints applied to the retry window (same syntax as replay --expect)")
     sp.set_defaults(fn=cmd_dlq_retry)
+
+    sp = sub.add_parser(
+        "delete-where",
+        help="DELETE FROM the lake by predicate (one exactly-once replay window)",
+    )
+    lake_args(sp)
+    sp.add_argument("--where", required=True, metavar="SPEC",
+                    help="predicate mini-syntax, e.g. eq:lang:java | matches:path:^vendor/ "
+                         "| contains:content:TODO | len_between:content:0:10 | is_null:lang")
+    sp.add_argument("--dry-run", action="store_true", help="count matches, delete nothing")
+    sp.set_defaults(fn=cmd_delete_where)
 
     sp = sub.add_parser("branch", help="fork the lake at a committed version (zero-copy hard links)")
     lake_args(sp)

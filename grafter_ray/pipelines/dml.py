@@ -1,0 +1,332 @@
+"""Predicate DML on a CDC lake — DELETE WHERE / UPDATE WHERE / MERGE INTO.
+
+The reference mutates a store with `add` / `delete-statement` over
+EXPLICIT statement values (grafter repository.clj:442-470 — the caller
+already holds the rows to remove); at lake scale the operator holds a
+PREDICATE, not the rows. These close that gap the way Delta-style
+lakes do, but through the engine's own exactly-once replay machinery
+instead of a second write path: each DML call derives a synthetic
+binlog window (events stamped one LSN above the watermark) and
+`CDCLake.apply`s it, so LWW, idempotent re-apply, suppression, lineage
+counters, the commit log, branches, change feeds, SCD2 history sync
+and incremental views all observe a DML write exactly as they observe
+an ingested one. There is no "DML bypassed the changelog" class of bug
+by construction — a downstream `read_changes` consumer sees the DML
+delta like any other window.
+
+Scale shape:
+- delete_where / update_where: ONE pruned columnar scan of the live
+  lake (keys + only the predicate/assignment columns), zero exchanges
+  of their own — the synthetic events route through apply's ordinary
+  hash partitioning and only the MATCHED rows' payload ever moves.
+- merge_into: source-key uniqueness audit (one grouped exchange over
+  keys only), then an exact bloom-verified key semi/anti-join against
+  a keys-only lake scan splits matched/unmatched without shipping
+  payloads; a matched_condition additionally co-groups the matched
+  source rows with their stored images through the skew-resilient
+  house join (relational.skew_join — hot keys never enter the
+  exchange).
+
+Idempotence / crash story: a DML call is one `apply` window — the
+transaction IS the manifest commit (state/commitlog.py). A crash
+before the commit leaves the lake untouched and the rerun recomputes
+the same pure function of (lake version, predicate); a rerun AFTER the
+commit matches nothing new (delete) or suppresses via skip_unchanged
+(update/merge), so a retry loop is safe.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .branch import _SEP, _keyed
+from .relational import bloom_anti_join, bloom_semi_join, grouped_agg, skew_join
+from .replay import CDCLake
+
+_PAYLOAD = ("commit", "lang", "content")
+_LIVE_COLS = ["repo", "path", "commit", "lang", "content", "event_schema_version"]
+
+
+def _delete_events(tb: pa.Table, lsn: int) -> pa.Table:
+    n = tb.num_rows
+    return pa.table(
+        {
+            # one shared lsn: ≤1 event per key here (lake rows are unique
+            # per key), and apply handles cross-key lsn collisions by
+            # direct key hashing
+            "lsn": pa.array([lsn] * n, pa.int64()),
+            "op": pa.array(["delete"] * n, pa.string()),
+            "repo": tb.column("repo"),
+            "path": tb.column("path"),
+            "commit": pa.nulls(n, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+            "content": pa.nulls(n, pa.string()),
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    )
+
+
+def _upsert_events(tb: pa.Table, lsn: int, sv) -> pa.Table:
+    """sv: an int (stamp every row — merge sources are new data at the
+    lake's current schema) or a per-row int32 array (update_where keeps
+    each stored row's own version — raw columns stay raw)."""
+    n = tb.num_rows
+    if isinstance(sv, int):
+        sv = pa.array([sv] * n, pa.int32())
+    return pa.table(
+        {
+            "lsn": pa.array([lsn] * n, pa.int64()),
+            "op": pa.array(["upsert"] * n, pa.string()),
+            "repo": tb.column("repo"),
+            "path": tb.column("path"),
+            "commit": tb.column("commit"),
+            "lang": tb.column("lang"),
+            "content": tb.column("content"),
+            "schema_version": sv,
+        }
+    )
+
+
+def _counter_delta(before: dict | None, after: dict | None) -> dict:
+    b = (before or {}).get("counters", {}) if before else {}
+    a = (after or {}).get("counters", {}) if after else {}
+    return {
+        "upserts": (a.get("events", 0) - a.get("deletes", 0))
+        - (b.get("events", 0) - b.get("deletes", 0)),
+        "deletes": a.get("deletes", 0) - b.get("deletes", 0),
+        "suppressed": a.get("suppressed", 0) - b.get("suppressed", 0),
+    }
+
+
+def delete_where(lake: CDCLake, pred, *, columns=(), dry_run: bool = False) -> dict:
+    """DELETE FROM lake WHERE pred. `pred` is an Arrow-kernel callable
+    ``pa.Table -> BooleanArray`` evaluated over the live RAW rows (keys
+    + `columns` — declare every column the predicate reads so the scan
+    stays pruned; null predicate results select nothing, SQL WHERE
+    semantics). Emits one delete event per matching live key at
+    ``watermark + 1`` and applies it as one exactly-once window.
+
+    Returns {matched?, deleted, manifest} (matched only under dry_run)."""
+    cols = ["repo", "path"] + [c for c in columns if c not in ("repo", "path")]
+    live = lake.read(view=False, columns=cols)
+
+    def match(tb: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.cast(pred(tb), pa.bool_()), False)
+        return tb.filter(mask).select(["repo", "path"])
+
+    matched = live.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+    if dry_run:
+        return {"matched": int(matched.count()), "deleted": 0, "manifest": lake.manifest}
+    lsn = lake.watermark + 1
+    feed = matched.map_batches(
+        lambda tb: _delete_events(tb, lsn), batch_format="pyarrow", zero_copy_batch=True
+    )
+    before = lake.manifest
+    manifest = lake.apply(feed, upto_lsn=lsn)
+    return {"deleted": _counter_delta(before, manifest)["deletes"], "manifest": manifest}
+
+
+def update_where(lake: CDCLake, pred, set_fn, *, dry_run: bool = False) -> dict:
+    """UPDATE lake SET … WHERE pred. `pred` as in delete_where but
+    evaluated over the FULL raw payload (an update must re-emit the
+    whole row — copy-on-write upsert, so there is no narrower scan to
+    prune to). `set_fn` is ``pa.Table -> dict[col, Array]`` returning
+    new values for a subset of {commit, lang, content}; omitted columns
+    keep their stored value. Updated rows re-enter at ``watermark + 1``
+    with their stored row's schema version (raw columns stay raw — the
+    evolved view is still derived at read time).
+
+    Applies with skip_unchanged=True: an assignment that lands on the
+    stored value suppresses instead of churning the lake (the row keeps
+    its last_lsn and change-feed consumers see nothing), which makes a
+    rerun after a crash-past-commit a content-level no-op.
+
+    Returns {matched?, updated, suppressed, manifest}."""
+    live = lake.read(view=False, columns=list(_LIVE_COLS))
+
+    def match(tb: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.cast(pred(tb), pa.bool_()), False)
+        return tb.filter(mask)
+
+    matched = live.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+    if dry_run:
+        return {"matched": int(matched.count()), "updated": 0, "manifest": lake.manifest}
+    lsn = lake.watermark + 1
+
+    def to_events(tb: pa.Table) -> pa.Table:
+        new = set_fn(tb)
+        bad = set(new) - set(_PAYLOAD)
+        if bad:
+            raise ValueError(f"update_where set_fn may assign only {_PAYLOAD}, got {sorted(bad)}")
+        cols = {c: new.get(c, tb.column(c)) for c in _PAYLOAD}
+        body = pa.table({"repo": tb.column("repo"), "path": tb.column("path"), **cols})
+        return _upsert_events(body, lsn, pc.cast(tb.column("event_schema_version"), pa.int32()))
+
+    feed = matched.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True)
+    before = lake.manifest
+    manifest = lake.apply(feed, upto_lsn=lsn, skip_unchanged=True)
+    d = _counter_delta(before, manifest)
+    return {"updated": d["upserts"], "suppressed": d["suppressed"], "manifest": manifest}
+
+
+def merge_into(
+    lake: CDCLake,
+    source,
+    *,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    matched_condition=None,
+    condition_columns=("content",),
+    dry_run: bool = False,
+) -> dict:
+    """MERGE INTO lake USING source ON (repo, path) — Delta-style upsert
+    merge through the replay machinery. `source` is a Dataset with the
+    CDC_SOURCE payload columns (repo, path, commit, lang, content) and
+    must be unique per key (audited — one grouped keys-only exchange;
+    duplicates raise with samples, mirroring Delta's multiple-source-
+    rows-matched error).
+
+    when_matched: "update" (source payload replaces the stored row) |
+    "delete" | None (leave matched keys untouched).
+    when_not_matched: "insert" | None.
+    matched_condition: optional Arrow-kernel callable over the matched
+    source rows JOINED with their stored images (stored payload exposed
+    as old_commit / old_lang / old_content, pruned to
+    `condition_columns`); matched rows failing it are left untouched
+    (WHEN MATCHED AND <cond> THEN …). The join is the skew-resilient
+    house join — hot keys never enter the exchange.
+
+    Inserted/updated rows enter at ``watermark + 1`` stamped with the
+    lake's CURRENT schema version (merge sources are new data, unlike
+    update_where's stored-row rewrite). Applied with skip_unchanged, so
+    re-merging an already-applied source is a content-level no-op.
+
+    Returns {upserts, deletes, suppressed, manifest} (counter deltas),
+    or {matched, not_matched} under dry_run."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge_into with no WHEN clause would be a no-op")
+
+    src = _keyed(source, ["repo", "path", "commit", "lang", "content"])
+    # uniqueness audit: a key hit by two source rows has no defined winner
+    dups = grouped_agg(src, ["__k"], [("n", None, "count")]).map_batches(
+        lambda tb: tb.filter(pc.greater(tb.column("n"), 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sample = dups.limit(5).take_all()
+    if sample:
+        keys = [tuple(r["__k"].split(_SEP, 1)) for r in sample]
+        raise ValueError(f"merge_into source has duplicate keys (sample: {keys})")
+
+    cond_cols = (
+        [c for c in condition_columns if c in _PAYLOAD] if matched_condition is not None else []
+    )
+    live = _keyed(lake.read(view=False, columns=["repo", "path"] + cond_cols), cond_cols)
+
+    s = pa.string()
+    src_schema = pa.schema(
+        [("__k", s), ("repo", s), ("path", s), ("commit", s), ("lang", s), ("content", s)]
+    )
+    matched = bloom_semi_join(src, live, "__k", schema=src_schema)
+    unmatched = bloom_anti_join(src, live, "__k", schema=src_schema)
+
+    if matched_condition is not None and when_matched is not None:
+        old_names = [f"old_{c}" for c in cond_cols]
+        right = live.map_batches(
+            lambda tb: tb.rename_columns(["__k"] + old_names),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = skew_join(
+            matched, right, "__k",
+            ["repo", "path", "commit", "lang", "content"], old_names,
+        )
+
+        def keep(tb: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.cast(matched_condition(tb), pa.bool_()), False)
+            return tb.filter(mask).select(
+                ["__k", "repo", "path", "commit", "lang", "content"]
+            )
+
+        matched = joined.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    if dry_run:
+        return {"matched": int(matched.count()), "not_matched": int(unmatched.count())}
+
+    lsn = lake.watermark + 1
+    sv = int(lake.schema_version)
+    feeds = []
+    if when_matched == "update":
+        feeds.append(
+            matched.map_batches(
+                lambda tb: _upsert_events(tb, lsn, sv),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+    elif when_matched == "delete":
+        feeds.append(
+            matched.map_batches(
+                lambda tb: _delete_events(tb, lsn),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+    if when_not_matched == "insert":
+        feeds.append(
+            unmatched.map_batches(
+                lambda tb: _upsert_events(tb, lsn, sv),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+    feed = feeds[0]
+    for f in feeds[1:]:
+        feed = feed.union(f)
+    before = lake.manifest
+    manifest = lake.apply(feed, upto_lsn=lsn, skip_unchanged=True)
+    d = _counter_delta(before, manifest)
+    return {
+        "upserts": d["upserts"],
+        "deletes": d["deletes"],
+        "suppressed": d["suppressed"],
+        "manifest": manifest,
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLI mini-syntax (python -m grafter_ray delete-where --where "<spec>")
+
+def parse_where_spec(spec: str):
+    """':'-separated predicate mini-syntax → (pred_fn, columns). Forms:
+
+        eq:<col>:<value>            col = value
+        matches:<col>:<pattern>     re2 match on col
+        contains:<col>:<needle>     substring
+        len_between:<col>:<lo>:<hi> utf8 length in [lo, hi]
+        is_null:<col>               col IS NULL
+    """
+    parts = spec.split(":")
+    kind, rest = parts[0], parts[1:]
+    if kind == "eq" and len(rest) == 2:
+        col, val = rest
+        return (lambda tb: pc.equal(tb.column(col), val)), (col,)
+    if kind == "matches" and len(rest) == 2:
+        col, pat = rest
+        return (lambda tb: pc.match_substring_regex(tb.column(col), pat)), (col,)
+    if kind == "contains" and len(rest) == 2:
+        col, needle = rest
+        return (lambda tb: pc.match_substring(tb.column(col), needle)), (col,)
+    if kind == "len_between" and len(rest) == 3:
+        col, lo, hi = rest[0], int(rest[1]), int(rest[2])
+
+        def fn(tb: pa.Table):
+            n = pc.utf8_length(tb.column(col))
+            return pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi))
+
+        return fn, (col,)
+    if kind == "is_null" and len(rest) == 1:
+        (col,) = rest
+        return (lambda tb: pc.is_null(tb.column(col))), (col,)
+    raise ValueError(f"bad --where spec {spec!r} — see grafter_ray.pipelines.dml.parse_where_spec")

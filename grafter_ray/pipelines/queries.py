@@ -6801,6 +6801,182 @@ FROM s
 """
 
 
+def q_dml_delete_update(sf_dir: str):
+    """Predicate DML under the oracle gate (pipelines/dml.py): the
+    deterministic documents binlog converges a lake, then
+    DELETE WHERE lang = 'de' (one pruned (repo,path,lang) scan →
+    delete events at wm+1) and UPDATE SET content = replace(content,
+    'a','@'), commit = sha256(new)[:16] WHERE content LIKE '%a%'
+    (matched payload re-enters at wm+2) — both through the exactly-once
+    replay window, so LWW/lineage/change feeds see DML like ingest.
+    The oracle replays the same closed-form LWW winners in SQL, then
+    applies the identical DELETE predicate and UPDATE expression; the
+    predicate and the changed-content condition coincide (replace
+    changes content iff it contains 'a'), so skip_unchanged semantics
+    can't wobble the hash."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..stages.sha import sha256_array
+    from .dml import delete_where, update_where
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "de"), columns=("lang",))
+
+        def set_fn(tb: pa.Table) -> dict:
+            new = pc.replace_substring(tb.column("content"), "a", "@")
+            return {
+                "content": new,
+                "commit": pc.utf8_slice_codeunits(sha256_array(new), 0, 16),
+            }
+
+        update_where(
+            lake, lambda tb: pc.match_substring(tb.column("content"), "a"), set_fn
+        )
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_DML_DELETE_UPDATE = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+base AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS content,
+         lang,
+         CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END AS last_lsn
+  FROM documents
+  WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+),
+kept AS (SELECT * FROM base WHERE lang <> 'de'),
+upd AS (
+  SELECT repo, path,
+         CASE WHEN content LIKE '%a%' THEN replace(content, 'a', '@') ELSE content END AS content,
+         lang,
+         CASE WHEN content LIKE '%a%' THEN 3 * (SELECT c FROM n) + 2 ELSE last_lsn END AS last_lsn
+  FROM kept
+)
+SELECT repo, path, substr(sha256(content), 1, 16) AS commit_id, lang,
+       sha256(content) AS content_sha, last_lsn
+FROM upd
+"""
+
+
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO under the oracle gate (pipelines/dml.py merge_into):
+    the converged documents lake merges a source of (a) rewritten
+    content (' m' suffix) for every %3==0 key — live ones update, the
+    %7-deleted dead ones re-insert — and (b) brand-new '.new' keys for
+    %3==1 docs (always insert). Matched/unmatched split by the exact
+    bloom-verified key semi-join against a keys-only lake scan; all
+    merge events enter at wm+1. The oracle is the FULL OUTER JOIN
+    algebra over the closed-form LWW winners."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .. import CDCLake
+    from ..stages.sha import sha256_array
+    from .dml import merge_into
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def to_source(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        m = tb.filter(pa.array(ids % 3 == 0))
+        mc = pc.binary_join_element_wise(m.column("text"), " m", "")
+        new = tb.filter(pa.array(ids % 3 == 1))
+        pieces = [
+            pa.table(
+                {
+                    "repo": pc.binary_join_element_wise("repo/", m.column("source"), ""),
+                    "path": pc.binary_join_element_wise(
+                        "doc/", pc.cast(m.column("doc_id"), pa.string()), ".txt", ""
+                    ),
+                    "commit": pc.utf8_slice_codeunits(sha256_array(mc), 0, 16),
+                    "lang": m.column("lang"),
+                    "content": mc,
+                }
+            ),
+            pa.table(
+                {
+                    "repo": pc.binary_join_element_wise("repo/", new.column("source"), ""),
+                    "path": pc.binary_join_element_wise(
+                        "doc/", pc.cast(new.column("doc_id"), pa.string()), ".new", ""
+                    ),
+                    "commit": pc.utf8_slice_codeunits(sha256_array(new.column("text")), 0, 16),
+                    "lang": new.column("lang"),
+                    "content": new.column("text"),
+                }
+            ),
+        ]
+        return pa.concat_tables(pieces)
+
+    source = docs.map_batches(to_source, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        merge_into(lake, source)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+SQL_MERGE_UPSERT = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+base AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS content,
+         lang,
+         CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END AS last_lsn
+  FROM documents
+  WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+),
+src AS (
+  SELECT 'repo/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         text || ' m' AS content, lang
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'repo/' || source, 'doc/' || CAST(doc_id AS VARCHAR) || '.new', text, lang
+  FROM documents WHERE doc_id % 3 = 1
+),
+merged AS (
+  SELECT COALESCE(s.repo, b.repo) AS repo,
+         COALESCE(s.path, b.path) AS path,
+         COALESCE(s.content, b.content) AS content,
+         COALESCE(s.lang, b.lang) AS lang,
+         CASE WHEN s.path IS NOT NULL THEN 3 * (SELECT c FROM n) + 1 ELSE b.last_lsn END AS last_lsn
+  FROM base b FULL OUTER JOIN src s ON b.repo = s.repo AND b.path = s.path
+)
+SELECT repo, path, substr(sha256(content), 1, 16) AS commit_id, lang,
+       sha256(content) AS content_sha, last_lsn
+FROM merged
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
@@ -6942,6 +7118,8 @@ QUERIES = {
     "binlog_lint": q_binlog_lint,
     "cdc_ops_pipeline": q_cdc_ops_pipeline,
     "shard_lag": q_shard_lag,
+    "dml_delete_update": q_dml_delete_update,
+    "merge_upsert": q_merge_upsert,
     "sharded_feed_merge": q_sharded_feed_merge,
     "patch_lww_profiles": q_patch_lww_profiles,
     "version_token_churn": q_version_token_churn,
@@ -7114,6 +7292,8 @@ ORACLE_SQL = {
     "binlog_lint": SQL_BINLOG_LINT,
     "cdc_ops_pipeline": SQL_CDC_OPS_PIPELINE,
     "shard_lag": SQL_SHARD_LAG,
+    "dml_delete_update": SQL_DML_DELETE_UPDATE,
+    "merge_upsert": SQL_MERGE_UPSERT,
     "sharded_feed_merge": SQL_SHARDED_FEED_MERGE,
     "patch_lww_profiles": SQL_PATCH_LWW_PROFILES,
     "version_token_churn": SQL_VERSION_TOKEN_CHURN,

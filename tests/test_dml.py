@@ -1,0 +1,324 @@
+"""Predicate DML (pipelines/dml.py): DELETE WHERE / UPDATE WHERE /
+MERGE INTO through the exactly-once replay machinery.
+
+Invariants:
+  - DML is an ordinary replay window: watermark advances, counters
+    accrue, re-running the same DML after commit is a no-op (delete
+    matches nothing; update/merge suppress via skip_unchanged);
+  - delete_where removes exactly the matching LIVE keys; a later upsert
+    recreates them (no residue);
+  - update_where rewrites only {commit, lang, content}, keeps the
+    stored schema version per row, suppresses identity assignments;
+  - merge_into splits matched/unmatched exactly (bloom joins are
+    verified), honours when_matched update/delete/None and
+    when_not_matched insert/None, evaluates matched_condition over
+    source+old_* images, and refuses duplicate source keys;
+  - downstream consumers see DML deltas through the ordinary change
+    feed (read_changes / deleted_keys).
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import CDCLake
+from grafter_ray.pipelines.dml import (
+    delete_where,
+    merge_into,
+    parse_where_spec,
+    update_where,
+)
+
+
+def _feed(lsns, keys, contents, langs=None, op="upsert"):
+    n = len(lsns)
+    dead = op == "delete"
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lsn": pa.array(list(lsns), pa.int64()),
+                "op": pa.array([op] * n),
+                "repo": pa.array([k[0] for k in keys]),
+                "path": pa.array([k[1] for k in keys]),
+                "commit": pa.nulls(n, pa.string()) if dead else pa.array([f"c{l}" for l in lsns]),
+                "lang": pa.nulls(n, pa.string())
+                if dead
+                else pa.array(list(langs) if langs else ["py"] * n),
+                "content": pa.nulls(n, pa.string()) if dead else pa.array(list(contents)),
+                "schema_version": pa.array([0] * n, pa.int32()),
+            }
+        )
+    )
+
+
+def _state(lake):
+    t = lake.read_table(view=False)
+    return {
+        (r, p): (c, l)
+        for r, p, c, l in zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("content").to_pylist(),
+            t.column("last_lsn").to_pylist(),
+        )
+    }
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lk.apply(
+        _feed(
+            [1, 2, 3, 4, 5],
+            [("r1", "a"), ("r1", "b"), ("r2", "c"), ("r2", "d"), ("r3", "e")],
+            ["alpha", "beta", "gamma", "delta", "epsilon"],
+            langs=["py", "py", "java", "java", "go"],
+        ),
+        upto_lsn=5,
+    )
+    return lk
+
+
+def test_delete_where_removes_matches_and_only_matches(lake):
+    r = delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    assert r["deleted"] == 2
+    assert lake.watermark == 6
+    st = _state(lake)
+    assert set(st) == {("r1", "a"), ("r1", "b"), ("r3", "e")}
+    # untouched rows keep their lsn
+    assert st[("r1", "a")] == ("alpha", 1)
+
+
+def test_delete_where_rerun_and_dry_run_noop(lake):
+    delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    wm = lake.watermark
+    dry = delete_where(
+        lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",), dry_run=True
+    )
+    assert dry["matched"] == 0 and lake.watermark == wm
+    r2 = delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    assert r2["deleted"] == 0  # empty window commits, state unmoved
+    assert set(_state(lake)) == {("r1", "a"), ("r1", "b"), ("r3", "e")}
+
+
+def test_delete_where_null_pred_selects_nothing(lake):
+    # null lang would poison a naive mask — SQL WHERE drops nulls
+    lake.apply(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "lsn": pa.array([6], pa.int64()),
+                    "op": pa.array(["upsert"]),
+                    "repo": pa.array(["r4"]),
+                    "path": pa.array(["f"]),
+                    "commit": pa.array(["c6"]),
+                    "lang": pa.nulls(1, pa.string()),
+                    "content": pa.array(["zeta"]),
+                    "schema_version": pa.array([0], pa.int32()),
+                }
+            )
+        ),
+        upto_lsn=6,
+    )
+    r = delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    assert r["deleted"] == 2
+    assert ("r4", "f") in _state(lake)
+
+
+def test_delete_then_recreate(lake):
+    delete_where(lake, lambda tb: pc.equal(tb.column("path"), "a"), columns=())
+    wm = lake.watermark
+    lake.apply(_feed([wm + 1], [("r1", "a")], ["alpha2"]), upto_lsn=wm + 1)
+    assert _state(lake)[("r1", "a")] == ("alpha2", wm + 1)
+
+
+def test_update_where_rewrites_and_keeps_rest(lake):
+    r = update_where(
+        lake,
+        lambda tb: pc.match_substring(tb.column("content"), "a"),
+        lambda tb: {"content": pc.utf8_upper(tb.column("content"))},
+    )
+    # all five contents contain 'a' except... all do (alpha beta gamma delta epsilon→'a'? epsilon has no 'a')
+    st = _state(lake)
+    assert st[("r1", "a")] == ("ALPHA", 6)
+    assert st[("r2", "d")] == ("DELTA", 6)
+    assert st[("r3", "e")] == ("epsilon", 5)  # no 'a' → untouched
+    assert r["updated"] == 4 and r["suppressed"] == 0
+    # commit/lang untouched by this set_fn
+    t = lake.read_table(view=False)
+    d = dict(zip(t.column("path").to_pylist(), t.column("commit").to_pylist()))
+    assert d["a"] == "c1" and d["d"] == "c4"
+
+
+def test_update_where_identity_suppresses(lake):
+    r = update_where(
+        lake,
+        lambda tb: pc.equal(tb.column("path"), "b"),
+        lambda tb: {"content": tb.column("content")},
+    )
+    assert r["updated"] == 0 and r["suppressed"] == 1
+    assert _state(lake)[("r1", "b")] == ("beta", 2)  # lsn untouched
+
+
+def test_update_where_rejects_engine_columns(lake):
+    with pytest.raises(Exception, match="set_fn may assign only"):
+        update_where(
+            lake,
+            lambda tb: pc.equal(tb.column("path"), "a"),
+            lambda tb: {"last_lsn": pa.array([0], pa.int64())},
+        )
+
+
+def test_merge_into_update_and_insert(lake):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r9"]),
+                "path": pa.array(["a", "z"]),
+                "commit": pa.array(["m1", "m2"]),
+                "lang": pa.array(["py", "go"]),
+                "content": pa.array(["ALPHA", "zeta"]),
+            }
+        )
+    )
+    r = merge_into(lake, src)
+    assert r["upserts"] == 2 and r["deletes"] == 0
+    st = _state(lake)
+    assert st[("r1", "a")] == ("ALPHA", 6) and st[("r9", "z")] == ("zeta", 6)
+    assert st[("r1", "b")] == ("beta", 2)
+    # re-merge is a content-level no-op (suppressed, lsns keep)
+    r2 = merge_into(lake, src)
+    assert r2["suppressed"] == 2 and r2["upserts"] == 0
+    assert _state(lake)[("r1", "a")] == ("ALPHA", 6)
+
+
+def test_merge_into_matched_only_and_not_matched_only(lake):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r9"]),
+                "path": pa.array(["a", "z"]),
+                "commit": pa.array(["m", "m"]),
+                "lang": pa.array(["py", "go"]),
+                "content": pa.array(["A2", "Z2"]),
+            }
+        )
+    )
+    merge_into(lake, src, when_not_matched=None)  # update only
+    st = _state(lake)
+    assert st[("r1", "a")][0] == "A2" and ("r9", "z") not in st
+    merge_into(lake, src, when_matched=None)  # insert only; 'a' matched → skipped
+    st = _state(lake)
+    assert st[("r1", "a")][0] == "A2" and st[("r9", "z")][0] == "Z2"
+
+
+def test_merge_into_delete_with_condition(lake):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r1", "r2"]),
+                "path": pa.array(["a", "b", "c"]),
+                "commit": pa.array(["x"] * 3),
+                "lang": pa.array(["py"] * 3),
+                "content": pa.array(["-"] * 3),
+            }
+        )
+    )
+    r = merge_into(
+        lake,
+        src,
+        when_matched="delete",
+        when_not_matched=None,
+        matched_condition=lambda tb: pc.match_substring(tb.column("old_content"), "et"),
+    )
+    # beta matches 'et'; alpha/gamma don't
+    assert r["deletes"] == 1
+    st = _state(lake)
+    assert ("r1", "b") not in st and ("r1", "a") in st and ("r2", "c") in st
+
+
+def test_merge_into_duplicate_source_keys_raise(lake):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r1"]),
+                "path": pa.array(["a", "a"]),
+                "commit": pa.array(["x", "y"]),
+                "lang": pa.array(["py", "py"]),
+                "content": pa.array(["1", "2"]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(lake, src)
+
+
+def test_merge_into_arg_validation(lake):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1"]),
+                "path": pa.array(["a"]),
+                "commit": pa.array(["x"]),
+                "lang": pa.array(["py"]),
+                "content": pa.array(["1"]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_into(lake, src, when_matched="upsert")
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(lake, src, when_matched=None, when_not_matched=None)
+
+
+def test_dml_visible_in_change_feed(lake):
+    """A change-feed consumer sees DML like any other window."""
+    v0 = lake.manifest["version"]
+    delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "go"), columns=("lang",))
+    update_where(
+        lake,
+        lambda tb: pc.equal(tb.column("path"), "a"),
+        lambda tb: {"content": pc.utf8_upper(tb.column("content"))},
+    )
+    changed = lake.read_changes(v0, view=False).take_all()
+    deleted = lake.deleted_keys(v0).take_all()
+    assert {r["path"] for r in changed} == {"a"}
+    assert {r["path"] for r in deleted} == {"e"}
+
+
+def test_parse_where_spec_forms(lake):
+    for spec, expect in [
+        ("eq:lang:java", {("r2", "c"), ("r2", "d")}),
+        ("matches:path:^[ab]$", {("r1", "a"), ("r1", "b")}),
+        ("contains:content:lph", {("r1", "a")}),
+        ("len_between:content:4:4", {("r1", "b")}),
+        ("is_null:commit", set()),
+    ]:
+        pred, cols = parse_where_spec(spec)
+        r = delete_where(lake, pred, columns=cols, dry_run=True)
+        assert r["matched"] == len(expect), spec
+    with pytest.raises(ValueError, match="bad --where spec"):
+        parse_where_spec("gt:lang:java")
+
+
+def test_cli_delete_where(lake, capsys):
+    import json
+
+    from grafter_ray.__main__ import main
+
+    argv = ["delete-where", "--lake", lake.root, "--partitions", "4",
+            "--where", "eq:lang:java", "--dry-run"]
+    assert main(argv) == 0
+    out = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["matched"] == 2
+    assert main(argv[:-1]) == 0  # without --dry-run: actually delete
+    out = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["deleted"] == 2
+    assert set(_state(CDCLake(lake.root, num_partitions=4))) == {
+        ("r1", "a"), ("r1", "b"), ("r3", "e"),
+    }

@@ -1,0 +1,175 @@
+"""DML differential fuzz: random binlogs × random DML sequences, the
+distributed lake vs the single-process reference model.
+
+The model extends oracle.replay_oracle's dict state with the documented
+DML semantics:
+  - delete_where: matching live keys vanish; watermark advances by 1;
+  - update_where: matching rows re-enter at the new watermark UNLESS the
+    assignment is content-identical (skip_unchanged is sha-based, so a
+    commit-only rewrite suppresses too — that trade is the documented
+    contract, and this suite pins it);
+  - merge_into: matched live keys update (suppression applies) or
+    delete; unmatched insert at the new watermark.
+
+Sequences mix the three ops with predicates over path/lang/content and
+assignments that sometimes no-op (to exercise suppression), always
+comparing full converged state (keys, payload, content_sha, last_lsn).
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.oracle import replay_oracle
+from grafter_ray.pipelines.dml import delete_where, merge_into, update_where
+
+
+def _model_rows(state: dict) -> list[tuple]:
+    return sorted(
+        (r, p, v["commit"], v["lang"], v["content"],
+         hashlib.sha256(v["content"].encode()).hexdigest(), v["lsn"])
+        for (r, p), v in state.items()
+    )
+
+
+def _lake_rows(lake: CDCLake) -> list[tuple]:
+    t = lake.read_table(view=False)
+    return sorted(
+        zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("commit").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("content").to_pylist(),
+            t.column("content_sha").to_pylist(),
+            t.column("last_lsn").to_pylist(),
+        )
+    )
+
+
+def _rand_pred(rng: np.random.RandomState, state: dict):
+    """(arrow_pred, columns, model_row_pred) over path/lang/content."""
+    kind = rng.randint(3)
+    if kind == 0:
+        ext = rng.choice([".py", ".rs", ".md", ".clj"])
+        return (
+            lambda tb: pc.ends_with(tb.column("path"), ext),
+            (),
+            lambda v, p: p.endswith(ext),
+        )
+    if kind == 1:
+        langs = sorted({v["lang"] for v in state.values()}) or ["py"]
+        lang = langs[rng.randint(len(langs))]
+        return (
+            lambda tb: pc.equal(tb.column("lang"), lang),
+            ("lang",),
+            lambda v, p: v["lang"] == lang,
+        )
+    tok = rng.choice(["0", "a1", "k3", "zz"])
+    return (
+        lambda tb: pc.match_substring(tb.column("content"), tok),
+        ("content",),
+        lambda v, p: tok in v["content"],
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_dml_sequences_match_reference(tmp_path, seed):
+    rng = np.random.RandomState(1000 + seed)
+    cfg = BinlogConfig(
+        n_events=1_200 + 300 * seed,
+        n_keys=120 + 40 * seed,
+        n_repos=6,
+        delete_pct=0.1 + 0.05 * seed,
+        schema_every=10**9,  # schema evolution exercised by other suites
+    )
+    binlog = binlog_table(cfg)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=cfg.n_events - 1)
+    state, _ = replay_oracle(binlog)
+    state = {k: dict(v) for k, v in state.items()}
+    wm = cfg.n_events - 1
+
+    for step in range(4):
+        op = rng.randint(3)
+        wm += 1
+        if op == 0:  # DELETE WHERE
+            pred, cols, rowp = _rand_pred(rng, state)
+            r = delete_where(lake, pred, columns=cols)
+            gone = [k for k, v in state.items() if rowp(v, k[1])]
+            for k in gone:
+                del state[k]
+            assert r["deleted"] == len(gone), f"seed {seed} step {step} delete"
+        elif op == 1:  # UPDATE WHERE
+            pred, cols, rowp = _rand_pred(rng, state)
+            mode = rng.randint(3)
+            if mode == 0:  # append suffix — always changes
+                sfx = f" u{step}"
+                set_fn = lambda tb, s=sfx: {
+                    "content": pc.binary_join_element_wise(tb.column("content"), s, "")
+                }
+                new_content = lambda c, s=sfx: c + s
+            elif mode == 1:  # identity — always suppresses
+                set_fn = lambda tb: {"content": tb.column("content")}
+                new_content = lambda c: c
+            else:  # commit-only rewrite — sha-equal, suppresses by contract
+                set_fn = lambda tb, s=step: {
+                    "commit": pa.array([f"rewrite{s}"] * tb.num_rows, pa.string())
+                }
+                new_content = lambda c: c
+            r = update_where(lake, pred, set_fn)
+            n_upd = n_sup = 0
+            for k, v in state.items():
+                if not rowp(v, k[1]):
+                    continue
+                nc = new_content(v["content"])
+                if nc == v["content"]:
+                    n_sup += 1  # suppressed: row untouched, lsn kept
+                else:
+                    v["content"] = nc
+                    v["lsn"] = wm
+                    n_upd += 1
+            assert (r["updated"], r["suppressed"]) == (n_upd, n_sup), (
+                f"seed {seed} step {step} update mode {mode}"
+            )
+        else:  # MERGE INTO
+            live = sorted(state)
+            picked = [live[i] for i in rng.choice(len(live), size=min(20, len(live)), replace=False)]
+            news = [(f"mrepo{seed}", f"new{step}-{i}") for i in range(5)]
+            when_matched = ["update", "delete", None][rng.randint(3)]
+            src_keys = picked + news
+            src = rd.from_arrow(
+                pa.table(
+                    {
+                        "repo": pa.array([k[0] for k in src_keys]),
+                        "path": pa.array([k[1] for k in src_keys]),
+                        "commit": pa.array([f"m{step}-{i}" for i in range(len(src_keys))]),
+                        "lang": pa.array(["go"] * len(src_keys)),
+                        "content": pa.array([f"merged {step} {k[1]}" for k in src_keys]),
+                    }
+                )
+            )
+            merge_into(lake, src, when_matched=when_matched)
+            for i, k in enumerate(src_keys):
+                matched = k in state
+                if matched and when_matched == "update":
+                    nc = f"merged {step} {k[1]}"
+                    if nc != state[k]["content"]:
+                        state[k] = {
+                            "commit": f"m{step}-{i}", "lang": "go",
+                            "content": nc, "lsn": wm, "schema_version": 0,
+                        }
+                elif matched and when_matched == "delete":
+                    del state[k]
+                elif not matched:
+                    state[k] = {
+                        "commit": f"m{step}-{i}", "lang": "go",
+                        "content": f"merged {step} {k[1]}", "lsn": wm, "schema_version": 0,
+                    }
+        assert lake.watermark == wm, f"seed {seed} step {step} watermark"
+        assert _lake_rows(lake) == _model_rows(state), f"seed {seed} step {step} state"

@@ -31,8 +31,10 @@ Idempotence / crash story: a DML call is one `apply` window — the
 transaction IS the manifest commit (state/commitlog.py). A crash
 before the commit leaves the lake untouched and the rerun recomputes
 the same pure function of (lake version, predicate); a rerun AFTER the
-commit matches nothing new (delete) or suppresses via skip_unchanged
-(update/merge), so a retry loop is safe.
+commit is state-idempotent: delete matches nothing new, update's
+per-column old-vs-new diff emits nothing, and a re-merge converges to
+the same payloads (opt into suppress_unchanged to keep re-delivered
+merge sources from even moving lsns). A retry loop is safe.
 """
 
 from __future__ import annotations
@@ -137,12 +139,15 @@ def update_where(lake: CDCLake, pred, set_fn, *, dry_run: bool = False) -> dict:
     with their stored row's schema version (raw columns stay raw — the
     evolved view is still derived at read time).
 
-    Applies with skip_unchanged=True: an assignment that lands on the
-    stored value suppresses instead of churning the lake (the row keeps
-    its last_lsn and change-feed consumers see nothing), which makes a
-    rerun after a crash-past-commit a content-level no-op.
+    No-op assignments never land: the scan already holds the stored
+    row, so each assigned column is compared old-vs-new (null-safe)
+    IN the map and only genuinely-changed rows become events — exact
+    per-column granularity, unlike apply's sha-based skip_unchanged
+    (which would also drop commit/lang-only rewrites). A rerun after a
+    crash-past-commit therefore matches nothing changed and commits an
+    empty window.
 
-    Returns {matched?, updated, suppressed, manifest}."""
+    Returns {matched?, updated, manifest}."""
     live = lake.read(view=False, columns=list(_LIVE_COLS))
 
     def match(tb: pa.Table) -> pa.Table:
@@ -159,15 +164,35 @@ def update_where(lake: CDCLake, pred, set_fn, *, dry_run: bool = False) -> dict:
         bad = set(new) - set(_PAYLOAD)
         if bad:
             raise ValueError(f"update_where set_fn may assign only {_PAYLOAD}, got {sorted(bad)}")
-        cols = {c: new.get(c, tb.column(c)) for c in _PAYLOAD}
-        body = pa.table({"repo": tb.column("repo"), "path": tb.column("path"), **cols})
-        return _upsert_events(body, lsn, pc.cast(tb.column("event_schema_version"), pa.int32()))
+        if not new:
+            raise ValueError("update_where set_fn assigned no columns")
+        changed = None
+        for c, arr in new.items():
+            old = tb.column(c)
+            if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                arr = pa.array(arr, type=old.type)
+            # null-safe per-column diff: null↔null unchanged, null↔value changed
+            diff = pc.or_(
+                pc.fill_null(pc.not_equal(arr, old), False),
+                pc.xor(pc.is_null(arr), pc.is_null(old)),
+            )
+            changed = diff if changed is None else pc.or_(changed, diff)
+        body = pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                **{c: new.get(c, tb.column(c)) for c in _PAYLOAD},
+                "__sv": tb.column("event_schema_version"),
+            }
+        ).filter(changed)
+        return _upsert_events(
+            body.drop_columns(["__sv"]), lsn, pc.cast(body.column("__sv"), pa.int32())
+        )
 
     feed = matched.map_batches(to_events, batch_format="pyarrow", zero_copy_batch=True)
     before = lake.manifest
-    manifest = lake.apply(feed, upto_lsn=lsn, skip_unchanged=True)
-    d = _counter_delta(before, manifest)
-    return {"updated": d["upserts"], "suppressed": d["suppressed"], "manifest": manifest}
+    manifest = lake.apply(feed, upto_lsn=lsn)
+    return {"updated": _counter_delta(before, manifest)["upserts"], "manifest": manifest}
 
 
 def merge_into(
@@ -178,6 +203,7 @@ def merge_into(
     when_not_matched: str | None = "insert",
     matched_condition=None,
     condition_columns=("content",),
+    suppress_unchanged: bool = False,
     dry_run: bool = False,
 ) -> dict:
     """MERGE INTO lake USING source ON (repo, path) — Delta-style upsert
@@ -199,8 +225,13 @@ def merge_into(
 
     Inserted/updated rows enter at ``watermark + 1`` stamped with the
     lake's CURRENT schema version (merge sources are new data, unlike
-    update_where's stored-row rewrite). Applied with skip_unchanged, so
-    re-merging an already-applied source is a content-level no-op.
+    update_where's stored-row rewrite). Default semantics are
+    Delta-exact: every matched update LANDS (lsn moves) even when the
+    source row equals the stored one. suppress_unchanged=True opts into
+    apply's sha-based skip_unchanged for re-delivery-heavy sources —
+    CONTENT-level granularity, so a source row differing only in
+    commit/lang is then dropped too (the documented trade; use
+    update_where for exact per-column rewrites).
 
     Returns {upserts, deletes, suppressed, manifest} (counter deltas),
     or {matched, not_matched} under dry_run."""
@@ -285,7 +316,7 @@ def merge_into(
     for f in feeds[1:]:
         feed = feed.union(f)
     before = lake.manifest
-    manifest = lake.apply(feed, upto_lsn=lsn, skip_unchanged=True)
+    manifest = lake.apply(feed, upto_lsn=lsn, skip_unchanged=suppress_unchanged)
     d = _counter_delta(before, manifest)
     return {
         "upserts": d["upserts"],

@@ -139,26 +139,40 @@ def test_update_where_rewrites_and_keeps_rest(lake):
         lambda tb: pc.match_substring(tb.column("content"), "a"),
         lambda tb: {"content": pc.utf8_upper(tb.column("content"))},
     )
-    # all five contents contain 'a' except... all do (alpha beta gamma delta epsilon→'a'? epsilon has no 'a')
     st = _state(lake)
     assert st[("r1", "a")] == ("ALPHA", 6)
     assert st[("r2", "d")] == ("DELTA", 6)
     assert st[("r3", "e")] == ("epsilon", 5)  # no 'a' → untouched
-    assert r["updated"] == 4 and r["suppressed"] == 0
+    assert r["updated"] == 4
     # commit/lang untouched by this set_fn
     t = lake.read_table(view=False)
     d = dict(zip(t.column("path").to_pylist(), t.column("commit").to_pylist()))
     assert d["a"] == "c1" and d["d"] == "c4"
 
 
-def test_update_where_identity_suppresses(lake):
+def test_update_where_identity_never_lands(lake):
     r = update_where(
         lake,
         lambda tb: pc.equal(tb.column("path"), "b"),
         lambda tb: {"content": tb.column("content")},
     )
-    assert r["updated"] == 0 and r["suppressed"] == 1
+    assert r["updated"] == 0
     assert _state(lake)[("r1", "b")] == ("beta", 2)  # lsn untouched
+
+
+def test_update_where_non_content_columns_land(lake):
+    """commit/lang-only rewrites must NOT be swallowed (the per-column
+    diff is exact, unlike apply's sha-based suppression)."""
+    r = update_where(
+        lake,
+        lambda tb: pc.equal(tb.column("path"), "b"),
+        lambda tb: {"lang": pa.array(["rust"] * tb.num_rows, pa.string())},
+    )
+    assert r["updated"] == 1
+    t = lake.read_table(view=False)
+    d = dict(zip(t.column("path").to_pylist(), t.column("lang").to_pylist()))
+    assert d["b"] == "rust"
+    assert _state(lake)[("r1", "b")] == ("beta", 6)  # content kept, lsn moved
 
 
 def test_update_where_rejects_engine_columns(lake):
@@ -187,10 +201,13 @@ def test_merge_into_update_and_insert(lake):
     st = _state(lake)
     assert st[("r1", "a")] == ("ALPHA", 6) and st[("r9", "z")] == ("zeta", 6)
     assert st[("r1", "b")] == ("beta", 2)
-    # re-merge is a content-level no-op (suppressed, lsns keep)
+    # default is Delta-exact: a re-merge lands again (lsns move)
     r2 = merge_into(lake, src)
-    assert r2["suppressed"] == 2 and r2["upserts"] == 0
-    assert _state(lake)[("r1", "a")] == ("ALPHA", 6)
+    assert r2["upserts"] == 2 and _state(lake)[("r1", "a")] == ("ALPHA", 7)
+    # suppress_unchanged opts re-delivered sources out of the churn
+    r3 = merge_into(lake, src, suppress_unchanged=True)
+    assert r3["suppressed"] == 2 and r3["upserts"] == 0
+    assert _state(lake)[("r1", "a")] == ("ALPHA", 7)
 
 
 def test_merge_into_matched_only_and_not_matched_only(lake):
@@ -285,6 +302,46 @@ def test_dml_visible_in_change_feed(lake):
     deleted = lake.deleted_keys(v0).take_all()
     assert {r["path"] for r in changed} == {"a"}
     assert {r["path"] for r in deleted} == {"e"}
+
+
+def test_dml_propagates_to_incremental_view(lake, tmp_path):
+    """A refresh after DML folds only the DML delta and equals recompute
+    — DML windows are ordinary change-feed windows."""
+    from grafter_ray.pipelines.incview import IncrementalView
+
+    measures = [("n_docs", None, "count")]
+    view = IncrementalView(lake, str(tmp_path / "view"), ["lang"], measures)
+    assert view.refresh()["mode"] == "full"
+    delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    update_where(
+        lake,
+        lambda tb: pc.equal(tb.column("path"), "e"),
+        lambda tb: {"lang": pa.array(["rust"] * tb.num_rows, pa.string())},
+    )
+    stats = view.refresh()
+    assert stats["mode"] == "incremental"
+    got = view.read_table()
+    d = dict(zip(got.column("lang").to_pylist(), got.column("n_docs").to_pylist()))
+    assert d == {"py": 2, "rust": 1}
+
+
+def test_dml_propagates_to_downstream_lake(lake, tmp_path):
+    """sync_lakes replays the DML delta into a downstream mirror — no
+    separate DML propagation path needed."""
+    from grafter_ray.pipelines.chain import sync_lakes
+
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=4)
+    sync_lakes(lake, dst)
+    delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "java"), columns=("lang",))
+    update_where(
+        lake,
+        lambda tb: pc.equal(tb.column("path"), "a"),
+        lambda tb: {"content": pc.utf8_upper(tb.column("content"))},
+    )
+    sync_lakes(lake, dst)
+    got = {k: c for k, (c, _) in _state(dst).items()}
+    want = {k: c for k, (c, _) in _state(lake).items()}
+    assert got == want
 
 
 def test_parse_where_spec_forms(lake):

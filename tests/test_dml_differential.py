@@ -4,16 +4,16 @@ distributed lake vs the single-process reference model.
 The model extends oracle.replay_oracle's dict state with the documented
 DML semantics:
   - delete_where: matching live keys vanish; watermark advances by 1;
-  - update_where: matching rows re-enter at the new watermark UNLESS the
-    assignment is content-identical (skip_unchanged is sha-based, so a
-    commit-only rewrite suppresses too — that trade is the documented
-    contract, and this suite pins it);
-  - merge_into: matched live keys update (suppression applies) or
-    delete; unmatched insert at the new watermark.
+  - update_where: matching rows re-enter at the new watermark iff ANY
+    assigned column actually changed (exact per-column old-vs-new diff:
+    identity assignments never land, commit/lang-only rewrites DO);
+  - merge_into (defaults): matched live keys update unconditionally
+    (Delta-exact — lsn moves even on identical payloads) or delete;
+    unmatched insert at the new watermark.
 
 Sequences mix the three ops with predicates over path/lang/content and
-assignments that sometimes no-op (to exercise suppression), always
-comparing full converged state (keys, payload, content_sha, last_lsn).
+assignments that sometimes no-op, always comparing full converged state
+(keys, payload, content_sha, last_lsn).
 """
 
 import hashlib
@@ -113,30 +113,28 @@ def test_dml_sequences_match_reference(tmp_path, seed):
                 set_fn = lambda tb, s=sfx: {
                     "content": pc.binary_join_element_wise(tb.column("content"), s, "")
                 }
-                new_content = lambda c, s=sfx: c + s
-            elif mode == 1:  # identity — always suppresses
+                change = lambda v, s=sfx: {"content": v["content"] + s}
+            elif mode == 1:  # identity — never lands
                 set_fn = lambda tb: {"content": tb.column("content")}
-                new_content = lambda c: c
-            else:  # commit-only rewrite — sha-equal, suppresses by contract
+                change = lambda v: {}
+            else:  # commit-only rewrite — per-column diff catches it
                 set_fn = lambda tb, s=step: {
                     "commit": pa.array([f"rewrite{s}"] * tb.num_rows, pa.string())
                 }
-                new_content = lambda c: c
+                change = lambda v, s=step: (
+                    {} if v["commit"] == f"rewrite{s}" else {"commit": f"rewrite{s}"}
+                )
             r = update_where(lake, pred, set_fn)
-            n_upd = n_sup = 0
+            n_upd = 0
             for k, v in state.items():
                 if not rowp(v, k[1]):
                     continue
-                nc = new_content(v["content"])
-                if nc == v["content"]:
-                    n_sup += 1  # suppressed: row untouched, lsn kept
-                else:
-                    v["content"] = nc
+                delta = change(v)
+                if delta:
+                    v.update(delta)
                     v["lsn"] = wm
                     n_upd += 1
-            assert (r["updated"], r["suppressed"]) == (n_upd, n_sup), (
-                f"seed {seed} step {step} update mode {mode}"
-            )
+            assert r["updated"] == n_upd, f"seed {seed} step {step} update mode {mode}"
         else:  # MERGE INTO
             live = sorted(state)
             picked = [live[i] for i in rng.choice(len(live), size=min(20, len(live)), replace=False)]
@@ -158,12 +156,11 @@ def test_dml_sequences_match_reference(tmp_path, seed):
             for i, k in enumerate(src_keys):
                 matched = k in state
                 if matched and when_matched == "update":
-                    nc = f"merged {step} {k[1]}"
-                    if nc != state[k]["content"]:
-                        state[k] = {
-                            "commit": f"m{step}-{i}", "lang": "go",
-                            "content": nc, "lsn": wm, "schema_version": 0,
-                        }
+                    # Delta-exact default: matched updates ALWAYS land
+                    state[k] = {
+                        "commit": f"m{step}-{i}", "lang": "go",
+                        "content": f"merged {step} {k[1]}", "lsn": wm, "schema_version": 0,
+                    }
                 elif matched and when_matched == "delete":
                     del state[k]
                 elif not matched:

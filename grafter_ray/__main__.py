@@ -263,6 +263,22 @@ def cmd_delete_where(args) -> int:
     return 0
 
 
+def cmd_export_snapshot(args) -> int:
+    from .pipelines.replay import CDCLake
+    from .pipelines.snapshot import export_snapshot
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    marker = export_snapshot(
+        lake, args.out, version=args.at_version, view=not args.raw
+    )
+    wall = time.perf_counter() - t0
+    _emit({"cmd": "export-snapshot", "out": args.out, "wall_sec": round(wall, 3),
+           **{k: marker[k] for k in ("version", "watermark_lsn", "schema_version", "rows")},
+           "files": len(marker["files"])})
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -704,6 +720,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--expect", action="append", default=None, metavar="SPEC",
                     help="CHECK constraints applied to the retry window (same syntax as replay --expect)")
     sp.set_defaults(fn=cmd_dlq_retry)
+
+    sp = sub.add_parser(
+        "export-snapshot",
+        help="publish a pinned lake version as plain partitioned parquet (+ _SNAPSHOT.json marker)",
+    )
+    lake_args(sp)
+    sp.add_argument("--out", required=True, help="output directory (created; refuses a committed snapshot)")
+    sp.add_argument("--at-version", type=int, default=None, help="pin an older committed version")
+    sp.add_argument("--raw", action="store_true", help="export raw base columns instead of the evolved view")
+    sp.set_defaults(fn=cmd_export_snapshot)
 
     sp = sub.add_parser(
         "delete-where",

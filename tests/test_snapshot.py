@@ -1,0 +1,76 @@
+"""Snapshot export (pipelines/snapshot.py): pinned-version flatten to
+plain parquet + atomic marker."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.pipelines.snapshot import export_snapshot
+
+CFG = BinlogConfig(n_events=2_000, n_keys=200, n_repos=6, schema_every=800)
+
+
+def _read_snapshot(out):
+    marker = json.load(open(os.path.join(out, "_SNAPSHOT.json")))
+    tbs = [pq.read_table(os.path.join(out, f)) for f in marker["files"]]
+    import pyarrow as pa
+
+    tb = pa.concat_tables([t for t in tbs if t.num_rows], promote_options="default")
+    return marker, tb.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def test_export_matches_lake_and_oracle(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog))
+    out = str(tmp_path / "snap")
+    marker = export_snapshot(lake, out)
+    m2, tb = _read_snapshot(out)
+    assert m2 == marker and marker["rows"] == tb.num_rows
+    want = oracle_view_table(binlog)
+    assert tb.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert tb.schema.names == lake.read_table(view=True).schema.names
+    assert marker["schema_version"] == lake.schema_version
+
+
+def test_export_pinned_version_is_point_in_time(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    v0 = lake.manifest["version"]
+    lake.apply(rd.from_arrow(binlog))  # keep ingesting past the pin
+    out = str(tmp_path / "snap")
+    marker = export_snapshot(lake, out, version=v0, view=False)
+    _, tb = _read_snapshot(out)
+    want, _ = __import__("grafter_ray").oracle_lake_table(binlog, upto_lsn=999)
+    assert tb.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert marker["watermark_lsn"] == 999
+
+
+def test_export_refuses_committed_snapshot_dir(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog))
+    out = str(tmp_path / "snap")
+    export_snapshot(lake, out)
+    with pytest.raises(ValueError, match="already holds"):
+        export_snapshot(lake, out)
+
+
+def test_cli_export_snapshot(tmp_path, capsys):
+    from grafter_ray.__main__ import main
+
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog))
+    out = str(tmp_path / "snap")
+    assert main(["export-snapshot", "--lake", lake.root, "--partitions", "4", "--out", out]) == 0
+    line = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert line["rows"] == lake.read_table().num_rows
+    assert os.path.exists(os.path.join(out, "_SNAPSHOT.json"))

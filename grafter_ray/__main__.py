@@ -95,6 +95,16 @@ def _binlog_source(args):
             read_mysqlbinlog(args.binlog, on_bad="null_lsn").write_parquet(stage)
             return stage
         return read_mysqlbinlog(args.binlog, on_bad="raise")
+    if fmt == "avro":
+        from .sources.avro import read_avro
+
+        if args.on_bad == "quarantine":
+            import tempfile
+
+            stage = tempfile.mkdtemp(prefix="graftray_avro_stage_")
+            read_avro(args.binlog, on_bad="null_lsn").write_parquet(stage)
+            return stage
+        return read_avro(args.binlog, on_bad="raise")
     from .sources.envelope import read_envelope_jsonl
 
     if args.on_bad == "quarantine":
@@ -149,7 +159,7 @@ def cmd_replay(args) -> int:
 def cmd_tail(args) -> int:
     from .pipelines.replay import CDCLake
 
-    if getattr(args, "format", "parquet") in ("envelope", "pgoutput", "mysql"):
+    if getattr(args, "format", "parquet") in ("envelope", "pgoutput", "mysql", "avro"):
         if args.on_bad == "quarantine":
             # a tailed wire stream has no parquet footers to probe and a
             # Dataset input silently drops null-lsn rows — refuse rather
@@ -170,6 +180,10 @@ def cmd_tail(args) -> int:
             from .sources.mysqlbinlog import read_mysqlbinlog
 
             source = lambda: read_mysqlbinlog(args.binlog, on_bad="raise")  # noqa: E731
+        elif args.format == "avro":
+            from .sources.avro import read_avro
+
+            source = lambda: read_avro(args.binlog, on_bad="raise")  # noqa: E731
         else:
             from .sources.envelope import read_envelope_jsonl
 
@@ -642,7 +656,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
     sp.add_argument("--binlog", required=True, help="binlog parquet directory (or wire-format path with --format)")
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql"], default="parquet",
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet",
                     help="binlog wire format: parquet (default), Debezium-style JSON envelopes, "
                          "Postgres test_decoding dumps, or mysqlbinlog --verbose row dumps")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot",
@@ -673,7 +687,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
     sp.add_argument("--binlog", required=True)
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql"], default="parquet")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None)

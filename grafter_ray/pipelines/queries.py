@@ -3365,6 +3365,47 @@ def q_cdc_mysql_replay(sf_dir: str):
         )
 
 
+def q_cdc_avro_replay(sf_dir: str):
+    """The FOURTH CDC wire format end-to-end: the deterministic documents
+    binlog archived as Avro Object Container Files (the shape a
+    Kafka/Debezium topic dump or S3 sink lands in — Debezium envelope
+    records, generic pure-Python Avro binary + OCF framing, deflate
+    codec; sources/avro.py), decoded back in-stream via each file's own
+    embedded writer schema and replayed through CDCLake. Converged state
+    equals cdc_replay_docs' closed-form sha256 oracle — the engine
+    ingests an Avro change-event archive exactly as it ingests parquet,
+    JSON envelopes, pgoutput or mysqlbinlog dumps. Reference: grafter.io
+    `statements` coerces binary stream sources (io.clj:619-667,
+    formats.clj:103-120 binary coercer)."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.avro import decode_batch as avro_decode
+    from ..sources.avro import encode_batch as avro_encode
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    # each Ray block → one OCF blob → decoded back through the generic
+    # reader (same in-stream loop shape as the other three wire queries)
+    wire = binlog.map_batches(
+        lambda tb: avro_encode(tb, codec="deflate"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    parsed = wire.map_batches(avro_decode, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(parsed, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_scd2_sync_history(sf_dir: str):
     """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
     deterministic documents binlog folded into a versioned history lake
@@ -7110,6 +7151,7 @@ QUERIES = {
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
+    "cdc_avro_replay": q_cdc_avro_replay,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
     "rate_anomalies": q_rate_anomalies,
@@ -7284,6 +7326,7 @@ ORACLE_SQL = {
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,
+    "cdc_avro_replay": SQL_CDC_REPLAY_DOCS,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
     "rate_anomalies": SQL_RATE_ANOMALIES,

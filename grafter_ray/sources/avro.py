@@ -1,0 +1,555 @@
+"""Avro CDC wire codec — generic Avro binary + OCF container, pure Python.
+
+The FOURTH wire format the engine ingests (after Debezium JSON
+envelopes, Postgres ``test_decoding`` slot dumps and ``mysqlbinlog
+--verbose`` row dumps): Kafka-based CDC deployments overwhelmingly ship
+Debezium change events as **Avro** (Confluent Schema Registry), and a
+topic dump / S3 sink archive of such a stream is an **Avro Object
+Container File** (``.avro``). This module implements, from the public
+Avro 1.11 specification only:
+
+- a *generic* Avro binary decoder/encoder (zigzag varints, all eight
+  primitives, ``record`` / ``enum`` / ``array`` / ``map`` / ``union`` /
+  ``fixed``, named-type references, block-encoded arrays/maps with
+  negative-count size prefixes) — NOT hardcoded to our envelope, so a
+  writer-schema with connector-specific extra fields decodes fine and
+  the BINLOG mapping simply ignores what it doesn't know (Avro's own
+  schema-evolution story: the OCF embeds the writer schema and the
+  reader projects);
+- the OCF framing: ``Obj\\x01`` magic, metadata map (``avro.schema``
+  JSON + ``avro.codec``), 16-byte sync marker, then blocks of
+  ``(record_count, byte_size, payload, sync)``; codecs ``null`` and
+  ``deflate`` (raw zlib, stdlib) — ``snappy``/``zstandard`` raise
+  honestly (not in this environment);
+- the Debezium-style envelope mapping to/from the BINLOG schema
+  (schemas.py:28): op ``c``/``u``/``r`` → ``upsert``, ``d`` →
+  ``delete``, marker ``schema_change`` rows round-trip like the JSON
+  envelope codec (sources/envelope.py).
+
+Scale shape: one decode task per FILE via ``read_binary_files`` (an
+OCF *could* be split on sync markers, but a CDC archive is many files —
+per-file parallelism is the honest split unit, same as the mysqlbinlog
+and TriX readers). Decoding Avro binary is a per-record byte walk —
+unavoidable in pure Python and confined to this codec boundary; column
+assembly back into Arrow is batched per block. Reference: grafter.io
+``statements`` coerces any source incl. binary streams
+(io.clj:619-667, formats.clj:103-120 binary coercer); the reference's
+own binary RDF reader (sources/binaryrdf.py here) is the same shape.
+
+Malformed input: structural corruption (bad magic, sync mismatch,
+truncated varint/buffer, unknown codec) raises in-band — a broken
+container has no trustworthy suffix. RECORD-level problems (null/absent
+lsn, unknown op) follow the house quarantine contract: ``on_bad="raise"``
+(default) raises; ``on_bad="null_lsn"`` emits a null-lsn BINLOG row whose
+``content`` preserves the offending record's JSON repr, which
+``CDCLake.apply(..., on_bad="quarantine")`` diverts to the dead-letter
+file via the footer null-count probe (replay.py ``_null_lsn_rows``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+import pyarrow as pa
+
+from ..schemas import BINLOG, OP_DELETE, OP_SCHEMA, OP_UPSERT
+
+MAGIC = b"Obj\x01"
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+# ---------------------------------------------------------------------------
+# schema parsing (Avro spec §Schema Declaration)
+# ---------------------------------------------------------------------------
+
+
+def parse_schema(s, names: dict | None = None):
+    """JSON schema (str or parsed) → normalized dict tree. Named types
+    register in `names` so later references by full name resolve."""
+    if names is None:
+        names = {}
+    if isinstance(s, str):
+        stripped = s.strip()
+        if stripped.startswith(("{", "[", '"')):
+            return parse_schema(json.loads(s), names)
+        if s in _PRIMITIVES:
+            return {"type": s}
+        if s in names:
+            return names[s]
+        raise ValueError(f"avro: unknown type name {s!r}")
+    if isinstance(s, list):  # union
+        return {"type": "union", "branches": [parse_schema(b, names) for b in s]}
+    if not isinstance(s, dict):
+        raise ValueError(f"avro: bad schema node {s!r}")
+    t = s["type"]
+    if isinstance(t, (list, dict)):  # {"type": [...]} / nested def
+        return parse_schema(t, names)
+    if t in _PRIMITIVES:
+        return {"type": t}
+    if t == "record":
+        full = _fullname(s)
+        node = {"type": "record", "name": full, "fields": []}
+        names[full] = node  # register BEFORE fields: recursive types
+        node["fields"] = [
+            {"name": f["name"], "schema": parse_schema(f["type"], names)} for f in s["fields"]
+        ]
+        return node
+    if t == "enum":
+        node = {"type": "enum", "name": _fullname(s), "symbols": list(s["symbols"])}
+        names[node["name"]] = node
+        return node
+    if t == "fixed":
+        node = {"type": "fixed", "name": _fullname(s), "size": int(s["size"])}
+        names[node["name"]] = node
+        return node
+    if t == "array":
+        return {"type": "array", "items": parse_schema(s["items"], names)}
+    if t == "map":
+        return {"type": "map", "values": parse_schema(s["values"], names)}
+    if t in names:
+        return names[t]
+    raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def _fullname(s: dict) -> str:
+    ns = s.get("namespace")
+    n = s["name"]
+    return n if ("." in n or not ns) else f"{ns}.{n}"
+
+
+# ---------------------------------------------------------------------------
+# binary decode (spec §Binary Encoding)
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def long(self) -> int:
+        buf, pos = self.buf, self.pos
+        shift = 0
+        acc = 0
+        while True:
+            if pos >= len(buf):
+                raise ValueError("avro: truncated varint")
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def raw(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("avro: truncated buffer")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def value(self, sch: dict):
+        t = sch["type"]
+        if t == "string":
+            return self.raw(self.long()).decode("utf-8")
+        if t == "long" or t == "int":
+            return self.long()
+        if t == "union":
+            i = self.long()
+            br = sch["branches"]
+            if not 0 <= i < len(br):
+                raise ValueError(f"avro: union index {i} out of range")
+            return self.value(br[i])
+        if t == "record":
+            return {f["name"]: self.value(f["schema"]) for f in sch["fields"]}
+        if t == "null":
+            return None
+        if t == "boolean":
+            b = self.raw(1)[0]
+            if b not in (0, 1):
+                raise ValueError(f"avro: bad boolean byte {b}")
+            return b == 1
+        if t == "double":
+            return struct.unpack("<d", self.raw(8))[0]
+        if t == "float":
+            return struct.unpack("<f", self.raw(4))[0]
+        if t == "bytes":
+            return self.raw(self.long())
+        if t == "enum":
+            i = self.long()
+            syms = sch["symbols"]
+            if not 0 <= i < len(syms):
+                raise ValueError(f"avro: enum index {i} out of range")
+            return syms[i]
+        if t == "fixed":
+            return self.raw(sch["size"])
+        if t == "array":
+            out = []
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    out.append(self.value(sch["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    k = self.raw(self.long()).decode("utf-8")
+                    out[k] = self.value(sch["values"])
+        raise ValueError(f"avro: cannot decode type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# binary encode
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(out: bytearray, v: int) -> None:
+    v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1 | 1)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _encode(out: bytearray, sch: dict, val) -> None:
+    t = sch["type"]
+    if t == "string":
+        b = val.encode("utf-8")
+        _zigzag(out, len(b))
+        out += b
+    elif t in ("long", "int"):
+        _zigzag(out, val)
+    elif t == "union":
+        for i, br in enumerate(sch["branches"]):
+            if _matches(br, val):
+                _zigzag(out, i)
+                _encode(out, br, val)
+                return
+        raise ValueError(f"avro: no union branch for {val!r}")
+    elif t == "record":
+        for f in sch["fields"]:
+            _encode(out, f["schema"], val.get(f["name"]))
+    elif t == "null":
+        pass
+    elif t == "boolean":
+        out.append(1 if val else 0)
+    elif t == "double":
+        out += struct.pack("<d", val)
+    elif t == "float":
+        out += struct.pack("<f", val)
+    elif t == "bytes":
+        _zigzag(out, len(val))
+        out += val
+    elif t == "enum":
+        _zigzag(out, sch["symbols"].index(val))
+    elif t == "fixed":
+        if len(val) != sch["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        out += val
+    elif t == "array":
+        if val:
+            _zigzag(out, len(val))
+            for v in val:
+                _encode(out, sch["items"], v)
+        _zigzag(out, 0)
+    elif t == "map":
+        if val:
+            _zigzag(out, len(val))
+            for k, v in val.items():
+                kb = k.encode("utf-8")
+                _zigzag(out, len(kb))
+                out += kb
+                _encode(out, sch["values"], v)
+        _zigzag(out, 0)
+    else:
+        raise ValueError(f"avro: cannot encode type {t!r}")
+
+
+def _matches(sch: dict, val) -> bool:
+    t = sch["type"]
+    if t == "null":
+        return val is None
+    if val is None:
+        return False
+    if t == "string":
+        return isinstance(val, str)
+    if t in ("long", "int"):
+        return isinstance(val, int) and not isinstance(val, bool)
+    if t == "boolean":
+        return isinstance(val, bool)
+    if t in ("double", "float"):
+        return isinstance(val, (int, float)) and not isinstance(val, bool)
+    if t in ("bytes", "fixed"):
+        return isinstance(val, (bytes, bytearray))
+    if t == "record":
+        return isinstance(val, dict)
+    if t == "map":
+        return isinstance(val, dict)
+    if t == "array":
+        return isinstance(val, list)
+    if t == "enum":
+        return isinstance(val, str)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# OCF container (spec §Object Container Files)
+# ---------------------------------------------------------------------------
+
+_META_SCHEMA = parse_schema({"type": "map", "values": "bytes"})
+
+
+def write_ocf(
+    records,
+    schema,
+    *,
+    sync: bytes | None = None,
+    codec: str = "null",
+    block_records: int = 4096,
+) -> bytes:
+    """Records (dicts per the schema) → one OCF byte blob. `sync` must be
+    16 bytes; callers pass a deterministic marker (tests, stable
+    re-encode) — there is no entropy source here by design."""
+    sch = parse_schema(schema)
+    if isinstance(schema, str):
+        s = schema.strip()
+        # meta must hold JSON text: quote a bare primitive name
+        schema_json = s if s.startswith(("{", "[", '"')) else json.dumps(s)
+    else:
+        schema_json = json.dumps(schema)
+    if sync is None:
+        sync = b"graftray-avro-01"
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported write codec {codec!r}")
+    head = bytearray(MAGIC)
+    _encode(head, _META_SCHEMA, {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()})
+    head += sync
+    recs = list(records)
+    for i in range(0, len(recs), block_records) if recs else ():
+        chunk = recs[i : i + block_records]
+        body = bytearray()
+        for r in chunk:
+            _encode(body, sch, r)
+        payload = bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+        _zigzag(head, len(chunk))
+        _zigzag(head, len(payload))
+        head += payload
+        head += sync
+    return bytes(head)
+
+
+def read_ocf(blob: bytes):
+    """OCF byte blob → (writer schema dict, list of decoded records)."""
+    if blob[:4] != MAGIC:
+        raise ValueError("avro: bad OCF magic (not an Avro container file)")
+    r = _Reader(blob, 4)
+    meta = r.value(_META_SCHEMA)
+    try:
+        schema = parse_schema(json.loads(meta["avro.schema"].decode()))
+    except KeyError:
+        raise ValueError("avro: container missing avro.schema metadata") from None
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r} (null/deflate only here)")
+    sync = r.raw(16)
+    out = []
+    while r.pos < len(blob):
+        n = r.long()
+        size = r.long()
+        payload = r.raw(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        br = _Reader(payload)
+        for _ in range(n):
+            out.append(br.value(schema))
+        if br.pos != len(payload):
+            raise ValueError("avro: block decoded short of its byte size")
+        if r.raw(16) != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block boundary)")
+    return schema, out
+
+
+# ---------------------------------------------------------------------------
+# Debezium-style envelope <-> BINLOG mapping
+# ---------------------------------------------------------------------------
+
+ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
+
+#: The writer schema our encoder emits — a faithful Debezium value-schema
+#: shape (before/after/source/op/ts_ms). Decoding does NOT require this
+#: exact schema: any record with compatible field names maps.
+ENVELOPE_SCHEMA = {
+    "type": "record",
+    "name": "Envelope",
+    "namespace": "graftray.cdc",
+    "fields": [
+        {
+            "name": "before",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "Row",
+                    "fields": [
+                        {"name": "repo", "type": ["null", "string"]},
+                        {"name": "path", "type": ["null", "string"]},
+                        {"name": "commit", "type": ["null", "string"]},
+                        {"name": "lang", "type": ["null", "string"]},
+                        {"name": "content", "type": ["null", "string"]},
+                    ],
+                },
+            ],
+        },
+        {"name": "after", "type": ["null", "Row"]},
+        {
+            "name": "source",
+            "type": {
+                "type": "record",
+                "name": "Source",
+                "fields": [
+                    {"name": "lsn", "type": ["null", "long"]},
+                    {"name": "schema_version", "type": ["null", "int"]},
+                ],
+            },
+        },
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": ["null", "long"]},
+    ],
+}
+
+_OP_MAP = {"c": OP_UPSERT, "u": OP_UPSERT, "r": OP_UPSERT, "d": OP_DELETE, "schema_change": OP_SCHEMA}
+
+
+def records_to_binlog(records: list, *, on_bad: str = "raise") -> pa.Table:
+    """Decoded envelope dicts → BINLOG-schema table (envelope.py contract:
+    c/u/r collapse to upsert; delete keys ride in `before`)."""
+    cols = {k: [] for k in ("lsn", "op", "repo", "path", "commit", "lang", "content", "schema_version")}
+
+    def bad(rec, why):
+        if on_bad == "raise":
+            raise ValueError(f"avro envelope: {why}: {rec!r}")
+        cols["lsn"].append(None)
+        cols["op"].append(None)
+        cols["repo"].append(None)
+        cols["path"].append(None)
+        cols["commit"].append(None)
+        cols["lang"].append(None)
+        cols["content"].append(json.dumps(rec, default=repr))
+        cols["schema_version"].append(None)
+
+    for rec in records:
+        src = rec.get("source") or {}
+        lsn = src.get("lsn")
+        op = _OP_MAP.get(rec.get("op"))
+        if lsn is None or op is None:
+            bad(rec, "missing lsn" if lsn is None else f"unknown op {rec.get('op')!r}")
+            continue
+        row = (rec.get("after") if op == OP_UPSERT else rec.get("before")) or {}
+        cols["lsn"].append(lsn)
+        cols["op"].append(op)
+        for f in ROW_FIELDS:
+            cols[f].append(row.get(f) if op != OP_SCHEMA else None)
+        cols["schema_version"].append(src.get("schema_version") or rec.get("schema_version") or 0)
+    return pa.table(cols).cast(pa.schema(list(BINLOG)))
+
+
+def binlog_to_records(tb: pa.Table) -> list:
+    """BINLOG rows → envelope dicts (inverse of records_to_binlog up to
+    the c/u/r → upsert collapse, same contract as envelope_encode)."""
+    d = {c: tb.column(c).to_pylist() for c in ("lsn", "op", "schema_version", *ROW_FIELDS)}
+    out = []
+    for i in range(tb.num_rows):
+        op = d["op"][i]
+        if op not in (OP_UPSERT, OP_DELETE, OP_SCHEMA):
+            raise ValueError(f"avro envelope: unknown op {op!r} (upsert/delete/schema_change only)")
+        row = {f: d[f][i] for f in ROW_FIELDS}
+        out.append(
+            {
+                "before": {"repo": row["repo"], "path": row["path"], "commit": None, "lang": None, "content": None}
+                if op == OP_DELETE
+                else None,
+                "after": None if op in (OP_DELETE, OP_SCHEMA) else row,
+                "source": {"lsn": d["lsn"][i], "schema_version": d["schema_version"][i]},
+                "op": "d" if op == OP_DELETE else ("schema_change" if op == OP_SCHEMA else "u"),
+                "ts_ms": None,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# map_batches kernels + Dataset reader (the house wire-codec surface)
+# ---------------------------------------------------------------------------
+
+
+def encode_batch(tb: pa.Table, *, codec: str = "null") -> pa.Table:
+    """BINLOG rows → a one-row `bytes` table holding one OCF file blob
+    (each Ray block becomes one .avro file — feed to a binary sink)."""
+    blob = write_ocf(binlog_to_records(tb), ENVELOPE_SCHEMA, codec=codec)
+    return pa.table({"bytes": pa.array([blob], pa.large_binary())})
+
+
+def decode_batch(tb: pa.Table, *, column: str = "bytes", on_bad: str = "raise") -> pa.Table:
+    """`bytes` column of OCF blobs → BINLOG rows."""
+    parts = [
+        records_to_binlog(read_ocf(bytes(blob))[1], on_bad=on_bad)
+        for blob in tb.column(column).to_pylist()
+    ]
+    return pa.concat_tables(parts) if parts else records_to_binlog([])
+
+
+def read_avro(paths, *, on_bad: str = "raise"):
+    """`.avro` OCF file(s) → BINLOG-schema Dataset; one decode task per
+    file (see module docstring for the split-unit rationale)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+    return ds.map_batches(
+        lambda tb: decode_batch(tb, on_bad=on_bad),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def write_avro(binlog_ds, out_dir: str, *, codec: str = "null") -> None:
+    """BINLOG Dataset → directory of `.avro` files, one per block."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(tb: pa.Table) -> pa.Table:
+        if tb.num_rows:
+            name = f"{uuid.uuid4().hex}.avro"
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with io.open(tmp, "wb") as f:
+                f.write(write_ocf(binlog_to_records(tb), ENVELOPE_SCHEMA, codec=codec))
+            os.rename(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([tb.num_rows], pa.int64())})
+
+    binlog_ds.map_batches(sink, batch_format="pyarrow", zero_copy_batch=True).materialize()

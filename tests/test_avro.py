@@ -1,0 +1,201 @@
+"""Avro wire codec: generic binary/OCF round trips, the Debezium
+envelope mapping, and the wire→lake loop (an Avro topic dump replays to
+the same converged lake as the parquet binlog)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, binlog_table
+from grafter_ray.pipelines.replay import CDCLake
+from grafter_ray.sources.avro import (
+    ENVELOPE_SCHEMA,
+    _encode,
+    decode_batch,
+    encode_batch,
+    parse_schema,
+    read_avro,
+    read_ocf,
+    records_to_binlog,
+    write_avro,
+    write_ocf,
+)
+
+NESTED = {
+    "type": "record",
+    "name": "T",
+    "namespace": "ns",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "double"}},
+        {"name": "d", "type": {"type": "map", "values": "int"}},
+        {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["X", "Y"]}},
+        {"name": "f", "type": {"type": "fixed", "name": "F", "size": 3}},
+        {
+            "name": "g",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "Node",
+                    "fields": [
+                        {"name": "v", "type": "int"},
+                        {"name": "next", "type": ["null", "Node"]},
+                    ],
+                },
+            ],
+        },
+        {"name": "h", "type": "boolean"},
+        {"name": "i", "type": "bytes"},
+        {"name": "j", "type": "float"},
+    ],
+}
+
+RECS = [
+    {
+        "a": -(2**61),
+        "b": None,
+        "c": [1.5, -2.25],
+        "d": {"k": 7, "Ω": -1},
+        "e": "Y",
+        "f": b"abc",
+        "g": {"v": 1, "next": {"v": 2, "next": None}},  # recursive named type
+        "h": True,
+        "i": b"\x00\xff",
+        "j": 0.5,
+    },
+    {
+        "a": 0,
+        "b": "héllo",
+        "c": [],
+        "d": {},
+        "e": "X",
+        "f": b"xyz",
+        "g": None,
+        "h": False,
+        "i": b"",
+        "j": -1.0,
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("block_records", [1, 2, 4096])
+def test_generic_roundtrip(codec, block_records):
+    blob = write_ocf(RECS * 3, NESTED, codec=codec, block_records=block_records)
+    schema, out = read_ocf(blob)
+    assert out == RECS * 3
+    assert schema["name"] == "ns.T"
+
+
+def test_bare_primitive_schema_and_zigzag_extremes():
+    vals = [0, -1, 1, 2**62, -(2**62), 127, -128]
+    _, out = read_ocf(write_ocf(vals, "long"))
+    assert out == vals
+
+
+def test_structural_corruption_raises():
+    blob = write_ocf(RECS, NESTED)
+    with pytest.raises(ValueError, match="magic"):
+        read_ocf(b"Obx\x01" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        read_ocf(blob[:-3])
+    # flip a byte inside the trailing sync marker
+    corrupt = blob[:-8] + bytes([blob[-8] ^ 0xFF]) + blob[-7:]
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(corrupt)
+    with pytest.raises(ValueError, match="codec"):
+        write_ocf(RECS, NESTED, codec="snappy")
+
+
+def test_envelope_batch_roundtrip():
+    tb = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": ["upsert", "delete", "schema_change"],
+            "repo": ["r", "r", None],
+            "path": ["p", "q", None],
+            "commit": ["c", None, None],
+            "lang": ["py", None, None],
+            "content": ["x", None, None],
+            "schema_version": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    out = decode_batch(encode_batch(tb))
+    assert out.equals(tb)
+    out2 = decode_batch(encode_batch(tb, codec="deflate"))
+    assert out2.equals(tb)
+
+
+def test_writer_schema_evolution_extra_fields_ignored():
+    """A connector's envelope with extra source fields (txId…) and an
+    extra top-level field decodes via its own embedded writer schema;
+    the BINLOG mapping ignores what it doesn't know."""
+    sch = json.loads(json.dumps(ENVELOPE_SCHEMA))
+    sch["fields"][2]["type"]["fields"].append({"name": "txId", "type": ["null", "long"]})
+    sch["fields"].append({"name": "transaction", "type": ["null", "string"]})
+    rec = {
+        "before": None,
+        "after": {"repo": "r", "path": "p", "commit": "c", "lang": "py", "content": "body"},
+        "source": {"lsn": 9, "schema_version": 0, "txId": 42},
+        "op": "c",  # snapshot/create both collapse to upsert
+        "ts_ms": 1700000000000,
+        "transaction": "tx-1",
+    }
+    blob = write_ocf([rec], sch)
+    _, recs = read_ocf(blob)
+    tb = records_to_binlog(recs)
+    assert tb.column("lsn").to_pylist() == [9]
+    assert tb.column("op").to_pylist() == ["upsert"]
+    assert tb.column("content").to_pylist() == ["body"]
+
+
+def test_record_level_quarantine_contract():
+    bad = {"before": None, "after": None, "source": {"lsn": None, "schema_version": 0}, "op": "u", "ts_ms": None}
+    with pytest.raises(ValueError, match="missing lsn"):
+        records_to_binlog([bad])
+    tb = records_to_binlog([bad], on_bad="null_lsn")
+    assert tb.column("lsn").to_pylist() == [None]
+    assert '"op": "u"' in tb.column("content").to_pylist()[0]
+    weird = dict(bad, source={"lsn": 5, "schema_version": 0}, op="z")
+    with pytest.raises(ValueError, match="unknown op"):
+        records_to_binlog([weird])
+
+
+def test_union_encode_branch_selection():
+    sch = parse_schema(["null", "long", "string", {"type": "array", "items": "int"}])
+    for v in (None, 7, "s", [1, 2]):
+        out = bytearray()
+        _encode(out, sch, v)
+        from grafter_ray.sources.avro import _Reader
+
+        assert _Reader(bytes(out)).value(sch) == v
+    with pytest.raises(ValueError, match="union"):
+        _encode(bytearray(), sch, 1.5)
+
+
+def test_wire_to_lake_matches_parquet_replay(tmp_path):
+    """The Avro-archived binlog converges to the SAME lake (sha-exact)
+    as the parquet binlog — the house wire-format conformance gate
+    (same shape as the pgoutput/mysql/envelope loops)."""
+    cfg = BinlogConfig(n_events=1200, n_keys=90, n_repos=5, schema_every=400)
+    binlog = binlog_table(cfg)
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    pq.write_table(binlog, str(bdir / "p0.parquet"))
+    ref = CDCLake(str(tmp_path / "ref"), num_partitions=8)
+    ref.apply(str(bdir))
+    want = ref.read_table(view=False).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+    adir = tmp_path / "avro"
+    write_avro(rd.from_arrow(binlog), str(adir), codec="deflate")
+    assert list(adir.glob("*.avro"))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(read_avro(str(adir)), upto_lsn=int(pc.max(binlog.column("lsn")).as_py()))
+    got = lake.read_table(view=False).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert got.equals(want)

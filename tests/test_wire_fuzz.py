@@ -1,7 +1,7 @@
 """Cross-format wire fuzz: adversarial payloads (quotes, backslashes,
 newlines, unicode, empty strings, nulls) must survive every CDC wire
 format's encode→decode round trip identically — Debezium JSONL,
-test_decoding slot dumps, and mysqlbinlog verbose dumps."""
+test_decoding slot dumps, mysqlbinlog verbose dumps, and Avro OCF."""
 
 import numpy as np
 import pyarrow as pa
@@ -10,6 +10,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from grafter_ray.schemas import BINLOG
+from grafter_ray.sources.avro import binlog_to_records, read_ocf, records_to_binlog, write_ocf
+from grafter_ray.sources.avro import ENVELOPE_SCHEMA
 from grafter_ray.sources.envelope import envelope_decode, envelope_encode
 from grafter_ray.sources.mysqlbinlog import mysqlbinlog_decode, mysqlbinlog_encode
 from grafter_ray.sources.pgoutput import pgoutput_decode, pgoutput_encode
@@ -36,6 +38,11 @@ def _codecs():
             lambda ls: pgoutput_decode(ls, layout="slot"),
         ),
         ("mysql", lambda tb: mysqlbinlog_encode(tb), lambda ls: mysqlbinlog_decode(ls)),
+        (
+            "avro",  # binary OCF: one container blob per table
+            lambda tb: pa.array([write_ocf(binlog_to_records(tb), ENVELOPE_SCHEMA)], pa.large_binary()),
+            lambda blobs: records_to_binlog([r for b in blobs for r in read_ocf(bytes(b))[1]]),
+        ),
     ]
 
 

@@ -3406,6 +3406,71 @@ def q_cdc_avro_replay(sf_dir: str):
         )
 
 
+def q_profile_orders(sf_dir: str):
+    """Dataset profiling (stages/profiling.py): per-column row counts,
+    null counts, EXACT distinct cardinalities, typed min/max ranges and
+    exact integer sums/means over five orders columns — the Deequ/
+    whylogs "know your data" pass a training pipeline runs before
+    filtering or mixing. One shuffle-free partials pass + ONE distinct
+    exchange shared by all columns; float sums deliberately unprofiled
+    (block-order nondeterminism), integer means exact."""
+    from ..stages.profiling import profile_columns
+
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+    return profile_columns(ds, cols, distinct="exact")
+
+
+def q_top_values_orders(sf_dir: str):
+    """Exact per-column top-k frequent values (profiling companion):
+    block-local pre-count, one grouped exchange shared by the columns,
+    per-column top-3 with SQL-deterministic ties (freq desc, value asc)."""
+    from ..stages.profiling import top_values
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return top_values(ds, ["o_orderpriority", "o_orderstatus"], k=3)
+
+
+def q_snapshot_export(sf_dir: str):
+    """Snapshot export end-to-end (pipelines/snapshot.py): replay the
+    deterministic documents binlog into a lake, publish the committed
+    version as PLAIN partitioned parquet (the manifest-free image a
+    warehouse load or training-data reader consumes), then read the
+    exported files back like such a consumer would. The exported image
+    must equal cdc_replay_docs' closed-form sha256 oracle — proving the
+    export is a faithful point-in-time copy, not a re-derivation.
+    Reference: the terminal serialize-to-file step of every grafter
+    pipeline (io.clj rdf-writer)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .. import CDCLake
+    from ..pipelines.snapshot import export_snapshot
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(binlog, upto_lsn=3 * n_docs)
+        export_snapshot(lake, f"{tmp}/snap", view=False)
+        tb = pa.concat_tables(
+            b
+            for b in rd.read_parquet(f"{tmp}/snap").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_scd2_sync_history(sf_dir: str):
     """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
     deterministic documents binlog folded into a versioned history lake
@@ -6587,6 +6652,52 @@ def q_zorder_scan(sf_dir: str):
     return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _profile_col_sql(col: str, kind: str) -> str:
+    """One UNION-ALL leg of the profiling oracle. kind: int|num|str."""
+    min_num = f"CAST(min({col}) AS DOUBLE)" if kind in ("int", "num") else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(max({col}) AS DOUBLE)" if kind in ("int", "num") else "CAST(NULL AS DOUBLE)"
+    min_str = f"min({col})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    max_str = f"max({col})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    int_sum = f"CAST(sum({col}) AS BIGINT)" if kind == "int" else "CAST(NULL AS BIGINT)"
+    mean = f"CAST(sum({col}) AS DOUBLE) / count({col})" if kind == "int" else "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {min_num} AS min_num, {max_num} AS max_num,
+           {min_str} AS min_str, {max_str} AS max_str,
+           {int_sum} AS int_sum, {mean} AS mean
+    FROM orders"""
+
+
+SQL_PROFILE_ORDERS = (
+    " UNION ALL ".join(
+        _profile_col_sql(c, k)
+        for c, k in [
+            ("o_custkey", "int"),
+            ("o_orderkey", "int"),
+            ("o_orderpriority", "str"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+        ]
+    )
+    + ' ORDER BY "column"'
+)
+
+SQL_TOP_VALUES_ORDERS = """
+WITH c AS (
+  SELECT 'o_orderpriority' AS "column", o_orderpriority AS value, CAST(count(*) AS BIGINT) AS freq
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus, CAST(count(*) AS BIGINT)
+  FROM orders GROUP BY o_orderstatus
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY "column" ORDER BY freq DESC, value ASC) AS rn
+  FROM c
+)
+SELECT "column", value, freq FROM r WHERE rn <= 3
+"""
+
 SQL_ZORDER_SCAN = """
 SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
 FROM events
@@ -7152,6 +7263,9 @@ QUERIES = {
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
     "cdc_avro_replay": q_cdc_avro_replay,
+    "profile_orders": q_profile_orders,
+    "top_values_orders": q_top_values_orders,
+    "snapshot_export": q_snapshot_export,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
     "rate_anomalies": q_rate_anomalies,
@@ -7327,6 +7441,9 @@ ORACLE_SQL = {
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_avro_replay": SQL_CDC_REPLAY_DOCS,
+    "profile_orders": SQL_PROFILE_ORDERS,
+    "top_values_orders": SQL_TOP_VALUES_ORDERS,
+    "snapshot_export": SQL_CDC_REPLAY_DOCS,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
     "rate_anomalies": SQL_RATE_ANOMALIES,

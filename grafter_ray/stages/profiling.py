@@ -1,0 +1,253 @@
+"""Dataset profiling — one-pass per-column statistics over a Dataset.
+
+The "know your data" operator of a training-data pipeline (the
+Deequ / whylogs shape): before a 100-TB corpus is filtered, mixed or
+trained on, the pipeline needs per-column row counts, null counts,
+distinct cardinalities, ranges and top values — computed in a bounded
+number of streaming passes, never per-column rescans.
+
+Scale shape (and how it differs from calling an aggregate per column):
+
+- ``profile_columns``: ONE shuffle-free pass computes every column's
+  count / nulls / min / max / integer sum as per-block partial rows
+  (``len(cols)`` rows per block, independent of block size); the fold
+  is driver-side over cols × blocks rows — the same documented bounded
+  collect as the k-means partials (stages/clustering.py). Distinct
+  cardinalities ride ONE additional exchange shared by ALL columns:
+  each block emits its deduplicated (column, value) pairs, a single
+  distributed distinct + grouped count finishes — the exchange
+  is Σ per-block distincts, the floor any exact distinct pays
+  (``distinct="approx"`` swaps in the HLL register path from
+  stages/sketch.py: cols × 2^p bytes total, zero value exchange — the
+  100-TB default when exactness isn't required).
+- ``top_values``: exact per-column top-k via block-local pre-count +
+  one grouped-count exchange over (column, value) pairs, then per-column
+  top-k — ties broken (freq desc, value asc) to match a deterministic
+  SQL oracle. For unbounded-cardinality columns compose with the
+  Misra-Gries candidate bound in stages/sketch.py instead.
+
+Determinism: min/max/sum/count are order-independent; the value hash is
+the house fixed-key hash (util.key_hash_array), never Python's
+randomized ``hash``. Float SUMS are deliberately NOT profiled (block
+order would make them nondeterministic); integer sums are exact int64.
+
+Reference anchor: no profiling in the reference (an RDF engine's
+"profile" is its schema); this extends the quality/stats family of the
+LLM-data operators (SURVEY.md §2 additions) next to stages/text.py and
+stages/drift.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _is_int(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t)
+
+
+def _is_num(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+def _block_profile(tb: pa.Table, cols: list[str]) -> pa.Table:
+    out = {
+        "column": [],
+        "n_rows": [],
+        "n_nulls": [],
+        "min_num": [],
+        "max_num": [],
+        "min_str": [],
+        "max_str": [],
+        "int_sum": [],
+    }
+    for c in cols:
+        col = tb.column(c)
+        t = col.type
+        out["column"].append(c)
+        out["n_rows"].append(tb.num_rows)
+        out["n_nulls"].append(col.null_count)
+        valid = tb.num_rows - col.null_count
+        mm = pc.min_max(col) if valid else None
+        if _is_num(t):
+            out["min_num"].append(float(mm["min"].as_py()) if valid else None)
+            out["max_num"].append(float(mm["max"].as_py()) if valid else None)
+            out["min_str"].append(None)
+            out["max_str"].append(None)
+            out["int_sum"].append(int(pc.sum(col).as_py()) if _is_int(t) and valid else None)
+        else:
+            sc = col if pa.types.is_string(t) or pa.types.is_large_string(t) else pc.cast(col, pa.string())
+            mm = pc.min_max(sc) if valid else None
+            out["min_num"].append(None)
+            out["max_num"].append(None)
+            out["min_str"].append(mm["min"].as_py() if valid else None)
+            out["max_str"].append(mm["max"].as_py() if valid else None)
+            out["int_sum"].append(None)
+    return pa.table(
+        {
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_num": pa.array(out["min_num"], pa.float64()),
+            "max_num": pa.array(out["max_num"], pa.float64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+            "int_sum": pa.array(out["int_sum"], pa.int64()),
+        }
+    )
+
+
+def _distinct_exact(ds, cols: list[str]):
+    """One shared exchange: block-deduped (column, value-hash) pairs →
+    distributed distinct → per-column counts. Returns {col: n}."""
+    from ..pipelines.relational import grouped_count_distinct
+
+    empty = pa.table({"column": pa.array([], pa.string()), "value": pa.array([], pa.string())})
+
+    def pairs(tb: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = tb.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.null_count:
+                col = col.filter(pc.is_valid(col))
+            if not len(col):
+                continue
+            v = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+            p = pa.table({"column": pa.array([c] * len(col), pa.string()), "value": v})
+            parts.append(p.group_by(["column", "value"]).aggregate([]))  # block-local dedup
+        return pa.concat_tables(parts) if parts else empty
+
+    pr = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count_distinct(pr, ["column"], "value", alias="n_distinct")
+    out = {}
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c, n in zip(b.column("column").to_pylist(), b.column("n_distinct").to_pylist()):
+            out[c] = int(n)
+    return out
+
+
+def _distinct_approx(ds, cols: list[str], p: int):
+    """HLL register path: cols × 2^p bytes of partials, no value exchange."""
+    from .sketch import _col_hashes, hll_estimate, hll_registers
+
+    def regs(tb: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = tb.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            col = col.filter(pc.is_valid(col)) if col.null_count else col
+            h = _col_hashes(col)
+            rows.append({"column": c, "regs": hll_registers(h, p).tobytes()})
+        return pa.table(
+            {
+                "column": pa.array([r["column"] for r in rows], pa.string()),
+                "regs": pa.array([r["regs"] for r in rows], pa.binary()),
+            }
+        )
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(regs, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for c, r in zip(b.column("column").to_pylist(), b.column("regs").to_pylist()):
+            a = np.frombuffer(r, dtype=np.uint8)
+            merged[c] = np.maximum(merged[c], a) if c in merged else a.copy()
+    return {c: int(round(hll_estimate(r))) for c, r in merged.items()}
+
+
+def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14) -> pa.Table:
+    """Per-column profile table, one row per column sorted by name:
+    (column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str, int_sum, mean). mean = int_sum/valid for integer columns
+    (exact, order-independent), null otherwise."""
+    if distinct not in ("exact", "approx"):
+        raise ValueError("distinct must be 'exact' or 'approx'")
+    partials = ds.map_batches(
+        lambda tb: _block_profile(tb, cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded: dict[str, dict] = {c: {"n_rows": 0, "n_nulls": 0, "min_num": None, "max_num": None, "min_str": None, "max_str": None, "int_sum": None} for c in cols}
+    # bounded driver fold: cols × blocks rows (see module docstring)
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        d = {k: b.column(k).to_pylist() for k in b.column_names}
+        for i, c in enumerate(d["column"]):
+            f = folded[c]
+            f["n_rows"] += d["n_rows"][i]
+            f["n_nulls"] += d["n_nulls"][i]
+            for k, red in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max)):
+                v = d[k][i]
+                if v is not None:
+                    f[k] = v if f[k] is None else red(f[k], v)
+            if d["int_sum"][i] is not None:
+                f["int_sum"] = d["int_sum"][i] + (f["int_sum"] or 0)
+    nd = _distinct_exact(ds, cols) if distinct == "exact" else _distinct_approx(ds, cols, p)
+    order = sorted(cols)
+    rows = {k: [] for k in ("column", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str", "int_sum", "mean")}
+    for c in order:
+        f = folded[c]
+        valid = f["n_rows"] - f["n_nulls"]
+        rows["column"].append(c)
+        rows["n_rows"].append(f["n_rows"])
+        rows["n_nulls"].append(f["n_nulls"])
+        rows["n_distinct"].append(nd.get(c, 0))
+        rows["min_num"].append(f["min_num"])
+        rows["max_num"].append(f["max_num"])
+        rows["min_str"].append(f["min_str"])
+        rows["max_str"].append(f["max_str"])
+        rows["int_sum"].append(f["int_sum"])
+        rows["mean"].append(f["int_sum"] / valid if f["int_sum"] is not None and valid else None)
+    return pa.table(
+        {
+            "column": pa.array(rows["column"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.float64()),
+            "max_num": pa.array(rows["max_num"], pa.float64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+            "int_sum": pa.array(rows["int_sum"], pa.int64()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+        }
+    )
+
+
+def top_values(ds, cols: list[str], k: int = 3):
+    """Exact per-column top-k values: Dataset[(column, value, freq)],
+    freq desc / value asc per column, columns in name order. One grouped
+    exchange shared by all columns (block-local pre-count first)."""
+    from ..pipelines.relational import grouped_agg
+
+    def counts(tb: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = tb.column(c)
+            v = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+            t = pa.table({"column": pa.array([c] * tb.num_rows, pa.string()), "value": v}).filter(
+                pc.is_valid(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+            )
+            g = t.group_by(["column", "value"]).aggregate([("value", "count")])
+            parts.append(pa.table({"column": g.column("column"), "value": g.column("value"), "cnt": g.column("value_count")}))
+        return pa.concat_tables(parts)
+
+    partials = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    counted = grouped_agg(partials, ["column", "value"], [("freq", "cnt", "sum")])
+
+    def per_col_topk(tb: pa.Table) -> pa.Table:
+        tb = tb.sort_by([("column", "ascending"), ("freq", "descending"), ("value", "ascending")])
+        keep = np.zeros(tb.num_rows, dtype=bool)
+        cols_np = tb.column("column").to_pylist()
+        seen: dict[str, int] = {}
+        for i, c in enumerate(cols_np):
+            if seen.get(c, 0) < k:
+                keep[i] = True
+                seen[c] = seen.get(c, 0) + 1
+        out = tb.filter(pa.array(keep))
+        i = out.schema.get_field_index("freq")
+        return out.set_column(i, "freq", pc.cast(out.column("freq"), pa.int64()))
+
+    from .grouped import grouped_block_map
+
+    return grouped_block_map(counted, ["column"], per_col_topk)

@@ -1,0 +1,84 @@
+"""Profiling stage: exact column stats vs a hand-computed model, block-
+composition invariance, null handling, the HLL approx-distinct path,
+and exact top-k tie-breaks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.stages.profiling import profile_columns, top_values
+
+
+def _tbl():
+    return pa.table(
+        {
+            "i": pa.array([5, None, 3, 3, -2, 7, None, 0], pa.int64()),
+            "f": pa.array([1.5, 2.5, None, -0.5, 1.5, 0.0, 3.25, None], pa.float64()),
+            "s": pa.array(["b", "a", None, "c", "a", "a", "b", None], pa.string()),
+            "t": pa.array([10**6 * i for i in range(8)], pa.timestamp("us")),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_profile_exact(nblocks):
+    ds = rd.from_arrow(_tbl()).repartition(nblocks)
+    out = profile_columns(ds, ["i", "f", "s", "t"]).to_pylist()
+    by = {r["column"]: r for r in out}
+    assert [r["column"] for r in out] == ["f", "i", "s", "t"]  # name-sorted
+    i = by["i"]
+    assert (i["n_rows"], i["n_nulls"], i["n_distinct"]) == (8, 2, 5)
+    assert (i["min_num"], i["max_num"]) == (-2.0, 7.0)
+    assert i["int_sum"] == 16 and i["mean"] == 16 / 6
+    f = by["f"]
+    assert (f["n_nulls"], f["n_distinct"], f["min_num"], f["max_num"]) == (2, 5, -0.5, 3.25)
+    assert f["int_sum"] is None and f["mean"] is None  # float sums unprofiled
+    s = by["s"]
+    assert (s["n_distinct"], s["min_str"], s["max_str"], s["min_num"]) == (3, "a", "c", None)
+    t = by["t"]
+    assert t["n_distinct"] == 8 and t["min_str"].startswith("1970-01-01 00:00:00")
+
+
+def test_profile_all_null_and_empty():
+    tb = pa.table({"x": pa.array([None, None], pa.int64())})
+    out = profile_columns(rd.from_arrow(tb), ["x"]).to_pylist()[0]
+    assert (out["n_rows"], out["n_nulls"], out["n_distinct"]) == (2, 2, 0)
+    assert out["min_num"] is None and out["int_sum"] is None and out["mean"] is None
+    empty = pa.table({"x": pa.array([], pa.int64())})
+    out = profile_columns(rd.from_arrow(empty), ["x"]).to_pylist()[0]
+    assert (out["n_rows"], out["n_distinct"]) == (0, 0)
+
+
+def test_profile_approx_distinct_within_hll_error():
+    n = 5000
+    tb = pa.table({"v": pa.array((np.arange(n) % 1777).astype(np.int64))})
+    ds = rd.from_arrow(tb).repartition(4)
+    out = profile_columns(ds, ["v"], distinct="approx", p=14).to_pylist()[0]
+    assert abs(out["n_distinct"] - 1777) / 1777 < 0.05  # ~1.04/sqrt(2^14) ≈ 0.8%
+    exact = profile_columns(ds, ["v"]).to_pylist()[0]
+    assert exact["n_distinct"] == 1777
+
+
+def test_top_values_exact_ties():
+    tb = pa.table(
+        {
+            "c": pa.array(["x"] * 3 + ["y"] * 3 + ["z"] * 2 + ["w"] + [None], pa.string()),
+            "n": pa.array([1] * 5 + [2] * 5, pa.int64()),
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(tb).repartition(nblocks)
+        got = (
+            pa.concat_tables(
+                b for b in top_values(ds, ["c", "n"], k=2).iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            .sort_by([("column", "ascending"), ("freq", "descending"), ("value", "ascending")])
+            .to_pylist()
+        )
+        assert got == [
+            {"column": "c", "value": "x", "freq": 3},  # tie x/y broken by value asc
+            {"column": "c", "value": "y", "freq": 3},
+            {"column": "n", "value": "1", "freq": 5},
+            {"column": "n", "value": "2", "freq": 5},
+        ]

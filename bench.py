@@ -168,6 +168,11 @@ QUERY_SUBSET = [
     # round-4 session-13 additions
     "dml_delete_update",
     "merge_upsert",
+    # round-4 session-14 additions
+    "cdc_avro_replay",
+    "profile_orders",
+    "top_values_orders",
+    "snapshot_export",
 ]
 
 

@@ -140,6 +140,7 @@ def cmd_replay(args) -> int:
         on_bad=args.on_bad,
         expectations=_parse_expects(args),
         skip_unchanged=args.skip_unchanged,
+        txn_col=getattr(args, "txn_col", None),
     )
     wall = time.perf_counter() - t0
     after = int(m["watermark_lsn"]) if m else before
@@ -200,6 +201,7 @@ def cmd_tail(args) -> int:
         on_bad=args.on_bad,
         expectations=_parse_expects(args),
         skip_unchanged=args.skip_unchanged,
+        txn_col=getattr(args, "txn_col", None),
     ):
         _emit({"cmd": "tail", **_manifest_summary(m)})
         sys.stdout.flush()
@@ -659,6 +661,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet",
                     help="binlog wire format: parquet (default), Debezium-style JSON envelopes, "
                          "Postgres test_decoding dumps, or mysqlbinlog --verbose row dumps")
+    sp.add_argument("--txn-col", default=None,
+                    help="transaction-id column: committed windows never split a "
+                         "transaction (pgoutput --format with emit_txn_id writes txn_id)")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot",
                     help="pgoutput feed layout: slot dump with real LSNs (default) or raw plugin lines")
     lake_args(sp)
@@ -689,6 +694,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--binlog", required=True)
     sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
+    sp.add_argument("--txn-col", default=None,
+                    help="transaction-id column: hold back the trailing transaction and never split one across commits")
     lake_args(sp)
     sp.add_argument("--window-size", type=int, default=None)
     sp.add_argument("--poll-interval", type=float, default=2.0)

@@ -997,6 +997,7 @@ class CDCLake:
         on_bad: str = "raise",
         expectations: list | None = None,
         skip_unchanged: bool = False,
+        txn_col: str | None = None,
     ) -> dict:
         """Replay `binlog` (a ray.data.Dataset or a parquet path) into the
         lake. With `window_size`, commits one manifest per LSN window
@@ -1035,6 +1036,18 @@ class CDCLake:
         consumers see nothing). Costs one narrow (repo, path, sha, tomb)
         columnar read per touched partition per window — opt-in. Counted
         cumulatively as counters['suppressed']."""
+        # txn_col: transaction-ALIGNED windows. When the binlog carries a
+        # transaction-id column (pgoutput_decode(emit_txn_id=True) emits
+        # `txn_id` from the Postgres xid), no committed window may split a
+        # transaction: naive LSN-grid cuts are extended forward to the end
+        # of the transaction they land inside, so every manifest version a
+        # reader time-travels to is transaction-consistent (the atomic-
+        # visibility contract of the reference's with-transaction,
+        # repository.clj:421-453, lifted from connection scope to the
+        # committed-manifest scope). Requires transactions to be CONTIGUOUS
+        # LSN runs (true of commit-ordered feeds: a logical slot streams
+        # whole transactions); interleaved extents raise. upto_lsn stays
+        # authoritative: an explicit pin may still cut a transaction.
         if payload_mode not in ("two_pass", "single_pass"):
             raise ValueError(f"unknown payload_mode {payload_mode!r}")
         if on_bad not in ("raise", "quarantine"):
@@ -1049,14 +1062,32 @@ class CDCLake:
         # parquet footer null counts (no scan) and either fail fast or
         # quarantine them with the first window
         null_lsn_rows = self._null_lsn_rows(binlog, on_bad)
+        txn_cuts = (
+            self._txn_window_cuts(binlog, txn_col, self.watermark + 1, window_size, upto_lsn)
+            if txn_col is not None and window_size is not None
+            else {}
+        )
         manifest = self.manifest
         # single-writer guard: vacuum deletes staging files of an
         # uncommitted in-flight window, so apply and vacuum hold the same
         # advisory lake lock (crash-safe: dead owners are stolen)
+        lo0 = self.watermark + 1  # grid anchor: cuts are keyed off it
+        k = 0
         with self.log.writer_lock("apply"):
             while self.watermark < upto_lsn:
                 lo = self.watermark + 1
-                hi = upto_lsn if window_size is None else min(upto_lsn, lo + window_size - 1)
+                if window_size is None:
+                    hi = upto_lsn
+                else:
+                    # grid-anchored naive cut, extended to the end of the
+                    # transaction it lands inside (txn_cuts); a transaction
+                    # longer than the window swallows later grid slots,
+                    # which then skip (hi < lo)
+                    k += 1
+                    naive = lo0 + k * window_size - 1
+                    hi = min(upto_lsn, txn_cuts.get(naive, naive))
+                    if hi < lo:
+                        continue
                 manifest = self._apply_window(
                     binlog, lo, hi, batch_size, concurrency, payload_mode,
                     on_bad=on_bad, extra_dlq=null_lsn_rows, expectations=expectations,
@@ -1064,6 +1095,99 @@ class CDCLake:
                 )
                 null_lsn_rows = None  # quarantined with the first window only
         return manifest
+
+    def _txn_window_cuts(
+        self, binlog, txn_col: str, lo0: int, window_size: int | None, upto_lsn: int
+    ) -> dict[int, int]:
+        """Transaction-aligned window plan: {naive grid cut lsn → extended
+        cut}. One pruned (lsn, txn_col) scan → per-transaction extents
+        (block partials, one grouped exchange over #txns rows) → only the
+        transactions STRADDLING a grid cut reach the driver (≤ one per
+        window under contiguity). Extents are validated contiguous
+        (non-overlapping) with a distributed sort + ordered block-summary
+        fold — interleaved transactions make alignment ill-defined and
+        raise. Cost is opt-in (txn_col) and O(#txns), not O(events)."""
+        if window_size is None:
+            return {}
+        from .relational import grouped_agg
+
+        W = window_size
+        empty = pa.table(
+            {"txn": pa.array([], pa.string()), "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+        )
+
+        def extents(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return empty
+            t = tb.filter(pc.is_valid(tb.column(txn_col)))
+            if t.num_rows == 0:
+                return empty
+            g = t.group_by([txn_col]).aggregate([("lsn", "min"), ("lsn", "max")])
+            return pa.table(
+                {
+                    "txn": pc.cast(g.column(txn_col), pa.string()),
+                    "lo": pc.cast(g.column("lsn_min"), pa.int64()),
+                    "hi": pc.cast(g.column("lsn_max"), pa.int64()),
+                }
+            )
+
+        parts = self._dataset(binlog, lo0, upto_lsn, columns=["lsn", txn_col]).map_batches(
+            extents, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # materialized: consumed twice (audit + straddle) and bounded by
+        # #txns rows, never the event stream
+        ext = grouped_agg(parts, ["txn"], [("lo", "lo", "min"), ("hi", "hi", "max")]).materialize()
+
+        # contiguity audit: sort extents by lo; ordered per-block summaries
+        # (first lo, last hi, internal overlaps) fold driver-side — bounded
+        # by #blocks rows, exact globally
+        def summary(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return pa.table(
+                    {"first_lo": pa.array([], pa.int64()), "last_hi": pa.array([], pa.int64()), "bad": pa.array([], pa.int64())}
+                )
+            lo = tb.column("lo").to_numpy(zero_copy_only=False)
+            hi = tb.column("hi").to_numpy(zero_copy_only=False)
+            bad = int((hi[:-1] >= lo[1:]).sum())
+            return pa.table(
+                {"first_lo": pa.array([int(lo[0])], pa.int64()), "last_hi": pa.array([int(hi[-1])], pa.int64()), "bad": pa.array([bad], pa.int64())}
+            )
+
+        sorted_ext = ext.sort("lo")
+        prev_hi = None
+        for b in sorted_ext.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for flo, lhi, bad in zip(
+                b.column("first_lo").to_pylist(), b.column("last_hi").to_pylist(), b.column("bad").to_pylist()
+            ):
+                if bad or (prev_hi is not None and prev_hi >= flo):
+                    raise ValueError(
+                        "txn-aligned windows need contiguous per-transaction LSN runs, "
+                        "but transaction extents overlap (interleaved feed) — merge the "
+                        "feed transaction-contiguous first (pipelines/shards.py) or drop txn_col"
+                    )
+                prev_hi = lhi
+
+        # straddlers: ∃ grid cut g = lo0 + m*W - 1 with lo <= g < hi
+        def straddle(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return tb
+            lo = tb.column("lo").to_numpy(zero_copy_only=False)
+            hi = tb.column("hi").to_numpy(zero_copy_only=False)
+            mb = (hi - lo0) // W
+            keep = (mb >= 1) & (mb * W >= lo - lo0 + 1)
+            return tb.filter(pa.array(keep))
+
+        cuts: dict[int, int] = {}
+        for b in ext.map_batches(straddle, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for lo, hi in zip(b.column("lo").to_pylist(), b.column("hi").to_pylist()):
+                m0 = -(-(lo - lo0 + 1) // W)  # ceil
+                for m in range(max(1, m0), (hi - lo0) // W + 1):
+                    cuts[lo0 + m * W - 1] = hi
+        return cuts
 
     def _null_lsn_rows(self, binlog, on_bad: str) -> pa.Table | None:
         """Footer-stats probe for null-lsn events (driver-side metadata
@@ -1599,6 +1723,7 @@ class CDCLake:
         on_bad: str = "raise",
         expectations: list | None = None,
         skip_unchanged: bool = False,
+        txn_col: str | None = None,
     ):
         """Continuous ingest — tail a growing binlog directory (the north
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
@@ -1609,10 +1734,19 @@ class CDCLake:
         `binlog_path` may also be a zero-arg callable returning a fresh
         binlog Dataset per poll (e.g. a JSON envelope tail via
         sources/envelope.read_envelope_jsonl — the wire source has no
-        parquet footer, so the watermark probe is a pruned lsn scan)."""
+        parquet footer, so the watermark probe is a pruned lsn scan).
+
+        txn_col: transaction-aligned tailing. The feed's newest
+        transaction may still be mid-write, so each poll HOLDS BACK the
+        transaction containing the feed's max lsn and applies up to the
+        event before it; a poll that sees NO growth since the previous
+        one treats the feed as settled and applies the trailing
+        transaction too (standard watermark hold-back). Windows inside
+        each poll also never split a transaction (see apply)."""
         import time as _time
 
         polls = 0
+        prev_hi: int | None = None
         while max_polls is None or polls < max_polls:
             polls += 1
             src = binlog_path() if callable(binlog_path) else binlog_path
@@ -1621,13 +1755,50 @@ class CDCLake:
             except Exception:
                 hi = None  # no files yet
             if hi is not None and hi > self.watermark:
-                yield self.apply(
-                    src, upto_lsn=hi, window_size=window_size,
-                    concurrency=concurrency, on_bad=on_bad,
-                    expectations=expectations, skip_unchanged=skip_unchanged,
-                )
+                upto = hi
+                if txn_col is not None and hi != prev_hi:
+                    # hold back the (possibly incomplete) trailing txn
+                    upto = self._trailing_txn_start(src, txn_col, hi) - 1
+                if upto > self.watermark:
+                    yield self.apply(
+                        src, upto_lsn=upto, window_size=window_size,
+                        concurrency=concurrency, on_bad=on_bad,
+                        expectations=expectations, skip_unchanged=skip_unchanged,
+                        txn_col=txn_col,
+                    )
+            prev_hi = hi
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)
+
+    def _trailing_txn_start(self, binlog, txn_col: str, hi: int) -> int:
+        """Min lsn of the transaction containing the feed's max lsn —
+        two pruned scans (txn id at hi, then that txn's extent floor)."""
+        parts = [
+            b
+            for b in self._dataset(binlog, hi, hi, columns=["lsn", txn_col]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        ]
+        tb = pa.concat_tables(parts) if parts else pa.table({"lsn": pa.array([], pa.int64()), txn_col: pa.array([], pa.int64())})
+        if tb.num_rows == 0 or tb.column(txn_col).null_count == tb.num_rows:
+            return hi + 1  # no txn id on the tail event: nothing to hold
+        txn = tb.column(txn_col)[0].as_py()
+
+        def floor_of(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column(txn_col), txn))
+            v = pc.min(t.column("lsn")).as_py() if t.num_rows else None
+            return pa.table({"lo": pa.array([v], pa.int64())})
+
+        lo = hi
+        for b in (
+            self._dataset(binlog, None, None, columns=["lsn", txn_col])
+            .map_batches(floor_of, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            for v in b.column("lo").to_pylist():
+                if v is not None:
+                    lo = min(lo, v)
+        return lo
 
     def compact(self, concurrency: int | None = None) -> dict:
         """Fold every partition's delta chain into a fresh base file

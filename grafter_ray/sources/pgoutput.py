@@ -118,6 +118,7 @@ def pgoutput_decode(
     on_bad: str = "raise",
     default_schema_version: int = 0,
     unescape: bool = True,
+    emit_txn_id: bool = False,
 ) -> pa.Table:
     """Decode test_decoding lines → BINLOG-schema table.
 
@@ -131,7 +132,10 @@ def pgoutput_decode(
     CDCLake.apply(on_bad="quarantine")).
     unescape: decode C-style \\n \\r \\\\ inside quoted values (the
     dump-to-file convention our encoder writes); pass False for a feed
-    whose text contains literal backslashes and no escapes."""
+    whose text contains literal backslashes and no escapes.
+    emit_txn_id: append a `txn_id` int64 column (the xid) to the BINLOG
+    schema — feed to CDCLake.apply(txn_col="txn_id") for commits that
+    never split a Postgres transaction (transaction-aligned windows)."""
     if layout not in ("slot", "raw"):
         raise ValueError(f"unknown layout {layout!r}")
     if on_bad not in ("raise", "null_lsn"):
@@ -143,6 +147,7 @@ def pgoutput_decode(
         "op": [],
         **{f: [] for f in ROW_FIELDS},
         "schema_version": [],
+        "txn_id": [],
     }
 
     def bad(line: str, why: str):
@@ -153,13 +158,15 @@ def pgoutput_decode(
         for f in ROW_FIELDS:
             out[f].append(line if f == "content" else None)
         out["schema_version"].append(None)
+        out["txn_id"].append(None)
 
-    def emit(lsn: int | None, op: str, row: dict, sv: int | None = None):
+    def emit(lsn: int | None, op: str, row: dict, sv: int | None = None, xid: int | None = None):
         out["lsn"].append(lsn)
         out["op"].append(op)
         for f in ROW_FIELDS:
             out[f].append(row.get(f))
         out["schema_version"].append(default_schema_version if sv is None else sv)
+        out["txn_id"].append(xid)
 
     cur_xid = None
     tx_pos = 0
@@ -170,6 +177,7 @@ def pgoutput_decode(
         if not line.strip():
             continue
         lsn = None
+        xid = None
         data = line
         if layout == "slot":
             pm = _PREFIX_RE.match(line)
@@ -177,6 +185,7 @@ def pgoutput_decode(
                 bad(line, "missing 'lsn | xid |' prefix")
                 continue
             lsn = (int(pm.group("hi"), 16) << 32) | int(pm.group("lo"), 16)
+            xid = int(pm.group("xid"))
             data = pm.group("rest")
         if _BEGIN_RE.match(data):
             cur_xid = int(_BEGIN_RE.match(data).group("xid"))
@@ -195,6 +204,7 @@ def pgoutput_decode(
                     "synthesized LSNs would collide — use the slot-dump layout"
                 )
             lsn = cur_xid * _TX_OFFSET_BASE + tx_pos
+            xid = cur_xid
             tx_pos += 1
         mm = _MSG_RE.match(data)
         if mm:
@@ -205,7 +215,7 @@ def pgoutput_decode(
                 except ValueError:
                     bad(line, "schema_change message without a version")
                     continue
-                emit(lsn, "schema_change", {}, sv=sv)
+                emit(lsn, "schema_change", {}, sv=sv, xid=xid)
             continue  # other logical messages are not replayable rows
         dm = _DATA_RE.match(data)
         if not dm:
@@ -219,9 +229,9 @@ def pgoutput_decode(
             if rest.strip() == "(no-tuple-data)":
                 bad(line, "DELETE without replica identity")
                 continue
-            emit(lsn, "delete", _parse_pairs(rest, unescape))
+            emit(lsn, "delete", _parse_pairs(rest, unescape), xid=xid)
         else:
-            emit(lsn, "upsert", _parse_pairs(rest, unescape))
+            emit(lsn, "upsert", _parse_pairs(rest, unescape), xid=xid)
 
     tb = pa.table(
         {
@@ -229,9 +239,11 @@ def pgoutput_decode(
             "op": pa.array(out["op"], pa.string()),
             **{f: pa.array(out[f], pa.string()) for f in ROW_FIELDS},
             "schema_version": pa.array(out["schema_version"], pa.int32()),
+            **({"txn_id": pa.array(out["txn_id"], pa.int64())} if emit_txn_id else {}),
         }
     )
-    return tb.cast(pa.schema(list(BINLOG)))
+    want = list(BINLOG) + ([pa.field("txn_id", pa.int64())] if emit_txn_id else [])
+    return tb.cast(pa.schema(want))
 
 
 def decode_batch(tb: pa.Table, *, column: str = "text", **kwargs) -> pa.Table:

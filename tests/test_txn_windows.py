@@ -1,0 +1,133 @@
+"""Transaction-aligned replay windows: no committed manifest version may
+split a CDC transaction (txn_col), interleaved extents raise, long
+transactions swallow grid slots, tails hold back the trailing
+transaction, and the pgoutput xid feeds the whole loop end-to-end."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray.pipelines.replay import CDCLake
+
+
+def _binlog(sizes, nulls_at=()):
+    """Contiguous-txn binlog: txn i covers a run of `sizes[i]` lsns."""
+    n = int(sum(sizes))
+    txn = np.repeat(np.arange(len(sizes)), sizes).astype(np.int64)
+    txn_col = pa.array(
+        [None if i in nulls_at else int(txn[i]) for i in range(n)], pa.int64()
+    )
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["upsert"] * n),
+            "repo": pa.array([f"r{i % 3}" for i in range(n)]),
+            "path": pa.array([f"p{i % 17}" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["x"] * n),
+            "content": pa.array([f"body{i}" for i in range(n)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+            "txn_id": txn_col,
+        }
+    )
+
+
+def _write(tmp_path, tb, name="binlog"):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tb, str(d / "p0.parquet"))
+    return str(d)
+
+
+def _watermarks(lake):
+    return [lake.manifest_at(v)["watermark_lsn"] for v in lake.log.versions()]
+
+
+def test_windows_never_split_transactions(tmp_path):
+    rng = np.random.default_rng(7)
+    sizes = []
+    while sum(sizes) < 100:
+        sizes.append(int(rng.integers(1, 9)))
+    tb = _binlog(sizes)
+    n = tb.num_rows
+    bdir = _write(tmp_path, tb)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(bdir, window_size=10, txn_col="txn_id")
+    ends = set((np.cumsum(sizes) - 1).tolist())
+    for w in _watermarks(lake):
+        assert w in ends or w == n - 1, f"watermark {w} splits a transaction"
+    # converged state identical to the unaligned replay
+    ref = CDCLake(str(tmp_path / "ref"), num_partitions=8)
+    ref.apply(bdir, window_size=10)
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert lake.read_table(view=False).sort_by(key).equals(ref.read_table(view=False).sort_by(key))
+
+
+def test_long_transaction_swallows_grid_slots(tmp_path):
+    tb = _binlog([3, 25, 4])  # txn 1 spans lsn 3..27 across three W=10 slots
+    bdir = _write(tmp_path, tb)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(bdir, window_size=10, txn_col="txn_id")
+    wms = _watermarks(lake)
+    assert 27 in wms  # the long txn commits whole
+    assert all(w in (2, 27, 31) for w in wms), wms
+
+
+def test_null_txn_ids_are_unconstrained(tmp_path):
+    tb = _binlog([5, 5, 5], nulls_at={7})  # one txn-less event mid-stream
+    bdir = _write(tmp_path, tb)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(bdir, window_size=4, txn_col="txn_id")  # must not raise
+    assert lake.watermark == 14
+
+
+def test_interleaved_transactions_raise(tmp_path):
+    tb = _binlog([10, 10])
+    i = tb.schema.get_field_index("txn_id")
+    tb = tb.set_column(i, "txn_id", pa.array((np.arange(20) % 2).astype(np.int64)))
+    bdir = _write(tmp_path, tb)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    with pytest.raises(ValueError, match="contiguous"):
+        lake.apply(bdir, window_size=5, txn_col="txn_id")
+
+
+def test_tail_holds_back_trailing_transaction(tmp_path):
+    tb = _binlog([4, 4, 4])
+    bdir = tmp_path / "feed"
+    bdir.mkdir()
+    pq.write_table(tb.slice(0, 10), str(bdir / "p0.parquet"))  # txn 2 half-written
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    it = lake.tail(str(bdir), poll_interval_s=0.01, max_polls=3, window_size=100, txn_col="txn_id")
+    m = next(it)
+    assert m["watermark_lsn"] == 7  # txns 0+1 only; trailing txn 2 held back
+    # feed settles (no growth) → next poll flushes the trailing txn
+    m = next(it)
+    assert m["watermark_lsn"] == 9
+    assert list(it) == []  # third poll: nothing new
+
+
+def test_pgoutput_xid_end_to_end(tmp_path):
+    """Slot-dump lines with shared xids → emit_txn_id → txn-aligned
+    replay: watermarks land only on Postgres transaction boundaries."""
+    from grafter_ray.sources.pgoutput import pgoutput_decode
+
+    lines = []
+    lsn = 0
+    bounds = []
+    for xid, k in ((700, 3), (701, 5), (702, 2), (703, 4)):
+        for _ in range(k):
+            lines.append(
+                f"0/{lsn:X} | {xid} | table public.docs: INSERT: "
+                f"repo[text]:'r{xid % 2}' path[text]:'p{lsn}' commit[text]:'c{lsn}' "
+                f"lang[text]:'x' content[text]:'b{lsn}'"
+            )
+            lsn += 1
+        bounds.append(lsn - 1)
+    tb = pgoutput_decode(lines, layout="slot", emit_txn_id=True)
+    assert tb.column("txn_id").to_pylist() == [700] * 3 + [701] * 5 + [702] * 2 + [703] * 4
+    bdir = _write(tmp_path, tb)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(bdir, window_size=4, txn_col="txn_id")
+    for w in _watermarks(lake):
+        assert w in set(bounds), f"watermark {w} not a txn boundary {bounds}"

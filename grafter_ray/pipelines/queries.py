@@ -6660,13 +6660,16 @@ def _profile_col_sql(col: str, kind: str) -> str:
     max_str = f"max({col})" if kind == "str" else "CAST(NULL AS VARCHAR)"
     int_sum = f"CAST(sum({col}) AS BIGINT)" if kind == "int" else "CAST(NULL AS BIGINT)"
     mean = f"CAST(sum({col}) AS DOUBLE) / count({col})" if kind == "int" else "CAST(NULL AS DOUBLE)"
+    min_len = f"CAST(min(length({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
+    max_len = f"CAST(max(length({col})) AS BIGINT)" if kind == "str" else "CAST(NULL AS BIGINT)"
     return f"""
     SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
            CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
            {min_num} AS min_num, {max_num} AS max_num,
            {min_str} AS min_str, {max_str} AS max_str,
-           {int_sum} AS int_sum, {mean} AS mean
+           {int_sum} AS int_sum, {mean} AS mean,
+           {min_len} AS min_len, {max_len} AS max_len
     FROM orders"""
 
 

@@ -214,6 +214,7 @@ def parse_expect_spec(spec: str) -> Expectation:
         not_contains:<col>:<needle>[:<action>]
         in_set:<col>:<v1,v2,…>[:<action>]
         len_between:<col>:<lo>:<hi>[:<action>]
+        value_between:<col>:<lo>:<hi>[:<action>]
 
     e.g. ``--expect not_null:content:drop --expect len_between:content:1:100000``
     """
@@ -233,6 +234,8 @@ def parse_expect_spec(spec: str) -> Expectation:
         return in_set(parts[1], parts[2].split(","), action=act(3))
     if kind == "len_between" and len(parts) in (4, 5):
         return len_between(parts[1], int(parts[2]), int(parts[3]), action=act(4))
+    if kind == "value_between" and len(parts) in (4, 5):
+        return value_between(parts[1], float(parts[2]), float(parts[3]), action=act(4))
     raise ValueError(
         f"bad --expect spec {spec!r} — see grafter_ray.stages.expect.parse_expect_spec"
     )

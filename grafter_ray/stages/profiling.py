@@ -62,6 +62,8 @@ def _block_profile(tb: pa.Table, cols: list[str]) -> pa.Table:
         "min_str": [],
         "max_str": [],
         "int_sum": [],
+        "min_len": [],
+        "max_len": [],
     }
     for c in cols:
         col = tb.column(c)
@@ -77,6 +79,8 @@ def _block_profile(tb: pa.Table, cols: list[str]) -> pa.Table:
             out["min_str"].append(None)
             out["max_str"].append(None)
             out["int_sum"].append(int(pc.sum(col).as_py()) if _is_int(t) and valid else None)
+            out["min_len"].append(None)
+            out["max_len"].append(None)
         else:
             sc = col if pa.types.is_string(t) or pa.types.is_large_string(t) else pc.cast(col, pa.string())
             mm = pc.min_max(sc) if valid else None
@@ -85,6 +89,9 @@ def _block_profile(tb: pa.Table, cols: list[str]) -> pa.Table:
             out["min_str"].append(mm["min"].as_py() if valid else None)
             out["max_str"].append(mm["max"].as_py() if valid else None)
             out["int_sum"].append(None)
+            lm = pc.min_max(pc.utf8_length(sc)) if valid else None
+            out["min_len"].append(int(lm["min"].as_py()) if valid else None)
+            out["max_len"].append(int(lm["max"].as_py()) if valid else None)
     return pa.table(
         {
             "column": pa.array(out["column"], pa.string()),
@@ -95,6 +102,8 @@ def _block_profile(tb: pa.Table, cols: list[str]) -> pa.Table:
             "min_str": pa.array(out["min_str"], pa.string()),
             "max_str": pa.array(out["max_str"], pa.string()),
             "int_sum": pa.array(out["int_sum"], pa.int64()),
+            "min_len": pa.array(out["min_len"], pa.int64()),
+            "max_len": pa.array(out["max_len"], pa.int64()),
         }
     )
 
@@ -161,14 +170,15 @@ def _distinct_approx(ds, cols: list[str], p: int):
 def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14) -> pa.Table:
     """Per-column profile table, one row per column sorted by name:
     (column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
-    max_str, int_sum, mean). mean = int_sum/valid for integer columns
-    (exact, order-independent), null otherwise."""
+    max_str, int_sum, mean, min_len, max_len). mean = int_sum/valid for
+    integer columns (exact, order-independent), null otherwise;
+    min_len/max_len are code-point lengths for string columns."""
     if distinct not in ("exact", "approx"):
         raise ValueError("distinct must be 'exact' or 'approx'")
     partials = ds.map_batches(
         lambda tb: _block_profile(tb, cols), batch_format="pyarrow", zero_copy_batch=True
     )
-    folded: dict[str, dict] = {c: {"n_rows": 0, "n_nulls": 0, "min_num": None, "max_num": None, "min_str": None, "max_str": None, "int_sum": None} for c in cols}
+    folded: dict[str, dict] = {c: {"n_rows": 0, "n_nulls": 0, "min_num": None, "max_num": None, "min_str": None, "max_str": None, "int_sum": None, "min_len": None, "max_len": None} for c in cols}
     # bounded driver fold: cols × blocks rows (see module docstring)
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         d = {k: b.column(k).to_pylist() for k in b.column_names}
@@ -176,7 +186,7 @@ def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14
             f = folded[c]
             f["n_rows"] += d["n_rows"][i]
             f["n_nulls"] += d["n_nulls"][i]
-            for k, red in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max)):
+            for k, red in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max), ("min_len", min), ("max_len", max)):
                 v = d[k][i]
                 if v is not None:
                     f[k] = v if f[k] is None else red(f[k], v)
@@ -184,7 +194,7 @@ def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14
                 f["int_sum"] = d["int_sum"][i] + (f["int_sum"] or 0)
     nd = _distinct_exact(ds, cols) if distinct == "exact" else _distinct_approx(ds, cols, p)
     order = sorted(cols)
-    rows = {k: [] for k in ("column", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str", "int_sum", "mean")}
+    rows = {k: [] for k in ("column", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str", "int_sum", "mean", "min_len", "max_len")}
     for c in order:
         f = folded[c]
         valid = f["n_rows"] - f["n_nulls"]
@@ -198,6 +208,8 @@ def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14
         rows["max_str"].append(f["max_str"])
         rows["int_sum"].append(f["int_sum"])
         rows["mean"].append(f["int_sum"] / valid if f["int_sum"] is not None and valid else None)
+        rows["min_len"].append(f["min_len"])
+        rows["max_len"].append(f["max_len"])
     return pa.table(
         {
             "column": pa.array(rows["column"], pa.string()),
@@ -210,6 +222,8 @@ def profile_columns(ds, cols: list[str], *, distinct: str = "exact", p: int = 14
             "max_str": pa.array(rows["max_str"], pa.string()),
             "int_sum": pa.array(rows["int_sum"], pa.int64()),
             "mean": pa.array(rows["mean"], pa.float64()),
+            "min_len": pa.array(rows["min_len"], pa.int64()),
+            "max_len": pa.array(rows["max_len"], pa.int64()),
         }
     )
 
@@ -251,3 +265,59 @@ def top_values(ds, cols: list[str], k: int = 3):
     from .grouped import grouped_block_map
 
     return grouped_block_map(counted, ["column"], per_col_topk)
+
+
+def suggest_expectations(
+    profile: pa.Table,
+    top: pa.Table | None = None,
+    *,
+    enum_max: int = 16,
+    action: str = "quarantine",
+):
+    """Deequ-style constraint SUGGESTION: turn a profile (and optionally a
+    complete top_values table) of a trusted corpus into ingest
+    expectations (stages/expect.py) for the replay gate — profile once,
+    then every future window is checked against what the clean data
+    looked like. Returns (expectations, specs): live Expectation objects
+    plus their `--expect` CLI spec strings (parse_expect_spec syntax).
+
+    Rules (each only when the profile supports it):
+      - zero nulls observed            → not_null(col)
+      - numeric column                 → value_between(col, min, max)
+      - string column                  → len_between(col, min_len, max_len)
+      - string with n_distinct ≤ enum_max AND a `top` table that holds
+        ALL its values (k ≥ n_distinct)  → in_set(col, values)
+
+    Suggestions are a starting point, not truth: observed ranges encode
+    the profiled corpus, and a legitimately growing domain needs the
+    bound widened — which is why the spec strings are returned for a
+    human to review and edit (the Deequ contract)."""
+    from .expect import in_set, len_between, not_null, value_between
+
+    tops: dict[str, list[str]] = {}
+    if top is not None:
+        for c, v in zip(top.column("column").to_pylist(), top.column("value").to_pylist()):
+            tops.setdefault(c, []).append(v)
+    exps, specs = [], []
+    for r in profile.to_pylist():
+        c = r["column"]
+        if r["n_rows"] and r["n_nulls"] == 0:
+            exps.append(not_null(c, action=action))
+            specs.append(f"not_null:{c}:{action}")
+        if r["min_num"] is not None:
+            exps.append(value_between(c, r["min_num"], r["max_num"], action=action))
+            specs.append(f"value_between:{c}:{r['min_num']}:{r['max_num']}:{action}")
+        if r["min_len"] is not None:
+            exps.append(len_between(c, r["min_len"], r["max_len"], action=action))
+            specs.append(f"len_between:{c}:{r['min_len']}:{r['max_len']}:{action}")
+        vals = tops.get(c)
+        if (
+            r["min_str"] is not None
+            and vals is not None
+            and 0 < r["n_distinct"] <= enum_max
+            and len(vals) >= r["n_distinct"]
+        ):
+            vs = sorted(vals)[: r["n_distinct"]]
+            exps.append(in_set(c, vs, action=action))
+            specs.append(f"in_set:{c}:{','.join(vs)}:{action}")
+    return exps, specs

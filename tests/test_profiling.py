@@ -82,3 +82,70 @@ def test_top_values_exact_ties():
             {"column": "n", "value": "1", "freq": 5},
             {"column": "n", "value": "2", "freq": 5},
         ]
+
+
+def test_suggest_expectations_roundtrip(tmp_path):
+    """Constraint suggestion: expectations derived from a clean corpus's
+    profile pass on that corpus and catch a drifted feed; the emitted
+    spec strings parse back via the CLI mini-syntax."""
+    import pyarrow.parquet as pq
+
+    from grafter_ray.pipelines.replay import CDCLake
+    from grafter_ray.stages.expect import parse_expect_spec
+    from grafter_ray.stages.profiling import profile_columns, suggest_expectations, top_values
+
+    n = 60
+    clean = pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["upsert"] * n),
+            "repo": pa.array([f"r{i % 2}" for i in range(n)]),
+            "path": pa.array([f"p{i % 10}" for i in range(n)]),
+            "commit": pa.array([f"c{i:04d}" for i in range(n)]),
+            "lang": pa.array(["py", "rs", "go"][i % 3] for i in range(n)),
+            "content": pa.array(["x" * (10 + i % 5) for i in range(n)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(clean)
+    prof = profile_columns(ds, ["lang", "content", "lsn"])
+    tops = pa.concat_tables(
+        b for b in top_values(ds, ["lang"], k=8).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    exps, specs = suggest_expectations(prof, tops, enum_max=8)
+    kinds = {s.split(":")[0] for s in specs}
+    assert {"not_null", "len_between", "value_between", "in_set"} <= kinds
+    # specs parse back through the CLI syntax
+    for s in specs:
+        parse_expect_spec(s)
+    # clean feed: zero violations
+    bdir = tmp_path / "clean"
+    bdir.mkdir()
+    pq.write_table(clean, str(bdir / "p0.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    m = lake.apply(str(bdir), expectations=exps)
+    assert not any(k.startswith("expect:") for k in m["counters"]), m["counters"]
+    # drifted feed: unseen lang + oversized content + out-of-range lsn go
+    # to the dead-letter file, counted per expectation
+    bad = pa.table(
+        {
+            "lsn": pa.array([n, n + 1], pa.int64()),
+            "op": pa.array(["upsert"] * 2),
+            "repo": pa.array(["r0", "r1"]),
+            "path": pa.array(["p0", "p1"]),
+            "commit": pa.array(["c9999", "c9998"]),
+            # one violation per row: a quarantined row is diverted (and
+            # counted) by the FIRST expectation that rejects it
+            "lang": pa.array(["py", "zz"]),
+            "content": pa.array(["x" * 500, "x" * 12]),
+            "schema_version": pa.array([0, 0], pa.int32()),
+        }
+    )
+    bdir2 = tmp_path / "bad"
+    bdir2.mkdir()
+    pq.write_table(bad, str(bdir2 / "p0.parquet"))
+    # drop the lsn range expectation: new events legitimately advance lsn
+    keep = [e for e, s in zip(exps, specs) if not s.startswith("value_between:lsn")]
+    m2 = lake.apply(str(bdir2), expectations=keep)
+    viol = {k: v for k, v in m2["counters"].items() if k.startswith("expect:")}
+    assert sum(viol.values()) >= 2, viol

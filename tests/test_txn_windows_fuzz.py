@@ -1,0 +1,75 @@
+"""Property fuzz for transaction-aligned windows: random contiguous
+transaction layouts (with deletes, txn-less events and random window
+sizes) must (a) only ever commit watermarks on transaction ends,
+(b) converge byte-identically to the unaligned replay, and (c) stay
+exactly-once under a re-apply."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grafter_ray.pipelines.replay import CDCLake
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**16),
+    window=st.integers(2, 23),
+    n_txns=st.integers(3, 15),
+)
+def test_aligned_fuzz(tmp_path_factory, seed, window, n_txns):
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(1, 12, size=n_txns)
+    n = int(sizes.sum())
+    txn = np.repeat(np.arange(n_txns), sizes).astype(np.int64)
+    # ~10% txn-less events (single-event transactions, unconstrained)
+    txn_vals = [None if rng.random() < 0.1 else int(t) for t in txn]
+    ops = np.where(rng.random(n) < 0.2, "delete", "upsert")
+    tb = pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(ops.tolist()),
+            "repo": pa.array([f"r{i % 2}" for i in range(n)]),
+            "path": pa.array([f"p{rng.integers(0, 9)}" for _ in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["x"] * n),
+            "content": pa.array([f"b{i}" for i in range(n)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+            "txn_id": pa.array(txn_vals, pa.int64()),
+        }
+    )
+    tmp = tmp_path_factory.mktemp(f"txnfuzz{seed}_{window}")
+    bdir = tmp / "binlog"
+    bdir.mkdir()
+    pq.write_table(tb, str(bdir / "p0.parquet"))
+
+    lake = CDCLake(str(tmp / "lake"), num_partitions=4)
+    lake.apply(str(bdir), window_size=window, txn_col="txn_id")
+
+    # (a) the invariant itself: no committed watermark lies strictly
+    # inside any transaction's extent (min over its non-null members ≤ w
+    # < max) — txn-less events are their own single-event transactions
+    extents = {}
+    for i, t in enumerate(txn_vals):
+        if t is None:
+            continue
+        lo, hi = extents.get(t, (i, i))
+        extents[t] = (min(lo, i), max(hi, i))
+    for v in lake.log.versions():
+        w = lake.manifest_at(v)["watermark_lsn"]
+        split = [t for t, (a, b) in extents.items() if a <= w < b]
+        assert not split, (w, split)
+
+    # (b) identical convergence
+    ref = CDCLake(str(tmp / "ref"), num_partitions=4)
+    ref.apply(str(bdir), window_size=window)
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert lake.read_table(view=False).sort_by(key).equals(ref.read_table(view=False).sort_by(key))
+
+    # (c) re-apply is a no-op
+    v0 = lake.manifest["version"]
+    lake2 = CDCLake(str(tmp / "lake"), num_partitions=4)
+    m2 = lake2.apply(str(bdir), window_size=window, txn_col="txn_id")
+    assert m2["version"] == v0

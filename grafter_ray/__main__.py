@@ -474,7 +474,7 @@ def cmd_export_changes(args) -> int:
 
     t0 = time.perf_counter()
     lake = CDCLake(args.lake, num_partitions=args.partitions)
-    man = export_changes(lake, args.out)
+    man = export_changes(lake, args.out, fmt=getattr(args, "wire_format", "jsonl"))
     _emit(
         {
             "cmd": "export-changes",
@@ -846,9 +846,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "export-changes",
-        help="export the lake's change feed as Debezium JSONL (exactly-once outbox)",
+        help="export the lake's change feed as Debezium JSONL or Avro OCF (exactly-once outbox)",
     )
     sp.add_argument("--out", required=True, help="outbox directory (manifest-committed)")
+    sp.add_argument("--wire-format", choices=["jsonl", "avro"], default="jsonl",
+                    help="feed file format: Debezium JSONL lines or Avro OCF archives")
     lake_args(sp)
     sp.set_defaults(fn=cmd_export_changes)
 

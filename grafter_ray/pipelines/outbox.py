@@ -42,40 +42,57 @@ import pyarrow as pa
 MANIFEST = "_OUTBOX.json"
 
 
-def _write_lines_stage(out_dir: str, subdir: str):
-    """map_batches kernel factory: encode a binlog block to envelope
-    lines and write one JSONL file per non-empty block; emits the
+def _write_lines_stage(out_dir: str, subdir: str, fmt: str = "jsonl"):
+    """map_batches kernel factory: encode a binlog block to the wire
+    format and write one file per non-empty block — Debezium JSONL
+    envelope lines or an Avro OCF (the Kafka-archive shape a
+    schema-registry consumer expects; sources/avro.py); emits the
     relative filename (tiny) downstream instead of the data."""
     import binascii
 
+    from ..sources.avro import ENVELOPE_SCHEMA, binlog_to_records, write_ocf
     from ..sources.envelope import envelope_encode
 
     def write_block(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return pa.table({"file": pa.array([], pa.string())})
-        lines = envelope_encode(tb)
         uniq = binascii.hexlify(os.urandom(8)).decode()
-        name = f"{subdir}/feed-{os.getpid()}-{uniq}.jsonl"
-        path = os.path.join(out_dir, name)
-        with open(path, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines.to_pylist()))
-            f.write("\n")
+        if fmt == "avro":
+            name = f"{subdir}/feed-{os.getpid()}-{uniq}.avro"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(write_ocf(binlog_to_records(tb), ENVELOPE_SCHEMA, codec="deflate"))
+        else:
+            lines = envelope_encode(tb)
+            name = f"{subdir}/feed-{os.getpid()}-{uniq}.jsonl"
+            with open(os.path.join(out_dir, name), "w", encoding="utf-8") as f:
+                f.write("\n".join(lines.to_pylist()))
+                f.write("\n")
         return pa.table({"file": pa.array([name], pa.string())})
 
     return write_block
 
 
-def export_changes(lake, out_dir: str) -> dict:
+def export_changes(lake, out_dir: str, fmt: str = "jsonl") -> dict:
     """Export the change feed since the last committed export (or the
     full live view on the first call). Returns the published manifest;
     a no-op (already exported the current version) returns it unchanged.
+    fmt: "jsonl" (Debezium envelope lines) or "avro" (OCF archives —
+    consume with sources.avro.read_avro). An outbox directory is ONE
+    format: a fmt that contradicts the committed manifest raises.
     """
+    if fmt not in ("jsonl", "avro"):
+        raise ValueError(f"unknown outbox format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     man_path = os.path.join(out_dir, MANIFEST)
     man = {"exported_version": -1, "dirs": [], "files": []}
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
+    if man.get("format", fmt) != fmt:
+        raise ValueError(
+            f"outbox at {out_dir} is committed as format {man['format']!r}; "
+            f"cannot continue it as {fmt!r}"
+        )
     cur = int(lake.manifest["version"]) if lake.manifest else -1
     since = int(man["exported_version"])
     if cur < 0 or since >= cur:
@@ -104,7 +121,7 @@ def export_changes(lake, out_dir: str) -> dict:
         )
     import ray
 
-    write = _write_lines_stage(out_dir, subdir)
+    write = _write_lines_stage(out_dir, subdir, fmt)
     files: list[str] = []
     for ds in stages:
         out = ds.map_batches(write, batch_format="pyarrow", zero_copy_batch=True)
@@ -116,6 +133,7 @@ def export_changes(lake, out_dir: str) -> dict:
     new_man = {
         "exported_version": cur,
         "watermark_lsn": wm,
+        "format": fmt,
         "dirs": sorted(set(man.get("dirs", [])) | {subdir}),
         "files": sorted(set(man.get("files", [])) | set(files)),
     }

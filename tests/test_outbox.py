@@ -115,3 +115,34 @@ def test_cli_export_changes(tmp_path, capsys):
     assert rep["exported_version"] == src.manifest["version"]
     dst = _ingest(out, str(tmp_path / "dst"), 4)
     assert _state(dst) == _state(src)
+
+
+def test_avro_outbox_loop_converges(tmp_path):
+    """The same export/ingest loop over Avro OCF archives (fmt="avro"):
+    a schema-registry-style consumer reads the feed with read_avro and
+    converges to identical key/sha state; a directory committed as one
+    format refuses the other."""
+    from grafter_ray.sources.avro import read_avro
+
+    cfg = BinlogConfig(n_events=3_000, n_keys=250, n_repos=8, schema_every=10**9, delete_pct=0.1)
+    binlog = binlog_table(cfg)
+    src = CDCLake(str(tmp_path / "src"), num_partitions=8)
+    src.apply(rd.from_arrow(binlog.slice(0, 1_800)), upto_lsn=1_799)
+
+    out = str(tmp_path / "feed")
+    man1 = export_changes(src, out, fmt="avro")
+    assert man1["format"] == "avro"
+    assert all(f.endswith(".avro") for f in man1["files"])
+
+    dst = CDCLake(str(tmp_path / "dst"), num_partitions=8)
+    dst.apply(read_avro(feed_paths(out)))
+    assert _state(dst) == _state(src)
+
+    # incremental leg with deletes
+    src.apply(rd.from_arrow(binlog.slice(1_800)), upto_lsn=cfg.n_events - 1)
+    export_changes(src, out, fmt="avro")
+    dst.apply(read_avro(feed_paths(out)))
+    assert _state(dst) == _state(src)
+
+    with pytest.raises(ValueError, match="committed as format"):
+        export_changes(src, out, fmt="jsonl")

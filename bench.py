@@ -173,6 +173,7 @@ QUERY_SUBSET = [
     "profile_orders",
     "top_values_orders",
     "snapshot_export",
+    "demux_replay",
 ]
 
 

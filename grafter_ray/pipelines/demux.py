@@ -1,0 +1,114 @@
+"""Multi-table CDC demux — one replication feed, N lakes.
+
+A real logical-replication slot (or Debezium topic set) carries EVERY
+table of the source database in one commit-ordered stream; the engine's
+lake is one logical table. This module closes that gap: a feed whose
+rows carry a table name is split ONCE and applied to one `CDCLake` per
+table, each with its own manifest, watermark and schema registry —
+the per-table exactly-once story is untouched because each lake sees an
+ordinary (filtered) binlog.
+
+Scale shape:
+- the decoded feed is staged to parquet ONCE, hive-partitioned by the
+  table column (`write_parquet(partition_cols=…)`) — one pass over the
+  wire stream no matter how many tables it carries; each table's apply
+  then reads ONLY its own directory (path-pruned, zero scan of other
+  tables' bytes). N applies ≠ N feed scans.
+- per-table applies are sequential on the driver (each holds its own
+  lake's writer lock); the heavy lifting inside each apply is the
+  ordinary distributed window machinery.
+
+Crash story: staging is ephemeral (a fresh tmp dir per call); if the
+process dies after table A's apply but before table B's, the rerun
+re-stages and re-applies — A's lake skips everything below its
+watermark (exactly-once), B catches up. There is deliberately NO
+cross-table atomicity: the slot's global order is preserved per table
+(lsn order within a table is global order restricted to it), and a
+consumer needing a cross-table-consistent view reads each lake as of a
+common lsn (`as_of` time travel) — the same contract warehouses use.
+
+Reference: grafter routes statements to graphs/contexts within one
+store (quad `c` slot, protocols.cljc:372-394); a table-demux is that
+routing lifted to independent stores.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import BINLOG
+from .replay import CDCLake
+
+_BINLOG_COLS = [f.name for f in BINLOG]
+
+
+def demux_apply(
+    feed,
+    lakes: dict[str, "CDCLake"],
+    *,
+    table_col: str = "table",
+    on_unknown: str = "raise",
+    stage_dir: str | None = None,
+    **apply_kwargs,
+) -> dict[str, dict]:
+    """Split `feed` (a Dataset carrying BINLOG columns + `table_col`) by
+    table and apply each slice to its lake. Returns {table: manifest}.
+
+    on_unknown: a table in the feed with no lake — "raise" (default) or
+    "skip" (that table's events are ignored; they stay in the staged
+    dir until it is deleted, so a skipped table is recoverable by
+    re-running with its lake present and the same stage_dir).
+    apply_kwargs pass through to every CDCLake.apply (window_size,
+    on_bad, txn_col, …)."""
+    if on_unknown not in ("raise", "skip"):
+        raise ValueError(f"unknown on_unknown {on_unknown!r}")
+    own_stage = stage_dir is None
+    stage = stage_dir or tempfile.mkdtemp(prefix="graftray_demux_")
+    try:
+        cols = _BINLOG_COLS + [c for c in (apply_kwargs.get("txn_col"),) if c]
+
+        def project(tb: pa.Table) -> pa.Table:
+            missing = [c for c in cols + [table_col] if c not in tb.column_names]
+            if missing:
+                raise ValueError(f"demux feed lacks columns {missing}")
+            if tb.column(table_col).null_count:
+                raise ValueError("demux feed has null table names")
+            return tb.select(cols + [table_col])
+
+        staged_marker = os.path.join(stage, "_STAGED")
+        if not os.path.exists(staged_marker):
+            # a crashed half-stage without the marker must not be appended
+            # into (ray write_parquet appends) — wipe and restage
+            for d in os.listdir(stage) if os.path.isdir(stage) else ():
+                if d.startswith(f"{table_col}="):
+                    shutil.rmtree(os.path.join(stage, d), ignore_errors=True)
+            feed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+                stage, partition_cols=[table_col]
+            )
+            with open(staged_marker, "w") as f:
+                f.write("ok")
+        found = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(stage)
+            if d.startswith(f"{table_col}=") and os.path.isdir(os.path.join(stage, d))
+        )
+        unknown = [t for t in found if t not in lakes]
+        if unknown and on_unknown == "raise":
+            raise ValueError(
+                f"feed carries table(s) {unknown} with no destination lake — "
+                "add them to `lakes` or pass on_unknown='skip'"
+            )
+        out: dict[str, dict] = {}
+        for t in found:
+            if t not in lakes:
+                continue
+            out[t] = lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
+        return out
+    finally:
+        if own_stage:
+            shutil.rmtree(stage, ignore_errors=True)

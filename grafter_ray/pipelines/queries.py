@@ -3471,6 +3471,65 @@ def q_snapshot_export(sf_dir: str):
         )
 
 
+def q_demux_replay(sf_dir: str):
+    """Multi-table CDC demux (pipelines/demux.py): the deterministic
+    documents binlog carries a table name per event (its source — one
+    logical replication slot streaming N tables), splits ONCE into a
+    hive-partitioned staging pass, and applies to one INDEPENDENT lake
+    per table; the union of the converged lakes must equal the global
+    replay's closed form with the table label re-derived from the repo —
+    proving the demux neither drops, duplicates nor cross-routes events.
+    Reference: graph/context routing within one store (quad `c` slot,
+    protocols.cljc:372-394) lifted to independent stores."""
+    import tempfile
+
+    from .. import CDCLake
+    from .demux import demux_apply
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+
+    def add_table(tb: pa.Table) -> pa.Table:
+        # table = the source system the event came from (repo suffix)
+        return tb.append_column("table", pc.utf8_replace_slice(tb.column("repo"), 0, 5, ""))
+
+    feed = binlog.map_batches(add_table, batch_format="pyarrow", zero_copy_batch=True)
+    sources = pc.unique(_read_table(sf_dir, "documents", ["source"]).column("source")).to_pylist()
+    with tempfile.TemporaryDirectory() as tmp:
+        lakes = {s: CDCLake(f"{tmp}/{s}", num_partitions=8) for s in sources}
+        demux_apply(feed, lakes, upto_lsn=3 * n_docs)
+        parts = []
+        for s in sorted(sources):
+            tb = lakes[s].read_table(view=False)
+            parts.append(
+                pa.table(
+                    {
+                        "tbl": pa.array([s] * tb.num_rows, pa.string()),
+                        "repo": tb.column("repo"),
+                        "path": tb.column("path"),
+                        "commit_id": tb.column("commit"),
+                        "lang": tb.column("lang"),
+                        "content_sha": tb.column("content_sha"),
+                        "last_lsn": tb.column("last_lsn"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+SQL_DEMUX_REPLAY = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT source AS tbl,
+       'repo/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), 1, 16) AS commit_id,
+       lang,
+       sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS content_sha,
+       CASE WHEN doc_id % 5 = 0 THEN 2 * (SELECT c FROM n) + doc_id ELSE 2 * doc_id END AS last_lsn
+FROM documents
+WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+"""
+
+
 def q_scd2_sync_history(sf_dir: str):
     """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
     deterministic documents binlog folded into a versioned history lake
@@ -7269,6 +7328,7 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "top_values_orders": q_top_values_orders,
     "snapshot_export": q_snapshot_export,
+    "demux_replay": q_demux_replay,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
     "rate_anomalies": q_rate_anomalies,
@@ -7447,6 +7507,7 @@ ORACLE_SQL = {
     "profile_orders": SQL_PROFILE_ORDERS,
     "top_values_orders": SQL_TOP_VALUES_ORDERS,
     "snapshot_export": SQL_CDC_REPLAY_DOCS,
+    "demux_replay": SQL_DEMUX_REPLAY,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
     "rate_anomalies": SQL_RATE_ANOMALIES,

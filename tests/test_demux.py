@@ -1,0 +1,115 @@
+"""Multi-table CDC demux: one commit-ordered feed carrying N tables
+splits once and applies to N independent lakes — each converging to its
+per-table closed form, exactly-once per lake across crashes/reruns."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray.pipelines.demux import demux_apply
+from grafter_ray.pipelines.replay import CDCLake
+
+
+def _feed(n=300, tables=("docs", "users", "orders")):
+    """Interleaved multi-table feed: global lsn order, table round-robin
+    with per-table key churn and deletes."""
+    rng = np.random.default_rng(11)
+    t = [tables[i % len(tables)] for i in range(n)]
+    ops = np.where((rng.random(n) < 0.15) & (np.arange(n) > 30), "delete", "upsert")
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(ops.tolist()),
+            "repo": pa.array([f"r{i % 2}" for i in range(n)]),
+            "path": pa.array([f"p{rng.integers(0, 12)}" for _ in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["x"] * n),
+            "content": pa.array([f"b{i}" for i in range(n)]),
+            "schema_version": pa.array([0] * n, pa.int32()),
+            "table": pa.array(t),
+        }
+    )
+
+
+def _state(lake):
+    tb = lake.read_table(view=False)
+    return {
+        (r, p): s
+        for r, p, s in zip(
+            tb.column("repo").to_pylist(),
+            tb.column("path").to_pylist(),
+            tb.column("content_sha").to_pylist(),
+        )
+    }
+
+
+def test_demux_matches_per_table_replay(tmp_path):
+    feed = _feed()
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=4) for t in ("docs", "users", "orders")}
+    out = demux_apply(rd.from_arrow(feed), lakes, window_size=50)
+    assert set(out) == set(lakes)
+    for t, lake in lakes.items():
+        ref = CDCLake(str(tmp_path / f"ref_{t}"), num_partitions=4)
+        slice_t = feed.filter(pa.compute.equal(feed.column("table"), t)).drop_columns(["table"])
+        ref.apply(rd.from_arrow(slice_t), upto_lsn=int(pa.compute.max(slice_t.column("lsn")).as_py()))
+        assert _state(lake) == _state(ref), t
+        # per-table watermark = that table's own max lsn (global order
+        # restricted to the table)
+        assert lake.watermark == int(pa.compute.max(slice_t.column("lsn")).as_py())
+
+
+def test_demux_rerun_is_exactly_once(tmp_path):
+    feed = _feed(n=120, tables=("a", "b"))
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=4) for t in ("a", "b")}
+    demux_apply(rd.from_arrow(feed), lakes)
+    v = {t: lakes[t].manifest["version"] for t in lakes}
+    # rerun over the same feed: every lake is a no-op
+    out = demux_apply(rd.from_arrow(feed), lakes)
+    assert {t: m["version"] for t, m in out.items()} == v
+
+
+def test_demux_unknown_table_raises_or_skips(tmp_path):
+    feed = _feed(n=60, tables=("a", "b", "ghost"))
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=4) for t in ("a", "b")}
+    with pytest.raises(ValueError, match="ghost"):
+        demux_apply(rd.from_arrow(feed), lakes)
+    out = demux_apply(rd.from_arrow(feed), lakes, on_unknown="skip")
+    assert set(out) == {"a", "b"}
+    assert lakes["a"].watermark >= 0
+
+
+def test_demux_resume_after_partial_apply(tmp_path):
+    """Crash between table applies: rerun with the SAME stage dir skips
+    the already-applied lake (watermark) and catches the other up —
+    including a half-staged dir without the marker (restaged, never
+    appended into)."""
+    feed = _feed(n=100, tables=("a", "b"))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    # simulate a crashed half-stage: junk partition dir, no marker
+    (stage / "table=a").mkdir()
+    (stage / "table=a" / "junk.parquet").write_bytes(b"not parquet")
+    lakes = {"a": CDCLake(str(tmp_path / "a"), num_partitions=4)}
+    # first run applies a only (b unknown → skip), keeps the user stage
+    demux_apply(rd.from_arrow(feed), lakes, on_unknown="skip", stage_dir=str(stage))
+    wa = lakes["a"].watermark
+    assert wa >= 0
+    # "crash recovery": rerun with b's lake now present — a no-ops, b applies
+    lakes["b"] = CDCLake(str(tmp_path / "b"), num_partitions=4)
+    out = demux_apply(rd.from_arrow(feed), lakes, stage_dir=str(stage))
+    assert lakes["a"].watermark == wa
+    assert out["b"]["watermark_lsn"] >= 0
+    sb = feed.filter(pa.compute.equal(feed.column("table"), "b"))
+    assert lakes["b"].watermark == int(pa.compute.max(sb.column("lsn")).as_py())
+
+
+def test_demux_null_table_raises(tmp_path):
+    feed = _feed(n=20, tables=("a",))
+    i = feed.schema.get_field_index("table")
+    col = feed.column("table").to_pylist()
+    col[3] = None
+    feed = feed.set_column(i, "table", pa.array(col, pa.string()))
+    lakes = {"a": CDCLake(str(tmp_path / "a"), num_partitions=2)}
+    with pytest.raises(Exception, match="null table"):
+        demux_apply(rd.from_arrow(feed), lakes)

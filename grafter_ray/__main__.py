@@ -208,6 +208,47 @@ def cmd_tail(args) -> int:
     return 0
 
 
+def cmd_demux(args) -> int:
+    """One multi-table wire feed → one lake per table under --lake-root."""
+    from .pipelines.demux import demux_apply
+    from .pipelines.replay import CDCLake
+
+    fmt = args.format
+    if fmt == "pgoutput":
+        from .sources.pgoutput import read_pgoutput
+
+        feed = read_pgoutput(args.binlog, layout=args.pg_layout, emit_table=True)
+    elif fmt == "avro":
+        from .sources.avro import read_avro
+
+        feed = read_avro(args.binlog, emit_table=True)
+    elif fmt == "envelope":
+        from .sources.envelope import read_envelope_jsonl
+
+        feed = read_envelope_jsonl(args.binlog, emit_table=True)
+    else:  # parquet staged feed already carrying the table column
+        import ray.data as rd
+
+        feed = rd.read_parquet(args.binlog)
+
+    lakes = {}
+    for t in (args.tables.split(",") if args.tables else []):
+        lakes[t] = CDCLake(os.path.join(args.lake_root, t), num_partitions=args.partitions)
+    factory = None
+    if args.auto_create:
+        factory = lambda t: CDCLake(os.path.join(args.lake_root, t), num_partitions=args.partitions)  # noqa: E731
+    out = demux_apply(
+        feed,
+        lakes,
+        on_unknown=args.on_unknown,
+        lake_factory=factory,
+        window_size=args.window_size,
+        txn_col=getattr(args, "txn_col", None),
+    )
+    _emit({"cmd": "demux", "tables": {t: _manifest_summary(mm) for t, mm in sorted(out.items())}})
+    return 0
+
+
 def cmd_status(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -853,6 +894,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="feed file format: Debezium JSONL lines or Avro OCF archives")
     lake_args(sp)
     sp.set_defaults(fn=cmd_export_changes)
+
+    sp = sub.add_parser("demux", help="route one multi-table CDC feed into one lake per table")
+    sp.add_argument("--binlog", required=True, help="wire feed path (or table-column parquet)")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "avro"], default="pgoutput")
+    sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
+    sp.add_argument("--lake-root", required=True, help="directory holding one lake per table")
+    sp.add_argument("--tables", default="", help="comma-separated table names (else --auto-create)")
+    sp.add_argument("--auto-create", action="store_true", help="create a lake for every table found")
+    sp.add_argument("--on-unknown", choices=["raise", "skip"], default="raise")
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--window-size", type=int, default=None)
+    sp.add_argument("--txn-col", default=None)
+    sp.set_defaults(fn=cmd_demux)
 
     sp = sub.add_parser("history-sync", help="fold the binlog into the SCD2 version-history lake (resumable)")
     sp.add_argument("--binlog", required=True, help="binlog parquet directory")

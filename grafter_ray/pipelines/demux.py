@@ -54,6 +54,7 @@ def demux_apply(
     table_col: str = "table",
     on_unknown: str = "raise",
     stage_dir: str | None = None,
+    lake_factory=None,
     **apply_kwargs,
 ) -> dict[str, dict]:
     """Split `feed` (a Dataset carrying BINLOG columns + `table_col`) by
@@ -63,6 +64,9 @@ def demux_apply(
     "skip" (that table's events are ignored; they stay in the staged
     dir until it is deleted, so a skipped table is recoverable by
     re-running with its lake present and the same stage_dir).
+    lake_factory: optional `table_name -> CDCLake` callable consulted
+    for tables missing from `lakes` BEFORE on_unknown applies (the
+    auto-create mode a first full-database sync wants).
     apply_kwargs pass through to every CDCLake.apply (window_size,
     on_bad, txn_col, …)."""
     if on_unknown not in ("raise", "skip"):
@@ -97,6 +101,10 @@ def demux_apply(
             for d in os.listdir(stage)
             if d.startswith(f"{table_col}=") and os.path.isdir(os.path.join(stage, d))
         )
+        if lake_factory is not None:
+            for t in found:
+                if t not in lakes:
+                    lakes[t] = lake_factory(t)
         unknown = [t for t in found if t not in lakes]
         if unknown and on_unknown == "raise":
             raise ValueError(

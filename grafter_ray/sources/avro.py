@@ -434,6 +434,7 @@ ENVELOPE_SCHEMA = {
                 "fields": [
                     {"name": "lsn", "type": ["null", "long"]},
                     {"name": "schema_version", "type": ["null", "int"]},
+                    {"name": "table", "type": ["null", "string"]},
                 ],
             },
         },
@@ -445,10 +446,11 @@ ENVELOPE_SCHEMA = {
 _OP_MAP = {"c": OP_UPSERT, "u": OP_UPSERT, "r": OP_UPSERT, "d": OP_DELETE, "schema_change": OP_SCHEMA}
 
 
-def records_to_binlog(records: list, *, on_bad: str = "raise") -> pa.Table:
+def records_to_binlog(records: list, *, on_bad: str = "raise", emit_table: bool = False) -> pa.Table:
     """Decoded envelope dicts → BINLOG-schema table (envelope.py contract:
-    c/u/r collapse to upsert; delete keys ride in `before`)."""
-    cols = {k: [] for k in ("lsn", "op", "repo", "path", "commit", "lang", "content", "schema_version")}
+    c/u/r collapse to upsert; delete keys ride in `before`). emit_table
+    appends source.table as a trailing string column (demux routing)."""
+    cols = {k: [] for k in ("lsn", "op", "repo", "path", "commit", "lang", "content", "schema_version", "table")}
 
     def bad(rec, why):
         if on_bad == "raise":
@@ -461,6 +463,7 @@ def records_to_binlog(records: list, *, on_bad: str = "raise") -> pa.Table:
         cols["lang"].append(None)
         cols["content"].append(json.dumps(rec, default=repr))
         cols["schema_version"].append(None)
+        cols["table"].append(None)
 
     for rec in records:
         src = rec.get("source") or {}
@@ -475,13 +478,19 @@ def records_to_binlog(records: list, *, on_bad: str = "raise") -> pa.Table:
         for f in ROW_FIELDS:
             cols[f].append(row.get(f) if op != OP_SCHEMA else None)
         cols["schema_version"].append(src.get("schema_version") or rec.get("schema_version") or 0)
-    return pa.table(cols).cast(pa.schema(list(BINLOG)))
+        t = src.get("table")
+        cols["table"].append(t if isinstance(t, str) else None)
+    if not emit_table:
+        cols.pop("table")
+    want = list(BINLOG) + ([pa.field("table", pa.string())] if emit_table else [])
+    return pa.table(cols).cast(pa.schema(want))
 
 
 def binlog_to_records(tb: pa.Table) -> list:
     """BINLOG rows → envelope dicts (inverse of records_to_binlog up to
     the c/u/r → upsert collapse, same contract as envelope_encode)."""
     d = {c: tb.column(c).to_pylist() for c in ("lsn", "op", "schema_version", *ROW_FIELDS)}
+    tbl = tb.column("table").to_pylist() if "table" in tb.column_names else None
     out = []
     for i in range(tb.num_rows):
         op = d["op"][i]
@@ -494,7 +503,11 @@ def binlog_to_records(tb: pa.Table) -> list:
                 if op == OP_DELETE
                 else None,
                 "after": None if op in (OP_DELETE, OP_SCHEMA) else row,
-                "source": {"lsn": d["lsn"][i], "schema_version": d["schema_version"][i]},
+                "source": {
+                    "lsn": d["lsn"][i],
+                    "schema_version": d["schema_version"][i],
+                    "table": tbl[i] if tbl is not None else None,
+                },
                 "op": "d" if op == OP_DELETE else ("schema_change" if op == OP_SCHEMA else "u"),
                 "ts_ms": None,
             }
@@ -514,23 +527,23 @@ def encode_batch(tb: pa.Table, *, codec: str = "null") -> pa.Table:
     return pa.table({"bytes": pa.array([blob], pa.large_binary())})
 
 
-def decode_batch(tb: pa.Table, *, column: str = "bytes", on_bad: str = "raise") -> pa.Table:
+def decode_batch(tb: pa.Table, *, column: str = "bytes", on_bad: str = "raise", emit_table: bool = False) -> pa.Table:
     """`bytes` column of OCF blobs → BINLOG rows."""
     parts = [
-        records_to_binlog(read_ocf(bytes(blob))[1], on_bad=on_bad)
+        records_to_binlog(read_ocf(bytes(blob))[1], on_bad=on_bad, emit_table=emit_table)
         for blob in tb.column(column).to_pylist()
     ]
-    return pa.concat_tables(parts) if parts else records_to_binlog([])
+    return pa.concat_tables(parts) if parts else records_to_binlog([], emit_table=emit_table)
 
 
-def read_avro(paths, *, on_bad: str = "raise"):
+def read_avro(paths, *, on_bad: str = "raise", emit_table: bool = False):
     """`.avro` OCF file(s) → BINLOG-schema Dataset; one decode task per
     file (see module docstring for the split-unit rationale)."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths)
     return ds.map_batches(
-        lambda tb: decode_batch(tb, on_bad=on_bad),
+        lambda tb: decode_batch(tb, on_bad=on_bad, emit_table=emit_table),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -69,7 +69,7 @@ if _pl is not None:
             "op": _pl.String,
             "before": _PL_ROW,
             "after": _PL_ROW,
-            "source": _pl.Struct({"lsn": _pl.Int64}),
+            "source": _pl.Struct({"lsn": _pl.Int64, "table": _pl.String}),
             "ts_ms": _pl.Int64,
             "schema_version": _pl.Int32,
         }
@@ -86,6 +86,7 @@ def _decode_stdlib(lines: list, on_bad: str) -> dict:
         "lsn": [None] * n,
         "ts_ms": [None] * n,
         "schema_version": [None] * n,
+        "table": [None] * n,
     }
     rows = {f: [None] * n for f in ROW_FIELDS}
     for i, line in enumerate(lines):
@@ -102,6 +103,8 @@ def _decode_stdlib(lines: list, on_bad: str) -> dict:
         src = e.get("source")
         if isinstance(src, dict):
             cols["lsn"][i] = src.get("lsn")
+            t = src.get("table")
+            cols["table"][i] = t if isinstance(t, str) else None
         cols["ts_ms"][i] = e.get("ts_ms")
         cols["schema_version"][i] = e.get("schema_version")
         side = e.get("before") if e.get("op") == "d" else e.get("after")
@@ -114,6 +117,7 @@ def _decode_stdlib(lines: list, on_bad: str) -> dict:
         "lsn": pa.array(cols["lsn"], pa.int64()),
         "ts_ms": pa.array(cols["ts_ms"], pa.int64()),
         "schema_version": pa.array(cols["schema_version"], pa.int32()),
+        "table": pa.array(cols["table"], pa.string()),
         **{f: pa.array(rows[f], pa.string()) for f in ROW_FIELDS},
     }
 
@@ -131,6 +135,7 @@ def _decode_polars(lines) -> dict:
         .select(
             e.struct.field("op").alias("raw_op"),
             e.struct.field("source").struct.field("lsn").alias("lsn"),
+            e.struct.field("source").struct.field("table").alias("table"),
             e.struct.field("ts_ms").alias("ts_ms"),
             e.struct.field("schema_version").alias("schema_version"),
             *[
@@ -143,7 +148,7 @@ def _decode_polars(lines) -> dict:
         )
     )
     at = df.to_arrow()
-    casts = {"raw_op": pa.string(), "lsn": pa.int64(), "ts_ms": pa.int64(), "schema_version": pa.int32()}
+    casts = {"raw_op": pa.string(), "lsn": pa.int64(), "ts_ms": pa.int64(), "schema_version": pa.int32(), "table": pa.string()}
     return {
         name: at.column(name).cast(casts.get(name, pa.string()))
         for name in at.column_names
@@ -155,8 +160,13 @@ def envelope_decode(
     *,
     on_bad: str = "raise",
     default_schema_version: int = 0,
+    emit_table: bool = False,
 ) -> pa.Table:
     """Decode a batch of JSON envelope lines into a BINLOG-schema table.
+
+    ``emit_table=True`` appends the Debezium ``source.table`` name as a
+    trailing `table` string column (null when the envelope lacks it) —
+    feed to pipelines/demux.demux_apply for multi-table routing.
 
     ``ts_ms`` (when present) is surfaced as an extra trailing int64
     column after the BINLOG columns; ``CDCLake.apply`` ignores columns
@@ -204,29 +214,32 @@ def envelope_decode(
     # quarantined raw lines (on_bad="null_lsn") keep the raw text in
     # `content`; fill it only for parsed rows.
     content = cols["content"]
-    tb = pa.table(
-        {
-            "lsn": cols["lsn"],
-            "op": op,
-            "repo": cols["repo"],
-            "path": cols["path"],
-            "commit": cols["commit"],
-            "lang": cols["lang"],
-            "content": content,
-            "schema_version": sv,
-            "ts_ms": cols["ts_ms"],
-        }
-    )
-    return tb.cast(pa.schema(list(BINLOG) + [pa.field("ts_ms", pa.int64())]))
+    data = {
+        "lsn": cols["lsn"],
+        "op": op,
+        "repo": cols["repo"],
+        "path": cols["path"],
+        "commit": cols["commit"],
+        "lang": cols["lang"],
+        "content": content,
+        "schema_version": sv,
+        "ts_ms": cols["ts_ms"],
+    }
+    extra = [pa.field("ts_ms", pa.int64())]
+    if emit_table:
+        data["table"] = cols["table"]
+        extra.append(pa.field("table", pa.string()))
+    tb = pa.table(data)
+    return tb.cast(pa.schema(list(BINLOG) + extra))
 
 
-def decode_batch(tb: pa.Table, *, column: str = "text", on_bad: str = "raise") -> pa.Table:
+def decode_batch(tb: pa.Table, *, column: str = "text", on_bad: str = "raise", emit_table: bool = False) -> pa.Table:
     """``map_batches`` kernel: a table with a `column` of JSON envelope
     lines → BINLOG rows. Plug directly onto ``ray.data.read_text``."""
-    return envelope_decode(tb.column(column), on_bad=on_bad)
+    return envelope_decode(tb.column(column), on_bad=on_bad, emit_table=emit_table)
 
 
-def read_envelope_jsonl(paths, *, on_bad: str = "raise", **read_kwargs):
+def read_envelope_jsonl(paths, *, on_bad: str = "raise", emit_table: bool = False, **read_kwargs):
     """Read newline-delimited CDC envelopes into a BINLOG-schema Dataset.
 
     ``read_text`` splits files into blocks, so parsing parallelizes for
@@ -238,7 +251,7 @@ def read_envelope_jsonl(paths, *, on_bad: str = "raise", **read_kwargs):
 
     ds = rd.read_text(paths, **read_kwargs)
     return ds.map_batches(
-        lambda tb: decode_batch(tb, on_bad=on_bad),
+        lambda tb: decode_batch(tb, on_bad=on_bad, emit_table=emit_table),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -272,8 +285,10 @@ def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
         def _chunkless(a):
             return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
+        has_table = "table" in tb.column_names
+        sel = ["lsn", "schema_version", *ROW_FIELDS] + (["table"] if has_table else [])
         frame = _pl.from_arrow(
-            tb.select(["lsn", "schema_version", *ROW_FIELDS])
+            tb.select(sel)
             .append_column("_del", _chunkless(is_del))
             .append_column("_sch", _chunkless(is_sch))
         )
@@ -292,7 +307,7 @@ def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
             .then(None)
             .otherwise(_pl.struct([_pl.col(f) for f in ROW_FIELDS]))
             .alias("after"),
-            _pl.struct(_pl.col("lsn")).alias("source"),
+            _pl.struct([_pl.col("lsn")] + ([_pl.col("table")] if has_table else [])).alias("source"),
             _pl.col("schema_version"),
         ]
         if ts_ms is not None:
@@ -306,11 +321,14 @@ def envelope_encode(tb: pa.Table, *, ts_ms: int | None = None) -> pa.Array:
     cols = {c: tb.column(c).to_pylist() for c in tb.column_names}
     for i in range(n):
         row = {f: cols[f][i] for f in ROW_FIELDS}
+        source = {"lsn": cols["lsn"][i]}
+        if "table" in cols:
+            source["table"] = cols["table"][i]
         e = {
             "op": "d" if dl[i] else ("schema_change" if sch[i] else "u"),
             "before": {k: row[k] for k in ("repo", "path")} if dl[i] else None,
             "after": None if (dl[i] or sch[i]) else row,
-            "source": {"lsn": cols["lsn"][i]},
+            "source": source,
             "schema_version": cols["schema_version"][i],
         }
         if ts_ms is not None:

@@ -119,6 +119,7 @@ def pgoutput_decode(
     default_schema_version: int = 0,
     unescape: bool = True,
     emit_txn_id: bool = False,
+    emit_table: bool = False,
 ) -> pa.Table:
     """Decode test_decoding lines → BINLOG-schema table.
 
@@ -135,7 +136,10 @@ def pgoutput_decode(
     whose text contains literal backslashes and no escapes.
     emit_txn_id: append a `txn_id` int64 column (the xid) to the BINLOG
     schema — feed to CDCLake.apply(txn_col="txn_id") for commits that
-    never split a Postgres transaction (transaction-aligned windows)."""
+    never split a Postgres transaction (transaction-aligned windows).
+    emit_table: append the `schema.table` name as a `table` string
+    column (null on marker lines) — feed to pipelines/demux.demux_apply
+    to route one slot's stream into one lake per table."""
     if layout not in ("slot", "raw"):
         raise ValueError(f"unknown layout {layout!r}")
     if on_bad not in ("raise", "null_lsn"):
@@ -148,6 +152,7 @@ def pgoutput_decode(
         **{f: [] for f in ROW_FIELDS},
         "schema_version": [],
         "txn_id": [],
+        "table": [],
     }
 
     def bad(line: str, why: str):
@@ -159,14 +164,16 @@ def pgoutput_decode(
             out[f].append(line if f == "content" else None)
         out["schema_version"].append(None)
         out["txn_id"].append(None)
+        out["table"].append(None)
 
-    def emit(lsn: int | None, op: str, row: dict, sv: int | None = None, xid: int | None = None):
+    def emit(lsn: int | None, op: str, row: dict, sv: int | None = None, xid: int | None = None, tbl: str | None = None):
         out["lsn"].append(lsn)
         out["op"].append(op)
         for f in ROW_FIELDS:
             out[f].append(row.get(f))
         out["schema_version"].append(default_schema_version if sv is None else sv)
         out["txn_id"].append(xid)
+        out["table"].append(tbl)
 
     cur_xid = None
     tx_pos = 0
@@ -229,9 +236,9 @@ def pgoutput_decode(
             if rest.strip() == "(no-tuple-data)":
                 bad(line, "DELETE without replica identity")
                 continue
-            emit(lsn, "delete", _parse_pairs(rest, unescape), xid=xid)
+            emit(lsn, "delete", _parse_pairs(rest, unescape), xid=xid, tbl=dm.group("table"))
         else:
-            emit(lsn, "upsert", _parse_pairs(rest, unescape), xid=xid)
+            emit(lsn, "upsert", _parse_pairs(rest, unescape), xid=xid, tbl=dm.group("table"))
 
     tb = pa.table(
         {
@@ -240,9 +247,11 @@ def pgoutput_decode(
             **{f: pa.array(out[f], pa.string()) for f in ROW_FIELDS},
             "schema_version": pa.array(out["schema_version"], pa.int32()),
             **({"txn_id": pa.array(out["txn_id"], pa.int64())} if emit_txn_id else {}),
+            **({"table": pa.array(out["table"], pa.string())} if emit_table else {}),
         }
     )
     want = list(BINLOG) + ([pa.field("txn_id", pa.int64())] if emit_txn_id else [])
+    want += [pa.field("table", pa.string())] if emit_table else []
     return tb.cast(pa.schema(want))
 
 

@@ -174,6 +174,7 @@ QUERY_SUBSET = [
     "top_values_orders",
     "snapshot_export",
     "demux_replay",
+    "profile_view",
 ]
 
 

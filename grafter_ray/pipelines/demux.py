@@ -14,9 +14,11 @@ Scale shape:
   wire stream no matter how many tables it carries; each table's apply
   then reads ONLY its own directory (path-pruned, zero scan of other
   tables' bytes). N applies ≠ N feed scans.
-- per-table applies are sequential on the driver (each holds its own
-  lake's writer lock); the heavy lifting inside each apply is the
-  ordinary distributed window machinery.
+- per-table applies run from a driver thread pool (`parallel_tables`,
+  default 4): each apply only SUBMITS distributed work and folds small
+  manifests, so overlapping tables pipelines their fixed per-apply
+  costs (stage startup, manifest IO) while the cluster stays busy;
+  per-lake writer locks keep the applies independent.
 
 Crash story: staging is ephemeral (a fresh tmp dir per call); if the
 process dies after table A's apply but before table B's, the rerun
@@ -55,6 +57,7 @@ def demux_apply(
     on_unknown: str = "raise",
     stage_dir: str | None = None,
     lake_factory=None,
+    parallel_tables: int = 4,
     **apply_kwargs,
 ) -> dict[str, dict]:
     """Split `feed` (a Dataset carrying BINLOG columns + `table_col`) by
@@ -111,12 +114,53 @@ def demux_apply(
                 f"feed carries table(s) {unknown} with no destination lake — "
                 "add them to `lakes` or pass on_unknown='skip'"
             )
+        todo = [t for t in found if t in lakes]
         out: dict[str, dict] = {}
-        for t in found:
-            if t not in lakes:
-                continue
-            out[t] = lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
+        if parallel_tables <= 1 or len(todo) <= 1:
+            for t in todo:
+                out[t] = lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
+            return out
+        # concurrent applies race Python's lazy imports (fsspec's http
+        # module is imported on first path resolution and a half-imported
+        # module leaks to the other threads) — warm the import machinery
+        # with the FIRST table synchronously, then overlap the rest
+        try:  # pragma: no cover - environment-dependent lazy import
+            import fsspec.implementations.http  # noqa: F401
+        except Exception:
+            pass
+        first, rest = todo[0], todo[1:]
+        out[first] = lakes[first].apply(os.path.join(stage, f"{table_col}={first}"), **apply_kwargs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(t):
+            return t, lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
+
+        with ThreadPoolExecutor(max_workers=parallel_tables) as ex:
+            for t, m in ex.map(one, rest):
+                out[t] = m
         return out
     finally:
         if own_stage:
             shutil.rmtree(stage, ignore_errors=True)
+
+
+def consistent_read(
+    lakes: dict[str, "CDCLake"], lsn: int, *, view: bool = True
+) -> dict[str, pa.Table]:
+    """Cross-table-CONSISTENT snapshot of a demuxed estate: every lake is
+    read as of the SAME source lsn (its newest committed version whose
+    watermark ≤ lsn). Because the slot's lsns are globally ordered and
+    each lake's windows respect per-table lsn order, the returned tables
+    together form a prefix-consistent database image — the demux module
+    trades cross-table commit atomicity for exactly this read-side
+    contract (module docstring). A table with no version at or below
+    `lsn` yet returns an empty table of the lake's schema."""
+    out = {}
+    for t, lake in lakes.items():
+        m = lake.as_of_lsn(lsn)
+        if m is None:
+            tb = lake.read_table(view=view)
+            out[t] = tb.slice(0, 0)
+        else:
+            out[t] = lake.read_table(view=view, version=int(m["version"]))
+    return out

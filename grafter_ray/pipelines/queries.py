@@ -3530,6 +3530,33 @@ WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
 
+def q_profile_view(sf_dir: str):
+    """INCREMENTAL profiling (pipelines/profileview.py): a per-column
+    profile of the docs lake bootstrapped at the window-1 version, then
+    kept fresh by folding ONLY the signed change feed of the %5 update
+    wave — composition of the engine's IncrementalView (count/sum/min/
+    max over an exploded per-column contribution stream) and
+    DistinctCountView (refcounted exact distinct under deletions). The
+    folded profile must equal the closed-form SQL profile of the
+    converged lake — profile 100 TB once, never rescan."""
+    import shutil
+    import tempfile
+
+    from .. import CDCLake
+    from .profileview import ProfileView
+
+    lake_root, v0, _, _ = _shared_docs_lake(sf_dir)
+    lake = CDCLake(lake_root, num_partitions=32)
+    tmp = tempfile.mkdtemp(prefix="graftray_pv_")
+    try:
+        pv = ProfileView(lake, f"{tmp}/pv", ["content_sha", "lang", "last_lsn"])
+        pv.refresh(at_version=v0)  # bootstrap at the window-1 state
+        pv.refresh()  # fold only the update wave's change feed
+        return pv.read_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_scd2_sync_history(sf_dir: str):
     """INCREMENTAL SCD2 maintenance (pipelines/history.py): the
     deterministic documents binlog folded into a versioned history lake
@@ -6711,7 +6738,7 @@ def q_zorder_scan(sf_dir: str):
     return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _profile_col_sql(col: str, kind: str) -> str:
+def _profile_col_sql(col: str, kind: str, frm: str = "orders") -> str:
     """One UNION-ALL leg of the profiling oracle. kind: int|num|str."""
     min_num = f"CAST(min({col}) AS DOUBLE)" if kind in ("int", "num") else "CAST(NULL AS DOUBLE)"
     max_num = f"CAST(max({col}) AS DOUBLE)" if kind in ("int", "num") else "CAST(NULL AS DOUBLE)"
@@ -6729,7 +6756,7 @@ def _profile_col_sql(col: str, kind: str) -> str:
            {min_str} AS min_str, {max_str} AS max_str,
            {int_sum} AS int_sum, {mean} AS mean,
            {min_len} AS min_len, {max_len} AS max_len
-    FROM orders"""
+    FROM {frm}"""
 
 
 SQL_PROFILE_ORDERS = (
@@ -6742,6 +6769,15 @@ SQL_PROFILE_ORDERS = (
             ("o_orderstatus", "str"),
             ("o_totalprice", "num"),
         ]
+    )
+    + ' ORDER BY "column"'
+)
+
+SQL_PROFILE_VIEW = (
+    "WITH lake AS (" + SQL_CDC_REPLAY_DOCS + ") "
+    + " UNION ALL ".join(
+        _profile_col_sql(c, k, frm="lake")
+        for c, k in [("content_sha", "str"), ("lang", "str"), ("last_lsn", "int")]
     )
     + ' ORDER BY "column"'
 )
@@ -7329,6 +7365,7 @@ QUERIES = {
     "top_values_orders": q_top_values_orders,
     "snapshot_export": q_snapshot_export,
     "demux_replay": q_demux_replay,
+    "profile_view": q_profile_view,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
     "rate_anomalies": q_rate_anomalies,
@@ -7508,6 +7545,7 @@ ORACLE_SQL = {
     "top_values_orders": SQL_TOP_VALUES_ORDERS,
     "snapshot_export": SQL_CDC_REPLAY_DOCS,
     "demux_replay": SQL_DEMUX_REPLAY,
+    "profile_view": SQL_PROFILE_VIEW,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
     "rate_anomalies": SQL_RATE_ANOMALIES,

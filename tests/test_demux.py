@@ -182,3 +182,41 @@ def test_envelope_source_table_roundtrip():
 
     back2 = adec(aenc(tb), emit_table=True)
     assert back2.column("table").to_pylist() == ["docs", "users"]
+
+
+def test_consistent_read_is_prefix_consistent(tmp_path):
+    """Reading a demuxed estate as of a common lsn yields exactly the
+    per-table replays truncated at that lsn — a prefix-consistent image
+    even though the tables committed independently."""
+    from grafter_ray.pipelines.demux import consistent_read
+
+    feed = _feed(n=200, tables=("a", "b"))
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=4) for t in ("a", "b")}
+    demux_apply(rd.from_arrow(feed), lakes, window_size=25)
+    for cut in (49, 120, 199):
+        img = consistent_read(lakes, cut, view=False)
+        for t in ("a", "b"):
+            s = feed.filter(
+                pa.compute.and_(
+                    pa.compute.equal(feed.column("table"), t),
+                    pa.compute.less_equal(feed.column("lsn"), cut),
+                )
+            ).drop_columns(["table"])
+            # truncate to the lake's committed windows at/below the cut:
+            # the image must equal replaying this table's events up to its
+            # own as-of watermark
+            m = lakes[t].as_of_lsn(cut)
+            upto = int(m["watermark_lsn"]) if m else -1
+            s = s.filter(pa.compute.less_equal(s.column("lsn"), upto))
+            ref = CDCLake(str(tmp_path / f"ref_{t}_{cut}"), num_partitions=4)
+            if s.num_rows:
+                ref.apply(rd.from_arrow(s), upto_lsn=upto)
+            got = {
+                (r, p): sh
+                for r, p, sh in zip(
+                    img[t].column("repo").to_pylist(),
+                    img[t].column("path").to_pylist(),
+                    img[t].column("content_sha").to_pylist(),
+                )
+            }
+            assert got == _state(ref), (t, cut)

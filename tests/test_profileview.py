@@ -1,0 +1,45 @@
+"""Incremental ProfileView: the change-feed-maintained profile must
+equal the one-shot profile of the live lake after every window —
+fold-vs-recompute across upserts, updates and deletes — and refresh
+exactly-once."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.pipelines.profileview import ProfileView
+from grafter_ray.stages.profiling import profile_columns
+
+COLS = ["repo", "lang", "content", "last_lsn"]
+
+
+def _oneshot(lake) -> list[dict]:
+    tb = lake.read_table(view=False).select(COLS)
+    return profile_columns(rd.from_arrow(tb), COLS).to_pylist()
+
+
+def test_profileview_tracks_lake(tmp_path):
+    cfg = BinlogConfig(n_events=3_000, n_keys=220, n_repos=7, schema_every=10**9, delete_pct=0.15)
+    binlog = binlog_table(cfg)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    view = ProfileView(lake, str(tmp_path / "pv"), COLS)
+
+    # three windows: bootstrap, update/delete churn, tail
+    for lo, hi in ((0, 1200), (1200, 2400), (2400, 3000)):
+        lake.apply(rd.from_arrow(binlog.slice(lo, hi - lo)), upto_lsn=hi - 1)
+        view.refresh()
+        got = view.read_table().to_pylist()
+        want = _oneshot(lake)
+        assert got == want, (lo, hi)
+
+
+def test_profileview_refresh_is_idempotent(tmp_path):
+    cfg = BinlogConfig(n_events=800, n_keys=90, n_repos=4, schema_every=10**9)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog_table(cfg)), upto_lsn=cfg.n_events - 1)
+    view = ProfileView(lake, str(tmp_path / "pv"), COLS)
+    view.refresh()
+    before = view.read_table().to_pylist()
+    view.refresh()  # no lake movement → no-op
+    assert view.read_table().to_pylist() == before

@@ -49,6 +49,33 @@ from .replay import CDCLake
 _BINLOG_COLS = [f.name for f in BINLOG]
 
 
+def overlap_plan(
+    ncpu: int, n_nodes: int, parallel_tables: int, n_tables: int, min_partitions: int
+) -> tuple[int, int | None]:
+    """(effective parallel applies, per-apply merge-actor count or None).
+
+    Overlapping applies MULTIPLY the merge-actor CPU reservations: each
+    apply holds W actors x 0.5 CPU for its whole duration, and the route
+    and scan TASKS those actors wait on need free CPU slots to run. With
+    the per-apply default W (4 on one node), 4 overlapping applies on an
+    8-CPU node reserve 4x4x0.5 = 8 CPUs — every slot held by an actor
+    that is blocked waiting for a producer task that can never schedule.
+    Hard deadlock (hit by the 10-table demux gate at num_cpus=8).
+
+    Rule: cap total actor CPU at HALF the cluster. eff applies, each
+    with W actors at 0.5 CPU: eff*W*0.5 <= ncpu/2  <=>  W <= ncpu/eff.
+    eff itself is capped at ncpu//4 so each in-flight apply keeps >= 2
+    task slots; below 8 CPUs applies run sequentially (eff=1, W=None →
+    the engine's own single-apply default, which already fits)."""
+    from .replay import default_merge_actor_count
+
+    eff = max(1, min(parallel_tables, n_tables, ncpu // 4))
+    if eff <= 1:
+        return 1, None
+    base_w = default_merge_actor_count(ncpu, n_nodes, min_partitions)
+    return eff, max(2, min(base_w, ncpu // eff))
+
+
 def demux_apply(
     feed,
     lakes: dict[str, "CDCLake"],
@@ -116,7 +143,19 @@ def demux_apply(
             )
         todo = [t for t in found if t in lakes]
         out: dict[str, dict] = {}
-        if parallel_tables <= 1 or len(todo) <= 1:
+        from .replay import _cluster_shape
+
+        ncpu, n_nodes = _cluster_shape()
+        eff, w_each = overlap_plan(
+            ncpu,
+            n_nodes,
+            parallel_tables,
+            len(todo),
+            min((lakes[t].num_partitions for t in todo), default=1),
+        )
+        if w_each is not None and "concurrency" not in apply_kwargs:
+            apply_kwargs = {**apply_kwargs, "concurrency": w_each}
+        if eff <= 1 or len(todo) <= 1:
             for t in todo:
                 out[t] = lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
             return out
@@ -135,7 +174,7 @@ def demux_apply(
         def one(t):
             return t, lakes[t].apply(os.path.join(stage, f"{table_col}={t}"), **apply_kwargs)
 
-        with ThreadPoolExecutor(max_workers=parallel_tables) as ex:
+        with ThreadPoolExecutor(max_workers=eff) as ex:
             for t, m in ex.map(one, rest):
                 out[t] = m
         return out

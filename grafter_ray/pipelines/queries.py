@@ -3530,6 +3530,62 @@ WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
 """
 
 
+def q_cdc_estate_replay(sf_dir: str):
+    """CAPSTONE of the multi-table wire loop: the documents binlog is
+    enriched with per-row table names (its source) and contiguous
+    transaction ids (8-event txns), serialized as ONE Postgres slot dump
+    (pgoutput_encode groups same-xid runs under one BEGIN/COMMIT and
+    interleaves the tables, exactly what a real slot emits), decoded
+    back in-stream (emit_table + emit_txn_id), routed by demux_apply
+    into one lake per table with TRANSACTION-ALIGNED windows (no
+    committed version splits a txn — window 997 deliberately misaligned
+    with the 8-event txn grid), and the union of the converged estates
+    must equal the global replay's closed form. Wire codec × demux ×
+    txn alignment composed under one sha-exact oracle."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.pgoutput import pgoutput_decode, pgoutput_encode
+    from .demux import demux_apply
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+
+    def enrich(tb: pa.Table) -> pa.Table:
+        tb = tb.append_column("table", pc.utf8_replace_slice(tb.column("repo"), 0, 5, ""))
+        return tb.append_column("txn_id", pc.cast(pc.floor(pc.divide(tb.column("lsn"), 8)), pa.int64()))
+
+    feed = binlog.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    wire = feed.map_batches(
+        lambda tb: pa.table({"text": pgoutput_encode(tb)}), batch_format="pyarrow", zero_copy_batch=True
+    )
+    parsed = wire.map_batches(
+        lambda tb: pgoutput_decode(tb.column("text"), emit_table=True, emit_txn_id=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sources = pc.unique(_read_table(sf_dir, "documents", ["source"]).column("source")).to_pylist()
+    with tempfile.TemporaryDirectory() as tmp:
+        lakes = {s: CDCLake(f"{tmp}/{s}", num_partitions=8) for s in sources}
+        demux_apply(parsed, lakes, upto_lsn=3 * n_docs, window_size=997, txn_col="txn_id")
+        parts = []
+        for s in sorted(sources):
+            tb = lakes[s].read_table(view=False)
+            parts.append(
+                pa.table(
+                    {
+                        "tbl": pa.array([s] * tb.num_rows, pa.string()),
+                        "repo": tb.column("repo"),
+                        "path": tb.column("path"),
+                        "commit_id": tb.column("commit"),
+                        "lang": tb.column("lang"),
+                        "content_sha": tb.column("content_sha"),
+                        "last_lsn": tb.column("last_lsn"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
 def q_profile_view(sf_dir: str):
     """INCREMENTAL profiling (pipelines/profileview.py): a per-column
     profile of the docs lake bootstrapped at the window-1 version, then
@@ -7366,6 +7422,7 @@ QUERIES = {
     "snapshot_export": q_snapshot_export,
     "demux_replay": q_demux_replay,
     "profile_view": q_profile_view,
+    "cdc_estate_replay": q_cdc_estate_replay,
     "scd2_sync_history": q_scd2_sync_history,
     "history_as_of": q_history_as_of,
     "rate_anomalies": q_rate_anomalies,
@@ -7546,6 +7603,7 @@ ORACLE_SQL = {
     "snapshot_export": SQL_CDC_REPLAY_DOCS,
     "demux_replay": SQL_DEMUX_REPLAY,
     "profile_view": SQL_PROFILE_VIEW,
+    "cdc_estate_replay": SQL_DEMUX_REPLAY,
     "scd2_sync_history": SQL_SCD2_SYNC_HISTORY,
     "history_as_of": SQL_HISTORY_AS_OF,
     "rate_anomalies": SQL_RATE_ANOMALIES,

@@ -52,8 +52,11 @@ from ..schemas import BINLOG
 ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
 _TX_OFFSET_BASE = 1 << 20
 
+# test_decoding always schema-qualifies (`public.docs`), but per-row
+# table columns fed to the encoder (demux feeds) may be bare names —
+# accept both; the emitted `table` column carries the name verbatim.
 _DATA_RE = re.compile(
-    r"^table (?P<table>[\w\"]+\.[\w\"]+): (?P<op>INSERT|UPDATE|DELETE): (?P<rest>.*)$"
+    r"^table (?P<table>[\w\"]+(?:\.[\w\"]+)?): (?P<op>INSERT|UPDATE|DELETE): (?P<rest>.*)$"
 )
 _MSG_RE = re.compile(
     r"^message: transactional: (?:true|false) prefix: (?P<prefix>\S+), sz: \d+ content:(?P<content>.*)$"
@@ -305,20 +308,32 @@ def _quote(v) -> str:
 
 
 def pgoutput_encode(tb: pa.Table, *, table: str = "public.docs", layout: str = "slot") -> pa.Array:
-    """BINLOG rows → test_decoding dump lines, one transaction per event
-    (xid = a running sequence; slot layout carries the row's real lsn as
-    the WAL-position prefix). Inverse of :func:`pgoutput_decode`."""
+    """BINLOG rows → test_decoding dump lines (inverse of
+    :func:`pgoutput_decode`). Slot layout carries each row's real lsn as
+    the WAL-position prefix. A `table` COLUMN on the input overrides the
+    constant `table` per row (multi-table slot dumps); a `txn_id` column
+    groups consecutive same-id rows under one BEGIN/COMMIT with that xid
+    (otherwise every event is its own transaction, xid = sequence)."""
     cols = {c: tb.column(c).to_pylist() for c in ("lsn", "op", "schema_version", *ROW_FIELDS)}
+    tbls = tb.column("table").to_pylist() if "table" in tb.column_names else None
+    xids = tb.column("txn_id").to_pylist() if "txn_id" in tb.column_names else None
     lines: list[str] = []
+    cur_xid = None
     for i in range(tb.num_rows):
         lsn, op = cols["lsn"][i], cols["op"][i]
+        xid = (xids[i] if xids is not None and xids[i] is not None else None) or (i + 1)
+        row_table = (tbls[i] if tbls is not None and tbls[i] is not None else None) or table
         pre = ""
         if layout == "slot":
-            pre = f"{(lsn >> 32) & 0xFFFFFFFF:X}/{lsn & 0xFFFFFFFF:X} | {i + 1} | "
-        lines.append(f"{pre}BEGIN {i + 1}")
+            pre = f"{(lsn >> 32) & 0xFFFFFFFF:X}/{lsn & 0xFFFFFFFF:X} | {xid} | "
+        if xid != cur_xid:
+            if cur_xid is not None:
+                lines.append(f"{pre}COMMIT {cur_xid}")
+            lines.append(f"{pre}BEGIN {xid}")
+            cur_xid = xid
         if op == "delete":
             body = (
-                f"table {table}: DELETE: "
+                f"table {row_table}: DELETE: "
                 f"repo[text]:{_quote(cols['repo'][i])} path[text]:{_quote(cols['path'][i])}"
             )
         elif op == "schema_change":
@@ -326,9 +341,13 @@ def pgoutput_encode(tb: pa.Table, *, table: str = "public.docs", layout: str = "
             body = f"message: transactional: true prefix: schema_change, sz: {len(str(sv))} content: {sv}"
         else:
             pairs = " ".join(f"{f}[text]:{_quote(cols[f][i])}" for f in ROW_FIELDS)
-            body = f"table {table}: INSERT: {pairs}"
+            body = f"table {row_table}: INSERT: {pairs}"
         lines.append(pre + body)
-        lines.append(f"{pre}COMMIT {i + 1}")
+        if xids is None:
+            lines.append(f"{pre}COMMIT {xid}")
+            cur_xid = None
+    if cur_xid is not None:
+        lines.append(f"COMMIT {cur_xid}" if layout != "slot" else f"0/0 | {cur_xid} | COMMIT {cur_xid}")
     return pa.array(lines, pa.string())
 
 

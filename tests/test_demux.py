@@ -220,3 +220,42 @@ def test_consistent_read_is_prefix_consistent(tmp_path):
                 )
             }
             assert got == _state(ref), (t, cut)
+
+
+def test_overlap_plan_never_starves_tasks():
+    """Regression for the 10-table deadlock at num_cpus=8: overlapping
+    applies must never reserve more than half the cluster's CPUs in
+    merge actors (each actor = 0.5 CPU held for the apply's lifetime;
+    the tasks the actors wait on need the remaining slots)."""
+    from grafter_ray.pipelines.demux import overlap_plan
+
+    for ncpu in (2, 4, 8, 16, 32, 128):
+        for req in (1, 2, 4, 8):
+            for n_tables in (1, 2, 3, 10, 50):
+                for part in (1, 4, 8, 256):
+                    eff, w = overlap_plan(ncpu, 1, req, n_tables, part)
+                    assert 1 <= eff <= max(1, ncpu // 4)
+                    assert eff <= max(1, n_tables)
+                    if eff > 1:
+                        assert w is not None and w >= 2
+                        # the deadlock invariant: total actor CPU <= ncpu/2
+                        assert eff * w * 0.5 <= ncpu / 2 + 1e-9
+                    else:
+                        assert w is None
+    # the exact configuration that deadlocked: 8 CPUs, 10 tables, default 4
+    eff, w = overlap_plan(8, 1, 4, 10, 8)
+    assert (eff, w) == (2, 4)
+
+
+def test_demux_many_tables_sequential_fallback(tmp_path):
+    """10 tables in the 4-CPU test session: overlap_plan must fall back
+    to sequential applies (eff=1) and still converge every lake."""
+    tables = tuple(f"t{i}" for i in range(10))
+    feed = _feed(n=400, tables=tables)
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=2) for t in tables}
+    demux_apply(rd.from_arrow(feed), lakes, window_size=200)
+    for t in tables:
+        s = feed.filter(pa.compute.equal(feed.column("table"), t)).drop_columns(["table"])
+        ref = CDCLake(str(tmp_path / f"ref_{t}"), num_partitions=2)
+        ref.apply(rd.from_arrow(s))
+        assert _state(lakes[t]) == _state(ref), t

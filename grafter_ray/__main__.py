@@ -274,8 +274,8 @@ def cmd_compact(args) -> int:
     from .pipelines.replay import CDCLake
 
     lake = CDCLake(args.lake, num_partitions=args.partitions)
-    m = lake.compact()
-    _emit({"cmd": "compact", **_manifest_summary(m)})
+    m = lake.compact(online=args.online)
+    _emit({"cmd": "compact", "online": bool(args.online), **_manifest_summary(m)})
     return 0
 
 
@@ -763,6 +763,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("compact", help="fold all LSM delta chains into fresh bases (OPTIMIZE)")
     lake_args(sp)
+    sp.add_argument(
+        "--online",
+        action="store_true",
+        help="non-blocking: fold without the writer lock, validate-and-swap under a short lock",
+    )
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("vacuum", help="delete data files unreferenced by the retained manifests")

@@ -1800,12 +1800,32 @@ class CDCLake:
                     lo = min(lo, v)
         return lo
 
-    def compact(self, concurrency: int | None = None) -> dict:
+    def compact(self, concurrency: int | None = None, *, online: bool = False) -> dict:
         """Fold every partition's delta chain into a fresh base file
         (Delta-style OPTIMIZE) — one distributed merge task per chained
         partition. Commits a new manifest version (same watermark, exact
         row counts, no chains); no-op when nothing is chained. Old files
-        stay until vacuum() passes their retention horizon."""
+        stay until vacuum() passes their retention horizon.
+
+        online=False (default) holds the lake writer lock for the whole
+        fold — simple, but at 100-TB lake size the fold can take hours
+        and ingest is blocked the entire time. online=True is the
+        non-blocking variant: the fold runs WITHOUT the lock against a
+        manifest snapshot, then a short validate-and-swap takes the lock
+        only to commit — windows applied during the fold keep ingesting
+        and survive as the partition's new (shorter) suffix chain on top
+        of the folded base. Partitions whose base was rewritten
+        concurrently (another compact / repartition) are skipped, not
+        corrupted — their folded files become garbage vacuum() collects."""
+        if online:
+            prev = self.manifest
+            if not prev:
+                return {}
+            chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+            if not chained:
+                return prev
+            folded = self._fold_chains(chained)
+            return self._swap_compacted(prev, chained, folded)
         with self.log.writer_lock("compact"):
             prev = self.manifest
             if not prev:
@@ -1843,6 +1863,104 @@ class CDCLake:
                 "partitions": parts,
                 "counters": prev["counters"],
                 "parent": prev["version"],
+            }
+            self.log.commit(manifest)
+            return manifest
+
+    def _fold_chains(self, chained: dict) -> dict:
+        """Online-compaction fold phase (NO lock held): merge each chained
+        partition's base + deltas into a token-named base file in the data
+        dir. Token names (never version-numbered) can't collide with a
+        concurrent writer's staging files; until swapped into a manifest
+        they are unreferenced, so a racing vacuum() may delete them — the
+        swap phase detects that and skips the partition. Returns
+        {pid: {file, rows, max_lsn} | None (all rows tombstoned)}."""
+        import uuid
+
+        data_dir = self.log.data_dir
+        token = uuid.uuid4().hex[:12]
+
+        @ray.remote(num_cpus=1)
+        def _fold_one(pid: str, e: dict) -> tuple[str, dict | None]:
+            base = pq.read_table(os.path.join(data_dir, e["file"])) if e["file"] else None
+            chain = [pq.read_table(os.path.join(data_dir, f)) for f in e["deltas"]]
+            merged = _merge_chain(base, chain)
+            if not merged.num_rows:
+                return pid, None
+            merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
+            fname = f"olc-{token}-p{int(pid):06d}.parquet"
+            pq.write_table(merged, os.path.join(data_dir, fname))
+            return pid, {"file": fname, "rows": merged.num_rows, "max_lsn": e["max_lsn"]}
+
+        return dict(ray.get([_fold_one.remote(pid, e) for pid, e in chained.items()]))
+
+    def _swap_compacted(self, prev: dict, chained: dict, folded: dict) -> dict:
+        """Online-compaction swap phase: under a SHORT writer lock,
+        re-read the latest manifest and swap each folded base in — valid
+        only when the partition's base file is unchanged and the snapshot
+        chain is still a prefix of the current chain (pure appends since
+        the fold started). Deltas appended during the fold become the
+        entry's new suffix chain. Skips (never corrupts) partitions that
+        were concurrently compacted/repartitioned or whose folded file a
+        racing vacuum removed; commits nothing if every swap was skipped."""
+        data_dir = self.log.data_dir
+        with self.log.writer_lock("compact"):
+            cur = self.manifest
+            if not cur or cur["num_partitions"] != prev["num_partitions"]:
+                return cur or {}
+            parts = dict(cur["partitions"])
+            swapped = 0
+            for pid, fe in folded.items():
+                old_e = chained[pid]
+                cur_e = parts.get(pid)
+                if cur_e is None:
+                    continue
+                od = old_e.get("deltas", []) or []
+                cd = cur_e.get("deltas", []) or []
+                if (cur_e.get("file") or "") != (old_e.get("file") or "") or cd[: len(od)] != od:
+                    continue  # base rewritten / chain folded concurrently
+                suffix = cd[len(od) :]
+                if fe is not None and not os.path.exists(os.path.join(data_dir, fe["file"])):
+                    continue  # racing vacuum removed the unreferenced fold
+                # `rows` must equal the exact footer-row sum of base +
+                # chain (fsck's chain-append arithmetic): folded base
+                # rows + the suffix deltas' physical rows. Metadata-only
+                # footer reads, O(windows-applied-during-fold) per pid.
+                suffix_rows = sum(
+                    pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in suffix
+                )
+                if fe is None:
+                    if suffix:
+                        # all snapshot rows tombstoned but new deltas
+                        # landed: empty base + the suffix chain
+                        parts[pid] = {
+                            "file": "",
+                            "rows": suffix_rows,
+                            "max_lsn": cur_e["max_lsn"],
+                            "deltas": suffix,
+                        }
+                    else:
+                        parts.pop(pid)
+                else:
+                    new_e = {
+                        "file": fe["file"],
+                        "rows": fe["rows"] + suffix_rows,
+                        "max_lsn": cur_e["max_lsn"],
+                    }
+                    if suffix:
+                        new_e["deltas"] = suffix
+                    parts[pid] = new_e
+                swapped += 1
+            if not swapped:
+                return cur
+            manifest = {
+                "version": cur["version"] + 1,
+                "watermark_lsn": cur["watermark_lsn"],
+                "schema_version": cur["schema_version"],
+                "num_partitions": cur["num_partitions"],
+                "partitions": parts,
+                "counters": cur["counters"],
+                "parent": cur["version"],
             }
             self.log.commit(manifest)
             return manifest

@@ -1,0 +1,165 @@
+"""Online (non-blocking) compaction: the fold runs WITHOUT the writer
+lock against a manifest snapshot; a short validate-and-swap commits the
+folded bases while windows applied during the fold survive as the new
+suffix chain. The race is simulated deterministically by driving the two
+phases (_fold_chains / _swap_compacted) by hand with applies between."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+
+CFG = BinlogConfig(n_events=4_000, n_keys=250, n_repos=8, schema_every=1_500, delete_pct=0.15)
+
+
+def _assert_same_state(lake: CDCLake, binlog: pa.Table, upto=None):
+    got = lake.read_table(view=False)
+    want, want_version = oracle_lake_table(binlog, upto_lsn=upto)
+    assert lake.schema_version == want_version
+    assert got.num_rows == want.num_rows
+    for col in ["repo", "path", "content_sha", "last_lsn"]:
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return binlog_table(CFG)
+
+
+def _chained_lake(tmp_path, binlog, upto):
+    # high chain cap: the engine's own every-K fold must not race the
+    # explicit online compact inside the test's deterministic schedule
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8, delta_ratio=10.0, max_delta_chain=64)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=upto, window_size=400)
+    assert any(e.get("deltas") for e in lake.manifest["partitions"].values()), "no chains formed"
+    return lake
+
+
+def test_online_compact_quiet_equals_offline(tmp_path, binlog):
+    """No concurrent writer: online compact folds every chain away and
+    converges to the same live state as the offline path."""
+    lake = _chained_lake(tmp_path, binlog, upto=CFG.n_events - 1)
+    wm = lake.watermark
+    m = lake.compact(online=True)
+    assert lake.watermark == wm
+    assert all(not e.get("deltas") for e in m["partitions"].values())
+    assert sum(e["rows"] for e in m["partitions"].values()) == lake.read_table(view=False).num_rows
+    _assert_same_state(lake, binlog)
+    # again: no chains → no-op, no new version
+    v = lake.manifest["version"]
+    lake.compact(online=True)
+    assert lake.manifest["version"] == v
+
+
+def test_online_compact_with_concurrent_window(tmp_path, binlog):
+    """Windows applied BETWEEN the fold and the swap survive as the
+    partition's new suffix chain; live state matches the oracle."""
+    lake = _chained_lake(tmp_path, binlog, upto=1_999)
+    prev = lake.manifest
+    chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+    folded = lake._fold_chains(chained)
+    # ingest keeps running while the fold is "in flight"
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_999, window_size=500)
+    mid = lake.manifest
+    m = lake._swap_compacted(prev, chained, folded)
+    assert m["version"] == mid["version"] + 1
+    assert m["watermark_lsn"] == mid["watermark_lsn"]
+    # every swapped partition's chain is now only the windows applied
+    # during the fold (strictly shorter than before the swap)
+    for pid in chained:
+        if pid not in m["partitions"]:
+            continue
+        old_chain = chained[pid].get("deltas", [])
+        mid_chain = mid["partitions"].get(pid, {}).get("deltas", [])
+        new_chain = m["partitions"][pid].get("deltas", [])
+        assert new_chain == mid_chain[len(old_chain):]
+    _assert_same_state(lake, binlog, upto=2_999)
+    # ingest continues after the swap and still converges
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    _assert_same_state(lake, binlog)
+    # fsck stays clean across the swapped history
+    rep = lake.fsck(deep=True)
+    assert rep["errors"] == []
+
+
+def test_online_compact_skips_concurrently_rewritten_base(tmp_path, binlog):
+    """A partition whose base was rewritten during the fold (an offline
+    compact raced us) is skipped, never corrupted — and when every
+    partition is skipped, nothing is committed."""
+    lake = _chained_lake(tmp_path, binlog, upto=CFG.n_events - 1)
+    prev = lake.manifest
+    chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+    folded = lake._fold_chains(chained)
+    lake.compact()  # offline compact wins the race: all bases rewritten
+    v = lake.manifest["version"]
+    m = lake._swap_compacted(prev, chained, folded)
+    assert m["version"] == v, "swap must not commit when every partition was rewritten"
+    _assert_same_state(lake, binlog)
+    # the orphaned fold files are vacuumable garbage
+    data = lake.log.data_dir
+    orphans = [f for f in os.listdir(data) if f.startswith("olc-")]
+    assert orphans
+    lake.vacuum(keep_versions=1)
+    assert not [f for f in os.listdir(data) if f.startswith("olc-")]
+    _assert_same_state(lake, binlog)
+
+
+def test_online_compact_skips_vacuumed_fold_files(tmp_path, binlog):
+    """A racing vacuum() may delete the (still unreferenced) fold files;
+    the swap detects the missing file and skips that partition."""
+    lake = _chained_lake(tmp_path, binlog, upto=CFG.n_events - 1)
+    prev = lake.manifest
+    chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+    folded = lake._fold_chains(chained)
+    # simulate the racing vacuum: remove half the fold outputs
+    victims = sorted(pid for pid, fe in folded.items() if fe is not None)[::2]
+    for pid in victims:
+        os.remove(os.path.join(lake.log.data_dir, folded[pid]["file"]))
+    m = lake._swap_compacted(prev, chained, folded)
+    for pid in victims:
+        assert m["partitions"][pid] == prev["partitions"][pid], "vacuumed fold must be skipped"
+    _assert_same_state(lake, binlog)
+    assert lake.fsck(deep=True)["errors"] == []
+
+
+def test_change_feed_across_online_compact(tmp_path, binlog):
+    """Incremental consumers diffing across an online-compacted version
+    (base swapped mid-history, chains cut) still see exactly the rows
+    the windows changed."""
+    lake = _chained_lake(tmp_path, binlog, upto=1_999)
+    since = lake.manifest["version"]
+    prev = lake.manifest
+    chained = {pid: e for pid, e in prev["partitions"].items() if e.get("deltas")}
+    folded = lake._fold_chains(chained)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=2_999, window_size=500)
+    lake._swap_compacted(prev, chained, folded)
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    # full diff since the pre-compact version == oracle diff of live states
+    changed = lake.read_changes(since).to_arrow_refs()
+    import ray
+
+    got = pa.concat_tables([ray.get(r) for r in changed])
+    want_now, _ = oracle_lake_table(binlog)
+    want_then, _ = oracle_lake_table(binlog, upto_lsn=1_999)
+    then = {
+        (r, p): s
+        for r, p, s in zip(
+            want_then.column("repo").to_pylist(),
+            want_then.column("path").to_pylist(),
+            want_then.column("content_sha").to_pylist(),
+        )
+    }
+    expect = {
+        (r, p)
+        for r, p, s in zip(
+            want_now.column("repo").to_pylist(),
+            want_now.column("path").to_pylist(),
+            want_now.column("content_sha").to_pylist(),
+        )
+        if then.get((r, p)) != s
+    }
+    got_keys = set(zip(got.column("repo").to_pylist(), got.column("path").to_pylist()))
+    assert expect <= got_keys

@@ -175,6 +175,8 @@ QUERY_SUBSET = [
     "snapshot_export",
     "demux_replay",
     "profile_view",
+    # round-4 session-15 additions
+    "ann_sync_lookup",
 ]
 
 

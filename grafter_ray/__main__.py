@@ -649,6 +649,37 @@ def cmd_ann_build(args) -> int:
     return 0
 
 
+def cmd_ann_sync(args) -> int:
+    from .pipelines.replay import CDCLake
+    from .stages.annindex import compact_ann_index, sync_ann_index
+
+    t0 = time.perf_counter()
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    man = sync_ann_index(
+        lake,
+        args.index,
+        n_clusters=args.clusters,
+        m=args.m,
+        ks=args.ks,
+        at_version=args.at_version,
+    )
+    if args.compact:
+        man = compact_ann_index(args.index)
+    _emit(
+        {
+            "cmd": "ann-sync",
+            "index": args.index,
+            "synced_version": int(man["synced_version"]),
+            "gen": int(man.get("gen", 0)),
+            "n_vectors": int(man["n_vectors"]),
+            "tombstone_files": len(man.get("tombstones") or []),
+            "compacted": bool(args.compact),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     import numpy as np
     import pyarrow.parquet as _pq
@@ -956,6 +987,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp.set_defaults(fn=cmd_ann_build)
+
+    sp = sub.add_parser(
+        "ann-sync",
+        help="sync the ANN index from the lake change feed (bootstrap on first run)",
+    )
+    lake_args(sp)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--clusters", type=int, default=16)
+    sp.add_argument("--m", type=int, default=8)
+    sp.add_argument("--ks", type=int, default=16)
+    sp.add_argument("--at-version", type=int, default=None, help="pin the BOOTSTRAP to an older lake version")
+    sp.add_argument("--compact", action="store_true", help="drop retired generations after the sync")
+    sp.set_defaults(fn=cmd_ann_sync)
 
     sp = sub.add_parser("ann-search", help="cosine top-k from the persisted ANN index")
     sp.add_argument("--index", required=True)

@@ -6456,6 +6456,121 @@ GROUP BY tok, doc_id
 """
 
 
+def q_ann_sync_lookup(sf_dir: str):
+    """The IVF-PQ ANN index as a LIVE derived artifact of the CDC lake
+    (stages/annindex.py sync_ann_index — the vector analogue of
+    index_sync_lookup): bootstrap pinned at the window-1 lake version,
+    then an incremental sync folds window 2's change feed — updated
+    docs re-embed + re-encode under a new generation and their stale
+    vectors retire via tombstones; deletes vanish. The index-served
+    top-15 (probe-all conformance config) must equal the closed-form
+    SQL cosine rank over the lake's final live state. Embeddings are
+    sha256-derived integer vectors (sha_embedding), so dot/norms are
+    exact int64 on BOTH sides and the cosine doubles are bit-identical;
+    the final re-rank here recomputes them with the same integer math
+    the SQL uses."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import ray
+
+    from .. import CDCLake
+    from ..stages.annindex import ann_index_search, sha_embedding, sync_ann_index
+
+    lake_root, v0, _, _ = _shared_docs_lake(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graftray_annsync_")
+    try:
+        lake = CDCLake(lake_root, num_partitions=32)  # shared, read-only
+        idx = f"{tmp}/idx"
+
+        def path_ids(tb: pa.Table):
+            p = pc.utf8_slice_codeunits(tb.column("path"), 4)
+            p = pc.replace_substring(p, pattern=".txt", replacement="")
+            return pc.cast(p, pa.int64())
+
+        sync_ann_index(lake, idx, id_fn=path_ids, n_clusters=8, m=4, ks=16, at_version=v0)
+        man = sync_ann_index(lake, idx, id_fn=path_ids)
+        if int(man["gen"]) != 1:
+            raise RuntimeError("expected an incremental ANN sync")
+        h = hashlib.sha256(b"query").hexdigest()
+        qv = np.array([int(h[4 * j : 4 * j + 4], 16) for j in range(8)], np.int64)
+        # index serves a padded candidate set; the cut to 15 happens on
+        # the EXACT integer cosine below (ulp-robust vs the SQL oracle)
+        cand = ann_index_search(idx, qv.astype(np.float64), k=50, nprobe=8, refine=100_000)
+        cand_ids = np.sort(np.asarray(cand.column("vec_id").to_pylist(), np.int64))
+        ids_ref = ray.put(cand_ids)
+
+        def cand_embs(tb: pa.Table) -> pa.Table:
+            vid = path_ids(tb)
+            keep = np.isin(vid.to_numpy(zero_copy_only=False), ray.get(ids_ref))
+            sel = tb.filter(pa.array(keep))
+            return pa.table(
+                {"vec_id": path_ids(sel), "embedding": sha_embedding(sel.column("content_sha"))}
+            )
+
+        rows = (
+            lake.read(view=True)
+            .map_batches(cand_embs, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )  # ≤ 50 candidate rows
+        vids = np.array([r["vec_id"] for r in rows], np.int64)
+        emb = np.array([r["embedding"] for r in rows], np.int64)
+        dot = emb @ qv  # exact int64 (values < 2^16, dim 8)
+        nd = (emb * emb).sum(axis=1)
+        nq = int((qv * qv).sum())
+        cos = dot.astype(np.float64) / np.sqrt(nd.astype(np.float64) * float(nq))
+        order = np.lexsort((vids, -cos))[:15]
+        e4 = np.round(cos[order] * 10_000.0).astype(np.int64)
+        return pa.table({"vec_id": pa.array(vids[order]), "cosine_e4": pa.array(e4)})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_ANN_SYNC_LOOKUP = """
+WITH live AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS content
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+),
+f AS (
+  SELECT doc_id, sha256(content) AS h FROM live
+),
+fd AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) AS d0,
+    CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) AS d1,
+    CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) AS d2,
+    CAST(concat('0x', substr(h, 13, 4)) AS BIGINT) AS d3,
+    CAST(concat('0x', substr(h, 17, 4)) AS BIGINT) AS d4,
+    CAST(concat('0x', substr(h, 21, 4)) AS BIGINT) AS d5,
+    CAST(concat('0x', substr(h, 25, 4)) AS BIGINT) AS d6,
+    CAST(concat('0x', substr(h, 29, 4)) AS BIGINT) AS d7
+  FROM f
+),
+qd AS (
+  SELECT
+    CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) AS q0,
+    CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) AS q1,
+    CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) AS q2,
+    CAST(concat('0x', substr(h, 13, 4)) AS BIGINT) AS q3,
+    CAST(concat('0x', substr(h, 17, 4)) AS BIGINT) AS q4,
+    CAST(concat('0x', substr(h, 21, 4)) AS BIGINT) AS q5,
+    CAST(concat('0x', substr(h, 25, 4)) AS BIGINT) AS q6,
+    CAST(concat('0x', substr(h, 29, 4)) AS BIGINT) AS q7
+  FROM (SELECT sha256('query') AS h)
+),
+cs AS (
+  SELECT doc_id,
+    CAST(d0*q0 + d1*q1 + d2*q2 + d3*q3 + d4*q4 + d5*q5 + d6*q6 + d7*q7 AS DOUBLE)
+      / sqrt(CAST(d0*d0 + d1*d1 + d2*d2 + d3*d3 + d4*d4 + d5*d5 + d6*d6 + d7*d7 AS DOUBLE)
+             * CAST(q0*q0 + q1*q1 + q2*q2 + q3*q3 + q4*q4 + q5*q5 + q6*q6 + q7*q7 AS DOUBLE)) AS c
+  FROM fd, qd
+)
+SELECT doc_id AS vec_id, CAST(round(c * 10000) AS BIGINT) AS cosine_e4
+FROM cs ORDER BY c DESC, doc_id LIMIT 15
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Boolean search over the index (must=[hash, join], should=[dup,
     spark], must_not=[slow]): pruned postings read, one doc exchange,
@@ -7294,6 +7409,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "boolean_search": q_boolean_search,
     "index_sync_lookup": q_index_sync_lookup,
+    "ann_sync_lookup": q_ann_sync_lookup,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "segment_order_stats": q_segment_order_stats,
@@ -7489,6 +7605,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "index_sync_lookup": SQL_INDEX_SYNC_LOOKUP,
+    "ann_sync_lookup": SQL_ANN_SYNC_LOOKUP,
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,

@@ -33,7 +33,14 @@ import ray
 
 from .similarity import IVFIndex, PQCodebook, _matrix, _normalize
 
-__all__ = ["build_ann_index", "extend_ann_index", "ann_index_search"]
+__all__ = [
+    "build_ann_index",
+    "extend_ann_index",
+    "ann_index_search",
+    "sync_ann_index",
+    "compact_ann_index",
+    "sha_embedding",
+]
 
 _MANIFEST = "_ANN.json"
 
@@ -60,8 +67,37 @@ def build_ann_index(
     sample = _matrix(sample_tb.column(vec_col), dtype=np.float64)
     ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
     book = PQCodebook(m=m, ks=ks).fit(sample)
-    box = {"ivf": ray.put(ivf), "book": ray.put(book)}
     os.makedirs(index_dir, exist_ok=True)
+    written = _write_vector_files(emb, index_dir, ivf, book, id_col, vec_col, gen=0)
+    files: dict[str, list[str]] = {}
+    n_vec = 0
+    for r in written:
+        files.setdefault(str(int(r["cluster"])), []).append(r["file"])
+        n_vec += int(r["rows"])
+    manifest = {
+        "n_clusters": int(n_clusters),
+        "m": int(m),
+        "ks": int(ks),
+        "metric": "cosine",
+        "n_vectors": n_vec,
+        "centroids": ivf.centroids.tolist(),
+        "codebooks": book.codebooks.tolist(),
+        "files": {c: sorted(fs) for c, fs in sorted(files.items())},
+    }
+    with open(os.path.join(index_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _write_vector_files(emb, index_dir: str, ivf, book, id_col: str, vec_col: str, gen: int) -> list:
+    """Assign + PQ-encode every block with the given (frozen) quantizers
+    and write one file per cluster-run, each row carrying its write
+    generation `gen` (0 = build/extend; sync bumps it — the tombstone
+    retirement unit, same discipline as retrieval.py postings). Returns
+    the written {file, cluster, rows} records; the CALLER publishes the
+    manifest (build/extend/sync differ only in what else commits with
+    the files)."""
+    box = {"ivf": ray.put(ivf), "book": ray.put(book)}
 
     def write_block(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
@@ -82,6 +118,7 @@ def build_ann_index(
                 "cluster": pa.array(assign),
                 "codes": codes_arr,
                 vec_col: tb.column(vec_col),
+                "gen": pa.array(np.full(tb.num_rows, gen, np.int32)),
             }
         ).sort_by([("cluster", "ascending"), (id_col, "ascending")])
         cl = t.column("cluster").to_numpy(zero_copy_only=False)
@@ -101,25 +138,39 @@ def build_ann_index(
             out_r.append(hi - lo)
         return pa.table({"file": pa.array(out_f), "cluster": pa.array(out_c, pa.int32()), "rows": pa.array(out_r, pa.int64())})
 
-    written = emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    files: dict[str, list[str]] = {}
-    n_vec = 0
-    for r in written:
-        files.setdefault(str(int(r["cluster"])), []).append(r["file"])
-        n_vec += int(r["rows"])
-    manifest = {
-        "n_clusters": int(n_clusters),
-        "m": int(m),
-        "ks": int(ks),
-        "metric": "cosine",
-        "n_vectors": n_vec,
-        "centroids": ivf.centroids.tolist(),
-        "codebooks": book.codebooks.tolist(),
-        "files": {c: sorted(fs) for c, fs in sorted(files.items())},
-    }
-    with open(os.path.join(index_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f)
-    return manifest
+    return emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+
+def _load_tombs(index_dir: str, man: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted vec_ids, newest tombstone gen per id) from the manifest's
+    tombstone files, or None when the index has no retirement history.
+    Bounded by churn since the last compaction (sync writes one row per
+    updated/deleted id)."""
+    files = man.get("tombstones") or []
+    if not files:
+        return None
+    t = pa.concat_tables([pq.read_table(os.path.join(index_dir, f)) for f in files])
+    if not t.num_rows:
+        return None
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    gens = t.column("gen").to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.lexsort((-gens.astype(np.int64), ids))
+    ids_s, gens_s = ids[order], gens[order]
+    first = np.ones(len(ids_s), bool)
+    first[1:] = ids_s[1:] != ids_s[:-1]
+    return ids_s[first], gens_s[first]
+
+
+def _live_mask(vec_ids: np.ndarray, gens: np.ndarray, tombs: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    """True for rows NOT retired: a row dies when its write generation
+    predates its id's newest tombstone (an update re-encoded the vector
+    under a newer gen, or a delete removed it). Vectorized searchsorted
+    against the sorted tombstone ids."""
+    tid, tgen = tombs
+    pos = np.searchsorted(tid, vec_ids)
+    posc = np.minimum(pos, len(tid) - 1)
+    hit = (pos < len(tid)) & (tid[posc] == vec_ids)
+    return ~(hit & (gens < tgen[posc]))
 
 
 def _load(index_dir: str) -> tuple[dict, IVFIndex, PQCodebook]:
@@ -162,11 +213,26 @@ def ann_index_search(
     if not paths:
         return empty
     lut = book.lut(q)
-    box = {"book": ray.put(book), "lut": ray.put(lut)}
+    # lake-synced index: rows retired by newer generations (update /
+    # delete tombstones, sync_ann_index) are dropped in BOTH phases —
+    # the tombstone map is churn-bounded and broadcast once
+    tombs = _load_tombs(index_dir, man)
+    box = {"book": ray.put(book), "lut": ray.put(lut), "tombs": ray.put(tombs)}
+    scan_cols = [id_col, "codes"] + (["gen"] if tombs is not None else [])
 
     def adc_block(tb: pa.Table) -> pa.Table:
         bk = ray.get(box["book"])
         lt = ray.get(box["lut"])
+        tm = ray.get(box["tombs"])
+        if tm is not None:
+            keep = _live_mask(
+                tb.column(id_col).to_numpy(zero_copy_only=False),
+                tb.column("gen").to_numpy(zero_copy_only=False),
+                tm,
+            )
+            tb = tb.filter(pa.array(keep))
+            if not tb.num_rows:
+                return pa.table({id_col: pa.array([], pa.int64()), "approx": pa.array([], pa.float64())})
         carr = tb.column("codes").combine_chunks()
         if isinstance(carr, pa.ChunkedArray):
             carr = carr.chunk(0) if carr.num_chunks else pa.array([], pa.binary(bk.m))
@@ -182,7 +248,7 @@ def ann_index_search(
         )
 
     cand_rows = (
-        rd.read_parquet(paths, columns=[id_col, "codes"])
+        rd.read_parquet(paths, columns=scan_cols)
         .map_batches(adc_block, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )  # ≤ refine × blocks rows (ids + scores only)
@@ -197,8 +263,18 @@ def ann_index_search(
     import pyarrow.dataset as pads
 
     fetched = pads.dataset(paths).to_table(
-        columns=[id_col, vec_col], filter=pads.field(id_col).isin(cand_ids)
+        columns=[id_col, vec_col] + (["gen"] if tombs is not None else []),
+        filter=pads.field(id_col).isin(cand_ids),
     )
+    if tombs is not None:
+        keep = _live_mask(
+            fetched.column(id_col).to_numpy(zero_copy_only=False),
+            fetched.column("gen").to_numpy(zero_copy_only=False),
+            tombs,
+        )
+        fetched = fetched.filter(pa.array(keep))
+        if not fetched.num_rows:
+            return empty
     mat = _normalize(_matrix(fetched.column(vec_col), dtype=np.float64))
     qn = _normalize(q.reshape(1, -1))
     sims = (mat @ qn.T).ravel()
@@ -227,54 +303,209 @@ def extend_ann_index(
     crashed extend leaves only orphan files the manifest never
     references. Caller contract: vec_ids must be NEW (same append
     semantics as extend_text_index)."""
-    man_path = os.path.join(index_dir, _MANIFEST)
     man, ivf, book = _load(index_dir)
-    box = {"ivf": ray.put(ivf), "book": ray.put(book)}
-
-    def write_block(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return pa.table({"file": pa.array([], pa.string()), "cluster": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
-        iv = ray.get(box["ivf"])
-        bk = ray.get(box["book"])
-        mat = _matrix(tb.column(vec_col), dtype=np.float64)
-        assign = iv.assign(mat).astype(np.int32)
-        codes = bk.encode(mat)
-        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(bk.m), len(codes), [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
-        )
-        t = pa.table(
-            {
-                id_col: tb.column(id_col),
-                "cluster": pa.array(assign),
-                "codes": codes_arr,
-                vec_col: tb.column(vec_col),
-            }
-        ).sort_by([("cluster", "ascending"), (id_col, "ascending")])
-        cl = t.column("cluster").to_numpy(zero_copy_only=False)
-        bounds = np.flatnonzero(np.diff(cl)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(cl)]])
-        out_f, out_c, out_r = [], [], []
-        for lo, hi in zip(starts, ends):
-            c = int(cl[lo])
-            part = t.slice(lo, hi - lo).drop_columns(["cluster"])
-            d = os.path.join(index_dir, f"cluster={c}")
-            os.makedirs(d, exist_ok=True)
-            fname = f"vectors-{os.getpid()}-{os.urandom(6).hex()}.parquet"
-            pq.write_table(part, os.path.join(d, fname), row_group_size=4096)
-            out_f.append(f"cluster={c}/{fname}")
-            out_c.append(c)
-            out_r.append(hi - lo)
-        return pa.table({"file": pa.array(out_f), "cluster": pa.array(out_c, pa.int32()), "rows": pa.array(out_r, pa.int64())})
-
-    written = emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    written = _write_vector_files(emb, index_dir, ivf, book, id_col, vec_col, gen=0)
     for r in written:
         c = str(int(r["cluster"]))
         man["files"].setdefault(c, []).append(r["file"])
         man["n_vectors"] = int(man["n_vectors"]) + int(r["rows"])
     man["files"] = {c: sorted(fs) for c, fs in sorted(man["files"].items())}
+    _publish(index_dir, man)
+    return man
+
+
+def _publish(index_dir: str, man: dict) -> None:
+    man_path = os.path.join(index_dir, _MANIFEST)
     tmp = f"{man_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.rename(tmp, man_path)
+
+
+_HEXVAL = np.zeros(256, np.int64)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEXVAL[ord(_c)] = _i
+
+
+def sha_embedding(hex_col, dim: int = 8) -> pa.Array:
+    """Deterministic content embedding from a sha256 HEX column (the
+    lake's content_sha): dimension j is the 16-bit integer at hex chars
+    [4j, 4j+4), as float64 (exact — values < 2^16). Fully vectorized
+    (one gather over the flat string buffer, no per-row hashing: the
+    engine already maintains content_sha) and closed-form in SQL —
+    ``CAST('0x' || substr(sha256(content), 1+4*j, 4) AS BIGINT)`` — so
+    index-served searches over it are DuckDB-oracle-gatable end to end.
+    Integer-valued dimensions also make cosine exactly reproducible:
+    dot/norms are exact int64 sums on both sides, and IEEE div/sqrt of
+    identical inputs is bit-identical."""
+    if dim * 4 > 64:
+        raise ValueError("sha256 hex has 64 chars — dim must be <= 16")
+    arr = hex_col.combine_chunks() if isinstance(hex_col, pa.ChunkedArray) else hex_col
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.list_(pa.float64(), dim))
+    offs = np.frombuffer(arr.buffers()[1], np.int32, n + 1, arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    idx = offs[:-1].astype(np.int64)[:, None] + np.arange(4 * dim)
+    vals = _HEXVAL[data[idx]].reshape(n, dim, 4)
+    ints = ((vals[..., 0] * 16 + vals[..., 1]) * 16 + vals[..., 2]) * 16 + vals[..., 3]
+    return pa.FixedSizeListArray.from_arrays(pa.array(ints.astype(np.float64).ravel()), dim)
+
+
+def sync_ann_index(
+    lake,
+    index_dir: str,
+    *,
+    embed_fn=None,
+    id_fn=None,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_rows: int = 4096,
+    at_version: int | None = None,
+) -> dict:
+    """Keep the IVF-PQ index a LIVE derived artifact of a CDCLake — the
+    vector-retrieval analogue of retrieval.py's sync_text_index (and of
+    pipelines/chain.py's derived lakes).
+
+    First call bootstraps: full index build over the lake's live view
+    (quantizers train once and FREEZE — extends encode with them; a
+    distribution shift calls for a rebuild, never a silent retrain).
+    Later calls fold ONLY the change feed since the last synced lake
+    version: upserted rows re-embed + re-encode under a new generation,
+    and deletions plus prior generations retire via a tombstone file
+    (vec_id, gen) that searches apply in both the ADC scan and the
+    refine fetch — an updated doc never serves its stale vector. Files
+    + tombstones + sync point publish in ONE atomic manifest rename: a
+    crash mid-sync leaves only orphan files the manifest never
+    references, and the re-run redoes the whole sync exactly-once.
+    compact_ann_index physically drops retired rows and clears the
+    tombstone history.
+
+    ``embed_fn(tb) -> list<float64> array`` maps a LAKE batch to
+    vectors (default: sha_embedding of content_sha — deterministic and
+    SQL-reproducible). ``id_fn(tb) -> int64 array`` derives vec_id from
+    the KEY columns only (it also runs on the tombstone feed, which
+    carries nothing else); default: the lake's 64-bit key hash."""
+    from ..util import key_hash_array
+
+    def default_ids(tb: pa.Table):
+        return pa.array(key_hash_array(tb.column("repo"), tb.column("path")).astype(np.int64))
+
+    ids = id_fn or default_ids
+    embed = embed_fn or (lambda tb: sha_embedding(tb.column("content_sha")))
+
+    def to_vecs(tb: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": ids(tb), "embedding": embed(tb)})
+
+    man_path = os.path.join(index_dir, _MANIFEST)
+    cur_version = int(lake.manifest["version"])
+    if not os.path.exists(man_path):
+        vecs = lake.read(view=True, version=at_version).map_batches(
+            to_vecs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        man = build_ann_index(
+            vecs, index_dir, n_clusters=n_clusters, m=m, ks=ks, train_rows=train_rows
+        )
+        man["synced_version"] = int(at_version) if at_version is not None else cur_version
+        man["gen"] = 0
+        man["tombstones"] = []
+        _publish(index_dir, man)
+        return man
+    if at_version is not None:
+        raise ValueError("at_version is a bootstrap-time pin only")
+
+    man, ivf, book = _load(index_dir)
+    since = int(man.get("synced_version", 0))
+    if since >= cur_version:
+        return man
+    gen = int(man.get("gen", 0)) + 1
+
+    ups = lake.read_changes(since, view=True).map_batches(
+        to_vecs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    del_rows = lake.deleted_keys(since).map_batches(
+        lambda tb: pa.table({"vec_id": ids(tb)}), batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    written = _write_vector_files(ups, index_dir, ivf, book, "vec_id", "embedding", gen=gen)
+    # tombstone ids = everything the feed touched (bounded by churn):
+    # upserts retire their own older generations, deletes retire the key
+    up_ids = {
+        int(v)
+        for r in written
+        for v in pq.read_table(os.path.join(index_dir, r["file"]), columns=["vec_id"]).column("vec_id").to_pylist()
+    }
+    tomb_ids = sorted(up_ids | {int(r["vec_id"]) for r in del_rows})
+    os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
+    tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(tomb_ids, pa.int64()),
+                "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
+            }
+        ),
+        os.path.join(index_dir, tname),
+    )
+    for r in written:
+        c = str(int(r["cluster"]))
+        man["files"].setdefault(c, []).append(r["file"])
+        man["n_vectors"] = int(man["n_vectors"]) + int(r["rows"])
+    man["files"] = {c: sorted(fs) for c, fs in sorted(man["files"].items())}
+    man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
+    man["gen"] = gen
+    man["synced_version"] = cur_version
+    _publish(index_dir, man)
+    return man
+
+
+def compact_ann_index(index_dir: str) -> dict:
+    """Physically drop retired generations: one Ray task per cluster
+    rewrites the cluster's files to only tombstone-surviving rows (the
+    newest generation per updated id; deleted ids vanish), the manifest
+    publishes atomically with an empty tombstone list and an exact
+    n_vectors, then the superseded files are removed. A crash before
+    the publish leaves the old manifest + orphan files (harmless); after
+    it, only old-file orphans a re-run ignores."""
+    man, _, _ = _load(index_dir)
+    tombs = _load_tombs(index_dir, man)
+    if tombs is None:
+        return man
+    tbox = ray.put(tombs)
+
+    @ray.remote(num_cpus=1)
+    def _compact_cluster(c: str, files: list[str]) -> tuple[str, str | None, int]:
+        tm = ray.get(tbox)
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(index_dir, f)) for f in files], promote_options="none"
+        )
+        keep = _live_mask(
+            t.column("vec_id").to_numpy(zero_copy_only=False),
+            t.column("gen").to_numpy(zero_copy_only=False),
+            tm,
+        )
+        t = t.filter(pa.array(keep))
+        if not t.num_rows:
+            return c, None, 0
+        t = t.sort_by([("vec_id", "ascending")])
+        fname = f"cluster={c}/vectors-c{os.getpid()}-{os.urandom(6).hex()}.parquet"
+        pq.write_table(t, os.path.join(index_dir, fname), row_group_size=4096)
+        return c, fname, t.num_rows
+
+    results = ray.get(
+        [_compact_cluster.remote(c, fs) for c, fs in man["files"].items() if fs]
+    )
+    old_files = [f for fs in man["files"].values() for f in fs]
+    old_tombs = list(man.get("tombstones") or [])
+    man["files"] = {c: [f] for c, f, n in results if f is not None}
+    man["n_vectors"] = sum(n for _, _, n in results)
+    man["tombstones"] = []
+    _publish(index_dir, man)
+    for f in old_files + old_tombs:
+        try:
+            os.remove(os.path.join(index_dir, f))
+        except OSError:
+            pass
     return man

@@ -1,0 +1,193 @@
+"""Lake-synced ANN index (stages/annindex.py sync_ann_index): the
+IVF-PQ index as a live derived artifact of a CDCLake. Bootstrap, fold
+the change feed under generation tombstones (updates retire stale
+vectors, deletes remove them), physical compaction, and exact parity
+with a from-scratch brute-force search over the lake's live view."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_view_table
+from grafter_ray.stages.annindex import (
+    ann_index_search,
+    compact_ann_index,
+    sha_embedding,
+    sync_ann_index,
+)
+from grafter_ray.util import key_hash_array
+
+CFG = BinlogConfig(n_events=3_000, n_keys=220, n_repos=8, schema_every=10_000, delete_pct=0.12)
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return binlog_table(CFG)
+
+
+def _brute_topk_over_live(lake: CDCLake, q: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Reference: exact cosine top-k over the lake's CURRENT live rows,
+    embedded the same way the sync does (sha_embedding of content_sha),
+    ranked like ann_index_search (e6-rounded cosine desc, vec_id asc)."""
+    from grafter_ray.stages.similarity import _normalize
+
+    live = lake.read_table(view=True)
+    ids = key_hash_array(live.column("repo"), live.column("path")).astype(np.int64)
+    mat = np.asarray(sha_embedding(live.column("content_sha")).flatten()).reshape(live.num_rows, -1)
+    # mirror ann_index_search's exact float ops (same BLAS shapes)
+    mn = _normalize(mat)
+    qn = _normalize(np.asarray(q, np.float64).reshape(1, -1))
+    sims = (mn @ qn.T).ravel()
+    order = np.lexsort((ids, -np.round(sims, 6)))[:k]
+    return [(int(ids[i]), float(np.round(sims[i], 6))) for i in order]
+
+
+def _query_vec() -> np.ndarray:
+    import hashlib
+
+    h = hashlib.sha256(b"query").hexdigest()
+    return np.array([int(h[4 * j : 4 * j + 4], 16) for j in range(8)], np.float64)
+
+
+def _conformance_search(idx: str, q: np.ndarray, k: int):
+    man_clusters = 6
+    got = ann_index_search(idx, q, k=k, nprobe=man_clusters, refine=10_000)
+    return [(int(r["vec_id"]), float(r["cosine"])) for r in got.to_pylist()]
+
+
+def test_sync_bootstrap_then_incremental(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    q = _query_vec()
+    man = sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    assert man["gen"] == 0 and man["tombstones"] == []
+    assert man["n_vectors"] == lake.read_table(view=True).num_rows
+    assert _conformance_search(idx, q, 15) == _brute_topk_over_live(lake, q, 15)
+
+    # fold the churn window: updates + deletes since the synced version
+    lake.apply(rd.from_arrow(binlog))
+    man = sync_ann_index(lake, idx)
+    assert man["gen"] == 1 and man["tombstones"]
+    assert man["synced_version"] == lake.manifest["version"]
+    assert _conformance_search(idx, q, 15) == _brute_topk_over_live(lake, q, 15)
+
+    # no-op re-sync: nothing new committed
+    again = sync_ann_index(lake, idx)
+    assert again["gen"] == 1 and again["synced_version"] == man["synced_version"]
+
+
+def test_stale_vector_never_served(tmp_path, binlog):
+    """An updated key's OLD vector must never appear: search for the old
+    content's own embedding — post-sync the top hit must carry the NEW
+    content's cosine, not 1.0 for the stale row."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    v0 = lake.read_table(view=True)
+    # pick a key whose content changes in the second half
+    lake.apply(rd.from_arrow(binlog))
+    v1 = lake.read_table(view=True)
+    k0 = {(r, p): s for r, p, s in zip(v0.column("repo").to_pylist(), v0.column("path").to_pylist(), v0.column("content_sha").to_pylist())}
+    changed = [
+        (r, p, s)
+        for r, p, s in zip(v1.column("repo").to_pylist(), v1.column("path").to_pylist(), v1.column("content_sha").to_pylist())
+        if (r, p) in k0 and k0[(r, p)] != s
+    ]
+    assert changed, "fixture must contain an updated key"
+    repo, path, _ = changed[0]
+    old_sha = k0[(repo, path)]
+    sync_ann_index(lake, idx)
+    qold = np.asarray(sha_embedding(pa.array([old_sha])).flatten(), np.float64)
+    vid = int(key_hash_array(pa.array([repo]), pa.array([path])).astype(np.int64)[0])
+    got = dict(_conformance_search(idx, qold, 10_000))
+    want = dict(_brute_topk_over_live(lake, qold, 10_000))
+    assert got == want
+    # the stale row would have scored exactly 1.0; the live row must not
+    if vid in got:
+        assert got[vid] == want[vid] != 1.0
+
+
+def test_deleted_key_disappears(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    v0 = lake.read_table(view=True)
+    lake.apply(rd.from_arrow(binlog))
+    v1 = lake.read_table(view=True)
+    live1 = set(zip(v1.column("repo").to_pylist(), v1.column("path").to_pylist()))
+    deleted = [
+        (r, p)
+        for r, p in zip(v0.column("repo").to_pylist(), v0.column("path").to_pylist())
+        if (r, p) not in live1
+    ]
+    assert deleted, "fixture must contain a deleted key"
+    sync_ann_index(lake, idx)
+    got_ids = {v for v, _ in _conformance_search(idx, _query_vec(), 10_000)}
+    for r, p in deleted:
+        vid = int(key_hash_array(pa.array([r]), pa.array([p])).astype(np.int64)[0])
+        assert vid not in got_ids
+
+
+def test_compact_drops_retired_rows_exactly(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    lake.apply(rd.from_arrow(binlog))
+    sync_ann_index(lake, idx)
+    q = _query_vec()
+    before = _conformance_search(idx, q, 25)
+    man = compact_ann_index(idx)
+    assert man["tombstones"] == []
+    live_rows = lake.read_table(view=True).num_rows
+    assert man["n_vectors"] == live_rows
+    # physical row count equals live rows (no retired generations left)
+    total = sum(
+        pq.read_metadata(os.path.join(idx, f)).num_rows
+        for fs in man["files"].values()
+        for f in fs
+    )
+    assert total == live_rows
+    assert _conformance_search(idx, q, 25) == before
+    # compacting again is a no-op
+    assert compact_ann_index(idx)["n_vectors"] == live_rows
+
+
+def test_crash_before_manifest_publish_is_invisible(tmp_path, binlog, monkeypatch):
+    """Kill the sync after files+tombstones are written but before the
+    manifest rename: searches still serve the old index; the re-run
+    sync completes and converges."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    q = _query_vec()
+    pre = _conformance_search(idx, q, 15)
+    lake.apply(rd.from_arrow(binlog))
+
+    import grafter_ray.stages.annindex as ai
+
+    real_publish = ai._publish
+    calls = {"n": 0}
+
+    def exploding_publish(d, man):
+        calls["n"] += 1
+        raise RuntimeError("crash before manifest rename")
+
+    monkeypatch.setattr(ai, "_publish", exploding_publish)
+    with pytest.raises(RuntimeError):
+        sync_ann_index(lake, idx)
+    monkeypatch.setattr(ai, "_publish", real_publish)
+    # old manifest still serves the old answer
+    assert _conformance_search(idx, q, 15) == pre
+    # re-run completes and converges on the live state
+    sync_ann_index(lake, idx)
+    assert _conformance_search(idx, q, 15) == _brute_topk_over_live(lake, q, 15)

@@ -279,6 +279,35 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pin(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    if args.release:
+        ok = lake.unpin(args.name)
+        _emit({"cmd": "pin", "name": args.name, "released": bool(ok)})
+        return 0 if ok else 1
+    rec = lake.pin(args.name, args.at_version)
+    _emit({"cmd": "pin", "name": args.name, "version": rec["version"], "pins": lake.log.pins()})
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    rep = lake.maintain(
+        min_chain=args.min_chain,
+        keep_versions=args.keep_versions,
+        online=not args.offline,
+        vacuum=not args.no_vacuum,
+    )
+    rep["wall_sec"] = round(time.perf_counter() - t0, 3)
+    _emit({"cmd": "maintain", **rep})
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .pipelines.replay import CDCLake
 
@@ -805,6 +834,21 @@ def build_parser() -> argparse.ArgumentParser:
     lake_args(sp)
     sp.add_argument("--keep-versions", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("pin", help="pin a committed version for a long reader (vacuum keeps it)")
+    lake_args(sp)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--at-version", type=int, default=None, help="default: latest")
+    sp.add_argument("--release", action="store_true", help="release the named pin")
+    sp.set_defaults(fn=cmd_pin)
+
+    sp = sub.add_parser("maintain", help="one ops tick: online compact when chained, pin-aware vacuum")
+    lake_args(sp)
+    sp.add_argument("--min-chain", type=int, default=1, help="fold only when a chain reaches this many files")
+    sp.add_argument("--keep-versions", type=int, default=2)
+    sp.add_argument("--offline", action="store_true", help="hold the writer lock through the fold")
+    sp.add_argument("--no-vacuum", action="store_true")
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser(
         "dlq-retry",

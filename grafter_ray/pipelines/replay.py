@@ -1965,15 +1965,28 @@ class CDCLake:
             self.log.commit(manifest)
             return manifest
 
+    def pin(self, name: str, version: int | None = None) -> dict:
+        """Pin a committed version (default: the latest) for a long
+        reader: vacuum keeps the pinned manifest + its data files past
+        keep_versions until `unpin(name)` releases it. Named — two
+        readers' pins never release each other."""
+        v = int(self.manifest["version"]) if version is None else int(version)
+        return self.log.pin(name, v)
+
+    def unpin(self, name: str) -> bool:
+        return self.log.unpin(name)
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files referenced only by manifests older than the
         last `keep_versions` committed versions (bounded time travel —
-        Delta-style VACUUM). Returns the number of files removed.
+        Delta-style VACUUM). Pinned versions (``pin``) are retained
+        regardless of the horizon. Returns the number of files removed.
         Takes the lake writer lock: running concurrently with apply would
         delete the in-flight window's staging files."""
         with self.log.writer_lock("vacuum"):
             versions = self.log.versions()
             keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
+            keep |= {v for v in self.log.pins().values() if v in versions}
             live: set[str] = set()
             for v in keep:
                 m = self.log.read(v)
@@ -1993,6 +2006,35 @@ class CDCLake:
                 if v not in keep:
                     os.remove(os.path.join(self.log.log_dir, f"{v:020d}.json"))
             return removed
+
+    def maintain(
+        self,
+        *,
+        min_chain: int = 1,
+        keep_versions: int = 2,
+        online: bool = True,
+        vacuum: bool = True,
+    ) -> dict:
+        """One maintenance tick for the ops loop a 24/7 lake runs beside
+        its tail: fold delta chains when any reaches `min_chain` files
+        (ONLINE by default — ingest keeps running through the fold),
+        then vacuum past the retention horizon (pin-aware). Policy knobs
+        only — every primitive is the public compact/vacuum. Returns
+        {compacted, version, removed_files, pins}."""
+        m = self.manifest
+        report = {"compacted": False, "version": int(m["version"]) if m else -1, "removed_files": 0}
+        if m:
+            longest = max(
+                (len(e.get("deltas", []) or []) for e in m["partitions"].values()), default=0
+            )
+            if longest >= min_chain:
+                out = self.compact(online=online)
+                report["compacted"] = bool(out and out.get("version", -1) != m["version"])
+                report["version"] = int(out["version"]) if out else report["version"]
+        if vacuum:
+            report["removed_files"] = self.vacuum(keep_versions=keep_versions)
+        report["pins"] = self.log.pins()
+        return report
 
     def fsck(self, deep: bool = False, version: int | None = None) -> dict:
         """Lake integrity check (operational fsck — read-only, never

@@ -63,6 +63,51 @@ class CommitLog:
         with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
             return json.load(f)
 
+    # -- reader pins -------------------------------------------------------
+    # A pin marks a committed version as in-use by a long reader (a
+    # training run streaming a snapshot, an audit, a debugging session):
+    # vacuum keeps a pinned version's manifest AND data files regardless
+    # of keep_versions — the Delta-retention answer to "my 3-day read job
+    # lost its files to VACUUM". Pins are named, so independent readers
+    # never release each other's.
+
+    @property
+    def pins_dir(self) -> str:
+        return os.path.join(self.log_dir, "pins")
+
+    def pin(self, name: str, version: int) -> dict:
+        """Pin `version` under `name` (atomic write; re-pinning a name
+        moves it). The version must still be on disk."""
+        if not os.path.exists(os.path.join(self.log_dir, f"{version:020d}.json")):
+            raise ValueError(f"cannot pin version {version}: not committed or already vacuumed")
+        os.makedirs(self.pins_dir, exist_ok=True)
+        rec = {"name": name, "version": int(version), "ts": time.time()}
+        path = os.path.join(self.pins_dir, f"{name}.json")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)
+        return rec
+
+    def unpin(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self.pins_dir, f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def pins(self) -> dict[str, int]:
+        """{pin name: pinned version} — empty when none."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self.pins_dir):
+            return out
+        for f in os.listdir(self.pins_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(self.pins_dir, f)) as fh:
+                    rec = json.load(fh)
+                out[rec["name"]] = int(rec["version"])
+        return out
+
     # -- write side --------------------------------------------------------
     @staticmethod
     def data_file(version: int, pid: int) -> str:

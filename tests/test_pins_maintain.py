@@ -1,0 +1,83 @@
+"""Reader version pins (vacuum keeps pinned versions past the retention
+horizon) and the maintain() ops tick (online compact + pin-aware
+vacuum)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+
+CFG = BinlogConfig(n_events=3_000, n_keys=200, n_repos=8, schema_every=10_000, delete_pct=0.1)
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return binlog_table(CFG)
+
+
+def test_pin_survives_vacuum(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    v0 = lake.manifest["version"]
+    lake.pin("trainer", v0)
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    lake.vacuum(keep_versions=1)
+    # pinned version's manifest + data still readable (time travel)
+    got = lake.read_table(view=False, version=v0)
+    want, _ = oracle_lake_table(binlog, upto_lsn=999)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    # unpinned versions between the pin and the horizon are gone
+    vs = lake.log.versions()
+    assert v0 in vs and len(vs) >= 2
+    # release the pin: the next vacuum reclaims it
+    assert lake.unpin("trainer")
+    lake.vacuum(keep_versions=1)
+    assert v0 not in lake.log.versions()
+    with pytest.raises(FileNotFoundError):
+        lake.read_table(view=False, version=v0)
+
+
+def test_pin_unknown_version_raises(tmp_path, binlog):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    with pytest.raises(ValueError):
+        lake.pin("x", 999_999)
+    # default pin = latest; re-pin moves the name
+    lake.pin("x")
+    assert lake.log.pins()["x"] == lake.manifest["version"]
+    lake.pin("x", lake.manifest["version"])
+    assert len(lake.log.pins()) == 1
+    assert not lake.unpin("never-created")
+
+
+def test_maintain_tick(tmp_path, binlog):
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64
+    )
+    lake.apply(rd.from_arrow(binlog), window_size=400)
+    assert any(e.get("deltas") for e in lake.manifest["partitions"].values())
+    rep = lake.maintain(min_chain=1, keep_versions=1)
+    assert rep["compacted"]
+    assert all(not e.get("deltas") for e in lake.manifest["partitions"].values())
+    # state unchanged by maintenance
+    got = lake.read_table(view=False)
+    want, _ = oracle_lake_table(binlog)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    # second tick: nothing chained, nothing to remove
+    rep2 = lake.maintain(min_chain=1, keep_versions=1)
+    assert not rep2["compacted"] and rep2["removed_files"] == 0
+
+
+def test_maintain_min_chain_gate(tmp_path, binlog):
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64
+    )
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)
+    longest = max(len(e.get("deltas", []) or []) for e in lake.manifest["partitions"].values())
+    rep = lake.maintain(min_chain=longest + 1, vacuum=False)
+    assert not rep["compacted"], "below-threshold chains must not fold"
+    rep = lake.maintain(min_chain=longest, vacuum=False)
+    assert rep["compacted"]

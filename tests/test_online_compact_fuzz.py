@@ -1,0 +1,63 @@
+"""Randomized-schedule fuzz for online compaction: arbitrary
+interleavings of window applies, fold starts, swaps, offline compacts
+and vacuums (the operations the short writer lock serializes in
+production) must always converge the lake to the oracle state with a
+clean deep fsck — the swap may SKIP work, never corrupt it."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_schedule_converges(tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    cfg = BinlogConfig(
+        n_events=int(rng.randint(1_500, 3_000)),
+        n_keys=int(rng.randint(80, 260)),
+        n_repos=int(rng.randint(4, 10)),
+        schema_every=int(rng.choice([900, 10_000])),
+        delete_pct=float(rng.uniform(0.05, 0.25)),
+    )
+    binlog = binlog_table(cfg)
+    src = rd.from_arrow(binlog)
+    lake = CDCLake(
+        str(tmp_path / "lake"),
+        num_partitions=int(rng.choice([4, 8])),
+        delta_ratio=10.0,
+        max_delta_chain=int(rng.choice([3, 6, 64])),
+    )
+    hi = cfg.n_events - 1
+    pending = None  # (prev_manifest, chained, folded)
+    steps = 0
+    while lake.watermark < hi or pending is not None:
+        steps += 1
+        assert steps < 200, "schedule failed to terminate"
+        roll = rng.rand()
+        if lake.watermark < hi and (roll < 0.45 or pending is None and roll < 0.6):
+            upto = min(hi, lake.watermark + int(rng.randint(200, 900)))
+            lake.apply(src, upto_lsn=upto, window_size=int(rng.choice([250, 400, 10_000])))
+        elif pending is None and roll < 0.75:
+            prev = lake.manifest
+            if prev:
+                chained = {p: e for p, e in prev["partitions"].items() if e.get("deltas")}
+                if chained:
+                    pending = (prev, chained, lake._fold_chains(chained))
+        elif pending is not None and roll < 0.85:
+            prev, chained, folded = pending
+            lake._swap_compacted(prev, chained, folded)
+            pending = None
+        elif roll < 0.93:
+            lake.compact()  # offline compact racing the pending fold
+        else:
+            lake.vacuum(keep_versions=2)  # may delete pending fold files
+    want, want_version = oracle_lake_table(binlog)
+    got = lake.read_table(view=False)
+    assert lake.schema_version == want_version
+    assert got.num_rows == want.num_rows
+    for col in ["repo", "path", "content_sha", "last_lsn"]:
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), (col, seed)
+    rep = lake.fsck(deep=True)
+    assert rep["errors"] == [], (seed, rep["errors"])

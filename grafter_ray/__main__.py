@@ -684,16 +684,28 @@ def cmd_ann_sync(args) -> int:
 
     t0 = time.perf_counter()
     lake = CDCLake(args.lake, num_partitions=args.partitions)
-    man = sync_ann_index(
-        lake,
-        args.index,
-        n_clusters=args.clusters,
-        m=args.m,
-        ks=args.ks,
-        at_version=args.at_version,
-    )
+    if args.rebuild:
+        from .stages.annindex import rebuild_ann_index
+
+        man = rebuild_ann_index(
+            lake, args.index, n_clusters=args.clusters, m=args.m, ks=args.ks
+        )
+    else:
+        man = sync_ann_index(
+            lake,
+            args.index,
+            n_clusters=args.clusters,
+            m=args.m,
+            ks=args.ks,
+            at_version=args.at_version,
+        )
     if args.compact:
         man = compact_ann_index(args.index)
+    removed = 0
+    if args.vacuum:
+        from .stages.annindex import vacuum_ann_index
+
+        removed = vacuum_ann_index(args.index)
     _emit(
         {
             "cmd": "ann-sync",
@@ -703,6 +715,8 @@ def cmd_ann_sync(args) -> int:
             "n_vectors": int(man["n_vectors"]),
             "tombstone_files": len(man.get("tombstones") or []),
             "compacted": bool(args.compact),
+            "rebuilt": bool(args.rebuild),
+            "vacuumed_files": removed,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
     )
@@ -1043,6 +1057,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ks", type=int, default=16)
     sp.add_argument("--at-version", type=int, default=None, help="pin the BOOTSTRAP to an older lake version")
     sp.add_argument("--compact", action="store_true", help="drop retired generations after the sync")
+    sp.add_argument("--rebuild", action="store_true", help="retrain quantizers on the live view, atomic cutover")
+    sp.add_argument("--vacuum", action="store_true", help="remove files the current manifest no longer references")
     sp.set_defaults(fn=cmd_ann_sync)
 
     sp = sub.add_parser("ann-search", help="cosine top-k from the persisted ANN index")

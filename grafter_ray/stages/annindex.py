@@ -39,6 +39,8 @@ __all__ = [
     "ann_index_search",
     "sync_ann_index",
     "compact_ann_index",
+    "rebuild_ann_index",
+    "vacuum_ann_index",
     "sha_embedding",
 ]
 
@@ -459,6 +461,96 @@ def sync_ann_index(
     man["synced_version"] = cur_version
     _publish(index_dir, man)
     return man
+
+
+def rebuild_ann_index(
+    lake,
+    index_dir: str,
+    *,
+    embed_fn=None,
+    id_fn=None,
+    n_clusters: int | None = None,
+    m: int | None = None,
+    ks: int | None = None,
+    train_rows: int = 4096,
+) -> dict:
+    """Retrain the quantizers on the lake's CURRENT live view and cut
+    the index over atomically — the answer to distribution drift, which
+    sync deliberately never handles (frozen quantizers; a silent retrain
+    would invalidate every stored code). New vector files are written
+    under fresh names in the SAME directory, then one manifest rename
+    repoints searches: an in-flight reader that loaded the old manifest
+    keeps reading the old files (still on disk) to a consistent answer;
+    vacuum_ann_index() reclaims unreferenced files afterwards. Resets
+    the generation clock (gen 0, no tombstones) and the sync point to
+    the lake version the rebuild read. Defaults keep the old manifest's
+    index parameters."""
+    from ..util import key_hash_array
+
+    old, _, _ = _load(index_dir)
+
+    def default_ids(tb: pa.Table):
+        return pa.array(key_hash_array(tb.column("repo"), tb.column("path")).astype(np.int64))
+
+    ids = id_fn or default_ids
+    embed = embed_fn or (lambda tb: sha_embedding(tb.column("content_sha")))
+
+    def to_vecs(tb: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": ids(tb), "embedding": embed(tb)})
+
+    cur_version = int(lake.manifest["version"])
+    vecs = lake.read(view=True).map_batches(to_vecs, batch_format="pyarrow", zero_copy_batch=True)
+    nc = int(n_clusters if n_clusters is not None else old["n_clusters"])
+    mm = int(m if m is not None else old["m"])
+    kk = int(ks if ks is not None else old["ks"])
+    sample_tb = vecs.limit(train_rows).select_columns(["embedding"]).take_batch(
+        train_rows, batch_format="pyarrow"
+    )
+    sample = _matrix(sample_tb.column("embedding"), dtype=np.float64)
+    ivf = IVFIndex(n_clusters=nc).fit(sample)
+    book = PQCodebook(m=mm, ks=kk).fit(sample)
+    written = _write_vector_files(vecs, index_dir, ivf, book, "vec_id", "embedding", gen=0)
+    files: dict[str, list[str]] = {}
+    n_vec = 0
+    for r in written:
+        files.setdefault(str(int(r["cluster"])), []).append(r["file"])
+        n_vec += int(r["rows"])
+    man = {
+        "n_clusters": nc,
+        "m": mm,
+        "ks": kk,
+        "metric": "cosine",
+        "n_vectors": n_vec,
+        "centroids": ivf.centroids.tolist(),
+        "codebooks": book.codebooks.tolist(),
+        "files": {c: sorted(fs) for c, fs in sorted(files.items())},
+        "synced_version": cur_version,
+        "gen": 0,
+        "tombstones": [],
+    }
+    _publish(index_dir, man)
+    return man
+
+
+def vacuum_ann_index(index_dir: str) -> int:
+    """Remove vector/tombstone files the CURRENT manifest no longer
+    references (superseded by rebuild/compact, or orphaned by a crashed
+    sync). Run after in-flight readers of the old manifest drain — the
+    same grace-period contract as the lake's vacuum. Returns the number
+    of files removed."""
+    man, _, _ = _load(index_dir)
+    live = {f for fs in man["files"].values() for f in fs} | set(man.get("tombstones") or [])
+    removed = 0
+    for sub in os.listdir(index_dir):
+        d = os.path.join(index_dir, sub)
+        if not os.path.isdir(d) or not (sub.startswith("cluster=") or sub == "_tombs"):
+            continue
+        for f in os.listdir(d):
+            rel = f"{sub}/{f}"
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(d, f))
+                removed += 1
+    return removed
 
 
 def compact_ann_index(index_dir: str) -> dict:

@@ -161,6 +161,45 @@ def test_compact_drops_retired_rows_exactly(tmp_path, binlog):
     assert compact_ann_index(idx)["n_vectors"] == live_rows
 
 
+def test_rebuild_cutover_and_vacuum(tmp_path, binlog):
+    """rebuild_ann_index retrains quantizers on the live view and cuts
+    over atomically: tombstone history resets, results still equal brute
+    force, a reader holding the OLD manifest still gets its old answer
+    from the old files, and vacuum_ann_index reclaims exactly them."""
+    import json
+
+    from grafter_ray.stages.annindex import rebuild_ann_index, vacuum_ann_index
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_499)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=6, m=4, ks=16)
+    lake.apply(rd.from_arrow(binlog))
+    sync_ann_index(lake, idx)
+    q = _query_vec()
+    pre = _conformance_search(idx, q, 15)
+    with open(os.path.join(idx, "_ANN.json")) as f:
+        old_man = json.load(f)
+    man = rebuild_ann_index(lake, idx, n_clusters=4)
+    assert man["gen"] == 0 and man["tombstones"] == []
+    assert man["n_clusters"] == 4
+    assert man["n_vectors"] == lake.read_table(view=True).num_rows
+    got = ann_index_search(idx, q, k=15, nprobe=4, refine=10_000)
+    assert [(int(r["vec_id"]), float(r["cosine"])) for r in got.to_pylist()] == pre == _brute_topk_over_live(lake, q, 15)
+    # old files are still on disk for in-flight readers of the old manifest
+    old_files = [f for fs in old_man["files"].values() for f in fs]
+    assert all(os.path.exists(os.path.join(idx, f)) for f in old_files)
+    removed = vacuum_ann_index(idx)
+    assert removed >= len(old_files)
+    assert not any(os.path.exists(os.path.join(idx, f)) for f in old_files)
+    # new manifest's files untouched; searches unaffected
+    got2 = ann_index_search(idx, q, k=15, nprobe=4, refine=10_000)
+    assert [(int(r["vec_id"]), float(r["cosine"])) for r in got2.to_pylist()] == pre
+    assert vacuum_ann_index(idx) == 0
+    # the sync loop continues from the rebuild's sync point
+    assert sync_ann_index(lake, idx)["synced_version"] == lake.manifest["version"]
+
+
 def test_crash_before_manifest_publish_is_invisible(tmp_path, binlog, monkeypatch):
     """Kill the sync after files+tombstones are written but before the
     manifest rename: searches still serve the old index; the re-run

@@ -177,6 +177,7 @@ QUERY_SUBSET = [
     "profile_view",
     # round-4 session-15 additions
     "ann_sync_lookup",
+    "cdc_online_compact",
 ]
 
 

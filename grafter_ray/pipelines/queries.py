@@ -2743,6 +2743,49 @@ def q_cdc_replay_docs(sf_dir: str):
         )
 
 
+def q_cdc_online_compact(sf_dir: str):
+    """ONLINE compaction under live ingest, oracle-checked: the
+    documents binlog replays in windows with a permissive delta chain,
+    an online-compact FOLD starts against the mid-replay manifest, MORE
+    windows commit while the fold is in flight (the non-blocking point),
+    then the short validate-and-swap lands the folded bases with the
+    new windows as the surviving suffix chain. The converged lake must
+    equal the SAME closed-form SQL as a plain replay — compaction is an
+    execution strategy, never a semantic change — and the deep fsck
+    invariants (routing, sha, row arithmetic) must hold across the
+    swapped history."""
+    import tempfile
+
+    from .. import CDCLake
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(
+            f"{tmp}/lake", num_partitions=32, delta_ratio=10.0, max_delta_chain=64
+        )
+        win = max(200, (2 * n_docs) // 5)
+        lake.apply(binlog, upto_lsn=2 * n_docs - 1, window_size=win)
+        prev = lake.manifest
+        chained = {p: e for p, e in prev["partitions"].items() if e.get("deltas")}
+        folded = lake._fold_chains(chained)  # no lock held: ingest continues
+        lake.apply(binlog, upto_lsn=3 * n_docs, window_size=win)
+        lake._swap_compacted(prev, chained, folded)
+        rep = lake.fsck(deep=True)
+        if rep["errors"]:
+            raise RuntimeError(f"fsck after online compact: {rep['errors']}")
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
 def q_expect_replay(sf_dir: str):
     """Ingest expectations under the oracle gate (stages/expect.py): the
     deterministic documents binlog replayed with a declared CHECK
@@ -7525,6 +7568,7 @@ QUERIES = {
     "cdc_lake_join": q_cdc_lake_join,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_replay_docs": q_cdc_replay_docs,
+    "cdc_online_compact": q_cdc_online_compact,
     "expect_replay": q_expect_replay,
     "branch_merge": q_branch_merge,
     "history_enrich": q_history_enrich,
@@ -7707,6 +7751,7 @@ ORACLE_SQL = {
     "cdc_lake_join": SQL_CDC_LAKE_JOIN,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_replay_docs": SQL_CDC_REPLAY_DOCS,
+    "cdc_online_compact": SQL_CDC_REPLAY_DOCS,
     "expect_replay": SQL_EXPECT_REPLAY,
     "branch_merge": SQL_BRANCH_MERGE,
     "history_enrich": SQL_HISTORY_ENRICH,

@@ -478,6 +478,7 @@ def cmd_index_sync(args) -> int:
         args.index,
         num_partitions=args.index_partitions,
         positions=args.positions,
+        pin=args.pin,
     )
     _emit(
         {
@@ -698,6 +699,7 @@ def cmd_ann_sync(args) -> int:
             m=args.m,
             ks=args.ks,
             at_version=args.at_version,
+            pin=args.pin,
         )
     if args.compact:
         man = compact_ann_index(args.index)
@@ -961,6 +963,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--index", required=True, help="index root directory")
     sp.add_argument("--index-partitions", type=int, default=32)
     sp.add_argument("--positions", action="store_true", help="store within-doc positions (phrase search)")
+    sp.add_argument("--pin", action="store_true", help="pin the synced lake version (vacuum-safe incremental syncs)")
     sp.set_defaults(fn=cmd_index_sync)
 
     sp = sub.add_parser(
@@ -1059,6 +1062,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compact", action="store_true", help="drop retired generations after the sync")
     sp.add_argument("--rebuild", action="store_true", help="retrain quantizers on the live view, atomic cutover")
     sp.add_argument("--vacuum", action="store_true", help="remove files the current manifest no longer references")
+    sp.add_argument("--pin", action="store_true", help="pin the synced lake version (vacuum-safe incremental syncs)")
     sp.set_defaults(fn=cmd_ann_sync)
 
     sp = sub.add_parser("ann-search", help="cosine top-k from the persisted ANN index")

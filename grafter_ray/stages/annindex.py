@@ -367,10 +367,18 @@ def sync_ann_index(
     ks: int = 16,
     train_rows: int = 4096,
     at_version: int | None = None,
+    pin: bool = False,
 ) -> dict:
     """Keep the IVF-PQ index a LIVE derived artifact of a CDCLake — the
     vector-retrieval analogue of retrieval.py's sync_text_index (and of
     pipelines/chain.py's derived lakes).
+
+    ``pin=True`` additionally pins the synced lake version under a
+    deterministic per-artifact name (util.artifact_pin_name) and moves
+    the pin on every sync — the lake's vacuum then never deletes the
+    files the NEXT incremental sync must diff against. Opt-in: durable
+    deployments (the CLI's --pin) want it; throwaway indexes over shared
+    read-only lakes don't.
 
     First call bootstraps: full index build over the lake's live view
     (quantizers train once and FREEZE — extends encode with them; a
@@ -415,6 +423,10 @@ def sync_ann_index(
         man["gen"] = 0
         man["tombstones"] = []
         _publish(index_dir, man)
+        if pin:
+            from ..util import artifact_pin_name
+
+            lake.pin(artifact_pin_name(index_dir), man["synced_version"])
         return man
     if at_version is not None:
         raise ValueError("at_version is a bootstrap-time pin only")
@@ -422,6 +434,10 @@ def sync_ann_index(
     man, ivf, book = _load(index_dir)
     since = int(man.get("synced_version", 0))
     if since >= cur_version:
+        if pin:
+            from ..util import artifact_pin_name
+
+            lake.pin(artifact_pin_name(index_dir), since)
         return man
     gen = int(man.get("gen", 0)) + 1
 
@@ -460,6 +476,10 @@ def sync_ann_index(
     man["gen"] = gen
     man["synced_version"] = cur_version
     _publish(index_dir, man)
+    if pin:
+        from ..util import artifact_pin_name
+
+        lake.pin(artifact_pin_name(index_dir), cur_version)
     return man
 
 

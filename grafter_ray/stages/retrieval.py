@@ -725,9 +725,16 @@ def sync_text_index(
     num_partitions: int = 32,
     positions: bool = False,
     at_version: int | None = None,
+    pin: bool = False,
 ):
     """Keep the inverted index a LIVE derived artifact of a CDCLake —
     the retrieval analogue of pipelines/chain.py's derived lakes.
+
+    ``pin=True`` pins the synced lake version under a deterministic
+    per-artifact name (util.artifact_pin_name), moved on every sync, so
+    the lake's vacuum never deletes the files the NEXT incremental sync
+    must diff against. Opt-in (the CLI's --pin): durable deployments
+    want it; throwaway indexes over shared read-only lakes don't.
 
     First call bootstraps: full index build over the lake's live view.
     Later calls fold ONLY the change feed since the last synced lake
@@ -786,6 +793,10 @@ def sync_text_index(
         )
         man["synced_version"] = int(at_version) if at_version is not None else cur_version
         publish(man_path, man)
+        if pin:
+            from ..util import artifact_pin_name
+
+            lake.pin(artifact_pin_name(index_dir), man["synced_version"])
         return man
     if at_version is not None:
         raise ValueError("at_version is a bootstrap-time pin only")
@@ -794,6 +805,10 @@ def sync_text_index(
         man = json.load(f)
     since = int(man.get("synced_version", 0))
     if since >= cur_version:
+        if pin:
+            from ..util import artifact_pin_name
+
+            lake.pin(artifact_pin_name(index_dir), since)
         return man
     gen = int(man["gen"]) + 1
 
@@ -832,6 +847,10 @@ def sync_text_index(
     man["synced_version"] = cur_version
     man["stats_dirty"] = bool(tomb_ids) or man.get("stats_dirty", False)
     publish(man_path, man)
+    if pin:
+        from ..util import artifact_pin_name
+
+        lake.pin(artifact_pin_name(index_dir), cur_version)
     return man
 
 

@@ -91,6 +91,18 @@ def hex_str_array(h: np.ndarray, width: int = 16) -> pa.Array:
 _READ_TARGET_BYTES = 32 << 20
 
 
+def artifact_pin_name(artifact_dir: str) -> str:
+    """Deterministic lake-pin name for a derived artifact (index / view)
+    living at `artifact_dir`: a sync can pin its synced lake version
+    under this name so vacuum never deletes the files its NEXT
+    incremental sync must diff against. One pin per artifact path —
+    re-syncs move it, they never accumulate."""
+    import hashlib
+    import os
+
+    return "sync:" + hashlib.sha256(os.path.abspath(artifact_dir).encode()).hexdigest()[:12]
+
+
 def coalesced_read_parquet(paths, columns=None, filter=None, target_bytes: int | None = None):
     """``ray.data.read_parquet`` with small-file coalescing.
 

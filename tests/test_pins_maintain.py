@@ -71,6 +71,33 @@ def test_maintain_tick(tmp_path, binlog):
     assert not rep2["compacted"] and rep2["removed_files"] == 0
 
 
+def test_synced_index_pin_survives_maintain(tmp_path, binlog):
+    """A derived index syncing with pin=True keeps its sync point alive
+    through maintain()'s vacuum: bootstrap, heavy churn + maintenance,
+    then the INCREMENTAL sync still diffs cleanly (without the pin the
+    old version's files would be gone and the diff would raise)."""
+    from grafter_ray.stages.annindex import sync_ann_index
+    from grafter_ray.util import artifact_pin_name
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999, window_size=500)
+    idx = str(tmp_path / "idx")
+    sync_ann_index(lake, idx, n_clusters=4, m=4, ks=16, pin=True)
+    pinned = lake.log.pins()[artifact_pin_name(idx)]
+    assert pinned == lake.manifest["version"]
+    # churn + maintenance: several versions commit, vacuum keeps ONLY
+    # the latest horizon plus the pin
+    lake.apply(rd.from_arrow(binlog), window_size=400)
+    lake.maintain(min_chain=1, keep_versions=1)
+    assert pinned in lake.log.versions()
+    man = sync_ann_index(lake, idx, pin=True)
+    assert man["synced_version"] == lake.manifest["version"]
+    # the pin moved with the sync; the old sync point is now reclaimable
+    assert lake.log.pins()[artifact_pin_name(idx)] == man["synced_version"]
+    lake.vacuum(keep_versions=1)
+    assert pinned not in lake.log.versions()
+
+
 def test_maintain_min_chain_gate(tmp_path, binlog):
     lake = CDCLake(
         str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64

@@ -79,8 +79,12 @@ def _source_version_for(src, dst_watermark: int) -> int | None:
     return best
 
 
-def sync_lakes(src, dst, transform=None, at_version: int | None = None, **apply_kwargs) -> dict:
+def sync_lakes(src, dst, transform=None, at_version: int | None = None, pin: bool = False, **apply_kwargs) -> dict:
     """One incremental sync of `dst` from `src`'s change feed.
+
+    pin=True: pin the synced SRC version under the dst lake's artifact
+    name (moved every sync) so src's vacuum/maintain never deletes the
+    files the next incremental diff must read.
 
     transform: optional batch→batch pyarrow callable over BINLOG-shaped
     upsert rows (derive/rewrite `content`, `lang`, … — the ETL step).
@@ -141,4 +145,8 @@ def sync_lakes(src, dst, transform=None, at_version: int | None = None, **apply_
     # sync re-diffs the same changes (idempotent but wasteful)
     apply_kwargs.setdefault("upto_lsn", 2 * int(src_m["watermark_lsn"]) + 1)
     manifest = dst.apply(feed, **apply_kwargs)
+    if pin:
+        from ..util import artifact_pin_name
+
+        src.pin(artifact_pin_name(dst.root), int(src_m["version"]))
     return {"mode": mode, "src_version": int(src_m["version"]), "manifest": manifest}

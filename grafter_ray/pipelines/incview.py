@@ -66,6 +66,16 @@ def _norm_measures(measures) -> list[tuple[str, str | None, str, pa.DataType]]:
     return out
 
 
+def _pin_artifact(lake, root: str, lake_v: int, enabled: bool) -> None:
+    """pin=True views mark their synced lake version so vacuum/maintain
+    never deletes the files the next incremental diff must read (the
+    sync_text_index retention contract); the pin moves every refresh."""
+    if enabled and lake_v >= 0:
+        from ..util import artifact_pin_name
+
+        lake.pin(artifact_pin_name(root), lake_v)
+
+
 class IncrementalView:
     """A materialized GROUP-BY aggregate over a CDCLake, maintained
     incrementally from the lake's signed change feed.
@@ -79,12 +89,16 @@ class IncrementalView:
     must derive identical values for the same stored row.
     """
 
-    def __init__(self, lake, root: str, group_keys: list[str], measures, prepare=None):
+    def __init__(self, lake, root: str, group_keys: list[str], measures, prepare=None, pin: bool = False):
         self.lake = lake
         self.root = root
         self.group_keys = list(group_keys)
         self.measures = _norm_measures(measures)
         self.prepare = prepare
+        # pin=True: every refresh pins its lake_version under the view's
+        # artifact name, so vacuum/maintain never deletes the files the
+        # next incremental diff must read (sync_text_index's contract)
+        self.pin_sync = pin
         os.makedirs(root, exist_ok=True)
         m = self.manifest()
         if m is not None and (
@@ -276,6 +290,7 @@ class IncrementalView:
                     "pass full=True to rebuild pinned at an older version"
                 )
         if state is not None and not full and int(state["lake_version"]) == lake_v:
+            _pin_artifact(self.lake, self.root, lake_v, getattr(self, "pin_sync", False))
             return {
                 "mode": "noop",
                 "view_version": state["view_version"],
@@ -395,6 +410,7 @@ class IncrementalView:
         for od in old_dirs:
             if od != d:
                 shutil.rmtree(os.path.join(self.root, od), ignore_errors=True)
+        _pin_artifact(self.lake, self.root, lake_v, getattr(self, "pin_sync", False))
         return {
             "mode": mode,
             "view_version": vv,
@@ -441,12 +457,13 @@ class DistinctCountView:
     keys must be non-null (house shuffle contract).
     """
 
-    def __init__(self, lake, root: str, group_keys: list[str], value_col: str, prepare=None):
+    def __init__(self, lake, root: str, group_keys: list[str], value_col: str, prepare=None, pin: bool = False):
         self.lake = lake
         self.root = root
         self.group_keys = list(group_keys)
         self.value_col = value_col
         self.prepare = prepare
+        self.pin_sync = pin  # see IncrementalView
         os.makedirs(root, exist_ok=True)
         m = self.manifest()
         if m is not None and (m["group_keys"] != self.group_keys or m["value_col"] != value_col):
@@ -511,6 +528,7 @@ class DistinctCountView:
                     "pass full=True to rebuild pinned at an older version"
                 )
         if state is not None and not full and int(state["lake_version"]) == lake_v:
+            _pin_artifact(self.lake, self.root, lake_v, getattr(self, "pin_sync", False))
             return {
                 "mode": "noop",
                 "view_version": state["view_version"],
@@ -571,6 +589,7 @@ class DistinctCountView:
         for od in old_dirs:
             if od != d:
                 shutil.rmtree(os.path.join(self.root, od), ignore_errors=True)
+        _pin_artifact(self.lake, self.root, lake_v, getattr(self, "pin_sync", False))
         return {
             "mode": mode,
             "view_version": vv,

@@ -82,7 +82,7 @@ class JoinView:
     """
 
     def __init__(self, left, right, root: str, *, left_cols: dict[str, str],
-                 right_cols: dict[str, str], how: str = "inner"):
+                 right_cols: dict[str, str], how: str = "inner", pin: bool = False):
         if left.num_partitions != right.num_partitions:
             raise ValueError(
                 f"JoinView requires co-partitioned lakes: left has "
@@ -98,6 +98,10 @@ class JoinView:
         self.right = right
         self.root = root
         self.how = how
+        # pin=True: each refresh pins its (left, right) sync versions in
+        # BOTH lakes under the view's artifact name, so either side's
+        # vacuum/maintain keeps the files the next incremental diff needs
+        self.pin_sync = pin
         self.left_cols = dict(left_cols)
         self.right_cols = dict(right_cols)
         os.makedirs(root, exist_ok=True)
@@ -114,6 +118,15 @@ class JoinView:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def _pin_lakes(self, lv: int, rv: int) -> None:
+        if not getattr(self, "pin_sync", False):
+            return
+        from ..util import artifact_pin_name
+
+        name = artifact_pin_name(self.root)
+        self.left.pin(name, lv)
+        self.right.pin(name, rv)
 
     def _commit(self, manifest: dict) -> None:
         tmp = os.path.join(self.root, "MANIFEST.json.tmp")
@@ -156,6 +169,7 @@ class JoinView:
             and int(state["left_version"]) == int(lm["version"])
             and int(state["right_version"]) == int(rm["version"])
         ):
+            self._pin_lakes(int(lm["version"]), int(rm["version"]))
             return {"mode": "noop", "view_version": state["view_version"],
                     "changed_partitions": 0}
 
@@ -249,6 +263,7 @@ class JoinView:
                     os.remove(os.path.join(self.root, f))
                 except FileNotFoundError:
                     pass
+        self._pin_lakes(int(lm["version"]), int(rm["version"]))
         return {"mode": mode, "view_version": vv, "changed_partitions": len(pids)}
 
     # -- reads --------------------------------------------------------------

@@ -93,11 +93,11 @@ class ProfileView:
         ("max_len", "v_len", "max"),
     ]
 
-    def __init__(self, lake, root: str, cols: list[str]):
+    def __init__(self, lake, root: str, cols: list[str], pin: bool = False):
         self.cols = sorted(cols)
         prepare = _explode(self.cols)
-        self.agg = IncrementalView(lake, f"{root}/agg", ["column"], self.MEASURES, prepare=prepare)
-        self.distinct = DistinctCountView(lake, f"{root}/distinct", ["column"], "v_all", prepare=prepare)
+        self.agg = IncrementalView(lake, f"{root}/agg", ["column"], self.MEASURES, prepare=prepare, pin=pin)
+        self.distinct = DistinctCountView(lake, f"{root}/distinct", ["column"], "v_all", prepare=prepare, pin=pin)
 
     def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
         a = self.agg.refresh(full=full, at_version=at_version)

@@ -59,6 +59,7 @@ def sync_value_index(
     doc_id_fn=None,
     num_partitions: int = 32,
     at_version: int | None = None,
+    pin: bool = False,
 ):
     """Bootstrap or incrementally sync a value index over ``column`` of a
     CDCLake — sync_text_index with a one-token-per-row content function.
@@ -77,6 +78,7 @@ def sync_value_index(
         content_fn=one_token,
         num_partitions=num_partitions,
         at_version=at_version,
+        pin=pin,
     )
 
 

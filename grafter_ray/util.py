@@ -12,6 +12,45 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+
+def _seed_fsspec_http_stub() -> None:
+    """Neutralize a lazy-import RACE inside Ray's read_parquet path
+    resolution: every call tries `from fsspec.implementations.http
+    import HTTPFileSystem` and treats ModuleNotFoundError (aiohttp
+    absent in this environment) as "not an http filesystem". A failed
+    import retries on EVERY call, and under concurrent reads (demux's
+    thread-pooled applies) one thread can observe the other's
+    partially-initialized module and die with a bare ImportError that
+    Ray's guard does not catch. Seeding sys.modules ONCE with a stub
+    whose HTTPFileSystem nothing is an instance of makes every later
+    import a dict hit — same semantics (isinstance → False), no import
+    machinery, no race. No-op when aiohttp is installed."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    except Exception:
+        return
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations
+    except Exception:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class _UnavailableHTTPFileSystem:  # pragma: no cover - marker class
+        """Stands in for fsspec's HTTPFileSystem when aiohttp is absent."""
+
+    mod.HTTPFileSystem = _UnavailableHTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    fsspec.implementations.http = mod
+
+
+_seed_fsspec_http_stub()
+
 _U64 = np.uint64
 
 # splitmix64 constants (public domain PRNG, Steele et al.)

@@ -98,6 +98,41 @@ def test_synced_index_pin_survives_maintain(tmp_path, binlog):
     assert pinned not in lake.log.versions()
 
 
+def test_incview_and_chain_pins(tmp_path, binlog):
+    """IncrementalView(pin=True) and sync_lakes(pin=True) keep their
+    diff sources alive through aggressive vacuums, and their incremental
+    refreshes stay correct."""
+    import pyarrow.compute as pc
+
+    from grafter_ray.pipelines.chain import sync_lakes
+    from grafter_ray.pipelines.incview import IncrementalView
+    from grafter_ray.util import artifact_pin_name
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    view = IncrementalView(
+        lake, str(tmp_path / "view"), ["repo"], [("n", None, "count")], pin=True
+    )
+    view.refresh()
+    dst = CDCLake(str(tmp_path / "derived"), num_partitions=4)
+    sync_lakes(lake, dst, pin=True)
+    v_sync = lake.log.pins()[artifact_pin_name(dst.root)]
+    assert v_sync == lake.manifest["version"]
+    # churn + aggressive vacuum: pinned versions survive
+    lake.apply(rd.from_arrow(binlog), window_size=500)
+    lake.vacuum(keep_versions=1)
+    assert view.refresh()["mode"] == "incremental"
+    assert sync_lakes(lake, dst, pin=True)["mode"] == "incremental"
+    # both converged to the live truth
+    live = lake.read_table(view=False)
+    want = live.group_by(["repo"]).aggregate([([], "count_all")]).rename_columns(["repo", "n"])
+    got = view.read_table()
+    assert got.sort_by("repo").to_pylist() == want.sort_by("repo").to_pylist()
+    assert dst.read_table(view=False).column("content_sha").to_pylist() == live.column(
+        "content_sha"
+    ).to_pylist()
+
+
 def test_maintain_min_chain_gate(tmp_path, binlog):
     lake = CDCLake(
         str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64

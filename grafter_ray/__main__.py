@@ -202,6 +202,11 @@ def cmd_tail(args) -> int:
         expectations=_parse_expects(args),
         skip_unchanged=args.skip_unchanged,
         txn_col=getattr(args, "txn_col", None),
+        maintain_every=getattr(args, "maintain_every", None),
+        maintain_kwargs={
+            "min_chain": getattr(args, "min_chain", 1),
+            "keep_versions": getattr(args, "keep_versions", 2),
+        },
     ):
         _emit({"cmd": "tail", **_manifest_summary(m)})
         sys.stdout.flush()
@@ -822,6 +827,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="CHECK constraint, repeatable (same syntax as replay --expect)")
     sp.add_argument("--skip-unchanged", action="store_true",
                     help="suppress net-no-op events (content-equal upserts, deletes of absent keys)")
+    sp.add_argument("--maintain-every", type=int, default=None, metavar="N",
+                    help="run one maintain() tick (online compact + pin-aware vacuum) after every N advancing polls")
+    sp.add_argument("--min-chain", type=int, default=1, help="maintain: fold only chains this long")
+    sp.add_argument("--keep-versions", type=int, default=2, help="maintain: vacuum retention horizon")
     sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")

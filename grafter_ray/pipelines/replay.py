@@ -1724,12 +1724,20 @@ class CDCLake:
         expectations: list | None = None,
         skip_unchanged: bool = False,
         txn_col: str | None = None,
+        maintain_every: int | None = None,
+        maintain_kwargs: dict | None = None,
     ):
         """Continuous ingest — tail a growing binlog directory (the north
         rule's 'binlog/WAL tail'): each poll applies any events beyond the
         committed watermark as one (or windowed) exactly-once commit(s),
         then sleeps. Yields the manifest after each poll that advanced the
         watermark; `max_polls` bounds the loop for tests/batch use.
+
+        maintain_every: run one `maintain()` tick (online compact +
+        pin-aware vacuum; maintain_kwargs forwards its knobs) after every
+        N polls that ADVANCED the watermark — the 24/7 deployment shape
+        where ingest and housekeeping share one process. The tick runs
+        between applies, when the writer lock is free.
 
         `binlog_path` may also be a zero-arg callable returning a fresh
         binlog Dataset per poll (e.g. a JSON envelope tail via
@@ -1746,6 +1754,7 @@ class CDCLake:
         import time as _time
 
         polls = 0
+        advanced = 0
         prev_hi: int | None = None
         while max_polls is None or polls < max_polls:
             polls += 1
@@ -1760,12 +1769,19 @@ class CDCLake:
                     # hold back the (possibly incomplete) trailing txn
                     upto = self._trailing_txn_start(src, txn_col, hi) - 1
                 if upto > self.watermark:
-                    yield self.apply(
+                    m = self.apply(
                         src, upto_lsn=upto, window_size=window_size,
                         concurrency=concurrency, on_bad=on_bad,
                         expectations=expectations, skip_unchanged=skip_unchanged,
                         txn_col=txn_col,
                     )
+                    advanced += 1
+                    # tick BEFORE the yield — a generator suspends at
+                    # yield, so housekeeping after it would only run
+                    # when (if) the consumer asks for the next poll
+                    if maintain_every and advanced % maintain_every == 0:
+                        self.maintain(**(maintain_kwargs or {}))
+                    yield m
             prev_hi = hi
             if max_polls is None or polls < max_polls:
                 _time.sleep(poll_interval_s)

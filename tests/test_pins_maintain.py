@@ -133,6 +133,38 @@ def test_incview_and_chain_pins(tmp_path, binlog):
     ).to_pylist()
 
 
+def test_tail_with_maintain_every(tmp_path, binlog):
+    """tail(maintain_every=1) folds chains and vacuums between polls —
+    the single-process 24/7 deployment shape — and still converges
+    exactly-once."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "binlog")
+    os.makedirs(src)
+    pq.write_table(binlog.slice(0, 1_500), f"{src}/seg0.parquet")
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64
+    )
+    tailer = lake.tail(
+        src,
+        poll_interval_s=0.01,
+        max_polls=3,
+        window_size=400,
+        maintain_every=1,
+        maintain_kwargs={"min_chain": 1, "keep_versions": 2},
+    )
+    next(tailer)
+    # the tick ran: post-apply chains folded
+    assert all(not e.get("deltas") for e in lake.manifest["partitions"].values())
+    pq.write_table(binlog.slice(1_500), f"{src}/seg1.parquet")
+    next(tailer)
+    assert all(not e.get("deltas") for e in lake.manifest["partitions"].values())
+    got = lake.read_table(view=False)
+    want, _ = oracle_lake_table(binlog)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert lake.fsck(deep=True)["errors"] == []
+
+
 def test_maintain_min_chain_gate(tmp_path, binlog):
     lake = CDCLake(
         str(tmp_path / "lake"), num_partitions=4, delta_ratio=10.0, max_delta_chain=64

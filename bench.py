@@ -178,6 +178,7 @@ QUERY_SUBSET = [
     # round-4 session-15 additions
     "ann_sync_lookup",
     "cdc_online_compact",
+    "ann_batch_indexed",
 ]
 
 

@@ -1216,6 +1216,24 @@ def q_ann_batch(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ann_batch_indexed(sf_dir: str):
+    """Batched ANN served ENTIRELY from the persisted IVF-PQ index
+    (stages/annindex.py ann_index_search_batch): per-query cluster
+    probes, cluster-tagged ADC scans for exactly the probing queries,
+    one pushdown candidate fetch, one exact re-rank matmul. Conformance
+    config (probe all clusters) shares ann_batch's brute-force oracle —
+    the index-accelerated path must return the identical answer."""
+    from ..stages.annindex import ann_index_search_batch
+
+    idx = _shared_ann_index(sf_dir)
+    tb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    queries = np.array([tb.column("embedding")[i].as_py() for i in qids], dtype=np.float64)
+    out = ann_index_search_batch(idx, queries, qids, k=5, nprobe=8, refine=10_000)
+    e4 = pc.cast(pc.round(pc.multiply(out.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+    return pa.table({"qid": out.column("qid"), "vec_id": out.column("vec_id"), "cosine_e4": e4})
+
+
 SQL_ANN_BATCH = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))
 SELECT qid, vec_id, cosine_e4 FROM (
@@ -7500,6 +7518,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_batch": q_ann_batch,
+    "ann_batch_indexed": q_ann_batch_indexed,
     "ann_lsh": q_ann_lsh,
     "lm_score": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
@@ -7690,6 +7709,7 @@ ORACLE_SQL = {
     "code_imports": SQL_CODE_IMPORTS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_batch": SQL_ANN_BATCH,
+    "ann_batch_indexed": SQL_ANN_BATCH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "jaccard_pairs_prefix": SQL_JACCARD_PAIRS,
     "ann_lsh": SQL_ANN_TOPK,

@@ -37,6 +37,7 @@ __all__ = [
     "build_ann_index",
     "extend_ann_index",
     "ann_index_search",
+    "ann_index_search_batch",
     "sync_ann_index",
     "compact_ann_index",
     "rebuild_ann_index",
@@ -285,6 +286,162 @@ def ann_index_search(
         {
             id_col: fetched.column(id_col).take(pa.array(order)),
             "cosine": pa.array(np.round(sims[order], 6)),
+        }
+    )
+
+
+def ann_index_search_batch(
+    index_dir: str,
+    queries: np.ndarray,
+    qids,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Index-served BATCHED cosine top-k (the many-queries sibling of
+    ann_index_search; brute-force analogue: similarity.brute_topk_batch).
+    Each query probes its own nprobe nearest clusters; every probed
+    cluster's blocks are ADC-scored for EXACTLY the queries that probed
+    it (cluster-tagged reads — one LUT tensor broadcast once), keeping
+    per-block top-refine per query; the union of candidates is fetched
+    once by vec_id pushdown and exactly re-ranked per query in one
+    vectorized matmul. Driver holds ≤ Q × refine × blocks (qid, id,
+    approx) rows plus the candidate vectors — the same bound as Q
+    single searches, amortizing the scan Q-fold. Returns (qid, vec_id,
+    cosine) with ≤ k rows per query, ranked like the single search."""
+    import ray.data as rd
+
+    man, ivf, book = _load(index_dir)
+    q = np.atleast_2d(np.asarray(queries, np.float64))
+    qid_arr = np.asarray(qids, np.int64)
+    if len(qid_arr) != q.shape[0]:
+        raise ValueError("queries and qids must align")
+    empty = pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    # per-query probe sets → cluster → probing-query rows
+    by_cluster: dict[int, list[int]] = {}
+    for qi in range(q.shape[0]):
+        for c in ivf.probes(q[qi], nprobe):
+            by_cluster.setdefault(int(c), []).append(qi)
+    luts = np.stack([book.lut(q[qi]) for qi in range(q.shape[0])])  # (Q, m, ks)
+    tombs = _load_tombs(index_dir, man)
+    box = {"book": ray.put(book), "luts": ray.put(luts), "qids": ray.put(qid_arr), "tombs": ray.put(tombs)}
+    scan_cols = [id_col, "codes"] + (["gen"] if tombs is not None else [])
+
+    def adc_for(qrows: list[int]):
+        def adc_block(tb: pa.Table) -> pa.Table:
+            bk = ray.get(box["book"])
+            lt = ray.get(box["luts"])
+            ql = ray.get(box["qids"])
+            tm = ray.get(box["tombs"])
+            if tm is not None and tb.num_rows:
+                keep = _live_mask(
+                    tb.column(id_col).to_numpy(zero_copy_only=False),
+                    tb.column("gen").to_numpy(zero_copy_only=False),
+                    tm,
+                )
+                tb = tb.filter(pa.array(keep))
+            if not tb.num_rows:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "approx": pa.array([], pa.float64())}
+                )
+            carr = tb.column("codes").combine_chunks()
+            if isinstance(carr, pa.ChunkedArray):
+                carr = carr.chunk(0) if carr.num_chunks else pa.array([], pa.binary(bk.m))
+            codes = np.frombuffer(carr.buffers()[1], np.uint8, len(carr) * bk.m, carr.offset * bk.m).reshape(-1, bk.m)
+            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            out_q, out_i, out_a = [], [], []
+            for qi in qrows:
+                approx = bk.adc_scores(codes, lt[qi])
+                take = min(refine, len(approx))
+                cand = np.argpartition(-approx, take - 1)[:take] if take < len(approx) else np.arange(len(approx))
+                out_q.append(np.full(len(cand), ql[qi], np.int64))
+                out_i.append(ids[cand])
+                out_a.append(approx[cand])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_i)),
+                    "approx": pa.array(np.concatenate(out_a)),
+                }
+            )
+
+        return adc_block
+
+    parts = []
+    for c, qrows in sorted(by_cluster.items()):
+        paths = [os.path.join(index_dir, f) for f in man["files"].get(str(c), [])]
+        if not paths:
+            continue
+        parts.append(
+            rd.read_parquet(paths, columns=scan_cols).map_batches(
+                adc_for(sorted(set(qrows))), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if not parts:
+        return empty
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    cand_rows = ds.take_all()  # ≤ Q × refine × blocks (ids + scores only)
+    if not cand_rows:
+        return empty
+    cand_by_q: dict[int, set[int]] = {}
+    for r in cand_rows:
+        cand_by_q.setdefault(int(r["qid"]), set()).add(int(r[id_col]))
+    all_ids = sorted(set().union(*cand_by_q.values()))
+
+    import pyarrow.dataset as pads
+
+    all_paths = [
+        os.path.join(index_dir, f) for fs in man["files"].values() for f in fs
+    ]
+    fetched = pads.dataset(all_paths).to_table(
+        columns=[id_col, vec_col] + (["gen"] if tombs is not None else []),
+        filter=pads.field(id_col).isin(all_ids),
+    )
+    if tombs is not None and fetched.num_rows:
+        keep = _live_mask(
+            fetched.column(id_col).to_numpy(zero_copy_only=False),
+            fetched.column("gen").to_numpy(zero_copy_only=False),
+            tombs,
+        )
+        fetched = fetched.filter(pa.array(keep))
+    if not fetched.num_rows:
+        return empty
+    ids = fetched.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_matrix(fetched.column(vec_col), dtype=np.float64))
+    qn = _normalize(q)
+    sims = qn @ mat.T  # (Q, n_cand)
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    out_q, out_i, out_c = [], [], []
+    for qi in range(q.shape[0]):
+        cset = cand_by_q.get(int(qid_arr[qi]))
+        if not cset:
+            continue
+        cols = np.fromiter((id_pos[v] for v in cset if v in id_pos), np.int64)
+        if not len(cols):
+            continue
+        s = sims[qi, cols]
+        order = np.lexsort((ids[cols], -np.round(s, 6)))[:k]
+        out_q.append(np.full(len(order), qid_arr[qi], np.int64))
+        out_i.append(ids[cols][order])
+        out_c.append(np.round(s[order], 6))
+    if not out_q:
+        return empty
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_c)),
         }
     )
 

@@ -113,3 +113,45 @@ def test_extend_equals_full_rebuild(tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got] == [
         (r["vec_id"], r["cosine"]) for r in want
     ]
+
+
+def test_batch_search_probe_all_equals_brute(built):
+    """Index-served batched top-k, conformance config: equals the brute
+    batch for every query."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from grafter_ray.stages.annindex import ann_index_search_batch
+    from grafter_ray.stages.similarity import brute_topk_batch
+
+    d, man = built
+    t = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qs = np.asarray(t.column("embedding").to_pylist()[:6], np.float64)
+    qids = [int(v) for v in t.column("vec_id").to_pylist()[:6]]
+    got = ann_index_search_batch(d, qs, qids, k=8, nprobe=8, refine=64)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = brute_topk_batch(emb, qs, qids, k=8).take_all()
+    g = sorted((r["qid"], r["vec_id"], r["cosine"]) for r in got.to_pylist())
+    w = sorted((r["qid"], r["vec_id"], r["cosine"]) for r in want)
+    assert g == w
+
+
+def test_batch_search_matches_single(built):
+    """Realistic probes: the batch path returns exactly what Q single
+    searches return (same probes, same refine)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from grafter_ray.stages.annindex import ann_index_search, ann_index_search_batch
+
+    d, man = built
+    t = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qs = np.asarray(t.column("embedding").to_pylist()[:4], np.float64)
+    qids = [int(v) for v in t.column("vec_id").to_pylist()[:4]]
+    got = ann_index_search_batch(d, qs, qids, k=5, nprobe=2, refine=32)
+    by_q = {}
+    for r in got.to_pylist():
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for qi, qid in enumerate(qids):
+        single = ann_index_search(d, qs[qi], k=5, nprobe=2, refine=32).to_pylist()
+        assert by_q[qid] == [(r["vec_id"], r["cosine"]) for r in single], qid

@@ -179,6 +179,7 @@ QUERY_SUBSET = [
     "ann_sync_lookup",
     "cdc_online_compact",
     "ann_batch_indexed",
+    "cdc_maxwell_replay",
 ]
 
 

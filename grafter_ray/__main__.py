@@ -105,6 +105,16 @@ def _binlog_source(args):
             read_avro(args.binlog, on_bad="null_lsn").write_parquet(stage)
             return stage
         return read_avro(args.binlog, on_bad="raise")
+    if fmt == "maxwell":
+        from .sources.maxwell import read_maxwell
+
+        if args.on_bad == "quarantine":
+            import tempfile
+
+            stage = tempfile.mkdtemp(prefix="graftray_maxwell_stage_")
+            read_maxwell(args.binlog, on_bad="null_lsn").write_parquet(stage)
+            return stage
+        return read_maxwell(args.binlog, on_bad="raise")
     from .sources.envelope import read_envelope_jsonl
 
     if args.on_bad == "quarantine":
@@ -160,7 +170,7 @@ def cmd_replay(args) -> int:
 def cmd_tail(args) -> int:
     from .pipelines.replay import CDCLake
 
-    if getattr(args, "format", "parquet") in ("envelope", "pgoutput", "mysql", "avro"):
+    if getattr(args, "format", "parquet") in ("envelope", "pgoutput", "mysql", "avro", "maxwell"):
         if args.on_bad == "quarantine":
             # a tailed wire stream has no parquet footers to probe and a
             # Dataset input silently drops null-lsn rows — refuse rather
@@ -185,6 +195,10 @@ def cmd_tail(args) -> int:
             from .sources.avro import read_avro
 
             source = lambda: read_avro(args.binlog, on_bad="raise")  # noqa: E731
+        elif args.format == "maxwell":
+            from .sources.maxwell import read_maxwell
+
+            source = lambda: read_maxwell(args.binlog, on_bad="raise")  # noqa: E731
         else:
             from .sources.envelope import read_envelope_jsonl
 
@@ -780,7 +794,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("replay", help="apply a binlog parquet dir to the lake (resumable, exactly-once)")
     sp.add_argument("--binlog", required=True, help="binlog parquet directory (or wire-format path with --format)")
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet",
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro", "maxwell"], default="parquet",
                     help="binlog wire format: parquet (default), Debezium-style JSON envelopes, "
                          "Postgres test_decoding dumps, or mysqlbinlog --verbose row dumps")
     sp.add_argument("--txn-col", default=None,
@@ -814,7 +828,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("tail", help="follow a growing binlog dir (continuous ingest)")
     sp.add_argument("--binlog", required=True)
-    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro"], default="parquet")
+    sp.add_argument("--format", choices=["parquet", "envelope", "pgoutput", "mysql", "avro", "maxwell"], default="parquet")
     sp.add_argument("--pg-layout", choices=["slot", "raw"], default="slot")
     sp.add_argument("--txn-col", default=None,
                     help="transaction-id column: hold back the trailing transaction and never split one across commits")

@@ -2779,12 +2779,16 @@ def q_cdc_online_compact(sf_dir: str):
     binlog, n_docs = _docs_binlog(sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(
-            f"{tmp}/lake", num_partitions=32, delta_ratio=10.0, max_delta_chain=64
+            f"{tmp}/lake", num_partitions=16, delta_ratio=10.0, max_delta_chain=64
         )
-        win = max(200, (2 * n_docs) // 5)
+        # two windows before the fold (base + one chained delta), one
+        # window during it — the full fold/swap structure at 3 applies
+        win = max(200, n_docs)
         lake.apply(binlog, upto_lsn=2 * n_docs - 1, window_size=win)
         prev = lake.manifest
         chained = {p: e for p, e in prev["partitions"].items() if e.get("deltas")}
+        if not chained:
+            raise RuntimeError("fixture must form delta chains before the fold")
         folded = lake._fold_chains(chained)  # no lock held: ingest continues
         lake.apply(binlog, upto_lsn=3 * n_docs, window_size=win)
         lake._swap_compacted(prev, chained, folded)
@@ -3369,6 +3373,44 @@ def q_cdc_pgoutput_replay(sf_dir: str):
     binlog, n_docs = _docs_binlog(sf_dir)
     wire = binlog.map_batches(encode_batch, batch_format="pyarrow", zero_copy_batch=True)
     parsed = wire.map_batches(decode_batch, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = CDCLake(f"{tmp}/lake", num_partitions=32)
+        lake.apply(parsed, upto_lsn=3 * n_docs)
+        tb = lake.read_table(view=False)
+        return pa.table(
+            {
+                "repo": tb.column("repo"),
+                "path": tb.column("path"),
+                "commit_id": tb.column("commit"),
+                "lang": tb.column("lang"),
+                "content_sha": tb.column("content_sha"),
+                "last_lsn": tb.column("last_lsn"),
+            }
+        )
+
+
+def q_cdc_maxwell_replay(sf_dir: str):
+    """The SIXTH CDC wire format end-to-end: the documents binlog
+    rendered as Maxwell's-daemon JSON (flat one-object-per-change lines,
+    `position` file:offset carrying the lsn, DDL events as table-alter —
+    sources/maxwell.py), decoded back in-stream and replayed; converged
+    state equals cdc_replay_docs' closed-form sha256 oracle."""
+    import tempfile
+
+    from .. import CDCLake
+    from ..sources.maxwell import maxwell_decode, maxwell_encode
+
+    binlog, n_docs = _docs_binlog(sf_dir)
+
+    def enc(tb: pa.Table) -> pa.Table:
+        return pa.table({"text": maxwell_encode(tb)})
+
+    def dec(tb: pa.Table) -> pa.Table:
+        return maxwell_decode(tb.column("text"))
+
+    parsed = binlog.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        dec, batch_format="pyarrow", zero_copy_batch=True
+    )
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
         lake.apply(parsed, upto_lsn=3 * n_docs)
@@ -7595,6 +7637,7 @@ QUERIES = {
     "cdc_envelope_replay": q_cdc_envelope_replay,
     "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
     "cdc_mysql_replay": q_cdc_mysql_replay,
+    "cdc_maxwell_replay": q_cdc_maxwell_replay,
     "cdc_avro_replay": q_cdc_avro_replay,
     "profile_orders": q_profile_orders,
     "top_values_orders": q_top_values_orders,
@@ -7779,6 +7822,7 @@ ORACLE_SQL = {
     "cdc_envelope_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_pgoutput_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_mysql_replay": SQL_CDC_REPLAY_DOCS,
+    "cdc_maxwell_replay": SQL_CDC_REPLAY_DOCS,
     "cdc_avro_replay": SQL_CDC_REPLAY_DOCS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "top_values_orders": SQL_TOP_VALUES_ORDERS,

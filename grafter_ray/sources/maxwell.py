@@ -1,0 +1,233 @@
+"""Maxwell's-daemon JSON wire format: the 6th CDC codec (parquet,
+Debezium envelope, pgoutput/test_decoding, mysqlbinlog --verbose, Avro
+OCF, Maxwell). Maxwell tails the MySQL binlog and emits one flat JSON
+object per row change — the shape most Kafka CDC topics carried before
+Debezium standardized the before/after envelope::
+
+    {"database": "shop", "table": "docs", "type": "insert|update|delete",
+     "ts": 1477053217, "xid": 23396, "commit": true,
+     "position": "binlog.000006:800911",
+     "data": {row...}, "old": {changed cols' prior values}}
+
+Mapping to the engine's BINLOG schema (schemas.py):
+
+- type ``insert`` / ``update`` / ``bootstrap-insert`` carry the FULL new
+  row in ``data`` → ``upsert`` (Maxwell's update repeats every column in
+  ``data``; ``old`` holds only the changed columns' priors and is
+  ignored — LWW replay needs the new image, not the diff).
+- type ``delete`` carries the deleted row in ``data`` → ``delete`` (key
+  columns only are read).
+- type ``table-alter`` / ``table-create`` (Maxwell's DDL events, emitted
+  with ``ddl``) → ``schema_change``; the schema version is read from a
+  ``schema_version`` field when present, else parsed from a
+  ``-- schema_version=N`` comment in the DDL text (what our encoder
+  writes), else the event is unreplayable (raise / null_lsn).
+- ``bootstrap-start`` / ``bootstrap-complete`` are control markers with
+  no row payload → dropped.
+- LSN: Maxwell has no global sequence number; ``position`` is
+  ``<binlog file>:<offset>``. Offsets are monotone within a file and
+  file ordinals increase, so ``lsn = (file_ordinal << 32) | offset`` is
+  an injective commit-order key across a rotation-ordered stream — the
+  same file-ordinal discipline as sources/mysqlbinlog.file_seq_of. The
+  encoder writes ``binlog.%06d:%d`` from the row's real lsn, so
+  encode→decode round-trips lsns exactly.
+- ``xid`` surfaces as ``txn_id`` under ``emit_txn_id=True`` (feeds
+  transaction-aligned windows, apply(txn_col="txn_id")); ``table``
+  surfaces under ``emit_table=True`` (feeds demux_apply).
+
+Malformed lines follow the house wire contract (envelope.py): with
+``on_bad="raise"`` an unparseable line or an unreplayable event (missing
+type / position) raises in-band; ``on_bad="null_lsn"`` emits the raw
+line as a null-lsn BINLOG row that CDCLake.apply(on_bad="quarantine")
+diverts to the dead-letter file.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import BINLOG
+
+_ROW_FIELDS = ("repo", "path", "commit", "lang", "content")
+_POS_RE = re.compile(r"^(?P<file>[^:]*?)(?P<seq>\d+):(?P<off>\d+)$")
+_SV_RE = re.compile(r"schema_version=(\d+)")
+_UPSERT_TYPES = frozenset(("insert", "update", "bootstrap-insert"))
+_DDL_TYPES = frozenset(("table-alter", "table-create", "table-drop"))
+_CONTROL_TYPES = frozenset(("bootstrap-start", "bootstrap-complete", "heartbeat"))
+
+
+def _lsn_of(ev: dict) -> int | None:
+    pos = ev.get("position")
+    if not isinstance(pos, str):
+        return None
+    m = _POS_RE.match(pos)
+    if not m:
+        return None
+    return (int(m.group("seq")) << 32) | int(m.group("off"))
+
+
+def maxwell_decode(
+    lines,
+    *,
+    on_bad: str = "raise",
+    emit_table: bool = False,
+    emit_txn_id: bool = False,
+) -> pa.Table:
+    """A batch of Maxwell JSON lines → BINLOG-schema table (plus
+    optional trailing `table` / `txn_id` columns)."""
+    if on_bad not in ("raise", "null_lsn"):
+        raise ValueError(f"unknown on_bad {on_bad!r}")
+    if isinstance(lines, (pa.Array, pa.ChunkedArray)):
+        lines = lines.to_pylist()
+    cols: dict[str, list] = {
+        "lsn": [],
+        "op": [],
+        "repo": [],
+        "path": [],
+        "commit": [],
+        "lang": [],
+        "content": [],
+        "schema_version": [],
+    }
+    tables: list[str | None] = []
+    xids: list[int | None] = []
+
+    def emit(lsn, op, row: dict, sv, table, xid, raw=None):
+        cols["lsn"].append(lsn)
+        cols["op"].append(op)
+        for f in _ROW_FIELDS:
+            cols[f].append(row.get(f))
+        if raw is not None:
+            cols["content"][-1] = raw
+        cols["schema_version"].append(sv)
+        tables.append(table)
+        xids.append(xid)
+
+    for raw in lines:
+        if raw is None or (isinstance(raw, str) and not raw.strip()):
+            continue
+        line = raw.lstrip("﻿")
+        try:
+            ev = json.loads(line)
+            if not isinstance(ev, dict):
+                raise ValueError("not a JSON object")
+            typ = ev.get("type")
+            if typ in _CONTROL_TYPES:
+                continue
+            lsn = _lsn_of(ev)
+            if typ in _UPSERT_TYPES or typ == "delete":
+                if lsn is None:
+                    raise ValueError("missing/unparseable position")
+                data = ev.get("data") or {}
+                op = "upsert" if typ in _UPSERT_TYPES else "delete"
+                sv = int(ev.get("schema_version") or 0)
+                emit(lsn, op, data if op == "upsert" else {k: data.get(k) for k in ("repo", "path")},
+                     sv, ev.get("table"), ev.get("xid"))
+            elif typ in _DDL_TYPES:
+                if lsn is None:
+                    raise ValueError("missing/unparseable position")
+                sv = ev.get("schema_version")
+                if sv is None:
+                    m = _SV_RE.search(ev.get("ddl") or "")
+                    sv = int(m.group(1)) if m else None
+                if sv is None:
+                    raise ValueError("DDL event without a schema_version")
+                emit(lsn, "schema_change", {}, int(sv), ev.get("table"), ev.get("xid"))
+            else:
+                raise ValueError(f"unknown Maxwell event type {typ!r}")
+        except Exception as e:
+            if on_bad == "raise":
+                raise ValueError(f"malformed Maxwell event: {line!r}") from e
+            emit(None, None, {}, None, None, None, raw=line)
+
+    n = len(cols["lsn"])
+    data = {
+        "lsn": pa.array(cols["lsn"], pa.int64()),
+        "op": pa.array(cols["op"], pa.string()),
+        "repo": pa.array(cols["repo"], pa.string()),
+        "path": pa.array(cols["path"], pa.string()),
+        "commit": pa.array(cols["commit"], pa.string()),
+        "lang": pa.array(cols["lang"], pa.string()),
+        "content": pa.array(cols["content"], pa.string()),
+        "schema_version": pa.array(cols["schema_version"], pa.int32()),
+    }
+    extra = []
+    if emit_table:
+        data["table"] = pa.array(tables, pa.string())
+        extra.append(pa.field("table", pa.string()))
+    if emit_txn_id:
+        data["txn_id"] = pa.array(xids, pa.int64())
+        extra.append(pa.field("txn_id", pa.int64()))
+    tb = pa.table(data)
+    return tb.cast(pa.schema(list(BINLOG) + extra)) if extra else tb.cast(BINLOG)
+
+
+def decode_batch(tb: pa.Table, *, column: str = "text", **kw) -> pa.Table:
+    """``map_batches`` kernel over a text column of Maxwell lines."""
+    return maxwell_decode(tb.column(column), **kw)
+
+
+def read_maxwell(paths, **decode_kwargs):
+    """Newline-delimited Maxwell events → BINLOG-schema Dataset
+    (read_text splits files into blocks; events are one line each, so
+    block-parallel decode is safe — the envelope reader's shape)."""
+    import ray.data as rd
+
+    ds = rd.read_text(paths)
+    kernel = lambda tb: decode_batch(tb, **decode_kwargs)  # noqa: E731
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def maxwell_encode(
+    tb: pa.Table,
+    *,
+    database: str = "app",
+    table: str = "docs",
+    ts: int = 0,
+) -> pa.Array:
+    """BINLOG rows → Maxwell JSON lines (inverse of maxwell_decode).
+    ``position`` encodes each row's real lsn as
+    ``binlog.%06d:%d`` (file ordinal = lsn>>32, offset = low 32 bits),
+    so decode recovers it exactly. A `table` column overrides the
+    constant per row (multi-table streams); a `txn_id` column becomes
+    ``xid``. Deterministic field order (sort_keys) — archives diff
+    cleanly."""
+    names = tb.column_names
+    cols = {c: tb.column(c).to_pylist() for c in ("lsn", "op", "schema_version", *_ROW_FIELDS)}
+    tbls = tb.column("table").to_pylist() if "table" in names else None
+    xids = tb.column("txn_id").to_pylist() if "txn_id" in names else None
+    out: list[str] = []
+    for i in range(tb.num_rows):
+        lsn = int(cols["lsn"][i])
+        ev: dict = {
+            "database": database,
+            "table": (tbls[i] if tbls is not None and tbls[i] is not None else table),
+            "ts": ts,
+            "position": f"binlog.{lsn >> 32:06d}:{lsn & 0xFFFFFFFF}",
+            "commit": True,
+        }
+        if xids is not None and xids[i] is not None:
+            ev["xid"] = int(xids[i])
+        op = cols["op"][i]
+        if op == "delete":
+            ev["type"] = "delete"
+            ev["data"] = {"repo": cols["repo"][i], "path": cols["path"][i]}
+            sv = int(cols["schema_version"][i] or 0)
+            if sv:
+                ev["schema_version"] = sv
+        elif op == "schema_change":
+            ev["type"] = "table-alter"
+            sv = int(cols["schema_version"][i])
+            ev["ddl"] = f"ALTER TABLE {ev['table']} -- schema_version={sv}"
+        else:
+            ev["type"] = "insert"
+            ev["data"] = {f: cols[f][i] for f in _ROW_FIELDS}
+            sv = int(cols["schema_version"][i] or 0)
+            if sv:
+                ev["schema_version"] = sv
+        out.append(json.dumps(ev, sort_keys=True, ensure_ascii=False))
+    return pa.array(out, pa.string())

@@ -1,0 +1,94 @@
+"""Maxwell JSON wire codec (sources/maxwell.py): round trips, position
+→ lsn injectivity, DDL/control events, xid/table surfacing, malformed
+handling under both on_bad modes, end-to-end replay parity."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table
+from grafter_ray.sources.maxwell import maxwell_decode, maxwell_encode, read_maxwell
+
+CFG = BinlogConfig(n_events=1_200, n_keys=120, n_repos=6, schema_every=500, delete_pct=0.15)
+
+
+def test_roundtrip_binlog():
+    tb = binlog_table(CFG)
+    back = maxwell_decode(maxwell_encode(tb).to_pylist())
+    assert back.column("lsn").to_pylist() == tb.column("lsn").to_pylist()
+    assert back.column("op").to_pylist() == tb.column("op").to_pylist()
+    ups = pc.equal(tb.column("op"), "upsert")
+    assert back.filter(ups).column("content").to_pylist() == tb.filter(ups).column("content").to_pylist()
+    assert back.column("schema_version").to_pylist() == tb.column("schema_version").to_pylist()
+
+
+def test_position_lsn_injective_across_files():
+    """lsn = (file ordinal << 32) | offset: offsets repeat across binlog
+    rotations, decoded lsns must not."""
+    lines = [
+        '{"type":"insert","position":"binlog.000001:100","data":{"repo":"r","path":"a","content":"x"}}',
+        '{"type":"insert","position":"binlog.000002:100","data":{"repo":"r","path":"b","content":"y"}}',
+    ]
+    out = maxwell_decode(lines)
+    lsns = out.column("lsn").to_pylist()
+    assert len(set(lsns)) == 2
+    assert lsns[0] == (1 << 32) | 100 and lsns[1] == (2 << 32) | 100
+
+
+def test_control_events_dropped_ddl_mapped():
+    lines = [
+        '{"type":"bootstrap-start","position":"binlog.000001:1"}',
+        '{"type":"table-alter","position":"binlog.000001:2","ddl":"ALTER TABLE docs -- schema_version=3"}',
+        '{"type":"bootstrap-complete","position":"binlog.000001:9"}',
+    ]
+    out = maxwell_decode(lines)
+    assert out.num_rows == 1
+    assert out.column("op")[0].as_py() == "schema_change"
+    assert out.column("schema_version")[0].as_py() == 3
+
+
+def test_xid_and_table_surfaced():
+    lines = [
+        '{"type":"insert","table":"docs","xid":42,"position":"binlog.000001:5","data":{"repo":"r","path":"p","content":"c"}}',
+        '{"type":"delete","table":"logs","xid":43,"position":"binlog.000001:6","data":{"repo":"r","path":"q"}}',
+    ]
+    out = maxwell_decode(lines, emit_table=True, emit_txn_id=True)
+    assert out.column("table").to_pylist() == ["docs", "logs"]
+    assert out.column("txn_id").to_pylist() == [42, 43]
+
+
+def test_malformed_modes():
+    bad = ['{"type":"insert","data":{"repo":"r"}}', "not json"]
+    with pytest.raises(ValueError):
+        maxwell_decode([bad[0]])  # missing position
+    with pytest.raises(ValueError):
+        maxwell_decode([bad[1]])
+    out = maxwell_decode(bad, on_bad="null_lsn")
+    assert out.num_rows == 2
+    assert out.column("lsn").null_count == 2
+    assert out.column("content").to_pylist() == bad  # raw line preserved
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError):
+        maxwell_decode(['{"type":"mystery","position":"binlog.000001:1"}'])
+
+
+def test_replay_parity_with_parquet(tmp_path):
+    """encode → files → read_maxwell → replay ≡ plain parquet replay."""
+    tb = binlog_table(CFG)
+    wire_dir = tmp_path / "wire"
+    wire_dir.mkdir()
+    lines = maxwell_encode(tb).to_pylist()
+    third = len(lines) // 3
+    for i, chunk in enumerate([lines[:third], lines[third : 2 * third], lines[2 * third :]]):
+        (wire_dir / f"part{i}.json").write_text("\n".join(chunk) + "\n")
+    lake_w = CDCLake(str(tmp_path / "lw"), num_partitions=4)
+    lake_w.apply(read_maxwell(str(wire_dir)))
+    lake_p = CDCLake(str(tmp_path / "lp"), num_partitions=4)
+    lake_p.apply(rd.from_arrow(tb))
+    a = lake_w.read_table(view=False)
+    b = lake_p.read_table(view=False)
+    for col in ("repo", "path", "content_sha", "last_lsn"):
+        assert a.column(col).to_pylist() == b.column(col).to_pylist(), col

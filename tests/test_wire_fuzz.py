@@ -13,6 +13,7 @@ from grafter_ray.schemas import BINLOG
 from grafter_ray.sources.avro import binlog_to_records, read_ocf, records_to_binlog, write_ocf
 from grafter_ray.sources.avro import ENVELOPE_SCHEMA
 from grafter_ray.sources.envelope import envelope_decode, envelope_encode
+from grafter_ray.sources.maxwell import maxwell_decode, maxwell_encode
 from grafter_ray.sources.mysqlbinlog import mysqlbinlog_decode, mysqlbinlog_encode
 from grafter_ray.sources.pgoutput import pgoutput_decode, pgoutput_encode
 
@@ -38,6 +39,7 @@ def _codecs():
             lambda ls: pgoutput_decode(ls, layout="slot"),
         ),
         ("mysql", lambda tb: mysqlbinlog_encode(tb), lambda ls: mysqlbinlog_decode(ls)),
+        ("maxwell", lambda tb: maxwell_encode(tb), lambda ls: maxwell_decode(ls)),
         (
             "avro",  # binary OCF: one container blob per table
             lambda tb: pa.array([write_ocf(binlog_to_records(tb), ENVELOPE_SCHEMA)], pa.large_binary()),

@@ -36,6 +36,8 @@ import pyarrow.parquet as pq
 
 from ..stages.cdchunk import _string_bytes, chunk_spans, gear_hashes
 
+from ..util import write_parquet_table
+
 _MANIFEST = "_CHUNKSTORE.json"
 
 _DELTA_SCHEMA = pa.schema(
@@ -106,7 +108,7 @@ def _write_part_runs(ledger, store_dir: str) -> list[str]:
             d = os.path.join(store_dir, f"part={p}")
             os.makedirs(d, exist_ok=True)
             fname = f"chunks-{os.getpid()}-{os.urandom(6).hex()}.parquet"
-            pq.write_table(folded, os.path.join(d, fname), row_group_size=8192)
+            write_parquet_table(folded, os.path.join(d, fname), row_group_size=8192)
             out.append(f"part={p}/{fname}")
         return pa.table({"file": pa.array(out, pa.string())})
 
@@ -305,7 +307,7 @@ def compact_chunk_store(store_dir: str) -> dict:
         if folded.num_rows == 0:
             continue
         fname = f"{part}/chunks-compact-{os.getpid()}-{os.urandom(4).hex()}.parquet"
-        pq.write_table(folded, os.path.join(store_dir, fname), row_group_size=8192)
+        write_parquet_table(folded, os.path.join(store_dir, fname), row_group_size=8192)
         new_files.append(fname)
     old = set(man["files"])
     man["files"] = sorted(new_files)

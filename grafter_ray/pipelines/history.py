@@ -51,7 +51,7 @@ import pyarrow.parquet as pq
 
 from ..state.commitlog import CommitLog
 from ..stages.sha import sha256_array
-from ..util import coalesced_read_parquet, partition_ids
+from ..util import write_parquet_table, coalesced_read_parquet, partition_ids
 
 HIST_FIELDS = [
     ("repo", pa.string()),
@@ -278,11 +278,11 @@ class HistoryLake:
                 )
                 closed, new_open = _versions_of_block(part.drop_columns(["pid"]), old_open)
                 ofn = f"open-v{version:06d}-p{pid:06d}.parquet"
-                pq.write_table(new_open.sort_by([("repo", "ascending"), ("path", "ascending")]), os.path.join(data_dir, ofn))
+                write_parquet_table(new_open.sort_by([("repo", "ascending"), ("path", "ascending")]), os.path.join(data_dir, ofn))
                 cfn = ""
                 if closed.num_rows:
                     cfn = f"closed-v{version:06d}-p{pid:06d}.parquet"
-                    pq.write_table(closed, os.path.join(data_dir, cfn))
+                    write_parquet_table(closed, os.path.join(data_dir, cfn))
                 meta["pid"].append(pid)
                 meta["open_file"].append(ofn)
                 meta["closed_file"].append(cfn)
@@ -457,7 +457,7 @@ class HistoryLake:
                     body = part.drop_columns(["pid", "__max_lsn"]).sort_by(
                         [("repo", "ascending"), ("path", "ascending")]
                     )
-                    pq.write_table(body.cast(HIST_SCHEMA), os.path.join(data_dir, fn))
+                    write_parquet_table(body.cast(HIST_SCHEMA), os.path.join(data_dir, fn))
                     meta["pid"].append(pid)
                     meta["open_file"].append(fn)
                     meta["rows_open"].append(part.num_rows)
@@ -605,7 +605,7 @@ class HistoryLake:
             removed += n_hit
             kept = t.filter(pc.invert(hit))
             if kept.num_rows:
-                pq.write_table(kept, os.path.join(self.data_dir, out_name))
+                write_parquet_table(kept, os.path.join(self.data_dir, out_name))
                 return out_name, kept.num_rows, n_hit
             return "", 0, n_hit
 
@@ -674,7 +674,7 @@ class HistoryLake:
                     e["rows_closed"] = int(e.get("rows_closed", 0)) - (t.num_rows - n_keep)
                     if n_keep:
                         fn = f"closed-v{version:06d}-p{int(pid):06d}-e{i:04d}.parquet"
-                        pq.write_table(t.filter(keep), os.path.join(self.data_dir, fn))
+                        write_parquet_table(t.filter(keep), os.path.join(self.data_dir, fn))
                         kept_files.append(fn)
                 e["closed"] = kept_files
                 parts[pid] = e
@@ -719,7 +719,7 @@ class HistoryLake:
                         [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
                     )
                     fn = f"closed-v{version:06d}-p{int(pid):06d}.parquet"
-                    pq.write_table(merged, os.path.join(self.data_dir, fn))
+                    write_parquet_table(merged, os.path.join(self.data_dir, fn))
                     e["closed"] = [fn]
                     changed = True
                 parts[pid] = e

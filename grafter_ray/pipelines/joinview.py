@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..state.schema_registry import apply_view
-from ..util import coalesced_read_parquet
+from ..util import write_parquet_table, coalesced_read_parquet
 from .replay import LAKE, _item_batch_size, _merge_chain
 
 _KEYS = ["repo", "path"]
@@ -211,7 +211,7 @@ class JoinView:
                 fname = ""
                 if j.num_rows:
                     fname = f"p{pid}-v{vv:06d}.parquet"
-                    pq.write_table(j, os.path.join(root, fname))
+                    write_parquet_table(j, os.path.join(root, fname))
                 out.append({"pid": pid, "file": fname, "rows": j.num_rows})
             return pa.table(
                 {

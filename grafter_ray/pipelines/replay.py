@@ -59,7 +59,7 @@ from ..stages.sha import sha256_array
 from ..schemas import BINLOG, LAKE
 from ..state.commitlog import CommitLog
 from ..state.schema_registry import apply_view
-from ..util import coalesced_read_parquet, key_hash_pair, partition_ids
+from ..util import write_parquet_table, coalesced_read_parquet, key_hash_pair, partition_ids
 
 DEFAULT_BATCH_SIZE = 20_000  # grafter add-batched default, protocols.cljc:514-515
 
@@ -456,7 +456,7 @@ class MergeActor:
         t = t.sort_by("partition_id")
         fname = f"spill-v{self.version:06d}-{os.getpid()}-{self._spill_seq}.parquet"
         self._spill_seq += 1
-        pq.write_table(t, os.path.join(self.data_dir, fname), row_group_size=65536)
+        write_parquet_table(t, os.path.join(self.data_dir, fname), row_group_size=65536)
         self.spill_files.append(fname)
         self.rows, self.row_count, self.row_bytes = [], 0, 0
 
@@ -855,7 +855,7 @@ class MergeActor:
             and cur.num_rows <= self.delta_ratio * max(prev_rows, 1)
         ):
             dname = delta_file(self.version, pid)
-            pq.write_table(cur, os.path.join(self.data_dir, dname))
+            write_parquet_table(cur, os.path.join(self.data_dir, dname))
             return {
                 "partition_id": pid,
                 "file": prev_base,
@@ -878,7 +878,7 @@ class MergeActor:
             # key-sorted within partition (the reference native store keeps
             # key-ordered covering indexes, repository.clj:131-136)
             merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
-            pq.write_table(merged, os.path.join(self.data_dir, fname))
+            write_parquet_table(merged, os.path.join(self.data_dir, fname))
         return {
             "partition_id": pid,
             "file": fname if merged.num_rows else "",
@@ -1665,7 +1665,7 @@ class CDCLake:
             dlq_tb = pa.concat_tables(
                 [_to_dlq_schema(t) for t in dlq_parts], promote_options="none"
             )
-            pq.write_table(dlq_tb, os.path.join(self.log.data_dir, dlq_fname))
+            write_parquet_table(dlq_tb, os.path.join(self.log.data_dir, dlq_fname))
             n_quarantined = dlq_tb.num_rows
             dlq_entry = {"file": dlq_fname, "rows": n_quarantined}
 
@@ -1861,7 +1861,7 @@ class CDCLake:
                     return pid, None
                 merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
                 fname = CommitLog.data_file(version, int(pid))
-                pq.write_table(merged, os.path.join(data_dir, fname))
+                write_parquet_table(merged, os.path.join(data_dir, fname))
                 return pid, {"file": fname, "rows": merged.num_rows, "max_lsn": e["max_lsn"]}
 
             results = ray.get([_compact_one.remote(pid, e) for pid, e in chained.items()])
@@ -1905,7 +1905,7 @@ class CDCLake:
                 return pid, None
             merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
             fname = f"olc-{token}-p{int(pid):06d}.parquet"
-            pq.write_table(merged, os.path.join(data_dir, fname))
+            write_parquet_table(merged, os.path.join(data_dir, fname))
             return pid, {"file": fname, "rows": merged.num_rows, "max_lsn": e["max_lsn"]}
 
         return dict(ray.get([_fold_one.remote(pid, e) for pid, e in chained.items()]))
@@ -2224,7 +2224,7 @@ class CDCLake:
             fname = CommitLog.data_file(0, pid)
             # deterministic name + content → a retried task overwrites
             # with identical bytes (idempotent under Ray task retry)
-            pq.write_table(merged, os.path.join(out_dir, fname))
+            write_parquet_table(merged, os.path.join(out_dir, fname))
             return pa.table(
                 {
                     "partition_id": pa.array([pid], pa.int32()),

@@ -27,6 +27,8 @@ import pyarrow.parquet as pq
 from ..state.schema_registry import apply_view
 from .replay import CDCLake, _merge_chain
 
+from ..util import write_parquet_table
+
 
 def export_snapshot(
     lake: CDCLake,
@@ -66,7 +68,7 @@ def export_snapshot(
             if view:
                 tb = apply_view(tb, sv)
             fname = f"part-{row['pid']:05d}.parquet"
-            pq.write_table(tb, os.path.join(out_dir, fname))
+            write_parquet_table(tb, os.path.join(out_dir, fname))
             pids.append(row["pid"])
             rows.append(tb.num_rows)
             files.append(fname)

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
+from ..util import write_parquet_table
 from .similarity import IVFIndex, PQCodebook, _matrix, _normalize
 
 __all__ = [
@@ -135,7 +136,7 @@ def _write_vector_files(emb, index_dir: str, ivf, book, id_col: str, vec_col: st
             d = os.path.join(index_dir, f"cluster={c}")
             os.makedirs(d, exist_ok=True)
             fname = f"vectors-{os.getpid()}-{os.urandom(6).hex()}.parquet"
-            pq.write_table(part, os.path.join(d, fname), row_group_size=4096)
+            write_parquet_table(part, os.path.join(d, fname), row_group_size=4096)
             out_f.append(f"cluster={c}/{fname}")
             out_c.append(c)
             out_r.append(hi - lo)
@@ -615,7 +616,7 @@ def sync_ann_index(
     tomb_ids = sorted(up_ids | {int(r["vec_id"]) for r in del_rows})
     os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
     tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
-    pq.write_table(
+    write_parquet_table(
         pa.table(
             {
                 "vec_id": pa.array(tomb_ids, pa.int64()),
@@ -760,7 +761,7 @@ def compact_ann_index(index_dir: str) -> dict:
             return c, None, 0
         t = t.sort_by([("vec_id", "ascending")])
         fname = f"cluster={c}/vectors-c{os.getpid()}-{os.urandom(6).hex()}.parquet"
-        pq.write_table(t, os.path.join(index_dir, fname), row_group_size=4096)
+        write_parquet_table(t, os.path.join(index_dir, fname), row_group_size=4096)
         return c, fname, t.num_rows
 
     results = ray.get(

@@ -35,6 +35,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import write_parquet_table
+
 _WS = r"\s+"
 
 
@@ -269,7 +271,7 @@ def _write_postings(
             p = int(tb.column("part")[int(s)].as_py())
             sub = tb.slice(int(s), int(e - s)).drop_columns(["part"])
             fname = f"postings-{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
-            pq.write_table(
+            write_parquet_table(
                 sub, os.path.join(index_dir, f"part={p}", fname), row_group_size=4096
             )
             names.append(f"part={p}/{fname}")
@@ -615,7 +617,7 @@ def compact_text_index(index_dir: str):
                     kill = (tdoc[idx] == d) & (g < tgen[idx])
                     merged = merged.filter(pa.array(~kill))
             fname = f"part={p}/postings-c{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
-            pq.write_table(merged, os.path.join(index_dir, fname), row_group_size=4096)
+            write_parquet_table(merged, os.path.join(index_dir, fname), row_group_size=4096)
             news.append(fname)
             olds.append(json.dumps(fs))
         return pa.table({"new": pa.array(news, pa.string()), "old": pa.array(olds, pa.string())})
@@ -832,7 +834,7 @@ def sync_text_index(
     )
     os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
     tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
-    pq.write_table(
+    write_parquet_table(
         pa.table(
             {
                 "doc_id": pa.array(tomb_ids, pa.int64()),

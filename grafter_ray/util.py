@@ -130,6 +130,34 @@ def hex_str_array(h: np.ndarray, width: int = 16) -> pa.Array:
 _READ_TARGET_BYTES = 32 << 20
 
 
+def parquet_codec() -> tuple[str, int | None]:
+    """(compression, level) for every parquet file the engine writes,
+    from GRAFT_PARQUET_CODEC: "snappy" (default — fastest decode, the
+    right choice while CPU-bound), "zstd" or "zstd:LEVEL" (≈2× smaller
+    lake files — the right choice when a 100-TB estate is storage- or
+    network-bound), "lz4", "gzip", "none". One knob, applied at every
+    write site through write_parquet_table."""
+    import os
+
+    spec = os.environ.get("GRAFT_PARQUET_CODEC", "snappy").strip().lower()
+    if ":" in spec:
+        name, lvl = spec.split(":", 1)
+        return name, int(lvl)
+    return spec, None
+
+
+def write_parquet_table(table: pa.Table, where: str, **kwargs) -> None:
+    """pq.write_table with the engine-wide codec knob applied (explicit
+    compression/compression_level kwargs still win)."""
+    import pyarrow.parquet as pq
+
+    name, lvl = parquet_codec()
+    kwargs.setdefault("compression", name)
+    if lvl is not None:
+        kwargs.setdefault("compression_level", lvl)
+    pq.write_table(table, where, **kwargs)
+
+
 def artifact_pin_name(artifact_dir: str) -> str:
     """Deterministic lake-pin name for a derived artifact (index / view)
     living at `artifact_dir`: a sync can pin its synced lake version

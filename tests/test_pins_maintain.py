@@ -175,3 +175,55 @@ def test_maintain_min_chain_gate(tmp_path, binlog):
     assert not rep["compacted"], "below-threshold chains must not fold"
     rep = lake.maintain(min_chain=longest, vacuum=False)
     assert rep["compacted"]
+
+
+def test_parquet_codec_knob_unit(tmp_path, binlog, monkeypatch):
+    """write_parquet_table honors GRAFT_PARQUET_CODEC in-process; the
+    default is snappy; explicit kwargs win."""
+    import pyarrow.parquet as pq
+
+    from grafter_ray.util import write_parquet_table
+
+    monkeypatch.setenv("GRAFT_PARQUET_CODEC", "zstd:7")
+    write_parquet_table(binlog.slice(0, 10), str(tmp_path / "z.parquet"))
+    assert pq.read_metadata(str(tmp_path / "z.parquet")).row_group(0).column(0).compression == "ZSTD"
+    write_parquet_table(binlog.slice(0, 10), str(tmp_path / "g.parquet"), compression="gzip")
+    assert pq.read_metadata(str(tmp_path / "g.parquet")).row_group(0).column(0).compression == "GZIP"
+    monkeypatch.delenv("GRAFT_PARQUET_CODEC")
+    write_parquet_table(binlog.slice(0, 10), str(tmp_path / "s.parquet"))
+    assert pq.read_metadata(str(tmp_path / "s.parquet")).row_group(0).column(0).compression == "SNAPPY"
+
+
+def test_parquet_codec_knob_end_to_end(tmp_path):
+    """The knob must be set BEFORE ray.init (workers inherit the driver
+    environment at session start; on a real cluster ship it via
+    runtime_env env_vars) — a fresh subprocess session with
+    GRAFT_PARQUET_CODEC=zstd writes a zstd lake that replays
+    sha-identically."""
+    import os as _os
+    import subprocess
+    import sys
+
+    script = f"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+import ray.data as rd
+import pyarrow.parquet as pq
+import os
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+cfg = BinlogConfig(n_events=600, n_keys=80, n_repos=4, schema_every=9000, delete_pct=0.1)
+tb = binlog_table(cfg)
+lake = CDCLake({str(tmp_path)!r} + "/lake", num_partitions=2)
+lake.apply(rd.from_arrow(tb))
+d = lake.log.data_dir
+f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+assert pq.read_metadata(os.path.join(d, f)).row_group(0).column(0).compression == "ZSTD", "codec not applied"
+got = lake.read_table(view=False)
+want, _ = oracle_lake_table(tb)
+assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+ray.shutdown()
+print("CODEC-OK")
+"""
+    env = {**_os.environ, "GRAFT_PARQUET_CODEC": "zstd", "RAY_ADDRESS": "local"}
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert "CODEC-OK" in r.stdout, r.stderr[-2000:]

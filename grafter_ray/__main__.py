@@ -273,7 +273,14 @@ def cmd_status(args) -> int:
 
     lake = CDCLake(args.lake, num_partitions=args.partitions)
     log = lake.log
-    _emit({"cmd": "status", "versions": log.versions(), **_manifest_summary(lake.manifest)})
+    _emit(
+        {
+            "cmd": "status",
+            "versions": log.versions(),
+            "pins": log.pins(),
+            **_manifest_summary(lake.manifest),
+        }
+    )
     return 0
 
 

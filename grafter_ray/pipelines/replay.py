@@ -1925,6 +1925,27 @@ class CDCLake:
             if not cur or cur["num_partitions"] != prev["num_partitions"]:
                 return cur or {}
             parts = dict(cur["partitions"])
+            # suffix footer row counts, read BEFORE the per-pid loop with
+            # a thread pool: at 10^5 partitions a serial metadata read
+            # per suffix file would hold the writer lock for minutes
+            suffix_files = sorted(
+                {
+                    f
+                    for pid in folded
+                    if pid in parts
+                    for f in (parts[pid].get("deltas", []) or [])
+                }
+            )
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _rows(f: str) -> tuple[str, int | None]:
+                try:
+                    return f, pq.read_metadata(os.path.join(data_dir, f)).num_rows
+                except OSError:
+                    return f, None
+
+            with ThreadPoolExecutor(max_workers=32) as ex:
+                file_rows = dict(ex.map(_rows, suffix_files))
             swapped = 0
             for pid, fe in folded.items():
                 old_e = chained[pid]
@@ -1940,11 +1961,12 @@ class CDCLake:
                     continue  # racing vacuum removed the unreferenced fold
                 # `rows` must equal the exact footer-row sum of base +
                 # chain (fsck's chain-append arithmetic): folded base
-                # rows + the suffix deltas' physical rows. Metadata-only
-                # footer reads, O(windows-applied-during-fold) per pid.
-                suffix_rows = sum(
-                    pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in suffix
-                )
+                # rows + the suffix deltas' physical rows (pre-read
+                # above; a vacuum can't race us under the lock, so a
+                # missing footer means it raced the pre-read — skip)
+                if any(file_rows.get(f) is None for f in suffix):
+                    continue
+                suffix_rows = sum(file_rows[f] for f in suffix)
                 if fe is None:
                     if suffix:
                         # all snapshot rows tombstoned but new deltas

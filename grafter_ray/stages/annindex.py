@@ -87,6 +87,7 @@ def build_ann_index(
         "centroids": ivf.centroids.tolist(),
         "codebooks": book.codebooks.tolist(),
         "files": {c: sorted(fs) for c, fs in sorted(files.items())},
+        "layout": "cluster-v2",
     }
     with open(os.path.join(index_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -119,6 +120,11 @@ def _write_vector_files(emb, index_dir: str, ivf, book, id_col: str, vec_col: st
         t = pa.table(
             {
                 id_col: tb.column(id_col),
+                # cluster stays IN the file (int32, one RLE run per
+                # single-cluster file ≈ free): batched search reads all
+                # probed clusters in ONE Dataset and selects each row's
+                # probing-query subset from this column — without it,
+                # per-cluster reads would need Q × nprobe datasets
                 "cluster": pa.array(assign),
                 "codes": codes_arr,
                 vec_col: tb.column(vec_col),
@@ -132,7 +138,7 @@ def _write_vector_files(emb, index_dir: str, ivf, book, id_col: str, vec_col: st
         out_f, out_c, out_r = [], [], []
         for lo, hi in zip(starts, ends):
             c = int(cl[lo])
-            part = t.slice(lo, hi - lo).drop_columns(["cluster"])
+            part = t.slice(lo, hi - lo)
             d = os.path.join(index_dir, f"cluster={c}")
             os.makedirs(d, exist_ok=True)
             fname = f"vectors-{os.getpid()}-{os.urandom(6).hex()}.parquet"
@@ -337,62 +343,119 @@ def ann_index_search_batch(
     box = {"book": ray.put(book), "luts": ray.put(luts), "qids": ray.put(qid_arr), "tombs": ray.put(tombs)}
     scan_cols = [id_col, "codes"] + (["gen"] if tombs is not None else [])
 
-    def adc_for(qrows: list[int]):
+    empty_adc = pa.table(
+        {"qid": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "approx": pa.array([], pa.float64())}
+    )
+
+    def _adc_rows(tb: pa.Table, qrows, bk, lt, ql) -> pa.Table:
+        """ADC top-refine of one (already tombstone-filtered) row set for
+        the given query indices."""
+        if not tb.num_rows or not qrows:
+            return empty_adc
+        carr = tb.column("codes").combine_chunks()
+        if isinstance(carr, pa.ChunkedArray):
+            carr = carr.chunk(0) if carr.num_chunks else pa.array([], pa.binary(bk.m))
+        codes = np.frombuffer(carr.buffers()[1], np.uint8, len(carr) * bk.m, carr.offset * bk.m).reshape(-1, bk.m)
+        ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_i, out_a = [], [], []
+        for qi in qrows:
+            approx = bk.adc_scores(codes, lt[qi])
+            take = min(refine, len(approx))
+            cand = np.argpartition(-approx, take - 1)[:take] if take < len(approx) else np.arange(len(approx))
+            out_q.append(np.full(len(cand), ql[qi], np.int64))
+            out_i.append(ids[cand])
+            out_a.append(approx[cand])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "approx": pa.array(np.concatenate(out_a)),
+            }
+        )
+
+    def _tomb_filter(tb: pa.Table, tm) -> pa.Table:
+        if tm is None or not tb.num_rows:
+            return tb
+        keep = _live_mask(
+            tb.column(id_col).to_numpy(zero_copy_only=False),
+            tb.column("gen").to_numpy(zero_copy_only=False),
+            tm,
+        )
+        return tb.filter(pa.array(keep))
+
+    probed_paths = {
+        c: [os.path.join(index_dir, f) for f in man["files"].get(str(c), [])]
+        for c in by_cluster
+    }
+    all_probed = [p for ps in probed_paths.values() for p in ps]
+    if not all_probed:
+        return empty
+    # layout flag is written at BUILD/REBUILD time only: it proves EVERY
+    # file (including later extends/syncs, which always write the
+    # column) carries `cluster`; probing one file could misread a legacy
+    # index extended by newer code
+    if man.get("layout") == "cluster-v2":
+        # single-read path: every probed cluster's files in ONE Dataset;
+        # each row's probing-query subset comes from the in-file cluster
+        # column (bounded per-block loop over the clusters present) —
+        # dataset count stays 1 no matter how many clusters Q × nprobe
+        # touch (the per-cluster fallback below would need one dataset
+        # each, a driver bottleneck at IVF scale)
+        cq = {int(c): sorted(set(qr)) for c, qr in by_cluster.items()}
+        cq_ref = ray.put(cq)
+
         def adc_block(tb: pa.Table) -> pa.Table:
             bk = ray.get(box["book"])
             lt = ray.get(box["luts"])
             ql = ray.get(box["qids"])
             tm = ray.get(box["tombs"])
-            if tm is not None and tb.num_rows:
-                keep = _live_mask(
-                    tb.column(id_col).to_numpy(zero_copy_only=False),
-                    tb.column("gen").to_numpy(zero_copy_only=False),
-                    tm,
-                )
-                tb = tb.filter(pa.array(keep))
+            cmap = ray.get(cq_ref)
+            tb = _tomb_filter(tb, tm)
             if not tb.num_rows:
-                return pa.table(
-                    {"qid": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "approx": pa.array([], pa.float64())}
-                )
-            carr = tb.column("codes").combine_chunks()
-            if isinstance(carr, pa.ChunkedArray):
-                carr = carr.chunk(0) if carr.num_chunks else pa.array([], pa.binary(bk.m))
-            codes = np.frombuffer(carr.buffers()[1], np.uint8, len(carr) * bk.m, carr.offset * bk.m).reshape(-1, bk.m)
-            ids = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            out_q, out_i, out_a = [], [], []
-            for qi in qrows:
-                approx = bk.adc_scores(codes, lt[qi])
-                take = min(refine, len(approx))
-                cand = np.argpartition(-approx, take - 1)[:take] if take < len(approx) else np.arange(len(approx))
-                out_q.append(np.full(len(cand), ql[qi], np.int64))
-                out_i.append(ids[cand])
-                out_a.append(approx[cand])
-            return pa.table(
-                {
-                    "qid": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_i)),
-                    "approx": pa.array(np.concatenate(out_a)),
-                }
-            )
+                return empty_adc
+            cl = tb.column("cluster").to_numpy(zero_copy_only=False)
+            parts = []
+            for c in np.unique(cl):
+                qrows = cmap.get(int(c))
+                if not qrows:
+                    continue
+                sub = tb.filter(pa.array(cl == c))
+                parts.append(_adc_rows(sub, qrows, bk, lt, ql))
+            return pa.concat_tables(parts, promote_options="none") if parts else empty_adc
 
-        return adc_block
-
-    parts = []
-    for c, qrows in sorted(by_cluster.items()):
-        paths = [os.path.join(index_dir, f) for f in man["files"].get(str(c), [])]
-        if not paths:
-            continue
-        parts.append(
-            rd.read_parquet(paths, columns=scan_cols).map_batches(
-                adc_for(sorted(set(qrows))), batch_format="pyarrow", zero_copy_batch=True
-            )
+        cand_rows = (
+            rd.read_parquet(all_probed, columns=scan_cols + ["cluster"])
+            .map_batches(adc_block, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
         )
-    if not parts:
-        return empty
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    cand_rows = ds.take_all()  # ≤ Q × refine × blocks (ids + scores only)
+    else:
+        # legacy indexes (no cluster column): one dataset per probed
+        # cluster — fine at small n_clusters
+        parts = []
+        for c, qrows in sorted(by_cluster.items()):
+            paths = probed_paths[c]
+            if not paths:
+                continue
+            qr = sorted(set(qrows))
+
+            def adc_for(tb: pa.Table, _qr=qr) -> pa.Table:
+                bk = ray.get(box["book"])
+                lt = ray.get(box["luts"])
+                ql = ray.get(box["qids"])
+                tm = ray.get(box["tombs"])
+                return _adc_rows(_tomb_filter(tb, tm), _qr, bk, lt, ql)
+
+            parts.append(
+                rd.read_parquet(paths, columns=scan_cols).map_batches(
+                    adc_for, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        if not parts:
+            return empty
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        cand_rows = ds.take_all()  # ≤ Q × refine × blocks (ids + scores only)
     if not cand_rows:
         return empty
     cand_by_q: dict[int, set[int]] = {}
@@ -705,6 +768,7 @@ def rebuild_ann_index(
         "synced_version": cur_version,
         "gen": 0,
         "tombstones": [],
+        "layout": "cluster-v2",
     }
     _publish(index_dir, man)
     return man
@@ -748,9 +812,17 @@ def compact_ann_index(index_dir: str) -> dict:
     @ray.remote(num_cpus=1)
     def _compact_cluster(c: str, files: list[str]) -> tuple[str, str | None, int]:
         tm = ray.get(tbox)
-        t = pa.concat_tables(
-            [pq.read_table(os.path.join(index_dir, f)) for f in files], promote_options="none"
-        )
+        # pre-cluster-column files (older builds) mix with current ones:
+        # normalize to the current layout (constant cluster column)
+        tabs = []
+        for f in files:
+            t1 = pq.read_table(os.path.join(index_dir, f))
+            if "cluster" not in t1.column_names:
+                t1 = t1.append_column(
+                    "cluster", pa.array(np.full(t1.num_rows, int(c), np.int32))
+                )
+            tabs.append(t1.select(sorted(t1.column_names)))
+        t = pa.concat_tables(tabs, promote_options="none")
         keep = _live_mask(
             t.column("vec_id").to_numpy(zero_copy_only=False),
             t.column("gen").to_numpy(zero_copy_only=False),

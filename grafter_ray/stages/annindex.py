@@ -423,10 +423,8 @@ def ann_index_search_batch(
                 parts.append(_adc_rows(sub, qrows, bk, lt, ql))
             return pa.concat_tables(parts, promote_options="none") if parts else empty_adc
 
-        cand_rows = (
-            rd.read_parquet(all_probed, columns=scan_cols + ["cluster"])
-            .map_batches(adc_block, batch_format="pyarrow", zero_copy_batch=True)
-            .take_all()
+        cand_ds = rd.read_parquet(all_probed, columns=scan_cols + ["cluster"]).map_batches(
+            adc_block, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
         # legacy indexes (no cluster column): one dataset per probed
@@ -452,26 +450,46 @@ def ann_index_search_batch(
             )
         if not parts:
             return empty
-        ds = parts[0]
+        cand_ds = parts[0]
         for p in parts[1:]:
-            ds = ds.union(p)
-        cand_rows = ds.take_all()  # ≤ Q × refine × blocks (ids + scores only)
-    if not cand_rows:
+            cand_ds = cand_ds.union(p)
+    # collect candidates as ARROW blocks (≤ Q × refine × blocks rows of
+    # (qid, id) — never Python row dicts: at conformance configs this is
+    # hundreds of thousands of rows and dict materialization dominates)
+    cand_tabs = [t for t in ray.get(cand_ds.to_arrow_refs()) if t.num_rows]
+    if not cand_tabs:
         return empty
-    cand_by_q: dict[int, set[int]] = {}
-    for r in cand_rows:
-        cand_by_q.setdefault(int(r["qid"]), set()).add(int(r[id_col]))
-    all_ids = sorted(set().union(*cand_by_q.values()))
+    cand = pa.concat_tables(
+        [t.select(["qid", id_col]) for t in cand_tabs], promote_options="none"
+    )
+    cq = cand.column("qid").to_numpy(zero_copy_only=False).astype(np.int64)
+    cid = cand.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    # dedupe (qid, id) pairs, grouped by qid — one lexsort
+    order0 = np.lexsort((cid, cq))
+    cq, cid = cq[order0], cid[order0]
+    keep0 = np.ones(len(cq), bool)
+    keep0[1:] = (cq[1:] != cq[:-1]) | (cid[1:] != cid[:-1])
+    cq, cid = cq[keep0], cid[keep0]
+    all_ids = np.unique(cid)
 
     import pyarrow.dataset as pads
 
     all_paths = [
         os.path.join(index_dir, f) for fs in man["files"].values() for f in fs
     ]
-    fetched = pads.dataset(all_paths).to_table(
-        columns=[id_col, vec_col] + (["gen"] if tombs is not None else []),
-        filter=pads.field(id_col).isin(all_ids),
-    )
+    fetch_cols = [id_col, vec_col] + (["gen"] if tombs is not None else [])
+    if len(all_ids) * 5 < int(man.get("n_vectors") or 0):
+        # selective: vec_id pushdown prunes row groups
+        fetched = pads.dataset(all_paths).to_table(
+            columns=fetch_cols, filter=pads.field(id_col).isin(all_ids)
+        )
+    else:
+        # candidates ≈ the corpus (probe-all / huge refine): a plain read
+        # + vectorized membership beats evaluating a giant isin per row
+        # group
+        fetched = pads.dataset(all_paths).to_table(columns=fetch_cols)
+        fids = fetched.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fetched = fetched.filter(pa.array(np.isin(fids, all_ids)))
     if tombs is not None and fetched.num_rows:
         keep = _live_mask(
             fetched.column(id_col).to_numpy(zero_copy_only=False),
@@ -485,19 +503,29 @@ def ann_index_search_batch(
     mat = _normalize(_matrix(fetched.column(vec_col), dtype=np.float64))
     qn = _normalize(q)
     sims = qn @ mat.T  # (Q, n_cand)
-    id_pos = {int(v): i for i, v in enumerate(ids)}
+    # vectorized candidate→fetched-row mapping: positions via
+    # searchsorted over the sorted fetched ids
+    forder = np.argsort(ids, kind="stable")
+    ids_sorted = ids[forder]
+    pos = np.searchsorted(ids_sorted, cid)
+    posc = np.minimum(pos, len(ids_sorted) - 1)
+    ok = ids_sorted[posc] == cid
+    cq, cid, rowpos = cq[ok], cid[ok], forder[posc[ok]]
+    if not len(cq):
+        return empty
+    qi_of = {int(v): i for i, v in enumerate(qid_arr)}  # Q entries
     out_q, out_i, out_c = [], [], []
-    for qi in range(q.shape[0]):
-        cset = cand_by_q.get(int(qid_arr[qi]))
-        if not cset:
+    bounds = np.flatnonzero(np.diff(cq)) + 1
+    for lo, hi in zip(np.concatenate([[0], bounds]), np.concatenate([bounds, [len(cq)]])):
+        qid = int(cq[lo])
+        qi = qi_of.get(qid)
+        if qi is None:
             continue
-        cols = np.fromiter((id_pos[v] for v in cset if v in id_pos), np.int64)
-        if not len(cols):
-            continue
-        s = sims[qi, cols]
-        order = np.lexsort((ids[cols], -np.round(s, 6)))[:k]
-        out_q.append(np.full(len(order), qid_arr[qi], np.int64))
-        out_i.append(ids[cols][order])
+        rows = rowpos[lo:hi]
+        s = sims[qi, rows]
+        order = np.lexsort((ids[rows], -np.round(s, 6)))[:k]
+        out_q.append(np.full(len(order), qid, np.int64))
+        out_i.append(ids[rows][order])
         out_c.append(np.round(s[order], 6))
     if not out_q:
         return empty

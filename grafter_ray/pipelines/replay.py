@@ -2008,6 +2008,8 @@ class CDCLake:
         reader: vacuum keeps the pinned manifest + its data files past
         keep_versions until `unpin(name)` releases it. Named — two
         readers' pins never release each other."""
+        if version is None and self.manifest is None:
+            raise ValueError("cannot pin: the lake has no committed version yet")
         v = int(self.manifest["version"]) if version is None else int(version)
         return self.log.pin(name, v)
 

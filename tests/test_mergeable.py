@@ -48,9 +48,31 @@ def _oracle(tb: pa.Table):
 
 
 def _run(tb: pa.Table, blocks: int, delete_col):
+    import ray
+
     ds = rd.from_arrow(tb).repartition(blocks)
     out = mergeable_fold(ds, ["k"], "o", SPECS, delete_col=delete_col)
-    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    # collect via Arrow blocks: Dataset.to_pandas() on an all-empty
+    # result drops the block schema (known Ray quirk, TODO.md), and the
+    # every-event-deleted hypothesis case lands exactly there
+    tabs = ray.get(out.to_arrow_refs())
+    live = [t for t in tabs if t.num_rows]
+    if live:
+        at = pa.concat_tables(live)
+    else:
+        # Ray's sort also strips the schema off all-empty blocks, so the
+        # typed-empty comes from the expected shape, not the blocks
+        at = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "last_tag": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    df = at.to_pandas().sort_values("k").reset_index(drop=True)
     return df[["k", "total", "hi", "lo", "last_tag", "n"]]
 
 

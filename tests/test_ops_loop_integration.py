@@ -1,0 +1,85 @@
+"""Integration soak of the session-15 operational loop: a growing feed
+tailed with in-loop maintenance (online compact + pin-aware vacuum)
+while BOTH derived indexes (inverted text + IVF-PQ ANN) stay synced
+with pins protecting their diff sources — every component converges to
+the oracle at the end, fsck deep-clean, no retired generation served."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+from grafter_ray.stages.annindex import ann_index_search, sha_embedding, sync_ann_index
+from grafter_ray.stages.retrieval import sync_text_index, text_index_lookup
+from grafter_ray.util import key_hash_array
+
+CFG = BinlogConfig(n_events=4_000, n_keys=260, n_repos=8, schema_every=1_500, delete_pct=0.15)
+
+
+def test_ops_loop_converges(tmp_path):
+    binlog = binlog_table(CFG)
+    src = str(tmp_path / "binlog")
+    os.makedirs(src)
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=8, delta_ratio=10.0, max_delta_chain=64
+    )
+    txt_idx = str(tmp_path / "txt")
+    ann_idx = str(tmp_path / "ann")
+
+    cuts = [1_000, 2_200, 3_100, CFG.n_events]
+    lo = 0
+    tailer = lake.tail(
+        src,
+        poll_interval_s=0.01,
+        max_polls=len(cuts),
+        window_size=500,
+        maintain_every=2,
+        maintain_kwargs={"min_chain": 2, "keep_versions": 1},
+    )
+    for i, hi in enumerate(cuts):
+        pq.write_table(binlog.slice(lo, hi - lo), f"{src}/seg{i}.parquet")
+        lo = hi
+        next(tailer)
+        # derived artifacts follow every poll, pinning their sync points
+        # so the keep_versions=1 vacuum can never strand their next diff
+        sync_text_index(lake, txt_idx, num_partitions=8, pin=True)
+        sync_ann_index(lake, ann_idx, n_clusters=6, m=4, ks=16, pin=True)
+
+    # lake converged (sha-exact) and structurally clean
+    got = lake.read_table(view=False)
+    want, _ = oracle_lake_table(binlog)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+    assert lake.fsck(deep=True)["errors"] == []
+
+    live = lake.read_table(view=True)
+    live_ids = set(
+        key_hash_array(live.column("repo"), live.column("path")).astype(np.int64).tolist()
+    )
+
+    # ANN index serves exactly the live keys (no retired generation, no
+    # deleted key) with correct scores
+    q = np.asarray(
+        sha_embedding(live.column("content_sha").slice(0, 1)).flatten(), np.float64
+    )
+    hits = ann_index_search(ann_idx, q, k=10_000, nprobe=6, refine=100_000)
+    hit_ids = hits.column("vec_id").to_pylist()
+    assert set(hit_ids) == live_ids
+    assert len(hit_ids) == len(live_ids), "a stale generation row leaked into results"
+    top = hits.to_pylist()[0]
+    assert top["cosine"] == 1.0, "the queried live document must match itself exactly"
+
+    # text index postings cover only live docs (generation tombstones
+    # retired every updated/deleted doc's stale postings) — probe with a
+    # token that actually occurs in live content
+    tok = live.column("content")[0].as_py().split()[0]
+    toks = text_index_lookup(txt_idx, [tok]).to_pandas()
+    assert len(toks) > 0
+    assert set(toks["doc_id"]) <= live_ids
+
+    # the pins moved with the final syncs; nothing else is pinned
+    pins = lake.log.pins()
+    assert len(pins) == 2
+    assert all(v <= lake.manifest["version"] for v in pins.values())

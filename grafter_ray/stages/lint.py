@@ -30,9 +30,6 @@ def lint_binlog(source) -> dict:
      largest_gap, n_unknown_op, n_null_key, ok}. `ok` means replayable
     as-is: no duplicate/null LSNs, no unknown ops, no null keys on
     upsert/delete rows (gaps only lower throughput expectations)."""
-    import ray
-    import ray.data as rd
-
     from ..util import coalesced_read_parquet
 
     ds = coalesced_read_parquet(source, columns=["lsn", "op", "repo", "path"]) if isinstance(
@@ -96,62 +93,43 @@ def lint_binlog(source) -> dict:
             and int(c["n_unknown_op"]) == 0
             and int(c["n_null_key"]) == 0,
         }
-    # carry: the PREVIOUS block's last lsn, keyed by this block's first —
-    # block firsts can tie only when a duplicate lsn straddles blocks, so
-    # key by (first, occurrence index) via a cumulative disambiguator
+    # Boundary pairs fold DRIVER-SIDE from meta alone: after the global
+    # sort, block extents never interleave (block i's last <= block
+    # i+1's first, with equality only when a duplicate run straddles
+    # blocks), so the (prev block last → this block first) diffs are
+    # exactly the consecutive pairs of the (first, last)-sorted meta —
+    # O(blocks) numpy on rows already collected above, no serial actor.
     firsts = meta["first"].to_numpy()
     lasts = meta["last"].to_numpy()
-    prev_last = np.concatenate([[np.iinfo(np.int64).min], lasts[:-1]]).astype(np.int64)
-    order = {}
-    carries: dict[tuple, int] = {}
-    for f, p in zip(firsts, prev_last):
-        k = order.get(int(f), 0)
-        order[int(f)] = k + 1
-        carries[(int(f), k)] = int(p)
-    carry_ref = ray.put(carries)
+    bdiff = firsts[1:] - lasts[:-1]
+    b_dups = int((bdiff == 0).sum())
+    b_gaps = int((bdiff > 1).sum())
+    b_maxgap = int(bdiff.max() - 1) if len(bdiff) and bdiff.max() > 1 else 0
 
-    class _Adj:
-        """Stateful per-actor occurrence counter keyed by block first
-        (concurrency 1). Delivery order among blocks with TIED firsts is
-        not guaranteed — but tied firsts hand out the same multiset of
-        carries whichever way they're assigned, so the aggregate
-        dup/gap counts are order-independent. The pass is O(blocks)
-        boundary pairs + in-block vectorized diffs; one actor is not a
-        bottleneck."""
-
-        def __init__(self):
-            self.occ: dict[int, int] = {}
-
-        def __call__(self, tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0:
-                return pa.table(
-                    {"dups": pa.array([], pa.int64()), "gaps": pa.array([], pa.int64()), "maxgap": pa.array([], pa.int64())}
-                )
-            a = tb.column("lsn").to_numpy(zero_copy_only=False)
-            first = int(a[0])
-            k = self.occ.get(first, 0)
-            self.occ[first] = k + 1
-            prev = ray.get(carry_ref).get((first, k), np.iinfo(np.int64).min)
-            full = np.concatenate([[prev], a])
-            d = np.diff(full)
-            if full[0] == np.iinfo(np.int64).min:
-                d = d[1:]  # no predecessor for the global first block
-            dups = int((d == 0).sum())
-            gaps = int((d > 1).sum())
-            maxgap = int(d.max() - 1) if len(d) and d.max() > 1 else 0
+    # In-block diffs are block-local → a STATELESS map (any concurrency).
+    def inblock(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
             return pa.table(
-                {
-                    "dups": pa.array([dups], pa.int64()),
-                    "gaps": pa.array([gaps], pa.int64()),
-                    "maxgap": pa.array([maxgap], pa.int64()),
-                }
+                {"dups": pa.array([], pa.int64()), "gaps": pa.array([], pa.int64()), "maxgap": pa.array([], pa.int64())}
             )
+        a = tb.column("lsn").to_numpy(zero_copy_only=False)
+        d = np.diff(a)
+        dups = int((d == 0).sum())
+        gaps = int((d > 1).sum())
+        maxgap = int(d.max() - 1) if len(d) and d.max() > 1 else 0
+        return pa.table(
+            {
+                "dups": pa.array([dups], pa.int64()),
+                "gaps": pa.array([gaps], pa.int64()),
+                "maxgap": pa.array([maxgap], pa.int64()),
+            }
+        )
 
     adj = lsns.map_batches(
-        _Adj, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, concurrency=1
+        inblock, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    n_dup = int(adj["dups"].sum())
-    n_gaps = int(adj["gaps"].sum())
+    n_dup = int(adj["dups"].sum()) + b_dups
+    n_gaps = int(adj["gaps"].sum()) + b_gaps
     report = {
         "n_events": int(c["n"]),
         "lsn_min": int(firsts.min()),
@@ -159,7 +137,7 @@ def lint_binlog(source) -> dict:
         "n_null_lsn": int(c["n_null_lsn"]),
         "n_dup_lsn": n_dup,
         "n_gaps": n_gaps,
-        "largest_gap": int(adj["maxgap"].max()) if len(adj) else 0,
+        "largest_gap": max(int(adj["maxgap"].max()) if len(adj) else 0, b_maxgap),
         "n_unknown_op": int(c["n_unknown_op"]),
         "n_null_key": int(c["n_null_key"]),
     }

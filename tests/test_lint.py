@@ -104,3 +104,22 @@ def test_cli_lint(tmp_path, capsys):
     assert main(["lint", "--binlog", str(bdir)]) == 1
     out = _json.loads([l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1])
     assert out["n_dup_lsn"] == 800 and not out["ok"]
+
+
+def test_no_serial_stage(monkeypatch):
+    # round-5 regression gate: the adjacency audit must not reintroduce a
+    # concurrency-limited (serial-actor) stage — boundary pairs fold
+    # driver-side from block meta, in-block diffs are a stateless map.
+    import ray.data
+
+    seen = []
+    orig = ray.data.Dataset.map_batches
+
+    def spy(self, *a, **k):
+        seen.append(k.get("concurrency"))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "map_batches", spy)
+    rep = lint_binlog(rd.from_arrow(_feed(list(range(200)))).repartition(8))
+    assert rep["ok"] and rep["n_events"] == 200
+    assert all(c is None for c in seen)

@@ -741,6 +741,7 @@ def cmd_ann_sync(args) -> int:
             "synced_version": int(man["synced_version"]),
             "gen": int(man.get("gen", 0)),
             "n_vectors": int(man["n_vectors"]),
+            "n_live": int(man.get("n_live", man["n_vectors"])),
             "tombstone_files": len(man.get("tombstones") or []),
             "compacted": bool(args.compact),
             "rebuilt": bool(args.rebuild),

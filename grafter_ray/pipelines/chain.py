@@ -100,53 +100,56 @@ def sync_lakes(src, dst, transform=None, at_version: int | None = None, pin: boo
     src_m = src.manifest_at(at_version)
     if src_m is None:
         return {"mode": "noop", "src_version": None, "manifest": dst.manifest}
-    since = _source_version_for(src, dst.watermark)
-    if since is not None and since == int(src_m["version"]):
-        return {"mode": "noop", "src_version": since, "manifest": dst.manifest}
+    from ..util import sync_guard
 
-    if since is None:
-        mode = "bootstrap"
-        ups = src.read(view=False, version=at_version).map_batches(
-            _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
-        )
-        feed = ups
-    else:
-        if at_version is not None and (
-            src.manifest is None or int(src.manifest["version"]) != int(src_m["version"])
-        ):
-            raise ValueError(
-                "incremental sync targets the latest src version only — "
-                "at_version is a bootstrap-time pin"
+    with sync_guard(src, dst.root, int(src_m["version"]), pin):
+        since = _source_version_for(src, dst.watermark)
+        if since is not None and since == int(src_m["version"]):
+            return {"mode": "noop", "src_version": since, "manifest": dst.manifest}
+
+        if since is None:
+            mode = "bootstrap"
+            ups = src.read(view=False, version=at_version).map_batches(
+                _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
             )
-        mode = "incremental"
-        ups = src.read_changes(since, view=False).map_batches(
-            _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
-        )
-        del_lsn = 2 * int(src_m["watermark_lsn"]) + 1
-        dels = src.deleted_keys(since).map_batches(
-            lambda tb: _as_binlog_deletes(tb, del_lsn),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        feed = ups.union(dels)
-    if transform is not None:
-        t = transform
+            feed = ups
+        else:
+            if at_version is not None and (
+                src.manifest is None or int(src.manifest["version"]) != int(src_m["version"])
+            ):
+                raise ValueError(
+                    "incremental sync targets the latest src version only — "
+                    "at_version is a bootstrap-time pin"
+                )
+            mode = "incremental"
+            ups = src.read_changes(since, view=False).map_batches(
+                _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
+            )
+            del_lsn = 2 * int(src_m["watermark_lsn"]) + 1
+            dels = src.deleted_keys(since).map_batches(
+                lambda tb: _as_binlog_deletes(tb, del_lsn),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            feed = ups.union(dels)
+        if transform is not None:
+            t = transform
 
-        def guarded(tb: pa.Table) -> pa.Table:
-            mask = pa.compute.equal(tb.column("op"), "upsert")
-            ups_t = t(tb.filter(mask)).cast(BINLOG)
-            rest = tb.filter(pa.compute.invert(mask))
-            return pa.concat_tables([ups_t, rest], promote_options="none")
+            def guarded(tb: pa.Table) -> pa.Table:
+                mask = pa.compute.equal(tb.column("op"), "upsert")
+                ups_t = t(tb.filter(mask)).cast(BINLOG)
+                rest = tb.filter(pa.compute.invert(mask))
+                return pa.concat_tables([ups_t, rest], promote_options="none")
 
-        feed = feed.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
-    # anchor the downstream watermark at 2*src_wm+1 even when no event
-    # carries that lsn (src watermarks can exceed their max event lsn) —
-    # otherwise the cursor never reaches the synced version and every
-    # sync re-diffs the same changes (idempotent but wasteful)
-    apply_kwargs.setdefault("upto_lsn", 2 * int(src_m["watermark_lsn"]) + 1)
-    manifest = dst.apply(feed, **apply_kwargs)
-    if pin:
-        from ..util import artifact_pin_name
+            feed = feed.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
+        # anchor the downstream watermark at 2*src_wm+1 even when no event
+        # carries that lsn (src watermarks can exceed their max event lsn) —
+        # otherwise the cursor never reaches the synced version and every
+        # sync re-diffs the same changes (idempotent but wasteful)
+        apply_kwargs.setdefault("upto_lsn", 2 * int(src_m["watermark_lsn"]) + 1)
+        manifest = dst.apply(feed, **apply_kwargs)
+        if pin:
+            from ..util import artifact_pin_name
 
-        src.pin(artifact_pin_name(dst.root), int(src_m["version"]))
-    return {"mode": mode, "src_version": int(src_m["version"]), "manifest": manifest}
+            src.pin(artifact_pin_name(dst.root), int(src_m["version"]))
+        return {"mode": mode, "src_version": int(src_m["version"]), "manifest": manifest}

@@ -36,6 +36,8 @@ routing lifted to independent stores.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
 import tempfile
@@ -45,6 +47,38 @@ import pyarrow.compute as pc
 
 from ..schemas import BINLOG
 from .replay import CDCLake
+
+
+def _staged_max_lsn(stage: str, table_col: str):
+    """Max lsn across the staged hive dirs, from parquet FOOTER stats
+    only (driver metadata, no scan). None when empty or stats absent."""
+    import pyarrow.dataset as pads
+
+    mx = None
+    for d in os.listdir(stage):
+        if not (d.startswith(f"{table_col}=") and os.path.isdir(os.path.join(stage, d))):
+            continue
+        dset = pads.dataset(os.path.join(stage, d), format="parquet")
+        for frag in dset.get_fragments():
+            md = frag.metadata
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.max is None:
+                    continue
+                v = int(st.max)
+                mx = v if mx is None else max(mx, v)
+    return mx
+
+
+def _feed_max_lsn(feed):
+    """Live feed's max lsn — one narrow column pass, paid only on the
+    rare resume-with-existing-stage path."""
+    def lsn_only(tb: pa.Table) -> pa.Table:
+        return tb.select(["lsn"])
+
+    out = feed.map_batches(lsn_only, batch_format="pyarrow", zero_copy_batch=True).max("lsn")
+    return int(out) if out is not None else None
 
 _BINLOG_COLS = [f.name for f in BINLOG]
 
@@ -115,9 +149,24 @@ def demux_apply(
             return tb.select(cols + [table_col])
 
         staged_marker = os.path.join(stage, "_STAGED")
-        if not os.path.exists(staged_marker):
+        restage = True
+        if os.path.exists(staged_marker):
+            # the marker records WHAT was staged (the feed's max lsn) so a
+            # resume against a feed that has GROWN since the crash restages
+            # instead of silently applying the stale snapshot — only the
+            # rare resume path pays the narrow live-feed max probe
+            try:
+                with open(staged_marker) as f:
+                    staged_max = json.load(f).get("max_lsn")
+            except (ValueError, OSError):
+                staged_max = None  # legacy/corrupt marker → conservative restage
+            else:
+                restage = staged_max != _feed_max_lsn(feed)
+        if restage:
             # a crashed half-stage without the marker must not be appended
             # into (ray write_parquet appends) — wipe and restage
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(staged_marker)
             for d in os.listdir(stage) if os.path.isdir(stage) else ():
                 if d.startswith(f"{table_col}="):
                     shutil.rmtree(os.path.join(stage, d), ignore_errors=True)
@@ -125,7 +174,7 @@ def demux_apply(
                 stage, partition_cols=[table_col]
             )
             with open(staged_marker, "w") as f:
-                f.write("ok")
+                json.dump({"max_lsn": _staged_max_lsn(stage, table_col)}, f)
         found = sorted(
             d.split("=", 1)[1]
             for d in os.listdir(stage)

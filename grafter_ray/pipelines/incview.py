@@ -265,6 +265,18 @@ class IncrementalView:
 
     # -- refresh ----------------------------------------------------------
     def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
+        """Guarded refresh: hold a temporary lake pin on the target
+        version for the duration (util.sync_guard) so a concurrent
+        vacuum cannot delete the files the diff below is reading; the
+        permanent artifact pin still moves only at commit."""
+        from ..util import sync_guard
+
+        lm = self.lake.manifest_at(at_version)
+        lake_v = int(lm["version"]) if lm else -1
+        with sync_guard(self.lake, self.root, lake_v, getattr(self, "pin_sync", False) and lake_v >= 0):
+            return self._refresh_impl(full=full, at_version=at_version, _lm=lm)
+
+    def _refresh_impl(self, full: bool = False, at_version: int | None = None, _lm=None) -> dict:
         """Fold lake changes since the last refresh into the view.
         First refresh (or full=True) builds from a full lake read; later
         refreshes read ONLY the partitions whose manifest max_lsn moved.
@@ -279,7 +291,10 @@ class IncrementalView:
 
         from .relational import grouped_agg
 
-        lm = self.lake.manifest_at(at_version)
+        # _lm: manifest snapshot captured by refresh() (the guarded
+        # wrapper pinned exactly this version) — fold THIS snapshot, never
+        # a fresher manifest a racing apply may have committed since
+        lm = _lm if _lm is not None else self.lake.manifest_at(at_version)
         lake_v = int(lm["version"]) if lm else -1
         state = self.manifest()
         if at_version is not None and state is not None and not full:
@@ -513,11 +528,26 @@ class DistinctCountView:
         return out.filter(pc.is_valid(out.column("__v"))) if n else out
 
     def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
+        """Guarded refresh: hold a temporary lake pin on the target
+        version for the duration (util.sync_guard) so a concurrent
+        vacuum cannot delete the files the diff below is reading; the
+        permanent artifact pin still moves only at commit."""
+        from ..util import sync_guard
+
+        lm = self.lake.manifest_at(at_version)
+        lake_v = int(lm["version"]) if lm else -1
+        with sync_guard(self.lake, self.root, lake_v, getattr(self, "pin_sync", False) and lake_v >= 0):
+            return self._refresh_impl(full=full, at_version=at_version, _lm=lm)
+
+    def _refresh_impl(self, full: bool = False, at_version: int | None = None, _lm=None) -> dict:
         import ray.data as rd
 
         from .relational import grouped_agg
 
-        lm = self.lake.manifest_at(at_version)
+        # _lm: manifest snapshot captured by refresh() (the guarded
+        # wrapper pinned exactly this version) — fold THIS snapshot, never
+        # a fresher manifest a racing apply may have committed since
+        lm = _lm if _lm is not None else self.lake.manifest_at(at_version)
         lake_v = int(lm["version"]) if lm else -1
         state = self.manifest()
         if at_version is not None and state is not None and not full:

@@ -148,6 +148,25 @@ class JoinView:
         return pids
 
     def refresh(self, full: bool = False, at_versions: tuple[int, int] | None = None) -> dict:
+        """Guarded refresh: hold temporary pins on BOTH lakes' target
+        versions for the duration (util.sync_guard) so either side's
+        vacuum cannot delete files the join below is reading; the
+        permanent artifact pins still move only at commit."""
+        from contextlib import ExitStack
+
+        from ..util import sync_guard
+
+        lm = self.left.manifest_at(at_versions[0] if at_versions else None)
+        rm = self.right.manifest_at(at_versions[1] if at_versions else None)
+        en = getattr(self, "pin_sync", False)
+        with ExitStack() as st:
+            if lm is not None:
+                st.enter_context(sync_guard(self.left, self.root, int(lm["version"]), en))
+            if rm is not None:
+                st.enter_context(sync_guard(self.right, self.root, int(rm["version"]), en))
+            return self._refresh_impl(full=full, at_versions=at_versions, _lm=lm, _rm=rm)
+
+    def _refresh_impl(self, full: bool = False, at_versions: tuple[int, int] | None = None, _lm=None, _rm=None) -> dict:
         """Join the lakes' current states into the view. First refresh
         (or full=True) computes every partition; later refreshes ONLY
         the partitions whose max_lsn moved on either side. `at_versions`
@@ -158,8 +177,10 @@ class JoinView:
 
         if at_versions is not None and not (full or self.manifest() is None):
             raise ValueError("at_versions pins the full path — pass full=True to rebuild")
-        lm = self.left.manifest_at(at_versions[0] if at_versions else None)
-        rm = self.right.manifest_at(at_versions[1] if at_versions else None)
+        # _lm/_rm: the manifest snapshots the guarded refresh() wrapper
+        # pinned — fold exactly those, never a fresher racing commit
+        lm = _lm if _lm is not None else self.left.manifest_at(at_versions[0] if at_versions else None)
+        rm = _rm if _rm is not None else self.right.manifest_at(at_versions[1] if at_versions else None)
         if lm is None or rm is None:
             raise ValueError("both lakes need at least one committed version")
         state = self.manifest()

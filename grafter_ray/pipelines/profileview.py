@@ -100,6 +100,7 @@ class ProfileView:
         self.distinct = DistinctCountView(lake, f"{root}/distinct", ["column"], "v_all", prepare=prepare, pin=pin)
 
     def refresh(self, full: bool = False, at_version: int | None = None) -> dict:
+        # each sub-view's refresh holds its own sync_guard pin
         a = self.agg.refresh(full=full, at_version=at_version)
         d = self.distinct.refresh(full=full, at_version=at_version)
         return {"agg": a, "distinct": d}

@@ -1154,20 +1154,26 @@ class CDCLake:
             )
 
         sorted_ext = ext.sort("lo")
+        # Ray delivers blocks in ARRIVAL order (preserve_order off), so the
+        # bounded (#blocks) summary rows are collected first and re-sorted
+        # by first_lo driver-side before the prev_hi fold — same pattern as
+        # lint.py's block_meta fold. Within a block `summary` sees sorted
+        # rows, so only the fold order needs repairing.
+        summ = sorted_ext.map_batches(
+            summary, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if "first_lo" not in summ.columns:  # zero-block (no txn rows) feed
+            summ = summ.reindex(columns=["first_lo", "last_hi", "bad"])
+        summ = summ.sort_values(["first_lo", "last_hi"])
         prev_hi = None
-        for b in sorted_ext.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        ):
-            for flo, lhi, bad in zip(
-                b.column("first_lo").to_pylist(), b.column("last_hi").to_pylist(), b.column("bad").to_pylist()
-            ):
-                if bad or (prev_hi is not None and prev_hi >= flo):
-                    raise ValueError(
-                        "txn-aligned windows need contiguous per-transaction LSN runs, "
-                        "but transaction extents overlap (interleaved feed) — merge the "
-                        "feed transaction-contiguous first (pipelines/shards.py) or drop txn_col"
-                    )
-                prev_hi = lhi
+        for flo, lhi, bad in zip(summ["first_lo"], summ["last_hi"], summ["bad"]):
+            if bad or (prev_hi is not None and prev_hi >= flo):
+                raise ValueError(
+                    "txn-aligned windows need contiguous per-transaction LSN runs, "
+                    "but transaction extents overlap (interleaved feed) — merge the "
+                    "feed transaction-contiguous first (pipelines/shards.py) or drop txn_col"
+                )
+            prev_hi = int(lhi)
 
         # straddlers: ∃ grid cut g = lo0 + m*W - 1 with lo <= g < hi
         def straddle(tb: pa.Table) -> pa.Table:
@@ -1805,9 +1811,14 @@ class CDCLake:
             v = pc.min(t.column("lsn")).as_py() if t.num_rows else None
             return pa.table({"lo": pa.array([v], pa.int64())})
 
+        # prune the floor scan to (watermark, hi]: committed windows never
+        # split a transaction (txn-aligned cuts), so the trailing txn
+        # cannot start at or below the watermark — each poll is O(new
+        # data), not O(total feed)
+        floor_lo = self.watermark + 1 if self.watermark >= 0 else None
         lo = hi
         for b in (
-            self._dataset(binlog, None, None, columns=["lsn", txn_col])
+            self._dataset(binlog, floor_lo, hi, columns=["lsn", txn_col])
             .map_batches(floor_of, batch_format="pyarrow", zero_copy_batch=True)
             .iter_batches(batch_size=None, batch_format="pyarrow")
         ):
@@ -2023,7 +2034,9 @@ class CDCLake:
         regardless of the horizon. Returns the number of files removed.
         Takes the lake writer lock: running concurrently with apply would
         delete the in-flight window's staging files."""
-        with self.log.writer_lock("vacuum"):
+        # pins_lock spans the pins() read through the deletes: a pin
+        # landing after the read cannot lose its files to this vacuum
+        with self.log.writer_lock("vacuum"), self.log.pins_lock():
             versions = self.log.versions()
             keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
             keep |= {v for v in self.log.pins().values() if v in versions}

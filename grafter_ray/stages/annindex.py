@@ -84,6 +84,7 @@ def build_ann_index(
         "ks": int(ks),
         "metric": "cosine",
         "n_vectors": n_vec,
+        "n_live": n_vec,
         "centroids": ivf.centroids.tolist(),
         "codebooks": book.codebooks.tolist(),
         "files": {c: sorted(fs) for c, fs in sorted(files.items())},
@@ -478,6 +479,9 @@ def ann_index_search_batch(
         os.path.join(index_dir, f) for fs in man["files"].values() for f in fs
     ]
     fetch_cols = [id_col, vec_col] + (["gen"] if tombs is not None else [])
+    # n_vectors = total PHYSICAL rows (incl. tombstone-retired generations)
+    # — the correct comparator here, since the full-read branch pays for
+    # every physical row; man["n_live"] tracks the live count for reporting
     if len(all_ids) * 5 < int(man.get("n_vectors") or 0):
         # selective: vec_id pushdown prunes row groups
         fetched = pads.dataset(all_paths).to_table(
@@ -556,6 +560,8 @@ def extend_ann_index(
     semantics as extend_text_index)."""
     man, ivf, book = _load(index_dir)
     written = _write_vector_files(emb, index_dir, ivf, book, id_col, vec_col, gen=0)
+    new_rows = sum(int(r["rows"]) for r in written)
+    man["n_live"] = int(man.get("n_live", man["n_vectors"])) + new_rows
     for r in written:
         c = str(int(r["cluster"]))
         man["files"].setdefault(c, []).append(r["file"])
@@ -661,75 +667,110 @@ def sync_ann_index(
 
     man_path = os.path.join(index_dir, _MANIFEST)
     cur_version = int(lake.manifest["version"])
-    if not os.path.exists(man_path):
-        vecs = lake.read(view=True, version=at_version).map_batches(
+    from ..util import sync_guard
+
+    with sync_guard(lake, index_dir, at_version if at_version is not None else cur_version, pin):
+        if not os.path.exists(man_path):
+            vecs = lake.read(view=True, version=at_version).map_batches(
+                to_vecs, batch_format="pyarrow", zero_copy_batch=True
+            )
+            man = build_ann_index(
+                vecs, index_dir, n_clusters=n_clusters, m=m, ks=ks, train_rows=train_rows
+            )
+            man["synced_version"] = int(at_version) if at_version is not None else cur_version
+            man["gen"] = 0
+            man["tombstones"] = []
+            _publish(index_dir, man)
+            if pin:
+                from ..util import artifact_pin_name
+
+                lake.pin(artifact_pin_name(index_dir), man["synced_version"])
+            return man
+        if at_version is not None:
+            raise ValueError("at_version is a bootstrap-time pin only")
+
+        man, ivf, book = _load(index_dir)
+        since = int(man.get("synced_version", 0))
+        if since >= cur_version:
+            if pin:
+                from ..util import artifact_pin_name
+
+                lake.pin(artifact_pin_name(index_dir), since)
+            return man
+        gen = int(man.get("gen", 0)) + 1
+
+        ups = lake.read_changes(since, view=True).map_batches(
             to_vecs, batch_format="pyarrow", zero_copy_batch=True
         )
-        man = build_ann_index(
-            vecs, index_dir, n_clusters=n_clusters, m=m, ks=ks, train_rows=train_rows
+        del_rows = lake.deleted_keys(since).map_batches(
+            lambda tb: pa.table({"vec_id": ids(tb)}), batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        written = _write_vector_files(ups, index_dir, ivf, book, "vec_id", "embedding", gen=gen)
+        n_phys_before = int(man["n_vectors"])
+        # tombstone ids = everything the feed touched (bounded by churn):
+        # upserts retire their own older generations, deletes retire the key
+        up_ids = {
+            int(v)
+            for r in written
+            for v in pq.read_table(os.path.join(index_dir, r["file"]), columns=["vec_id"]).column("vec_id").to_pylist()
+        }
+        tomb_ids = sorted(up_ids | {int(r["vec_id"]) for r in del_rows})
+        # exact live-count maintenance: rows this sync RETIRES = rows among
+        # the PREVIOUS generations that are (a) keyed by a tombstoned id and
+        # (b) still live under the OLD tombstones. Bounded by churn
+        # (vec_id-pushdown read over the id+gen columns only); man["files"]
+        # does not yet reference the files written above, so the probe sees
+        # exactly the pre-sync index.
+        retired = 0
+        if tomb_ids:
+            import pyarrow.dataset as pads
+
+            prev_paths = [
+                os.path.join(index_dir, f) for fs in man["files"].values() for f in fs
+            ]
+            if prev_paths:
+                prev = pads.dataset(prev_paths).to_table(
+                    columns=["vec_id", "gen"],
+                    filter=pads.field("vec_id").isin(pa.array(tomb_ids, pa.int64())),
+                )
+                if prev.num_rows:
+                    tombs0 = _load_tombs(index_dir, man)
+                    ids0 = prev.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                    gens0 = prev.column("gen").to_numpy(zero_copy_only=False)
+                    live0 = (
+                        _live_mask(ids0, gens0, tombs0)
+                        if tombs0 is not None
+                        else np.ones(len(ids0), bool)
+                    )
+                    retired = int(live0.sum())
+        os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
+        tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
+        write_parquet_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(tomb_ids, pa.int64()),
+                    "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
+                }
+            ),
+            os.path.join(index_dir, tname),
         )
-        man["synced_version"] = int(at_version) if at_version is not None else cur_version
-        man["gen"] = 0
-        man["tombstones"] = []
+        for r in written:
+            c = str(int(r["cluster"]))
+            man["files"].setdefault(c, []).append(r["file"])
+            man["n_vectors"] = int(man["n_vectors"]) + int(r["rows"])
+        man["files"] = {c: sorted(fs) for c, fs in sorted(man["files"].items())}
+        man["n_live"] = (
+            int(man.get("n_live", n_phys_before)) - retired + (int(man["n_vectors"]) - n_phys_before)
+        )
+        man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
+        man["gen"] = gen
+        man["synced_version"] = cur_version
         _publish(index_dir, man)
         if pin:
             from ..util import artifact_pin_name
 
-            lake.pin(artifact_pin_name(index_dir), man["synced_version"])
+            lake.pin(artifact_pin_name(index_dir), cur_version)
         return man
-    if at_version is not None:
-        raise ValueError("at_version is a bootstrap-time pin only")
-
-    man, ivf, book = _load(index_dir)
-    since = int(man.get("synced_version", 0))
-    if since >= cur_version:
-        if pin:
-            from ..util import artifact_pin_name
-
-            lake.pin(artifact_pin_name(index_dir), since)
-        return man
-    gen = int(man.get("gen", 0)) + 1
-
-    ups = lake.read_changes(since, view=True).map_batches(
-        to_vecs, batch_format="pyarrow", zero_copy_batch=True
-    )
-    del_rows = lake.deleted_keys(since).map_batches(
-        lambda tb: pa.table({"vec_id": ids(tb)}), batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    written = _write_vector_files(ups, index_dir, ivf, book, "vec_id", "embedding", gen=gen)
-    # tombstone ids = everything the feed touched (bounded by churn):
-    # upserts retire their own older generations, deletes retire the key
-    up_ids = {
-        int(v)
-        for r in written
-        for v in pq.read_table(os.path.join(index_dir, r["file"]), columns=["vec_id"]).column("vec_id").to_pylist()
-    }
-    tomb_ids = sorted(up_ids | {int(r["vec_id"]) for r in del_rows})
-    os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
-    tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
-    write_parquet_table(
-        pa.table(
-            {
-                "vec_id": pa.array(tomb_ids, pa.int64()),
-                "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
-            }
-        ),
-        os.path.join(index_dir, tname),
-    )
-    for r in written:
-        c = str(int(r["cluster"]))
-        man["files"].setdefault(c, []).append(r["file"])
-        man["n_vectors"] = int(man["n_vectors"]) + int(r["rows"])
-    man["files"] = {c: sorted(fs) for c, fs in sorted(man["files"].items())}
-    man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
-    man["gen"] = gen
-    man["synced_version"] = cur_version
-    _publish(index_dir, man)
-    if pin:
-        from ..util import artifact_pin_name
-
-        lake.pin(artifact_pin_name(index_dir), cur_version)
-    return man
 
 
 def rebuild_ann_index(
@@ -790,6 +831,7 @@ def rebuild_ann_index(
         "ks": kk,
         "metric": "cosine",
         "n_vectors": n_vec,
+        "n_live": n_vec,
         "centroids": ivf.centroids.tolist(),
         "codebooks": book.codebooks.tolist(),
         "files": {c: sorted(fs) for c, fs in sorted(files.items())},
@@ -871,6 +913,7 @@ def compact_ann_index(index_dir: str) -> dict:
     old_tombs = list(man.get("tombstones") or [])
     man["files"] = {c: [f] for c, f, n in results if f is not None}
     man["n_vectors"] = sum(n for _, _, n in results)
+    man["n_live"] = man["n_vectors"]
     man["tombstones"] = []
     _publish(index_dir, man)
     for f in old_files + old_tombs:

@@ -783,77 +783,80 @@ def sync_text_index(
 
     man_path = os.path.join(index_dir, "_INDEX.json")
     cur_version = int(lake.manifest["version"])
-    if not os.path.exists(man_path):
-        # at_version pins the BOOTSTRAP to an older committed lake
-        # version (chain.py's sync_lakes convention) — the next sync
-        # folds forward from there
-        docs = lake.read(view=True, version=at_version).map_batches(
+    from ..util import sync_guard
+
+    with sync_guard(lake, index_dir, at_version if at_version is not None else cur_version, pin):
+        if not os.path.exists(man_path):
+            # at_version pins the BOOTSTRAP to an older committed lake
+            # version (chain.py's sync_lakes convention) — the next sync
+            # folds forward from there
+            docs = lake.read(view=True, version=at_version).map_batches(
+                to_docs, batch_format="pyarrow", zero_copy_batch=True
+            )
+            man = build_text_index(
+                docs, index_dir, num_partitions=num_partitions, positions=positions
+            )
+            man["synced_version"] = int(at_version) if at_version is not None else cur_version
+            publish(man_path, man)
+            if pin:
+                from ..util import artifact_pin_name
+
+                lake.pin(artifact_pin_name(index_dir), man["synced_version"])
+            return man
+        if at_version is not None:
+            raise ValueError("at_version is a bootstrap-time pin only")
+
+        with open(man_path) as f:
+            man = json.load(f)
+        since = int(man.get("synced_version", 0))
+        if since >= cur_version:
+            if pin:
+                from ..util import artifact_pin_name
+
+                lake.pin(artifact_pin_name(index_dir), since)
+            return man
+        gen = int(man["gen"]) + 1
+
+        ups = lake.read_changes(since, view=True).map_batches(
             to_docs, batch_format="pyarrow", zero_copy_batch=True
         )
-        man = build_text_index(
-            docs, index_dir, num_partitions=num_partitions, positions=positions
+        dels = lake.deleted_keys(since).map_batches(
+            lambda tb: pa.table({"doc_id": ids(tb)}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        man["synced_version"] = int(at_version) if at_version is not None else cur_version
+        up_ids = ups.map_batches(
+            lambda tb: tb.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # bounded by churn since `since`
+        del_ids = dels.take_all()
+        tomb_ids = sorted({r["doc_id"] for r in up_ids} | {r["doc_id"] for r in del_ids})
+
+        files, _, _ = _write_postings(
+            ups, index_dir, int(man["num_partitions"]), "text", "doc_id",
+            bool(man.get("positions")), gen=gen,
+        )
+        os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
+        tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
+        write_parquet_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(tomb_ids, pa.int64()),
+                    "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
+                }
+            ),
+            os.path.join(index_dir, tname),
+        )
+        man["files"] = sorted(set(man["files"]) | set(files))
+        man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
+        man["gen"] = gen
+        man["synced_version"] = cur_version
+        man["stats_dirty"] = bool(tomb_ids) or man.get("stats_dirty", False)
         publish(man_path, man)
         if pin:
             from ..util import artifact_pin_name
 
-            lake.pin(artifact_pin_name(index_dir), man["synced_version"])
+            lake.pin(artifact_pin_name(index_dir), cur_version)
         return man
-    if at_version is not None:
-        raise ValueError("at_version is a bootstrap-time pin only")
-
-    with open(man_path) as f:
-        man = json.load(f)
-    since = int(man.get("synced_version", 0))
-    if since >= cur_version:
-        if pin:
-            from ..util import artifact_pin_name
-
-            lake.pin(artifact_pin_name(index_dir), since)
-        return man
-    gen = int(man["gen"]) + 1
-
-    ups = lake.read_changes(since, view=True).map_batches(
-        to_docs, batch_format="pyarrow", zero_copy_batch=True
-    )
-    dels = lake.deleted_keys(since).map_batches(
-        lambda tb: pa.table({"doc_id": ids(tb)}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    up_ids = ups.map_batches(
-        lambda tb: tb.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # bounded by churn since `since`
-    del_ids = dels.take_all()
-    tomb_ids = sorted({r["doc_id"] for r in up_ids} | {r["doc_id"] for r in del_ids})
-
-    files, _, _ = _write_postings(
-        ups, index_dir, int(man["num_partitions"]), "text", "doc_id",
-        bool(man.get("positions")), gen=gen,
-    )
-    os.makedirs(os.path.join(index_dir, "_tombs"), exist_ok=True)
-    tname = f"_tombs/tomb-g{gen}-{os.getpid()}.parquet"
-    write_parquet_table(
-        pa.table(
-            {
-                "doc_id": pa.array(tomb_ids, pa.int64()),
-                "gen": pa.array(np.full(len(tomb_ids), gen, np.int32)),
-            }
-        ),
-        os.path.join(index_dir, tname),
-    )
-    man["files"] = sorted(set(man["files"]) | set(files))
-    man["tombstones"] = sorted(set(man.get("tombstones") or []) | {tname})
-    man["gen"] = gen
-    man["synced_version"] = cur_version
-    man["stats_dirty"] = bool(tomb_ids) or man.get("stats_dirty", False)
-    publish(man_path, man)
-    if pin:
-        from ..util import artifact_pin_name
-
-        lake.pin(artifact_pin_name(index_dir), cur_version)
-    return man
 
 
 # ---------------------------------------------------------------------------

@@ -75,19 +75,58 @@ class CommitLog:
     def pins_dir(self) -> str:
         return os.path.join(self.log_dir, "pins")
 
+    @contextlib.contextmanager
+    def pins_lock(self, timeout_s: float = 10.0, stale_after_s: float = 60.0):
+        """Short mutex serializing pin() against vacuum's pins()-read →
+        delete phase. Deliberately NOT the writer lock: an apply can
+        hold that for a whole window, and pins must stay cheap while a
+        tail ingests — only vacuum (which deletes) and pin (which
+        protects from deletion) need mutual exclusion. Both critical
+        sections are sub-second, so contention is a bounded spin; a
+        crashed holder goes stale by file age."""
+        path = os.path.join(self.log_dir, "pins.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(path).st_mtime
+                except FileNotFoundError:
+                    continue
+                if age > stale_after_s:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(path)
+                    continue
+                if time.time() > deadline:
+                    raise LakeLockError(f"pins lock {path} held past {timeout_s}s")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+
     def pin(self, name: str, version: int) -> dict:
         """Pin `version` under `name` (atomic write; re-pinning a name
-        moves it). The version must still be on disk."""
-        if not os.path.exists(os.path.join(self.log_dir, f"{version:020d}.json")):
-            raise ValueError(f"cannot pin version {version}: not committed or already vacuumed")
-        os.makedirs(self.pins_dir, exist_ok=True)
-        rec = {"name": name, "version": int(version), "ts": time.time()}
-        path = os.path.join(self.pins_dir, f"{name}.json")
-        tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, path)
-        return rec
+        moves it). The version must still be on disk. Serialized against
+        vacuum via pins_lock, closing the TOCTOU where vacuum reads
+        pins(), this pin lands on a horizon-expired version, and vacuum
+        then deletes the just-pinned files."""
+        with self.pins_lock():
+            if not os.path.exists(os.path.join(self.log_dir, f"{version:020d}.json")):
+                raise ValueError(f"cannot pin version {version}: not committed or already vacuumed")
+            os.makedirs(self.pins_dir, exist_ok=True)
+            rec = {"name": name, "version": int(version), "ts": time.time()}
+            path = os.path.join(self.pins_dir, f"{name}.json")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, path)
+            return rec
 
     def unpin(self, name: str) -> bool:
         try:

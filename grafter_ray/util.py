@@ -170,6 +170,36 @@ def artifact_pin_name(artifact_dir: str) -> str:
     return "sync:" + hashlib.sha256(os.path.abspath(artifact_dir).encode()).hexdigest()[:12]
 
 
+def sync_guard(lake, artifact_dir: str, version, enabled: bool = True):
+    """Temporary pin held for the DURATION of a derived-artifact sync.
+
+    The permanent artifact_pin_name pin moves only at publish — so a
+    failed sync still protects the PREVIOUS synced version the retry
+    must diff from. But between sync start and publish, a concurrent
+    vacuum (tail + maintain in another process) could advance the
+    horizon past the TARGET version and delete files the sync is
+    reading. This guard pins the target under `<name>!sync` before the
+    long reads and releases on every exit path; a hard crash leaks it
+    only until the next sync re-enters (deterministic name → moved, not
+    accumulated) or it is unpinned by hand."""
+    import contextlib
+
+    if not enabled or version is None or int(version) < 0:
+        return contextlib.nullcontext()
+
+    name = artifact_pin_name(artifact_dir) + "!sync"
+
+    @contextlib.contextmanager
+    def _guard():
+        lake.pin(name, int(version))
+        try:
+            yield
+        finally:
+            lake.unpin(name)
+
+    return _guard()
+
+
 def coalesced_read_parquet(paths, columns=None, filter=None, target_bytes: int | None = None):
     """``ray.data.read_parquet`` with small-file coalescing.
 

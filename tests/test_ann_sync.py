@@ -230,3 +230,31 @@ def test_crash_before_manifest_publish_is_invisible(tmp_path, binlog, monkeypatc
     # re-run completes and converges on the live state
     sync_ann_index(lake, idx)
     assert _conformance_search(idx, q, 15) == _brute_topk_over_live(lake, q, 15)
+
+
+def test_n_live_tracks_live_rows_exactly(tmp_path, binlog):
+    """Round-5 (ADVICE): the manifest's live-vector count must subtract
+    tombstone-retired generations, not only ever increment. n_live ==
+    the lake's live view rows after every sync; n_vectors stays the
+    honest PHYSICAL row count until compact folds them together."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    idx = str(tmp_path / "idx")
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    man = sync_ann_index(lake, idx, n_clusters=4)
+    assert man["n_live"] == man["n_vectors"] == lake.read_table(view=True).num_rows
+
+    # churn: updates retire old generations, deletes remove keys
+    lake.apply(rd.from_arrow(binlog), upto_lsn=1_999)
+    man = sync_ann_index(lake, idx, n_clusters=4)
+    live_rows = lake.read_table(view=True).num_rows
+    assert man["n_live"] == live_rows
+    assert man["n_vectors"] > man["n_live"]  # retired generations still on disk
+
+    lake.apply(rd.from_arrow(binlog))
+    man = sync_ann_index(lake, idx, n_clusters=4)
+    live_rows = lake.read_table(view=True).num_rows
+    assert man["n_live"] == live_rows
+
+    # physical compaction drops retired rows: counts converge
+    man = compact_ann_index(idx)
+    assert man["n_live"] == man["n_vectors"] == live_rows

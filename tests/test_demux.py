@@ -259,3 +259,32 @@ def test_demux_many_tables_sequential_fallback(tmp_path):
         ref = CDCLake(str(tmp_path / f"ref_{t}"), num_partitions=2)
         ref.apply(rd.from_arrow(s))
         assert _state(lakes[t]) == _state(ref), t
+
+
+def test_demux_stale_stage_restages_grown_feed(tmp_path):
+    """Round-5 (ADVICE): the _STAGED marker records the staged feed's max
+    lsn — rerunning with the same stage_dir against a feed that GREW
+    since the crash restages instead of silently applying the stale
+    snapshot."""
+    feed1 = _feed(n=80, tables=("a", "b"))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    lakes = {t: CDCLake(str(tmp_path / t), num_partitions=4) for t in ("a", "b")}
+    demux_apply(rd.from_arrow(feed1), lakes, stage_dir=str(stage))
+    w1 = {t: lakes[t].watermark for t in lakes}
+    # the feed grows (new events beyond the staged point); same stage dir
+    feed2 = _feed(n=160, tables=("a", "b"))
+    out = demux_apply(rd.from_arrow(feed2), lakes, stage_dir=str(stage))
+    for t in lakes:
+        st = feed2.filter(pa.compute.equal(feed2.column("table"), t))
+        assert lakes[t].watermark == int(pa.compute.max(st.column("lsn")).as_py())
+        assert lakes[t].watermark > w1[t]
+    assert set(out) == {"a", "b"}
+    # unchanged feed + same stage dir: marker matches, no restage, no-op
+    import os as _os
+
+    mt = _os.path.getmtime(stage / "_STAGED")
+    v = {t: lakes[t].manifest["version"] for t in lakes}
+    demux_apply(rd.from_arrow(feed2), lakes, stage_dir=str(stage))
+    assert _os.path.getmtime(stage / "_STAGED") == mt  # marker untouched
+    assert {t: lakes[t].manifest["version"] for t in lakes} == v

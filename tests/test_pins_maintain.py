@@ -227,3 +227,81 @@ print("CODEC-OK")
     env = {**_os.environ, "GRAFT_PARQUET_CODEC": "zstd", "RAY_ADDRESS": "local"}
     r = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
     assert "CODEC-OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_sync_guard_protects_target_mid_sync(tmp_path, binlog):
+    # Round-5 (ADVICE): a vacuum running CONCURRENTLY with a long derived-
+    # artifact sync must not delete the sync's target version before the
+    # permanent pin lands. sync_guard pins the target at sync START; here
+    # we interleave a vacuum inside the guarded window by monkey-driving
+    # the guard directly.
+    from grafter_ray.util import artifact_pin_name, sync_guard
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), upto_lsn=999)
+    v0 = lake.manifest["version"]
+    with sync_guard(lake, str(tmp_path / "idx"), v0, True):
+        # tail advances the lake past the horizon while the sync runs
+        lake.apply(rd.from_arrow(binlog), window_size=500)
+        lake.vacuum(keep_versions=1)
+        # the guard pin kept the target readable mid-sync
+        got = lake.read_table(view=False, version=v0)
+        want, _ = oracle_lake_table(binlog, upto_lsn=999)
+        assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+        assert lake.log.pins() == {artifact_pin_name(str(tmp_path / "idx")) + "!sync": v0}
+    # released on exit; next vacuum reclaims
+    assert lake.log.pins() == {}
+    lake.vacuum(keep_versions=1)
+    assert v0 not in lake.log.versions()
+
+
+def test_sync_guard_released_on_failure(tmp_path, binlog):
+    from grafter_ray.util import sync_guard
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog))
+    v = lake.manifest["version"]
+    with pytest.raises(RuntimeError, match="boom"):
+        with sync_guard(lake, str(tmp_path / "idx"), v, True):
+            raise RuntimeError("boom")
+    assert lake.log.pins() == {}
+    # disabled guard is a no-op (no pins dir churn)
+    with sync_guard(lake, str(tmp_path / "idx"), v, False):
+        assert lake.log.pins() == {}
+
+
+def test_pins_lock_serializes_pin_against_vacuum(tmp_path, binlog):
+    # pin() blocks (bounded spin) while the pins lock is held, instead of
+    # landing between vacuum's pins() read and its deletes
+    import threading
+    import time as _t
+
+    from grafter_ray.state.commitlog import LakeLockError
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog))
+    v = lake.manifest["version"]
+    done = []
+
+    with lake.log.pins_lock():
+        t = threading.Thread(target=lambda: done.append(lake.pin("r", v)))
+        t.start()
+        _t.sleep(0.3)
+        assert not done  # pin is waiting on the lock
+    t.join(timeout=5)
+    assert done and lake.log.pins()["r"] == v
+
+    # a held lock past the timeout raises instead of hanging forever
+    with lake.log.pins_lock():
+        with pytest.raises(LakeLockError):
+            with lake.log.pins_lock(timeout_s=0.2, stale_after_s=60.0):
+                pass
+
+    # a STALE lock (crashed holder) is stolen by age
+    lockp = os.path.join(lake.log.log_dir, "pins.lock")
+    with open(lockp, "w") as f:
+        f.write("dead")
+    old = _t.time() - 120
+    os.utime(lockp, (old, old))
+    lake.pin("s", v)  # steals the stale lock and succeeds
+    assert lake.log.pins()["s"] == v

@@ -180,6 +180,8 @@ QUERY_SUBSET = [
     "cdc_online_compact",
     "ann_batch_indexed",
     "cdc_maxwell_replay",
+    # round-5 additions
+    "ann_batch_served",
 ]
 
 
@@ -254,26 +256,34 @@ def run_replay(sf_dir: str, num_cpus: int, n_events: int | None = None, with_key
     return {"replay_sec": round(best, 3), "events": n_events, "events_per_sec": round(n_events / best, 1), "lake_rows": rows}
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    from grafter_ray.pipelines import queries as qmod
     from grafter_ray.pipelines.queries import QUERIES
 
-    out = {}
+    out, split = {}, {}
     for name in QUERY_SUBSET:
         fn = QUERIES[name]
         # min-of-2 per query: the shared VM's ±30-40% noise swamps
         # single-shot walls (the headline replay already takes min-of-N);
         # min approximates uncontended steady-state
-        best = None
+        best, best_fix = None, 0.0
         for _ in range(2):
+            # queries that build a lake/index IN-QUERY report that wall
+            # separately (queries.fixture_phase) so operator regressions
+            # can't hide in fixture noise
+            qmod.FIXTURE_WALL["active"] = 0.0
             t0 = time.perf_counter()
             res = fn(sf_dir)
             # consume the stream (aggregates are small; row streams counted)
             if hasattr(res, "count"):
                 _ = res.count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, best_fix = dt, qmod.FIXTURE_WALL["active"]
         out[name] = round(best, 3)
-    return out
+        if best_fix > 0:
+            split[name] = {"fixture_s": round(best_fix, 3), "op_s": round(best - best_fix, 3)}
+    return out, split
 
 
 def _cpu_steal_snapshot() -> tuple[int, int]:
@@ -304,7 +314,7 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | No
     # (schemas.BINLOG_KH) — the metadata pass then reads only fixed-width
     # columns. Reported alongside so the headline stays comparable.
     kh_replay = None if replay_only else run_replay(sf_dir, num_cpus, n_events, with_key_hash=True)
-    queries = {} if replay_only else run_queries(sf_dir)
+    queries, fixture_split = ({}, {}) if replay_only else run_queries(sf_dir)
     ray.shutdown()
     out = {
         "metric": "cdc_replay_wall_sec",
@@ -314,6 +324,7 @@ def bench_once(sf_dir: str, num_cpus: int, replay_only: bool, n_events: int | No
         "events_per_sec": replay["events_per_sec"],
         "lake_rows": replay["lake_rows"],
         "queries": queries,
+        "query_fixture_split": fixture_split,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

@@ -29,6 +29,36 @@ from .templater import DOCUMENTS_QUAD_TEMPLATE, expand_table
 # plain ints inside the UDF instead.
 
 
+# -- bench fixture/op wall split -------------------------------------------
+# Several engine-gate queries build a full CDC lake IN-QUERY before the
+# operator under test runs (e.g. merge_upsert replays 2M events, then
+# merges one window). bench.py reports {fixture_s, op_s} per query so an
+# operator regression cannot hide inside fixture noise: queries (and the
+# shared lake/index caches) wrap fixture construction in
+# `with fixture_phase():`, which accumulates into FIXTURE_WALL["active"];
+# bench.py zeroes it before each timed run and reads it after — the
+# query-name attribution lives in bench.py, which knows what is running.
+# Zero overhead outside the bench.
+FIXTURE_WALL: dict[str, float] = {"active": 0.0}
+
+
+def fixture_phase(label: str | None = None):
+    """Mark a block as fixture construction (not the operator under
+    test). `label` is documentation only."""
+    import contextlib
+    import time as _time
+
+    @contextlib.contextmanager
+    def _cm():
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            FIXTURE_WALL["active"] += _time.perf_counter() - t0
+
+    return _cm()
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -1230,6 +1260,26 @@ def q_ann_batch_indexed(sf_dir: str):
     qids = [0, 1, 2]
     queries = np.array([tb.column("embedding")[i].as_py() for i in qids], dtype=np.float64)
     out = ann_index_search_batch(idx, queries, qids, k=5, nprobe=8, refine=10_000)
+    e4 = pc.cast(pc.round(pc.multiply(out.column("cosine"), pa.scalar(10_000.0))), pa.int64())
+    return pa.table({"qid": out.column("qid"), "vec_id": out.column("vec_id"), "cosine_e4": e4})
+
+
+def q_ann_batch_served(sf_dir: str):
+    """REALISTIC-probe batched ANN serving config (VERDICT r4: report
+    serving cost, not just the conformance config): 32 queries, nprobe=2
+    of 8 clusters, refine=64 — the shape a production serve runs, where
+    the pruned cluster reads and bounded re-rank dominate instead of the
+    probe-everything oracle path. Recall < 1 by design, so there is no
+    SQL oracle (the driver records rows-only); exactness of the probe
+    machinery itself is gated by ann_batch_indexed's brute-force oracle
+    and tests/test_annindex.py's recall assertions."""
+    from ..stages.annindex import ann_index_search_batch
+
+    idx = _shared_ann_index(sf_dir)
+    tb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = list(range(min(32, tb.num_rows)))
+    queries = np.array([tb.column("embedding")[i].as_py() for i in qids], dtype=np.float64)
+    out = ann_index_search_batch(idx, queries, qids, k=5, nprobe=2, refine=64)
     e4 = pc.cast(pc.round(pc.multiply(out.column("cosine"), pa.scalar(10_000.0))), pa.int64())
     return pa.table({"qid": out.column("qid"), "vec_id": out.column("vec_id"), "cosine_e4": e4})
 
@@ -2464,7 +2514,8 @@ def _shared_ann_index(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(final, "_ANN.json")):
         tmp = tempfile.mkdtemp(prefix="graft_annidx_build_")
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        build_ann_index(emb, tmp, n_clusters=8, m=8, ks=16)
+        with fixture_phase():
+            build_ann_index(emb, tmp, n_clusters=8, m=8, ks=16)
         shutil.rmtree(final, ignore_errors=True)
         try:
             os.rename(tmp, final)
@@ -2784,7 +2835,8 @@ def q_cdc_online_compact(sf_dir: str):
         # two windows before the fold (base + one chained delta), one
         # window during it — the full fold/swap structure at 3 applies
         win = max(200, n_docs)
-        lake.apply(binlog, upto_lsn=2 * n_docs - 1, window_size=win)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=2 * n_docs - 1, window_size=win)
         prev = lake.manifest
         chained = {p: e for p, e in prev["partitions"].items() if e.get("deltas")}
         if not chained:
@@ -2932,17 +2984,20 @@ def q_branch_merge(sf_dir: str):
     # the state being verified
     with tempfile.TemporaryDirectory() as tmp:
         main = CDCLake(f"{tmp}/main", num_partitions=32)
-        main.apply(binlog, upto_lsn=2 * n_docs - 1)  # base + deletes only
+        with fixture_phase():
+            main.apply(binlog, upto_lsn=2 * n_docs - 1)  # base + deletes only
         branch = create_branch(main.root, f"{tmp}/br")
-        branch.apply(binlog, upto_lsn=3 * n_docs)  # the ' v2' wave
-        branch.apply(
-            docs.map_batches(br_deletes, batch_format="pyarrow", zero_copy_batch=True),
-            upto_lsn=4 * n_docs + 1,
-        )
-        main.apply(
-            docs.map_batches(v3_wave, batch_format="pyarrow", zero_copy_batch=True),
-            upto_lsn=3 * n_docs,
-        )
+        with fixture_phase():
+            branch.apply(binlog, upto_lsn=3 * n_docs)  # the ' v2' wave
+        with fixture_phase():
+            branch.apply(
+                docs.map_batches(br_deletes, batch_format="pyarrow", zero_copy_batch=True),
+                upto_lsn=4 * n_docs + 1,
+            )
+            main.apply(
+                docs.map_batches(v3_wave, batch_format="pyarrow", zero_copy_batch=True),
+                upto_lsn=3 * n_docs,
+            )
         merge_branch(main, branch, strategy="theirs")
         tb = main.read_table(view=False)
         return pa.table(
@@ -3096,7 +3151,8 @@ def q_suppress_replay(sf_dir: str):
 
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         lake.apply(
             docs.map_batches(echo_wave, batch_format="pyarrow", zero_copy_batch=True),
             upto_lsn=4 * n_docs + 1,
@@ -3554,7 +3610,8 @@ def q_snapshot_export(sf_dir: str):
     binlog, n_docs = _docs_binlog(sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         export_snapshot(lake, f"{tmp}/snap", view=False)
         tb = pa.concat_tables(
             b
@@ -3784,7 +3841,8 @@ def q_history_as_of(sf_dir: str):
     binlog, n_docs = _docs_binlog(sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         lake = HistoryLake(f"{tmp}/hist", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         tb = pa.concat_tables(_collect_refs(lake.as_of(2 * n_docs - 1)))
         return pa.table(
             {
@@ -3835,7 +3893,8 @@ def q_cdc_ops_pipeline(sf_dir: str):
         raise ValueError(f"feed failed lint: {lint}")
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         hist = HistoryLake(f"{tmp}/hist", num_partitions=32)
         hist.apply(binlog, upto_lsn=2 * n_docs - 1)
         hist.apply(binlog, upto_lsn=3 * n_docs)
@@ -3999,8 +4058,9 @@ def _shared_docs_lake(sf_dir: str) -> tuple[str, int, int, int]:
         build = f"{root}.build-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         lake = CDCLake(f"{build}/lake", num_partitions=32)
-        m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
-        m2 = lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+            m2 = lake.apply(binlog, upto_lsn=3 * n_docs)
         with open(f"{build}/_META.json", "w") as f:
             json.dump({"v0": int(m1["version"]), "v1": int(m2["version"])}, f)
         try:
@@ -4127,8 +4187,9 @@ def _shared_meta_lake(sf_dir: str) -> tuple[str, int, int, int]:
         build = f"{root}.build-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         lake = CDCLake(f"{build}/lake", num_partitions=32)
-        m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
-        m2 = lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            m1 = lake.apply(binlog, upto_lsn=2 * n_docs - 1)
+            m2 = lake.apply(binlog, upto_lsn=3 * n_docs)
         with open(f"{build}/_META.json", "w") as f:
             json.dump({"v0": int(m1["version"]), "v1": int(m2["version"])}, f)
         try:
@@ -6422,12 +6483,13 @@ def _shared_text_index(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(root, "_INDEX.json")):
         build = f"{root}.build-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
-        build_text_index(
-            _read(sf_dir, "documents", ["doc_id", "text"]),
-            build,
-            num_partitions=32,
-            positions=True,
-        )
+        with fixture_phase():
+            build_text_index(
+                _read(sf_dir, "documents", ["doc_id", "text"]),
+                build,
+                num_partitions=32,
+                positions=True,
+            )
         try:
             os.rename(build, root)  # atomic publish; loser of a race cleans up
         except OSError:
@@ -7347,7 +7409,8 @@ def q_dml_delete_update(sf_dir: str):
     binlog, n_docs = _docs_binlog(sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         delete_where(lake, lambda tb: pc.equal(tb.column("lang"), "de"), columns=("lang",))
 
         def set_fn(tb: pa.Table) -> dict:
@@ -7452,7 +7515,8 @@ def q_merge_upsert(sf_dir: str):
     source = docs.map_batches(to_source, batch_format="pyarrow", zero_copy_batch=True)
     with tempfile.TemporaryDirectory() as tmp:
         lake = CDCLake(f"{tmp}/lake", num_partitions=32)
-        lake.apply(binlog, upto_lsn=3 * n_docs)
+        with fixture_phase():
+            lake.apply(binlog, upto_lsn=3 * n_docs)
         merge_into(lake, source)
         tb = lake.read_table(view=False)
         return pa.table(
@@ -7561,6 +7625,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_batch": q_ann_batch,
     "ann_batch_indexed": q_ann_batch_indexed,
+    "ann_batch_served": q_ann_batch_served,
     "ann_lsh": q_ann_lsh,
     "lm_score": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from ..util import write_parquet_table
+from ..util import coalesced_read_parquet, write_parquet_table
 from .similarity import IVFIndex, PQCodebook, _matrix, _normalize
 
 __all__ = [
@@ -149,7 +149,15 @@ def _write_vector_files(emb, index_dir: str, ivf, book, id_col: str, vec_col: st
             out_r.append(hi - lo)
         return pa.table({"file": pa.array(out_f), "cluster": pa.array(out_c, pa.int32()), "rows": pa.array(out_r, pa.int64())})
 
-    return emb.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    # batch_size coalesces small input blocks: without it every input
+    # block writes one file PER CLUSTER it touches (a 63-block read of a
+    # small table × 8 clusters = 504 tiny files, and every later search
+    # pays per-file open cost). 32k rows × dim keeps the batch well under
+    # worker heap even at 768-dim float32 (~100 MB) while producing
+    # near-cluster-sized files at any scale.
+    return emb.map_batches(
+        write_block, batch_size=32768, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
 
 
 def _load_tombs(index_dir: str, man: dict) -> tuple[np.ndarray, np.ndarray] | None:
@@ -259,7 +267,7 @@ def ann_index_search(
         )
 
     cand_rows = (
-        rd.read_parquet(paths, columns=scan_cols)
+        coalesced_read_parquet(paths, columns=scan_cols)
         .map_batches(adc_block, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )  # ≤ refine × blocks rows (ids + scores only)
@@ -424,7 +432,7 @@ def ann_index_search_batch(
                 parts.append(_adc_rows(sub, qrows, bk, lt, ql))
             return pa.concat_tables(parts, promote_options="none") if parts else empty_adc
 
-        cand_ds = rd.read_parquet(all_probed, columns=scan_cols + ["cluster"]).map_batches(
+        cand_ds = coalesced_read_parquet(all_probed, columns=scan_cols + ["cluster"]).map_batches(
             adc_block, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
@@ -445,7 +453,7 @@ def ann_index_search_batch(
                 return _adc_rows(_tomb_filter(tb, tm), _qr, bk, lt, ql)
 
             parts.append(
-                rd.read_parquet(paths, columns=scan_cols).map_batches(
+                coalesced_read_parquet(paths, columns=scan_cols).map_batches(
                     adc_for, batch_format="pyarrow", zero_copy_batch=True
                 )
             )

@@ -1587,15 +1587,32 @@ def q_sparql_from_named(sf_dir: str):
         "WHERE { GRAPH ?g { ?d <prop:lang> ?lang } } GROUP BY ?g",
         store,
     )
+    # part 'minus' (round 5): GRAPH ?g PRIVATE to a MINUS group under the
+    # dataset clause (§8.3.3 ∘ §13.2) — subtracts solutions present in the
+    # FROM NAMED graph; the merged-default sentinel never binds ?g, so
+    # only src2 membership (not the merged default graph) removes rows,
+    # leaving the src1-only documents
+    c = sparql_query(
+        "SELECT ?lang (COUNT(?d) AS ?n) "
+        "FROM <graph:src1> FROM <graph:src2> FROM NAMED <graph:src2> "
+        "WHERE { ?d <prop:lang> ?lang MINUS { GRAPH ?g { ?d <prop:lang> ?lang } } } "
+        "GROUP BY ?lang",
+        store,
+    )
     return pa.table(
         {
             "k": pa.array(
                 ["default:" + v for v in a.column("lang").to_pylist()]
-                + b.column("g").to_pylist(),
+                + b.column("g").to_pylist()
+                + ["minus:" + v for v in c.column("lang").to_pylist()],
                 pa.string(),
             ),
             "n": pa.concat_arrays(
-                [a.column("n").combine_chunks(), b.column("n").combine_chunks()]
+                [
+                    a.column("n").combine_chunks(),
+                    b.column("n").combine_chunks(),
+                    c.column("n").combine_chunks(),
+                ]
             ),
         }
     )
@@ -1607,6 +1624,9 @@ FROM documents WHERE source IN ('src1', 'src2') GROUP BY lang
 UNION ALL
 SELECT 'graph:' || source, CAST(count(*) AS BIGINT)
 FROM documents WHERE source = 'src3' GROUP BY source
+UNION ALL
+SELECT 'minus:' || lang, CAST(count(*) AS BIGINT)
+FROM documents WHERE source = 'src1' GROUP BY lang
 """
 
 

@@ -1247,20 +1247,11 @@ def _rewrite_dataset_patterns(q: SelectQuery) -> None:
     ]
     q.minus_groups = [[rw(p) for p in g] for g in q.minus_groups]
     q.exists_filters = [(pos, [rw(p) for p in pats]) for pos, pats in q.exists_filters]
-    inner_gv = set()
-    for g in q.minus_groups:
-        inner_gv |= gvars(g)
-    for _pos, pats in q.exists_filters:
-        inner_gv |= gvars(pats)
-    if inner_gv:
-        # a GRAPH ?var private to a MINUS / EXISTS group evaluates inside
-        # _apply_set_pattern where the outer filter can't reach — honest
-        # subset raise rather than silently binding the sentinel
-        outer = gvars(q.patterns) | {v for b in q.union_branches for v in gvars(b)} | gvars(q.optionals)
-        if inner_gv - outer:
-            raise SparqlParseError(
-                "GRAPH ?var inside MINUS/EXISTS is unsupported under a FROM/FROM NAMED dataset clause"
-            )
+    # GRAPH ?var private to a MINUS / EXISTS group: the outer != filter
+    # below can't reach inside _apply_set_pattern, so that function
+    # excludes sentinel bindings from its side relation directly (a no-op
+    # outside dataset-clause queries — the sentinel IRI is reserved and
+    # never occurs in user data). Round 5: replaces the r4 subset raise.
     seen_filters = {(f[0], f[1], f[2]) for f in q.filters}
     for name in sorted(
         gvars(q.patterns)
@@ -2659,6 +2650,23 @@ def _apply_set_pattern(tb: pa.Table, pats: list, store, mode: str) -> pa.Table:
     side relation is a BGP evaluation so multi-pattern groups join
     before the set test)."""
     side = _collect(store.bgp(*pats))
+    # a GRAPH ?var inside the group must range over NAMED graphs only
+    # (SPARQL 1.1 §13.3): under a FROM/FROM NAMED rewrite the store view
+    # stamps merged default-graph quads onto the reserved sentinel —
+    # exclude those bindings here, where the outer injected != filter
+    # can't reach. Outside dataset-clause queries the sentinel IRI never
+    # occurs, so this filter is a no-op.
+    gv = {
+        p[3][1:]
+        for p in pats
+        if len(p) > 3 and isinstance(p[3], str) and p[3].startswith("?")
+    }
+    for v in sorted(gv & set(side.column_names)):
+        side = side.filter(
+            pc.fill_null(
+                pc.not_equal(pc.cast(side.column(v), pa.string()), _DATASET_DEFAULT_G), True
+            )
+        )
     shared = [c for c in side.column_names if c in tb.column_names]
     if not shared:
         if mode == "minus":

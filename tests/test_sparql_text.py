@@ -1120,18 +1120,18 @@ def test_dataset_clause_describe_strips_sentinel():
     assert out.column("c").to_pylist() == [None]
 
 
-def test_graph_var_in_minus_under_dataset_clause_raises():
-    import pytest
-
+def test_graph_var_in_minus_under_dataset_clause_no_longer_raises():
+    # r4 subset raise closed in round 5: with no FROM NAMED the group's
+    # GRAPH ?g ranges over zero graphs, so the MINUS removes nothing
     st = _dataset_store()
-    with pytest.raises(SparqlParseError, match="MINUS/EXISTS"):
-        sparql_query(
-            """SELECT ?v FROM <http://g/1> WHERE {
-                 ?s <http://p/v> ?v
-                 MINUS { GRAPH ?g { ?s <http://p/w> ?w } }
-               }""",
-            st,
-        )
+    out = sparql_query(
+        """SELECT ?v FROM <http://g/1> WHERE {
+             ?s <http://p/v> ?v
+             MINUS { GRAPH ?g { ?s <http://p/w> ?w } }
+           }""",
+        st,
+    )
+    assert sorted(out.column("v").to_pylist()) == ["dup", "in-g1"]
 
 
 def test_describe_subject_cap(monkeypatch):
@@ -1206,3 +1206,58 @@ def test_datetime_accessors_and_hashes():
     assert r["s1"] == hashlib.sha1(lex.encode()).hexdigest()
     assert r["s256"] == hashlib.sha256(lex.encode()).hexdigest()
     assert r["e"] == "2024-03-01T12%3A34%3A56.25%2B05%3A30"
+
+
+def test_graph_var_in_minus_under_dataset_clause():
+    """Round 5 (VERDICT r4 #3): GRAPH ?g private to a MINUS group under a
+    FROM/FROM NAMED clause — §8.3.3 composed with §13.2. The group's
+    graph var ranges over the NAMED graphs only; the merged default
+    graph (sentinel) never binds it."""
+    st = _dataset_store()
+    # without FROM NAMED, the MINUS group's GRAPH ?g sees no graphs →
+    # removes nothing
+    out = sparql_query(
+        """SELECT ?s ?v FROM <http://g/1> FROM <http://g/2>
+           WHERE { ?s <http://p/v> ?v
+                   MINUS { GRAPH ?g { ?s <http://p/v> ?v } } }""",
+        st,
+    )
+    assert sorted(out.column("v").to_pylist()) == ["dup", "in-g1", "in-g2"]
+    # with FROM NAMED g2, solutions whose (s, v) also appear in graph g2
+    # are subtracted — but NOT via the sentinel default graph
+    out = sparql_query(
+        """SELECT ?s ?v FROM <http://g/1> FROM <http://g/2> FROM NAMED <http://g/2>
+           WHERE { ?s <http://p/v> ?v
+                   MINUS { GRAPH ?g { ?s <http://p/v> ?v } } }""",
+        st,
+    )
+    assert sorted(out.column("v").to_pylist()) == ["in-g1"]
+
+
+def test_graph_var_in_exists_under_dataset_clause():
+    st = _dataset_store()
+    # FILTER EXISTS { GRAPH ?g ... }: only solutions present in a NAMED
+    # graph survive; the sentinel default graph never satisfies it
+    out = sparql_query(
+        """SELECT ?v FROM <http://g/1> FROM <http://g/2> FROM NAMED <http://g/2>
+           WHERE { ?s <http://p/v> ?v
+                   FILTER EXISTS { GRAPH ?g { ?s <http://p/v> ?v } } }""",
+        st,
+    )
+    assert sorted(out.column("v").to_pylist()) == ["dup", "in-g2"]
+    # NOT EXISTS flips it
+    out = sparql_query(
+        """SELECT ?v FROM <http://g/1> FROM <http://g/2> FROM NAMED <http://g/2>
+           WHERE { ?s <http://p/v> ?v
+                   FILTER NOT EXISTS { GRAPH ?g { ?s <http://p/v> ?v } } }""",
+        st,
+    )
+    assert sorted(out.column("v").to_pylist()) == ["in-g1"]
+    # no FROM NAMED → EXISTS over GRAPH ?g sees no graphs → empty
+    out = sparql_query(
+        """SELECT ?v FROM <http://g/1>
+           WHERE { ?s <http://p/v> ?v
+                   FILTER EXISTS { GRAPH ?g { ?s <http://p/v> ?v } } }""",
+        st,
+    )
+    assert out.num_rows == 0

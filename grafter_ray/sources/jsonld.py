@@ -1,15 +1,20 @@
 """JSON-LD source (subset) — the reference parser table's JSONLD entry
-(formats.clj:149-189). Subset covered (compacted documents with a simple
-prefix @context — the profile data publishers actually emit):
+(formats.clj:149-189). Subset covered (compacted documents — the profile
+data publishers actually emit):
 
 - top-level node object, array of node objects, or {"@context", "@graph"}
 - @context: {prefix: iri} string mappings (term → IRI), lists of
-  mappings, and remote context IRIs via the injectable resolver
-  registry (register_context — no network, so unregistered IRIs raise);
-  complex term definitions raise
+  mappings, remote context IRIs via the injectable resolver registry
+  (register_context — no network, so unregistered IRIs raise), and
+  EXPANDED term definitions {"@id", "@type" ("@id" or a datatype),
+  "@container" (@list/@set/@language/@index), "@reverse"} (round 5 —
+  other keyword keys in a term definition still raise)
 - @id / @type (string or list), property values: string/number/bool
   literals, {"@id": ...} IRI objects, {"@value", "@language"/"@type"},
-  arrays of any of these
+  {"@list": [...]} collections (rdf:first/rest/nil chains, the same
+  shape turtle_reader.py's ( … ) machinery emits), arrays of any of
+  these
+- @reverse (node-object key and term definitions)
 - @graph nesting one level (named graphs via {"@id": g, "@graph": [...]})"""
 
 from __future__ import annotations
@@ -20,20 +25,42 @@ import pyarrow as pa
 
 from ..schemas import QUAD
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TERM_DEF_KEYS = {"@id", "@type", "@container", "@reverse", "@language"}
+_CONTAINERS = {"@list", "@set", "@language", "@index"}
 
 
 class JsonLdParseError(ValueError):
     pass
 
 
-def _expand(term: str, ctx: dict[str, str]) -> str:
+def _iri_of(d) -> str | None:
+    """Raw IRI mapping of a context entry (simple string or expanded
+    {"@id"/"@reverse": ...} term definition)."""
+    if isinstance(d, dict):
+        return d.get("@id") or d.get("@reverse")
+    return d
+
+
+def _expand(term: str, ctx: dict, _depth: int = 0) -> str:
+    if _depth > 10:
+        return term
     if term in ctx:
-        return ctx[term]
+        raw = _iri_of(ctx[term])
+        if raw is None or raw == term:
+            return term
+        return _expand(raw, ctx, _depth + 1)  # term defs may map to a CURIE
     pre, sep, local = term.partition(":")
     if sep and pre in ctx:
-        return ctx[pre] + local
+        base = _iri_of(ctx[pre])
+        if isinstance(base, str):
+            return base + local
     return term  # already an IRI (or a relative name kept as-is)
 
 
@@ -87,9 +114,25 @@ def parse_jsonld(text: str) -> pa.Table:
             if not isinstance(part, dict):
                 raise JsonLdParseError("non-object @context entry is outside the supported subset")
             for k, v in part.items():
-                if not isinstance(v, str):
-                    raise JsonLdParseError(f"complex term definition for {k!r} is outside the supported subset")
-                ctx[k] = v
+                if isinstance(v, str):
+                    ctx[k] = v
+                    continue
+                if isinstance(v, dict):
+                    bad = set(v) - _TERM_DEF_KEYS
+                    if bad:
+                        raise JsonLdParseError(
+                            f"term definition keys {sorted(bad)} for {k!r} are outside the supported subset"
+                        )
+                    cont = v.get("@container")
+                    if cont is not None and cont not in _CONTAINERS:
+                        raise JsonLdParseError(
+                            f"@container {cont!r} for {k!r} is outside the supported subset"
+                        )
+                    ctx[k] = dict(v)
+                    continue
+                raise JsonLdParseError(
+                    f"term definition for {k!r} must be a string or object"
+                )
         return ctx
 
     def node_id(obj, ctx) -> str:
@@ -99,13 +142,19 @@ def parse_jsonld(text: str) -> pa.Table:
         bnode_n[0] += 1
         return f"_:b{bnode_n[0]}"
 
-    def value(v, ctx, s, p, g):
+    def value(v, ctx, s, p, g, coerce=None):
+        """Emit (s, p, <v>) — coerce is the term definition's "@type"
+        ("@id" ⇒ string values are IRIs; a datatype IRI ⇒ typed
+        literals), applied to plain strings only (explicit @value /
+        @id objects keep their own semantics, per JSON-LD expansion)."""
         if isinstance(v, list):
             for item in v:
-                value(item, ctx, s, p, g)
+                value(item, ctx, s, p, g, coerce)
             return
         if isinstance(v, dict):
-            if "@value" in v:
+            if "@list" in v:
+                emit_list(v["@list"], ctx, s, p, g, coerce)
+            elif "@value" in v:
                 lang = v.get("@language")
                 dt = _expand(v["@type"], ctx) if "@type" in v else (None if lang else XSD + "string")
                 emit(s, p, "literal", str(v["@value"]), dt, lang, g)
@@ -119,7 +168,12 @@ def parse_jsonld(text: str) -> pa.Table:
                 o = node(v, ctx, g)
                 emit(s, p, "bnode" if o.startswith("_:") else "iri", o, None, None, g)
             return
-        if isinstance(v, bool):
+        if isinstance(v, str) and coerce == "@id":
+            o = _expand(v, ctx)
+            emit(s, p, "bnode" if o.startswith("_:") else "iri", o, None, None, g)
+        elif isinstance(v, str) and coerce is not None:
+            emit(s, p, "literal", v, _expand(coerce, ctx), None, g)
+        elif isinstance(v, bool):
             emit(s, p, "literal", str(v).lower(), XSD + "boolean", None, g)
         elif isinstance(v, int):
             emit(s, p, "literal", str(v), XSD + "integer", None, g)
@@ -127,6 +181,43 @@ def parse_jsonld(text: str) -> pa.Table:
             emit(s, p, "literal", repr(v), XSD + "double", None, g)
         else:
             emit(s, p, "literal", str(v), XSD + "string", None, g)
+
+    def emit_list(items, ctx, s, p, g, coerce=None):
+        """{"@list": [...]} → an rdf:first/rdf:rest/rdf:nil bnode chain
+        (the same collection shape turtle_reader's ( … ) emits); [] is
+        rdf:nil directly. Nested @list nests a chain as a first value."""
+        if not isinstance(items, list):
+            items = [items]
+        if not items:
+            emit(s, p, "iri", RDF_NIL, None, None, g)
+            return
+        cells = []
+        for _ in items:
+            bnode_n[0] += 1
+            cells.append(f"_:b{bnode_n[0]}")
+        emit(s, p, "bnode", cells[0], None, None, g)
+        for i, item in enumerate(items):
+            value(item, ctx, cells[i], RDF_FIRST, g, coerce)
+            if i + 1 < len(cells):
+                emit(cells[i], RDF_REST, "bnode", cells[i + 1], None, None, g)
+            else:
+                emit(cells[i], RDF_REST, "iri", RDF_NIL, None, None, g)
+
+    def reverse_values(v, ctx, s, p, g):
+        """@reverse: every value must denote a NODE (IRI/bnode); emit
+        (o, p, s) with the roles flipped."""
+        for item in v if isinstance(v, list) else [v]:
+            if isinstance(item, dict) and "@value" in item:
+                raise JsonLdParseError("@reverse values must be node references, not literals")
+            if isinstance(item, str):
+                o = _expand(item, ctx)
+            elif isinstance(item, dict) and set(item) == {"@id"}:
+                o = item["@id"] if item["@id"].startswith("_:") else _expand(item["@id"], ctx)
+            elif isinstance(item, dict):
+                o = node(item, ctx, g)
+            else:
+                raise JsonLdParseError("@reverse values must be node references, not literals")
+            emit(o, p, "bnode" if s.startswith("_:") else "iri", s, None, None, g)
 
     def node(obj, parent_ctx, g=None) -> str:
         ctx = ctx_of(obj, parent_ctx)
@@ -142,9 +233,32 @@ def parse_jsonld(text: str) -> pa.Table:
                 for child in v:
                     node(child, ctx, g=s)
                 continue
+            if k == "@reverse":
+                if not isinstance(v, dict):
+                    raise JsonLdParseError("@reverse must map properties to node references")
+                for rk, rv in v.items():
+                    reverse_values(rv, ctx, s, _expand(rk, ctx), g)
+                continue
             if k.startswith("@"):
                 raise JsonLdParseError(f"{k} is outside the supported subset")
-            value(v, ctx, s, _expand(k, ctx), g)
+            td = ctx.get(k) if isinstance(ctx.get(k), dict) else None
+            p = _expand(k, ctx)
+            coerce = td.get("@type") if td else None
+            cont = td.get("@container") if td else None
+            if td and "@reverse" in td:
+                reverse_values(v, ctx, s, p, g)
+            elif cont == "@list":
+                emit_list(v, ctx, s, p, g, coerce)
+            elif cont == "@language" and isinstance(v, dict):
+                for lang, texts in v.items():
+                    for t in texts if isinstance(texts, list) else [texts]:
+                        emit(s, p, "literal", str(t), None, lang, g)
+            elif cont == "@index" and isinstance(v, dict):
+                # index keys are metadata only (JSON-LD expansion drops them)
+                for vv in v.values():
+                    value(vv, ctx, s, p, g, coerce)
+            else:  # default and @set behave alike
+                value(v, ctx, s, p, g, coerce)
         return s
 
     top = doc if isinstance(doc, list) else [doc]

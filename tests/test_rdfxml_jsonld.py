@@ -243,8 +243,10 @@ def test_jsonld_named_graph():
 def test_jsonld_unsupported_raises():
     with pytest.raises(JsonLdParseError):
         parse_jsonld('{"@context": "http://remote/ctx", "@id": "http://x"}')
+    # expanded term defs are supported since round 5 — only unknown
+    # keyword keys still raise
     with pytest.raises(JsonLdParseError):
-        parse_jsonld('{"@context": {"v": {"@id": "http://x", "@type": "@id"}}, "@id": "http://x"}')
+        parse_jsonld('{"@context": {"v": {"@id": "http://x", "@nest": "y"}}, "@id": "http://x"}')
 
 
 def test_read_statements_dispatch_rdfxml_jsonld(tmp_path):
@@ -281,3 +283,137 @@ def test_jsonld_registered_remote_context():
         assert t2.column("p").to_pylist() == ["http://purl.org/dc/terms/title"]
     finally:
         J.CONTEXT_RESOLVERS.clear()
+
+
+# --- round-5: @list / @container / expanded term defs / @reverse ------------
+# Examples follow the W3C JSON-LD 1.1 spec shapes (lists §4.3.1,
+# language maps §4.2.2, index maps §4.6.1, reverse properties §4.8).
+
+
+def _q(tb):
+    return sorted(
+        zip(*(tb.column(c).to_pylist() for c in ("s", "p", "o_kind", "o_value", "o_lang")))
+    )
+
+
+def test_jsonld_list_value_object():
+    doc = """{
+      "@context": {"nick": {"@id": "http://xmlns.com/foaf/0.1/nick", "@container": "@list"}},
+      "@id": "http://example.org/joe",
+      "nick": ["joe", "bob", "jaybee"]
+    }"""
+    tb = parse_jsonld(doc)
+    first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    firsts = [r for r in _q(tb) if r[1] == first]
+    assert [r[3] for r in sorted(firsts)] and {r[3] for r in firsts} == {"joe", "bob", "jaybee"}
+    rests = [r for r in _q(tb) if r[1] == rest]
+    assert len(rests) == 3 and sum(1 for r in rests if r[3] == nil) == 1
+    # chain order: walk from the head
+    head = next(r for r in _q(tb) if r[1] == "http://xmlns.com/foaf/0.1/nick")
+    by_s = {}
+    for r in _q(tb):
+        by_s.setdefault(r[0], {})[r[1]] = r[3]
+    walk, cur = [], head[3]
+    while cur != nil:
+        walk.append(by_s[cur][first])
+        cur = by_s[cur][rest]
+    assert walk == ["joe", "bob", "jaybee"]
+    # explicit {"@list": []} is rdf:nil
+    tb2 = parse_jsonld(
+        '{"@id": "http://e/x", "http://e/p": {"@list": []}}'
+    )
+    assert tb2.column("o_value").to_pylist() == [nil]
+
+
+def test_jsonld_type_coercion_and_set_container():
+    doc = """{
+      "@context": {
+        "foaf": "http://xmlns.com/foaf/0.1/",
+        "knows": {"@id": "foaf:knows", "@type": "@id", "@container": "@set"},
+        "age": {"@id": "foaf:age", "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+      },
+      "@id": "http://e/a",
+      "knows": ["http://e/b", "http://e/c"],
+      "age": "54"
+    }"""
+    tb = parse_jsonld(doc)
+    rows = _q(tb)
+    knows = [r for r in rows if r[1] == "http://xmlns.com/foaf/0.1/knows"]
+    assert {(r[2], r[3]) for r in knows} == {("iri", "http://e/b"), ("iri", "http://e/c")}
+    age = next(r for r in rows if r[1] == "http://xmlns.com/foaf/0.1/age")
+    assert age[2] == "literal" and age[3] == "54"
+    dt = tb.column("o_datatype").to_pylist()[tb.column("p").to_pylist().index("http://xmlns.com/foaf/0.1/age")]
+    assert dt == "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def test_jsonld_language_and_index_maps():
+    doc = """{
+      "@context": {
+        "label": {"@id": "http://e/label", "@container": "@language"},
+        "post": {"@id": "http://e/post", "@container": "@index"}
+      },
+      "@id": "http://e/x",
+      "label": {"en": "hello", "de": ["hallo", "servus"]},
+      "post": {"2016": {"@value": "a"}, "2017": {"@value": "b"}}
+    }"""
+    tb = parse_jsonld(doc)
+    rows = _q(tb)
+    labels = {(r[3], r[4]) for r in rows if r[1] == "http://e/label"}
+    assert labels == {("hello", "en"), ("hallo", "de"), ("servus", "de")}
+    posts = {r[3] for r in rows if r[1] == "http://e/post"}
+    assert posts == {"a", "b"}  # index keys dropped, values kept
+
+
+def test_jsonld_reverse():
+    doc = """{
+      "@context": {"parent": "http://e/parent"},
+      "@id": "http://e/dad",
+      "@reverse": {"parent": [{"@id": "http://e/kid1"}, {"@id": "http://e/kid2"}]}
+    }"""
+    tb = parse_jsonld(doc)
+    rows = _q(tb)
+    assert {(r[0], r[3]) for r in rows} == {
+        ("http://e/kid1", "http://e/dad"),
+        ("http://e/kid2", "http://e/dad"),
+    }
+    assert {r[1] for r in rows} == {"http://e/parent"}
+    # term-definition form: {"children": {"@reverse": "parent"}}
+    doc2 = """{
+      "@context": {"children": {"@reverse": "http://e/parent"}},
+      "@id": "http://e/mom",
+      "children": ["http://e/kid3"]
+    }"""
+    rows2 = _q(parse_jsonld(doc2))
+    assert rows2 == [("http://e/kid3", "http://e/parent", "iri", "http://e/mom", None)]
+    # literals under @reverse raise
+    import pytest
+
+    with pytest.raises(JsonLdParseError, match="@reverse"):
+        parse_jsonld('{"@id": "http://e/x", "@reverse": {"http://e/p": [{"@value": "no"}]}}')
+
+
+def test_jsonld_list_roundtrips_through_store():
+    """A parsed @list chain re-serialized by the writer and re-parsed
+    yields the identical quad multiset (writer emits the chain as plain
+    bnode triples — reader-compatible)."""
+    from grafter_ray.sources.jsonld import quads_to_jsonld
+
+    doc = """{
+      "@context": {"nick": {"@id": "http://e/nick", "@container": "@list"}},
+      "@id": "http://e/joe",
+      "nick": ["a", "b"]
+    }"""
+    t1 = parse_jsonld(doc)
+    t2 = parse_jsonld(quads_to_jsonld(t1))
+    assert _q(t1) == _q(t2)
+
+
+def test_jsonld_unknown_term_def_key_still_raises():
+    import pytest
+
+    with pytest.raises(JsonLdParseError, match="outside the supported subset"):
+        parse_jsonld('{"@context": {"p": {"@id": "http://e/p", "@nest": "x"}}, "@id": "http://e/s", "p": 1}')
+    with pytest.raises(JsonLdParseError, match="@container"):
+        parse_jsonld('{"@context": {"p": {"@id": "http://e/p", "@container": "@graph"}}, "@id": "http://e/s", "p": 1}')

@@ -968,6 +968,9 @@ class CDCLake:
         self.max_delta_chain = (
             max_delta_chain if max_delta_chain is not None else int(os.environ.get("GRAFT_MAX_DELTA_CHAIN", "4"))
         )
+        # notifying-repo analogue (reference repository.clj:289-301):
+        # callbacks fired after every window THIS instance commits
+        self._commit_listeners: list = []
 
     # -- state -------------------------------------------------------------
     @property
@@ -1707,6 +1710,7 @@ class CDCLake:
             # retry watermark (retry_dead_letters) rides every commit
             manifest["dlq_retried_version"] = prev["dlq_retried_version"]
         self.log.commit(manifest)
+        self._notify_commit(manifest)
         if timing:
             _mark("commit")
             spans = ", ".join(
@@ -2614,7 +2618,66 @@ class CDCLake:
             entries.append({"partition_id": pid, "file": "", "deltas": [], "max_lsn": wm + 1})
         return wm, entries
 
-    def read_changes(self, since_version: int, view: bool = True):
+    def on_commit(self, callback):
+        """Register a commit listener — the reference's notifying-repo
+        (repository.clj:289-301) mapped onto the lake: `callback(lake,
+        manifest)` fires synchronously after every DATA window this
+        instance commits (apply / tail / the DML + merge paths, which
+        all commit through apply). Maintenance commits (compact,
+        repartition, metadata) do not notify — they change layout, not
+        logical state. Fires AFTER the commit point: an exception from
+        the callback stops the apply loop but never un-commits the
+        window (resume skips it exactly-once). Returns an unsubscribe
+        callable. Listeners are per-instance (in-process); cross-process
+        consumers use iter_commits / read_changes, the durable feed."""
+        self._commit_listeners.append(callback)
+
+        def unsubscribe():
+            try:
+                self._commit_listeners.remove(callback)
+            except ValueError:
+                pass
+
+        return unsubscribe
+
+    def _notify_commit(self, manifest: dict) -> None:
+        for cb in list(getattr(self, "_commit_listeners", ())):
+            cb(self, manifest)
+
+    def iter_commits(self, since_version: int | None = None):
+        """Pull-style commit feed (the durable, cross-process face of
+        on_commit): yields one event dict per committed version strictly
+        after `since_version` (None = from the first), in commit order:
+        {"version", "manifest", "changes": () -> Dataset,
+         "deleted": () -> Dataset}. The delta callables are LAZY and pin
+        the diff to exactly (parent -> version), so a listener draining
+        while newer windows commit still observes each window's own
+        delta — the per-version granularity notifying-repo listeners
+        get. Requires the parent manifests within vacuum's
+        keep_versions horizon (pin() for long drains)."""
+        import ray.data as rd
+
+        for v in self.log.versions():
+            if since_version is not None and v <= since_version:
+                continue
+            m = self.log.read(v)
+            prev = m.get("parent")
+
+            def changes(p=prev, vv=v):
+                if p is None:
+                    return self.read(view=True, version=vv)
+                return self.read_changes(p, upto_version=vv)
+
+            def deleted(p=prev, vv=v):
+                if p is None:
+                    return rd.from_arrow(
+                        pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+                    )
+                return self.deleted_keys(p, upto_version=vv)
+
+            yield {"version": v, "manifest": m, "changes": changes, "deleted": deleted}
+
+    def read_changes(self, since_version: int, view: bool = True, upto_version: int | None = None):
         """Incremental downstream feed (CDC read side): live rows
         upserted after `since_version`, i.e. last_lsn > that version's
         watermark, as a streaming Dataset. Only partitions whose
@@ -2623,7 +2686,8 @@ class CDCLake:
         surfaced separately by `deleted_keys`."""
         import ray.data as rd
 
-        wm, entries = self._changed_entries(since_version)
+        to_m = self.manifest_at(upto_version) if upto_version is not None else None
+        wm, entries = self._changed_entries(since_version, to_m)
         old_m = self.manifest_at(since_version) or {"partitions": {}}
         old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
         if not entries:
@@ -2659,14 +2723,14 @@ class CDCLake:
             ds = rd.from_items(items).map_batches(
                 changed_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=_item_batch_size(len(items))
             )
-        if view and self.schema_version > 0:
-            v = self.schema_version
+        sv = int((to_m or {}).get("schema_version", self.schema_version) if to_m is not None else self.schema_version)
+        if view and sv > 0:
             ds = ds.map_batches(
-                lambda tb: apply_view(tb, v), batch_format="pyarrow", zero_copy_batch=True
+                lambda tb, _v=sv: apply_view(tb, _v), batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
 
-    def deleted_keys(self, since_version: int):
+    def deleted_keys(self, since_version: int, upto_version: int | None = None):
         """Keys live at `since_version` but absent now (tombstone feed
         for downstream consumers), as a Dataset of (repo, path). Keys
         hash to a fixed partition, so the diff is partition-local: one
@@ -2680,7 +2744,8 @@ class CDCLake:
         O(deletes), not O(2 × partition)."""
         import ray.data as rd
 
-        wm, entries = self._changed_entries(since_version)
+        to_m = self.manifest_at(upto_version) if upto_version is not None else None
+        wm, entries = self._changed_entries(since_version, to_m)
         old_m = self.manifest_at(since_version) or {"partitions": {}}
         old_parts = {str(pid): e for pid, e in old_m["partitions"].items()}
         items = []

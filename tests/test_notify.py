@@ -1,0 +1,109 @@
+"""Commit listeners (round 5): the reference notifying-repo analogue
+(repository.clj:289-301) — push-style on_commit per committed window and
+the pull-style iter_commits per-version delta feed."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from grafter_ray import BinlogConfig, CDCLake, binlog_table, oracle_lake_table
+
+CFG = BinlogConfig(n_events=3_000, n_keys=200, n_repos=8, schema_every=10_000, delete_pct=0.12)
+
+
+def test_on_commit_fires_per_window_after_commit(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    seen = []
+
+    def listener(lk, manifest):
+        # fires AFTER the commit point: the manifest is already readable
+        assert lk.log.read(manifest["version"])["watermark_lsn"] == manifest["watermark_lsn"]
+        seen.append((manifest["version"], manifest["watermark_lsn"]))
+
+    unsub = lake.on_commit(listener)
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)
+    assert [v for v, _ in seen] == [0, 1, 2]
+    assert [w for _, w in seen] == [999, 1999, 2999]
+    # unsubscribe stops notifications; maintenance commits never notified
+    unsub()
+    lake.compact()
+    lake.apply(rd.from_arrow(binlog))  # no-op (watermark) → no new commit
+    assert len(seen) == 3
+
+
+def test_on_commit_exception_stops_loop_not_commit(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+
+    def boom(lk, manifest):
+        if manifest["version"] == 1:
+            raise RuntimeError("listener boom")
+
+    lake.on_commit(boom)
+    with pytest.raises(RuntimeError, match="listener boom"):
+        lake.apply(rd.from_arrow(binlog), window_size=1_000)
+    # windows 0 and 1 committed; resume finishes exactly-once
+    assert lake.manifest["version"] == 1
+    lake._commit_listeners.clear()
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)
+    want, _ = oracle_lake_table(binlog)
+    got = lake.read_table(view=False)
+    assert got.column("content_sha").to_pylist() == want.column("content_sha").to_pylist()
+
+
+def test_iter_commits_yields_each_windows_exact_delta(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)
+
+    events = list(lake.iter_commits())
+    assert [e["version"] for e in events] == [0, 1, 2]
+    state = {}
+    for e in events:
+        ch = pa.concat_tables(
+            [b for b in e["changes"]().iter_batches(batch_size=None, batch_format="pyarrow")]
+            or [lake.read_table(view=True).slice(0, 0)],
+            promote_options="none",
+        )
+        wm = e["manifest"]["watermark_lsn"]
+        prev_wm = -1 if e["manifest"].get("parent") is None else events[e["version"] - 1]["manifest"]["watermark_lsn"]
+        lsns = ch.column("last_lsn").to_pylist()
+        # the delta is EXACTLY this window's rows, even though all three
+        # versions are already committed when we drain
+        assert all(prev_wm < l <= wm for l in lsns), (prev_wm, wm, sorted(lsns)[:3])
+        for r, p, s in zip(
+            ch.column("repo").to_pylist(), ch.column("path").to_pylist(), ch.column("content_sha").to_pylist()
+        ):
+            state[(r, p)] = s
+        dl = e["deleted"]()
+        for r, p in zip(
+            *(pa.concat_tables(
+                [b for b in dl.iter_batches(batch_size=None, batch_format="pyarrow")]
+                or [pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})],
+                promote_options="none",
+            ).column(c).to_pylist() for c in ("repo", "path"))
+        ):
+            state.pop((r, p), None)
+    # folding the per-version deltas reconstructs the converged lake
+    final = lake.read_table(view=True)
+    want = {
+        (r, p): s
+        for r, p, s in zip(
+            final.column("repo").to_pylist(),
+            final.column("path").to_pylist(),
+            final.column("content_sha").to_pylist(),
+        )
+    }
+    assert state == want
+
+
+def test_iter_commits_since_version(tmp_path):
+    binlog = binlog_table(CFG)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(rd.from_arrow(binlog), window_size=1_000)
+    tail = list(lake.iter_commits(since_version=1))
+    assert [e["version"] for e in tail] == [2]
+    ch = tail[0]["changes"]()
+    assert ch.count() > 0

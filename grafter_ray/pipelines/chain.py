@@ -122,11 +122,12 @@ def sync_lakes(src, dst, transform=None, at_version: int | None = None, pin: boo
                     "at_version is a bootstrap-time pin"
                 )
             mode = "incremental"
-            ups = src.read_changes(since, view=False).map_batches(
+            # pinned to the src version this sync records (incview r3 race class)
+            ups = src.read_changes(since, view=False, upto_version=int(src_m["version"])).map_batches(
                 _as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True
             )
             del_lsn = 2 * int(src_m["watermark_lsn"]) + 1
-            dels = src.deleted_keys(since).map_batches(
+            dels = src.deleted_keys(since, upto_version=int(src_m["version"])).map_batches(
                 lambda tb: _as_binlog_deletes(tb, del_lsn),
                 batch_format="pyarrow",
                 zero_copy_batch=True,

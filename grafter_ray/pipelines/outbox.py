@@ -97,7 +97,7 @@ def export_changes(lake, out_dir: str, fmt: str = "jsonl") -> dict:
     since = int(man["exported_version"])
     if cur < 0 or since >= cur:
         return man
-    wm = int(lake.manifest["watermark_lsn"])
+    wm = int(lake.manifest_at(cur)["watermark_lsn"])  # same snapshot as `cur`
 
     subdir = f"v{since}-{cur}-{os.getpid()}"
     os.makedirs(os.path.join(out_dir, subdir), exist_ok=True)
@@ -105,15 +105,17 @@ def export_changes(lake, out_dir: str, fmt: str = "jsonl") -> dict:
     from .chain import _as_binlog_deletes, _as_binlog_upserts
 
     if since < 0:
-        ups = lake.read(view=False)
+        ups = lake.read(view=False, version=cur)
     else:
-        ups = lake.read_changes(since, view=False)
+        # pinned to `cur` (recorded below as exported_version): a commit
+        # racing this export must not leak newer rows into it
+        ups = lake.read_changes(since, view=False, upto_version=cur)
     ups = ups.map_batches(_as_binlog_upserts, batch_format="pyarrow", zero_copy_batch=True)
     stages = [ups]
     if since >= 0:
         del_lsn = 2 * wm + 1  # doubled-lsn space (module doc)
         stages.append(
-            lake.deleted_keys(since).map_batches(
+            lake.deleted_keys(since, upto_version=cur).map_batches(
                 lambda tb: _as_binlog_deletes(tb, del_lsn),
                 batch_format="pyarrow",
                 zero_copy_batch=True,

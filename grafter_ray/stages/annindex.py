@@ -707,10 +707,11 @@ def sync_ann_index(
             return man
         gen = int(man.get("gen", 0)) + 1
 
-        ups = lake.read_changes(since, view=True).map_batches(
+        # pinned to cur_version — see retrieval.py sync_text_index
+        ups = lake.read_changes(since, view=True, upto_version=cur_version).map_batches(
             to_vecs, batch_format="pyarrow", zero_copy_batch=True
         )
-        del_rows = lake.deleted_keys(since).map_batches(
+        del_rows = lake.deleted_keys(since, upto_version=cur_version).map_batches(
             lambda tb: pa.table({"vec_id": ids(tb)}), batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
         written = _write_vector_files(ups, index_dir, ivf, book, "vec_id", "embedding", gen=gen)

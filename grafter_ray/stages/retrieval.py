@@ -817,10 +817,13 @@ def sync_text_index(
             return man
         gen = int(man["gen"]) + 1
 
-        ups = lake.read_changes(since, view=True).map_batches(
+        # pin the diff to cur_version (recorded below as synced_version):
+        # a commit racing this sync must not leak newer rows into a fold
+        # stamped with the older version (the incview r3 race class)
+        ups = lake.read_changes(since, view=True, upto_version=cur_version).map_batches(
             to_docs, batch_format="pyarrow", zero_copy_batch=True
         )
-        dels = lake.deleted_keys(since).map_batches(
+        dels = lake.deleted_keys(since, upto_version=cur_version).map_batches(
             lambda tb: pa.table({"doc_id": ids(tb)}),
             batch_format="pyarrow",
             zero_copy_batch=True,

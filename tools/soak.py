@@ -1,0 +1,180 @@
+"""Scale soak harness (BASELINE.md soak sections; round-5 makes it a
+checked-in tool instead of an ad-hoc driver script).
+
+Generates a large deterministic binlog, replays it WINDOWED into a
+fresh lake, and reports wall/rate, the per-window phase profile
+(pass1/plan/pass2/finalize/commit, parsed from GRAFT_TIMING), delta-
+chain fold behavior (how many windows folded chains vs appended), lake
+size on disk, and converged-state invariants (rows, watermark,
+re-apply no-op).
+
+Probes it serves:
+- compaction-tier probe (VERDICT r4 #7): run with window_size small
+  enough that windows >> max_delta_chain and read the finalize split —
+  if the every-K fold dominates finalize, a second tier is warranted.
+- codec probe (VERDICT r4 #8): --codec zstd vs snappy → wall + lake
+  bytes for the storage/CPU trade.
+
+Usage:
+  python tools/soak.py --events 20000000 --window 2000000 [--codec zstd]
+         [--keys N] [--body-reps 400] [--max-delta-chain 4] [--files 64]
+Prints one JSON line; binlog is cached under /tmp/graft_soak by config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stderr
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def du_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=20_000_000)
+    ap.add_argument("--keys", type=int, default=None)
+    ap.add_argument("--window", type=int, default=2_000_000)
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--body-reps", type=int, default=400)
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--max-delta-chain", type=int, default=None)
+    ap.add_argument("--delta-ratio", type=float, default=None)
+    ap.add_argument("--codec", default=None, choices=[None, "snappy", "zstd", "gzip", "lz4"])
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    if args.codec:
+        os.environ["GRAFT_PARQUET_CODEC"] = args.codec
+    os.environ["GRAFT_TIMING"] = "1"
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from grafter_ray import BinlogConfig, CDCLake, write_binlog_parquet
+
+    keys = args.keys or args.events // 50
+    cfg = BinlogConfig(
+        n_events=args.events,
+        n_keys=keys,
+        n_repos=max(args.events // 50_000, 10),
+        schema_every=max(args.events // 100, 10_000),
+        body_reps_max=args.body_reps,
+    )
+    corpus = f"/tmp/graft_soak/binlog_{args.events}_{keys}_{args.body_reps}_{args.files}"
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
+        os.makedirs(corpus, exist_ok=True)
+        t0 = time.perf_counter()
+        write_binlog_parquet(corpus, cfg, num_files=args.files)
+        print(f"[soak] corpus generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        with open(os.path.join(corpus, "_DONE"), "w") as f:
+            f.write("ok")
+    binlog_bytes = du_bytes(corpus)
+
+    lake_root = f"/tmp/graft_soak/lake_{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(lake_root, ignore_errors=True)
+    kw = {}
+    if args.max_delta_chain is not None:
+        kw["max_delta_chain"] = args.max_delta_chain
+    if args.delta_ratio is not None:
+        kw["delta_ratio"] = args.delta_ratio
+    lake = CDCLake(lake_root, num_partitions=args.partitions, **kw)
+
+    # capture the [graft-timing] lines apply() prints to stderr
+    cap = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            cap.write(s)
+            sys.__stderr__.write(s)
+            return len(s)
+
+    t0 = time.perf_counter()
+    old_stderr = sys.stderr
+    sys.stderr = Tee()
+    try:
+        lake.apply(corpus, window_size=args.window, upto_lsn=args.events - 1)
+    finally:
+        sys.stderr = old_stderr
+    wall = time.perf_counter() - t0
+
+    # phase profile per window
+    windows = []
+    for m in re.finditer(
+        r"window \[(\d+),(\d+)\] W=(\d+): (.*?); actor_peak_rss_mb=(\S+)", cap.getvalue()
+    ):
+        spans = dict(
+            (kv.split("=")[0], float(kv.split("=")[1].rstrip("s")))
+            for kv in m.group(4).split(", ")
+        )
+        windows.append(spans)
+    m0 = lake.manifest
+    rows = sum(e["rows"] for e in m0["partitions"].values())
+    chained = sum(1 for e in m0["partitions"].values() if e.get("deltas"))
+    lake_bytes = du_bytes(lake_root)
+
+    # re-apply no-op check (exactly-once across checkpoints)
+    v0 = m0["version"]
+    lake2 = CDCLake(lake_root, num_partitions=args.partitions, **kw)
+    lake2.apply(corpus, window_size=args.window, upto_lsn=args.events - 1)
+    noop = lake2.manifest["version"] == v0
+
+    def agg(key):
+        vals = [w.get(key, 0.0) for w in windows]
+        return {
+            "sum": round(sum(vals), 1),
+            "min": round(min(vals), 2) if vals else None,
+            "max": round(max(vals), 2) if vals else None,
+        }
+
+    out = {
+        "metric": "soak_events_per_sec",
+        "value": round(args.events / wall, 1),
+        "wall_sec": round(wall, 1),
+        "events": args.events,
+        "windows": len(windows),
+        "codec": args.codec or os.environ.get("GRAFT_PARQUET_CODEC", "snappy"),
+        "binlog_bytes": binlog_bytes,
+        "lake_bytes": lake_bytes,
+        "lake_rows": rows,
+        "chained_partitions": chained,
+        "version": int(v0),
+        "reapply_noop": noop,
+        "phases": {k: agg(k) for k in ("pass1_meta", "plan", "pass2_fetch", "finalize", "commit")},
+        "finalize_per_window": [round(w.get("finalize", 0.0), 2) for w in windows],
+        "num_cpus": args.num_cpus,
+        "max_delta_chain": lake.max_delta_chain,
+        "delta_ratio": lake.delta_ratio,
+    }
+    shutil.rmtree(lake_root, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

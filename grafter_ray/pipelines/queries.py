@@ -545,7 +545,8 @@ def _doc_store(sf_dir: str):
     from .store import QuadStore
 
     if sf_dir not in _STORE_CACHE:
-        _STORE_CACHE[sf_dir] = QuadStore(q_quad_expand(sf_dir).materialize())
+        with fixture_phase("doc_store"):
+            _STORE_CACHE[sf_dir] = QuadStore(q_quad_expand(sf_dir).materialize())
     return _STORE_CACHE[sf_dir]
 
 

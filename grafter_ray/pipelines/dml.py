@@ -41,9 +41,16 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+
+# source row bound for merge_into's zero-exchange fast path: below it the
+# source keys fit comfortably driver-side (string keys, tens of MB) and the
+# split is a broadcast membership map; above it the distributed audit +
+# shared-bloom partition join run
+MERGE_SMALL_SOURCE_ROWS = 2_000_000
 
 from .branch import _SEP, _keyed
-from .relational import bloom_anti_join, bloom_semi_join, grouped_agg, skew_join
+from .relational import bloom_anti_join, bloom_partition_join, bloom_semi_join, grouped_agg, skew_join
 from .replay import CDCLake
 
 _PAYLOAD = ("commit", "lang", "content")
@@ -243,15 +250,12 @@ def merge_into(
         raise ValueError("merge_into with no WHEN clause would be a no-op")
 
     src = _keyed(source, ["repo", "path", "commit", "lang", "content"])
-    # uniqueness audit: a key hit by two source rows has no defined winner
-    dups = grouped_agg(src, ["__k"], [("n", None, "count")]).map_batches(
-        lambda tb: tb.filter(pc.greater(tb.column("n"), 1)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    sample = dups.limit(5).take_all()
-    if sample:
-        keys = [tuple(r["__k"].split(_SEP, 1)) for r in sample]
-        raise ValueError(f"merge_into source has duplicate keys (sample: {keys})")
+    # the merge SOURCE is by convention the small side (the batch being
+    # merged into the lake) — materialize it once so the uniqueness
+    # audit, the matched/unmatched split, and the final apply reuse its
+    # blocks instead of re-running the source pipeline per consumer
+    src = src.materialize()
+    n_src = src.count()  # metadata on a materialized dataset
 
     cond_cols = (
         [c for c in condition_columns if c in _PAYLOAD] if matched_condition is not None else []
@@ -262,8 +266,72 @@ def merge_into(
     src_schema = pa.schema(
         [("__k", s), ("repo", s), ("path", s), ("commit", s), ("lang", s), ("content", s)]
     )
-    matched = bloom_semi_join(src, live, "__k", schema=src_schema)
-    unmatched = bloom_anti_join(src, live, "__k", schema=src_schema)
+    if n_src <= MERGE_SMALL_SOURCE_ROWS:
+        # SMALL-source fast path: audit + split with ZERO exchanges.
+        # The source keys collect driver-side (bounded by
+        # MERGE_SMALL_SOURCE_ROWS × key width ≈ tens of MB worst case,
+        # the documented bound), duplicates audit exactly via np.unique,
+        # the LAKE is scanned ONCE with a broadcast is_in filter (only
+        # matching keys come back, ≤ |src| rows), and the split is a
+        # map-side membership tag over the materialized source.
+        import numpy as np
+
+        karr = pa.concat_tables(
+            [t.select(["__k"]) for t in ray.get(src.to_arrow_refs())],
+            promote_options="none",
+        ).column("__k").combine_chunks()
+        ks, counts = np.unique(np.asarray(karr), return_counts=True)
+        if (counts > 1).any():
+            dup_keys = [tuple(str(k).split(_SEP, 1)) for k in ks[counts > 1][:5]]
+            raise ValueError(f"merge_into source has duplicate keys (sample: {dup_keys})")
+        kref = ray.put(pa.array(ks))
+
+        def live_hits(tb: pa.Table) -> pa.Table:
+            return tb.filter(
+                pc.fill_null(pc.is_in(tb.column("__k"), value_set=ray.get(kref)), False)
+            ).select(["__k"])
+
+        hit_tabs = ray.get(
+            live.map_batches(live_hits, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        )
+        hit_tabs = [t for t in hit_tabs if t.num_rows and "__k" in t.column_names]
+        matched_set = (
+            pc.unique(pa.concat_tables(hit_tabs, promote_options="none").column("__k").combine_chunks())
+            if hit_tabs
+            else pa.array([], pa.string())
+        )
+        mref = ray.put(matched_set)
+
+        def tag(tb: pa.Table) -> pa.Table:
+            return tb.append_column(
+                "__matched", pc.fill_null(pc.is_in(tb.column("__k"), value_set=ray.get(mref)), False)
+            )
+
+        split = src.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # big-source path: distributed uniqueness audit + ONE shared
+        # bloom + verify for both sides (bloom_partition_join is
+        # materialized, |src|-bounded) — vs separate semi+anti joins
+        # this halves the lake keys-scans and stops the lazy joins
+        # re-running in every downstream consumer
+        dups = grouped_agg(src, ["__k"], [("n", None, "count")]).map_batches(
+            lambda tb: tb.filter(pc.greater(tb.column("n"), 1)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        sample = dups.limit(5).take_all()
+        if sample:
+            keys = [tuple(r["__k"].split(_SEP, 1)) for r in sample]
+            raise ValueError(f"merge_into source has duplicate keys (sample: {keys})")
+        split = bloom_partition_join(src, live, "__k", schema=src_schema)
+
+    def side_of(want: bool):
+        def f(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.equal(tb.column("__matched"), want)).drop_columns(["__matched"])
+
+        return f
+
+    matched = split.map_batches(side_of(True), batch_format="pyarrow", zero_copy_batch=True)
+    unmatched = split.map_batches(side_of(False), batch_format="pyarrow", zero_copy_batch=True)
 
     if matched_condition is not None and when_matched is not None:
         old_names = [f"old_{c}" for c in cond_cols]

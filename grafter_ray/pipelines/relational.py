@@ -579,7 +579,26 @@ def bloom_anti_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks
     )
 
 
-def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, reduce_blocks: int, schema=None):
+def bloom_partition_join(left, right, key: str, *, bits_log2: int = 23, reduce_blocks: int = 16, schema=None):
+    """Semi AND anti split of the same (left, right) in ONE shared pass.
+
+    bloom_semi_join + bloom_anti_join on the same pair each build their
+    own bloom and each re-scan `right` for the exact verify — and both
+    lazy results re-run end-to-end in every downstream consumer. This
+    variant builds the bloom ONCE, verifies survivors ONCE, and returns
+    a MATERIALIZED dataset of every left row plus a bool `__matched`
+    column; callers filter it for the two sides (MERGE INTO's
+    matched/unmatched). Materialization is bounded by |left| — by
+    convention the merge-source side, small relative to the lake — so
+    the split is computed exactly once no matter how many times the
+    sides are consumed."""
+    return _bloom_filter_join(
+        left, right, key, anti=False, bits_log2=bits_log2, reduce_blocks=reduce_blocks,
+        schema=schema, partition=True,
+    )
+
+
+def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, reduce_blocks: int, schema=None, partition: bool = False):
     import numpy as np
 
     from ..stages.grouped import grouped_block_map, key_segments
@@ -672,6 +691,29 @@ def _bloom_filter_join(left, right, key: str, *, anti: bool, bits_log2: int, red
     # semi keeps runs that CONTAIN a right row (run_min == 0); anti keeps
     # runs with NO right row (run_min == 1)
     want_min = 1 if anti else 0
+
+    if partition:
+        # both sides at once: survivors tagged by their run's verdict,
+        # bloom misses tagged unmatched, result materialized (|left|-
+        # bounded) so the split computes exactly once
+        def tag_verified(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0 or tb.num_columns == 0:
+                cols = {n: pa.array([], t) for n, t in zip(names, types)}
+                cols["__matched"] = pa.array([], pa.bool_())
+                return pa.table(cols)
+            starts, ends = key_segments(tb, [key])
+            side = tb.column("__side").to_numpy(zero_copy_only=False)
+            run_min = np.minimum.reduceat(side, starts)
+            matched = np.repeat(run_min == 0, ends - starts)
+            out = tb.append_column("__matched", pa.array(matched))
+            return out.filter(pa.array(side == 1)).drop_columns(["__side"])
+
+        verified = grouped_block_map(both, [key], tag_verified)
+        misses = left.map_batches(bloom_miss, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            lambda tb: tb.append_column("__matched", pa.array(np.zeros(tb.num_rows, bool))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return verified.union(misses).materialize()
 
     def keep_verified(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0 or tb.num_columns == 0:

@@ -8,7 +8,9 @@ data publishers actually emit):
   (register_context — no network, so unregistered IRIs raise), and
   EXPANDED term definitions {"@id", "@type" ("@id" or a datatype),
   "@container" (@list/@set/@language/@index), "@reverse"} (round 5 —
-  other keyword keys in a term definition still raise)
+  other keyword keys in a term definition still raise), plus the
+  context-level @vocab (unprefixed property/@type expansion), @base
+  (relative @id resolution) and @language (default literal language)
 - @id / @type (string or list), property values: string/number/bool
   literals, {"@id": ...} IRI objects, {"@value", "@language"/"@type"},
   {"@list": [...]} collections (rdf:first/rest/nil chains, the same
@@ -48,20 +50,33 @@ def _iri_of(d) -> str | None:
     return d
 
 
-def _expand(term: str, ctx: dict, _depth: int = 0) -> str:
+def _expand(term: str, ctx: dict, _depth: int = 0, vocab: bool = True) -> str:
+    '''vocab=True: vocabulary position (property / @type / coercion
+    target) - unprefixed unknown terms fall back to @vocab. vocab=False:
+    document position (@id values) - relative names resolve against
+    @base instead.'''
     if _depth > 10:
         return term
-    if term in ctx:
+    if term in ctx and not term.startswith("@"):
         raw = _iri_of(ctx[term])
         if raw is None or raw == term:
             return term
-        return _expand(raw, ctx, _depth + 1)  # term defs may map to a CURIE
+        return _expand(raw, ctx, _depth + 1, vocab)  # term defs may map to a CURIE
     pre, sep, local = term.partition(":")
-    if sep and pre in ctx:
+    if sep and pre in ctx and not pre.startswith("@"):
         base = _iri_of(ctx[pre])
         if isinstance(base, str):
             return base + local
+    if not sep:  # no colon -> not an absolute IRI
+        if vocab and isinstance(ctx.get("@vocab"), str):
+            return ctx["@vocab"] + term
+        if not vocab and isinstance(ctx.get("@base"), str):
+            return ctx["@base"] + term
     return term  # already an IRI (or a relative name kept as-is)
+
+
+def _expand_id(term: str, ctx: dict) -> str:
+    return _expand(term, ctx, vocab=False)
 
 
 # Remote @context resolution: there is no network in this engine, so
@@ -114,6 +129,16 @@ def parse_jsonld(text: str) -> pa.Table:
             if not isinstance(part, dict):
                 raise JsonLdParseError("non-object @context entry is outside the supported subset")
             for k, v in part.items():
+                if k in ("@vocab", "@base"):
+                    if not isinstance(v, str):
+                        raise JsonLdParseError(f"{k} must be an IRI string")
+                    ctx[k] = v
+                    continue
+                if k == "@language":
+                    if v is not None and not isinstance(v, str):
+                        raise JsonLdParseError("@language must be a string or null")
+                    ctx[k] = v
+                    continue
                 if isinstance(v, str):
                     ctx[k] = v
                     continue
@@ -138,18 +163,20 @@ def parse_jsonld(text: str) -> pa.Table:
     def node_id(obj, ctx) -> str:
         if "@id" in obj:
             i = obj["@id"]
-            return i if i.startswith("_:") else _expand(i, ctx)
+            return i if i.startswith("_:") else _expand_id(i, ctx)
         bnode_n[0] += 1
         return f"_:b{bnode_n[0]}"
 
-    def value(v, ctx, s, p, g, coerce=None):
+    def value(v, ctx, s, p, g, coerce=None, default_lang=None):
         """Emit (s, p, <v>) — coerce is the term definition's "@type"
         ("@id" ⇒ string values are IRIs; a datatype IRI ⇒ typed
         literals), applied to plain strings only (explicit @value /
-        @id objects keep their own semantics, per JSON-LD expansion)."""
+        @id objects keep their own semantics, per JSON-LD expansion).
+        default_lang: the in-scope @language (term def overrides the
+        context default; null clears) for plain un-coerced strings."""
         if isinstance(v, list):
             for item in v:
-                value(item, ctx, s, p, g, coerce)
+                value(item, ctx, s, p, g, coerce, default_lang)
             return
         if isinstance(v, dict):
             if "@list" in v:
@@ -163,16 +190,18 @@ def parse_jsonld(text: str) -> pa.Table:
                 if o.startswith("_:"):
                     emit(s, p, "bnode", o, None, None, g)
                 else:
-                    emit(s, p, "iri", _expand(o, ctx), None, None, g)
+                    emit(s, p, "iri", _expand_id(o, ctx), None, None, g)
             else:  # nested (blank) node object
                 o = node(v, ctx, g)
                 emit(s, p, "bnode" if o.startswith("_:") else "iri", o, None, None, g)
             return
         if isinstance(v, str) and coerce == "@id":
-            o = _expand(v, ctx)
+            o = _expand_id(v, ctx)
             emit(s, p, "bnode" if o.startswith("_:") else "iri", o, None, None, g)
         elif isinstance(v, str) and coerce is not None:
             emit(s, p, "literal", v, _expand(coerce, ctx), None, g)
+        elif isinstance(v, str) and default_lang:
+            emit(s, p, "literal", v, None, default_lang, g)
         elif isinstance(v, bool):
             emit(s, p, "literal", str(v).lower(), XSD + "boolean", None, g)
         elif isinstance(v, int):
@@ -210,9 +239,9 @@ def parse_jsonld(text: str) -> pa.Table:
             if isinstance(item, dict) and "@value" in item:
                 raise JsonLdParseError("@reverse values must be node references, not literals")
             if isinstance(item, str):
-                o = _expand(item, ctx)
+                o = _expand_id(item, ctx)
             elif isinstance(item, dict) and set(item) == {"@id"}:
-                o = item["@id"] if item["@id"].startswith("_:") else _expand(item["@id"], ctx)
+                o = item["@id"] if item["@id"].startswith("_:") else _expand_id(item["@id"], ctx)
             elif isinstance(item, dict):
                 o = node(item, ctx, g)
             else:
@@ -245,6 +274,8 @@ def parse_jsonld(text: str) -> pa.Table:
             p = _expand(k, ctx)
             coerce = td.get("@type") if td else None
             cont = td.get("@container") if td else None
+            # in-scope default language: term def wins (explicit null clears)
+            dlang = td["@language"] if td and "@language" in td else ctx.get("@language")
             if td and "@reverse" in td:
                 reverse_values(v, ctx, s, p, g)
             elif cont == "@list":
@@ -256,9 +287,9 @@ def parse_jsonld(text: str) -> pa.Table:
             elif cont == "@index" and isinstance(v, dict):
                 # index keys are metadata only (JSON-LD expansion drops them)
                 for vv in v.values():
-                    value(vv, ctx, s, p, g, coerce)
+                    value(vv, ctx, s, p, g, coerce, dlang)
             else:  # default and @set behave alike
-                value(v, ctx, s, p, g, coerce)
+                value(v, ctx, s, p, g, coerce, dlang)
         return s
 
     top = doc if isinstance(doc, list) else [doc]

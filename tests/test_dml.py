@@ -379,3 +379,37 @@ def test_cli_delete_where(lake, capsys):
     assert set(_state(CDCLake(lake.root, num_partitions=4))) == {
         ("r1", "a"), ("r1", "b"), ("r3", "e"),
     }
+
+
+def test_merge_into_big_source_path_parity(lake, monkeypatch):
+    """Round 5: merge_into gained a zero-exchange small-source fast path
+    (driver membership split). Force the BIG path (distributed audit +
+    shared-bloom partition join) on the same inputs and require the
+    identical converged state, including the duplicate-key raise."""
+    import grafter_ray.pipelines.dml as dml
+
+    src_tb = pa.table(
+        {
+            "repo": pa.array(["r1", "r9"]),
+            "path": pa.array(["a", "z"]),
+            "commit": pa.array(["m1", "m2"]),
+            "lang": pa.array(["py", "go"]),
+            "content": pa.array(["ALPHA", "zeta"]),
+        }
+    )
+    monkeypatch.setattr(dml, "MERGE_SMALL_SOURCE_ROWS", 0)
+    r = merge_into(lake, rd.from_arrow(src_tb))
+    assert r["upserts"] == 2 and r["deletes"] == 0
+    st = _state(lake)
+    assert st[("r1", "a")] == ("ALPHA", 6) and st[("r9", "z")] == ("zeta", 6)
+    dup = pa.table(
+        {
+            "repo": pa.array(["r1", "r1"]),
+            "path": pa.array(["a", "a"]),
+            "commit": pa.array(["x", "y"]),
+            "lang": pa.array(["py", "py"]),
+            "content": pa.array(["1", "2"]),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(lake, rd.from_arrow(dup))

@@ -417,3 +417,32 @@ def test_jsonld_unknown_term_def_key_still_raises():
         parse_jsonld('{"@context": {"p": {"@id": "http://e/p", "@nest": "x"}}, "@id": "http://e/s", "p": 1}')
     with pytest.raises(JsonLdParseError, match="@container"):
         parse_jsonld('{"@context": {"p": {"@id": "http://e/p", "@container": "@graph"}}, "@id": "http://e/s", "p": 1}')
+
+
+def test_jsonld_vocab_base_default_language():
+    """Round-5 follow-up: context-level @vocab (vocabulary expansion for
+    unprefixed terms), @base (relative @id resolution) and @language
+    (default plain-string language; a term definition's @language — or
+    explicit null — overrides)."""
+    doc = """{
+      "@context": {"@vocab": "http://schema.org/", "@base": "http://ex.org/",
+                   "@language": "en",
+                   "untagged": {"@id": "http://e/untagged", "@language": null},
+                   "knows": {"@id": "http://schema.org/knows", "@type": "@id"}},
+      "@id": "doc1",
+      "name": "Jane",
+      "untagged": "raw",
+      "knows": "doc2"
+    }"""
+    tb = parse_jsonld(doc)
+    rows = sorted(
+        zip(*(tb.column(c).to_pylist() for c in ("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")))
+    )
+    assert all(r[0] == "http://ex.org/doc1" for r in rows)
+    name = next(r for r in rows if r[1] == "http://schema.org/name")
+    assert (name[4], name[5]) == (None, "en")  # default language applied
+    untag = next(r for r in rows if r[1] == "http://e/untagged")
+    assert untag[5] is None  # term-level null clears the default
+    knows = next(r for r in rows if r[1] == "http://schema.org/knows")
+    # @type: @id value resolves against @base, not @vocab
+    assert (knows[2], knows[3]) == ("iri", "http://ex.org/doc2")

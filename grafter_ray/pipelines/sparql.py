@@ -1195,31 +1195,34 @@ def _apply_dataset_clause(q: SelectQuery, store):
     from_g = list(dict.fromkeys(q.from_graphs or []))
     from_n = list(dict.fromkeys(q.from_named or []))
     base = store.ds
-    parts = []
-    if from_g:
-        g_set = pa.array(from_g, pa.string())
+    g_set = pa.array(from_g, pa.string()) if from_g else None
+    n_set = pa.array(from_n, pa.string()) if from_n else None
 
-        def to_default(tb: pa.Table) -> pa.Table:
+    # ONE fused pass emits both the sentinel-restamped default part and
+    # the verbatim FROM NAMED part (they can never collide — default
+    # rows carry the sentinel graph, named rows their own) instead of
+    # two base scans + a union operator; the merge-distinct below is
+    # then exactly the multi-FROM collapse (named rows are already
+    # unique in the store's set semantics and unaffected by it).
+    def restamp(tb: pa.Table) -> pa.Table:
+        parts = []
+        if g_set is not None:
             t = tb.filter(pc.is_in(tb.column("c"), value_set=g_set))
             i = t.schema.get_field_index("c")
-            return t.set_column(
-                i, "c", pa.nulls(t.num_rows, pa.string()).fill_null(_DATASET_DEFAULT_G)
+            parts.append(
+                t.set_column(
+                    i, "c", pa.nulls(t.num_rows, pa.string()).fill_null(_DATASET_DEFAULT_G)
+                )
             )
+        if n_set is not None:
+            parts.append(tb.filter(pc.is_in(tb.column("c"), value_set=n_set)))
+        return pa.concat_tables(parts, promote_options="none") if len(parts) > 1 else parts[0]
 
-        d_ds = base.map_batches(to_default, batch_format="pyarrow", zero_copy_batch=True)
-        if len(from_g) > 1:
-            # the default graph is the MERGE (set union) of the FROM
-            # graphs — a quad present in several must collapse to one
-            d_ds = rel_distinct(d_ds, list(QUAD.names))
-        parts.append(d_ds)
-    if from_n:
-        n_set = pa.array(from_n, pa.string())
-
-        def to_named(tb: pa.Table) -> pa.Table:
-            return tb.filter(pc.is_in(tb.column("c"), value_set=n_set))
-
-        parts.append(base.map_batches(to_named, batch_format="pyarrow", zero_copy_batch=True))
-    ds2 = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    ds2 = base.map_batches(restamp, batch_format="pyarrow", zero_copy_batch=True)
+    if len(from_g) > 1:
+        # the default graph is the MERGE (set union) of the FROM
+        # graphs — a quad present in several must collapse to one
+        ds2 = rel_distinct(ds2, list(QUAD.names))
     _rewrite_dataset_patterns(q)
     return q, QuadStore(ds2)
 

@@ -186,16 +186,22 @@ def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> di
 
     # net branch delta: ≤1 row per key by construction (a converged lake
     # state diff) — raw columns, the view is dst's job after merge
+    # materialized once: each is consumed by the conflict scan, the
+    # strategy filter, the final apply feed and the counters — without
+    # materialization the change-feed diffs re-run per consumer. All are
+    # CHURN-bounded (changes since the fork), never lake-sized.
     b_up = _keyed(
         branch.read_changes(0, view=False),
         ["repo", "path", "commit", "lang", "content", "event_schema_version", "last_lsn"],
-    )
-    b_del = _keyed(branch.deleted_keys(0), ["repo", "path"])
+    ).materialize()
+    b_del = _keyed(branch.deleted_keys(0), ["repo", "path"]).materialize()
 
     # keys dst changed concurrently (upserts ∪ deletes since the fork)
     d_up_keys = _keyed(dst.read_changes(fork_version, view=False), [])
     d_del_keys = _keyed(dst.deleted_keys(fork_version), [])
-    dst_keys = d_up_keys.select_columns(["__k"]).union(d_del_keys.select_columns(["__k"]))
+    dst_keys = (
+        d_up_keys.select_columns(["__k"]).union(d_del_keys.select_columns(["__k"])).materialize()
+    )
 
     # conflicts: branch-changed ∩ dst-changed (exact bloom-verified
     # semi-join; the exchange carries only changed keys)
@@ -204,7 +210,7 @@ def merge_branch(dst: CDCLake, branch: CDCLake, *, strategy: str = "fail") -> di
         dst_keys,
         "__k",
         schema=pa.schema([("__k", pa.string())]),
-    )
+    ).materialize()  # bounded by branch-changed keys; read twice below
     sample = conflict_keys.limit(25).take_all()
     n_conflicts = len(sample) if len(sample) < 25 else int(conflict_keys.count())
     if n_conflicts and strategy == "fail":

@@ -284,6 +284,50 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_commits(args) -> int:
+    """One JSON line per committed version after --since-version (the
+    notifying-repo pull feed, replay.py iter_commits): version, parent,
+    watermark, committed_ts, counter deltas; --counts additionally
+    executes each version's pinned delta datasets and reports changed /
+    deleted row counts (Ray work — off by default)."""
+    from .pipelines.replay import CDCLake
+
+    lake = CDCLake(args.lake, num_partitions=args.partitions)
+    prev_counters: dict | None = None
+    n = 0
+    for ev in lake.iter_commits(since_version=args.since_version):
+        m = ev["manifest"]
+        counters = m.get("counters", {})
+        if prev_counters is None and m.get("parent") is not None:
+            try:
+                prev_counters = lake.log.read(m["parent"]).get("counters", {})
+            except FileNotFoundError:
+                prev_counters = None
+        delta = (
+            {k: int(counters.get(k, 0)) - int((prev_counters or {}).get(k, 0)) for k in counters}
+            if prev_counters is not None or m.get("parent") is None
+            else None
+        )
+        rec = {
+            "cmd": "commits",
+            "version": ev["version"],
+            "parent": m.get("parent"),
+            "watermark_lsn": m.get("watermark_lsn"),
+            "schema_version": m.get("schema_version"),
+            "committed_ts": m.get("committed_ts"),
+            "counter_delta": delta,
+        }
+        if args.counts:
+            rec["changed_rows"] = int(ev["changes"]().count())
+            rec["deleted_keys"] = int(ev["deleted"]().count())
+        _emit(rec)
+        prev_counters = counters
+        n += 1
+    if n == 0:
+        _emit({"cmd": "commits", "events": 0})
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Exit 0 when clean, 1 on any integrity error (warnings don't fail)."""
     from .pipelines.replay import CDCLake
@@ -858,6 +902,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status", help="print the committed manifest summary (no Ray work)")
     lake_args(sp)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser(
+        "commits",
+        help="one JSON line per committed version (the notifying-repo pull feed)",
+    )
+    lake_args(sp)
+    sp.add_argument("--since-version", type=int, default=None, help="default: from the first retained version")
+    sp.add_argument("--counts", action="store_true", help="also count each version's changed/deleted rows (Ray work)")
+    sp.set_defaults(fn=cmd_commits)
 
     sp = sub.add_parser(
         "fsck",

@@ -442,3 +442,32 @@ def test_rebase_cli(tmp_path, capsys):
     # merge back: nothing but suppressed no-ops (branch did nothing itself)
     out = _run(capsys, ["merge", "--lake", lake, "--branch", br])
     assert out["upserts"] == 1 and out["suppressed"] == 1
+
+
+def test_cli_commits_feed(tmp_path, capsys):
+    """Round 5: the `commits` command (notifying-repo pull feed) — one
+    JSON line per committed version with counter deltas; --counts
+    executes each version's pinned delta and the per-version changed
+    rows fold to the converged lake size net of deletions."""
+    binlog = _write_binlog(tmp_path)
+    lake = str(tmp_path / "lake")
+    _run(capsys, ["replay", "--binlog", binlog, "--lake", lake,
+                  "--partitions", "8", "--window-size", "1000"])
+    assert main(["commits", "--lake", lake, "--partitions", "8", "--counts"]) == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert [r["version"] for r in lines] == [0, 1, 2]
+    assert lines[0]["parent"] is None and lines[2]["parent"] == 1
+    # counter DELTAS fold to the final manifest's cumulative counters
+    from grafter_ray import CDCLake
+
+    final = CDCLake(lake, num_partitions=8).manifest["counters"]
+    for key in final:
+        assert sum(r["counter_delta"][key] for r in lines) == final[key]
+    assert all(r["watermark_lsn"] == 1000 * (i + 1) - 1 for i, r in enumerate(lines))
+    for r in lines:
+        assert r["changed_rows"] >= 0 and r["deleted_keys"] >= 0
+    # since-version filters
+    assert main(["commits", "--lake", lake, "--partitions", "8", "--since-version", "1"]) == 0
+    tail = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert [r["version"] for r in tail] == [2]
+    assert tail[0]["counter_delta"] is not None

@@ -5,7 +5,7 @@ CDC binlog replay to converged lake state (events/s derived) — plus
 per-query wall times over $GRAFT_SF_DIR.
 
 --scaling: runs the headline replay in FRESH subprocesses at num_cpus
-4/8/16/32 on the same pre-generated (4x-sized) input and reports
+2/4/8/16/32 on the same pre-generated (4x-sized) input and reports
 throughput at each level plus the N→4N efficiencies (the sandbox
 stand-in for the north rule's N vs 4N node criterion).
 """

@@ -51,3 +51,56 @@ def test_empty_sides():
     assert len(out) == 10
     out2 = bloom_anti_join(empty, left, "k").to_pandas()
     assert len(out2) == 0
+
+
+@pytest.mark.parametrize("bits_log2", [8, 23])
+def test_partition_join_equals_semi_plus_anti(bits_log2):
+    """Round 5: bloom_partition_join (one shared bloom + verify, both
+    sides tagged) must equal the separate semi/anti joins exactly, at
+    both a high-false-positive filter (256 bits) and the default."""
+    from grafter_ray.pipelines.relational import bloom_partition_join
+
+    left_keys = [f"L{i}" for i in range(300)] + [f"B{i}" for i in range(50)]
+    right_keys = [f"R{i}" for i in range(400)] + [f"B{i}" for i in range(50)]
+    left = _ds(left_keys, list(range(350))).repartition(7)
+    right = _ds(right_keys).repartition(5)
+
+    split = bloom_partition_join(left, right, "k", bits_log2=bits_log2).to_pandas()
+    semi = bloom_semi_join(left, right, "k", bits_log2=bits_log2).to_pandas()
+    anti = bloom_anti_join(left, right, "k", bits_log2=bits_log2).to_pandas()
+    got_m = split[split["__matched"]]
+    got_u = split[~split["__matched"]]
+    assert set(got_m.k) == set(semi.k) and set(got_m.v) == set(semi.v)
+    assert set(got_u.k) == set(anti.k) and set(got_u.v) == set(anti.v)
+    assert len(split) == 350  # every left row exactly once
+
+
+def test_partition_join_randomized_parity():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    from grafter_ray.pipelines.relational import bloom_partition_join
+
+    for trial in range(3):
+        nl, nr = int(rng.integers(1, 400)), int(rng.integers(0, 400))
+        left_keys = [f"k{rng.integers(0, 120)}-{i % 3}" for i in range(nl)]
+        # left keys must be unique per row for the exact-count check:
+        left_keys = [f"{k}#{i}" if left_keys.index(k) != i else k for i, k in enumerate(left_keys)]
+        right_keys = [f"k{rng.integers(0, 120)}-{rng.integers(0, 3)}" for _ in range(nr)]
+        left = _ds(left_keys, list(range(nl))).repartition(int(rng.integers(1, 6)))
+        right = _ds(right_keys).repartition(max(1, int(rng.integers(1, 5))))
+        split = bloom_partition_join(left, right, "k", bits_log2=8).to_pandas()
+        rset = set(right_keys)
+        want_m = {k for k in left_keys if k in rset}
+        got_m = set(split[split["__matched"]].k)
+        assert got_m == want_m, (trial, got_m ^ want_m)
+        assert len(split) == nl
+
+
+def test_partition_join_empty_sides():
+    from grafter_ray.pipelines.relational import bloom_partition_join
+
+    left = _ds([f"a{i}" for i in range(10)], list(range(10)))
+    empty = _ds([])
+    out = bloom_partition_join(left, empty, "k").to_pandas()
+    assert len(out) == 10 and not out["__matched"].any()

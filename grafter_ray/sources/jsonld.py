@@ -16,7 +16,9 @@ data publishers actually emit):
   {"@list": [...]} collections (rdf:first/rest/nil chains, the same
   shape turtle_reader.py's ( … ) machinery emits), arrays of any of
   these
-- @reverse (node-object key and term definitions)
+- @reverse (node-object key and term definitions); @nest (direct key
+  and context-aliased — transparent inlining; the inverted term-def
+  form still raises)
 - @graph nesting one level (named graphs via {"@id": g, "@graph": [...]})"""
 
 from __future__ import annotations
@@ -267,6 +269,16 @@ def parse_jsonld(text: str) -> pa.Table:
                     raise JsonLdParseError("@reverse must map properties to node references")
                 for rk, rv in v.items():
                     reverse_values(rv, ctx, s, _expand(rk, ctx), g)
+                continue
+            if k == "@nest" or ctx.get(k) == "@nest":
+                # @nest is semantically TRANSPARENT (JSON-LD 1.1 §9.9):
+                # the nested map's properties belong to the node itself
+                for part in v if isinstance(v, list) else [v]:
+                    if not isinstance(part, dict) or any(pk.startswith("@") for pk in part):
+                        raise JsonLdParseError("@nest values must be maps of plain properties")
+                    for nk, nv in part.items():
+                        # re-dispatch each nested property on this node
+                        node({"@id": s, nk: nv}, ctx, g)
                 continue
             if k.startswith("@"):
                 raise JsonLdParseError(f"{k} is outside the supported subset")

@@ -446,3 +446,22 @@ def test_jsonld_vocab_base_default_language():
     knows = next(r for r in rows if r[1] == "http://schema.org/knows")
     # @type: @id value resolves against @base, not @vocab
     assert (knows[2], knows[3]) == ("iri", "http://ex.org/doc2")
+
+
+def test_jsonld_nest_is_transparent():
+    """JSON-LD 1.1 §9.9: @nest groups properties cosmetically — expansion
+    inlines them onto the node. Both the direct @nest key and a
+    context-aliased nest term are supported; non-map values raise."""
+    doc = """{
+      "@context": {"p": "http://e/p", "q": "http://e/q", "meta": "@nest"},
+      "@id": "http://e/s",
+      "p": 1,
+      "@nest": {"q": 2},
+      "meta": {"p": 3}
+    }"""
+    tb = parse_jsonld(doc)
+    rows = sorted(zip(tb.column("p").to_pylist(), tb.column("o_value").to_pylist()))
+    assert rows == [("http://e/p", "1"), ("http://e/p", "3"), ("http://e/q", "2")]
+    assert set(tb.column("s").to_pylist()) == {"http://e/s"}
+    with pytest.raises(JsonLdParseError, match="@nest"):
+        parse_jsonld('{"@id": "http://e/s", "@nest": "oops"}')
